@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + testdata table loaders.
+  *
+  * Scale posture (local[32] here, 1000-executor cluster in production):
+  *  - AQE on: runtime re-plan handles skew joins and shuffle coalescing.
+  *  - shuffle.partitions=32 matches local cores; on a real cluster this is
+  *    2-3× total cores (or left to AQE's coalescing with a high initial).
+  *  - All testdata reads are parquet with pushdown/pruning left to Catalyst:
+  *    operators must keep filters/projections declarative so they reach the
+  *    scan (checked via .explain in BenchSpec/Inspect).
+  */
+object GraftSession {
+
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Confs any externally-provided session needs before touching testdata.
+    * The events table carries parquet TIMESTAMP(NANOS), which Spark only
+    * reads as LongType behind this legacy flag.
+    */
+  def prepare(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md). */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    GraftSession.prepare(spark)
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  def lineitem(spark: SparkSession, d: String): DataFrame   = load(spark, d, "lineitem")
+  def orders(spark: SparkSession, d: String): DataFrame     = load(spark, d, "orders")
+  def customer(spark: SparkSession, d: String): DataFrame   = load(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame   = load(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame       = load(spark, d, "part")
+  def nation(spark: SparkSession, d: String): DataFrame     = load(spark, d, "nation")
+  def region(spark: SparkSession, d: String): DataFrame     = load(spark, d, "region")
+  /** NOTE: `ts` arrives as LongType nanoseconds (see GraftSession.prepare). */
+  def events(spark: SparkSession, d: String): DataFrame     = load(spark, d, "events")
+  def documents(spark: SparkSession, d: String): DataFrame  = load(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+
+  /** Register all tables as temp views (for spark.sql surfaces / Inspect). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(t => load(spark, sfDir, t).createOrReplaceTempView(t))
+}

@@ -1,0 +1,159 @@
+package graft.operators.cdc
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's CDC dataflow re-expressed as declarative Spark operators
+  * (SURVEY §2.3-2.4): tuple→record projection (P3), change diff (P5), event
+  * cast (P7), LSN formatting (P8), relation/op/subscription filters
+  * (F1-F5), unwatched-fields (F6) and unwatched-records (F7) filters, and
+  * per-transaction assembly (P1, batch form — rows arrive already
+  * committed, so grouping by xid per micro-batch suffices; the
+  * cross-batch stateful variant lives in graft.streaming).
+  *
+  * The driver testdata has no live Postgres, so the canonical change set is
+  * *derived deterministically* from the `events` table (the stand-in the
+  * harness designates for CDC streams — TESTDATA.md). Everything below is
+  * a pure column expression: filters/projections reach the parquet scan and
+  * the whole pipeline stays in whole-stage codegen — at 100 TB the scan cost
+  * dominates and nothing here shuffles except the explicit txn groupBy.
+  */
+object ChangeStream {
+
+  /** Canonical change table derived from `events`:
+    * op: signup→insert, error→delete, else update (deterministic stand-in
+    * for the WAL message type, reference Changes.* structs changes.ex:11-33);
+    * lsn: monotone 64-bit with a non-zero high word (file=user_id);
+    * xid: groups of ≤10 consecutive changes form one transaction.
+    */
+  def changes(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir).select(
+      col("event_id").as("seq"),
+      (col("user_id") * lit(4294967296L) + col("event_id")).as("lsn"),
+      expr("event_id DIV 10").as("xid"),
+      when(col("event_type") === "signup", "insert")
+        .when(col("event_type") === "error", "delete")
+        .otherwise("update").as("op"),
+      lit("public").as("schema_name"),
+      when(col("user_id") % 3 === 0, "user")
+        .when(col("user_id") % 3 === 1, "todo")
+        .otherwise("order").as("table_name"),
+      expr("ts DIV 1000000").as("commit_ms"),
+      expr("""CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)""").as("k"),
+      round(col("value") * 100).cast("long").as("val_cents"),
+      col("user_id").as("record_id"))
+  }
+
+  /** P3/P7 record payloads as generic map<string,string> lanes (the
+    * schema-agnostic mode; typed per-table StructTypes come from
+    * RelationRegistry when a real Relation message is available).
+    * UPDATE old images differ from new on `val_cents` (unless k%3=0),
+    * `k` (unless k%5=0) and always on `updated_at` — giving F6 real work.
+    */
+  def withRecords(ch: DataFrame): DataFrame = {
+    val newRec = map(
+      lit("id"), col("record_id").cast("string"),
+      lit("val_cents"), col("val_cents").cast("string"),
+      lit("k"), col("k").cast("string"),
+      lit("updated_at"), col("commit_ms").cast("string"))
+    val oldRec = map(
+      lit("id"), col("record_id").cast("string"),
+      lit("val_cents"),
+      (col("val_cents") - when(col("k") % 3 === 0, 0).otherwise(150)).cast("string"),
+      lit("k"), (col("k") - when(col("k") % 5 === 0, 0).otherwise(1)).cast("string"),
+      lit("updated_at"), (col("commit_ms") - 1000).cast("string"))
+    ch.withColumn("new_record", when(col("op") =!= "delete", newRec))
+      .withColumn("old_record",
+        when(col("op") === "update", oldRec)
+          .when(col("op") === "delete", newRec))
+  }
+
+  /** P5: old-vs-new per-field diff → map(field -> struct(old_value,
+    * new_value)) keeping only changed fields
+    * (reference: transaction_filter.ex:209-222). Null-safe equality so
+    * NULL→value transitions register; built entirely from map_zip_with/
+    * map_filter so Catalyst codegens it.
+    */
+  def changedFields(oldRec: Column, newRec: Column): Column =
+    map_filter(
+      map_zip_with(oldRec, newRec,
+        (_, o, n) => struct(o.as("old_value"), n.as("new_value"))),
+      (_, v) => !(v.getField("old_value") <=> v.getField("new_value")))
+
+  /** The Event view (P7): reference Event struct (event.ex:6-17) with
+    * Source metadata (source.ex:4-14). UPDATE carries `changes`; INSERT
+    * only new_record; DELETE only old_record (README.md:215-216 semantics).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val ch = withRecords(changes(spark, sfDir))
+    ch.select(
+      col("seq"), col("xid"), col("lsn"),
+      col("table_name").as("name"),
+      col("op").as("type"),
+      when(col("op") =!= "delete", col("new_record")).as("new_record"),
+      when(col("op") === "delete", col("old_record")).as("old_record"),
+      when(col("op") === "update", changedFields(col("old_record"), col("new_record")))
+        .as("changes"),
+      col("commit_ms").as("timestamp_ms"),
+      lsnString(col("lsn")).as("lsn_str"),
+      struct(
+        lit("graft").as("source_name"),
+        lit("0.1.0").as("version"),
+        lit("testdata").as("db"),
+        col("schema_name").as("schema"),
+        col("table_name").as("table")).as("source"))
+  }
+
+  /** P8: packed lsn long → "HI/LO" upper-hex display form
+    * (reference: event.ex:170-175).
+    */
+  def lsnString(lsn: Column): Column =
+    concat(hex(shiftright(lsn, 32)), lit("/"), hex(lsn.bitwiseAND(lit(0xFFFFFFFFL))))
+
+  // ---- Filter operators (F1-F7) ----
+
+  /** F1: parse "schema:table" / "schema" / "*" → (schemaOpt, tableOpt)
+    * (reference: transaction_filter.ex:97-108).
+    */
+  def parseRelationFilter(s: String): Either[String, (Option[String], Option[String])] =
+    s.split(":", -1).toList match {
+      case ("*" | "") :: Nil => Right((None, None))
+      case sch :: Nil        => Right((Some(sch), None))
+      case sch :: tbl :: Nil => Right((Some(sch), Some(tbl)))
+      case _                 => Left(s"invalid relation filter: $s")
+    }
+
+  /** F2/F3/F5: op+relation predicate; "*" wildcards
+    * (reference: transaction_filter.ex:57-76,113-155).
+    */
+  def matchesFilter(op: String = "*", schema: String = "*", table: String = "*"): Column = {
+    val opP  = if (op == "*") lit(true) else col("op") === op.toLowerCase
+    val schP = if (schema == "*") lit(true) else col("schema_name") === schema
+    val tblP = if (table == "*") lit(true) else col("table_name") === table
+    opP && schP && tblP
+  }
+
+  /** F4: subscription filter — table ∈ subscribed set
+    * (reference: transaction_filter.ex:132-135,157-161). Plain `isin` so it
+    * pushes to the scan as an IN filter.
+    */
+  def subscribed(tables: Seq[String]): Column =
+    if (tables.isEmpty) lit(true) else col("table_name").isin(tables: _*)
+
+  /** F6: drop UPDATE events whose only changed fields are unwatched
+    * (e.g. trigger-touched `updated_at`); events without a changes map pass
+    * (reference: transaction_filter.ex:175-187).
+    */
+  def watchedFieldsPredicate(changes: Column, unwatched: Seq[String]): Column =
+    changes.isNull ||
+      size(map_filter(changes, (k, _) => !k.isin(unwatched: _*))) > 0
+
+  /** F7: drop events whose record matches ALL key=value pairs; uses
+    * new_record, falling back to old_record for deletes
+    * (reference: transaction_filter.ex:189-207).
+    */
+  def unwatchedRecordsPredicate(rec: Column, unwatched: Map[String, String]): Column =
+    if (unwatched.isEmpty) lit(true)
+    else !unwatched.map { case (k, v) => element_at(rec, k) <=> lit(v) }.reduce(_ && _)
+}

@@ -1,0 +1,79 @@
+package graft.operators.multimodal
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media as opaque `binary` + typed metadata
+  * struct, with decode/feature-extract as partition-wise batch functions.
+  *
+  * The container has no image/audio codecs, so `FakeCodec` is a
+  * clearly-marked deterministic stand-in — the Spark-side plumbing (schema,
+  * encoder, `mapPartitions` batching, partition sizing) is the real,
+  * tested surface. In production the codec body is the only swap
+  * (e.g. JNI decoder or Arrow-batched python via mapInArrow/mapInPandas).
+  *
+  * Scale: decode is a narrow map — no shuffle; partitions stay at parquet
+  * split granularity so 100 TB of blobs decode with full parallelism.
+  * Metadata-only predicates (width/codec/duration) are column filters that
+  * never touch the blob bytes (parquet column pruning skips them).
+  */
+object Multimodal {
+
+  /** STUB codec: deterministic fake decode. Replace with a real decoder in
+    * production; signature and batch shape are the contract.
+    */
+  object FakeCodec {
+    final case class Meta(width: Int, height: Int, nFrames: Int, codec: String)
+    def probe(blob: Array[Byte], mediaId: Long): Meta = Meta(
+      width = 16 + (mediaId % 64).toInt,
+      height = 16 + (mediaId % 48).toInt,
+      nFrames = 1 + (blob.length % 7),
+      codec = if (mediaId % 2 == 0) "fake-h264" else "fake-av1")
+    /** "Frame sample": deterministic byte slice standing in for a decoded
+      * keyframe. ??? in spirit — no real pixels exist in this container.
+      */
+    def sampleFrame(blob: Array[Byte], frameIdx: Int): Array[Byte] = {
+      val start = math.min(frameIdx * 8, math.max(blob.length - 8, 0))
+      blob.slice(start, math.min(start + 8, blob.length))
+    }
+  }
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("blob", BinaryType),
+    StructField("byte_len", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("codec", StringType),
+    StructField("frame0_hex", StringType)))
+
+  /** Build a media table from documents (text bytes stand in for blobs),
+    * then run the decode/probe stage partition-wise.
+    */
+  def mediaTable(spark: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(spark, d)
+      .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("blob"))
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id   = r.getLong(0)
+        val blob = r.getAs[Array[Byte]](1)
+        val meta = FakeCodec.probe(blob, id)
+        val f0   = FakeCodec.sampleFrame(blob, 0)
+        Row(id, blob, blob.length, meta.width, meta.height, meta.nFrames,
+          meta.codec, f0.map("%02X".format(_)).mkString)
+      }
+    }(enc)
+  }
+
+  /** Metadata projection (no blob materialization downstream). */
+  def mediaMeta(spark: SparkSession, d: String): DataFrame =
+    mediaTable(spark, d)
+      .select(col("media_id"), col("byte_len"), col("width"), col("height"),
+        col("n_frames"), col("codec"), col("frame0_hex"))
+      .orderBy(col("media_id"))
+}

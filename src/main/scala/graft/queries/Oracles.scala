@@ -1,0 +1,360 @@
+package graft.queries
+
+/** DuckDB oracle SQL for every SQL-expressible query in [[QueryPack]].
+  * Runs against views named after the testdata parquet files
+  * (region/nation/customer/supplier/part/orders/lineitem/events/documents/
+  * embeddings). Column names and ordering match the Spark outputs exactly
+  * (the driver sorts columns by name before hashing values).
+  *
+  * LSH-internal queries (dd03, dd04, ann02) have no oracle by design —
+  * their hash families are engine-side; the driver records rows-only
+  * checks for them.
+  */
+object Oracles {
+
+  /** Shared derivation of the CDC change set from `events` — must mirror
+    * [[graft.operators.cdc.ChangeStream.changes]] exactly.
+    */
+  private val changesCte: String = """WITH changes AS (
+  SELECT
+    event_id AS seq,
+    user_id * 4294967296 + event_id AS lsn,
+    event_id // 10 AS xid,
+    CASE event_type WHEN 'signup' THEN 'insert' WHEN 'error' THEN 'delete' ELSE 'update' END AS op,
+    'public' AS schema_name,
+    CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'todo' ELSE 'order' END AS table_name,
+    epoch_ms(ts) AS commit_ms,
+    CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k,
+    CAST(round(value * 100) AS BIGINT) AS val_cents,
+    user_id AS record_id
+  FROM events
+)"""
+
+  private val toksCte: String = """WITH toks AS (
+  SELECT doc_id, lang, text, length(text) AS len,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+)"""
+
+  val sql: Map[String, String] = Map(
+
+    "q01_pricing_summary" -> """
+SELECT l_returnflag, l_linestatus,
+  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+  sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+  count(*) AS count_order,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_top_orders" -> """
+SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_orderpriority, r.revenue
+FROM (SELECT l_orderkey,
+        sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+      FROM lineitem GROUP BY l_orderkey) r
+JOIN orders o ON r.l_orderkey = o.o_orderkey
+ORDER BY r.revenue DESC, o.o_orderkey
+LIMIT 10""",
+
+    "q03_revenue_by_nation" -> """
+SELECT r.r_name, n.n_name,
+  sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS revenue,
+  count(*) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+ORDER BY r.r_name, n.n_name""",
+
+    "q04_forecast_revenue" -> """
+SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+    "q05_lineitem_windows" -> """
+SELECT l_orderkey, l_linenumber,
+  row_number() OVER w AS rn,
+  sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+  lag(l_linenumber, 1) OVER w AS prev_line
+FROM lineitem
+WHERE l_orderkey % 100 = 0
+WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+ORDER BY l_orderkey, l_linenumber""",
+
+    "q06_top_customers" -> """
+WITH spend AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY o_custkey)
+SELECT c_mktsegment, c_custkey, c_name, spend,
+       row_number() OVER (PARTITION BY c_mktsegment ORDER BY spend DESC, c_custkey) AS rnk
+FROM spend JOIN customer ON o_custkey = c_custkey
+QUALIFY rnk <= 3
+ORDER BY c_mktsegment, rnk""",
+
+    "q07_rollup_counts" -> """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q08_setops" -> """
+WITH big AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+     auto AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+SELECT c_custkey, 'rich_auto' AS set_kind FROM (SELECT * FROM big INTERSECT SELECT * FROM auto)
+UNION ALL
+SELECT c_custkey, 'rich_other' AS set_kind FROM (SELECT * FROM big EXCEPT SELECT * FROM auto)
+ORDER BY set_kind, c_custkey""",
+
+    "q09_cust_no_big_orders" -> """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+ORDER BY c_custkey""",
+
+    "q10_median_price" -> """
+SELECT p_brand,
+  quantile_cont(p_retailprice, 0.5) AS median_price,
+  min(p_retailprice) AS min_price,
+  max(p_retailprice) AS max_price,
+  count(*) AS n_parts
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand""",
+
+    "q11_hourly_events" -> """
+SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events
+GROUP BY hour_ms, event_type
+ORDER BY hour_ms, event_type""",
+
+    "q12_sessionize" -> """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+gaps AS (
+  SELECT user_id, ts_ms,
+    CASE WHEN lag(ts_ms) OVER w IS NULL
+           OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+sess AS (
+  SELECT user_id, ts_ms,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM gaps),
+per_session AS (
+  SELECT user_id, session_idx, count(*) AS n_events,
+         max(ts_ms) - min(ts_ms) AS duration_ms
+  FROM sess GROUP BY user_id, session_idx)
+SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events,
+       max(duration_ms) AS max_session_ms
+FROM per_session GROUP BY user_id ORDER BY user_id""",
+
+    "q13_user_pivot" -> """
+SELECT user_id,
+  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "cdc01_changeset" -> s"""$changesCte
+SELECT * FROM changes ORDER BY seq""",
+
+    "cdc02_lsn_format" -> s"""$changesCte
+SELECT seq, lsn,
+  to_hex(lsn >> 32) || '/' || to_hex(lsn & 4294967295) AS lsn_str
+FROM changes ORDER BY seq""",
+
+    "cdc03_subscription" -> s"""$changesCte
+SELECT seq, table_name, op FROM changes
+WHERE table_name IN ('user', 'todo') ORDER BY seq""",
+
+    "cdc04_op_filter" -> s"""$changesCte
+SELECT seq, k FROM changes
+WHERE op = 'update' AND schema_name = 'public' AND table_name = 'todo'
+ORDER BY seq""",
+
+    "cdc05_txn_assembly" -> s"""$changesCte
+SELECT xid, count(*) AS n_changes, min(seq) AS first_seq, max(seq) AS last_seq,
+  CAST(sum(CASE WHEN op = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+  CAST(sum(CASE WHEN op = 'update' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+  CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+  max(commit_ms) AS last_commit_ms
+FROM changes GROUP BY xid ORDER BY xid""",
+
+    // changed fields of an UPDATE: k (unless k%5=0), val_cents (unless
+    // k%3=0), updated_at (always) — mirrors ChangeStream.withRecords.
+    "cdc06_diff" -> s"""$changesCte
+SELECT seq, field, old_value, new_value FROM (
+  SELECT seq, 'k' AS field,
+         CAST(k - 1 AS VARCHAR) AS old_value, CAST(k AS VARCHAR) AS new_value
+  FROM changes WHERE op = 'update' AND k % 5 <> 0
+  UNION ALL
+  SELECT seq, 'updated_at',
+         CAST(commit_ms - 1000 AS VARCHAR), CAST(commit_ms AS VARCHAR)
+  FROM changes WHERE op = 'update'
+  UNION ALL
+  SELECT seq, 'val_cents',
+         CAST(val_cents - 150 AS VARCHAR), CAST(val_cents AS VARCHAR)
+  FROM changes WHERE op = 'update' AND k % 3 <> 0
+) ORDER BY seq, field""",
+
+    "cdc07_unwatched_fields" -> s"""$changesCte
+SELECT seq, op FROM changes
+WHERE op <> 'update' OR k % 3 <> 0 OR k % 5 <> 0
+ORDER BY seq""",
+
+    "cdc08_unwatched_records" -> s"""$changesCte
+SELECT seq, k FROM changes WHERE k <> 0 ORDER BY seq""",
+
+    "cdc09_event_cast" -> s"""$changesCte
+SELECT seq, table_name AS name, op AS type, commit_ms AS timestamp_ms,
+  to_hex(lsn >> 32) || '/' || to_hex(lsn & 4294967295) AS lsn_str,
+  '0.1.0' AS source_version, 'testdata' AS source_db,
+  schema_name AS source_schema, table_name AS source_table,
+  4 AS n_fields
+FROM changes ORDER BY seq""",
+
+    "cdc10_cast_scalars" -> s"""$changesCte,
+built AS (
+  SELECT seq, k, val_cents,
+    CAST(val_cents // 100 AS VARCHAR) || '.' || lpad(CAST(val_cents % 100 AS VARCHAR), 2, '0') AS dec_s
+  FROM changes)
+SELECT seq,
+  k % 2 = 0 AS b,
+  k AS i,
+  CAST(dec_s AS DECIMAL(18,2)) AS dec,
+  CAST(regexp_replace('$$' || dec_s, '[^0-9.\\-]', '', 'g') AS DECIMAL(19,2)) AS money,
+  CAST('2024-01-' || lpad(CAST(k % 28 + 1 AS VARCHAR), 2, '0') AS DATE) AS dt,
+  lpad(to_hex(k), 16, '0') AS bytes_hex,
+  epoch_ms(CAST('2024-03-15 06:30:' || lpad(CAST(k % 60 AS VARCHAR), 2, '0') AS TIMESTAMP)) AS ts_ms
+FROM built ORDER BY seq""",
+
+    "cdc11_array_parse" -> s"""$changesCte
+SELECT seq,
+  'a, b' AS el1,
+  CAST(k AS VARCHAR) AS el2,
+  CAST(NULL AS VARCHAR) AS el3,
+  3 AS n,
+  '{"1","2"}' AS nested_el1,
+  2 AS n_nested
+FROM changes ORDER BY seq""",
+
+    "cdc12_decode" -> """
+SELECT * FROM (VALUES
+  (0, 'begin',    '2/3E8', 'xid=619'),
+  (1, 'relation', '',      'public.user identity=f cols=id,email'),
+  (2, 'type',     '',      'public.citext'),
+  (3, 'insert',   '',      'rel=16386 cells=2'),
+  (4, 'update',   '',      'rel=16386 old=O nulls=1'),
+  (5, 'delete',   '',      'rel=16386 kind=K toast=1'),
+  (6, 'truncate', '',      'cascade=true rels=16386,16387'),
+  (7, 'origin',   '0/2A',  'replica_a'),
+  (8, 'commit',   '2/3E8', 'end=2/420')
+) AS t(idx, msg_type, lsn_str, info) ORDER BY idx""",
+
+    "txt01_token_stats" -> s"""$toksCte
+SELECT doc_id, lang, len AS len_chars,
+  len(t) AS n_tokens,
+  len(list_distinct(t)) AS n_distinct,
+  CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_token_len
+FROM toks ORDER BY doc_id""",
+
+    "txt02_quality" -> s"""$toksCte
+SELECT doc_id, len, n_tokens, n_stopwords,
+  stopword_ratio, short_ratio, avg_token_span,
+  stopword_ratio * 2.0 - short_ratio + avg_token_span / 10.0 AS quality
+FROM (
+  SELECT doc_id, len, len(t) AS n_tokens,
+    len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS n_stopwords,
+    len(list_filter(t, x -> length(x) <= 2)) AS n_short,
+    CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) / len(t) AS stopword_ratio,
+    CAST(len(list_filter(t, x -> length(x) <= 2)) AS DOUBLE) / len(t) AS short_ratio,
+    CAST(len AS DOUBLE) / len(t) AS avg_token_span
+  FROM toks)
+ORDER BY doc_id""",
+
+    "txt03_langid" -> s"""$toksCte
+SELECT doc_id, lang_label, en_score,
+  CASE WHEN en_score >= 0.10 THEN 'en'
+       WHEN en_score >= 0.04 THEN 'maybe-en'
+       ELSE 'other' END AS lang_pred
+FROM (
+  SELECT doc_id, lang AS lang_label,
+    CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE) / len(t) AS en_score
+  FROM toks)
+ORDER BY doc_id""",
+
+    "txt04_fingerprint" -> """
+SELECT doc_id,
+  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp_md5
+FROM documents ORDER BY doc_id""",
+
+    "dd01_exact_dedup" -> """
+WITH fp AS (
+  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+  FROM documents)
+SELECT doc_id,
+  min(doc_id) OVER (PARTITION BY f) AS canonical_id,
+  count(*) OVER (PARTITION BY f) AS n_copies
+FROM fp ORDER BY doc_id""",
+
+    "dd02_ngram_jaccard" -> """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents),
+k AS (
+  SELECT doc_id, toks[1] || ' ' || toks[2] || ' ' || toks[3] AS prefix,
+         list_distinct(toks) AS ws
+  FROM t),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    len(list_filter(a.ws, x -> list_contains(b.ws, x))) AS inter,
+    len(a.ws) + len(b.ws) - len(list_filter(a.ws, x -> list_contains(b.ws, x))) AS uni
+  FROM k a JOIN k b ON a.prefix = b.prefix AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, inter, uni FROM pairs
+WHERE CAST(inter AS DOUBLE) / uni >= 0.5
+ORDER BY id_a, id_b""",
+
+    "ann03_label_stats" -> """
+SELECT label, count(*) AS n_vecs, max(len(embedding)) AS dim,
+  sum(CAST(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DECIMAL(28,12))) AS sum_norm_sq
+FROM embeddings GROUP BY label ORDER BY label""",
+
+    "mm01_media_meta" -> """
+SELECT doc_id AS media_id,
+  length(text) AS byte_len,
+  16 + CAST(doc_id % 64 AS INT) AS width,
+  16 + CAST(doc_id % 48 AS INT) AS height,
+  1 + CAST(length(text) % 7 AS INT) AS n_frames,
+  CASE WHEN doc_id % 2 = 0 THEN 'fake-h264' ELSE 'fake-av1' END AS codec,
+  hex(substring(text, 1, 8)) AS frame0_hex
+FROM documents ORDER BY media_id""",
+
+    "ann01_brute_topk" -> """
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+    list_cosine_similarity(
+      list_transform(q.q_emb, x -> CAST(x AS DOUBLE)),
+      list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM sims)
+SELECT query_id, rnk, vec_id, round(sim, 4) AS sim
+FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk"""
+  )
+}

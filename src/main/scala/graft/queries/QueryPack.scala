@@ -1,0 +1,214 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Analytics
+import graft.operators.ann.Ann
+import graft.operators.cdc.ChangeStream
+import graft.operators.dedup.Dedup
+import graft.operators.multimodal.Multimodal
+import graft.operators.text.TextOps
+import graft.plans.PgCasts
+import graft.sources.pgoutput._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The driver-facing query inventory: one entry per implemented operator
+  * (SURVEY §2 ids in the comments), each with a DuckDB oracle in
+  * [[Oracles]] unless inherently non-SQL (LSH/simhash internals → rows-only
+  * checks).
+  *
+  * Output discipline (cross-engine hash-match):
+  *  - aggregate money via per-row doubles cast to DECIMAL then summed —
+  *    exact, partition-order independent, identical in DuckDB;
+  *  - averages = decimal sum cast double / count (one deterministic fp op);
+  *  - timestamps exported as epoch millis BIGINT (the testdata's parquet
+  *    NANOS precision is not representable in Spark timestamps);
+  *  - every query ORDER BY a unique key, nulls-first to match both engines.
+  */
+object QueryPack {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- analytics tail (§2.7) ----
+    "q01_pricing_summary"   -> ((s, d) => Analytics.pricingSummary(s, d)),
+    "q02_top_orders"        -> ((s, d) => Analytics.topRevenueOrders(s, d)),
+    "q03_revenue_by_nation" -> ((s, d) => Analytics.revenueByNation(s, d)),
+    "q04_forecast_revenue"  -> ((s, d) => Analytics.forecastRevenue(s, d)),
+    "q05_lineitem_windows"  -> ((s, d) => Analytics.lineitemWindows(s, d)),
+    "q06_top_customers"     -> ((s, d) => Analytics.topCustomersPerSegment(s, d)),
+    "q07_rollup_counts"     -> ((s, d) => Analytics.rollupCounts(s, d)),
+    "q08_setops"            -> ((s, d) => Analytics.segmentSetOps(s, d)),
+    "q09_cust_no_big_orders" -> ((s, d) => Analytics.customersWithoutBigOrders(s, d)),
+    "q10_median_price"      -> ((s, d) => Analytics.medianPriceByBrand(s, d)),
+    "q11_hourly_events"     -> ((s, d) => Analytics.hourlyEventCounts(s, d)),
+    "q12_sessionize"        -> ((s, d) => Analytics.sessionize(s, d)),
+    "q13_user_pivot"        -> ((s, d) => Analytics.userEventPivot(s, d)),
+
+    // ---- CDC pipeline (§2.3/§2.4) ----
+    "cdc01_changeset"        -> ((s, d) => // P3 tuple→record projection
+      ChangeStream.changes(s, d).orderBy(col("seq"))),
+    "cdc02_lsn_format"       -> ((s, d) => // P8
+      ChangeStream.changes(s, d)
+        .select(col("seq"), col("lsn"), ChangeStream.lsnString(col("lsn")).as("lsn_str"))
+        .orderBy(col("seq"))),
+    "cdc03_subscription"     -> ((s, d) => // F4
+      ChangeStream.changes(s, d)
+        .filter(ChangeStream.subscribed(Seq("user", "todo")))
+        .select(col("seq"), col("table_name"), col("op"))
+        .orderBy(col("seq"))),
+    "cdc04_op_filter"        -> ((s, d) => // F2/F3/F5
+      ChangeStream.changes(s, d)
+        .filter(ChangeStream.matchesFilter(op = "update", schema = "public", table = "todo"))
+        .select(col("seq"), col("k"))
+        .orderBy(col("seq"))),
+    "cdc05_txn_assembly"     -> ((s, d) => // P1 (batch form)
+      ChangeStream.changes(s, d)
+        .groupBy(col("xid"))
+        .agg(
+          count(lit(1)).as("n_changes"),
+          min(col("seq")).as("first_seq"),
+          max(col("seq")).as("last_seq"),
+          sum(when(col("op") === "insert", 1).otherwise(0)).as("n_insert"),
+          sum(when(col("op") === "update", 1).otherwise(0)).as("n_update"),
+          sum(when(col("op") === "delete", 1).otherwise(0)).as("n_delete"),
+          max(col("commit_ms")).as("last_commit_ms"))
+        .orderBy(col("xid"))),
+    "cdc06_diff"             -> ((s, d) => { // P5
+      val ev = ChangeStream.withRecords(ChangeStream.changes(s, d))
+        .filter(col("op") === "update")
+        .withColumn("chg",
+          ChangeStream.changedFields(col("old_record"), col("new_record")))
+      ev.select(col("seq"), explode(col("chg")).as(Seq("field", "vals")))
+        .select(col("seq"), col("field"),
+          col("vals.old_value").as("old_value"), col("vals.new_value").as("new_value"))
+        .orderBy(col("seq"), col("field"))
+    }),
+    "cdc07_unwatched_fields" -> ((s, d) => { // F6
+      val ev = ChangeStream.withRecords(ChangeStream.changes(s, d))
+        .withColumn("chg", when(col("op") === "update",
+          ChangeStream.changedFields(col("old_record"), col("new_record"))))
+      ev.filter(ChangeStream.watchedFieldsPredicate(col("chg"), Seq("updated_at")))
+        .select(col("seq"), col("op"))
+        .orderBy(col("seq"))
+    }),
+    "cdc08_unwatched_records" -> ((s, d) => { // F7
+      val ev = ChangeStream.withRecords(ChangeStream.changes(s, d))
+      ev.filter(ChangeStream.unwatchedRecordsPredicate(
+          coalesce(col("new_record"), col("old_record")), Map("k" -> "0")))
+        .select(col("seq"), col("k"))
+        .orderBy(col("seq"))
+    }),
+    "cdc09_event_cast"       -> ((s, d) => // P7
+      ChangeStream.events(s, d)
+        .select(col("seq"), col("name"), col("type"), col("timestamp_ms"),
+          col("lsn_str"),
+          col("source.version").as("source_version"),
+          col("source.db").as("source_db"),
+          col("source.schema").as("source_schema"),
+          col("source.table").as("source_table"),
+          size(coalesce(col("new_record"), col("old_record"))).as("n_fields"))
+        .orderBy(col("seq"))),
+    "cdc10_cast_scalars"     -> ((s, d) => { // P4
+      val ch = ChangeStream.changes(s, d)
+        .withColumn("dec_s", concat(expr("val_cents DIV 100"), lit("."),
+          lpad(col("val_cents") % 100, 2, "0")))
+      ch.select(
+        col("seq"),
+        PgCasts.pgBool(when(col("k") % 2 === 0, "t").otherwise("f")).as("b"),
+        PgCasts.pgInt(col("k").cast("string")).as("i"),
+        PgCasts.pgNumeric(col("dec_s"), 18, 2).as("dec"),
+        PgCasts.pgMoney(concat(lit("$"), col("dec_s"))).as("money"),
+        PgCasts.pgDate(concat(lit("2024-01-"), lpad((col("k") % 28) + 1, 2, "0"))).as("dt"),
+        hex(PgCasts.pgBytea(concat(lit("\\x"), lpad(hex(col("k")), 16, "0")))).as("bytes_hex"),
+        unix_millis(PgCasts.pgTimestamp(
+          concat(lit("2024-03-15 06:30:"), lpad(col("k") % 60, 2, "0")))).as("ts_ms"))
+        .orderBy(col("seq"))
+    }),
+    "cdc11_array_parse"      -> ((s, d) => { // D12 (native expression)
+      val ch = ChangeStream.changes(s, d)
+        .withColumn("arr", PgCasts.pgArrayParse(
+          concat(lit("{\"a, b\","), col("k"), lit(",NULL}"))))
+        .withColumn("nested", PgCasts.pgArrayParse(
+          concat(lit("{{1,2},{"), col("k"), lit("}}"))))
+      ch.select(col("seq"),
+        element_at(col("arr"), 1).as("el1"),
+        element_at(col("arr"), 2).as("el2"),
+        element_at(col("arr"), 3).as("el3"),
+        size(col("arr")).as("n"),
+        element_at(col("nested"), 1).as("nested_el1"),
+        size(col("nested")).as("n_nested"))
+        .orderBy(col("seq"))
+    }),
+    "cdc12_decode"           -> ((s, d) => decodeShowcase(s)), // D1-D11
+
+    // ---- text analysis ----
+    "txt01_token_stats" -> ((s, d) => TextOps.tokenStats(s, d)),
+    "txt02_quality"     -> ((s, d) => TextOps.qualityScores(s, d)),
+    "txt03_langid"      -> ((s, d) => TextOps.langId(s, d)),
+    "txt04_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)
+      .select(col("doc_id"), col("fp_md5"))
+      .orderBy(col("doc_id"))),
+
+    // ---- dedup ----
+    "dd01_exact_dedup"   -> ((s, d) => Dedup.exact(s, d)),
+    "dd02_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "dd03_minhash_lsh"   -> ((s, d) => Dedup.minHashLsh(s, d)),      // rows-only
+    "dd04_simhash"       -> ((s, d) => Dedup.simHashPairs(s, d)),    // rows-only
+
+    // ---- similarity search ----
+    "ann01_brute_topk"  -> ((s, d) => Ann.bruteForceTopK(s, d)),
+    "ann02_lsh_bucket"  -> ((s, d) => Ann.lshNearestInBucket(s, d)), // rows-only
+    "ann03_label_stats" -> ((s, d) => Ann.labelStats(s, d)),
+
+    // ---- multimodal ----
+    "mm01_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d))
+  )
+
+  /** D1-D11 showcase: a distributed decode of binary pgoutput frames
+    * (Dataset[Array[Byte]] → decoder → typed rows); the oracle is the
+    * protocol ground truth as literal VALUES.
+    */
+  def decodeShowcase(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import WalMessage._
+    val ts = java.time.Instant.parse("2024-05-01T10:00:00Z")
+    val frames: Seq[WalMessage] = Seq(
+      Begin(Lsn(2, 1000), ts, 619L),
+      Relation(16386, "public", "user", ReplicaIdentity.AllColumns, Seq(
+        RelationColumn(key = true, "id", 23, -1),
+        RelationColumn(key = false, "email", 25, -1))),
+      PgType(35756, "public", "citext"),
+      Insert(16386, IndexedSeq(Cell.Text("1"), Cell.Text("a@x"))),
+      Update(16386, Some('O'),
+        Some(IndexedSeq(Cell.Text("1"), Cell.Text("a@x"))),
+        IndexedSeq(Cell.Text("1"), Cell.Null)),
+      Delete(16386, 'K', IndexedSeq(Cell.Text("1"), Cell.UnchangedToast)),
+      Truncate(cascade = true, restartIdentity = false, Seq(16386, 16387)),
+      Origin(Lsn(0, 42), "replica_a"),
+      Commit(0, Lsn(2, 1000), Lsn(2, 1056), ts))
+    val bytes = frames.map(PgOutputEncoder.encode).zipWithIndex
+    spark.createDataset(bytes)
+      .map { case (raw, idx) =>
+        val info = PgOutputDecoder.decode(raw) match {
+          case Begin(lsn, t, xid)    => ("begin", lsn.toString, s"xid=$xid")
+          case Commit(_, lsn, e, t)  => ("commit", lsn.toString, s"end=${e.toString}")
+          case Origin(lsn, n)        => ("origin", lsn.toString, n)
+          case r: Relation           =>
+            ("relation", "", s"${r.namespace}.${r.name} identity=${r.replicaIdentity.code} cols=${r.columns.map(_.name).mkString(",")}")
+          case t: PgType             => ("type", "", s"${t.namespace}.${t.name}")
+          case Insert(rel, t)        => ("insert", "", s"rel=$rel cells=${t.size}")
+          case u: Update             =>
+            ("update", "", s"rel=${u.relationId} old=${u.oldKind.getOrElse('-')} nulls=${u.tuple.count(_ == Cell.Null)}")
+          case dl: Delete            => ("delete", "", s"rel=${dl.relationId} kind=${dl.oldKind} toast=${dl.oldTuple.count(_ == Cell.UnchangedToast)}")
+          case tr: Truncate          => ("truncate", "", s"cascade=${tr.cascade} rels=${tr.relationIds.mkString(",")}")
+          case _: Unsupported        => ("unsupported", "", "")
+        }
+        (idx, info._1, info._2, info._3)
+      }
+      .toDF("idx", "msg_type", "lsn_str", "info")
+      .orderBy(col("idx"))
+  }
+
+  lazy val oracleSql: Map[String, String] = Oracles.sql
+}

@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: print schema, sample rows and the formatted plan of a
+  * parquet table or an ad-hoc SQL statement over the testdata tables.
+  *
+  * Usage:
+  *   runMain graft.tools.Inspect <parquetPath>
+  *   runMain graft.tools.Inspect sql <sfDir> <SQL>   (tables registered as views)
+  */
+object Inspect {
+  val tables = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.toList match {
+      case "sql" :: sfDir :: sql :: Nil =>
+        tables.foreach { t =>
+          try spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+          catch { case e: Exception => System.err.println(s"skip $t: ${e.getMessage}") }
+        }
+        val df = spark.sql(sql)
+        df.printSchema()
+        df.show(20, truncate = false)
+        df.explain("formatted")
+      case path :: Nil =>
+        val df = spark.read.parquet(path)
+        df.printSchema()
+        df.show(5, truncate = false)
+        println(s"count=${df.count()}")
+      case _ =>
+        System.err.println("usage: Inspect <path> | Inspect sql <sfDir> <SQL>")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,143 @@
+package graft
+
+import graft.operators.cdc.ChangeStream
+import graft.operators.dedup.Dedup
+import graft.plans.PgCasts
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic assertions for the operator layer: diff semantics, filter
+  * truth tables (reference: transaction_filter.ex doctests 22-96), the
+  * native pg_array_parse expression, and dedup/similarity invariants.
+  */
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("pg_array_parse: quoted/NULL/nested/malformed via the native expression") {
+    val df = Seq(
+      ("""{"book1, 2 and 3","book4"}""", 1),
+      ("""{1,NULL,3}""", 2),
+      ("""{{1,2},{3,4}}""", 3),
+      ("""{1,2""", 4)
+    ).toDF("lit", "id")
+      .select($"id", PgCasts.pgArrayParse($"lit").as("arr"))
+      .orderBy($"id")
+    val rows = df.collect()
+    assert(rows(0).getSeq[String](1) == Seq("book1, 2 and 3", "book4"))
+    assert(rows(1).getSeq[String](1) == Seq("1", null, "3"))
+    assert(rows(2).getSeq[String](1) == Seq("""{"1","2"}""", """{"3","4"}"""))
+    assert(rows(3).isNullAt(1)) // malformed → null, never throws
+  }
+
+  test("pg_array_parse survives whole-stage codegen (no fallback)") {
+    // exercises doGenCode: run inside a larger projected/filtered plan
+    val n = Seq.tabulate(100)(i => s"{$i,${i * 2}}").toDF("lit")
+      .select(PgCasts.pgArrayParse($"lit").as("a"))
+      .filter(size($"a") === 2)
+      .count()
+    assert(n == 100)
+  }
+
+  test("changedFields: only differing keys, null-safe, TOAST-style equal values drop") {
+    val df = Seq(1).toDF("x").select(
+      ChangeStream.changedFields(
+        map(lit("a"), lit("1"), lit("b"), lit("2"), lit("c"), lit("x")),
+        map(lit("a"), lit("1"), lit("b"), lit("3"), lit("c"), lit("x"))).as("chg"))
+    val m = df.collect()(0).getMap[String, org.apache.spark.sql.Row](0)
+    assert(m.keySet == Set("b"))
+    assert(m("b").getString(0) == "2" && m("b").getString(1) == "3")
+  }
+
+  test("relation filter parse truth table") {
+    assert(ChangeStream.parseRelationFilter("public:users") ==
+      Right((Some("public"), Some("users"))))
+    assert(ChangeStream.parseRelationFilter("public") == Right((Some("public"), None)))
+    assert(ChangeStream.parseRelationFilter("*") == Right((None, None)))
+    assert(ChangeStream.parseRelationFilter("") == Right((None, None)))
+    assert(ChangeStream.parseRelationFilter("public:users:bad").isLeft)
+  }
+
+  test("unwatched-fields filter: updated_at-only changes drop, others pass") {
+    val df = Seq(
+      (1, Map("updated_at" -> ("a", "b"))),
+      (2, Map("updated_at" -> ("a", "b"), "name" -> ("x", "y"))),
+      (3, null.asInstanceOf[Map[String, (String, String)]])
+    ).toDF("id", "chg_raw")
+      .withColumn("chg", when($"chg_raw".isNotNull,
+        transform_values($"chg_raw", (_, v) =>
+          struct(v.getField("_1").as("old_value"), v.getField("_2").as("new_value")))))
+    val kept = df.filter(
+      ChangeStream.watchedFieldsPredicate($"chg", Seq("updated_at")))
+      .select($"id").as[Int].collect().sorted
+    assert(kept.toSeq == Seq(2, 3))
+  }
+
+  test("unwatched-records filter: all-pairs match drops, else passes") {
+    val df = Seq(
+      (1, Map("k" -> "0", "x" -> "1")),
+      (2, Map("k" -> "1", "x" -> "1")),
+      (3, Map("x" -> "1"))
+    ).toDF("id", "rec")
+    val kept = df.filter(
+      ChangeStream.unwatchedRecordsPredicate($"rec", Map("k" -> "0")))
+      .select($"id").as[Int].collect().sorted
+    assert(kept.toSeq == Seq(2, 3))
+  }
+
+  test("event cast: op-dependent record/changes presence (README.md:215-216)") {
+    val ev = ChangeStream.events(spark, sf).cache()
+    assert(ev.filter($"type" === "insert" &&
+      ($"old_record".isNotNull || $"changes".isNotNull)).count() == 0)
+    assert(ev.filter($"type" === "insert" && $"new_record".isNull).count() == 0)
+    assert(ev.filter($"type" === "delete" &&
+      ($"new_record".isNotNull || $"changes".isNotNull)).count() == 0)
+    assert(ev.filter($"type" === "delete" && $"old_record".isNull).count() == 0)
+    assert(ev.filter($"type" === "update" &&
+      ($"changes".isNull || $"new_record".isNull)).count() == 0)
+    ev.unpersist()
+  }
+
+  test("lsn round-trip: format matches Lsn.toString") {
+    val got = ChangeStream.changes(spark, sf)
+      .select($"lsn", ChangeStream.lsnString($"lsn").as("s"))
+      .limit(50).collect()
+    got.foreach { r =>
+      assert(r.getString(1) ==
+        graft.sources.pgoutput.Lsn.fromLong(r.getLong(0)).toString)
+    }
+  }
+
+  test("minhash LSH pairs are real near-dups (jaccard >= threshold both ways)") {
+    val pairs = Dedup.minHashLsh(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(r.getDouble(2) >= 0.8))
+  }
+
+  test("exact dedup: canonical ids are min per group and cover all docs") {
+    val df = Dedup.exact(spark, sf)
+    assert(df.filter($"canonical_id" > $"doc_id").count() == 0)
+    assert(df.count() == Tables.documents(spark, sf).count())
+  }
+
+  test("brute-force knn: k rows per query, sims descending") {
+    val rows = graft.operators.ann.Ann.bruteForceTopK(spark, sf, nQueries = 4, k = 3)
+      .collect()
+    assert(rows.length == 12)
+    rows.grouped(3).foreach { g =>
+      val sims = g.map(_.getDouble(3)).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+  }
+}
