@@ -22,15 +22,29 @@ object Bench {
     // the plan, not first-call classloading.
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
+    // A failed query benches as -1 with an explicit error entry — never as a
+    // healthy-looking wall-clock number — and fails the run loudly.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+      val secs = if (err.isDefined) -1.0 else (System.nanoTime() - t0) / 1e9
+      (name, secs, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m.take(300)) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, None) => v }.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // Belt-and-braces for log-prefixing launchers: also drop the line in a file.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
+    if (results.exists(_._3.isDefined)) sys.exit(1)
   }
 }

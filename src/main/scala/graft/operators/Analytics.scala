@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   *  - dimension joins broadcast the bounded sides (region=5, nation=25 —
   *    bounded by definition); fact-fact joins shuffle on their keys and are
   *    left to AQE to re-plan (skew join, coalescing).
-  *  - money aggregates sum per-row doubles cast to DECIMAL so partial
-  *    aggregation (map-side combine) is exact and order-insensitive —
-  *    identical results on 32 or 100k partitions.
-  *  - averages are exact decimal sums divided by counts at the end, not
+  *  - money aggregates round each row to integer cents and sum BIGINT so
+  *    partial aggregation (map-side combine) is exact and order-insensitive —
+  *    identical results on 32 or 100k partitions, and canonicalization-safe
+  *    across engines (DECIMAL canonical forms differ between engines).
+  *  - averages are exact integer sums divided by counts at the end, not
   *    avg() over doubles (which is partition-order dependent).
   */
 object Analytics {
@@ -27,14 +28,15 @@ object Analytics {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
-          .as("sum_disc_price"),
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
-          .cast("decimal(18,6)")).as("sum_charge"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_cents"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_price_cents"),
+        sum(round((col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100)
+          .cast("long")).as("sum_disc_price_cents"),
+        sum(round((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))) * 100)
+          .cast("long")).as("sum_charge_cents"),
         count(lit(1)).as("count_order"))
-      .withColumn("avg_qty", col("sum_qty").cast("double") / col("count_order"))
+      .withColumn("avg_qty",
+        col("sum_qty_cents").cast("double") / col("count_order") / lit(100.0))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** Top-10 orders by discounted revenue (join + agg + deterministic top-k:
@@ -44,12 +46,12 @@ object Analytics {
     val li = Tables.lineitem(spark, d)
     val o  = Tables.orders(spark, d)
     li.groupBy(col("l_orderkey"))
-      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
-        .as("revenue"))
+      .agg(sum(round((col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100)
+        .cast("long")).as("revenue_cents"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"),
-        col("o_orderpriority"), col("revenue"))
-      .orderBy(col("revenue").desc, col("o_orderkey"))
+        col("o_orderpriority"), col("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("o_orderkey"))
       .limit(10)
   }
 
@@ -68,8 +70,8 @@ object Analytics {
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
-          .as("revenue"),
+        sum(round((col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100)
+          .cast("long")).as("revenue_cents"),
         count(lit(1)).as("n_items"))
       .orderBy(col("r_name"), col("n_name"))
   }
@@ -83,20 +85,24 @@ object Analytics {
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
       .agg(
-        sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)")).as("revenue"),
+        sum(round((col("l_extendedprice") * col("l_discount")) * 100).cast("long"))
+          .as("revenue_cents"),
         count(lit(1)).as("n_rows"))
 
   /** Window functions: per-order line ranking + running quantity. */
   def lineitemWindows(spark: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
     Tables.lineitem(spark, d)
-      .filter(col("l_orderkey") % 100 === 0) // deterministic sample, pushed down
+      // deterministic sample; a modulo predicate is evaluated post-scan (it
+      // cannot reach the parquet reader), which is fine: it exists to bound
+      // the window sample, not to prune IO.
+      .filter(col("l_orderkey") % 100 === 0)
       .select(
         col("l_orderkey"), col("l_linenumber"),
         row_number().over(w).as("rn"),
-        sum(col("l_quantity").cast("decimal(18,2)"))
+        sum(round(col("l_quantity") * 100).cast("long"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .as("running_qty"),
+          .as("running_qty_cents"),
         lag(col("l_linenumber"), 1).over(w).as("prev_line"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
@@ -108,11 +114,11 @@ object Analytics {
     val o = Tables.orders(spark, d)
     val c = Tables.customer(spark, d)
     val perCust = o.groupBy(col("o_custkey"))
-      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("spend_cents"))
       .join(c, col("o_custkey") === col("c_custkey"))
     val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("spend").desc, col("c_custkey"))
-    perCust.select(col("c_mktsegment"), col("c_custkey"), col("c_name"), col("spend"),
+      .orderBy(col("spend_cents").desc, col("c_custkey"))
+    perCust.select(col("c_mktsegment"), col("c_custkey"), col("c_name"), col("spend_cents"),
         row_number().over(w).as("rnk"))
       .filter(col("rnk") <= 3)
       .orderBy(col("c_mktsegment"), col("rnk"))
@@ -123,7 +129,7 @@ object Analytics {
     Tables.lineitem(spark, d)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
-        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_cents"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** Set operations: segment overlap via intersect/except on key sets. */

@@ -91,16 +91,23 @@ object Ann {
 
   /** Per-label embedding stats (norm distribution) — the sanity scan a
     * pipeline runs before indexing.
+    *
+    * Norms are accumulated as scaled integers: each float² is exact in
+    * double (24-bit mantissa squared < 53 bits), scaled by 1e8 and rounded
+    * per element, then summed as BIGINT — exact, partition-order
+    * independent, and engine-portable (no DECIMAL canonicalization drift).
     */
   def labelStats(spark: SparkSession, d: String): DataFrame =
     Tables.embeddings(spark, d)
       .select(col("label"), col("vec_id"),
-        aggregate(col("embedding"), lit(0.0),
-          (acc, v) => acc + v.cast("double") * v.cast("double")).as("norm_sq"),
+        aggregate(col("embedding"), lit(0L),
+          (acc, v) => acc +
+            round(v.cast("double") * v.cast("double") * lit(1e8)).cast("long"))
+          .as("norm_sq_e8"),
         size(col("embedding")).as("dim"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         max(col("dim")).as("dim"),
-        sum(col("norm_sq").cast("decimal(28,12)")).as("sum_norm_sq"))
+        sum(col("norm_sq_e8")).as("sum_norm_sq_e8"))
       .orderBy(col("label"))
 }

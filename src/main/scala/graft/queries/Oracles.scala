@@ -40,29 +40,29 @@ object Oracles {
 
     "q01_pricing_summary" -> """
 SELECT l_returnflag, l_linestatus,
-  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
-  sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
   count(*) AS count_order,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0 AS avg_qty
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus""",
 
     "q02_top_orders" -> """
-SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_orderpriority, r.revenue
+SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_orderpriority, r.revenue_cents
 FROM (SELECT l_orderkey,
-        sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+        CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
       FROM lineitem GROUP BY l_orderkey) r
 JOIN orders o ON r.l_orderkey = o.o_orderkey
-ORDER BY r.revenue DESC, o.o_orderkey
+ORDER BY r.revenue_cents DESC, o.o_orderkey
 LIMIT 10""",
 
     "q03_revenue_by_nation" -> """
 SELECT r.r_name, n.n_name,
-  sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS revenue,
+  CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
   count(*) AS n_items
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -73,7 +73,7 @@ GROUP BY r.r_name, n.n_name
 ORDER BY r.r_name, n.n_name""",
 
     "q04_forecast_revenue" -> """
-SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS revenue,
+SELECT CAST(sum(CAST(round((l_extendedprice * l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -82,7 +82,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
     "q05_lineitem_windows" -> """
 SELECT l_orderkey, l_linenumber,
   row_number() OVER w AS rn,
-  sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty_cents,
   lag(l_linenumber, 1) OVER w AS prev_line
 FROM lineitem
 WHERE l_orderkey % 100 = 0
@@ -91,17 +91,17 @@ ORDER BY l_orderkey, l_linenumber""",
 
     "q06_top_customers" -> """
 WITH spend AS (
-  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
   FROM orders GROUP BY o_custkey)
-SELECT c_mktsegment, c_custkey, c_name, spend,
-       row_number() OVER (PARTITION BY c_mktsegment ORDER BY spend DESC, c_custkey) AS rnk
+SELECT c_mktsegment, c_custkey, c_name, spend_cents,
+       row_number() OVER (PARTITION BY c_mktsegment ORDER BY spend_cents DESC, c_custkey) AS rnk
 FROM spend JOIN customer ON o_custkey = c_custkey
 QUALIFY rnk <= 3
 ORDER BY c_mktsegment, rnk""",
 
     "q07_rollup_counts" -> """
 SELECT l_returnflag, l_linestatus, count(*) AS n,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
@@ -233,8 +233,8 @@ built AS (
 SELECT seq,
   k % 2 = 0 AS b,
   k AS i,
-  CAST(dec_s AS DECIMAL(18,2)) AS dec,
-  CAST(regexp_replace('$$' || dec_s, '[^0-9.\\-]', '', 'g') AS DECIMAL(19,2)) AS money,
+  CAST(CAST(dec_s AS DECIMAL(18,2)) * 100 AS BIGINT) AS dec_cents,
+  CAST(CAST(regexp_replace('$$' || dec_s, '[^0-9.\\-]', '', 'g') AS DECIMAL(19,2)) * 100 AS BIGINT) AS money_cents,
   CAST('2024-01-' || lpad(CAST(k % 28 + 1 AS VARCHAR), 2, '0') AS DATE) AS dt,
   lpad(to_hex(k), 16, '0') AS bytes_hex,
   epoch_ms(CAST('2024-03-15 06:30:' || lpad(CAST(k % 60 AS VARCHAR), 2, '0') AS TIMESTAMP)) AS ts_ms
@@ -329,7 +329,8 @@ ORDER BY id_a, id_b""",
 
     "ann03_label_stats" -> """
 SELECT label, count(*) AS n_vecs, max(len(embedding)) AS dim,
-  sum(CAST(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DECIMAL(28,12))) AS sum_norm_sq
+  CAST(sum(CAST(list_sum(list_transform(embedding,
+    x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 100000000.0) AS BIGINT))) AS BIGINT)) AS BIGINT) AS sum_norm_sq_e8
 FROM embeddings GROUP BY label ORDER BY label""",
 
     "mm01_media_meta" -> """

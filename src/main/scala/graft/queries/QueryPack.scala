@@ -117,8 +117,10 @@ object QueryPack {
         col("seq"),
         PgCasts.pgBool(when(col("k") % 2 === 0, "t").otherwise("f")).as("b"),
         PgCasts.pgInt(col("k").cast("string")).as("i"),
-        PgCasts.pgNumeric(col("dec_s"), 18, 2).as("dec"),
-        PgCasts.pgMoney(concat(lit("$"), col("dec_s"))).as("money"),
+        // decimal casts exercised, exported as exact integer cents so the
+        // cross-engine hash compare is canonicalization-free
+        (PgCasts.pgNumeric(col("dec_s"), 18, 2) * 100).cast("long").as("dec_cents"),
+        (PgCasts.pgMoney(concat(lit("$"), col("dec_s"))) * 100).cast("long").as("money_cents"),
         PgCasts.pgDate(concat(lit("2024-01-"), lpad((col("k") % 28) + 1, 2, "0"))).as("dt"),
         hex(PgCasts.pgBytea(concat(lit("\\x"), lpad(hex(col("k")), 16, "0")))).as("bytes_hex"),
         unix_millis(PgCasts.pgTimestamp(
