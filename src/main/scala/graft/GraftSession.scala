@@ -64,4 +64,17 @@ object Tables {
   /** Register all tables as temp views (for spark.sql surfaces / Inspect). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     all.foreach(t => load(spark, sfDir, t).createOrReplaceTempView(t))
+
+  /** Spread a compute-bound scan across the cluster when the file layout
+    * under-splits it (the testdata is single-row-group parquet — an
+    * unsplittable scan that would pin per-row-heavy operators like
+    * shingling/minhash/cosine to ONE core). No-op when the scan already
+    * yields enough partitions — the 100 TB case, where thousands of
+    * row groups split naturally and an extra shuffle would be pure cost.
+    * Only use under operators whose per-row compute dominates the scan.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -36,7 +36,9 @@ object Ann {
     */
   def bruteForceTopK(spark: SparkSession, d: String,
                      nQueries: Int = 8, k: Int = 5): DataFrame = {
-    val emb = Tables.embeddings(spark, d)
+    // per-row cosine over the whole corpus is compute-bound → spread the
+    // unsplittable local scan (no-op at scale, Tables.spread)
+    val emb = Tables.spread(Tables.embeddings(spark, d))
     val queries = broadcast(
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
@@ -70,8 +72,8 @@ object Ann {
     */
   def lshNearestInBucket(spark: SparkSession, d: String,
                          bits: Int = 16, bucketBits: Int = 8): DataFrame = {
-    val emb = Tables.embeddings(spark, d)
-      .select(col("vec_id"), col("embedding"))
+    val emb = Tables.spread(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding")))
       .withColumn("sig", lshSignature("embedding", bits))
       .withColumn("bucket", expr(s"shiftrightunsigned(sig, ${bits - bucketBits})"))
     val a = emb.select(col("bucket"), col("vec_id").as("id_a"),
@@ -98,7 +100,7 @@ object Ann {
     * independent, and engine-portable (no DECIMAL canonicalization drift).
     */
   def labelStats(spark: SparkSession, d: String): DataFrame =
-    Tables.embeddings(spark, d)
+    Tables.spread(Tables.embeddings(spark, d))
       .select(col("label"), col("vec_id"),
         aggregate(col("embedding"), lit(0L),
           (acc, v) => acc +

@@ -29,10 +29,24 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Shared column: doc_id + distinct 3-word shingles + their 64-bit hashes. */
+  /** Shared column: doc_id + distinct 3-word shingles + their 64-bit hashes.
+    * Shingling + hashing is compute-bound, so the scan is spread first
+    * (no-op at scale — see [[Tables.spread]]).
+    *
+    * `toks` is materialized as its own projection before shingling: passing
+    * `tokens(text)` inline would let every `element_at(toks, …)` inside the
+    * shingle lambda re-evaluate the full regex split per iteration
+    * (CollapseProject refuses to inline a non-cheap multi-referenced alias,
+    * so the staged form evaluates the split exactly once per row — measured
+    * ~30× on the interpreted higher-order-function path). The non-empty
+    * guard filters on `size(toks) >= 3` (equivalent to non-empty shingles)
+    * so predicate pushdown never duplicates the shingle expression either.
+    */
   private def shingled(spark: SparkSession, d: String): DataFrame =
-    Tables.documents(spark, d)
-      .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text"))).as("sh"))
+    Tables.spread(Tables.documents(spark, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), TextOps.shingles(col("toks")).as("sh"))
       .withColumn("shh", transform(col("sh"), s => xxhash64(s)))
 
   /** Exact Jaccard between two pre-deduped arrays. Computed in doubles from
@@ -50,33 +64,37 @@ object Dedup {
     * any band bucket (equi-join on (band, bucket)); verified with exact
     * shingle Jaccard ≥ threshold. S-curve: P(candidate) = 1-(1-j^4)^16 →
     * ~0.97 at j=0.8, ~0.03 at j=0.3.
+    *
+    * Scale shape: the signature is a single native-expression pass
+    * ([[graft.plans.SketchUtil.minHashBandBuckets]]); the band explode and
+    * self-join carry ONLY (band, bucket, doc_id) — never the shingle
+    * arrays — so shuffle volume is O(bands · 24 bytes · docs). Distinct
+    * candidate pairs are materialized first, then each side's shingle set
+    * is fetched exactly once for the exact-Jaccard verification joins
+    * (two hash joins on doc_id; AQE broadcasts the pair side when small).
     */
   def minHashLsh(spark: SparkSession, d: String,
                  numHashes: Int = 64, bands: Int = 16,
                  threshold: Double = 0.8): DataFrame = {
-    val rows = numHashes / bands
-    val sh = shingled(spark, d).filter(size(col("sh")) > 0)
+    val sh = shingled(spark, d) // already non-empty by construction
 
-    val sig = sh.withColumn("minhash",
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(col("shh"), h => xxhash64(h, i)))))
-
-    val banded = sig.select(
-      col("doc_id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64((0 until rows).map(r => element_at(col("minhash"), b * rows + r + 1))
-          :+ b: _*))))
+    val banded = sh.select(
+      col("doc_id"),
+      posexplode(graft.plans.SketchCols.minHashBandBuckets(col("shh"), numHashes, bands)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
-    val a = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    val sets = sh.select(col("doc_id"), col("sh"))
+    pairs
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
@@ -88,19 +106,16 @@ object Dedup {
     * least one chunk identical) — again an equi-join, no cross product.
     */
   def simHashPairs(spark: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
-    val docs = Tables.documents(spark, d)
+    val docs = Tables.spread(Tables.documents(spark, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .withColumn("th", transform(col("toks"), t => xxhash64(t)))
       .filter(size(col("th")) > 0)
 
     // bit j vote = Σ tokens (+1 if bit set else -1); simhash bit j = vote>0.
-    // SQL-string lambdas: the Scala DSL's shift functions only take Int
-    // offsets, the SQL forms take full expressions.
-    val sim = docs.withColumn("simhash", expr(
-      """aggregate(sequence(0, 63), 0L, (acc, j) -> acc |
-        |  IF(aggregate(th, 0L,
-        |       (s, h) -> s + IF((shiftright(h, j) & 1) = 1, 1L, -1L)) > 0,
-        |     shiftleft(1L, j), 0L))""".stripMargin))
+    // Native single-pass expression (graft.plans.SketchUtil.simHash64): the
+    // SQL-lambda equivalent costs O(64·tokens) interpreted eval dispatches.
+    val sim = docs
+      .withColumn("simhash", graft.plans.SketchCols.simHash64(col("th")))
       .select(col("doc_id"), col("simhash"))
 
     val chunked = sim.select(col("doc_id"), col("simhash"),
@@ -126,7 +141,7 @@ object Dedup {
     * key, similarity is exact word-set Jaccard.
     */
   def ngramJaccardPairs(spark: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(spark, d)
+    val docs = Tables.spread(Tables.documents(spark, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .withColumn("prefix", concat_ws(" ",
         element_at(col("toks"), 1), element_at(col("toks"), 2), element_at(col("toks"), 3)))

@@ -1,0 +1,154 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Native codegen'd sketch expressions for the dedup family.
+  *
+  * Both replicate — bit for bit — the semantics of the SQL-lambda
+  * formulations they replace (minhash: `array_min(transform(shh, h ->
+  * xxhash64(h, i)))` per hash i, banded with multi-arg `xxhash64(...)`;
+  * simhash: per-bit ±1 token votes), but in single tight JIT'd loops with
+  * zero per-row allocations beyond the output. The interpreted
+  * nested-lambda versions cost O(k·n) Catalyst eval dispatches *and*
+  * O(k) array allocations per document; these cost one static call.
+  * Hash identity is guaranteed by calling the same `XXH64` primitives
+  * Spark's own `xxhash64` codegen emits (seed 42, fold order child-by-child).
+  */
+object SketchUtil {
+
+  /** MinHash signature + LSH band buckets in one pass.
+    *
+    * For shingle hashes H and numHashes k: sig[i] = min over h∈H of
+    * XXH64.hashInt(i, XXH64.hashLong(h, 42)) — identical to SQL
+    * `xxhash64(h, i)`. Band b's bucket folds its `k/bands` signature rows
+    * through XXH64 then mixes the band index, identical to SQL
+    * `xxhash64(sig[b·r+1], …, sig[b·r+r], b)`.
+    *
+    * Returns null for empty input (no shingles → no buckets), mirroring
+    * `array_min(transform([], …))` = null propagation upstream.
+    */
+  def minHashBandBuckets(hashes: ArrayData, numHashes: Int, bands: Int): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0) return null
+    val rows = numHashes / bands
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var k = 0
+    while (k < n) {
+      val base = XXH64.hashLong(hashes.getLong(k), 42L)
+      var i = 0
+      while (i < numHashes) {
+        val v = XXH64.hashInt(i, base)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      k += 1
+    }
+    val buckets = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 42L
+      var r = 0
+      while (r < rows) {
+        acc = XXH64.hashLong(mins(b * rows + r), acc)
+        r += 1
+      }
+      buckets(b) = XXH64.hashInt(b, acc)
+      b += 1
+    }
+    new GenericArrayData(buckets)
+  }
+
+  /** 64-bit SimHash over token hashes: bit j's vote is Σ over tokens of
+    * (+1 if bit j of the token hash is set else −1); the output bit is set
+    * when the vote is positive — identical to the SQL
+    * `aggregate(sequence(0,63), …, shiftright(h, j) & 1` formulation.
+    * Empty input → 0L (the SQL fold over an empty array yields acc = 0).
+    */
+  def simHash64(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    val votes = new Array[Int](64)
+    var k = 0
+    while (k < n) {
+      val h = hashes.getLong(k)
+      var j = 0
+      while (j < 64) {
+        if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      k += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+}
+
+private[plans] trait LongArrayInput { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<BIGINT>, got ${other.sql}")
+  }
+}
+
+/** `minhash_band_buckets(shingleHashes)` → ARRAY<BIGINT> of `bands` LSH
+  * bucket keys (see [[SketchUtil.minHashBandBuckets]]).
+  */
+case class MinHashBandBuckets(child: Expression, numHashes: Int, bands: Int)
+    extends UnaryExpression with LongArrayInput {
+
+  require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_band_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchUtil.minHashBandBuckets(input.asInstanceOf[ArrayData], numHashes, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.SketchUtil.minHashBandBuckets($c, $numHashes, $bands);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandBuckets =
+    copy(child = newChild)
+}
+
+/** `simhash64(tokenHashes)` → BIGINT (see [[SketchUtil.simHash64]]). */
+case class SimHash64(child: Expression) extends UnaryExpression with LongArrayInput {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchUtil.simHash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchUtil.simHash64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Column-level entry points. */
+object SketchCols {
+  def minHashBandBuckets(c: Column, numHashes: Int, bands: Int): Column =
+    Bridge.column(MinHashBandBuckets(Bridge.expression(c), numHashes, bands))
+
+  def simHash64(c: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(c)))
+}
