@@ -76,10 +76,20 @@ object ChangeStream {
     * map_filter so Catalyst codegens it.
     */
   def changedFields(oldRec: Column, newRec: Column): Column =
+    changedFields(oldRec, newRec, lit(null).cast("array<string>"))
+
+  /** TOAST-aware variant: a field whose OLD cell was the unchanged-TOAST
+    * sentinel must NOT register as a change (reference decoder.ex:226-227 +
+    * SURVEY hard-part (b)) — without the exclusion the nulled-out old cell
+    * would diff against the new value. `toastUnchanged` is the source's
+    * per-row array of such column names (null/empty = none).
+    */
+  def changedFields(oldRec: Column, newRec: Column, toastUnchanged: Column): Column =
     map_filter(
       map_zip_with(oldRec, newRec,
         (_, o, n) => struct(o.as("old_value"), n.as("new_value"))),
-      (_, v) => !(v.getField("old_value") <=> v.getField("new_value")))
+      (k, v) => !(v.getField("old_value") <=> v.getField("new_value")) &&
+        !coalesce(array_contains(toastUnchanged, k), lit(false)))
 
   /** The Event view (P7): reference Event struct (event.ex:6-17) with
     * Source metadata (source.ex:4-14). UPDATE carries `changes`; INSERT
@@ -102,8 +112,41 @@ object ChangeStream {
         lit("0.1.0").as("version"),
         lit("testdata").as("db"),
         col("schema_name").as("schema"),
-        col("table_name").as("table")).as("source"))
+        col("table_name").as("table"),
+        // P6: column-name → pg-type map (transaction_filter.ex:224-229);
+        // constant per table in this synthetic lane, carried per-row from
+        // the Relation message in the streaming lane (eventsFromAssembled).
+        map_from_arrays(
+          array(lit("id"), lit("val_cents"), lit("k"), lit("updated_at")),
+          array(lit("int8"), lit("int8"), lit("int8"), lit("int8"))).as("columns"))
+        .as("source"))
   }
+
+  /** P7 over the streaming lane: AssembledChange rows (TxnAssembler output)
+    * → the same Event view as [[events]], with `source.columns` (P6) taken
+    * from the Relation message's column types and TOAST-aware diffs.
+    * INSERT keeps only new_record, UPDATE keeps new_record+changes, DELETE
+    * keeps only old_record (event.ex:43-127, README.md:215-216).
+    */
+  def eventsFromAssembled(assembled: DataFrame): DataFrame =
+    assembled.select(
+      col("seq"), col("xid"), col("commit_lsn").as("lsn"),
+      col("table_name").as("name"),
+      col("op").as("type"),
+      when(col("op") =!= "delete", col("record")).as("new_record"),
+      when(col("op") === "delete", col("old_record")).as("old_record"),
+      when(col("op") === "update",
+        changedFields(col("old_record"), col("record"), col("toast_unchanged")))
+        .as("changes"),
+      (col("commit_ts_us") / 1000).cast("long").as("timestamp_ms"),
+      lsnString(col("commit_lsn")).as("lsn_str"),
+      struct(
+        lit("graft").as("source_name"),
+        lit("0.1.0").as("version"),
+        lit("testdata").as("db"),
+        col("schema_name").as("schema"),
+        col("table_name").as("table"),
+        col("col_types").as("columns")).as("source"))
 
   /** P8: packed lsn long → "HI/LO" upper-hex display form
     * (reference: event.ex:170-175).

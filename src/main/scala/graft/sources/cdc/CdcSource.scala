@@ -1,0 +1,367 @@
+package graft.sources.cdc
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import graft.sources.pgoutput._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 micro-batch CDC source (SURVEY §2.1, S1-S7).
+  *
+  * Streams decoded pgoutput change messages from WAL segment files with
+  * LSN-ordered frame offsets. The reference's slot/offset semantics map as:
+  *
+  *  - S1 start replication stream   → `MicroBatchStream` over segment frames
+  *    (reference: lib/walex/replication/server.ex:145-162,192-196)
+  *  - S2 publication check          → fail-fast manifest check at stream
+  *    construction (server.ex:75-83)
+  *  - S3 temporary slot             → `startMode=latest` + no checkpoint:
+  *    starts at the current stream head, state dies with the query
+  *    (query_builder.ex:10-12)
+  *  - S4 durable slot + takeover    → Structured Streaming
+  *    `checkpointLocation`: offsets are durable, single-writer enforced by
+  *    the checkpoint lock (query_builder.ex:14-16, server.ex:86-143)
+  *  - S5 offset-range planning      → `planInputPartitions(start, end)`
+  *  - S6 keepalive / offset ack     → `commit(offset)` writes the standby
+  *    status file when `ackPath` is set (server.ex:154-162,213-214)
+  *  - S7 restart-from-checkpoint    → free via Structured Streaming
+  *  - I4 rate limit                 → `maxFramesPerTrigger` admission control
+  *  - F8 filter pushdown            → `SupportsPushDownFilters` on
+  *    schema/table/msg equality and IN (README.md:80-83 row-filter analogue)
+  *
+  * Scale design: offset planning is O(#segments) driver-side metadata; one
+  * input partition per segment slice, so a backlog of many segments decodes
+  * across the cluster in parallel (each segment re-emits Relation frames at
+  * its head and is independently decodable). Within a partition, decode is
+  * a single forward pass — no buffering beyond one frame. Transaction
+  * assembly is deliberately NOT in the source: it is a downstream stateful
+  * operator (graft.streaming.TxnAssembler), keeping the source stateless
+  * and replayable.
+  */
+object CdcSource {
+
+  /** One row per decoded message (truncate fans out per relation). */
+  val schema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),          // global frame index
+    StructField("lsn", LongType, nullable = false),          // txn commit lsn
+    StructField("xid", LongType, nullable = true),
+    StructField("msg", StringType, nullable = false),
+    StructField("commit_ts_us", LongType, nullable = true),  // unix micros, begin/commit
+    StructField("schema_name", StringType, nullable = true),
+    StructField("table_name", StringType, nullable = true),
+    StructField("record", MapType(StringType, StringType), nullable = true),
+    StructField("old_record", MapType(StringType, StringType), nullable = true),
+    StructField("old_kind", StringType, nullable = true),
+    StructField("toast_unchanged", ArrayType(StringType), nullable = true),
+    StructField("col_types", MapType(StringType, StringType), nullable = true)))
+
+  /** Filters the source evaluates itself (standard SQL null semantics, so
+    * claiming them is plan-equivalent): equality/IN on schema_name,
+    * table_name, msg.
+    */
+  def pushable(f: Filter): Boolean = f match {
+    case EqualTo(a, _: String) => Set("schema_name", "table_name", "msg")(a)
+    case In(a, vs) if vs.forall(_.isInstanceOf[String]) =>
+      Set("schema_name", "table_name", "msg")(a)
+    case _ => false
+  }
+}
+
+class CdcSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = CdcSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new CdcTable(new CaseInsensitiveStringMap(properties))
+}
+
+class CdcTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"graft-cdc(${options.get("path")})"
+  override def schema(): StructType = CdcSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new CdcScanBuilder(opts)
+}
+
+class CdcScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters {
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (p, rest) = filters.partition(CdcSource.pushable)
+    pushed = p
+    rest // Spark keeps evaluating these post-scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new CdcScan(options, pushed)
+}
+
+class CdcScan(options: CaseInsensitiveStringMap, pushed: Array[Filter]) extends Scan {
+  override def readSchema(): StructType = CdcSource.schema
+  override def description(): String =
+    s"graft-cdc path=${options.get("path")} pushed=[${pushed.mkString(", ")}]"
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CdcMicroBatchStream(options, pushed)
+}
+
+/** Offset = count of frames consumed across the ordered segment list. */
+case class CdcOffset(frames: Long) extends Offset {
+  override def json(): String = frames.toString
+}
+
+class CdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[Filter])
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private val dir = Option(options.get("path"))
+    .getOrElse(throw new IllegalArgumentException("graft-cdc: 'path' option is required"))
+  private val maxFramesPerTrigger: Option[Long] =
+    Option(options.get("maxFramesPerTrigger")).map(_.toLong)
+  private val startLatest = Option(options.get("startMode")).contains("latest")
+  private val ackPath = Option(options.get("ackPath"))
+
+  // S2: publication fail-fast — construction happens at stream start.
+  Option(options.get("publication")).foreach { pub =>
+    if (WalSegments.publicationTables(dir, pub).isEmpty)
+      throw new IllegalStateException(
+        s"publication '$pub' does not exist in $dir " +
+          "(reference semantics: server.ex:75-83 fails fast before replication)")
+  }
+
+  /** Cumulative frame counts per segment; segments are immutable once
+    * written, so counts are cached. New segments extend the list.
+    */
+  private val frameCounts = new ConcurrentHashMap[String, Long]()
+
+  private def segmentIndex(): Seq[(java.nio.file.Path, Long, Long)] = {
+    var cum = 0L
+    WalSegments.listSegments(dir).map { p =>
+      val n = frameCounts.computeIfAbsent(p.toString, _ => WalSegments.countFrames(p))
+      val start = cum
+      cum += n
+      (p, start, n)
+    }
+  }
+
+  private def totalFrames(): Long = segmentIndex().map(_._3).sum
+
+  /** Trigger.AvailableNow: pin the stream end at prepare time so the query
+    * drains exactly the backlog (in rate-limited batches) and stops.
+    */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(totalFrames())
+
+  override def initialOffset(): Offset =
+    if (startLatest) CdcOffset(totalFrames()) else CdcOffset(0L)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFramesPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(start, limit)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[CdcOffset].frames
+    val total = availableNowCap.getOrElse(totalFrames())
+    def cap(l: ReadLimit): Long = l match {
+      case r: ReadMaxRows       => from + r.maxRows()
+      case _: ReadAllAvailable  => total
+      case c: CompositeReadLimit => c.getReadLimits.map(cap).min
+      case _                    => total
+    }
+    CdcOffset(math.min(total, cap(limit)))
+  }
+
+  override def deserializeOffset(json: String): Offset = CdcOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CdcOffset].frames
+    val e = end.asInstanceOf[CdcOffset].frames
+    segmentIndex().flatMap { case (path, segStart, n) =>
+      val lo = math.max(s, segStart)
+      val hi = math.min(e, segStart + n)
+      if (lo >= hi) None
+      else Some(CdcInputPartition(path.toString, segStart, lo - segStart, hi - lo))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcReaderFactory(pushed)
+
+  /** S6/I6: offset ack — the standby-status-update equivalent. Durable
+    * bookkeeping lives in the checkpoint; `ackPath` additionally surfaces
+    * the committed offset to external observers (server.ex:213-214).
+    */
+  override def commit(end: Offset): Unit = ackPath.foreach { p =>
+    try Files.write(Paths.get(p),
+      s"""{"committed_frames":${end.asInstanceOf[CdcOffset].frames}}""".getBytes("UTF-8"))
+    catch { case _: Exception => () } // ack is advisory, never fails the query
+  }
+
+  override def stop(): Unit = ()
+}
+
+case class CdcInputPartition(path: String, segStartSeq: Long, skip: Long, take: Long)
+    extends InputPartition
+
+class CdcReaderFactory(pushed: Array[Filter]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new CdcPartitionReader(partition.asInstanceOf[CdcInputPartition], pushed)
+}
+
+/** Decodes one segment slice. The full segment prefix is scanned (metadata
+  * frames and txn state must accumulate from the segment head) but only
+  * frames in [skip, skip+take) emit rows — a cheap forward skip, since
+  * decode is a single pass and segments are bounded.
+  */
+class CdcPartitionReader(part: CdcInputPartition, pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val frames = WalSegments.readFrames(Paths.get(part.path))
+  private val registry = new RelationRegistry
+  private var frameIdx = -1L
+  private var curXid: java.lang.Long = null
+  private var curLsn = 0L
+  private val pending = scala.collection.mutable.Queue.empty[InternalRow]
+  private var current: InternalRow = _
+
+  // Compile pushed filters once per reader.
+  private val preds: Seq[(String, String, String) => Boolean] = pushed.toSeq.map {
+    case EqualTo(a, v: String) => (schema: String, table: String, msg: String) =>
+      a match {
+        case "schema_name" => schema == v
+        case "table_name"  => table == v
+        case "msg"         => msg == v
+      }
+    case In(a, vs) =>
+      val set = vs.collect { case s: String => s }.toSet
+      (schema: String, table: String, msg: String) =>
+        a match {
+          case "schema_name" => schema != null && set(schema)
+          case "table_name"  => table != null && set(table)
+          case "msg"         => set(msg)
+        }
+    case other => throw new IllegalStateException(s"unpushable filter $other")
+  }
+  private def passes(schema: String, table: String, msg: String): Boolean =
+    preds.forall(_(schema, table, msg))
+
+  override def next(): Boolean = {
+    while (pending.isEmpty && frames.hasNext && frameIdx + 1 < part.skip + part.take) {
+      frameIdx += 1
+      val msg = PgOutputDecoder.decode(frames.next())
+      registry.onMessage(msg)
+      process(msg, emit = frameIdx >= part.skip)
+    }
+    if (pending.isEmpty) { frames.close(); false }
+    else { current = pending.dequeue(); true }
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = frames.close()
+
+  private def process(m: WalMessage, emit: Boolean): Unit = {
+    import WalMessage._
+    m match {
+      case Begin(lsn, ts, xid) =>
+        curXid = xid; curLsn = lsn.toLong
+        if (emit) row("begin", commitTsUs = tsUs(ts))
+      case Commit(_, lsn, _, ts) =>
+        if (emit) row("commit", lsnOverride = lsn.toLong, commitTsUs = tsUs(ts))
+        curXid = null; curLsn = 0L
+      case Origin(lsn, _) =>
+        if (emit) row("origin", lsnOverride = lsn.toLong)
+      case r: Relation =>
+        if (emit) row("relation", schemaT = (r.namespace, r.name))
+      case _: PgType =>
+        if (emit) row("type")
+      case Insert(rel, tuple) =>
+        if (emit) dataRow("insert", rel, newT = tuple)
+      case Update(rel, oldKind, oldT, tuple) =>
+        if (emit) dataRow("update", rel, newT = tuple, oldT = oldT.orNull,
+          oldKind = oldKind.map(_.toString).orNull)
+      case Delete(rel, kind, oldT) =>
+        // reference semantics: the K/O image is the DeletedRecord's
+        // old_record (changes.ex:24-28)
+        if (emit) dataRow("delete", rel, oldT = oldT, oldKind = kind.toString)
+      case Truncate(_, _, ids) =>
+        if (emit) ids.foreach { rel => dataRow("truncate", rel) }
+      case Unsupported(_) =>
+        if (emit) row("unsupported")
+    }
+  }
+
+  private def tsUs(i: java.time.Instant): java.lang.Long =
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+
+  private def u(s: String): UTF8String = if (s == null) null else UTF8String.fromString(s)
+
+  private def cellsToMap(cols: Seq[WalMessage.RelationColumn],
+      cells: IndexedSeq[Cell]): ArrayBasedMapData = {
+    val n = math.min(cols.length, cells.length)
+    val keys = new Array[Any](n)
+    val vals = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      keys(i) = u(cols(i).name)
+      vals(i) = cells(i) match {
+        case Cell.Text(v)        => u(v)
+        case Cell.Null           => null
+        case Cell.UnchangedToast => null // name also listed in toast_unchanged
+      }
+      i += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  private def globalSeq: Long = part.segStartSeq + frameIdx
+
+  private def row(msg: String, lsnOverride: Long = -1L,
+      commitTsUs: java.lang.Long = null,
+      schemaT: (String, String) = (null, null)): Unit = {
+    if (!passes(schemaT._1, schemaT._2, msg)) return
+    pending += new GenericInternalRow(Array[Any](
+      globalSeq, if (lsnOverride >= 0) lsnOverride else curLsn, curXid, u(msg),
+      commitTsUs, u(schemaT._1), u(schemaT._2), null, null, null, null, null))
+  }
+
+  private def dataRow(msg: String, relId: Int,
+      newT: IndexedSeq[Cell] = null, oldT: IndexedSeq[Cell] = null,
+      oldKind: String = null): Unit = {
+    val rel = registry.relation(relId)
+    val (schema, table) = rel.map(r => (r.namespace, r.name)).getOrElse((null, null))
+    if (!passes(schema, table, msg)) return
+    val cols = rel.map(_.columns).getOrElse(Seq.empty)
+    val toast: ArrayData =
+      if (oldT == null) null
+      else {
+        val names = cols.zip(oldT).collect {
+          case (c, Cell.UnchangedToast) => u(c.name).asInstanceOf[Any]
+        }
+        if (names.isEmpty) null else new GenericArrayData(names.toArray)
+      }
+    val colTypes: ArrayBasedMapData =
+      if (cols.isEmpty) null
+      else new ArrayBasedMapData(
+        new GenericArrayData(cols.map(c => u(c.name).asInstanceOf[Any]).toArray),
+        new GenericArrayData(cols.map(c => u(registry.typeName(c.typeOid)).asInstanceOf[Any]).toArray))
+    pending += new GenericInternalRow(Array[Any](
+      globalSeq, curLsn, curXid, u(msg), null, u(schema), u(table),
+      if (newT == null) null else cellsToMap(cols, newT),
+      if (oldT == null) null else cellsToMap(cols, oldT),
+      u(oldKind), toast, colTypes))
+  }
+
+  private type ArrayData = org.apache.spark.sql.catalyst.util.ArrayData
+}

@@ -1,0 +1,206 @@
+package graft.sources.cdc
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, FileInputStream, FileOutputStream}
+import java.nio.file.{Files, Path, Paths}
+import java.time.Instant
+
+import graft.sources.pgoutput._
+
+/** WAL segment files: the durable replay unit of the CDC source.
+  *
+  * A segment is a sequence of length-prefixed binary pgoutput frames
+  * (`[int32 len][frame bytes]`...) behind a small magic header. Segment
+  * files are named `segment-<n>.wal` and consumed in name order; each
+  * segment re-emits the `Relation`/`Type` metadata frames at its head —
+  * mirroring how a pgoutput session resends relation metadata after a
+  * reconnect (reference: publisher caches Relation per session,
+  * lib/walex/replication/publisher.ex:83-95) — so any segment is
+  * independently decodable and segments can be read in parallel.
+  *
+  * The publication manifest (`publication_<name>` listing `schema.table`
+  * lines) stands in for `pg_publication` (reference fail-fast check:
+  * lib/walex/replication/server.ex:75-83, query_builder.ex:2-4).
+  */
+object WalSegments {
+
+  val Magic = 0x4757414C // "GWAL"
+  val Version = 1
+
+  def segmentName(idx: Int): String = f"segment-$idx%06d.wal"
+
+  def listSegments(dir: String): Seq[Path] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    Files.list(d).iterator().asScala
+      .filter(p => p.getFileName.toString.matches("segment-\\d+\\.wal"))
+      .toSeq.sortBy(_.getFileName.toString)
+  }
+
+  def write(path: Path, frames: Seq[Array[Byte]]): Unit = {
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(tmp.toFile)))
+    try {
+      out.writeInt(Magic)
+      out.writeInt(Version)
+      frames.foreach { f => out.writeInt(f.length); out.write(f) }
+    } finally out.close()
+    Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Closeable frame iterator over one segment. */
+  final class FrameIterator(path: Path) extends Iterator[Array[Byte]] with AutoCloseable {
+    private val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path.toFile)))
+    require(in.readInt() == Magic, s"$path: not a GWAL segment")
+    require(in.readInt() == Version, s"$path: unsupported segment version")
+    private var closed = false
+    private var nextFrame: Array[Byte] = advance()
+    private def advance(): Array[Byte] =
+      try {
+        val len = in.readInt()
+        val arr = new Array[Byte](len)
+        in.readFully(arr)
+        arr
+      } catch { case _: EOFException => close(); null }
+    override def hasNext: Boolean = nextFrame != null
+    override def next(): Array[Byte] = {
+      val f = nextFrame; nextFrame = advance(); f
+    }
+    override def close(): Unit = if (!closed) { closed = true; in.close() }
+  }
+
+  def readFrames(path: Path): FrameIterator = new FrameIterator(path)
+
+  /** Frame count without materializing frames (offset planning is
+    * driver-side and must stay O(metadata), not O(data)).
+    */
+  def countFrames(path: Path): Long = {
+    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path.toFile)))
+    try {
+      require(in.readInt() == Magic, s"$path: not a GWAL segment")
+      in.readInt()
+      var n = 0L
+      try {
+        while (true) { val len = in.readInt(); in.skipBytes(len); n += 1 }
+        n
+      } catch { case _: EOFException => n }
+    } finally in.close()
+  }
+
+  // ---- publication manifest (S2) ----
+
+  def publicationPath(dir: String, name: String): Path =
+    Paths.get(dir, s"publication_$name")
+
+  def writePublication(dir: String, name: String, tables: Seq[String]): Unit =
+    Files.write(publicationPath(dir, name), tables.mkString("\n").getBytes("UTF-8"))
+
+  /** Tables served by a publication, or None if the publication does not
+    * exist (the source fails fast, matching server.ex:75-83).
+    */
+  def publicationTables(dir: String, name: String): Option[Seq[String]] = {
+    val p = publicationPath(dir, name)
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), "UTF-8").split("\n").map(_.trim)
+      .filter(_.nonEmpty).toSeq)
+  }
+}
+
+/** Deterministic WAL fixture generation from the testdata-derived change set
+  * (graft.operators.cdc.ChangeStream.changes semantics): one transaction per
+  * xid, `Begin` + per-change `Insert`/`Update`/`Delete` + `Commit`, with
+  * REPLICA IDENTITY FULL old images for updates/deletes, NULL cells for null
+  * `k`, and unchanged-TOAST old cells for every `k % 11 == 0` update — so the
+  * full protocol surface ('n'/'u'/'t' cells, O-images, Relation/Type
+  * replays) flows through the binary path.
+  */
+object WalFixture {
+  import WalMessage._
+
+  final case class Change(seq: Long, xid: Long, op: String, schemaName: String,
+      tableName: String, commitMs: Long, k: Option[Long], valCents: Long,
+      recordId: Long)
+
+  /** Table → relation id; every fixture table shares the 5-column int8
+    * shape (id, seq, k, val_cents, updated_at).
+    */
+  val relations: Map[String, Int] = Map("user" -> 16001, "todo" -> 16002, "order" -> 16003)
+
+  val columnNames: Seq[String] = Seq("id", "seq", "k", "val_cents", "updated_at")
+
+  def relationFrame(table: String): Relation =
+    Relation(relations(table), "public", table, ReplicaIdentity.AllColumns,
+      columnNames.map(n => RelationColumn(key = n == "id", n, 20, -1))) // oid 20 = int8
+
+  /** Txn commit LSN: monotone in xid, non-zero high word past 2^16 txns. */
+  def txnLsn(xid: Long): Lsn = Lsn.fromLong((xid + 1L) << 16)
+
+  private def cell(v: Option[Long]): Cell =
+    v.fold[Cell](Cell.Null)(x => Cell.Text(x.toString))
+
+  /** New-image tuple, ordered per [[columnNames]]. */
+  private def newTuple(c: Change): IndexedSeq[Cell] = IndexedSeq(
+    cell(Some(c.recordId)), cell(Some(c.seq)), cell(c.k),
+    cell(Some(c.valCents)), cell(Some(c.commitMs)))
+
+  /** Old image per ChangeStream.withRecords' deterministic delta: val_cents
+    * −150 unless k%3=0, k −1 unless k%5=0, updated_at −1000; the val_cents
+    * old cell degrades to unchanged-TOAST when k%11=0.
+    */
+  private def oldTuple(c: Change): IndexedSeq[Cell] = {
+    val k = c.k
+    val oldVal: Cell =
+      if (k.exists(_ % 11 == 0)) Cell.UnchangedToast
+      else cell(Some(c.valCents - k.map(x => if (x % 3 == 0) 0L else 150L).getOrElse(150L)))
+    IndexedSeq(
+      cell(Some(c.recordId)), cell(Some(c.seq)),
+      k.map(x => cell(Some(x - (if (x % 5 == 0) 0L else 1L)))).getOrElse(Cell.Null),
+      oldVal, cell(Some(c.commitMs - 1000)))
+  }
+
+  /** Frames for one committed transaction (changes must share an xid and be
+    * seq-ordered). Begin carries the commit LSN as final_lsn and the commit
+    * timestamp — the Commit frame must match it (publisher.ex:70-77 guard).
+    */
+  def txnFrames(changes: Seq[Change]): Seq[WalMessage] = {
+    val xid = changes.head.xid
+    val lsn = txnLsn(xid)
+    val ts  = Instant.ofEpochMilli(changes.map(_.commitMs).max)
+    val body: Seq[WalMessage] = changes.map { c =>
+      val rel = relations(c.tableName)
+      c.op match {
+        case "insert" => Insert(rel, newTuple(c))
+        case "update" => Update(rel, Some('O'), Some(oldTuple(c)), newTuple(c))
+        case "delete" => Delete(rel, 'O', newTuple(c))
+        case other    => throw new IllegalArgumentException(s"op $other")
+      }
+    }
+    Begin(lsn, ts, xid) +: body :+ Commit(0, lsn, Lsn.fromLong(lsn.toLong + 56), ts)
+  }
+
+  /** Metadata replay at each segment head: the three Relations plus a
+    * custom-Type announcement (D9 path).
+    */
+  def headerFrames: Seq[WalMessage] =
+    relations.keys.toSeq.sorted.map(relationFrame) :+
+      PgType(35756, "public", "citext")
+
+  /** Write the change set as WAL segments + publication manifest.
+    * Deterministic: same changes → byte-identical segments.
+    */
+  def writeSegments(dir: String, changes: Seq[Change], txnsPerSegment: Int = 64,
+      publication: String = "graft_pub"): Unit = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    val txns = changes.groupBy(_.xid).toSeq.sortBy(_._1)
+      .map { case (_, cs) => cs.sortBy(_.seq) }
+    txns.grouped(txnsPerSegment).zipWithIndex.foreach { case (group, i) =>
+      val frames = (headerFrames ++ group.flatMap(txnFrames)).map(PgOutputEncoder.encode)
+      WalSegments.write(d.resolve(WalSegments.segmentName(i)), frames)
+    }
+    WalSegments.writePublication(dir, publication,
+      relations.keys.toSeq.sorted.map(t => s"public.$t"))
+  }
+}

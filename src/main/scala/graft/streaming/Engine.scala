@@ -1,0 +1,125 @@
+package graft.streaming
+
+import scala.collection.mutable.ListBuffer
+import scala.concurrent.{ExecutionContext, Future}
+
+import graft.operators.cdc.ChangeStream
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Per-handler event filters (reference: the `filters` keyword of
+  * on_event/on_insert/… — lib/walex/event/dsl.ex:44-84):
+  *  - `unwatchedFields` (F6): drop UPDATE events whose only changed fields
+  *    are listed (transaction_filter.ex:175-187)
+  *  - `unwatchedRecords` (F7): drop events whose record matches ALL pairs
+  *    (transaction_filter.ex:189-207)
+  */
+final case class EventFilters(
+    unwatchedFields: Seq[String] = Nil,
+    unwatchedRecords: Map[String, String] = Map.empty)
+
+/** K1-K7 — the user-facing dispatch layer (reference: lib/walex/event/
+  * dsl.ex:30-84, lib/walex/events/events.ex:21-47,
+  * lib/walex/events/event_modules.ex:35-63).
+  *
+  * Handlers are registered explicitly (no classpath magic — K7's module
+  * autodiscovery becomes a registry, per SURVEY §2.5) and dispatched per
+  * micro-batch from a single `foreachBatch` fan-out (K1). Each handler sees
+  * the batch's events filtered to its (table, op) plus its EventFilters —
+  * the same per-module filter_events pipeline the DSL macros expand to
+  * (event.ex:33-40).
+  *
+  * Side-effect functions (K6) run fire-and-forget on the execution context,
+  * AFTER the handler body, with the reference's documented at-most-once
+  * semantics (dsl.ex:2-28, README.md:290-316): a crash mid-batch may skip
+  * side effects for delivered events; they are never replayed.
+  *
+  * Scale: the batch is persisted once and every handler's filter is a
+  * column predicate over it — N handlers cost one materialization plus N
+  * cheap filtered scans, not N source reads.
+  */
+final class Engine {
+
+  final case class Handler(
+      name: String,
+      table: String, // "*" = all subscribed tables
+      op: String,    // insert|update|delete|* (F5/F2)
+      filters: EventFilters,
+      sideEffects: Seq[DataFrame => Unit],
+      fn: DataFrame => Unit)
+
+  private val registry = ListBuffer.empty[Handler] // K7
+
+  /** K3/K4: on_event — `table == "*"` replicates on_event(:all). */
+  def onEvent(table: String, filters: EventFilters = EventFilters(),
+      sideEffects: Seq[DataFrame => Unit] = Nil)(fn: DataFrame => Unit): Engine =
+    register(Handler(s"on_event:$table", table, "*", filters, sideEffects, fn))
+
+  /** K5: per-operation registration (dsl.ex:59-84). */
+  def onInsert(table: String, filters: EventFilters = EventFilters(),
+      sideEffects: Seq[DataFrame => Unit] = Nil)(fn: DataFrame => Unit): Engine =
+    register(Handler(s"on_insert:$table", table, "insert", filters, sideEffects, fn))
+
+  def onUpdate(table: String, filters: EventFilters = EventFilters(),
+      sideEffects: Seq[DataFrame => Unit] = Nil)(fn: DataFrame => Unit): Engine =
+    register(Handler(s"on_update:$table", table, "update", filters, sideEffects, fn))
+
+  def onDelete(table: String, filters: EventFilters = EventFilters(),
+      sideEffects: Seq[DataFrame => Unit] = Nil)(fn: DataFrame => Unit): Engine =
+    register(Handler(s"on_delete:$table", table, "delete", filters, sideEffects, fn))
+
+  private def register(h: Handler): Engine = { registry += h; this }
+
+  def handlers: Seq[Handler] = registry.toSeq
+
+  /** Predicate a handler applies to the Event view (columns per
+    * ChangeStream.events / eventsFromAssembled: name, type, changes,
+    * new_record, old_record).
+    */
+  private def predicate(h: Handler) = {
+    val tableP = if (h.table == "*") lit(true) else col("name") === h.table
+    val opP    = if (h.op == "*") lit(true) else col("type") === h.op
+    val fieldsP =
+      if (h.filters.unwatchedFields.isEmpty) lit(true)
+      else ChangeStream.watchedFieldsPredicate(col("changes"), h.filters.unwatchedFields)
+    val recordsP =
+      if (h.filters.unwatchedRecords.isEmpty) lit(true)
+      else ChangeStream.unwatchedRecordsPredicate(
+        coalesce(col("new_record"), col("old_record")), h.filters.unwatchedRecords)
+    tableP && opP && fieldsP && recordsP
+  }
+
+  /** K1/K2: one batch → every registered handler. Public so tests and batch
+    * (non-streaming) callers can drive it directly.
+    */
+  def dispatch(batch: DataFrame, batchId: Long)(implicit
+      ec: ExecutionContext = ExecutionContext.global): Unit = {
+    if (registry.isEmpty) return
+    batch.persist()
+    try registry.foreach { h =>
+      val events = batch.filter(predicate(h))
+      h.fn(events)
+      // K6: fire-and-forget fan-out, at-most-once, unordered.
+      h.sideEffects.foreach(se => Future(se(events)))
+    } finally batch.unpersist()
+  }
+
+  /** Attach the engine to a streaming Event view.
+    *  - `checkpoint = Some(dir)` → durable-slot semantics (S4): offsets
+    *    survive restart, handlers see each event once per delivery.
+    *  - `checkpoint = None` → temporary-slot semantics (S3): Spark uses a
+    *    throwaway checkpoint; state dies with the query.
+    */
+  def start(events: DataFrame, checkpoint: Option[String] = None,
+      trigger: Trigger = Trigger.ProcessingTime(0L), queryName: String = "graft-engine")
+      : StreamingQuery = {
+    var w = events.writeStream
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch((b: DataFrame, id: Long) => dispatch(b, id))
+    checkpoint.foreach(c => w = w.option("checkpointLocation", c))
+    w.start()
+  }
+}

@@ -1,0 +1,327 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.cdc.ChangeStream
+import graft.sources.cdc._
+import graft.sources.pgoutput._
+import graft.streaming._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming engine end-to-end: DSv2 CDC source (S1-S7), cross-batch
+  * transaction assembly (P1), typed Event lane (P3/P6/P7), dispatch (K1-K7).
+  */
+class StreamingCdcSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+
+  private def mkChange(seq: Long, xid: Long, op: String, table: String,
+      commitMs: Long = 1700000000000L, k: Option[Long] = Some(7L),
+      valCents: Long = 1234L, recordId: Long = 1L): WalFixture.Change =
+    WalFixture.Change(seq, xid, op, "public", table, commitMs, k, valCents, recordId)
+
+  private def readStreamFrom(dir: String, extra: (String, String)*): DataFrame = {
+    var r = spark.readStream.format(classOf[CdcSourceProvider].getName)
+      .option("path", dir)
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+  }
+
+  private def runToTable(df: DataFrame, name: String,
+      checkpoint: Option[String] = None): Unit = {
+    var w = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    checkpoint.foreach(c => w = w.option("checkpointLocation", c))
+    val q = w.start()
+    q.awaitTermination(120000)
+  }
+
+  // ---- source: decode + offsets ----
+
+  test("S1/D1: streamed segments decode to message rows with registry-typed records") {
+    val dir = tmpDir("src")
+    val changes = Seq(
+      mkChange(1, 0, "insert", "user", recordId = 10),
+      mkChange(2, 0, "update", "todo", k = Some(9), recordId = 11),
+      mkChange(3, 1, "delete", "order", k = None, recordId = 12),
+      mkChange(4, 1, "update", "user", k = Some(22), recordId = 13)) // 22%11=0 → TOAST old val_cents
+    WalFixture.writeSegments(dir, changes, txnsPerSegment = 1)
+    runToTable(readStreamFrom(dir), "t_src")
+    val rows = spark.table("t_src").orderBy("seq").collect()
+
+    // per segment: 3 relations + 1 type + begin + changes + commit
+    val byMsg = rows.groupBy(_.getAs[String]("msg")).view.mapValues(_.length).toMap
+    assert(byMsg("relation") == 6 && byMsg("type") == 2)
+    assert(byMsg("begin") == 2 && byMsg("commit") == 2)
+    assert(byMsg("insert") == 1 && byMsg("update") == 2 && byMsg("delete") == 1)
+
+    val ins = rows.find(_.getAs[String]("msg") == "insert").get
+    assert(ins.getAs[String]("table_name") == "user")
+    assert(ins.getAs[Long]("xid") == 0L)
+    assert(ins.getAs[Map[String, String]]("record")("id") == "10")
+    assert(ins.getAs[Map[String, String]]("col_types")("val_cents") == "int8")
+
+    val del = rows.find(_.getAs[String]("msg") == "delete").get
+    assert(del.getAs[Map[String, String]]("old_record")("k") == null) // 'n' cell
+    assert(del.getAs[String]("old_kind") == "O")
+
+    val toastUpd = rows.filter(_.getAs[String]("msg") == "update")
+      .find(_.getAs[Map[String, String]]("record")("k") == "22").get
+    assert(toastUpd.getAs[scala.collection.Seq[String]]("toast_unchanged").toSeq ==
+      Seq("val_cents"))
+  }
+
+  test("I4: maxFramesPerTrigger splits the backlog into multiple micro-batches") {
+    val dir = tmpDir("rate")
+    val changes = (0 until 20).map(i => mkChange(i, i / 2, "insert", "user"))
+    WalFixture.writeSegments(dir, changes, txnsPerSegment = 4)
+    val name = "t_rate"
+    val q = readStreamFrom(dir, "maxFramesPerTrigger" -> "10")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3, s"expected >=3 rate-limited batches, got $batches")
+    // rows = frames per segment summed: (4 header + per-txn frames)
+    assert(spark.table(name).filter($"msg" === "insert").count() == 20)
+  }
+
+  test("S4/S7: checkpoint resume delivers only newly-appended segments, no duplicates") {
+    val dir = tmpDir("ckpt")
+    val ckpt = tmpDir("ckpt-loc")
+    WalFixture.writeSegments(dir, (0 until 6).map(i => mkChange(i, i, "insert", "user", recordId = i)))
+    // foreachBatch sink: durable-slot semantics need a checkpoint-recoverable sink
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def run(): Unit = {
+      val q = readStreamFrom(dir).writeStream
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          got ++= b.filter($"msg" === "insert").select("msg", "table_name")
+            .collect().map(r => (r.getString(0), r.getString(1)))
+          ()
+        }.start()
+      q.awaitTermination(120000)
+    }
+    run()
+    assert(got.length == 6 && got.forall(_._2 == "user"))
+
+    // append a new segment; restart from the same checkpoint
+    got.clear()
+    val more = (10 until 13).map(i => mkChange(i, 100 + i, "insert", "todo", recordId = i))
+    val frames = (WalFixture.headerFrames ++
+      more.grouped(1).flatMap(g => WalFixture.txnFrames(g))).map(PgOutputEncoder.encode)
+    WalSegments.write(java.nio.file.Paths.get(dir, WalSegments.segmentName(1)), frames.toSeq)
+    run()
+    assert(got.toSeq == Seq.fill(3)(("insert", "todo")), s"resume re-delivered: $got")
+  }
+
+  test("S3: startMode=latest begins at the stream head (temporary-slot semantics)") {
+    val dir = tmpDir("latest")
+    WalFixture.writeSegments(dir, (0 until 4).map(i => mkChange(i, i, "insert", "user")))
+    runToTable(readStreamFrom(dir, "startMode" -> "latest"), "t_latest")
+    assert(spark.table("t_latest").count() == 0)
+  }
+
+  test("S2: missing publication fails fast") {
+    val dir = tmpDir("pub")
+    WalFixture.writeSegments(dir, Seq(mkChange(1, 1, "insert", "user")))
+    val ex = intercept[Exception] {
+      runToTable(readStreamFrom(dir, "publication" -> "nope"), "t_pub")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("publication 'nope' does not exist")))
+  }
+
+  test("F8: table filters push into the source scan and drop frames at decode") {
+    // unit: the ScanBuilder partitions pushable vs residual
+    val sb = new CdcScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", "/nonexistent")))
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, In}
+    val residual = sb.pushFilters(Array(
+      EqualTo("table_name", "user"), In("msg", Array("insert", "update")),
+      GreaterThan("seq", 5L)))
+    assert(sb.pushedFilters().length == 2)
+    assert(residual.toSeq == Seq(GreaterThan("seq", 5L)))
+
+    // end-to-end: the filtered stream yields only matching rows
+    val dir = tmpDir("pushdown")
+    WalFixture.writeSegments(dir, Seq(
+      mkChange(1, 0, "insert", "user"), mkChange(2, 0, "insert", "todo"),
+      mkChange(3, 1, "update", "user"), mkChange(4, 1, "delete", "user")))
+    runToTable(
+      readStreamFrom(dir).filter($"table_name" === "user" && $"msg" === "insert"),
+      "t_push")
+    val got = spark.table("t_push").collect()
+    assert(got.length == 1 && got(0).getAs[Map[String, String]]("record")("seq") == "1")
+  }
+
+  // ---- P1: cross-batch transaction assembly ----
+
+  private def msgRow(seq: Long, lsn: Long, xid: Long, msg: String,
+      ts: Option[Long] = None, table: Option[String] = None,
+      rec: Option[Map[String, String]] = None): ChangeMsg =
+    ChangeMsg(seq, lsn, Some(xid), msg, ts, table.map(_ => "public"), table,
+      rec, None, None, None, None)
+
+  test("P1: a transaction spanning two micro-batches emits once, intact, at commit") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[ChangeMsg]
+    val q = TxnAssembler.assemble(ms.toDF()).toDF()
+      .writeStream.format("memory").queryName("t_txn")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    ms.addData(
+      msgRow(0, 100, 7, "begin", ts = Some(1000L)),
+      msgRow(1, 100, 7, "insert", table = Some("user"), rec = Some(Map("id" -> "1"))))
+    q.processAllAvailable()
+    assert(spark.table("t_txn").count() == 0, "nothing before commit")
+
+    ms.addData(
+      msgRow(2, 100, 7, "update", table = Some("user"), rec = Some(Map("id" -> "2"))),
+      msgRow(3, 100, 7, "commit", ts = Some(2000L)))
+    q.processAllAvailable()
+    val rows = spark.table("t_txn").orderBy("change_idx").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("op")).toSeq == Seq("insert", "update"))
+    assert(rows.forall(_.getAs[Long]("commit_ts_us") == 2000L))
+    assert(rows.forall(_.getAs[Long]("commit_lsn") == 100L))
+    q.stop()
+  }
+
+  test("P1: lsn-mismatched commit and never-committed txns emit nothing") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[ChangeMsg]
+    val q = TxnAssembler.assemble(ms.toDF()).toDF()
+      .writeStream.format("memory").queryName("t_txn2")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    ms.addData(
+      // mismatch: begin 200 vs commit 999 (publisher.ex:70-77 guard)
+      msgRow(0, 200, 1, "begin"),
+      msgRow(1, 200, 1, "insert", table = Some("user"), rec = Some(Map("id" -> "1"))),
+      msgRow(2, 999, 1, "commit"),
+      // abandoned: never commits
+      msgRow(3, 300, 2, "begin"),
+      msgRow(4, 300, 2, "insert", table = Some("user"), rec = Some(Map("id" -> "2"))))
+    q.processAllAvailable()
+    assert(spark.table("t_txn2").count() == 0)
+    q.stop()
+  }
+
+  // ---- P3/P6/P7: typed event lane ----
+
+  test("P6/P7: eventsFromAssembled carries source.columns and op-dependent payloads") {
+    val assembled = Seq(
+      AssembledChange(1, 100, 5000000L, 0, 10, "insert", Some("public"), Some("user"),
+        Some(Map("id" -> "1", "k" -> "5")), None, None, None,
+        Some(Map("id" -> "int8", "k" -> "int8"))),
+      AssembledChange(1, 100, 5000000L, 1, 11, "update", Some("public"), Some("user"),
+        Some(Map("id" -> "1", "k" -> "6", "payload" -> null)),
+        Some(Map("id" -> "1", "k" -> "5", "payload" -> null)), Some("O"),
+        Some(Seq("payload")), Some(Map("id" -> "int8", "k" -> "int8", "payload" -> "text"))),
+      AssembledChange(1, 100, 5000000L, 2, 12, "delete", Some("public"), Some("user"),
+        None, Some(Map("id" -> "1")), Some("O"), None, Some(Map("id" -> "int8")))
+    ).toDF()
+    val ev = ChangeStream.eventsFromAssembled(assembled).orderBy("seq").collect()
+
+    assert(ev(0).getAs[Map[String, String]]("new_record")("k") == "5")
+    assert(ev(0).isNullAt(ev(0).fieldIndex("old_record")) && ev(0).isNullAt(ev(0).fieldIndex("changes")))
+    val src = ev(0).getStruct(ev(0).fieldIndex("source"))
+    assert(src.getAs[Map[String, String]]("columns") == Map("id" -> "int8", "k" -> "int8"))
+
+    // TOAST: payload old=null(new also null) but even if differing it is excluded;
+    // k changed 5→6 registers
+    val chg = ev(1).getAs[Map[String, org.apache.spark.sql.Row]]("changes")
+    assert(chg.keySet == Set("k"))
+    assert(ev(1).getAs[Long]("timestamp_ms") == 5000L)
+
+    assert(ev(2).isNullAt(ev(2).fieldIndex("new_record")))
+    assert(ev(2).getAs[Map[String, String]]("old_record")("id") == "1")
+  }
+
+  test("TOAST diff: unchanged-toast old cell never registers as a change") {
+    val df = Seq(1).toDF("x").select(
+      ChangeStream.changedFields(
+        map(lit("a"), lit(null).cast("string"), lit("b"), lit("1")),
+        map(lit("a"), lit("big-value"), lit("b"), lit("2")),
+        array(lit("a"))).as("chg"))
+    val m = df.collect()(0).getMap[String, org.apache.spark.sql.Row](0)
+    assert(m.keySet == Set("b"), "toast'd field 'a' must not diff")
+  }
+
+  // ---- K: dispatch layer ----
+
+  test("K1-K7: handlers receive exactly their filtered events (event_dsl semantics)") {
+    val received = scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+    def capture(name: String): DataFrame => Unit = df =>
+      received(name) = df.select("type", "name").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+
+    val sideFired = new java.util.concurrent.CountDownLatch(1)
+    val engine = new Engine()
+      .onEvent("*")(capture("all"))
+      .onInsert("user")(capture("user_ins"))
+      .onUpdate("user", EventFilters(unwatchedFields = Seq("updated_at")),
+        sideEffects = Seq(_ => sideFired.countDown()))(capture("user_upd"))
+      .onDelete("todo")(capture("todo_del"))
+
+    // hand-built Event view: one insert, one watched update, one
+    // updated_at-only update (must drop), one delete on another table
+    val events = Seq(
+      ("insert", "user", null, Map("id" -> "1")),
+      ("update", "user", Map("k" -> ("1", "2")), Map("id" -> "1")),
+      ("update", "user", Map("updated_at" -> ("a", "b")), Map("id" -> "2")),
+      ("delete", "todo", null, Map("id" -> "3"))
+    ).toDF("type", "name", "chg_raw", "new_record")
+      .withColumn("changes", when($"chg_raw".isNotNull,
+        transform_values($"chg_raw", (_, v) =>
+          struct(v.getField("_1").as("old_value"), v.getField("_2").as("new_value")))))
+      .withColumn("old_record", lit(null).cast("map<string,string>"))
+      .drop("chg_raw")
+
+    engine.dispatch(events, 0L)
+    assert(received("all").length == 4)
+    assert(received("user_ins") == Seq(("insert", "user")))
+    assert(received("user_upd") == Seq(("update", "user")), "updated_at-only update must drop")
+    assert(received("todo_del") == Seq(("delete", "todo")))
+    assert(sideFired.await(10, java.util.concurrent.TimeUnit.SECONDS), "side effect fired")
+  }
+
+  test("end-to-end: source → assembly → events → engine over a real stream") {
+    val dir = tmpDir("e2e")
+    val changes = Seq(
+      mkChange(1, 0, "insert", "user", recordId = 1),
+      mkChange(2, 0, "update", "user", k = Some(9), recordId = 1),
+      mkChange(3, 1, "delete", "todo", recordId = 2),
+      mkChange(4, 2, "insert", "order", recordId = 3))
+    WalFixture.writeSegments(dir, changes, txnsPerSegment = 2)
+
+    val inserts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val engine = new Engine().onInsert("user") { df =>
+      inserts ++= df.select(element_at($"new_record", "id")).collect().map(_.getString(0).toLong)
+    }
+    val events = ChangeStream.eventsFromAssembled(
+      TxnAssembler.assemble(readStreamFrom(dir)).toDF())
+    val q = engine.start(events, trigger = Trigger.AvailableNow(), queryName = "t_e2e")
+    q.awaitTermination(120000)
+    assert(inserts.toSeq == Seq(1L))
+  }
+}
