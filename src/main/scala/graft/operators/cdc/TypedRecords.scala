@@ -31,15 +31,16 @@ object TypedRecords {
   }
 
   private def castScalarText(raw: Column, pgType: String): Column = pgType match {
+    // try_cast: never-throw (types.ex:429-431) under Spark 4's ANSI default
     case "bool" | "boolean"                    => PgCasts.pgBool(raw)
-    case "int2" | "smallint"                   => raw.cast(ShortType)
-    case "int4" | "int" | "integer" | "serial" => raw.cast(IntegerType)
-    case "int8" | "bigint" | "bigserial"       => raw.cast(LongType)
-    case "float4" | "real"                     => raw.cast(FloatType)
-    case "float8" | "double precision"         => raw.cast(DoubleType)
+    case "int2" | "smallint"                   => raw.try_cast(ShortType)
+    case "int4" | "int" | "integer" | "serial" => raw.try_cast(IntegerType)
+    case "int8" | "bigint" | "bigserial"       => raw.try_cast(LongType)
+    case "float4" | "real"                     => raw.try_cast(FloatType)
+    case "float8" | "double precision"         => raw.try_cast(DoubleType)
     case "numeric" | "decimal"                 => PgCasts.pgNumeric(raw)
     case "money"                               => PgCasts.pgMoney(raw)
-    case "timestamp"                           => raw.cast(TimestampNTZType)
+    case "timestamp"                           => raw.try_cast(TimestampNTZType)
     case "timestamptz"                         => PgCasts.pgTimestamp(raw)
     case "date"                                => PgCasts.pgDate(raw)
     case "bytea"                               => PgCasts.pgBytea(raw)

@@ -85,22 +85,25 @@ object PgCasts {
   def pgBool(c: Column): Column =
     when(c === "t" || c === "true", true).when(c === "f" || c === "false", false)
 
-  def pgInt(c: Column): Column    = c.cast("long")
-  def pgFloat8(c: Column): Column = c.cast("double")
+  // try_cast throughout: the reference cast layer never throws (garbage
+  // degrades; types.ex:429-431) — and Spark 4 runs ANSI mode by default,
+  // where a plain cast would fail the whole stream on one bad cell.
+  def pgInt(c: Column): Column    = c.try_cast("long")
+  def pgFloat8(c: Column): Column = c.try_cast("double")
 
   def pgNumeric(c: Column, precision: Int = 38, scale: Int = 18): Column =
-    c.cast(s"decimal($precision,$scale)")
+    c.try_cast(s"decimal($precision,$scale)")
 
   /** `$123.45` / `-$67.89` → decimal (reference: types.ex:127-132). */
   def pgMoney(c: Column): Column =
-    regexp_replace(c, "[^0-9.\\-]", "").cast("decimal(19,2)")
+    regexp_replace(c, "[^0-9.\\-]", "").try_cast("decimal(19,2)")
 
   /** `\x48656c6c6f` → bytes (reference: types.ex:134-143). */
   def pgBytea(c: Column): Column =
     when(c.startsWith("\\x"), unhex(substring(c, 3, Int.MaxValue)))
 
-  def pgDate(c: Column): Column      = to_date(c)
-  def pgTimestamp(c: Column): Column = to_timestamp(c)
+  def pgDate(c: Column): Column      = c.try_cast("date")
+  def pgTimestamp(c: Column): Column = c.try_cast("timestamp")
 
   /** Typed array cast: parse the literal then cast elements. */
   def pgArray(c: Column, elemSqlType: String): Column =

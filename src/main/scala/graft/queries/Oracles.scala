@@ -222,7 +222,34 @@ SELECT seq, table_name AS name, op AS type, commit_ms AS timestamp_ms,
   to_hex(lsn >> 32) || '/' || to_hex(lsn & 4294967295) AS lsn_str,
   '0.1.0' AS source_version, 'testdata' AS source_db,
   schema_name AS source_schema, table_name AS source_table,
+  'id:int8,val_cents:int8,k:int8,updated_at:int8' AS source_columns,
   4 AS n_fields
+FROM changes ORDER BY seq""",
+
+    "cdc13_typed_records" -> """
+SELECT * FROM (VALUES
+ (1, 1, 'alpha', true, CAST(1234 AS BIGINT), 0.5, DATE '2024-01-15',
+  '2024-03-15 06:30:05', epoch_ms(TIMESTAMPTZ '2024-03-15 06:30:05+02:00'),
+  '4869', CAST(6 AS BIGINT), '550e8400-e29b-41d4-a716-446655440000',
+  CAST(123456 AS BIGINT)),
+ (2, 2, 'b"q" é', false, CAST(NULL AS BIGINT), -2.25, CAST(NULL AS DATE),
+  CAST(NULL AS VARCHAR), epoch_ms(TIMESTAMPTZ '2024-03-15 08:30:05+02:00'),
+  CAST(NULL AS VARCHAR), CAST(30 AS BIGINT),
+  'c0ffee00-0000-4000-8000-000000000000', CAST(-6789 AS BIGINT)),
+ (3, CAST(NULL AS INT), '日本語 text', CAST(NULL AS BOOLEAN), CAST(5 AS BIGINT),
+  CAST('NaN' AS DOUBLE), DATE '2024-02-29', '2024-06-01 00:00:00',
+  epoch_ms(TIMESTAMPTZ '2024-06-01 00:00:00+00:00'), '00FF', CAST(0 AS BIGINT),
+  CAST(NULL AS VARCHAR), CAST(1 AS BIGINT)),
+ (4, -5, 'x,y{z}', true, CAST(-1234568 AS BIGINT), 1000.0, DATE '1999-12-31',
+  '2030-01-01 23:59:59', epoch_ms(TIMESTAMPTZ '1999-12-31 23:59:59-05:00'),
+  '', CAST(2 AS BIGINT), 'not-a-uuid', CAST(123400 AS BIGINT))
+) AS t(idx, id, name, active, score_cents, ratio, born, ts_s, tstz_ms,
+       data_hex, tags_sum, uid, price_cents)
+ORDER BY idx""",
+
+    "cdc14_stream_replay" -> s"""$changesCte
+SELECT seq, (xid + 1) * 65536 AS lsn, xid, op, schema_name, table_name,
+       commit_ms, k, val_cents, record_id
 FROM changes ORDER BY seq""",
 
     "cdc10_cast_scalars" -> s"""$changesCte,

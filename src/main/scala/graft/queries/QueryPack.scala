@@ -3,14 +3,17 @@ package graft.queries
 import graft.Tables
 import graft.operators.Analytics
 import graft.operators.ann.Ann
-import graft.operators.cdc.ChangeStream
+import graft.operators.cdc.{ChangeStream, TypedRecords}
 import graft.operators.dedup.Dedup
 import graft.operators.multimodal.Multimodal
 import graft.operators.text.TextOps
 import graft.plans.PgCasts
+import graft.sources.cdc.{CdcSourceProvider, WalFixture}
 import graft.sources.pgoutput._
+import graft.streaming.TxnAssembler
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 /** The driver-facing query inventory: one entry per implemented operator
   * (SURVEY §2 ids in the comments), each with a DuckDB oracle in
@@ -99,7 +102,7 @@ object QueryPack {
         .select(col("seq"), col("k"))
         .orderBy(col("seq"))
     }),
-    "cdc09_event_cast"       -> ((s, d) => // P7
+    "cdc09_event_cast"       -> ((s, d) => // P7 (+ P6 source.columns)
       ChangeStream.events(s, d)
         .select(col("seq"), col("name"), col("type"), col("timestamp_ms"),
           col("lsn_str"),
@@ -107,6 +110,9 @@ object QueryPack {
           col("source.db").as("source_db"),
           col("source.schema").as("source_schema"),
           col("source.table").as("source_table"),
+          concat_ws(",", transform(map_entries(col("source.columns")),
+            e => concat(e.getField("key"), lit(":"), e.getField("value"))))
+            .as("source_columns"),
           size(coalesce(col("new_record"), col("old_record"))).as("n_fields"))
         .orderBy(col("seq"))),
     "cdc10_cast_scalars"     -> ((s, d) => { // P4
@@ -143,6 +149,8 @@ object QueryPack {
         .orderBy(col("seq"))
     }),
     "cdc12_decode"           -> ((s, d) => decodeShowcase(s)), // D1-D11
+    "cdc13_typed_records"    -> ((s, d) => typedRecordsShowcase(s)), // P3 (real lane)
+    "cdc14_stream_replay"    -> ((s, d) => streamReplay(s, d)), // S1-S7 + P1 + P3
 
     // ---- text analysis ----
     "txt01_token_stats" -> ((s, d) => TextOps.tokenStats(s, d)),
@@ -211,6 +219,140 @@ object QueryPack {
       .toDF("idx", "msg_type", "lsn_str", "info")
       .orderBy(col("idx"))
   }
+
+  /** P3 real lane: binary frames → distributed decode → RelationRegistry
+    * schema → per-cell text cast (TypedRecords) → typed columns. The oracle
+    * is literal ground truth (VALUES), independent of the derivation —
+    * covering bool/int/text/numeric/float/date/timestamp/timestamptz/bytea/
+    * int[]/uuid/money, NULL cells, garbage fallback, and rounding.
+    */
+  def typedRecordsShowcase(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import WalMessage._
+    val rel = Relation(17001, "public", "items", ReplicaIdentity.Default, Seq(
+      RelationColumn(key = true, "id", 23, -1),      // int4
+      RelationColumn(key = false, "name", 25, -1),   // text
+      RelationColumn(key = false, "active", 16, -1), // bool
+      RelationColumn(key = false, "score", 1700, -1),  // numeric
+      RelationColumn(key = false, "ratio", 701, -1),   // float8
+      RelationColumn(key = false, "born", 1082, -1),   // date
+      RelationColumn(key = false, "ts", 1114, -1),     // timestamp
+      RelationColumn(key = false, "tstz", 1184, -1),   // timestamptz
+      RelationColumn(key = false, "data", 17, -1),     // bytea
+      RelationColumn(key = false, "tags", 1007, -1),   // _int4
+      RelationColumn(key = false, "uid", 2950, -1),    // uuid
+      RelationColumn(key = false, "price", 790, -1)))  // money
+    def t(s: String): Cell = Cell.Text(s)
+    val n = Cell.Null
+    val tuples: Seq[IndexedSeq[Cell]] = Seq(
+      IndexedSeq(t("1"), t("alpha"), t("t"), t("12.34"), t("0.5"), t("2024-01-15"),
+        t("2024-03-15 06:30:05"), t("2024-03-15 06:30:05+02:00"), t("\\x4869"),
+        t("{1,2,3}"), t("550e8400-e29b-41d4-a716-446655440000"), t("$1,234.56")),
+      IndexedSeq(t("2"), t("b\"q\" é"), t("f"), t("abc"), t("-2.25"), n,
+        n, t("2024-03-15 08:30:05+02:00"), n,
+        t("{10,NULL,20}"), t("c0ffee00-0000-4000-8000-000000000000"), t("-$67.89")),
+      IndexedSeq(n, t("日本語 text"), t("x"), t("0.05"), t("NaN"), t("2024-02-29"),
+        t("2024-06-01 00:00:00"), t("2024-06-01 00:00:00+00:00"), t("\\x00ff"),
+        t("{}"), n, t("$0.01")),
+      IndexedSeq(t("-5"), t("x,y{z}"), t("true"), t("-12345.678"), t("1e3"),
+        t("1999-12-31"), t("2030-01-01 23:59:59"), t("1999-12-31 23:59:59-05:00"),
+        t("\\x"), t("{1,-2,3}"), t("not-a-uuid"), t("1234")))
+    val frames = (rel +: tuples.map(tp => Insert(17001, tp): WalMessage))
+      .map(PgOutputEncoder.encode)
+
+    val registry = new RelationRegistry
+    registry.onMessage(rel)
+    val schema = registry.schemaOf(17001).get
+    val colNames = rel.columns.map(_.name)
+
+    val maps = spark.createDataset(frames.zipWithIndex)
+      .flatMap { case (raw, idx) =>
+        PgOutputDecoder.decode(raw) match {
+          case Insert(_, cells) =>
+            Some((idx, colNames.zip(cells.map {
+              case Cell.Text(v) => v
+              case _            => null
+            }).toMap))
+          case _ => None
+        }
+      }.toDF("idx", "record")
+
+    TypedRecords.project(maps, col("record"), schema, keep = Seq(col("idx")))
+      .select(col("idx"), col("id"), col("name"), col("active"),
+        round(col("score") * 100).cast("long").as("score_cents"),
+        col("ratio"),
+        col("born"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        unix_millis(col("tstz")).as("tstz_ms"),
+        hex(col("data")).as("data_hex"),
+        aggregate(col("tags"), lit(0L),
+          (acc, x) => acc + coalesce(x.cast("long"), lit(0L))).as("tags_sum"),
+        col("uid"),
+        round(col("price") * 100).cast("long").as("price_cents"))
+      .orderBy(col("idx"))
+  }
+
+  private val replayQueryCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** S1-S7 + P1 + P3 end-to-end: the sf change set rendered as binary WAL
+    * segments, streamed back through the DSv2 source, transaction-assembled
+    * across micro-batches, and projected to typed change rows. The oracle is
+    * the independent DuckDB derivation of the same change set from `events`.
+    */
+  def streamReplay(spark: SparkSession, d: String): DataFrame = {
+    val dir = ensureWalFixture(spark, d)
+    val raw = spark.readStream.format(classOf[CdcSourceProvider].getName)
+      .option("path", dir)
+      .option("publication", "graft_pub")   // S2
+      .option("maxFramesPerTrigger", "50000") // I4 (bounds state per batch)
+      .load()
+    val assembled = TxnAssembler.assemble(raw).toDF()
+    val rec = coalesce(col("record"), col("old_record")) // delete carries old image
+    val out = assembled.select(
+      element_at(rec, "seq").cast("long").as("seq"),
+      col("commit_lsn").as("lsn"),
+      col("xid"),
+      col("op"),
+      col("schema_name"), col("table_name"),
+      element_at(rec, "updated_at").cast("long").as("commit_ms"),
+      element_at(rec, "k").cast("long").as("k"),
+      element_at(rec, "val_cents").cast("long").as("val_cents"),
+      element_at(rec, "id").cast("long").as("record_id"))
+    val qname = s"graft_cdc14_${replayQueryCount.incrementAndGet()}"
+    val q = out.writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(600000)
+    spark.table(qname).orderBy(col("seq"))
+  }
+
+  /** Render the sf change set as WAL segments once per (JVM, sf dir);
+    * the collect is fixture *generation* (driver-side test harness), not
+    * part of the measured operator.
+    */
+  private val fixtureLock = new Object
+  private def ensureWalFixture(spark: SparkSession, d: String): String =
+    fixtureLock.synchronized {
+      val sfName = java.nio.file.Paths.get(d).getFileName.toString
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_wal", sfName)
+      val marker = dir.resolve("_SUCCESS")
+      if (java.nio.file.Files.exists(marker)) return dir.toString
+      val changes = ChangeStream.changes(spark, d)
+        .select("seq", "xid", "op", "schema_name", "table_name",
+          "commit_ms", "k", "val_cents", "record_id")
+        .collect()
+        .map { r =>
+          WalFixture.Change(
+            seq = r.getLong(0), xid = r.getLong(1), op = r.getString(2),
+            schemaName = r.getString(3), tableName = r.getString(4),
+            commitMs = r.getLong(5),
+            k = if (r.isNullAt(6)) None else Some(r.getLong(6)),
+            valCents = r.getLong(7), recordId = r.getLong(8))
+        }.toSeq
+      WalFixture.writeSegments(dir.toString, changes)
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+      dir.toString
+    }
 
   lazy val oracleSql: Map[String, String] = Oracles.sql
 }
