@@ -53,40 +53,52 @@ object Ann {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** Deterministic random-hyperplane signature: bit j = sign(v · h_j) where
-    * h_j[dim] = ±1 derived from xxhash64(j, dim). No model state — any
-    * executor can recompute any plane, so this scales embarrassingly.
-    * (SQL-string lambdas: the nested shift needs expression offsets.)
+  /** Multi-band random-hyperplane LSH nearest-neighbor (scale path).
+    *
+    * b bands × r sign-bits each (native codegen'd
+    * [[graft.plans.SketchCols.hyperplaneBandBuckets]]): two vectors are
+    * candidates iff they agree on ALL r bits of SOME band — the classic
+    * b×r amplification, so bucket count grows as min(2^r, data) *per band*
+    * instead of a fixed global constant. The failure mode of the previous
+    * design (256 global buckets ⇒ O(n²/256) pairs, a quadratic skew bomb at
+    * 100 TB) is gone: candidate volume tracks true near-neighbor density.
+    *
+    * Shuffle discipline (same lesson as the minhash rework): the band
+    * self-join carries ONLY (bucket, vec_id) — embeddings are re-attached
+    * once per side after pair dedup, so the 64-float arrays never ride the
+    * b-way exploded shuffle.
     */
-  def lshSignature(vecCol: String, bits: Int): Column = expr(
-    s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, j) -> acc |
-       |  IF(aggregate(zip_with($vecCol, sequence(0, size($vecCol) - 1),
-       |       (x, i) -> CAST(x AS DOUBLE) *
-       |                 IF((xxhash64(j, i) & 1) = 1, 1.0D, -1.0D)),
-       |     0.0D, (s, p) -> s + p) > 0,
-       |     shiftleft(1L, j), 0L))""".stripMargin)
+  def lshNearestMultiBand(spark: SparkSession, d: String,
+                          bands: Int = 8, bits: Int = 10): DataFrame =
+    lshNearestMultiBandOf(
+      Tables.spread(Tables.embeddings(spark, d)
+        .select(col("vec_id"), col("embedding"))),
+      bands, bits)
 
-  /** LSH-bucketed nearest-neighbor: signature prefix (bucketBits) forms the
-    * bucket key; exact cosine re-ranks within buckets; output = best
-    * neighbor per vector among its bucket's candidates.
+  /** Core of [[lshNearestMultiBand]] over any (vec_id, embedding) frame.
+    * Default 8×10 targets sim ≳ 0.9 near-dups (per-bit agreement ≈ 0.86 →
+    * band hit ≈ 0.22 → ≈ 87% recall over 8 bands) while random pairs
+    * (per-bit ≈ 0.5) pass a band with p ≈ 2^-10 — candidate volume stays
+    * ≈ b·n²/2^bits only for truly-correlated data, not globally quadratic.
     */
-  def lshNearestInBucket(spark: SparkSession, d: String,
-                         bits: Int = 16, bucketBits: Int = 8): DataFrame = {
-    val emb = Tables.spread(Tables.embeddings(spark, d)
-      .select(col("vec_id"), col("embedding")))
-      .withColumn("sig", lshSignature("embedding", bits))
-      .withColumn("bucket", expr(s"shiftrightunsigned(sig, ${bits - bucketBits})"))
-    val a = emb.select(col("bucket"), col("vec_id").as("id_a"),
-      col("embedding").as("emb_a"))
-    val b = emb.select(col("bucket"), col("vec_id").as("id_b"),
-      col("embedding").as("emb_b"))
+  def lshNearestMultiBandOf(emb: DataFrame, bands: Int, bits: Int): DataFrame = {
+    import graft.plans.SketchCols
+    val sigs = emb.select(col("vec_id"),
+      explode(SketchCols.hyperplaneBandBuckets(col("embedding"), bands, bits))
+        .as("bucket"))
+    val cand = sigs.as("a").join(sigs.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct() // a pair agreeing in several bands counts once
+    val pairs = cand.union(cand.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     val w = Window.partitionBy(col("id_a")).orderBy(col("sim").desc, col("id_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") =!= col("id_b"))
+    pairs
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
       .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
-      .select(col("id_a").as("vec_id"), col("id_b").as("nearest_in_bucket"),
+      .select(col("id_a").as("vec_id"), col("id_b").as("nearest_candidate"),
         round(col("sim"), 4).as("sim"))
       .orderBy(col("vec_id"))
   }

@@ -70,10 +70,26 @@ object Multimodal {
     }(enc)
   }
 
-  /** Metadata projection (no blob materialization downstream). */
-  def mediaMeta(spark: SparkSession, d: String): DataFrame =
-    mediaTable(spark, d)
-      .select(col("media_id"), col("byte_len"), col("width"), col("height"),
-        col("n_frames"), col("codec"), col("frame0_hex"))
+  /** Metadata projection — fully declarative. The probe fields are pure
+    * functions of media_id/byte length (the FakeCodec contract), so a
+    * metadata-only query must stay a column projection: it keeps
+    * whole-stage codegen, lets parquet prune the blob column's pages where
+    * the layout allows, and never routes blobs through a JVM row
+    * round-trip. The `mapPartitions` decode seam ([[mediaTable]]) is
+    * reserved for consumers that actually need decoded frames.
+    */
+  def mediaMeta(spark: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(spark, d)
+      .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("blob"))
+    src.select(
+      col("media_id"),
+      length(col("blob")).cast("int").as("byte_len"),
+      (lit(16) + col("media_id") % 64).cast("int").as("width"),
+      (lit(16) + col("media_id") % 48).cast("int").as("height"),
+      (lit(1) + length(col("blob")) % 7).cast("int").as("n_frames"),
+      when(col("media_id") % 2 === 0, "fake-h264").otherwise("fake-av1").as("codec"),
+      // frame 0 = first min(8, len) bytes (FakeCodec.sampleFrame(blob, 0))
+      hex(substring(col("blob"), 1, 8)).as("frame0_hex"))
       .orderBy(col("media_id"))
+  }
 }

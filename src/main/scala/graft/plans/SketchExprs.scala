@@ -65,6 +65,53 @@ object SketchUtil {
     new GenericArrayData(buckets)
   }
 
+  /** Deterministic ±1 hyperplane components for random-hyperplane LSH:
+    * plane p's component for dimension i is sign(XXH64(i, XXH64(p, 42))).
+    * Cached per (planes, dim) — identical on every executor (hash-derived,
+    * no model state to ship), computed once per JVM, so the per-row cost is
+    * a pure dense dot product.
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Float]]]()
+
+  private def signPlanes(planes: Int, dim: Int): Array[Array[Float]] =
+    planeCache.computeIfAbsent((planes, dim), { case (p, d) =>
+      Array.tabulate(p) { plane =>
+        val base = XXH64.hashInt(plane, 42L)
+        Array.tabulate(d)(i => if ((XXH64.hashInt(i, base) & 1L) == 1L) 1.0f else -1.0f)
+      }
+    })
+
+  /** Random-hyperplane band buckets over a float embedding: band b's key
+    * packs `bits` sign bits (bit j = sign(v · h_{b·bits+j}) > 0) and mixes
+    * in the band index via XXH64, so keys never collide across bands.
+    * Bucket cardinality grows with the data (2^bits per band), unlike a
+    * fixed global bucket count — no O(n²/#buckets) blow-up at scale.
+    * Returns null for an empty vector.
+    */
+  def hyperplaneBandBuckets(vec: ArrayData, bands: Int, bits: Int): ArrayData = {
+    val dim = vec.numElements()
+    if (dim == 0) return null
+    val planes = signPlanes(bands * bits, dim)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var j = 0
+      while (j < bits) {
+        val h = planes(b * bits + j)
+        var dot = 0.0
+        var i = 0
+        while (i < dim) { dot += vec.getFloat(i) * h(i); i += 1 }
+        if (dot > 0) key |= (1L << j)
+        j += 1
+      }
+      out(b) = XXH64.hashLong(key, XXH64.hashInt(b, 42L))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over token hashes: bit j's vote is Σ over tokens of
     * (+1 if bit j of the token hash is set else −1); the output bit is set
     * when the vote is positive — identical to the SQL
@@ -144,6 +191,37 @@ case class SimHash64(child: Expression) extends UnaryExpression with LongArrayIn
     copy(child = newChild)
 }
 
+/** `hyperplane_band_buckets(embedding)` → ARRAY<BIGINT> of `bands` LSH band
+  * keys (see [[SketchUtil.hyperplaneBandBuckets]]).
+  */
+case class HyperplaneBandBuckets(child: Expression, bands: Int, bits: Int)
+    extends UnaryExpression {
+
+  require(bits > 0 && bits <= 63, "bits must be in 1..63")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<FLOAT>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "hyperplane_band_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchUtil.hyperplaneBandBuckets(input.asInstanceOf[ArrayData], bands, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.SketchUtil.hyperplaneBandBuckets($c, $bands, $bits);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBandBuckets =
+    copy(child = newChild)
+}
+
 /** Column-level entry points. */
 object SketchCols {
   def minHashBandBuckets(c: Column, numHashes: Int, bands: Int): Column =
@@ -151,4 +229,7 @@ object SketchCols {
 
   def simHash64(c: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(c)))
+
+  def hyperplaneBandBuckets(c: Column, bands: Int, bits: Int): Column =
+    Bridge.column(HyperplaneBandBuckets(Bridge.expression(c), bands, bits))
 }

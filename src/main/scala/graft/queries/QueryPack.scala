@@ -168,7 +168,7 @@ object QueryPack {
 
     // ---- similarity search ----
     "ann01_brute_topk"  -> ((s, d) => Ann.bruteForceTopK(s, d)),
-    "ann02_lsh_bucket"  -> ((s, d) => Ann.lshNearestInBucket(s, d)), // rows-only
+    "ann02_lsh_bucket"  -> ((s, d) => Ann.lshNearestMultiBand(s, d)), // rows-only
     "ann03_label_stats" -> ((s, d) => Ann.labelStats(s, d)),
 
     // ---- multimodal ----

@@ -131,6 +131,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(df.count() == Tables.documents(spark, sf).count())
   }
 
+  test("multi-band LSH: high recall on planted near-duplicates") {
+    import graft.operators.ann.Ann
+    // The sf embeddings are near-random (exact top-1 cosine ≈ 0.36), where
+    // any LSH necessarily has ~zero recall — so recall is asserted on
+    // PLANTED near-dups: each vector gets a copy (vec_id + 100000) with
+    // ~3/64 dims sign-flipped (cosine ≈ 0.90), the regime LSH targets.
+    val base = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val planted = base.select(($"vec_id" + 100000L).as("vec_id"),
+      transform($"embedding", (x, i) =>
+        when(($"vec_id" + i) % 21 === 0, -x).otherwise(x)).as("embedding"))
+    val lsh = Ann.lshNearestMultiBandOf(base.union(planted), bands = 8, bits = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = base.count()
+    val hits = (0L until n).count(i => lsh.get(i).contains(i + 100000L))
+    assert(hits >= (n * 0.6).toLong,
+      s"planted-pair recall $hits/$n below 60% — banding broken")
+    // and the found neighbors really are the correlated copies: well above
+    // the background max cosine (≈0.39), if not always 0.9 (flipping a
+    // high-magnitude dim costs more than 2/64 of the norm)
+    val simLow = Ann.lshNearestMultiBandOf(base.union(planted), 8, 10)
+      .filter($"vec_id" < 100000L && $"nearest_candidate" === $"vec_id" + 100000L)
+      .filter($"sim" < 0.5).count()
+    assert(simLow == 0)
+  }
+
+  test("mediaMeta declarative projection matches the codec-seam derivation") {
+    import graft.operators.multimodal.Multimodal
+    val declarative = Multimodal.mediaMeta(spark, sf).collect()
+    val viaCodec = Multimodal.mediaTable(spark, sf)
+      .select(col("media_id"), col("byte_len"), col("width"), col("height"),
+        col("n_frames"), col("codec"), col("frame0_hex"))
+      .orderBy(col("media_id")).collect()
+    assert(declarative.length == viaCodec.length && declarative.length > 0)
+    declarative.zip(viaCodec).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("brute-force knn: k rows per query, sims descending") {
     val rows = graft.operators.ann.Ann.bruteForceTopK(spark, sf, nQueries = 4, k = 3)
       .collect()
