@@ -41,6 +41,27 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE-style pre-tokenizer (simplified GPT-2 splitter, engine-portable
+    * alphabet): a token is an optionally space-prefixed letter run, digit
+    * run, or punctuation run. Counts the sub-word boundary units a BPE
+    * tokenizer would start from — the standard "token budget" estimate for
+    * training-data accounting.
+    */
+  val bpePattern: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+
+  /** Per-doc token-budget view: whitespace words vs BPE-ish units. */
+  def bpeTokens(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).as("n_ws_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"))
+      .withColumn("bpe_per_word",
+        col("n_bpe_tokens").cast("double") / col("n_ws_tokens"))
+      .orderBy(col("doc_id"))
+
   /** Quality-score features: ratios of identical integer counts, so the
     * doubles are bit-identical on any engine computing the same division.
     */

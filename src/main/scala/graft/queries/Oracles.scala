@@ -252,6 +252,18 @@ SELECT seq, (xid + 1) * 65536 AS lsn, xid, op, schema_name, table_name,
        commit_ms, k, val_cents, record_id
 FROM changes ORDER BY seq""",
 
+    "cdc15_stream_hourly" -> s"""$changesCte
+SELECT commit_ms - commit_ms % 3600000 AS hour_ms, table_name, op,
+       count(*) AS n
+FROM changes GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    "txt05_bpe_tokens" -> s"""$toksCte
+SELECT doc_id, len(t) AS n_ws_tokens,
+  len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS n_bpe_tokens,
+  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS DOUBLE)
+    / len(t) AS bpe_per_word
+FROM toks ORDER BY doc_id""",
+
     "cdc10_cast_scalars" -> s"""$changesCte,
 built AS (
   SELECT seq, k, val_cents,

@@ -151,6 +151,7 @@ object QueryPack {
     "cdc12_decode"           -> ((s, d) => decodeShowcase(s)), // D1-D11
     "cdc13_typed_records"    -> ((s, d) => typedRecordsShowcase(s)), // P3 (real lane)
     "cdc14_stream_replay"    -> ((s, d) => streamReplay(s, d)), // S1-S7 + P1 + P3
+    "cdc15_stream_hourly"    -> ((s, d) => streamHourly(s, d)), // §2.7 streaming agg
 
     // ---- text analysis ----
     "txt01_token_stats" -> ((s, d) => TextOps.tokenStats(s, d)),
@@ -159,6 +160,7 @@ object QueryPack {
     "txt04_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)
       .select(col("doc_id"), col("fp_md5"))
       .orderBy(col("doc_id"))),
+    "txt05_bpe_tokens"  -> ((s, d) => TextOps.bpeTokens(s, d)),
 
     // ---- dedup ----
     "dd01_exact_dedup"   -> ((s, d) => Dedup.exact(s, d)),
@@ -323,6 +325,35 @@ object QueryPack {
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(600000)
     spark.table(qname).orderBy(col("seq"))
+  }
+
+  /** Streaming event-time windowed aggregation over the replayed CDC
+    * stream (§2.7: the analytics the reference lacks, on the stream the
+    * reference provides): hourly change counts per (table, op), grouped on
+    * the event-time `window()` of each record's updated_at. Complete
+    * output mode — the aggregation state is the running answer; the
+    * append-mode + watermark lane is exercised in StreamingCdcSpec, where
+    * window closure can be driven deterministically.
+    */
+  def streamHourly(spark: SparkSession, d: String): DataFrame = {
+    val dir = ensureWalFixture(spark, d)
+    val raw = spark.readStream.format(classOf[CdcSourceProvider].getName)
+      .option("path", dir).option("publication", "graft_pub")
+      .load()
+    val rec = coalesce(col("record"), col("old_record"))
+    val ev = TxnAssembler.assemble(raw).toDF()
+      .select(col("table_name"), col("op"),
+        timestamp_millis(element_at(rec, "updated_at").cast("long")).as("ts"))
+    val agg = ev
+      .groupBy(window(col("ts"), "1 hour"), col("table_name"), col("op"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("hour_ms"),
+        col("table_name"), col("op"), col("n"))
+    val qname = s"graft_cdc15_${replayQueryCount.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(qname)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(600000)
+    spark.table(qname).orderBy(col("hour_ms"), col("table_name"), col("op"))
   }
 
   /** Render the sf change set as WAL segments once per (JVM, sf dir);

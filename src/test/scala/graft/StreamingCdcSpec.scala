@@ -305,6 +305,56 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(sideFired.await(10, java.util.concurrent.TimeUnit.SECONDS), "side effect fired")
   }
 
+  test("I1: supervisor restarts a failed query from checkpoint and completes delivery") {
+    val dir = tmpDir("sup")
+    val ckpt = tmpDir("sup-ckpt")
+    WalFixture.writeSegments(dir,
+      (0 until 6).map(i => mkChange(i, i, "insert", "user", recordId = i)))
+    val seen = scala.collection.concurrent.TrieMap.empty[String, Int]
+    val failedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sup = new Supervisor(maxRestarts = 3, backoffMs = 10)
+    sup.runBlocking { () =>
+      readStreamFrom(dir).writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!failedOnce.getAndSet(true)) throw new RuntimeException("boom")
+          b.filter($"msg" === "insert").collect().foreach { r =>
+            seen(r.getAs[Map[String, String]]("record")("id")) = 1
+          }
+          ()
+        }.start()
+    }
+    assert(sup.restarts == 1)
+    assert(seen.keySet == (0 until 6).map(_.toString).toSet)
+  }
+
+  test("watermark closes event-time windows in append mode") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val h0 = 3600000L * 500000 // an exact hour boundary
+    val agg = ms.toDF().toDF("ts_ms", "k")
+      .select(timestamp_millis($"ts_ms").as("ts"), $"k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"k")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis($"window.start").as("hour_ms"), $"k", $"n")
+    val q = agg.writeStream.format("memory").queryName("t_wm")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    ms.addData((h0 + 300000, "a"), (h0 + 600000, "a"))
+    q.processAllAvailable()
+    assert(spark.table("t_wm").count() == 0, "open window must not emit")
+
+    ms.addData((h0 + 2 * 3600000L, "a")) // watermark sails past h0+1h
+    q.processAllAvailable()
+    ms.addData((h0 + 3 * 3600000L, "a")) // nudge a further batch
+    q.processAllAvailable()
+    val closed = spark.table("t_wm").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(closed.contains((h0, 2L)), s"closed windows: ${closed.toSeq}")
+    q.stop()
+  }
+
   test("end-to-end: source → assembly → events → engine over a real stream") {
     val dir = tmpDir("e2e")
     val changes = Seq(
