@@ -132,12 +132,17 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[Filte
   private val ackPath = Option(options.get("ackPath"))
 
   // S2: publication fail-fast — construction happens at stream start.
-  Option(options.get("publication")).foreach { pub =>
-    if (WalSegments.publicationTables(dir, pub).isEmpty)
-      throw new IllegalStateException(
-        s"publication '$pub' does not exist in $dir " +
-          "(reference semantics: server.ex:75-83 fails fast before replication)")
-  }
+  // The publication's table list also filters data frames at decode
+  // (F8 server-side analogue: a Postgres publication drops unpublished
+  // tables before the wire, README.md:69-83).
+  private val publicationTables: Option[Set[String]] =
+    Option(options.get("publication")).map { pub =>
+      WalSegments.publicationTables(dir, pub).getOrElse(
+        throw new IllegalStateException(
+          s"publication '$pub' does not exist in $dir " +
+            "(reference semantics: server.ex:75-83 fails fast before replication)"))
+        .toSet
+    }
 
   /** Cumulative frame counts per segment; segments are immutable once
     * written, so counts are cached. New segments extend the list.
@@ -198,7 +203,7 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[Filte
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdcReaderFactory(pushed)
+    new CdcReaderFactory(pushed, publicationTables)
 
   /** S6/I6: offset ack — the standby-status-update equivalent. Durable
     * bookkeeping lives in the checkpoint; `ackPath` additionally surfaces
@@ -216,9 +221,11 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[Filte
 case class CdcInputPartition(path: String, segStartSeq: Long, skip: Long, take: Long)
     extends InputPartition
 
-class CdcReaderFactory(pushed: Array[Filter]) extends PartitionReaderFactory {
+class CdcReaderFactory(pushed: Array[Filter], publicationTables: Option[Set[String]])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new CdcPartitionReader(partition.asInstanceOf[CdcInputPartition], pushed)
+    new CdcPartitionReader(partition.asInstanceOf[CdcInputPartition], pushed,
+      publicationTables)
 }
 
 /** Decodes one segment slice. The full segment prefix is scanned (metadata
@@ -226,7 +233,8 @@ class CdcReaderFactory(pushed: Array[Filter]) extends PartitionReaderFactory {
   * frames in [skip, skip+take) emit rows — a cheap forward skip, since
   * decode is a single pass and segments are bounded.
   */
-class CdcPartitionReader(part: CdcInputPartition, pushed: Array[Filter])
+class CdcPartitionReader(part: CdcInputPartition, pushed: Array[Filter],
+    publicationTables: Option[Set[String]] = None)
     extends PartitionReader[InternalRow] {
 
   private val frames = WalSegments.readFrames(Paths.get(part.path))
@@ -341,6 +349,8 @@ class CdcPartitionReader(part: CdcInputPartition, pushed: Array[Filter])
       oldKind: String = null): Unit = {
     val rel = registry.relation(relId)
     val (schema, table) = rel.map(r => (r.namespace, r.name)).getOrElse((null, null))
+    // F8: unpublished tables never leave the source (publication filter)
+    if (publicationTables.exists(pub => !pub.contains(s"$schema.$table"))) return
     if (!passes(schema, table, msg)) return
     val cols = rel.map(_.columns).getOrElse(Seq.empty)
     val toast: ArrayData =

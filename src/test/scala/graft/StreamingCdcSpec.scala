@@ -355,6 +355,28 @@ class StreamingCdcSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("Graft facade: config-driven pipeline with publication (F8) filtering at the source") {
+    val dir = tmpDir("graft")
+    WalFixture.writeSegments(dir, Seq(
+      mkChange(1, 0, "insert", "user", recordId = 1),
+      mkChange(2, 0, "insert", "todo", recordId = 2),
+      mkChange(3, 1, "insert", "order", recordId = 3),
+      mkChange(4, 1, "update", "user", recordId = 4)))
+    // a narrower publication than the default graft_pub: only public.user
+    WalSegments.writePublication(dir, "user_only", Seq("public.user"))
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val engine = new Engine().onEvent("*") { df =>
+      seen ++= df.select("type", "name").collect().map(r => (r.getString(0), r.getString(1)))
+    }
+    val config = GraftConfig("demo", publication = Some("user_only"),
+      subscriptions = Seq("user"), maxFramesPerTrigger = Some(1000))
+    val q = Graft.start(spark, config, dir, engine, trigger = Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    assert(seen.sorted.toSeq == Seq(("insert", "user"), ("update", "user")),
+      s"unpublished tables leaked: $seen")
+  }
+
   test("end-to-end: source → assembly → events → engine over a real stream") {
     val dir = tmpDir("e2e")
     val changes = Seq(
