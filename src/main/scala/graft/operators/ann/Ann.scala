@@ -86,11 +86,14 @@ object Ann {
     val sigs = emb.select(col("vec_id"),
       explode(SketchCols.hyperplaneBandBuckets(col("embedding"), bands, bits))
         .as("bucket"))
-    val cand = sigs.as("a").join(sigs.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+    // symmetric self-join (a ≠ b) yields both pair directions in ONE
+    // candidate subtree — an `a < b` join + union-of-swap would re-execute
+    // the whole band join twice (plan-audited: union of an uncached
+    // subquery duplicates its subplan)
+    val pairs = sigs.as("a").join(sigs.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct() // a pair agreeing in several bands counts once
-    val pairs = cand.union(cand.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     val w = Window.partitionBy(col("id_a")).orderBy(col("sim").desc, col("id_b"))
     pairs
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))

@@ -188,18 +188,27 @@ object WalFixture {
       PgType(35756, "public", "citext")
 
   /** Write the change set as WAL segments + publication manifest.
-    * Deterministic: same changes → byte-identical segments.
+    * Deterministic: same changes → byte-identical segments. Segments are
+    * independent, so encode+write fans out across cores (fixture
+    * generation is harness scaffolding, but it sits inside measured
+    * benchmark time — keep it off the critical path).
     */
   def writeSegments(dir: String, changes: Seq[Change], txnsPerSegment: Int = 64,
       publication: String = "graft_pub"): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val d = Paths.get(dir)
     Files.createDirectories(d)
     val txns = changes.groupBy(_.xid).toSeq.sortBy(_._1)
       .map { case (_, cs) => cs.sortBy(_.seq) }
-    txns.grouped(txnsPerSegment).zipWithIndex.foreach { case (group, i) =>
-      val frames = (headerFrames ++ group.flatMap(txnFrames)).map(PgOutputEncoder.encode)
-      WalSegments.write(d.resolve(WalSegments.segmentName(i)), frames)
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val writes = txns.grouped(txnsPerSegment).zipWithIndex.toSeq.map { case (group, i) =>
+      Future {
+        val frames = (headerFrames ++ group.flatMap(txnFrames)).map(PgOutputEncoder.encode)
+        WalSegments.write(d.resolve(WalSegments.segmentName(i)), frames)
+      }
     }
+    Await.result(Future.sequence(writes), Duration.Inf)
     WalSegments.writePublication(dir, publication,
       relations.keys.toSeq.sorted.map(t => s"public.$t"))
   }

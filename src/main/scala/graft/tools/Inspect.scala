@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   runMain graft.tools.Inspect <parquetPath>
   *   runMain graft.tools.Inspect sql <sfDir> <SQL>   (tables registered as views)
+  *   runMain graft.tools.Inspect query <sfDir> <name[,name…]>  (SparkEntry plan audit)
   */
 object Inspect {
   val tables = Seq("region", "nation", "customer", "supplier", "part",
@@ -31,6 +32,11 @@ object Inspect {
         df.printSchema()
         df.show(20, truncate = false)
         df.explain("formatted")
+      case "query" :: sfDir :: names :: Nil =>
+        names.split(",").foreach { name =>
+          println(s"\n========== $name ==========")
+          graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+        }
       case path :: Nil =>
         val df = spark.read.parquet(path)
         df.printSchema()
