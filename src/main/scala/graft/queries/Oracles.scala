@@ -257,6 +257,15 @@ SELECT commit_ms - commit_ms % 3600000 AS hour_ms, table_name, op,
        count(*) AS n
 FROM changes GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
 
+    "cdc16_change_table" -> s"""$changesCte
+SELECT seq, xid, lsn, table_name AS name, op AS type, commit_ms AS timestamp_ms,
+  4 AS n_fields,
+  CASE WHEN op = 'update' THEN
+    1 + (CASE WHEN k IS NULL THEN 1 WHEN k % 3 <> 0 THEN 1 ELSE 0 END)
+      + (CASE WHEN k IS NOT NULL AND k % 5 <> 0 THEN 1 ELSE 0 END)
+  END AS n_changes
+FROM changes ORDER BY seq""",
+
     "txt05_bpe_tokens" -> s"""$toksCte
 SELECT doc_id, len(t) AS n_ws_tokens,
   len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS n_bpe_tokens,

@@ -152,6 +152,7 @@ object QueryPack {
     "cdc13_typed_records"    -> ((s, d) => typedRecordsShowcase(s)), // P3 (real lane)
     "cdc14_stream_replay"    -> ((s, d) => streamReplay(s, d)), // S1-S7 + P1 + P3
     "cdc15_stream_hourly"    -> ((s, d) => streamHourly(s, d)), // §2.7 streaming agg
+    "cdc16_change_table"     -> ((s, d) => streamChangeTable(s, d)), // S1 polling mode
 
     // ---- text analysis ----
     "txt01_token_stats" -> ((s, d) => TextOps.tokenStats(s, d)),
@@ -355,6 +356,45 @@ object QueryPack {
     q.awaitTermination(600000)
     spark.table(qname).orderBy(col("hour_ms"), col("table_name"), col("op"))
   }
+
+  /** S1's second mode — the JDBC-polling-shaped change-table lane
+    * (Graft.eventsFromChangeTable): the sf change set exported as an
+    * LSN-stamped parquet change table, streamed through Spark's file
+    * source into the Event view. Verifies op-dependent payloads and the
+    * diff operator (n_changes) against the independent DuckDB derivation.
+    */
+  def streamChangeTable(spark: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Graft
+    val dir = ensureChangeTableFixture(spark, d)
+    val schema = spark.read.parquet(dir).schema
+    val ev = Graft.eventsFromChangeTable(spark, dir, schema)
+    val out = ev.select(
+      col("seq"), col("xid"), col("lsn"),
+      col("name"), col("type"), col("timestamp_ms"),
+      size(coalesce(col("new_record"), col("old_record"))).as("n_fields"),
+      when(col("type") === "update", size(col("changes"))).as("n_changes"))
+    val qname = s"graft_cdc16_${replayQueryCount.incrementAndGet()}"
+    val q = out.writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(600000)
+    spark.table(qname).orderBy(col("seq"))
+  }
+
+  private def ensureChangeTableFixture(spark: SparkSession, d: String): String =
+    fixtureLock.synchronized {
+      val sfName = java.nio.file.Paths.get(d).getFileName.toString
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_changetable", sfName)
+      if (java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) return dir.toString
+      ChangeStream.withRecords(ChangeStream.changes(spark, d))
+        .select(col("seq"), col("lsn"), col("xid"), col("op"),
+          col("schema_name"), col("table_name"),
+          (col("commit_ms") * 1000).as("commit_ts_us"),
+          col("new_record").as("record"), col("old_record"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(dir.toString)
+      dir.toString
+    }
 
   /** Render the sf change set as WAL segments once per (JVM, sf dir);
     * the collect is fixture *generation* (driver-side test harness), not

@@ -2,9 +2,10 @@ package graft.streaming
 
 import graft.operators.cdc.ChangeStream
 import graft.sources.cdc.CdcSourceProvider
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
 
 /** The assembled engine — the one-call equivalent of the reference's
   * `WalEx.Supervisor.start_link(config)` + `use WalEx.Event` module setup
@@ -44,6 +45,39 @@ object Graft {
         !col("msg").isin("insert", "update", "delete", "truncate") ||
           col("table_name").isin(config.subscriptions: _*))
     ChangeStream.eventsFromAssembled(TxnAssembler.assemble(subscribed).toDF())
+  }
+
+  /** The JDBC-polling-shaped ingestion lane (SURVEY §2.1 S1, the
+    * BASELINE approach): any incrementally-appended change table — rows
+    * exported from Postgres with LSN/xid stamps, a Debezium-style dump —
+    * becomes the same Event stream. High-watermark polling is Spark's own
+    * file-streaming source (new-file discovery per micro-batch); no custom
+    * polling loop to maintain. Polled rows are already committed, so no
+    * stateful Begin/Commit assembly is needed (SURVEY S1 note) — rows map
+    * straight onto the assembled-change shape; absent optional columns
+    * (old images, TOAST lists, column types) default to null.
+    *
+    * Required columns: seq, lsn, xid, op, table_name, record.
+    * Optional: schema_name, commit_ts_us, old_record, old_kind,
+    * toast_unchanged, col_types.
+    */
+  def eventsFromChangeTable(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    val raw = spark.readStream.schema(schema).parquet(path)
+    val cols = raw.columns.toSet
+    def opt(name: String, tpe: String): Column =
+      if (cols(name)) col(name) else lit(null).cast(tpe)
+    ChangeStream.eventsFromAssembled(raw.select(
+      col("xid"), col("lsn").as("commit_lsn"),
+      opt("commit_ts_us", "long").as("commit_ts_us"),
+      lit(0).as("change_idx"),
+      col("seq"), col("op"),
+      opt("schema_name", "string").as("schema_name"), col("table_name"),
+      opt("record", "map<string,string>").as("record"),
+      opt("old_record", "map<string,string>").as("old_record"),
+      opt("old_kind", "string").as("old_kind"),
+      opt("toast_unchanged", "array<string>").as("toast_unchanged"),
+      opt("col_types", "map<string,string>").as("col_types")))
   }
 
   /** Start the full engine: events → registered handlers, supervised per

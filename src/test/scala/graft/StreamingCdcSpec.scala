@@ -377,6 +377,30 @@ class StreamingCdcSpec extends AnyFunSuite {
       s"unpublished tables leaked: $seen")
   }
 
+  test("change-table polling lane discovers newly-appended files incrementally") {
+    val dir = tmpDir("poll")
+    def changeRows(from: Int, n: Int, table: String) =
+      (from until from + n).map(i => (i.toLong, 1000L + i, i.toLong / 2, "insert",
+        table, Map("id" -> i.toString, "v" -> (i * 10).toString)))
+        .toDF("seq", "lsn", "xid", "op", "table_name", "record")
+    changeRows(0, 3, "user").write.mode("append").parquet(dir)
+
+    val schema = spark.read.parquet(dir).schema
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val engine = new Engine().onInsert("user") { df =>
+      seen ++= df.select("seq").collect().map(_.getLong(0))
+    }
+    val q = engine.start(Graft.eventsFromChangeTable(spark, dir, schema),
+      queryName = "t_poll")
+    q.processAllAvailable()
+    assert(seen.sorted.toSeq == Seq(0L, 1L, 2L))
+
+    changeRows(3, 2, "user").write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    assert(seen.sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L), s"got $seen")
+    q.stop()
+  }
+
   test("end-to-end: source → assembly → events → engine over a real stream") {
     val dir = tmpDir("e2e")
     val changes = Seq(
