@@ -1,18 +1,19 @@
 package graft
 
-import graft.operators.cdc.ChangeStream
 import graft.queries.QueryPack
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** Flagship: the end-to-end CDC pipeline (derive change set → records →
-    * diffs → typed Events) on sf0.001; driver smoke-checks rows>0.
+  /** Flagship: the full streaming engine on sf0.001 — change set rendered
+    * as binary WAL segments, replayed through the DSv2 source, transaction-
+    * assembled, and projected to typed change rows (driver smoke-checks
+    * rows>0). This is the pipeline a walex user runs, end to end.
     */
   def entry(spark: SparkSession): DataFrame = {
     GraftSession.prepare(spark)
-    ChangeStream.events(spark, "/root/testdata/sf0.001")
+    QueryPack.streamReplay(spark, "/root/testdata/sf0.001")
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

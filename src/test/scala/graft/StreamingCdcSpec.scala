@@ -174,6 +174,43 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).getAs[Map[String, String]]("record")("seq") == "1")
   }
 
+  test("S5: offset-range planning splits exactly on segment boundaries") {
+    val dir = tmpDir("plan")
+    WalFixture.writeSegments(dir,
+      (0 until 9).map(i => mkChange(i, i, "insert", "user")), txnsPerSegment = 3)
+    // 3 segments × (4 header + 3×3 txn frames) = 13 frames each
+    val stream = new CdcMicroBatchStream(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir)), Array.empty)
+    def plan(s: Long, e: Long) =
+      stream.planInputPartitions(CdcOffset(s), CdcOffset(e))
+        .map(_.asInstanceOf[CdcInputPartition])
+        .map(p => (p.segStartSeq, p.skip, p.take)).toSeq
+    assert(stream.initialOffset() == CdcOffset(0))
+    assert(stream.latestOffset(CdcOffset(0),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      == CdcOffset(39))
+    // full range → one partition per segment, no skips
+    assert(plan(0, 39) == Seq((0, 0, 13), (13, 0, 13), (26, 0, 13)))
+    // mid-segment boundaries on both ends
+    assert(plan(5, 30) == Seq((0, 5, 8), (13, 0, 13), (26, 0, 4)))
+    // empty and sub-segment ranges
+    assert(plan(13, 13).isEmpty)
+    assert(plan(14, 20) == Seq((13, 1, 6)))
+  }
+
+  test("S6/I6: offset commit writes the standby-status ack file") {
+    val dir = tmpDir("ack")
+    val ack = tmpDir("ack-out") + "/committed.json"
+    WalFixture.writeSegments(dir, Seq(mkChange(1, 1, "insert", "user")))
+    // ≥2 batches: Spark acks batch n's offsets at the start of batch n+1
+    runToTable(readStreamFrom(dir, "ackPath" -> ack, "maxFramesPerTrigger" -> "3"),
+      "t_ack")
+    val content = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ack)), "UTF-8")
+    assert(content.contains("\"committed_frames\""), s"ack file: $content")
+  }
+
   // ---- P1: cross-batch transaction assembly ----
 
   private def msgRow(seq: Long, lsn: Long, xid: Long, msg: String,
