@@ -62,6 +62,68 @@ object TextOps {
         col("n_bpe_tokens").cast("double") / col("n_ws_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Character-trigram language ID (the n-gram heuristic lane; the
+    * stopword lane is [[langId]]): score = share of the doc's first-200-char
+    * trigrams that appear in a fixed English trigram profile. Pure
+    * expressions over a bounded prefix — O(200) per doc regardless of doc
+    * size, single scan, no shuffle.
+    */
+  val enTrigramProfile: Seq[String] = Seq(
+    "the", "and", "ing", "ion", "tio", "ent", "ati", "for", "her", "ter",
+    "hat", "tha", "ere", "ate", "his", "con", "res", "ver", "all", "ons")
+
+  def langIdNgram(spark: SparkSession, d: String): DataFrame = {
+    val profile = enTrigramProfile.map(t => s"'$t'").mkString("array(", ",", ")")
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"),
+        lower(substring(col("text"), 1, 200)).as("t"))
+      .withColumn("trigs", expr(
+        "CASE WHEN length(t) >= 3 THEN transform(sequence(1, length(t)-2), i -> substring(t, i, 3)) ELSE array() END"))
+      .select(col("doc_id"), col("lang"),
+        size(col("trigs")).as("n_trigrams"),
+        expr(s"size(filter(trigs, g -> array_contains($profile, g)))").as("n_en_hits"))
+      .withColumn("en_ngram_score",
+        when(col("n_trigrams") > 0,
+          col("n_en_hits").cast("double") / col("n_trigrams")).otherwise(lit(0.0)))
+      .withColumn("lang_guess",
+        when(col("en_ngram_score") >= 0.08, "en")
+          .when(col("en_ngram_score") >= 0.03, "maybe-en")
+          .otherwise("other"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Winnowing document fingerprints (rolling-hash lane; MOSS-style):
+    * 5-gram polynomial rolling hashes over the sanitized 128-char prefix,
+    * then the minimum per sliding window of 4 — the classic winnowing
+    * selection (any shared substring ≥ 8 chars shares a fingerprint).
+    * The hash is a base-31 polynomial over code points, kept engine-exact
+    * (< 2^63, ASCII-sanitized input so code-point semantics agree
+    * everywhere).
+    */
+  def winnowFingerprints(spark: SparkSession, d: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    val poly = (0 until k).map(j =>
+      s"ascii(substring(t, i+$j, 1)) * ${math.pow(31, k - 1 - j).toLong}L")
+      .mkString(" + ")
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        regexp_replace(lower(substring(col("text"), 1, 128)), "[^a-z0-9 ]", "")
+          .as("t"))
+      .withColumn("h", expr(
+        s"CASE WHEN length(t) >= $k THEN transform(sequence(1, length(t)-${k - 1}), i -> $poly) ELSE array() END"))
+      .withColumn("fps", expr(
+        s"CASE WHEN size(h) >= $w THEN array_distinct(transform(sequence(1, size(h)-${w - 1}), j -> array_min(slice(h, j, $w)))) ELSE array_distinct(h) END"))
+      .select(col("doc_id"),
+        size(col("h")).as("n_kgrams"),
+        size(col("fps")).as("n_fps"),
+        array_min(col("fps")).as("fp_min"),
+        array_max(col("fps")).as("fp_max"),
+        // empty → NULL to agree with SQL list_sum([]) semantics cross-engine
+        when(size(col("fps")) > 0,
+          expr("aggregate(fps, 0L, (a, x) -> a + x)")).as("fp_sum"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Quality-score features: ratios of identical integer counts, so the
     * doubles are bit-identical on any engine computing the same division.
     */

@@ -266,6 +266,70 @@ SELECT seq, xid, lsn, table_name AS name, op AS type, commit_ms AS timestamp_ms,
   END AS n_changes
 FROM changes ORDER BY seq""",
 
+    "txt06_langid_ngram" -> """
+WITH pre AS (
+  SELECT doc_id, lang, lower(substr(text, 1, 200)) AS t FROM documents),
+trig AS (
+  SELECT doc_id, lang,
+    CASE WHEN length(t) >= 3
+         THEN list_transform(range(1, length(t) - 1), i -> substr(t, i, 3))
+         ELSE [] END AS trigs
+  FROM pre)
+SELECT doc_id, lang,
+  len(trigs) AS n_trigrams,
+  len(list_filter(trigs, g -> list_contains(
+    ['the','and','ing','ion','tio','ent','ati','for','her','ter',
+     'hat','tha','ere','ate','his','con','res','ver','all','ons'], g))) AS n_en_hits,
+  CASE WHEN len(trigs) > 0
+       THEN CAST(len(list_filter(trigs, g -> list_contains(
+         ['the','and','ing','ion','tio','ent','ati','for','her','ter',
+          'hat','tha','ere','ate','his','con','res','ver','all','ons'], g))) AS DOUBLE)
+            / len(trigs)
+       ELSE 0.0 END AS en_ngram_score,
+  CASE WHEN CASE WHEN len(trigs) > 0
+       THEN CAST(len(list_filter(trigs, g -> list_contains(
+         ['the','and','ing','ion','tio','ent','ati','for','her','ter',
+          'hat','tha','ere','ate','his','con','res','ver','all','ons'], g))) AS DOUBLE)
+            / len(trigs) ELSE 0.0 END >= 0.08 THEN 'en'
+       WHEN CASE WHEN len(trigs) > 0
+       THEN CAST(len(list_filter(trigs, g -> list_contains(
+         ['the','and','ing','ion','tio','ent','ati','for','her','ter',
+          'hat','tha','ere','ate','his','con','res','ver','all','ons'], g))) AS DOUBLE)
+            / len(trigs) ELSE 0.0 END >= 0.03 THEN 'maybe-en'
+       ELSE 'other' END AS lang_guess
+FROM trig ORDER BY doc_id""",
+
+    "txt07_winnow_fp" -> """
+WITH pre AS (
+  SELECT doc_id,
+    regexp_replace(lower(substr(text, 1, 128)), '[^a-z0-9 ]', '', 'g') AS t
+  FROM documents),
+kg AS (
+  SELECT doc_id,
+    CASE WHEN length(t) >= 5
+         THEN list_transform(range(1, length(t) - 3), i ->
+           unicode(substr(t, i, 1)) * 923521
+           + unicode(substr(t, i + 1, 1)) * 29791
+           + unicode(substr(t, i + 2, 1)) * 961
+           + unicode(substr(t, i + 3, 1)) * 31
+           + unicode(substr(t, i + 4, 1)))
+         ELSE [] END AS h
+  FROM pre),
+fp AS (
+  SELECT doc_id, h,
+    CASE WHEN len(h) >= 4
+         THEN list_distinct(list_transform(range(1, len(h) - 2), j ->
+           list_min(h[j:j+3])))
+         ELSE list_distinct(h) END AS fps
+  FROM kg)
+SELECT doc_id,
+  len(h) AS n_kgrams,
+  len(fps) AS n_fps,
+  list_min(fps) AS fp_min,
+  list_max(fps) AS fp_max,
+  CAST(list_sum(fps) AS BIGINT) AS fp_sum
+FROM fp ORDER BY doc_id""",
+
     "txt05_bpe_tokens" -> s"""$toksCte
 SELECT doc_id, len(t) AS n_ws_tokens,
   len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS n_bpe_tokens,

@@ -162,6 +162,8 @@ object QueryPack {
       .select(col("doc_id"), col("fp_md5"))
       .orderBy(col("doc_id"))),
     "txt05_bpe_tokens"  -> ((s, d) => TextOps.bpeTokens(s, d)),
+    "txt06_langid_ngram" -> ((s, d) => TextOps.langIdNgram(s, d)),
+    "txt07_winnow_fp"    -> ((s, d) => TextOps.winnowFingerprints(s, d)),
 
     // ---- dedup ----
     "dd01_exact_dedup"   -> ((s, d) => Dedup.exact(s, d)),
