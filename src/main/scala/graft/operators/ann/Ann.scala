@@ -81,23 +81,31 @@ object Ann {
     * (per-bit ≈ 0.5) pass a band with p ≈ 2^-10 — candidate volume stays
     * ≈ b·n²/2^bits only for truly-correlated data, not globally quadratic.
     */
-  def lshNearestMultiBandOf(emb: DataFrame, bands: Int, bits: Int): DataFrame = {
+  /** Directed LSH candidate pairs with embeddings attached — the shared
+    * core of nearest-neighbor ([[lshNearestMultiBandOf]]) and cosine
+    * near-dup dedup (graft.operators.dedup.Dedup.cosineNearDups).
+    * The symmetric self-join (a ≠ b) yields both pair directions in ONE
+    * candidate subtree — an `a < b` join + union-of-swap would re-execute
+    * the whole band join twice (plan-audited: union of an uncached
+    * subquery duplicates its subplan). Ids-only through the band shuffle;
+    * embeddings re-attach after pair dedup.
+    */
+  def lshCandidatePairs(emb: DataFrame, bands: Int, bits: Int): DataFrame = {
     import graft.plans.SketchCols
     val sigs = emb.select(col("vec_id"),
       explode(SketchCols.hyperplaneBandBuckets(col("embedding"), bands, bits))
         .as("bucket"))
-    // symmetric self-join (a ≠ b) yields both pair directions in ONE
-    // candidate subtree — an `a < b` join + union-of-swap would re-execute
-    // the whole band join twice (plan-audited: union of an uncached
-    // subquery duplicates its subplan)
-    val pairs = sigs.as("a").join(sigs.as("b"),
+    sigs.as("a").join(sigs.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct() // a pair agreeing in several bands counts once
-    val w = Window.partitionBy(col("id_a")).orderBy(col("sim").desc, col("id_b"))
-    pairs
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
       .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
+  }
+
+  def lshNearestMultiBandOf(emb: DataFrame, bands: Int, bits: Int): DataFrame = {
+    val w = Window.partitionBy(col("id_a")).orderBy(col("sim").desc, col("id_b"))
+    lshCandidatePairs(emb, bands, bits)
       .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)

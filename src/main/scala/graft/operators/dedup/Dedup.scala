@@ -157,4 +157,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Embedding-cosine near-duplicate pairs: multi-band hyperplane LSH
+    * candidates (graft.operators.ann.Ann.lshCandidatePairs) → exact cosine
+    * ≥ threshold. The scale path for semantic dedup — no all-pairs stage.
+    *
+    * The synthetic embeddings are near-random (max pair cosine ≈ 0.4), so
+    * a near-dup operator over them alone is trivially empty; like the CDC
+    * lane derives its change set from `events`, this derives a corpus with
+    * deterministic noisy duplicates (sign-flip-perturbed copies at
+    * vec_id + 100000, cosine ≈ 0.9 to their originals) and reports the
+    * near-dup pairs found. rows-only driver check: LSH recall is
+    * probabilistic by design.
+    */
+  def cosineNearDups(spark: SparkSession, d: String,
+      threshold: Double = 0.5, bands: Int = 8, bits: Int = 10): DataFrame = {
+    import graft.operators.ann.Ann
+    val base = Tables.spread(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding")))
+    val planted = base.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when((col("vec_id") + i) % 21 === 0, -x).otherwise(x)).as("embedding"))
+    Ann.lshCandidatePairs(base.union(planted), bands, bits)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", Ann.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

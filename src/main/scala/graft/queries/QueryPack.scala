@@ -170,6 +170,7 @@ object QueryPack {
     "dd02_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dd03_minhash_lsh"   -> ((s, d) => Dedup.minHashLsh(s, d)),      // rows-only
     "dd04_simhash"       -> ((s, d) => Dedup.simHashPairs(s, d)),    // rows-only
+    "dd05_cosine_neardup" -> ((s, d) => Dedup.cosineNearDups(s, d)), // rows-only
 
     // ---- similarity search ----
     "ann01_brute_topk"  -> ((s, d) => Ann.bruteForceTopK(s, d)),

@@ -95,4 +95,31 @@ class PgArrayParserSpec extends AnyFunSuite {
       assert(ok(lit) == rows.map(_.map(_.toString)))
     }
   }
+
+  test("property: arbitrary quoted strings/nulls/nesting round-trip (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // adversarial scalars: braces, commas, quotes, backslashes, NULL-the-word,
+    // whitespace, unicode — all must survive the quote/escape/parse cycle
+    val scalar: Gen[Any] = Gen.oneOf(
+      Gen.const(null),
+      Gen.oneOf("", "NULL", "a,b", "{", "}", "\\", "\"", "  ", "日本", "a\"b\\c"),
+      Gen.asciiPrintableStr)
+    def arrGen(depth: Int): Gen[List[Any]] =
+      Gen.choose(0, 4).flatMap { n =>
+        Gen.listOfN(n,
+          if (depth == 0) scalar
+          else Gen.frequency(4 -> scalar, 1 -> arrGen(depth - 1).map(x => x: Any)))
+      }
+    def render(l: List[Any]): String = l.map {
+      case null         => "NULL"
+      case s: String    => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      case sub: List[_] => render(sub.asInstanceOf[List[Any]])
+    }.mkString("{", ",", "}")
+    val prop = Prop.forAll(arrGen(2)) { arr =>
+      PgArrayParser.parse(render(arr)) == Right(arr)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
