@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the properties that make these
+  * operators scale are asserted, not just eyeballed — a future edit that
+  * reintroduces a sort-merge join on a broadcastable dim, a JVM row
+  * round-trip on a metadata query, or a duplicated candidate subtree
+  * fails here before it costs anything at 100 TB.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q03: every dimension join broadcasts; no sort-merge join") {
+    val p = plan("q03_revenue_by_nation")
+    assert(!p.contains("SortMergeJoin"), "dim join fell back to SMJ")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
+  }
+
+  test("q06: filters reach the parquet scan") {
+    val p = plan("q06_top_customers")
+    assert(p.contains("PushedFilters: [IsNotNull"), "no filters pushed to scan")
+  }
+
+  test("mm01: metadata projection has no JVM object round-trip") {
+    val p = plan("mm01_media_meta")
+    assert(!p.contains("MapPartitions") && !p.contains("DeserializeToObject"),
+      "metadata query re-grew an object lane")
+  }
+
+  test("ann02: single candidate subtree (no duplicated band join)") {
+    val p = plan("ann02_lsh_bucket")
+    // one explode per join side = exactly 2 Generate nodes
+    assert("Generate ".r.findAllIn(p).size == 2,
+      "candidate subplan duplicated (union-of-swap regression)")
+  }
+
+  test("dd03: band shuffle carries ids+buckets only, not shingle arrays") {
+    val p = plan("dd03_minhash_lsh")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .mkString("\n")
+    assert(!exchanges.contains("sh#"),
+      s"shingle array column rides a shuffle:\n$exchanges")
+  }
+
+  test("whole-stage codegen covers the scan pipelines of every analytics query") {
+    Seq("q01_pricing_summary", "q04_forecast_revenue", "txt01_token_stats")
+      .foreach { q =>
+        val df = SparkEntry.queries(q)(spark, sf)
+        df.collect() // AQE only materializes the final plan on execution
+        // `*(n)` prefixes mark WholeStageCodegen stages in the plan rendering
+        assert(df.queryExecution.executedPlan.toString.contains("*(1)"),
+          s"$q lost codegen")
+      }
+  }
+}
