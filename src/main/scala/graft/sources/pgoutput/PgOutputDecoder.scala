@@ -119,14 +119,19 @@ object PgOutputDecoder {
 
   private def readLsn(buf: ByteBuffer): Lsn = Lsn(buf.getInt, buf.getInt)
 
+  /** NUL-terminated string; end-of-frame also terminates (the reference
+    * reads Origin's name as the frame remainder with no trailing NUL —
+    * decoder_test.exs:46-52 — and real servers send both forms).
+    */
   private def readCString(buf: ByteBuffer): String = {
     val start = buf.position()
-    while (buf.get(buf.position()) != 0) buf.position(buf.position() + 1)
+    while (buf.position() < buf.limit() && buf.get(buf.position()) != 0)
+      buf.position(buf.position() + 1)
     val len = buf.position() - start
     val arr = new Array[Byte](len)
     buf.position(start)
     buf.get(arr)
-    buf.get() // consume NUL
+    if (buf.position() < buf.limit()) buf.get() // consume NUL if present
     new String(arr, StandardCharsets.UTF_8)
   }
 

@@ -143,6 +143,93 @@ class PgOutputDecoderSpec extends AnyFunSuite {
     assert(reg.typeName(1234567) == "1234567")
   }
 
+  test("literal pgoutput wire frames decode exactly (protocol ground truth)") {
+    import WalMessage._
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val ts = java.time.Instant.parse("2019-07-18T17:02:35.726322Z")
+
+    // Begin {2, 2817828992} / xid 619 (reference: decoder_test.exs:22-29)
+    PgOutputDecoder.decode(b(66, 0, 0, 0, 2, 167, 244, 168, 128, 0, 2, 48, 246,
+      88, 88, 213, 242, 0, 0, 2, 107)) match {
+      case Begin(lsn, t, xid) =>
+        assert(lsn.toLong == (2L << 32 | 2817828992L) && t == ts && xid == 619L)
+      case other => fail(s"$other")
+    }
+
+    // Commit lsn {2,2817828992} end {2,2817829040} (decoder_test.exs:31-44)
+    PgOutputDecoder.decode(b(67, 0, 0, 0, 0, 2, 167, 244, 168, 128, 0, 0, 0, 2,
+      167, 244, 168, 176, 0, 2, 48, 246, 88, 88, 213, 242)) match {
+      case Commit(flags, lsn, end, t) =>
+        assert(flags == 0 && lsn.toLong == (2L << 32 | 2817828992L) &&
+          end.toLong == (2L << 32 | 2817829040L) && t == ts)
+      case other => fail(s"$other")
+    }
+
+    // Origin (decoder_test.exs:46-52)
+    val origin = b(79, 0, 0, 0, 2, 167, 244, 168, 128) ++ "Elmer Fud".getBytes("UTF-8")
+    assert(PgOutputDecoder.decode(origin) ==
+      Origin(Lsn(2, 0xA7F4A880.toInt), "Elmer Fud"))
+
+    // Relation 24576 public.foo, cols bar:text, id:int4(key) (decoder_test.exs:54-80)
+    PgOutputDecoder.decode(b(82, 0, 0, 96, 0, 112, 117, 98, 108, 105, 99, 0,
+      102, 111, 111, 0, 100, 0, 2, 0, 98, 97, 114, 0, 0, 0, 0, 25, 255, 255,
+      255, 255, 1, 105, 100, 0, 0, 0, 0, 23, 255, 255, 255, 255)) match {
+      case r: Relation =>
+        assert(r.id == 24576 && r.namespace == "public" && r.name == "foo")
+        assert(r.replicaIdentity == ReplicaIdentity.Default)
+        assert(r.columns.map(c => (c.key, c.name, c.typeOid)) ==
+          Seq((false, "bar", 25), (true, "id", 23)))
+      case other => fail(s"$other")
+    }
+
+    // Type 32820 public.example_type (decoder_test.exs:101-110)
+    assert(PgOutputDecoder.decode(b(89, 0, 0, 128, 52, 112, 117, 98, 108, 105,
+      99, 0, 101, 120, 97, 109, 112, 108, 101, 95, 116, 121, 112, 101, 0)) ==
+      PgType(32820, "public", "example_type"))
+
+    // Truncate plain / cascade / restart-identity (decoder_test.exs:112-138)
+    assert(PgOutputDecoder.decode(b(84, 0, 0, 0, 1, 0, 0, 0, 96, 0)) ==
+      Truncate(cascade = false, restartIdentity = false, Seq(24576)))
+    assert(PgOutputDecoder.decode(b(84, 0, 0, 0, 1, 1, 0, 0, 96, 0)) ==
+      Truncate(cascade = true, restartIdentity = false, Seq(24576)))
+    assert(PgOutputDecoder.decode(b(84, 0, 0, 0, 1, 2, 0, 0, 96, 0)) ==
+      Truncate(cascade = false, restartIdentity = true, Seq(24576)))
+
+    // Insert text/null/toast cells (decoder_test.exs:142-168)
+    assert(PgOutputDecoder.decode(b(73, 0, 0, 96, 0, 78, 0, 2, 116, 0, 0, 0, 3,
+      98, 97, 122, 116, 0, 0, 0, 3, 53, 54, 48)) ==
+      Insert(24576, IndexedSeq(Cell.Text("baz"), Cell.Text("560"))))
+    assert(PgOutputDecoder.decode(b(73, 0, 0, 96, 0, 78, 0, 2, 110, 116, 0, 0,
+      0, 3, 53, 54, 48)) ==
+      Insert(24576, IndexedSeq(Cell.Null, Cell.Text("560"))))
+    assert(PgOutputDecoder.decode(b(73, 0, 0, 96, 0, 78, 0, 2, 117, 116, 0, 0,
+      0, 3, 53, 54, 48)) ==
+      Insert(24576, IndexedSeq(Cell.UnchangedToast, Cell.Text("560"))))
+
+    // Update: default / FULL (O+N) / USING INDEX (K+N) (decoder_test.exs:170-206)
+    assert(PgOutputDecoder.decode(b(85, 0, 0, 96, 0, 78, 0, 2, 116, 0, 0, 0, 7,
+      101, 120, 97, 109, 112, 108, 101, 116, 0, 0, 0, 3, 53, 54, 48)) ==
+      Update(24576, None, None, IndexedSeq(Cell.Text("example"), Cell.Text("560"))))
+    assert(PgOutputDecoder.decode(b(85, 0, 0, 96, 0, 79, 0, 2, 116, 0, 0, 0, 3,
+      98, 97, 122, 116, 0, 0, 0, 3, 53, 54, 48, 78, 0, 2, 116, 0, 0, 0, 7, 101,
+      120, 97, 109, 112, 108, 101, 116, 0, 0, 0, 3, 53, 54, 48)) ==
+      Update(24576, Some('O'), Some(IndexedSeq(Cell.Text("baz"), Cell.Text("560"))),
+        IndexedSeq(Cell.Text("example"), Cell.Text("560"))))
+    assert(PgOutputDecoder.decode(b(85, 0, 0, 96, 0, 75, 0, 2, 116, 0, 0, 0, 3,
+      98, 97, 122, 110, 78, 0, 2, 116, 0, 0, 0, 7, 101, 120, 97, 109, 112, 108,
+      101, 116, 0, 0, 0, 3, 53, 54, 48)) ==
+      Update(24576, Some('K'), Some(IndexedSeq(Cell.Text("baz"), Cell.Null)),
+        IndexedSeq(Cell.Text("example"), Cell.Text("560"))))
+
+    // Delete: K and O images (decoder_test.exs:208-228)
+    assert(PgOutputDecoder.decode(b(68, 0, 0, 96, 0, 75, 0, 2, 116, 0, 0, 0, 7,
+      101, 120, 97, 109, 112, 108, 101, 110)) ==
+      Delete(24576, 'K', IndexedSeq(Cell.Text("example"), Cell.Null)))
+    assert(PgOutputDecoder.decode(b(68, 0, 0, 96, 0, 79, 0, 2, 116, 0, 0, 0, 3,
+      98, 97, 122, 116, 0, 0, 0, 3, 53, 54, 48)) ==
+      Delete(24576, 'O', IndexedSeq(Cell.Text("baz"), Cell.Text("560"))))
+  }
+
   test("unsupported decode equality is by content") {
     // Unsupported carries the raw bytes; compare via pattern match
     PgOutputDecoder.decode(Array[Byte]()) match {
