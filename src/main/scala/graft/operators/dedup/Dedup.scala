@@ -158,6 +158,35 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Winnowing-fingerprint near-dup pairs (MOSS-style): two documents are
+    * near-dups when the smaller one shares ≥ `minOverlap` of its winnowing
+    * fingerprints (graft.operators.text.TextOps rolling-hash lane) with the
+    * other — a containment fraction, robust to the corpus-wide common
+    * 5-grams that make any absolute shared-count threshold degenerate to
+    * all-pairs. Unlike minhash/simhash this blocker is fully deterministic
+    * and engine-portable, so the driver hash-verifies the pairs end-to-end.
+    * Scale shape: explode fingerprints → equi-join on fingerprint → count
+    * per pair — ids+fingerprint+one int in the shuffle, never documents.
+    */
+  def winnowPairs(spark: SparkSession, d: String,
+      minOverlap: Double = 0.65): DataFrame = {
+    val fps = TextOps.winnowFingerprintSets(Tables.spread(
+        Tables.documents(spark, d).select(col("doc_id"), col("text"))))
+      .select(col("doc_id"), size(col("fps")).as("n_fps"),
+        explode(col("fps")).as("fp"))
+    val a = fps.select(col("fp"), col("doc_id").as("id_a"), col("n_fps").as("n_fps_a"))
+    val b = fps.select(col("fp"), col("doc_id").as("id_b"), col("n_fps").as("n_fps_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("n_fps_a")).as("n_fps_a"), min(col("n_fps_b")).as("n_fps_b"))
+      .filter(col("n_shared") >= lit(minOverlap) * least(col("n_fps_a"), col("n_fps_b")))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        least(col("n_fps_a"), col("n_fps_b")).as("n_fps_min"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: multi-band hyperplane LSH
     * candidates (graft.operators.ann.Ann.lshCandidatePairs) → exact cosine
     * ≥ threshold. The scale path for semantic dedup — no all-pairs stage.

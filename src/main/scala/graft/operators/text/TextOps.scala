@@ -100,12 +100,14 @@ object TextOps {
     * (< 2^63, ASCII-sanitized input so code-point semantics agree
     * everywhere).
     */
-  def winnowFingerprints(spark: SparkSession, d: String,
-      k: Int = 5, w: Int = 4): DataFrame = {
+  /** doc_id → distinct winnowing fingerprint set over any (doc_id, text)
+    * frame — shared by the per-doc stats view and the dedup blocker.
+    */
+  def winnowFingerprintSets(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
     val poly = (0 until k).map(j =>
       s"ascii(substring(t, i+$j, 1)) * ${math.pow(31, k - 1 - j).toLong}L")
       .mkString(" + ")
-    Tables.documents(spark, d)
+    docs
       .select(col("doc_id"),
         regexp_replace(lower(substring(col("text"), 1, 128)), "[^a-z0-9 ]", "")
           .as("t"))
@@ -113,6 +115,12 @@ object TextOps {
         s"CASE WHEN length(t) >= $k THEN transform(sequence(1, length(t)-${k - 1}), i -> $poly) ELSE array() END"))
       .withColumn("fps", expr(
         s"CASE WHEN size(h) >= $w THEN array_distinct(transform(sequence(1, size(h)-${w - 1}), j -> array_min(slice(h, j, $w)))) ELSE array_distinct(h) END"))
+  }
+
+  def winnowFingerprints(spark: SparkSession, d: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    winnowFingerprintSets(
+        Tables.documents(spark, d).select(col("doc_id"), col("text")), k, w)
       .select(col("doc_id"),
         size(col("h")).as("n_kgrams"),
         size(col("fps")).as("n_fps"),

@@ -330,6 +330,37 @@ SELECT doc_id,
   CAST(list_sum(fps) AS BIGINT) AS fp_sum
 FROM fp ORDER BY doc_id""",
 
+    "dd06_winnow_pairs" -> """
+WITH pre AS (
+  SELECT doc_id,
+    regexp_replace(lower(substr(text, 1, 128)), '[^a-z0-9 ]', '', 'g') AS t
+  FROM documents),
+kg AS (
+  SELECT doc_id,
+    CASE WHEN length(t) >= 5
+         THEN list_transform(range(1, length(t) - 3), i ->
+           unicode(substr(t, i, 1)) * 923521
+           + unicode(substr(t, i + 1, 1)) * 29791
+           + unicode(substr(t, i + 2, 1)) * 961
+           + unicode(substr(t, i + 3, 1)) * 31
+           + unicode(substr(t, i + 4, 1)))
+         ELSE [] END AS h
+  FROM pre),
+fp AS (
+  SELECT doc_id,
+    CASE WHEN len(h) >= 4
+         THEN list_distinct(list_transform(range(1, len(h) - 2), j ->
+           list_min(h[j:j+3])))
+         ELSE list_distinct(h) END AS fps
+  FROM kg),
+ex AS (SELECT doc_id, len(fps) AS n_fps, unnest(fps) AS fp FROM fp)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared,
+       least(min(a.n_fps), min(b.n_fps)) AS n_fps_min
+FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 0.65 * least(min(a.n_fps), min(b.n_fps))
+ORDER BY 1, 2""",
+
     "txt05_bpe_tokens" -> s"""$toksCte
 SELECT doc_id, len(t) AS n_ws_tokens,
   len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS n_bpe_tokens,

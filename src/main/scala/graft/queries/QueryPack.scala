@@ -171,6 +171,7 @@ object QueryPack {
     "dd03_minhash_lsh"   -> ((s, d) => Dedup.minHashLsh(s, d)),      // rows-only
     "dd04_simhash"       -> ((s, d) => Dedup.simHashPairs(s, d)),    // rows-only
     "dd05_cosine_neardup" -> ((s, d) => Dedup.cosineNearDups(s, d)), // rows-only
+    "dd06_winnow_pairs"   -> ((s, d) => Dedup.winnowPairs(s, d)),
 
     // ---- similarity search ----
     "ann01_brute_topk"  -> ((s, d) => Ann.bruteForceTopK(s, d)),

@@ -38,8 +38,17 @@ final case class EventFilters(
   * Scale: the batch is persisted once and every handler's filter is a
   * column predicate over it — N handlers cost one materialization plus N
   * cheap filtered scans, not N source reads.
+  *
+  * Failure semantics, both reference-faithful — pick per engine:
+  *  - `isolateHandlerFailures = true`: a handler that throws is skipped for
+  *    that batch and the rest run (the reference's supervisor restarts the
+  *    crashed module and the transaction is not redelivered — at-most-once
+  *    for the failing handler, events.ex:21-47 + one_for_one restart)
+  *  - `false` (default): the exception fails the batch; with a checkpoint
+  *    and [[Supervisor]], the batch replays — at-least-once for every
+  *    handler (idempotence on batchId is the handler's job)
   */
-final class Engine {
+final class Engine(isolateHandlerFailures: Boolean = false) {
 
   final case class Handler(
       name: String,
@@ -93,13 +102,19 @@ final class Engine {
   /** K1/K2: one batch → every registered handler. Public so tests and batch
     * (non-streaming) callers can drive it directly.
     */
+  @volatile private var handlerFailures: Long = 0L
+  def failures: Long = handlerFailures
+
   def dispatch(batch: DataFrame, batchId: Long)(implicit
       ec: ExecutionContext = ExecutionContext.global): Unit = {
     if (registry.isEmpty) return
     batch.persist()
     try registry.foreach { h =>
       val events = batch.filter(predicate(h))
-      h.fn(events)
+      try h.fn(events)
+      catch {
+        case _: Exception if isolateHandlerFailures => handlerFailures += 1
+      }
       // K6: fire-and-forget fan-out, at-most-once, unordered.
       h.sideEffects.foreach(se => Future(se(events)))
     } finally batch.unpersist()

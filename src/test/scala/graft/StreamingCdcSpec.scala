@@ -438,6 +438,53 @@ class StreamingCdcSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("truncate and corrupt frames flow through the pipeline without failing it") {
+    import WalMessage._
+    val dir = tmpDir("trunc")
+    val ts = java.time.Instant.parse("2024-05-01T10:00:00Z")
+    val frames: Seq[Array[Byte]] =
+      WalFixture.headerFrames.map(PgOutputEncoder.encode) ++ Seq(
+        PgOutputEncoder.encode(Begin(Lsn(0, 500), ts, 42L)),
+        PgOutputEncoder.encode(Insert(WalFixture.relations("user"),
+          IndexedSeq(Cell.Text("1"), Cell.Text("10"), Cell.Null,
+            Cell.Text("5"), Cell.Text("99")))),
+        // truncate user + todo inside the txn (fans out per relation)
+        PgOutputEncoder.encode(Truncate(cascade = true, restartIdentity = false,
+          Seq(WalFixture.relations("user"), WalFixture.relations("todo")))),
+        Array[Byte](0x7A, 0x01, 0x02), // garbage frame → Unsupported, not fatal
+        PgOutputEncoder.encode(Commit(0, Lsn(0, 500), Lsn(0, 556), ts)))
+    WalSegments.write(java.nio.file.Paths.get(dir, WalSegments.segmentName(0)), frames)
+
+    runToTable(readStreamFrom(dir), "t_trunc")
+    val rows = spark.table("t_trunc").collect()
+    assert(rows.count(_.getAs[String]("msg") == "unsupported") == 1)
+    val truncs = rows.filter(_.getAs[String]("msg") == "truncate")
+      .map(_.getAs[String]("table_name")).sorted
+    assert(truncs.toSeq == Seq("todo", "user"))
+
+    // and the assembler carries truncate as a transaction member
+    val assembled = TxnAssembler.assemble(readStreamFrom(dir)).toDF()
+    val q = assembled.writeStream.format("memory").queryName("t_trunc_asm")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val ops = spark.table("t_trunc_asm").orderBy("change_idx")
+      .collect().map(r => (r.getAs[String]("op"), r.getAs[String]("table_name")))
+    assert(ops.toSeq == Seq(("insert", "user"), ("truncate", "user"), ("truncate", "todo")))
+  }
+
+  test("isolateHandlerFailures: a crashing handler is skipped, the rest deliver") {
+    val delivered = new java.util.concurrent.atomic.AtomicInteger(0)
+    val engine = new Engine(isolateHandlerFailures = true)
+      .onEvent("*")(_ => throw new RuntimeException("user code boom"))
+      .onEvent("*")(df => delivered.addAndGet(df.count().toInt))
+    val events = Seq(("insert", "user")).toDF("type", "name")
+      .withColumn("changes", lit(null).cast("map<string,struct<old_value:string,new_value:string>>"))
+      .withColumn("new_record", lit(null).cast("map<string,string>"))
+      .withColumn("old_record", lit(null).cast("map<string,string>"))
+    engine.dispatch(events, 0L)
+    assert(delivered.get() == 1 && engine.failures == 1)
+  }
+
   test("end-to-end: source → assembly → events → engine over a real stream") {
     val dir = tmpDir("e2e")
     val changes = Seq(
