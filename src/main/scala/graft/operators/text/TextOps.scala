@@ -100,29 +100,30 @@ object TextOps {
     * (< 2^63, ASCII-sanitized input so code-point semantics agree
     * everywhere).
     */
-  /** doc_id → distinct winnowing fingerprint set over any (doc_id, text)
-    * frame — shared by the per-doc stats view and the dedup blocker.
+  /** doc_id → (n_kgrams, distinct winnowing fingerprints) over any
+    * (doc_id, text) frame — shared by the per-doc stats view and the dedup
+    * blocker. The selection runs as a native codegen'd expression
+    * (graft.plans.WinnowFingerprints): the equivalent nested-lambda SQL
+    * pipeline was O(k·w·n) interpreted dispatches per doc AND got inlined
+    * wholesale into the `size(fps) > 0` predicate Catalyst infers below the
+    * explode — which then ran in the pre-repartition scan stage, single-
+    * threaded (measured: dd06 went from 0.2 s of winnowing to minutes).
     */
-  def winnowFingerprintSets(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
-    val poly = (0 until k).map(j =>
-      s"ascii(substring(t, i+$j, 1)) * ${math.pow(31, k - 1 - j).toLong}L")
-      .mkString(" + ")
+  def winnowFingerprintSets(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
     docs
       .select(col("doc_id"),
         regexp_replace(lower(substring(col("text"), 1, 128)), "[^a-z0-9 ]", "")
           .as("t"))
-      .withColumn("h", expr(
-        s"CASE WHEN length(t) >= $k THEN transform(sequence(1, length(t)-${k - 1}), i -> $poly) ELSE array() END"))
-      .withColumn("fps", expr(
-        s"CASE WHEN size(h) >= $w THEN array_distinct(transform(sequence(1, size(h)-${w - 1}), j -> array_min(slice(h, j, $w)))) ELSE array_distinct(h) END"))
-  }
+      .withColumn("wf", graft.plans.SketchCols.winnowFingerprints(col("t"), k, w))
+      .select(col("doc_id"),
+        col("wf.n_kgrams").as("n_kgrams"), col("wf.fps").as("fps"))
 
   def winnowFingerprints(spark: SparkSession, d: String,
       k: Int = 5, w: Int = 4): DataFrame = {
     winnowFingerprintSets(
         Tables.documents(spark, d).select(col("doc_id"), col("text")), k, w)
       .select(col("doc_id"),
-        size(col("h")).as("n_kgrams"),
+        col("n_kgrams"),
         size(col("fps")).as("n_fps"),
         array_min(col("fps")).as("fp_min"),
         array_max(col("fps")).as("fp_max"),

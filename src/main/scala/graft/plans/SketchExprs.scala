@@ -112,6 +112,49 @@ object SketchUtil {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprint selection (MOSS): base-31 polynomial rolling
+    * hashes over k-grams of the (pre-sanitized, ASCII) text, minimum per
+    * sliding window of w, first-occurrence-distinct. Bit-exact with the
+    * SQL formulation it replaces (`ascii(substring(t,i+j,1)) * 31^…`,
+    * `array_min(slice(h, j, w))`, `array_distinct`), including the
+    * short-input branches — the nested-lambda SQL version costs O(k·w·n)
+    * interpreted dispatches per doc and, worse, gets fully inlined into
+    * Generate-inferred predicates at the scan. Returns
+    * struct(n_kgrams, fps).
+    */
+  def winnowFingerprints(t: org.apache.spark.unsafe.types.UTF8String,
+      k: Int, w: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = t.toString
+    val n = s.length
+    val m = math.max(0, n - k + 1)
+    val h = new Array[Long](if (n >= k) m else 0)
+    var i = 0
+    while (i < h.length) {
+      var acc = 0L
+      var j = 0
+      while (j < k) { acc = acc * 31L + s.charAt(i + j).toLong; j += 1 }
+      h(i) = acc
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    val seen = new java.util.HashSet[Long]()
+    if (h.length >= w) {
+      var j = 0
+      while (j <= h.length - w) {
+        var mn = h(j)
+        var x = 1
+        while (x < w) { if (h(j + x) < mn) mn = h(j + x); x += 1 }
+        if (seen.add(mn)) out += mn
+        j += 1
+      }
+    } else {
+      var j = 0
+      while (j < h.length) { if (seen.add(h(j))) out += h(j); j += 1 }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](h.length, new GenericArrayData(out.toArray)))
+  }
+
   /** 64-bit SimHash over token hashes: bit j's vote is Σ over tokens of
     * (+1 if bit j of the token hash is set else −1); the output bit is set
     * when the vote is positive — identical to the SQL
@@ -222,6 +265,37 @@ case class HyperplaneBandBuckets(child: Expression, bands: Int, bits: Int)
     copy(child = newChild)
 }
 
+/** `winnow_fingerprints(sanitizedText)` → STRUCT<n_kgrams INT,
+  * fps ARRAY<BIGINT>> (see [[SketchUtil.winnowFingerprints]]).
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  require(k > 0 && w > 0, "k and w must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${other.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_kgrams", IntegerType, nullable = false),
+    StructField("fps", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchUtil.winnowFingerprints(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchUtil.winnowFingerprints($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 /** Column-level entry points. */
 object SketchCols {
   def minHashBandBuckets(c: Column, numHashes: Int, bands: Int): Column =
@@ -232,4 +306,7 @@ object SketchCols {
 
   def hyperplaneBandBuckets(c: Column, bands: Int, bits: Int): Column =
     Bridge.column(HyperplaneBandBuckets(Bridge.expression(c), bands, bits))
+
+  def winnowFingerprints(c: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowFingerprints(Bridge.expression(c), k, w))
 }
