@@ -2,10 +2,35 @@ package graft.streaming
 
 import graft.operators.cdc.ChangeStream
 import graft.sources.cdc.CdcSourceProvider
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
+
+/** The user-facing typed Event (reference: lib/walex/event/event.ex:6-17 +
+  * source.ex:4-14): op-dependent payloads as text-record maps, per-field
+  * old/new changes, and the Source metadata incl. the column-type map (P6).
+  * Field names match the Event view columns, so `.as[Event]` binds by name.
+  */
+final case class EventSource(
+    source_name: String, version: String, db: String,
+    schema: Option[String], table: Option[String],
+    columns: Option[Map[String, String]])
+
+final case class FieldChange(old_value: Option[String], new_value: Option[String])
+
+final case class Event(
+    seq: Long,
+    xid: Long,
+    lsn: Long,
+    name: Option[String],
+    `type`: String,
+    new_record: Option[Map[String, String]],
+    old_record: Option[Map[String, String]],
+    changes: Option[Map[String, FieldChange]],
+    timestamp_ms: Option[Long],
+    lsn_str: String,
+    source: EventSource)
 
 /** The assembled engine — the one-call equivalent of the reference's
   * `WalEx.Supervisor.start_link(config)` + `use WalEx.Event` module setup
@@ -45,6 +70,15 @@ object Graft {
         !col("msg").isin("insert", "update", "delete", "truncate") ||
           col("table_name").isin(config.subscriptions: _*))
     ChangeStream.eventsFromAssembled(TxnAssembler.assemble(subscribed).toDF())
+  }
+
+  /** Typed lane: the same Event view as a `Dataset[Event]` — case-class
+    * handlers, compile-time field access, pattern matching on op; the
+    * columnar view stays available via `.toDF` (encoders round-trip).
+    */
+  def typedEvents(spark: SparkSession, config: GraftConfig, walDir: String): Dataset[Event] = {
+    import spark.implicits._
+    events(spark, config, walDir).as[Event]
   }
 
   /** The JDBC-polling-shaped ingestion lane (SURVEY §2.1 S1, the

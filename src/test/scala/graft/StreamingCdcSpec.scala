@@ -485,6 +485,27 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(delivered.get() == 1 && engine.failures == 1)
   }
 
+  test("typed Dataset[Event] lane binds the Event view by name") {
+    val dir = tmpDir("typed")
+    WalFixture.writeSegments(dir, Seq(
+      mkChange(1, 0, "insert", "user", recordId = 7),
+      mkChange(2, 1, "update", "todo", k = Some(9), recordId = 8)))
+    val config = GraftConfig("typed-demo", publication = Some("graft_pub"))
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Event]
+    val q = Graft.typedEvents(spark, config, dir)
+      .writeStream.outputMode("append").trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Event], _: Long) =>
+        collected ++= b.collect(); ()
+      }.start()
+    q.awaitTermination(120000)
+    val byOp = collected.sortBy(_.seq)
+    assert(byOp.map(_.`type`) == Seq("insert", "update"))
+    assert(byOp.head.new_record.get("id") == "7")
+    assert(byOp.head.source.columns.get("val_cents") == "int8")
+    assert(byOp(1).changes.get.contains("k"))
+    assert(byOp(1).changes.get("k") == FieldChange(Some("8"), Some("9")))
+  }
+
   test("end-to-end: source → assembly → events → engine over a real stream") {
     val dir = tmpDir("e2e")
     val changes = Seq(
