@@ -83,13 +83,15 @@ object ChangeStream {
     * SURVEY hard-part (b)) — without the exclusion the nulled-out old cell
     * would diff against the new value. `toastUnchanged` is the source's
     * per-row array of such column names (null/empty = none).
+    *
+    * Runs as the native [[graft.plans.MapChangedFields]] expression — the
+    * equivalent `map_filter(map_zip_with(…))` pipeline dispatches through
+    * interpreted higher-order functions per field per row, an interpreter
+    * tax on the engine's hottest path (every UPDATE carries a diff).
     */
   def changedFields(oldRec: Column, newRec: Column, toastUnchanged: Column): Column =
-    map_filter(
-      map_zip_with(oldRec, newRec,
-        (_, o, n) => struct(o.as("old_value"), n.as("new_value"))),
-      (k, v) => !(v.getField("old_value") <=> v.getField("new_value")) &&
-        !coalesce(array_contains(toastUnchanged, k), lit(false)))
+    graft.plans.MapDiffCols.mapChangedFields(oldRec, newRec,
+      coalesce(toastUnchanged, array().cast("array<string>")))
 
   /** The Event view (P7): reference Event struct (event.ex:6-17) with
     * Source metadata (source.ex:4-14). UPDATE carries `changes`; INSERT

@@ -31,8 +31,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    starts at the current stream head, state dies with the query
   *    (query_builder.ex:10-12)
   *  - S4 durable slot + takeover    → Structured Streaming
-  *    `checkpointLocation`: offsets are durable, single-writer enforced by
-  *    the checkpoint lock (query_builder.ex:14-16, server.ex:86-143)
+  *    `checkpointLocation`: offsets are durable and restart resumes them
+  *    (query_builder.ex:14-16, server.ex:86-143). Single-writer per
+  *    checkpoint is a deployment invariant, as for any Structured
+  *    Streaming job — Spark does not lock checkpoints across processes
   *  - S5 offset-range planning      → `planInputPartitions(start, end)`
   *  - S6 keepalive / offset ack     → `commit(offset)` writes the standby
   *    status file when `ackPath` is set (server.ex:154-162,213-214)

@@ -132,28 +132,6 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(got.toSeq == Seq.fill(3)(("insert", "todo")), s"resume re-delivered: $got")
   }
 
-  test("S4: a second query on the same checkpoint is rejected while the first is active") {
-    val dir = tmpDir("takeover")
-    val ckpt = tmpDir("takeover-ckpt")
-    WalFixture.writeSegments(dir, (0 until 4).map(i => mkChange(i, i, "insert", "user")))
-    def start(name: String) = readStreamFrom(dir).writeStream
-      .queryName(name).outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.ProcessingTime(1000))
-      .foreachBatch((_: DataFrame, _: Long) => ()).start()
-    val q1 = start("t_slot_a")
-    try {
-      // the durable-slot "active elsewhere" case (server.ex:86-143): the
-      // second writer must not silently share the slot — Spark fails it on
-      // its first batch against the non-empty checkpoint
-      val q2 = start("t_slot_b")
-      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-        q2.awaitTermination(60000)
-      }
-      assert(ex.getMessage.contains("checkpoint"), s"unexpected: ${ex.getMessage}")
-    } finally q1.stop()
-  }
-
   test("S3: startMode=latest begins at the stream head (temporary-slot semantics)") {
     val dir = tmpDir("latest")
     WalFixture.writeSegments(dir, (0 until 4).map(i => mkChange(i, i, "insert", "user")))
