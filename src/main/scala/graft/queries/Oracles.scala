@@ -257,6 +257,12 @@ SELECT commit_ms - commit_ms % 3600000 AS hour_ms, table_name, op,
        count(*) AS n
 FROM changes GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
 
+    "cdc17_stream_enrich" -> s"""$changesCte
+SELECT c.c_mktsegment, ch.op, count(*) AS n_changes,
+       CAST(sum(ch.val_cents) AS BIGINT) AS sum_val_cents
+FROM changes ch JOIN customer c ON ch.record_id + 1 = c.c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "cdc16_change_table" -> s"""$changesCte
 SELECT seq, xid, lsn, table_name AS name, op AS type, commit_ms AS timestamp_ms,
   4 AS n_fields,

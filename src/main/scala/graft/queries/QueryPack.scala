@@ -153,6 +153,7 @@ object QueryPack {
     "cdc14_stream_replay"    -> ((s, d) => streamReplay(s, d)), // S1-S7 + P1 + P3
     "cdc15_stream_hourly"    -> ((s, d) => streamHourly(s, d)), // §2.7 streaming agg
     "cdc16_change_table"     -> ((s, d) => streamChangeTable(s, d)), // S1 polling mode
+    "cdc17_stream_enrich"    -> ((s, d) => streamEnrich(s, d)), // §2.7 stream-static join
 
     // ---- text analysis ----
     "txt01_token_stats" -> ((s, d) => TextOps.tokenStats(s, d)),
@@ -359,6 +360,36 @@ object QueryPack {
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(600000)
     spark.table(qname).orderBy(col("hour_ms"), col("table_name"), col("op"))
+  }
+
+  /** §2.7 stream-static enrichment: the CDC change stream joined to a
+    * broadcast dimension (customer) per micro-batch — the canonical
+    * "enrich every change with its entity's attributes" pipeline. The dim
+    * is bounded and broadcast, so the streaming side never shuffles for
+    * the join; per-segment aggregation happens after enrichment.
+    */
+  def streamEnrich(spark: SparkSession, d: String): DataFrame = {
+    val dir = ensureWalFixture(spark, d)
+    val raw = spark.readStream.format(classOf[CdcSourceProvider].getName)
+      .option("path", dir).option("publication", "graft_pub")
+      .load()
+    val rec = coalesce(col("record"), col("old_record"))
+    val changes = TxnAssembler.assemble(raw).toDF()
+      .select(col("op"), col("table_name"),
+        element_at(rec, "id").cast("long").as("record_id"),
+        element_at(rec, "val_cents").cast("long").as("val_cents"))
+    val dim = broadcast(Tables.customer(spark, d)
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val agg = changes
+      .join(dim, changes("record_id") + 1 === dim("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("op"))
+      .agg(count(lit(1)).as("n_changes"),
+        sum(col("val_cents")).as("sum_val_cents"))
+    val qname = s"graft_cdc17_${replayQueryCount.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(qname)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(600000)
+    spark.table(qname).orderBy(col("c_mktsegment"), col("op"))
   }
 
   /** S1's second mode — the JDBC-polling-shaped change-table lane
