@@ -56,6 +56,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"shingle array column rides a shuffle:\n$exchanges")
   }
 
+  test("cdc06: the update diff runs as the native expression, not interpreted lambdas") {
+    val p = plan("cdc06_diff")
+    assert(p.contains("map_changed_fields"), "native diff expression missing")
+    assert(!p.contains("map_zip_with"), "interpreted diff lambda crept back in")
+  }
+
   test("whole-stage codegen covers the scan pipelines of every analytics query") {
     Seq("q01_pricing_summary", "q04_forecast_revenue", "txt01_token_stats")
       .foreach { q =>
