@@ -317,8 +317,16 @@ class CdcPartitionReader(part: CdcInputPartition, pushed: Array[Filter],
 
   private def u(s: String): UTF8String = if (s == null) null else UTF8String.fromString(s)
 
+  /** `fallback` (the other tuple of the same change, may be null): real
+    * pgoutput omits an unchanged TOASTed value from the NEW tuple of an
+    * UPDATE ('u' cell) — under REPLICA IDENTITY FULL the old image carries
+    * the actual value, so it is carried forward here; without a usable old
+    * cell the value stays null and the column name is surfaced in
+    * `toast_unchanged` (reference: decoder.ex:226-227, changes.ex filling
+    * unchanged toast from the old record).
+    */
   private def cellsToMap(cols: Seq[WalMessage.RelationColumn],
-      cells: IndexedSeq[Cell]): ArrayBasedMapData = {
+      cells: IndexedSeq[Cell], fallback: IndexedSeq[Cell] = null): ArrayBasedMapData = {
     val n = math.min(cols.length, cells.length)
     val keys = new Array[Any](n)
     val vals = new Array[Any](n)
@@ -328,7 +336,11 @@ class CdcPartitionReader(part: CdcInputPartition, pushed: Array[Filter],
       vals(i) = cells(i) match {
         case Cell.Text(v)        => u(v)
         case Cell.Null           => null
-        case Cell.UnchangedToast => null // name also listed in toast_unchanged
+        case Cell.UnchangedToast => // name also listed in toast_unchanged
+          if (fallback != null && i < fallback.length) fallback(i) match {
+            case Cell.Text(v) => u(v) // FULL identity: carry old value forward
+            case _            => null
+          } else null
       }
       i += 1
     }
@@ -355,14 +367,16 @@ class CdcPartitionReader(part: CdcInputPartition, pushed: Array[Filter],
     if (publicationTables.exists(pub => !pub.contains(s"$schema.$table"))) return
     if (!passes(schema, table, msg)) return
     val cols = rel.map(_.columns).getOrElse(Seq.empty)
+    // Unchanged-TOAST sentinels come from BOTH tuples: real pgoutput plants
+    // 'u' in the NEW tuple of an UPDATE (the value is simply not resent);
+    // old images (K/O delete and update images) can carry them too.
+    def sentinels(t: IndexedSeq[Cell]): Seq[String] =
+      if (t == null) Nil
+      else cols.zip(t).collect { case (c, Cell.UnchangedToast) => c.name }
+    val toastNames = (sentinels(oldT) ++ sentinels(newT)).distinct
     val toast: ArrayData =
-      if (oldT == null) null
-      else {
-        val names = cols.zip(oldT).collect {
-          case (c, Cell.UnchangedToast) => u(c.name).asInstanceOf[Any]
-        }
-        if (names.isEmpty) null else new GenericArrayData(names.toArray)
-      }
+      if (toastNames.isEmpty) null
+      else new GenericArrayData(toastNames.map(n => u(n).asInstanceOf[Any]).toArray)
     val colTypes: ArrayBasedMapData =
       if (cols.isEmpty) null
       else new ArrayBasedMapData(
@@ -370,7 +384,7 @@ class CdcPartitionReader(part: CdcInputPartition, pushed: Array[Filter],
         new GenericArrayData(cols.map(c => u(registry.typeName(c.typeOid)).asInstanceOf[Any]).toArray))
     pending += new GenericInternalRow(Array[Any](
       globalSeq, curLsn, curXid, u(msg), null, u(schema), u(table),
-      if (newT == null) null else cellsToMap(cols, newT),
+      if (newT == null) null else cellsToMap(cols, newT, fallback = oldT),
       if (oldT == null) null else cellsToMap(cols, oldT),
       u(oldKind), toast, colTypes))
   }

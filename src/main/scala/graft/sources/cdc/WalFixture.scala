@@ -112,9 +112,11 @@ object WalSegments {
   * (graft.operators.cdc.ChangeStream.changes semantics): one transaction per
   * xid, `Begin` + per-change `Insert`/`Update`/`Delete` + `Commit`, with
   * REPLICA IDENTITY FULL old images for updates/deletes, NULL cells for null
-  * `k`, and unchanged-TOAST old cells for every `k % 11 == 0` update — so the
-  * full protocol surface ('n'/'u'/'t' cells, O-images, Relation/Type
-  * replays) flows through the binary path.
+  * `k`, and — as real pgoutput does — an unchanged-TOAST 'u' cell in the NEW
+  * tuple of every `k % 11 == 0` update (the unchanged value is not resent;
+  * the FULL old image carries the actual, identical value) — so the full
+  * protocol surface ('n'/'u'/'t' cells, O-images, Relation/Type replays)
+  * flows through the binary path.
   */
 object WalFixture {
   import WalMessage._
@@ -140,19 +142,34 @@ object WalFixture {
   private def cell(v: Option[Long]): Cell =
     v.fold[Cell](Cell.Null)(x => Cell.Text(x.toString))
 
+  /** True when the change's `val_cents` models an unchanged TOASTed column
+    * (UPDATE only): the new tuple carries a 'u' cell and the old/new values
+    * are identical.
+    */
+  private def valToastUnchanged(c: Change): Boolean = c.k.exists(_ % 11 == 0)
+
   /** New-image tuple, ordered per [[columnNames]]. */
   private def newTuple(c: Change): IndexedSeq[Cell] = IndexedSeq(
     cell(Some(c.recordId)), cell(Some(c.seq)), cell(c.k),
     cell(Some(c.valCents)), cell(Some(c.commitMs)))
 
+  /** UPDATE new image: real pgoutput omits an unchanged TOASTed value from
+    * the new tuple ('u' cell, decoded as Cell.UnchangedToast) — the k%11=0
+    * val_cents models that; the value is resent only in the FULL old image.
+    */
+  private def updateNewTuple(c: Change): IndexedSeq[Cell] =
+    if (valToastUnchanged(c)) newTuple(c).updated(3, Cell.UnchangedToast)
+    else newTuple(c)
+
   /** Old image per ChangeStream.withRecords' deterministic delta: val_cents
-    * −150 unless k%3=0, k −1 unless k%5=0, updated_at −1000; the val_cents
-    * old cell degrades to unchanged-TOAST when k%11=0.
+    * −150 unless k%3=0, k −1 unless k%5=0, updated_at −1000. When k%11=0 the
+    * val_cents column is an unchanged TOASTed value: old == new == valCents,
+    * carried only here (the new tuple has the 'u' sentinel).
     */
   private def oldTuple(c: Change): IndexedSeq[Cell] = {
     val k = c.k
     val oldVal: Cell =
-      if (k.exists(_ % 11 == 0)) Cell.UnchangedToast
+      if (valToastUnchanged(c)) cell(Some(c.valCents))
       else cell(Some(c.valCents - k.map(x => if (x % 3 == 0) 0L else 150L).getOrElse(150L)))
     IndexedSeq(
       cell(Some(c.recordId)), cell(Some(c.seq)),
@@ -172,7 +189,7 @@ object WalFixture {
       val rel = relations(c.tableName)
       c.op match {
         case "insert" => Insert(rel, newTuple(c))
-        case "update" => Update(rel, Some('O'), Some(oldTuple(c)), newTuple(c))
+        case "update" => Update(rel, Some('O'), Some(oldTuple(c)), updateNewTuple(c))
         case "delete" => Delete(rel, 'O', newTuple(c))
         case other    => throw new IllegalArgumentException(s"op $other")
       }

@@ -81,10 +81,38 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(del.getAs[Map[String, String]]("old_record")("k") == null) // 'n' cell
     assert(del.getAs[String]("old_kind") == "O")
 
+    // real pgoutput shape: the 'u' cell sits in the NEW tuple of the update;
+    // the FULL old image carries the actual (unchanged) value, which the
+    // source carries forward into the new record
     val toastUpd = rows.filter(_.getAs[String]("msg") == "update")
       .find(_.getAs[Map[String, String]]("record")("k") == "22").get
     assert(toastUpd.getAs[scala.collection.Seq[String]]("toast_unchanged").toSeq ==
       Seq("val_cents"))
+    assert(toastUpd.getAs[Map[String, String]]("record")("val_cents") == "1234",
+      "unchanged-TOAST new cell must carry the FULL old image value forward")
+    assert(toastUpd.getAs[Map[String, String]]("old_record")("val_cents") == "1234")
+  }
+
+  test("TOAST: new-tuple 'u' without a usable old cell yields null + sentinel") {
+    import WalMessage._
+    val dir = tmpDir("toast-k")
+    val ts = java.time.Instant.parse("2024-05-01T10:00:00Z")
+    // K-image update: old tuple carries only the key → no value to carry
+    // forward for the toasted 'val_cents' cell
+    val keyOld = IndexedSeq(Cell.Text("1"), Cell.Null, Cell.Null, Cell.Null, Cell.Null)
+    val newT = IndexedSeq(Cell.Text("1"), Cell.Text("2"), Cell.Text("3"),
+      Cell.UnchangedToast, Cell.Text("99"))
+    val frames = (WalFixture.headerFrames ++ Seq(
+      Begin(Lsn(0, 700), ts, 9L),
+      Update(WalFixture.relations("user"), Some('K'), Some(keyOld), newT),
+      Commit(0, Lsn(0, 700), Lsn(0, 756), ts))).map(PgOutputEncoder.encode)
+    WalSegments.write(java.nio.file.Paths.get(dir, WalSegments.segmentName(0)), frames)
+    runToTable(readStreamFrom(dir), "t_toast_k")
+    val upd = spark.table("t_toast_k").filter($"msg" === "update").collect()(0)
+    assert(upd.getAs[Map[String, String]]("record")("val_cents") == null)
+    assert(upd.getAs[scala.collection.Seq[String]]("toast_unchanged").toSeq ==
+      Seq("val_cents"))
+    assert(upd.getAs[String]("old_kind") == "K")
   }
 
   test("I4: maxFramesPerTrigger splits the backlog into multiple micro-batches") {
@@ -294,7 +322,8 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(ev(2).getAs[Map[String, String]]("old_record")("id") == "1")
   }
 
-  test("TOAST diff: unchanged-toast old cell never registers as a change") {
+  test("TOAST diff: unchanged-toast cells never register as a change") {
+    // old-side sentinel: old cell nulled out, new has a value
     val df = Seq(1).toDF("x").select(
       ChangeStream.changedFields(
         map(lit("a"), lit(null).cast("string"), lit("b"), lit("1")),
@@ -302,6 +331,16 @@ class StreamingCdcSpec extends AnyFunSuite {
         array(lit("a"))).as("chg"))
     val m = df.collect()(0).getMap[String, org.apache.spark.sql.Row](0)
     assert(m.keySet == Set("b"), "toast'd field 'a' must not diff")
+
+    // new-side sentinel (the real pgoutput UPDATE shape): the new cell is
+    // nulled out (no usable old image to carry forward), old has the value
+    val df2 = Seq(1).toDF("x").select(
+      ChangeStream.changedFields(
+        map(lit("a"), lit("big-value"), lit("b"), lit("1")),
+        map(lit("a"), lit(null).cast("string"), lit("b"), lit("2")),
+        array(lit("a"))).as("chg"))
+    val m2 = df2.collect()(0).getMap[String, org.apache.spark.sql.Row](0)
+    assert(m2.keySet == Set("b"), "new-tuple toast'd field 'a' must not diff")
   }
 
   // ---- K: dispatch layer ----
