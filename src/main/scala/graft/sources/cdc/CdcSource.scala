@@ -40,8 +40,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    status file when `ackPath` is set (server.ex:154-162,213-214)
   *  - S7 restart-from-checkpoint    → free via Structured Streaming
   *  - I4 rate limit                 → `maxFramesPerTrigger` admission control
-  *  - F8 filter pushdown            → `SupportsPushDownFilters` on
-  *    schema/table/msg equality and IN (README.md:80-83 row-filter analogue)
+  *  - F8 filter pushdown            → two lanes: the `publication` and
+  *    `tables` options drop unwatched tables at decode, inside the source
+  *    (README.md:69-83 row-filter analogue — the guaranteed lane); and
+  *    `SupportsPushDownFilters` on schema/table/msg equality and IN —
+  *    implemented but dormant today, because Spark's V2ScanRelationPushDown
+  *    only rewrites batch relations; a `.filter(...)` over a micro-batch
+  *    streaming scan stays post-scan (verified on 4.1.2). If streaming
+  *    pushdown lands, those filters activate here for free
   *
   * Scale design: offset planning is O(#segments) driver-side metadata; one
   * input partition per segment slice, so a backlog of many segments decodes
@@ -118,9 +124,28 @@ class CdcScan(options: CaseInsensitiveStringMap, pushed: Array[Filter]) extends 
     new CdcMicroBatchStream(options, pushed)
 }
 
-/** Offset = count of frames consumed across the ordered segment list. */
-case class CdcOffset(frames: Long) extends Offset {
-  override def json(): String = frames.toString
+/** Offset = count of frames consumed across the ordered segment list, plus
+  * the list's head segment name as a stability fingerprint: segments are
+  * immutable and append-only, so a checkpointed frame count is only
+  * meaningful while the list it was counted over keeps its prefix. A
+  * deleted/compacted head segment — or a name-ordering break (e.g. segment
+  * numbering overflowing the zero-padding) — changes the head, and replay
+  * fails fast instead of silently remapping the offset onto different
+  * frames. (Per-segment shrink within an unchanged name is not detectable
+  * from the head alone; segments are written atomically via temp+move, so
+  * a half-written segment is never visible.)
+  */
+case class CdcOffset(frames: Long, head: Option[String] = None) extends Offset {
+  override def json(): String =
+    head.fold(frames.toString)(h => s"""{"frames":$frames,"head":"$h"}""")
+}
+
+object CdcOffset {
+  private val JsonRe = """\{"frames":(\d+),"head":"([^"]+)"\}""".r
+  def parse(s: String): CdcOffset = s.trim match {
+    case JsonRe(f, h) => CdcOffset(f.toLong, Some(h))
+    case n            => CdcOffset(n.toLong) // legacy plain-count offset
+  }
 }
 
 class CdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[Filter])
@@ -146,6 +171,12 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[Filte
         .toSet
     }
 
+  // F8 subscription lane: bare table names whose data frames survive decode
+  // (begin/commit/relation frames always pass — txn assembly needs them).
+  private val subscribedTables: Option[Set[String]] =
+    Option(options.get("tables")).map(
+      _.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
   /** Cumulative frame counts per segment; segments are immutable once
     * written, so counts are cached. New segments extend the list.
     */
@@ -163,6 +194,9 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[Filte
 
   private def totalFrames(): Long = segmentIndex().map(_._3).sum
 
+  private def headSegment(): Option[String] =
+    WalSegments.listSegments(dir).headOption.map(_.getFileName.toString)
+
   /** Trigger.AvailableNow: pin the stream end at prepare time so the query
     * drains exactly the backlog (in rate-limited batches) and stops.
     */
@@ -171,7 +205,7 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[Filte
     availableNowCap = Some(totalFrames())
 
   override def initialOffset(): Offset =
-    if (startLatest) CdcOffset(totalFrames()) else CdcOffset(0L)
+    if (startLatest) CdcOffset(totalFrames(), headSegment()) else CdcOffset(0L, headSegment())
 
   override def getDefaultReadLimit: ReadLimit =
     maxFramesPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
@@ -188,15 +222,30 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[Filte
       case c: CompositeReadLimit => c.getReadLimits.map(cap).min
       case _                    => total
     }
-    CdcOffset(math.min(total, cap(limit)))
+    CdcOffset(math.min(total, cap(limit)), headSegment())
   }
 
-  override def deserializeOffset(json: String): Offset = CdcOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = CdcOffset.parse(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CdcOffset].frames
     val e = end.asInstanceOf[CdcOffset].frames
-    segmentIndex().flatMap { case (path, segStart, n) =>
+    val idx = segmentIndex()
+    // Segment-list stability: a checkpointed offset only replays correctly
+    // over the segment prefix it was counted on (see CdcOffset scaladoc).
+    start.asInstanceOf[CdcOffset].head.foreach { h =>
+      val cur = idx.headOption.map(_._1.getFileName.toString)
+      if (!cur.contains(h)) throw new IllegalStateException(
+        s"graft-cdc: segment list changed under a checkpointed offset " +
+          s"(expected head segment '$h', found ${cur.getOrElse("no segments")}) — " +
+          "segments were deleted/compacted or name ordering broke; refusing to " +
+          "silently remap frame offsets")
+    }
+    val total = idx.map(_._3).sum
+    if (s > total) throw new IllegalStateException(
+      s"graft-cdc: checkpointed offset $s exceeds the $total frames present — " +
+        "a previously counted segment disappeared or shrank")
+    idx.flatMap { case (path, segStart, n) =>
       val lo = math.max(s, segStart)
       val hi = math.min(e, segStart + n)
       if (lo >= hi) None
@@ -205,16 +254,24 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[Filte
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdcReaderFactory(pushed, publicationTables)
+    new CdcReaderFactory(pushed, publicationTables, subscribedTables)
 
   /** S6/I6: offset ack — the standby-status-update equivalent. Durable
     * bookkeeping lives in the checkpoint; `ackPath` additionally surfaces
     * the committed offset to external observers (server.ex:213-214).
     */
   override def commit(end: Offset): Unit = ackPath.foreach { p =>
-    try Files.write(Paths.get(p),
-      s"""{"committed_frames":${end.asInstanceOf[CdcOffset].frames}}""".getBytes("UTF-8"))
-    catch { case _: Exception => () } // ack is advisory, never fails the query
+    // temp-file + atomic move (as WalSegments.write): external observers
+    // never read a half-written ack
+    try {
+      val path = Paths.get(p)
+      val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+      Files.write(tmp,
+        s"""{"committed_frames":${end.asInstanceOf[CdcOffset].frames}}""".getBytes("UTF-8"))
+      Files.move(tmp, path,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case _: Exception => () } // ack is advisory, never fails the query
   }
 
   override def stop(): Unit = ()
@@ -223,11 +280,12 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[Filte
 case class CdcInputPartition(path: String, segStartSeq: Long, skip: Long, take: Long)
     extends InputPartition
 
-class CdcReaderFactory(pushed: Array[Filter], publicationTables: Option[Set[String]])
+class CdcReaderFactory(pushed: Array[Filter], publicationTables: Option[Set[String]],
+    subscribedTables: Option[Set[String]] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new CdcPartitionReader(partition.asInstanceOf[CdcInputPartition], pushed,
-      publicationTables)
+      publicationTables, subscribedTables)
 }
 
 /** Decodes one segment slice. The full segment prefix is scanned (metadata
@@ -236,7 +294,8 @@ class CdcReaderFactory(pushed: Array[Filter], publicationTables: Option[Set[Stri
   * decode is a single pass and segments are bounded.
   */
 class CdcPartitionReader(part: CdcInputPartition, pushed: Array[Filter],
-    publicationTables: Option[Set[String]] = None)
+    publicationTables: Option[Set[String]] = None,
+    subscribedTables: Option[Set[String]] = None)
     extends PartitionReader[InternalRow] {
 
   private val frames = WalSegments.readFrames(Paths.get(part.path))
@@ -363,8 +422,9 @@ class CdcPartitionReader(part: CdcInputPartition, pushed: Array[Filter],
       oldKind: String = null): Unit = {
     val rel = registry.relation(relId)
     val (schema, table) = rel.map(r => (r.namespace, r.name)).getOrElse((null, null))
-    // F8: unpublished tables never leave the source (publication filter)
+    // F8: unpublished/unsubscribed tables never leave the source
     if (publicationTables.exists(pub => !pub.contains(s"$schema.$table"))) return
+    if (subscribedTables.exists(ts => !ts.contains(table))) return
     if (!passes(schema, table, msg)) return
     val cols = rel.map(_.columns).getOrElse(Seq.empty)
     // Unchanged-TOAST sentinels come from BOTH tuples: real pgoutput plants

@@ -1,0 +1,344 @@
+package graft.sources.jdbc
+
+import java.sql.{Connection, DriverManager, PreparedStatement, ResultSet}
+import java.util.Properties
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S1, JDBC polling mode (SURVEY §2.1; BASELINE "Structured Streaming +
+  * JDBC source"): a DSv2 micro-batch source that POLLS a live database's
+  * change table over JDBC with an LSN high-watermark — the
+  * `WHERE lsn > :watermark` loop the reference's replication connection
+  * replaces with a wire protocol (lib/walex/replication/server.ex:4-24).
+  * Rows in a change table are already committed, so no Begin/Commit
+  * assembly is needed downstream (SURVEY §2.1 S1 note).
+  *
+  * Offsets are LSN watermarks (`SELECT max(lsn)` at plan time, S5), durable
+  * in the Structured Streaming checkpoint (S6's JDBC variant per SURVEY
+  * §2.1). Admission control (I4) bounds a micro-batch to
+  * `maxRowsPerTrigger` via a LIMIT-bounded watermark probe. Each batch's
+  * (start, end] LSN range splits into `numPartitions` contiguous
+  * sub-ranges read in parallel by executor-side range-bounded JDBC
+  * queries — the index-backed `lsn > ? AND lsn <= ?` scan a change table
+  * is built for. Equality/IN filters on schema_name/table_name/op become
+  * parameterized predicates in the polling SQL (F8: the filter runs
+  * inside the database, before the wire — the publication row-filter
+  * analogue, reference README.md:69-83), via two lanes:
+  *
+  *  - `tables` / `ops` options (comma-separated) — the guaranteed lane,
+  *    measured in JdbcCdcSourceSpec;
+  *  - `SupportsPushDownFilters` — implemented, but dormant today: Spark's
+  *    V2ScanRelationPushDown only rewrites BATCH DataSourceV2Relations, so
+  *    a `.filter(...)` above a micro-batch streaming scan stays a post-scan
+  *    predicate (verified empirically on 4.1.2). If streaming pushdown
+  *    lands, these filters join the same WHERE clause for free.
+  *
+  * Watermark probes stay unfiltered on purpose: the offset must advance
+  * past filtered-out rows or they would be re-scanned every trigger.
+  *
+  * Scale: the driver issues only O(1) watermark probes per trigger; all
+  * row transfer happens in executors. A production change table should be
+  * indexed on the LSN column; value-range splits assume LSNs are roughly
+  * dense (the norm for sequence-stamped change tables) — heavily sparse
+  * ranges merely yield uneven partitions, never wrong results.
+  *
+  * No live Postgres exists in this environment, so the protocol is
+  * verified against a stub `java.sql.Driver` (JdbcCdcSourceSpec); the SQL
+  * it issues is standard ANSI + `LIMIT`, which Postgres accepts.
+  */
+object JdbcCdcSource {
+
+  /** Change-table wire schema: maps/arrays travel as JSON text (the
+    * portable JDBC representation — jsonb/hstore columns arrive as text);
+    * [[graft.streaming.Graft.eventsFromJdbc]] parses them into the typed
+    * Event view.
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("lsn", LongType, nullable = false),
+    StructField("xid", LongType, nullable = true),
+    StructField("op", StringType, nullable = false),
+    StructField("schema_name", StringType, nullable = true),
+    StructField("table_name", StringType, nullable = true),
+    StructField("commit_ts_us", LongType, nullable = true),
+    StructField("record_json", StringType, nullable = true),
+    StructField("old_record_json", StringType, nullable = true),
+    StructField("old_kind", StringType, nullable = true),
+    StructField("toast_unchanged_json", StringType, nullable = true),
+    StructField("col_types_json", StringType, nullable = true)))
+
+  val columnNames: Seq[String] = schema.fields.map(_.name).toSeq
+
+  /** `tables`/`ops` options → IN filters merged with Catalyst-pushed ones. */
+  def optionFilters(options: CaseInsensitiveStringMap): Seq[Filter] = {
+    def csv(k: String): Option[Array[Any]] =
+      Option(options.get(k)).map(_.split(",").map(_.trim).filter(_.nonEmpty)
+        .map(s => s: Any))
+    csv("tables").map(In("table_name", _)).toSeq ++ csv("ops").map(In("op", _)).toSeq
+  }
+
+  private val pushableCols = Set("schema_name", "table_name", "op")
+
+  def pushable(f: Filter): Boolean = f match {
+    case EqualTo(a, _: String)                           => pushableCols(a)
+    case In(a, vs) if vs.forall(_.isInstanceOf[String])  => pushableCols(a)
+    case _                                               => false
+  }
+
+  /** Parameterized WHERE fragment + bind values for the pushed filters
+    * (parameterized, never inlined — injection-safe and plan-cacheable).
+    */
+  def filterSql(pushed: Seq[Filter]): (String, Seq[String]) = {
+    val parts = pushed.map {
+      case EqualTo(a, v: String) => (s"$a = ?", Seq(v))
+      case In(a, vs) =>
+        val ss = vs.collect { case s: String => s }.toSeq
+        (s"$a IN (${ss.map(_ => "?").mkString(", ")})", ss)
+      case other => throw new IllegalStateException(s"unpushable filter $other")
+    }
+    (parts.map(_._1).map(c => s" AND $c").mkString, parts.flatMap(_._2))
+  }
+
+  /** `SELECT coalesce(max(lsn), start) …` watermark probe; with a row cap
+    * the max is taken over the first `cap` rows past the watermark
+    * (LIMIT-bounded subquery → the admission-controlled end offset).
+    */
+  def watermarkSql(table: String, lsnCol: String, cap: Option[Long]): String = cap match {
+    case Some(n) =>
+      s"SELECT max($lsnCol) FROM (SELECT $lsnCol FROM $table WHERE $lsnCol > ? " +
+        s"ORDER BY $lsnCol LIMIT $n) graft_probe"
+    case None => s"SELECT max($lsnCol) FROM $table WHERE $lsnCol > ?"
+  }
+
+  def minLsnSql(table: String, lsnCol: String): String =
+    s"SELECT min($lsnCol) FROM $table"
+
+  /** Range-bounded partition read, index-friendly and filter-pushed. */
+  def rangeSql(table: String, lsnCol: String, filterFrag: String): String =
+    s"SELECT ${columnNames.mkString(", ")} FROM $table " +
+      s"WHERE $lsnCol > ? AND $lsnCol <= ?$filterFrag ORDER BY $lsnCol, seq"
+}
+
+class JdbcCdcSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = JdbcCdcSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new JdbcCdcTable(new CaseInsensitiveStringMap(properties))
+}
+
+class JdbcCdcTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"graft-cdc-jdbc(${options.get("table")})"
+  override def schema(): StructType = JdbcCdcSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new JdbcCdcScanBuilder(opts)
+}
+
+class JdbcCdcScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters {
+  private var pushed: Array[Filter] = Array.empty
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (p, rest) = filters.partition(JdbcCdcSource.pushable)
+    pushed = p
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new JdbcCdcScan(options, pushed)
+}
+
+class JdbcCdcScan(options: CaseInsensitiveStringMap, pushed: Array[Filter]) extends Scan {
+  override def readSchema(): StructType = JdbcCdcSource.schema
+  override def description(): String =
+    s"graft-cdc-jdbc table=${options.get("table")} pushed=[${pushed.mkString(", ")}]"
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new JdbcCdcMicroBatchStream(options, pushed)
+}
+
+/** LSN high-watermark offset. */
+case class JdbcOffset(lsn: Long) extends Offset {
+  override def json(): String = lsn.toString
+}
+
+/** Serializable connection recipe shared by driver probes and partition
+  * readers.
+  */
+case class JdbcConnInfo(url: String, user: Option[String], password: Option[String],
+    driver: Option[String], fetchSize: Int) {
+  def connect(): Connection = {
+    val props = new Properties()
+    user.foreach(props.setProperty("user", _))
+    password.foreach(props.setProperty("password", _))
+    driver match {
+      case Some(cls) =>
+        // instantiate the named driver directly: DriverManager's
+        // caller-classloader check drops drivers the caller's loader can't
+        // see (executor plugin loaders, sbt layered test loaders) — the
+        // same reason Spark's JDBC source keeps its own DriverRegistry
+        val loader = Option(Thread.currentThread().getContextClassLoader)
+          .getOrElse(getClass.getClassLoader)
+        val d = Class.forName(cls, true, loader)
+          .getDeclaredConstructor().newInstance().asInstanceOf[java.sql.Driver]
+        val c = d.connect(url, props)
+        if (c == null)
+          throw new IllegalStateException(s"graft-cdc-jdbc: driver $cls rejected url $url")
+        c
+      case None => DriverManager.getConnection(url, props)
+    }
+  }
+}
+
+class JdbcCdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[Filter])
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private def required(k: String): String = Option(options.get(k)).getOrElse(
+    throw new IllegalArgumentException(s"graft-cdc-jdbc: '$k' option is required"))
+
+  private val url = required("url")
+  private val table = required("table")
+  private val lsnCol = Option(options.get("lsnColumn")).getOrElse("lsn")
+  private val startLatest = Option(options.get("startMode")).contains("latest")
+  private val maxRowsPerTrigger: Option[Long] =
+    Option(options.get("maxRowsPerTrigger")).map(_.toLong)
+  private val numPartitions = Option(options.get("numPartitions")).map(_.toInt).getOrElse(4)
+  private val conn = JdbcConnInfo(url,
+    Option(options.get("user")), Option(options.get("password")),
+    Option(options.get("driver")),
+    Option(options.get("fetchSize")).map(_.toInt).getOrElse(1000))
+
+  /** One driver-side probe: single-value query with the watermark bound. */
+  private def probe(sql: String, bind: Option[Long]): Option[Long] = {
+    val c = conn.connect()
+    try {
+      val st = c.prepareStatement(sql)
+      try {
+        bind.foreach(st.setLong(1, _))
+        val rs = st.executeQuery()
+        try {
+          if (rs.next()) { val v = rs.getLong(1); if (rs.wasNull()) None else Some(v) }
+          else None
+        } finally rs.close()
+      } finally st.close()
+    } finally c.close()
+  }
+
+  private def maxLsn(from: Long, cap: Option[Long]): Long =
+    probe(JdbcCdcSource.watermarkSql(table, lsnCol, cap), Some(from)).getOrElse(from)
+
+  /** Trigger.AvailableNow: pin the end watermark at prepare time. */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(maxLsn(Long.MinValue, None))
+
+  override def initialOffset(): Offset =
+    if (startLatest) JdbcOffset(maxLsn(Long.MinValue, None))
+    else JdbcOffset(probe(JdbcCdcSource.minLsnSql(table, lsnCol), None)
+      .map(_ - 1L).getOrElse(Long.MinValue))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxRowsPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(start, limit)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[JdbcOffset].lsn
+    def cap(l: ReadLimit): Long = l match {
+      case r: ReadMaxRows        => maxLsn(from, Some(r.maxRows()))
+      case _: ReadAllAvailable   => maxLsn(from, None)
+      case c: CompositeReadLimit => c.getReadLimits.map(cap).min
+      case _                     => maxLsn(from, None)
+    }
+    val end = cap(limit)
+    JdbcOffset(availableNowCap.fold(end)(math.min(end, _)))
+  }
+
+  override def deserializeOffset(json: String): Offset = JdbcOffset(json.toLong)
+
+  /** Contiguous LSN sub-ranges; each reader issues one indexed range scan. */
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[JdbcOffset].lsn
+    val e = end.asInstanceOf[JdbcOffset].lsn
+    if (e <= s) return Array.empty
+    val span = e - s
+    val n = math.max(1L, math.min(numPartitions.toLong, span)).toInt
+    (0 until n).map { i =>
+      val lo = s + span * i / n
+      val hi = s + span * (i + 1) / n
+      JdbcCdcInputPartition(lo, hi): InputPartition
+    }.filter { case JdbcCdcInputPartition(lo, hi) => hi > lo }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JdbcCdcReaderFactory(conn, table, lsnCol,
+      pushed ++ JdbcCdcSource.optionFilters(options))
+
+  /** S6 JDBC variant: the high-watermark is durable in the checkpoint;
+    * nothing to ack against the database.
+    */
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class JdbcCdcInputPartition(fromLsn: Long, toLsn: Long) extends InputPartition
+
+class JdbcCdcReaderFactory(conn: JdbcConnInfo, table: String, lsnCol: String,
+    pushed: Array[Filter]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new JdbcCdcPartitionReader(partition.asInstanceOf[JdbcCdcInputPartition],
+      conn, table, lsnCol, pushed)
+}
+
+/** One range-bounded JDBC scan, streamed through the driver's fetchSize. */
+class JdbcCdcPartitionReader(part: JdbcCdcInputPartition, conn: JdbcConnInfo,
+    table: String, lsnCol: String, pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private var connection: Connection = _
+  private var statement: PreparedStatement = _
+  private var rs: ResultSet = _
+
+  private def ensureOpen(): Unit = if (connection == null) {
+    connection = conn.connect()
+    val (frag, binds) = JdbcCdcSource.filterSql(pushed.toSeq)
+    statement = connection.prepareStatement(
+      JdbcCdcSource.rangeSql(table, lsnCol, frag))
+    statement.setFetchSize(conn.fetchSize)
+    statement.setLong(1, part.fromLsn)
+    statement.setLong(2, part.toLsn)
+    binds.zipWithIndex.foreach { case (v, i) => statement.setString(3 + i, v) }
+    rs = statement.executeQuery()
+  }
+
+  override def next(): Boolean = { ensureOpen(); rs.next() }
+
+  override def get(): InternalRow = {
+    def s(i: Int): Any = {
+      val v = rs.getString(i)
+      if (rs.wasNull()) null else UTF8String.fromString(v)
+    }
+    def l(i: Int): Any = {
+      val v = rs.getLong(i)
+      if (rs.wasNull()) null else java.lang.Long.valueOf(v)
+    }
+    new GenericInternalRow(Array[Any](
+      l(1), l(2), l(3), s(4), s(5), s(6), l(7), s(8), s(9), s(10), s(11), s(12)))
+  }
+
+  override def close(): Unit = {
+    if (rs != null) rs.close()
+    if (statement != null) statement.close()
+    if (connection != null) connection.close()
+  }
+}

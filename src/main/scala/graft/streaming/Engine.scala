@@ -33,7 +33,14 @@ final case class EventFilters(
   * Side-effect functions (K6) run fire-and-forget on the execution context,
   * AFTER the handler body, with the reference's documented at-most-once
   * semantics (dsl.ex:2-28, README.md:290-316): a crash mid-batch may skip
-  * side effects for delivered events; they are never replayed.
+  * side effects for delivered events; they are never replayed. Deliberate
+  * granularity divergence from the reference: dsl.ex invokes each
+  * side-effect function once per EVENT; here each fires once per
+  * MICRO-BATCH with the handler's filtered events as a (batch-independent,
+  * pre-materialized) DataFrame — the natural Spark unit, and one task
+  * submission instead of one per row. A per-event variant is one
+  * `df.collect().foreach` inside the side effect. Side effects are skipped
+  * for a handler that threw (the events were not delivered).
   *
   * Scale: the batch is persisted once and every handler's filter is a
   * column predicate over it — N handlers cost one materialization plus N
@@ -111,12 +118,22 @@ final class Engine(isolateHandlerFailures: Boolean = false) {
     batch.persist()
     try registry.foreach { h =>
       val events = batch.filter(predicate(h))
-      try h.fn(events)
-      catch {
-        case _: Exception if isolateHandlerFailures => handlerFailures += 1
+      val delivered =
+        try { h.fn(events); true }
+        catch {
+          case _: Exception if isolateHandlerFailures => handlerFailures += 1; false
+        }
+      // K6: fire-and-forget fan-out, at-most-once, unordered. The futures
+      // outlive this micro-batch (unpersist below, and foreachBatch may
+      // have returned), so the rows the handler saw are materialized into
+      // a batch-independent local DataFrame first — never the live batch
+      // plan. A handler that threw delivered nothing → no side effects.
+      if (delivered && h.sideEffects.nonEmpty) {
+        import scala.jdk.CollectionConverters._
+        val detached = batch.sparkSession.createDataFrame(
+          events.collect().toSeq.asJava, events.schema)
+        h.sideEffects.foreach(se => Future(se(detached)))
       }
-      // K6: fire-and-forget fan-out, at-most-once, unordered.
-      h.sideEffects.foreach(se => Future(se(events)))
     } finally batch.unpersist()
   }
 

@@ -69,7 +69,8 @@ object Graft {
       else raw.filter(
         !col("msg").isin("insert", "update", "delete", "truncate") ||
           col("table_name").isin(config.subscriptions: _*))
-    ChangeStream.eventsFromAssembled(TxnAssembler.assemble(subscribed).toDF())
+    ChangeStream.eventsFromAssembled(
+      TxnAssembler.assemble(subscribed, staleTxnTtl = config.staleTxnTtl).toDF())
   }
 
   /** Typed lane: the same Event view as a `Dataset[Event]` — case-class
@@ -112,6 +113,34 @@ object Graft {
       opt("old_kind", "string").as("old_kind"),
       opt("toast_unchanged", "array<string>").as("toast_unchanged"),
       opt("col_types", "map<string,string>").as("col_types")))
+  }
+
+  /** S1's live-database polling mode: the DSv2 JDBC CDC source
+    * (graft.sources.jdbc.JdbcCdcSource — LSN high-watermark offsets,
+    * range-bounded parallel reads, filter pushdown into the polling SQL)
+    * mapped onto the same Event view as the replication lane. Map/array
+    * columns travel as JSON text over JDBC and are parsed here with
+    * `from_json` (codegen'd, no UDFs).
+    *
+    * `options` must include url + table (and usually driver/user/password/
+    * maxRowsPerTrigger/numPartitions — see the source's scaladoc).
+    */
+  def eventsFromJdbc(spark: SparkSession, options: Map[String, String]): DataFrame = {
+    import graft.sources.jdbc.JdbcCdcSourceProvider
+    var reader = spark.readStream.format(classOf[JdbcCdcSourceProvider].getName)
+    options.foreach { case (k, v) => reader = reader.option(k, v) }
+    val raw = reader.load()
+    ChangeStream.eventsFromAssembled(raw.select(
+      col("xid"), col("lsn").as("commit_lsn"),
+      col("commit_ts_us"),
+      lit(0).as("change_idx"),
+      col("seq"), col("op"),
+      col("schema_name"), col("table_name"),
+      from_json(col("record_json"), lit("map<string,string>")).as("record"),
+      from_json(col("old_record_json"), lit("map<string,string>")).as("old_record"),
+      col("old_kind"),
+      from_json(col("toast_unchanged_json"), lit("array<string>")).as("toast_unchanged"),
+      from_json(col("col_types_json"), lit("map<string,string>")).as("col_types")))
   }
 
   /** Start the full engine: events → registered handlers, supervised per

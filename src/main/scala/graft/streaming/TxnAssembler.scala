@@ -59,24 +59,53 @@ final case class TxnState(
   * rows — bounded by WAL transaction size, not stream length. The shuffle
   * introduced by `groupByKey(xid)` is the one unavoidable exchange (txn
   * atomicity is a cross-partition property); everything downstream of it
-  * stays partitioned by xid.
+  * stays partitioned by xid. A transaction whose Commit never arrives
+  * (torn WAL tail, crashed upstream writer) would otherwise pin its buffer
+  * in the state store forever — a processing-time TTL evicts such stale
+  * open transactions (dropped and counted, never half-emitted; logical
+  * decoding only ships committed transactions, so an eviction is always a
+  * producer-side fault, mirroring the reference dropping in-flight state
+  * on restart, server.ex:86-143).
   */
 object TxnAssembler {
 
   private val dataOps = Set("insert", "update", "delete", "truncate")
 
-  def assemble(messages: DataFrame): Dataset[AssembledChange] = {
+  /** `staleTxnTtl` (e.g. `Some("30 minutes")`) arms a processing-time TTL
+    * per open transaction — set it on long-running production streams.
+    * It is opt-in because ProcessingTimeTimeout makes Spark schedule
+    * batches continuously even with no data (timeouts must get a chance to
+    * fire), which breaks drain-and-stop semantics (AvailableNow /
+    * processAllAvailable never quiesce) and burns empty batches on
+    * bounded replays.
+    */
+  def assemble(messages: DataFrame,
+      staleTxnTtl: Option[String] = None,
+      evictedCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[AssembledChange] = {
     val spark = messages.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (staleTxnTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     messages.as[ChangeMsg]
       .filter(m => m.xid.isDefined && (dataOps(m.msg) || m.msg == "begin" || m.msg == "commit"))
       .groupByKey(_.xid.get)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(assembleGroup)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        assembleGroup(staleTxnTtl, evictedCounter))
   }
 
   /** Pure state transition — also unit-testable without a stream. */
-  def assembleGroup(xid: Long, rows: Iterator[ChangeMsg],
+  def assembleGroup(staleTxnTtl: Option[String],
+      evictedCounter: Option[org.apache.spark.util.LongAccumulator])(
+      xid: Long, rows: Iterator[ChangeMsg],
       state: GroupState[TxnState]): Iterator[AssembledChange] = {
+    if (state.hasTimedOut) {
+      // stale open txn: drop whole buffer, never a partial emit
+      evictedCounter.foreach(_.add(1))
+      state.remove()
+      return Iterator.empty
+    }
     var st = state.getOption.getOrElse(TxnState(None, None, Vector.empty))
     val out = Vector.newBuilder[AssembledChange]
     rows.toSeq.sortBy(_.seq).foreach { m =>
@@ -102,7 +131,10 @@ object TxnAssembler {
       }
     }
     if (st.beginLsn.isEmpty && st.changes.isEmpty) state.remove()
-    else state.update(st)
+    else {
+      state.update(st)
+      staleTxnTtl.foreach(state.setTimeoutDuration)
+    }
     out.result().iterator
   }
 }

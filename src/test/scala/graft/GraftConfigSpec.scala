@@ -52,6 +52,11 @@ class GraftConfigSpec extends AnyFunSuite {
     val opts = temp.sourceOptions("/wal")
     assert(opts("startMode") == "latest" && opts("maxFramesPerTrigger") == "10"
       && opts("path") == "/wal")
+
+    // subscriptions ride into the source as the tables option (F8)
+    val sub = GraftConfig("app", subscriptions = Seq("user", "todo"))
+    assert(sub.sourceOptions("/wal")("tables") == "user,todo")
+    assert(!temp.sourceOptions("/wal").contains("tables"))
   }
 
   test("config store: add/get/replace/remove, multi-tenant (config.ex:55-77)") {

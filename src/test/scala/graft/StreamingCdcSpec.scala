@@ -200,6 +200,14 @@ class StreamingCdcSpec extends AnyFunSuite {
       "t_push")
     val got = spark.table("t_push").collect()
     assert(got.length == 1 && got(0).getAs[Map[String, String]]("record")("seq") == "1")
+
+    // the guaranteed F8 lane: the `tables` option drops other tables' data
+    // frames at decode, while begin/commit (assembler food) still pass
+    runToTable(readStreamFrom(dir, "tables" -> "user"), "t_push_tables")
+    val tbl = spark.table("t_push_tables")
+    assert(tbl.filter($"msg".isin("insert", "update", "delete"))
+      .select("table_name").distinct().collect().map(_.getString(0)).toSeq == Seq("user"))
+    assert(tbl.filter($"msg" === "begin").count() > 0)
   }
 
   test("S5: offset-range planning splits exactly on segment boundaries") {
@@ -214,10 +222,14 @@ class StreamingCdcSpec extends AnyFunSuite {
       stream.planInputPartitions(CdcOffset(s), CdcOffset(e))
         .map(_.asInstanceOf[CdcInputPartition])
         .map(p => (p.segStartSeq, p.skip, p.take)).toSeq
-    assert(stream.initialOffset() == CdcOffset(0))
+    val head = Some(WalSegments.segmentName(0))
+    assert(stream.initialOffset() == CdcOffset(0, head))
     assert(stream.latestOffset(CdcOffset(0),
       org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
-      == CdcOffset(39))
+      == CdcOffset(39, head))
+    // offsets round-trip through checkpoint JSON (incl. legacy plain-count)
+    assert(stream.deserializeOffset(CdcOffset(7, head).json()) == CdcOffset(7, head))
+    assert(stream.deserializeOffset("7") == CdcOffset(7))
     // full range → one partition per segment, no skips
     assert(plan(0, 39) == Seq((0, 0, 13), (13, 0, 13), (26, 0, 13)))
     // mid-segment boundaries on both ends
@@ -225,6 +237,19 @@ class StreamingCdcSpec extends AnyFunSuite {
     // empty and sub-segment ranges
     assert(plan(13, 13).isEmpty)
     assert(plan(14, 20) == Seq((13, 1, 6)))
+
+    // stability guard: a checkpointed offset whose head segment no longer
+    // leads the list (compaction / name-order break) fails fast instead of
+    // silently remapping frames; so does an offset past the frames present
+    val wrongHead = CdcOffset(5, Some("segment-999999.wal"))
+    val ex1 = intercept[IllegalStateException] {
+      stream.planInputPartitions(wrongHead, CdcOffset(10))
+    }
+    assert(ex1.getMessage.contains("segment list changed"))
+    val ex2 = intercept[IllegalStateException] {
+      stream.planInputPartitions(CdcOffset(40, head), CdcOffset(41))
+    }
+    assert(ex2.getMessage.contains("exceeds"))
   }
 
   test("S6/I6: offset commit writes the standby-status ack file") {
@@ -288,6 +313,42 @@ class StreamingCdcSpec extends AnyFunSuite {
       msgRow(4, 300, 2, "insert", table = Some("user"), rec = Some(Map("id" -> "2"))))
     q.processAllAvailable()
     assert(spark.table("t_txn2").count() == 0)
+    q.stop()
+  }
+
+  test("P1: stale open transaction is evicted after the processing-time TTL") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[ChangeMsg]
+    val evicted = spark.sparkContext.longAccumulator("txn_evicted")
+    val q = TxnAssembler.assemble(ms.toDF(), staleTxnTtl = Some("1 second"),
+        evictedCounter = Some(evicted)).toDF()
+      .writeStream.format("memory").queryName("t_ttl")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    // NOTE: with ProcessingTimeTimeout the query never quiesces
+    // (timeouts must get a chance to fire), so processAllAvailable would
+    // hang — poll with deadlines instead.
+    def await(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 60_000_000_000L
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(cond, s"timed out waiting for: $what")
+    }
+
+    // an open txn that will never commit, plus a healthy committed one
+    ms.addData(
+      msgRow(0, 400, 1, "begin"),
+      msgRow(1, 400, 1, "insert", table = Some("user"), rec = Some(Map("id" -> "1"))),
+      msgRow(2, 500, 2, "begin"),
+      msgRow(3, 500, 2, "insert", table = Some("user"), rec = Some(Map("id" -> "2"))),
+      msgRow(4, 500, 2, "commit"))
+    await("committed txn emits")(spark.table("t_ttl").count() == 1)
+    await("stale txn evicted after TTL")(evicted.value == 1L)
+
+    // the evicted txn's state is gone: its (late) commit finds no begin,
+    // and the state store returns to zero
+    ms.addData(msgRow(5, 400, 1, "commit"))
+    await("state store back to zero")(
+      Option(q.lastProgress).exists(_.stateOperators.apply(0).numRowsTotal == 0L))
+    assert(spark.table("t_ttl").count() == 1, "late commit after eviction emits nothing")
     q.stop()
   }
 
