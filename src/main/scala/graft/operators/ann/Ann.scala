@@ -18,17 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Cosine similarity, computed in double with a single array pass.
-    * zip_with + aggregate stay inside codegen; accumulation order is the
-    * array order, so results are deterministic and engine-portable.
+  /** Cosine similarity in double over float embeddings: ONE fused native
+    * pass (graft.plans.CosineSimilarity, codegen'd) — dot and both norms in
+    * the same loop, accumulation in array order, so results are
+    * deterministic and engine-portable. Replaces the interpreted
+    * `aggregate(zip_with(…))` ×3 formulation, whose higher-order lambdas
+    * dispatched per element per pair on the verify stage of every
+    * ANN/dedup candidate (the same interpreter tax the sketch expressions
+    * eliminate on the candidate stage).
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot  = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na   = aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
-    val nb   = aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.SketchCols.cosineSimilarity(a, b)
 
   /** Brute-force exact top-k neighbors for a small query set (vec_id <
     * nQueries). Queries broadcast; ranking via row_number with id

@@ -49,13 +49,13 @@ object Dedup {
       .select(col("doc_id"), TextOps.shingles(col("toks")).as("sh"))
       .withColumn("shh", transform(col("sh"), s => xxhash64(s)))
 
-  /** Exact Jaccard between two pre-deduped arrays. Computed in doubles from
-    * integer set sizes (deterministic).
+  /** Exact Jaccard from a pre-computed intersection size (stage `inter` as
+    * its own projection — see [[minHashLsh]] — so the `array_intersect`
+    * over the large shingle arrays is evaluated exactly once per pair;
+    * CollapseProject keeps a non-cheap multi-referenced alias staged).
     */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b)))
-  }
+  def jaccardFromInter(inter: Column, a: Column, b: Column): Column =
+    inter.cast("double") / (size(a) + size(b) - inter)
 
   /** MinHash + LSH banding near-dup pairs.
     *
@@ -95,7 +95,8 @@ object Dedup {
     pairs
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jac", jaccardFromInter(col("inter"), col("sh_a"), col("sh_b")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
@@ -139,17 +140,40 @@ object Dedup {
   /** N-gram Jaccard dedup with deterministic prefix blocking (first 3
     * tokens) — the SQL-oracle-friendly variant: candidates share a prefix
     * key, similarity is exact word-set Jaccard.
+    *
+    * Scale shape (the dd03/dd06 discipline applied here too):
+    *  - the prefix self-join carries ONLY (prefix, doc_id) — word-set
+    *    arrays re-attach per side after the pair list exists, so payloads
+    *    never ride the (skewable) blocking-key shuffle;
+    *  - a common prefix is a natural skew key ("the quick brown" at corpus
+    *    scale ⇒ df² pairs from one key), so prefixes with document
+    *    frequency above `maxDfFrac` of the corpus are dropped — an
+    *    over-shared prefix carries no dedup signal, same reasoning as
+    *    dd06's stop-fingerprint cap (the cap is mirrored in the DuckDB
+    *    oracle, so dd02 stays hash-verified end-to-end).
     */
-  def ngramJaccardPairs(spark: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
+  def ngramJaccardPairs(spark: SparkSession, d: String, threshold: Double = 0.5,
+      maxDfFrac: Double = 0.01): DataFrame = {
     val docs = Tables.spread(Tables.documents(spark, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .withColumn("prefix", concat_ws(" ",
         element_at(col("toks"), 1), element_at(col("toks"), 2), element_at(col("toks"), 3)))
       .withColumn("ws", array_distinct(col("toks")))
-    val a = docs.select(col("prefix"), col("doc_id").as("id_a"), col("ws").as("ws_a"))
-    val b = docs.select(col("prefix"), col("doc_id").as("id_b"), col("ws").as("ws_b"))
-    a.join(b, Seq("prefix"))
+      .select(col("doc_id"), col("prefix"), col("ws"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val keyed = docs.select(col("prefix"), col("doc_id")) // ids-only lane
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("prefix"))))
+      .crossJoin(broadcast(total))
+      .filter(col("df") <= greatest(lit(2.0), lit(maxDfFrac) * col("n_docs")))
+      .select(col("prefix"), col("doc_id"))
+    val pairs = keyed.select(col("prefix"), col("doc_id").as("id_a"))
+      .join(keyed.select(col("prefix"), col("doc_id").as("id_b")), Seq("prefix"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val sets = docs.select(col("doc_id"), col("ws"))
+    pairs
+      .join(sets.select(col("doc_id").as("id_a"), col("ws").as("ws_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("ws").as("ws_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("ws_a"), col("ws_b"))))
       .withColumn("uni", size(col("ws_a")) + size(col("ws_b")) - col("inter"))
       .withColumn("jac", col("inter").cast("double") / col("uni"))

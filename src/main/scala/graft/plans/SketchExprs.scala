@@ -155,6 +155,31 @@ object SketchUtil {
       Array[Any](h.length, new GenericArrayData(out.toArray)))
   }
 
+  /** Cosine similarity over two float embeddings in ONE fused pass —
+    * replaces the `aggregate(zip_with(a, b, …)) / (sqrt(aggregate(a, …)) *
+    * sqrt(aggregate(b, …)))` formulation, which dispatches three
+    * interpreted higher-order folds per pair (2·dim + 2·dim lambda evals)
+    * on the verify stage of every ANN/dedup candidate pair. Arithmetic is
+    * bit-identical to the SQL version: per-element float→double casts,
+    * accumulation in array order, IEEE semantics for zero norms (no
+    * special-casing). Null when lengths differ or an element is null —
+    * mirroring zip_with's null-padding and `acc + null` propagation.
+    */
+  def cosineSimilarity(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
   /** 64-bit SimHash over token hashes: bit j's vote is Σ over tokens of
     * (+1 if bit j of the token hash is set else −1); the output bit is set
     * when the vote is positive — identical to the SQL
@@ -265,6 +290,42 @@ case class HyperplaneBandBuckets(child: Expression, bands: Int, bits: Int)
     copy(child = newChild)
 }
 
+/** `cosine_similarity(a, b)` → DOUBLE (see [[SketchUtil.cosineSimilarity]]). */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (ARRAY<FLOAT>, ARRAY<FLOAT>)")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchUtil.cosineSimilarity(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val boxed = ctx.freshName("cos")
+      s"""
+      java.lang.Double $boxed = graft.plans.SketchUtil.cosineSimilarity($l, $r);
+      if ($boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $boxed.doubleValue(); }
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineSimilarity = copy(left = newLeft, right = newRight)
+}
+
 /** `winnow_fingerprints(sanitizedText)` → STRUCT<n_kgrams INT,
   * fps ARRAY<BIGINT>> (see [[SketchUtil.winnowFingerprints]]).
   */
@@ -309,4 +370,7 @@ object SketchCols {
 
   def winnowFingerprints(c: Column, k: Int, w: Int): Column =
     Bridge.column(WinnowFingerprints(Bridge.expression(c), k, w))
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 }

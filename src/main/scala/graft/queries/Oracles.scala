@@ -476,12 +476,20 @@ k AS (
   SELECT doc_id, toks[1] || ' ' || toks[2] || ' ' || toks[3] AS prefix,
          list_distinct(toks) AS ws
   FROM t),
+tot AS (SELECT count(*) AS n_docs FROM k),
+keyed AS (
+  SELECT doc_id, prefix FROM (
+    SELECT doc_id, prefix, count(*) OVER (PARTITION BY prefix) AS df FROM k), tot
+  WHERE df <= greatest(2.0, 0.01 * n_docs)),
 pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-    len(list_filter(a.ws, x -> list_contains(b.ws, x))) AS inter,
-    len(a.ws) + len(b.ws) - len(list_filter(a.ws, x -> list_contains(b.ws, x))) AS uni
-  FROM k a JOIN k b ON a.prefix = b.prefix AND a.doc_id < b.doc_id)
-SELECT id_a, id_b, inter, uni FROM pairs
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keyed a JOIN keyed b ON a.prefix = b.prefix AND a.doc_id < b.doc_id),
+sim AS (
+  SELECT id_a, id_b,
+    len(list_filter(x.ws, v -> list_contains(y.ws, v))) AS inter,
+    len(x.ws) + len(y.ws) - len(list_filter(x.ws, v -> list_contains(y.ws, v))) AS uni
+  FROM pairs JOIN k x ON x.doc_id = id_a JOIN k y ON y.doc_id = id_b)
+SELECT id_a, id_b, inter, uni FROM sim
 WHERE CAST(inter AS DOUBLE) / uni >= 0.5
 ORDER BY id_a, id_b""",
 

@@ -56,6 +56,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"shingle array column rides a shuffle:\n$exchanges")
   }
 
+  test("dd02: prefix-blocking shuffle carries ids only, not word-set arrays") {
+    val p = plan("dd02_ngram_jaccard")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning(prefix"))
+      .mkString("\n")
+    assert(exchanges.nonEmpty, "expected a prefix-keyed exchange")
+    assert(!exchanges.contains("ws#"),
+      s"word-set array rides the prefix shuffle:\n$exchanges")
+  }
+
+  test("ann01/dd05: cosine verify stage is the native expression, not interpreted folds") {
+    Seq("ann01_brute_topk", "dd05_cosine_neardup").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("cosine_similarity"), s"$q: native cosine missing")
+      assert(!p.contains("aggregate(zip_with"),
+        s"$q: interpreted higher-order cosine crept back in")
+    }
+  }
+
   test("cdc06: the update diff runs as the native expression, not interpreted lambdas") {
     val p = plan("cdc06_diff")
     assert(p.contains("map_changed_fields"), "native diff expression missing")
