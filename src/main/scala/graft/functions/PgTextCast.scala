@@ -64,7 +64,15 @@ object PgTextCast {
     case "date" =>
       tryOr(value)(LocalDate.parse(value.trim))
     case "json" | "jsonb" =>
-      value // raw JSON string; downstream lane is Spark from_json
+      value // raw JSON string; downstream lane is Spark try_parse_json
+    case "time" =>
+      tryOr(value)(java.time.LocalTime.parse(value.trim))
+    case "timetz" =>
+      // keep the offset at the JVM lane (types.ex:110-125); the Spark
+      // column lane normalizes to UTC TIME (graft.plans.PgTimeTz)
+      tryOr(value)(parseTimeTz(value))
+    case "interval" =>
+      parseInterval(value).getOrElse(value)
     case "money" =>
       tryOr(value)(new JBigDecimal(value.replaceAll("[^0-9.\\-]", "")))
     case "bytea" =>
@@ -109,6 +117,66 @@ object PgTextCast {
     s = off.replaceAllIn(s, m => m.group(1) + m.group(2) + ":00")
     if (s.endsWith("Z")) Instant.parse(s)
     else OffsetDateTime.parse(s).toInstant
+  }
+
+  /** `timetz` "HH:MM:SS[.f][±HH[:MM]]" → OffsetTime (offset preserved;
+    * no-offset input reads as UTC).
+    */
+  def parseTimeTz(v: String): java.time.OffsetTime = {
+    var s = v.trim
+    val off = "([+-])(\\d{2})$".r
+    s = off.replaceAllIn(s, m => m.group(1) + m.group(2) + ":00")
+    if (!s.matches(".*([+-]\\d{2}:\\d{2}|Z)$")) s = s + "Z"
+    java.time.OffsetTime.parse(s)
+  }
+
+  /** Postgres interval stored triple — what `interval` columns decode to
+    * at the JVM lane (the Spark column lane is the identical
+    * struct(months, days, micros), graft.plans.PgIntervalParts).
+    */
+  final case class PgInterval(months: Int, days: Int, micros: Long)
+
+  private val NumUnitRe = """(-?\d+)\s+(years?|mons?|months?|days?|weeks?)""".r
+  private val TimePartRe = """([+-]?)(\d{1,9}):(\d{2}):(\d{2})(?:\.(\d{1,6}))?""".r
+
+  /** pg default-style interval text ("[N year[s]] [N mon[s]] [N day[s]]
+    * [±]HH:MM:SS[.ffffff]") → [[PgInterval]]; None if malformed. Validated
+    * by full consumption: every token must be a recognized `N unit` pair
+    * or the single time part.
+    */
+  def parseInterval(v: String): Option[PgInterval] = {
+    val text = v.trim
+    if (text.isEmpty) return None
+    var months = 0; var days = 0; var micros = 0L
+    var sawAny = false; var sawTime = false
+    var rest = text
+    while (rest.nonEmpty) {
+      NumUnitRe.findPrefixMatchOf(rest) match {
+        case Some(m) =>
+          val n = m.group(1).toInt
+          m.group(2) match {
+            case u if u.startsWith("year") => months += 12 * n
+            case u if u.startsWith("mon")  => months += n
+            case u if u.startsWith("week") => days += 7 * n
+            case _                         => days += n
+          }
+          sawAny = true
+          rest = rest.substring(m.end).trim
+        case None =>
+          val tp = TimePartRe.findPrefixMatchOf(rest)
+          if (tp.isEmpty || sawTime) return None
+          val m = tp.get
+          val frac = m.group(5)
+          val fracMicros =
+            if (frac == null) 0L else (frac + "0" * (6 - frac.length)).toLong
+          val mag = (m.group(2).toLong * 3600L + m.group(3).toLong * 60L +
+            m.group(4).toLong) * 1000000L + fracMicros
+          micros += (if (m.group(1) == "-") -mag else mag)
+          sawAny = true; sawTime = true
+          rest = rest.substring(m.end).trim
+      }
+    }
+    if (sawAny) Some(PgInterval(months, days, micros)) else None
   }
 
   private def hexToBytes(hex: String): Array[Byte] = {

@@ -44,7 +44,11 @@ object TypedRecords {
     case "timestamptz"                         => PgCasts.pgTimestamp(raw)
     case "date"                                => PgCasts.pgDate(raw)
     case "bytea"                               => PgCasts.pgBytea(raw)
-    // json/uuid/time/interval/inet/geometric/ranges/…: string passthrough
+    case "time"                                => PgCasts.pgTime(raw)
+    case "timetz"                              => PgCasts.pgTimeTz(raw)
+    case "interval"                            => PgCasts.pgInterval(raw)
+    case "json" | "jsonb"                      => PgCasts.pgJson(raw)
+    // uuid/inet/geometric/ranges/…: string passthrough (types.ex:102,145-187)
     case _                                     => raw
   }
 

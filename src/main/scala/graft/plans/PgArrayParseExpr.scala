@@ -105,6 +105,25 @@ object PgCasts {
   def pgDate(c: Column): Column      = c.try_cast("date")
   def pgTimestamp(c: Column): Column = c.try_cast("timestamp")
 
+  /** `time` → Spark 4 TIME(6) (never-throw). */
+  def pgTime(c: Column): Column =
+    c.try_cast(org.apache.spark.sql.types.TimeType(
+      org.apache.spark.sql.types.TimeType.MICROS_PRECISION))
+
+  /** `timetz` → TIME(6) normalized to UTC (native, see [[PgTimeTz]]). */
+  def pgTimeTz(c: Column): Column = Bridge.column(PgTimeTz(Bridge.expression(c)))
+
+  /** `interval` → struct(months, days, micros) (native, see
+    * [[PgIntervalParts]]).
+    */
+  def pgInterval(c: Column): Column = Bridge.column(PgIntervalParts(Bridge.expression(c)))
+
+  /** `json`/`jsonb` → VARIANT via try_parse_json: invalid JSON → NULL
+    * (never-throw), valid JSON gets typed `variant_get` access. The raw
+    * text always remains available in the record map.
+    */
+  def pgJson(c: Column): Column = try_parse_json(c)
+
   /** Typed array cast: parse the literal then cast elements. */
   def pgArray(c: Column, elemSqlType: String): Column =
     transform(pgArrayParse(c), e => e.cast(elemSqlType))

@@ -231,20 +231,29 @@ SELECT * FROM (VALUES
  (1, 1, 'alpha', true, CAST(1234 AS BIGINT), 0.5, DATE '2024-01-15',
   '2024-03-15 06:30:05', epoch_ms(TIMESTAMPTZ '2024-03-15 06:30:05+02:00'),
   '4869', CAST(6 AS BIGINT), '550e8400-e29b-41d4-a716-446655440000',
-  CAST(123456 AS BIGINT)),
+  CAST(123456 AS BIGINT),
+  '06:30:05', '04:30:05', 14, 3, CAST(14706000007 AS BIGINT),
+  CAST(41 AS BIGINT), true),
  (2, 2, 'b"q" é', false, CAST(NULL AS BIGINT), -2.25, CAST(NULL AS DATE),
   CAST(NULL AS VARCHAR), epoch_ms(TIMESTAMPTZ '2024-03-15 08:30:05+02:00'),
   CAST(NULL AS VARCHAR), CAST(30 AS BIGINT),
-  'c0ffee00-0000-4000-8000-000000000000', CAST(-6789 AS BIGINT)),
+  'c0ffee00-0000-4000-8000-000000000000', CAST(-6789 AS BIGINT),
+  '23:59:59.123456', '05:29:59.5', 0, -3, CAST(0 AS BIGINT),
+  CAST(NULL AS BIGINT), false),
  (3, CAST(NULL AS INT), '日本語 text', CAST(NULL AS BOOLEAN), CAST(5 AS BIGINT),
   CAST('NaN' AS DOUBLE), DATE '2024-02-29', '2024-06-01 00:00:00',
   epoch_ms(TIMESTAMPTZ '2024-06-01 00:00:00+00:00'), '00FF', CAST(0 AS BIGINT),
-  CAST(NULL AS VARCHAR), CAST(1 AS BIGINT)),
+  CAST(NULL AS VARCHAR), CAST(1 AS BIGINT),
+  CAST(NULL AS VARCHAR), '10:00:00', 0, 0, CAST(7384000000 AS BIGINT),
+  CAST(7 AS BIGINT), true),
  (4, -5, 'x,y{z}', true, CAST(-1234568 AS BIGINT), 1000.0, DATE '1999-12-31',
   '2030-01-01 23:59:59', epoch_ms(TIMESTAMPTZ '1999-12-31 23:59:59-05:00'),
-  '', CAST(2 AS BIGINT), 'not-a-uuid', CAST(123400 AS BIGINT))
+  '', CAST(2 AS BIGINT), 'not-a-uuid', CAST(123400 AS BIGINT),
+  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS INT),
+  CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), false)
 ) AS t(idx, id, name, active, score_cents, ratio, born, ts_s, tstz_ms,
-       data_hex, tags_sum, uid, price_cents)
+       data_hex, tags_sum, uid, price_cents, time_s, timetz_utc_s,
+       iv_months, iv_days, iv_micros, js_a, js_valid)
 ORDER BY idx""",
 
     "cdc14_stream_replay" -> s"""$changesCte
@@ -262,6 +271,25 @@ SELECT c.c_mktsegment, ch.op, count(*) AS n_changes,
        CAST(sum(ch.val_cents) AS BIGINT) AS sum_val_cents
 FROM changes ch JOIN customer c ON ch.record_id + 1 = c.c_custkey
 GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // per-handler delivery counts; F6: an update passes when any changed
+    // field besides updated_at exists — in the WAL lane k changes unless
+    // k%5=0, val_cents unless k%3=0 or k%11=0 (unchanged TOAST); F7: a
+    // delete with record k='0' is dropped (null k passes).
+    "cdc18_dispatch_counts" -> s"""$changesCte
+SELECT handler, n_events FROM (
+  SELECT 'on_event:*' AS handler, count(*) AS n_events FROM changes
+  UNION ALL
+  SELECT 'on_insert:user', count(*) FROM changes
+  WHERE op = 'insert' AND table_name = 'user'
+  UNION ALL
+  SELECT 'on_update:todo', count(*) FROM changes
+  WHERE op = 'update' AND table_name = 'todo'
+    AND (k IS NULL OR k % 5 <> 0 OR (k % 3 <> 0 AND k % 11 <> 0))
+  UNION ALL
+  SELECT 'on_delete:order', count(*) FROM changes
+  WHERE op = 'delete' AND table_name = 'order' AND (k IS NULL OR k <> 0)
+) ORDER BY handler""",
 
     "cdc16_change_table" -> s"""$changesCte
 SELECT seq, xid, lsn, table_name AS name, op AS type, commit_ms AS timestamp_ms,

@@ -154,6 +154,7 @@ object QueryPack {
     "cdc15_stream_hourly"    -> ((s, d) => streamHourly(s, d)), // §2.7 streaming agg
     "cdc16_change_table"     -> ((s, d) => streamChangeTable(s, d)), // S1 polling mode
     "cdc17_stream_enrich"    -> ((s, d) => streamEnrich(s, d)), // §2.7 stream-static join
+    "cdc18_dispatch_counts"  -> ((s, d) => streamDispatch(s, d)), // K1-K7 dispatch layer
 
     // ---- text analysis ----
     "txt01_token_stats" -> ((s, d) => TextOps.tokenStats(s, d)),
@@ -249,22 +250,34 @@ object QueryPack {
       RelationColumn(key = false, "data", 17, -1),     // bytea
       RelationColumn(key = false, "tags", 1007, -1),   // _int4
       RelationColumn(key = false, "uid", 2950, -1),    // uuid
-      RelationColumn(key = false, "price", 790, -1)))  // money
+      RelationColumn(key = false, "price", 790, -1),   // money
+      RelationColumn(key = false, "t", 1083, -1),      // time
+      RelationColumn(key = false, "ttz", 1266, -1),    // timetz
+      RelationColumn(key = false, "iv", 1186, -1),     // interval
+      RelationColumn(key = false, "js", 3802, -1)))    // jsonb
     def t(s: String): Cell = Cell.Text(s)
     val n = Cell.Null
     val tuples: Seq[IndexedSeq[Cell]] = Seq(
       IndexedSeq(t("1"), t("alpha"), t("t"), t("12.34"), t("0.5"), t("2024-01-15"),
         t("2024-03-15 06:30:05"), t("2024-03-15 06:30:05+02:00"), t("\\x4869"),
-        t("{1,2,3}"), t("550e8400-e29b-41d4-a716-446655440000"), t("$1,234.56")),
+        t("{1,2,3}"), t("550e8400-e29b-41d4-a716-446655440000"), t("$1,234.56"),
+        t("06:30:05"), t("06:30:05+02"),
+        t("1 year 2 mons 3 days 04:05:06.000007"), t("""{"a": 41, "b": [1, 2]}""")),
       IndexedSeq(t("2"), t("b\"q\" é"), t("f"), t("abc"), t("-2.25"), n,
         n, t("2024-03-15 08:30:05+02:00"), n,
-        t("{10,NULL,20}"), t("c0ffee00-0000-4000-8000-000000000000"), t("-$67.89")),
+        t("{10,NULL,20}"), t("c0ffee00-0000-4000-8000-000000000000"), t("-$67.89"),
+        t("23:59:59.123456"), t("23:59:59.5-05:30"),
+        t("-3 days"), t("not json")),
       IndexedSeq(n, t("日本語 text"), t("x"), t("0.05"), t("NaN"), t("2024-02-29"),
         t("2024-06-01 00:00:00"), t("2024-06-01 00:00:00+00:00"), t("\\x00ff"),
-        t("{}"), n, t("$0.01")),
+        t("{}"), n, t("$0.01"),
+        n, t("10:00:00+00"),
+        t("02:03:04"), t("""{"a": 7}""")),
       IndexedSeq(t("-5"), t("x,y{z}"), t("true"), t("-12345.678"), t("1e3"),
         t("1999-12-31"), t("2030-01-01 23:59:59"), t("1999-12-31 23:59:59-05:00"),
-        t("\\x"), t("{1,-2,3}"), t("not-a-uuid"), t("1234")))
+        t("\\x"), t("{1,-2,3}"), t("not-a-uuid"), t("1234"),
+        t("garbage"), t("bad"),
+        t("nope"), n))
     val frames = (rel +: tuples.map(tp => Insert(17001, tp): WalMessage))
       .map(PgOutputEncoder.encode)
 
@@ -296,7 +309,15 @@ object QueryPack {
         aggregate(col("tags"), lit(0L),
           (acc, x) => acc + coalesce(x.cast("long"), lit(0L))).as("tags_sum"),
         col("uid"),
-        round(col("price") * 100).cast("long").as("price_cents"))
+        round(col("price") * 100).cast("long").as("price_cents"),
+        // TIME columns exported as canonical strings (engine-portable;
+        // TIME parquet/compare support is still uneven across engines)
+        col("t").cast("string").as("time_s"),
+        col("ttz").cast("string").as("timetz_utc_s"),
+        col("iv.months").as("iv_months"), col("iv.days").as("iv_days"),
+        col("iv.micros").as("iv_micros"),
+        variant_get(col("js"), "$.a", "long").as("js_a"),
+        col("js").isNotNull.as("js_valid"))
       .orderBy(col("idx"))
   }
 
@@ -390,6 +411,41 @@ object QueryPack {
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(600000)
     spark.table(qname).orderBy(col("c_mktsegment"), col("op"))
+  }
+
+  /** K1-K7 end-to-end as a driver-verifiable row: the full Graft facade
+    * (DSv2 source → assembly → Event view → Engine dispatch) with four
+    * handlers exercising the filter surface — on_event:* (K3),
+    * on_insert (K5), on_update + unwatched-fields (F6), on_delete +
+    * unwatched-records (F7) — emitting per-handler delivery counts. The
+    * oracle re-derives each handler's count independently from the change
+    * set (the counts are collected driver-side because handlers ARE user
+    * callbacks — that is the operator under test, not a data-plane
+    * collect).
+    */
+  def streamDispatch(spark: SparkSession, d: String): DataFrame = {
+    import graft.streaming.{Engine, EventFilters, Graft, GraftConfig}
+    import scala.jdk.CollectionConverters._
+    val dir = ensureWalFixture(spark, d)
+    val counts = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+    def add(name: String): DataFrame => Unit = {
+      counts.put(name, new java.util.concurrent.atomic.LongAdder) // 0 even if never delivered
+      df => counts.get(name).add(df.count())
+    }
+    val engine = new Engine()
+      .onEvent("*")(add("on_event:*"))
+      .onInsert("user")(add("on_insert:user"))
+      .onUpdate("todo", EventFilters(unwatchedFields = Seq("updated_at")))(
+        add("on_update:todo"))
+      .onDelete("order", EventFilters(unwatchedRecords = Map("k" -> "0")))(
+        add("on_delete:order"))
+    val config = GraftConfig(s"cdc18-${replayQueryCount.incrementAndGet()}",
+      publication = Some("graft_pub"))
+    val q = Graft.start(spark, config, dir, engine, trigger = Trigger.AvailableNow())
+    q.awaitTermination(600000)
+    import spark.implicits._
+    counts.asScala.toSeq.map { case (h, n) => (h, n.sum()) }
+      .sortBy(_._1).toDF("handler", "n_events")
   }
 
   /** S1's second mode — the JDBC-polling-shaped change-table lane

@@ -20,6 +20,7 @@ class JdbcCdcSourceSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+    .config("spark.sql.timeType.enabled", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

@@ -81,9 +81,9 @@ class PgTextCastSpec extends AnyFunSuite {
     assert(c("plain", "bytea") == "plain")
   }
 
-  test("passthrough families: inet/interval/range/geometric/xml/unknown") {
+  test("passthrough families: inet/range/geometric/xml/unknown") {
     assert(c("192.168.0.1/24", "inet") == "192.168.0.1/24")
-    assert(c("1 day", "interval") == "1 day")
+    assert(c("1 day", "interval") == PgTextCast.PgInterval(0, 1, 0L)) // typed since r4
     assert(c("[1,10)", "int4range") == "[1,10)")
     assert(c("(1,2)", "point") == "(1,2)")
     assert(c("<a/>", "xml") == "<a/>")
@@ -130,5 +130,42 @@ class PgTextCastSpec extends AnyFunSuite {
     assert(PgTextCast.pgMicrosToInstant(0L) == Instant.parse("2000-01-01T00:00:00Z"))
     assert(PgTextCast.pgMicrosToInstant(616784555726322L) ==
       Instant.parse("2019-07-18T17:02:35.726322Z"))
+  }
+
+  test("time / timetz (types.ex:104-125)") {
+    assert(c("06:30:05", "time") == java.time.LocalTime.of(6, 30, 5))
+    assert(c("23:59:59.123456", "time") ==
+      java.time.LocalTime.parse("23:59:59.123456"))
+    assert(c("garbage", "time") == "garbage") // never-throw fallback
+    assert(c("06:30:05+02", "timetz") ==
+      java.time.OffsetTime.parse("06:30:05+02:00"))
+    assert(c("23:59:59.5-05:30", "timetz") ==
+      java.time.OffsetTime.parse("23:59:59.5-05:30"))
+    assert(c("bad", "timetz") == "bad")
+  }
+
+  test("interval: pg default style -> (months, days, micros)") {
+    import PgTextCast.PgInterval
+    assert(c("1 year 2 mons 3 days 04:05:06.000007", "interval") ==
+      PgInterval(14, 3, 14706000007L))
+    assert(c("-3 days", "interval") == PgInterval(0, -3, 0L))
+    assert(c("02:03:04", "interval") == PgInterval(0, 0, 7384000000L))
+    assert(c("2 weeks", "interval") == PgInterval(0, 14, 0L))
+    assert(c("-00:00:01", "interval") == PgInterval(0, 0, -1000000L))
+    assert(c("nope", "interval") == "nope")       // never-throw fallback
+    assert(c("1 day trailing junk", "interval") == "1 day trailing junk")
+  }
+
+  test("timetz UTC normalization for the Spark TIME lane") {
+    import graft.plans.PgTimeUtil.timeTzToUtcNanos
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    assert(timeTzToUtcNanos(u8("06:30:05+02")) == 4 * 3600L * 1000000000L +
+      30 * 60L * 1000000000L + 5 * 1000000000L)
+    // wraps mod 24h: 23:59:59.5 -05:30 → 05:29:59.5 UTC next day
+    assert(timeTzToUtcNanos(u8("23:59:59.5-05:30")) ==
+      ((5 * 3600L + 29 * 60L + 59) * 1000000000L + 500000000L))
+    assert(timeTzToUtcNanos(u8("10:00:00")) == 10 * 3600L * 1000000000L)
+    assert(timeTzToUtcNanos(u8("bad")) == null)
+    assert(timeTzToUtcNanos(u8("25:00:00+02")) == null) // invalid hour
   }
 }

@@ -16,6 +16,7 @@ class PlanAuditSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.timeType.enabled", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

@@ -13,6 +13,7 @@ class QueryPackSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.timeType.enabled", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

@@ -23,6 +23,7 @@ class StreamingCdcSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+    .config("spark.sql.timeType.enabled", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
