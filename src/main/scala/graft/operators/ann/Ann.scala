@@ -114,6 +114,69 @@ object Ann {
       .orderBy(col("vec_id"))
   }
 
+  /** IVF (inverted-file) ANN — the codebook scale path alongside LSH:
+    * coarse-quantize the corpus into `nlist` cells by nearest centroid,
+    * then search exactly within only the `nprobe` cells nearest each
+    * query. The codebook here is a deterministic hash-ranked sample of
+    * corpus vectors (the smallest `nlist` values of xxhash64(vec_id)) —
+    * the training seam where an offline k-means refinement would plug in;
+    * everything downstream is codebook-agnostic.
+    *
+    * Scale shape:
+    *  - the codebook is `nlist` vectors, broadcast — never shuffled;
+    *  - cell assignment is one broadcast nested-loop pass over the corpus
+    *    whose output is slimmed to (vec_id, cent_id, sim) BEFORE the
+    *    groupBy — `max_by` partial-aggregates map-side, so the one
+    *    exchange carries a single (vec_id, cell) row per vector, ids only;
+    *  - search joins each query's nprobe cells against the cell-keyed
+    *    corpus: candidate volume ≈ n·nprobe/nlist per query, not n, and
+    *    embeddings re-attach by id only for actual candidates (the
+    *    dd03/ann02 shuffle discipline).
+    */
+  def ivfTopK(spark: SparkSession, d: String, nlist: Int = 16, nprobe: Int = 4,
+      nQueries: Int = 8, k: Int = 5): DataFrame =
+    ivfTopKOf(Tables.spread(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))), nlist, nprobe, nQueries, k)
+
+  def ivfTopKOf(emb: DataFrame, nlist: Int, nprobe: Int, nQueries: Int,
+      k: Int): DataFrame = {
+    val cents = emb
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+        xxhash64(col("vec_id")).as("h"))
+      .orderBy(col("h"), col("cent_id")).limit(nlist).drop("h")
+
+    // corpus → cell: slim projection, then map-side-combined argmax
+    val cells = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        cosine(col("embedding"), col("cent_emb")).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("sim"), -col("cent_id"))).as("cell"))
+
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // query → nprobe nearest cells (nQueries × nlist rows: tiny window)
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("qsim", cosine(col("q_emb"), col("cent_emb")))
+      .withColumn("prb", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("qsim").desc, col("cent_id"))))
+      .filter(col("prb") <= nprobe)
+      .select(col("query_id"), col("cent_id").as("cell"))
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    // probes are nQueries × nprobe rows — always broadcast (the planner
+    // has no stats on this subtree and would fall back to SMJ)
+    broadcast(probes).join(cells, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Per-label embedding stats (norm distribution) — the sanity scan a
     * pipeline runs before indexing.
     *

@@ -179,6 +179,7 @@ object QueryPack {
     "ann01_brute_topk"  -> ((s, d) => Ann.bruteForceTopK(s, d)),
     "ann02_lsh_bucket"  -> ((s, d) => Ann.lshNearestMultiBand(s, d)), // rows-only
     "ann03_label_stats" -> ((s, d) => Ann.labelStats(s, d)),
+    "ann04_ivf_topk"    -> ((s, d) => Ann.ivfTopK(s, d)), // rows-only (hash codebook)
 
     // ---- multimodal ----
     "mm01_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d))

@@ -157,6 +157,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(simLow == 0)
   }
 
+  test("IVF: planted near-duplicates are found through the probed cells") {
+    import graft.operators.ann.Ann
+    // same planted-copy regime as the LSH test: a correlated copy at
+    // vec_id + 100000 should land in (one of) the same coarse cells and
+    // be returned as the top IVF hit for most queries
+    val base = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val planted = base.select(($"vec_id" + 100000L).as("vec_id"),
+      transform($"embedding", (x, i) =>
+        when(($"vec_id" + i) % 21 === 0, -x).otherwise(x)).as("embedding"))
+    val nQ = 16
+    val top1 = Ann.ivfTopKOf(base.union(planted), nlist = 16, nprobe = 4,
+        nQueries = nQ, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = (0L until nQ.toLong).count(i => top1.get(i).contains(i + 100000L))
+    assert(hits >= nQ / 2,
+      s"planted-copy IVF recall $hits/$nQ below 50% — quantization broken")
+    // determinism: the codebook is hash-ranked, so a re-run is identical
+    val again = Ann.ivfTopKOf(base.union(planted), 16, 4, nQ, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == top1)
+  }
+
   test("mediaMeta declarative projection matches the codec-seam derivation") {
     import graft.operators.multimodal.Multimodal
     val declarative = Multimodal.mediaMeta(spark, sf).collect()

@@ -75,6 +75,15 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("ann04: cell assignment shuffles ids only; codebook joins broadcast") {
+    val p = plan("ann04_ivf_topk")
+    assert(!p.contains("SortMergeJoin"), "codebook/candidate join fell back to SMJ")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .mkString("\n")
+    assert(!exchanges.contains("embedding#"),
+      s"embedding array rides a shuffle:\n$exchanges")
+  }
+
   test("cdc06: the update diff runs as the native expression, not interpreted lambdas") {
     val p = plan("cdc06_diff")
     assert(p.contains("map_changed_fields"), "native diff expression missing")
