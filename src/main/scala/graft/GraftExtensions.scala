@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL surface for the library's native expressions: register via
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`), then use
+  * them from plain SQL — the lane a SQL-first user (or a JDBC/Thrift
+  * client) reaches the engine through:
+  *
+  * {{{
+  *   SELECT cosine_similarity(a.embedding, b.embedding)      -- ANN verify
+  *   SELECT pg_array_parse(cell)                              -- D12
+  *   SELECT map_changed_fields(old_rec, new_rec, toast_cols)  -- P5 diff
+  *   SELECT minhash_band_buckets(shingle_hashes, 64, 16)      -- dd03 lane
+  * }}}
+  *
+  * All functions resolve to the same codegen'd expressions the Column API
+  * uses — no UDF wrappers, whole-stage codegen preserved. Sketch-parameter
+  * arguments (band/bit/width counts) must be INT literals: they shape the
+  * expression itself, exactly as in the Column API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import graft.plans._
+
+  private def intLit(args: Seq[Expression], i: Int, fn: String): Int = args(i) match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${i + 1} must be an INT literal, got ${other.sql}")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def reg(name: String, arity: Int)(build: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        (args: Seq[Expression]) => {
+          require(args.length == arity, s"$name expects $arity arguments, got ${args.length}")
+          build(args)
+        }))
+
+    reg("pg_array_parse", 1)(a => PgArrayParse(a(0)))
+    reg("pg_timetz", 1)(a => PgTimeTz(a(0)))
+    reg("pg_interval_parts", 1)(a => PgIntervalParts(a(0)))
+    reg("map_changed_fields", 3)(a => MapChangedFields(a(0), a(1), a(2)))
+    reg("cosine_similarity", 2)(a => CosineSimilarity(a(0), a(1)))
+    reg("simhash64", 1)(a => SimHash64(a(0)))
+    reg("minhash_band_buckets", 3)(a => MinHashBandBuckets(a(0),
+      intLit(a, 1, "minhash_band_buckets"), intLit(a, 2, "minhash_band_buckets")))
+    reg("hyperplane_band_buckets", 3)(a => HyperplaneBandBuckets(a(0),
+      intLit(a, 1, "hyperplane_band_buckets"), intLit(a, 2, "hyperplane_band_buckets")))
+    reg("winnow_fingerprints", 3)(a => WinnowFingerprints(a(0),
+      intLit(a, 1, "winnow_fingerprints"), intLit(a, 2, "winnow_fingerprints")))
+  }
+}

@@ -472,6 +472,15 @@ object QueryPack {
     spark.table(qname).orderBy(col("seq"))
   }
 
+  /** Pre-build every driver fixture (WAL segments, change table) — harness
+    * scaffolding, not operator cost; Bench calls this before the clock
+    * starts so cdc14/cdc16 measure the stream, not fixture generation.
+    */
+  def ensureFixtures(spark: SparkSession, d: String): Unit = {
+    ensureWalFixture(spark, d)
+    ensureChangeTableFixture(spark, d)
+  }
+
   private def ensureChangeTableFixture(spark: SparkSession, d: String): String =
     fixtureLock.synchronized {
       val sfName = java.nio.file.Paths.get(d).getFileName.toString
