@@ -404,6 +404,12 @@ GROUP BY 1, 2
 HAVING count(*) >= 0.65 * least(min(x.n_fps), min(y.n_fps))
 ORDER BY 1, 2""",
 
+    "dd07_stream_dedup" -> """
+SELECT min(doc_id) AS canonical_id, count(*) AS n_copies FROM (
+  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+  FROM documents)
+GROUP BY f ORDER BY canonical_id""",
+
     "txt05_bpe_tokens" -> s"""$toksCte
 SELECT doc_id, len(t) AS n_ws_tokens,
   len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS n_bpe_tokens,

@@ -174,6 +174,7 @@ object QueryPack {
     "dd04_simhash"       -> ((s, d) => Dedup.simHashPairs(s, d)),    // rows-only
     "dd05_cosine_neardup" -> ((s, d) => Dedup.cosineNearDups(s, d)), // rows-only
     "dd06_winnow_pairs"   -> ((s, d) => Dedup.winnowPairs(s, d)),
+    "dd07_stream_dedup"   -> ((s, d) => Dedup.exactStreamingCounts(s, d)),
 
     // ---- similarity search ----
     "ann01_brute_topk"  -> ((s, d) => Ann.bruteForceTopK(s, d)),

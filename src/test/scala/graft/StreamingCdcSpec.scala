@@ -467,6 +467,36 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(seen.keySet == (0 until 6).map(_.toString).toSet)
   }
 
+  test("streaming dedup horizon: dropDuplicatesWithinWatermark dedups within, re-admits past") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val t0 = 3600000L * 700000
+    val dedup = ms.toDF().toDF("ts_ms", "k")
+      .select(timestamp_millis($"ts_ms").as("ts"), $"k")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+      .select($"k")
+    val q = dedup.writeStream.format("memory").queryName("t_dedup_wm")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    // duplicate inside the horizon: emitted once
+    ms.addData((t0, "a"), (t0 + 1000, "a"), (t0 + 2000, "b"))
+    q.processAllAvailable()
+    assert(spark.table("t_dedup_wm").groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("a" -> 1L, "b" -> 1L))
+
+    // advance the watermark far past t0 (evicts 'a'), then replay 'a':
+    // past the horizon it is a NEW observation by design
+    ms.addData((t0 + 3 * 3600000L, "c"))
+    q.processAllAvailable()
+    ms.addData((t0 + 3 * 3600000L + 1000, "a"))
+    q.processAllAvailable()
+    val counts = spark.table("t_dedup_wm").groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("a") == 2L, s"'a' must re-admit past the horizon: $counts")
+    q.stop()
+  }
+
   test("watermark closes event-time windows in append mode") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(Long, String)]
