@@ -74,4 +74,78 @@ class SketchExprsSpec extends AnyFunSuite {
         s"simhash mismatch for doc ${r.getLong(0)}")
     }
   }
+
+  test("cosine_similarity == SQL aggregate(zip_with) formulation on random vectors") {
+    // 300 seeded-random pairs: equal lengths, mismatched lengths (→ null
+    // both ways), occasional null elements (→ null both ways). Zero-norm
+    // vectors excluded here: under ANSI mode the legacy formulation
+    // THROWS DIVIDE_BY_ZERO on them — the native expression deliberately
+    // keeps IEEE semantics (NaN, never-throw), pinned below.
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 300).map { i =>
+      def vec(n: Int): Seq[java.lang.Float] = Seq.fill(n) {
+        if (rnd.nextInt(40) == 0) null
+        else java.lang.Float.valueOf((rnd.nextFloat() + 0.1f) * 4f)
+      }
+      val n = 1 + rnd.nextInt(8)
+      val m = if (rnd.nextInt(5) == 0) n + 1 else n // 20% mismatched
+      (i.toLong, vec(n), vec(m))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val legacy = {
+      val dot = aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+      val na = aggregate(col("a"), lit(0.0),
+        (acc, v) => acc + v.cast("double") * v.cast("double"))
+      val nb = aggregate(col("b"), lit(0.0),
+        (acc, v) => acc + v.cast("double") * v.cast("double"))
+      dot / (sqrt(na) * sqrt(nb))
+    }
+    val got = df.select(col("id"), legacy.as("legacy"),
+      SketchCols.cosineSimilarity(col("a"), col("b")).as("native")).collect()
+    got.foreach { r =>
+      val (l, n) = (if (r.isNullAt(1)) null else r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))
+      assert(l == n,
+        s"cosine mismatch for row ${r.getLong(0)}: legacy=$l native=$n")
+    }
+
+    // zero-norm: native is never-throw IEEE (NaN), where the ANSI-mode
+    // legacy formulation would fail the whole job
+    val z = Seq((Seq(0f, 0f), Seq(1f, 2f))).toDF("a", "b")
+      .select(SketchCols.cosineSimilarity(col("a"), col("b")).as("c")).collect()(0)
+    assert(z.getDouble(0).isNaN)
+  }
+
+  test("map_changed_fields == SQL map_filter(map_zip_with) formulation on random maps") {
+    val rnd = new scala.util.Random(7)
+    val keys = Seq("a", "b", "c", "d", "e", "f")
+    def randMap(): Map[String, String] =
+      keys.filter(_ => rnd.nextBoolean()).map(k =>
+        k -> (if (rnd.nextInt(4) == 0) null else rnd.nextInt(3).toString)).toMap
+    val rows = (0 until 300).map { i =>
+      (i.toLong, randMap(), randMap(),
+        keys.filter(_ => rnd.nextInt(4) == 0)) // random toast subset
+    }
+    val df = rows.toDF("id", "o", "n", "toast")
+    val legacy = map_filter(
+      map_zip_with(col("o"), col("n"), (_, ov, nv) =>
+        struct(ov.as("old_value"), nv.as("new_value"))),
+      (k, v) => !(v.getField("old_value") <=> v.getField("new_value")) &&
+        !array_contains(col("toast"), k))
+    val got = df.select(col("id"),
+        legacy.as("legacy"),
+        graft.plans.MapDiffCols.mapChangedFields(col("o"), col("n"), col("toast"))
+          .as("native"),
+        map_keys(legacy).as("legacy_keys"))
+      .withColumn("native_keys", map_keys(col("native")))
+      .collect()
+    got.foreach { r =>
+      assert(r.getMap[String, org.apache.spark.sql.Row](1) ==
+        r.getMap[String, org.apache.spark.sql.Row](2),
+        s"diff mismatch for row ${r.getLong(0)}")
+      assert(r.getSeq[String](3) == r.getSeq[String](4),
+        s"key ORDER mismatch for row ${r.getLong(0)}")
+    }
+  }
 }

@@ -317,6 +317,45 @@ class StreamingCdcSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("P1/S4: a transaction spanning a query RESTART recovers from the state store") {
+    // run 1 processes one rate-limited batch (Trigger.Once + maxFramesPerTrigger)
+    // that ends mid-transaction; the open txn buffers in the state store.
+    // run 2 restarts from the checkpoint and must emit the txn exactly once.
+    val dir = tmpDir("span")
+    val ckpt = tmpDir("span-ckpt")
+    val changes = (1 to 6).map(i => mkChange(i, 42, "insert", "user", recordId = i))
+    WalFixture.writeSegments(dir, changes, txnsPerSegment = 1)
+    // one segment: 4 header frames + begin + 6 inserts + commit = 12 frames
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def start(trigger: Trigger) =
+      TxnAssembler.assemble(
+          readStreamFrom(dir, "maxFramesPerTrigger" -> "8")).toDF()
+        .writeStream.outputMode("append").trigger(trigger)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          emitted ++= b.select("seq").collect().map(_.getLong(0)); ()
+        }.start()
+
+    // run 1: exactly the first rate-limited batch (frames 0-7: header +
+    // begin + inserts, NO commit), then stop mid-transaction. A long
+    // ProcessingTime interval gives one immediate batch; Trigger.Once
+    // would ignore the admission limit.
+    val q1 = start(Trigger.ProcessingTime(600000))
+    val deadline = System.nanoTime() + 60_000_000_000L
+    while (q1.recentProgress.length < 1 && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    q1.stop()
+    q1.awaitTermination(120000)
+    assert(emitted.isEmpty, s"nothing may emit before the commit, got $emitted")
+
+    val q2 = start(Trigger.AvailableNow()) // restart: drains the rest
+    q2.awaitTermination(120000)
+    // AssembledChange.seq is the global frame index: header 0-3, begin 4,
+    // the six inserts are frames 5-10 (commit 11)
+    assert(emitted.sorted.toSeq == (5L to 10L).toSeq,
+      s"restart must emit the spanning txn exactly once, got $emitted")
+  }
+
   test("P1: stale open transaction is evicted after the processing-time TTL") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[ChangeMsg]
