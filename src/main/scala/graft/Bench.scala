@@ -25,9 +25,13 @@ object Bench {
     catch { case _: Throwable => () }
     // Fixture generation (WAL segments / change table) is harness
     // scaffolding — build before the clock so cdc* queries measure the
-    // stream, not the fixture writer.
+    // stream, not the fixture writer. The build churns ~GBs of short-lived
+    // arrays (collect + encode); settle the heap so later sort-heavy
+    // queries don't absorb its GC debt (measured: a 5× dd06 outlier on
+    // cold-fixture runs only).
     try graft.queries.QueryPack.ensureFixtures(spark, sfDir)
     catch { case _: Throwable => () }
+    System.gc()
     // A failed query benches as -1 with an explicit error entry — never as a
     // healthy-looking wall-clock number — and fails the run loudly.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

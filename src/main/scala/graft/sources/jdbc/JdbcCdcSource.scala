@@ -47,6 +47,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Watermark probes stay unfiltered on purpose: the offset must advance
   * past filtered-out rows or they would be re-scanned every trigger.
   *
+  * Assumption (inherent to high-watermark polling, same as any
+  * incremental JDBC ingest): rows are appended with monotonically
+  * increasing LSNs and become visible in commit order — a row inserted
+  * BELOW an already-delivered watermark is never re-read. Change tables
+  * written from a logical-replication consumer satisfy this by
+  * construction (LSNs are commit-ordered).
+  *
   * Scale: the driver issues only O(1) watermark probes per trigger; all
   * row transfer happens in executors. A production change table should be
   * indexed on the LSN column; value-range splits assume LSNs are roughly
