@@ -136,7 +136,9 @@ object PgTextCast {
     */
   final case class PgInterval(months: Int, days: Int, micros: Long)
 
-  private val NumUnitRe = """(-?\d+)\s+(years?|mons?|months?|days?|weeks?)""".r
+  // months? before mons?: alternation is first-match, and `mons?` would
+  // otherwise match the "mon" prefix of "months" and strand "ths"
+  private val NumUnitRe = """(-?\d+)\s+(years?|months?|mons?|days?|weeks?)""".r
   private val TimePartRe = """([+-]?)(\d{1,9}):(\d{2}):(\d{2})(?:\.(\d{1,6}))?""".r
 
   /** pg default-style interval text ("[N year[s]] [N mon[s]] [N day[s]]

@@ -67,13 +67,22 @@ object Dedup {
     * directory of arriving files).
     */
   private def docsStreamDir(d: String): String = streamDedupCount.synchronized {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, LinkOption, Paths}
     val sfName = Paths.get(d).getFileName.toString
     val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_docs", sfName)
     val link = dir.resolve("documents-000.parquet")
-    if (!Files.exists(link)) {
+    val target = Paths.get(d, "documents.parquet")
+    // NOFOLLOW: a dangling link from a prior run reads as "absent" through
+    // the link, then createSymbolicLink throws; also re-point when the sf
+    // basename collides across different parent dirs
+    if (Files.exists(link, LinkOption.NOFOLLOW_LINKS)) {
+      if (Files.readSymbolicLink(link) != target) {
+        Files.delete(link)
+        Files.createSymbolicLink(link, target)
+      }
+    } else {
       Files.createDirectories(dir)
-      Files.createSymbolicLink(link, Paths.get(d, "documents.parquet"))
+      Files.createSymbolicLink(link, target)
     }
     dir.toString
   }

@@ -87,20 +87,23 @@ object JdbcCdcSource {
 
   val columnNames: Seq[String] = schema.fields.map(_.name).toSeq
 
-  /** `tables`/`ops` options → IN filters merged with Catalyst-pushed ones. */
+  /** `tables`/`ops` options → IN filters merged with Catalyst-pushed ones.
+    * An empty/blank option contributes no filter (an empty `IN ()` is a
+    * SQL syntax error).
+    */
   def optionFilters(options: CaseInsensitiveStringMap): Seq[Filter] = {
     def csv(k: String): Option[Array[Any]] =
       Option(options.get(k)).map(_.split(",").map(_.trim).filter(_.nonEmpty)
-        .map(s => s: Any))
+        .map(s => s: Any)).filter(_.nonEmpty)
     csv("tables").map(In("table_name", _)).toSeq ++ csv("ops").map(In("op", _)).toSeq
   }
 
   private val pushableCols = Set("schema_name", "table_name", "op")
 
   def pushable(f: Filter): Boolean = f match {
-    case EqualTo(a, _: String)                           => pushableCols(a)
-    case In(a, vs) if vs.forall(_.isInstanceOf[String])  => pushableCols(a)
-    case _                                               => false
+    case EqualTo(a, _: String)                                         => pushableCols(a)
+    case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) => pushableCols(a)
+    case _                                                             => false
   }
 
   /** Parameterized WHERE fragment + bind values for the pushed filters
@@ -250,8 +253,10 @@ class JdbcCdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[F
 
   override def initialOffset(): Offset =
     if (startLatest) JdbcOffset(maxLsn(Long.MinValue, None))
+    // empty table → -1 (pg LSNs are non-negative), keeping later
+    // watermark spans in sane arithmetic range
     else JdbcOffset(probe(JdbcCdcSource.minLsnSql(table, lsnCol), None)
-      .map(_ - 1L).getOrElse(Long.MinValue))
+      .map(_ - 1L).getOrElse(-1L))
 
   override def getDefaultReadLimit: ReadLimit =
     maxRowsPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
@@ -273,16 +278,20 @@ class JdbcCdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[F
 
   override def deserializeOffset(json: String): Offset = JdbcOffset(json.toLong)
 
-  /** Contiguous LSN sub-ranges; each reader issues one indexed range scan. */
+  /** Contiguous LSN sub-ranges; each reader issues one indexed range scan.
+    * Bounds are computed in BigInt: a legacy/degenerate start watermark
+    * (e.g. Long.MinValue from an old checkpoint) would overflow `e - s`
+    * and silently collapse the batch to one partition.
+    */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[JdbcOffset].lsn
     val e = end.asInstanceOf[JdbcOffset].lsn
     if (e <= s) return Array.empty
-    val span = e - s
-    val n = math.max(1L, math.min(numPartitions.toLong, span)).toInt
+    val span = BigInt(e) - BigInt(s)
+    val n = span.min(BigInt(numPartitions)).max(BigInt(1)).toInt
     (0 until n).map { i =>
-      val lo = s + span * i / n
-      val hi = s + span * (i + 1) / n
+      val lo = (BigInt(s) + span * i / n).toLong
+      val hi = (BigInt(s) + span * (i + 1) / n).toLong
       JdbcCdcInputPartition(lo, hi): InputPartition
     }.filter { case JdbcCdcInputPartition(lo, hi) => hi > lo }.toArray
   }

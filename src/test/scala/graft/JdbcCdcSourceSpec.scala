@@ -143,11 +143,41 @@ class JdbcCdcSourceSpec extends AnyFunSuite {
     val sb = new JdbcCdcScanBuilder(
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         java.util.Map.of("url", StubJdbc.Url, "table", "t")))
-    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, In}
     val residual = sb.pushFilters(Array(
       EqualTo("table_name", "user"), GreaterThan("seq", 5L)))
     assert(sb.pushedFilters().toSeq == Seq(EqualTo("table_name", "user")))
     assert(residual.toSeq == Seq(GreaterThan("seq", 5L)))
+    // an empty IN never reaches the SQL (it would render `IN ()`)
+    assert(!JdbcCdcSource.pushable(In("op", Array.empty)))
+  }
+
+  test("empty/blank tables-ops options contribute no filter (no `IN ()` SQL)") {
+    StubJdbc.reset(Seq(row(10, "insert", "user", id = 1, v = 1)))
+    runToTable(readRaw("tables" -> "", "ops" -> " , "), "t_jdbc_empty_opts")
+    assert(spark.table("t_jdbc_empty_opts").count() == 1)
+    import scala.jdk.CollectionConverters._
+    assert(!StubJdbc.issuedSql.asScala.exists(_.contains("IN ()")))
+  }
+
+  test("earliest start on an EMPTY table delivers rows that arrive later, partitioned sanely") {
+    StubJdbc.reset(Seq.empty)
+    val ckpt = Files.createTempDirectory("graft-jdbc-empty").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def run(): Unit = {
+      val q = readRaw("numPartitions" -> "4").writeStream
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          got ++= b.select("lsn").collect().map(_.getLong(0)); ()
+        }.start()
+      q.awaitTermination(120000)
+    }
+    run() // empty table: watermark parks at -1
+    assert(got.isEmpty)
+    StubJdbc.append((1 to 4).map(i => row(i * 10L, "insert", "user", id = i, v = i)))
+    run()
+    assert(got.sorted.toSeq == Seq(10L, 20L, 30L, 40L))
   }
 
   test("Graft.eventsFromJdbc: polled rows map onto the typed Event view") {

@@ -151,6 +151,10 @@ class PgTextCastSpec extends AnyFunSuite {
     assert(c("-3 days", "interval") == PgInterval(0, -3, 0L))
     assert(c("02:03:04", "interval") == PgInterval(0, 0, 7384000000L))
     assert(c("2 weeks", "interval") == PgInterval(0, 14, 0L))
+    // 'month(s)' spelling (non-default intervalstyle / human input) — the
+    // `mons?` alternative must not eat the "mon" prefix and strand "ths"
+    assert(c("3 months", "interval") == PgInterval(3, 0, 0L))
+    assert(c("1 month", "interval") == PgInterval(1, 0, 0L))
     assert(c("-00:00:01", "interval") == PgInterval(0, 0, -1000000L))
     assert(c("nope", "interval") == "nope")       // never-throw fallback
     assert(c("1 day trailing junk", "interval") == "1 day trailing junk")
