@@ -152,4 +152,19 @@ object Graft {
       checkpoint = config.effectiveCheckpoint,
       trigger = trigger,
       queryName = s"graft-${config.appName}")
+
+  /** The JDBC lane's one-call equivalent of [[start]]: the config's
+    * connection fields (the reference's config surface) become the polling
+    * source's url/credentials/filters, and the same Event-view → dispatch
+    * pipeline runs on top. `extraOptions` lets tests and non-Postgres
+    * deployments override url/driver.
+    */
+  def startJdbc(spark: SparkSession, config: GraftConfig, changeTable: String,
+      engine: Engine, trigger: Trigger = Trigger.ProcessingTime(0L),
+      extraOptions: Map[String, String] = Map.empty): StreamingQuery =
+    engine.start(
+      eventsFromJdbc(spark, config.jdbcSourceOptions(changeTable) ++ extraOptions),
+      checkpoint = config.effectiveCheckpoint,
+      trigger = trigger,
+      queryName = s"graft-${config.appName}")
 }

@@ -63,6 +63,28 @@ final case class GraftConfig(
     })
     else None
 
+  /** Options map for the DSv2 JDBC polling source (S1's live-database
+    * mode): the connection fields — the reference's config surface
+    * (config.ex:31-54) — become the JDBC url/credentials, subscriptions
+    * become the in-database `tables` predicate, and the rate limit maps
+    * onto `maxRowsPerTrigger`.
+    */
+  def jdbcSourceOptions(changeTable: String): Map[String, String] = {
+    val host = hostname.getOrElse(throw new IllegalArgumentException(
+      s"config '$appName': hostname is required for the JDBC lane"))
+    val db = database.getOrElse(throw new IllegalArgumentException(
+      s"config '$appName': database is required for the JDBC lane"))
+    Map(
+      "url" -> s"jdbc:postgresql://$host:$port/$db",
+      "table" -> changeTable) ++
+      username.map("user" -> _) ++
+      password.map("password" -> _) ++
+      (if (subscriptions.nonEmpty) Map("tables" -> subscriptions.mkString(","))
+       else Map.empty) ++
+      maxFramesPerTrigger.map("maxRowsPerTrigger" -> _.toString) ++
+      (if (durableSlot) Map.empty else Map("startMode" -> startMode))
+  }
+
   /** Options map for the DSv2 CDC source. Subscriptions ride in as the
     * `tables` option so unsubscribed data frames are dropped at decode,
     * inside the source (F8) — the post-scan residual filter in

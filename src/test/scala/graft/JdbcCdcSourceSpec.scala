@@ -180,6 +180,34 @@ class JdbcCdcSourceSpec extends AnyFunSuite {
     assert(got.sorted.toSeq == Seq(10L, 20L, 30L, 40L))
   }
 
+  test("Graft.startJdbc: config-driven pipeline from connection fields to handlers") {
+    import graft.streaming.{Engine, GraftConfig}
+    StubJdbc.reset(Seq(
+      row(10, "insert", "user", id = 1, v = 100),
+      row(20, "insert", "todo", id = 2, v = 7),
+      row(30, "update", "user", id = 1, v = 150, oldV = Some(100))))
+    val config = GraftConfig("jdbc-demo",
+      hostname = Some("db.internal"), database = Some("app"),
+      username = Some("svc"), subscriptions = Seq("user"),
+      maxFramesPerTrigger = Some(1000))
+    // connection fields → url; subscriptions → in-DB tables predicate
+    val opts = config.jdbcSourceOptions("graft_changes")
+    assert(opts("url") == "jdbc:postgresql://db.internal:5432/app")
+    assert(opts("user") == "svc" && opts("tables") == "user"
+      && opts("maxRowsPerTrigger") == "1000")
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val engine = new Engine().onEvent("*") { df =>
+      seen ++= df.select("type", "name").collect().map(r => (r.getString(0), r.getString(1)))
+    }
+    val q = graft.streaming.Graft.startJdbc(spark, config, "graft_changes", engine,
+      trigger = Trigger.AvailableNow(),
+      extraOptions = Map("url" -> StubJdbc.Url, "driver" -> classOf[StubJdbcDriver].getName))
+    q.awaitTermination(120000)
+    assert(seen.sorted.toSeq == Seq(("insert", "user"), ("update", "user")),
+      s"unsubscribed tables leaked through the JDBC lane: $seen")
+  }
+
   test("Graft.eventsFromJdbc: polled rows map onto the typed Event view") {
     StubJdbc.reset(Seq(
       row(10, "insert", "user", id = 1, v = 100),
