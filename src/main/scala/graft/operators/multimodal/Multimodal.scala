@@ -70,6 +70,38 @@ object Multimodal {
     }(enc)
   }
 
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_hex", StringType)))
+
+  /** Frame sampling through the decode seam: every `stride`-th frame of
+    * each media is materialized by the codec inside `mapPartitions` — the
+    * exact plumbing a real decoder (JNI, or Arrow-batched python via
+    * mapInArrow/mapInPandas) drops into, with the fan-out (one row per
+    * sampled frame) happening AFTER decode so blob bytes are read once
+    * per media, not once per frame.
+    *
+    * Scale: a narrow map + bounded fan-out (n_frames per media) — no
+    * shuffle, parquet split parallelism preserved; downstream per-frame
+    * feature extraction starts from these rows.
+    */
+  def frameSamples(spark: SparkSession, d: String, stride: Int = 2): DataFrame = {
+    val src = Tables.documents(spark, d)
+      .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("blob"))
+    val enc = RowEncoder.encoderFor(frameSchema)
+    src.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id   = r.getLong(0)
+        val blob = r.getAs[Array[Byte]](1)
+        val meta = FakeCodec.probe(blob, id)
+        (0 until meta.nFrames by stride).iterator.map { i =>
+          Row(id, i, FakeCodec.sampleFrame(blob, i).map("%02X".format(_)).mkString)
+        }
+      }
+    }(enc).orderBy(col("media_id"), col("frame_idx"))
+  }
+
   /** Metadata projection — fully declarative. The probe fields are pure
     * functions of media_id/byte length (the FakeCodec contract), so a
     * metadata-only query must stay a column projection: it keeps

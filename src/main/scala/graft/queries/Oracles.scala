@@ -543,6 +543,28 @@ SELECT doc_id AS media_id,
   hex(substring(text, 1, 8)) AS frame0_hex
 FROM documents ORDER BY media_id""",
 
+    // frame i = 8 bytes at min(i*8, max(len-8, 0)), clamped at the blob
+    // end — FakeCodec.sampleFrame's contract. DuckDB has no BLOB substring,
+    // so the slice runs on the VARCHAR — byte-exact because the synthetic
+    // documents are pure ASCII (octet_length == length corpus-wide, same
+    // precondition mm01 relies on).
+    "mm02_frame_samples" -> """
+WITH m AS (
+  SELECT doc_id AS media_id, text,
+         octet_length(encode(text)) AS len,
+         1 + octet_length(encode(text)) % 7 AS n_frames
+  FROM documents),
+idx AS (
+  SELECT media_id, text, len, unnest(range(0, n_frames, 2)) AS frame_idx
+  FROM m),
+pos AS (
+  SELECT media_id, text, len, frame_idx,
+         CAST(least(frame_idx * 8, greatest(len - 8, 0)) AS INT) AS s0
+  FROM idx)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+  hex(substring(text, s0 + 1, 8)) AS frame_hex
+FROM pos ORDER BY media_id, frame_idx""",
+
     "ann01_brute_topk" -> """
 WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
 sims AS (

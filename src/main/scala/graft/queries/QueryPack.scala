@@ -183,7 +183,8 @@ object QueryPack {
     "ann04_ivf_topk"    -> ((s, d) => Ann.ivfTopK(s, d)), // rows-only (hash codebook)
 
     // ---- multimodal ----
-    "mm01_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d))
+    "mm01_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    "mm02_frame_samples" -> ((s, d) => Multimodal.frameSamples(s, d))
   )
 
   /** D1-D11 showcase: a distributed decode of binary pgoutput frames
