@@ -51,12 +51,18 @@ object Multimodal {
     StructField("codec", StringType),
     StructField("frame0_hex", StringType)))
 
-  /** Build a media table from documents (text bytes stand in for blobs),
-    * then run the decode/probe stage partition-wise.
+  /** documents → (media_id, blob): the one place the blob derivation
+    * lives (text bytes stand in for real binary columns here).
+    */
+  private def mediaSrc(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("blob"))
+
+  /** Build a media table from documents, then run the decode/probe stage
+    * partition-wise.
     */
   def mediaTable(spark: SparkSession, d: String): DataFrame = {
-    val src = Tables.documents(spark, d)
-      .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("blob"))
+    val src = mediaSrc(spark, d)
     val enc = RowEncoder.encoderFor(mediaSchema)
     src.mapPartitions { rows =>
       rows.map { r =>
@@ -82,13 +88,14 @@ object Multimodal {
     * sampled frame) happening AFTER decode so blob bytes are read once
     * per media, not once per frame.
     *
-    * Scale: a narrow map + bounded fan-out (n_frames per media) — no
-    * shuffle, parquet split parallelism preserved; downstream per-frame
-    * feature extraction starts from these rows.
+    * Scale: the sampling itself is a narrow map + bounded fan-out
+    * (n_frames per media) — no shuffle, parquet split parallelism
+    * preserved; downstream per-frame feature extraction chains onto
+    * [[frameSamplesRaw]]. [[frameSamples]] adds a global orderBy (a sort
+    * shuffle) purely as the driver-verification presentation edge.
     */
-  def frameSamples(spark: SparkSession, d: String, stride: Int = 2): DataFrame = {
-    val src = Tables.documents(spark, d)
-      .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("blob"))
+  def frameSamplesRaw(spark: SparkSession, d: String, stride: Int = 2): DataFrame = {
+    val src = mediaSrc(spark, d)
     val enc = RowEncoder.encoderFor(frameSchema)
     src.mapPartitions { rows =>
       rows.flatMap { r =>
@@ -99,8 +106,11 @@ object Multimodal {
           Row(id, i, FakeCodec.sampleFrame(blob, i).map("%02X".format(_)).mkString)
         }
       }
-    }(enc).orderBy(col("media_id"), col("frame_idx"))
+    }(enc)
   }
+
+  def frameSamples(spark: SparkSession, d: String, stride: Int = 2): DataFrame =
+    frameSamplesRaw(spark, d, stride).orderBy(col("media_id"), col("frame_idx"))
 
   /** Metadata projection — fully declarative. The probe fields are pure
     * functions of media_id/byte length (the FakeCodec contract), so a
@@ -111,8 +121,7 @@ object Multimodal {
     * reserved for consumers that actually need decoded frames.
     */
   def mediaMeta(spark: SparkSession, d: String): DataFrame = {
-    val src = Tables.documents(spark, d)
-      .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("blob"))
+    val src = mediaSrc(spark, d)
     src.select(
       col("media_id"),
       length(col("blob")).cast("int").as("byte_len"),

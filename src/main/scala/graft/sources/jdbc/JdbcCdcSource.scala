@@ -246,13 +246,17 @@ class JdbcCdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[F
   private def maxLsn(from: Long, cap: Option[Long]): Long =
     probe(JdbcCdcSource.watermarkSql(table, lsnCol, cap), Some(from)).getOrElse(from)
 
-  /** Trigger.AvailableNow: pin the end watermark at prepare time. */
+  /** Trigger.AvailableNow: pin the end watermark at prepare time. The
+    * empty-table fallback is -1, NOT Long.MinValue: a MinValue cap would
+    * be committed as an end offset below the -1 start and every restart
+    * would plan the degenerate 2^63-wide span.
+    */
   @volatile private var availableNowCap: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(maxLsn(Long.MinValue, None))
+    availableNowCap = Some(maxLsn(-1L, None))
 
   override def initialOffset(): Offset =
-    if (startLatest) JdbcOffset(maxLsn(Long.MinValue, None))
+    if (startLatest) JdbcOffset(maxLsn(-1L, None))
     // empty table → -1 (pg LSNs are non-negative), keeping later
     // watermark spans in sane arithmetic range
     else JdbcOffset(probe(JdbcCdcSource.minLsnSql(table, lsnCol), None)

@@ -161,10 +161,15 @@ object Graft {
     */
   def startJdbc(spark: SparkSession, config: GraftConfig, changeTable: String,
       engine: Engine, trigger: Trigger = Trigger.ProcessingTime(0L),
-      extraOptions: Map[String, String] = Map.empty): StreamingQuery =
+      extraOptions: Map[String, String] = Map.empty): StreamingQuery = {
+    val opts = config.jdbcSourceOptions(changeTable) ++ extraOptions
+    require(opts.contains("url"),
+      s"config '${config.appName}': set hostname+database (postgres url) " +
+        "or pass url via extraOptions")
     engine.start(
-      eventsFromJdbc(spark, config.jdbcSourceOptions(changeTable) ++ extraOptions),
+      eventsFromJdbc(spark, opts),
       checkpoint = config.effectiveCheckpoint,
       trigger = trigger,
       queryName = s"graft-${config.appName}")
+  }
 }

@@ -70,13 +70,13 @@ final case class GraftConfig(
     * onto `maxRowsPerTrigger`.
     */
   def jdbcSourceOptions(changeTable: String): Map[String, String] = {
-    val host = hostname.getOrElse(throw new IllegalArgumentException(
-      s"config '$appName': hostname is required for the JDBC lane"))
-    val db = database.getOrElse(throw new IllegalArgumentException(
-      s"config '$appName': database is required for the JDBC lane"))
-    Map(
-      "url" -> s"jdbc:postgresql://$host:$port/$db",
-      "table" -> changeTable) ++
+    // url derives from the connection fields when present; callers may
+    // instead supply a complete url via Graft.startJdbc's extraOptions
+    // (validated there), so absence is not an error here
+    val url = for { h <- hostname; db <- database }
+      yield s"jdbc:postgresql://$h:$port/$db"
+    Map("table" -> changeTable) ++
+      url.map("url" -> _) ++
       username.map("user" -> _) ++
       password.map("password" -> _) ++
       (if (subscriptions.nonEmpty) Map("tables" -> subscriptions.mkString(","))

@@ -206,6 +206,23 @@ class JdbcCdcSourceSpec extends AnyFunSuite {
     q.awaitTermination(120000)
     assert(seen.sorted.toSeq == Seq(("insert", "user"), ("update", "user")),
       s"unsubscribed tables leaked through the JDBC lane: $seen")
+
+    // a config WITHOUT connection fields works when extraOptions carries a
+    // complete url (the non-Postgres escape hatch); without either, the
+    // facade fails fast with a pointed message
+    val bare = GraftConfig("jdbc-bare")
+    assert(!bare.jdbcSourceOptions("t").contains("url"))
+    val seen2 = new java.util.concurrent.atomic.AtomicInteger(0)
+    val engine2 = new Engine().onEvent("*")(df => { seen2.addAndGet(df.count().toInt); () })
+    val q2 = graft.streaming.Graft.startJdbc(spark, bare, "graft_changes", engine2,
+      trigger = Trigger.AvailableNow(),
+      extraOptions = Map("url" -> StubJdbc.Url, "driver" -> classOf[StubJdbcDriver].getName))
+    q2.awaitTermination(120000)
+    assert(seen2.get() == 3)
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.Graft.startJdbc(spark, bare, "graft_changes", engine2)
+    }
+    assert(ex.getMessage.contains("extraOptions"))
   }
 
   test("Graft.eventsFromJdbc: polled rows map onto the typed Event view") {
