@@ -3,7 +3,6 @@ package graft.operators.dedup
 import graft.Tables
 import graft.operators.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for training-data pipelines.
@@ -17,14 +16,22 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup by content fingerprint: canonical id = min doc_id per
-    * normalized-text hash. One hash-shuffle; singletons map to themselves.
+    * normalized-text hash; singletons map to themselves.
+    *
+    * The canonical map is a map-side-combined `groupBy(fp)` joined back to
+    * the fingerprint rows — NOT `min/count over Window.partitionBy(fp)`:
+    * window aggregation does no partial aggregation, so a hot fingerprint
+    * (dup storms are exactly what dedup meets at 100 TB) ships every copy
+    * to one task. The groupBy emits one row per distinct fp out of each map
+    * partition, and the join-back is AQE-skew-splittable (a window exchange
+    * is not).
     */
   def exact(spark: SparkSession, d: String): DataFrame = {
     val fp = Tables.documents(spark, d)
       .select(col("doc_id"), md5(TextOps.normalized(col("text"))).as("fp"))
-    val w = Window.partitionBy(col("fp"))
-    fp.withColumn("canonical_id", min(col("doc_id")).over(w))
-      .withColumn("n_copies", count(lit(1)).over(w))
+    val canon = fp.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+    fp.join(canon, Seq("fp"))
       .select(col("doc_id"), col("canonical_id"), col("n_copies"))
       .orderBy(col("doc_id"))
   }
@@ -219,11 +226,17 @@ object Dedup {
       .withColumn("ws", array_distinct(col("toks")))
       .select(col("doc_id"), col("prefix"), col("ws"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
-    val keyed = docs.select(col("prefix"), col("doc_id")) // ids-only lane
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("prefix"))))
+    // df per prefix via map-side-combined groupBy (one row per distinct
+    // prefix leaves each map partition) — a window count would ship every
+    // row of a hot prefix to one task before the cap could drop it. The
+    // surviving prefixes semi-join back onto the ids-only lane (broadcast
+    // when small, AQE-skew-splittable otherwise).
+    val okPrefixes = docs.groupBy(col("prefix")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(total))
       .filter(col("df") <= greatest(lit(2.0), lit(maxDfFrac) * col("n_docs")))
-      .select(col("prefix"), col("doc_id"))
+      .select(col("prefix"))
+    val keyed = docs.select(col("prefix"), col("doc_id")) // ids-only lane
+      .join(okPrefixes, Seq("prefix"), "left_semi")
     val pairs = keyed.select(col("prefix"), col("doc_id").as("id_a"))
       .join(keyed.select(col("prefix"), col("doc_id").as("id_b")), Seq("prefix"))
       .filter(col("id_a") < col("id_b"))
@@ -255,27 +268,38 @@ object Dedup {
     * df² pairs (measured: one fp in 53% of sf0.1 docs → 279M join rows).
     * Capping document frequency at `maxDfFrac` of the corpus keeps only
     * discriminative fingerprints — join volume then tracks true
-    * correlation (7.5k rows on the same data), and the cap is a
-    * per-fingerprint window count, not a separate pass.
+    * correlation (7.5k rows on the same data); the cap's frequency count
+    * is itself a map-side-combined groupBy, never a window (see below).
     */
   def winnowPairs(spark: SparkSession, d: String,
       minOverlap: Double = 0.65, maxDfFrac: Double = 0.01): DataFrame = {
     val sets = TextOps.winnowFingerprintSets(Tables.spread(
       Tables.documents(spark, d).select(col("doc_id"), col("text"))))
     val total = sets.agg(count(lit(1)).as("n_docs"))
-    val rare = sets.select(col("doc_id"), explode(col("fps")).as("fp"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+    val exploded = sets.select(col("doc_id"), explode(col("fps")).as("fp"))
+    // Both frequency counts are map-side-combined groupBys joined back —
+    // never window counts: the measured 53%-of-docs stop fingerprint would
+    // ride a window exchange into ONE task (window does no partial agg);
+    // the groupBy emits one row per key per map partition and the
+    // semi-join back is AQE-skew-splittable.
+    val okFps = exploded.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(total))
       .filter(col("df") <= greatest(lit(2.0), lit(maxDfFrac) * col("n_docs")))
-      .withColumn("n_fps", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .select(col("doc_id"), col("fp"), col("n_fps"))
-    val a = rare.select(col("fp"), col("doc_id").as("id_a"), col("n_fps").as("n_fps_a"))
-    val b = rare.select(col("fp"), col("doc_id").as("id_b"), col("n_fps").as("n_fps_b"))
+      .select(col("fp"))
+    val rare = exploded.join(okFps, Seq("fp"), "left_semi")
+    // per-doc surviving-fingerprint count: doc_id is near-unique (bounded
+    // fps per doc) but the same groupBy+join-back shape keeps the lane
+    // partial-agg'd; joined onto the PAIRS (small) rather than carried
+    // through the fp self-join, so the candidate shuffle stays (fp, id).
+    val nFps = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
+    val a = rare.select(col("fp"), col("doc_id").as("id_a"))
+    val b = rare.select(col("fp"), col("doc_id").as("id_b"))
     a.join(b, Seq("fp"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_shared"),
-        min(col("n_fps_a")).as("n_fps_a"), min(col("n_fps_b")).as("n_fps_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(nFps.select(col("doc_id").as("id_a"), col("n_fps").as("n_fps_a")), Seq("id_a"))
+      .join(nFps.select(col("doc_id").as("id_b"), col("n_fps").as("n_fps_b")), Seq("id_b"))
       .filter(col("n_shared") >= lit(minOverlap) * least(col("n_fps_a"), col("n_fps_b")))
       .select(col("id_a"), col("id_b"), col("n_shared"),
         least(col("n_fps_a"), col("n_fps_b")).as("n_fps_min"))
