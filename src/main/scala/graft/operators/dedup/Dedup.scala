@@ -27,7 +27,17 @@ object Dedup {
     * is not).
     */
   def exact(spark: SparkSession, d: String): DataFrame = {
-    val fp = Tables.documents(spark, d)
+    // text.isNotNull up front: a null text has no content fingerprint, and
+    // making the drop explicit (pushed to the parquet scan) beats inheriting
+    // it accidentally from the join's derived isnotnull(fp) — which would
+    // also re-evaluate the md5 inside the filter. `spread` parallelizes the
+    // normalize+md5 pass (compute-bound) across cores; the repartition
+    // exchange below it is identical on both join lanes, so ReuseExchange
+    // shuffles the text exactly once. At 100 TB spread is a no-op and the
+    // two lanes re-scan the corpus; if that second scan matters, persist
+    // the narrow (doc_id, fp) projection — it is ~40 bytes/row.
+    val fp = Tables.spread(Tables.documents(spark, d)
+        .select(col("doc_id"), col("text")).filter(col("text").isNotNull))
       .select(col("doc_id"), md5(TextOps.normalized(col("text"))).as("fp"))
     val canon = fp.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
@@ -54,6 +64,7 @@ object Dedup {
     val path = docsStreamDir(d) // file source needs a directory
     val schema = spark.read.parquet(path).schema
     val fp = spark.readStream.schema(schema).parquet(path)
+      .filter(col("text").isNotNull) // same explicit null-text drop as [[exact]]
       .select(col("doc_id"), md5(TextOps.normalized(col("text"))).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
