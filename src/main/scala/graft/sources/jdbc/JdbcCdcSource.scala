@@ -98,6 +98,47 @@ object JdbcCdcSource {
     csv("tables").map(In("table_name", _)).toSeq ++ csv("ops").map(In("op", _)).toSeq
   }
 
+  /** F8 row-filter parity with the reference's publication row filters
+    * (README.md:80-83 — arbitrary WHERE predicates evaluated inside
+    * Postgres): the `rowFilter` option is a SQL predicate AND-merged into
+    * the polling WHERE, so filtered rows never cross the wire. Like the
+    * reference's publication DDL it is operator-supplied configuration,
+    * not end-user input — but it is still validated structurally so a
+    * malformed value fails AT STREAM START (S2's fail-fast discipline),
+    * not as a cryptic per-batch SQLException: single expression (no
+    * statement separator), no SQL comments, balanced quotes and parens.
+    */
+  def validateRowFilter(expr: String): String = {
+    val e = expr.trim
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"graft-cdc-jdbc: invalid rowFilter ($msg): $expr")
+    if (e.isEmpty) fail("empty")
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < e.length) {
+      val c = e.charAt(i)
+      if (inStr) {
+        // '' is the SQL escape for a literal quote: consume the pair
+        if (c == '\'') {
+          if (i + 1 < e.length && e.charAt(i + 1) == '\'') i += 1 else inStr = false
+        }
+      } else c match {
+        case '\'' => inStr = true
+        case '('  => depth += 1
+        case ')'  => depth -= 1; if (depth < 0) fail("unbalanced parens")
+        case ';'  => fail("statement separator")
+        case '-' if i + 1 < e.length && e.charAt(i + 1) == '-' => fail("SQL comment")
+        case '/' if i + 1 < e.length && e.charAt(i + 1) == '*' => fail("SQL comment")
+        case _    =>
+      }
+      i += 1
+    }
+    if (inStr) fail("unterminated string literal")
+    if (depth != 0) fail("unbalanced parens")
+    e
+  }
+
   private val pushableCols = Set("schema_name", "table_name", "op")
 
   def pushable(f: Filter): Boolean = f match {
@@ -134,10 +175,47 @@ object JdbcCdcSource {
   def minLsnSql(table: String, lsnCol: String): String =
     s"SELECT min($lsnCol) FROM $table"
 
-  /** Range-bounded partition read, index-friendly and filter-pushed. */
-  def rangeSql(table: String, lsnCol: String, filterFrag: String): String =
+  /** Column types for the SOURCE tables (the tables whose rows ride in the
+    * change table's `record` payload) from `DatabaseMetaData.getColumns` —
+    * JDBC's portable window onto `information_schema.columns` (SURVEY
+    * §1.2's schema source for the polling lane). Lets a change table that
+    * does not carry per-row `col_types_json` still produce fully-typed
+    * `Event.source.columns`; the in-band JSON, when present, stays
+    * authoritative (it is transaction-consistent, this is a stream-start
+    * snapshot). One driver-side fetch per stream start, never per batch.
+    * Postgres's driver reports pg type names (int8, varchar, …) in
+    * TYPE_NAME, matching the replication lane's OID-derived names.
+    */
+  def fetchColumnTypes(conn: JdbcConnInfo, schemaPattern: Option[String],
+      tables: Seq[String]): Map[String, Map[String, String]] = {
+    val c = conn.connect()
+    try {
+      val md = c.getMetaData
+      val patterns = if (tables.nonEmpty) tables else Seq("%")
+      patterns.flatMap { pat =>
+        val rs = md.getColumns(null, schemaPattern.orNull, pat, null)
+        try {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+          // standard getColumns layout: 3=TABLE_NAME, 4=COLUMN_NAME, 6=TYPE_NAME
+          while (rs.next()) buf += ((rs.getString(3), rs.getString(4), rs.getString(6)))
+          buf.toSeq
+        } finally rs.close()
+      }.groupBy(_._1).map { case (t, cols) =>
+        t -> cols.map(c3 => c3._2 -> c3._3).toMap
+      }
+    } finally c.close()
+  }
+
+  /** Range-bounded partition read, index-friendly and filter-pushed; the
+    * validated rowFilter predicate (if any) rides in parenthesized so its
+    * operator precedence can't bleed into the watermark range.
+    */
+  def rangeSql(table: String, lsnCol: String, filterFrag: String,
+      rowFilter: Option[String] = None): String =
     s"SELECT ${columnNames.mkString(", ")} FROM $table " +
-      s"WHERE $lsnCol > ? AND $lsnCol <= ?$filterFrag ORDER BY $lsnCol, seq"
+      s"WHERE $lsnCol > ? AND $lsnCol <= ?$filterFrag" +
+      rowFilter.fold("")(f => s" AND ($f)") +
+      s" ORDER BY $lsnCol, seq"
 }
 
 class JdbcCdcSourceProvider extends TableProvider {
@@ -148,6 +226,8 @@ class JdbcCdcSourceProvider extends TableProvider {
 }
 
 class JdbcCdcTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  // fail-fast at source resolution, before any query machinery spins up
+  Option(options.get("rowFilter")).foreach(JdbcCdcSource.validateRowFilter)
   override def name(): String = s"graft-cdc-jdbc(${options.get("table")})"
   override def schema(): StructType = JdbcCdcSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -171,7 +251,8 @@ class JdbcCdcScanBuilder(options: CaseInsensitiveStringMap)
 class JdbcCdcScan(options: CaseInsensitiveStringMap, pushed: Array[Filter]) extends Scan {
   override def readSchema(): StructType = JdbcCdcSource.schema
   override def description(): String =
-    s"graft-cdc-jdbc table=${options.get("table")} pushed=[${pushed.mkString(", ")}]"
+    s"graft-cdc-jdbc table=${options.get("table")} pushed=[${pushed.mkString(", ")}]" +
+      Option(options.get("rowFilter")).fold("")(f => s" rowFilter=[$f]")
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new JdbcCdcMicroBatchStream(options, pushed)
 }
@@ -302,7 +383,8 @@ class JdbcCdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[F
 
   override def createReaderFactory(): PartitionReaderFactory =
     new JdbcCdcReaderFactory(conn, table, lsnCol,
-      pushed ++ JdbcCdcSource.optionFilters(options))
+      pushed ++ JdbcCdcSource.optionFilters(options),
+      Option(options.get("rowFilter")).map(JdbcCdcSource.validateRowFilter))
 
   /** S6 JDBC variant: the high-watermark is durable in the checkpoint;
     * nothing to ack against the database.
@@ -314,15 +396,17 @@ class JdbcCdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[F
 case class JdbcCdcInputPartition(fromLsn: Long, toLsn: Long) extends InputPartition
 
 class JdbcCdcReaderFactory(conn: JdbcConnInfo, table: String, lsnCol: String,
-    pushed: Array[Filter]) extends PartitionReaderFactory {
+    pushed: Array[Filter], rowFilter: Option[String] = None)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new JdbcCdcPartitionReader(partition.asInstanceOf[JdbcCdcInputPartition],
-      conn, table, lsnCol, pushed)
+      conn, table, lsnCol, pushed, rowFilter)
 }
 
 /** One range-bounded JDBC scan, streamed through the driver's fetchSize. */
 class JdbcCdcPartitionReader(part: JdbcCdcInputPartition, conn: JdbcConnInfo,
-    table: String, lsnCol: String, pushed: Array[Filter])
+    table: String, lsnCol: String, pushed: Array[Filter],
+    rowFilter: Option[String] = None)
     extends PartitionReader[InternalRow] {
 
   private var connection: Connection = _
@@ -333,7 +417,7 @@ class JdbcCdcPartitionReader(part: JdbcCdcInputPartition, conn: JdbcConnInfo,
     connection = conn.connect()
     val (frag, binds) = JdbcCdcSource.filterSql(pushed.toSeq)
     statement = connection.prepareStatement(
-      JdbcCdcSource.rangeSql(table, lsnCol, frag))
+      JdbcCdcSource.rangeSql(table, lsnCol, frag, rowFilter))
     statement.setFetchSize(conn.fetchSize)
     statement.setLong(1, part.fromLsn)
     statement.setLong(2, part.toLsn)

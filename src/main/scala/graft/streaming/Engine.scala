@@ -4,7 +4,7 @@ import scala.collection.mutable.ListBuffer
 import scala.concurrent.{ExecutionContext, Future}
 
 import graft.operators.cdc.ChangeStream
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -36,15 +36,22 @@ final case class EventFilters(
   * side effects for delivered events; they are never replayed. Deliberate
   * granularity divergence from the reference: dsl.ex invokes each
   * side-effect function once per EVENT; here each fires once per
-  * MICRO-BATCH with the handler's filtered events as a (batch-independent,
-  * pre-materialized) DataFrame — the natural Spark unit, and one task
-  * submission instead of one per row. A per-event variant is one
-  * `df.collect().foreach` inside the side effect. Side effects are skipped
-  * for a handler that threw (the events were not delivered).
+  * MICRO-BATCH with the handler's filtered events as a DataFrame — the
+  * natural Spark unit, and one task submission instead of one per row.
+  * [[Engine.perEvent]] recovers the reference's per-event granularity
+  * EXECUTOR-side (`foreachPartition`), so neither lane ever materializes a
+  * micro-batch on the driver. Side effects are skipped for a handler that
+  * threw (the events were not delivered).
   *
   * Scale: the batch is persisted once and every handler's filter is a
   * column predicate over it — N handlers cost one materialization plus N
-  * cheap filtered scans, not N source reads.
+  * cheap filtered scans, not N source reads. Side-effect futures outlive
+  * the dispatch call, so the persisted batch is REF-COUNTED: dispatch holds
+  * one reference, each in-flight side effect holds one, and the blocks are
+  * dropped when the last completes — a large batch is never `collect()`ed
+  * into driver memory to detach it from the cache lifecycle (the blocks
+  * are pinned by one materializing count while the batch plan is still
+  * live, so a post-return future can never recompute from a gone source).
   *
   * Failure semantics, both reference-faithful — pick per engine:
   *  - `isolateHandlerFailures = true`: a handler that throws is skipped for
@@ -55,6 +62,18 @@ final case class EventFilters(
   *    and [[Supervisor]], the batch replays — at-least-once for every
   *    handler (idempotence on batchId is the handler's job)
   */
+object Engine {
+  /** The reference's per-EVENT side-effect granularity (dsl.ex:59-84),
+    * delivered EXECUTOR-side: wraps a per-event function into a batch side
+    * effect that invokes it once per row via `foreachPartition`. Rows never
+    * transit the driver, so a dup-storm micro-batch costs executor time,
+    * not driver heap. `fn` ships to executors — it must be serializable
+    * and must not capture driver-only state.
+    */
+  def perEvent(fn: Row => Unit): DataFrame => Unit =
+    df => df.foreachPartition((it: Iterator[Row]) => it.foreach(fn))
+}
+
 final class Engine(isolateHandlerFailures: Boolean = false) {
 
   final case class Handler(
@@ -116,6 +135,19 @@ final class Engine(isolateHandlerFailures: Boolean = false) {
       ec: ExecutionContext = ExecutionContext.global): Unit = {
     if (registry.isEmpty) return
     batch.persist()
+    // K6 lifecycle: side-effect futures outlive this call (and possibly the
+    // foreachBatch that issued it), so the persisted batch is ref-counted
+    // instead of collect()ed into a driver-local copy — dispatch holds one
+    // reference, every in-flight side effect one more; the last release
+    // unpersists. Driver memory stays O(1) in the batch size.
+    val refs = new java.util.concurrent.atomic.AtomicInteger(1)
+    def release(): Unit = if (refs.decrementAndGet() == 0) batch.unpersist()
+    // The cached blocks must exist before the batch's source plan goes
+    // stale (a streaming source may not serve this offset range after the
+    // micro-batch commits); one count() pins them, once, lazily — a
+    // handler action usually did it already and this is then block-cache
+    // local.
+    var pinned = false
     try registry.foreach { h =>
       val events = batch.filter(predicate(h))
       val delivered =
@@ -123,18 +155,17 @@ final class Engine(isolateHandlerFailures: Boolean = false) {
         catch {
           case _: Exception if isolateHandlerFailures => handlerFailures += 1; false
         }
-      // K6: fire-and-forget fan-out, at-most-once, unordered. The futures
-      // outlive this micro-batch (unpersist below, and foreachBatch may
-      // have returned), so the rows the handler saw are materialized into
-      // a batch-independent local DataFrame first — never the live batch
-      // plan. A handler that threw delivered nothing → no side effects.
+      // K6: fire-and-forget fan-out, at-most-once, unordered, over the
+      // live filtered view of the persisted batch. A handler that threw
+      // delivered nothing → no side effects.
       if (delivered && h.sideEffects.nonEmpty) {
-        import scala.jdk.CollectionConverters._
-        val detached = batch.sparkSession.createDataFrame(
-          events.collect().toSeq.asJava, events.schema)
-        h.sideEffects.foreach(se => Future(se(detached)))
+        if (!pinned) { batch.count(); pinned = true }
+        h.sideEffects.foreach { se =>
+          refs.incrementAndGet()
+          Future(se(events)).onComplete(_ => release())
+        }
       }
-    } finally batch.unpersist()
+    } finally release()
   }
 
   /** Attach the engine to a streaming Event view.

@@ -126,10 +126,38 @@ object Graft {
     * maxRowsPerTrigger/numPartitions — see the source's scaladoc).
     */
   def eventsFromJdbc(spark: SparkSession, options: Map[String, String]): DataFrame = {
-    import graft.sources.jdbc.JdbcCdcSourceProvider
+    import graft.sources.jdbc.{JdbcCdcSource, JdbcCdcSourceProvider, JdbcConnInfo}
     var reader = spark.readStream.format(classOf[JdbcCdcSourceProvider].getName)
     options.foreach { case (k, v) => reader = reader.option(k, v) }
     val raw = reader.load()
+    // Schema from information_schema (via DatabaseMetaData, SURVEY §1.2):
+    // when the change table doesn't carry per-row col_types_json, a
+    // stream-start metadata fetch for the subscribed tables backfills
+    // Event.source.columns. In-band JSON stays authoritative (it is
+    // txn-consistent; the snapshot can lag a concurrent DDL). One driver
+    // connection at PLAN time; failure degrades to untyped columns with a
+    // warning rather than failing a pipeline whose rows carry their own
+    // types. Disable with typesFromMetadata=false.
+    val metaTypes: Map[String, Map[String, String]] =
+      if (options.get("typesFromMetadata").exists(_.equalsIgnoreCase("false"))) Map.empty
+      else try {
+        val conn = JdbcConnInfo(options("url"), options.get("user"),
+          options.get("password"), options.get("driver"), 1000)
+        val tables = options.get("tables").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        JdbcCdcSource.fetchColumnTypes(conn, options.get("metadataSchema"), tables)
+      } catch {
+        case e: Exception =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"graft-cdc-jdbc: column-type metadata fetch failed " +
+              s"(source.columns stays null where col_types_json is absent): $e")
+          Map.empty
+      }
+    // per-table literal maps folded into one expression — a plan constant,
+    // no join, no broadcast var; the table count is the subscription list's
+    val metaTypesCol = metaTypes.foldLeft(lit(null).cast("map<string,string>")) {
+      case (acc, (t, m)) => when(col("table_name") === t, typedLit(m)).otherwise(acc)
+    }
     ChangeStream.eventsFromAssembled(raw.select(
       col("xid"), col("lsn").as("commit_lsn"),
       col("commit_ts_us"),
@@ -140,7 +168,8 @@ object Graft {
       from_json(col("old_record_json"), lit("map<string,string>")).as("old_record"),
       col("old_kind"),
       from_json(col("toast_unchanged_json"), lit("array<string>")).as("toast_unchanged"),
-      from_json(col("col_types_json"), lit("map<string,string>")).as("col_types")))
+      coalesce(from_json(col("col_types_json"), lit("map<string,string>")),
+        metaTypesCol).as("col_types")))
   }
 
   /** Start the full engine: events → registered handlers, supervised per

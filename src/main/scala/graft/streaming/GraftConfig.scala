@@ -35,7 +35,8 @@ final case class GraftConfig(
     maxFramesPerTrigger: Option[Long] = None,
     ackPath: Option[String] = None,
     checkpointDir: Option[String] = None,
-    staleTxnTtl: Option[String] = None) {
+    staleTxnTtl: Option[String] = None,
+    rowFilter: Option[String] = None) {
 
   /** Effective replication slot name (parse_slot_name, config.ex:204-215):
     * derived from the app name when unset, sanitized to pg's identifier
@@ -82,6 +83,7 @@ final case class GraftConfig(
       (if (subscriptions.nonEmpty) Map("tables" -> subscriptions.mkString(","))
        else Map.empty) ++
       maxFramesPerTrigger.map("maxRowsPerTrigger" -> _.toString) ++
+      rowFilter.map("rowFilter" -> _) ++
       (if (durableSlot) Map.empty else Map("startMode" -> startMode))
   }
 

@@ -152,6 +152,46 @@ class JdbcCdcSourceSpec extends AnyFunSuite {
     assert(!JdbcCdcSource.pushable(In("op", Array.empty)))
   }
 
+  test("F8: rowFilter predicate runs inside the database; rows it drops never cross the wire") {
+    StubJdbc.reset(Seq(
+      row(10, "insert", "user", id = 1, v = 1),
+      row(20, "insert", "user", id = 2, v = 2),
+      row(30, "update", "user", id = 1, v = 3, oldV = Some(1)),
+      row(40, "insert", "user", id = 3, v = 4)))
+    runToTable(readRaw("rowFilter" -> "xid >= 2"), "t_jdbc_rowfilter")
+    // xid = lsn/10 in the fixture → lsn 10 (xid 1) filtered in-database
+    assert(spark.table("t_jdbc_rowfilter").select("lsn").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(20L, 30L, 40L))
+    import scala.jdk.CollectionConverters._
+    val range = StubJdbc.issuedSql.asScala.filter(_.contains("ORDER BY lsn, seq"))
+    assert(range.nonEmpty && range.forall(_.contains("AND (xid >= 2)")),
+      s"rowFilter missing from polling SQL: $range")
+    // watermark probes stay UNfiltered: the offset must advance past
+    // filtered-out rows or they would re-scan every trigger
+    val probes = StubJdbc.issuedSql.asScala.filter(_.startsWith("SELECT max("))
+    assert(probes.nonEmpty && probes.forall(!_.contains("xid")),
+      s"watermark probe must not carry the rowFilter: $probes")
+
+    // composes with the tables/ops lane in one WHERE
+    StubJdbc.reset(Seq(
+      row(10, "insert", "user", id = 1, v = 1),
+      row(20, "insert", "todo", id = 2, v = 2),
+      row(30, "insert", "user", id = 3, v = 3)))
+    runToTable(readRaw("tables" -> "user", "rowFilter" -> "xid >= 3"), "t_jdbc_rowfilter2")
+    assert(spark.table("t_jdbc_rowfilter2").select("lsn").collect().map(_.getLong(0))
+      .toSeq == Seq(30L))
+
+    // malformed predicates fail at stream START, not per-batch (S2 fail-fast)
+    for (bad <- Seq("x = 1; DROP TABLE t", "v = 'unterminated", "a AND (b", "-- c", ""))
+      assertThrows[Exception] {
+        readRaw("rowFilter" -> bad)
+      }
+    // validation accepts the reference-style predicates (README.md:80-83)
+    assert(JdbcCdcSource.validateRowFilter("active = TRUE AND id > 100") ==
+      "active = TRUE AND id > 100")
+    assert(JdbcCdcSource.validateRowFilter("name <> 'it''s'") == "name <> 'it''s'")
+  }
+
   test("empty/blank tables-ops options contribute no filter (no `IN ()` SQL)") {
     StubJdbc.reset(Seq(row(10, "insert", "user", id = 1, v = 1)))
     runToTable(readRaw("tables" -> "", "ops" -> " , "), "t_jdbc_empty_opts")
@@ -223,6 +263,38 @@ class JdbcCdcSourceSpec extends AnyFunSuite {
       graft.streaming.Graft.startJdbc(spark, bare, "graft_changes", engine2)
     }
     assert(ex.getMessage.contains("extraOptions"))
+  }
+
+  test("typeless change table yields typed Event.source.columns via DatabaseMetaData") {
+    StubJdbc.reset(Seq(
+      row(10, "insert", "user", id = 1, v = 1).copy(colTypesJson = null),
+      // in-band col_types_json (txn-consistent) must win over the snapshot
+      row(20, "insert", "user", id = 2, v = 2)
+        .copy(colTypesJson = """{"id":"int4","v":"text"}"""),
+      // a table absent from the metadata snapshot stays untyped, not wrong
+      row(30, "insert", "order", id = 3, v = 3).copy(colTypesJson = null)))
+    StubJdbc.setMetaColumns(Seq(
+      ("user", "id", "int8"), ("user", "v", "numeric"), ("todo", "x", "text")))
+    val ev = Graft.eventsFromJdbc(spark, opts("tables" -> "user,order"))
+      .select($"seq", $"source.columns".as("cols"))
+    runToTable(ev, "t_jdbc_meta")
+    val got = spark.table("t_jdbc_meta").orderBy("seq").collect()
+    assert(got(0).getAs[Map[String, String]]("cols") ==
+      Map("id" -> "int8", "v" -> "numeric"),
+      "metadata snapshot must backfill a typeless row")
+    assert(got(1).getAs[Map[String, String]]("cols") ==
+      Map("id" -> "int4", "v" -> "text"),
+      "in-band col_types_json must stay authoritative")
+    assert(got(2).isNullAt(got(2).fieldIndex("cols")),
+      "unknown table must stay untyped")
+
+    // typesFromMetadata=false restores the pure in-band behavior
+    val off = Graft.eventsFromJdbc(spark,
+      opts("tables" -> "user", "typesFromMetadata" -> "false"))
+      .select($"seq", $"source.columns".as("cols"))
+    runToTable(off.filter($"seq" === 10), "t_jdbc_meta_off")
+    val offRow = spark.table("t_jdbc_meta_off").collect()(0)
+    assert(offRow.isNullAt(offRow.fieldIndex("cols")))
   }
 
   test("Graft.eventsFromJdbc: polled rows map onto the typed Event view") {

@@ -482,6 +482,55 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(sideFired.await(10, java.util.concurrent.TimeUnit.SECONDS), "side effect fired")
   }
 
+  test("K6: side effects see the live batch, driver-materialization-free; ref-count holds persist") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    import org.apache.spark.storage.StorageLevel
+    val hold = new CountDownLatch(1)
+    val done = new CountDownLatch(2)
+    val counted = new java.util.concurrent.atomic.AtomicLong(-1)
+    val acc = spark.sparkContext.longAccumulator("k6_rows")
+    val engine = new Engine()
+      .onEvent("*", sideEffects = Seq(
+        // batch-granularity lane: a Spark action over the live filtered
+        // view (would recompute-or-fail if the batch were unpersisted and
+        // its source gone; the pin + refcount make it block-cache local)
+        df => { counted.set(df.count()); hold.await(); done.countDown() },
+        // per-event lane: executor-side, reference granularity
+        df => { Engine.perEvent(_ => acc.add(1L))(df); done.countDown() }
+      ))(_ => ())
+    val events = spark.range(10000)
+      .select($"id", lit("insert").as("type"), lit("user").as("name"))
+    engine.dispatch(events, 0L)
+    // dispatch returned while side effect #1 is still parked on the latch:
+    // fire-and-forget, and the persisted batch must still be alive for it
+    assert(events.storageLevel != StorageLevel.NONE,
+      "batch unpersisted while side effects in flight")
+    hold.countDown()
+    assert(done.await(30, TimeUnit.SECONDS), "side effects did not complete")
+    assert(counted.get() == 10000L, s"batch lane saw ${counted.get()}")
+    assert(acc.value == 10000L, s"per-event lane delivered ${acc.value}")
+    // last release unpersists (async wrt the done latch — poll briefly)
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (events.storageLevel != StorageLevel.NONE && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    assert(events.storageLevel == StorageLevel.NONE, "refcount leaked the persisted batch")
+  }
+
+  test("K6: a throwing handler's side effects are skipped; the batch still unpersists") {
+    import org.apache.spark.storage.StorageLevel
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val engine = new Engine(isolateHandlerFailures = true)
+      .onEvent("*", sideEffects = Seq(_ => fired.set(true)))(
+        _ => throw new RuntimeException("boom"))
+    val events = Seq(("insert", "user")).toDF("type", "name")
+    engine.dispatch(events, 0L)
+    assert(events.storageLevel == StorageLevel.NONE,
+      "no side effects scheduled → dispatch's own release must unpersist")
+    Thread.sleep(100) // grace: a wrongly-scheduled future would fire by now
+    assert(!fired.get(), "side effect fired for a handler that threw")
+    assert(engine.failures == 1)
+  }
+
   test("I1: supervisor restarts a failed query from checkpoint and completes delivery") {
     val dir = tmpDir("sup")
     val ckpt = tmpDir("sup-ckpt")

@@ -28,8 +28,13 @@ object StubJdbc {
   private val rows = mutable.ArrayBuffer.empty[Row]
   val issuedSql = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
+  /** DatabaseMetaData.getColumns fixture: (table, column, pg type name). */
+  private var metaColumns: Seq[(String, String, String)] = Nil
+  def setMetaColumns(cols: Seq[(String, String, String)]): Unit =
+    synchronized { metaColumns = cols }
+
   def reset(data: Seq[Row]): Unit = synchronized {
-    rows.clear(); rows ++= data; issuedSql.clear()
+    rows.clear(); rows ++= data; issuedSql.clear(); metaColumns = Nil
   }
   def append(data: Seq[Row]): Unit = synchronized { rows ++= data }
   private def snapshot: Vector[Row] = synchronized(rows.toVector)
@@ -81,6 +86,11 @@ object StubJdbc {
   private val LimitRe = """LIMIT (\d+)""".r
   private val FilterEqRe = """(\w+) = \?""".r
   private val FilterInRe = """(\w+) IN \(([?, ]+)\)""".r
+  // rowFilter lane: the source appends the validated predicate verbatim in
+  // parens; the stub evaluates the two shapes the specs use — a string
+  // equality and a numeric comparison (a real DB evaluates arbitrary SQL)
+  private val RowFilterEqRe = """\((\w+) = '([^']*)'\)""".r
+  private val RowFilterCmpRe = """\((\w+) (>=|<=|<>|>|<) (\d+)\)""".r
 
   /** Interpret the source's generated SQL against the in-memory table. */
   private def run(sql: String, params: Map[Int, Any]): ResultSet = {
@@ -115,6 +125,18 @@ object StubJdbc {
           val vs = (0 until n).map(i => params(nextParam + i).asInstanceOf[String]).toSet
           nextParam += n
           (r: Row) => vs(String.valueOf(r.cells(colIdx(col))))
+        case RowFilterEqRe(col, v) =>
+          (r: Row) => String.valueOf(r.cells(colIdx(col))) == v
+        case RowFilterCmpRe(col, cmp, lit) =>
+          val rhs = lit.toLong
+          (r: Row) => {
+            val lhs = r.cells(colIdx(col)).asInstanceOf[Long]
+            cmp match {
+              case ">" => lhs > rhs; case ">=" => lhs >= rhs
+              case "<" => lhs < rhs; case "<=" => lhs <= rhs
+              case "<>" => lhs != rhs
+            }
+          }
         case other => throw new IllegalStateException(s"stub can't parse clause: $other")
       }
       val hits = all
@@ -137,6 +159,17 @@ object StubJdbc {
 
   def connection(): Connection = proxy(classOf[Connection]) {
     case ("prepareStatement", (sql: String) :: Nil) => prepared(sql)
+    case ("getMetaData", Nil) =>
+      proxy(classOf[java.sql.DatabaseMetaData]) {
+        case ("getColumns", _ :: _ :: tablePat :: _ :: Nil) =>
+          val pat = String.valueOf(tablePat)
+          val hits = synchronized(metaColumns)
+            .filter { case (t, _, _) => pat == "%" || pat == "null" || t == pat }
+          // standard getColumns layout: 3=TABLE_NAME, 4=COLUMN_NAME, 6=TYPE_NAME
+          resultSet(hits.map { case (t, c, tp) =>
+            IndexedSeq[Any](null, null, t, c, null, tp)
+          })
+      }
   }
 }
 
