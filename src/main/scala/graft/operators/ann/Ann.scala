@@ -114,6 +114,48 @@ object Ann {
       .orderBy(col("vec_id"))
   }
 
+  /** Corpus + an EXACT copy of every vector at `vec_id + 100000` — the
+    * planting device that turns a probabilistic ANN query into a
+    * deterministic, oracle-checkable one (see [[lshSelfRecall]]).
+    */
+  private def withExactCopies(emb: DataFrame): DataFrame =
+    emb.union(emb.select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+
+  /** ann02's driver-checked shape: [[lshNearestMultiBandOf]] over the
+    * corpus with planted EXACT copies. An identical vector has the same
+    * sign under every hyperplane, hence the same bucket in every band —
+    * its candidacy is guaranteed, not probabilistic — and exact-cosine
+    * verification ranks it first at sim 1.0 (naturals top out ≈ 0.4 on
+    * this corpus; ties are impossible since the fixture has no duplicate
+    * vectors). Each original's nearest candidate is therefore provably its
+    * copy, which an engine with no LSH at all re-derives from the planting
+    * formula — the DuckDB oracle — while the full signature → band join →
+    * verify pipeline still executes: a banding/bucketing/verify bug
+    * surfaces as missing or mis-ranked rows, not as unverifiable noise.
+    */
+  def lshSelfRecall(spark: SparkSession, d: String,
+      bands: Int = 8, bits: Int = 10): DataFrame = {
+    val base = Tables.spread(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding")))
+    lshNearestMultiBandOf(withExactCopies(base), bands, bits)
+      .filter(col("vec_id") < 100000L) // originals' rows; copies mirror them
+  }
+
+  /** ann04's driver-checked shape: [[ivfTopKOf]] top-1 over the corpus
+    * with planted EXACT copies. The copy lands in its original's coarse
+    * cell (identical centroid similarities, identical tie-break), and a
+    * query's first probe IS its own assignment cell (same argmax, same
+    * tie-break on both sides), so the copy is always among the candidates
+    * and wins rank 1 at sim 1.0 — deterministic end-to-end even though
+    * which OTHER cells get probed stays data-dependent.
+    */
+  def ivfSelfRecall(spark: SparkSession, d: String, nlist: Int = 16,
+      nprobe: Int = 4, nQueries: Int = 8): DataFrame = {
+    val base = Tables.spread(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding")))
+    ivfTopKOf(withExactCopies(base), nlist, nprobe, nQueries, k = 1)
+  }
+
   /** IVF (inverted-file) ANN — the codebook scale path alongside LSH:
     * coarse-quantize the corpus into `nlist` cells by nearest centroid,
     * then search exactly within only the `nprobe` cells nearest each
