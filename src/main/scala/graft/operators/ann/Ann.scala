@@ -118,7 +118,7 @@ object Ann {
     * planting device that turns a probabilistic ANN query into a
     * deterministic, oracle-checkable one (see [[lshSelfRecall]]).
     */
-  private def withExactCopies(emb: DataFrame): DataFrame =
+  private[graft] def withExactCopies(emb: DataFrame): DataFrame =
     emb.union(emb.select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
 
   /** ann02's driver-checked shape: [[lshNearestMultiBandOf]] over the

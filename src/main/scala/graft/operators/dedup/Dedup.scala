@@ -119,7 +119,11 @@ object Dedup {
     * so predicate pushdown never duplicates the shingle expression either.
     */
   private def shingled(spark: SparkSession, d: String): DataFrame =
-    Tables.spread(Tables.documents(spark, d).select(col("doc_id"), col("text")))
+    shingledOf(Tables.spread(
+      Tables.documents(spark, d).select(col("doc_id"), col("text"))))
+
+  private def shingledOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), TextOps.shingles(col("toks")).as("sh"))
@@ -151,8 +155,14 @@ object Dedup {
     */
   def minHashLsh(spark: SparkSession, d: String,
                  numHashes: Int = 64, bands: Int = 16,
-                 threshold: Double = 0.8): DataFrame = {
-    val sh = shingled(spark, d) // already non-empty by construction
+                 threshold: Double = 0.8): DataFrame =
+    minHashLshOf(shingled(spark, d), numHashes, bands, threshold)
+
+  /** Core of [[minHashLsh]] over any pre-shingled (doc_id, sh, shh) frame
+    * (see [[shingledOf]]) — reused by [[minHashSelfRecall]].
+    */
+  private def minHashLshOf(sh: DataFrame, numHashes: Int, bands: Int,
+                           threshold: Double): DataFrame = {
 
     val banded = sh.select(
       col("doc_id"),
@@ -178,12 +188,46 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** dd03's driver-checked shape: [[minHashLsh]] over the corpus plus an
+    * EXACT text copy of every document at `doc_id + 100000`, reporting the
+    * planted pairs found. Identical text ⇒ identical shingle set ⇒
+    * identical MinHash signature ⇒ the copy shares its original's bucket
+    * in EVERY band — candidacy is guaranteed, not probabilistic — and the
+    * exact-Jaccard verify stage scores the pair 1.0 ≥ any threshold. The
+    * planted relation (`id_b = id_a + 100000`) is therefore provably the
+    * full output, which an engine with no MinHash at all re-derives from
+    * the planting formula — the DuckDB oracle — while the whole
+    * signature → band join → verify pipeline still executes: a banding or
+    * bucketing bug surfaces as missing rows. Organic near-dup pairs
+    * (probabilistic recall by LSH design) are excluded by the relation
+    * filter; probabilistic recall itself is spec-tested in sbt
+    * (OperatorsSpec "minhash LSH").
+    */
+  def minHashSelfRecall(spark: SparkSession, d: String,
+      numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val base = Tables.spread(
+      Tables.documents(spark, d).select(col("doc_id"), col("text")))
+    val docs = base.union(
+      base.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    minHashLshOf(shingledOf(docs), numHashes, bands, threshold)
+      .filter(col("id_b") === col("id_a") + 100000L)
+      .orderBy(col("id_a"))
+  }
+
   /** SimHash (64-bit) per doc + near-dup pairs at Hamming ≤ maxHamming,
     * candidates via 4×16-bit chunk equality (pigeonhole: hamming ≤ 3 ⇒ at
     * least one chunk identical) — again an equi-join, no cross product.
     */
-  def simHashPairs(spark: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
-    val docs = Tables.spread(Tables.documents(spark, d).select(col("doc_id"), col("text")))
+  def simHashPairs(spark: SparkSession, d: String, maxHamming: Int = 3): DataFrame =
+    simHashPairsOf(Tables.spread(
+      Tables.documents(spark, d).select(col("doc_id"), col("text"))), maxHamming)
+
+  /** Core of [[simHashPairs]] over any (doc_id, text) frame — reused by
+    * [[simHashSelfRecall]].
+    */
+  private def simHashPairsOf(in: DataFrame, maxHamming: Int): DataFrame = {
+    val docs = in
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .withColumn("th", transform(col("toks"), t => xxhash64(t)))
       .filter(size(col("th")) > 0)
@@ -211,6 +255,24 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** dd04's driver-checked shape — the [[minHashSelfRecall]] device on the
+    * SimHash lane: an exact text copy hashes to the SAME 64-bit SimHash
+    * (identical token multiset ⇒ identical bit votes), so all four 16-bit
+    * chunks collide, the pigeonhole join surfaces the pair with certainty,
+    * and Hamming distance is exactly 0. Output = the planted relation,
+    * re-derivable by the DuckDB oracle from the planting formula alone.
+    */
+  def simHashSelfRecall(spark: SparkSession, d: String,
+      maxHamming: Int = 3): DataFrame = {
+    val base = Tables.spread(
+      Tables.documents(spark, d).select(col("doc_id"), col("text")))
+    val docs = base.union(
+      base.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    simHashPairsOf(docs, maxHamming)
+      .filter(col("id_b") === col("id_a") + 100000L)
+      .orderBy(col("id_a"))
   }
 
   /** N-gram Jaccard dedup with deterministic prefix blocking (first 3
@@ -344,5 +406,29 @@ object Dedup {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** dd05's driver-checked shape — [[cosineNearDups]]' pipeline with EXACT
+    * planted copies (graft.operators.ann.Ann.withExactCopies): an
+    * identical vector falls on the same side of every hyperplane, so the
+    * copy shares its original's bucket in all bands (guaranteed candidate)
+    * and exact cosine is 1.0 ≥ any threshold. The planted relation is the
+    * provable output — the DuckDB oracle re-derives it from the planting
+    * formula — while signatures, the band join, and the fused-cosine
+    * verify stage all still execute. The noisy-copy (≈0.9 cosine)
+    * probabilistic-recall behavior stays spec-tested in sbt
+    * (OperatorsSpec "multi-band LSH").
+    */
+  def cosineSelfRecall(spark: SparkSession, d: String,
+      threshold: Double = 0.5, bands: Int = 8, bits: Int = 10): DataFrame = {
+    import graft.operators.ann.Ann
+    val base = Tables.spread(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding")))
+    Ann.lshCandidatePairs(Ann.withExactCopies(base), bands, bits)
+      .filter(col("id_b") === col("id_a") + 100000L)
+      .withColumn("sim", Ann.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("id_a"))
   }
 }

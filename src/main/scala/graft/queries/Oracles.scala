@@ -6,9 +6,13 @@ package graft.queries
   * embeddings). Column names and ordering match the Spark outputs exactly
   * (the driver sorts columns by name before hashing values).
   *
-  * LSH-internal queries (dd03, dd04, ann02) have no oracle by design —
-  * their hash families are engine-side; the driver records rows-only
-  * checks for them.
+  * The LSH/sketch queries (dd03, dd04, dd05, ann02, ann04) are oracled via
+  * planted EXACT copies (`id + 100000`): an identical document/vector is
+  * GUARANTEED to collide with its original in every band/chunk/cell, so
+  * the planted relation is the provable output of the full LSH pipeline
+  * and DuckDB re-derives it from the planting formula alone — no MinHash/
+  * SimHash/hyperplane evaluation needed oracle-side. Probabilistic recall
+  * on noisy copies stays sbt-spec'd (OperatorsSpec).
   */
 object Oracles {
 
@@ -564,6 +568,42 @@ pos AS (
 SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
   hex(substring(text, s0 + 1, 8)) AS frame_hex
 FROM pos ORDER BY media_id, frame_idx""",
+
+    // planted-exact-copy recall oracles: the Spark side runs the whole
+    // sketch → band join → verify pipeline over corpus ∪ exact copies and
+    // keeps the planted relation, whose presence is a theorem (identical
+    // input ⇒ identical sketch ⇒ shared bucket ⇒ verified at sim/jac 1.0,
+    // hamming 0) — so the oracle is just the planting formula.
+    "dd03_minhash_lsh" -> """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+  CAST(1.0 AS DOUBLE) AS jaccard
+FROM t WHERE len(toks) >= 3 ORDER BY id_a""",
+
+    "dd04_simhash" -> """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
+FROM t WHERE len(toks) >= 1 ORDER BY id_a""",
+
+    "dd05_cosine_neardup" -> """
+SELECT vec_id AS id_a, vec_id + 100000 AS id_b, CAST(1.0 AS DOUBLE) AS sim
+FROM embeddings ORDER BY id_a""",
+
+    "ann02_lsh_bucket" -> """
+SELECT vec_id, vec_id + 100000 AS nearest_candidate,
+  CAST(1.0 AS DOUBLE) AS sim
+FROM embeddings ORDER BY vec_id""",
+
+    "ann04_ivf_topk" -> """
+SELECT vec_id AS query_id, 1 AS rnk, vec_id + 100000 AS vec_id,
+  CAST(1.0 AS DOUBLE) AS sim
+FROM embeddings WHERE vec_id < 8 ORDER BY query_id""",
 
     "ann01_brute_topk" -> """
 WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),

