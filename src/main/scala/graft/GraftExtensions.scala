@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
 
 /** SQL surface for the library's native expressions: register via
   * `spark.sql.extensions=graft.GraftExtensions` (or
@@ -32,6 +33,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn: argument ${i + 1} must be an INT literal, got ${other.sql}")
   }
 
+  // a foldable ARRAY<STRING> (e.g. array('updated_at')) → Seq[String]; like
+  // the sketch INT parameters, the name list shapes the expression itself
+  private def stringArrayLit(args: Seq[Expression], i: Int, fn: String): Seq[String] =
+    args(i) match {
+      case e if e.foldable && (e.dataType match {
+            case ArrayType(StringType, _) => true; case _ => false
+          }) =>
+        e.eval() match {
+          case null => Seq.empty
+          case ad: ArrayData =>
+            (0 until ad.numElements()).map { j =>
+              val u = ad.getUTF8String(j)
+              if (u == null) null else u.toString
+            }
+        }
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an ARRAY<STRING> literal, got ${other.sql}")
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     def reg(name: String, arity: Int)(build: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
@@ -53,5 +73,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       intLit(a, 1, "hyperplane_band_buckets"), intLit(a, 2, "hyperplane_band_buckets")))
     reg("winnow_fingerprints", 3)(a => WinnowFingerprints(a(0),
       intLit(a, 1, "winnow_fingerprints"), intLit(a, 2, "winnow_fingerprints")))
+    reg("any_changed_key_not_in", 2)(a => AnyChangedKeyNotIn(a(0),
+      stringArrayLit(a, 1, "any_changed_key_not_in")))
+    reg("any_watched_field_changed", 4)(a => AnyWatchedFieldChanged(a(0), a(1), a(2),
+      stringArrayLit(a, 3, "any_watched_field_changed")))
   }
 }

@@ -189,10 +189,28 @@ object ChangeStream {
   /** F6: drop UPDATE events whose only changed fields are unwatched
     * (e.g. trigger-touched `updated_at`); events without a changes map pass
     * (reference: transaction_filter.ex:175-187).
+    *
+    * Native short-circuit expression
+    * ([[graft.plans.AnyChangedKeyNotIn]]) — semantics of
+    * `changes.isNull || size(map_filter(changes, (k,_) =>
+    * !k.isin(unwatched)))>0` without the per-field interpreted lambda
+    * dispatch, early-exiting at the first watched key.
     */
   def watchedFieldsPredicate(changes: Column, unwatched: Seq[String]): Column =
-    changes.isNull ||
-      size(map_filter(changes, (k, _) => !k.isin(unwatched: _*))) > 0
+    graft.plans.ChangeFilterCols.anyChangedKeyNotIn(changes, unwatched)
+
+  /** F6 fused over (op, old, new, toast): for pipelines that would compute
+    * the change map ONLY to filter on it, [[graft.plans
+    * .AnyWatchedFieldChanged]] decides pass/drop in one early-exit loop
+    * without materializing the diff — non-update events (no diff defined)
+    * pass, matching `when(op === "update", changedFields(…))`'s null.
+    */
+  def watchedFieldsPredicate(op: Column, oldRec: Column, newRec: Column,
+      toastUnchanged: Column, unwatched: Seq[String]): Column =
+    op =!= "update" ||
+      graft.plans.ChangeFilterCols.anyWatchedFieldChanged(
+        oldRec, newRec, coalesce(toastUnchanged, array().cast("array<string>")),
+        unwatched)
 
   /** F7: drop events whose record matches ALL key=value pairs; uses
     * new_record, falling back to old_record for deletes

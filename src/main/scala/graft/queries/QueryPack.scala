@@ -88,10 +88,12 @@ object QueryPack {
         .orderBy(col("seq"), col("field"))
     }),
     "cdc07_unwatched_fields" -> ((s, d) => { // F6
+      // fused form: pass/drop decided straight from (op, old, new) — the
+      // diff map is never materialized for this filter-only pipeline
       val ev = ChangeStream.withRecords(ChangeStream.changes(s, d))
-        .withColumn("chg", when(col("op") === "update",
-          ChangeStream.changedFields(col("old_record"), col("new_record"))))
-      ev.filter(ChangeStream.watchedFieldsPredicate(col("chg"), Seq("updated_at")))
+      ev.filter(ChangeStream.watchedFieldsPredicate(col("op"),
+          col("old_record"), col("new_record"),
+          lit(null).cast("array<string>"), Seq("updated_at")))
         .select(col("seq"), col("op"))
         .orderBy(col("seq"))
     }),

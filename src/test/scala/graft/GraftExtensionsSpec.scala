@@ -39,7 +39,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
           cast(array() as array<string>)), 'a').new_value AS nv,
         size(minhash_band_buckets(array(cast(7 as bigint)), 64, 16)) AS n_bands,
         size(hyperplane_band_buckets(array(cast(1.0 as float)), 8, 10)) AS n_hp,
-        winnow_fingerprints('abcdefghijklmnop', 5, 4).n_kgrams AS n_kg
+        winnow_fingerprints('abcdefghijklmnop', 5, 4).n_kgrams AS n_kg,
+        any_changed_key_not_in(map('b', named_struct('old_value','1','new_value','2')),
+          array('b')) AS f6_map,
+        any_watched_field_changed(map('a','1','b','1'), map('a','2','b','1'),
+          cast(array() as array<string>), array('a')) AS f6_fused
     """).collect()(0)
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getSeq[String](1) == Seq("a", null, "x y"))
@@ -50,6 +54,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getString(5) == "2")
     assert(r.getInt(6) == 16 && r.getInt(7) == 8)
     assert(r.getInt(8) == 12) // 16 chars, k=5 → 12 k-grams
+    assert(!r.getBoolean(9)) // only changed key is unwatched → drop
+    assert(!r.getBoolean(10)) // only 'a' changed and 'a' is unwatched → drop
   }
 
   test("sketch shape arguments must be INT literals") {

@@ -90,6 +90,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("map_zip_with"), "interpreted diff lambda crept back in")
   }
 
+  test("cdc07: F6 decides from (op, old, new) — no diff map, no interpreted lambda") {
+    val p = plan("cdc07_unwatched_fields")
+    assert(p.contains("any_watched_field_changed"), "fused F6 expression missing")
+    assert(!p.contains("map_filter"), "interpreted map_filter crept back in")
+    assert(!p.contains("map_changed_fields"),
+      "diff map materialized for a filter-only pipeline")
+  }
+
   test("whole-stage codegen covers the scan pipelines of every analytics query") {
     Seq("q01_pricing_summary", "q04_forecast_revenue", "txt01_token_stats")
       .foreach { q =>

@@ -148,4 +148,50 @@ class SketchExprsSpec extends AnyFunSuite {
         s"key ORDER mismatch for row ${r.getLong(0)}")
     }
   }
+
+  test("F6 native short-circuits == lambda formulation on random events") {
+    val rnd = new scala.util.Random(11)
+    val keys = Seq("a", "b", "c", "d", "e", "f")
+    val unwatched = Seq("b", "e")
+    def randMap(): Option[Map[String, String]] =
+      if (rnd.nextInt(8) == 0) None
+      else Some(keys.filter(_ => rnd.nextBoolean()).map(k =>
+        k -> (if (rnd.nextInt(4) == 0) null else rnd.nextInt(3).toString)).toMap)
+    val ops = Seq("insert", "update", "delete")
+    val rows = (0 until 400).map { i =>
+      (i.toLong, ops(rnd.nextInt(3)), randMap(), randMap(),
+        keys.filter(_ => rnd.nextInt(4) == 0))
+    }
+    val df = rows.toDF("id", "op", "o", "n", "toast")
+
+    // the lambda formulation both natives must match bit-for-bit
+    val legacyChanges = when(col("op") === "update", map_filter(
+      map_zip_with(col("o"), col("n"), (_, ov, nv) =>
+        struct(ov.as("old_value"), nv.as("new_value"))),
+      (k, v) => !(v.getField("old_value") <=> v.getField("new_value")) &&
+        !array_contains(col("toast"), k)))
+    val legacyPred = legacyChanges.isNull ||
+      size(map_filter(legacyChanges, (k, _) => !k.isin(unwatched: _*))) > 0
+
+    val got = df.select(col("id"),
+        legacyPred.as("legacy"),
+        graft.plans.ChangeFilterCols.anyChangedKeyNotIn(
+          legacyChanges, unwatched).as("native_map"),
+        graft.operators.cdc.ChangeStream.watchedFieldsPredicate(col("op"),
+          col("o"), col("n"), col("toast"), unwatched).as("native_fused"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getBoolean(1) == r.getBoolean(2),
+        s"map-form mismatch for row ${r.getLong(0)}")
+      assert(r.getBoolean(1) == r.getBoolean(3),
+        s"fused-form mismatch for row ${r.getLong(0)}")
+    }
+    // interpreted fallback path (eval, no codegen) agrees too
+    val interp = graft.plans.ChangeFilterUtil
+    val m = org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString("b")),
+      Array[Any](null))
+    assert(!interp.anyKeyNotIn(m, interp.toSet(unwatched)))
+    assert(interp.anyKeyNotIn(m, interp.toSet(Seq("x"))))
+  }
 }
