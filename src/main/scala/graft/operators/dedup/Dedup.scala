@@ -304,12 +304,22 @@ object Dedup {
     // row of a hot prefix to one task before the cap could drop it. The
     // surviving prefixes semi-join back onto the ids-only lane (broadcast
     // when small, AQE-skew-splittable otherwise).
-    val okPrefixes = docs.groupBy(col("prefix")).agg(count(lit(1)).as("df"))
+    // one shared exchange for the df-cap lane AND the blocking lane, keyed
+    // on the unique (prefix, doc_id) pair (uniform under prefix skew; both
+    // columns pinned by the partitioning so column pruning cannot diverge
+    // the two consumers' subtrees) — tokenization+prefixing computes once,
+    // AQE reuses the stage. The ws re-attach lane stays a separate scan on
+    // purpose: sharing it would push the word-set arrays through this
+    // shuffle, and payloads never ride the blocking exchange.
+    val keyed0 = docs.select(col("prefix"), col("doc_id"))
+      .repartition(col("prefix"), col("doc_id"))
+    val okPrefixes = keyed0.groupBy(col("prefix")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(total))
       .filter(col("df") <= greatest(lit(2.0), lit(maxDfFrac) * col("n_docs")))
       .select(col("prefix"))
-    val keyed = docs.select(col("prefix"), col("doc_id")) // ids-only lane
-      .join(okPrefixes, Seq("prefix"), "left_semi")
+    val keyed = keyed0 // ids-only lane; INNER join: see winnowPairs — a
+      .join(okPrefixes, Seq("prefix")) // semi join would be pushed below
+                                       // the shared exchange, unsharing it
     val pairs = keyed.select(col("prefix"), col("doc_id").as("id_a"))
       .join(keyed.select(col("prefix"), col("doc_id").as("id_b")), Seq("prefix"))
       .filter(col("id_a") < col("id_b"))
@@ -349,7 +359,26 @@ object Dedup {
     val sets = TextOps.winnowFingerprintSets(Tables.spread(
       Tables.documents(spark, d).select(col("doc_id"), col("text"))))
     val total = sets.agg(count(lit(1)).as("n_docs"))
+    // ONE explicit exchange right after the compute-bound
+    // fingerprint+explode: the df-cap groupBy, the cap semi-join, both
+    // sides of the pair self-join, and the per-doc count all consume this
+    // same stage, so rolling-hash fingerprinting runs ONCE (AQE stage
+    // reuse) instead of once per consumer — without caching anything.
+    // Keyed on the UNIQUE (fp, doc_id) pair, not fp alone: this shuffle
+    // runs PRE-cap, where the measured 53%-of-docs stop fingerprint would
+    // send half the corpus to one fp-keyed partition; the pair key is
+    // uniform under any skew. Every fp-keyed exchange downstream is
+    // post-cap (balanced by construction), and the `total` lane stays on
+    // the raw scan (count only; column pruning drops the fingerprint
+    // expression there, leaving a zero-column scan).
+    // the explicit isNotNulls (no-ops: ids and fingerprints are non-null)
+    // mirror the constraints the downstream joins infer on their own lanes
+    // only — without them InferFiltersFromConstraints plants extra scan
+    // filters on one consumer's copy, the subtrees stop being identical,
+    // and stage reuse silently evaporates
     val exploded = sets.select(col("doc_id"), explode(col("fps")).as("fp"))
+      .filter(col("fp").isNotNull && col("doc_id").isNotNull)
+      .repartition(col("fp"), col("doc_id"))
     // Both frequency counts are map-side-combined groupBys joined back —
     // never window counts: the measured 53%-of-docs stop fingerprint would
     // ride a window exchange into ONE task (window does no partial agg);
@@ -359,7 +388,11 @@ object Dedup {
       .crossJoin(broadcast(total))
       .filter(col("df") <= greatest(lit(2.0), lit(maxDfFrac) * col("n_docs")))
       .select(col("fp"))
-    val rare = exploded.join(okFps, Seq("fp"), "left_semi")
+    // INNER join (not left_semi) against the one-row-per-fp cap list —
+    // bit-equivalent here, but PushDownLeftSemiAntiJoin would push a semi
+    // join below the shared repartition on this lane only, splitting the
+    // two consumers' subtrees and forcing a second fingerprint scan
+    val rare = exploded.join(okFps, Seq("fp"))
     // per-doc surviving-fingerprint count: doc_id is near-unique (bounded
     // fps per doc) but the same groupBy+join-back shape keeps the lane
     // partial-agg'd; joined onto the PAIRS (small) rather than carried

@@ -37,6 +37,16 @@ object Inspect {
           println(s"\n========== $name ==========")
           graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
         }
+      case "queryexec" :: sfDir :: names :: Nil =>
+        // execute first: under AQE the FINAL plan (stage reuse, runtime
+        // join strategy switches, coalesced partitions) only exists after
+        // an action — the static plan shows none of it
+        names.split(",").foreach { name =>
+          println(s"\n========== $name (executed) ==========")
+          val df = graft.SparkEntry.queries(name)(spark, sfDir)
+          df.collect()
+          println(df.queryExecution.executedPlan.toString)
+        }
       case path :: Nil =>
         val df = spark.read.parquet(path)
         df.printSchema()

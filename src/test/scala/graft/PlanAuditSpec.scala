@@ -98,6 +98,38 @@ class PlanAuditSpec extends AnyFunSuite {
       "diff map materialized for a filter-only pipeline")
   }
 
+  test("dd06: one shared fp exchange feeds both join sides and the per-doc counts") {
+    val df = SparkEntry.queries("dd06_winnow_pairs")(spark, sf)
+    df.collect() // AQE finalizes (and can only reuse stages) on execution
+    val whole = df.queryExecution.executedPlan.toString
+    val finalPlan = whole.split("== Initial Plan ==")(0)
+    // a-side, b-side and the nFps lane all read the ONE repartition(fp)
+    // stage → ≥2 ReusedExchange; the expensive winnowing fingerprint pass
+    // runs at most twice (shared candidate stage + the df-cap lane), and
+    // the `total` count lane is column-pruned to a zero-column scan
+    assert("ReusedExchange".r.findAllIn(finalPlan).size >= 2,
+      s"fp repartition stage not shared:\n$finalPlan")
+    val textScans = finalPlan.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("text#"))
+    assert(textScans == 1,
+      s"fingerprinting recomputed per consumer ($textScans text scans):\n$finalPlan")
+    assert(finalPlan.contains("ReadSchema: struct<>"),
+      "total-count lane no longer column-pruned")
+  }
+
+  test("dd02: df-cap and blocking lanes share one tokenization pass") {
+    val df = SparkEntry.queries("dd02_ngram_jaccard")(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val textScans = finalPlan.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("text#"))
+    // shared (prefix, doc_id) stage + the deliberate ws re-attach scan —
+    // payloads stay off the blocking shuffle, so 2 is the floor
+    assert(textScans <= 2,
+      s"tokenization recomputed per consumer ($textScans text scans)")
+  }
+
   test("whole-stage codegen covers the scan pipelines of every analytics query") {
     Seq("q01_pricing_summary", "q04_forecast_revenue", "txt01_token_stats")
       .foreach { q =>
