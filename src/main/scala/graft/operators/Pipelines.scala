@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.Tables
+import graft.operators.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Composed end-to-end passes — the operators of this library chained the
+  * way a training-data pipeline actually runs them, as single declarative
+  * plans (one Catalyst optimization over the whole chain: the quality and
+  * language features fuse into the scan's projection stage, the dedup
+  * shuffle is the first exchange, the budget aggregate the second).
+  */
+object Pipelines {
+
+  /** The canonical corpus-cleaning pass: ingest (with duplicate storm) →
+    * quality gate → language bucketing → exact dedup (keep the canonical
+    * copy) → per-language document/token budget.
+    *
+    * The ingest is the corpus PLUS an exact copy of every document at
+    * `doc_id + 100000` (the planted-duplicate device of dd03-dd05): a copy
+    * carries identical text, so identical quality and language features —
+    * both survive or fail the gate together — and the content-fingerprint
+    * dedup keeps exactly the min-id original. The duplicate storm
+    * provably cancels, which is what makes the whole composed pipeline
+    * oracle-checkable end-to-end: DuckDB mirrors every stage (union,
+    * gate, min-per-fingerprint, aggregate) and a bug in any of them
+    * (a gate that drops copies asymmetrically, a dedup that keeps both)
+    * breaks the hash.
+    *
+    * Scale shape: per-row features are pure projections (codegen'd, no
+    * shuffle); the dedup canonical map is the dd01 discipline — map-side
+    * combined groupBy on the 32-byte fingerprint joined back, never a
+    * window; the final aggregate is a few rows per language. Aggregates
+    * avoid order-dependent double sums: counts and token budgets are
+    * BIGINT, quality is reported as min/max (order-independent in fp).
+    */
+  def corpusClean(spark: SparkSession, d: String,
+      minQuality: Double = 0.62, plantStorm: Boolean = true): DataFrame = {
+    val base = Tables.spread(Tables.documents(spark, d)
+        .select(col("doc_id"), col("text")).filter(col("text").isNotNull))
+    val ingest = if (!plantStorm) base else base.union(
+      base.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+
+    val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+    val en = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+    // toks staged as its own projection (multi-referenced non-cheap alias:
+    // CollapseProject keeps it evaluated once per row — the dd03 lesson)
+    val feats = ingest
+      .select(col("doc_id"), col("text"),
+        TextOps.tokens(col("text")).as("toks"), length(col("text")).as("len"))
+      .select(col("doc_id"), col("text"), col("len"),
+        size(col("toks")).as("n_tokens"),
+        size(filter(col("toks"), t => t.isin(stopwords: _*))).as("n_stopwords"),
+        size(filter(col("toks"), t => length(t) <= 2)).as("n_short"),
+        size(filter(col("toks"), t => t.isin(en: _*))).as("n_en"))
+      .withColumn("quality",
+        (col("n_stopwords").cast("double") / col("n_tokens")) * 2.0
+          - col("n_short").cast("double") / col("n_tokens")
+          + (col("len").cast("double") / col("n_tokens")) / 10.0)
+      .withColumn("lang_pred", {
+        val s = col("n_en").cast("double") / col("n_tokens")
+        when(s >= 0.10, "en").when(s >= 0.04, "maybe-en").otherwise("other")
+      })
+
+    val gated = feats.filter(col("quality") >= minQuality)
+      .select(col("doc_id"), col("text"), col("n_tokens"),
+        col("quality"), col("lang_pred"))
+
+    // dd01 shape: canonical id per content fingerprint via map-side
+    // combined groupBy + join-back (hot-fingerprint-safe), not a window
+    val fp = gated.withColumn("fp", md5(TextOps.normalized(col("text"))))
+    val canon = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("canonical_id"))
+    fp.join(canon, Seq("fp"))
+      .filter(col("doc_id") === col("canonical_id"))
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("token_budget"),
+        round(min(col("quality")), 4).as("q_min"),
+        round(max(col("quality")), 4).as("q_max"))
+      .orderBy(col("lang_pred"))
+  }
+}

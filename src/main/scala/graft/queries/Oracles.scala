@@ -569,6 +569,40 @@ SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
   hex(substring(text, s0 + 1, 8)) AS frame_hex
 FROM pos ORDER BY media_id, frame_idx""",
 
+    // the composed cleaning pass, mirrored stage by stage: union with
+    // planted exact copies, quality gate, language bucket, min-per-
+    // fingerprint dedup, per-language budget — a bug in any stage (a gate
+    // dropping copies asymmetrically, a dedup keeping both) breaks the hash
+    "pipe01_corpus_clean" -> """
+WITH ingest AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE text IS NOT NULL),
+feats AS (
+  SELECT doc_id, text, length(text) AS len,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM ingest),
+scored AS (
+  SELECT doc_id, text, len(t) AS n_tokens,
+    CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) / len(t) * 2.0
+      - CAST(len(list_filter(t, x -> length(x) <= 2)) AS DOUBLE) / len(t)
+      + (CAST(len AS DOUBLE) / len(t)) / 10.0 AS quality,
+    CASE WHEN CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE) / len(t) >= 0.10 THEN 'en'
+         WHEN CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE) / len(t) >= 0.04 THEN 'maybe-en'
+         ELSE 'other' END AS lang_pred
+  FROM feats),
+gated AS (SELECT * FROM scored WHERE quality >= 0.62),
+fp AS (
+  SELECT *, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+  FROM gated),
+canon AS (SELECT f, min(doc_id) AS canonical_id FROM fp GROUP BY f)
+SELECT lang_pred, count(*) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS token_budget,
+  round(min(quality), 4) AS q_min, round(max(quality), 4) AS q_max
+FROM fp JOIN canon USING (f)
+WHERE doc_id = canonical_id
+GROUP BY lang_pred ORDER BY lang_pred""",
+
     // planted-exact-copy recall oracles: the Spark side runs the whole
     // sketch → band join → verify pipeline over corpus ∪ exact copies and
     // keeps the planted relation, whose presence is a theorem (identical

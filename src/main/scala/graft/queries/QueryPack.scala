@@ -189,7 +189,10 @@ object QueryPack {
 
     // ---- multimodal ----
     "mm01_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),
-    "mm02_frame_samples" -> ((s, d) => Multimodal.frameSamples(s, d))
+    "mm02_frame_samples" -> ((s, d) => Multimodal.frameSamples(s, d)),
+
+    // ---- composed pipeline (quality gate → lang bucket → dedup → budget) ----
+    "pipe01_corpus_clean" -> ((s, d) => graft.operators.Pipelines.corpusClean(s, d))
   )
 
   /** D1-D11 showcase: a distributed decode of binary pgoutput frames

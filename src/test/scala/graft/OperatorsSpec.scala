@@ -199,4 +199,15 @@ class OperatorsSpec extends AnyFunSuite {
       assert(sims == sims.sorted.reverse)
     }
   }
+
+  test("corpus clean: the planted duplicate storm cancels exactly") {
+    // gate + dedup over corpus ∪ exact copies must equal the clean-corpus
+    // run bit-for-bit: copies share quality/language with their original
+    // (same text) and the min-id canonical rule keeps only originals
+    val stormy = graft.operators.Pipelines.corpusClean(spark, sf).collect()
+    val clean = graft.operators.Pipelines.corpusClean(spark, sf, plantStorm = false)
+      .collect()
+    assert(stormy.nonEmpty && stormy.length == clean.length)
+    stormy.zip(clean).foreach { case (a, b) => assert(a == b) }
+  }
 }
