@@ -153,7 +153,12 @@ object Ann {
       nprobe: Int = 4, nQueries: Int = 8): DataFrame = {
     val base = Tables.spread(Tables.embeddings(spark, d)
       .select(col("vec_id"), col("embedding")))
-    ivfTopKOf(withExactCopies(base), nlist, nprobe, nQueries, k = 1)
+    // one Lloyd iteration: the driver-gated query exercises the TRAINED
+    // codebook path; the self-recall theorem is codebook-independent
+    // (copy ≡ original ⇒ same cell; probe #1 ≡ own cell), so the oracle
+    // is unchanged no matter where training moves the centroids
+    ivfTopKOf(withExactCopies(base), nlist, nprobe, nQueries, k = 1,
+      refineIters = 1)
   }
 
   /** IVF (inverted-file) ANN — the codebook scale path alongside LSH:
@@ -180,17 +185,65 @@ object Ann {
     ivfTopKOf(Tables.spread(Tables.embeddings(spark, d)
       .select(col("vec_id"), col("embedding"))), nlist, nprobe, nQueries, k)
 
+  /** Assignment-lane similarity: cosine with NaN mapped below every real
+    * score. A trained centroid could in principle be a zero vector (empty
+    * mean drift) → NaN cosine, and Spark's struct ordering ranks NaN as
+    * the LARGEST double, which would make a degenerate centroid win every
+    * argmax. Verify-stage cosines over the raw corpus stay untouched.
+    */
+  private def assignSim(v: Column, c: Column): Column =
+    nanvl(cosine(v, c), lit(-2.0))
+
+  /** One Lloyd iteration over the coarse codebook: assign every vector to
+    * its nearest centroid (broadcast codebook, map-side argmax — the same
+    * pass ivfTopKOf uses), then re-center each cell on the element-wise
+    * mean of its members. The per-dimension mean runs as a (cell, dim)
+    * groupBy — map-side combined partials, one row per (cell, dim) out of
+    * each partition, never a payload shuffle — and empty cells keep their
+    * previous centroid. The refined codebook is still `nlist` rows,
+    * broadcast everywhere it is used.
+    */
+  def kmeansRefineOnce(emb: DataFrame, cents: DataFrame): DataFrame = {
+    // slim (vec_id, cent_id, sim) before the argmax — the ids-only
+    // discipline of ivfTopKOf's assignment; embeddings re-attach by id
+    // only for the mean pass, which inherently consumes the values
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        assignSim(col("embedding"), col("cent_emb")).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("sim"), -col("cent_id"))).as("cell"))
+    val means = assigned.join(emb, Seq("vec_id"))
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell").as("cent_id"),
+        transform(col("pm"), x => x.getField("m").cast("float")).as("mean_emb"))
+    // both sides are nlist rows; broadcast explicitly — the planner has no
+    // stats on these computed subtrees and would fall back to SMJ
+    cents.select(col("cent_id"), col("cent_emb").as("prev_emb"))
+      .join(broadcast(means), Seq("cent_id"), "left")
+      .select(col("cent_id"),
+        coalesce(col("mean_emb"), col("prev_emb")).as("cent_emb"))
+  }
+
   def ivfTopKOf(emb: DataFrame, nlist: Int, nprobe: Int, nQueries: Int,
-      k: Int): DataFrame = {
-    val cents = emb
+      k: Int, refineIters: Int = 0): DataFrame = {
+    // codebook init: deterministic hash-ranked corpus sample, optionally
+    // refined by `refineIters` Lloyd iterations (offline k-means training,
+    // [[kmeansRefineOnce]]) — everything downstream is codebook-agnostic
+    val cents0 = emb
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
         xxhash64(col("vec_id")).as("h"))
       .orderBy(col("h"), col("cent_id")).limit(nlist).drop("h")
+    val cents = (0 until refineIters)
+      .foldLeft(cents0)((c, _) => kmeansRefineOnce(emb, c))
 
     // corpus → cell: slim projection, then map-side-combined argmax
     val cells = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
-        cosine(col("embedding"), col("cent_emb")).as("sim"))
+        assignSim(col("embedding"), col("cent_emb")).as("sim"))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cent_id"), struct(col("sim"), -col("cent_id"))).as("cell"))
 
@@ -198,7 +251,7 @@ object Ann {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     // query → nprobe nearest cells (nQueries × nlist rows: tiny window)
     val probes = queries.crossJoin(broadcast(cents))
-      .withColumn("qsim", cosine(col("q_emb"), col("cent_emb")))
+      .withColumn("qsim", assignSim(col("q_emb"), col("cent_emb")))
       .withColumn("prb", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("qsim").desc, col("cent_id"))))
       .filter(col("prb") <= nprobe)

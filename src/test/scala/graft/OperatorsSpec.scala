@@ -179,6 +179,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == top1)
   }
 
+  test("IVF k-means refinement: trained codebook keeps recall; training moves centroids") {
+    import graft.operators.ann.Ann
+    val base = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val planted = base.select(($"vec_id" + 100000L).as("vec_id"),
+      transform($"embedding", (x, i) =>
+        when(($"vec_id" + i) % 21 === 0, -x).otherwise(x)).as("embedding"))
+    val nQ = 16
+    val top1 = Ann.ivfTopKOf(base.union(planted), nlist = 16, nprobe = 4,
+        nQueries = nQ, k = 1, refineIters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = (0L until nQ.toLong).count(i => top1.get(i).contains(i + 100000L))
+    assert(hits >= nQ / 2,
+      s"refined-codebook IVF recall $hits/$nQ below 50% — training broke quantization")
+    // the Lloyd step genuinely re-centers: refined centroids are cell
+    // means, not corpus vectors, so they differ from the init sample
+    val emb = base.limit(200)
+    val init = emb.select($"vec_id".as("cent_id"), $"embedding".as("cent_emb"),
+        org.apache.spark.sql.functions.xxhash64($"vec_id").as("h"))
+      .orderBy($"h", $"cent_id").limit(8).drop("h")
+    val refined = Ann.kmeansRefineOnce(emb.select($"vec_id", $"embedding"), init)
+    val i0 = init.orderBy($"cent_id").collect().map(_.getSeq[Float](1))
+    val r0 = refined.orderBy($"cent_id").collect().map(_.getSeq[Float](1))
+    assert(i0.length == r0.length && i0.zip(r0).exists { case (a, b) => a != b },
+      "refinement left every centroid exactly at its init — no training happened")
+  }
+
   test("mediaMeta declarative projection matches the codec-seam derivation") {
     import graft.operators.multimodal.Multimodal
     val declarative = Multimodal.mediaMeta(spark, sf).collect()
