@@ -38,7 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def stringArrayLit(args: Seq[Expression], i: Int, fn: String): Seq[String] =
     args(i) match {
       case e if e.foldable && (e.dataType match {
-            case ArrayType(StringType, _) => true; case _ => false
+            case ArrayType(StringType, _) => true
+            // bare `array()` types as ARRAY<VOID> — a valid empty name list
+            case ArrayType(org.apache.spark.sql.types.NullType, _) => true
+            case _ => false
           }) =>
         e.eval() match {
           case null => Seq.empty

@@ -42,26 +42,27 @@ object Pipelines {
     val ingest = if (!plantStorm) base else base.union(
       base.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
 
-    val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
-    val en = Seq("the", "a", "of", "and", "to", "in", "is", "on")
     // toks staged as its own projection (multi-referenced non-cheap alias:
-    // CollapseProject keeps it evaluated once per row — the dd03 lesson)
+    // CollapseProject keeps it evaluated once per row — the dd03 lesson);
+    // the formulas and word lists are TextOps' single definitions, so this
+    // pipeline cannot drift from the standalone quality/langid operators.
+    // n_tokens >= 1 guard: a token-less doc has no defined quality — Spark
+    // 0/0 yields NULL (gated out) but DuckDB IEEE division yields NaN,
+    // which sorts ABOVE the gate threshold there; filtering empties on
+    // both sides keeps the oracle exact on any corpus.
     val feats = ingest
       .select(col("doc_id"), col("text"),
         TextOps.tokens(col("text")).as("toks"), length(col("text")).as("len"))
       .select(col("doc_id"), col("text"), col("len"),
         size(col("toks")).as("n_tokens"),
-        size(filter(col("toks"), t => t.isin(stopwords: _*))).as("n_stopwords"),
+        size(filter(col("toks"), t => t.isin(TextOps.stopwords: _*))).as("n_stopwords"),
         size(filter(col("toks"), t => length(t) <= 2)).as("n_short"),
-        size(filter(col("toks"), t => t.isin(en: _*))).as("n_en"))
-      .withColumn("quality",
-        (col("n_stopwords").cast("double") / col("n_tokens")) * 2.0
-          - col("n_short").cast("double") / col("n_tokens")
-          + (col("len").cast("double") / col("n_tokens")) / 10.0)
-      .withColumn("lang_pred", {
-        val s = col("n_en").cast("double") / col("n_tokens")
-        when(s >= 0.10, "en").when(s >= 0.04, "maybe-en").otherwise("other")
-      })
+        size(filter(col("toks"), t => t.isin(TextOps.enStopwords: _*))).as("n_en"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("quality", TextOps.qualityExpr(col("n_tokens"),
+        col("n_stopwords"), col("n_short"), col("len")))
+      .withColumn("lang_pred",
+        TextOps.langPredExpr(col("n_en").cast("double") / col("n_tokens")))
 
     val gated = feats.filter(col("quality") >= minQuality)
       .select(col("doc_id"), col("text"), col("n_tokens"),

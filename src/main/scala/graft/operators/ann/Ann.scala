@@ -117,6 +117,11 @@ object Ann {
   /** Corpus + an EXACT copy of every vector at `vec_id + 100000` — the
     * planting device that turns a probabilistic ANN query into a
     * deterministic, oracle-checkable one (see [[lshSelfRecall]]).
+    *
+    * INVARIANT: corpus ids must stay below 100000, or planted ids collide
+    * with real ones and the planting-formula oracles break. The driver
+    * fixtures top out at doc_id 4999 / vec_id 1999; the "planting offset
+    * clears every corpus id" spec pins this for all shipped scale factors.
     */
   private[graft] def withExactCopies(emb: DataFrame): DataFrame =
     emb.union(emb.select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))

@@ -207,7 +207,10 @@ object ChangeStream {
     */
   def watchedFieldsPredicate(op: Column, oldRec: Column, newRec: Column,
       toastUnchanged: Column, unwatched: Seq[String]): Column =
-    op =!= "update" ||
+    // op.isNull passes explicitly: the when(op === "update", …) formulation
+    // gives a NULL changes map for a NULL op, and null-changes events pass
+    // F6 — a bare op =!= "update" would evaluate NULL and drop them
+    op.isNull || op =!= "update" ||
       graft.plans.ChangeFilterCols.anyWatchedFieldChanged(
         oldRec, newRec, coalesce(toastUnchanged, array().cast("array<string>")),
         unwatched)

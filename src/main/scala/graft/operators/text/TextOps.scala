@@ -133,12 +133,38 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The one stopword list every quality/lang lane shares — the quality
+    * formula and the language thresholds live HERE and only here; the
+    * composed pipeline (graft.operators.Pipelines) and the standalone
+    * operators must stay bit-identical to the DuckDB oracles that mirror
+    * these exact constants.
+    */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  val enStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  /** quality = stopword_ratio·2 − short_ratio + avg_token_span/10, from
+    * integer counts so the doubles are engine-portable.
+    */
+  def qualityExpr(nTokens: Column, nStopwords: Column, nShort: Column,
+      len: Column): Column =
+    (nStopwords.cast("double") / nTokens) * 2.0 -
+      nShort.cast("double") / nTokens +
+      (len.cast("double") / nTokens) / 10.0
+
+  /** English-stopword-density buckets (0.10 / 0.04 thresholds) over a
+    * precomputed density score (`n_en / n_tokens` in double).
+    */
+  def langPredExpr(enScore: Column): Column =
+    when(enScore >= 0.10, "en").when(enScore >= 0.04, "maybe-en")
+      .otherwise("other")
+
   /** Quality-score features: ratios of identical integer counts, so the
     * doubles are bit-identical on any engine computing the same division.
     */
   def qualityScores(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
-    val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
     docs.select(col("doc_id"), tokens(col("text")).as("toks"), length(col("text")).as("len"))
       .select(
         col("doc_id"), col("len"),
@@ -159,19 +185,14 @@ object TextOps {
     * signal at scale is an n-gram model; the operator shape — per-doc score
     * + threshold classification — is identical).
     */
-  def langId(spark: SparkSession, d: String): DataFrame = {
-    val en = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  def langId(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
       .select(col("doc_id"), col("lang").as("lang_label"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("lang_label"),
-        (size(filter(col("toks"), t => t.isin(en: _*))).cast("double") / size(col("toks")))
-          .as("en_score"))
-      .withColumn("lang_pred",
-        when(col("en_score") >= 0.10, "en")
-          .when(col("en_score") >= 0.04, "maybe-en")
-          .otherwise("other"))
+        (size(filter(col("toks"), t => t.isin(enStopwords: _*))).cast("double")
+          / size(col("toks"))).as("en_score"))
+      .withColumn("lang_pred", langPredExpr(col("en_score")))
       .orderBy(col("doc_id"))
-  }
 
   /** Document fingerprint: md5 over whitespace-normalized lowercase text
     * (content-defined identity for exact dedup); plus a 64-bit engine-side

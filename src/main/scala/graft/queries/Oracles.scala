@@ -581,7 +581,8 @@ WITH ingest AS (
 feats AS (
   SELECT doc_id, text, length(text) AS len,
     list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
-  FROM ingest),
+  FROM ingest
+  WHERE len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) >= 1),
 scored AS (
   SELECT doc_id, text, len(t) AS n_tokens,
     CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) / len(t) * 2.0

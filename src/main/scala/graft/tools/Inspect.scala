@@ -44,7 +44,10 @@ object Inspect {
         names.split(",").foreach { name =>
           println(s"\n========== $name (executed) ==========")
           val df = graft.SparkEntry.queries(name)(spark, sfDir)
-          df.collect()
+          // execute the EXACT plan without driver materialization: count()
+          // would finalize a different (pruned) plan, collect() would pull
+          // the whole result into the driver
+          df.queryExecution.toRdd.foreach(_ => ())
           println(df.queryExecution.executedPlan.toString)
         }
       case path :: Nil =>

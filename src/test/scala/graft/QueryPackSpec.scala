@@ -28,6 +28,22 @@ class QueryPackSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("planting offset clears every corpus id (self-recall invariant)") {
+    // the +100000 planted-copy device (dd03-dd05, ann02/ann04, pipe01)
+    // requires all corpus ids < 100000 — a collision would alias planted
+    // and organic rows and silently break the planting-formula oracles
+    import org.apache.spark.sql.functions.max
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .foreach { dir =>
+        val maxDoc = graft.Tables.documents(spark, dir)
+          .agg(max("doc_id")).head.getLong(0)
+        val maxVec = graft.Tables.embeddings(spark, dir)
+          .agg(max("vec_id")).head.getLong(0)
+        assert(maxDoc < 100000L && maxVec < 100000L,
+          s"$dir: ids reach $maxDoc/$maxVec — planting offset would collide")
+      }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
       val df = fn(spark, sf)

@@ -157,9 +157,11 @@ class SketchExprsSpec extends AnyFunSuite {
       if (rnd.nextInt(8) == 0) None
       else Some(keys.filter(_ => rnd.nextBoolean()).map(k =>
         k -> (if (rnd.nextInt(4) == 0) null else rnd.nextInt(3).toString)).toMap)
-    val ops = Seq("insert", "update", "delete")
+    // null op included: a NULL-op event has no defined diff and must PASS
+    // F6 (the `when(op === "update", …)` formulation yields a null map)
+    val ops = Seq("insert", "update", "delete", null)
     val rows = (0 until 400).map { i =>
-      (i.toLong, ops(rnd.nextInt(3)), randMap(), randMap(),
+      (i.toLong, ops(rnd.nextInt(4)), randMap(), randMap(),
         keys.filter(_ => rnd.nextInt(4) == 0))
     }
     val df = rows.toDF("id", "op", "o", "n", "toast")
