@@ -464,4 +464,68 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
       .orderBy(col("id_a"))
   }
+
+  /** Near-dup CLUSTERING — the canonical-assignment step after pair
+    * finding: connected components over the verified near-dup graph, each
+    * vector labeled with its component's min id (the cluster canonical a
+    * dedup keep-one policy retains).
+    *
+    * Components run as min-label propagation: every vertex starts labeled
+    * with itself, and each iteration lowers a vertex's label to the min of
+    * its neighborhood — the simple half of the large-star/small-star
+    * map-reduce CC family. Each iteration is one ids-only shuffle
+    * ((id, label) pairs, payloads long gone) and converges in
+    * graph-diameter iterations; near-dup graphs are dense clusters of
+    * small diameter, so a handful suffices (a production run would loop
+    * until an unchanged-count fixpoint — the per-iteration plan is
+    * identical).
+    *
+    * Driver-checked via the planting device one step further: exact
+    * copies at +100000 AND +200000 form a provable triangle per original
+    * (identical vectors collide pairwise in every band, cosine 1.0), so
+    * every component is exactly {x, x+100000, x+200000} with canonical x
+    * — the oracle is `vec_id % 100000` over the replicated id set, and a
+    * propagation bug (a label that fails to cross the second hop) breaks
+    * the hash. Natural pairs cannot merge components here (max natural
+    * cosine ≈ 0.4 < threshold); on a corpus where they do, the output is
+    * the true merged clustering — exactly the operator's purpose.
+    */
+  def nearDupComponents(spark: SparkSession, d: String,
+      threshold: Double = 0.5, bands: Int = 8, bits: Int = 10,
+      iterations: Int = 3): DataFrame = {
+    import graft.operators.ann.Ann
+    val base = Tables.spread(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding")))
+    val corpus = base
+      .union(base.select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      .union(base.select((col("vec_id") + 200000L).as("vec_id"), col("embedding")))
+    // symmetric verified edges, ids only from here on
+    val edges = Ann.lshCandidatePairs(corpus, bands, bits)
+      .withColumn("sim", Ann.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val vertices = corpus.select(col("vec_id"))
+    minLabelComponents(vertices, edges, iterations)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Min-label propagation core of [[nearDupComponents]]: vertices
+    * (vec_id) + symmetric edges (id_a, id_b) → (vec_id, component_id)
+    * after `iterations` rounds. Converges once iterations ≥ graph
+    * diameter; each round is one ids-only shuffle.
+    */
+  def minLabelComponents(vertices: DataFrame, edges: DataFrame,
+      iterations: Int): DataFrame = {
+    val labels0 = vertices.select(col("vec_id"), col("vec_id").as("label"))
+    val labels = (0 until iterations).foldLeft(labels0) { (labs, _) =>
+      val nbrMin = edges
+        .join(labs.select(col("vec_id").as("id_b"), col("label")), Seq("id_b"))
+        .groupBy(col("id_a")).agg(min(col("label")).as("nbr_min"))
+        .select(col("id_a").as("vec_id"), col("nbr_min"))
+      labs.join(nbrMin, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+    }
+    labels.select(col("vec_id"), col("label").as("component_id"))
+  }
 }

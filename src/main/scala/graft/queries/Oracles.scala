@@ -630,6 +630,17 @@ FROM t WHERE len(toks) >= 1 ORDER BY id_a""",
 SELECT vec_id AS id_a, vec_id + 100000 AS id_b, CAST(1.0 AS DOUBLE) AS sim
 FROM embeddings ORDER BY id_a""",
 
+    // components over planted triangles {x, x+100000, x+200000}: every
+    // replica resolves to canonical x = vec_id % 100000 (naturals can't
+    // merge: max natural cosine ≈ 0.4 < the 0.5 threshold)
+    "dd08_components" -> """
+WITH ids AS (
+  SELECT vec_id FROM embeddings
+  UNION ALL SELECT vec_id + 100000 FROM embeddings
+  UNION ALL SELECT vec_id + 200000 FROM embeddings)
+SELECT vec_id, vec_id % 100000 AS component_id
+FROM ids ORDER BY vec_id""",
+
     "ann02_lsh_bucket" -> """
 SELECT vec_id, vec_id + 100000 AS nearest_candidate,
   CAST(1.0 AS DOUBLE) AS sim

@@ -180,6 +180,7 @@ object QueryPack {
     "dd05_cosine_neardup" -> ((s, d) => Dedup.cosineSelfRecall(s, d)),
     "dd06_winnow_pairs"   -> ((s, d) => Dedup.winnowPairs(s, d)),
     "dd07_stream_dedup"   -> ((s, d) => Dedup.exactStreamingCounts(s, d)),
+    "dd08_components"     -> ((s, d) => Dedup.nearDupComponents(s, d)),
 
     // ---- similarity search ----
     "ann01_brute_topk"  -> ((s, d) => Ann.bruteForceTopK(s, d)),

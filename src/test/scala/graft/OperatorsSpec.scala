@@ -226,6 +226,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("min-label components: labels cross multi-hop chains and respect iteration budget") {
+    import spark.implicits._
+    // path 0-1-2-3-4 plus singleton 9: diameter 4 needs 4 rounds (min
+    // label travels one hop per round); 1 round must NOT finish — this
+    // pins that iterations actually gate propagation depth
+    val vertices = Seq(0L, 1L, 2L, 3L, 4L, 9L).toDF("vec_id")
+    val dir = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (dir ++ dir.map(_.swap)).toDF("id_a", "id_b")
+    val done = Dedup.minLabelComponents(vertices, edges, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(done == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 9L -> 9L))
+    val short = Dedup.minLabelComponents(vertices, edges, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(short(4L) == 3L && short(1L) == 0L, s"unexpected 1-round labels: $short")
+  }
+
   test("corpus clean: the planted duplicate storm cancels exactly") {
     // gate + dedup over corpus ∪ exact copies must equal the clean-corpus
     // run bit-for-bit: copies share quality/language with their original
