@@ -48,7 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case ad: ArrayData =>
             (0 until ad.numElements()).map { j =>
               val u = ad.getUTF8String(j)
-              if (u == null) null else u.toString
+              if (u == null) throw new IllegalArgumentException(
+                s"$fn: NULL element in the field-name list ${e.sql} — " +
+                  "field names must be non-null strings")
+              u.toString
             }
         }
       case other => throw new IllegalArgumentException(

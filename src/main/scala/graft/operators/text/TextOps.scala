@@ -175,9 +175,9 @@ object TextOps {
         col("doc_id"), col("len"), col("n_tokens"), col("n_stopwords"),
         (col("n_stopwords").cast("double") / col("n_tokens")).as("stopword_ratio"),
         (col("n_short").cast("double") / col("n_tokens")).as("short_ratio"),
-        (col("len").cast("double") / col("n_tokens")).as("avg_token_span"))
-      .withColumn("quality",
-        col("stopword_ratio") * 2.0 - col("short_ratio") + col("avg_token_span") / 10.0)
+        (col("len").cast("double") / col("n_tokens")).as("avg_token_span"),
+        qualityExpr(col("n_tokens"), col("n_stopwords"), col("n_short"),
+          col("len")).as("quality")) // bit-identical: same ratio op order
       .orderBy(col("doc_id"))
   }
 

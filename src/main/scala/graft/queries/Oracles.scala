@@ -213,9 +213,12 @@ SELECT seq, field, old_value, new_value FROM (
   FROM changes WHERE op = 'update' AND k % 3 <> 0
 ) ORDER BY seq, field""",
 
+    // op IS NULL passes, mirroring the fused predicate: a NULL-op event
+    // has no defined diff and F6 passes it (the synthetic changes CTE
+    // never yields NULL op, but the semantics must match row-for-row)
     "cdc07_unwatched_fields" -> s"""$changesCte
 SELECT seq, op FROM changes
-WHERE op <> 'update' OR k % 3 <> 0 OR k % 5 <> 0
+WHERE op IS NULL OR op <> 'update' OR k % 3 <> 0 OR k % 5 <> 0
 ORDER BY seq""",
 
     "cdc08_unwatched_records" -> s"""$changesCte

