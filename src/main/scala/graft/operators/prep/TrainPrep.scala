@@ -1,0 +1,206 @@
+package graft.operators.prep
+
+import graft.Tables
+import graft.operators.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation operators beyond cleaning/dedup: benchmark
+  * decontamination, deterministic split assignment, sequence packing,
+  * PII detection/redaction, and embedding quantization — the remaining
+  * steps a 100 TB corpus goes through between "cleaned" and "training
+  * batches".
+  *
+  * Scale design notes are on each operator; the common discipline is the
+  * same as the rest of the engine: declarative single-scan column
+  * expressions wherever possible, candidate-key joins (never all-pairs),
+  * broadcast for provably-small sides, and map-side-combined aggregation
+  * for every frequency count.
+  *
+  * Reference scope: walex stops at change-event delivery
+  * (`/root/reference/README.md` — no corpus-prep surface); this module is
+  * part of the brief's "operations a large-scale training-data pipeline
+  * would need" extension, not a reference port.
+  */
+object TrainPrep {
+
+  // ---------------------------------------------------------------- decon
+
+  /** Benchmark decontamination (the GPT-3-style n-gram overlap check): flag
+    * every document sharing any word `n`-gram with a benchmark set. Here
+    * the benchmark set is the deterministic `doc_id % 97 == 0` slice of the
+    * corpus itself, and a planted contamination lane (`doc_id % 31 == 5`
+    * gets benchmark doc 0's first `n` tokens appended) proves the detector
+    * fires through a verifiable relation — the same planting device as the
+    * dd03/dd04/dd05 recall harnesses.
+    *
+    * Scale shape: the benchmark gram set is tiny by nature (benchmarks are
+    * MBs against a 100 TB corpus) → `broadcast` it; the corpus side explodes
+    * distinct grams once and aggregates hits map-side per doc_id, so the
+    * only shuffle is the final per-doc count. No corpus-vs-corpus join
+    * exists. Benchmark grams are re-shingled from a pushed-down 1/97 slice
+    * of the scan (cheap) rather than caching the full gram frame.
+    */
+  def decontaminate(spark: SparkSession, d: String, n: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val snippet = docs.filter(col("doc_id") === 0)
+      .select(concat_ws(" ", slice(TextOps.tokens(col("text")), 1, n)).as("snippet"))
+    val planted = docs.crossJoin(broadcast(snippet)) // one-row scalar side
+      .select(col("doc_id"),
+        when(col("doc_id") % 31 === 5,
+          concat(col("text"), lit(" "), col("snippet")))
+          .otherwise(col("text")).as("text"))
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.shingles(col("toks"), n).as("grams"))
+    val corpus = grams(Tables.spread(planted))
+    val bench = grams(planted.filter(col("doc_id") % 97 === 0))
+      .select(explode(col("grams")).as("gram")).distinct()
+    val hits = corpus.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    corpus.select(col("doc_id"), size(col("grams")).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- split
+
+  /** Deterministic train/val/test assignment: bucket 0-99 from the first
+    * 16 bits of `md5("graft:" || doc_id)`, split by 90/5/5. Hash-based
+    * (not random) so the assignment is stable across runs, engines, and
+    * re-shards — the property training pipelines need for reproducible
+    * holdout sets. Pure single-scan projection: zero shuffles, zero state;
+    * at 100 TB this runs at parquet-scan speed and the split is decided
+    * per-row with no coordination.
+    */
+  def hashSplit(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        (conv(substring(md5(concat(lit("graft:"), col("doc_id").cast("string"))),
+          1, 4), 16, 10).cast("long") % 100).cast("int").as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------- packing
+
+  /** Sequence packing (GPT-style concatenate-and-chunk): documents in
+    * doc_id order are laid end-to-end on a global token tape; each doc's
+    * start offset assigns it to training sequence `start / budget`.
+    *
+    * The global running sum is the interesting part at 100 TB: a bare
+    * `Window.orderBy(doc_id)` is a single-task sort of the whole corpus.
+    * Instead this runs the classic two-level distributed prefix sum:
+    * in-bucket running sums partitioned by `doc_id / bucketWidth`
+    * (parallel), plus a per-bucket prefix computed over the tiny
+    * one-row-per-bucket frame and broadcast back. The bucket-level window
+    * IS a single task — over corpus/bucketWidth rows, 1000× smaller; at
+    * 1000 executors × 100 TB, add a third level the same way. Determinism:
+    * offsets are pure integer arithmetic over (doc_id, n_tokens), so the
+    * packing is reproducible regardless of partitioning.
+    */
+  def seqPacking(spark: SparkSession, d: String, budget: Int = 2048,
+      bucketWidth: Long = 1000L): DataFrame = {
+    val n = Tables.documents(spark, d)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tokens"),
+        (col("doc_id") / bucketWidth).cast("long").as("bucket"))
+    val inBucket = n.withColumn("cum_in",
+      sum(col("n_tokens")).over(Window.partitionBy(col("bucket"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // bucket totals ride the window's (bucket)-partitioning — no 2nd shuffle
+    val prefix = inBucket.groupBy(col("bucket"))
+      .agg(max(col("cum_in")).as("btot"))
+      .withColumn("bprefix", coalesce(
+        sum(col("btot")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("bprefix"))
+    inBucket.join(broadcast(prefix), Seq("bucket"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("bprefix") + col("cum_in") - col("n_tokens")).as("start_offset"))
+      .withColumn("seq_id", floor(col("start_offset") / budget).cast("long"))
+      .withColumn("pos_in_seq", col("start_offset") % budget)
+      .orderBy(col("doc_id"))
+  }
+
+  // ----------------------------------------------------------------- pii
+
+  /** Portable regex dialect (Java here, RE2 oracle-side): no lookaround,
+    * no backrefs, ASCII classes only.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\b555-\\d{4}\\b"
+
+  /** PII detection + redaction: per-doc counts of email / IPv4 / phone
+    * matches and the fingerprint of the redacted text (email→`<EMAIL>`
+    * first, then IP, then phone — order matters and is part of the
+    * contract). The synthetic corpus is PII-free, so a planted lane
+    * (`doc_id % 7 == 0` gains one of each, derived from doc_id) proves
+    * detection AND redaction end-to-end against the oracle re-deriving
+    * the same plant. Single-scan column expressions — codegen'd regexes,
+    * no shuffle, no UDFs; at 100 TB this is scan-bound.
+    */
+  def piiScrub(spark: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com ip 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 100).cast("string"),
+          lit(" call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")).as("text"))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+    planted.select(col("doc_id"),
+      regexp_count(col("text"), lit(emailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(ipv4Re)).as("n_ipv4"),
+      regexp_count(col("text"), lit(phoneRe)).as("n_phones"),
+      md5(redacted).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------------------------- quant
+
+  /** Int8 scalar quantization of the embedding column (the standard ANN
+    * index compression): per-vector scale `amax/127`, `q_i = round(x_i /
+    * scale)`. Emits integer invariants (dim, scaled amax, Σq, max|q|,
+    * saturation count) — integers from a fixed double expression order, so
+    * the values are engine-portable where a raw double column would be
+    * partition-order-hostage. Pure projection: no shuffle; 4× memory
+    * reduction is the point at 100 TB (the quantized corpus rides the
+    * same IVF/LSH candidate paths as `operators/ann`).
+    *
+    * Zero vectors (amax == 0) quantize to all-zeros rather than NaN-ing
+    * the division — the never-throw discipline of the cast layer.
+    */
+  def embedQuant(spark: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.embeddings(spark, d)
+        .select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("q", expr(
+        """CASE WHEN amax > 0
+          |THEN transform(v, x -> CAST(round(x / (amax / CAST(127 AS DOUBLE))) AS INT))
+          |ELSE transform(v, x -> 0) END""".stripMargin))
+      .select(col("vec_id"),
+        size(col("q")).as("dim"),
+        expr("CAST(round(amax * CAST(100000000 AS DOUBLE)) AS BIGINT)").as("amax_e8"),
+        expr("CAST(aggregate(q, 0L, (a, x) -> a + CAST(x AS BIGINT)) AS BIGINT)").as("sum_q"),
+        expr("array_max(transform(q, x -> abs(x)))").as("max_abs_q"),
+        expr("size(filter(q, x -> abs(x) = 127))").as("n_sat"))
+      .orderBy(col("vec_id"))
+}

@@ -667,6 +667,113 @@ ranked AS (
     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
   FROM sims)
 SELECT query_id, rnk, vec_id, round(sim, 4) AS sim
-FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk"""
+FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
+    // ---- training prep ----
+
+    // benchmark = doc_id % 97 == 0 slice; plant: doc_id % 31 == 5 gains
+    // benchmark doc 0's first 8 tokens — same planting device as dd03-05
+    "tp01_decontaminate" -> """
+WITH t0 AS (
+  SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents WHERE doc_id = 0),
+snip AS (SELECT array_to_string(t[1:8], ' ') AS snippet FROM t0),
+docs AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 31 = 5 THEN text || ' ' || snippet ELSE text END AS text
+  FROM documents, snip),
+toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM docs),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 8
+         THEN list_distinct(list_transform(range(1, len(t) - 6),
+           i -> array_to_string(t[i:i+7], ' ')))
+         ELSE [] END AS g
+  FROM toks),
+bench AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 97 = 0),
+ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+hits AS (SELECT doc_id, count(*) AS n_hits FROM ex JOIN bench USING (gram) GROUP BY 1)
+SELECT g.doc_id, len(g.g) AS n_grams,
+  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+  coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM grams g LEFT JOIN hits h ON g.doc_id = h.doc_id
+ORDER BY g.doc_id""",
+
+    "tp02_hash_split" -> """
+WITH h AS (
+  SELECT doc_id, substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) AS hx
+  FROM documents),
+b AS (
+  SELECT doc_id, CAST(CAST(list_sum(list_transform(range(1, 5),
+      i -> (strpos('0123456789abcdef', substr(hx, i, 1)) - 1)
+           * ([4096, 256, 16, 1])[i])) AS BIGINT) % 100 AS INT) AS bucket
+  FROM h)
+SELECT doc_id, bucket,
+  CASE WHEN bucket < 90 THEN 'train'
+       WHEN bucket < 95 THEN 'val'
+       ELSE 'test' END AS split
+FROM b ORDER BY doc_id""",
+
+    "tp03_seq_packing" -> """
+WITH n AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_tokens
+  FROM documents WHERE doc_id IS NOT NULL),
+c AS (
+  SELECT doc_id, n_tokens,
+    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT)
+      AS start_offset
+  FROM n)
+SELECT doc_id, n_tokens, start_offset,
+  start_offset // 2048 AS seq_id,
+  start_offset % 2048 AS pos_in_seq
+FROM c ORDER BY doc_id""",
+
+    // plant: doc_id % 7 == 0 gains one email + one IPv4 + one phone derived
+    // from doc_id; redaction order email → IP → phone is part of the contract
+    "tp04_pii_scrub" -> """
+WITH p AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN text
+      || ' contact user' || CAST(doc_id AS VARCHAR)
+      || '@example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+      || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+      || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+    ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+  len(regexp_extract_all(text, '\b555-\d{4}\b')) AS n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+    '\b555-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+FROM p ORDER BY doc_id""",
+
+    // integer invariants of int8 scalar quantization; the double expression
+    // order (amax/127, x/scale, round) mirrors the Spark side exactly
+    "tp05_embed_quant" -> """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+a AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM v),
+q AS (
+  SELECT vec_id, amax,
+    CASE WHEN amax > 0
+         THEN list_transform(v, x -> CAST(round(x / (amax / CAST(127 AS DOUBLE))) AS INT))
+         ELSE list_transform(v, x -> 0) END AS q
+  FROM a)
+SELECT vec_id, len(q) AS dim,
+  CAST(round(amax * CAST(100000000 AS DOUBLE)) AS BIGINT) AS amax_e8,
+  CAST(list_sum(q) AS BIGINT) AS sum_q,
+  list_max(list_transform(q, x -> abs(x))) AS max_abs_q,
+  len(list_filter(q, x -> abs(x) = 127)) AS n_sat
+FROM q ORDER BY vec_id"""
   )
 }

@@ -6,6 +6,7 @@ import graft.operators.ann.Ann
 import graft.operators.cdc.{ChangeStream, TypedRecords}
 import graft.operators.dedup.Dedup
 import graft.operators.multimodal.Multimodal
+import graft.operators.prep.TrainPrep
 import graft.operators.text.TextOps
 import graft.plans.PgCasts
 import graft.sources.cdc.{CdcSourceProvider, WalFixture}
@@ -193,7 +194,14 @@ object QueryPack {
     "mm02_frame_samples" -> ((s, d) => Multimodal.frameSamples(s, d)),
 
     // ---- composed pipeline (quality gate → lang bucket → dedup → budget) ----
-    "pipe01_corpus_clean" -> ((s, d) => graft.operators.Pipelines.corpusClean(s, d))
+    "pipe01_corpus_clean" -> ((s, d) => graft.operators.Pipelines.corpusClean(s, d)),
+
+    // ---- training prep (decontaminate / split / pack / pii / quantize) ----
+    "tp01_decontaminate" -> ((s, d) => TrainPrep.decontaminate(s, d)),
+    "tp02_hash_split"    -> ((s, d) => TrainPrep.hashSplit(s, d)),
+    "tp03_seq_packing"   -> ((s, d) => TrainPrep.seqPacking(s, d)),
+    "tp04_pii_scrub"     -> ((s, d) => TrainPrep.piiScrub(s, d)),
+    "tp05_embed_quant"   -> ((s, d) => TrainPrep.embedQuant(s, d))
   )
 
   /** D1-D11 showcase: a distributed decode of binary pgoutput frames

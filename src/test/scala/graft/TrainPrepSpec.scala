@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.prep.TrainPrep
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant + scale-shape tests for the training-prep family (tp01-tp05).
+  * The DuckDB oracles verify exact values; these pin the semantic
+  * properties that make the values RIGHT, on the smoke SF.
+  */
+class TrainPrepSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("tp01: benchmark docs are fully self-contaminated, most others clean") {
+    val out = TrainPrep.decontaminate(spark, sf).cache()
+    val bench = out.filter(col("doc_id") % 97 === 0 && col("n_grams") > 0)
+    assert(bench.count() > 0)
+    assert(bench.filter(col("n_hits") =!= col("n_grams")).count() === 0,
+      "a benchmark doc must hit every one of its own grams")
+    val planted = out.filter(col("doc_id") % 31 === 5 && col("n_grams") > 0)
+    assert(planted.count() > 0)
+    assert(planted.filter(!col("contaminated")).count() === 0,
+      "planted docs must be flagged")
+    // the clean majority: neither benchmark nor planted, with enough grams
+    val clean = out.filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 31 =!= 5)
+    assert(clean.filter(!col("contaminated")).count() > 0,
+      "contamination must not be corpus-wide (grams too short / set too big)")
+    out.unpersist()
+  }
+
+  test("tp01 plan: benchmark gram set joins broadcast (no corpus-corpus shuffle join)") {
+    val plan = TrainPrep.decontaminate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"bench-gram join must broadcast:\n$plan")
+  }
+
+  test("tp02: assignment is deterministic and ~90/5/5") {
+    val a = TrainPrep.hashSplit(spark, sf).collect()
+    val b = TrainPrep.hashSplit(spark, sf).collect()
+    assert(a.sameElements(b), "hash split must be run-stable")
+    val n = a.length.toDouble
+    val frac = a.groupBy(_.getString(2)).view.mapValues(_.length / n).toMap
+    assert(frac("train") > 0.80 && frac("train") < 0.97, s"train frac: $frac")
+    assert(a.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 100))
+  }
+
+  test("tp03: offsets tile the token tape exactly (no gaps, no overlaps)") {
+    val rows = TrainPrep.seqPacking(spark, sf).collect()
+    assert(rows.head.getLong(2) === 0L, "tape starts at 0")
+    rows.sliding(2).foreach { case Array(p, c) =>
+      assert(c.getLong(2) === p.getLong(2) + p.getInt(1),
+        s"doc ${c.getLong(0)} start must be prev start + prev n_tokens")
+    case _ => ()
+    }
+    assert(rows.forall(r => r.getLong(4) >= 0 && r.getLong(4) < 2048))
+    // multi-doc sequences actually happen (budget isn't degenerate)
+    val perSeq = rows.groupBy(_.getLong(3)).values.map(_.length)
+    assert(perSeq.max > 1)
+  }
+
+  test("tp03: bucketed prefix sum — no global single-partition window over docs") {
+    // the doc-level window must partition by bucket; only the tiny
+    // bucket-level frame may use an unpartitioned window
+    val plans = TrainPrep.seqPacking(spark, sf)
+      .queryExecution.executedPlan.toString
+    val windowLines = plans.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.exists(_.contains("bucket#")),
+      s"doc window must be partitioned by bucket:\n${windowLines.mkString("\n")}")
+  }
+
+  test("tp04: planted docs carry exactly one of each PII kind; redaction kills all") {
+    val out = TrainPrep.piiScrub(spark, sf).cache()
+    val planted = out.filter(col("doc_id") % 7 === 0)
+    assert(planted.count() > 0)
+    assert(planted.filter(col("n_emails") =!= 1 || col("n_ipv4") =!= 1 ||
+      col("n_phones") =!= 1).count() === 0)
+    assert(out.filter(col("doc_id") % 7 =!= 0)
+      .filter(col("n_emails") + col("n_ipv4") + col("n_phones") =!= 0)
+      .count() === 0, "organic corpus is PII-free")
+    out.unpersist()
+    // end-to-end: re-scanning the redacted text finds nothing
+    val redacted = Tables.documents(spark, sf)
+      .select(concat(col("text"), lit(" a user1@example.com 10.1.0.2 555-1234"))
+        .as("text"))
+      .select(regexp_replace(regexp_replace(regexp_replace(col("text"),
+        TrainPrep.emailRe, "<EMAIL>"), TrainPrep.ipv4Re, "<IP>"),
+        TrainPrep.phoneRe, "<PHONE>").as("r"))
+      .filter(regexp_count(col("r"), lit(TrainPrep.emailRe)) +
+        regexp_count(col("r"), lit(TrainPrep.ipv4Re)) +
+        regexp_count(col("r"), lit(TrainPrep.phoneRe)) > 0)
+    assert(redacted.count() === 0)
+  }
+
+  test("tp05: quantization saturates at exactly 127 and reconstructs within half-step") {
+    val out = TrainPrep.embedQuant(spark, sf)
+    assert(out.filter(col("amax_e8") > 0 && col("max_abs_q") =!= 127).count() === 0,
+      "the max-magnitude element must land exactly on ±127")
+    assert(out.filter(col("n_sat") < 1).count() === 0)
+    // reconstruction bound: |x - q*scale| <= scale/2 for every element
+    val bad = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+      .filter(col("amax") > 0)
+      .withColumn("scale", expr("amax / CAST(127 AS DOUBLE)"))
+      .filter(expr(
+        """exists(v, x ->
+          |  abs(x - round(x / scale) * scale) > scale / 2.0D + 1e-12)""".stripMargin))
+    assert(bad.count() === 0)
+  }
+}
