@@ -273,6 +273,14 @@ SELECT commit_ms - commit_ms % 3600000 AS hour_ms, table_name, op,
        count(*) AS n
 FROM changes GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
 
+    // append+watermark lane: the closed-window set must equal the batch
+    // answer (the horizon sentinel closes every real window and its own
+    // open window never emits) — so the oracle is cdc15's, verbatim
+    "cdc19_stream_append" -> s"""$changesCte
+SELECT commit_ms - commit_ms % 3600000 AS hour_ms, table_name, op,
+       count(*) AS n
+FROM changes GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
     "cdc17_stream_enrich" -> s"""$changesCte
 SELECT c.c_mktsegment, ch.op, count(*) AS n_changes,
        CAST(sum(ch.val_cents) AS BIGINT) AS sum_val_cents

@@ -158,6 +158,7 @@ object QueryPack {
     "cdc16_change_table"     -> ((s, d) => streamChangeTable(s, d)), // S1 polling mode
     "cdc17_stream_enrich"    -> ((s, d) => streamEnrich(s, d)), // §2.7 stream-static join
     "cdc18_dispatch_counts"  -> ((s, d) => streamDispatch(s, d)), // K1-K7 dispatch layer
+    "cdc19_stream_append"    -> ((s, d) => streamHourlyAppend(s, d)), // append+watermark lane
 
     // ---- text analysis ----
     "txt01_token_stats" -> ((s, d) => TextOps.tokenStats(s, d)),
@@ -403,6 +404,42 @@ object QueryPack {
     spark.table(qname).orderBy(col("hour_ms"), col("table_name"), col("op"))
   }
 
+  /** The append + watermark lane of [[streamHourly]], driver-green: the
+    * UNBOUNDED-stream shape (complete mode is bounded-fixture presentation
+    * only — state and output grow without bound; append + watermark is what
+    * a 100 TB deployment runs: windows finalize once the watermark passes,
+    * state is evicted, each window row is emitted exactly once).
+    *
+    * Determinism device: the fixture appends one horizon-sentinel
+    * transaction two days past the real data. Its event time drags the
+    * watermark over every real window, so ALL of them close and emit in
+    * the AvailableNow trailing no-data batch (verified behavior of Spark
+    * 4.1.2: stateful queries get a final batch when the watermark
+    * advances); the sentinel's own window stays open and never emits.
+    * Result: exactly the batch answer — the same oracle as cdc15.
+    */
+  def streamHourlyAppend(spark: SparkSession, d: String): DataFrame = {
+    val dir = ensureWalFixture(spark, d, sentinel = true)
+    val raw = spark.readStream.format(classOf[CdcSourceProvider].getName)
+      .option("path", dir).option("publication", "graft_pub")
+      .load()
+    val rec = coalesce(col("record"), col("old_record"))
+    val ev = TxnAssembler.assemble(raw).toDF()
+      .select(col("table_name"), col("op"),
+        timestamp_millis(element_at(rec, "updated_at").cast("long")).as("ts"))
+      .withWatermark("ts", "10 minutes")
+    val agg = ev
+      .groupBy(window(col("ts"), "1 hour"), col("table_name"), col("op"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("hour_ms"),
+        col("table_name"), col("op"), col("n"))
+    val qname = s"graft_cdc19_${replayQueryCount.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(600000)
+    spark.table(qname).orderBy(col("hour_ms"), col("table_name"), col("op"))
+  }
+
   /** §2.7 stream-static enrichment: the CDC change stream joined to a
     * broadcast dimension (customer) per micro-batch — the canonical
     * "enrich every change with its entity's attributes" pipeline. The dim
@@ -497,6 +534,7 @@ object QueryPack {
     */
   def ensureFixtures(spark: SparkSession, d: String): Unit = {
     ensureWalFixture(spark, d)
+    ensureWalFixture(spark, d, sentinel = true)
     ensureChangeTableFixture(spark, d)
   }
 
@@ -521,11 +559,13 @@ object QueryPack {
     * part of the measured operator.
     */
   private val fixtureLock = new Object
-  private def ensureWalFixture(spark: SparkSession, d: String): String =
+  private def ensureWalFixture(spark: SparkSession, d: String,
+      sentinel: Boolean = false): String =
     fixtureLock.synchronized {
       val sfName = java.nio.file.Paths.get(d).getFileName.toString
       val dir = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft_wal", sfName)
+        sys.props("java.io.tmpdir"),
+        if (sentinel) "graft_wal_wm" else "graft_wal", sfName)
       val marker = dir.resolve("_SUCCESS")
       if (java.nio.file.Files.exists(marker)) return dir.toString
       val changes = ChangeStream.changes(spark, d)
@@ -540,7 +580,17 @@ object QueryPack {
             k = if (r.isNullAt(6)) None else Some(r.getLong(6)),
             valCents = r.getLong(7), recordId = r.getLong(8))
         }.toSeq
-      WalFixture.writeSegments(dir.toString, changes)
+      // horizon sentinel (cdc19): one final transaction two days past the
+      // real data, whose event time drags the watermark over every real
+      // window; its own window stays open and never emits in append mode
+      val all = if (!sentinel) changes else {
+        changes :+ WalFixture.Change(
+          seq = changes.map(_.seq).max + 1, xid = changes.map(_.xid).max + 1,
+          op = "insert", schemaName = "public", tableName = "user",
+          commitMs = changes.map(_.commitMs).max + 172800000L,
+          k = Some(0L), valCents = 0L, recordId = 0L)
+      }
+      WalFixture.writeSegments(dir.toString, all)
       java.nio.file.Files.write(marker, Array.emptyByteArray)
       dir.toString
     }
