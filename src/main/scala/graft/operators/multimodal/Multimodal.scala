@@ -39,6 +39,25 @@ object Multimodal {
       val start = math.min(frameIdx * 8, math.max(blob.length - 8, 0))
       blob.slice(start, math.min(start + 8, blob.length))
     }
+
+    /** "Resize": 1-D nearest-neighbor resampling of the blob to `n` bytes
+      * (byte i of the output = source byte floor(i·len/n)) — the exact
+      * index arithmetic of a nearest-neighbor image resize, one dimension
+      * down. ??? in spirit: a real codec resamples pixels, not bytes.
+      */
+    def resize(blob: Array[Byte], n: Int): Array[Byte] =
+      Array.tabulate(n)(i => blob(((i.toLong * blob.length) / n).toInt))
+
+    /** "Feature extraction": 16-bucket byte histogram (bucket = high
+      * nibble) — the stand-in for an embedding extractor; fixed-length
+      * numeric vector per media, computed inside the decode seam.
+      */
+    def features(blob: Array[Byte]): Array[Long] = {
+      val h = new Array[Long](16)
+      var i = 0
+      while (i < blob.length) { h((blob(i) & 0xFF) >>> 4) += 1L; i += 1 }
+      h
+    }
   }
 
   val mediaSchema: StructType = StructType(Seq(
@@ -111,6 +130,61 @@ object Multimodal {
 
   def frameSamples(spark: SparkSession, d: String, stride: Int = 2): DataFrame =
     frameSamplesRaw(spark, d, stride).orderBy(col("media_id"), col("frame_idx"))
+
+  val resizeSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("src_w", IntegerType, nullable = false),
+    StructField("src_h", IntegerType, nullable = false),
+    StructField("dst_w", IntegerType, nullable = false),
+    StructField("dst_h", IntegerType, nullable = false),
+    StructField("resized_hex", StringType)))
+
+  /** Resize through the decode seam: each media's frame-0 payload is
+    * nearest-neighbor resampled to a fixed target inside `mapPartitions`
+    * (blob read once, narrow map, no shuffle — same contract as
+    * [[frameSamplesRaw]]). Output carries source dims from the probe and
+    * the resampled payload; a real deployment swaps `FakeCodec.resize`
+    * for the pixel version and nothing else moves.
+    */
+  def resized(spark: SparkSession, d: String,
+      dstW: Int = 32, dstH: Int = 24): DataFrame = {
+    val src = mediaSrc(spark, d)
+    val enc = RowEncoder.encoderFor(resizeSchema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id   = r.getLong(0)
+        val blob = r.getAs[Array[Byte]](1)
+        val meta = FakeCodec.probe(blob, id)
+        val rz   = FakeCodec.resize(blob, 8)
+        Row(id, meta.width, meta.height, dstW, dstH,
+          rz.map("%02X".format(_)).mkString)
+      }
+    }(enc).orderBy(col("media_id"))
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("n", LongType, nullable = false)))
+
+  /** Feature extraction through the decode seam: a fixed-length numeric
+    * vector per media (here the 16-bucket byte histogram; in production an
+    * embedding model behind the same signature), emitted long-form
+    * (media_id, bucket, n) with zero buckets dropped. Narrow map +
+    * bounded 16× fan-out after the blob is read once; features then flow
+    * into the ANN/dedup families like any other embedding column.
+    */
+  def features(spark: SparkSession, d: String): DataFrame = {
+    val src = mediaSrc(spark, d)
+    val enc = RowEncoder.encoderFor(featureSchema)
+    src.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val h  = FakeCodec.features(r.getAs[Array[Byte]](1))
+        (0 until 16).iterator.filter(h(_) > 0L).map(b => Row(id, b, h(b)))
+      }
+    }(enc).orderBy(col("media_id"), col("bucket"))
+  }
 
   /** Metadata projection — fully declarative. The probe fields are pure
     * functions of media_id/byte length (the FakeCodec contract), so a

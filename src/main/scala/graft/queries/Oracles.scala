@@ -580,6 +580,30 @@ SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
   hex(substring(text, s0 + 1, 8)) AS frame_hex
 FROM pos ORDER BY media_id, frame_idx""",
 
+    // nearest-neighbor byte resample: output byte i = source byte
+    // floor(i*len/8) (FakeCodec.resize, 1-based substr oracle-side);
+    // ASCII corpus makes VARCHAR slicing byte-exact, as in mm01/mm02
+    "mm03_resize" -> """
+WITH m AS (SELECT doc_id AS media_id, text, length(text) AS len FROM documents)
+SELECT media_id,
+  16 + CAST(media_id % 64 AS INT) AS src_w,
+  16 + CAST(media_id % 48 AS INT) AS src_h,
+  32 AS dst_w, 24 AS dst_h,
+  hex(array_to_string(list_transform(range(0, 8),
+    i -> substr(text, CAST(1 + (i * len) // 8 AS INT), 1)), '')) AS resized_hex
+FROM m ORDER BY media_id""",
+
+    // 16-bucket byte histogram (high nibble), long-form, zero buckets
+    // dropped — group-by over exploded code points mirrors it exactly
+    "mm04_features" -> """
+WITH chars AS (
+  SELECT doc_id AS media_id,
+    unnest(list_transform(range(1, length(text) + 1),
+      i -> unicode(substr(text, i, 1)))) AS cp
+  FROM documents)
+SELECT media_id, CAST(cp // 16 AS INT) AS bucket, count(*) AS n
+FROM chars GROUP BY 1, 2 ORDER BY 1, 2""",
+
     // the composed cleaning pass, mirrored stage by stage: union with
     // planted exact copies, quality gate, language bucket, min-per-
     // fingerprint dedup, per-language budget — a bug in any stage (a gate

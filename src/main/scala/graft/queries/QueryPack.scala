@@ -193,6 +193,8 @@ object QueryPack {
     // ---- multimodal ----
     "mm01_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "mm02_frame_samples" -> ((s, d) => Multimodal.frameSamples(s, d)),
+    "mm03_resize"        -> ((s, d) => Multimodal.resized(s, d)),
+    "mm04_features"      -> ((s, d) => Multimodal.features(s, d)),
 
     // ---- composed pipeline (quality gate → lang bucket → dedup → budget) ----
     "pipe01_corpus_clean" -> ((s, d) => graft.operators.Pipelines.corpusClean(s, d)),

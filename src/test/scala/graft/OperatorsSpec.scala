@@ -216,6 +216,30 @@ class OperatorsSpec extends AnyFunSuite {
     declarative.zip(viaCodec).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("resize seam: nearest-neighbor index arithmetic and histogram mass are exact") {
+    import graft.operators.multimodal.Multimodal
+    // resized bytes must equal the declarative floor(i*len/8) byte picks
+    val viaCodec = Multimodal.resized(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    val declarative = Tables.documents(spark, sf)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("b"))
+      .select(col("doc_id"), concat((0 until 8).map(i =>
+        hex(substring(col("b"),
+          floor(lit(i) * length(col("b")) / 8).cast("int") + 1, lit(1)))): _*)
+        .as("rz"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaCodec.nonEmpty && viaCodec == declarative)
+    // feature histogram: per-media mass equals byte length; ASCII ⇒ buckets 2-7
+    val feats = Multimodal.features(spark, sf)
+    val mass = feats.groupBy(col("media_id")).agg(sum(col("n")).as("m"))
+      .join(Tables.documents(spark, sf)
+        .select(col("doc_id").as("media_id"), length(col("text")).as("len")),
+        Seq("media_id"))
+      .filter(col("m") =!= col("len"))
+    assert(mass.count() === 0, "histogram mass must equal blob length")
+    assert(feats.filter(col("bucket") < 2 || col("bucket") > 7).count() === 0)
+  }
+
   test("brute-force knn: k rows per query, sims descending") {
     val rows = graft.operators.ann.Ann.bruteForceTopK(spark, sf, nQueries = 4, k = 3)
       .collect()
