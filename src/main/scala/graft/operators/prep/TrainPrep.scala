@@ -172,6 +172,47 @@ object TrainPrep {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------- mixture
+
+  /** Budget-constrained domain mixture resampling: given target mixture
+    * shares per source (here ∝ k+1 for srcK — deliberately non-uniform)
+    * and a global document budget (`budgetFrac` of the corpus), compute
+    * each source's sampling rate `min(1, share·budget/n_src)` and accept
+    * documents by deterministic hash — the standard way a training mix
+    * ("give me 60% of the corpus at these domain weights") is materialized
+    * reproducibly. Sources whose target exceeds their supply clamp to
+    * keep-everything (src19 here), underweighted ones thin out.
+    *
+    * Scale shape: source counts are one map-side-combined groupBy (one row
+    * per source out of each partition); the rate table is tiny by nature
+    * (#domains) → broadcast back; acceptance is a per-row hash compare.
+    * One shuffle of counts, zero shuffles of documents. The rate doubles
+    * come from integer counts through a fixed expression order, then round
+    * to an integer threshold in [0, 65536) — engine-portable.
+    */
+  def mixtureSample(spark: SparkSession, d: String,
+      budgetFrac: Double = 0.6): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("source"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(sum(col("n_src")).as("n_total"))))
+      .withColumn("share",
+        (expr("CAST(substring(source, 4) AS INT)") + 1).cast("double")
+          / lit(210.0))
+      .withColumn("rate", least(lit(1.0),
+        col("share") * floor(col("n_total") * lit(budgetFrac)) / col("n_src")))
+      .withColumn("thresh", floor(col("rate") * lit(65536.0)).cast("long"))
+      .select(col("source"), col("thresh"))
+    docs
+      .withColumn("v", conv(substring(
+        md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+        .cast("long"))
+      .join(broadcast(rates), Seq("source"))
+      .select(col("doc_id"), col("source"), col("v"), col("thresh"),
+        (col("v") < col("thresh")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------------- quant
 
   /** Int8 scalar quantization of the embedding column (the standard ANN

@@ -787,6 +787,29 @@ SELECT doc_id,
     '\b555-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
 FROM p ORDER BY doc_id""",
 
+    // mixture shares ∝ k+1 for srcK; rate = min(1, share·budget/n_src),
+    // threshold = floor(rate·65536); doubles derive from integer counts
+    // through the identical expression order on both engines
+    "tp06_mixture" -> """
+WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+t AS (SELECT CAST(sum(n_src) AS BIGINT) AS n_total FROM c),
+r AS (
+  SELECT source,
+    CAST(floor(least(CAST(1 AS DOUBLE),
+      (CAST(CAST(substr(source, 4) AS INT) + 1 AS DOUBLE) / CAST(210 AS DOUBLE))
+        * floor(n_total * CAST(0.6 AS DOUBLE)) / n_src)
+      * CAST(65536 AS DOUBLE)) AS BIGINT) AS thresh
+  FROM c, t),
+v AS (
+  SELECT doc_id, source,
+    CAST(list_sum(list_transform(range(1, 5),
+      i -> (strpos('0123456789abcdef',
+              substr(md5('mix:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+           * ([4096, 256, 16, 1])[i])) AS BIGINT) AS v
+  FROM documents)
+SELECT doc_id, v.source, v, thresh, v < thresh AS kept
+FROM v JOIN r USING (source) ORDER BY doc_id""",
+
     // integer invariants of int8 scalar quantization; the double expression
     // order (amax/127, x/scale, round) mirrors the Spark side exactly
     "tp05_embed_quant" -> """

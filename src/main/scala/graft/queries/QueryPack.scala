@@ -204,7 +204,8 @@ object QueryPack {
     "tp02_hash_split"    -> ((s, d) => TrainPrep.hashSplit(s, d)),
     "tp03_seq_packing"   -> ((s, d) => TrainPrep.seqPacking(s, d)),
     "tp04_pii_scrub"     -> ((s, d) => TrainPrep.piiScrub(s, d)),
-    "tp05_embed_quant"   -> ((s, d) => TrainPrep.embedQuant(s, d))
+    "tp05_embed_quant"   -> ((s, d) => TrainPrep.embedQuant(s, d)),
+    "tp06_mixture"       -> ((s, d) => TrainPrep.mixtureSample(s, d))
   )
 
   /** D1-D11 showcase: a distributed decode of binary pgoutput frames

@@ -101,6 +101,24 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(redacted.count() === 0)
   }
 
+  test("tp06: mixture clamps oversubscribed sources and thins underweighted ones") {
+    val out = TrainPrep.mixtureSample(spark, sf).cache()
+    // src19's target (share 20/210 of a 60% budget) exceeds its supply →
+    // rate clamps to 1.0 → every doc kept
+    assert(out.filter(col("source") === "src19" && !col("kept")).count() === 0)
+    // src0 (share 1/210) must keep strictly less than it was given
+    val src0 = out.filter(col("source") === "src0")
+    assert(src0.filter(col("kept")).count() < src0.count())
+    // overall: roughly the budget, and kept is a pure function of doc_id
+    val keptFrac = out.filter(col("kept")).count().toDouble / out.count()
+    assert(keptFrac > 0.2 && keptFrac < 0.9, s"kept fraction $keptFrac")
+    out.unpersist()
+    val plan = TrainPrep.mixtureSample(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate table must broadcast back onto documents:\n$plan")
+  }
+
   test("tp05: quantization saturates at exactly 127 and reconstructs within half-step") {
     val out = TrainPrep.embedQuant(spark, sf)
     assert(out.filter(col("amax_e8") > 0 && col("max_abs_q") =!= 127).count() === 0,
