@@ -112,6 +112,13 @@ object TrainPrep {
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tokens"),
         (col("doc_id") / bucketWidth).cast("long").as("bucket"))
+      // no-op isNotNull: the broadcast-join constraint infers
+      // isnotnull(bucket) onto the STREAMED lane's scan only, de-sharing
+      // the two references to this subtree (scan+tokenize+shuffle would run
+      // twice). Pinning the filter here keeps both lanes identical so
+      // ReuseExchange tokenizes the corpus once — the AQE stage-reuse
+      // pattern established in the dd02/dd06 shared-fingerprint stage.
+      .filter(col("bucket").isNotNull)
     val inBucket = n.withColumn("cum_in",
       sum(col("n_tokens")).over(Window.partitionBy(col("bucket"))
         .orderBy(col("doc_id"))

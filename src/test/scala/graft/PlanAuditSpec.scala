@@ -117,6 +117,23 @@ class PlanAuditSpec extends AnyFunSuite {
       "total-count lane no longer column-pruned")
   }
 
+  test("tp03: both prefix-sum lanes share one tokenize+shuffle stage") {
+    val df = SparkEntry.queries("tp03_seq_packing")(spark, sf)
+    df.collect() // AQE finalizes (and can only reuse stages) on execution
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the bucket-prefix lane must read the doc lane's hashpartitioning
+    // (bucket) exchange, not re-scan: exactly one text scan + a
+    // ReusedExchange (guarded by the explicit no-op isNotNull(bucket) —
+    // the inferred-constraint divergence pitfall)
+    assert(finalPlan.contains("ReusedExchange"),
+      s"bucket exchange not shared:\n$finalPlan")
+    val textScans = finalPlan.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("text#"))
+    assert(textScans == 1,
+      s"tokenization recomputed per lane ($textScans text scans)")
+  }
+
   test("dd02: df-cap and blocking lanes share one tokenization pass") {
     val df = SparkEntry.queries("dd02_ngram_jaccard")(spark, sf)
     df.collect()
