@@ -79,6 +79,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       intLit(a, 1, "hyperplane_band_buckets"), intLit(a, 2, "hyperplane_band_buckets")))
     reg("winnow_fingerprints", 3)(a => WinnowFingerprints(a(0),
       intLit(a, 1, "winnow_fingerprints"), intLit(a, 2, "winnow_fingerprints")))
+    reg("word_ngrams", 2)(a => WordNGrams(a(0), intLit(a, 1, "word_ngrams")))
     reg("any_changed_key_not_in", 2)(a => AnyChangedKeyNotIn(a(0),
       stringArrayLit(a, 1, "any_changed_key_not_in")))
     reg("any_watched_field_changed", 4)(a => AnyWatchedFieldChanged(a(0), a(1), a(2),

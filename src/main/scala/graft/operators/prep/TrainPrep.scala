@@ -41,6 +41,13 @@ object TrainPrep {
     * only shuffle is the final per-doc count. No corpus-vs-corpus join
     * exists. Benchmark grams are re-shingled from a pushed-down 1/97 slice
     * of the scan (cheap) rather than caching the full gram frame.
+    *
+    * Shingling runs as the native codegen'd `word_ngrams` expression
+    * (`plans/SketchExprs.scala`) for the same reason winnowing does: the
+    * SQL-lambda pipeline gets inlined wholesale into the `size(...) > 0`
+    * predicate Catalyst infers below the explode, re-running the full
+    * shingle construction per row inside the scan stage; the native call
+    * is one JIT'd pass and stays cheap when duplicated.
     */
   def decontaminate(spark: SparkSession, d: String, n: Int = 8): DataFrame = {
     val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
@@ -52,8 +59,8 @@ object TrainPrep {
           concat(col("text"), lit(" "), col("snippet")))
           .otherwise(col("text")).as("text"))
     def grams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), TextOps.shingles(col("toks"), n).as("grams"))
+      .select(col("doc_id"),
+        graft.plans.SketchCols.wordNGrams(col("text"), n).as("grams"))
     val corpus = grams(Tables.spread(planted))
     val bench = grams(planted.filter(col("doc_id") % 97 === 0))
       .select(explode(col("grams")).as("gram")).distinct()

@@ -209,6 +209,71 @@ object SketchUtil {
   }
 }
 
+private[plans] object WordNGramsUtil {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Distinct space-joined word `n`-grams of `text` — bit-identical to the
+    * SQL pipeline `array_distinct(transform(sequence(...), i ->
+    * concat_ws(' ', element_at(toks, i), …)))` over whitespace tokens
+    * (first-occurrence order, empty array when the doc has < n tokens),
+    * in one native pass. Exists for the same reason as
+    * [[SketchUtil.winnowFingerprints]]: the lambda pipeline gets inlined
+    * wholesale into the `size(...) > 0` filter Catalyst infers below an
+    * explode, running the whole shingling twice per row in the scan stage
+    * — a native call is cheap enough to inline (and stays codegen'd).
+    */
+  def wordNGrams(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    // split-then-drop-empties makes leading/trailing whitespace irrelevant,
+    // matching filter(split(trim(text), '\s+'), t -> t <> '')
+    val toks = ws.split(text.toString).filter(_.nonEmpty)
+    if (toks.length < n)
+      return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size)))
+  }
+}
+
+/** `word_ngrams(text, n)` → ARRAY<STRING> of distinct space-joined word
+  * n-grams (see [[WordNGramsUtil.wordNGrams]]); null text → null.
+  */
+case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n > 0, "n must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    WordNGramsUtil.wordNGrams(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.WordNGramsUtil.wordNGrams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+}
+
 private[plans] trait LongArrayInput { self: UnaryExpression =>
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -370,6 +435,9 @@ object SketchCols {
 
   def winnowFingerprints(c: Column, k: Int, w: Int): Column =
     Bridge.column(WinnowFingerprints(Bridge.expression(c), k, w))
+
+  def wordNGrams(c: Column, n: Int): Column =
+    Bridge.column(WordNGrams(Bridge.expression(c), n))
 
   def cosineSimilarity(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))

@@ -43,7 +43,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         any_changed_key_not_in(map('b', named_struct('old_value','1','new_value','2')),
           array('b')) AS f6_map,
         any_watched_field_changed(map('a','1','b','1'), map('a','2','b','1'),
-          cast(array() as array<string>), array('a')) AS f6_fused
+          cast(array() as array<string>), array('a')) AS f6_fused,
+        word_ngrams(' a b  a b c ', 2) AS ngrams
     """).collect()(0)
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getSeq[String](1) == Seq("a", null, "x y"))
@@ -56,6 +57,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(8) == 12) // 16 chars, k=5 → 12 k-grams
     assert(!r.getBoolean(9)) // only changed key is unwatched → drop
     assert(!r.getBoolean(10)) // only 'a' changed and 'a' is unwatched → drop
+    // distinct, first-occurrence order, whitespace-run/trim tolerant
+    assert(r.getSeq[String](11) == Seq("a b", "b a", "b c"))
   }
 
   test("sketch shape arguments must be INT literals") {

@@ -37,6 +37,24 @@ class TrainPrepSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("word_ngrams native expression matches the declarative shingle pipeline") {
+    import graft.operators.text.TextOps
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val diff = docs.select(col("doc_id"),
+      graft.plans.SketchCols.wordNGrams(col("text"), 8).as("native"),
+      TextOps.shingles(TextOps.tokens(col("text")), 8).as("declarative"))
+      .filter(not(col("native") <=> col("declarative")))
+    assert(diff.count() === 0, "native and lambda shingles must be bit-identical")
+    // short/empty/whitespace edges
+    val edge = spark.range(1).select(
+      graft.plans.SketchCols.wordNGrams(lit("a b c"), 8).as("short"),
+      graft.plans.SketchCols.wordNGrams(lit(""), 2).as("empty"),
+      graft.plans.SketchCols.wordNGrams(lit("  x   y  "), 2).as("padded"))
+      .collect()(0)
+    assert(edge.getSeq[String](0) == Seq() && edge.getSeq[String](1) == Seq())
+    assert(edge.getSeq[String](2) == Seq("x y"))
+  }
+
   test("tp01 plan: benchmark gram set joins broadcast (no corpus-corpus shuffle join)") {
     val plan = TrainPrep.decontaminate(spark, sf)
       .queryExecution.executedPlan.toString
