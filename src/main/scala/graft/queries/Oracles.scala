@@ -281,6 +281,18 @@ SELECT commit_ms - commit_ms % 3600000 AS hour_ms, table_name, op,
        count(*) AS n
 FROM changes GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
 
+    // stream-stream inner interval join = its batch self-join, exactly
+    // (Spark's inner-join completeness guarantee; watermark only bounds
+    // state). 2-hour horizon in ms.
+    "cdc20_stream_join" -> s"""$changesCte
+SELECT i.record_id, i.seq AS ins_seq, d.seq AS del_seq,
+       d.commit_ms - i.commit_ms AS gap_ms
+FROM changes i JOIN changes d
+  ON d.record_id = i.record_id AND d.op = 'delete'
+ AND d.commit_ms >= i.commit_ms AND d.commit_ms <= i.commit_ms + 7200000
+WHERE i.op = 'insert'
+ORDER BY 1, 2, 3""",
+
     "cdc17_stream_enrich" -> s"""$changesCte
 SELECT c.c_mktsegment, ch.op, count(*) AS n_changes,
        CAST(sum(ch.val_cents) AS BIGINT) AS sum_val_cents

@@ -159,6 +159,7 @@ object QueryPack {
     "cdc17_stream_enrich"    -> ((s, d) => streamEnrich(s, d)), // §2.7 stream-static join
     "cdc18_dispatch_counts"  -> ((s, d) => streamDispatch(s, d)), // K1-K7 dispatch layer
     "cdc19_stream_append"    -> ((s, d) => streamHourlyAppend(s, d)), // append+watermark lane
+    "cdc20_stream_join"      -> ((s, d) => streamStreamJoin(s, d)), // stream-stream interval join
 
     // ---- text analysis ----
     "txt01_token_stats" -> ((s, d) => TextOps.tokenStats(s, d)),
@@ -529,6 +530,48 @@ object QueryPack {
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(600000)
     spark.table(qname).orderBy(col("seq"))
+  }
+
+  /** §2.7 stream-stream join: inserts joined to their matching delete
+    * within a 2-hour event-time horizon (entity-lifetime pairing — the
+    * canonical two-stream correlation the reference cannot express). Both
+    * sides are event-time-watermarked, so the join state evicts rows once
+    * the watermark passes the range bound; emission itself does not gate
+    * on the watermark for INNER joins (Spark guarantees batch-equivalent
+    * output), which is what makes the driver check deterministic with no
+    * sentinel. At 100 TB the state is bounded by (horizon × arrival rate),
+    * not stream length, and the join shuffles both sides by record_id —
+    * the same key discipline as any batch equi-join.
+    */
+  def streamStreamJoin(spark: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Graft
+    val dir = ensureChangeTableFixture(spark, d)
+    val schema = spark.read.parquet(dir).schema
+    val ev = Graft.eventsFromChangeTable(spark, dir, schema)
+      .select(col("seq"),
+        element_at(coalesce(col("new_record"), col("old_record")), "id")
+          .cast("long").as("record_id"),
+        col("type"),
+        timestamp_millis(col("timestamp_ms")).as("ts"))
+    val ins = ev.filter(col("type") === "insert")
+      .select(col("record_id"), col("seq").as("ins_seq"), col("ts").as("ins_ts"))
+      .withWatermark("ins_ts", "10 minutes")
+    val del = ev.filter(col("type") === "delete")
+      .select(col("record_id").as("del_record_id"), col("seq").as("del_seq"),
+        col("ts").as("del_ts"))
+      .withWatermark("del_ts", "10 minutes")
+    val joined = ins.join(del,
+      col("record_id") === col("del_record_id") &&
+        col("del_ts") >= col("ins_ts") &&
+        col("del_ts") <= col("ins_ts") + expr("interval 2 hours"))
+      .select(col("record_id"), col("ins_seq"), col("del_seq"),
+        (unix_millis(col("del_ts")) - unix_millis(col("ins_ts"))).as("gap_ms"))
+    val qname = s"graft_cdc20_${replayQueryCount.incrementAndGet()}"
+    val q = joined.writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(600000)
+    spark.table(qname)
+      .orderBy(col("record_id"), col("ins_seq"), col("del_seq"))
   }
 
   /** Pre-build every driver fixture (WAL segments, change table) — harness
