@@ -109,14 +109,12 @@ object Dedup {
     * Shingling + hashing is compute-bound, so the scan is spread first
     * (no-op at scale — see [[Tables.spread]]).
     *
-    * `toks` is materialized as its own projection before shingling: passing
-    * `tokens(text)` inline would let every `element_at(toks, …)` inside the
-    * shingle lambda re-evaluate the full regex split per iteration
-    * (CollapseProject refuses to inline a non-cheap multi-referenced alias,
-    * so the staged form evaluates the split exactly once per row — measured
-    * ~30× on the interpreted higher-order-function path). The non-empty
-    * guard filters on `size(toks) >= 3` (equivalent to non-empty shingles)
-    * so predicate pushdown never duplicates the shingle expression either.
+    * Shingling runs as the native codegen'd `word_ngrams` expression
+    * (bit-identical to the staged tokens/lambda pipeline it replaces —
+    * property-tested in TrainPrepSpec): one JIT'd pass per row instead of
+    * O(n·k) interpreted higher-order dispatches, and cheap enough that the
+    * `size(...) ≥ 1` guard (same row set as the former `size(toks) >= 3`)
+    * costs one native call when pushdown duplicates it.
     */
   private def shingled(spark: SparkSession, d: String): DataFrame =
     shingledOf(Tables.spread(
@@ -124,9 +122,9 @@ object Dedup {
 
   private def shingledOf(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), TextOps.shingles(col("toks")).as("sh"))
+      .select(col("doc_id"),
+        graft.plans.SketchCols.wordNGrams(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) >= 1)
       .withColumn("shh", transform(col("sh"), s => xxhash64(s)))
 
   /** Exact Jaccard from a pre-computed intersection size (stage `inter` as

@@ -611,6 +611,46 @@ class StreamingCdcSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream-stream join: late rows past the watermark horizon are dropped from state") {
+    // pins the cdc20 contract: INNER-join emission is batch-equivalent for
+    // in-horizon pairs, and the watermark bounds state — a match arriving
+    // after the watermark passed its partner's range is NOT emitted
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val insMs = MemoryStream[(Long, Long)]
+    val delMs = MemoryStream[(Long, Long)]
+    val h0 = 3600000L * 600000
+    val ins = insMs.toDF().toDF("record_id", "ts_ms")
+      .select($"record_id", timestamp_millis($"ts_ms").as("ins_ts"))
+      .withWatermark("ins_ts", "10 minutes")
+    val del = delMs.toDF().toDF("del_record_id", "ts_ms")
+      .select($"del_record_id", timestamp_millis($"ts_ms").as("del_ts"))
+      .withWatermark("del_ts", "10 minutes")
+    val joined = ins.join(del,
+      $"record_id" === $"del_record_id" && $"del_ts" >= $"ins_ts" &&
+        $"del_ts" <= $"ins_ts" + expr("interval 2 hours"))
+      .select($"record_id")
+    val q = joined.writeStream.format("memory").queryName("t_ssj")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    insMs.addData((1L, h0)); delMs.addData((99L, h0))
+    q.processAllAvailable()
+    // advance both watermarks far past h0 + 2h (insert 1's match range)
+    val far = h0 + 10 * 3600000L
+    insMs.addData((2L, far)); delMs.addData((98L, far))
+    q.processAllAvailable()
+    insMs.addData((3L, far)); delMs.addData((97L, far))
+    q.processAllAvailable()
+    // late delete for record 1 inside its join range but behind the
+    // watermark: insert state evicted / row late → no emission
+    delMs.addData((1L, h0 + 3600000L))
+    q.processAllAvailable()
+    assert(spark.table("t_ssj").count() == 0, "late match must not emit")
+    // an in-horizon pair still joins (batch-equivalent emission)
+    insMs.addData((5L, far + 3600000L)); delMs.addData((5L, far + 3600000L + 60000))
+    q.processAllAvailable()
+    assert(spark.table("t_ssj").collect().map(_.getLong(0)).toSeq == Seq(5L))
+    q.stop()
+  }
+
   test("Graft facade: config-driven pipeline with publication (F8) filtering at the source") {
     val dir = tmpDir("graft")
     WalFixture.writeSegments(dir, Seq(
