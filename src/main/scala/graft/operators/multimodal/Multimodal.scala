@@ -46,7 +46,8 @@ object Multimodal {
       * down. ??? in spirit: a real codec resamples pixels, not bytes.
       */
     def resize(blob: Array[Byte], n: Int): Array[Byte] =
-      Array.tabulate(n)(i => blob(((i.toLong * blob.length) / n).toInt))
+      if (blob.isEmpty) Array.emptyByteArray // hex('') oracle-side
+      else Array.tabulate(n)(i => blob(((i.toLong * blob.length) / n).toInt))
 
     /** "Feature extraction": 16-bucket byte histogram (bucket = high
       * nibble) — the stand-in for an embedding extractor; fixed-length
@@ -139,23 +140,32 @@ object Multimodal {
     StructField("dst_h", IntegerType, nullable = false),
     StructField("resized_hex", StringType)))
 
+  /** Fixed fake resize target: dims are request metadata, the payload is
+    * an 8-byte NN resample strip (one constant contract, mirrored by the
+    * mm03 oracle — a parameterized target would need the payload length
+    * derived from it, which the byte-level stand-in can't represent
+    * honestly, so the knob is deliberately absent).
+    */
+  val resizeTarget: (Int, Int) = (32, 24)
+  private val resizeStrip = 8
+
   /** Resize through the decode seam: each media's frame-0 payload is
-    * nearest-neighbor resampled to a fixed target inside `mapPartitions`
+    * nearest-neighbor resampled to [[resizeTarget]] inside `mapPartitions`
     * (blob read once, narrow map, no shuffle — same contract as
     * [[frameSamplesRaw]]). Output carries source dims from the probe and
     * the resampled payload; a real deployment swaps `FakeCodec.resize`
     * for the pixel version and nothing else moves.
     */
-  def resized(spark: SparkSession, d: String,
-      dstW: Int = 32, dstH: Int = 24): DataFrame = {
+  def resized(spark: SparkSession, d: String): DataFrame = {
     val src = mediaSrc(spark, d)
     val enc = RowEncoder.encoderFor(resizeSchema)
+    val (dstW, dstH) = resizeTarget
     src.mapPartitions { rows =>
       rows.map { r =>
         val id   = r.getLong(0)
         val blob = r.getAs[Array[Byte]](1)
         val meta = FakeCodec.probe(blob, id)
-        val rz   = FakeCodec.resize(blob, 8)
+        val rz   = FakeCodec.resize(blob, resizeStrip)
         Row(id, meta.width, meta.height, dstW, dstH,
           rz.map("%02X".format(_)).mkString)
       }

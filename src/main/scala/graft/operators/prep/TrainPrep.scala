@@ -36,11 +36,14 @@ object TrainPrep {
     * dd03/dd04/dd05 recall harnesses.
     *
     * Scale shape: the benchmark gram set is tiny by nature (benchmarks are
-    * MBs against a 100 TB corpus) → `broadcast` it; the corpus side explodes
-    * distinct grams once and aggregates hits map-side per doc_id, so the
-    * only shuffle is the final per-doc count. No corpus-vs-corpus join
-    * exists. Benchmark grams are re-shingled from a pushed-down 1/97 slice
-    * of the scan (cheap) rather than caching the full gram frame.
+    * MBs against a 100 TB corpus) → `broadcast` it; the corpus side is ONE
+    * scan → shingle → explode → left join to the broadcast gram set →
+    * map-side-combined per-doc aggregate counting rows (= n_grams, grams
+    * are distinct) and matches (= n_hits) together — no second
+    * shingle lane, and the only full shuffles carry (doc_id, two counts).
+    * Docs too short to shingle re-enter via an ids-only left join.
+    * Benchmark grams are re-shingled from a pushed-down 1/97 slice of the
+    * scan (cheap) rather than caching the full gram frame.
     *
     * Shingling runs as the native codegen'd `word_ngrams` expression
     * (`plans/SketchExprs.scala`) for the same reason winnowing does: the
@@ -51,6 +54,11 @@ object TrainPrep {
     */
   def decontaminate(spark: SparkSession, d: String, n: Int = 8): DataFrame = {
     val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    // the planting device needs benchmark doc 0 with ≥ n tokens; a corpus
+    // without it would plant nothing and the oracle would vacuously agree —
+    // fail loudly instead (pushed-down point lookup, trivial)
+    require(docs.filter(col("doc_id") === 0).limit(1).count() == 1,
+      s"decontaminate: benchmark snippet doc (doc_id=0) missing in $d")
     val snippet = docs.filter(col("doc_id") === 0)
       .select(concat_ws(" ", slice(TextOps.tokens(col("text")), 1, n)).as("snippet"))
     val planted = docs.crossJoin(broadcast(snippet)) // one-row scalar side
@@ -61,21 +69,33 @@ object TrainPrep {
     def grams(df: DataFrame): DataFrame = df
       .select(col("doc_id"),
         graft.plans.SketchCols.wordNGrams(col("text"), n).as("grams"))
-    val corpus = grams(Tables.spread(planted))
     val bench = grams(planted.filter(col("doc_id") % 97 === 0))
       .select(explode(col("grams")).as("gram")).distinct()
-    val hits = corpus.select(col("doc_id"), explode(col("grams")).as("gram"))
-      .join(broadcast(bench), Seq("gram"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
-    corpus.select(col("doc_id"), size(col("grams")).as("n_grams"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
+      .withColumn("hit", lit(1))
+    val counts = grams(Tables.spread(planted))
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(bench), Seq("gram"), "left") // bench grams distinct → row-preserving
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hits"))
+    docs.select(col("doc_id")) // ids-only re-entry for un-shingleable docs
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
       .orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------------------------- split
+
+  /** The one deterministic hash-bucket primitive every sampling/split lane
+    * uses: first 16 bits of `md5(salt || id)` as a value in [0, 65536).
+    * Salt and width are the cross-engine contract — the DuckDB oracles
+    * re-derive this exact expression, so any change must land in both.
+    */
+  def hashBucket16(salt: String, id: Column): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 4), 16, 10)
+      .cast("long")
 
   /** Deterministic train/val/test assignment: bucket 0-99 from the first
     * 16 bits of `md5("graft:" || doc_id)`, split by 90/5/5. Hash-based
@@ -88,8 +108,7 @@ object TrainPrep {
   def hashSplit(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
       .select(col("doc_id"),
-        (conv(substring(md5(concat(lit("graft:"), col("doc_id").cast("string"))),
-          1, 4), 16, 10).cast("long") % 100).cast("int").as("bucket"))
+        (hashBucket16("graft:", col("doc_id")) % 100).cast("int").as("bucket"))
       .withColumn("split",
         when(col("bucket") < 90, "train")
           .when(col("bucket") < 95, "val")
@@ -218,9 +237,7 @@ object TrainPrep {
       .withColumn("thresh", floor(col("rate") * lit(65536.0)).cast("long"))
       .select(col("source"), col("thresh"))
     docs
-      .withColumn("v", conv(substring(
-        md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
-        .cast("long"))
+      .withColumn("v", hashBucket16("mix:", col("doc_id")))
       .join(broadcast(rates), Seq("source"))
       .select(col("doc_id"), col("source"), col("v"), col("thresh"),
         (col("v") < col("thresh")).as("kept"))

@@ -33,9 +33,10 @@ class QueryPackSpec extends AnyFunSuite {
     // requires all corpus ids < 100000 — a collision would alias planted
     // and organic rows and silently break the planting-formula oracles
     import org.apache.spark.sql.functions.max
-    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
       .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
-      .foreach { dir =>
+    assert(dirs.nonEmpty, "no testdata dirs found — the planting guard would be vacuous")
+    dirs.foreach { dir =>
         val maxDoc = graft.Tables.documents(spark, dir)
           .agg(max("doc_id")).head.getLong(0)
         val maxVec = graft.Tables.embeddings(spark, dir)

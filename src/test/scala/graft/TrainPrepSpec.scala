@@ -56,10 +56,18 @@ class TrainPrepSpec extends AnyFunSuite {
   }
 
   test("tp01 plan: benchmark gram set joins broadcast (no corpus-corpus shuffle join)") {
-    val plan = TrainPrep.decontaminate(spark, sf)
-      .queryExecution.executedPlan.toString
+    val df = TrainPrep.decontaminate(spark, sf)
+    df.collect() // AQE finalizes on execution
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"bench-gram join must broadcast:\n$plan")
+    // one corpus shingle pass + the pushed-down 1/97 bench slice + the
+    // doc-0 snippet point lookup; the ids-only re-entry lane must NOT
+    // read text — a 4th scan means the corpus is shingled per lane again
+    val textScans = plan.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("text#"))
+    assert(textScans <= 3, s"corpus shingled per lane ($textScans text scans)")
   }
 
   test("tp02: assignment is deterministic and ~90/5/5") {
