@@ -200,6 +200,48 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** As-of join (the brief's canonical "operator Spark lacks", composed
+    * from existing ops — preference (a)): each event matched to the
+    * LATEST order of its customer at or before the event time.
+    *
+    * Implementation is the union + last-value-over-window merge, not a
+    * range join: tag both inputs, union them, and take
+    * `last(order_attr, ignoreNulls) over (partition by key order by
+    * time, side)` — order rows sort before event rows at equal
+    * timestamps, giving ≤ semantics. One sort-shuffle by key total;
+    * a naive range join would explode each event against every earlier
+    * order before aggregating the max away (O(events × orders/key) vs
+    * O(events + orders) here), which is the difference that matters at
+    * 100 TB. The right side is pre-reduced to one row per (key, time)
+    * (max orderkey — the deterministic tie rule the oracle mirrors).
+    */
+  def asofOrders(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d).select(
+      col("event_id"), col("user_id"),
+      expr("ts DIV 1000000").as("t_ms")) // exact integer ns → ms
+    val o = Tables.orders(spark, d)
+      .groupBy((col("o_custkey")).as("k"),
+        // NTZ → TZ is exact under the session's UTC timezone
+        unix_millis(col("o_orderdate").cast("timestamp")).as("t_ms"))
+      .agg(max(col("o_orderkey")).as("ok"))
+    val left = e.select((col("user_id") + 1).as("k"), col("t_ms"),
+      lit(1).as("is_evt"), col("event_id"), col("user_id"),
+      lit(null).cast("long").as("ok"))
+    val right = o.select(col("k"), col("t_ms"), lit(0).as("is_evt"),
+      lit(null).cast("long").as("event_id"), lit(null).cast("long").as("user_id"),
+      col("ok"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t_ms"), col("is_evt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    left.unionByName(right)
+      .withColumn("o_orderkey", last(col("ok"), ignoreNulls = true).over(w))
+      .withColumn("order_ms",
+        last(when(col("is_evt") === 0, col("t_ms")), ignoreNulls = true).over(w))
+      .filter(col("is_evt") === 1)
+      .select(col("event_id"), col("user_id"), col("o_orderkey"), col("order_ms"))
+      .orderBy(col("event_id"))
+  }
+
   /** Pivot-style conditional aggregation: per-user event-type counts. */
   def userEventPivot(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)

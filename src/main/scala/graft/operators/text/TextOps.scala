@@ -194,6 +194,30 @@ object TextOps {
       .withColumn("lang_pred", langPredExpr(col("en_score")))
       .orderBy(col("doc_id"))
 
+  /** Repetition score (the Gopher-style repeated-n-gram quality filter):
+    * share of the document's bigram mass held by its most frequent bigram
+    * — high values flag boilerplate/template/spam docs that slip past
+    * stopword-based quality gates. Non-distinct bigrams (repetition IS the
+    * signal), two map-side-combined aggregations: (doc, gram) counts ride
+    * one shuffle, the per-doc max/sum rides a counts-only second. The
+    * share is one integer division in double — engine-portable.
+    */
+  def repetition(spark: SparkSession, d: String): DataFrame = {
+    val toks = Tables.spread(
+        Tables.documents(spark, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    toks.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"))
+        .as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_count"))
+      .withColumn("top_share",
+        col("top_count").cast("double") / col("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized lowercase text
     * (content-defined identity for exact dedup); plus a 64-bit engine-side
     * fingerprint (xxhash64) for cheap joins at scale.

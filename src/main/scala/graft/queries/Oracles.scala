@@ -514,6 +514,33 @@ FROM (
   FROM toks)
 ORDER BY doc_id""",
 
+    // non-distinct bigram counts — repetition IS the signal; the share is
+    // one integer division in double on both engines
+    "txt08_repetition" -> """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+  FROM toks WHERE len(t) >= 2),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+  CAST(max(c) AS BIGINT) AS top_count,
+  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_share
+FROM cnt GROUP BY doc_id ORDER BY doc_id""",
+
+    // as-of semantics: latest order at-or-before each event; right side
+    // pre-reduced to one row per (custkey, date) with max orderkey — the
+    // deterministic tie rule both engines share
+    "q14_asof_join" -> """
+WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS t_ms FROM events),
+o AS (SELECT o_custkey AS k, epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS t_ms,
+             max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, o.o_orderkey, o.t_ms AS order_ms
+FROM e ASOF LEFT JOIN o ON e.user_id + 1 = o.k AND o.t_ms <= e.t_ms
+ORDER BY e.event_id""",
+
     "txt04_fingerprint" -> """
 SELECT doc_id,
   md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp_md5

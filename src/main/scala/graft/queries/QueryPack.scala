@@ -48,6 +48,7 @@ object QueryPack {
     "q11_hourly_events"     -> ((s, d) => Analytics.hourlyEventCounts(s, d)),
     "q12_sessionize"        -> ((s, d) => Analytics.sessionize(s, d)),
     "q13_user_pivot"        -> ((s, d) => Analytics.userEventPivot(s, d)),
+    "q14_asof_join"         -> ((s, d) => Analytics.asofOrders(s, d)),
 
     // ---- CDC pipeline (§2.3/§2.4) ----
     "cdc01_changeset"        -> ((s, d) => // P3 tuple→record projection
@@ -171,6 +172,7 @@ object QueryPack {
     "txt05_bpe_tokens"  -> ((s, d) => TextOps.bpeTokens(s, d)),
     "txt06_langid_ngram" -> ((s, d) => TextOps.langIdNgram(s, d)),
     "txt07_winnow_fp"    -> ((s, d) => TextOps.winnowFingerprints(s, d)),
+    "txt08_repetition"   -> ((s, d) => TextOps.repetition(s, d)),
 
     // ---- dedup ----
     "dd01_exact_dedup"   -> ((s, d) => Dedup.exact(s, d)),

@@ -53,6 +53,12 @@ def main(sf_dir, out_dir):
             f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_rowsonly = 0
+    # a query whose Verify run threw writes NO output dir — without this, a
+    # crashed query silently shrinks the totals instead of failing the gate
+    dumped = {q.rstrip("/").split("/")[-1] for q in glob.glob(f"{out_dir}/*/")}
+    for name in sorted(set(oracle) - dumped):
+        print(f"FAIL  {name}: oracle declared but no Verify output (query threw?)")
+        n_fail += 1
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = qdir.rstrip("/").split("/")[-1]
         spark_files = glob.glob(f"{qdir}/*.parquet")
