@@ -218,27 +218,19 @@ object Analytics {
   def asofOrders(spark: SparkSession, d: String): DataFrame = {
     val e = Tables.events(spark, d).select(
       col("event_id"), col("user_id"),
+      (col("user_id") + 1).as("k"),
       expr("ts DIV 1000000").as("t_ms")) // exact integer ns → ms
     val o = Tables.orders(spark, d)
       .groupBy((col("o_custkey")).as("k"),
         // NTZ → TZ is exact under the session's UTC timezone
         unix_millis(col("o_orderdate").cast("timestamp")).as("t_ms"))
-      .agg(max(col("o_orderkey")).as("ok"))
-    val left = e.select((col("user_id") + 1).as("k"), col("t_ms"),
-      lit(1).as("is_evt"), col("event_id"), col("user_id"),
-      lit(null).cast("long").as("ok"))
-    val right = o.select(col("k"), col("t_ms"), lit(0).as("is_evt"),
-      lit(null).cast("long").as("event_id"), lit(null).cast("long").as("user_id"),
-      col("ok"))
-    val w = Window.partitionBy(col("k"))
-      .orderBy(col("t_ms"), col("is_evt"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    left.unionByName(right)
-      .withColumn("o_orderkey", last(col("ok"), ignoreNulls = true).over(w))
-      .withColumn("order_ms",
-        last(when(col("is_evt") === 0, col("t_ms")), ignoreNulls = true).over(w))
-      .filter(col("is_evt") === 1)
-      .select(col("event_id"), col("user_id"), col("o_orderkey"), col("order_ms"))
+      .agg(max(col("o_orderkey")).as("o_orderkey")) // deterministic tie rule
+      .withColumn("order_ms", col("t_ms"))
+    graft.operators.join.AsofJoin.asof(e, o,
+        keys = Seq("k"), time = "t_ms", attrs = Seq("o_orderkey", "order_ms"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_o_orderkey").as("o_orderkey"),
+        col("asof_order_ms").as("order_ms"))
       .orderBy(col("event_id"))
   }
 

@@ -266,6 +266,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(short(4L) == 3L && short(1L) == 0L, s"unexpected 1-round labels: $short")
   }
 
+  test("asof join: matches brute-force latest-at-or-before on seeded data") {
+    import graft.operators.join.AsofJoin
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val left = (0 until 300).map(i =>
+      (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(50).toLong))
+      .toDF("l_id", "k", "t")
+    // one right row per (k, t); some attrs null to prove row-atomic carry
+    val right = (0 until 120).map { i =>
+      val k = rnd.nextInt(8).toLong; val t = rnd.nextInt(50).toLong
+      (k, t, i.toLong, if (i % 5 == 0) null else s"v$i")
+    }.distinct.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      .toDF("k", "t", "r_id", "label")
+    val got = AsofJoin.asof(left, right, Seq("k"), "t", Seq("r_id", "label"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        Option(r.getString(4)))).toSet
+    // brute force: max-t right row ≤ left.t per key; its attrs ride together
+    val rRows = right.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), Option(r.getString(3))))
+    val want = left.collect().map { l =>
+      val (lid, k, t) = (l.getLong(0), l.getLong(1), l.getLong(2))
+      val m = rRows.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(_._2).lastOption
+      (lid, m.map(_._3), m.flatMap(_._4))
+    }.toSet
+    assert(got == want)
+  }
+
   test("corpus clean: the planted duplicate storm cancels exactly") {
     // gate + dedup over corpus ∪ exact copies must equal the clean-corpus
     // run bit-for-bit: copies share quality/language with their original
