@@ -234,6 +234,32 @@ object Analytics {
       .orderBy(col("event_id"))
   }
 
+  /** Range join (point-in-interval) via [[graft.operators.join.RangeJoin]]:
+    * every error event opens a 15-minute incident window; each window is
+    * scored with the count and value of ALL events (any user) falling
+    * inside it — the canonical "what happened around each alert"
+    * correlation. A plain inequality join would plan as a broadcast
+    * nested loop (O(incidents × events)); the binned range join keys
+    * both sides on a 15-minute grid cell, so the only shuffle is an
+    * equi-join on the bin id and fan-out per interval is ≤ 2 bins.
+    */
+  def incidentWindows(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d).select(
+      col("event_id"), expr("ts DIV 1000000").as("t_ms"),
+      round(col("value") * 100).cast("long").as("val_cents"),
+      col("event_type"))
+    val points = ev.select(col("event_id"), col("t_ms"), col("val_cents"))
+    val windows = ev.filter(col("event_type") === "error").select(
+      col("event_id").as("inc_id"), col("t_ms").as("start_ms"),
+      (col("t_ms") + 900000L).as("end_ms"))
+    graft.operators.join.RangeJoin
+      .pointInInterval(points, "t_ms", windows, "start_ms", "end_ms",
+        bin = 900000L)
+      .groupBy(col("inc_id"), col("start_ms"))
+      .agg(count(lit(1)).as("n_events"), sum(col("val_cents")).as("sum_val_cents"))
+      .orderBy(col("inc_id"))
+  }
+
   /** Pivot-style conditional aggregation: per-user event-type counts. */
   def userEventPivot(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)

@@ -541,6 +541,18 @@ SELECT e.event_id, e.user_id, o.o_orderkey, o.t_ms AS order_ms
 FROM e ASOF LEFT JOIN o ON e.user_id + 1 = o.k AND o.t_ms <= e.t_ms
 ORDER BY e.event_id""",
 
+    "q15_range_join" -> """
+WITH e AS (SELECT event_id, epoch_ms(ts) AS t_ms,
+                  CAST(round(value * 100) AS BIGINT) AS val_cents, event_type
+           FROM events),
+inc AS (SELECT event_id AS inc_id, t_ms AS start_ms, t_ms + 900000 AS end_ms
+        FROM e WHERE event_type = 'error')
+SELECT inc.inc_id, inc.start_ms, count(*) AS n_events,
+       CAST(sum(p.val_cents) AS BIGINT) AS sum_val_cents
+FROM inc JOIN e p ON p.t_ms >= inc.start_ms AND p.t_ms <= inc.end_ms
+GROUP BY inc.inc_id, inc.start_ms
+ORDER BY inc.inc_id""",
+
     "txt04_fingerprint" -> """
 SELECT doc_id,
   md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp_md5

@@ -49,6 +49,7 @@ object QueryPack {
     "q12_sessionize"        -> ((s, d) => Analytics.sessionize(s, d)),
     "q13_user_pivot"        -> ((s, d) => Analytics.userEventPivot(s, d)),
     "q14_asof_join"         -> ((s, d) => Analytics.asofOrders(s, d)),
+    "q15_range_join"        -> ((s, d) => Analytics.incidentWindows(s, d)),
 
     // ---- CDC pipeline (§2.3/§2.4) ----
     "cdc01_changeset"        -> ((s, d) => // P3 tuple→record projection
