@@ -44,9 +44,21 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Inferred-schema cache: `spark.read.parquet` without an explicit schema
+    * submits footer-inference jobs on EVERY call, so a query constructor
+    * referencing n tables pays 2n tiny jobs just to build its plan. Caching
+    * the StructType per path keeps constructors lazy (zero jobs once a
+    * path's schema is known) and trims hundreds of no-op jobs off a
+    * Verify/Bench run. Keyed by full path; testdata schemas are immutable.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     GraftSession.prepare(spark)
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
   }
 
   def lineitem(spark: SparkSession, d: String): DataFrame   = load(spark, d, "lineitem")

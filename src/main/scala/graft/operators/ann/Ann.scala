@@ -242,8 +242,21 @@ object Ann {
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
         xxhash64(col("vec_id")).as("h"))
       .orderBy(col("h"), col("cent_id")).limit(nlist).drop("h")
+    // Pin every codebook generation to ONE execution: the sampled init and
+    // each Lloyd refinement cost a full corpus pass, and the result is
+    // referenced from several subtrees below (cell assignment, probe
+    // ranking, the next refinement). A lazy `cache()` rebases all consumers
+    // on the same nlist-row InMemoryRelation — the training subtree runs
+    // once, structurally, instead of relying on ReusedExchange to dedupe
+    // identical broadcast subtrees — and keeps plan size linear in
+    // refineIters (each iteration references its predecessor twice, so
+    // inlined plans would grow exponentially). cache(), NOT localCheckpoint:
+    // even a lazy localCheckpoint materializes the AQE query stages below
+    // it at BUILD time (AdaptiveSparkPlanExec.doExecute finalizes the
+    // plan), and a library query constructor must submit zero Spark jobs.
+    val pin = (df: DataFrame) => df.cache()
     val cents = (0 until refineIters)
-      .foldLeft(cents0)((c, _) => kmeansRefineOnce(emb, c))
+      .foldLeft(pin(cents0))((c, _) => pin(kmeansRefineOnce(emb, c)))
 
     // corpus → cell: slim projection, then map-side-combined argmax
     val cells = emb.crossJoin(broadcast(cents))

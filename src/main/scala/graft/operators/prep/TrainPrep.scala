@@ -54,14 +54,24 @@ object TrainPrep {
     */
   def decontaminate(spark: SparkSession, d: String, n: Int = 8): DataFrame = {
     val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
-    // the planting device needs benchmark doc 0 with ≥ n tokens; a corpus
-    // without it would plant nothing and the oracle would vacuously agree —
-    // fail loudly instead (pushed-down point lookup, trivial)
-    require(docs.filter(col("doc_id") === 0).limit(1).count() == 1,
-      s"decontaminate: benchmark snippet doc (doc_id=0) missing in $d")
+    // the planting device needs benchmark doc 0; a corpus without it would
+    // plant nothing and the oracle would vacuously agree — fail loudly
+    // instead, INSIDE the plan: the point filter aggregates to exactly one
+    // row (null snippet when the doc is absent) and the guard raises at
+    // execution time. Building the query runs zero Spark jobs — a library
+    // query constructor must stay lazy.
     val snippet = docs.filter(col("doc_id") === 0)
-      .select(concat_ws(" ", slice(TextOps.tokens(col("text")), 1, n)).as("snippet"))
-    val planted = docs.crossJoin(broadcast(snippet)) // one-row scalar side
+      .agg(max(concat_ws(" ", slice(TextOps.tokens(col("text")), 1, n))).as("s"))
+      .select(when(col("s").isNotNull, col("s"))
+        .otherwise(raise_error(lit(
+          s"decontaminate: benchmark snippet doc (doc_id=0) missing in $d")))
+        .as("snippet"))
+    // plant over an already-spread scan: spread() inspects the scan's RDD
+    // partitioning, which is free on a plain file scan but would MATERIALIZE
+    // the broadcast stage (the snippet aggregate) if applied above the
+    // crossJoin — the spread goes below the plant to keep the builder lazy
+    def plant(df: DataFrame): DataFrame = df
+      .crossJoin(broadcast(snippet)) // one-row scalar side
       .select(col("doc_id"),
         when(col("doc_id") % 31 === 5,
           concat(col("text"), lit(" "), col("snippet")))
@@ -69,10 +79,10 @@ object TrainPrep {
     def grams(df: DataFrame): DataFrame = df
       .select(col("doc_id"),
         graft.plans.SketchCols.wordNGrams(col("text"), n).as("grams"))
-    val bench = grams(planted.filter(col("doc_id") % 97 === 0))
+    val bench = grams(plant(docs).filter(col("doc_id") % 97 === 0))
       .select(explode(col("grams")).as("gram")).distinct()
       .withColumn("hit", lit(1))
-    val counts = grams(Tables.spread(planted))
+    val counts = grams(plant(Tables.spread(docs)))
       .select(col("doc_id"), explode(col("grams")).as("gram"))
       .join(broadcast(bench), Seq("gram"), "left") // bench grams distinct → row-preserving
       .groupBy(col("doc_id"))
@@ -117,45 +127,100 @@ object TrainPrep {
 
   // ------------------------------------------------------------- packing
 
+  /** Exclusive distributed prefix sum over a one-row-per-key totals frame
+    * `(key, tot)` → `(key, pre)` where `pre` = Σ tot over all keys < key.
+    *
+    * Recursion is the scale device: keys are grouped into super-keys
+    * `key div fanout`; in-group running sums run as a PARTITIONED window
+    * (parallel, ≤ fanout rows per task) and the per-group totals recurse.
+    * Only `depth == 0` uses a global-order window — a single task, but one
+    * the CALLER has proven holds ≤ fanout rows (see [[seqPacking]]'s
+    * capacity guard) — so no level ever sorts an unbounded frame in one
+    * task. Each level above the first is fanout× smaller, so the extra
+    * levels cost a few tiny shuffles, not corpus passes.
+    */
+  private[graft] def exclusivePrefix(totals: DataFrame, depth: Int,
+      fanout: Long): DataFrame =
+    if (depth <= 0) {
+      totals.withColumn("pre", coalesce(
+        sum(col("tot")).over(Window.orderBy(col("key"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("key"), col("pre"))
+    } else {
+      val inGroup = totals
+        .withColumn("gkey", expr(s"CAST(key AS BIGINT) div $fanout"))
+        .withColumn("cum",
+          sum(col("tot")).over(Window.partitionBy(col("gkey"))
+            .orderBy(col("key"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // group totals ride the window's (gkey)-partitioning — no 2nd shuffle
+      val gTotals = inGroup.groupBy(col("gkey"))
+        .agg(max(col("cum")).as("tot"))
+        .select(col("gkey").as("key"), col("tot"))
+      val gPrefix = exclusivePrefix(gTotals, depth - 1, fanout)
+        .select(col("key").as("gkey"), col("pre").as("gpre"))
+      inGroup.join(broadcast(gPrefix), Seq("gkey"))
+        .select(col("key"), (col("gpre") + col("cum") - col("tot")).as("pre"))
+    }
+
   /** Sequence packing (GPT-style concatenate-and-chunk): documents in
     * doc_id order are laid end-to-end on a global token tape; each doc's
     * start offset assigns it to training sequence `start / budget`.
     *
     * The global running sum is the interesting part at 100 TB: a bare
     * `Window.orderBy(doc_id)` is a single-task sort of the whole corpus.
-    * Instead this runs the classic two-level distributed prefix sum:
-    * in-bucket running sums partitioned by `doc_id / bucketWidth`
-    * (parallel), plus a per-bucket prefix computed over the tiny
-    * one-row-per-bucket frame and broadcast back. The bucket-level window
-    * IS a single task — over corpus/bucketWidth rows, 1000× smaller; at
-    * 1000 executors × 100 TB, add a third level the same way. Determinism:
-    * offsets are pure integer arithmetic over (doc_id, n_tokens), so the
-    * packing is reproducible regardless of partitioning.
+    * Instead this runs a RECURSIVE distributed prefix sum: in-bucket
+    * running sums partitioned by `doc_id div bucketWidth` (parallel), then
+    * [[exclusivePrefix]] over the one-row-per-bucket totals, which keeps
+    * grouping by `fanout` until the top frame fits one task. The recursion
+    * depth is STATIC, derived from `maxDocs` (the declared id-space
+    * capacity, default 2^42 ≈ 4×10^12 docs — past the 100 TB envelope), so
+    * plan construction needs no data inspection; the capacity itself is
+    * enforced IN the plan — a doc_id at or above `maxDocs` raises at scan
+    * time instead of silently overflowing the top level into an unbounded
+    * single-task sort. Determinism: offsets are pure integer arithmetic
+    * over (doc_id, n_tokens), so the packing is reproducible regardless of
+    * partitioning.
     */
   def seqPacking(spark: SparkSession, d: String, budget: Int = 2048,
-      bucketWidth: Long = 1000L): DataFrame = {
-    val n = Tables.documents(spark, d)
-      .filter(col("doc_id").isNotNull)
-      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tokens"),
-        (col("doc_id") / bucketWidth).cast("long").as("bucket"))
-      // no-op isNotNull: the broadcast-join constraint infers
-      // isnotnull(bucket) onto the STREAMED lane's scan only, de-sharing
-      // the two references to this subtree (scan+tokenize+shuffle would run
-      // twice). Pinning the filter here keeps both lanes identical so
-      // ReuseExchange tokenizes the corpus once — the AQE stage-reuse
-      // pattern established in the dd02/dd06 shared-fingerprint stage.
-      .filter(col("bucket").isNotNull)
+      bucketWidth: Long = 1000L, fanout: Long = 1000L,
+      maxDocs: Long = 1L << 42): DataFrame = {
+    // smallest depth with maxDocs/bucketWidth/fanout^depth ≤ fanout rows at
+    // the top: depth ≥ log_fanout(maxBuckets) - 1
+    val maxBuckets = math.max(1.0, maxDocs.toDouble / bucketWidth)
+    val depth = math.max(0,
+      math.ceil(math.log(maxBuckets) / math.log(fanout.toDouble)).toInt - 1)
+    // capacity guard fused into the bucket expression (an unreferenced
+    // assert column would be pruned away): one codegen'd compare per row
+    val guardedId = when(col("doc_id") < maxDocs, col("doc_id"))
+      .otherwise(raise_error(concat(
+        lit("seqPacking: doc_id "), col("doc_id").cast("string"),
+        lit(s" exceeds declared capacity maxDocs=$maxDocs — raise maxDocs"))))
+    // no-op isNotNull chain: each level's broadcast-join constraint infers
+    // isnotnull(bucket div fanout^k) onto the STREAMED lane's scan only,
+    // de-sharing that lane's copy of this subtree (scan+tokenize+shuffle
+    // would run once PER LEVEL). Pinning the exact predicates every level
+    // will infer here — the nested `(… div fanout)` shape, matching the
+    // optimizer's canonical form — keeps all lanes identical so AQE stage
+    // reuse scans and tokenizes the corpus once — the pattern established
+    // in the dd02/dd06 shared-fingerprint stage.
+    val levelKeys = (1 to depth).scanLeft("bucket")((e, _) => s"($e div $fanout)")
+    val n = levelKeys.foldLeft(
+      Tables.documents(spark, d)
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tokens"),
+          floor(guardedId / bucketWidth).cast("long").as("bucket")))(
+      (df, k) => df.filter(expr(k).isNotNull))
     val inBucket = n.withColumn("cum_in",
       sum(col("n_tokens")).over(Window.partitionBy(col("bucket"))
         .orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     // bucket totals ride the window's (bucket)-partitioning — no 2nd shuffle
-    val prefix = inBucket.groupBy(col("bucket"))
-      .agg(max(col("cum_in")).as("btot"))
-      .withColumn("bprefix", coalesce(
-        sum(col("btot")).over(Window.orderBy(col("bucket"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("bucket"), col("bprefix"))
+    val totals = inBucket.groupBy(col("bucket"))
+      .agg(max(col("cum_in")).as("tot"))
+      .select(col("bucket").as("key"), col("tot"))
+    val prefix = exclusivePrefix(totals, depth, fanout)
+      .select(col("key").as("bucket"), col("pre").as("bprefix"))
     inBucket.join(broadcast(prefix), Seq("bucket"))
       .select(col("doc_id"), col("n_tokens"),
         (col("bprefix") + col("cum_in") - col("n_tokens")).as("start_offset"))
@@ -224,14 +289,21 @@ object TrainPrep {
     * to an integer threshold in [0, 65536) — engine-portable.
     */
   def mixtureSample(spark: SparkSession, d: String,
-      budgetFrac: Double = 0.6): DataFrame = {
+      budgetFrac: Double = 0.6,
+      shares: Map[String, Double] = Map.empty): DataFrame = {
     val docs = Tables.documents(spark, d).select(col("doc_id"), col("source"))
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    // the caller's domain-weight table, as a broadcast map literal; the
+    // default (empty) falls back to the fixture formula share(srcK) ∝ k+1,
+    // which the DuckDB oracle re-derives. Sources absent from a supplied
+    // map get share 0 — "not in the mix" — rather than null-poisoned rates.
+    val shareCol =
+      if (shares.isEmpty)
+        (expr("CAST(substring(source, 4) AS INT)") + 1).cast("double") / lit(210.0)
+      else coalesce(element_at(typedLit(shares), col("source")), lit(0.0))
     val rates = counts
       .crossJoin(broadcast(counts.agg(sum(col("n_src")).as("n_total"))))
-      .withColumn("share",
-        (expr("CAST(substring(source, 4) AS INT)") + 1).cast("double")
-          / lit(210.0))
+      .withColumn("share", shareCol)
       .withColumn("rate", least(lit(1.0),
         col("share") * floor(col("n_total") * lit(budgetFrac)) / col("n_src")))
       .withColumn("thresh", floor(col("rate") * lit(65536.0)).cast("long"))

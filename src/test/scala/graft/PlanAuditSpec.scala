@@ -84,6 +84,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"embedding array rides a shuffle:\n$exchanges")
   }
 
+  test("ann04: codebook training runs once — cache-pinned, bounded corpus scans") {
+    val lp = SparkEntry.queries("ann04_ivf_topk")(spark, sf)
+      .queryExecution.optimizedPlan
+    // the trained codebook must enter the query as a pinned cached
+    // relation, not an inlined training subtree duplicated under each
+    // broadcast consumer — InMemoryRelation is a LEAF of the logical plan,
+    // so a programmatic traversal counts only the query's own scans
+    val caches = lp.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(caches.nonEmpty,
+      "trained codebook is not cache-pinned — training subtree inlined")
+    // the query proper references emb 4× (cell assignment, probe ranking,
+    // query re-attach, candidate re-attach), each a 2-branch planted-copy
+    // union = 8 scan leaves. The kmeans training pass adds 3 more refs —
+    // if those appear here, the cache pin regressed.
+    val scans = lp.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.size <= 8,
+      s"embeddings scanned ${scans.size} times — training subtree re-inlined?")
+  }
+
   test("cdc06: the update diff runs as the native expression, not interpreted lambdas") {
     val p = plan("cdc06_diff")
     assert(p.contains("map_changed_fields"), "native diff expression missing")

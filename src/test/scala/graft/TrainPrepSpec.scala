@@ -104,6 +104,92 @@ class TrainPrepSpec extends AnyFunSuite {
       s"doc window must be partitioned by bucket:\n${windowLines.mkString("\n")}")
   }
 
+  test("tp03: recursive prefix — corpus scanned once, levels share the bucket stage") {
+    val df = TrainPrep.seqPacking(spark, sf)
+    df.collect() // AQE finalizes (and can only reuse stages) on execution
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // every recursion level re-references the corpus subtree; the pinned
+    // per-level isnotnull chain must keep the lanes identical so stage
+    // reuse collapses them — one scan+tokenize, not one per level
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"corpus re-scanned per recursion level:\n$p")
+    assert("ReusedExchange".r.findAllIn(p).size >= 3,
+      s"recursion lanes de-shared (expected ≥3 reused exchanges):\n$p")
+    // the id-space capacity guard must survive optimization into the plan
+    assert(p.contains("raise_error"), "maxDocs capacity guard compiled out")
+  }
+
+  test("tp03: capacity guard raises on a doc_id past maxDocs") {
+    val ex = intercept[Throwable] {
+      TrainPrep.seqPacking(spark, sf, maxDocs = 10L).collect()
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("exceeds declared capacity"), s"wrong failure: $msgs")
+  }
+
+  test("tp03: exclusivePrefix matches the single-level formula at any depth") {
+    import spark.implicits._
+    val totals = (0L until 57L).map(k => (k, k * 3 + 1)).toDF("key", "tot")
+    val expect = (0L until 57L).map(k => k -> (0L until k).map(_ * 3 + 1).sum).toMap
+    Seq(0, 1, 2, 3).foreach { depth =>
+      val got = TrainPrep.exclusivePrefix(totals, depth, fanout = 4L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expect, s"depth=$depth prefix mismatch")
+    }
+  }
+
+  test("tp01: building the query submits zero Spark jobs (lazy constructor)") {
+    // drain any in-flight listener events from earlier tests first
+    spark.sparkContext.parallelize(Seq(1)).count()
+    Thread.sleep(500)
+    // warm the per-path schema cache — the first read of a path is allowed
+    // its footer-inference jobs; constructors must be lazy thereafter
+    TrainPrep.decontaminate(spark, sf)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      TrainPrep.decontaminate(spark, sf) // build only — must not execute
+      // single-job marker (an AQE count() would be 2 jobs)
+      spark.sparkContext.parallelize(Seq(1)).count()
+      // the listener bus is FIFO: once the marker's start event has been
+      // observed, any build-time job would already have been counted
+      val deadline = System.currentTimeMillis + 30000
+      while (jobs.get() < 1 && System.currentTimeMillis < deadline) Thread.sleep(50)
+      assert(jobs.get() === 1,
+        s"building decontaminate submitted ${jobs.get() - 1} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("tp01: missing benchmark doc fails at execution with a clear message") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tp01_").toString
+    Tables.documents(spark, sf).filter(col("doc_id") =!= 0)
+      .write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val ex = intercept[Throwable] {
+      graft.operators.prep.TrainPrep.decontaminate(spark, tmp).collect()
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("benchmark snippet doc"), s"wrong failure: $msgs")
+  }
+
+  test("tp06: caller-supplied share map drives rates; unlisted sources drop") {
+    val out = TrainPrep.mixtureSample(spark, sf, budgetFrac = 0.5,
+      shares = Map("src0" -> 1.0)).cache()
+    // src0 gets the whole budget — far above its supply → clamps to keep-all
+    assert(out.filter(col("source") === "src0" && !col("kept")).count() === 0)
+    assert(out.filter(col("source") === "src0").count() > 0)
+    // sources absent from the map get share 0 → excluded from the mix
+    assert(out.filter(col("source") =!= "src0" && col("kept")).count() === 0)
+    out.unpersist()
+  }
+
   test("tp04: planted docs carry exactly one of each PII kind; redaction kills all") {
     val out = TrainPrep.piiScrub(spark, sf).cache()
     val planted = out.filter(col("doc_id") % 7 === 0)
