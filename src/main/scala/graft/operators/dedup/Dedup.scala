@@ -463,6 +463,35 @@ object Dedup {
       .orderBy(col("id_a"))
   }
 
+  /** dd09 — the noisy-copy recall row, driver-checkable: runs the FULL
+    * [[cosineNearDups]] pipeline over sign-flip-perturbed copies (cosine
+    * ≈ 0.9 to their originals — the probabilistic regime dd05's exact
+    * copies deliberately avoid) and reduces it to ONE summary row of
+    * claims the oracle pins: the planted population size (re-derivable by
+    * DuckDB) plus bound checks computed Spark-side — recall ≥ `floorPct`%
+    * of planted pairs recovered, and zero false positives (every
+    * surviving pair IS a planted pair; organic max cosine ≈ 0.4 <
+    * threshold). The pipeline is deterministic for a fixed fixture, so
+    * the claims are stable booleans: if banding, signatures, or the
+    * verify stage degrade, a claim flips and the row hash-mismatches —
+    * a bounded PASS, the strongest portable check a probabilistic
+    * pipeline admits.
+    */
+  def noisyRecallSummary(spark: SparkSession, d: String,
+      threshold: Double = 0.5, bands: Int = 8, bits: Int = 10,
+      floorPct: Int = 60): DataFrame = {
+    val pairs = cosineNearDups(spark, d, threshold, bands, bits)
+    val total = Tables.embeddings(spark, d).agg(count(lit(1)).as("n_planted"))
+    pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        count(when(col("id_b") === col("id_a") + 100000L, 1)).as("n_found"))
+      .crossJoin(broadcast(total)) // one-row scalar side
+      .select(col("n_planted"),
+        (col("n_found") * 100 >= col("n_planted") * floorPct)
+          .as("recall_floor_met"),
+        (col("n_pairs") === col("n_found")).as("no_false_positives"))
+  }
+
   /** Near-dup CLUSTERING — the canonical-assignment step after pair
     * finding: connected components over the verified near-dup graph, each
     * vector labeled with its component's min id (the cluster canonical a

@@ -49,16 +49,27 @@ object RangeJoin {
     val reserved = Seq("graft_bin")
     require(!(points.columns ++ intervals.columns).exists(reserved.contains),
       "inputs use reserved graft_* column names")
-    val p = points.withColumn("graft_bin", floor(col(pointTime) / bin))
+    require(points.columns.intersect(intervals.columns).isEmpty,
+      s"point/interval column names must be disjoint, both have: " +
+        points.columns.intersect(intervals.columns).mkString(", "))
+    val p = points.withColumn("graft_bin", binId(pointTime, bin))
     val i = intervals.withColumn("graft_bin",
-      explode(sequence(floor(col(start) / bin), floor(col(end) / bin))))
+      explode(sequence(binId(start, bin), binId(end, bin))))
     p.join(i, Seq("graft_bin"))
-      .filter(col(pointTime) >= col(start) && col(pointTime) <= col(end))
+      .filter(contains(col(pointTime), col(start), col(end)))
       .drop("graft_bin")
   }
 
-  /** Convenience predicate-shape check used by specs/docs: the exact
-    * containment condition the binned join re-applies.
+  /** Grid-cell id by exact integer floor-division (`floor(t / bin)` in
+    * double would be monotone-correct but inexact past 2^52; `div` alone
+    * truncates toward zero, mis-binning negative times — subtracting
+    * `pmod` first makes it a true floor for any sign).
+    */
+  private def binId(c: String, bin: Long): Column =
+    expr(s"CAST((($c) - pmod(($c), ${bin}L)) div ${bin}L AS BIGINT)")
+
+  /** The exact containment predicate — the single definition both the
+    * binned join's re-check and any caller-side assertion use.
     */
   def contains(t: Column, lo: Column, hi: Column): Column = t >= lo && t <= hi
 }

@@ -716,6 +716,15 @@ FROM t WHERE len(toks) >= 1 ORDER BY id_a""",
 SELECT vec_id AS id_a, vec_id + 100000 AS id_b, CAST(1.0 AS DOUBLE) AS sim
 FROM embeddings ORDER BY id_a""",
 
+    // the claims are constants BY DESIGN: the oracle pins the recall
+    // floor and zero-false-positive bounds; Spark computes the actual
+    // fractions through the full noisy-LSH pipeline — a degradation flips
+    // a boolean and the hash mismatches (bounded PASS)
+    "dd09_noisy_recall" -> """
+SELECT count(*) AS n_planted, true AS recall_floor_met,
+  true AS no_false_positives
+FROM embeddings""",
+
     // components over planted triangles {x, x+100000, x+200000}: every
     // replica resolves to canonical x = vec_id % 100000 (naturals can't
     // merge: max natural cosine ≈ 0.4 < the 0.5 threshold)

@@ -187,6 +187,9 @@ object QueryPack {
     "dd06_winnow_pairs"   -> ((s, d) => Dedup.winnowPairs(s, d)),
     "dd07_stream_dedup"   -> ((s, d) => Dedup.exactStreamingCounts(s, d)),
     "dd08_components"     -> ((s, d) => Dedup.nearDupComponents(s, d)),
+    // noisy-copy (≈0.9 cosine) probabilistic recall, reduced to oracle-
+    // pinned bound claims — see Dedup.noisyRecallSummary
+    "dd09_noisy_recall"   -> ((s, d) => Dedup.noisyRecallSummary(s, d)),
 
     // ---- similarity search ----
     "ann01_brute_topk"  -> ((s, d) => Ann.bruteForceTopK(s, d)),

@@ -295,6 +295,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("range join: boundaries inclusive, multi-bin and sub-bin intervals, negative times") {
+    import graft.operators.join.RangeJoin
+    import spark.implicits._
+    // hand-picked edges: t==start and t==end inclusive; an interval
+    // spanning >2 bins (bin=10, [5,38] covers bins 0-3) matches once per
+    // containment (a point lands in ONE bin — no explode dup); an interval
+    // shorter than the bin; negative times (true floor, not truncation:
+    // -1 must land in bin -1, not bin 0)
+    val pts = Seq(5L, 38L, 21L, 7L, -1L, -10L).toDF("t")
+    val ivs = Seq(
+      (1L, 5L, 38L),    // multi-bin; t=5 (==start) and t=38 (==end) inside
+      (2L, 6L, 8L),     // sub-bin; only t=7
+      (3L, -12L, -1L),  // negative; t=-1 (==end) and t=-10 inside
+      (4L, 39L, 40L)    // matches nothing
+    ).toDF("iv_id", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, "t", ivs, "lo", "hi", bin = 10L)
+      .select($"t", $"iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Set(5L -> 1L, 38L -> 1L, 21L -> 1L, 7L -> 1L, 7L -> 2L,
+      -1L -> 3L, -10L -> 3L)
+    assert(got == want, s"got $got")
+    // seeded brute-force equivalence, intervals up to 3 bins long
+    val rnd = new scala.util.Random(7)
+    val ps = (0 until 200).map(_ => rnd.nextLong() % 100).toDF("t")
+    val is = (0 until 60).map { i =>
+      val lo = rnd.nextLong() % 100; (i.toLong, lo, lo + rnd.nextInt(25))
+    }.toDF("iv_id", "lo", "hi")
+    val fast = RangeJoin.pointInInterval(ps, "t", is, "lo", "hi", bin = 10L)
+      .select($"t", $"iv_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val ivRows = is.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val slow = ps.collect().map(_.getLong(0)).flatMap(t =>
+      ivRows.filter(iv => t >= iv._2 && t <= iv._3).map(iv => (t, iv._1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(fast == slow, "binned join disagrees with brute force")
+    // overlapping column names are rejected up front, not at execution
+    val ex = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts, "t", ivs.withColumnRenamed("lo", "t"),
+        "t", "hi", bin = 10L)
+    }
+    assert(ex.getMessage.contains("disjoint"))
+  }
+
   test("corpus clean: the planted duplicate storm cancels exactly") {
     // gate + dedup over corpus ∪ exact copies must equal the clean-corpus
     // run bit-for-bit: copies share quality/language with their original

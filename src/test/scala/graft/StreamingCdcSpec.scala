@@ -116,6 +116,63 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(upd.getAs[String]("old_kind") == "K")
   }
 
+  test("DDL: a relation gaining a column mid-stream is absorbed by the MAP lane") {
+    import WalMessage._
+    val dir = tmpDir("ddl")
+    val ts = java.time.Instant.parse("2024-06-01T10:00:00Z")
+    // segment 0: the standard 5-column `user` relation + one insert
+    val f0 = (WalFixture.headerFrames ++ Seq(
+      Begin(Lsn(0, 800), ts, 20L),
+      Insert(WalFixture.relations("user"), IndexedSeq(Cell.Text("1"),
+        Cell.Text("1"), Cell.Text("5"), Cell.Text("100"), Cell.Text("999"))),
+      Commit(0, Lsn(0, 800), Lsn(0, 856), ts))).map(PgOutputEncoder.encode)
+    WalSegments.write(java.nio.file.Paths.get(dir, WalSegments.segmentName(0)), f0)
+    // segment 1: `user` REPLAYS with a 6th column — `ALTER TABLE ADD COLUMN
+    // note text` mid-stream. Reference semantics: the publisher simply
+    // replaces the cached relation and rows immediately use the new shape
+    // (publisher.ex:79-95); our registry does the same (last write wins).
+    val userV2 = Relation(WalFixture.relations("user"), "public", "user",
+      ReplicaIdentity.AllColumns,
+      (WalFixture.columnNames :+ "note").map(n =>
+        RelationColumn(key = n == "id", n, if (n == "note") 25 else 20, -1)))
+    val f1 = ((WalFixture.headerFrames.map {
+      case r: Relation if r.name == "user" => userV2
+      case other                           => other
+    }) ++ Seq(
+      Begin(Lsn(0, 900), ts, 21L),
+      Insert(WalFixture.relations("user"), IndexedSeq(Cell.Text("2"),
+        Cell.Text("2"), Cell.Text("6"), Cell.Text("200"), Cell.Text("1000"),
+        Cell.Text("hello"))),
+      Commit(0, Lsn(0, 900), Lsn(0, 956), ts))).map(PgOutputEncoder.encode)
+    WalSegments.write(java.nio.file.Paths.get(dir, WalSegments.segmentName(1)), f1)
+    runToTable(readStreamFrom(dir), "t_ddl")
+    val ins = spark.table("t_ddl").filter($"msg" === "insert")
+      .orderBy("seq").collect()
+    // pre-DDL row: the original 5 keys, no "note", values untouched by the
+    // later registry replacement
+    val r0 = ins(0).getAs[Map[String, String]]("record")
+    assert(r0.keySet == WalFixture.columnNames.toSet && !r0.contains("note"))
+    assert(r0("val_cents") == "100")
+    // post-DDL row: the new key is present, valued, and typed
+    val r1 = ins(1).getAs[Map[String, String]]("record")
+    assert(r1("note") == "hello")
+    assert(ins(1).getAs[Map[String, String]]("col_types")("note") == "text")
+
+    // typed-lane policy (SURVEY §7(c), restart-on-DDL): a fixed-schema
+    // projection over the mixed stream is well-defined in both directions —
+    // restarting with the NEW schema null-fills pre-DDL rows; the old
+    // schema would simply ignore the new key (map access by name).
+    val reg = new RelationRegistry
+    reg.onMessage(userV2)
+    val v2schema = reg.schemaOf(WalFixture.relations("user")).get
+    val trows = graft.operators.cdc.TypedRecords.project(
+      spark.table("t_ddl").filter($"msg" === "insert"),
+      col("record"), v2schema, keep = Seq(col("seq")))
+      .orderBy("seq").collect()
+    assert(trows(0).getAs[String]("note") == null, "pre-DDL row must null-fill")
+    assert(trows(1).getAs[String]("note") == "hello")
+  }
+
   test("I4: maxFramesPerTrigger splits the backlog into multiple micro-batches") {
     val dir = tmpDir("rate")
     val changes = (0 until 20).map(i => mkChange(i, i / 2, "insert", "user"))
