@@ -32,14 +32,31 @@ object Bench {
     try graft.queries.QueryPack.ensureFixtures(spark, sfDir)
     catch { case _: Throwable => () }
     System.gc()
-    // A failed query benches as -1 with an explicit error entry — never as a
+    // Noise protocol: the sandbox swings 3× run-to-run on identical code
+    // (round-7 measured 85/160/273 s for the same binary), so a single
+    // pass is unusable as regression evidence. Each query runs
+    // SPARK_GRAFT_BENCH_REPEATS times (default 3) in round-robin passes
+    // and reports its PER-QUERY MIN — the min envelope is the plan's real
+    // cost; everything above it is scheduler/GC weather. A failed query
+    // benches as -1 with an explicit error entry — never as a
     // healthy-looking wall-clock number — and fails the run loudly.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map[String, Double]()
+    val errors = scala.collection.mutable.Map[String, String]()
+    for (_ <- 1 to repeats; (name, fn) <- queries if !errors.contains(name)) {
       val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
-      val secs = if (err.isDefined) -1.0 else (System.nanoTime() - t0) / 1e9
-      (name, secs, err)
+      try {
+        fn(spark, sfDir).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        if (secs < best.getOrElse(name, Double.MaxValue)) best(name) = secs
+      } catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+      }
+    }
+    val results = queries.map { case (name, _) =>
+      val err = errors.get(name)
+      (name, if (err.isDefined) -1.0 else best.getOrElse(name, -1.0), err)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
@@ -49,7 +66,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","protocol":"per-query min of $repeats round-robin passes"}"""
     println(line)
     // Belt-and-braces for log-prefixing launchers: also drop the line in a file.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")

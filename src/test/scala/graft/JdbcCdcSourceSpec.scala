@@ -265,6 +265,51 @@ class JdbcCdcSourceSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("extraOptions"))
   }
 
+  test("live-PG recipe: the README/deploy config drives the pipeline (stub-validated)") {
+    import graft.streaming.{Engine, GraftConfig}
+    // EXACTLY the config shape README § "Live Postgres smoke test"
+    // documents against deploy/docker-compose.yml — this test is the CI
+    // guard that the published recipe keeps compiling and keeps producing
+    // the connection the compose environment serves
+    val config = GraftConfig("smoke",
+      hostname = Some("localhost"), database = Some("graft_dev"),
+      username = Some("graft"), password = Some("graft"),
+      subscriptions = Seq("user_account", "todo"))
+    val opts = config.jdbcSourceOptions("graft_changes")
+    assert(opts("url") == "jdbc:postgresql://localhost:5432/graft_dev")
+    assert(opts("user") == "graft" && opts("password") == "graft")
+    assert(opts("tables") == "user_account,todo" && opts("table") == "graft_changes")
+
+    // rows shaped like deploy/initdb/01_graft_setup.sql's trigger output:
+    // all-text JSON record, lowercase op, 'O' old_kind on update/delete
+    StubJdbc.reset(Seq(
+      StubJdbc.Row(seq = 1, lsn = 1000, xid = 900, op = "insert",
+        schemaName = "public", tableName = "user_account",
+        commitTsUs = 1700000000000000L,
+        recordJson = """{"id":"1","email":"a@example.com","val_cents":"0"}""",
+        oldRecordJson = null, oldKind = null, toastJson = null,
+        colTypesJson = null),
+      StubJdbc.Row(seq = 2, lsn = 1010, xid = 901, op = "update",
+        schemaName = "public", tableName = "user_account",
+        commitTsUs = 1700000001000000L,
+        recordJson = """{"id":"1","email":"a@example.com","val_cents":"42"}""",
+        oldRecordJson = """{"id":"1","email":"a@example.com","val_cents":"0"}""",
+        oldKind = "O", toastJson = null, colTypesJson = null)))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val engine = new Engine().onEvent("user_account") { events =>
+      seen ++= events.select("type", "name").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+    }
+    val q = Graft.startJdbc(spark, config, changeTable = "graft_changes", engine,
+      trigger = Trigger.AvailableNow(),
+      extraOptions = Map("url" -> StubJdbc.Url,
+        "driver" -> classOf[StubJdbcDriver].getName))
+    q.awaitTermination(120000)
+    assert(seen.sorted.toSeq ==
+      Seq(("insert", "user_account"), ("update", "user_account")),
+      s"recipe config failed to deliver events: $seen")
+  }
+
   test("typeless change table yields typed Event.source.columns via DatabaseMetaData") {
     StubJdbc.reset(Seq(
       row(10, "insert", "user", id = 1, v = 1).copy(colTypesJson = null),
