@@ -492,6 +492,50 @@ object Dedup {
         (col("n_pairs") === col("n_found")).as("no_false_positives"))
   }
 
+  /** dd10 — cross-split leakage: the train→eval contamination check every
+    * training pipeline runs after splitting (an eval document whose exact
+    * content also sits in train measures memorization, not generalization).
+    * Composes the exact-dedup fingerprint ([[exact]]'s md5-of-normalized
+    * lane) with the deterministic hash split
+    * ([[graft.operators.prep.TrainPrep.hashSplit]]'s bucket formula): for
+    * every val/test document, count train documents sharing its
+    * fingerprint. Planted exact copies at doc_id + 100000 give the check a
+    * non-trivial relation (copy and original land in independent splits),
+    * and the whole construction — fingerprints, split buckets, counts — is
+    * re-derivable in DuckDB, so the driver hash-verifies it end to end.
+    *
+    * Scale shape: one map-side-combined `groupBy(fp)` over the train side
+    * (one row per distinct fingerprint out of each partition), then an
+    * ids+fp-only left join back to the eval side — AQE-skew-splittable,
+    * payloads never shuffle. The train/eval lanes carry different pushed
+    * filters, so this is two corpus scans by design (the dd01 tradeoff:
+    * persist the 40-byte (doc_id, fp) projection if the second scan
+    * matters at 100 TB).
+    */
+  def splitLeakage(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.prep.TrainPrep
+    val docs = Tables.spread(Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).filter(col("text").isNotNull))
+    val all = docs.union(docs.select(
+      (col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val fp = all.select(col("doc_id"),
+        md5(TextOps.normalized(col("text"))).as("fp"),
+        (TrainPrep.hashBucket16("graft:", col("doc_id")) % 100)
+          .cast("int").as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test"))
+    val trainCounts = fp.filter(col("split") === "train")
+      .groupBy(col("fp")).agg(count(lit(1)).as("n_train_dups"))
+    fp.filter(col("split") =!= "train")
+      .join(trainCounts, Seq("fp"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("n_train_dups"), lit(0L)).as("n_train_dups"),
+        (coalesce(col("n_train_dups"), lit(0L)) > 0).as("leaked"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-dup CLUSTERING — the canonical-assignment step after pair
     * finding: connected components over the verified near-dup graph, each
     * vector labeled with its component's min id (the cluster canonical a

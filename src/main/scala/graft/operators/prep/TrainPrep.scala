@@ -229,6 +229,46 @@ object TrainPrep {
       .orderBy(col("doc_id"))
   }
 
+  /** tp07 — deterministic epoch shuffle: the global training-order
+    * permutation ("shuffle the corpus differently each epoch,
+    * reproducibly"). Each document's position for epoch `e` is its rank
+    * under `md5("epoch<e>:" || doc_id)` — stable across runs, engines, and
+    * re-shards, and a different permutation per epoch.
+    *
+    * A global rank is the same scale trap as tp03's running sum: a bare
+    * `row_number() over (order by h)` is a single-task sort of the corpus.
+    * Same cure, reusing [[exclusivePrefix]]: bucket by the hash's first 16
+    * bits (a PREFIX of the order key, so bucket-major order IS hash
+    * order), rank in-bucket with a partitioned window (65536-way
+    * parallel), and offset each bucket by the exclusive prefix sum of
+    * bucket counts. No level sorts more than a task's worth of rows; the
+    * shuffle is (doc_id, 32-byte hash) only.
+    */
+  def epochShuffle(spark: SparkSession, d: String, epoch: Int = 1): DataFrame = {
+    val salt = s"epoch$epoch:"
+    // pre-pin the isnotnull predicates the prefix-lane joins would infer
+    // (bucket, and exclusivePrefix's bucket div fanout) so both references
+    // to this subtree stay identical — the tp03 shared-stage discipline
+    val ranked = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        md5(concat(lit(salt), col("doc_id").cast("string"))).as("h"))
+      .withColumn("bucket", hashBucket16(salt, col("doc_id")))
+      .filter(col("bucket").isNotNull)
+      .filter(expr("(bucket div 1000)").isNotNull)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))))
+    // bucket counts ride the window's (bucket)-partitioning
+    val totals = ranked.groupBy(col("bucket")).agg(count(lit(1)).as("tot"))
+      .select(col("bucket").as("key"), col("tot"))
+    // 65536 buckets: one recursion level keeps every sort task ≤ fanout
+    val prefix = exclusivePrefix(totals, depth = 1, fanout = 1000L)
+      .select(col("key").as("bucket"), col("pre"))
+    ranked.join(broadcast(prefix), Seq("bucket"))
+      .select(col("doc_id"), lit(epoch).as("epoch"),
+        (col("pre") + col("rk") - 1).as("pos"))
+      .orderBy(col("doc_id"))
+  }
+
   // ----------------------------------------------------------------- pii
 
   /** Portable regex dialect (Java here, RE2 oracle-side): no lookaround,

@@ -725,6 +725,31 @@ SELECT count(*) AS n_planted, true AS recall_floor_met,
   true AS no_false_positives
 FROM embeddings""",
 
+    // cross-split leakage: fingerprints, split buckets, and train counts
+    // are all closed-form — DuckDB re-derives the whole construction
+    "dd10_split_leakage" -> """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE text IS NOT NULL),
+s AS (
+  SELECT doc_id,
+    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f,
+    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, text,
+      CAST(CAST(list_sum(list_transform(range(1, 5),
+          i -> (strpos('0123456789abcdef',
+                substr(md5('graft:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+               * ([4096, 256, 16, 1])[i])) AS BIGINT) % 100 AS INT) AS b
+    FROM all_docs)),
+tc AS (
+  SELECT f, count(*) AS n FROM s WHERE split = 'train' GROUP BY f)
+SELECT s.doc_id, s.split, COALESCE(tc.n, 0) AS n_train_dups,
+  COALESCE(tc.n, 0) > 0 AS leaked
+FROM s LEFT JOIN tc USING (f)
+WHERE s.split <> 'train' ORDER BY s.doc_id""",
+
     // components over planted triangles {x, x+100000, x+200000}: every
     // replica resolves to canonical x = vec_id % 100000 (naturals can't
     // merge: max natural cosine ≈ 0.4 < the 0.5 threshold)
@@ -869,6 +894,14 @@ v AS (
   FROM documents)
 SELECT doc_id, v.source, v, thresh, v < thresh AS kept
 FROM v JOIN r USING (source) ORDER BY doc_id""",
+
+    // global shuffle rank: DuckDB sorts in one node what the engine ranks
+    // via bucketed windows + a distributed prefix sum — same permutation
+    "tp07_epoch_shuffle" -> """
+SELECT doc_id, 1 AS epoch,
+  row_number() OVER (
+    ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+FROM documents ORDER BY doc_id""",
 
     // integer invariants of int8 scalar quantization; the double expression
     // order (amax/127, x/scale, round) mirrors the Spark side exactly

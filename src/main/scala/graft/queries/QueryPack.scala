@@ -190,6 +190,7 @@ object QueryPack {
     // noisy-copy (≈0.9 cosine) probabilistic recall, reduced to oracle-
     // pinned bound claims — see Dedup.noisyRecallSummary
     "dd09_noisy_recall"   -> ((s, d) => Dedup.noisyRecallSummary(s, d)),
+    "dd10_split_leakage"  -> ((s, d) => Dedup.splitLeakage(s, d)),
 
     // ---- similarity search ----
     "ann01_brute_topk"  -> ((s, d) => Ann.bruteForceTopK(s, d)),
@@ -212,7 +213,8 @@ object QueryPack {
     "tp03_seq_packing"   -> ((s, d) => TrainPrep.seqPacking(s, d)),
     "tp04_pii_scrub"     -> ((s, d) => TrainPrep.piiScrub(s, d)),
     "tp05_embed_quant"   -> ((s, d) => TrainPrep.embedQuant(s, d)),
-    "tp06_mixture"       -> ((s, d) => TrainPrep.mixtureSample(s, d))
+    "tp06_mixture"       -> ((s, d) => TrainPrep.mixtureSample(s, d)),
+    "tp07_epoch_shuffle" -> ((s, d) => TrainPrep.epochShuffle(s, d))
   )
 
   /** D1-D11 showcase: a distributed decode of binary pgoutput frames

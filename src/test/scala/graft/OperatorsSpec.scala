@@ -337,6 +337,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("disjoint"))
   }
 
+  test("split leakage: planted cross-split copies detected; within-split dups are not leaks") {
+    val out = SparkEntry.queries("dd10_split_leakage")(spark, sf).cache()
+    // only eval-split rows come back, and every eval doc appears once
+    assert(out.filter(col("split") === "train").count() === 0)
+    // recompute splits locally to derive the expected leak set: an eval
+    // doc leaks iff its exact-copy partner (±100000) landed in train (the
+    // organic corpus has no cross-doc exact duplicates, so any other got
+    // vs want difference would fail the set equality below)
+    def splitOf(id: Long): String = {
+      val hx = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft:$id".getBytes("UTF-8")).take(2)
+        .map(b => f"${b & 0xff}%02x").mkString
+      val b = Integer.parseInt(hx, 16) % 100
+      if (b < 90) "train" else if (b < 95) "val" else "test"
+    }
+    val got = out.filter(col("leaked")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val evalIds = out.select("doc_id").collect().map(_.getLong(0))
+    val want = evalIds.filter { id =>
+      val partner = if (id >= 100000L) id - 100000L else id + 100000L
+      splitOf(partner) == "train"
+    }.toSet
+    assert(got == want, s"leak set mismatch: extra=${got -- want} missing=${want -- got}")
+    assert(want.nonEmpty, "fixture must plant at least one cross-split leak")
+    out.unpersist()
+  }
+
   test("corpus clean: the planted duplicate storm cancels exactly") {
     // gate + dedup over corpus ∪ exact copies must equal the clean-corpus
     // run bit-for-bit: copies share quality/language with their original

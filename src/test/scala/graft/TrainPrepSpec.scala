@@ -190,6 +190,37 @@ class TrainPrepSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("tp07: epoch shuffle is a permutation, epoch-distinct, and single-task-free") {
+    val e1 = TrainPrep.epochShuffle(spark, sf, epoch = 1)
+    val rows = e1.collect()
+    val n = rows.length
+    // a permutation of 0..n-1
+    assert(rows.map(_.getLong(2)).sorted.toSeq == (0L until n).toSeq,
+      "positions must be a permutation of 0..n-1")
+    // deterministic, and a different epoch is a different permutation
+    val again = TrainPrep.epochShuffle(spark, sf, epoch = 1).collect()
+    assert(rows.map(_.getLong(2)).toSeq == again.map(_.getLong(2)).toSeq)
+    val e2 = TrainPrep.epochShuffle(spark, sf, epoch = 2).collect()
+    assert(rows.map(_.getLong(2)).toSeq != e2.map(_.getLong(2)).toSeq,
+      "epoch 2 must permute differently")
+    // matches the single-node reference rank (what the DuckDB oracle runs):
+    // sorting by (md5 hex, doc_id) locally must recover pos = 0..n-1
+    def hex(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"epoch1:$id".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    val ref = rows.sortBy(r => (hex(r.getLong(0)), r.getLong(0)))
+    assert(ref.map(_.getLong(2)).toSeq == (0L until n).toSeq,
+      "bucketed rank must equal the global (hash, id) sort rank")
+    // scale shape: the doc-level window partitions by bucket; only the
+    // prefix lane's tiny frames may sort unpartitioned
+    val p = TrainPrep.epochShuffle(spark, sf).queryExecution.executedPlan.toString
+    val docWindows = p.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("rk#")).toSeq
+    assert(docWindows.nonEmpty && docWindows.forall(_.contains("bucket#")),
+      s"doc-rank window must partition by bucket:\n${docWindows.mkString("\n")}")
+  }
+
   test("tp04: planted docs carry exactly one of each PII kind; redaction kills all") {
     val out = TrainPrep.piiScrub(spark, sf).cache()
     val planted = out.filter(col("doc_id") % 7 === 0)
