@@ -74,7 +74,32 @@ object Engine {
     df => df.foreachPartition((it: Iterator[Row]) => it.foreach(fn))
 }
 
-final class Engine(isolateHandlerFailures: Boolean = false) {
+final class Engine(isolateHandlerFailures: Boolean = false,
+    deliveryLedger: Option[String] = None) {
+
+  /** Exactly-once handler effects across restarts (SURVEY §7 hard part
+    * (d)): micro-batch replay after a crash redelivers the last
+    * uncommitted batch, so bare handlers are at-least-once. With a
+    * `deliveryLedger` directory the engine records one marker file per
+    * (handler, batchId) AFTER the handler body returns; a redelivered
+    * batch skips handlers already marked. The marker is written only on
+    * success, so a handler that crashed mid-body re-runs (at-least-once
+    * until it completes, exactly-once after) — the batch-granular
+    * equivalent of the reference's documented "dedupe on LSN in the sink"
+    * guidance, done once in the engine instead of in every handler.
+    * Put the ledger NEXT TO the checkpoint dir: both survive or neither.
+    * Detached async side effects stay at-most-once regardless.
+    */
+  private def ledgerPath(idx: Int, batchId: Long): Option[java.nio.file.Path] =
+    deliveryLedger.map(d => java.nio.file.Paths.get(d, s"h${idx}_b$batchId"))
+  private def alreadyDelivered(idx: Int, batchId: Long): Boolean =
+    ledgerPath(idx, batchId).exists(java.nio.file.Files.exists(_))
+  private def markDelivered(idx: Int, batchId: Long): Unit =
+    ledgerPath(idx, batchId).foreach { p =>
+      java.nio.file.Files.createDirectories(p.getParent)
+      try java.nio.file.Files.createFile(p)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
 
   final case class Handler(
       name: String,
@@ -148,10 +173,12 @@ final class Engine(isolateHandlerFailures: Boolean = false) {
     // handler action usually did it already and this is then block-cache
     // local.
     var pinned = false
-    try registry.foreach { h =>
+    try registry.zipWithIndex.foreach { case (h, idx) =>
+      if (alreadyDelivered(idx, batchId)) ()
+      else {
       val events = batch.filter(predicate(h))
       val delivered =
-        try { h.fn(events); true }
+        try { h.fn(events); markDelivered(idx, batchId); true }
         catch {
           case _: Exception if isolateHandlerFailures => handlerFailures += 1; false
         }
@@ -164,6 +191,7 @@ final class Engine(isolateHandlerFailures: Boolean = false) {
           refs.incrementAndGet()
           Future(se(events)).onComplete(_ => release())
         }
+      }
       }
     } finally release()
   }

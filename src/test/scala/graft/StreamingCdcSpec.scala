@@ -788,6 +788,33 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(ops.toSeq == Seq(("insert", "user"), ("truncate", "user"), ("truncate", "todo")))
   }
 
+  test("delivery ledger: redelivered batches skip completed handlers; crashed ones re-run") {
+    import graft.streaming.Engine
+    val ledger = tmpDir("ledger")
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    var crashOnce = true
+    val engine = new Engine(isolateHandlerFailures = true,
+      deliveryLedger = Some(ledger))
+      .onEvent("*") { _ => ran += "ok"; () }
+      .onEvent("*") { _ =>
+        if (crashOnce) { crashOnce = false; ran += "crash"; sys.error("boom") }
+        else { ran += "recovered"; () }
+      }
+    val batch = spark.range(1).selectExpr(
+      "'user' AS name", "'insert' AS type",
+      "CAST(null AS map<string,struct<old_value:string,new_value:string>>) AS changes",
+      "map('id','1') AS new_record",
+      "CAST(null AS map<string,string>) AS old_record")
+    engine.dispatch(batch, batchId = 7L)
+    // crash-after-restart redelivery of the SAME batch: the completed
+    // handler is ledger-skipped, the crashed one re-runs to completion
+    engine.dispatch(batch, batchId = 7L)
+    // a NEW batch delivers to both again
+    engine.dispatch(batch, batchId = 8L)
+    assert(ran.toSeq == Seq("ok", "crash", "recovered", "ok", "recovered"),
+      s"unexpected delivery sequence: $ran")
+  }
+
   test("isolateHandlerFailures: a crashing handler is skipped, the rest deliver") {
     val delivered = new java.util.concurrent.atomic.AtomicInteger(0)
     val engine = new Engine(isolateHandlerFailures = true)
