@@ -269,6 +269,46 @@ object TrainPrep {
       .orderBy(col("doc_id"))
   }
 
+  /** tp08 — per-source document cap (the domain-balancing step real
+    * pipelines run so no single domain dominates the mix): keep at most
+    * `cap` documents per source, chosen by deterministic hash rank so the
+    * selection is reproducible and unbiased.
+    *
+    * `row_number() over (partition by source)` would sort EVERY document
+    * of a source in one task — a hot domain at 100 TB is tens of millions
+    * of rows. Distributed top-K instead: (1) rank within (source ×
+    * 256 hash-prefix sub-buckets) — parallel, and the global top-cap of a
+    * source necessarily has ≤ cap members in any sub-bucket, so survivors
+    * (≤ 256·cap per source) are a superset of the answer; (2) rank the
+    * survivors per source (bounded rows per task now) and take the cap-th
+    * (hash, doc_id) pair as the source's admission threshold; (3) one
+    * broadcast threshold join back — every document's keep/drop is a
+    * single tuple comparison, no global sort anywhere. A source with
+    * fewer than cap documents keeps everything (threshold = its max).
+    */
+  def sourceCap(spark: SparkSession, d: String, cap: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("cap:"), col("doc_id").cast("string"))).as("h"))
+    val sub = docs.withColumn("pb",
+      conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+    val survivors = sub
+      .withColumn("rk1", row_number().over(
+        Window.partitionBy(col("source"), col("pb"))
+          .orderBy(col("h"), col("doc_id"))))
+      .filter(col("rk1") <= cap)
+    val thresholds = survivors
+      .withColumn("rk2", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+      .filter(col("rk2") <= cap)
+      .groupBy(col("source"))
+      .agg(max(struct(col("h"), col("doc_id"))).as("thr"))
+    docs.join(broadcast(thresholds), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        (struct(col("h"), col("doc_id")) <= col("thr")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   // ----------------------------------------------------------------- pii
 
   /** Portable regex dialect (Java here, RE2 oracle-side): no lookaround,

@@ -218,6 +218,29 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** txt09 — blocklist screening (the C4-style "bad words" gate): per-doc
+    * count and fraction of tokens on a blocklist, plus the drop flag a
+    * gate would apply. Single scan, one higher-order filter over the token
+    * array against a plan-constant list — no join, no shuffle; at 100 TB
+    * this runs at parquet-scan speed. The default list picks fixture
+    * vocabulary so the planted relation is non-trivial; a real deployment
+    * passes its own terms.
+    */
+  def blocklistFlags(spark: SparkSession, d: String,
+      terms: Seq[String] = Seq("slow", "dup")): DataFrame = {
+    val listed = array(terms.map(lit): _*)
+    Tables.documents(spark, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        size(filter(col("t"), x => array_contains(listed, x))).as("n_blocked"))
+      .withColumn("blocked_frac",
+        when(col("n_tokens") > 0,
+          col("n_blocked").cast("double") / col("n_tokens")).otherwise(0.0))
+      .withColumn("flagged", col("n_blocked") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized lowercase text
     * (content-defined identity for exact dedup); plus a 64-bit engine-side
     * fingerprint (xxhash64) for cheap joins at scale.

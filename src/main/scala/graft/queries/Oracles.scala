@@ -529,6 +529,28 @@ SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
   CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_share
 FROM cnt GROUP BY doc_id ORDER BY doc_id""",
 
+    "txt09_blocklist" -> s"""$toksCte
+SELECT doc_id, len(t) AS n_tokens,
+  len(list_filter(t, x -> x IN ('slow', 'dup'))) AS n_blocked,
+  CASE WHEN len(t) > 0
+       THEN CAST(len(list_filter(t, x -> x IN ('slow', 'dup'))) AS DOUBLE)
+            / len(t)
+       ELSE CAST(0 AS DOUBLE) END AS blocked_frac,
+  len(list_filter(t, x -> x IN ('slow', 'dup'))) > 0 AS flagged
+FROM toks ORDER BY doc_id""",
+
+    // per-source cap: DuckDB ranks each source in one node; the engine's
+    // two-stage distributed top-K must admit exactly the same set
+    "tp08_source_cap" -> """
+WITH h AS (
+  SELECT doc_id, source, md5('cap:' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents),
+r AS (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source ORDER BY hx, doc_id) AS rk
+  FROM h)
+SELECT doc_id, source, rk <= 20 AS kept FROM r ORDER BY doc_id""",
+
     // as-of semantics: latest order at-or-before each event; right side
     // pre-reduced to one row per (custkey, date) with max orderkey — the
     // deterministic tie rule both engines share

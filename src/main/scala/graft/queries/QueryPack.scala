@@ -174,6 +174,7 @@ object QueryPack {
     "txt06_langid_ngram" -> ((s, d) => TextOps.langIdNgram(s, d)),
     "txt07_winnow_fp"    -> ((s, d) => TextOps.winnowFingerprints(s, d)),
     "txt08_repetition"   -> ((s, d) => TextOps.repetition(s, d)),
+    "txt09_blocklist"    -> ((s, d) => TextOps.blocklistFlags(s, d)),
 
     // ---- dedup ----
     "dd01_exact_dedup"   -> ((s, d) => Dedup.exact(s, d)),
@@ -214,7 +215,8 @@ object QueryPack {
     "tp04_pii_scrub"     -> ((s, d) => TrainPrep.piiScrub(s, d)),
     "tp05_embed_quant"   -> ((s, d) => TrainPrep.embedQuant(s, d)),
     "tp06_mixture"       -> ((s, d) => TrainPrep.mixtureSample(s, d)),
-    "tp07_epoch_shuffle" -> ((s, d) => TrainPrep.epochShuffle(s, d))
+    "tp07_epoch_shuffle" -> ((s, d) => TrainPrep.epochShuffle(s, d)),
+    "tp08_source_cap"    -> ((s, d) => TrainPrep.sourceCap(s, d))
   )
 
   /** D1-D11 showcase: a distributed decode of binary pgoutput frames

@@ -221,6 +221,31 @@ class TrainPrepSpec extends AnyFunSuite {
       s"doc-rank window must partition by bucket:\n${docWindows.mkString("\n")}")
   }
 
+  test("tp08: two-stage top-K admits exactly the per-source hash-rank top cap") {
+    val cap = 20
+    val rows = TrainPrep.sourceCap(spark, sf, cap).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    def hx(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cap:$id".getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val want = rows.groupBy(_._2).iterator.flatMap { case (_, docs) =>
+      docs.sortBy(d => (hx(d._1), d._1)).take(cap).map(_._1)
+    }.toSet
+    val got = rows.filter(_._3).map(_._1).toSet
+    assert(got == want, s"admission set mismatch: extra=${got -- want} missing=${want -- got}")
+    // every source keeps min(cap, supply)
+    rows.groupBy(_._2).foreach { case (src, docs) =>
+      assert(docs.count(_._3) == math.min(cap, docs.length), s"$src cap violated")
+    }
+    // scale shape: the full-frame window must partition by (source, pb) —
+    // only the bounded survivor frame may window on source alone
+    val p = TrainPrep.sourceCap(spark, sf, cap)
+      .queryExecution.executedPlan.toString
+    val w1 = p.linesIterator.filter(l => l.contains("Window") && l.contains("rk1")).toSeq
+    assert(w1.nonEmpty && w1.forall(l => l.contains("pb#")),
+      s"full-frame window not sub-bucketed:\n${w1.mkString("\n")}")
+  }
+
   test("tp04: planted docs carry exactly one of each PII kind; redaction kills all") {
     val out = TrainPrep.piiScrub(spark, sf).cache()
     val planted = out.filter(col("doc_id") % 7 === 0)
