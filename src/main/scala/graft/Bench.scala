@@ -41,6 +41,9 @@ object Bench {
     // benches as -1 with an explicit error entry — never as a
     // healthy-looking wall-clock number — and fails the run loudly.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
+    require(repeats >= 1,
+      s"SPARK_GRAFT_BENCH_REPEATS=$repeats: need >= 1 or every query " +
+        "would report -1 with a clean exit")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     val best = scala.collection.mutable.Map[String, Double]()
     val errors = scala.collection.mutable.Map[String, String]()

@@ -254,6 +254,10 @@ object Ann {
     // even a lazy localCheckpoint materializes the AQE query stages below
     // it at BUILD time (AdaptiveSparkPlanExec.doExecute finalizes the
     // plan), and a library query constructor must submit zero Spark jobs.
+    // Lifecycle: entries are nlist rows each and CacheManager dedupes
+    // identical plans across rebuilds; a session that wants them gone
+    // uses spark.catalog.clearCache() (no per-query release API here —
+    // consumers execute after construction returns).
     val pin = (df: DataFrame) => df.cache()
     val cents = (0 until refineIters)
       .foldLeft(pin(cents0))((c, _) => pin(kmeansRefineOnce(emb, c)))

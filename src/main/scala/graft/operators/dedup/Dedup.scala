@@ -522,10 +522,7 @@ object Dedup {
         md5(TextOps.normalized(col("text"))).as("fp"),
         (TrainPrep.hashBucket16("graft:", col("doc_id")) % 100)
           .cast("int").as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 90, "train")
-          .when(col("bucket") < 95, "val")
-          .otherwise("test"))
+      .withColumn("split", TrainPrep.splitOf(col("bucket")))
     val trainCounts = fp.filter(col("split") === "train")
       .groupBy(col("fp")).agg(count(lit(1)).as("n_train_dups"))
     fp.filter(col("split") =!= "train")

@@ -61,12 +61,19 @@ object RangeJoin {
   }
 
   /** Grid-cell id by exact integer floor-division (`floor(t / bin)` in
-    * double would be monotone-correct but inexact past 2^52; `div` alone
-    * truncates toward zero, mis-binning negative times — subtracting
-    * `pmod` first makes it a true floor for any sign).
+    * double would be monotone-correct but inexact past 2^52 — e.g.
+    * nanosecond epochs; `div` alone truncates toward zero, mis-binning
+    * negative times — subtracting `pmod` first makes it a true floor for
+    * any sign). The column name is backquote-escaped, so names that are
+    * not bare identifiers (`a-b`, `order`) resolve as attributes, not as
+    * SQL expressions. Edge: a time within `bin` of Long.MinValue
+    * overflows the subtraction and raises under ANSI — fail-loud, and far
+    * outside any real time domain.
     */
-  private def binId(c: String, bin: Long): Column =
-    expr(s"CAST((($c) - pmod(($c), ${bin}L)) div ${bin}L AS BIGINT)")
+  private def binId(c: String, bin: Long): Column = {
+    val q = "`" + c.replace("`", "``") + "`"
+    expr(s"CAST(($q - pmod($q, ${bin}L)) div ${bin}L AS BIGINT)")
+  }
 
   /** The exact containment predicate — the single definition both the
     * binned join's re-check and any caller-side assertion use.

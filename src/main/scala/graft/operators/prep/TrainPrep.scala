@@ -119,11 +119,14 @@ object TrainPrep {
     Tables.documents(spark, d)
       .select(col("doc_id"),
         (hashBucket16("graft:", col("doc_id")) % 100).cast("int").as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 90, "train")
-          .when(col("bucket") < 95, "val")
-          .otherwise("test"))
+      .withColumn("split", splitOf(col("bucket")))
       .orderBy(col("doc_id"))
+
+  /** The ONE bucket→split mapping (90/5/5). Shared with the dd10 leakage
+    * audit so the audit can never drift from the split it audits.
+    */
+  def splitOf(bucket: Column): Column =
+    when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
 
   // ------------------------------------------------------------- packing
 

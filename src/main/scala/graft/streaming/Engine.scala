@@ -63,6 +63,13 @@ final case class EventFilters(
   *    handler (idempotence on batchId is the handler's job)
   */
 object Engine {
+  /** Delivery-ledger retention in batches: markers older than this are
+    * pruned. Redelivery only replays the LAST uncommitted batch, so any
+    * value ≥ a few is safe; 10k keeps the directory small while leaving a
+    * wide forensic window.
+    */
+  val LedgerRetention: Long = 10000L
+
   /** The reference's per-EVENT side-effect granularity (dsl.ex:59-84),
     * delivered EXECUTOR-side: wraps a per-event function into a batch side
     * effect that invokes it once per row via `foreachPartition`. Rows never
@@ -87,11 +94,30 @@ final class Engine(isolateHandlerFailures: Boolean = false,
     * until it completes, exactly-once after) — the batch-granular
     * equivalent of the reference's documented "dedupe on LSN in the sink"
     * guidance, done once in the engine instead of in every handler.
-    * Put the ledger NEXT TO the checkpoint dir: both survive or neither.
-    * Detached async side effects stay at-most-once regardless.
+    *
+    * Contract: one ledger directory per streaming QUERY (put it next to
+    * the checkpoint dir — both survive or neither), and marker identity is
+    * the handler's NAME plus its occurrence among same-named handlers, so
+    * a deploy that APPENDS new handlers keeps old markers valid; REMOVING
+    * or RENAMING handlers across a restart invalidates the ledger (wipe it
+    * with the checkpoint). Markers older than [[Engine.LedgerRetention]]
+    * batches are pruned opportunistically — redelivery only ever replays
+    * the last uncommitted batch, so the retention window is generous by
+    * orders of magnitude and the directory stays bounded. Detached async
+    * side effects stay at-most-once regardless.
     */
+  private lazy val handlerKeys: Map[Int, String] = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    registry.toSeq.zipWithIndex.map { case (h, idx) =>
+      val n = seen.getOrElse(h.name, 0)
+      seen(h.name) = n + 1
+      val safe = h.name.replaceAll("[^A-Za-z0-9_.:*-]", "_")
+      idx -> s"${safe}_$n"
+    }.toMap
+  }
   private def ledgerPath(idx: Int, batchId: Long): Option[java.nio.file.Path] =
-    deliveryLedger.map(d => java.nio.file.Paths.get(d, s"h${idx}_b$batchId"))
+    deliveryLedger.map(d =>
+      java.nio.file.Paths.get(d, s"b${batchId}_${handlerKeys(idx)}"))
   private def alreadyDelivered(idx: Int, batchId: Long): Boolean =
     ledgerPath(idx, batchId).exists(java.nio.file.Files.exists(_))
   private def markDelivered(idx: Int, batchId: Long): Unit =
@@ -99,7 +125,26 @@ final class Engine(isolateHandlerFailures: Boolean = false,
       java.nio.file.Files.createDirectories(p.getParent)
       try java.nio.file.Files.createFile(p)
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      if (batchId % 64 == 0) pruneLedger(p.getParent, batchId)
     }
+  /** Drop markers more than [[Engine.LedgerRetention]] batches old. */
+  private def pruneLedger(dir: java.nio.file.Path, batchId: Long): Unit = {
+    val cutoff = batchId - Engine.LedgerRetention
+    if (cutoff <= 0) return
+    val bs = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      bs.iterator().asScala.foreach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("b")) {
+          val id = name.drop(1).takeWhile(_.isDigit)
+          if (id.nonEmpty && id.toLong < cutoff)
+            try java.nio.file.Files.deleteIfExists(p)
+            catch { case _: java.io.IOException => () }
+        }
+      }
+    } finally bs.close()
+  }
 
   final case class Handler(
       name: String,

@@ -335,6 +335,13 @@ class OperatorsSpec extends AnyFunSuite {
         "t", "hi", bin = 10L)
     }
     assert(ex.getMessage.contains("disjoint"))
+    // column names needing backquotes resolve as attributes, not as SQL
+    // (a name like "t-x" must never parse as the expression t minus x)
+    val weird = RangeJoin.pointInInterval(
+      pts.withColumnRenamed("t", "t-x"), "t-x", ivs, "lo", "hi", bin = 10L)
+      .select(col("t-x"), col("iv_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(weird == want, s"backquoted-name join diverged: $weird")
   }
 
   test("split leakage: planted cross-split copies detected; within-split dups are not leaks") {
