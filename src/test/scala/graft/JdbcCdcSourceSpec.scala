@@ -310,6 +310,46 @@ class JdbcCdcSourceSpec extends AnyFunSuite {
       s"recipe config failed to deliver events: $seen")
   }
 
+  test("chaos: injected connection failures; supervisor recovers from checkpoint, no dups") {
+    import graft.streaming.Supervisor
+    StubJdbc.reset((1 to 4).map(i => row(i * 10L, "insert", "user", id = i, v = i)))
+    val ckpt = Files.createTempDirectory("graft-jdbc-chaos").toString
+    val seen = scala.collection.concurrent.TrieMap.empty[Long, Int]
+    def run(): Unit = {
+      val q = readRaw().writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select("lsn").collect().foreach(r =>
+            seen.updateWith(r.getLong(0))(c => Some(c.getOrElse(0) + 1)))
+          ()
+        }.start()
+      q.awaitTermination(120000)
+    }
+    run() // healthy first run delivers the backlog
+    assert(seen.keySet == Set(10L, 20L, 30L, 40L))
+    // the database "terminates the backend": the next two connection
+    // attempts refuse; the supervisor's bounded-backoff restart loop must
+    // ride through and the checkpoint must prevent redelivery
+    StubJdbc.append(Seq(row(50L, "insert", "user", id = 5, v = 5)))
+    StubJdbc.failNextConnections(2)
+    val sup = new Supervisor(maxRestarts = 5, backoffMs = 10)
+    sup.runBlocking { () =>
+      readRaw().writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select("lsn").collect().foreach(r =>
+            seen.updateWith(r.getLong(0))(c => Some(c.getOrElse(0) + 1)))
+          ()
+        }.start()
+    }
+    assert(sup.restarts >= 1, "injected failures never surfaced")
+    assert(seen(50L) == 1, s"new row delivered ${seen.get(50L)} times")
+    assert((10L to 40L by 10).forall(seen(_) == 1),
+      s"checkpoint failed to prevent redelivery: $seen")
+  }
+
   test("typeless change table yields typed Event.source.columns via DatabaseMetaData") {
     StubJdbc.reset(Seq(
       row(10, "insert", "user", id = 1, v = 1).copy(colTypesJson = null),

@@ -33,8 +33,19 @@ object StubJdbc {
   def setMetaColumns(cols: Seq[(String, String, String)]): Unit =
     synchronized { metaColumns = cols }
 
+  /** Chaos injection: the next N connection attempts throw SQLException —
+    * the stub's `pg_terminate_backend` equivalent (reference chaos tests,
+    * database_test.exs).
+    */
+  private val failNext = new java.util.concurrent.atomic.AtomicInteger(0)
+  def failNextConnections(n: Int): Unit = failNext.set(n)
+  private[graft] def maybeFailConnect(): Unit =
+    if (failNext.getAndUpdate(v => math.max(0, v - 1)) > 0)
+      throw new java.sql.SQLException("stub: connection refused (injected)")
+
   def reset(data: Seq[Row]): Unit = synchronized {
     rows.clear(); rows ++= data; issuedSql.clear(); metaColumns = Nil
+    failNext.set(0)
   }
   def append(data: Seq[Row]): Unit = synchronized { rows ++= data }
   private def snapshot: Vector[Row] = synchronized(rows.toVector)
@@ -157,7 +168,7 @@ object StubJdbc {
     }
   }
 
-  def connection(): Connection = proxy(classOf[Connection]) {
+  def connection(): Connection = { maybeFailConnect(); proxy(classOf[Connection]) {
     case ("prepareStatement", (sql: String) :: Nil) => prepared(sql)
     case ("getMetaData", Nil) =>
       proxy(classOf[java.sql.DatabaseMetaData]) {
@@ -170,7 +181,7 @@ object StubJdbc {
             IndexedSeq[Any](null, null, t, c, null, tp)
           })
       }
-  }
+  } }
 }
 
 /** Instantiable by class name via the source's `driver` option. */
