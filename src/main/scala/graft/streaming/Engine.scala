@@ -128,7 +128,7 @@ final class Engine(isolateHandlerFailures: Boolean = false,
       if (batchId % 64 == 0) pruneLedger(p.getParent, batchId)
     }
   /** Drop markers more than [[Engine.LedgerRetention]] batches old. */
-  private def pruneLedger(dir: java.nio.file.Path, batchId: Long): Unit = {
+  private[graft] def pruneLedger(dir: java.nio.file.Path, batchId: Long): Unit = {
     val cutoff = batchId - Engine.LedgerRetention
     if (cutoff <= 0) return
     val bs = java.nio.file.Files.list(dir)

@@ -815,6 +815,23 @@ class StreamingCdcSpec extends AnyFunSuite {
       s"unexpected delivery sequence: $ran")
   }
 
+  test("delivery ledger pruning: markers past retention are dropped, recent ones kept") {
+    import graft.streaming.Engine
+    val dir = java.nio.file.Paths.get(tmpDir("ledger-prune"))
+    val old1 = dir.resolve("b1_on_event_user_0")
+    val old2 = dir.resolve(s"b${Engine.LedgerRetention}_on_event_user_0")
+    val edge = dir.resolve(s"b${Engine.LedgerRetention + 1}_on_event_user_0")
+    val recent = dir.resolve(s"b${2 * Engine.LedgerRetention}_on_event_user_0")
+    val alien = dir.resolve("not_a_marker")
+    Seq(old1, old2, edge, recent, alien).foreach(java.nio.file.Files.createFile(_))
+    new Engine(deliveryLedger = Some(dir.toString))
+      .pruneLedger(dir, batchId = 2 * Engine.LedgerRetention + 1)
+    // cutoff = retention + 1: strictly-older markers go, the rest stay
+    assert(!java.nio.file.Files.exists(old1) && !java.nio.file.Files.exists(old2))
+    assert(java.nio.file.Files.exists(edge) && java.nio.file.Files.exists(recent))
+    assert(java.nio.file.Files.exists(alien), "non-marker files must be untouched")
+  }
+
   test("isolateHandlerFailures: a crashing handler is skipped, the rest deliver") {
     val delivered = new java.util.concurrent.atomic.AtomicInteger(0)
     val engine = new Engine(isolateHandlerFailures = true)
