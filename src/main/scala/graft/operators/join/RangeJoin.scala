@@ -52,27 +52,36 @@ object RangeJoin {
     require(points.columns.intersect(intervals.columns).isEmpty,
       s"point/interval column names must be disjoint, both have: " +
         points.columns.intersect(intervals.columns).mkString(", "))
-    val p = points.withColumn("graft_bin", binId(pointTime, bin))
+    val p = points.withColumn("graft_bin", binId(points, pointTime, bin))
     val i = intervals.withColumn("graft_bin",
-      explode(sequence(binId(start, bin), binId(end, bin))))
+      explode(sequence(binId(intervals, start, bin), binId(intervals, end, bin))))
     p.join(i, Seq("graft_bin"))
       .filter(contains(col(pointTime), col(start), col(end)))
       .drop("graft_bin")
   }
 
-  /** Grid-cell id by exact integer floor-division (`floor(t / bin)` in
-    * double would be monotone-correct but inexact past 2^52 — e.g.
-    * nanosecond epochs; `div` alone truncates toward zero, mis-binning
-    * negative times — subtracting `pmod` first makes it a true floor for
-    * any sign). The column name is backquote-escaped, so names that are
-    * not bare identifiers (`a-b`, `order`) resolve as attributes, not as
-    * SQL expressions. Edge: a time within `bin` of Long.MinValue
-    * overflows the subtraction and raises under ANSI — fail-loud, and far
-    * outside any real time domain.
+  /** Grid-cell id, exact for integral time columns: `floor(t / bin)` in
+    * double is monotone-correct but inexact past 2^52 (nanosecond epochs),
+    * while `div` alone truncates toward zero, mis-binning negative times —
+    * subtracting `pmod` first makes it a true floor for any sign.
+    * Fractional/decimal time columns take the `floor` lane instead (`div`
+    * rejects non-integral operands, and doubles carry no sub-ULP exactness
+    * to preserve anyway). The column name is backquote-escaped, so names
+    * that are not bare identifiers (`a-b`, `order`) resolve as attributes,
+    * not as SQL expressions. Edge: an integral time within `bin` of
+    * Long.MinValue overflows the subtraction and raises under ANSI —
+    * fail-loud, and far outside any real time domain.
     */
-  private def binId(c: String, bin: Long): Column = {
+  private def binId(df: DataFrame, c: String, bin: Long): Column = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val integral = df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
     val q = "`" + c.replace("`", "``") + "`"
-    expr(s"CAST(($q - pmod($q, ${bin}L)) div ${bin}L AS BIGINT)")
+    if (integral)
+      expr(s"CAST(($q - pmod($q, ${bin}L)) div ${bin}L AS BIGINT)")
+    else floor(col(c) / bin).cast("long")
   }
 
   /** The exact containment predicate — the single definition both the

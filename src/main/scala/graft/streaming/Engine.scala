@@ -106,31 +106,36 @@ final class Engine(isolateHandlerFailures: Boolean = false,
     * orders of magnitude and the directory stays bounded. Detached async
     * side effects stay at-most-once regardless.
     */
-  private lazy val handlerKeys: Map[Int, String] = {
+  // recomputed per call (registries are small and may grow between
+  // dispatches): occurrence-numbered over the SANITIZED name, so two
+  // distinct names that sanitize identically still get distinct keys
+  private def handlerKeys: Map[Int, String] = {
     val seen = scala.collection.mutable.Map.empty[String, Int]
     registry.toSeq.zipWithIndex.map { case (h, idx) =>
-      val n = seen.getOrElse(h.name, 0)
-      seen(h.name) = n + 1
       val safe = h.name.replaceAll("[^A-Za-z0-9_.:*-]", "_")
+      val n = seen.getOrElse(safe, 0)
+      seen(safe) = n + 1
       idx -> s"${safe}_$n"
     }.toMap
   }
-  private def ledgerPath(idx: Int, batchId: Long): Option[java.nio.file.Path] =
+  private def ledgerPath(keys: Map[Int, String], idx: Int,
+      batchId: Long): Option[java.nio.file.Path] =
     deliveryLedger.map(d =>
-      java.nio.file.Paths.get(d, s"b${batchId}_${handlerKeys(idx)}"))
-  private def alreadyDelivered(idx: Int, batchId: Long): Boolean =
-    ledgerPath(idx, batchId).exists(java.nio.file.Files.exists(_))
-  private def markDelivered(idx: Int, batchId: Long): Unit =
-    ledgerPath(idx, batchId).foreach { p =>
+      java.nio.file.Paths.get(d, s"b${batchId}_${keys(idx)}"))
+  private def alreadyDelivered(keys: Map[Int, String], idx: Int,
+      batchId: Long): Boolean =
+    ledgerPath(keys, idx, batchId).exists(java.nio.file.Files.exists(_))
+  private def markDelivered(keys: Map[Int, String], idx: Int,
+      batchId: Long): Unit =
+    ledgerPath(keys, idx, batchId).foreach { p =>
       java.nio.file.Files.createDirectories(p.getParent)
       try java.nio.file.Files.createFile(p)
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      if (batchId % 64 == 0) pruneLedger(p.getParent, batchId)
     }
   /** Drop markers more than [[Engine.LedgerRetention]] batches old. */
   private[graft] def pruneLedger(dir: java.nio.file.Path, batchId: Long): Unit = {
     val cutoff = batchId - Engine.LedgerRetention
-    if (cutoff <= 0) return
+    if (cutoff <= 0 || !java.nio.file.Files.isDirectory(dir)) return
     val bs = java.nio.file.Files.list(dir)
     try {
       import scala.jdk.CollectionConverters._
@@ -218,12 +223,17 @@ final class Engine(isolateHandlerFailures: Boolean = false,
     // handler action usually did it already and this is then block-cache
     // local.
     var pinned = false
+    val keys = handlerKeys // one snapshot per batch; registry may grow later
+    // prune ONCE per batch (not per handler — each prune lists the whole
+    // marker directory), and off the common path
+    if (deliveryLedger.isDefined && batchId % 64 == 0 && batchId > 0)
+      pruneLedger(java.nio.file.Paths.get(deliveryLedger.get), batchId)
     try registry.zipWithIndex.foreach { case (h, idx) =>
-      if (alreadyDelivered(idx, batchId)) ()
+      if (alreadyDelivered(keys, idx, batchId)) ()
       else {
       val events = batch.filter(predicate(h))
       val delivered =
-        try { h.fn(events); markDelivered(idx, batchId); true }
+        try { h.fn(events); markDelivered(keys, idx, batchId); true }
         catch {
           case _: Exception if isolateHandlerFailures => handlerFailures += 1; false
         }

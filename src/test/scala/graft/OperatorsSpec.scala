@@ -342,6 +342,14 @@ class OperatorsSpec extends AnyFunSuite {
       .select(col("t-x"), col("iv_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(weird == want, s"backquoted-name join diverged: $weird")
+    // fractional time columns take the floor lane (div would reject them)
+    val dbl = RangeJoin.pointInInterval(
+      pts.select(col("t").cast("double").as("td")), "td",
+      ivs.select(col("iv_id"), col("lo").cast("double").as("dlo"),
+        col("hi").cast("double").as("dhi")), "dlo", "dhi", bin = 10L)
+      .select(col("td"), col("iv_id")).collect()
+      .map(r => (r.getDouble(0).toLong, r.getLong(1))).toSet
+    assert(dbl == want, s"double-typed join diverged: $dbl")
   }
 
   test("split leakage: planted cross-split copies detected; within-split dups are not leaks") {
