@@ -469,17 +469,21 @@ object Dedup {
     * copies deliberately avoid) and reduces it to ONE summary row of
     * claims the oracle pins: the planted population size (re-derivable by
     * DuckDB) plus bound checks computed Spark-side — recall ≥ `floorPct`%
-    * of planted pairs recovered, and zero false positives (every
-    * surviving pair IS a planted pair; organic max cosine ≈ 0.4 <
-    * threshold). The pipeline is deterministic for a fixed fixture, so
-    * the claims are stable booleans: if banding, signatures, or the
-    * verify stage degrade, a claim flips and the row hash-mismatches —
-    * a bounded PASS, the strongest portable check a probabilistic
-    * pipeline admits.
+    * of planted pairs recovered, and precision ≥ `precFloorPct`% (planted
+    * pairs dominate the survivors). Precision is a FLOOR, not
+    * zero-false-positives: a handful of organic pairs do clear the 0.5
+    * cosine threshold (measured: 1 of ~400 survivors at sf0.001, 12 of
+    * ~1300 at sf0.1), and their count grows with corpus size the same way
+    * the planted count does, so a 90% floor holds with wide margin at
+    * every scale while an exact-zero claim is fixture-luck. The pipeline
+    * is deterministic for a fixed fixture, so the claims are stable
+    * booleans: if banding, signatures, or the verify stage degrade, a
+    * claim flips and the row hash-mismatches — a bounded PASS, the
+    * strongest portable check a probabilistic pipeline admits.
     */
   def noisyRecallSummary(spark: SparkSession, d: String,
       threshold: Double = 0.5, bands: Int = 8, bits: Int = 10,
-      floorPct: Int = 60): DataFrame = {
+      floorPct: Int = 60, precFloorPct: Int = 90): DataFrame = {
     val pairs = cosineNearDups(spark, d, threshold, bands, bits)
     val total = Tables.embeddings(spark, d).agg(count(lit(1)).as("n_planted"))
     pairs.agg(
@@ -489,7 +493,8 @@ object Dedup {
       .select(col("n_planted"),
         (col("n_found") * 100 >= col("n_planted") * floorPct)
           .as("recall_floor_met"),
-        (col("n_pairs") === col("n_found")).as("no_false_positives"))
+        (col("n_found") * 100 >= col("n_pairs") * precFloorPct)
+          .as("precision_floor_met"))
   }
 
   /** dd10 — cross-split leakage: the train→eval contamination check every

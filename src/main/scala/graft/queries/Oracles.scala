@@ -738,13 +738,13 @@ FROM t WHERE len(toks) >= 1 ORDER BY id_a""",
 SELECT vec_id AS id_a, vec_id + 100000 AS id_b, CAST(1.0 AS DOUBLE) AS sim
 FROM embeddings ORDER BY id_a""",
 
-    // the claims are constants BY DESIGN: the oracle pins the recall
-    // floor and zero-false-positive bounds; Spark computes the actual
-    // fractions through the full noisy-LSH pipeline — a degradation flips
-    // a boolean and the hash mismatches (bounded PASS)
+    // the claims are constants BY DESIGN: the oracle pins the recall and
+    // precision floors; Spark computes the actual fractions through the
+    // full noisy-LSH pipeline — a degradation flips a boolean and the
+    // hash mismatches (bounded PASS)
     "dd09_noisy_recall" -> """
 SELECT count(*) AS n_planted, true AS recall_floor_met,
-  true AS no_false_positives
+  true AS precision_floor_met
 FROM embeddings""",
 
     // cross-split leakage: fingerprints, split buckets, and train counts

@@ -352,6 +352,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dbl == want, s"double-typed join diverged: $dbl")
   }
 
+  test("dd09 claims hold at EVERY shipped scale factor, not just the driver's") {
+    // the oracle pins both booleans as constants; a claim that is
+    // fixture-luck at one sf would silently fail the driver gate if it
+    // ever ran at another — pin all three here
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val r = SparkEntry.queries("dd09_noisy_recall")(spark, d).collect()(0)
+      assert(r.getBoolean(1), s"$d: recall floor not met")
+      assert(r.getBoolean(2), s"$d: precision floor not met")
+    }
+  }
+
   test("split leakage: planted cross-split copies detected; within-split dups are not leaks") {
     val out = SparkEntry.queries("dd10_split_leakage")(spark, sf).cache()
     // only eval-split rows come back, and every eval doc appears once
