@@ -217,4 +217,28 @@ object Multimodal {
       hex(substring(col("blob"), 1, 8)).as("frame0_hex"))
       .orderBy(col("media_id"))
   }
+
+  /** mm05 — media dedup by content hash (the standard first dedup pass an
+    * image/video pipeline runs before any perceptual hashing): canonical
+    * id + copy count per identical blob. Planted exact-copy blobs at
+    * `media_id + 100000` make the relation non-trivial and the DuckDB
+    * oracle re-derives it from the blob derivation + planting formula.
+    *
+    * Scale shape is dd01's: fingerprint is computed ON the binary column
+    * (one scan, codegen md5), the canonical map is a map-side-combined
+    * `groupBy(fp)` (never a window over a hot fingerprint — dup storms
+    * are the workload), and the join-back carries (media_id, fp) only;
+    * blobs never shuffle.
+    */
+  def blobDedup(spark: SparkSession, d: String): DataFrame = {
+    val media = mediaSrc(spark, d)
+    val withCopies = media.union(media.select(
+      (col("media_id") + 100000L).as("media_id"), col("blob")))
+    val fp = withCopies.select(col("media_id"), md5(col("blob")).as("fp"))
+    val canon = fp.groupBy(col("fp"))
+      .agg(min(col("media_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+    fp.join(canon, Seq("fp"))
+      .select(col("media_id"), col("canonical_id"), col("n_copies"))
+      .orderBy(col("media_id"))
+  }
 }

@@ -204,6 +204,7 @@ object QueryPack {
     "mm02_frame_samples" -> ((s, d) => Multimodal.frameSamples(s, d)),
     "mm03_resize"        -> ((s, d) => Multimodal.resized(s, d)),
     "mm04_features"      -> ((s, d) => Multimodal.features(s, d)),
+    "mm05_blob_dedup"    -> ((s, d) => Multimodal.blobDedup(s, d)),
 
     // ---- composed pipeline (quality gate → lang bucket → dedup → budget) ----
     "pipe01_corpus_clean" -> ((s, d) => graft.operators.Pipelines.corpusClean(s, d)),
