@@ -107,6 +107,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"embeddings scanned ${scans.size} times — training subtree re-inlined?")
   }
 
+  test("dd10/mm05: dedup shuffles carry ids+fingerprints only — text/blobs stay put") {
+    Seq("dd10_split_leakage" -> "text#", "mm05_blob_dedup" -> "blob#").foreach {
+      case (q, payload) =>
+        val p = plan(q)
+        val exchanges = p.linesIterator
+          .filter(_.contains("Exchange hashpartitioning")).mkString("\n")
+        assert(exchanges.nonEmpty, s"$q: expected a fingerprint-keyed exchange")
+        assert(!exchanges.contains(payload),
+          s"$q: payload column rides a shuffle:\n$exchanges")
+    }
+  }
+
   test("cdc06: the update diff runs as the native expression, not interpreted lambdas") {
     val p = plan("cdc06_diff")
     assert(p.contains("map_changed_fields"), "native diff expression missing")
