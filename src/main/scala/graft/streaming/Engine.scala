@@ -63,6 +63,8 @@ final case class EventFilters(
   *    handler (idempotence on batchId is the handler's job)
   */
 object Engine {
+  private[streaming] val log = org.slf4j.LoggerFactory.getLogger(classOf[Engine])
+
   /** Delivery-ledger retention in batches: markers older than this are
     * pruned. Redelivery only replays the LAST uncommitted batch, so any
     * value ≥ a few is safe; 10k keeps the directory small while leaving a
@@ -84,6 +86,21 @@ object Engine {
 final class Engine(isolateHandlerFailures: Boolean = false,
     deliveryLedger: Option[String] = None) {
 
+  // settable AFTER construction so config-driven assembly (GraftConfig
+  // .deliveryLedger / exactlyOnce → Graft.start) can arm the ledger on an
+  // engine the user already built handlers onto; pre-start only
+  @volatile private var ledgerDirOpt: Option[String] = deliveryLedger
+
+  /** Arm (or move) the delivery ledger — the declarative path
+    * [[Graft.start]] uses when the config carries one. Call before the
+    * query starts; an in-flight dispatch snapshots the directory at batch
+    * start.
+    */
+  def withDeliveryLedger(dir: String): Engine = { ledgerDirOpt = Some(dir); this }
+
+  /** The armed ledger directory, if any. */
+  def deliveryLedgerDir: Option[String] = ledgerDirOpt
+
   /** Exactly-once handler effects across restarts (SURVEY §7 hard part
     * (d)): micro-batch replay after a crash redelivers the last
     * uncommitted batch, so bare handlers are at-least-once. With a
@@ -95,60 +112,143 @@ final class Engine(isolateHandlerFailures: Boolean = false,
     * equivalent of the reference's documented "dedupe on LSN in the sink"
     * guidance, done once in the engine instead of in every handler.
     *
+    * The ledger speaks the Hadoop [[org.apache.hadoop.fs.FileSystem]] API
+    * (resolved from the batch session's Hadoop conf), NOT `java.nio`, so
+    * "put it next to the checkpoint dir" holds on a real cluster: an
+    * `hdfs://`/`s3a://` checkpoint takes the ledger with it, and a
+    * replaced driver node sees the same markers. Plain local paths keep
+    * working through Hadoop's `file://` scheme.
+    *
     * Contract: one ledger directory per streaming QUERY (put it next to
     * the checkpoint dir — both survive or neither), and marker identity is
     * the handler's NAME plus its occurrence among same-named handlers, so
-    * a deploy that APPENDS new handlers keeps old markers valid; REMOVING
-    * or RENAMING handlers across a restart invalidates the ledger (wipe it
-    * with the checkpoint). Markers older than [[Engine.LedgerRetention]]
-    * batches are pruned opportunistically — redelivery only ever replays
-    * the last uncommitted batch, so the retention window is generous by
-    * orders of magnitude and the directory stays bounded. Detached async
-    * side effects stay at-most-once regardless.
+    * a deploy that APPENDS new handlers keeps old markers valid; the
+    * registry shape is ENFORCED, not honor-system — a `_manifest` file
+    * records the key sequence, appends rewrite it, and a restart whose
+    * registry is not an append extension (reorder/rename/removal)
+    * fail-fasts before any delivery (wipe the ledger with the checkpoint
+    * to accept the new shape). Markers older than
+    * [[Engine.LedgerRetention]] batches are pruned opportunistically —
+    * redelivery only ever replays the last uncommitted batch, so the
+    * retention window is generous by orders of magnitude and the directory
+    * stays bounded. Detached async side effects stay at-most-once
+    * regardless.
+    *
+    * Failure posture: marker I/O errors (write or probe) degrade that
+    * handler to AT-LEAST-ONCE — logged, never counted as handler failures
+    * and never suppressing side effects of a body that succeeded (a ledger
+    * outage must not masquerade as user-code crashes). Manifest I/O errors
+    * DO fail the batch: the manifest is the gate that keeps markers
+    * meaningful, so delivering without validating it could replay history
+    * against the wrong handler identities.
     */
   // recomputed per call (registries are small and may grow between
   // dispatches): occurrence-numbered over the SANITIZED name, so two
-  // distinct names that sanitize identically still get distinct keys
+  // distinct names that sanitize identically still get distinct keys.
+  // The alphabet is Hadoop-Path-safe: a ':' in a path component parses as
+  // a URI scheme (java.nio tolerated it; FileSystem paths cannot)
   private def handlerKeys: Map[Int, String] = {
     val seen = scala.collection.mutable.Map.empty[String, Int]
     registry.toSeq.zipWithIndex.map { case (h, idx) =>
-      val safe = h.name.replaceAll("[^A-Za-z0-9_.:*-]", "_")
+      val safe = h.name.replaceAll("[^A-Za-z0-9_.-]", "_")
       val n = seen.getOrElse(safe, 0)
       seen(safe) = n + 1
       idx -> s"${safe}_$n"
     }.toMap
   }
-  private def ledgerPath(keys: Map[Int, String], idx: Int,
-      batchId: Long): Option[java.nio.file.Path] =
-    deliveryLedger.map(d =>
-      java.nio.file.Paths.get(d, s"b${batchId}_${keys(idx)}"))
-  private def alreadyDelivered(keys: Map[Int, String], idx: Int,
-      batchId: Long): Boolean =
-    ledgerPath(keys, idx, batchId).exists(java.nio.file.Files.exists(_))
-  private def markDelivered(keys: Map[Int, String], idx: Int,
-      batchId: Long): Unit =
-    ledgerPath(keys, idx, batchId).foreach { p =>
-      java.nio.file.Files.createDirectories(p.getParent)
-      try java.nio.file.Files.createFile(p)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+  private def ledgerFs(conf: org.apache.hadoop.conf.Configuration)
+      : Option[(FileSystem, HPath)] =
+    ledgerDirOpt.map { d =>
+      val dir = new HPath(d)
+      (dir.getFileSystem(conf), dir)
     }
+  private def alreadyDelivered(fsDir: Option[(FileSystem, HPath)],
+      keys: Map[Int, String], idx: Int, batchId: Long): Boolean =
+    fsDir.exists { case (fs, dir) =>
+      try fs.exists(new HPath(dir, s"b${batchId}_${keys(idx)}"))
+      catch { case e: java.io.IOException =>
+        Engine.log.warn(s"delivery ledger probe failed for batch $batchId " +
+          s"handler ${keys(idx)} — degrading to at-least-once: $e")
+        false
+      }
+    }
+  private def markDelivered(fsDir: Option[(FileSystem, HPath)],
+      keys: Map[Int, String], idx: Int, batchId: Long): Unit =
+    fsDir.foreach { case (fs, dir) =>
+      try {
+        fs.mkdirs(dir)
+        // create(overwrite=false) is the FS-level atomic claim; an existing
+        // marker (same batch replayed concurrently) is success, not error
+        try fs.create(new HPath(dir, s"b${batchId}_${keys(idx)}"), false).close()
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () }
+      } catch { case e: java.io.IOException =>
+        Engine.log.warn(s"delivery ledger marker write failed for batch " +
+          s"$batchId handler ${keys(idx)} — that handler is at-least-once " +
+          s"until the ledger recovers: $e")
+      }
+    }
+  /** Manifest gate: `_manifest` holds the newline-joined key sequence the
+    * ledger's markers were written under. Current registry must EXTEND it
+    * (appends rewrite the file, via tmp+rename so a crash mid-rewrite
+    * leaves the old manifest, never a truncated one); anything else throws.
+    * Validated once per registry shape per engine instance — steady-state
+    * dispatches don't touch the FS.
+    */
+  @volatile private var manifestValidatedFor: Seq[String] = null
+  private def validateManifest(fsDir: Option[(FileSystem, HPath)],
+      keys: Map[Int, String]): Unit = fsDir.foreach { case (fs, dir) =>
+    val current = keys.toSeq.sortBy(_._1).map(_._2)
+    if (manifestValidatedFor == current) return
+    val mf = new HPath(dir, "_manifest")
+    val recorded: Seq[String] =
+      if (!fs.exists(mf)) Nil
+      else {
+        val in = fs.open(mf)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toList
+        finally in.close()
+      }
+    if (recorded != current.take(recorded.length))
+      throw new IllegalStateException(
+        s"delivery ledger at $dir was written under handler registry " +
+          s"[${recorded.mkString(", ")}] but the current registry is " +
+          s"[${current.mkString(", ")}] — only APPENDING handlers is " +
+          "compatible with existing markers (reorder/rename/removal would " +
+          "silently swap delivery history); wipe the ledger with the " +
+          "checkpoint to accept the new shape")
+    if (recorded.length < current.length) {
+      fs.mkdirs(dir)
+      val tmp = new HPath(dir, "_manifest.tmp")
+      val out = fs.create(tmp, true)
+      try out.write((current.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      fs.delete(mf, false)
+      if (!fs.rename(tmp, mf))
+        throw new java.io.IOException(s"could not commit ledger manifest $mf")
+    }
+    manifestValidatedFor = current
+  }
   /** Drop markers more than [[Engine.LedgerRetention]] batches old. */
-  private[graft] def pruneLedger(dir: java.nio.file.Path, batchId: Long): Unit = {
+  private[graft] def pruneLedger(fs: FileSystem, dir: HPath, batchId: Long): Unit = {
     val cutoff = batchId - Engine.LedgerRetention
-    if (cutoff <= 0 || !java.nio.file.Files.isDirectory(dir)) return
-    val bs = java.nio.file.Files.list(dir)
     try {
-      import scala.jdk.CollectionConverters._
-      bs.iterator().asScala.foreach { p =>
-        val name = p.getFileName.toString
+      if (cutoff <= 0 || !fs.getFileStatus(dir).isDirectory) return
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
         if (name.startsWith("b")) {
           val id = name.drop(1).takeWhile(_.isDigit)
           if (id.nonEmpty && id.toLong < cutoff)
-            try java.nio.file.Files.deleteIfExists(p)
+            try fs.delete(st.getPath, false)
             catch { case _: java.io.IOException => () }
         }
       }
-    } finally bs.close()
+    } catch {
+      case _: java.io.FileNotFoundException => ()
+      case e: java.io.IOException =>
+        Engine.log.warn(s"delivery ledger prune at $dir failed (retrying " +
+          s"next prune window): $e")
+    }
   }
 
   final case class Handler(
@@ -224,16 +324,20 @@ final class Engine(isolateHandlerFailures: Boolean = false,
     // local.
     var pinned = false
     val keys = handlerKeys // one snapshot per batch; registry may grow later
+    // one FileSystem resolution per batch, from the session that owns the
+    // batch — local paths, HDFS, and S3A all route through the same API
+    val fsDir = ledgerFs(batch.sparkSession.sparkContext.hadoopConfiguration)
+    validateManifest(fsDir, keys)
     // prune ONCE per batch (not per handler — each prune lists the whole
     // marker directory), and off the common path
-    if (deliveryLedger.isDefined && batchId % 64 == 0 && batchId > 0)
-      pruneLedger(java.nio.file.Paths.get(deliveryLedger.get), batchId)
+    if (batchId % 64 == 0 && batchId > 0)
+      fsDir.foreach { case (fs, dir) => pruneLedger(fs, dir, batchId) }
     try registry.zipWithIndex.foreach { case (h, idx) =>
-      if (alreadyDelivered(keys, idx, batchId)) ()
+      if (alreadyDelivered(fsDir, keys, idx, batchId)) ()
       else {
       val events = batch.filter(predicate(h))
       val delivered =
-        try { h.fn(events); markDelivered(keys, idx, batchId); true }
+        try { h.fn(events); markDelivered(fsDir, keys, idx, batchId); true }
         catch {
           case _: Exception if isolateHandlerFailures => handlerFailures += 1; false
         }

@@ -824,12 +824,143 @@ class StreamingCdcSpec extends AnyFunSuite {
     val recent = dir.resolve(s"b${2 * Engine.LedgerRetention}_on_event_user_0")
     val alien = dir.resolve("not_a_marker")
     Seq(old1, old2, edge, recent, alien).foreach(java.nio.file.Files.createFile(_))
+    val hdir = new org.apache.hadoop.fs.Path(dir.toUri)
+    val fs = hdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     new Engine(deliveryLedger = Some(dir.toString))
-      .pruneLedger(dir, batchId = 2 * Engine.LedgerRetention + 1)
+      .pruneLedger(fs, hdir, batchId = 2 * Engine.LedgerRetention + 1)
     // cutoff = retention + 1: strictly-older markers go, the rest stay
     assert(!java.nio.file.Files.exists(old1) && !java.nio.file.Files.exists(old2))
     assert(java.nio.file.Files.exists(edge) && java.nio.file.Files.exists(recent))
     assert(java.nio.file.Files.exists(alien), "non-marker files must be untouched")
+  }
+
+  test("delivery ledger speaks Hadoop FileSystem: explicit file:// URI works end to end") {
+    import graft.streaming.Engine
+    // the checkpoint-adjacent deployment shape: a scheme-qualified Hadoop
+    // path (hdfs://, s3a://, or — here — file://), unreachable by java.nio
+    // path arithmetic; markers and manifest must round-trip through the
+    // FileSystem API
+    val ledger = "file://" + tmpDir("ledger-hadoop")
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    val engine = new Engine(deliveryLedger = Some(ledger))
+      .onEvent("*") { _ => ran += "a"; () }
+    val batch = spark.range(1).selectExpr(
+      "'user' AS name", "'insert' AS type",
+      "CAST(null AS map<string,struct<old_value:string,new_value:string>>) AS changes",
+      "map('id','1') AS new_record",
+      "CAST(null AS map<string,string>) AS old_record")
+    engine.dispatch(batch, batchId = 3L)
+    engine.dispatch(batch, batchId = 3L) // redelivery: ledger-skipped
+    engine.dispatch(batch, batchId = 4L)
+    assert(ran.toSeq == Seq("a", "a"), s"unexpected delivery sequence: $ran")
+    val dir = new java.io.File(ledger.stripPrefix("file://"))
+    val names = dir.listFiles().map(_.getName).toSet
+    // handler "on_event:*" sanitizes to the Hadoop-safe "on_event__"
+    assert(names.contains("b3_on_event___0") && names.contains("b4_on_event___0"),
+      s"marker files missing: $names")
+    assert(names.contains("_manifest"), s"manifest missing: $names")
+  }
+
+  test("delivery ledger manifest: appends are accepted, reorders fail fast") {
+    import graft.streaming.Engine
+    val ledger = tmpDir("ledger-manifest")
+    val batch = spark.range(1).selectExpr(
+      "'user' AS name", "'insert' AS type",
+      "CAST(null AS map<string,struct<old_value:string,new_value:string>>) AS changes",
+      "map('id','1') AS new_record",
+      "CAST(null AS map<string,string>) AS old_record")
+    new Engine(deliveryLedger = Some(ledger))
+      .onInsert("user") { _ => () }
+      .onUpdate("user") { _ => () }
+      .dispatch(batch, 0L)
+    // append-only deploy: same prefix + one more handler — accepted, and
+    // the manifest is rewritten to the extended shape
+    new Engine(deliveryLedger = Some(ledger))
+      .onInsert("user") { _ => () }
+      .onUpdate("user") { _ => () }
+      .onDelete("user") { _ => () }
+      .dispatch(batch, 1L)
+    val mf = java.nio.file.Paths.get(ledger, "_manifest")
+    val lines = java.nio.file.Files.readAllLines(mf)
+    assert(lines.size == 3 && lines.get(2).startsWith("on_delete_user"),
+      s"manifest not extended: $lines")
+    // reordered deploy: delivery history would silently swap — must throw
+    val reordered = new Engine(deliveryLedger = Some(ledger))
+      .onUpdate("user") { _ => () }
+      .onInsert("user") { _ => () }
+    val e = intercept[IllegalStateException](reordered.dispatch(batch, 2L))
+    assert(e.getMessage.contains("APPENDING"), e.getMessage)
+  }
+
+  test("delivery ledger IO outage degrades to at-least-once, never to handler failure") {
+    import graft.streaming.Engine
+    // MarkerFailFs: marker creates throw IOException; manifest/probe ops
+    // work. The ADVICE contract: a ledger outage after a SUCCESSFUL handler
+    // body must not count as a handler failure or suppress side effects —
+    // the handler silently degrades to at-least-once until the FS recovers.
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.graftfail.impl", classOf[MarkerFailFs].getName)
+    val dir = tmpDir("ledger-iofail")
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sideFx = new java.util.concurrent.atomic.AtomicInteger(0)
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    val engine = new Engine(isolateHandlerFailures = true,
+      deliveryLedger = Some("graftfail://" + dir))
+      .onEvent("*", sideEffects = Seq(
+        _ => { sideFx.incrementAndGet(); latch.countDown() })) { _ => ran += "a"; () }
+    val batch = spark.range(1).selectExpr(
+      "'user' AS name", "'insert' AS type",
+      "CAST(null AS map<string,struct<old_value:string,new_value:string>>) AS changes",
+      "map('id','1') AS new_record",
+      "CAST(null AS map<string,string>) AS old_record")
+    engine.dispatch(batch, 0L)
+    // marker never landed → the same batch redelivers the handler
+    engine.dispatch(batch, 0L)
+    assert(ran.toSeq == Seq("a", "a"), s"expected at-least-once re-run: $ran")
+    assert(engine.failures == 0, "ledger IO errors must not count as handler failures")
+    assert(latch.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      && sideFx.get() == 2, "side effects of a successful body must still fire")
+  }
+
+  test("delivery ledger through a RESTARTED streaming query: Spark-assigned batchIds drive skip/re-run") {
+    import graft.streaming.Engine
+    val ledger = tmpDir("ledger-restart")
+    val ckpt = tmpDir("ledger-restart-ckpt")
+    val src = tmpDir("ledger-restart-src")
+    spark.range(3).selectExpr(
+      "'user' AS name", "'insert' AS type",
+      "CAST(null AS map<string,struct<old_value:string,new_value:string>>) AS changes",
+      "map('id', CAST(id AS STRING)) AS new_record",
+      "CAST(null AS map<string,string>) AS old_record")
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def events = spark.readStream.schema(schema).parquet(src)
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    var crashOnce = true
+    // isolation OFF: handler B's crash fails the micro-batch, so Spark's
+    // own replay machinery (offset log without commit log) redelivers it
+    val engine = new Engine(deliveryLedger = Some(ledger))
+      .onEvent("*") { _ => ran += "a"; () }
+      .onEvent("*") { _ =>
+        if (crashOnce) { crashOnce = false; ran += "crash"; sys.error("boom") }
+        else { ran += "recovered"; () }
+      }
+    val q1 = engine.start(events, checkpoint = Some(ckpt),
+      trigger = Trigger.AvailableNow(), queryName = "ledger-restart-q1")
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination(120000)
+    }
+    // restart on the SAME checkpoint: Spark re-plans the uncommitted batch
+    // under its original batchId; A is ledger-skipped, B re-runs
+    val q2 = engine.start(events, checkpoint = Some(ckpt),
+      trigger = Trigger.AvailableNow(), queryName = "ledger-restart-q2")
+    q2.awaitTermination(120000)
+    assert(ran.toSeq == Seq("a", "crash", "recovered"),
+      s"unexpected delivery sequence: $ran")
+    // both markers carry SPARK's batchId (0) — the replay reused it
+    val names = new java.io.File(ledger).listFiles().map(_.getName).toSet
+    assert(names.contains("b0_on_event___0") && names.contains("b0_on_event___1"),
+      s"markers should be keyed by the replayed Spark batchId: $names")
   }
 
   test("isolateHandlerFailures: a crashing handler is skipped, the rest deliver") {
@@ -885,4 +1016,18 @@ class StreamingCdcSpec extends AnyFunSuite {
     q.awaitTermination(120000)
     assert(inserts.toSeq == Seq(1L))
   }
+}
+
+/** Fault injector for the ledger IO-degrade spec: creates of MARKER files
+  * (name `b<batchId>_…`) throw IOException; everything else — manifest
+  * writes, existence probes, mkdirs — behaves as the local filesystem.
+  * Registered under the `graftfail://` scheme via `fs.graftfail.impl`.
+  */
+class MarkerFailFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftfail:///")
+  override def create(f: org.apache.hadoop.fs.Path, overwrite: Boolean)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    if (f.getName.startsWith("b"))
+      throw new java.io.IOException("injected marker outage")
+    else super.create(f, overwrite)
 }
