@@ -176,11 +176,13 @@ object Graft {
     * the slot-durability semantics of `config`.
     */
   def start(spark: SparkSession, config: GraftConfig, walDir: String,
-      engine: Engine, trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+      engine: Engine, trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+    config.effectiveLedger.foreach(engine.withDeliveryLedger)
     engine.start(events(spark, config, walDir),
       checkpoint = config.effectiveCheckpoint,
       trigger = trigger,
       queryName = s"graft-${config.appName}")
+  }
 
   /** The JDBC lane's one-call equivalent of [[start]]: the config's
     * connection fields (the reference's config surface) become the polling
@@ -195,6 +197,7 @@ object Graft {
     require(opts.contains("url"),
       s"config '${config.appName}': set hostname+database (postgres url) " +
         "or pass url via extraOptions")
+    config.effectiveLedger.foreach(engine.withDeliveryLedger)
     engine.start(
       eventsFromJdbc(spark, opts),
       checkpoint = config.effectiveCheckpoint,

@@ -36,7 +36,9 @@ final case class GraftConfig(
     ackPath: Option[String] = None,
     checkpointDir: Option[String] = None,
     staleTxnTtl: Option[String] = None,
-    rowFilter: Option[String] = None) {
+    rowFilter: Option[String] = None,
+    deliveryLedger: Option[String] = None,
+    exactlyOnce: Boolean = false) {
 
   /** Effective replication slot name (parse_slot_name, config.ex:204-215):
     * derived from the app name when unset, sanitized to pg's identifier
@@ -63,6 +65,25 @@ final case class GraftConfig(
       fallback
     })
     else None
+
+  /** The delivery-ledger directory [[Graft.start]]/[[Graft.startJdbc]] arm
+    * on the engine — the declarative switch for exactly-once handler
+    * effects (Engine scaladoc has the semantics). An explicit
+    * `deliveryLedger` path wins; `exactlyOnce = true` derives one NEXT TO
+    * the checkpoint (`<checkpoint>/_graft_delivery` — same filesystem,
+    * same lifecycle: both survive a restart or neither does). Exactly-once
+    * without a durable slot is a config contradiction — batch replay only
+    * exists when offsets survive restart — and fails fast here rather than
+    * silently delivering at-most-once.
+    */
+  def effectiveLedger: Option[String] = deliveryLedger.orElse {
+    if (!exactlyOnce) None
+    else Some(effectiveCheckpoint.getOrElse(throw new IllegalArgumentException(
+      s"config '$appName': exactlyOnce=true needs a durable slot " +
+        "(durableSlot=true, ideally with checkpointDir) — without a " +
+        "checkpoint there is no batch replay for the ledger to dedupe, " +
+        "or set deliveryLedger explicitly")) + "/_graft_delivery")
+  }
 
   /** Options map for the DSv2 JDBC polling source (S1's live-database
     * mode): the connection fields — the reference's config surface

@@ -59,6 +59,23 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(!temp.sourceOptions("/wal").contains("tables"))
   }
 
+  test("effectiveLedger: explicit path wins, exactlyOnce derives next to the checkpoint, no-slot fails fast") {
+    // declarative exactly-once: ledger derived NEXT TO the durable checkpoint
+    val eo = GraftConfig("app", durableSlot = true,
+      checkpointDir = Some("/tmp/ck"), exactlyOnce = true)
+    assert(eo.effectiveLedger.contains("/tmp/ck/_graft_delivery"))
+    // an explicit ledger path overrides the derivation
+    val explicit = eo.copy(deliveryLedger = Some("hdfs:///ledgers/app"))
+    assert(explicit.effectiveLedger.contains("hdfs:///ledgers/app"))
+    // default: off
+    assert(GraftConfig("app").effectiveLedger.isEmpty)
+    // exactly-once without a durable slot is a contradiction (no replay to
+    // dedupe) — fail fast instead of silently at-most-once
+    val bad = GraftConfig("app", exactlyOnce = true)
+    val e = intercept[IllegalArgumentException](bad.effectiveLedger)
+    assert(e.getMessage.contains("durable"), e.getMessage)
+  }
+
   test("config store: add/get/replace/remove, multi-tenant (config.ex:55-77)") {
     val store = new ConfigStore
     store.add(GraftConfig("a", subscriptions = Seq("user")))

@@ -730,6 +730,27 @@ class StreamingCdcSpec extends AnyFunSuite {
       s"unpublished tables leaked: $seen")
   }
 
+  test("Graft facade: exactlyOnce config arms the delivery ledger next to the checkpoint") {
+    val dir = tmpDir("graft-eo")
+    val ckpt = tmpDir("graft-eo-ckpt")
+    WalFixture.writeSegments(dir, Seq(
+      mkChange(1, 0, "insert", "user", recordId = 1),
+      mkChange(2, 1, "update", "user", recordId = 1)))
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val engine = new Engine().onEvent("*") { df => seen.addAndGet(df.count().toInt); () }
+    val config = GraftConfig("eo_demo", durableSlot = true,
+      checkpointDir = Some(ckpt), exactlyOnce = true)
+    val q = Graft.start(spark, config, dir, engine, trigger = Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    assert(seen.get() == 2)
+    // the config path armed the engine, and markers live NEXT TO the
+    // checkpoint — same filesystem, same lifecycle
+    assert(engine.deliveryLedgerDir.contains(s"$ckpt/_graft_delivery"))
+    val names = new java.io.File(s"$ckpt/_graft_delivery").listFiles().map(_.getName)
+    assert(names.exists(_.matches("b\\d+_on_event___0")) && names.contains("_manifest"),
+      s"ledger not materialized by the facade: ${names.toSeq}")
+  }
+
   test("change-table polling lane discovers newly-appended files incrementally") {
     val dir = tmpDir("poll")
     def changeRows(from: Int, n: Int, table: String) =
