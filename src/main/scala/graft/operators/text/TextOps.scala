@@ -220,20 +220,23 @@ object TextOps {
 
   /** txt09 — blocklist screening (the C4-style "bad words" gate): per-doc
     * count and fraction of tokens on a blocklist, plus the drop flag a
-    * gate would apply. Single scan, one higher-order filter over the token
-    * array against a plan-constant list — no join, no shuffle; at 100 TB
-    * this runs at parquet-scan speed. The default list picks fixture
-    * vocabulary so the planted relation is non-trivial; a real deployment
-    * passes its own terms.
+    * gate would apply. Single scan, no join, no shuffle — and the
+    * membership test is the native [[graft.plans.CountInStaticSet]]
+    * hash-set probe (O(tokens), codegen'd), NOT a per-token linear scan of
+    * a plan-constant array: a real C4-style list is hundreds of terms, and
+    * `size(filter(t, x -> array_contains(...)))` would be O(tokens×terms)
+    * in an interpreted lambda. At 100 TB this runs at parquet-scan speed
+    * regardless of list size. The default list picks fixture vocabulary so
+    * the planted relation is non-trivial; a real deployment passes its own
+    * terms.
     */
   def blocklistFlags(spark: SparkSession, d: String,
       terms: Seq[String] = Seq("slow", "dup")): DataFrame = {
-    val listed = array(terms.map(lit): _*)
     Tables.documents(spark, d)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"),
         size(col("t")).as("n_tokens"),
-        size(filter(col("t"), x => array_contains(listed, x))).as("n_blocked"))
+        graft.plans.SketchCols.countInStaticSet(col("t"), terms).as("n_blocked"))
       .withColumn("blocked_frac",
         when(col("n_tokens") > 0,
           col("n_blocked").cast("double") / col("n_tokens")).otherwise(0.0))

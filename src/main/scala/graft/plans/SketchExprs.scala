@@ -33,6 +33,22 @@ object SketchUtil {
     * Returns null for empty input (no shingles → no buckets), mirroring
     * `array_min(transform([], …))` = null propagation upstream.
     */
+  /** Membership count for [[CountInStaticSet]]: one hash probe per array
+    * element, null elements never match. Called from generated code with
+    * the raw (erased) HashSet reference.
+    */
+  def countInSet(arr: ArrayData,
+      set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]): Int = {
+    val n = arr.numElements()
+    var i = 0
+    var hits = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+
   def minHashBandBuckets(hashes: ArrayData, numHashes: Int, bands: Int): ArrayData = {
     val n = hashes.numElements()
     if (n == 0) return null
@@ -422,6 +438,49 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** `count_in_static_set(tokens)` → INT: occurrences (duplicates counted) of
+  * array elements present in a plan-constant term set. The scale fix for
+  * blocklist screening (txt09): `size(filter(t, x -> array_contains(lit,
+  * x)))` is O(tokens × |terms|) per row AND interpreted (ArrayFilter is
+  * CodegenFallback) — wrong by 2-3 orders of magnitude against a real
+  * C4-style list of hundreds of terms. This is one codegen'd static call
+  * doing O(tokens) hash probes against a set built once per executor
+  * (`@transient lazy`, shipped as the serialized term list), so screening
+  * stays scan-bound no matter how long the blocklist grows.
+  */
+case class CountInStaticSet(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<STRING>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "count_in_static_set"
+
+  @transient private lazy val set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
+      math.max(8, terms.size * 2))
+    terms.foreach(t =>
+      s.add(org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchUtil.countInSet(input.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("staticTermSet", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchUtil.countInSet($c, $setRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountInStaticSet =
+    copy(child = newChild)
+}
+
 /** Column-level entry points. */
 object SketchCols {
   def minHashBandBuckets(c: Column, numHashes: Int, bands: Int): Column =
@@ -441,4 +500,7 @@ object SketchCols {
 
   def cosineSimilarity(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  def countInStaticSet(c: Column, terms: Seq[String]): Column =
+    Bridge.column(CountInStaticSet(Bridge.expression(c), terms))
 }

@@ -366,6 +366,48 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Tables schema cache: invalidate hook serves a rewritten path's new schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-schemacache").toString
+    spark.range(3).selectExpr("id AS a")
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    assert(Tables.load(spark, dir, "t").columns.toSeq == Seq("a"))
+    spark.range(3).selectExpr("id AS a", "id * 2 AS b")
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    // the cache never expires by design (testdata is immutable) — a
+    // rewrite in the same JVM serves the stale footer schema…
+    assert(Tables.load(spark, dir, "t").columns.toSeq == Seq("a"))
+    // …until the path (or everything) is invalidated
+    Tables.invalidateSchemaCache(Some(s"$dir/t.parquet"))
+    assert(Tables.load(spark, dir, "t").columns.toSeq == Seq("a", "b"))
+  }
+
+  test("txt09 blocklist scales past fixture lists: hash-set probe, not per-token array scan") {
+    import graft.operators.text.TextOps
+    // a real C4-shaped list: the two fixture terms buried in 998 others
+    val big = Seq("slow", "dup") ++ (1 to 998).map(i => s"blockterm_$i")
+    val out = TextOps.blocklistFlags(spark, sf, big)
+    // plan shape: ONE native hash-set probe — no per-token linear scan of a
+    // plan-constant array (array_contains / interpreted lambda filter), no
+    // join lane for the term list
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("count_in_static_set"), plan)
+    assert(!plan.contains("array_contains") && !plan.contains("ArrayFilter"),
+      s"blocklist fell back to a per-token linear scan:\n$plan")
+    assert(!plan.toLowerCase.contains("join"),
+      s"blocklist should not join against the term list:\n$plan")
+    // value equivalence vs the naive O(tokens×terms) formulation
+    val listed = array(big.map(lit): _*)
+    val naive = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        size(filter(col("t"), x => array_contains(listed, x))).as("n_naive"))
+    val diff = out.join(naive, "doc_id")
+      .filter(col("n_blocked") =!= col("n_naive")).count()
+    assert(diff == 0, s"$diff docs disagree with the naive formulation")
+    // and the fixture terms still fire through the big list
+    assert(out.filter(col("flagged")).count() > 0)
+  }
+
   test("split leakage: planted cross-split copies detected; within-split dups are not leaks") {
     val out = SparkEntry.queries("dd10_split_leakage")(spark, sf).cache()
     // only eval-split rows come back, and every eval doc appears once
