@@ -240,36 +240,69 @@ object TrainPrep {
     *
     * A global rank is the same scale trap as tp03's running sum: a bare
     * `row_number() over (order by h)` is a single-task sort of the corpus.
-    * Same cure, reusing [[exclusivePrefix]]: bucket by the hash's first 16
-    * bits (a PREFIX of the order key, so bucket-major order IS hash
-    * order), rank in-bucket with a partitioned window (65536-way
-    * parallel), and offset each bucket by the exclusive prefix sum of
-    * bucket counts. No level sorts more than a task's worth of rows; the
-    * shuffle is (doc_id, 32-byte hash) only.
+    * Same cure, reusing [[exclusivePrefix]]: bucket by a hex PREFIX of the
+    * order key (so bucket-major order IS hash order), rank in-bucket with
+    * a partitioned window, and offset each bucket by the exclusive prefix
+    * sum of bucket counts. No level sorts more than a task's worth of
+    * rows; the shuffle is (doc_id, 32-byte hash) only.
+    *
+    * The envelope is DECLARED, not hard-coded (tp03's `maxDocs` device):
+    * [[epochShuffleGeometry]] derives the prefix width (bucket count) and
+    * recursion depth so expected in-bucket rows and every prefix level
+    * stay ≤ `fanout` at the declared corpus size — the default
+    * (65536 buckets × fanout 1000 ≈ 6.5×10^7 docs) matches the previous
+    * fixed geometry; declaring 10^12 docs widens to 16^8 buckets, depth 3.
+    * The OUTPUT is geometry-invariant: the permutation is defined by
+    * (h, doc_id) order alone, and any prefix width buckets it
+    * order-consistently — so re-declaring capacity never re-shuffles an
+    * epoch. Buckets are hash-sliced, so unlike tp03's id-width buckets the
+    * per-bucket bound is expected-case (w.h.p.), not absolute — the right
+    * trade for an id-space-agnostic permutation.
     */
-  def epochShuffle(spark: SparkSession, d: String, epoch: Int = 1): DataFrame = {
+  def epochShuffle(spark: SparkSession, d: String, epoch: Int = 1,
+      maxDocs: Long = 65536L * 1000L, fanout: Long = 1000L): DataFrame = {
     val salt = s"epoch$epoch:"
+    val (hexChars, depth) = epochShuffleGeometry(maxDocs, fanout)
     // pre-pin the isnotnull predicates the prefix-lane joins would infer
-    // (bucket, and exclusivePrefix's bucket div fanout) so both references
-    // to this subtree stay identical — the tp03 shared-stage discipline
-    val ranked = Tables.documents(spark, d)
-      .select(col("doc_id"),
-        md5(concat(lit(salt), col("doc_id").cast("string"))).as("h"))
-      .withColumn("bucket", hashBucket16(salt, col("doc_id")))
-      .filter(col("bucket").isNotNull)
-      .filter(expr("(bucket div 1000)").isNotNull)
+    // (bucket, and each exclusivePrefix level's nested `div fanout` key) so
+    // all references to this subtree stay identical — the tp03
+    // shared-stage discipline
+    val levelKeys = (1 to depth).scanLeft("bucket")((e, _) => s"($e div $fanout)")
+    val ranked = levelKeys.foldLeft(
+      Tables.documents(spark, d)
+        .select(col("doc_id"),
+          md5(concat(lit(salt), col("doc_id").cast("string"))).as("h"))
+        .withColumn("bucket",
+          conv(substring(col("h"), 1, hexChars), 16, 10).cast("long")))(
+      (df, k) => df.filter(expr(k).isNotNull))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))))
     // bucket counts ride the window's (bucket)-partitioning
     val totals = ranked.groupBy(col("bucket")).agg(count(lit(1)).as("tot"))
       .select(col("bucket").as("key"), col("tot"))
-    // 65536 buckets: one recursion level keeps every sort task ≤ fanout
-    val prefix = exclusivePrefix(totals, depth = 1, fanout = 1000L)
+    val prefix = exclusivePrefix(totals, depth, fanout)
       .select(col("key").as("bucket"), col("pre"))
     ranked.join(broadcast(prefix), Seq("bucket"))
       .select(col("doc_id"), lit(epoch).as("epoch"),
         (col("pre") + col("rk") - 1).as("pos"))
       .orderBy(col("doc_id"))
+  }
+
+  /** (hex prefix chars, recursion depth) for a declared corpus capacity:
+    * buckets = 16^hexChars ≥ maxDocs/fanout (expected in-bucket rows ≤
+    * fanout), and depth keeps every [[exclusivePrefix]] level's top frame
+    * ≤ fanout rows. Defaults reproduce the original fixed geometry
+    * (4 hex chars = 65536 buckets, depth 1).
+    */
+  private[graft] def epochShuffleGeometry(maxDocs: Long, fanout: Long): (Int, Int) = {
+    require(maxDocs > 0 && fanout > 1, s"maxDocs=$maxDocs fanout=$fanout")
+    val targetBuckets = math.max(1.0, maxDocs.toDouble / fanout)
+    // 12 hex chars = 2^48 buckets — past any addressable corpus
+    val hexChars = math.max(1, math.min(12,
+      math.ceil(math.log(targetBuckets) / math.log(16.0)).toInt))
+    val depth = math.max(1, math.ceil(
+      hexChars * math.log(16.0) / math.log(fanout.toDouble)).toInt - 1)
+    (hexChars, depth)
   }
 
   /** tp08 — per-source document cap (the domain-balancing step real

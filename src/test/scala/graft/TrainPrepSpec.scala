@@ -221,6 +221,24 @@ class TrainPrepSpec extends AnyFunSuite {
       s"doc-rank window must partition by bucket:\n${docWindows.mkString("\n")}")
   }
 
+  test("tp07 geometry derives from declared capacity; the permutation is geometry-invariant") {
+    // defaults reproduce the original fixed shape: 65536 buckets, depth 1
+    assert(TrainPrep.epochShuffleGeometry(65536L * 1000L, 1000L) == (4, 1))
+    // a 10^12-doc declaration widens to 16^8 buckets and three prefix
+    // levels — every in-bucket sort stays ~fanout rows, every prefix level
+    // tops out ≤ fanout
+    assert(TrainPrep.epochShuffleGeometry(1000000000000L, 1000L) == (8, 3))
+    // the permutation is defined by (hash, doc_id) order alone: bucket is
+    // an order-consistent PREFIX slice of the hash, so re-declaring
+    // capacity must not move a single position
+    val base = TrainPrep.epochShuffle(spark, sf, epoch = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val wide = TrainPrep.epochShuffle(spark, sf, epoch = 3,
+        maxDocs = 1000000000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(base == wide, "declared capacity changed the permutation")
+  }
+
   test("tp08: two-stage top-K admits exactly the per-source hash-rank top cap") {
     val cap = 20
     val rows = TrainPrep.sourceCap(spark, sf, cap).collect()
