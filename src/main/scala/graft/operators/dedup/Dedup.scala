@@ -513,21 +513,27 @@ object Dedup {
     * (one row per distinct fingerprint out of each partition), then an
     * ids+fp-only left join back to the eval side — AQE-skew-splittable,
     * payloads never shuffle. The train/eval lanes carry different pushed
-    * filters, so this is two corpus scans by design (the dd01 tradeoff:
-    * persist the 40-byte (doc_id, fp) projection if the second scan
-    * matters at 100 TB).
+    * filters, so the default is two corpus scans; `persistProjection =
+    * true` lazily cache()-pins the ~40-byte (doc_id, fp, split) projection
+    * instead, so the corpus (and the md5-of-text work) is scanned ONCE and
+    * both lanes read the in-memory projection — the dd01 tradeoff, made a
+    * switch. The pin is a lazy `cache()` (never localCheckpoint): query
+    * construction stays zero-job, and the relation materializes on first
+    * execution (plan-audited: one scan leaf, InMemoryRelation present).
     */
-  def splitLeakage(spark: SparkSession, d: String): DataFrame = {
+  def splitLeakage(spark: SparkSession, d: String,
+      persistProjection: Boolean = false): DataFrame = {
     import graft.operators.prep.TrainPrep
     val docs = Tables.spread(Tables.documents(spark, d)
       .select(col("doc_id"), col("text")).filter(col("text").isNotNull))
     val all = docs.union(docs.select(
       (col("doc_id") + 100000L).as("doc_id"), col("text")))
-    val fp = all.select(col("doc_id"),
+    val fpRaw = all.select(col("doc_id"),
         md5(TextOps.normalized(col("text"))).as("fp"),
         (TrainPrep.hashBucket16("graft:", col("doc_id")) % 100)
           .cast("int").as("bucket"))
       .withColumn("split", TrainPrep.splitOf(col("bucket")))
+    val fp = if (persistProjection) fpRaw.cache() else fpRaw
     val trainCounts = fp.filter(col("split") === "train")
       .groupBy(col("fp")).agg(count(lit(1)).as("n_train_dups"))
     fp.filter(col("split") =!= "train")

@@ -119,6 +119,33 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("dd10 persist mode: one corpus scan through a cache-pinned projection, same answer") {
+    import graft.operators.dedup.Dedup
+    val persisted = Dedup.splitLeakage(spark, sf, persistProjection = true)
+    try {
+      val lp = persisted.queryExecution.optimizedPlan
+      val caches = lp.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+      }
+      assert(caches.nonEmpty, "persist mode did not pin the projection")
+      // default mode scans the corpus twice (2 union branches × 2 lanes =
+      // 4 leaves); the pin must collapse the query's own leaves to the
+      // cached projection's single subtree (2 union branches, 1 reference)
+      val scans = lp.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }
+      assert(scans.isEmpty,
+        s"corpus still scanned ${scans.size}× outside the pinned projection")
+      val inCache = caches.head.cachedPlan.collectLeaves()
+      assert(inCache.size <= 2,
+        s"pinned projection itself should be one union read: ${inCache.size}")
+      // both modes return the identical relation
+      val a = Dedup.splitLeakage(spark, sf).collect().map(_.toSeq).toSeq
+      val b = persisted.collect().map(_.toSeq).toSeq
+      assert(a == b, "persist mode changed the answer")
+    } finally spark.catalog.clearCache() // the pin lives on the inner projection
+  }
+
   test("cdc06: the update diff runs as the native expression, not interpreted lambdas") {
     val p = plan("cdc06_diff")
     assert(p.contains("map_changed_fields"), "native diff expression missing")
