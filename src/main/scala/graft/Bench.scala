@@ -45,7 +45,7 @@ object Bench {
       s"SPARK_GRAFT_BENCH_REPEATS=$repeats: need >= 1 or every query " +
         "would report -1 with a clean exit")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-    val best = scala.collection.mutable.Map[String, Double]()
+    val samples = scala.collection.mutable.Map[String, List[Double]]()
     val errors = scala.collection.mutable.Map[String, String]()
     for (r <- 1 to repeats) {
       // cold caches per pass: queries that pin subtrees via cache() (the
@@ -57,7 +57,7 @@ object Bench {
         try {
           fn(spark, sfDir).count()
           val secs = (System.nanoTime() - t0) / 1e9
-          if (secs < best.getOrElse(name, Double.MaxValue)) best(name) = secs
+          samples(name) = secs :: samples.getOrElse(name, Nil)
         } catch { case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         }
@@ -65,17 +65,31 @@ object Bench {
     }
     val results = queries.map { case (name, _) =>
       val err = errors.get(name)
-      (name, if (err.isDefined) -1.0 else best.getOrElse(name, -1.0), err)
+      (name, if (err.isDefined) -1.0 else samples.get(name).map(_.min).getOrElse(-1.0), err)
+    }
+    // medians ride along so cross-round comparisons can be protocol-honest:
+    // the min envelope harvests JIT/page-cache warm-up on top of scheduler
+    // weather, so min-vs-single-pass deltas conflate protocol with plan
+    // changes — the median of the same passes is the steadier middle
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val medians = queries.flatMap { case (name, _) =>
+      samples.get(name).filter(_ => !errors.contains(name))
+        .map(xs => name -> median(xs))
     }
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
     val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val meds = medians.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m.take(300)) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
+    val medTotal = medians.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","protocol":"per-query min of $repeats round-robin passes"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$meds,"median_total":$medTotal,"errors":$errs,"sf":"$sfDir","protocol":"per-query min of $repeats round-robin passes; medians of the same passes alongside"}"""
     println(line)
     // Belt-and-braces for log-prefixing launchers: also drop the line in a file.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")

@@ -61,6 +61,17 @@ object Tables {
     spark.read.schema(schema).parquet(path)
   }
 
+  /** Drop cached inferred schemas — one path, or all. The cache is keyed
+    * by path and never expires (testdata is immutable), so a session that
+    * REWRITES a fixture directory with a different schema in the same JVM
+    * must invalidate here or [[load]] serves the stale footer schema
+    * (null columns / analysis errors).
+    */
+  def invalidateSchemaCache(path: Option[String] = None): Unit = path match {
+    case Some(p) => schemaCache.remove(p); ()
+    case None    => schemaCache.clear()
+  }
+
   def lineitem(spark: SparkSession, d: String): DataFrame   = load(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame     = load(spark, d, "orders")
   def customer(spark: SparkSession, d: String): DataFrame   = load(spark, d, "customer")

@@ -231,7 +231,12 @@ object Multimodal {
     * blobs never shuffle.
     */
   def blobDedup(spark: SparkSession, d: String): DataFrame = {
-    val media = mediaSrc(spark, d)
+    // null blobs are EXCLUDED, explicitly (mirrored in the oracle): a null
+    // join key never matches in the join-back, so without the filter the
+    // rows would silently vanish from the output while a window-based
+    // oracle kept them — dd10's defensive isNotNull, applied to the blob
+    // lane
+    val media = mediaSrc(spark, d).filter(col("blob").isNotNull)
     val withCopies = media.union(media.select(
       (col("media_id") + 100000L).as("media_id"), col("blob")))
     val fp = withCopies.select(col("media_id"), md5(col("blob")).as("fp"))

@@ -678,11 +678,12 @@ SELECT media_id, CAST(cp // 16 AS INT) AS bucket, count(*) AS n
 FROM chars GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // blob = utf8(text), so DuckDB's md5 over the string is the same
-    // digest Spark computes over the binary column
+    // digest Spark computes over the binary column; null blobs excluded on
+    // both sides (a null key would never survive the engine's join-back)
     "mm05_blob_dedup" -> """
 WITH m AS (
-  SELECT doc_id AS media_id, md5(text) AS f FROM documents
-  UNION ALL SELECT doc_id + 100000, md5(text) FROM documents)
+  SELECT doc_id AS media_id, md5(text) AS f FROM documents WHERE text IS NOT NULL
+  UNION ALL SELECT doc_id + 100000, md5(text) FROM documents WHERE text IS NOT NULL)
 SELECT media_id,
   min(media_id) OVER (PARTITION BY f) AS canonical_id,
   count(*) OVER (PARTITION BY f) AS n_copies
