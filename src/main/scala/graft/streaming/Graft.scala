@@ -178,6 +178,9 @@ object Graft {
   def start(spark: SparkSession, config: GraftConfig, walDir: String,
       engine: Engine, trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
     config.effectiveLedger.foreach(engine.withDeliveryLedger)
+    // session-level conf, bound per query at start — set before .start()
+    config.stateStoreProvider.foreach(p =>
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
     engine.start(events(spark, config, walDir),
       checkpoint = config.effectiveCheckpoint,
       trigger = trigger,
@@ -198,6 +201,8 @@ object Graft {
       s"config '${config.appName}': set hostname+database (postgres url) " +
         "or pass url via extraOptions")
     config.effectiveLedger.foreach(engine.withDeliveryLedger)
+    config.stateStoreProvider.foreach(p =>
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
     engine.start(
       eventsFromJdbc(spark, opts),
       checkpoint = config.effectiveCheckpoint,

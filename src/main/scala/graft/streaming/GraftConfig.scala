@@ -38,7 +38,8 @@ final case class GraftConfig(
     staleTxnTtl: Option[String] = None,
     rowFilter: Option[String] = None,
     deliveryLedger: Option[String] = None,
-    exactlyOnce: Boolean = false) {
+    exactlyOnce: Boolean = false,
+    stateStore: Option[String] = None) {
 
   /** Effective replication slot name (parse_slot_name, config.ex:204-215):
     * derived from the app name when unset, sanitized to pg's identifier
@@ -83,6 +84,28 @@ final case class GraftConfig(
         "(durableSlot=true, ideally with checkpointDir) — without a " +
         "checkpoint there is no batch replay for the ledger to dedupe, " +
         "or set deliveryLedger explicitly")) + "/_graft_delivery")
+  }
+
+  /** State-store provider class for this app's streaming queries.
+    * `"rocksdb"` is the 100 TB posture: transaction-assembly state is
+    * bounded by OPEN transactions, but a backlog replay on a large
+    * cluster holds every in-flight transaction's changes in state at
+    * once — the default HDFS-backed store keeps all of it on the JVM
+    * heap (GC pressure, OOM ceiling), while RocksDB keeps it off-heap
+    * on local disk with an in-heap working set. `"hdfs"` names the
+    * default explicitly; any other value must be a fully-qualified
+    * provider class. Applied by [[Graft.start]]/[[Graft.startJdbc]] at
+    * query-plan time (Spark binds the provider per query start).
+    */
+  def stateStoreProvider: Option[String] = stateStore.map {
+    case "rocksdb" =>
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    case "hdfs" =>
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    case fqcn if fqcn.contains(".") => fqcn
+    case other => throw new IllegalArgumentException(
+      s"config '$appName': stateStore must be rocksdb, hdfs, or a " +
+        s"fully-qualified provider class — got '$other'")
   }
 
   /** Options map for the DSv2 JDBC polling source (S1's live-database

@@ -59,6 +59,18 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(!temp.sourceOptions("/wal").contains("tables"))
   }
 
+  test("stateStoreProvider: shorthand mapping, FQCN pass-through, junk fails fast") {
+    assert(GraftConfig("a").stateStoreProvider.isEmpty)
+    assert(GraftConfig("a", stateStore = Some("rocksdb")).stateStoreProvider
+      .contains("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    assert(GraftConfig("a", stateStore = Some("hdfs")).stateStoreProvider
+      .contains("org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"))
+    assert(GraftConfig("a", stateStore = Some("com.example.MyProvider"))
+      .stateStoreProvider.contains("com.example.MyProvider"))
+    intercept[IllegalArgumentException](
+      GraftConfig("a", stateStore = Some("bogus")).stateStoreProvider)
+  }
+
   test("effectiveLedger: explicit path wins, exactlyOnce derives next to the checkpoint, no-slot fails fast") {
     // declarative exactly-once: ledger derived NEXT TO the durable checkpoint
     val eo = GraftConfig("app", durableSlot = true,

@@ -751,6 +751,31 @@ class StreamingCdcSpec extends AnyFunSuite {
       s"ledger not materialized by the facade: ${names.toSeq}")
   }
 
+  test("Graft facade: stateStore=rocksdb runs transaction assembly on the RocksDB provider") {
+    val dir = tmpDir("graft-rocks")
+    WalFixture.writeSegments(dir, Seq(
+      mkChange(1, 0, "insert", "user", recordId = 1),
+      mkChange(2, 1, "update", "user", recordId = 1)))
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val engine = new Engine().onEvent("*") { df => seen.addAndGet(df.count().toInt); () }
+    val config = GraftConfig("rocks_demo", stateStore = Some("rocksdb"))
+    try {
+      val q = Graft.start(spark, config, dir, engine, trigger = Trigger.AvailableNow())
+      q.awaitTermination(120000)
+      assert(seen.get() == 2)
+      // the assembler's stateful operator actually ran on RocksDB: its
+      // per-operator custom metrics are provider-specific
+      val metricKeys = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .flatMap { so =>
+          import scala.jdk.CollectionConverters._
+          so.customMetrics.keySet.asScala
+        }
+      assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+        s"no RocksDB state metrics — provider not engaged: $metricKeys")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("change-table polling lane discovers newly-appended files incrementally") {
     val dir = tmpDir("poll")
     def changeRows(from: Int, n: Int, table: String) =
