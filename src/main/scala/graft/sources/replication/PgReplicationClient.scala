@@ -1,0 +1,327 @@
+package graft.sources.replication
+
+import java.net.{InetSocketAddress, StandardProtocolFamily, UnixDomainSocketAddress}
+import java.nio.ByteBuffer
+import java.nio.channels.SocketChannel
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
+
+/** A minimal PostgreSQL streaming-replication client — the live ingestion
+  * path the reference runs in production (walex holds a
+  * `Postgrex.ReplicationConnection`, lib/walex/replication/server.ex:1-120;
+  * here it is the public frontend/backend protocol v3 + the streaming
+  * replication sub-protocol, implemented directly on JDK sockets: no JDBC
+  * driver exists in this environment and replication mode is outside
+  * JDBC's surface anyway).
+  *
+  * Scope — exactly what live CDC ingestion needs, nothing else:
+  *  - startup in `replication=database` mode, trust / cleartext / md5
+  *    auth (SCRAM is not implemented; point a dedicated replication user
+  *    with `trust`/`md5` at this client, or terminate auth at a proxy)
+  *  - `START_REPLICATION SLOT … LOGICAL …` with pgoutput options
+  *  - the CopyBoth stream: XLogData ('w') frames — each carrying ONE
+  *    binary pgoutput message, byte-identical to what
+  *    `pg_logical_slot_get_binary_changes` returns — and keepalives ('k')
+  *  - standby status updates ('r'): the flushed-LSN ack that advances
+  *    `confirmed_flush_lsn` on the slot (S6). Keepalives that request a
+  *    reply are answered automatically from the last acked LSN, so the
+  *    server never times the standby out while the caller is busy.
+  *
+  * TCP and unix-domain sockets are both supported (Java 17
+  * `UnixDomainSocketChannel`); the live specs use the socket path, so no
+  * port is ever opened. A dedicated reader thread turns the socket into a
+  * bounded message queue — `poll` is timeout-based and never blocks the
+  * caller on network silence, and acks may be sent from any thread
+  * (`SocketChannel` allows one concurrent reader + one writer).
+  */
+object PgReplicationClient {
+
+  final case class Endpoint(
+      host: String = "localhost",
+      port: Int = 5432,
+      unixSocketDir: Option[String] = None,
+      database: String,
+      user: String,
+      password: Option[String] = None,
+      applicationName: String = "graft-replication")
+
+  sealed trait Message
+  /** One pgoutput frame plus its WAL position. */
+  final case class XLogData(startLsn: Long, walEnd: Long, serverClockUs: Long,
+      frame: Array[Byte]) extends Message
+  final case class Keepalive(walEnd: Long, serverClockUs: Long,
+      replyRequested: Boolean) extends Message
+  /** Server ended the copy stream (slot dropped, server shutdown). */
+  case object StreamEnded extends Message
+
+  /** `X/X` hex form used by replication commands and pg_lsn. */
+  def formatLsn(lsn: Long): String =
+    f"${(lsn >>> 32).toHexString.toUpperCase}%s/${(lsn & 0xffffffffL).toHexString.toUpperCase}%s"
+
+  def parseLsn(s: String): Long = {
+    val Array(hi, lo) = s.split("/")
+    (java.lang.Long.parseLong(hi, 16) << 32) | java.lang.Long.parseLong(lo, 16)
+  }
+
+  /** Microseconds since the Postgres epoch (2000-01-01). */
+  private[replication] def pgClockUs: Long =
+    (System.currentTimeMillis() - 946684800000L) * 1000L
+}
+
+final class PgReplicationClient(ep: PgReplicationClient.Endpoint) extends AutoCloseable {
+  import PgReplicationClient._
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private var ch: SocketChannel = _
+  private val inbox = new LinkedBlockingQueue[Either[Throwable, Message]](1024)
+  @volatile private var readerThread: Thread = _
+  @volatile private var lastAckedLsn: Long = 0L
+  @volatile private var closed = false
+
+  // ---- low-level framing -------------------------------------------------
+
+  private def readFully(buf: ByteBuffer): Boolean = {
+    while (buf.hasRemaining) {
+      if (ch.read(buf) < 0) return false
+    }
+    buf.flip(); true
+  }
+
+  private def readMessage(): Option[(Byte, Array[Byte])] = {
+    val head = ByteBuffer.allocate(5)
+    if (!readFully(head)) return None
+    val tpe = head.get()
+    val len = head.getInt() - 4
+    val body = ByteBuffer.allocate(len)
+    if (!readFully(body)) return None
+    Some((tpe, body.array()))
+  }
+
+  private def send(tpe: Byte, body: Array[Byte]): Unit = {
+    val buf = ByteBuffer.allocate(1 + 4 + body.length)
+    buf.put(tpe).putInt(4 + body.length).put(body).flip()
+    while (buf.hasRemaining) ch.write(buf)
+  }
+
+  private def cstr(s: String): Array[Byte] = s.getBytes(UTF_8) :+ 0.toByte
+
+  private def errorFields(body: Array[Byte]): Map[Char, String] = {
+    // ErrorResponse: (fieldCode byte, cstring)* terminated by a 0 byte
+    val fields = scala.collection.mutable.Map[Char, String]()
+    var i = 0
+    while (i < body.length && body(i) != 0) {
+      val code = body(i).toChar; i += 1
+      val end = body.indexOf(0.toByte, i)
+      fields(code) = new String(body, i, end - i, UTF_8)
+      i = end + 1
+    }
+    fields.toMap
+  }
+
+  private def errorText(body: Array[Byte]): String = {
+    val f = errorFields(body)
+    s"${f.getOrElse('S', "ERROR")}: ${f.getOrElse('M', "unknown")} " +
+      s"(${f.getOrElse('C', "?????")})"
+  }
+
+  // ---- connection + auth -------------------------------------------------
+
+  /** Connect, authenticate, and reach ReadyForQuery in replication mode. */
+  def connect(): this.type = {
+    ch = ep.unixSocketDir match {
+      case Some(dir) =>
+        val c = SocketChannel.open(StandardProtocolFamily.UNIX)
+        c.connect(UnixDomainSocketAddress.of(s"$dir/.s.PGSQL.${ep.port}"))
+        c
+      case None =>
+        SocketChannel.open(new InetSocketAddress(ep.host, ep.port))
+    }
+    // StartupMessage has no type byte: int32 len, int32 196608, params
+    val params = Seq(
+      "user" -> ep.user, "database" -> ep.database,
+      "replication" -> "database", "application_name" -> ep.applicationName)
+    val body = params.flatMap { case (k, v) => cstr(k) ++ cstr(v) }.toArray :+ 0.toByte
+    val start = ByteBuffer.allocate(8 + body.length)
+    start.putInt(8 + body.length).putInt(196608).put(body).flip()
+    while (start.hasRemaining) ch.write(start)
+    // drive auth to ReadyForQuery
+    var ready = false
+    while (!ready) {
+      val (tpe, b) = readMessage().getOrElse(
+        throw new java.io.IOException("connection closed during startup"))
+      tpe.toChar match {
+        case 'R' =>
+          val code = ByteBuffer.wrap(b).getInt
+          code match {
+            case 0 => // AuthenticationOk
+            case 3 => // cleartext
+              send('p'.toByte, cstr(ep.password.getOrElse(
+                throw new IllegalArgumentException("server wants a password"))))
+            case 5 => // md5(md5(password + user) + salt)
+              val salt = b.drop(4)
+              val md = java.security.MessageDigest.getInstance("MD5")
+              def hex(a: Array[Byte]) = a.map(x => f"${x & 0xff}%02x").mkString
+              val inner = hex(md.digest((ep.password.getOrElse(
+                throw new IllegalArgumentException("server wants a password"))
+                + ep.user).getBytes(UTF_8)))
+              md.reset()
+              val outer = hex(md.digest(inner.getBytes(UTF_8) ++ salt))
+              send('p'.toByte, cstr("md5" + outer))
+            case other => throw new java.io.IOException(
+              s"unsupported auth method $other (SCRAM needs trust/md5 for this client)")
+          }
+        case 'S' | 'K' | 'N' => () // parameter status / backend key / notice
+        case 'Z' => ready = true
+        case 'E' => throw new java.io.IOException(errorText(b))
+        case other => throw new java.io.IOException(s"unexpected startup message '$other'")
+      }
+    }
+    this
+  }
+
+  /** Simple query on the replication connection (walsender sessions in
+    * `replication=database` mode accept plain SQL and the replication
+    * grammar alike). Must run BEFORE [[startReplication]] — the reader
+    * thread owns the socket afterwards. Returns (sqlstate-if-error,
+    * data-row-count).
+    */
+  private def command(sql: String): (Option[String], Int) = {
+    send('Q'.toByte, cstr(sql))
+    var err: Option[String] = None
+    var rows = 0
+    var done = false
+    while (!done) {
+      val (tpe, b) = readMessage().getOrElse(
+        throw new java.io.IOException(s"connection closed during: $sql"))
+      tpe.toChar match {
+        case 'Z' => done = true
+        case 'E' => err = errorFields(b).get('C').orElse(Some("XX000"))
+        case 'D' => rows += 1
+        case _   => () // RowDescription / CommandComplete / notices / status
+      }
+    }
+    (err, rows)
+  }
+
+  /** S2's fail-fast, live: does the publication exist on the server? */
+  def publicationExists(publication: String): Boolean = {
+    val safe = publication.replace("'", "''")
+    val (err, rows) = command(
+      s"SELECT 1 FROM pg_publication WHERE pubname = '$safe'")
+    err.foreach(c => throw new java.io.IOException(s"publication check failed: $c"))
+    rows > 0
+  }
+
+  /** Create the slot through the replication grammar. `temporary = true`
+    * maps the reference's temporary-slot mode (S3): the slot dies with
+    * this connection. An already-existing slot (sqlstate 42710) is fine —
+    * that is the durable-slot resume path (S4).
+    */
+  def createSlot(slot: String, temporary: Boolean): this.type = {
+    val t = if (temporary) "TEMPORARY " else ""
+    command(s"CREATE_REPLICATION_SLOT $slot ${t}LOGICAL pgoutput") match {
+      case (None, _) | (Some("42710"), _) => this
+      case (Some(code), _) =>
+        throw new java.io.IOException(s"CREATE_REPLICATION_SLOT $slot failed: $code")
+    }
+  }
+
+  /** Begin streaming: pgoutput frames start arriving on [[poll]]. */
+  def startReplication(slot: String, publication: String,
+      startLsn: Long = 0L, protoVersion: Int = 1): this.type = {
+    val sql = s"START_REPLICATION SLOT $slot LOGICAL ${formatLsn(startLsn)} " +
+      s"""(proto_version '$protoVersion', publication_names '$publication')"""
+    send('Q'.toByte, cstr(sql))
+    // server answers CopyBothResponse, then the stream flows
+    var copying = false
+    while (!copying) {
+      val (tpe, b) = readMessage().getOrElse(
+        throw new java.io.IOException("connection closed before CopyBoth"))
+      tpe.toChar match {
+        case 'W' => copying = true
+        case 'N' => ()
+        case 'E' => throw new java.io.IOException(errorText(b))
+        case other => throw new java.io.IOException(s"unexpected pre-copy message '$other'")
+      }
+    }
+    val t = new Thread(() => readLoop(), "graft-replication-reader")
+    t.setDaemon(true)
+    readerThread = t
+    t.start()
+    this
+  }
+
+  private def readLoop(): Unit =
+    try {
+      var running = true
+      while (running) {
+        readMessage() match {
+          case None =>
+            inbox.put(Right(StreamEnded)); running = false
+          case Some((tpe, b)) => tpe.toChar match {
+            case 'd' =>
+              val buf = ByteBuffer.wrap(b)
+              buf.get().toChar match {
+                case 'w' =>
+                  val start = buf.getLong; val end = buf.getLong; val clock = buf.getLong
+                  val frame = new Array[Byte](buf.remaining()); buf.get(frame)
+                  inbox.put(Right(XLogData(start, end, clock, frame)))
+                case 'k' =>
+                  val end = buf.getLong; val clock = buf.getLong
+                  val reply = buf.get() != 0
+                  // answer immediately so the wal_sender never times us out,
+                  // then surface the keepalive to the caller
+                  if (reply && !closed) sendStandbyStatus(lastAckedLsn)
+                  inbox.put(Right(Keepalive(end, clock, reply)))
+                case other =>
+                  log.warn(s"ignoring CopyData subtype '$other'")
+              }
+            case 'c' | 'C' | 'Z' => // CopyDone / CommandComplete / Ready
+              inbox.put(Right(StreamEnded)); running = false
+            case 'E' =>
+              inbox.put(Left(new java.io.IOException(errorText(b)))); running = false
+            case 'N' => ()
+            case other =>
+              log.warn(s"ignoring message '$other' in copy stream")
+          }
+        }
+      }
+    } catch {
+      case _: Throwable if closed => inbox.offer(Right(StreamEnded)); ()
+      case e: Throwable           => inbox.offer(Left(e)); ()
+    }
+
+  /** Next stream message, or None after `timeoutMs` of silence. */
+  def poll(timeoutMs: Long): Option[Message] =
+    Option(inbox.poll(timeoutMs, TimeUnit.MILLISECONDS)).map {
+      case Right(m) => m
+      case Left(e)  => throw e
+    }
+
+  /** Standby status update ('r'): written/flushed/applied all set to
+    * `flushedLsn` — the segment writer only acks what is durably on disk,
+    * and the ack is what moves the slot's `confirmed_flush_lsn` (S6).
+    */
+  def sendStandbyStatus(flushedLsn: Long, replyRequested: Boolean = false): Unit =
+    synchronized {
+      if (ch == null || !ch.isOpen) return
+      lastAckedLsn = math.max(lastAckedLsn, flushedLsn)
+      val body = ByteBuffer.allocate(1 + 8 * 4 + 1)
+      body.put('r'.toByte)
+        .putLong(lastAckedLsn).putLong(lastAckedLsn).putLong(lastAckedLsn)
+        .putLong(pgClockUs).put(if (replyRequested) 1.toByte else 0.toByte)
+      send('d'.toByte, body.array())
+    }
+
+  override def close(): Unit = {
+    closed = true
+    try if (ch != null && ch.isOpen) {
+      try send('X'.toByte, Array.emptyByteArray) // Terminate
+      catch { case _: Throwable => () }
+      ch.close()
+    } finally {
+      val t = readerThread
+      if (t != null) t.join(2000)
+    }
+  }
+}

@@ -1,0 +1,138 @@
+package graft.sources.replication
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.cdc.WalSegments
+
+/** Bridges the live replication stream onto the WAL segment layout the
+  * DSv2 CDC source consumes: the missing production piece between "a
+  * PostgreSQL with a publication" and `Graft.start`. Runs beside the
+  * driver (or anywhere with database + shared-storage access); the Spark
+  * side just streams the segment directory as usual.
+  *
+  * Responsibilities:
+  *  - append incoming pgoutput frames into rotating GWAL segments
+  *    (atomic tmp+move per segment, so the source never sees a torn file)
+  *  - REPLAY cached `Relation`/`Type` metadata frames at each segment
+  *    head: pgoutput sends relation metadata once per session, but every
+  *    segment must be independently decodable (the source decodes
+  *    segments in parallel) — the same invariant a reconnecting session
+  *    gets from the server, maintained here per segment
+  *  - rotate only at transaction boundaries (after Commit), so a segment
+  *    never strands a headless transaction tail — cross-segment
+  *    transactions still assemble (cdc05/cdc14 semantics), this just
+  *    keeps segments humanly inspectable and replay-friendly
+  *  - ack the last durably-WRITTEN LSN as the flushed position (S6): the
+  *    segment file is the durable handoff, so the slot's retention window
+  *    is bounded by what is on disk, not by what Spark has consumed. An
+  *    optional `ackFloor` caps the ack at an external progress marker
+  *    (e.g. the CDC source's `ackPath` offsets) for deployments that want
+  *    slot retention to track the CONSUMER instead.
+  */
+final class ReplicationTailer(
+    client: PgReplicationClient,
+    walDir: String,
+    framesPerSegment: Int = 4096,
+    ackFloor: () => Option[Long] = () => None) {
+
+  import PgReplicationClient._
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val metadata = scala.collection.mutable.LinkedHashMap[String, Array[Byte]]()
+  private val pending = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+  private var segmentIdx = WalSegments.listSegments(walDir).size
+  private var lastWrittenLsn = 0L
+  private var pendingEndLsn = 0L
+
+  Files.createDirectories(Paths.get(walDir))
+
+  /** Metadata key: relation frames replace by relation id, type frames by
+    * type oid — last-write-wins, like the server's per-session cache
+    * (reference: publisher.ex:79-95).
+    */
+  private def metadataKey(frame: Array[Byte]): Option[String] =
+    frame.headOption.map(_.toChar) match {
+      case Some('R') => Some("R" + java.nio.ByteBuffer.wrap(frame, 1, 4).getInt)
+      case Some('Y') => Some("Y" + java.nio.ByteBuffer.wrap(frame, 1, 4).getInt)
+      case _         => None
+    }
+
+  private def isCommit(frame: Array[Byte]): Boolean =
+    frame.headOption.contains('C'.toByte)
+
+  /** Consume one stream message. Returns true while the stream is live. */
+  def accept(msg: Message): Boolean = msg match {
+    case XLogData(_, walEnd, _, frame) =>
+      metadataKey(frame) match {
+        case Some(k) => metadata(k) = frame
+        case None    => pending += frame
+      }
+      pendingEndLsn = math.max(pendingEndLsn, walEnd)
+      if (pending.length >= framesPerSegment && isCommit(frame)) flush()
+      true
+    case Keepalive(_, _, _) => true
+    case StreamEnded        => false
+  }
+
+  /** Write buffered frames as one segment (metadata replayed at its head)
+    * and ack the flushed position. No-op when nothing is buffered.
+    */
+  def flush(): Unit = {
+    if (pending.isEmpty) return
+    val frames = metadata.values.toSeq ++ pending.toSeq
+    WalSegments.write(
+      Paths.get(walDir, WalSegments.segmentName(segmentIdx)), frames)
+    segmentIdx += 1
+    pending.clear()
+    lastWrittenLsn = pendingEndLsn
+    val ack = ackFloor() match {
+      case Some(floor) => math.min(floor, lastWrittenLsn)
+      case None        => lastWrittenLsn
+    }
+    if (ack > 0) client.sendStandbyStatus(ack)
+    log.info(s"graft-replication: segment ${segmentIdx - 1} " +
+      s"(${frames.length} frames) flushed, acked ${formatLsn(ack)}")
+  }
+
+  /** Pump the stream until `idleMs` passes with no traffic, or the stream
+    * ends; flushes any tail. Returns whether the stream is still live
+    * (false after StreamEnded) — [[Replicator]] loops on it.
+    */
+  def runUntilIdle(idleMs: Long = 2000L): Boolean = {
+    var live = true
+    var pumping = true
+    while (pumping) client.poll(idleMs) match {
+      case Some(m) => if (!accept(m)) { live = false; pumping = false }
+      case None    => pumping = false // idle window elapsed
+    }
+    flush()
+    live
+  }
+}
+
+/** Background pump: keeps the tailer draining the stream on a daemon
+  * thread until the stream ends or [[close]] — the long-running process a
+  * deployment runs next to (or inside) the Spark driver. Closing also
+  * closes the client, which drops a TEMPORARY slot server-side (S3).
+  */
+final class Replicator(client: PgReplicationClient, tailer: ReplicationTailer,
+    idleMs: Long = 2000L) extends AutoCloseable {
+  @volatile private var closed = false
+  private val thread = new Thread(() => {
+    try { while (!closed && tailer.runUntilIdle(idleMs)) () }
+    catch { case e: Throwable if !closed =>
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .error(s"graft-replicator stream failed: $e")
+    }
+  }, "graft-replicator")
+  thread.setDaemon(true)
+  thread.start()
+
+  def isRunning: Boolean = thread.isAlive
+
+  override def close(): Unit = {
+    closed = true
+    client.close()
+    thread.join(10000)
+  }
+}

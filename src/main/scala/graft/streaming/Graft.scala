@@ -172,6 +172,55 @@ object Graft {
         metaTypesCol).as("col_types")))
   }
 
+  /** LIVE ingestion: connect to the config's database as a replication
+    * client (public wire protocol — no JDBC involved), fail fast if the
+    * publication is absent (S2, against the real catalog), create the
+    * slot through the replication grammar (temporary unless
+    * `durableSlot` — S3/S4 on the actual server, not a file stand-in),
+    * and pump the pgoutput stream into `walDir` as GWAL segments on a
+    * daemon thread. Pair with [[start]] on the same `walDir`:
+    *
+    * {{{
+    * val repl  = Graft.replicate(config, walDir)          // DB → segments
+    * val query = Graft.start(spark, config, walDir, engine) // segments → handlers
+    * }}}
+    *
+    * The returned [[graft.sources.replication.Replicator]] owns the
+    * connection: `close()` stops the pump and — for temporary slots —
+    * drops the slot server-side. Flushed-segment LSNs are acked upstream,
+    * so the slot's retention window tracks what is durably on disk.
+    */
+  def replicate(config: GraftConfig, walDir: String,
+      unixSocketDir: Option[String] = None,
+      framesPerSegment: Int = 4096,
+      idleMs: Long = 2000L): graft.sources.replication.Replicator = {
+    import graft.sources.replication._
+    val pub = config.publication.getOrElse(throw new IllegalArgumentException(
+      s"config '${config.appName}': replicate() needs a publication"))
+    def need(v: Option[String], what: String): String = v.getOrElse(
+      throw new IllegalArgumentException(
+        s"config '${config.appName}': replicate() needs $what"))
+    val ep = PgReplicationClient.Endpoint(
+      host = config.hostname.getOrElse("localhost"),
+      port = config.port,
+      unixSocketDir = unixSocketDir,
+      database = need(config.database, "a database"),
+      user = need(config.username, "a username"),
+      password = config.password,
+      applicationName = s"graft-${config.appName}")
+    val client = new PgReplicationClient(ep).connect()
+    try {
+      if (!client.publicationExists(pub))
+        throw new IllegalStateException(
+          s"publication '$pub' does not exist (reference fail-fast, server.ex:75-83)")
+      client
+        .createSlot(config.effectiveSlotName, temporary = !config.durableSlot)
+        .startReplication(config.effectiveSlotName, pub)
+    } catch { case e: Throwable => client.close(); throw e }
+    new Replicator(client,
+      new ReplicationTailer(client, walDir, framesPerSegment), idleMs)
+  }
+
   /** Start the full engine: events → registered handlers, supervised per
     * the slot-durability semantics of `config`.
     */

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Throwaway-PostgreSQL provisioning for the live integration specs:
+  * local binaries only (no docker daemon in CI sandboxes), unix-socket
+  * only (no TCP port — parallel suites cannot collide), trust auth.
+  * Specs `assume(LivePgHarness.available)` and skip cleanly elsewhere.
+  *
+  * Root cannot run `initdb`/`postgres`; when the JVM runs as root every
+  * server-side command is delegated to the `postgres` system user via
+  * `su` (the JVM itself still connects to the unix socket directly —
+  * trust auth does not care who the client is).
+  */
+object LivePgHarness {
+
+  val pgBin: Option[String] =
+    Seq("17", "16", "15", "14")
+      .map(v => s"/usr/lib/postgresql/$v/bin")
+      .find(d => Files.isExecutable(Paths.get(d, "initdb")))
+
+  val isRoot: Boolean = System.getProperty("user.name") == "root"
+
+  lazy val havePgUser: Boolean =
+    new ProcessBuilder("id", "postgres").start().waitFor() == 0
+
+  def available: Boolean = pgBin.isDefined && (!isRoot || havePgUser)
+
+  def sh(cmd: String): (Int, String) = {
+    val argv =
+      if (isRoot) Seq("su", "postgres", "-c", cmd)
+      else Seq("bash", "-c", cmd)
+    val pb = new ProcessBuilder(argv: _*)
+    pb.directory(new java.io.File("/tmp"))
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+    (p.waitFor(), out)
+  }
+
+  def shOk(cmd: String): String = {
+    val (code, out) = sh(cmd)
+    assert(code == 0, s"command failed ($code): $cmd\n$out")
+    out
+  }
+
+  final class Cluster(val bin: String, val base: String) {
+    val data = s"$base/data"
+    /** Socket directory; the server's "port" only names the socket file. */
+    val sock: String = base
+
+    def psql(sqlText: String): String = {
+      val q = sqlText.replace("\"", "\\\"")
+      shOk(s"""$bin/psql -X -v ON_ERROR_STOP=1 -h $sock -d postgres -At -c "$q"""")
+    }
+
+    def stop(): Unit = { sh(s"$bin/pg_ctl -D $data -m immediate stop"); () }
+  }
+
+  /** initdb + start a logical-replication-ready cluster under a fresh
+    * temp dir. Caller owns `stop()`.
+    */
+  def provision(): Cluster = {
+    val bin = pgBin.getOrElse(sys.error("no PostgreSQL installation"))
+    val base = Files.createTempDirectory("graft-livepg").toString
+    if (isRoot) {
+      new ProcessBuilder("chown", "-R", "postgres:postgres", base).start().waitFor()
+    }
+    val c = new Cluster(bin, base)
+    shOk(s"$bin/initdb -D ${c.data} -A trust")
+    shOk(s"$bin/pg_ctl -D ${c.data} -l $base/pg.log -w " +
+      s"-o '-k ${c.sock} -c listen_addresses= -c wal_level=logical " +
+      "-c max_wal_senders=4 -c max_replication_slots=4' start")
+    c
+  }
+}

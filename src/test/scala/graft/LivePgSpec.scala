@@ -44,55 +44,12 @@ class LivePgSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private val pgBin: Option[String] =
-    Seq("17", "16", "15", "14")
-      .map(v => s"/usr/lib/postgresql/$v/bin")
-      .find(d => Files.isExecutable(Paths.get(d, "initdb")))
-
-  private val isRoot = System.getProperty("user.name") == "root"
-  private val havePgUser =
-    new ProcessBuilder("id", "postgres").start().waitFor() == 0
-
-  private def sh(cmd: String): (Int, String) = {
-    // root cannot run initdb/postgres; delegate to the postgres system
-    // user (cwd must be world-accessible for su)
-    val argv =
-      if (isRoot) Seq("su", "postgres", "-c", cmd)
-      else Seq("bash", "-c", cmd)
-    val pb = new ProcessBuilder(argv: _*)
-    pb.directory(new java.io.File("/tmp"))
-    pb.redirectErrorStream(true)
-    val p = pb.start()
-    val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
-    (p.waitFor(), out)
-  }
-  private def shOk(cmd: String): String = {
-    val (code, out) = sh(cmd)
-    assert(code == 0, s"command failed ($code): $cmd\n$out")
-    out
-  }
-
   test("real publication → real pgoutput frames → full pipeline delivers typed events") {
-    assume(pgBin.isDefined, "no PostgreSQL installation — skipping live smoke")
-    assume(!isRoot || havePgUser, "root without a postgres user — skipping")
-    val bin = pgBin.get
-    val base = Files.createTempDirectory("graft-livepg").toString
-    // the postgres user must own the cluster dir; socket dir doubles as cwd
-    if (isRoot) {
-      new ProcessBuilder("chown", "-R", "postgres:postgres", base).start().waitFor()
-    }
-    val data = s"$base/data"
-    val sock = base
-    def psql(sqlText: String): String = {
-      val q = sqlText.replace("\"", "\\\"")
-      shOk(s"""$bin/psql -X -v ON_ERROR_STOP=1 -h $sock -d postgres -At -c "$q"""")
-    }
+    assume(LivePgHarness.available, "no usable PostgreSQL installation — skipping live smoke")
+    val cluster = LivePgHarness.provision()
+    val base = cluster.base
+    def psql(sqlText: String): String = cluster.psql(sqlText)
     try {
-      shOk(s"$bin/initdb -D $data -A trust")
-      shOk(s"$bin/pg_ctl -D $data -l $base/pg.log -w " +
-        s"-o '-k $sock -c listen_addresses= -c wal_level=logical " +
-        "-c max_wal_senders=4 -c max_replication_slots=4' start")
-
       // schema: mixed real types (int8/text/bool/timestamptz/text[]), FULL
       // replica identity so updates/deletes carry complete old images
       psql("""
@@ -194,9 +151,6 @@ class LivePgSpec extends AnyFunSuite {
       // LSNs are the server's: monotone non-decreasing in delivery order
       val lsns = rows.map(_.getAs[Long]("lsn"))
       assert(lsns.sameElements(lsns.sorted) && lsns.head > 0)
-    } finally {
-      sh(s"$bin/pg_ctl -D $data -m immediate stop")
-      ()
-    }
+    } finally cluster.stop()
   }
 }
