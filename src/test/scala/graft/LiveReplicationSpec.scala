@@ -111,6 +111,55 @@ class LiveReplicationSpec extends AnyFunSuite {
     }
   }
 
+  test("durable slot resumes after disconnect: offline traffic delivered, nothing duplicated") {
+    assume(LivePgHarness.available, "no usable PostgreSQL installation — skipping")
+    val cluster = LivePgHarness.provision()
+    try {
+      cluster.psql("""
+        CREATE TABLE ledger (id bigint PRIMARY KEY, v bigint);
+        ALTER TABLE ledger REPLICA IDENTITY FULL;
+        CREATE PUBLICATION dur_pub FOR TABLE ledger""")
+      val walDir = s"${cluster.base}/wal-dur"
+      def session(): (PgReplicationClient, ReplicationTailer) = {
+        val c = new PgReplicationClient(PgReplicationClient.Endpoint(
+          unixSocketDir = Some(cluster.sock),
+          database = "postgres", user = "postgres"))
+          .connect()
+          .createSlot("dur_slot", temporary = false) // S4: durable, resumable
+          .startReplication("dur_slot", "dur_pub")
+        (c, new ReplicationTailer(c, walDir, framesPerSegment = 4))
+      }
+      // session 1: two rows arrive, are segmented, and ACKED
+      val (c1, t1) = session()
+      cluster.psql("INSERT INTO ledger VALUES (1, 10), (2, 20)")
+      t1.runUntilIdle(idleMs = 4000)
+      Thread.sleep(500) // let the walsender process the final ack before EOF
+      c1.close() // connection dies; the DURABLE slot and its position survive
+      // offline traffic: committed while no consumer is connected
+      cluster.psql("INSERT INTO ledger VALUES (3, 30)")
+      cluster.psql("UPDATE ledger SET v = 11 WHERE id = 1")
+      // session 2 resumes the SAME slot from confirmed_flush_lsn: the
+      // tailer appends new segments after the existing ones
+      val (c2, t2) = session()
+      t2.runUntilIdle(idleMs = 4000)
+      c2.close()
+      WalSegments.writePublication(walDir, "dur_pub", Seq("public.ledger"))
+      val raw = spark.readStream.format(classOf[CdcSourceProvider].getName)
+        .option("path", walDir).option("publication", "dur_pub").load()
+      val events = ChangeStream.eventsFromAssembled(TxnAssembler.assemble(raw).toDF())
+      val q = events.writeStream.format("memory").queryName("t_durable")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val rows = spark.table("t_durable").orderBy("lsn", "seq").collect()
+      val ids = rows.filter(_.getAs[String]("type") == "insert")
+        .map(_.getAs[Map[String, String]]("new_record")("id")).sorted.toSeq
+      // exactly once each: the ack before disconnect means the resumed
+      // stream replays nothing already segmented
+      assert(ids == Seq("1", "2", "3"), s"offline insert lost or duplicated: $ids")
+      assert(rows.count(_.getAs[String]("type") == "update") == 1)
+    } finally cluster.stop()
+  }
+
   test("Graft.replicate facade: live publication check, temporary slot lifecycle, events end to end") {
     assume(LivePgHarness.available, "no usable PostgreSQL installation — skipping")
     import graft.streaming.{Engine, Graft, GraftConfig}
