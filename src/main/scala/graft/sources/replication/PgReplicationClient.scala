@@ -15,9 +15,10 @@ import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
   * JDBC's surface anyway).
   *
   * Scope — exactly what live CDC ingestion needs, nothing else:
-  *  - startup in `replication=database` mode, trust / cleartext / md5
-  *    auth (SCRAM is not implemented; point a dedicated replication user
-  *    with `trust`/`md5` at this client, or terminate auth at a proxy)
+  *  - startup in `replication=database` mode; trust, cleartext, md5, and
+  *    SCRAM-SHA-256 auth (RFC 5802/7677 client-side, with server-
+  *    signature verification; the -PLUS channel-binding variant is not
+  *    offered — pair TLS termination with a proxy if required)
   *  - `START_REPLICATION SLOT … LOGICAL …` with pgoutput options
   *  - the CopyBoth stream: XLogData ('w') frames — each carrying ONE
   *    binary pgoutput message, byte-identical to what
@@ -145,6 +146,17 @@ final class PgReplicationClient(ep: PgReplicationClient.Endpoint) extends AutoCl
     start.putInt(8 + body.length).putInt(196608).put(body).flip()
     while (start.hasRemaining) ch.write(start)
     // drive auth to ReadyForQuery
+    def password: String = ep.password.getOrElse(
+      throw new IllegalArgumentException("server wants a password"))
+    // SCRAM state threaded across the 10 → 11 → 12 exchange
+    var scramNonce: String = null
+    var scramFirstBare: String = null
+    var scramServerSig: Array[Byte] = null
+    def hmac(key: Array[Byte], msg: Array[Byte]): Array[Byte] = {
+      val m = javax.crypto.Mac.getInstance("HmacSHA256")
+      m.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+      m.doFinal(msg)
+    }
     var ready = false
     while (!ready) {
       val (tpe, b) = readMessage().getOrElse(
@@ -155,20 +167,68 @@ final class PgReplicationClient(ep: PgReplicationClient.Endpoint) extends AutoCl
           code match {
             case 0 => // AuthenticationOk
             case 3 => // cleartext
-              send('p'.toByte, cstr(ep.password.getOrElse(
-                throw new IllegalArgumentException("server wants a password"))))
+              send('p'.toByte, cstr(password))
             case 5 => // md5(md5(password + user) + salt)
               val salt = b.drop(4)
               val md = java.security.MessageDigest.getInstance("MD5")
               def hex(a: Array[Byte]) = a.map(x => f"${x & 0xff}%02x").mkString
-              val inner = hex(md.digest((ep.password.getOrElse(
-                throw new IllegalArgumentException("server wants a password"))
-                + ep.user).getBytes(UTF_8)))
+              val inner = hex(md.digest((password + ep.user).getBytes(UTF_8)))
               md.reset()
               val outer = hex(md.digest(inner.getBytes(UTF_8) ++ salt))
               send('p'.toByte, cstr("md5" + outer))
+            case 10 => // SASL: mechanism list (NUL-separated, empty-terminated)
+              val mechs = new String(b.drop(4), UTF_8).split("\u0000").filter(_.nonEmpty)
+              if (!mechs.contains("SCRAM-SHA-256"))
+                throw new java.io.IOException(
+                  s"no mutually supported SASL mechanism in ${mechs.mkString(",")} " +
+                    "(SCRAM-SHA-256-PLUS/channel binding not implemented)")
+              val rnd = new Array[Byte](18)
+              new java.security.SecureRandom().nextBytes(rnd)
+              scramNonce = java.util.Base64.getEncoder.encodeToString(rnd)
+              // gs2 header "n,," = no channel binding; n= is ignored by PG
+              // (the startup user applies)
+              scramFirstBare = s"n=,r=$scramNonce"
+              val initial = ("n,," + scramFirstBare).getBytes(UTF_8)
+              val msg = ByteBuffer.allocate(
+                "SCRAM-SHA-256".length + 1 + 4 + initial.length)
+              msg.put(cstr("SCRAM-SHA-256")).putInt(initial.length).put(initial)
+              send('p'.toByte, msg.array())
+            case 11 => // SASLContinue: server-first-message
+              val serverFirst = new String(b.drop(4), UTF_8)
+              val attrs = serverFirst.split(",").map(_.splitAt(2))
+                .map { case (k, v) => k.charAt(0) -> v }.toMap
+              val serverNonce = attrs('r')
+              if (!serverNonce.startsWith(scramNonce))
+                throw new java.io.IOException("SCRAM server nonce mismatch")
+              val salt = java.util.Base64.getDecoder.decode(attrs('s'))
+              val iter = attrs('i').toInt
+              val spec = new javax.crypto.spec.PBEKeySpec(
+                password.toCharArray, salt, iter, 256)
+              val salted = javax.crypto.SecretKeyFactory
+                .getInstance("PBKDF2WithHmacSHA256").generateSecret(spec).getEncoded
+              val clientKey = hmac(salted, "Client Key".getBytes(UTF_8))
+              val storedKey = java.security.MessageDigest
+                .getInstance("SHA-256").digest(clientKey)
+              val withoutProof = s"c=biws,r=$serverNonce" // biws = b64("n,,")
+              val authMessage =
+                s"$scramFirstBare,$serverFirst,$withoutProof".getBytes(UTF_8)
+              val clientSig = hmac(storedKey, authMessage)
+              val proof = clientKey.zip(clientSig).map { case (a, c) => (a ^ c).toByte }
+              scramServerSig =
+                hmac(hmac(salted, "Server Key".getBytes(UTF_8)), authMessage)
+              send('p'.toByte, (withoutProof + ",p=" +
+                java.util.Base64.getEncoder.encodeToString(proof)).getBytes(UTF_8))
+            case 12 => // SASLFinal: verify the server proves knowledge too
+              val serverFinal = new String(b.drop(4), UTF_8)
+              val v = serverFinal.split(",").find(_.startsWith("v="))
+                .map(_.drop(2)).getOrElse(
+                  throw new java.io.IOException("SCRAM final without v="))
+              if (!java.security.MessageDigest.isEqual(
+                  java.util.Base64.getDecoder.decode(v), scramServerSig))
+                throw new java.io.IOException(
+                  "SCRAM server signature mismatch — not the server that holds the credential")
             case other => throw new java.io.IOException(
-              s"unsupported auth method $other (SCRAM needs trust/md5 for this client)")
+              s"unsupported auth method $other")
           }
         case 'S' | 'K' | 'N' => () // parameter status / backend key / notice
         case 'Z' => ready = true

@@ -110,20 +110,64 @@ final class ReplicationTailer(
   }
 }
 
-/** Background pump: keeps the tailer draining the stream on a daemon
-  * thread until the stream ends or [[close]] — the long-running process a
-  * deployment runs next to (or inside) the Spark driver. Closing also
-  * closes the client, which drops a TEMPORARY slot server-side (S3).
+/** Background pump with SUPERVISION (S7, the live lane): drains the
+  * stream on a daemon thread; when the connection dies — server restart,
+  * network cut, `pg_terminate_backend` on the walsender — it reconnects
+  * through `reconnect` with exponential backoff, up to `maxRestarts`
+  * consecutive failures (any successful pump window resets the budget,
+  * the [[graft.streaming.Supervisor]] discipline). A DURABLE slot resumes
+  * from `confirmed_flush_lsn`, so a kill window loses nothing; a
+  * TEMPORARY slot is re-created and resumes from the present — the S3
+  * contract. [[close]] stops the pump and closes the live connection
+  * (dropping a temporary slot server-side).
   */
-final class Replicator(client: PgReplicationClient, tailer: ReplicationTailer,
-    idleMs: Long = 2000L) extends AutoCloseable {
+final class Replicator(
+    initial: (PgReplicationClient, ReplicationTailer),
+    reconnect: () => (PgReplicationClient, ReplicationTailer),
+    idleMs: Long = 2000L,
+    maxRestarts: Int = 10) extends AutoCloseable {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   @volatile private var closed = false
+  @volatile private var live: PgReplicationClient = initial._1
   private val thread = new Thread(() => {
-    try { while (!closed && tailer.runUntilIdle(idleMs)) () }
-    catch { case e: Throwable if !closed =>
-      org.slf4j.LoggerFactory.getLogger(getClass)
-        .error(s"graft-replicator stream failed: $e")
+    var session = Option(initial)
+    var restarts = 0
+    var backoff = 200L
+    while (!closed && restarts <= maxRestarts) {
+      session match {
+        case Some((client, tailer)) =>
+          live = client
+          try {
+            var streaming = true
+            while (!closed && streaming) {
+              streaming = tailer.runUntilIdle(idleMs)
+              // surviving a pump window restores the budget; a session
+              // that dies inside its first window does NOT (else a crash
+              // loop would reconnect forever)
+              if (streaming) { restarts = 0; backoff = 200L }
+            }
+          } catch { case e: Throwable if !closed =>
+            log.warn(s"graft-replicator stream failed: $e")
+          } finally client.close()
+          session = None
+        case None =>
+          if (!closed) {
+            restarts += 1
+            try { Thread.sleep(backoff); backoff = math.min(backoff * 2, 10000L) }
+            catch { case _: InterruptedException => () }
+            if (!closed) {
+              try session = Some(reconnect())
+              catch { case e: Throwable if !closed =>
+                log.warn(s"graft-replicator reconnect $restarts/$maxRestarts failed: $e")
+              }
+            }
+          }
+      }
+      if (closed) session.foreach(_._1.close())
     }
+    if (restarts > maxRestarts)
+      log.error(s"graft-replicator: gave up after $maxRestarts consecutive failures")
   }, "graft-replicator")
   thread.setDaemon(true)
   thread.start()
@@ -132,7 +176,8 @@ final class Replicator(client: PgReplicationClient, tailer: ReplicationTailer,
 
   override def close(): Unit = {
     closed = true
-    client.close()
+    live.close()
+    thread.interrupt()
     thread.join(10000)
   }
 }

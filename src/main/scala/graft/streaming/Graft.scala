@@ -186,14 +186,18 @@ object Graft {
     * }}}
     *
     * The returned [[graft.sources.replication.Replicator]] owns the
-    * connection: `close()` stops the pump and — for temporary slots —
-    * drops the slot server-side. Flushed-segment LSNs are acked upstream,
-    * so the slot's retention window tracks what is durably on disk.
+    * connection: it SUPERVISES the stream (S7 — a dead walsender
+    * reconnects with backoff, resuming a durable slot from
+    * `confirmed_flush_lsn`), and `close()` stops the pump and — for
+    * temporary slots — drops the slot server-side. Flushed-segment LSNs
+    * are acked upstream, so the slot's retention window tracks what is
+    * durably on disk.
     */
   def replicate(config: GraftConfig, walDir: String,
       unixSocketDir: Option[String] = None,
       framesPerSegment: Int = 4096,
-      idleMs: Long = 2000L): graft.sources.replication.Replicator = {
+      idleMs: Long = 2000L,
+      maxRestarts: Int = 10): graft.sources.replication.Replicator = {
     import graft.sources.replication._
     val pub = config.publication.getOrElse(throw new IllegalArgumentException(
       s"config '${config.appName}': replicate() needs a publication"))
@@ -208,17 +212,21 @@ object Graft {
       user = need(config.username, "a username"),
       password = config.password,
       applicationName = s"graft-${config.appName}")
-    val client = new PgReplicationClient(ep).connect()
-    try {
-      if (!client.publicationExists(pub))
-        throw new IllegalStateException(
-          s"publication '$pub' does not exist (reference fail-fast, server.ex:75-83)")
-      client
-        .createSlot(config.effectiveSlotName, temporary = !config.durableSlot)
-        .startReplication(config.effectiveSlotName, pub)
-    } catch { case e: Throwable => client.close(); throw e }
-    new Replicator(client,
-      new ReplicationTailer(client, walDir, framesPerSegment), idleMs)
+    def session(): (PgReplicationClient, ReplicationTailer) = {
+      val client = new PgReplicationClient(ep).connect()
+      try {
+        if (!client.publicationExists(pub))
+          throw new IllegalStateException(
+            s"publication '$pub' does not exist (reference fail-fast, server.ex:75-83)")
+        client
+          .createSlot(config.effectiveSlotName, temporary = !config.durableSlot)
+          .startReplication(config.effectiveSlotName, pub)
+      } catch { case e: Throwable => client.close(); throw e }
+      (client, new ReplicationTailer(client, walDir, framesPerSegment))
+    }
+    // first connect runs EAGERLY so config errors (bad publication, bad
+    // credentials) fail the call, not a background thread
+    new Replicator(session(), () => session(), idleMs, maxRestarts)
   }
 
   /** Start the full engine: events → registered handlers, supervised per

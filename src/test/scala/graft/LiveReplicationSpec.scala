@@ -111,6 +111,53 @@ class LiveReplicationSpec extends AnyFunSuite {
     }
   }
 
+  test("SCRAM-SHA-256 auth against a real server: good password in, bad password refused") {
+    assume(LivePgHarness.available, "no usable PostgreSQL installation — skipping")
+    val cluster = LivePgHarness.provision()
+    try {
+      cluster.psql("SET password_encryption = 'scram-sha-256'; " +
+        "CREATE ROLE scram_user LOGIN REPLICATION PASSWORD 'sekret'")
+      cluster.psql("CREATE TABLE s_t (id bigint PRIMARY KEY); " +
+        "ALTER TABLE s_t REPLICA IDENTITY FULL; " +
+        "CREATE PUBLICATION s_pub FOR TABLE s_t")
+      // force SCRAM for this user: first-match hba rules ahead of trust
+      val hba = java.nio.file.Paths.get(s"${cluster.data}/pg_hba.conf")
+      val rules = "local replication scram_user scram-sha-256\n" +
+        "local all scram_user scram-sha-256\n"
+      java.nio.file.Files.writeString(hba,
+        rules + java.nio.file.Files.readString(hba))
+      LivePgHarness.shOk(s"${cluster.bin}/pg_ctl -D ${cluster.data} reload")
+
+      def endpoint(pw: String) = PgReplicationClient.Endpoint(
+        unixSocketDir = Some(cluster.sock),
+        database = "postgres", user = "scram_user", password = Some(pw))
+      // wrong password: the server's SASL verdict, not a client-side check
+      val bad = new PgReplicationClient(endpoint("wrong"))
+      val e = intercept[java.io.IOException](bad.connect())
+      bad.close()
+      assert(e.getMessage.contains("28P01") || e.getMessage.toLowerCase.contains("password"),
+        s"expected an auth failure, got: ${e.getMessage}")
+      // right password: full exchange incl. server-signature verification,
+      // then an actual replication session over the authenticated channel
+      val client = new PgReplicationClient(endpoint("sekret")).connect()
+      try {
+        assert(client.publicationExists("s_pub"))
+        client.createSlot("s_slot", temporary = true)
+          .startReplication("s_slot", "s_pub")
+        cluster.psql("INSERT INTO s_t VALUES (42)")
+        val deadline = System.currentTimeMillis() + 15000
+        var sawInsert = false
+        while (!sawInsert && System.currentTimeMillis() < deadline)
+          client.poll(1000) match {
+            case Some(PgReplicationClient.XLogData(_, _, _, frame)) =>
+              sawInsert = frame.headOption.contains('I'.toByte)
+            case _ => ()
+          }
+        assert(sawInsert, "authenticated session did not deliver the insert frame")
+      } finally client.close()
+    } finally cluster.stop()
+  }
+
   test("durable slot resumes after disconnect: offline traffic delivered, nothing duplicated") {
     assume(LivePgHarness.available, "no usable PostgreSQL installation — skipping")
     val cluster = LivePgHarness.provision()
@@ -213,6 +260,59 @@ class LiveReplicationSpec extends AnyFunSuite {
         if (slots != "0") Thread.sleep(250)
       } while (slots != "0" && System.currentTimeMillis() < deadline)
       assert(slots == "0", "temporary slot must die with its connection (S3)")
+    } finally cluster.stop()
+  }
+
+  test("S7 chaos: pg_terminate_backend on the walsender — supervised reconnect, nothing lost") {
+    assume(LivePgHarness.available, "no usable PostgreSQL installation — skipping")
+    import graft.streaming.{Graft, GraftConfig}
+    val cluster = LivePgHarness.provision()
+    try {
+      cluster.psql("""
+        CREATE TABLE chaos (id bigint PRIMARY KEY, v bigint);
+        ALTER TABLE chaos REPLICA IDENTITY FULL;
+        CREATE PUBLICATION chaos_pub FOR TABLE chaos""")
+      val walDir = s"${cluster.base}/wal-chaos"
+      // durable slot: the kill window must lose nothing
+      val config = GraftConfig("chaos_demo",
+        database = Some("postgres"), username = Some("postgres"),
+        publication = Some("chaos_pub"), durableSlot = true,
+        checkpointDir = Some(s"${cluster.base}/ckpt"))
+      val repl = Graft.replicate(config, walDir,
+        unixSocketDir = Some(cluster.sock), framesPerSegment = 4, idleMs = 500)
+      try {
+        def segCount = WalSegments.listSegments(walDir).size
+        def waitFor(cond: => Boolean, ms: Long): Boolean = {
+          val until = System.currentTimeMillis() + ms
+          while (!cond && System.currentTimeMillis() < until) Thread.sleep(250)
+          cond
+        }
+        cluster.psql("INSERT INTO chaos VALUES (1, 10)")
+        assert(waitFor(segCount >= 1, 30000), "pre-kill traffic not segmented")
+        // the reference's own chaos scenario (database_test.exs): kill the
+        // walsender out from under the client
+        cluster.psql("SELECT pg_terminate_backend(active_pid) " +
+          "FROM pg_replication_slots WHERE slot_name = 'chaos_demo_graft'")
+        // traffic during/after the kill — the supervised reconnect must
+        // resume the durable slot and deliver it
+        cluster.psql("INSERT INTO chaos VALUES (2, 20)")
+        val before = segCount
+        assert(waitFor(segCount > before, 30000),
+          "no new segment after walsender kill — reconnect failed")
+        assert(repl.isRunning, "replicator thread died instead of reconnecting")
+        // end-to-end: both rows exactly once across the kill
+        WalSegments.writePublication(walDir, "chaos_pub", Seq("public.chaos"))
+        val raw = spark.readStream.format(classOf[CdcSourceProvider].getName)
+          .option("path", walDir).option("publication", "chaos_pub").load()
+        val events = ChangeStream.eventsFromAssembled(TxnAssembler.assemble(raw).toDF())
+        val q = events.writeStream.format("memory").queryName("t_chaos")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+        val ids = spark.table("t_chaos")
+          .filter(org.apache.spark.sql.functions.col("type") === "insert")
+          .collect().map(_.getAs[Map[String, String]]("new_record")("id")).sorted.toSeq
+        assert(ids == Seq("1", "2"), s"rows lost or duplicated across the kill: $ids")
+      } finally repl.close()
     } finally cluster.stop()
   }
 }
