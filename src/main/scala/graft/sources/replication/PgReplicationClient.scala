@@ -243,12 +243,12 @@ final class PgReplicationClient(ep: PgReplicationClient.Endpoint) extends AutoCl
     * `replication=database` mode accept plain SQL and the replication
     * grammar alike). Must run BEFORE [[startReplication]] — the reader
     * thread owns the socket afterwards. Returns (sqlstate-if-error,
-    * data-row-count).
+    * first-column text of each data row).
     */
-  private def command(sql: String): (Option[String], Int) = {
+  private def command(sql: String): (Option[String], Vector[String]) = {
     send('Q'.toByte, cstr(sql))
     var err: Option[String] = None
-    var rows = 0
+    var rows = Vector.empty[String]
     var done = false
     while (!done) {
       val (tpe, b) = readMessage().getOrElse(
@@ -256,8 +256,16 @@ final class PgReplicationClient(ep: PgReplicationClient.Endpoint) extends AutoCl
       tpe.toChar match {
         case 'Z' => done = true
         case 'E' => err = errorFields(b).get('C').orElse(Some("XX000"))
-        case 'D' => rows += 1
-        case _   => () // RowDescription / CommandComplete / notices / status
+        case 'D' => // DataRow: int16 ncols, per column int32 len + bytes
+          val buf = ByteBuffer.wrap(b)
+          if (buf.getShort >= 1) {
+            val len = buf.getInt
+            if (len >= 0) {
+              val a = new Array[Byte](len); buf.get(a)
+              rows :+= new String(a, UTF_8)
+            } else rows :+= null
+          }
+        case _ => () // RowDescription / CommandComplete / notices / status
       }
     }
     (err, rows)
@@ -269,7 +277,19 @@ final class PgReplicationClient(ep: PgReplicationClient.Endpoint) extends AutoCl
     val (err, rows) = command(
       s"SELECT 1 FROM pg_publication WHERE pubname = '$safe'")
     err.foreach(c => throw new java.io.IOException(s"publication check failed: $c"))
-    rows > 0
+    rows.nonEmpty
+  }
+
+  /** The publication's served tables (`schema.table`), from the live
+    * catalog — what the segment directory's publication manifest records.
+    */
+  def publicationTables(publication: String): Seq[String] = {
+    val safe = publication.replace("'", "''")
+    val (err, rows) = command(
+      "SELECT schemaname || '.' || tablename FROM pg_publication_tables " +
+        s"WHERE pubname = '$safe' ORDER BY 1")
+    err.foreach(c => throw new java.io.IOException(s"publication tables failed: $c"))
+    rows.filter(_ != null)
   }
 
   /** Create the slot through the replication grammar. `temporary = true`

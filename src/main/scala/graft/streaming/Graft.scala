@@ -218,6 +218,12 @@ object Graft {
         if (!client.publicationExists(pub))
           throw new IllegalStateException(
             s"publication '$pub' does not exist (reference fail-fast, server.ex:75-83)")
+        // the segment directory's publication manifest comes from the LIVE
+        // catalog, so the CDC source's own fail-fast and table filter see
+        // exactly what the server serves — refreshed on every (re)connect
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(walDir))
+        graft.sources.cdc.WalSegments.writePublication(
+          walDir, pub, client.publicationTables(pub))
         client
           .createSlot(config.effectiveSlotName, temporary = !config.durableSlot)
           .startReplication(config.effectiveSlotName, pub)

@@ -263,6 +263,51 @@ class LiveReplicationSpec extends AnyFunSuite {
     } finally cluster.stop()
   }
 
+  test("LIVE TAIL: database traffic reaches handlers of a RUNNING streaming query") {
+    assume(LivePgHarness.available, "no usable PostgreSQL installation — skipping")
+    import graft.streaming.{Engine, Graft, GraftConfig}
+    val cluster = LivePgHarness.provision()
+    try {
+      cluster.psql("""
+        CREATE TABLE tail_t (id bigint PRIMARY KEY, v bigint);
+        ALTER TABLE tail_t REPLICA IDENTITY FULL;
+        CREATE PUBLICATION tail_pub FOR TABLE tail_t""")
+      val walDir = s"${cluster.base}/wal-tail"
+      val config = GraftConfig("tail_demo",
+        database = Some("postgres"), username = Some("postgres"),
+        publication = Some("tail_pub"))
+      // the production topology, both halves LIVE at once: replicate()
+      // pumps the walsender into segments (and writes the publication
+      // manifest from the real catalog) while start() tails the directory
+      // with a continuously-running micro-batch query
+      val repl = Graft.replicate(config, walDir,
+        unixSocketDir = Some(cluster.sock), framesPerSegment = 4, idleMs = 500)
+      val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+      val engine = new Engine().onEvent("tail_t") { df =>
+        seen.addAndGet(df.count().toInt); ()
+      }
+      val q = Graft.start(spark, config, walDir, engine) // ProcessingTime(0)
+      try {
+        def awaitCount(n: Int): Boolean = {
+          val until = System.currentTimeMillis() + 60000
+          while (seen.get() < n && System.currentTimeMillis() < until)
+            Thread.sleep(250)
+          seen.get() == n
+        }
+        cluster.psql("INSERT INTO tail_t VALUES (1, 10), (2, 20)")
+        assert(awaitCount(2), s"first batch not delivered live: ${seen.get()}")
+        // and AGAIN on the same running query — segment discovery is
+        // continuous, not a startup-time listing
+        cluster.psql("UPDATE tail_t SET v = 11 WHERE id = 1")
+        cluster.psql("DELETE FROM tail_t WHERE id = 2")
+        assert(awaitCount(4), s"second round not delivered live: ${seen.get()}")
+      } finally {
+        q.stop()
+        repl.close()
+      }
+    } finally cluster.stop()
+  }
+
   test("S7 chaos: pg_terminate_backend on the walsender — supervised reconnect, nothing lost") {
     assume(LivePgHarness.available, "no usable PostgreSQL installation — skipping")
     import graft.streaming.{Graft, GraftConfig}
