@@ -37,6 +37,14 @@ import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
   */
 object PgReplicationClient {
 
+  /** `sslMode` (TCP only — Postgres does not run TLS over unix sockets):
+    *  - `"disable"` — plaintext (the unix-socket and test default)
+    *  - `"require"` — TLS via the SSLRequest upgrade, ANY certificate
+    *    accepted (self-signed friendly; encrypts, does not authenticate
+    *    the server — libpq's sslmode=require semantics)
+    *  - `"verify"`  — TLS with the JVM's default truststore AND hostname
+    *    verification (libpq's verify-full)
+    */
   final case class Endpoint(
       host: String = "localhost",
       port: Int = 5432,
@@ -44,7 +52,8 @@ object PgReplicationClient {
       database: String,
       user: String,
       password: Option[String] = None,
-      applicationName: String = "graft-replication")
+      applicationName: String = "graft-replication",
+      sslMode: String = "disable")
 
   sealed trait Message
   /** One pgoutput frame plus its WAL position. */
@@ -73,7 +82,13 @@ final class PgReplicationClient(ep: PgReplicationClient.Endpoint) extends AutoCl
   import PgReplicationClient._
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
-  private var ch: SocketChannel = _
+  // stream pair over the transport: unix-socket channel streams, a plain
+  // TCP socket, or an SSLSocket layered by the SSLRequest upgrade
+  private var in: java.io.InputStream = _
+  private var out: java.io.OutputStream = _
+  private var transport: AutoCloseable = _
+  @volatile private var connected = false
+  private val writeLock = new Object
   private val inbox = new LinkedBlockingQueue[Either[Throwable, Message]](1024)
   @volatile private var readerThread: Thread = _
   @volatile private var lastAckedLsn: Long = 0L
@@ -81,27 +96,22 @@ final class PgReplicationClient(ep: PgReplicationClient.Endpoint) extends AutoCl
 
   // ---- low-level framing -------------------------------------------------
 
-  private def readFully(buf: ByteBuffer): Boolean = {
-    while (buf.hasRemaining) {
-      if (ch.read(buf) < 0) return false
-    }
-    buf.flip(); true
-  }
-
   private def readMessage(): Option[(Byte, Array[Byte])] = {
-    val head = ByteBuffer.allocate(5)
-    if (!readFully(head)) return None
-    val tpe = head.get()
-    val len = head.getInt() - 4
-    val body = ByteBuffer.allocate(len)
-    if (!readFully(body)) return None
-    Some((tpe, body.array()))
+    val head = in.readNBytes(5)
+    if (head.length < 5) return None
+    val hb = ByteBuffer.wrap(head)
+    val tpe = hb.get()
+    val len = hb.getInt() - 4
+    val body = in.readNBytes(len)
+    if (body.length < len) return None
+    Some((tpe, body))
   }
 
-  private def send(tpe: Byte, body: Array[Byte]): Unit = {
+  private def send(tpe: Byte, body: Array[Byte]): Unit = writeLock.synchronized {
     val buf = ByteBuffer.allocate(1 + 4 + body.length)
-    buf.put(tpe).putInt(4 + body.length).put(body).flip()
-    while (buf.hasRemaining) ch.write(buf)
+    buf.put(tpe).putInt(4 + body.length).put(body)
+    out.write(buf.array())
+    out.flush()
   }
 
   private def cstr(s: String): Array[Byte] = s.getBytes(UTF_8) :+ 0.toByte
@@ -127,24 +137,74 @@ final class PgReplicationClient(ep: PgReplicationClient.Endpoint) extends AutoCl
 
   // ---- connection + auth -------------------------------------------------
 
+  /** Trust-any-certificate context for sslMode=require (encrypt without
+    * server authentication — self-signed deployments; use "verify" when a
+    * real chain exists).
+    */
+  private def trustAllContext: javax.net.ssl.SSLContext = {
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, Array[javax.net.ssl.TrustManager](
+      new javax.net.ssl.X509TrustManager {
+        override def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        override def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+      }), new java.security.SecureRandom())
+    ctx
+  }
+
   /** Connect, authenticate, and reach ReadyForQuery in replication mode. */
   def connect(): this.type = {
-    ch = ep.unixSocketDir match {
+    ep.unixSocketDir match {
       case Some(dir) =>
+        require(ep.sslMode == "disable",
+          "TLS does not apply to unix-socket connections")
         val c = SocketChannel.open(StandardProtocolFamily.UNIX)
         c.connect(UnixDomainSocketAddress.of(s"$dir/.s.PGSQL.${ep.port}"))
-        c
+        in = java.nio.channels.Channels.newInputStream(c)
+        out = java.nio.channels.Channels.newOutputStream(c)
+        transport = c
       case None =>
-        SocketChannel.open(new InetSocketAddress(ep.host, ep.port))
+        var sock = new java.net.Socket()
+        sock.connect(new InetSocketAddress(ep.host, ep.port))
+        if (ep.sslMode != "disable") {
+          // SSLRequest: int32 8, int32 80877103; server answers one byte
+          sock.getOutputStream.write(
+            Array[Byte](0, 0, 0, 8, 0x04, 0xD2.toByte, 0x16, 0x2F))
+          sock.getOutputStream.flush()
+          val verdict = sock.getInputStream.read()
+          if (verdict != 'S')
+            throw new java.io.IOException(
+              s"server refused TLS (sslMode=${ep.sslMode}, got '${verdict.toChar}')")
+          val ctx =
+            if (ep.sslMode == "require") trustAllContext
+            else javax.net.ssl.SSLContext.getDefault
+          val ssl = ctx.getSocketFactory
+            .createSocket(sock, ep.host, ep.port, true)
+            .asInstanceOf[javax.net.ssl.SSLSocket]
+          if (ep.sslMode == "verify") {
+            val p = ssl.getSSLParameters
+            p.setEndpointIdentificationAlgorithm("HTTPS")
+            ssl.setSSLParameters(p)
+          }
+          ssl.startHandshake()
+          sock = ssl
+        }
+        in = sock.getInputStream
+        out = sock.getOutputStream
+        transport = sock
     }
+    connected = true
     // StartupMessage has no type byte: int32 len, int32 196608, params
     val params = Seq(
       "user" -> ep.user, "database" -> ep.database,
       "replication" -> "database", "application_name" -> ep.applicationName)
     val body = params.flatMap { case (k, v) => cstr(k) ++ cstr(v) }.toArray :+ 0.toByte
-    val start = ByteBuffer.allocate(8 + body.length)
-    start.putInt(8 + body.length).putInt(196608).put(body).flip()
-    while (start.hasRemaining) ch.write(start)
+    writeLock.synchronized {
+      val start = ByteBuffer.allocate(8 + body.length)
+      start.putInt(8 + body.length).putInt(196608).put(body)
+      out.write(start.array())
+      out.flush()
+    }
     // drive auth to ReadyForQuery
     def password: String = ep.password.getOrElse(
       throw new IllegalArgumentException("server wants a password"))
@@ -280,6 +340,17 @@ final class PgReplicationClient(ep: PgReplicationClient.Endpoint) extends AutoCl
     rows.nonEmpty
   }
 
+  /** Whether THIS connection runs over TLS, as the SERVER sees it
+    * (`pg_stat_ssl` for our own backend) — the honest probe for specs and
+    * deploy checks. Pre-[[startReplication]] only.
+    */
+  def connectionEncrypted: Boolean = {
+    val (err, rows) = command(
+      "SELECT ssl::text FROM pg_stat_ssl WHERE pid = pg_backend_pid()")
+    err.foreach(c => throw new java.io.IOException(s"ssl check failed: $c"))
+    rows.headOption.contains("true")
+  }
+
   /** The publication's served tables (`schema.table`), from the live
     * catalog — what the segment directory's publication manifest records.
     */
@@ -384,7 +455,7 @@ final class PgReplicationClient(ep: PgReplicationClient.Endpoint) extends AutoCl
     */
   def sendStandbyStatus(flushedLsn: Long, replyRequested: Boolean = false): Unit =
     synchronized {
-      if (ch == null || !ch.isOpen) return
+      if (!connected || closed) return
       lastAckedLsn = math.max(lastAckedLsn, flushedLsn)
       val body = ByteBuffer.allocate(1 + 8 * 4 + 1)
       body.put('r'.toByte)
@@ -395,10 +466,11 @@ final class PgReplicationClient(ep: PgReplicationClient.Endpoint) extends AutoCl
 
   override def close(): Unit = {
     closed = true
-    try if (ch != null && ch.isOpen) {
+    try if (connected) {
+      connected = false
       try send('X'.toByte, Array.emptyByteArray) // Terminate
       catch { case _: Throwable => () }
-      ch.close()
+      transport.close()
     } finally {
       val t = readerThread
       if (t != null) t.join(2000)

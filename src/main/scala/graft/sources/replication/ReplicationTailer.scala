@@ -28,6 +28,18 @@ import graft.sources.cdc.WalSegments
   *    optional `ackFloor` caps the ack at an external progress marker
   *    (e.g. the CDC source's `ackPath` offsets) for deployments that want
   *    slot retention to track the CONSUMER instead.
+  *  - DEDUPLICATE replayed transactions across reconnects: if the server
+  *    dies before processing the final ack, the resumed stream re-sends
+  *    transactions that are already on disk (the slot's documented
+  *    at-least-once window — reference `server.ex:182` replays from
+  *    `restart_lsn`). The reference pushes that dedup to consumers;
+  *    HERE it cannot be deferred, because segments are durable replay
+  *    history — a duplicate written once would re-deliver on every
+  *    downstream replay forever. The tailer recovers the last written
+  *    commit LSN from the existing segments at startup and SKIPS whole
+  *    transactions at or below it (decided at Begin via its final_lsn),
+  *    so segment content stays exactly-once even though the wire is
+  *    at-least-once.
   */
 final class ReplicationTailer(
     client: PgReplicationClient,
@@ -43,6 +55,10 @@ final class ReplicationTailer(
   private var segmentIdx = WalSegments.listSegments(walDir).size
   private var lastWrittenLsn = 0L
   private var pendingEndLsn = 0L
+  // replay floor: commit LSN of the last transaction already on disk;
+  // transactions at or below it are re-sends and are dropped whole
+  private var commitFloor = ReplicationTailer.lastCommitLsn(walDir)
+  private var skippingReplayedTxn = false
 
   Files.createDirectories(Paths.get(walDir))
 
@@ -64,11 +80,36 @@ final class ReplicationTailer(
   def accept(msg: Message): Boolean = msg match {
     case XLogData(_, walEnd, _, frame) =>
       metadataKey(frame) match {
-        case Some(k) => metadata(k) = frame
-        case None    => pending += frame
+        case Some(k) => metadata(k) = frame // cached even inside a skipped txn
+        case None =>
+          frame.headOption.map(_.toChar) match {
+            case Some('B') =>
+              // Begin: [B][final_lsn int64][ts int64][xid int32] — the
+              // final_lsn IS the transaction's commit LSN, so the replay
+              // decision lands before any of its changes
+              val finalLsn = java.nio.ByteBuffer.wrap(frame, 1, 8).getLong
+              if (finalLsn <= commitFloor) {
+                skippingReplayedTxn = true
+                log.info(s"graft-replication: skipping replayed txn " +
+                  s"${PgReplicationClient.formatLsn(finalLsn)} (already on disk)")
+              } else pending += frame
+            case Some('C') =>
+              if (skippingReplayedTxn) skippingReplayedTxn = false
+              else {
+                pending += frame
+                // Commit: [C][flags int8][commit_lsn int64]… — raise the
+                // floor as transactions land in the buffer
+                if (frame.length >= 10)
+                  commitFloor = math.max(commitFloor,
+                    java.nio.ByteBuffer.wrap(frame, 2, 8).getLong)
+              }
+            case _ =>
+              if (!skippingReplayedTxn) pending += frame
+          }
       }
       pendingEndLsn = math.max(pendingEndLsn, walEnd)
-      if (pending.length >= framesPerSegment && isCommit(frame)) flush()
+      if (pending.length >= framesPerSegment && isCommit(frame) && !skippingReplayedTxn)
+        flush()
       true
     case Keepalive(_, _, _) => true
     case StreamEnded        => false
@@ -107,6 +148,24 @@ final class ReplicationTailer(
     }
     flush()
     live
+  }
+}
+
+object ReplicationTailer {
+  /** Commit LSN of the last transaction in the directory's segments (0 if
+    * none): the replay floor a restarted tailer resumes under. Scans
+    * backwards — the last segment holding any Commit decides.
+    */
+  private[replication] def lastCommitLsn(dir: String): Long = {
+    val segs = WalSegments.listSegments(dir)
+    segs.reverseIterator.map { p =>
+      val it = WalSegments.readFrames(p)
+      try it.foldLeft(0L) { (acc, f) =>
+        if (f.length >= 10 && f(0) == 'C'.toByte)
+          math.max(acc, java.nio.ByteBuffer.wrap(f, 2, 8).getLong)
+        else acc
+      } finally it.close()
+    }.find(_ > 0L).getOrElse(0L)
   }
 }
 

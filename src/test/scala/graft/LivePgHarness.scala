@@ -44,14 +44,14 @@ object LivePgHarness {
     out
   }
 
-  final class Cluster(val bin: String, val base: String) {
+  final class Cluster(val bin: String, val base: String, val port: Int = 5432) {
     val data = s"$base/data"
     /** Socket directory; the server's "port" only names the socket file. */
     val sock: String = base
 
     def psql(sqlText: String): String = {
       val q = sqlText.replace("\"", "\\\"")
-      shOk(s"""$bin/psql -X -v ON_ERROR_STOP=1 -h $sock -d postgres -At -c "$q"""")
+      shOk(s"""$bin/psql -X -v ON_ERROR_STOP=1 -h $sock -p $port -d postgres -At -c "$q"""")
     }
 
     def stop(): Unit = { sh(s"$bin/pg_ctl -D $data -m immediate stop"); () }
@@ -71,6 +71,41 @@ object LivePgHarness {
     shOk(s"$bin/pg_ctl -D ${c.data} -l $base/pg.log -w " +
       s"-o '-k ${c.sock} -c listen_addresses= -c wal_level=logical " +
       "-c max_wal_senders=4 -c max_replication_slots=4' start")
+    c
+  }
+
+  def freePort(): Int = {
+    val s = new java.net.ServerSocket(0)
+    try s.getLocalPort finally s.close()
+  }
+
+  /** Like [[provision]], but ALSO serving TLS on 127.0.0.1:`port` with a
+    * freshly-generated self-signed certificate — the `sslMode = require`
+    * deployment shape.
+    */
+  def provisionTls(port: Int): Cluster = {
+    val bin = pgBin.getOrElse(sys.error("no PostgreSQL installation"))
+    val base = Files.createTempDirectory("graft-livepg-tls").toString
+    val c = new Cluster(bin, base, port)
+    // cert before chown so the key ends up postgres-owned with 0600
+    val ssl = new ProcessBuilder("openssl", "req", "-x509", "-newkey", "rsa:2048",
+      "-nodes", "-keyout", s"$base/server.key", "-out", s"$base/server.crt",
+      "-days", "2", "-subj", "/CN=localhost")
+    ssl.redirectErrorStream(true)
+    val p = ssl.start()
+    assert(p.waitFor() == 0, "openssl cert generation failed")
+    Files.setPosixFilePermissions(Paths.get(s"$base/server.key"),
+      java.util.EnumSet.of(
+        java.nio.file.attribute.PosixFilePermission.OWNER_READ,
+        java.nio.file.attribute.PosixFilePermission.OWNER_WRITE))
+    if (isRoot) {
+      new ProcessBuilder("chown", "-R", "postgres:postgres", base).start().waitFor()
+    }
+    shOk(s"$bin/initdb -D ${c.data} -A trust")
+    shOk(s"$bin/pg_ctl -D ${c.data} -l $base/pg.log -w " +
+      s"-o '-k ${c.sock} -p $port -c listen_addresses=127.0.0.1 " +
+      s"-c ssl=on -c ssl_cert_file=$base/server.crt -c ssl_key_file=$base/server.key " +
+      "-c wal_level=logical -c max_wal_senders=4 -c max_replication_slots=4' start")
     c
   }
 }

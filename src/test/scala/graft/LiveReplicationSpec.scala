@@ -145,7 +145,7 @@ class LiveReplicationSpec extends AnyFunSuite {
         client.createSlot("s_slot", temporary = true)
           .startReplication("s_slot", "s_pub")
         cluster.psql("INSERT INTO s_t VALUES (42)")
-        val deadline = System.currentTimeMillis() + 15000
+        val deadline = System.currentTimeMillis() + 45000
         var sawInsert = false
         while (!sawInsert && System.currentTimeMillis() < deadline)
           client.poll(1000) match {
@@ -235,10 +235,10 @@ class LiveReplicationSpec extends AnyFunSuite {
         cluster.psql("INSERT INTO acct VALUES (1, 5), (2, 6)")
         cluster.psql("UPDATE acct SET v = 7 WHERE id = 1")
         // the daemon pump flushes on idle; wait for segments
-        val deadline = System.currentTimeMillis() + 30000
+        val deadline = System.currentTimeMillis() + 60000
         while (WalSegments.listSegments(walDir).isEmpty
           && System.currentTimeMillis() < deadline) Thread.sleep(250)
-        assert(WalSegments.listSegments(walDir).nonEmpty, "no segments within 30 s")
+        assert(WalSegments.listSegments(walDir).nonEmpty, "no segments within 60 s")
         Thread.sleep(1500) // let the update's segment flush too
         // standard engine over the replicated segments
         WalSegments.writePublication(walDir, "face_pub", Seq("public.acct"))
@@ -252,7 +252,7 @@ class LiveReplicationSpec extends AnyFunSuite {
         assert(got.get() >= 3, s"expected the 2 inserts + update, got ${got.get()}")
       } finally repl.close()
       // closing the connection drops the TEMPORARY slot server-side
-      val deadline = System.currentTimeMillis() + 15000
+      val deadline = System.currentTimeMillis() + 45000
       var slots = ""
       do {
         slots = cluster.psql("SELECT count(*) FROM pg_replication_slots " +
@@ -260,6 +260,44 @@ class LiveReplicationSpec extends AnyFunSuite {
         if (slots != "0") Thread.sleep(250)
       } while (slots != "0" && System.currentTimeMillis() < deadline)
       assert(slots == "0", "temporary slot must die with its connection (S3)")
+    } finally cluster.stop()
+  }
+
+  test("TLS: SSLRequest upgrade to an encrypted walsender session, verified server-side") {
+    assume(LivePgHarness.available, "no usable PostgreSQL installation — skipping")
+    val port = LivePgHarness.freePort()
+    val cluster = LivePgHarness.provisionTls(port)
+    try {
+      cluster.psql("""
+        CREATE TABLE tls_t (id bigint PRIMARY KEY);
+        ALTER TABLE tls_t REPLICA IDENTITY FULL;
+        CREATE PUBLICATION tls_pub FOR TABLE tls_t""")
+      def endpoint(mode: String) = PgReplicationClient.Endpoint(
+        host = "127.0.0.1", port = port,
+        database = "postgres", user = "postgres", sslMode = mode)
+      // plaintext TCP to the same server: allowed by hba, but the SERVER
+      // reports the connection unencrypted — the probe tells the truth
+      val plain = new PgReplicationClient(endpoint("disable")).connect()
+      try assert(!plain.connectionEncrypted) finally plain.close()
+      // sslMode=require: SSLRequest upgrade + handshake against the
+      // self-signed cert, and the server sees OUR backend as ssl=true
+      val client = new PgReplicationClient(endpoint("require")).connect()
+      try {
+        assert(client.connectionEncrypted,
+          "server must report this walsender connection as TLS")
+        client.createSlot("tls_slot", temporary = true)
+          .startReplication("tls_slot", "tls_pub")
+        cluster.psql("INSERT INTO tls_t VALUES (7)")
+        val deadline = System.currentTimeMillis() + 45000
+        var sawInsert = false
+        while (!sawInsert && System.currentTimeMillis() < deadline)
+          client.poll(1000) match {
+            case Some(PgReplicationClient.XLogData(_, _, _, frame)) =>
+              sawInsert = frame.headOption.contains('I'.toByte)
+            case _ => ()
+          }
+        assert(sawInsert, "no insert frame over the encrypted session")
+      } finally client.close()
     } finally cluster.stop()
   }
 
@@ -289,7 +327,7 @@ class LiveReplicationSpec extends AnyFunSuite {
       val q = Graft.start(spark, config, walDir, engine) // ProcessingTime(0)
       try {
         def awaitCount(n: Int): Boolean = {
-          val until = System.currentTimeMillis() + 60000
+          val until = System.currentTimeMillis() + 90000
           while (seen.get() < n && System.currentTimeMillis() < until)
             Thread.sleep(250)
           seen.get() == n
@@ -333,7 +371,7 @@ class LiveReplicationSpec extends AnyFunSuite {
           cond
         }
         cluster.psql("INSERT INTO chaos VALUES (1, 10)")
-        assert(waitFor(segCount >= 1, 30000), "pre-kill traffic not segmented")
+        assert(waitFor(segCount >= 1, 90000), "pre-kill traffic not segmented")
         // the reference's own chaos scenario (database_test.exs): kill the
         // walsender out from under the client
         cluster.psql("SELECT pg_terminate_backend(active_pid) " +
@@ -342,7 +380,7 @@ class LiveReplicationSpec extends AnyFunSuite {
         // resume the durable slot and deliver it
         cluster.psql("INSERT INTO chaos VALUES (2, 20)")
         val before = segCount
-        assert(waitFor(segCount > before, 30000),
+        assert(waitFor(segCount > before, 90000),
           "no new segment after walsender kill — reconnect failed")
         assert(repl.isRunning, "replicator thread died instead of reconnecting")
         // end-to-end: both rows exactly once across the kill

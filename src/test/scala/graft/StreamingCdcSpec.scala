@@ -1009,6 +1009,47 @@ class StreamingCdcSpec extends AnyFunSuite {
       s"markers should be keyed by the replayed Spark batchId: $names")
   }
 
+  test("replication tailer drops replayed transactions: segment history stays exactly-once") {
+    import graft.sources.replication.{PgReplicationClient, ReplicationTailer}
+    import WalMessage._
+    val dir = tmpDir("tailer-dedup")
+    // never connected → acks are no-ops; only the segment writing matters
+    val sink = new PgReplicationClient(PgReplicationClient.Endpoint(
+      database = "x", user = "x"))
+    val ts = java.time.Instant.parse("2024-07-01T10:00:00Z")
+    def txn(lsnOff: Int, id: Long): Seq[Array[Byte]] = Seq[WalMessage](
+      Begin(Lsn(0, lsnOff), ts, id),
+      Insert(WalFixture.relations("user"), IndexedSeq(Cell.Text(id.toString),
+        Cell.Text("1"), Cell.Null, Cell.Text("5"), Cell.Text("9"))),
+      Commit(0, Lsn(0, lsnOff), Lsn(0, lsnOff + 56), ts)).map(PgOutputEncoder.encode)
+    val rel = PgOutputEncoder.encode(WalFixture.relationFrame("user"))
+    def feed(t: ReplicationTailer, frames: Seq[Array[Byte]]): Unit =
+      frames.foreach(f => t.accept(PgReplicationClient.XLogData(0, 0, 0, f)))
+    val t1 = new ReplicationTailer(sink, dir, framesPerSegment = 100)
+    feed(t1, rel +: txn(100, 1))
+    t1.flush()
+    // reconnect after a lost ack: the server re-sends txn@100 (the slot's
+    // at-least-once window), then the genuinely-new txn@200. The restarted
+    // tailer recovers the floor from disk and must keep only txn@200 —
+    // segments are durable replay history, a duplicate would re-deliver on
+    // every downstream replay forever
+    val t2 = new ReplicationTailer(sink, dir, framesPerSegment = 100)
+    feed(t2, rel +: (txn(100, 1) ++ txn(200, 2)))
+    t2.flush()
+    val segs = graft.sources.cdc.WalSegments.listSegments(dir)
+    assert(segs.size == 2, s"expected 2 segments, got ${segs.size}")
+    val frames2 = {
+      val it = graft.sources.cdc.WalSegments.readFrames(segs.last)
+      try it.toList finally it.close()
+    }
+    assert(frames2.exists(_.headOption.contains('R'.toByte)),
+      "segment 2 must replay cached relation metadata")
+    val begins = frames2.filter(_.headOption.contains('B'.toByte))
+      .map(f => java.nio.ByteBuffer.wrap(f, 1, 8).getLong)
+    assert(begins == List(Lsn(0, 200).toLong),
+      s"replayed txn leaked into the durable history: $begins")
+  }
+
   test("isolateHandlerFailures: a crashing handler is skipped, the rest deliver") {
     val delivered = new java.util.concurrent.atomic.AtomicInteger(0)
     val engine = new Engine(isolateHandlerFailures = true)
