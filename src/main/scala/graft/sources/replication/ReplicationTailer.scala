@@ -68,9 +68,11 @@ final class ReplicationTailer(
     */
   private def metadataKey(frame: Array[Byte]): Option[String] =
     frame.headOption.map(_.toChar) match {
-      case Some('R') => Some("R" + java.nio.ByteBuffer.wrap(frame, 1, 4).getInt)
-      case Some('Y') => Some("Y" + java.nio.ByteBuffer.wrap(frame, 1, 4).getInt)
-      case _         => None
+      case Some('R') if frame.length >= 5 =>
+        Some("R" + java.nio.ByteBuffer.wrap(frame, 1, 4).getInt)
+      case Some('Y') if frame.length >= 5 =>
+        Some("Y" + java.nio.ByteBuffer.wrap(frame, 1, 4).getInt)
+      case _ => None
     }
 
   private def isCommit(frame: Array[Byte]): Boolean =
