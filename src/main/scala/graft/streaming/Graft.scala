@@ -235,6 +235,23 @@ object Graft {
     new Replicator(session(), () => session(), idleMs, maxRestarts)
   }
 
+  /** The ONE-CALL live engine — the full equivalent of the reference's
+    * `WalEx.Supervisor.start_link(config)` + `use WalEx.Event` setup:
+    * connect to the config's database, stream its publication into
+    * `walDir`, and run the handler engine over it, all from the config.
+    * Returns the supervised replicator and the streaming query; stop the
+    * query first, then `close()` the replicator.
+    */
+  def startLive(spark: SparkSession, config: GraftConfig, walDir: String,
+      engine: Engine, trigger: Trigger = Trigger.ProcessingTime(0L),
+      unixSocketDir: Option[String] = None,
+      framesPerSegment: Int = 4096, idleMs: Long = 2000L)
+      : (graft.sources.replication.Replicator, StreamingQuery) = {
+    val repl = replicate(config, walDir, unixSocketDir, framesPerSegment, idleMs)
+    try (repl, start(spark, config, walDir, engine, trigger))
+    catch { case e: Throwable => repl.close(); throw e }
+  }
+
   /** Start the full engine: events → registered handlers, supervised per
     * the slot-durability semantics of `config`.
     */

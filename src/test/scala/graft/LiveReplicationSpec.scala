@@ -314,17 +314,16 @@ class LiveReplicationSpec extends AnyFunSuite {
       val config = GraftConfig("tail_demo",
         database = Some("postgres"), username = Some("postgres"),
         publication = Some("tail_pub"))
-      // the production topology, both halves LIVE at once: replicate()
-      // pumps the walsender into segments (and writes the publication
-      // manifest from the real catalog) while start() tails the directory
-      // with a continuously-running micro-batch query
-      val repl = Graft.replicate(config, walDir,
-        unixSocketDir = Some(cluster.sock), framesPerSegment = 4, idleMs = 500)
+      // the production topology in ONE call, both halves LIVE at once:
+      // startLive = replicate() pumping the walsender into segments (with
+      // the publication manifest from the real catalog) + start() tailing
+      // the directory with a continuously-running micro-batch query
       val seen = new java.util.concurrent.atomic.AtomicInteger(0)
       val engine = new Engine().onEvent("tail_t") { df =>
         seen.addAndGet(df.count().toInt); ()
       }
-      val q = Graft.start(spark, config, walDir, engine) // ProcessingTime(0)
+      val (repl, q) = Graft.startLive(spark, config, walDir, engine,
+        unixSocketDir = Some(cluster.sock), framesPerSegment = 4, idleMs = 500)
       try {
         def awaitCount(n: Int): Boolean = {
           val until = System.currentTimeMillis() + 90000
