@@ -80,6 +80,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("winnow_fingerprints", 3)(a => WinnowFingerprints(a(0),
       intLit(a, 1, "winnow_fingerprints"), intLit(a, 2, "winnow_fingerprints")))
     reg("word_ngrams", 2)(a => WordNGrams(a(0), intLit(a, 1, "word_ngrams")))
+    reg("count_in_static_set", 2)(a => CountInStaticSet(a(0),
+      stringArrayLit(a, 1, "count_in_static_set")))
     reg("any_changed_key_not_in", 2)(a => AnyChangedKeyNotIn(a(0),
       stringArrayLit(a, 1, "any_changed_key_not_in")))
     reg("any_watched_field_changed", 4)(a => AnyWatchedFieldChanged(a(0), a(1), a(2),

@@ -208,8 +208,9 @@ final class Replicator(
               // loop would reconnect forever)
               if (streaming) { restarts = 0; backoff = 200L }
             }
-          } catch { case e: Throwable if !closed =>
-            log.warn(s"graft-replicator stream failed: $e")
+          } catch { case e: Throwable =>
+            // during close() a racing ack hits the closed socket — expected
+            if (!closed) log.warn(s"graft-replicator stream failed: $e")
           } finally client.close()
           session = None
         case None =>
@@ -219,8 +220,9 @@ final class Replicator(
             catch { case _: InterruptedException => () }
             if (!closed) {
               try session = Some(reconnect())
-              catch { case e: Throwable if !closed =>
-                log.warn(s"graft-replicator reconnect $restarts/$maxRestarts failed: $e")
+              catch { case e: Throwable =>
+                if (!closed)
+                  log.warn(s"graft-replicator reconnect $restarts/$maxRestarts failed: $e")
               }
             }
           }

@@ -44,7 +44,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
           array('b')) AS f6_map,
         any_watched_field_changed(map('a','1','b','1'), map('a','2','b','1'),
           cast(array() as array<string>), array('a')) AS f6_fused,
-        word_ngrams(' a b  a b c ', 2) AS ngrams
+        word_ngrams(' a b  a b c ', 2) AS ngrams,
+        count_in_static_set(array('bad','ok','bad','worse'),
+          array('bad','worse')) AS n_blocked
     """).collect()(0)
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getSeq[String](1) == Seq("a", null, "x y"))
@@ -59,6 +61,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(!r.getBoolean(10)) // only 'a' changed and 'a' is unwatched → drop
     // distinct, first-occurrence order, whitespace-run/trim tolerant
     assert(r.getSeq[String](11) == Seq("a b", "b a", "b c"))
+    assert(r.getInt(12) == 3) // duplicates counted: bad×2 + worse
   }
 
   test("sketch shape arguments must be INT literals") {

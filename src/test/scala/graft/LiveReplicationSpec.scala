@@ -234,12 +234,17 @@ class LiveReplicationSpec extends AnyFunSuite {
           "WHERE slot_name = 'face_demo_graft'").trim == "t")
         cluster.psql("INSERT INTO acct VALUES (1, 5), (2, 6)")
         cluster.psql("UPDATE acct SET v = 7 WHERE id = 1")
-        // the daemon pump flushes on idle; wait for segments
-        val deadline = System.currentTimeMillis() + 60000
-        while (WalSegments.listSegments(walDir).isEmpty
-          && System.currentTimeMillis() < deadline) Thread.sleep(250)
-        assert(WalSegments.listSegments(walDir).nonEmpty, "no segments within 60 s")
-        Thread.sleep(1500) // let the update's segment flush too
+        // the daemon pump flushes on idle; wait until BOTH transactions
+        // (insert txn + update txn) are durably segmented — a fixed sleep
+        // loses under contended schedulers
+        def commitFrames: Int = WalSegments.listSegments(walDir).map { p =>
+          val it = WalSegments.readFrames(p)
+          try it.count(_.headOption.contains('C'.toByte)) finally it.close()
+        }.sum
+        val deadline = System.currentTimeMillis() + 90000
+        while (commitFrames < 2 && System.currentTimeMillis() < deadline)
+          Thread.sleep(250)
+        assert(commitFrames >= 2, s"both transactions not flushed: $commitFrames")
         // standard engine over the replicated segments
         WalSegments.writePublication(walDir, "face_pub", Seq("public.acct"))
         val raw = spark.readStream.format(classOf[CdcSourceProvider].getName)
