@@ -79,6 +79,11 @@ object LivePgHarness {
     try s.getLocalPort finally s.close()
   }
 
+  /** TLS provisioning needs openssl for the self-signed cert. */
+  lazy val haveOpenssl: Boolean =
+    try new ProcessBuilder("openssl", "version").start().waitFor() == 0
+    catch { case _: Exception => false }
+
   /** Like [[provision]], but ALSO serving TLS on 127.0.0.1:`port` with a
     * freshly-generated self-signed certificate — the `sslMode = require`
     * deployment shape.

@@ -270,6 +270,7 @@ class LiveReplicationSpec extends AnyFunSuite {
 
   test("TLS: SSLRequest upgrade to an encrypted walsender session, verified server-side") {
     assume(LivePgHarness.available, "no usable PostgreSQL installation — skipping")
+    assume(LivePgHarness.haveOpenssl, "no openssl for the self-signed cert — skipping")
     val port = LivePgHarness.freePort()
     val cluster = LivePgHarness.provisionTls(port)
     try {
