@@ -24,10 +24,13 @@ import graft.sources.cdc.WalSegments
   *    keeps segments humanly inspectable and replay-friendly
   *  - ack the last durably-WRITTEN LSN as the flushed position (S6): the
   *    segment file is the durable handoff, so the slot's retention window
-  *    is bounded by what is on disk, not by what Spark has consumed. An
-  *    optional `ackFloor` caps the ack at an external progress marker
-  *    (e.g. the CDC source's `ackPath` offsets) for deployments that want
-  *    slot retention to track the CONSUMER instead.
+  *    is bounded by what is on disk, not by what Spark has consumed.
+  *    `consumerAckPath` switches retention to track the CONSUMER instead:
+  *    pointed at the CDC source's `ackPath` status file (committed frame
+  *    counts), the tailer maps the consumer's committed frame count onto
+  *    the per-flush LSN marks it keeps and never acks past it — the
+  *    server then retains WAL until Spark has actually committed, so even
+  *    a lost segment DIRECTORY can be re-streamed from the slot.
   *  - DEDUPLICATE replayed transactions across reconnects: if the server
   *    dies before processing the final ack, the resumed stream re-sends
   *    transactions that are already on disk (the slot's documented
@@ -45,7 +48,7 @@ final class ReplicationTailer(
     client: PgReplicationClient,
     walDir: String,
     framesPerSegment: Int = 4096,
-    ackFloor: () => Option[Long] = () => None) {
+    consumerAckPath: Option[String] = None) {
 
   import PgReplicationClient._
 
@@ -59,6 +62,14 @@ final class ReplicationTailer(
   // transactions at or below it are re-sends and are dropped whole
   private var commitFloor = ReplicationTailer.lastCommitLsn(walDir)
   private var skippingReplayedTxn = false
+  // consumer-coupled retention: cumulative frame count → end LSN, one mark
+  // per flush, so a committed_frames figure maps to the LSN it covers.
+  // Frames already on disk predate this instance's marks — the floor stays
+  // conservative (never acks past what it can prove)
+  private var cumFrames: Long =
+    WalSegments.listSegments(walDir).map(WalSegments.countFrames).sum
+  private val flushMarks = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+  private var lastSentAck = 0L
 
   Files.createDirectories(Paths.get(walDir))
 
@@ -118,24 +129,47 @@ final class ReplicationTailer(
   }
 
   /** Write buffered frames as one segment (metadata replayed at its head)
-    * and ack the flushed position. No-op when nothing is buffered.
+    * and advance the ack. With no buffered frames the write is skipped but
+    * the ack still advances — in consumer-coupled mode the consumer keeps
+    * committing between segments and retention must follow.
     */
   def flush(): Unit = {
-    if (pending.isEmpty) return
-    val frames = metadata.values.toSeq ++ pending.toSeq
-    WalSegments.write(
-      Paths.get(walDir, WalSegments.segmentName(segmentIdx)), frames)
-    segmentIdx += 1
-    pending.clear()
-    lastWrittenLsn = pendingEndLsn
-    val ack = ackFloor() match {
-      case Some(floor) => math.min(floor, lastWrittenLsn)
-      case None        => lastWrittenLsn
+    if (pending.nonEmpty) {
+      val frames = metadata.values.toSeq ++ pending.toSeq
+      WalSegments.write(
+        Paths.get(walDir, WalSegments.segmentName(segmentIdx)), frames)
+      segmentIdx += 1
+      pending.clear()
+      lastWrittenLsn = pendingEndLsn
+      cumFrames += frames.length
+      flushMarks += ((cumFrames, lastWrittenLsn))
+      log.info(s"graft-replication: segment ${segmentIdx - 1} " +
+        s"(${frames.length} frames) flushed at ${formatLsn(lastWrittenLsn)}")
     }
-    if (ack > 0) client.sendStandbyStatus(ack)
-    log.info(s"graft-replication: segment ${segmentIdx - 1} " +
-      s"(${frames.length} frames) flushed, acked ${formatLsn(ack)}")
+    val ack = consumerAckPath match {
+      case None       => lastWrittenLsn // write-through: disk is the handoff
+      case Some(path) => ReplicationTailer.committedFrames(path)
+        .flatMap(ackFloorLsn).getOrElse(0L)
+    }
+    if (ack > lastSentAck) {
+      client.sendStandbyStatus(ack)
+      lastSentAck = ack
+      lastAckComputed = ack
+    }
   }
+
+  /** Largest flushed LSN fully covered by the consumer's committed frame
+    * count, per this instance's flush marks. Marks at or below the ack are
+    * pruned (the floor is monotone).
+    */
+  private[graft] def ackFloorLsn(committed: Long): Option[Long] = {
+    val covered = flushMarks.takeWhile(_._1 <= committed)
+    if (covered.length > 1) flushMarks.remove(0, covered.length - 1)
+    covered.lastOption.map(_._2)
+  }
+
+  /** Last ack actually sent (test observability). */
+  @volatile private[graft] var lastAckComputed: Long = 0L
 
   /** Pump the stream until `idleMs` passes with no traffic, or the stream
     * ends; flushes any tail. Returns whether the stream is still live
@@ -154,6 +188,18 @@ final class ReplicationTailer(
 }
 
 object ReplicationTailer {
+  /** The CDC source's ack status file → committed frame count (None when
+    * the consumer has not committed yet or the file is mid-rotation).
+    */
+  private[graft] def committedFrames(path: String): Option[Long] =
+    try {
+      val p = Paths.get(path)
+      if (!Files.exists(p)) None
+      else "\"committed_frames\"\\s*:\\s*(\\d+)".r
+        .findFirstMatchIn(new String(Files.readAllBytes(p), "UTF-8"))
+        .map(_.group(1).toLong)
+    } catch { case _: java.io.IOException => None }
+
   /** Commit LSN of the last transaction in the directory's segments (0 if
     * none): the replay floor a restarted tailer resumes under. Scans
     * backwards — the last segment holding any Commit decides.

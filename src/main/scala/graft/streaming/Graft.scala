@@ -191,7 +191,11 @@ object Graft {
     * `confirmed_flush_lsn`), and `close()` stops the pump and — for
     * temporary slots — drops the slot server-side. Flushed-segment LSNs
     * are acked upstream, so the slot's retention window tracks what is
-    * durably on disk.
+    * durably on disk — unless the config carries an `ackPath`, in which
+    * case the tailer caps its acks at the CONSUMER's committed progress
+    * (the CDC source writes that very file): the server then retains WAL
+    * until Spark commits, and even a lost segment directory can be
+    * re-streamed from the slot.
     */
   def replicate(config: GraftConfig, walDir: String,
       unixSocketDir: Option[String] = None,
@@ -228,7 +232,8 @@ object Graft {
           .createSlot(config.effectiveSlotName, temporary = !config.durableSlot)
           .startReplication(config.effectiveSlotName, pub)
       } catch { case e: Throwable => client.close(); throw e }
-      (client, new ReplicationTailer(client, walDir, framesPerSegment))
+      (client, new ReplicationTailer(client, walDir, framesPerSegment,
+        consumerAckPath = config.ackPath))
     }
     // first connect runs EAGERLY so config errors (bad publication, bad
     // credentials) fail the call, not a background thread

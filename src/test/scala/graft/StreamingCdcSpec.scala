@@ -1050,6 +1050,47 @@ class StreamingCdcSpec extends AnyFunSuite {
       s"replayed txn leaked into the durable history: $begins")
   }
 
+  test("replication tailer consumer-coupled acks: retention follows committed frames, never past") {
+    import graft.sources.replication.{PgReplicationClient, ReplicationTailer}
+    import WalMessage._
+    val dir = tmpDir("tailer-ackfloor")
+    val ackFile = s"$dir/ack.json"
+    val sink = new PgReplicationClient(PgReplicationClient.Endpoint(
+      database = "x", user = "x"))
+    val ts = java.time.Instant.parse("2024-07-01T10:00:00Z")
+    def txn(lsnOff: Int, id: Long): Seq[Array[Byte]] = Seq[WalMessage](
+      Begin(Lsn(0, lsnOff), ts, id),
+      Insert(WalFixture.relations("user"), IndexedSeq(Cell.Text(id.toString),
+        Cell.Text("1"), Cell.Null, Cell.Text("5"), Cell.Text("9"))),
+      Commit(0, Lsn(0, lsnOff), Lsn(0, lsnOff + 56), ts)).map(PgOutputEncoder.encode)
+    val rel = PgOutputEncoder.encode(WalFixture.relationFrame("user"))
+    val t = new ReplicationTailer(sink, dir, framesPerSegment = 100,
+      consumerAckPath = Some(ackFile))
+    def feed(frames: Seq[Array[Byte]], endLsn: Long): Unit =
+      frames.foreach(f => t.accept(PgReplicationClient.XLogData(0, endLsn, 0, f)))
+    // segment 1: rel + txn@100 = 4 frames; the consumer committed NOTHING
+    // yet → no ack leaves, whatever is on disk
+    feed(rel +: txn(100, 1), endLsn = Lsn(0, 156).toLong)
+    t.flush()
+    assert(t.lastAckComputed == 0L, "must not ack ahead of the consumer")
+    // consumer commits through segment 1 (4 frames): the ack may now cover
+    // exactly that flush's LSN — and segment 2's newer LSN must NOT leak
+    // even though it is already on disk
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(ackFile),
+      """{"committed_frames":4}""")
+    feed(txn(200, 2), endLsn = Lsn(0, 256).toLong)
+    t.flush()
+    assert(t.lastAckComputed == Lsn(0, 156).toLong,
+      s"ack must stop at the consumer's committed flush: ${t.lastAckComputed}")
+    // consumer catches up through segment 2 (4 + 4 frames): the ack
+    // advances on the next flush cycle, with no new traffic needed
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(ackFile),
+      """{"committed_frames":8}""")
+    t.flush()
+    assert(t.lastAckComputed == Lsn(0, 256).toLong,
+      s"ack must follow the consumer's catch-up: ${t.lastAckComputed}")
+  }
+
   test("isolateHandlerFailures: a crashing handler is skipped, the rest deliver") {
     val delivered = new java.util.concurrent.atomic.AtomicInteger(0)
     val engine = new Engine(isolateHandlerFailures = true)
