@@ -282,7 +282,15 @@ object TrainPrep {
       .select(col("bucket").as("key"), col("tot"))
     val prefix = exclusivePrefix(totals, depth, fanout)
       .select(col("key").as("bucket"), col("pre"))
-    ranked.join(broadcast(prefix), Seq("bucket"))
+    // the prefix table has one row per OCCUPIED bucket: broadcastable for
+    // any realistic geometry (16^4 buckets ≈ a few MB) but the declared
+    // envelope admits up to 16^8 ≈ 4.3e9 buckets at maxDocs=1e12 — far
+    // past any driver broadcast ceiling. Above ~10^7 buckets fall back to
+    // a shuffle join on `bucket` (both sides already carry it; AQE picks
+    // the strategy for the actual, not declared, bucket count)
+    val prefixSide =
+      if (math.pow(16.0, hexChars.toDouble) <= 1e7) broadcast(prefix) else prefix
+    ranked.join(prefixSide, Seq("bucket"))
       .select(col("doc_id"), lit(epoch).as("epoch"),
         (col("pre") + col("rk") - 1).as("pos"))
       .orderBy(col("doc_id"))

@@ -1,11 +1,13 @@
 package graft.sources.cdc
 
-import java.nio.file.{Files, Paths}
 import java.util.concurrent.ConcurrentHashMap
 
 import scala.jdk.CollectionConverters._
 
 import graft.sources.pgoutput._
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.util.SerializableConfiguration
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
@@ -158,13 +160,22 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[Filte
   private val startLatest = Option(options.get("startMode")).contains("latest")
   private val ackPath = Option(options.get("ackPath"))
 
+  // Hadoop conf from the session that started the stream (spark.hadoop.*
+  // credentials and filesystem settings included), serialized once so
+  // executor-side partition readers resolve the SAME FileSystem for
+  // hdfs://, s3a://, or file:// segment paths — no shared POSIX mount.
+  private val hadoopConf = new SerializableConfiguration(
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(WalSegments.localConf))
+
   // S2: publication fail-fast — construction happens at stream start.
   // The publication's table list also filters data frames at decode
   // (F8 server-side analogue: a Postgres publication drops unpublished
   // tables before the wire, README.md:69-83).
   private val publicationTables: Option[Set[String]] =
     Option(options.get("publication")).map { pub =>
-      WalSegments.publicationTables(dir, pub).getOrElse(
+      WalSegments.publicationTables(dir, pub, hadoopConf.value).getOrElse(
         throw new IllegalStateException(
           s"publication '$pub' does not exist in $dir " +
             "(reference semantics: server.ex:75-83 fails fast before replication)"))
@@ -182,10 +193,11 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[Filte
     */
   private val frameCounts = new ConcurrentHashMap[String, Long]()
 
-  private def segmentIndex(): Seq[(java.nio.file.Path, Long, Long)] = {
+  private def segmentIndex(): Seq[(HPath, Long, Long)] = {
     var cum = 0L
-    WalSegments.listSegments(dir).map { p =>
-      val n = frameCounts.computeIfAbsent(p.toString, _ => WalSegments.countFrames(p))
+    val (fs, _) = WalSegments.fsFor(dir, hadoopConf.value)
+    WalSegments.listSegments(dir, hadoopConf.value).map { p =>
+      val n = frameCounts.computeIfAbsent(p.toString, _ => WalSegments.countFrames(fs, p))
       val start = cum
       cum += n
       (p, start, n)
@@ -195,7 +207,7 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[Filte
   private def totalFrames(): Long = segmentIndex().map(_._3).sum
 
   private def headSegment(): Option[String] =
-    WalSegments.listSegments(dir).headOption.map(_.getFileName.toString)
+    WalSegments.listSegments(dir, hadoopConf.value).headOption.map(_.getName)
 
   /** Trigger.AvailableNow: pin the stream end at prepare time so the query
     * drains exactly the backlog (in rate-limited batches) and stops.
@@ -234,7 +246,7 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[Filte
     // Segment-list stability: a checkpointed offset only replays correctly
     // over the segment prefix it was counted on (see CdcOffset scaladoc).
     start.asInstanceOf[CdcOffset].head.foreach { h =>
-      val cur = idx.headOption.map(_._1.getFileName.toString)
+      val cur = idx.headOption.map(_._1.getName)
       if (!cur.contains(h)) throw new IllegalStateException(
         s"graft-cdc: segment list changed under a checkpointed offset " +
           s"(expected head segment '$h', found ${cur.getOrElse("no segments")}) — " +
@@ -254,23 +266,26 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[Filte
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdcReaderFactory(pushed, publicationTables, subscribedTables)
+    new CdcReaderFactory(pushed, publicationTables, subscribedTables, hadoopConf)
 
   /** S6/I6: offset ack — the standby-status-update equivalent. Durable
     * bookkeeping lives in the checkpoint; `ackPath` additionally surfaces
     * the committed offset to external observers (server.ex:213-214).
     */
   override def commit(end: Offset): Unit = ackPath.foreach { p =>
-    // temp-file + atomic move (as WalSegments.write): external observers
-    // never read a half-written ack
+    // temp-file + rename (as WalSegments.write): external observers never
+    // read a half-written ack on rename-atomic filesystems
     try {
-      val path = Paths.get(p)
-      val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
-      Files.write(tmp,
+      val path = new HPath(p)
+      val fs = path.getFileSystem(hadoopConf.value)
+      val tmp = new HPath(path.getParent, path.getName + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(
         s"""{"committed_frames":${end.asInstanceOf[CdcOffset].frames}}""".getBytes("UTF-8"))
-      Files.move(tmp, path,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally out.close()
+      if (fs.exists(path)) fs.delete(path, false)
+      if (!fs.rename(tmp, path))
+        throw new java.io.IOException(s"could not rename $tmp to $path")
     } catch { case _: Exception => () } // ack is advisory, never fails the query
   }
 
@@ -281,11 +296,13 @@ case class CdcInputPartition(path: String, segStartSeq: Long, skip: Long, take: 
     extends InputPartition
 
 class CdcReaderFactory(pushed: Array[Filter], publicationTables: Option[Set[String]],
-    subscribedTables: Option[Set[String]] = None)
+    subscribedTables: Option[Set[String]] = None,
+    hadoopConf: SerializableConfiguration =
+      new SerializableConfiguration(WalSegments.localConf))
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new CdcPartitionReader(partition.asInstanceOf[CdcInputPartition], pushed,
-      publicationTables, subscribedTables)
+      publicationTables, subscribedTables, hadoopConf)
 }
 
 /** Decodes one segment slice. The full segment prefix is scanned (metadata
@@ -295,10 +312,17 @@ class CdcReaderFactory(pushed: Array[Filter], publicationTables: Option[Set[Stri
   */
 class CdcPartitionReader(part: CdcInputPartition, pushed: Array[Filter],
     publicationTables: Option[Set[String]] = None,
-    subscribedTables: Option[Set[String]] = None)
+    subscribedTables: Option[Set[String]] = None,
+    hadoopConf: SerializableConfiguration =
+      new SerializableConfiguration(WalSegments.localConf))
     extends PartitionReader[InternalRow] {
 
-  private val frames = WalSegments.readFrames(Paths.get(part.path))
+  // executor-side: same FileSystem resolution as the driver's planner —
+  // the serialized conf carries scheme handlers and credentials
+  private val frames = {
+    val p = new HPath(part.path)
+    WalSegments.readFrames(p.getFileSystem(hadoopConf.value), p)
+  }
   private val registry = new RelationRegistry
   private var frameIdx = -1L
   private var curXid: java.lang.Long = null

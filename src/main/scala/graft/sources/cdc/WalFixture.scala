@@ -1,10 +1,11 @@
 package graft.sources.cdc
 
-import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, FileInputStream, FileOutputStream}
-import java.nio.file.{Files, Path, Paths}
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
 import java.time.Instant
 
 import graft.sources.pgoutput._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** WAL segment files: the durable replay unit of the CDC source.
   *
@@ -17,6 +18,20 @@ import graft.sources.pgoutput._
   * lib/walex/replication/publisher.ex:83-95) — so any segment is
   * independently decodable and segments can be read in parallel.
   *
+  * Storage speaks the Hadoop [[FileSystem]] API, NOT `java.nio`: `walDir`
+  * can be a plain local path (routed through `file://`), an explicit
+  * `file:///` URI, or shared cluster storage (`hdfs://`, `s3a://`) — the
+  * executors opening [[CdcInputPartition]] slices resolve the same
+  * FileSystem from the serialized Hadoop conf, so no shared POSIX mount
+  * is required. Visibility: a segment is written to a `.tmp` sibling and
+  * `rename`d into place, so a reader never sees a torn file on
+  * filesystems with atomic rename (local POSIX, HDFS). CAVEAT (object
+  * stores): S3A `rename` is copy+delete and NOT atomic — there a reader
+  * could list a segment mid-copy; front S3A with a consistent rename
+  * layer, or rely on the magic/length-prefix framing which makes a torn
+  * read fail loudly (`require(Magic)` / EOF inside a frame) rather than
+  * silently truncate.
+  *
   * The publication manifest (`publication_<name>` listing `schema.table`
   * lines) stands in for `pg_publication` (reference fail-fast check:
   * lib/walex/replication/server.ex:75-83, query_builder.ex:2-4).
@@ -26,33 +41,60 @@ object WalSegments {
   val Magic = 0x4757414C // "GWAL"
   val Version = 1
 
+  /** Process-default Hadoop conf for callers outside a Spark session
+    * (tailer, tests): picks up core-site.xml when present, serves
+    * `file://` otherwise. Spark-side callers pass the session conf.
+    */
+  lazy val localConf: Configuration = new Configuration()
+
   def segmentName(idx: Int): String = f"segment-$idx%06d.wal"
 
-  def listSegments(dir: String): Seq[Path] = {
-    val d = Paths.get(dir)
-    if (!Files.isDirectory(d)) return Seq.empty
-    import scala.jdk.CollectionConverters._
-    Files.list(d).iterator().asScala
-      .filter(p => p.getFileName.toString.matches("segment-\\d+\\.wal"))
-      .toSeq.sortBy(_.getFileName.toString)
+  def segmentPath(dir: String, idx: Int): Path = new Path(dir, segmentName(idx))
+
+  /** FileSystem + qualified path for a directory string (cheap:
+    * `FileSystem.get` caches per scheme+authority).
+    */
+  def fsFor(dir: String, conf: Configuration = localConf): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(conf), p)
   }
 
-  def write(path: Path, frames: Seq[Array[Byte]]): Unit = {
-    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
-    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(tmp.toFile)))
+  def listSegments(dir: String, conf: Configuration = localConf): Seq[Path] = {
+    val (fs, d) = fsFor(dir, conf)
+    try {
+      if (!fs.getFileStatus(d).isDirectory) return Seq.empty
+      fs.listStatus(d).iterator
+        .map(_.getPath)
+        .filter(_.getName.matches("segment-\\d+\\.wal"))
+        .toSeq.sortBy(_.getName)
+    } catch { case _: java.io.FileNotFoundException => Seq.empty }
+  }
+
+  def write(fs: FileSystem, path: Path, frames: Seq[Array[Byte]]): Unit = {
+    val tmp = new Path(path.getParent, path.getName + ".tmp")
+    val out = new DataOutputStream(new BufferedOutputStream(fs.create(tmp, true)))
     try {
       out.writeInt(Magic)
       out.writeInt(Version)
       frames.foreach { f => out.writeInt(f.length); out.write(f) }
     } finally out.close()
-    Files.move(tmp, path,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // rename-into-place: atomic on POSIX/HDFS (see object-store caveat in
+    // the class doc). Segments are immutable once named, so a pre-existing
+    // destination means a concurrent writer replayed the same content —
+    // delete+rename keeps last-writer-wins parity with the old
+    // REPLACE_EXISTING semantics.
+    if (fs.exists(path)) fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"could not rename $tmp to $path")
   }
 
+  def write(path: Path, frames: Seq[Array[Byte]]): Unit =
+    write(path.getFileSystem(localConf), path, frames)
+
   /** Closeable frame iterator over one segment. */
-  final class FrameIterator(path: Path) extends Iterator[Array[Byte]] with AutoCloseable {
-    private val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path.toFile)))
+  final class FrameIterator(fs: FileSystem, path: Path)
+      extends Iterator[Array[Byte]] with AutoCloseable {
+    private val in = new DataInputStream(new BufferedInputStream(fs.open(path)))
     require(in.readInt() == Magic, s"$path: not a GWAL segment")
     require(in.readInt() == Version, s"$path: unsupported segment version")
     private var closed = false
@@ -71,13 +113,16 @@ object WalSegments {
     override def close(): Unit = if (!closed) { closed = true; in.close() }
   }
 
-  def readFrames(path: Path): FrameIterator = new FrameIterator(path)
+  def readFrames(fs: FileSystem, path: Path): FrameIterator = new FrameIterator(fs, path)
+
+  def readFrames(path: Path): FrameIterator =
+    new FrameIterator(path.getFileSystem(localConf), path)
 
   /** Frame count without materializing frames (offset planning is
     * driver-side and must stay O(metadata), not O(data)).
     */
-  def countFrames(path: Path): Long = {
-    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path.toFile)))
+  def countFrames(fs: FileSystem, path: Path): Long = {
+    val in = new DataInputStream(new BufferedInputStream(fs.open(path)))
     try {
       require(in.readInt() == Magic, s"$path: not a GWAL segment")
       in.readInt()
@@ -89,22 +134,42 @@ object WalSegments {
     } finally in.close()
   }
 
+  def countFrames(path: Path): Long = countFrames(path.getFileSystem(localConf), path)
+
   // ---- publication manifest (S2) ----
 
   def publicationPath(dir: String, name: String): Path =
-    Paths.get(dir, s"publication_$name")
+    new Path(dir, s"publication_$name")
 
-  def writePublication(dir: String, name: String, tables: Seq[String]): Unit =
-    Files.write(publicationPath(dir, name), tables.mkString("\n").getBytes("UTF-8"))
+  def writePublication(dir: String, name: String, tables: Seq[String],
+      conf: Configuration = localConf): Unit = {
+    val p = publicationPath(dir, name)
+    val fs = p.getFileSystem(conf)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(tables.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
 
   /** Tables served by a publication, or None if the publication does not
     * exist (the source fails fast, matching server.ex:75-83).
     */
-  def publicationTables(dir: String, name: String): Option[Seq[String]] = {
+  def publicationTables(dir: String, name: String,
+      conf: Configuration = localConf): Option[Seq[String]] = {
     val p = publicationPath(dir, name)
-    if (!Files.exists(p)) None
-    else Some(new String(Files.readAllBytes(p), "UTF-8").split("\n").map(_.trim)
-      .filter(_.nonEmpty).toSeq)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toByteArray
+      } finally in.close()
+      Some(new String(bytes, "UTF-8").split("\n").map(_.trim)
+        .filter(_.nonEmpty).toSeq)
+    }
   }
 }
 
@@ -214,15 +279,15 @@ object WalFixture {
       publication: String = "graft_pub"): Unit = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val d = Paths.get(dir)
-    Files.createDirectories(d)
+    val (fs, d) = WalSegments.fsFor(dir)
+    fs.mkdirs(d)
     val txns = changes.groupBy(_.xid).toSeq.sortBy(_._1)
       .map { case (_, cs) => cs.sortBy(_.seq) }
     implicit val ec: ExecutionContext = ExecutionContext.global
     val writes = txns.grouped(txnsPerSegment).zipWithIndex.toSeq.map { case (group, i) =>
       Future {
         val frames = (headerFrames ++ group.flatMap(txnFrames)).map(PgOutputEncoder.encode)
-        WalSegments.write(d.resolve(WalSegments.segmentName(i)), frames)
+        WalSegments.write(fs, new Path(d, WalSegments.segmentName(i)), frames)
       }
     }
     Await.result(Future.sequence(writes), Duration.Inf)

@@ -15,10 +15,12 @@ import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
   * JDBC's surface anyway).
   *
   * Scope — exactly what live CDC ingestion needs, nothing else:
-  *  - startup in `replication=database` mode; trust, cleartext, md5, and
-  *    SCRAM-SHA-256 auth (RFC 5802/7677 client-side, with server-
-  *    signature verification; the -PLUS channel-binding variant is not
-  *    offered — pair TLS termination with a proxy if required)
+  *  - startup in `replication=database` mode; trust, cleartext, md5,
+  *    SCRAM-SHA-256, and — over TLS — SCRAM-SHA-256-PLUS auth with
+  *    tls-server-end-point channel binding (RFC 5802/7677/9266
+  *    client-side, with server-signature verification; -PLUS is chosen
+  *    automatically whenever the server offers it on a TLS session, so
+  *    `channel_binding=require`-grade deployments are served)
   *  - `START_REPLICATION SLOT … LOGICAL …` with pgoutput options
   *  - the CopyBoth stream: XLogData ('w') frames — each carrying ONE
   *    binary pgoutput message, byte-identical to what
@@ -38,12 +40,21 @@ import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
 object PgReplicationClient {
 
   /** `sslMode` (TCP only — Postgres does not run TLS over unix sockets):
-    *  - `"disable"` — plaintext (the unix-socket and test default)
-    *  - `"require"` — TLS via the SSLRequest upgrade, ANY certificate
+    *  - `"disable"`   — plaintext (the unix-socket and test default)
+    *  - `"require"`   — TLS via the SSLRequest upgrade, ANY certificate
     *    accepted (self-signed friendly; encrypts, does not authenticate
     *    the server — libpq's sslmode=require semantics)
-    *  - `"verify"`  — TLS with the JVM's default truststore AND hostname
-    *    verification (libpq's verify-full)
+    *  - `"verify-ca"` — TLS with chain verification against `sslRootCert`
+    *    (or the JVM default truststore), NO hostname check (libpq
+    *    verify-ca)
+    *  - `"verify"`    — chain verification AND hostname verification
+    *    (libpq verify-full)
+    *
+    * `sslRootCert` pins the trust anchors for the verify modes to the
+    * certificates in a PEM file — the libpq `sslrootcert` equivalent a
+    * cluster CA deployment needs (the reference inherits this through
+    * Postgrex `ssl_opts`). Unset, the verify modes use the JVM default
+    * truststore; `require` ignores it.
     */
   final case class Endpoint(
       host: String = "localhost",
@@ -53,7 +64,8 @@ object PgReplicationClient {
       user: String,
       password: Option[String] = None,
       applicationName: String = "graft-replication",
-      sslMode: String = "disable")
+      sslMode: String = "disable",
+      sslRootCert: Option[String] = None)
 
   sealed trait Message
   /** One pgoutput frame plus its WAL position. */
@@ -76,6 +88,19 @@ object PgReplicationClient {
   /** Microseconds since the Postgres epoch (2000-01-01). */
   private[replication] def pgClockUs: Long =
     (System.currentTimeMillis() - 946684800000L) * 1000L
+
+  /** Replication-grammar slot identifiers cannot be quoted, so instead of
+    * escaping, enforce the server's own slot-name grammar
+    * (ReplicationSlotValidateName: `[a-z0-9_]`, 1–63 bytes) before
+    * interpolation — anything else would fail server-side anyway, this
+    * just fails fast with a message instead of a protocol error.
+    */
+  def validSlotName(slot: String): String = {
+    require(slot.nonEmpty && slot.length < 64 &&
+      slot.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'),
+      s"invalid replication slot name '$slot': only [a-z0-9_], 1-63 chars")
+    slot
+  }
 }
 
 final class PgReplicationClient(ep: PgReplicationClient.Endpoint) extends AutoCloseable {
@@ -152,6 +177,53 @@ final class PgReplicationClient(ep: PgReplicationClient.Endpoint) extends AutoCl
     ctx
   }
 
+  /** Trust anchors pinned to the certificates in a PEM file — the libpq
+    * `sslrootcert` equivalent (a cluster CA, or the server's own
+    * self-signed cert). `generateCertificates` reads every cert in the
+    * file, so a bundle pins the whole chain.
+    */
+  private def pinnedContext(pemPath: String): javax.net.ssl.SSLContext = {
+    val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+    val in = new java.io.FileInputStream(pemPath)
+    val certs = try cf.generateCertificates(in) finally in.close()
+    if (certs.isEmpty)
+      throw new java.io.IOException(s"sslRootCert $pemPath holds no certificates")
+    val ks = java.security.KeyStore.getInstance(java.security.KeyStore.getDefaultType)
+    ks.load(null, null)
+    val it = certs.iterator()
+    var i = 0
+    while (it.hasNext) { ks.setCertificateEntry(s"graft-ca-$i", it.next()); i += 1 }
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(ks)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, tmf.getTrustManagers, new java.security.SecureRandom())
+    ctx
+  }
+
+  /** RFC 5929 tls-server-end-point: hash of the server's end-entity
+    * certificate under its signature hash algorithm, with MD5/SHA-1 (and
+    * anything unrecognized) upgraded to SHA-256 — the channel-binding
+    * data SCRAM-SHA-256-PLUS signs (RFC 9266).
+    */
+  private def endPointHash(cert: java.security.cert.Certificate): Array[Byte] = {
+    val sigAlg = cert match {
+      case x: java.security.cert.X509Certificate => x.getSigAlgName.toUpperCase
+      case _ => ""
+    }
+    val hash =
+      if (sigAlg.contains("SHA384")) "SHA-384"
+      else if (sigAlg.contains("SHA512")) "SHA-512"
+      else "SHA-256" // incl. the mandated MD5/SHA-1 upgrade
+    java.security.MessageDigest.getInstance(hash).digest(cert.getEncoded)
+  }
+
+  // tls-server-end-point hash of the live TLS session's server cert; null
+  // when the transport is plaintext (no channel to bind)
+  @volatile private var serverCertHash: Array[Byte] = null
+  // which SASL mechanism completed (test observability)
+  @volatile private[graft] var authMechanism: String = null
+
   /** Connect, authenticate, and reach ReadyForQuery in replication mode. */
   def connect(): this.type = {
     ep.unixSocketDir match {
@@ -177,16 +249,18 @@ final class PgReplicationClient(ep: PgReplicationClient.Endpoint) extends AutoCl
               s"server refused TLS (sslMode=${ep.sslMode}, got '${verdict.toChar}')")
           val ctx =
             if (ep.sslMode == "require") trustAllContext
-            else javax.net.ssl.SSLContext.getDefault
+            else ep.sslRootCert.map(pinnedContext)
+              .getOrElse(javax.net.ssl.SSLContext.getDefault)
           val ssl = ctx.getSocketFactory
             .createSocket(sock, ep.host, ep.port, true)
             .asInstanceOf[javax.net.ssl.SSLSocket]
-          if (ep.sslMode == "verify") {
+          if (ep.sslMode == "verify") { // verify-full; verify-ca skips this
             val p = ssl.getSSLParameters
             p.setEndpointIdentificationAlgorithm("HTTPS")
             ssl.setSSLParameters(p)
           }
           ssl.startHandshake()
+          serverCertHash = endPointHash(ssl.getSession.getPeerCertificates.head)
           sock = ssl
         }
         in = sock.getInputStream
@@ -212,6 +286,7 @@ final class PgReplicationClient(ep: PgReplicationClient.Endpoint) extends AutoCl
     var scramNonce: String = null
     var scramFirstBare: String = null
     var scramServerSig: Array[Byte] = null
+    var scramCbind: String = null // the c= attribute: b64(gs2 ++ cb-data)
     def hmac(key: Array[Byte], msg: Array[Byte]): Array[Byte] = {
       val m = javax.crypto.Mac.getInstance("HmacSHA256")
       m.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
@@ -238,20 +313,35 @@ final class PgReplicationClient(ep: PgReplicationClient.Endpoint) extends AutoCl
               send('p'.toByte, cstr("md5" + outer))
             case 10 => // SASL: mechanism list (NUL-separated, empty-terminated)
               val mechs = new String(b.drop(4), UTF_8).split("\u0000").filter(_.nonEmpty)
-              if (!mechs.contains("SCRAM-SHA-256"))
+              // RFC 7677/9266: over TLS, bind the SCRAM exchange to the
+              // channel (tls-server-end-point) whenever the server offers
+              // the -PLUS mechanism — a `channel_binding=require`-grade
+              // client posture. The gs2 flag encodes the downgrade story:
+              // "p=…" = binding in use; "y" = client COULD bind but the
+              // server offered no -PLUS (a MITM stripping -PLUS from the
+              // list is caught when the real server verifies the y-flagged
+              // c= attribute); "n" = no TLS, nothing to bind.
+              val plus = mechs.contains("SCRAM-SHA-256-PLUS") && serverCertHash != null
+              val mech = if (plus) "SCRAM-SHA-256-PLUS" else "SCRAM-SHA-256"
+              if (!plus && !mechs.contains("SCRAM-SHA-256"))
                 throw new java.io.IOException(
-                  s"no mutually supported SASL mechanism in ${mechs.mkString(",")} " +
-                    "(SCRAM-SHA-256-PLUS/channel binding not implemented)")
+                  s"no mutually supported SASL mechanism in ${mechs.mkString(",")}")
+              val gs2 =
+                if (plus) "p=tls-server-end-point,,"
+                else if (serverCertHash != null) "y,,"
+                else "n,,"
+              val cbData =
+                gs2.getBytes(UTF_8) ++ (if (plus) serverCertHash else Array.empty[Byte])
+              scramCbind = java.util.Base64.getEncoder.encodeToString(cbData)
+              authMechanism = mech
               val rnd = new Array[Byte](18)
               new java.security.SecureRandom().nextBytes(rnd)
               scramNonce = java.util.Base64.getEncoder.encodeToString(rnd)
-              // gs2 header "n,," = no channel binding; n= is ignored by PG
-              // (the startup user applies)
+              // n= is ignored by PG (the startup user applies)
               scramFirstBare = s"n=,r=$scramNonce"
-              val initial = ("n,," + scramFirstBare).getBytes(UTF_8)
-              val msg = ByteBuffer.allocate(
-                "SCRAM-SHA-256".length + 1 + 4 + initial.length)
-              msg.put(cstr("SCRAM-SHA-256")).putInt(initial.length).put(initial)
+              val initial = (gs2 + scramFirstBare).getBytes(UTF_8)
+              val msg = ByteBuffer.allocate(mech.length + 1 + 4 + initial.length)
+              msg.put(cstr(mech)).putInt(initial.length).put(initial)
               send('p'.toByte, msg.array())
             case 11 => // SASLContinue: server-first-message
               val serverFirst = new String(b.drop(4), UTF_8)
@@ -269,7 +359,11 @@ final class PgReplicationClient(ep: PgReplicationClient.Endpoint) extends AutoCl
               val clientKey = hmac(salted, "Client Key".getBytes(UTF_8))
               val storedKey = java.security.MessageDigest
                 .getInstance("SHA-256").digest(clientKey)
-              val withoutProof = s"c=biws,r=$serverNonce" // biws = b64("n,,")
+              // c= carries b64(gs2-header ++ cb-data): "biws" (= b64("n,,"))
+              // without TLS, the cert-hash-bearing form under -PLUS — the
+              // server recomputes it from ITS channel view, so a proxy in
+              // the middle fails the exchange
+              val withoutProof = s"c=$scramCbind,r=$serverNonce"
               val authMessage =
                 s"$scramFirstBare,$serverFirst,$withoutProof".getBytes(UTF_8)
               val clientSig = hmac(storedKey, authMessage)
@@ -370,18 +464,25 @@ final class PgReplicationClient(ep: PgReplicationClient.Endpoint) extends AutoCl
     */
   def createSlot(slot: String, temporary: Boolean): this.type = {
     val t = if (temporary) "TEMPORARY " else ""
-    command(s"CREATE_REPLICATION_SLOT $slot ${t}LOGICAL pgoutput") match {
+    val safe = PgReplicationClient.validSlotName(slot)
+    command(s"CREATE_REPLICATION_SLOT $safe ${t}LOGICAL pgoutput") match {
       case (None, _) | (Some("42710"), _) => this
       case (Some(code), _) =>
-        throw new java.io.IOException(s"CREATE_REPLICATION_SLOT $slot failed: $code")
+        throw new java.io.IOException(s"CREATE_REPLICATION_SLOT $safe failed: $code")
     }
   }
 
   /** Begin streaming: pgoutput frames start arriving on [[poll]]. */
   def startReplication(slot: String, publication: String,
       startLsn: Long = 0L, protoVersion: Int = 1): this.type = {
-    val sql = s"START_REPLICATION SLOT $slot LOGICAL ${formatLsn(startLsn)} " +
-      s"""(proto_version '$protoVersion', publication_names '$publication')"""
+    // same escaping discipline as publicationExists: the publication name
+    // sits inside single quotes (a name created as "weird'pub" must
+    // round-trip), the slot identifier is validated against the server's
+    // own slot-name grammar rather than interpolated raw
+    val safePub = publication.replace("'", "''")
+    val sql = s"START_REPLICATION SLOT ${PgReplicationClient.validSlotName(slot)} " +
+      s"LOGICAL ${formatLsn(startLsn)} " +
+      s"""(proto_version '$protoVersion', publication_names '$safePub')"""
     send('Q'.toByte, cstr(sql))
     // server answers CopyBothResponse, then the stream flows
     var copying = false

@@ -188,27 +188,52 @@ final class Engine(isolateHandlerFailures: Boolean = false,
           s"until the ledger recovers: $e")
       }
     }
-  /** Manifest gate: `_manifest` holds the newline-joined key sequence the
-    * ledger's markers were written under. Current registry must EXTEND it
-    * (appends rewrite the file, via tmp+rename so a crash mid-rewrite
-    * leaves the old manifest, never a truncated one); anything else throws.
-    * Validated once per registry shape per engine instance — steady-state
-    * dispatches don't touch the FS.
+  /** Manifest gate: the manifest holds the newline-joined key sequence
+    * the ledger's markers were written under. Current registry must
+    * EXTEND it; anything else throws. Rewrites are WRITE-NEW-THEN-SWAP
+    * over versioned names (`_manifest.v<N>`, readers take the highest N;
+    * a bare legacy `_manifest` reads as version 0): the new version is
+    * renamed into place BEFORE older versions are deleted, so at every
+    * instant of a crash window some complete manifest exists — the old
+    * delete-then-rename ordering had a window with NO manifest, which a
+    * restart would read as "empty recorded sequence" and silently accept
+    * any registry shape. Validated once per registry shape per engine
+    * instance, and re-validated on the prune cadence (every 64 batches) so
+    * a ledger directory REPLACED under a long-running engine is caught at
+    * the next window rather than never.
     */
   @volatile private var manifestValidatedFor: Seq[String] = null
+  /** All manifest files as (version, path), ascending: `_manifest.v<N>`
+    * at version N, the legacy bare `_manifest` as version 0. The LAST is
+    * live; lower versions are shadowed crash residue.
+    */
+  private def manifestVersions(fs: FileSystem, dir: HPath): Seq[(Long, HPath)] = {
+    val versioned = try fs.listStatus(dir).toSeq
+      .map(_.getPath)
+      .flatMap { p =>
+        val n = p.getName
+        if (n == "_manifest") Some((0L, p))
+        else if (n.startsWith("_manifest.v") && n.drop(11).forall(_.isDigit) &&
+          n.length > 11) Some((n.drop(11).toLong, p))
+        else None
+      }
+    catch { case _: java.io.FileNotFoundException => Nil }
+    versioned.sortBy(_._1)
+  }
   private def validateManifest(fsDir: Option[(FileSystem, HPath)],
       keys: Map[Int, String]): Unit = fsDir.foreach { case (fs, dir) =>
     val current = keys.toSeq.sortBy(_._1).map(_._2)
     if (manifestValidatedFor == current) return
-    val mf = new HPath(dir, "_manifest")
-    val recorded: Seq[String] =
-      if (!fs.exists(mf)) Nil
-      else {
+    val versions = manifestVersions(fs, dir)
+    val live = versions.lastOption
+    val recorded: Seq[String] = live match {
+      case None => Nil
+      case Some((_, mf)) =>
         val in = fs.open(mf)
         try scala.io.Source.fromInputStream(in, "UTF-8")
           .getLines().filter(_.nonEmpty).toList
         finally in.close()
-      }
+    }
     if (recorded != current.take(recorded.length))
       throw new IllegalStateException(
         s"delivery ledger at $dir was written under handler registry " +
@@ -219,13 +244,19 @@ final class Engine(isolateHandlerFailures: Boolean = false,
           "checkpoint to accept the new shape")
     if (recorded.length < current.length) {
       fs.mkdirs(dir)
+      val next = new HPath(dir, s"_manifest.v${live.fold(1L)(_._1 + 1L)}")
       val tmp = new HPath(dir, "_manifest.tmp")
       val out = fs.create(tmp, true)
       try out.write((current.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
-      fs.delete(mf, false)
-      if (!fs.rename(tmp, mf))
-        throw new java.io.IOException(s"could not commit ledger manifest $mf")
+      if (fs.exists(next)) fs.delete(next, false) // stale crash residue
+      if (!fs.rename(tmp, next))
+        throw new java.io.IOException(s"could not commit ledger manifest $next")
+      // only AFTER the new version is durable: retire ALL older versions
+      // (best-effort — a leftover lower version is shadowed, not read)
+      versions.foreach { case (_, old) =>
+        try fs.delete(old, false) catch { case _: java.io.IOException => () }
+      }
     }
     manifestValidatedFor = current
   }
@@ -327,6 +358,11 @@ final class Engine(isolateHandlerFailures: Boolean = false,
     // one FileSystem resolution per batch, from the session that owns the
     // batch — local paths, HDFS, and S3A all route through the same API
     val fsDir = ledgerFs(batch.sparkSession.sparkContext.hadoopConfiguration)
+    // the per-shape validation cache skips FS round-trips in steady state;
+    // on the prune cadence it is dropped so a ledger directory replaced
+    // out from under a LONG-RUNNING engine (operator error) is caught at
+    // the next window instead of never
+    if (batchId % 64 == 0 && batchId > 0) manifestValidatedFor = null
     validateManifest(fsDir, keys)
     // prune ONCE per batch (not per handler — each prune lists the whole
     // marker directory), and off the common path

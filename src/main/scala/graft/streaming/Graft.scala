@@ -263,14 +263,39 @@ object Graft {
   def start(spark: SparkSession, config: GraftConfig, walDir: String,
       engine: Engine, trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
     config.effectiveLedger.foreach(engine.withDeliveryLedger)
-    // session-level conf, bound per query at start — set before .start()
-    config.stateStoreProvider.foreach(p =>
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
-    engine.start(events(spark, config, walDir),
-      checkpoint = config.effectiveCheckpoint,
-      trigger = trigger,
-      queryName = s"graft-${config.appName}")
+    withStateStoreProvider(spark, config) {
+      engine.start(events(spark, config, walDir),
+        checkpoint = config.effectiveCheckpoint,
+        trigger = trigger,
+        queryName = s"graft-${config.appName}")
+    }
   }
+
+  /** Streaming state-store provider is a SESSION conf bound per query at
+    * `.start()` — scope it to this start call by snapshotting and
+    * restoring the previous value, so a config that asks for e.g. RocksDB
+    * does not silently change the provider of every LATER query started
+    * on the same shared SparkSession (queries already running are
+    * unaffected either way; Spark pins the conf at their start).
+    */
+  private def withStateStoreProvider[A](spark: SparkSession, config: GraftConfig)
+      (body: => A): A =
+    config.stateStoreProvider match {
+      case None => body
+      case Some(p) =>
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        // conf.getOption surfaces the DEFAULT for unset keys — ask the
+        // session conf whether the key was explicitly set, so restore
+        // doesn't freeze a default into an explicit value
+        val wasSet = spark.sessionState.conf.contains(key)
+        val prev = if (wasSet) Some(spark.conf.get(key)) else None
+        spark.conf.set(key, p)
+        try body
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+    }
 
   /** The JDBC lane's one-call equivalent of [[start]]: the config's
     * connection fields (the reference's config surface) become the polling
@@ -286,12 +311,12 @@ object Graft {
       s"config '${config.appName}': set hostname+database (postgres url) " +
         "or pass url via extraOptions")
     config.effectiveLedger.foreach(engine.withDeliveryLedger)
-    config.stateStoreProvider.foreach(p =>
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
-    engine.start(
-      eventsFromJdbc(spark, opts),
-      checkpoint = config.effectiveCheckpoint,
-      trigger = trigger,
-      queryName = s"graft-${config.appName}")
+    withStateStoreProvider(spark, config) {
+      engine.start(
+        eventsFromJdbc(spark, opts),
+        checkpoint = config.effectiveCheckpoint,
+        trigger = trigger,
+        queryName = s"graft-${config.appName}")
+    }
   }
 }

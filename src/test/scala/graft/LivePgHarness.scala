@@ -86,7 +86,11 @@ object LivePgHarness {
 
   /** Like [[provision]], but ALSO serving TLS on 127.0.0.1:`port` with a
     * freshly-generated self-signed certificate — the `sslMode = require`
-    * deployment shape.
+    * deployment shape. The cert carries DNS:localhost + IP:127.0.0.1
+    * SANs so `sslMode = verify` hostname verification is testable, and a
+    * `scramtls` role (password `tls-secret`) is gated by an
+    * ssl-only SCRAM hba rule so SCRAM-SHA-256-PLUS channel binding runs
+    * against a real verifier.
     */
   def provisionTls(port: Int): Cluster = {
     val bin = pgBin.getOrElse(sys.error("no PostgreSQL installation"))
@@ -95,7 +99,8 @@ object LivePgHarness {
     // cert before chown so the key ends up postgres-owned with 0600
     val ssl = new ProcessBuilder("openssl", "req", "-x509", "-newkey", "rsa:2048",
       "-nodes", "-keyout", s"$base/server.key", "-out", s"$base/server.crt",
-      "-days", "2", "-subj", "/CN=localhost")
+      "-days", "2", "-subj", "/CN=localhost",
+      "-addext", "subjectAltName=DNS:localhost,IP:127.0.0.1")
     ssl.redirectErrorStream(true)
     val p = ssl.start()
     assert(p.waitFor() == 0, "openssl cert generation failed")
@@ -107,10 +112,17 @@ object LivePgHarness {
       new ProcessBuilder("chown", "-R", "postgres:postgres", base).start().waitFor()
     }
     shOk(s"$bin/initdb -D ${c.data} -A trust")
+    // first-match-wins: the scramtls rules must PRECEDE initdb's blanket
+    // 127.0.0.1 trust rule; hostssl restricts SCRAM to TLS sessions and
+    // hostnossl rejects any plaintext attempt for that role outright
+    shOk("sed -i '1i hostssl all scramtls 127.0.0.1/32 scram-sha-256\\n" +
+      "hostnossl all scramtls 127.0.0.1/32 reject' " +
+      s"${c.data}/pg_hba.conf")
     shOk(s"$bin/pg_ctl -D ${c.data} -l $base/pg.log -w " +
       s"-o '-k ${c.sock} -p $port -c listen_addresses=127.0.0.1 " +
       s"-c ssl=on -c ssl_cert_file=$base/server.crt -c ssl_key_file=$base/server.key " +
       "-c wal_level=logical -c max_wal_senders=4 -c max_replication_slots=4' start")
+    c.psql("CREATE ROLE scramtls LOGIN REPLICATION PASSWORD 'tls-secret'")
     c
   }
 }

@@ -92,7 +92,7 @@ class LivePgSpec extends AnyFunSuite {
         h.grouped(2).map(b => Integer.parseInt(b, 16).toByte).toArray)
       val walDir = s"$base/wal"
       Files.createDirectories(Paths.get(walDir))
-      WalSegments.write(Paths.get(walDir, WalSegments.segmentName(0)), frames.toSeq)
+      WalSegments.write(WalSegments.segmentPath(walDir, 0), frames.toSeq)
       val pubTables = psql(
         "SELECT schemaname || '.' || tablename FROM pg_publication_tables " +
           "WHERE pubname = 'graft_pub' ORDER BY 1")

@@ -107,7 +107,7 @@ class StreamingCdcSpec extends AnyFunSuite {
       Begin(Lsn(0, 700), ts, 9L),
       Update(WalFixture.relations("user"), Some('K'), Some(keyOld), newT),
       Commit(0, Lsn(0, 700), Lsn(0, 756), ts))).map(PgOutputEncoder.encode)
-    WalSegments.write(java.nio.file.Paths.get(dir, WalSegments.segmentName(0)), frames)
+    WalSegments.write(WalSegments.segmentPath(dir, 0), frames)
     runToTable(readStreamFrom(dir), "t_toast_k")
     val upd = spark.table("t_toast_k").filter($"msg" === "update").collect()(0)
     assert(upd.getAs[Map[String, String]]("record")("val_cents") == null)
@@ -126,7 +126,7 @@ class StreamingCdcSpec extends AnyFunSuite {
       Insert(WalFixture.relations("user"), IndexedSeq(Cell.Text("1"),
         Cell.Text("1"), Cell.Text("5"), Cell.Text("100"), Cell.Text("999"))),
       Commit(0, Lsn(0, 800), Lsn(0, 856), ts))).map(PgOutputEncoder.encode)
-    WalSegments.write(java.nio.file.Paths.get(dir, WalSegments.segmentName(0)), f0)
+    WalSegments.write(WalSegments.segmentPath(dir, 0), f0)
     // segment 1: `user` REPLAYS with a 6th column — `ALTER TABLE ADD COLUMN
     // note text` mid-stream. Reference semantics: the publisher simply
     // replaces the cached relation and rows immediately use the new shape
@@ -144,7 +144,7 @@ class StreamingCdcSpec extends AnyFunSuite {
         Cell.Text("2"), Cell.Text("6"), Cell.Text("200"), Cell.Text("1000"),
         Cell.Text("hello"))),
       Commit(0, Lsn(0, 900), Lsn(0, 956), ts))).map(PgOutputEncoder.encode)
-    WalSegments.write(java.nio.file.Paths.get(dir, WalSegments.segmentName(1)), f1)
+    WalSegments.write(WalSegments.segmentPath(dir, 1), f1)
     runToTable(readStreamFrom(dir), "t_ddl")
     val ins = spark.table("t_ddl").filter($"msg" === "insert")
       .orderBy("seq").collect()
@@ -213,7 +213,7 @@ class StreamingCdcSpec extends AnyFunSuite {
     val more = (10 until 13).map(i => mkChange(i, 100 + i, "insert", "todo", recordId = i))
     val frames = (WalFixture.headerFrames ++
       more.grouped(1).flatMap(g => WalFixture.txnFrames(g))).map(PgOutputEncoder.encode)
-    WalSegments.write(java.nio.file.Paths.get(dir, WalSegments.segmentName(1)), frames.toSeq)
+    WalSegments.write(WalSegments.segmentPath(dir, 1), frames.toSeq)
     run()
     assert(got.toSeq == Seq.fill(3)(("insert", "todo")), s"resume re-delivered: $got")
   }
@@ -747,7 +747,7 @@ class StreamingCdcSpec extends AnyFunSuite {
     // checkpoint — same filesystem, same lifecycle
     assert(engine.deliveryLedgerDir.contains(s"$ckpt/_graft_delivery"))
     val names = new java.io.File(s"$ckpt/_graft_delivery").listFiles().map(_.getName)
-    assert(names.exists(_.matches("b\\d+_on_event___0")) && names.contains("_manifest"),
+    assert(names.exists(_.matches("b\\d+_on_event___0")) && names.exists(_.startsWith("_manifest.v")),
       s"ledger not materialized by the facade: ${names.toSeq}")
   }
 
@@ -773,6 +773,12 @@ class StreamingCdcSpec extends AnyFunSuite {
         }
       assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
         s"no RocksDB state metrics — provider not engaged: $metricKeys")
+      // the provider conf is SCOPED to the start call: the shared session
+      // must come back unchanged, so later queries from other configs
+      // don't silently inherit RocksDB
+      assert(!spark.sessionState.conf.contains(
+        "spark.sql.streaming.stateStore.providerClass"),
+        "stateStore provider conf leaked past Graft.start")
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
@@ -815,7 +821,7 @@ class StreamingCdcSpec extends AnyFunSuite {
           Seq(WalFixture.relations("user"), WalFixture.relations("todo")))),
         Array[Byte](0x7A, 0x01, 0x02), // garbage frame → Unsupported, not fatal
         PgOutputEncoder.encode(Commit(0, Lsn(0, 500), Lsn(0, 556), ts)))
-    WalSegments.write(java.nio.file.Paths.get(dir, WalSegments.segmentName(0)), frames)
+    WalSegments.write(WalSegments.segmentPath(dir, 0), frames)
 
     runToTable(readStreamFrom(dir), "t_trunc")
     val rows = spark.table("t_trunc").collect()
@@ -904,7 +910,7 @@ class StreamingCdcSpec extends AnyFunSuite {
     // handler "on_event:*" sanitizes to the Hadoop-safe "on_event__"
     assert(names.contains("b3_on_event___0") && names.contains("b4_on_event___0"),
       s"marker files missing: $names")
-    assert(names.contains("_manifest"), s"manifest missing: $names")
+    assert(names.exists(_.startsWith("_manifest.v")), s"manifest missing: $names")
   }
 
   test("delivery ledger manifest: appends are accepted, reorders fail fast") {
@@ -926,8 +932,13 @@ class StreamingCdcSpec extends AnyFunSuite {
       .onUpdate("user") { _ => () }
       .onDelete("user") { _ => () }
       .dispatch(batch, 1L)
-    val mf = java.nio.file.Paths.get(ledger, "_manifest")
-    val lines = java.nio.file.Files.readAllLines(mf)
+    // versioned write-then-swap: exactly one live manifest remains after
+    // the extension (v1 was retired only after v2 landed)
+    val mfs = new java.io.File(ledger).listFiles()
+      .filter(_.getName.startsWith("_manifest")).map(_.getName).sorted
+    assert(mfs.toSeq == Seq("_manifest.v2"), s"expected one live manifest: ${mfs.toSeq}")
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(ledger, "_manifest.v2"))
     assert(lines.size == 3 && lines.get(2).startsWith("on_delete_user"),
       s"manifest not extended: $lines")
     // reordered deploy: delivery history would silently swap — must throw
@@ -935,6 +946,57 @@ class StreamingCdcSpec extends AnyFunSuite {
       .onUpdate("user") { _ => () }
       .onInsert("user") { _ => () }
     val e = intercept[IllegalStateException](reordered.dispatch(batch, 2L))
+    assert(e.getMessage.contains("APPENDING"), e.getMessage)
+  }
+
+  test("ledger manifest: legacy bare _manifest reads as v0 and is retired on extension") {
+    import graft.streaming.Engine
+    val ledger = tmpDir("ledger-legacy")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(ledger, "_manifest"), "on_insert_user_0\n")
+    val batch = spark.range(1).selectExpr(
+      "'user' AS name", "'insert' AS type",
+      "CAST(null AS map<string,struct<old_value:string,new_value:string>>) AS changes",
+      "map('id','1') AS new_record",
+      "CAST(null AS map<string,string>) AS old_record")
+    // extends the legacy shape → new versioned manifest, legacy retired
+    new Engine(deliveryLedger = Some(ledger))
+      .onInsert("user") { _ => () }
+      .onUpdate("user") { _ => () }
+      .dispatch(batch, 0L)
+    val mfs = new java.io.File(ledger).listFiles()
+      .filter(_.getName.startsWith("_manifest")).map(_.getName).sorted
+    assert(mfs.toSeq == Seq("_manifest.v1"), s"legacy manifest not upgraded: ${mfs.toSeq}")
+    // a conflicting legacy shape still fails fast
+    val bad = tmpDir("ledger-legacy2")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(bad, "_manifest"), "on_update_user_0\n")
+    val e = intercept[IllegalStateException](
+      new Engine(deliveryLedger = Some(bad))
+        .onInsert("user") { _ => () }.dispatch(batch, 0L))
+    assert(e.getMessage.contains("APPENDING"), e.getMessage)
+  }
+
+  test("ledger manifest is revalidated on the prune cadence: a swapped ledger dir is caught") {
+    import graft.streaming.Engine
+    val ledger = tmpDir("ledger-swap")
+    val batch = spark.range(1).selectExpr(
+      "'user' AS name", "'insert' AS type",
+      "CAST(null AS map<string,struct<old_value:string,new_value:string>>) AS changes",
+      "map('id','1') AS new_record",
+      "CAST(null AS map<string,string>) AS old_record")
+    val engine = new Engine(deliveryLedger = Some(ledger))
+      .onInsert("user") { _ => () }
+    engine.dispatch(batch, 0L)
+    // operator error: the ledger directory is REPLACED under the running
+    // engine with one from a different deployment. The per-shape cache
+    // makes steady-state batches skip the gate...
+    new java.io.File(ledger).listFiles().foreach(_.delete())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(ledger, "_manifest.v7"), "on_event_other_0\n")
+    engine.dispatch(batch, 1L) // cached shape — not yet caught (documented)
+    // ...but the next revalidation window (batchId % 64 == 0) re-reads it
+    val e = intercept[IllegalStateException](engine.dispatch(batch, 64L))
     assert(e.getMessage.contains("APPENDING"), e.getMessage)
   }
 
@@ -1089,6 +1151,115 @@ class StreamingCdcSpec extends AnyFunSuite {
     t.flush()
     assert(t.lastAckComputed == Lsn(0, 256).toLong,
       s"ack must follow the consumer's catch-up: ${t.lastAckComputed}")
+  }
+
+  test("Hadoop FS lane: explicit file:/// walDir round-trips write/list/stream") {
+    // the segment lane speaks the Hadoop FileSystem API end-to-end: an
+    // explicit file:/// URI (not a bare local path) must plan, read and
+    // decode — the same resolution path hdfs:// and s3a:// take on a
+    // cluster, where executors have no shared POSIX mount
+    val local = tmpDir("hadoop-fs")
+    val uri = "file://" + local
+    val changes = Seq(
+      mkChange(1, 0, "insert", "user", recordId = 21),
+      mkChange(2, 1, "update", "todo", k = Some(9), recordId = 22))
+    WalFixture.writeSegments(uri, changes, txnsPerSegment = 1)
+    // write went through the FS API: segments visible, no .tmp residue
+    val segs = WalSegments.listSegments(uri)
+    assert(segs.size == 2, s"expected 2 segments via file:///, got $segs")
+    assert(!new java.io.File(local).listFiles().exists(_.getName.endsWith(".tmp")),
+      "tmp+rename must leave no residue")
+    assert(WalSegments.countFrames(segs.head) == 7) // 3 rel + type + B/I/C
+    runToTable(readStreamFrom(uri), "t_hadoop_fs")
+    val rows = spark.table("t_hadoop_fs").collect()
+    assert(rows.count(_.getAs[String]("msg") == "insert") == 1 &&
+      rows.count(_.getAs[String]("msg") == "update") == 1,
+      "executors must decode segments opened through the Hadoop FS API")
+  }
+
+  test("replication tailer idle flush keeps an in-flight txn prefix off disk") {
+    import graft.sources.replication.{PgReplicationClient, ReplicationTailer}
+    import WalMessage._
+    val dir = tmpDir("tailer-prefix")
+    val sink = new PgReplicationClient(PgReplicationClient.Endpoint(
+      database = "x", user = "x"))
+    val ts = java.time.Instant.parse("2024-07-01T10:00:00Z")
+    def enc(m: WalMessage) = PgOutputEncoder.encode(m)
+    val rel = enc(WalFixture.relationFrame("user"))
+    def ins(id: Long) = enc(Insert(WalFixture.relations("user"),
+      IndexedSeq(Cell.Text(id.toString), Cell.Text("1"), Cell.Null,
+        Cell.Text("5"), Cell.Text("9"))))
+    def txn(lsnOff: Int, id: Long): Seq[Array[Byte]] = Seq(
+      enc(Begin(Lsn(0, lsnOff), ts, id)), ins(id),
+      enc(Commit(0, Lsn(0, lsnOff), Lsn(0, lsnOff + 56), ts)))
+    def feed(t: ReplicationTailer, frames: Seq[Array[Byte]]): Unit =
+      frames.foreach(f => t.accept(PgReplicationClient.XLogData(0, 0, 0, f)))
+    // session 1: one complete txn@100, then the connection dies mid-txn@200
+    // (Begin + Insert, no Commit). The idle flush fires — the completed
+    // txn must land, the headless prefix must NOT
+    val t1 = new ReplicationTailer(sink, dir, framesPerSegment = 100)
+    feed(t1, rel +: (txn(100, 1) ++ Seq(enc(Begin(Lsn(0, 200), ts, 2L)), ins(2))))
+    t1.flush() // = runUntilIdle's idle-window flush
+    val afterIdle = {
+      val segs = WalSegments.listSegments(dir)
+      assert(segs.size == 1, s"expected exactly the completed txn's segment: $segs")
+      val it = WalSegments.readFrames(segs.head)
+      try it.toList finally it.close()
+    }
+    assert(!afterIdle.exists(f => f(0) == 'B'.toByte &&
+      java.nio.ByteBuffer.wrap(f, 1, 8).getLong == Lsn(0, 200).toLong),
+      "a headless transaction prefix must never be persisted")
+    // session 2 (reconnect): the slot never acked txn@200, so the server
+    // re-sends it WHOLE. The commit-granular replay floor (=100) admits
+    // it — and because the prefix never hit disk, history stays exactly-once
+    val t2 = new ReplicationTailer(sink, dir, framesPerSegment = 100)
+    feed(t2, rel +: txn(200, 2))
+    t2.flush()
+    val allInserts = WalSegments.listSegments(dir).flatMap { p =>
+      val it = WalSegments.readFrames(p)
+      try it.toList.filter(_(0) == 'I'.toByte) finally it.close()
+    }
+    assert(allInserts.length == 2,
+      s"txn@200's insert must appear exactly once (plus txn@100's): ${allInserts.length}")
+  }
+
+  test("restarted tailer rebuilds flush marks: consumer acks advance past pre-restart segments") {
+    import graft.sources.replication.{PgReplicationClient, ReplicationTailer}
+    import WalMessage._
+    val dir = tmpDir("tailer-rebuild")
+    val ackFile = s"$dir/ack.json"
+    val sink = new PgReplicationClient(PgReplicationClient.Endpoint(
+      database = "x", user = "x"))
+    val ts = java.time.Instant.parse("2024-07-01T10:00:00Z")
+    def txn(lsnOff: Int, id: Long): Seq[Array[Byte]] = Seq[WalMessage](
+      Begin(Lsn(0, lsnOff), ts, id),
+      Insert(WalFixture.relations("user"), IndexedSeq(Cell.Text(id.toString),
+        Cell.Text("1"), Cell.Null, Cell.Text("5"), Cell.Text("9"))),
+      Commit(0, Lsn(0, lsnOff), Lsn(0, lsnOff + 56), ts)).map(PgOutputEncoder.encode)
+    val rel = PgOutputEncoder.encode(WalFixture.relationFrame("user"))
+    // session 1 writes two segments (4 frames each), then the tailer dies
+    val t1b = new ReplicationTailer(sink, dir, framesPerSegment = 100,
+      consumerAckPath = Some(ackFile))
+    (rel +: txn(100, 1)).foreach(f => t1b.accept(PgReplicationClient.XLogData(0, 0, 0, f)))
+    t1b.flush()
+    txn(200, 2).foreach(f => t1b.accept(PgReplicationClient.XLogData(0, 0, 0, f)))
+    t1b.flush()
+    assert(WalSegments.listSegments(dir).size == 2)
+    // RESTART: the new tailer has never flushed — under in-memory-only
+    // marks a lagging consumer's commits could not be mapped to an LSN and
+    // retention would pin until the consumer passed the restart point
+    val t2 = new ReplicationTailer(sink, dir, framesPerSegment = 100,
+      consumerAckPath = Some(ackFile))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(ackFile),
+      """{"committed_frames":4}""")
+    t2.flush() // no new traffic — rebuilt marks must cover the old segments
+    assert(t2.lastAckComputed == Lsn(0, 156).toLong,
+      s"rebuilt marks must map pre-restart commits to their LSN: ${t2.lastAckComputed}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(ackFile),
+      """{"committed_frames":8}""")
+    t2.flush()
+    assert(t2.lastAckComputed == Lsn(0, 256).toLong,
+      s"rebuilt marks must cover every pre-restart segment: ${t2.lastAckComputed}")
   }
 
   test("isolateHandlerFailures: a crashing handler is skipped, the rest deliver") {
