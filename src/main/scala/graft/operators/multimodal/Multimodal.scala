@@ -61,6 +61,60 @@ object Multimodal {
     }
   }
 
+  /** The codec seam's dispatcher: blobs whose magic bytes identify a real
+    * image container decode through [[ImageCodec]] (the JDK's own
+    * PNG/JPEG/GIF/BMP codecs — real headers, real pixels, real frames);
+    * everything else routes to the synthetic [[FakeCodec]]. The driver
+    * fixtures are text blobs — no magic — so the oracle-verified
+    * mm01–mm05 lanes stay bit-identical on the synthetic contract, while
+    * real media flows through the SAME operators (spec-verified over
+    * generated PNGs, driver-verified end-to-end by mm06's round trip).
+    */
+  object Codec {
+    def probe(blob: Array[Byte], mediaId: Long): FakeCodec.Meta =
+      ImageCodec.probe(blob).getOrElse(FakeCodec.probe(blob, mediaId))
+
+    /** Image frame sample = first 8 RGB bytes of the DECODED frame `idx`
+      * (real pixels, real animation frames for GIF); synthetic fallback
+      * keeps the byte-slice contract.
+      */
+    def sampleFrame(blob: Array[Byte], frameIdx: Int): Array[Byte] =
+      ImageCodec.sniff(blob) match {
+        case Some(_) => ImageCodec.decodeFrame(blob, frameIdx)
+          .map(f => ImageCodec.rgbBytes(f).take(8))
+          .getOrElse(FakeCodec.sampleFrame(blob, frameIdx))
+        case None => FakeCodec.sampleFrame(blob, frameIdx)
+      }
+
+    /** Image resize = real 2-D nearest-neighbor resample to `target`,
+      * payload = packed RGB; synthetic fallback keeps the 1-D `strip`-byte
+      * resample.
+      */
+    def resize(blob: Array[Byte], strip: Int, target: (Int, Int)): Array[Byte] =
+      ImageCodec.sniff(blob) match {
+        case Some(_) => ImageCodec.decode(blob)
+          .map(i => ImageCodec.rgbBytes(ImageCodec.resizeNN(i, target._1, target._2)))
+          .getOrElse(FakeCodec.resize(blob, strip))
+        case None => FakeCodec.resize(blob, strip)
+      }
+
+    /** Features = 16-bucket luminance histogram over real pixels for
+      * image containers, 16-bucket amplitude histogram over real PCM
+      * samples for audio containers ([[AudioCodec]]), byte histogram for
+      * everything else. Same fixed length, same downstream shape.
+      */
+    def features(blob: Array[Byte]): Array[Long] =
+      ImageCodec.sniff(blob) match {
+        case Some(_) => ImageCodec.decode(blob)
+          .map(ImageCodec.lumaHistogram16).getOrElse(FakeCodec.features(blob))
+        case None => AudioCodec.sniff(blob) match {
+          case Some(_) => AudioCodec.decodePcm16(blob)
+            .map(AudioCodec.ampHistogram16).getOrElse(FakeCodec.features(blob))
+          case None => FakeCodec.features(blob)
+        }
+      }
+  }
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("blob", BinaryType),
@@ -88,8 +142,8 @@ object Multimodal {
       rows.map { r =>
         val id   = r.getLong(0)
         val blob = r.getAs[Array[Byte]](1)
-        val meta = FakeCodec.probe(blob, id)
-        val f0   = FakeCodec.sampleFrame(blob, 0)
+        val meta = Codec.probe(blob, id)
+        val f0   = Codec.sampleFrame(blob, 0)
         Row(id, blob, blob.length, meta.width, meta.height, meta.nFrames,
           meta.codec, f0.map("%02X".format(_)).mkString)
       }
@@ -121,9 +175,9 @@ object Multimodal {
       rows.flatMap { r =>
         val id   = r.getLong(0)
         val blob = r.getAs[Array[Byte]](1)
-        val meta = FakeCodec.probe(blob, id)
+        val meta = Codec.probe(blob, id)
         (0 until meta.nFrames by stride).iterator.map { i =>
-          Row(id, i, FakeCodec.sampleFrame(blob, i).map("%02X".format(_)).mkString)
+          Row(id, i, Codec.sampleFrame(blob, i).map("%02X".format(_)).mkString)
         }
       }
     }(enc)
@@ -164,8 +218,8 @@ object Multimodal {
       rows.map { r =>
         val id   = r.getLong(0)
         val blob = r.getAs[Array[Byte]](1)
-        val meta = FakeCodec.probe(blob, id)
-        val rz   = FakeCodec.resize(blob, resizeStrip)
+        val meta = Codec.probe(blob, id)
+        val rz   = Codec.resize(blob, resizeStrip, resizeTarget)
         Row(id, meta.width, meta.height, dstW, dstH,
           rz.map("%02X".format(_)).mkString)
       }
@@ -190,7 +244,7 @@ object Multimodal {
     src.mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(0)
-        val h  = FakeCodec.features(r.getAs[Array[Byte]](1))
+        val h  = Codec.features(r.getAs[Array[Byte]](1))
         (0 until 16).iterator.filter(h(_) > 0L).map(b => Row(id, b, h(b)))
       }
     }(enc).orderBy(col("media_id"), col("bucket"))
@@ -216,6 +270,111 @@ object Multimodal {
       // frame 0 = first min(8, len) bytes (FakeCodec.sampleFrame(blob, 0))
       hex(substring(col("blob"), 1, 8)).as("frame0_hex"))
       .orderBy(col("media_id"))
+  }
+
+  val roundTripSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("hist_total", LongType, nullable = false),
+    StructField("luma_checksum", LongType, nullable = false),
+    StructField("resize_sum", LongType, nullable = false),
+    StructField("png_ok", BooleanType, nullable = false)))
+
+  /** mm06 — the REAL codec driver-verified end-to-end. Per document a
+    * deterministic RGB image (pixel (x,y) a fixed integer formula of
+    * (media_id, x, y)) is PNG-ENCODED and then DECODED BACK through
+    * `javax.imageio` — real compressed container, real pixel decode — and
+    * every output column is computed from the DECODED side:
+    * width/height from the real header, `luma_checksum` the sum of
+    * 16-bucket luminance indexes over all decoded pixels,
+    * `resize_sum` the RGB sum of a real 2-D nearest-neighbor resample to
+    * 4×4, `png_ok` the magic-byte sniff. The DuckDB oracle re-derives the
+    * same numbers from the pixel FORMULA alone — it never sees a PNG — so
+    * a hash match proves the encode→decode round trip is bit-exact on
+    * every pixel of every image (PNG is lossless; any codec deviation
+    * breaks the checksums).
+    *
+    * Scale: generation+decode is a narrow `mapPartitions` map over the
+    * id column only (blob never materializes outside the row), one sort
+    * at the presentation edge. Real-media ingestion replaces the
+    * generator with a binary column scan; the decode side is unchanged.
+    */
+  def imageRoundTrip(spark: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(spark, d).select(col("doc_id"))
+    val enc = RowEncoder.encoderFor(roundTripSchema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = 8 + (id % 24).toInt
+        val h = 8 + (id % 16).toInt
+        def red(x: Int, y: Int)   = ((id + 3L * x + 5L * y) % 256).toInt
+        def green(x: Int, y: Int) = ((2L * id + 7L * x + y) % 256).toInt
+        def blue(x: Int, y: Int)  = ((5L * id + x + 11L * y) % 256).toInt
+        val png = ImageCodec.encodePng(w, h,
+          (x, y) => (red(x, y) << 16) | (green(x, y) << 8) | blue(x, y))
+        val img = ImageCodec.decode(png).getOrElse(
+          throw new IllegalStateException(s"PNG for media $id failed to decode"))
+        val lumaSum = ImageCodec.lumaHistogram16(img).zipWithIndex
+          .map { case (n, b) => n * b }.sum
+        val rz = ImageCodec.resizeNN(img, 4, 4)
+        var resizeSum = 0L
+        ImageCodec.rgbBytes(rz).foreach(b => resizeSum += (b & 0xFF))
+        Row(id, img.getWidth, img.getHeight,
+          img.getWidth.toLong * img.getHeight, lumaSum, resizeSum,
+          ImageCodec.sniff(png).contains("png"))
+      }
+    }(enc).orderBy(col("media_id"))
+  }
+
+  val audioRoundTripSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("amp_checksum", LongType, nullable = false),
+    StructField("hist_checksum", LongType, nullable = false),
+    StructField("wav_ok", BooleanType, nullable = false)))
+
+  /** mm07 — the REAL audio codec driver-verified end-to-end, mm06's
+    * sibling for the audio half of the multimodal family. Per document a
+    * deterministic 16-bit PCM signal (sample i a fixed integer formula of
+    * (media_id, i)) is WAV-ENCODED and DECODED BACK through
+    * `javax.sound.sampled` — real RIFF/WAVE container, real PCM parse —
+    * and every output column comes from the DECODED side: sample rate and
+    * channel count from the real header, `n_samples` from the decoded
+    * payload, `amp_checksum` the sum of |sample| over decoded samples,
+    * `hist_checksum` the amplitude-bucket mass. The DuckDB oracle
+    * re-derives all of it from the sample formula alone — WAV PCM is
+    * lossless, so a hash match proves the container round trip is
+    * bit-exact on every sample of every file.
+    *
+    * Scale: same contract as [[imageRoundTrip]] — narrow `mapPartitions`
+    * over the id column, one presentation-edge sort.
+    */
+  def audioRoundTrip(spark: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(spark, d).select(col("doc_id"))
+    val enc = RowEncoder.encoderFor(audioRoundTripSchema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val sr = 8000 + (id % 8).toInt * 1000
+        val n = 64 + (id % 128).toInt
+        def sampleAt(i: Int): Short =
+          (((id * 31L + i * 17L) % 65536L) - 32768L).toShort
+        val wav = AudioCodec.encodeWav(n, sr, sampleAt)
+        val meta = AudioCodec.probe(wav).getOrElse(
+          throw new IllegalStateException(s"WAV for media $id failed to probe"))
+        val pcm = AudioCodec.decodePcm16(wav).getOrElse(
+          throw new IllegalStateException(s"WAV for media $id failed to decode"))
+        var ampSum = 0L
+        pcm.foreach(s => ampSum += math.abs(s.toInt))
+        val histSum = AudioCodec.ampHistogram16(pcm).zipWithIndex
+          .map { case (c, b) => c * b }.sum
+        Row(id, meta.sampleRate, meta.channels, pcm.length, ampSum, histSum,
+          AudioCodec.sniff(wav).contains("wav"))
+      }
+    }(enc).orderBy(col("media_id"))
   }
 
   /** mm05 — media dedup by content hash (the standard first dedup pass an

@@ -689,6 +689,67 @@ SELECT media_id,
   count(*) OVER (PARTITION BY f) AS n_copies
 FROM m ORDER BY media_id""",
 
+    // mm06: the Spark side PNG-encodes a deterministic image per doc and
+    // computes every column from the DECODED pixels (real javax.imageio
+    // round trip); this oracle re-derives the same numbers from the pixel
+    // formula alone — integer luma (299r+587g+114b)//1000, bucket //16,
+    // NN resample src index (i*dim)//4 — so a hash match pins the codec's
+    // pixel exactness, not just plumbing
+    "mm06_image_roundtrip" -> """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(8 + doc_id % 24 AS INT) AS width,
+         CAST(8 + doc_id % 16 AS INT) AS height
+  FROM documents),
+luma AS (
+  SELECT media_id,
+    CAST(list_sum(flatten(list_transform(range(0, height), y ->
+      list_transform(range(0, width), x ->
+        ((299 * ((media_id + 3*x + 5*y) % 256)
+        + 587 * ((2*media_id + 7*x + y) % 256)
+        + 114 * ((5*media_id + x + 11*y) % 256)) // 1000) // 16)))) AS BIGINT)
+      AS luma_checksum
+  FROM m),
+rz AS (
+  SELECT media_id,
+    CAST(list_sum(flatten(list_transform(range(0, 4), j ->
+      list_transform(range(0, 4), i ->
+          ((media_id + 3*((i*width)//4) + 5*((j*height)//4)) % 256)
+        + ((2*media_id + 7*((i*width)//4) + ((j*height)//4)) % 256)
+        + ((5*media_id + ((i*width)//4) + 11*((j*height)//4)) % 256))))) AS BIGINT)
+      AS resize_sum
+  FROM m)
+SELECT m.media_id, width, height,
+  CAST(width AS BIGINT) * height AS hist_total,
+  luma_checksum, resize_sum, true AS png_ok
+FROM m JOIN luma ON m.media_id = luma.media_id
+       JOIN rz ON m.media_id = rz.media_id
+ORDER BY m.media_id""",
+
+    // mm07: the audio sibling of mm06 — Spark WAV-encodes a deterministic
+    // 16-bit PCM signal per doc and computes every column from the
+    // DECODED side (real javax.sound RIFF/WAVE parse); this oracle
+    // re-derives the same numbers from the sample formula
+    // ((id*31 + i*17) % 65536) - 32768, amplitude bucket least(15,|s|//2048)
+    "mm07_audio_roundtrip" -> """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+         CAST(64 + doc_id % 128 AS INT) AS n_samples
+  FROM documents),
+s AS (
+  SELECT media_id,
+    CAST(list_sum(list_transform(range(0, n_samples), i ->
+      abs((media_id*31 + i*17) % 65536 - 32768))) AS BIGINT) AS amp_checksum,
+    CAST(list_sum(list_transform(range(0, n_samples), i ->
+      least(15, abs((media_id*31 + i*17) % 65536 - 32768) // 2048))) AS BIGINT)
+      AS hist_checksum
+  FROM m)
+SELECT m.media_id, sample_rate, CAST(1 AS INT) AS channels, n_samples,
+  amp_checksum, hist_checksum, true AS wav_ok
+FROM m JOIN s ON m.media_id = s.media_id
+ORDER BY m.media_id""",
+
     // the composed cleaning pass, mirrored stage by stage: union with
     // planted exact copies, quality gate, language bucket, min-per-
     // fingerprint dedup, per-language budget — a bug in any stage (a gate

@@ -205,6 +205,12 @@ object QueryPack {
     "mm03_resize"        -> ((s, d) => Multimodal.resized(s, d)),
     "mm04_features"      -> ((s, d) => Multimodal.features(s, d)),
     "mm05_blob_dedup"    -> ((s, d) => Multimodal.blobDedup(s, d)),
+    // real javax.imageio PNG encode→decode round trip vs the pixel
+    // formula re-derived oracle-side — see Multimodal.imageRoundTrip
+    "mm06_image_roundtrip" -> ((s, d) => Multimodal.imageRoundTrip(s, d)),
+    // real javax.sound WAV encode→decode round trip vs the sample
+    // formula re-derived oracle-side — see Multimodal.audioRoundTrip
+    "mm07_audio_roundtrip" -> ((s, d) => Multimodal.audioRoundTrip(s, d)),
 
     // ---- composed pipeline (quality gate → lang bucket → dedup → budget) ----
     "pipe01_corpus_clean" -> ((s, d) => graft.operators.Pipelines.corpusClean(s, d)),

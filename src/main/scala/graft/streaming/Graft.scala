@@ -197,6 +197,29 @@ object Graft {
     * until Spark commits, and even a lost segment directory can be
     * re-streamed from the slot.
     */
+  /** Config → replication endpoint: the one place the reference's
+    * connection-config surface (hostname/port/database/credentials plus
+    * the `ssl`/`ssl_opts` keys it passes to Postgrex) maps onto the wire
+    * client. Factored out so the mapping is testable without a server.
+    */
+  private[graft] def replicationEndpoint(config: GraftConfig,
+      unixSocketDir: Option[String] = None)
+      : graft.sources.replication.PgReplicationClient.Endpoint = {
+    def need(v: Option[String], what: String): String = v.getOrElse(
+      throw new IllegalArgumentException(
+        s"config '${config.appName}': replicate() needs $what"))
+    graft.sources.replication.PgReplicationClient.Endpoint(
+      host = config.hostname.getOrElse("localhost"),
+      port = config.port,
+      unixSocketDir = unixSocketDir,
+      database = need(config.database, "a database"),
+      user = need(config.username, "a username"),
+      password = config.password,
+      applicationName = s"graft-${config.appName}",
+      sslMode = config.sslMode.getOrElse("disable"),
+      sslRootCert = config.sslRootCert)
+  }
+
   def replicate(config: GraftConfig, walDir: String,
       unixSocketDir: Option[String] = None,
       framesPerSegment: Int = 4096,
@@ -205,17 +228,7 @@ object Graft {
     import graft.sources.replication._
     val pub = config.publication.getOrElse(throw new IllegalArgumentException(
       s"config '${config.appName}': replicate() needs a publication"))
-    def need(v: Option[String], what: String): String = v.getOrElse(
-      throw new IllegalArgumentException(
-        s"config '${config.appName}': replicate() needs $what"))
-    val ep = PgReplicationClient.Endpoint(
-      host = config.hostname.getOrElse("localhost"),
-      port = config.port,
-      unixSocketDir = unixSocketDir,
-      database = need(config.database, "a database"),
-      user = need(config.username, "a username"),
-      password = config.password,
-      applicationName = s"graft-${config.appName}")
+    val ep = replicationEndpoint(config, unixSocketDir)
     def session(): (PgReplicationClient, ReplicationTailer) = {
       val client = new PgReplicationClient(ep).connect()
       try {
@@ -224,8 +237,10 @@ object Graft {
             s"publication '$pub' does not exist (reference fail-fast, server.ex:75-83)")
         // the segment directory's publication manifest comes from the LIVE
         // catalog, so the CDC source's own fail-fast and table filter see
-        // exactly what the server serves — refreshed on every (re)connect
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(walDir))
+        // exactly what the server serves — refreshed on every (re)connect.
+        // Hadoop FS throughout: walDir may be file://, hdfs://, or s3a://
+        val (walFs, walPath) = graft.sources.cdc.WalSegments.fsFor(walDir)
+        walFs.mkdirs(walPath)
         graft.sources.cdc.WalSegments.writePublication(
           walDir, pub, client.publicationTables(pub))
         client

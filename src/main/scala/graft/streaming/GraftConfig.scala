@@ -27,6 +27,13 @@ final case class GraftConfig(
     database: Option[String] = None,
     username: Option[String] = None,
     password: Option[String] = None,
+    // TLS for the live replication lane (reference surface: the `ssl` /
+    // `ssl_opts` config keys passed through to Postgrex, config.ex).
+    // sslMode: disable (default) | require | verify-ca | verify
+    // (= verify-full); sslRootCert pins trust to a PEM bundle — libpq's
+    // sslrootcert. See PgReplicationClient.Endpoint for exact semantics.
+    sslMode: Option[String] = None,
+    sslRootCert: Option[String] = None,
     publication: Option[String] = None,
     slotName: Option[String] = None,
     durableSlot: Boolean = false,

@@ -41,6 +41,27 @@ class GraftConfigSpec extends AnyFunSuite {
       .effectiveSlotName == "custom_slot")
   }
 
+  test("TLS config maps onto the replication endpoint (ssl/ssl_opts surface)") {
+    val base = GraftConfig("tls_app", hostname = Some("db.example"),
+      database = Some("d"), username = Some("u"), password = Some("pw"),
+      publication = Some("p"))
+    // default: plaintext, no pinned CA
+    val plain = graft.streaming.Graft.replicationEndpoint(base)
+    assert(plain.sslMode == "disable" && plain.sslRootCert.isEmpty)
+    // full TLS surface: mode + pinned CA travel through verbatim
+    val tls = graft.streaming.Graft.replicationEndpoint(base.copy(
+      sslMode = Some("verify"), sslRootCert = Some("/etc/ssl/cluster-ca.pem")))
+    assert(tls.sslMode == "verify")
+    assert(tls.sslRootCert.contains("/etc/ssl/cluster-ca.pem"))
+    assert(tls.host == "db.example" && tls.applicationName == "graft-tls_app")
+    // missing connection fields still fail fast with the config's name
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Graft.replicationEndpoint(GraftConfig("x",
+        hostname = Some("h"), username = Some("u")))
+    }
+    assert(e.getMessage.contains("'x'") && e.getMessage.contains("database"))
+  }
+
   test("durable slot maps to checkpoint; temporary slot to startMode pass-through") {
     val durable = GraftConfig("app", durableSlot = true,
       checkpointDir = Some("/tmp/x"), publication = Some("pub"))

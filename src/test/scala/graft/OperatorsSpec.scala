@@ -240,6 +240,145 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats.filter(col("bucket") < 2 || col("bucket") > 7).count() === 0)
   }
 
+  test("real image codec: PNG round trip is pixel-exact and real media routes through the seam") {
+    import graft.operators.multimodal.{ImageCodec, Multimodal}
+    def px(x: Int, y: Int): Int = ((x * 7 + y * 13) % 256 << 16) |
+      ((x * 3 + y) % 256 << 8) | ((x + y * 5) % 256)
+    val png = ImageCodec.encodePng(21, 13, px)
+    // sniff + header probe see a real PNG with the real dimensions
+    assert(ImageCodec.sniff(png).contains("png"))
+    val meta = Multimodal.Codec.probe(png, mediaId = 999L)
+    assert(meta.width == 21 && meta.height == 13 && meta.codec == "png" &&
+      meta.nFrames == 1)
+    // PNG is lossless: every decoded pixel equals the generator formula
+    val img = ImageCodec.decode(png).get
+    for (y <- 0 until 13; x <- 0 until 21)
+      assert((img.getRGB(x, y) & 0xFFFFFF) == px(x, y), s"pixel ($x,$y)")
+    // real 2-D nearest-neighbor resize: dst (x,y) = src (x*w/W, y*h/H)
+    val rz = ImageCodec.rgbBytes(ImageCodec.resizeNN(img, 4, 3))
+    val expected = (for (y <- 0 until 3; x <- 0 until 4) yield {
+      val p = px(x * 21 / 4, y * 13 / 3)
+      Seq(((p >> 16) & 0xFF).toByte, ((p >> 8) & 0xFF).toByte, (p & 0xFF).toByte)
+    }).flatten
+    assert(rz.toSeq == expected)
+    assert(Multimodal.Codec.resize(png, 8, (4, 3)).toSeq == expected,
+      "the seam must route a PNG blob to the real resampler")
+    // luminance histogram covers every pixel exactly once
+    assert(Multimodal.Codec.features(png).sum == 21L * 13L)
+    // JPEG: lossy, but the header probe still reports the real geometry
+    val jimg = new java.awt.image.BufferedImage(17, 9,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val jout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(jimg, "jpeg", jout)
+    val jmeta = Multimodal.Codec.probe(jout.toByteArray, mediaId = 0L)
+    assert(jmeta.width == 17 && jmeta.height == 9 && jmeta.codec == "jpeg")
+    // non-image bytes keep the synthetic contract bit-identical
+    val text = "plain text blob".getBytes("UTF-8")
+    assert(Multimodal.Codec.probe(text, 7L) == Multimodal.FakeCodec.probe(text, 7L))
+    assert(Multimodal.Codec.features(text).toSeq ==
+      Multimodal.FakeCodec.features(text).toSeq)
+  }
+
+  test("real image codec: animated GIF exposes true frame count and per-frame pixels") {
+    import graft.operators.multimodal.{ImageCodec, Multimodal}
+    // 3-frame animated GIF via the JDK's own GIF writer (writeToSequence);
+    // solid-color frames stay inside the 256-color palette, so the decode
+    // is lossless and each frame is distinguishable by its pixel value
+    val colors = Seq(0xFF0000, 0x00FF00, 0x0000FF)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { c =>
+      val img = new java.awt.image.BufferedImage(6, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 6) img.setRGB(x, y, c)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val gif = bos.toByteArray
+    assert(ImageCodec.sniff(gif).contains("gif"))
+    // the probe reports the REAL frame count (not a formula)
+    val meta = Multimodal.Codec.probe(gif, mediaId = 0L)
+    assert(meta.width == 6 && meta.height == 4 && meta.codec == "gif" &&
+      meta.nFrames == 3)
+    // per-frame decode returns each animation frame's own pixels
+    colors.zipWithIndex.foreach { case (c, i) =>
+      val f = ImageCodec.decodeFrame(gif, i).get
+      assert((f.getRGB(0, 0) & 0xFFFFFF) == c, s"frame $i")
+      // the seam's frame sampler carries the same pixels (first 8 RGB bytes)
+      val viaSeam = Multimodal.Codec.sampleFrame(gif, i)
+      val expected = Array.fill(2)(Seq(((c >> 16) & 0xFF).toByte,
+        ((c >> 8) & 0xFF).toByte, (c & 0xFF).toByte)).flatten ++
+        Seq(((c >> 16) & 0xFF).toByte, ((c >> 8) & 0xFF).toByte)
+      assert(viaSeam.toSeq == expected.toSeq, s"seam frame $i")
+    }
+  }
+
+  test("real audio codec: WAV round trip is sample-exact and audio routes through the seam") {
+    import graft.operators.multimodal.{AudioCodec, Multimodal}
+    def s(i: Int): Short = ((i * 773) % 65536 - 32768).toShort
+    val wav = AudioCodec.encodeWav(300, 16000, s)
+    assert(AudioCodec.sniff(wav).contains("wav"))
+    // real RIFF/WAVE header parse: format and frame count from the container
+    val meta = AudioCodec.probe(wav).get
+    assert(meta.sampleRate == 16000 && meta.channels == 1 &&
+      meta.bitsPerSample == 16 && meta.nFrames == 300 && meta.container == "wav")
+    // PCM is lossless: every decoded sample equals the generator formula
+    val pcm = AudioCodec.decodePcm16(wav).get
+    assert(pcm.length == 300 && pcm.indices.forall(i => pcm(i) == s(i)))
+    // amplitude histogram covers every sample; full-scale lands in bucket 15
+    val hist = AudioCodec.ampHistogram16(Array[Short](0, 2047, 2048, -32768, 32767))
+    assert(hist.sum == 5 && hist(0) == 2 && hist(1) == 1 && hist(15) == 2)
+    // the seam routes a WAV blob to the real amplitude histogram...
+    assert(Multimodal.Codec.features(wav).toSeq == AudioCodec.ampHistogram16(pcm).toSeq)
+    // ...and non-audio bytes keep the synthetic byte histogram
+    val text = "not audio".getBytes("UTF-8")
+    assert(Multimodal.Codec.features(text).toSeq ==
+      Multimodal.FakeCodec.features(text).toSeq)
+  }
+
+  test("mm07: decoded-side audio round trip equals the sample formula for every document") {
+    import graft.operators.multimodal.Multimodal
+    val rows = Multimodal.audioRoundTrip(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getBoolean(6)), "every WAV must sniff")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val n = 64 + (id % 128).toInt
+      def sample(i: Int): Long = ((id * 31L + i * 17L) % 65536L) - 32768L
+      assert(r.getInt(1) == 8000 + (id % 8).toInt * 1000 && r.getInt(2) == 1)
+      assert(r.getInt(3) == n)
+      assert(r.getLong(4) == (0 until n).map(i => math.abs(sample(i))).sum,
+        s"amp checksum for media $id")
+      assert(r.getLong(5) == (0 until n)
+        .map(i => math.min(15L, math.abs(sample(i)) / 2048L)).sum,
+        s"hist checksum for media $id")
+    }
+  }
+
+  test("mm06: decoded-side round trip equals the pixel formula for every document") {
+    import graft.operators.multimodal.Multimodal
+    val rows = Multimodal.imageRoundTrip(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getBoolean(6)), "every PNG must sniff")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val w = 8 + (id % 24).toInt; val h = 8 + (id % 16).toInt
+      def red(x: Int, y: Int)   = (id + 3L * x + 5L * y) % 256
+      def green(x: Int, y: Int) = (2L * id + 7L * x + y) % 256
+      def blue(x: Int, y: Int)  = (5L * id + x + 11L * y) % 256
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      assert(r.getLong(3) == w.toLong * h)
+      val luma = (for (y <- 0 until h; x <- 0 until w)
+        yield ((299 * red(x, y) + 587 * green(x, y) + 114 * blue(x, y)) / 1000) / 16).sum
+      assert(r.getLong(4) == luma, s"luma checksum for media $id")
+      val rzSum = (for (j <- 0 until 4; i <- 0 until 4)
+        yield red(i * w / 4, j * h / 4) + green(i * w / 4, j * h / 4) +
+          blue(i * w / 4, j * h / 4)).sum
+      assert(r.getLong(5) == rzSum, s"resize checksum for media $id")
+    }
+  }
+
   test("brute-force knn: k rows per query, sims descending") {
     val rows = graft.operators.ann.Ann.bruteForceTopK(spark, sf, nQueries = 4, k = 3)
       .collect()
