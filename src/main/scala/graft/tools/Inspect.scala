@@ -19,6 +19,8 @@ object Inspect {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.timeType.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -49,6 +51,30 @@ object Inspect {
           // the whole result into the driver
           df.queryExecution.toRdd.foreach(_ => ())
           println(df.queryExecution.executedPlan.toString)
+        }
+      case "progress" :: sfDir :: names :: Nil =>
+        // micro-batch census for the streaming lanes: how many batches a
+        // query's sink actually committed, with the per-batch input rows —
+        // the ground truth behind complete-vs-append cost claims (a
+        // complete-mode lane that runs ONE data batch re-aggregates once)
+        import org.apache.spark.sql.streaming.StreamingQueryListener
+        import StreamingQueryListener._
+        val log = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+        spark.streams.addListener(new StreamingQueryListener {
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit =
+            log.add((e.progress.name, e.progress.batchId, e.progress.numInputRows))
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        })
+        names.split(",").foreach { name =>
+          val rows = graft.SparkEntry.queries(name)(spark, sfDir).count()
+          // listener events are delivered async; drain before reporting
+          Thread.sleep(3000)
+          import scala.jdk.CollectionConverters._
+          val batches = log.asScala.toSeq
+          log.clear()
+          println(s"$name: result_rows=$rows micro_batches=${batches.length} " +
+            batches.map { case (q, id, n) => s"[$q b$id rows=$n]" }.mkString(" "))
         }
       case path :: Nil =>
         val df = spark.read.parquet(path)
