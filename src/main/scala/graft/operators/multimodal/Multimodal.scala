@@ -9,11 +9,16 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: media as opaque `binary` + typed metadata
   * struct, with decode/feature-extract as partition-wise batch functions.
   *
-  * The container has no image/audio codecs, so `FakeCodec` is a
-  * clearly-marked deterministic stand-in — the Spark-side plumbing (schema,
-  * encoder, `mapPartitions` batching, partition sizing) is the real,
-  * tested surface. In production the codec body is the only swap
-  * (e.g. JNI decoder or Arrow-batched python via mapInArrow/mapInPandas).
+  * Decode is REAL where the JVM allows it: [[Codec]] sniffs each blob's
+  * magic bytes and routes image containers to `javax.imageio`
+  * ([[ImageCodec]] — PNG/JPEG/GIF/BMP pixels, headers, animation
+  * frames), audio containers to `javax.sound.sampled` ([[AudioCodec]] —
+  * RIFF/WAVE PCM), and MP4/MOV to an ISO BMFF box walker ([[VideoCodec]]
+  * — header geometry/timing; the JDK ships no video pixel codec).
+  * Everything else — including the driver's text-blob fixtures — runs
+  * through the clearly-marked deterministic `FakeCodec` stand-in, which
+  * also documents the swap point for heavier production decoders (JNI,
+  * or Arrow-batched python via mapInArrow/mapInPandas).
   *
   * Scale: decode is a narrow map — no shuffle; partitions stay at parquet
   * split granularity so 100 TB of blobs decode with full parallelism.
@@ -71,8 +76,17 @@ object Multimodal {
     * generated PNGs, driver-verified end-to-end by mm06's round trip).
     */
   object Codec {
+    /** Image containers probe through the JDK codecs; MP4/MOV video
+      * containers through the ISO BMFF box walk ([[VideoCodec]] — real
+      * presentation geometry; nFrames stays 1 because frame COUNT needs
+      * the sample tables a pixel decoder would read, and this lane does
+      * not pretend to decode video pixels); everything else synthetic.
+      */
     def probe(blob: Array[Byte], mediaId: Long): FakeCodec.Meta =
-      ImageCodec.probe(blob).getOrElse(FakeCodec.probe(blob, mediaId))
+      ImageCodec.probe(blob)
+        .orElse(VideoCodec.probe(blob).map(v =>
+          FakeCodec.Meta(v.width, v.height, 1, "mp4")))
+        .getOrElse(FakeCodec.probe(blob, mediaId))
 
     /** Image frame sample = first 8 RGB bytes of the DECODED frame `idx`
       * (real pixels, real animation frames for GIF); synthetic fallback
@@ -373,6 +387,46 @@ object Multimodal {
           .map { case (c, b) => c * b }.sum
         Row(id, meta.sampleRate, meta.channels, pcm.length, ampSum, histSum,
           AudioCodec.sniff(wav).contains("wav"))
+      }
+    }(enc).orderBy(col("media_id"))
+  }
+
+  val videoProbeSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_tracks", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("mp4_ok", BooleanType, nullable = false)))
+
+  /** mm08 — the video half of the multimodal family, scoped to what is
+    * REAL without a pixel codec: per document a spec-conformant ISO BMFF
+    * header (`ftyp` + `moov/mvhd` + `trak/tkhd`, geometry and timing from
+    * fixed integer formulas of media_id) is written and then parsed back
+    * by the independent box-tree walker — every output column from the
+    * PARSED side (16.16 fixed-point geometry, v0 mvhd timescale/duration,
+    * track census, magic sniff). The DuckDB oracle re-derives the numbers
+    * from the formulas; a hash match pins the parser's offset arithmetic
+    * against the writer's spec layout. Weaker than mm06/mm07 (both halves
+    * are this repo's code — the JDK ships no video parser) but the same
+    * boxes real muxers write; the metadata-probe stage is exactly what a
+    * curation pipeline's resolution/duration admission filters run.
+    */
+  def videoProbe(spark: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(spark, d).select(col("doc_id"))
+    val enc = RowEncoder.encoderFor(videoProbeSchema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = 320 + (id % 16).toInt * 8
+        val h = 180 + (id % 9).toInt * 8
+        val ts = 1000L + (id % 4) * 500L
+        val ticks = 10000L + id % 5000L
+        val mp4 = VideoCodec.encodeMp4Header(w, h, ts, ticks)
+        val meta = VideoCodec.probe(mp4).getOrElse(
+          throw new IllegalStateException(s"MP4 header for media $id failed to parse"))
+        Row(id, meta.width, meta.height, meta.nTracks,
+          VideoCodec.durationMs(meta), VideoCodec.sniff(mp4).contains("mp4"))
       }
     }(enc).orderBy(col("media_id"))
   }

@@ -750,6 +750,21 @@ SELECT m.media_id, sample_rate, CAST(1 AS INT) AS channels, n_samples,
 FROM m JOIN s ON m.media_id = s.media_id
 ORDER BY m.media_id""",
 
+    // mm08: Spark writes a spec-conformant ISO BMFF header per doc and
+    // parses it back with the independent box walker; this oracle
+    // re-derives the parsed values from the geometry formulas —
+    // duration_ms is integer (ticks * 1000) // timescale, as the parser
+    // computes it
+    "mm08_video_probe" -> """
+SELECT doc_id AS media_id,
+  CAST(320 + (doc_id % 16) * 8 AS INT) AS width,
+  CAST(180 + (doc_id % 9) * 8 AS INT) AS height,
+  CAST(1 AS INT) AS n_tracks,
+  CAST(((10000 + doc_id % 5000) * 1000) // (1000 + (doc_id % 4) * 500) AS BIGINT)
+    AS duration_ms,
+  true AS mp4_ok
+FROM documents ORDER BY media_id""",
+
     // the composed cleaning pass, mirrored stage by stage: union with
     // planted exact copies, quality gate, language bucket, min-per-
     // fingerprint dedup, per-language budget — a bug in any stage (a gate

@@ -211,6 +211,9 @@ object QueryPack {
     // real javax.sound WAV encode→decode round trip vs the sample
     // formula re-derived oracle-side — see Multimodal.audioRoundTrip
     "mm07_audio_roundtrip" -> ((s, d) => Multimodal.audioRoundTrip(s, d)),
+    // ISO BMFF (MP4) header write→parse round trip vs the geometry
+    // formulas re-derived oracle-side — see Multimodal.videoProbe
+    "mm08_video_probe" -> ((s, d) => Multimodal.videoProbe(s, d)),
 
     // ---- composed pipeline (quality gate → lang bucket → dedup → budget) ----
     "pipe01_corpus_clean" -> ((s, d) => graft.operators.Pipelines.corpusClean(s, d)),

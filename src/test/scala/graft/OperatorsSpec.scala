@@ -357,6 +357,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("video container probe: ISO BMFF box walk recovers geometry, timing, tracks") {
+    import graft.operators.multimodal.{Multimodal, VideoCodec}
+    val mp4 = VideoCodec.encodeMp4Header(1920, 1080, timescale = 90000L,
+      durationTicks = 2700000L)
+    assert(VideoCodec.sniff(mp4).contains("mp4"))
+    val m = VideoCodec.probe(mp4).get
+    assert(m.width == 1920 && m.height == 1080 && m.timescale == 90000L &&
+      m.durationTicks == 2700000L && m.nTracks == 1 && m.brand == "isom")
+    assert(VideoCodec.durationMs(m) == 30000L)
+    // the seam maps a video container to its REAL presentation geometry
+    // (nFrames stays 1 — no pixel decode is pretended)
+    val meta = Multimodal.Codec.probe(mp4, mediaId = 42L)
+    assert(meta.width == 1920 && meta.height == 1080 && meta.codec == "mp4" &&
+      meta.nFrames == 1)
+    // torn/truncated file degrades to None, and the seam falls back
+    assert(VideoCodec.probe(mp4.take(40)).isEmpty)
+    val fallback = Multimodal.Codec.probe("not a video".getBytes("UTF-8"), 5L)
+    assert(fallback == Multimodal.FakeCodec.probe("not a video".getBytes("UTF-8"), 5L))
+    // WebM sniffs by EBML magic (probe is BMFF-only, honestly None)
+    val webm = Array[Byte](0x1A, 0x45.toByte, 0xDF.toByte, 0xA3.toByte) ++
+      new Array[Byte](16)
+    assert(VideoCodec.sniff(webm).contains("webm") && VideoCodec.probe(webm).isEmpty)
+  }
+
   test("mm06: decoded-side round trip equals the pixel formula for every document") {
     import graft.operators.multimodal.Multimodal
     val rows = Multimodal.imageRoundTrip(spark, sf).collect()
