@@ -86,7 +86,84 @@ object WalSegments {
     if (fs.exists(path)) fs.delete(path, false)
     if (!fs.rename(tmp, path))
       throw new java.io.IOException(s"could not rename $tmp to $path")
+    // sidecar index AFTER the segment is durable: a crash in between
+    // leaves a segment without an index, which every index consumer
+    // treats as "fall back to the frame scan" — never wrong, only slower
+    writeIndex(fs, path, frames)
   }
+
+  // ---- per-segment sidecar index ----
+  // Startup paths (tailer replay floor, flush-mark rebuild, the DSv2
+  // source's offset planning) need three numbers per segment: frame
+  // count, last commit LSN, last commit end-LSN. Without an index each of
+  // them is a full segment read — O(entire replay history) on every
+  // tailer restart or stream start, which does not survive 100 TB of
+  // retained history. The index is advisory: segments are immutable so it
+  // can never go stale, a missing one (legacy segment, crash window)
+  // falls back to the scan, and `listSegments`' name filter ignores it.
+
+  final case class SegmentIndex(
+      frames: Long, lastCommitLsn: Long, lastCommitEndLsn: Long)
+
+  def indexPath(segment: Path): Path =
+    new Path(segment.getParent, segment.getName + ".idx")
+
+  /** (max commit LSN, max commit end-LSN) across `frames` — Commit layout
+    * [C][flags int8][commit_lsn int64][end_lsn int64]…, zeros when no
+    * Commit is present.
+    */
+  def commitInfo(frames: IterableOnce[Array[Byte]]): (Long, Long) = {
+    var lsn = 0L
+    var end = 0L
+    frames.iterator.foreach { f =>
+      if (f.length >= 10 && f(0) == 'C'.toByte) {
+        lsn = math.max(lsn, java.nio.ByteBuffer.wrap(f, 2, 8).getLong)
+        if (f.length >= 18)
+          end = math.max(end, java.nio.ByteBuffer.wrap(f, 10, 8).getLong)
+      }
+    }
+    (lsn, end)
+  }
+
+  private def writeIndex(fs: FileSystem, segment: Path,
+      frames: Seq[Array[Byte]]): Unit = {
+    val (lsn, end) = commitInfo(frames)
+    val idx = indexPath(segment)
+    val tmp = new Path(idx.getParent, idx.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      (s"""{"frames":${frames.length},"last_commit_lsn":$lsn,""" +
+        s""""last_commit_end_lsn":$end}""").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(idx)) fs.delete(idx, false)
+    if (!fs.rename(tmp, idx))
+      throw new java.io.IOException(s"could not rename $tmp to $idx")
+  }
+
+  /** The segment's sidecar index, or None when absent/unreadable (legacy
+    * segment or index-write crash window) — callers scan instead.
+    */
+  def readIndex(fs: FileSystem, segment: Path): Option[SegmentIndex] =
+    try {
+      val idx = indexPath(segment)
+      if (!fs.exists(idx)) return None
+      val in = fs.open(idx)
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](512)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+      def field(k: String): Option[Long] =
+        ("\"" + k + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(text)
+          .map(_.group(1).toLong)
+      for {
+        f <- field("frames")
+        l <- field("last_commit_lsn")
+        e <- field("last_commit_end_lsn")
+      } yield SegmentIndex(f, l, e)
+    } catch { case _: java.io.IOException => None }
 
   def write(path: Path, frames: Seq[Array[Byte]]): Unit =
     write(path.getFileSystem(localConf), path, frames)
@@ -118,21 +195,24 @@ object WalSegments {
   def readFrames(path: Path): FrameIterator =
     new FrameIterator(path.getFileSystem(localConf), path)
 
-  /** Frame count without materializing frames (offset planning is
-    * driver-side and must stay O(metadata), not O(data)).
+  /** Frame count without materializing frames: one sidecar-index read
+    * when the segment has one (offset planning is driver-side and must
+    * stay O(metadata), not O(data) — the scan fallback covers legacy
+    * segments and index-write crash windows).
     */
-  def countFrames(fs: FileSystem, path: Path): Long = {
-    val in = new DataInputStream(new BufferedInputStream(fs.open(path)))
-    try {
-      require(in.readInt() == Magic, s"$path: not a GWAL segment")
-      in.readInt()
-      var n = 0L
+  def countFrames(fs: FileSystem, path: Path): Long =
+    readIndex(fs, path).map(_.frames).getOrElse {
+      val in = new DataInputStream(new BufferedInputStream(fs.open(path)))
       try {
-        while (true) { val len = in.readInt(); in.skipBytes(len); n += 1 }
-        n
-      } catch { case _: EOFException => n }
-    } finally in.close()
-  }
+        require(in.readInt() == Magic, s"$path: not a GWAL segment")
+        in.readInt()
+        var n = 0L
+        try {
+          while (true) { val len = in.readInt(); in.skipBytes(len); n += 1 }
+          n
+        } catch { case _: EOFException => n }
+      } finally in.close()
+    }
 
   def countFrames(path: Path): Long = countFrames(path.getFileSystem(localConf), path)
 

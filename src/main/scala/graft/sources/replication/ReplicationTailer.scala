@@ -248,17 +248,22 @@ object ReplicationTailer {
     * none): the replay floor a restarted tailer resumes under. Scans
     * backwards — the last segment holding any Commit decides.
     */
-  private[replication] def lastCommitLsn(dir: String,
+  private[graft] def lastCommitLsn(dir: String,
       conf: Configuration = WalSegments.localConf): Long = {
     val segs = WalSegments.listSegments(dir, conf)
     val (fs, _) = WalSegments.fsFor(dir, conf)
     segs.reverseIterator.map { p =>
-      val it = WalSegments.readFrames(fs, p)
-      try it.foldLeft(0L) { (acc, f) =>
-        if (f.length >= 10 && f(0) == 'C'.toByte)
-          math.max(acc, java.nio.ByteBuffer.wrap(f, 2, 8).getLong)
-        else acc
-      } finally it.close()
+      // sidecar index first (one small read); frame scan only for
+      // segments without one — the reverse iteration stops at the first
+      // segment holding any Commit, so a warm directory costs O(1) reads
+      WalSegments.readIndex(fs, p).map(_.lastCommitLsn).getOrElse {
+        val it = WalSegments.readFrames(fs, p)
+        try it.foldLeft(0L) { (acc, f) =>
+          if (f.length >= 10 && f(0) == 'C'.toByte)
+            math.max(acc, java.nio.ByteBuffer.wrap(f, 2, 8).getLong)
+          else acc
+        } finally it.close()
+      }
     }.find(_ > 0L).getOrElse(0L)
   }
 
@@ -270,10 +275,12 @@ object ReplicationTailer {
     * IN the segments), same LSN source (the Commit frame's end_lsn) — so
     * consumer-coupled retention keeps mapping committed frame counts to
     * ackable LSNs across a tailer restart instead of freezing at the
-    * conservative floor. One startup scan of the directory; segments are
-    * immutable, so the result never changes afterwards.
+    * conservative floor. Cost: one sidecar-index read per segment
+    * (O(segments), not O(frames) — the full frame scan runs only for
+    * segments missing their index); segments are immutable, so the
+    * result never changes afterwards.
     */
-  private[replication] def rebuildFlushMarks(dir: String,
+  private[graft] def rebuildFlushMarks(dir: String,
       conf: Configuration = WalSegments.localConf): Seq[(Long, Long)] = {
     val segs = WalSegments.listSegments(dir, conf)
     if (segs.isEmpty) return Seq.empty
@@ -281,12 +288,18 @@ object ReplicationTailer {
     var cum = 0L
     var lsn = 0L
     segs.map { p =>
-      val it = WalSegments.readFrames(fs, p)
-      try it.foreach { f =>
-        cum += 1
-        if (f.length >= 18 && f(0) == 'C'.toByte)
-          lsn = math.max(lsn, java.nio.ByteBuffer.wrap(f, 10, 8).getLong)
-      } finally it.close()
+      WalSegments.readIndex(fs, p) match {
+        case Some(idx) =>
+          cum += idx.frames
+          if (idx.lastCommitEndLsn > 0L) lsn = math.max(lsn, idx.lastCommitEndLsn)
+        case None =>
+          val it = WalSegments.readFrames(fs, p)
+          try it.foreach { f =>
+            cum += 1
+            if (f.length >= 18 && f(0) == 'C'.toByte)
+              lsn = math.max(lsn, java.nio.ByteBuffer.wrap(f, 10, 8).getLong)
+          } finally it.close()
+      }
       (cum, lsn)
     }
   }

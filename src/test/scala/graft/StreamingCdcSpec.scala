@@ -1177,6 +1177,45 @@ class StreamingCdcSpec extends AnyFunSuite {
       "executors must decode segments opened through the Hadoop FS API")
   }
 
+  test("segment sidecar index: O(1) startup metadata, scan fallback agrees") {
+    import graft.sources.replication.ReplicationTailer
+    val dir = tmpDir("seg-index")
+    val changes = Seq(
+      mkChange(1, 0, "insert", "user", recordId = 31),
+      mkChange(2, 1, "update", "todo", k = Some(3), recordId = 32),
+      mkChange(3, 2, "delete", "user", k = Some(4), recordId = 33))
+    WalFixture.writeSegments(dir, changes, txnsPerSegment = 1)
+    val (fs, _) = WalSegments.fsFor(dir)
+    val segs = WalSegments.listSegments(dir)
+    assert(segs.size == 3)
+    // every written segment carries an index whose numbers equal the scan
+    segs.foreach { p =>
+      val idx = WalSegments.readIndex(fs, p).getOrElse(
+        fail(s"missing sidecar index for $p"))
+      val frames = { val it = WalSegments.readFrames(fs, p); try it.toList finally it.close() }
+      assert(idx.frames == frames.length, s"$p frame count")
+      assert((idx.lastCommitLsn, idx.lastCommitEndLsn) == WalSegments.commitInfo(frames),
+        s"$p commit info")
+      assert(idx.lastCommitLsn > 0L, s"$p: every fixture segment ends in a Commit")
+    }
+    // the three index consumers agree with their own scan fallbacks:
+    // delete the LAST segment's index and everything still matches
+    val floorWithIdx = ReplicationTailer.lastCommitLsn(dir)
+    val marksWithIdx = ReplicationTailer.rebuildFlushMarks(dir)
+    val countsWithIdx = segs.map(WalSegments.countFrames(fs, _))
+    fs.delete(WalSegments.indexPath(segs.last), false)
+    assert(WalSegments.readIndex(fs, segs.last).isEmpty)
+    assert(ReplicationTailer.lastCommitLsn(dir) == floorWithIdx,
+      "replay floor must not depend on the index")
+    assert(ReplicationTailer.rebuildFlushMarks(dir) == marksWithIdx,
+      "flush-mark rebuild must not depend on the index")
+    assert(segs.map(WalSegments.countFrames(fs, _)) == countsWithIdx,
+      "offset planning must not depend on the index")
+    // the rebuilt ladder's cumulative counts tile the per-segment counts
+    assert(marksWithIdx.map(_._1) == countsWithIdx.scanLeft(0L)(_ + _).tail,
+      "flush-mark frame cumulative must tile the segment counts")
+  }
+
   test("replication tailer idle flush keeps an in-flight txn prefix off disk") {
     import graft.sources.replication.{PgReplicationClient, ReplicationTailer}
     import WalMessage._
