@@ -67,13 +67,16 @@ object Multimodal {
   }
 
   /** The codec seam's dispatcher: blobs whose magic bytes identify a real
-    * image container decode through [[ImageCodec]] (the JDK's own
-    * PNG/JPEG/GIF/BMP codecs — real headers, real pixels, real frames);
+    * container decode through the real parsers — images via
+    * [[ImageCodec]] (the JDK's own PNG/JPEG/GIF/BMP codecs — real
+    * headers, pixels, animation frames), audio via [[AudioCodec]]
+    * (RIFF/WAVE PCM), MP4/MOV headers via [[VideoCodec]] — and
     * everything else routes to the synthetic [[FakeCodec]]. The driver
     * fixtures are text blobs — no magic — so the oracle-verified
     * mm01–mm05 lanes stay bit-identical on the synthetic contract, while
-    * real media flows through the SAME operators (spec-verified over
-    * generated PNGs, driver-verified end-to-end by mm06's round trip).
+    * real media flows through the SAME operators (spec: a mixed
+    * PNG/WAV/MP4 binary column through mediaTableFrom/resizedFrom/
+    * featuresFrom; driver gate: mm06/mm07/mm08 round trips).
     */
   object Codec {
     /** Image containers probe through the JDK codecs; MP4/MOV video
@@ -149,10 +152,17 @@ object Multimodal {
   /** Build a media table from documents, then run the decode/probe stage
     * partition-wise.
     */
-  def mediaTable(spark: SparkSession, d: String): DataFrame = {
-    val src = mediaSrc(spark, d)
+  def mediaTable(spark: SparkSession, d: String): DataFrame =
+    mediaTableFrom(mediaSrc(spark, d))
+
+  /** The decode/probe stage over ANY `(media_id: long, blob: binary)`
+    * frame — the entry point for real media columns (parquet binary
+    * columns of PNGs/WAVs/MP4s take this path; the documents-table
+    * wrapper above is the driver-fixture lane).
+    */
+  def mediaTableFrom(src: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)
-    src.mapPartitions { rows =>
+    src.select(col("media_id"), col("blob")).mapPartitions { rows =>
       rows.map { r =>
         val id   = r.getLong(0)
         val blob = r.getAs[Array[Byte]](1)
@@ -182,10 +192,15 @@ object Multimodal {
     * [[frameSamplesRaw]]. [[frameSamples]] adds a global orderBy (a sort
     * shuffle) purely as the driver-verification presentation edge.
     */
-  def frameSamplesRaw(spark: SparkSession, d: String, stride: Int = 2): DataFrame = {
-    val src = mediaSrc(spark, d)
+  def frameSamplesRaw(spark: SparkSession, d: String, stride: Int = 2): DataFrame =
+    frameSamplesFrom(mediaSrc(spark, d), stride)
+
+  /** Frame sampling over ANY `(media_id, blob)` frame — see
+    * [[mediaTableFrom]] for the real-media entry-point contract.
+    */
+  def frameSamplesFrom(src: DataFrame, stride: Int = 2): DataFrame = {
     val enc = RowEncoder.encoderFor(frameSchema)
-    src.mapPartitions { rows =>
+    src.select(col("media_id"), col("blob")).mapPartitions { rows =>
       rows.flatMap { r =>
         val id   = r.getLong(0)
         val blob = r.getAs[Array[Byte]](1)
@@ -224,11 +239,16 @@ object Multimodal {
     * the resampled payload; a real deployment swaps `FakeCodec.resize`
     * for the pixel version and nothing else moves.
     */
-  def resized(spark: SparkSession, d: String): DataFrame = {
-    val src = mediaSrc(spark, d)
+  def resized(spark: SparkSession, d: String): DataFrame =
+    resizedFrom(mediaSrc(spark, d))
+
+  /** Resize over ANY `(media_id, blob)` frame — real image blobs get the
+    * real 2-D resample to [[resizeTarget]]; see [[mediaTableFrom]].
+    */
+  def resizedFrom(src: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(resizeSchema)
     val (dstW, dstH) = resizeTarget
-    src.mapPartitions { rows =>
+    src.select(col("media_id"), col("blob")).mapPartitions { rows =>
       rows.map { r =>
         val id   = r.getLong(0)
         val blob = r.getAs[Array[Byte]](1)
@@ -252,10 +272,16 @@ object Multimodal {
     * bounded 16× fan-out after the blob is read once; features then flow
     * into the ANN/dedup families like any other embedding column.
     */
-  def features(spark: SparkSession, d: String): DataFrame = {
-    val src = mediaSrc(spark, d)
+  def features(spark: SparkSession, d: String): DataFrame =
+    featuresFrom(mediaSrc(spark, d))
+
+  /** Feature extraction over ANY `(media_id, blob)` frame — real
+    * image/audio blobs get real luminance/amplitude histograms; see
+    * [[mediaTableFrom]].
+    */
+  def featuresFrom(src: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(featureSchema)
-    src.mapPartitions { rows =>
+    src.select(col("media_id"), col("blob")).mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(0)
         val h  = Codec.features(r.getAs[Array[Byte]](1))

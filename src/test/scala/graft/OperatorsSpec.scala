@@ -381,6 +381,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(VideoCodec.sniff(webm).contains("webm") && VideoCodec.probe(webm).isEmpty)
   }
 
+  test("multimodal operators over REAL media blobs: mixed PNG/WAV/MP4 column") {
+    import graft.operators.multimodal.{AudioCodec, ImageCodec, Multimodal, VideoCodec}
+    // one binary column holding three real containers — the operators
+    // must give each its real metadata/pixels and never confuse them
+    val png = ImageCodec.encodePng(12, 10, (x, y) => (x * 20 << 16) | (y * 25 << 8) | 7)
+    val wav = AudioCodec.encodeWav(50, 8000, i => (i * 100).toShort)
+    val mp4 = VideoCodec.encodeMp4Header(640, 360, 1000L, 4500L)
+    val src = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, png),
+        org.apache.spark.sql.Row(2L, wav),
+        org.apache.spark.sql.Row(3L, mp4)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("blob",
+          org.apache.spark.sql.types.BinaryType))))
+    val meta = Multimodal.mediaTableFrom(src)
+      .select(col("media_id"), col("width"), col("height"), col("codec"))
+      .orderBy(col("media_id")).collect()
+    assert(meta(0).getInt(1) == 12 && meta(0).getInt(2) == 10 &&
+      meta(0).getString(3) == "png")
+    assert(meta(1).getString(3).startsWith("fake"),
+      "audio has no picture geometry — probe stays honest (features carry it)")
+    assert(meta(2).getInt(1) == 640 && meta(2).getInt(2) == 360 &&
+      meta(2).getString(3) == "mp4")
+    // real-pixel resize through the OPERATOR (not just the codec fn)
+    val rz = Multimodal.resizedFrom(src).filter(col("media_id") === 1L).collect()(0)
+    val (tw, th) = Multimodal.resizeTarget
+    assert(rz.getInt(1) == 12 && rz.getInt(2) == 10)
+    assert(rz.getString(5).length == tw * th * 3 * 2,
+      "image lane must emit the full RGB resample, hex-encoded")
+    // real feature histograms through the OPERATOR: image mass = pixels,
+    // audio mass = samples
+    val mass = Multimodal.featuresFrom(src).groupBy(col("media_id"))
+      .agg(sum(col("n")).as("m")).orderBy(col("media_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mass(1L) == 12L * 10L && mass(2L) == 50L)
+  }
+
   test("mm06: decoded-side round trip equals the pixel formula for every document") {
     import graft.operators.multimodal.Multimodal
     val rows = Multimodal.imageRoundTrip(spark, sf).collect()
