@@ -61,6 +61,25 @@ object ImageCodec {
 
   def decode(blob: Array[Byte]): Option[BufferedImage] = decodeFrame(blob, 0)
 
+  /** Decode several frames in ONE pass over the container (one reader,
+    * one input stream): what per-media frame sampling needs — calling
+    * [[decodeFrame]] per index would re-parse the whole container per
+    * frame, O(frames²) for an animation. `indices` must be ascending;
+    * unreadable frames yield None in place.
+    */
+  def decodeFrames(blob: Array[Byte], indices: Seq[Int]): Seq[Option[BufferedImage]] = {
+    val in = ImageIO.createImageInputStream(new ByteArrayInputStream(blob))
+    try {
+      val readers = ImageIO.getImageReaders(in)
+      if (!readers.hasNext) return indices.map(_ => None)
+      val r = readers.next()
+      try {
+        r.setInput(in, false, true)
+        indices.map { i => try Some(r.read(i)) catch { case _: Exception => None } }
+      } finally r.dispose()
+    } finally in.close()
+  }
+
   /** Header probe: dimensions via the reader's header path (`getWidth`
     * does not decode pixels for the JDK readers) and the real frame count
     * (GIF animations report every frame; PNG/JPEG report 1).

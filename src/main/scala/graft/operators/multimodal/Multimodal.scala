@@ -103,6 +103,21 @@ object Multimodal {
         case None => FakeCodec.sampleFrame(blob, frameIdx)
       }
 
+    /** All of one media's sampled frames in ONE container pass — the
+      * per-media batch [[frameSamplesFrom]] uses so an N-frame animation
+      * costs one parse, not N ([[ImageCodec.decodeFrames]]); synthetic
+      * blobs keep the per-index byte slices.
+      */
+    def sampleFrames(blob: Array[Byte], indices: Seq[Int]): Seq[Array[Byte]] =
+      ImageCodec.sniff(blob) match {
+        case Some(_) =>
+          ImageCodec.decodeFrames(blob, indices).zip(indices).map {
+            case (Some(f), _) => ImageCodec.rgbBytes(f).take(8)
+            case (None, i)    => FakeCodec.sampleFrame(blob, i)
+          }
+        case None => indices.map(FakeCodec.sampleFrame(blob, _))
+      }
+
     /** Image resize = real 2-D nearest-neighbor resample to `target`,
       * payload = packed RGB; synthetic fallback keeps the 1-D `strip`-byte
       * resample.
@@ -205,8 +220,11 @@ object Multimodal {
         val id   = r.getLong(0)
         val blob = r.getAs[Array[Byte]](1)
         val meta = Codec.probe(blob, id)
-        (0 until meta.nFrames by stride).iterator.map { i =>
-          Row(id, i, Codec.sampleFrame(blob, i).map("%02X".format(_)).mkString)
+        val indices = (0 until meta.nFrames by stride).toSeq
+        // one container pass for ALL of this media's frames (real
+        // animations parse once, not once per frame)
+        indices.iterator.zip(Codec.sampleFrames(blob, indices).iterator).map {
+          case (i, f) => Row(id, i, f.map("%02X".format(_)).mkString)
         }
       }
     }(enc)

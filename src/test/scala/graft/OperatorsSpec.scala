@@ -314,6 +314,15 @@ class OperatorsSpec extends AnyFunSuite {
         Seq(((c >> 16) & 0xFF).toByte, ((c >> 8) & 0xFF).toByte)
       assert(viaSeam.toSeq == expected.toSeq, s"seam frame $i")
     }
+    // the batch sampler (one container pass) agrees with per-frame decode
+    val batch = Multimodal.Codec.sampleFrames(gif, Seq(0, 1, 2))
+    assert(batch.map(_.toSeq) ==
+      (0 to 2).map(i => Multimodal.Codec.sampleFrame(gif, i).toSeq),
+      "single-pass frame batch must equal per-frame decodes")
+    // and for synthetic blobs it stays the byte-slice contract exactly
+    val text = "0123456789ABCDEFGHIJKLMNOP".getBytes("UTF-8")
+    assert(Multimodal.Codec.sampleFrames(text, Seq(0, 2)).map(_.toSeq) ==
+      Seq(0, 2).map(i => Multimodal.FakeCodec.sampleFrame(text, i).toSeq))
   }
 
   test("real audio codec: WAV round trip is sample-exact and audio routes through the seam") {
