@@ -60,9 +60,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * dense (the norm for sequence-stamped change tables) — heavily sparse
   * ranges merely yield uneven partitions, never wrong results.
   *
-  * No live Postgres exists in this environment, so the protocol is
-  * verified against a stub `java.sql.Driver` (JdbcCdcSourceSpec); the SQL
-  * it issues is standard ANSI + `LIMIT`, which Postgres accepts.
+  * Verified at two levels: protocol-exact against a stub `java.sql.Driver`
+  * (JdbcCdcSourceSpec — SQL shapes, watermark arithmetic, chaos/restart),
+  * and END-TO-END against a real PostgreSQL through [[GraftPgDriver]] —
+  * the pure-JDK driver over the replication lane's wire client
+  * (LiveJdbcSpec: the shipped deploy DDL's trigger-maintained change
+  * table, live `information_schema` typing, watermark advance across
+  * restarts). Deployments with the stock pgjdbc jar keep using it via the
+  * `driver` option or DriverManager; absent one, `jdbc:postgresql:` urls
+  * fall back to [[GraftPgDriver]] automatically.
   */
 object JdbcCdcSource {
 
@@ -285,7 +291,19 @@ case class JdbcConnInfo(url: String, user: Option[String], password: Option[Stri
         if (c == null)
           throw new IllegalStateException(s"graft-cdc-jdbc: driver $cls rejected url $url")
         c
-      case None => DriverManager.getConnection(url, props)
+      case None =>
+        try DriverManager.getConnection(url, props)
+        catch {
+          // no registered driver claimed the url → the pure-JDK driver is
+          // the zero-config fallback for postgres urls (a stock pgjdbc on
+          // the classpath self-registers and wins the normal path above)
+          case e: java.sql.SQLException
+              if e.getMessage != null && e.getMessage.startsWith("No suitable driver") &&
+                GraftPgDriver.accepts(url) =>
+            val c = new GraftPgDriver().connect(url, props)
+            if (c == null) throw e
+            c
+        }
     }
   }
 }

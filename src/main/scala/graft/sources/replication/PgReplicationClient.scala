@@ -55,6 +55,14 @@ object PgReplicationClient {
     * cluster CA deployment needs (the reference inherits this through
     * Postgrex `ssl_opts`). Unset, the verify modes use the JVM default
     * truststore; `require` ignores it.
+    *
+    * `replicationMode = false` opens a REGULAR backend session (no
+    * `replication=database` startup parameter) with the same transport
+    * and auth machinery — the connection the pure-JDK JDBC driver
+    * ([[graft.sources.jdbc.GraftPgDriver]]) runs its extended-protocol
+    * queries over. Replication-only entry points ([[PgReplicationClient.
+    * createSlot]], [[PgReplicationClient.startReplication]]) would fail
+    * server-side on such a session; the JDBC layer never calls them.
     */
   final case class Endpoint(
       host: String = "localhost",
@@ -65,7 +73,8 @@ object PgReplicationClient {
       password: Option[String] = None,
       applicationName: String = "graft-replication",
       sslMode: String = "disable",
-      sslRootCert: Option[String] = None)
+      sslRootCert: Option[String] = None,
+      replicationMode: Boolean = true)
 
   sealed trait Message
   /** One pgoutput frame plus its WAL position. */
@@ -120,8 +129,11 @@ final class PgReplicationClient(ep: PgReplicationClient.Endpoint) extends AutoCl
   @volatile private var closed = false
 
   // ---- low-level framing -------------------------------------------------
+  // (package-visible: graft.sources.jdbc.GraftPgDriver drives the extended
+  // query protocol over these same primitives on a replicationMode=false
+  // session — one wire implementation, two consumers)
 
-  private def readMessage(): Option[(Byte, Array[Byte])] = {
+  private[sources] def readMessage(): Option[(Byte, Array[Byte])] = {
     val head = in.readNBytes(5)
     if (head.length < 5) return None
     val hb = ByteBuffer.wrap(head)
@@ -132,16 +144,16 @@ final class PgReplicationClient(ep: PgReplicationClient.Endpoint) extends AutoCl
     Some((tpe, body))
   }
 
-  private def send(tpe: Byte, body: Array[Byte]): Unit = writeLock.synchronized {
+  private[sources] def send(tpe: Byte, body: Array[Byte]): Unit = writeLock.synchronized {
     val buf = ByteBuffer.allocate(1 + 4 + body.length)
     buf.put(tpe).putInt(4 + body.length).put(body)
     out.write(buf.array())
     out.flush()
   }
 
-  private def cstr(s: String): Array[Byte] = s.getBytes(UTF_8) :+ 0.toByte
+  private[sources] def cstr(s: String): Array[Byte] = s.getBytes(UTF_8) :+ 0.toByte
 
-  private def errorFields(body: Array[Byte]): Map[Char, String] = {
+  private[sources] def errorFields(body: Array[Byte]): Map[Char, String] = {
     // ErrorResponse: (fieldCode byte, cstring)* terminated by a 0 byte
     val fields = scala.collection.mutable.Map[Char, String]()
     var i = 0
@@ -154,7 +166,7 @@ final class PgReplicationClient(ep: PgReplicationClient.Endpoint) extends AutoCl
     fields.toMap
   }
 
-  private def errorText(body: Array[Byte]): String = {
+  private[sources] def errorText(body: Array[Byte]): String = {
     val f = errorFields(body)
     s"${f.getOrElse('S', "ERROR")}: ${f.getOrElse('M', "unknown")} " +
       s"(${f.getOrElse('C', "?????")})"
@@ -269,9 +281,9 @@ final class PgReplicationClient(ep: PgReplicationClient.Endpoint) extends AutoCl
     }
     connected = true
     // StartupMessage has no type byte: int32 len, int32 196608, params
-    val params = Seq(
-      "user" -> ep.user, "database" -> ep.database,
-      "replication" -> "database", "application_name" -> ep.applicationName)
+    val params = Seq("user" -> ep.user, "database" -> ep.database) ++
+      (if (ep.replicationMode) Seq("replication" -> "database") else Nil) ++
+      Seq("application_name" -> ep.applicationName)
     val body = params.flatMap { case (k, v) => cstr(k) ++ cstr(v) }.toArray :+ 0.toByte
     writeLock.synchronized {
       val start = ByteBuffer.allocate(8 + body.length)

@@ -124,9 +124,17 @@ final case class GraftConfig(
   def jdbcSourceOptions(changeTable: String): Map[String, String] = {
     // url derives from the connection fields when present; callers may
     // instead supply a complete url via Graft.startJdbc's extraOptions
-    // (validated there), so absence is not an error here
-    val url = for { h <- hostname; db <- database }
-      yield s"jdbc:postgresql://$h:$port/$db"
+    // (validated there), so absence is not an error here. The TLS fields
+    // ride in as url query params — the grammar the built-in pure-JDK
+    // driver (GraftPgDriver) and stock pgjdbc both accept — so one config
+    // carries the same trust posture into both source lanes.
+    val url = for { h <- hostname; db <- database } yield {
+      val base = s"jdbc:postgresql://$h:$port/$db"
+      val qs = sslMode.map(m => s"sslmode=$m").toSeq ++
+        sslRootCert.map(r =>
+          "sslrootcert=" + java.net.URLEncoder.encode(r, "UTF-8"))
+      if (qs.isEmpty) base else base + "?" + qs.mkString("&")
+    }
     Map("table" -> changeTable) ++
       url.map("url" -> _) ++
       username.map("user" -> _) ++

@@ -62,6 +62,20 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(e.getMessage.contains("'x'") && e.getMessage.contains("database"))
   }
 
+  test("TLS config rides into the JDBC url query (one posture, both lanes)") {
+    val base = GraftConfig("j", hostname = Some("db"), database = Some("app"))
+    assert(base.jdbcSourceOptions("ch")("url") == "jdbc:postgresql://db:5432/app")
+    val tls = base.copy(sslMode = Some("verify-ca"),
+      sslRootCert = Some("/etc/ssl/cluster ca.pem"))
+    val url = tls.jdbcSourceOptions("ch")("url")
+    assert(url == "jdbc:postgresql://db:5432/app?sslmode=verify-ca" +
+      "&sslrootcert=%2Fetc%2Fssl%2Fcluster+ca.pem", url)
+    // the built-in driver round-trips the encoded path (space included)
+    val ep = graft.sources.jdbc.GraftPgDriver.parseEndpoint(url, null)
+    assert(ep.sslMode == "verify-ca" &&
+      ep.sslRootCert.contains("/etc/ssl/cluster ca.pem") && !ep.replicationMode)
+  }
+
   test("durable slot maps to checkpoint; temporary slot to startMode pass-through") {
     val durable = GraftConfig("app", durableSlot = true,
       checkpointDir = Some("/tmp/x"), publication = Some("pub"))
