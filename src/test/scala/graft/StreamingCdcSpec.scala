@@ -310,6 +310,52 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("exceeds"))
   }
 
+  test("S5: segment discovery probes incrementally — no per-trigger full listing") {
+    // 100 TB posture: a trigger must not re-LIST the whole retained
+    // history. CountingListFs counts directory listings; steady-state
+    // refreshes must probe the next sequential index instead.
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.graftcount.impl", classOf[CountingListFs].getName)
+    val local = tmpDir("probe-inc")
+    WalFixture.writeSegments(local,
+      (0 until 6).map(i => mkChange(i, i, "insert", "user")), txnsPerSegment = 2)
+    val stream = new CdcMicroBatchStream(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", "graftcount://" + local)), Array.empty)
+    val lim = org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+    CountingListFs.listings.set(0)
+    var start = stream.initialOffset() // the one full listing builds the cache
+    (1 to 20).foreach { _ =>
+      val end = stream.latestOffset(start, lim)
+      stream.planInputPartitions(start, end)
+      start = end
+    }
+    assert(CountingListFs.listings.get() == 1,
+      s"steady-state triggers must probe, not list (${CountingListFs.listings.get()} listings)")
+    // a tailer appends the next sequential segment mid-stream: the probe
+    // discovers it through an existence check — still no listing
+    val newFrames = (WalFixture.headerFrames ++ WalFixture.txnFrames(
+      Seq(mkChange(100, 100, "insert", "user")))).map(PgOutputEncoder.encode)
+    WalSegments.write(WalSegments.segmentPath(local, 3), newFrames)
+    val grown = stream.latestOffset(start, lim).asInstanceOf[CdcOffset]
+    assert(grown.frames == start.asInstanceOf[CdcOffset].frames + newFrames.length,
+      s"probe must discover the appended segment ($grown vs $start)")
+    assert(CountingListFs.listings.get() == 1,
+      "discovering an appended segment must not require a listing")
+    // reconcile cadence: a deleted segment fails fast at the next full
+    // listing (no-silent-remap contract) instead of lingering forever
+    val s2 = new CdcMicroBatchStream(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+        "path", "graftcount://" + local, "reconcileEvery", "3")), Array.empty)
+    s2.initialOffset()
+    new java.io.File(local, WalSegments.segmentName(0)).delete()
+    new java.io.File(local, WalSegments.segmentName(0) + ".idx").delete()
+    val ex = intercept[IllegalStateException] {
+      (1 to 5).foreach(_ => s2.latestOffset(CdcOffset(0), lim))
+    }
+    assert(ex.getMessage.contains("no longer matches"), ex.getMessage)
+  }
+
   test("S6/I6: offset commit writes the standby-status ack file") {
     val dir = tmpDir("ack")
     val ack = tmpDir("ack-out") + "/committed.json"
@@ -1361,6 +1407,23 @@ class StreamingCdcSpec extends AnyFunSuite {
   * writes, existence probes, mkdirs — behaves as the local filesystem.
   * Registered under the `graftfail://` scheme via `fs.graftfail.impl`.
   */
+/** Listing counter for the incremental-discovery spec: every directory
+  * listing through the `graftcount://` scheme increments a static counter;
+  * all IO behaves as the local filesystem.
+  */
+class CountingListFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftcount:///")
+  override def listStatus(f: org.apache.hadoop.fs.Path)
+      : Array[org.apache.hadoop.fs.FileStatus] = {
+    CountingListFs.listings.incrementAndGet()
+    super.listStatus(f)
+  }
+}
+
+object CountingListFs {
+  val listings = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class MarkerFailFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getUri: java.net.URI = java.net.URI.create("graftfail:///")
   override def create(f: org.apache.hadoop.fs.Path, overwrite: Boolean)
