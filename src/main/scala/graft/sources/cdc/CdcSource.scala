@@ -321,19 +321,13 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[Filte
     * the committed offset to external observers (server.ex:213-214).
     */
   override def commit(end: Offset): Unit = ackPath.foreach { p =>
-    // temp-file + rename (as WalSegments.write): external observers never
-    // read a half-written ack on rename-atomic filesystems
+    // scheme-aware atomic write (as WalSegments.write): external observers
+    // never read a half-written ack
     try {
       val path = new HPath(p)
       val fs = path.getFileSystem(hadoopConf.value)
-      val tmp = new HPath(path.getParent, path.getName + ".tmp")
-      val out = fs.create(tmp, true)
-      try out.write(
-        s"""{"committed_frames":${end.asInstanceOf[CdcOffset].frames}}""".getBytes("UTF-8"))
-      finally out.close()
-      if (fs.exists(path)) fs.delete(path, false)
-      if (!fs.rename(tmp, path))
-        throw new java.io.IOException(s"could not rename $tmp to $path")
+      WalSegments.writeAtomic(fs, path)(_.write(
+        s"""{"committed_frames":${end.asInstanceOf[CdcOffset].frames}}""".getBytes("UTF-8")))
     } catch { case _: Exception => () } // ack is advisory, never fails the query
   }
 

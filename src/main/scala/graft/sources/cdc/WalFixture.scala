@@ -23,14 +23,18 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * `file:///` URI, or shared cluster storage (`hdfs://`, `s3a://`) — the
   * executors opening [[CdcInputPartition]] slices resolve the same
   * FileSystem from the serialized Hadoop conf, so no shared POSIX mount
-  * is required. Visibility: a segment is written to a `.tmp` sibling and
-  * `rename`d into place, so a reader never sees a torn file on
-  * filesystems with atomic rename (local POSIX, HDFS). CAVEAT (object
-  * stores): S3A `rename` is copy+delete and NOT atomic — there a reader
-  * could list a segment mid-copy; front S3A with a consistent rename
-  * layer, or rely on the magic/length-prefix framing which makes a torn
-  * read fail loudly (`require(Magic)` / EOF inside a frame) rather than
-  * silently truncate.
+  * is required. Visibility is scheme-aware ([[writeAtomic]]): on
+  * filesystems whose in-progress writes are VISIBLE but whose rename is
+  * atomic (local POSIX, HDFS), a segment is written to a `.tmp` sibling
+  * and `rename`d into place; on object stores (`s3a://`, `gs://`, …),
+  * where rename is a nonatomic copy+delete but `create`→`close` IS the
+  * atomic publication point (one PUT — the object appears whole or not
+  * at all), the final name is written directly — no torn reads, no extra
+  * copy, and a crash mid-write leaves NO object rather than a stray
+  * temp. Stores outside both lists keep tmp+rename plus the
+  * magic/length-prefix framing, which makes a torn read fail loudly
+  * (`require(Magic)` / EOF inside a frame) rather than silently
+  * truncate.
   *
   * The publication manifest (`publication_<name>` listing `schema.table`
   * lines) stands in for `pg_publication` (reference fail-fast check:
@@ -70,22 +74,49 @@ object WalSegments {
     } catch { case _: java.io.FileNotFoundException => Seq.empty }
   }
 
+  /** Schemes whose `create`→`close` publishes the object ATOMICALLY (a
+    * single PUT: readers never observe a partial object, and listings show
+    * it only once complete) and whose rename is a nonatomic copy+delete —
+    * there the direct write is both safer and one full copy cheaper than
+    * tmp+rename. Conservative by design: Azure (`abfs`/`wasb`) stays on
+    * the rename path because block-blob writes can surface mid-stream
+    * while ADLS Gen2 rename is atomic anyway; unknown schemes default to
+    * tmp+rename.
+    */
+  private val atomicPutSchemes =
+    Set("s3a", "s3n", "s3", "gs", "oss", "swift", "cos", "obs")
+
+  private def schemeOf(fs: FileSystem): String =
+    try fs.getScheme catch { case _: UnsupportedOperationException => "" }
+
+  /** Write `path` so that readers never see a torn file: direct single-PUT
+    * on object stores ([[atomicPutSchemes]]), `.tmp` sibling + atomic
+    * rename everywhere else. Segments are immutable once named, so a
+    * pre-existing destination means a concurrent writer replayed the same
+    * content — overwrite keeps last-writer-wins parity with the old
+    * REPLACE_EXISTING semantics.
+    */
+  def writeAtomic(fs: FileSystem, path: Path)(body: java.io.OutputStream => Unit): Unit =
+    if (atomicPutSchemes(schemeOf(fs))) {
+      val out = fs.create(path, true)
+      try body(out) finally out.close() // close() IS the publication point
+    } else {
+      val tmp = new Path(path.getParent, path.getName + ".tmp")
+      val out = fs.create(tmp, true)
+      try body(out) finally out.close()
+      if (fs.exists(path)) fs.delete(path, false)
+      if (!fs.rename(tmp, path))
+        throw new java.io.IOException(s"could not rename $tmp to $path")
+    }
+
   def write(fs: FileSystem, path: Path, frames: Seq[Array[Byte]]): Unit = {
-    val tmp = new Path(path.getParent, path.getName + ".tmp")
-    val out = new DataOutputStream(new BufferedOutputStream(fs.create(tmp, true)))
-    try {
+    writeAtomic(fs, path) { raw =>
+      val out = new DataOutputStream(new BufferedOutputStream(raw))
       out.writeInt(Magic)
       out.writeInt(Version)
       frames.foreach { f => out.writeInt(f.length); out.write(f) }
-    } finally out.close()
-    // rename-into-place: atomic on POSIX/HDFS (see object-store caveat in
-    // the class doc). Segments are immutable once named, so a pre-existing
-    // destination means a concurrent writer replayed the same content —
-    // delete+rename keeps last-writer-wins parity with the old
-    // REPLACE_EXISTING semantics.
-    if (fs.exists(path)) fs.delete(path, false)
-    if (!fs.rename(tmp, path))
-      throw new java.io.IOException(s"could not rename $tmp to $path")
+      out.flush()
+    }
     // sidecar index AFTER the segment is durable: a crash in between
     // leaves a segment without an index, which every index consumer
     // treats as "fall back to the frame scan" — never wrong, only slower
@@ -128,16 +159,11 @@ object WalSegments {
   private def writeIndex(fs: FileSystem, segment: Path,
       frames: Seq[Array[Byte]]): Unit = {
     val (lsn, end) = commitInfo(frames)
-    val idx = indexPath(segment)
-    val tmp = new Path(idx.getParent, idx.getName + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(
-      (s"""{"frames":${frames.length},"last_commit_lsn":$lsn,""" +
-        s""""last_commit_end_lsn":$end}""").getBytes("UTF-8"))
-    finally out.close()
-    if (fs.exists(idx)) fs.delete(idx, false)
-    if (!fs.rename(tmp, idx))
-      throw new java.io.IOException(s"could not rename $tmp to $idx")
+    writeAtomic(fs, indexPath(segment)) { out =>
+      out.write(
+        (s"""{"frames":${frames.length},"last_commit_lsn":$lsn,""" +
+          s""""last_commit_end_lsn":$end}""").getBytes("UTF-8"))
+    }
   }
 
   /** The segment's sidecar index, or None when absent/unreadable (legacy

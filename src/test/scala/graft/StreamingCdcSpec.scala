@@ -356,6 +356,32 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("no longer matches"), ex.getMessage)
   }
 
+  test("object-store segment writes publish with a single PUT — no rename, no temp") {
+    // On s3a-like schemes create→close is the atomic publication point and
+    // rename is a nonatomic copy+delete; FakeObjectStoreFs REFUSES rename,
+    // so this round trip proves the whole write path (segment + sidecar
+    // index) never touches it there, while local/HDFS schemes keep the
+    // tmp+rename lane (every other spec exercises that daily).
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.set("fs.s3a.impl", classOf[FakeObjectStoreFs].getName)
+    val local = tmpDir("objstore")
+    val (fs, _) = WalSegments.fsFor("s3a://" + local, conf)
+    assert(fs.isInstanceOf[FakeObjectStoreFs])
+    val frames = (WalFixture.headerFrames ++ WalFixture.txnFrames(
+      Seq(mkChange(1, 1, "insert", "user")))).map(PgOutputEncoder.encode)
+    val seg = new org.apache.hadoop.fs.Path("s3a://" + local, WalSegments.segmentName(0))
+    WalSegments.write(fs, seg, frames) // throws if any rename happens
+    assert(!new java.io.File(local, WalSegments.segmentName(0) + ".tmp").exists(),
+      "no temp sibling may be created on object stores")
+    val it = WalSegments.readFrames(fs, seg)
+    val got = try it.toVector finally it.close()
+    assert(got.length == frames.length &&
+      got.zip(frames).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+    // the sidecar index also went through the direct-PUT lane and reads back
+    val idx = WalSegments.readIndex(fs, seg)
+    assert(idx.exists(_.frames == frames.length), s"index: $idx")
+  }
+
   test("S6/I6: offset commit writes the standby-status ack file") {
     val dir = tmpDir("ack")
     val ack = tmpDir("ack-out") + "/committed.json"
@@ -1407,6 +1433,19 @@ class StreamingCdcSpec extends AnyFunSuite {
   * writes, existence probes, mkdirs — behaves as the local filesystem.
   * Registered under the `graftfail://` scheme via `fs.graftfail.impl`.
   */
+/** An `s3a`-scheme stand-in for the direct-PUT spec: IO is the local
+  * filesystem, but `rename` throws — object-store writes must never rely
+  * on it (S3A rename is a nonatomic copy+delete).
+  */
+class FakeObjectStoreFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("s3a:///")
+  override def getScheme: String = "s3a"
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean =
+    throw new UnsupportedOperationException(
+      s"rename($src, $dst) must not be used on object-store schemes")
+}
+
 /** Listing counter for the incremental-discovery spec: every directory
   * listing through the `graftcount://` scheme increments a static counter;
   * all IO behaves as the local filesystem.
