@@ -137,7 +137,11 @@ class CdcScan(options: CaseInsensitiveStringMap, pushed: Array[Filter]) extends 
   * deleted/compacted head segment — or a name-ordering break (e.g. segment
   * numbering overflowing the zero-padding) — changes the head, and replay
   * fails fast instead of silently remapping the offset onto different
-  * frames. (Per-segment shrink within an unchanged name is not detectable
+  * frames. The ONE legitimate head change is retention
+  * (`WalSegments.expireSegments`): its durable record proves how many
+  * global frames the expired prefix held, so offsets at or past the
+  * boundary keep replaying exactly and only an offset that truly needs
+  * expired frames fails. (Per-segment shrink within an unchanged name is not detectable
   * from the head alone; segments are written atomically via temp+move, so
   * a half-written segment is never visible.)
   */
@@ -216,12 +220,13 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[Filte
     Option(options.get("reconcileEvery")).map(_.toInt).getOrElse(64)
   private var cachedSegs: Vector[(HPath, Long)] = Vector.empty
   private var refreshesSinceList = 0
+  // retention record (bounded replay history, WalSegments.expireSegments):
+  // `base` global frames lived in now-expired segments below the
+  // boundary. Offsets keep their global meaning; read on every full list.
+  private var retention: Option[WalSegments.Retention] = None
+  private def base: Long = retention.fold(0L)(_.framesBefore)
 
-  private val SegIdxRe = "segment-(\\d+)\\.wal".r
-  private def segIdxOf(name: String): Option[Int] = name match {
-    case SegIdxRe(d) => d.toIntOption
-    case _           => None
-  }
+  private def segIdxOf(name: String): Option[Int] = WalSegments.segIdxOf(name)
 
   private def segmentIndex(): Seq[(HPath, Long, Long)] = synchronized {
     val (fs, _) = WalSegments.fsFor(dir, hadoopConf.value)
@@ -229,12 +234,34 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[Filte
       (p, frameCounts.computeIfAbsent(p.toString, _ => WalSegments.countFrames(fs, p)))
     val lastIdx = cachedSegs.lastOption.flatMap(t => segIdxOf(t._1.getName))
     if (cachedSegs.isEmpty || lastIdx.isEmpty || refreshesSinceList >= reconcileEvery) {
-      val listed = WalSegments.listSegments(dir, hadoopConf.value)
-      if (listed.take(cachedSegs.length).map(_.getName) != cachedSegs.map(_._1.getName))
+      val (ret, listed) = WalSegments.activeSegments(dir, hadoopConf.value)
+      retention = ret
+      // a retention advance between listings legitimately expires a cached
+      // prefix — drop exactly the entries below the (durable) boundary;
+      // any OTHER mismatch is deletion/compaction without a record
+      val keep = ret.fold(cachedSegs)(r =>
+        cachedSegs.dropWhile(t => segIdxOf(t._1.getName).exists(_ < r.firstSegment)))
+      if (listed.take(keep.length).map(_.getName) != keep.map(_._1.getName))
         throw new IllegalStateException(
           s"graft-cdc: cached segment prefix no longer matches $dir — " +
-            "segments were deleted/compacted or name ordering broke; refusing " +
-            "to silently remap frame offsets")
+            "segments were deleted/compacted without a retention record or " +
+            "name ordering broke; refusing to silently remap frame offsets")
+      // contiguity: sequential numbering means ANY gap — a vanished middle
+      // segment, or a first segment above the recorded boundary — would
+      // shift every later segment's global frame position. Names are
+      // already in hand; the check is free and closes the silent-remap
+      // hole the head fingerprint alone cannot see.
+      val idxs = listed.flatMap(p => segIdxOf(p.getName))
+      if (idxs.nonEmpty) {
+        val expectFirst = ret.map(_.firstSegment).getOrElse(idxs.head)
+        if (idxs.head != expectFirst ||
+          idxs != (idxs.head until idxs.head + idxs.length))
+          throw new IllegalStateException(
+            s"graft-cdc: segment numbering in $dir is not contiguous from " +
+              s"$expectFirst (found ${idxs.take(8).mkString(",")}…) — a segment " +
+              "was deleted without a retention record; refusing to silently " +
+              "remap frame offsets")
+      }
       cachedSegs = listed.map(counted).toVector
       refreshesSinceList = 0
     } else {
@@ -247,11 +274,14 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[Filte
         else probing = false
       }
     }
-    var cum = 0L
+    var cum = base
     cachedSegs.map { case (p, n) => val start = cum; cum += n; (p, start, n) }
   }
 
-  private def totalFrames(): Long = segmentIndex().map(_._3).sum
+  private def totalFrames(): Long = {
+    val idx = segmentIndex()
+    base + idx.map(_._3).sum
+  }
 
   /** Trigger.AvailableNow: pin the stream end at prepare time so the query
     * drains exactly the backlog (in rate-limited batches) and stops.
@@ -263,7 +293,11 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[Filte
   override def initialOffset(): Offset = {
     val idx = segmentIndex()
     val head = idx.headOption.map(_._1.getName)
-    if (startLatest) CdcOffset(idx.map(_._3).sum, head) else CdcOffset(0L, head)
+    // a fresh stream over a retained directory starts at the earliest
+    // frame that still EXISTS (`base`) — the no-checkpoint analogue of
+    // "earliest available"; without retention base is 0 as ever
+    if (startLatest) CdcOffset(base + idx.map(_._3).sum, head)
+    else CdcOffset(base, head)
   }
 
   override def getDefaultReadLimit: ReadLimit =
@@ -275,7 +309,7 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[Filte
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[CdcOffset].frames
     val idx = segmentIndex()
-    val total = availableNowCap.getOrElse(idx.map(_._3).sum)
+    val total = availableNowCap.getOrElse(base + idx.map(_._3).sum)
     def cap(l: ReadLimit): Long = l match {
       case r: ReadMaxRows       => from + r.maxRows()
       case _: ReadAllAvailable  => total
@@ -293,15 +327,26 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[Filte
     val idx = segmentIndex()
     // Segment-list stability: a checkpointed offset only replays correctly
     // over the segment prefix it was counted on (see CdcOffset scaladoc).
+    // A head expired by a RETENTION RECORD is legitimate — provided the
+    // offset itself is at or past the boundary (the consumer does not
+    // need the expired frames); anything else is unrecorded deletion.
     start.asInstanceOf[CdcOffset].head.foreach { h =>
       val cur = idx.headOption.map(_._1.getName)
-      if (!cur.contains(h)) throw new IllegalStateException(
+      // a RECORDED expiry legitimizes the head change; whether the offset
+      // itself survived it is the next check's (more informative) error
+      val expiredLegitimately = retention.exists(r =>
+        segIdxOf(h).exists(_ < r.firstSegment))
+      if (!cur.contains(h) && !expiredLegitimately) throw new IllegalStateException(
         s"graft-cdc: segment list changed under a checkpointed offset " +
           s"(expected head segment '$h', found ${cur.getOrElse("no segments")}) — " +
           "segments were deleted/compacted or name ordering broke; refusing to " +
           "silently remap frame offsets")
     }
-    val total = idx.map(_._3).sum
+    if (s < base) throw new IllegalStateException(
+      s"graft-cdc: checkpointed offset $s points into EXPIRED history " +
+        s"(retention boundary is frame $base) — history was expired past a " +
+        "consumer that still needed it")
+    val total = base + idx.map(_._3).sum
     if (s > total) throw new IllegalStateException(
       s"graft-cdc: checkpointed offset $s exceeds the $total frames present — " +
         "a previously counted segment disappeared or shrank")

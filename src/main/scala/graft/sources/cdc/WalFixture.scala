@@ -55,6 +55,14 @@ object WalSegments {
 
   def segmentPath(dir: String, idx: Int): Path = new Path(dir, segmentName(idx))
 
+  private val SegIdxRe = "segment-(\\d+)\\.wal".r
+
+  /** Segment index from a segment file name (None for non-segment names). */
+  def segIdxOf(name: String): Option[Int] = name match {
+    case SegIdxRe(d) => d.toIntOption
+    case _           => None
+  }
+
   /** FileSystem + qualified path for a directory string (cheap:
     * `FileSystem.get` caches per scheme+authority).
     */
@@ -72,6 +80,144 @@ object WalSegments {
         .filter(_.getName.matches("segment-\\d+\\.wal"))
         .toSeq.sortBy(_.getName)
     } catch { case _: java.io.FileNotFoundException => Seq.empty }
+  }
+
+  // ---- retention: bounded replay history with stable offsets ----
+  // At 100 TB the replay history cannot grow forever, but deleting
+  // segments naively breaks every checkpointed offset (global frame
+  // counts are counted over the segment list — the source fails fast by
+  // design). The `_retention` record solves both: it durably states "the
+  // first `framesBefore` frames of this stream lived in segments below
+  // `firstSegment` and are gone", so global frame offsets KEEP their
+  // meaning — consumers at or past the boundary resume exactly, and only
+  // a checkpoint that genuinely needs expired frames fails. Expiry
+  // writes the record FIRST, then deletes (a crash between leaves
+  // shadowed residue below `firstSegment`, which every reader filters
+  // out and the next expiry sweeps).
+
+  /** `framesBefore` global frames lived in segments below `firstSegment`
+    * and have been expired from the directory.
+    */
+  final case class Retention(framesBefore: Long, firstSegment: Int)
+
+  def retentionPath(dir: String): Path = new Path(dir, "_retention")
+
+  def readRetention(fs: FileSystem, dir: Path): Option[Retention] =
+    try {
+      val p = new Path(dir, "_retention")
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](512)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+      def field(k: String): Option[Long] =
+        ("\"" + k + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(text)
+          .map(_.group(1).toLong)
+      for {
+        f <- field("frames_before")
+        s <- field("first_segment")
+      } yield Retention(f, s.toInt)
+    } catch { case _: java.io.IOException => None }
+
+  /** The directory's retention record plus its LIVE segments (those at or
+    * past `firstSegment`; anything below is expired residue from a crash
+    * window between record-write and delete — filtered everywhere, swept
+    * by the next expiry).
+    */
+  def activeSegments(dir: String,
+      conf: Configuration = localConf): (Option[Retention], Seq[Path]) = {
+    val (fs, d) = fsFor(dir, conf)
+    val ret = readRetention(fs, d)
+    val segs = listSegments(dir, conf)
+    val live = ret.fold(segs) { r =>
+      segs.filter(p => segIdxOf(p.getName).exists(_ >= r.firstSegment))
+    }
+    (ret, live)
+  }
+
+  /** Index the NEXT segment written to this directory must use: one past
+    * the last live segment, or the retention boundary when all live
+    * segments are gone, or 0 for a fresh directory. (Deriving this from
+    * `listSegments.size` would collide after any retention.)
+    */
+  def nextSegmentIndex(dir: String, conf: Configuration = localConf): Int = {
+    val (ret, live) = activeSegments(dir, conf)
+    live.lastOption.flatMap(p => segIdxOf(p.getName)).map(_ + 1)
+      .orElse(ret.map(_.firstSegment))
+      .getOrElse(0)
+  }
+
+  /** Expire all segments below `uptoSegment`: durably record the new
+    * retention boundary (global frame offsets stay meaningful — see the
+    * retention comment above), THEN delete the expired segment and
+    * sidecar files, sweeping any residue from earlier crash windows.
+    * Callers are responsible for only expiring history every consumer has
+    * committed past (couple to the source's `ackPath`, or use
+    * [[expireConsumed]]). Returns the new record.
+    */
+  def expireSegments(dir: String, uptoSegment: Int,
+      conf: Configuration = localConf): Retention = {
+    val (fs, d) = fsFor(dir, conf)
+    val (ret0, live) = activeSegments(dir, conf)
+    val base = ret0.map(_.framesBefore).getOrElse(0L)
+    val first = ret0.map(_.firstSegment).getOrElse(0)
+    require(uptoSegment >= first,
+      s"cannot expire below the existing retention boundary ($uptoSegment < $first)")
+    val expiring = live.filter(p => segIdxOf(p.getName).exists(_ < uptoSegment))
+    // the expired range must be fully present: a hole would make
+    // framesBefore undercount and silently remap every later offset
+    val idxs = expiring.flatMap(p => segIdxOf(p.getName)).sorted
+    require(idxs == (first until uptoSegment),
+      s"expire range [$first, $uptoSegment) is not contiguous on disk: $idxs")
+    val frames = expiring.map(p => countFrames(fs, p)).sum
+    val rec = Retention(base + frames, uptoSegment)
+    writeAtomic(fs, retentionPath(dir)) { out =>
+      out.write(
+        (s"""{"frames_before":${rec.framesBefore},""" +
+          s""""first_segment":${rec.firstSegment}}""").getBytes("UTF-8"))
+    }
+    // record is durable — now delete everything below the boundary
+    // (including residue below the OLD boundary); best-effort, residue is
+    // shadowed and swept next time
+    listSegments(dir, conf)
+      .filter(p => segIdxOf(p.getName).exists(_ < uptoSegment))
+      .foreach { p =>
+        try {
+          fs.delete(p, false)
+          val idx = indexPath(p)
+          if (fs.exists(idx)) fs.delete(idx, false)
+        } catch { case _: java.io.IOException => () }
+      }
+    rec
+  }
+
+  /** Expire every segment the consumer has fully committed past:
+    * `committedFrames` is a global frame count (the source's `ackPath`
+    * figure); the boundary lands on the last segment whose frames are all
+    * at or below it. No-op (returning the current record) when nothing is
+    * expirable.
+    */
+  def expireConsumed(dir: String, committedFrames: Long,
+      conf: Configuration = localConf): Retention = {
+    val (fs, _) = fsFor(dir, conf)
+    val (ret0, live) = activeSegments(dir, conf)
+    var cum = ret0.map(_.framesBefore).getOrElse(0L)
+    var upto = ret0.map(_.firstSegment).getOrElse(0)
+    val it = live.iterator
+    var scanning = true
+    while (scanning && it.hasNext) {
+      val p = it.next()
+      val n = countFrames(fs, p)
+      if (cum + n <= committedFrames) { cum += n; upto = segIdxOf(p.getName).get + 1 }
+      else scanning = false
+    }
+    if (upto == ret0.map(_.firstSegment).getOrElse(0))
+      ret0.getOrElse(Retention(0L, 0)) // nothing expirable: no record churn
+    else expireSegments(dir, upto, conf)
   }
 
   /** Schemes whose `create`→`close` publishes the object ATOMICALLY (a

@@ -70,7 +70,9 @@ final class ReplicationTailer(
   // not acked past it, so a reconnect re-delivers it in full.
   private var committedLen = 0
   private var committedEndLsn = 0L
-  private var segmentIdx = WalSegments.listSegments(walDir, hadoopConf).size
+  // one past the last LIVE segment (retention-aware: counting the list
+  // would collide with surviving segments after any expiry)
+  private var segmentIdx = WalSegments.nextSegmentIndex(walDir, hadoopConf)
   private var lastWrittenLsn = 0L
   // replay floor: commit LSN of the last transaction already on disk;
   // transactions at or below it are re-sends and are dropped whole
@@ -250,7 +252,9 @@ object ReplicationTailer {
     */
   private[graft] def lastCommitLsn(dir: String,
       conf: Configuration = WalSegments.localConf): Long = {
-    val segs = WalSegments.listSegments(dir, conf)
+    // live segments only: expired residue never holds the NEWEST commit
+    // (retention only ever removes a consumed prefix)
+    val (_, segs) = WalSegments.activeSegments(dir, conf)
     val (fs, _) = WalSegments.fsFor(dir, conf)
     segs.reverseIterator.map { p =>
       // sidecar index first (one small read); frame scan only for
@@ -282,10 +286,14 @@ object ReplicationTailer {
     */
   private[graft] def rebuildFlushMarks(dir: String,
       conf: Configuration = WalSegments.localConf): Seq[(Long, Long)] = {
-    val segs = WalSegments.listSegments(dir, conf)
+    // retention-aware: marks map GLOBAL frame counts (the consumer's
+    // committed_frames figure includes expired history) onto LSNs, so the
+    // ladder seeds at the retention record's frames_before and walks only
+    // the live segments
+    val (ret, segs) = WalSegments.activeSegments(dir, conf)
     if (segs.isEmpty) return Seq.empty
     val (fs, _) = WalSegments.fsFor(dir, conf)
-    var cum = 0L
+    var cum = ret.fold(0L)(_.framesBefore)
     var lsn = 0L
     segs.map { p =>
       WalSegments.readIndex(fs, p) match {

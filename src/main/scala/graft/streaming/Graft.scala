@@ -255,6 +255,27 @@ object Graft {
     new Replicator(session(), () => session(), idleMs, maxRestarts)
   }
 
+  /** Bound the replay history: expire every WAL segment the consumer has
+    * committed past, per the source's own `ackPath` status file — the
+    * operational pairing of `GraftConfig.ackPath` + consumer-coupled slot
+    * retention. The durable retention record keeps global frame offsets
+    * (and so every checkpoint) meaningful across the expiry; a checkpoint
+    * that still needs expired frames fails fast instead of silently
+    * remapping ([[graft.sources.cdc.WalSegments.expireSegments]]). No-op
+    * when the consumer has not committed yet. Run it from a cron beside
+    * the tailer — it only reads the ack file and deletes consumed
+    * segments, so it is safe while both the tailer and the query run.
+    */
+  def expireConsumed(config: GraftConfig, walDir: String)
+      : Option[graft.sources.cdc.WalSegments.Retention] = {
+    val ack = config.ackPath.getOrElse(throw new IllegalArgumentException(
+      s"config '${config.appName}': expireConsumed() needs ackPath — " +
+        "retention must follow the CONSUMER, and the ack file is how the " +
+        "consumer publishes its committed frame count"))
+    graft.sources.replication.ReplicationTailer.committedFrames(ack)
+      .map(graft.sources.cdc.WalSegments.expireConsumed(walDir, _))
+  }
+
   /** The ONE-CALL live engine — the full equivalent of the reference's
     * `WalEx.Supervisor.start_link(config)` + `use WalEx.Event` setup:
     * connect to the config's database, stream its publication into

@@ -382,6 +382,118 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(idx.exists(_.frames == frames.length), s"index: $idx")
   }
 
+  test("retention: expiry keeps offsets stable, fails fast only past the boundary") {
+    val dir = tmpDir("retain")
+    WalFixture.writeSegments(dir,
+      (0 until 8).map(i => mkChange(i, i, "insert", "user")), txnsPerSegment = 2)
+    // 4 segments × (4 header + 2×3 txn) = 10 frames each, 40 global frames
+    def newStream(extra: (String, String)*) = new CdcMicroBatchStream(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        (Map("path" -> dir) ++ extra).foldLeft(
+          new java.util.HashMap[String, String]()) { case (m, (k, v)) => m.put(k, v); m }),
+      Array.empty)
+    val lim = org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+    val preHead = Some(WalSegments.segmentName(0))
+    assert(newStream().latestOffset(CdcOffset(0), lim) == CdcOffset(40, preHead))
+
+    // expire the first two segments (consumer committed past frame 20)
+    val rec = WalSegments.expireSegments(dir, 2)
+    assert(rec == WalSegments.Retention(20L, 2), s"record: $rec")
+    assert(!new java.io.File(dir, WalSegments.segmentName(0)).exists())
+    assert(WalSegments.nextSegmentIndex(dir) == 4)
+
+    // global offsets KEEP their meaning: totals unchanged, plan for a
+    // post-boundary range maps onto the surviving segments at the same
+    // global frame positions
+    val s2 = newStream()
+    val newHead = Some(WalSegments.segmentName(2))
+    assert(s2.latestOffset(CdcOffset(20), lim) == CdcOffset(40, newHead))
+    val parts = s2.planInputPartitions(CdcOffset(25, newHead), CdcOffset(40, newHead))
+      .map(_.asInstanceOf[CdcInputPartition]).map(p => (p.segStartSeq, p.skip, p.take)).toSeq
+    assert(parts == Seq((20, 5, 5), (30, 0, 10)), s"parts: $parts")
+    // a checkpoint whose HEAD was expired is legitimate when its offset is
+    // at or past the boundary…
+    assert(s2.planInputPartitions(CdcOffset(20, preHead), CdcOffset(40, preHead))
+      .length == 2)
+    // …and fails fast when it still needs expired frames
+    val ex = intercept[IllegalStateException] {
+      s2.planInputPartitions(CdcOffset(5, preHead), CdcOffset(40, preHead))
+    }
+    assert(ex.getMessage.contains("EXPIRED"), ex.getMessage)
+    // a fresh no-checkpoint stream starts at the earliest LIVE frame
+    assert(s2.initialOffset() == CdcOffset(20, newHead))
+
+    // a long-running stream whose cache predates the expiry reconciles
+    // instead of failing: the retention record legitimizes the vanished
+    // prefix exactly
+    val s3 = newStream("reconcileEvery" -> "2")
+    s3.initialOffset()
+    WalSegments.expireSegments(dir, 3)
+    (1 to 4).foreach(_ => s3.latestOffset(CdcOffset(30), lim)) // crosses a reconcile
+    assert(s3.latestOffset(CdcOffset(30), lim) == CdcOffset(40, Some(WalSegments.segmentName(3))))
+
+    // consumer-coupled convenience: expire exactly what is committed
+    val rec2 = WalSegments.expireConsumed(dir, committedFrames = 35L)
+    assert(rec2 == WalSegments.Retention(30L, 3), s"expireConsumed: $rec2") // frame 35 is mid-segment-3
+    val rec3 = WalSegments.expireConsumed(dir, committedFrames = 40L)
+    assert(rec3 == WalSegments.Retention(40L, 4), s"expireConsumed: $rec3")
+    assert(newStream().latestOffset(CdcOffset(40), lim).asInstanceOf[CdcOffset].frames == 40L)
+  }
+
+  test("retention: Graft.expireConsumed follows the source's ack file") {
+    val dir = tmpDir("retain-facade")
+    val ack = tmpDir("retain-facade-ack") + "/committed.json"
+    WalFixture.writeSegments(dir,
+      (0 until 4).map(i => mkChange(i, i, "insert", "user")), txnsPerSegment = 2)
+    // 2 segments × 10 frames
+    val config = GraftConfig(appName = "retain", ackPath = Some(ack))
+    // no ack committed yet → no-op, nothing deleted
+    assert(Graft.expireConsumed(config, dir).isEmpty)
+    assert(WalSegments.listSegments(dir).size == 2)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(ack),
+      """{"committed_frames":10}""")
+    assert(Graft.expireConsumed(config, dir)
+      .contains(WalSegments.Retention(10L, 1)))
+    assert(WalSegments.listSegments(dir).map(_.getName) ==
+      Seq(WalSegments.segmentName(1)))
+    // retention must follow the consumer: a config without ackPath refuses
+    val ex = intercept[IllegalArgumentException] {
+      Graft.expireConsumed(GraftConfig(appName = "retain2"), dir)
+    }
+    assert(ex.getMessage.contains("ackPath"), ex.getMessage)
+  }
+
+  test("retention: a checkpointed streaming query resumes exactly across an expiry") {
+    val dir = tmpDir("retain-q")
+    val ckpt = tmpDir("retain-ckpt")
+    val out = tmpDir("retain-out")
+    WalFixture.writeSegments(dir,
+      (0 until 4).map(i => mkChange(i, i, "insert", "user", recordId = i)),
+      txnsPerSegment = 2)
+    // file sink: the one that genuinely resumes from a checkpoint
+    def runOnce(): Unit = {
+      val q = readStreamFrom(dir).filter($"msg" === "insert")
+        .selectExpr("record['id'] AS id")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 4)
+    // everything is consumed and checkpointed: expire the whole history,
+    // then append the NEXT sequential segment (as a live tailer would)
+    WalSegments.expireSegments(dir, 2)
+    val more = (WalFixture.headerFrames ++ WalFixture.txnFrames(
+      Seq(mkChange(50, 50, "insert", "user", recordId = 50)))).map(PgOutputEncoder.encode)
+    WalSegments.write(WalSegments.segmentPath(dir, 2), more)
+    runOnce()
+    // the restarted query delivers ONLY the new segment's row: no failure
+    // on the expired prefix, no redelivery of the four originals, no loss
+    val ids = spark.read.parquet(out).collect().map(_.getString(0)).sorted.toSeq
+    assert(ids == Seq("0", "1", "2", "3", "50"), s"ids: $ids")
+  }
+
   test("S6/I6: offset commit writes the standby-status ack file") {
     val dir = tmpDir("ack")
     val ack = tmpDir("ack-out") + "/committed.json"
