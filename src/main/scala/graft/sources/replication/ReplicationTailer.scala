@@ -53,9 +53,14 @@ final class ReplicationTailer(
     walDir: String,
     framesPerSegment: Int = 4096,
     consumerAckPath: Option[String] = None,
+    retainConsumed: Boolean = false,
     hadoopConf: Configuration = WalSegments.localConf) {
 
   import PgReplicationClient._
+
+  require(!retainConsumed || consumerAckPath.nonEmpty,
+    "retainConsumed requires consumerAckPath — retention must follow the " +
+      "consumer's committed frames, never the tailer's own writes")
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   private val (fs: FileSystem, dirPath: Path) = WalSegments.fsFor(walDir, hadoopConf)
@@ -179,8 +184,20 @@ final class ReplicationTailer(
     }
     val ack = consumerAckPath match {
       case None       => lastWrittenLsn // write-through: disk is the handoff
-      case Some(path) => ReplicationTailer.committedFrames(path, hadoopConf)
-        .flatMap(ackFloorLsn).getOrElse(0L)
+      case Some(path) =>
+        val committed = ReplicationTailer.committedFrames(path, hadoopConf)
+        // self-bounding replay history (opt-in): expire every segment the
+        // consumer has committed past, right where the committed figure is
+        // already in hand. Safe by the same argument as the ack floor:
+        // expiry follows the CONSUMER, and anything expired is below the
+        // slot's confirmed_flush_lsn, so a restarted tailer never sees it
+        // re-sent. Retention failures only defer cleanup — never the ack.
+        if (retainConsumed) committed.foreach { c =>
+          try WalSegments.expireConsumed(walDir, c, hadoopConf)
+          catch { case e: java.io.IOException =>
+            log.warn(s"graft-replication: retention pass failed: $e") }
+        }
+        committed.flatMap(ackFloorLsn).getOrElse(0L)
     }
     if (ack > lastSentAck) {
       client.sendStandbyStatus(ack)

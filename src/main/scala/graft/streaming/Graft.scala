@@ -248,7 +248,8 @@ object Graft {
           .startReplication(config.effectiveSlotName, pub)
       } catch { case e: Throwable => client.close(); throw e }
       (client, new ReplicationTailer(client, walDir, framesPerSegment,
-        consumerAckPath = config.ackPath))
+        consumerAckPath = config.ackPath,
+        retainConsumed = config.retainConsumed))
     }
     // first connect runs EAGERLY so config errors (bad publication, bad
     // credentials) fail the call, not a background thread

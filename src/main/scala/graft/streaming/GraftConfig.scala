@@ -41,6 +41,12 @@ final case class GraftConfig(
     startMode: String = "earliest",
     maxFramesPerTrigger: Option[Long] = None,
     ackPath: Option[String] = None,
+    // with ackPath set, the live tailer expires every WAL segment the
+    // consumer has committed past (offset-stable retention,
+    // WalSegments.expireConsumed) — the replay directory stays bounded
+    // with no external cron. Extension field; the reference's slot
+    // retention has no segment-directory analogue.
+    retainConsumed: Boolean = false,
     checkpointDir: Option[String] = None,
     staleTxnTtl: Option[String] = None,
     rowFilter: Option[String] = None,

@@ -1337,6 +1337,51 @@ class StreamingCdcSpec extends AnyFunSuite {
       s"ack must follow the consumer's catch-up: ${t.lastAckComputed}")
   }
 
+  test("replication tailer auto-retention: consumed segments expire as the consumer commits") {
+    import graft.sources.replication.{PgReplicationClient, ReplicationTailer}
+    import WalMessage._
+    val dir = tmpDir("tailer-retain")
+    val ackFile = s"$dir/ack.json"
+    val sink = new PgReplicationClient(PgReplicationClient.Endpoint(
+      database = "x", user = "x"))
+    val ts = java.time.Instant.parse("2024-07-01T10:00:00Z")
+    def txn(lsnOff: Int, id: Long): Seq[Array[Byte]] = Seq[WalMessage](
+      Begin(Lsn(0, lsnOff), ts, id),
+      Insert(WalFixture.relations("user"), IndexedSeq(Cell.Text(id.toString),
+        Cell.Text("1"), Cell.Null, Cell.Text("5"), Cell.Text("9"))),
+      Commit(0, Lsn(0, lsnOff), Lsn(0, lsnOff + 56), ts)).map(PgOutputEncoder.encode)
+    val rel = PgOutputEncoder.encode(WalFixture.relationFrame("user"))
+    intercept[IllegalArgumentException] { // retention must follow a consumer
+      new ReplicationTailer(sink, dir, retainConsumed = true)
+    }
+    val t = new ReplicationTailer(sink, dir, framesPerSegment = 100,
+      consumerAckPath = Some(ackFile), retainConsumed = true)
+    def feed(frames: Seq[Array[Byte]], endLsn: Long): Unit =
+      frames.foreach(f => t.accept(PgReplicationClient.XLogData(0, endLsn, 0, f)))
+    feed(rel +: txn(100, 1), endLsn = Lsn(0, 156).toLong)
+    t.flush() // segment 0: 4 frames
+    feed(txn(200, 2), endLsn = Lsn(0, 256).toLong)
+    t.flush() // segment 1: rel replay + 3 = 4 frames
+    assert(WalSegments.listSegments(dir).size == 2)
+    // consumer commits through segment 0 → the next flush cycle expires it
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(ackFile),
+      """{"committed_frames":4}""")
+    t.flush()
+    assert(WalSegments.listSegments(dir).map(_.getName) ==
+      Seq(WalSegments.segmentName(1)), "consumed segment must be expired")
+    assert(WalSegments.readRetention(
+      WalSegments.fsFor(dir)._1, new org.apache.hadoop.fs.Path(dir))
+      .contains(WalSegments.Retention(4L, 1)))
+    // the ack floor is unaffected by the expiry: consumer at 4 frames maps
+    // to the first flush's commit end LSN
+    assert(t.lastAckComputed == Lsn(0, 156).toLong, s"ack: ${t.lastAckComputed}")
+    // new traffic lands at the NEXT sequential index, past the survivors
+    feed(txn(300, 3), endLsn = Lsn(0, 356).toLong)
+    t.flush()
+    assert(WalSegments.listSegments(dir).map(_.getName) ==
+      Seq(WalSegments.segmentName(1), WalSegments.segmentName(2)))
+  }
+
   test("Hadoop FS lane: explicit file:/// walDir round-trips write/list/stream") {
     // the segment lane speaks the Hadoop FileSystem API end-to-end: an
     // explicit file:/// URI (not a bare local path) must plan, read and
