@@ -203,7 +203,8 @@ class CdcMicroBatchStream(options: CaseInsensitiveStringMap, pushed: Array[Filte
 
   // Segment discovery is INCREMENTAL: segments are immutable and
   // sequentially numbered by construction (the tailer resumes at
-  // listSegments.size and the fixture writes 0..n-1, both contiguous), so
+  // WalSegments.nextSegmentIndex and the fixture writes 0..n-1, both
+  // contiguous from the retention boundary), so
   // after one full listing, discovery PROBES for the next index — one
   // existence check per new segment plus one miss per refresh — instead
   // of re-listing the directory every micro-batch. On an object store
