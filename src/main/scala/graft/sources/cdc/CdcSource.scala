@@ -134,10 +134,10 @@ class CdcScan(options: CaseInsensitiveStringMap, pushed: Array[Filter]) extends 
   * the list's head segment name as a stability fingerprint: segments are
   * immutable and append-only, so a checkpointed frame count is only
   * meaningful while the list it was counted over keeps its prefix. A
-  * deleted/compacted head segment — or a name-ordering break (e.g. segment
-  * numbering overflowing the zero-padding) — changes the head, and replay
-  * fails fast instead of silently remapping the offset onto different
-  * frames. The ONE legitimate head change is retention
+  * deleted/compacted head segment changes the head, and replay fails fast
+  * instead of silently remapping the offset onto different frames (the
+  * segment list orders NUMERICALLY, so zero-padding overflow past a
+  * million segments is a non-event, not an ordering break). The ONE legitimate head change is retention
   * (`WalSegments.expireSegments`): its durable record proves how many
   * global frames the expired prefix held, so offsets at or past the
   * boundary keep replaying exactly and only an offset that truly needs

@@ -78,7 +78,12 @@ object WalSegments {
       fs.listStatus(d).iterator
         .map(_.getPath)
         .filter(_.getName.matches("segment-\\d+\\.wal"))
-        .toSeq.sortBy(_.getName)
+        .toSeq
+        // NUMERIC order: at 4096 frames/segment a 100 TB history passes a
+        // million segments, where the %06d padding overflows to 7 digits
+        // and lexicographic order would interleave ("segment-1000000"
+        // sorts before "segment-999999") — the index is the truth
+        .sortBy(p => segIdxOf(p.getName).getOrElse(Int.MaxValue))
     } catch { case _: java.io.FileNotFoundException => Seq.empty }
   }
 

@@ -440,6 +440,33 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(newStream().latestOffset(CdcOffset(40), lim).asInstanceOf[CdcOffset].frames == 40L)
   }
 
+  test("segment ordering survives the zero-padding overflow at a million segments") {
+    // at 4096 frames/segment a 100 TB history passes 10^6 segments, where
+    // %06d grows to 7 digits and LEXICOGRAPHIC order would interleave
+    // ("segment-1000000" < "segment-999999"); ordering must be numeric
+    val dir = tmpDir("overflow")
+    def seg(i: Int, id: Long): Unit = WalSegments.write(
+      WalSegments.segmentPath(dir, i),
+      (WalFixture.headerFrames ++ WalFixture.txnFrames(
+        Seq(mkChange(id, id, "insert", "user")))).map(PgOutputEncoder.encode))
+    seg(999999, 1); seg(1000000, 2)
+    assert(WalSegments.listSegments(dir).map(_.getName) ==
+      Seq("segment-999999.wal", "segment-1000000.wal"))
+    assert(WalSegments.nextSegmentIndex(dir) == 1000001)
+    val stream = new CdcMicroBatchStream(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir)), Array.empty)
+    val lim = org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+    val end = stream.latestOffset(CdcOffset(0), lim)
+    assert(end.asInstanceOf[CdcOffset].frames == 14, s"end: $end") // 2 × 7 frames
+    val parts = stream.planInputPartitions(
+      CdcOffset(0, Some("segment-999999.wal")), end)
+      .map(_.asInstanceOf[CdcInputPartition]).toSeq
+    assert(parts.map(p => (p.segStartSeq, p.take)) == Seq((0L, 7L), (7L, 7L)))
+    assert(parts.head.path.endsWith("segment-999999.wal") &&
+      parts.last.path.endsWith("segment-1000000.wal"))
+  }
+
   test("retention: Graft.expireConsumed follows the source's ack file") {
     val dir = tmpDir("retain-facade")
     val ack = tmpDir("retain-facade-ack") + "/committed.json"
