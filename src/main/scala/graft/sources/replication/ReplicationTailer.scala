@@ -34,7 +34,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    counts), the tailer maps the consumer's committed frame count onto
   *    the per-flush LSN marks it keeps and never acks past it — the
   *    server then retains WAL until Spark has actually committed, so even
-  *    a lost segment DIRECTORY can be re-streamed from the slot.
+  *    a lost segment DIRECTORY can be re-streamed from the slot. With
+  *    `retainConsumed` the same committed figure also drives segment
+  *    expiry (offset-stable, [[WalSegments.expireConsumed]]) — the replay
+  *    directory stays bounded with no external cron.
   *  - DEDUPLICATE replayed transactions across reconnects: if the server
   *    dies before processing the final ack, the resumed stream re-sends
   *    transactions that are already on disk (the slot's documented
