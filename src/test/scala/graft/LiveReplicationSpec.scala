@@ -382,7 +382,11 @@ class LiveReplicationSpec extends AnyFunSuite {
       val walDir = s"${cluster.base}/wal-tail"
       val config = GraftConfig("tail_demo",
         database = Some("postgres"), username = Some("postgres"),
-        publication = Some("tail_pub"))
+        publication = Some("tail_pub"),
+        // consumer-coupled acks + SELF-BOUNDING replay history: the
+        // tailer expires segments the query has committed past, live
+        ackPath = Some(s"$walDir/ack.json"),
+        retainConsumed = true)
       // the production topology in ONE call, both halves LIVE at once:
       // startLive = replicate() pumping the walsender into segments (with
       // the publication manifest from the real catalog) + start() tailing
@@ -407,6 +411,28 @@ class LiveReplicationSpec extends AnyFunSuite {
         cluster.psql("UPDATE tail_t SET v = 11 WHERE id = 1")
         cluster.psql("DELETE FROM tail_t WHERE id = 2")
         assert(awaitCount(4), s"second round not delivered live: ${seen.get()}")
+        // round 3: retention happens LIVE — acks flow as batches commit,
+        // and the tailer's flush cycle expires consumed segments. Keep a
+        // trickle of traffic so batches (and so acks) keep advancing.
+        import graft.sources.cdc.WalSegments
+        def retentionRec = WalSegments.readRetention(
+          WalSegments.fsFor(walDir)._1, new org.apache.hadoop.fs.Path(walDir))
+        val until = System.currentTimeMillis() + 60000
+        var extra = 100
+        while (retentionRec.isEmpty && System.currentTimeMillis() < until) {
+          cluster.psql(s"INSERT INTO tail_t VALUES ($extra, 1)")
+          extra += 1
+          Thread.sleep(1000)
+        }
+        val rec = retentionRec
+        assert(rec.exists(_.firstSegment >= 1),
+          s"no live expiry happened: $rec, segments=${
+            WalSegments.listSegments(walDir).map(_.getName)}")
+        // everything below the recorded boundary is gone from disk
+        assert(WalSegments.listSegments(walDir)
+          .flatMap(p => WalSegments.segIdxOf(p.getName))
+          .forall(_ >= rec.get.firstSegment),
+          s"expired segments survive: ${WalSegments.listSegments(walDir).map(_.getName)}")
       } finally {
         q.stop()
         repl.close()
