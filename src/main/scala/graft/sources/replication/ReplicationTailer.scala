@@ -94,11 +94,17 @@ final class ReplicationTailer(
   // committed frame count onto an ackable LSN — retention does not pin to
   // the restart point (judge r9 #4).
   private var cumFrames: Long = 0L
-  private val flushMarks = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-  ReplicationTailer.rebuildFlushMarks(walDir, hadoopConf).foreach { case (cum, lsn) =>
-    cumFrames = cum
-    flushMarks += ((cum, lsn))
-  }
+  private[replication] val flushMarks = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+  // the mark ledger exists FOR consumer-coupled retention: ackFloorLsn
+  // prunes it as the consumer advances. In write-through mode nothing
+  // reads or prunes it — recording there would leak one entry per flush
+  // for the tailer's whole uptime (and pay the O(segments) startup
+  // rebuild for nothing), so the ledger stays empty.
+  if (consumerAckPath.nonEmpty)
+    ReplicationTailer.rebuildFlushMarks(walDir, hadoopConf).foreach { case (cum, lsn) =>
+      cumFrames = cum
+      flushMarks += ((cum, lsn))
+    }
   private var lastSentAck = 0L
 
   fs.mkdirs(dirPath)
@@ -180,8 +186,10 @@ final class ReplicationTailer(
       pending.remove(0, committedLen)
       committedLen = 0
       lastWrittenLsn = committedEndLsn
-      cumFrames += frames.length
-      flushMarks += ((cumFrames, lastWrittenLsn))
+      if (consumerAckPath.nonEmpty) {
+        cumFrames += frames.length
+        flushMarks += ((cumFrames, lastWrittenLsn))
+      }
       log.info(s"graft-replication: segment ${segmentIdx - 1} " +
         s"(${frames.length} frames) flushed at ${formatLsn(lastWrittenLsn)}")
     }

@@ -1364,6 +1364,29 @@ class StreamingCdcSpec extends AnyFunSuite {
       s"ack must follow the consumer's catch-up: ${t.lastAckComputed}")
   }
 
+  test("replication tailer write-through mode keeps no flush-mark ledger") {
+    import graft.sources.replication.{PgReplicationClient, ReplicationTailer}
+    import WalMessage._
+    val dir = tmpDir("tailer-writethrough")
+    val sink = new PgReplicationClient(PgReplicationClient.Endpoint(
+      database = "x", user = "x"))
+    val ts = java.time.Instant.parse("2024-07-01T10:00:00Z")
+    val frames = Seq[WalMessage](
+      Begin(Lsn(0, 100), ts, 1),
+      Insert(WalFixture.relations("user"), IndexedSeq(Cell.Text("1"),
+        Cell.Text("1"), Cell.Null, Cell.Text("5"), Cell.Text("9"))),
+      Commit(0, Lsn(0, 100), Lsn(0, 156), ts)).map(PgOutputEncoder.encode)
+    // no consumerAckPath: the mark ledger has no reader and no pruner, so
+    // recording would leak one entry per flush for the tailer's uptime
+    val t = new ReplicationTailer(sink, dir, framesPerSegment = 100)
+    frames.foreach(f => t.accept(PgReplicationClient.XLogData(0, Lsn(0, 156).toLong, 0, f)))
+    t.flush()
+    frames.foreach(f => t.accept(PgReplicationClient.XLogData(0, Lsn(0, 156).toLong, 0, f)))
+    t.flush()
+    assert(WalSegments.listSegments(dir).nonEmpty)
+    assert(t.flushMarks.isEmpty, s"write-through mode leaked ${t.flushMarks.length} marks")
+  }
+
   test("replication tailer auto-retention: consumed segments expire as the consumer commits") {
     import graft.sources.replication.{PgReplicationClient, ReplicationTailer}
     import WalMessage._
