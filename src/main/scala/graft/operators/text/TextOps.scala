@@ -2,6 +2,7 @@ package graft.operators.text
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: token counting,
@@ -257,4 +258,104 @@ object TextOps {
 
   def normalized(text: Column): Column =
     lower(regexp_replace(trim(text), "\\s+", " "))
+
+  /** txt10 — overlapping token-window chunking (the RAG / context-window
+    * prep step: split each document into fixed-size token chunks with a
+    * configurable overlap so no span falls on a hard boundary). Chunk
+    * starts are `1, 1+step, 1+2·step, …` over the token array
+    * (`step = chunkSize − overlap`); the last chunk is short rather than
+    * padded. Pure narrow projection — tokenize, `sequence` the starts,
+    * `posexplode`, `slice` — so there is NO shuffle and at 100 TB this
+    * runs at parquet-scan speed with output parallelism equal to input
+    * parallelism. `chunk_id` is derived arithmetically from the start
+    * ((start−1)/step) so engines need no ordinality agreement.
+    */
+  def chunkWindows(spark: SparkSession, d: String,
+      chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap=$overlap must be in [0, chunkSize=$chunkSize)")
+    val step = chunkSize - overlap
+    Tables.documents(spark, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(when(size(col("t")) > 0,
+          sequence(lit(1), size(col("t")), lit(step)))
+          .otherwise(array().cast("array<int>"))).as("start_tok"))
+      .select(
+        col("doc_id"),
+        ((col("start_tok") - 1) / step).cast("int").as("chunk_id"),
+        col("start_tok"),
+        slice(col("t"), col("start_tok"), lit(chunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** txt11 — top-k characteristic terms per document by tf·idf. The idf
+    * is the LINEAR form `N/df` (not `ln(N/df)`): one IEEE division is
+    * bit-exact across engines where `ln` is only ULP-close, so the score
+    * stays hash-comparable — and the ranking it induces is the same
+    * monotone order. Shape at 100 TB: term frequencies are a map-side-
+    * combined `groupBy(doc_id, term)`; document frequencies aggregate the
+    * ALREADY per-doc-distinct tf table (vocabulary-sized, term-keyed);
+    * the tf⋈df join shuffles on `term` (AQE handles stopword skew); the
+    * final top-k is a per-doc window — no all-pairs stage, no driver
+    * collect, ties broken deterministically by term.
+    */
+  def tfidfTopTerms(spark: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs)) // one-row scalar side
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  /** txt12 — corpus vocabulary + per-doc OOV rate (the tokenizer-coverage
+    * check run before committing a vocab size): build the top-`vocabSize`
+    * terms by corpus frequency (ties by term, deterministic), then score
+    * every document by the fraction of its tokens OUTSIDE that
+    * vocabulary. Shape at 100 TB: the count table is a map-side-combined
+    * term agg; the top-N compiles to TakeOrderedAndProject (per-partition
+    * top-N, single small merge — never a global sort); the tiny vocab
+    * BROADCASTs to a semi-join against the exploded tokens, and the
+    * per-doc tallies key on doc_id. `oov_frac` is one integer division in
+    * double — hash-exact across engines.
+    */
+  def vocabOovRate(spark: SparkSession, d: String,
+      vocabSize: Int = 256): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(vocabSize)
+      .select(col("term"))
+    val inVocab = toks
+      .join(broadcast(vocab), Seq("term"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_invocab"))
+    docs
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+      .join(inVocab, Seq("doc_id"), "left")
+      .withColumn("n_invocab", coalesce(col("n_invocab"), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - col("n_invocab")).as("n_oov"),
+        when(col("n_tokens") > 0,
+          (col("n_tokens") - col("n_invocab")).cast("double") / col("n_tokens"))
+          .otherwise(0.0).as("oov_frac"))
+      .orderBy(col("doc_id"))
+  }
 }

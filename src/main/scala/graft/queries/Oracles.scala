@@ -539,6 +539,57 @@ SELECT doc_id, len(t) AS n_tokens,
   len(list_filter(t, x -> x IN ('slow', 'dup'))) > 0 AS flagged
 FROM toks ORDER BY doc_id""",
 
+    // overlapping token-window chunking: starts are 1, 1+step, … (step =
+    // 64−16 = 48); DuckDB's range() excludes its stop so len(t)+1 matches
+    // Spark's inclusive sequence(1, size). chunk_id is (start−1)/step —
+    // arithmetic on both engines, no ordinality agreement needed
+    "txt10_chunking" -> s"""$toksCte,
+starts AS (
+  SELECT doc_id, t, unnest(range(1, len(t) + 1, 48)) AS start_tok
+  FROM toks WHERE len(t) > 0)
+SELECT doc_id,
+  CAST((start_tok - 1) // 48 AS INT) AS chunk_id,
+  start_tok,
+  len(list_slice(t, start_tok, start_tok + 63)) AS n_chunk_tokens,
+  array_to_string(list_slice(t, start_tok, start_tok + 63), ' ') AS chunk_text
+FROM starts ORDER BY doc_id, chunk_id""",
+
+    // tf·idf with the LINEAR idf N/df: one IEEE division is bit-exact
+    // across engines (ln is only ULP-close) and induces the same ranking;
+    // ties broken by term so the top-k set is deterministic
+    "txt11_tfidf_terms" -> s"""$toksCte,
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.df,
+    CAST(tfc.tf * n.n_docs AS DOUBLE) / dfc.df AS score
+  FROM tfc JOIN dfc USING (term) CROSS JOIN n),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+  FROM scored)
+SELECT doc_id, rnk, term, tf, df, score
+FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+
+    // vocab coverage: top-256 terms by corpus frequency (ties by term —
+    // the boundary is deterministic on both engines), then per-doc share
+    // of tokens outside that vocabulary
+    "txt12_vocab_oov" -> s"""$toksCte,
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+cnt AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+vocab AS (SELECT term FROM cnt ORDER BY cnt DESC, term ASC LIMIT 256),
+iv AS (
+  SELECT doc_id, count(*) AS n_invocab FROM tok
+  WHERE term IN (SELECT term FROM vocab) GROUP BY 1)
+SELECT d.doc_id, len(d.t) AS n_tokens,
+  len(d.t) - COALESCE(iv.n_invocab, 0) AS n_oov,
+  CASE WHEN len(d.t) > 0
+       THEN CAST(len(d.t) - COALESCE(iv.n_invocab, 0) AS DOUBLE) / len(d.t)
+       ELSE CAST(0 AS DOUBLE) END AS oov_frac
+FROM toks d LEFT JOIN iv USING (doc_id) ORDER BY doc_id""",
+
     // per-source cap: DuckDB ranks each source in one node; the engine's
     // two-stage distributed top-K must admit exactly the same set
     "tp08_source_cap" -> """

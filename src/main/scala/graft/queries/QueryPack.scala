@@ -175,6 +175,9 @@ object QueryPack {
     "txt07_winnow_fp"    -> ((s, d) => TextOps.winnowFingerprints(s, d)),
     "txt08_repetition"   -> ((s, d) => TextOps.repetition(s, d)),
     "txt09_blocklist"    -> ((s, d) => TextOps.blocklistFlags(s, d)),
+    "txt10_chunking"     -> ((s, d) => TextOps.chunkWindows(s, d)),
+    "txt11_tfidf_terms"  -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
+    "txt12_vocab_oov"    -> ((s, d) => TextOps.vocabOovRate(s, d)),
 
     // ---- dedup ----
     "dd01_exact_dedup"   -> ((s, d) => Dedup.exact(s, d)),

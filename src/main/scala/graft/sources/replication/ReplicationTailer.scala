@@ -94,7 +94,7 @@ final class ReplicationTailer(
   // committed frame count onto an ackable LSN — retention does not pin to
   // the restart point (judge r9 #4).
   private var cumFrames: Long = 0L
-  private[replication] val flushMarks = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+  private[graft] val flushMarks = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
   // the mark ledger exists FOR consumer-coupled retention: ackFloorLsn
   // prunes it as the consumer advances. In write-through mode nothing
   // reads or prunes it — recording there would leak one entry per flush

@@ -647,6 +647,86 @@ class OperatorsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("txt10 chunking: full coverage, exact overlap, shuffle-free plan") {
+    import graft.operators.text.TextOps
+    val out = TextOps.chunkWindows(spark, sf, chunkSize = 64, overlap = 16)
+    // narrow projection: tokenize→sequence→explode→slice must not shuffle
+    // (the trailing orderBy is presentation; audit the pre-sort child)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"chunking introduced a hash shuffle:\n$plan")
+    val rows = out.collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    val nTokens = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byDoc.foreach { case (doc, chunks) =>
+      val sorted = chunks.sortBy(_.getInt(1))
+      // chunk ids are dense from 0; starts follow the declared stride
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getInt(1) == i)
+        assert(r.getInt(2) == 1 + i * 48, s"doc $doc chunk $i start")
+      }
+      // windows tile the token array: sum of sizes minus overlaps = total
+      val n = nTokens(doc)
+      val covered = sorted.map(_.getInt(3)).sum -
+        sorted.init.map(r => math.min(16, n - (r.getInt(2) - 1 + 48))).sum
+      assert(covered == n, s"doc $doc: covered $covered of $n tokens")
+      // every full chunk is exactly chunkSize; only the last may be short
+      sorted.init.zipWithIndex.foreach { case (r, i) =>
+        if (r.getInt(2) + 63 <= n) assert(r.getInt(3) == 64, s"doc $doc chunk $i") }
+    }
+    // docs with ≥1 token appear; empty docs don't
+    assert(byDoc.keySet == nTokens.filter(_._2 > 0).keySet)
+  }
+
+  test("txt11 tf·idf: score formula exact, per-doc top-k, deterministic ties") {
+    import graft.operators.text.TextOps
+    val out = TextOps.tfidfTopTerms(spark, sf, k = 3).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getInt(1)).sorted
+      assert(ranks.toSeq == (1 to ranks.length), "ranks dense from 1")
+      assert(ranks.length <= 3)
+      // rank order follows (score desc, term asc) exactly
+      val sorted = rs.sortBy(_.getInt(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (sa, sb) = (a.getDouble(5), b.getDouble(5))
+          assert(sa > sb || (sa == sb && a.getString(2) < b.getString(2)))
+        case _ =>
+      }
+    }
+    out.foreach { r =>
+      val want = r.getLong(3).toDouble * nDocs / r.getLong(4)
+      assert(r.getDouble(5) == want, s"score mismatch for ${r.getString(2)}")
+    }
+  }
+
+  test("txt12 vocab/OOV: tallies reconcile and the vocab boundary is by-term deterministic") {
+    import graft.operators.text.TextOps
+    val out = TextOps.vocabOovRate(spark, sf, vocabSize = 50).collect()
+    out.foreach { r =>
+      val (n, oov, frac) = (r.getInt(1), r.getLong(2), r.getDouble(3))
+      assert(oov >= 0 && oov <= n)
+      assert(frac >= 0.0 && frac <= 1.0)
+      if (n > 0) assert(frac == oov.toDouble / n) else assert(frac == 0.0)
+    }
+    // reconcile against a direct recount with an independently-built vocab
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+    val vocab = toks.groupBy("term").count()
+      .orderBy(col("count").desc, col("term").asc).limit(50)
+      .select("term").collect().map(_.getString(0)).toSet
+    val want = toks.collect().groupBy(_.getLong(0)).map { case (d, ts) =>
+      d -> ts.count(r => !vocab.contains(r.getString(1))).toLong
+    }
+    out.foreach { r =>
+      assert(r.getLong(2) == want.getOrElse(r.getLong(0), 0L),
+        s"doc ${r.getLong(0)} oov count")
+    }
+  }
+
   test("corpus clean: the planted duplicate storm cancels exactly") {
     // gate + dedup over corpus ∪ exact copies must equal the clean-corpus
     // run bit-for-bit: copies share quality/language with their original
