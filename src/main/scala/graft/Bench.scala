@@ -44,7 +44,12 @@ object Bench {
     require(repeats >= 1,
       s"SPARK_GRAFT_BENCH_REPEATS=$repeats: need >= 1 or every query " +
         "would report -1 with a clean exit")
+    // Local-iteration filter (driver never sets it; mirrors Verify's):
+    // comma-separated query names, empty/unset = all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+      .filter(_.nonEmpty)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     val samples = scala.collection.mutable.Map[String, List[Double]]()
     val errors = scala.collection.mutable.Map[String, String]()
     for (r <- 1 to repeats) {

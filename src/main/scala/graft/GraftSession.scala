@@ -79,8 +79,30 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame       = load(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame     = load(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame     = load(spark, d, "region")
-  /** NOTE: `ts` arrives as LongType nanoseconds (see GraftSession.prepare). */
+  /** NOTE: `ts` has shipped as parquet TIMESTAMP(NANOS) (read as LongType
+    * nanos under the legacy flag, see GraftSession.prepare) and as
+    * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ) across testdata vintages —
+    * consume it through [[eventTsMs]], never raw.
+    */
   def events(spark: SparkSession, d: String): DataFrame     = load(spark, d, "events")
+
+  /** Millisecond epoch of the events table's `ts`, exact under every
+    * testdata vintage: nanos-as-long divides down in integer math;
+    * timestamp micros go through unix_millis (NTZ cast is identity under
+    * the session's pinned UTC zone). Both truncate toward negative
+    * infinity on the sub-ms tail, matching DuckDB's epoch_ms.
+    */
+  def eventTsMs(df: DataFrame): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr, unix_millis}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => expr("ts DIV 1000000")
+      case TimestampNTZType => unix_millis(col("ts").cast("timestamp"))
+      case TimestampType    => unix_millis(col("ts"))
+      case t => throw new IllegalArgumentException(
+        s"events.ts arrived as unsupported type $t")
+    }
+  }
   def documents(spark: SparkSession, d: String): DataFrame  = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 

@@ -168,9 +168,10 @@ object Analytics {
     * the streaming windowed agg; ms epoch keys for engine-portable output).
     */
   def hourlyEventCounts(spark: SparkSession, d: String): DataFrame =
-    Tables.events(spark, d)
-      .select(expr("(ts DIV 1000000000 DIV 3600) * 3600000").as("hour_ms"),
-        col("event_type"), col("value"))
+    { val ev = Tables.events(spark, d)
+      ev.select(Tables.eventTsMs(ev).as("ts_ms"), col("event_type"), col("value"))
+        .select(expr("(ts_ms DIV 3600000) * 3600000").as("hour_ms"),
+          col("event_type"), col("value")) }
       .groupBy(col("hour_ms"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
@@ -182,8 +183,8 @@ object Analytics {
     */
   def sessionize(spark: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
-    val ev = Tables.events(spark, d)
-      .select(col("user_id"), expr("ts DIV 1000000").as("ts_ms"))
+    val evt = Tables.events(spark, d)
+    val ev = evt.select(col("user_id"), Tables.eventTsMs(evt).as("ts_ms"))
     ev.withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 30 * 60 * 1000L, 1)
@@ -216,10 +217,11 @@ object Analytics {
     * (max orderkey — the deterministic tie rule the oracle mirrors).
     */
   def asofOrders(spark: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(spark, d).select(
+    val evt = Tables.events(spark, d)
+    val e = evt.select(
       col("event_id"), col("user_id"),
       (col("user_id") + 1).as("k"),
-      expr("ts DIV 1000000").as("t_ms")) // exact integer ns → ms
+      Tables.eventTsMs(evt).as("t_ms")) // exact integer epoch ms
     val o = Tables.orders(spark, d)
       .groupBy((col("o_custkey")).as("k"),
         // NTZ → TZ is exact under the session's UTC timezone
@@ -244,8 +246,9 @@ object Analytics {
     * equi-join on the bin id and fan-out per interval is ≤ 2 bins.
     */
   def incidentWindows(spark: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(spark, d).select(
-      col("event_id"), expr("ts DIV 1000000").as("t_ms"),
+    val evt = Tables.events(spark, d)
+    val ev = evt.select(
+      col("event_id"), Tables.eventTsMs(evt).as("t_ms"),
       round(col("value") * 100).cast("long").as("val_cents"),
       col("event_type"))
     val points = ev.select(col("event_id"), col("t_ms"), col("val_cents"))

@@ -315,4 +315,177 @@ object Ann {
         max(col("dim")).as("dim"),
         sum(col("norm_sq_e8")).as("sum_norm_sq_e8"))
       .orderBy(col("label"))
+
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ) — the compressed-domain ANN scale path
+  // alongside LSH (ann02) and IVF (ann04): the embedding splits into `m`
+  // subvectors, each quantized against its own `ksub`-centroid codebook,
+  // so a vector's index footprint is m small codes instead of `dim`
+  // floats (64-dim float → 4 bytes at m=4/ksub≤256 — a 64× compression),
+  // and candidate scoring runs in the compressed domain (ADC: per-query
+  // lookup tables over the codebooks, summed per candidate) with exact
+  // reranking only on the shortlist. Reference scope: walex has no ANN
+  // surface; this is the training-data-pipeline extension the brief
+  // specifies, same family as `lib/walex` event filtering is to streams.
+  // ---------------------------------------------------------------------
+
+  /** The `mi`-th subvector lane of an embedding frame (1-based slice). */
+  private def subEmb(emb: DataFrame, mi: Int, subLen: Int): DataFrame =
+    emb.select(col("vec_id"),
+      slice(col("embedding"), mi * subLen + 1, subLen).as("embedding"))
+
+  /** Per-subspace PQ codebooks, one frame: (m, code, cent_emb), m*ksub
+    * rows, always broadcast. Init is the ivf discipline — a deterministic
+    * hash-ranked corpus sample (codes keep their seed vec_id; density is
+    * irrelevant to equality joins and argmax) — optionally refined by
+    * `refineIters` Lloyd iterations PER SUBSPACE via [[kmeansRefineOnce]]
+    * over the subvector lanes (offline PQ training). Each generation is
+    * cache-pinned to one execution (the ann04 rationale: several
+    * consumers, zero-job constructors, linear plan growth).
+    */
+  private[graft] def pqCodebooks(emb: DataFrame, m: Int, ksub: Int,
+      subLen: Int, refineIters: Int): DataFrame = {
+    val pin = (df: DataFrame) => df.cache()
+    val seeds = pin(emb
+      .select(col("vec_id"), col("embedding"), xxhash64(col("vec_id")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(ksub)
+      .select(col("vec_id").as("cent_id"), col("embedding")))
+    val lanes = (0 until m).map { mi =>
+      val init = seeds.select(col("cent_id"),
+        slice(col("embedding"), mi * subLen + 1, subLen).as("cent_emb"))
+      val trained = (0 until refineIters)
+        .foldLeft(pin(init))((c, _) => pin(kmeansRefineOnce(subEmb(emb, mi, subLen), c)))
+      trained.select(lit(mi).as("m"), col("cent_id").as("code"), col("cent_emb"))
+    }
+    pin(lanes.reduce(_ unionByName _))
+  }
+
+  /** Encode a corpus against trained codebooks: ONE corpus pass — each
+    * vector crossed with the broadcast m*ksub codebook, the matching
+    * subvector sliced out per codebook row (column-arithmetic start, no
+    * per-subspace scan), then a map-side-combined argmax per (vec_id, m).
+    * The exchange carries (vec_id, m, code) — ids and codes only, never
+    * embeddings: the output IS the compressed index (m codes per vector).
+    */
+  private[graft] def pqEncode(emb: DataFrame, codebooks: DataFrame,
+      subLen: Int): DataFrame =
+    emb.crossJoin(broadcast(codebooks))
+      .select(col("vec_id"), col("m"), col("code"),
+        assignSim(slice(col("embedding"), col("m") * subLen + 1, lit(subLen)),
+          col("cent_emb")).as("sim"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(max_by(col("code"), struct(col("sim"), -col("code"))).as("code"))
+
+  /** Collapse per-subspace codes to one canonical full-code string per
+    * vector (subspace-ordered — array_sort on the (m, code) structs, so
+    * the string is partition-order independent).
+    */
+  private[graft] def pqFullCodes(codes: DataFrame): DataFrame =
+    codes.groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("code")))).as("mc"))
+      .select(col("vec_id"),
+        concat_ws(",", transform(col("mc"),
+          x => x.getField("code").cast("string"))).as("pq_code"))
+
+  /** ann05's driver-checked shape: full-PQ-code collision blocking over
+    * the corpus with planted EXACT copies, exact-cosine verified. The
+    * theorem mirrors ann02's: an identical vector has bitwise-identical
+    * subvectors, hence identical assignment similarities and the same
+    * argmax code in EVERY subspace (same tie-break), so original and copy
+    * share the full code and the equality join always pairs them; exact
+    * verification then ranks the copy first at sim 1.0 (naturals top out
+    * ≈0.4; the fixture has no duplicate vectors). The output is provably
+    * the planting relation — codebook-independent, so Lloyd refinement
+    * can move centroids freely — while the whole train → encode →
+    * collide → verify pipeline still executes and any encoding or
+    * blocking bug surfaces as missing/mis-ranked rows.
+    *
+    * Scale shape: the collision join shuffles (vec_id, pq_code) only;
+    * embeddings re-attach by id for actual collision candidates (the
+    * dd03/ann02 discipline). The code space is ksub^m (~16^4 = 65k here,
+    * 256^8 ≈ 1.8e19 in production shapes), so buckets stay small and the
+    * join never degenerates into all-pairs.
+    */
+  def pqSelfRecall(spark: SparkSession, d: String, m: Int = 4,
+      ksub: Int = 16, dim: Int = 64, refineIters: Int = 1): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m subvectors")
+    val subLen = dim / m
+    val base = Tables.spread(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding")))
+    val all = withExactCopies(base).cache() // encode + two id-joins below
+    val codes = pqFullCodes(
+      pqEncode(all, pqCodebooks(all, m, ksub, subLen, refineIters), subLen))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    codes.filter(col("vec_id") < 100000L)
+      .join(codes.select(col("vec_id").as("cand_id"), col("pq_code")),
+        Seq("pq_code"))
+      .filter(col("cand_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("cand_id"))
+      .join(all, Seq("vec_id"))
+      .join(all.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cand_emb")), Seq("cand_id"))
+      .withColumn("sim", cosine(col("embedding"), col("cand_emb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("cand_id").as("pq_nearest"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k — the PQ search lane
+    * proper: per query, a lookup table of subspace similarities against
+    * every codebook centroid (m*ksub entries, broadcast); each candidate's
+    * compressed-domain score is the SUM of its codes' table entries.
+    * Entries are scaled-integer (×1e8, the labelStats discipline), so the
+    * per-candidate sum is exact long arithmetic — partition-order
+    * independent and engine-portable. The ADC shortlist (`rerank` ids per
+    * query) then reranks by exact cosine; only those ids re-attach
+    * embeddings. At 100 TB the scored index is (vec_id, m, code) — the
+    * corpus embeddings are read once to encode and once per shortlist id,
+    * never shuffled wholesale.
+    */
+  def pqTopKOf(emb: DataFrame, m: Int = 4, ksub: Int = 16, dim: Int = 64,
+      nQueries: Int = 8, k: Int = 5, rerank: Int = 32,
+      refineIters: Int = 1): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m subvectors")
+    val subLen = dim / m
+    val corpus = emb.cache()
+    val books = pqCodebooks(corpus, m, ksub, subLen, refineIters)
+    val codes = pqEncode(corpus, books, subLen)
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // per-query subspace lookup tables: nQueries × m × ksub rows, tiny
+    val tables = queries.crossJoin(broadcast(books))
+      .select(col("query_id"), col("m"), col("code"),
+        round(assignSim(slice(col("q_emb"), col("m") * subLen + 1, lit(subLen)),
+          col("cent_emb")) * lit(1e8)).cast("long").as("subscore"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val shortlist = codes
+      .join(broadcast(tables), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("subscore")).as("adc"))
+      .withColumn("arnk", row_number().over(wAdc))
+      .filter(col("arnk") <= rerank)
+      .select(col("query_id"), col("vec_id"))
+    val wSim = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    shortlist
+      .join(corpus, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rnk", row_number().over(wSim))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  def pqTopK(spark: SparkSession, d: String, m: Int = 4, ksub: Int = 16,
+      nQueries: Int = 8, k: Int = 5): DataFrame =
+    pqTopKOf(Tables.spread(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))), m, ksub,
+      nQueries = nQueries, k = k)
 }

@@ -28,7 +28,8 @@ object ChangeStream {
     * xid: groups of ≤10 consecutive changes form one transaction.
     */
   def changes(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.events(spark, sfDir).select(
+    val ev = Tables.events(spark, sfDir)
+    ev.select(
       col("event_id").as("seq"),
       (col("user_id") * lit(4294967296L) + col("event_id")).as("lsn"),
       expr("event_id DIV 10").as("xid"),
@@ -39,7 +40,7 @@ object ChangeStream {
       when(col("user_id") % 3 === 0, "user")
         .when(col("user_id") % 3 === 1, "todo")
         .otherwise("order").as("table_name"),
-      expr("ts DIV 1000000").as("commit_ms"),
+      Tables.eventTsMs(ev).as("commit_ms"),
       expr("""CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)""").as("k"),
       round(col("value") * 100).cast("long").as("val_cents"),
       col("user_id").as("record_id"))

@@ -336,6 +336,47 @@ object TextOps {
     * per-doc tallies key on doc_id. `oov_frac` is one integer division in
     * double — hash-exact across engines.
     */
+  /** txt13 — unigram-LM familiarity scoring (the perplexity-proxy quality
+    * filter, linear domain): a document made of corpus-common tokens
+    * scores high, one made of rare/garbled tokens scores low. Working in
+    * the LINEAR domain (mean corpus frequency instead of mean -log p)
+    * keeps every aggregate INTEGRAL — corpus counts, per-doc count sums,
+    * rare-occurrence tallies — so partial aggregation is exact in any
+    * order and the only floating-point ops are two per-row divisions:
+    * bit-exact across engines where a log-domain mean (float sums ordered
+    * by partition) is not; the induced ranking is the same monotone
+    * signal. Shape at 100 TB: term counts are a map-side-combined term
+    * agg; the token⋈count join shuffles on `term` (AQE absorbs stopword
+    * skew); per-doc tallies key on doc_id; the corpus total is a one-row
+    * broadcast scalar.
+    */
+  def familiarity(spark: SparkSession, d: String,
+      rareBelow: Long = 3L): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val cnt = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = cnt.agg(sum(col("cnt")).as("total")) // one-row scalar side
+    val per = toks.join(cnt, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cnt")).as("sum_cnt"),
+        sum(when(col("cnt") < rareBelow, 1L).otherwise(0L)).as("n_rare"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_cnt"), lit(0L)).as("sum_cnt"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          col("sum_cnt").cast("double") / (col("n_tokens") * col("total")))
+          .otherwise(0.0).as("mean_freq"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          col("n_rare").cast("double") / col("n_tokens"))
+          .otherwise(0.0).as("rare_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   def vocabOovRate(spark: SparkSession, d: String,
       vocabSize: Int = 256): DataFrame = {
     val docs = Tables.documents(spark, d)

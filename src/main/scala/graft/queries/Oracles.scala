@@ -539,6 +539,15 @@ SELECT doc_id, len(t) AS n_tokens,
   len(list_filter(t, x -> x IN ('slow', 'dup'))) > 0 AS flagged
 FROM toks ORDER BY doc_id""",
 
+    // PQ full-code collision self-recall: the planted exact copy shares
+    // every subspace argmax with its original (bitwise-identical
+    // subvectors, same tie-break), so the collision join always pairs
+    // them and exact-cosine verification ranks the copy first at 1.0 —
+    // the planting formula IS the provable output (ann02/ann04 device)
+    "ann05_pq_recall" -> """
+SELECT vec_id, vec_id + 100000 AS pq_nearest, CAST(1.0 AS DOUBLE) AS sim
+FROM embeddings ORDER BY vec_id""",
+
     // overlapping token-window chunking: starts are 1, 1+step, … (step =
     // 64−16 = 48); DuckDB's range() excludes its stop so len(t)+1 matches
     // Spark's inclusive sequence(1, size). chunk_id is (start−1)/step —
@@ -589,6 +598,55 @@ SELECT d.doc_id, len(d.t) AS n_tokens,
        THEN CAST(len(d.t) - COALESCE(iv.n_invocab, 0) AS DOUBLE) / len(d.t)
        ELSE CAST(0 AS DOUBLE) END AS oov_frac
 FROM toks d LEFT JOIN iv USING (doc_id) ORDER BY doc_id""",
+
+    // unigram-LM familiarity (perplexity proxy, linear domain): every
+    // aggregate is integral so partial-agg order can't drift; the only
+    // fp ops are two per-row divisions — bit-exact on both engines
+    "txt13_familiarity" -> s"""$toksCte,
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+cnt AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT sum(cnt) AS total FROM cnt),
+per AS (
+  SELECT tok.doc_id, count(*) AS n_tokens, sum(cnt.cnt) AS sum_cnt,
+    sum(CASE WHEN cnt.cnt < 3 THEN 1 ELSE 0 END) AS n_rare
+  FROM tok JOIN cnt USING (term) GROUP BY 1)
+SELECT d.doc_id,
+  COALESCE(per.n_tokens, 0) AS n_tokens,
+  COALESCE(per.sum_cnt, 0) AS sum_cnt,
+  COALESCE(per.n_rare, 0) AS n_rare,
+  CASE WHEN COALESCE(per.n_tokens, 0) > 0
+       THEN CAST(per.sum_cnt AS DOUBLE) / (per.n_tokens * tot.total)
+       ELSE CAST(0 AS DOUBLE) END AS mean_freq,
+  CASE WHEN COALESCE(per.n_tokens, 0) > 0
+       THEN CAST(per.n_rare AS DOUBLE) / per.n_tokens
+       ELSE CAST(0 AS DOUBLE) END AS rare_frac
+FROM toks d LEFT JOIN per ON d.doc_id = per.doc_id CROSS JOIN tot
+ORDER BY d.doc_id""",
+
+    // streaming session windows: the oracle is the batch gaps-and-islands
+    // sessionization of the change set (new session when the gap to the
+    // previous event is >= 30 min — session_window's half-open [start,
+    // last+gap) semantics), excluding the horizon sentinel's own
+    // never-closing session (it is not in `changes`: the sentinel exists
+    // only in the WAL fixture, appended past the real change set)
+    "cdc21_stream_sessions" -> s"""$changesCte,
+marked AS (
+  SELECT record_id, commit_ms,
+    CASE WHEN lag(commit_ms) OVER w IS NULL
+           OR commit_ms - lag(commit_ms) OVER w >= 1800000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM changes
+  WINDOW w AS (PARTITION BY record_id ORDER BY commit_ms)),
+sess AS (
+  SELECT record_id, commit_ms,
+    sum(new_sess) OVER (PARTITION BY record_id ORDER BY commit_ms
+      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT min(commit_ms) AS sess_start_ms,
+  max(commit_ms) + 1800000 AS sess_end_ms,
+  record_id, count(*) AS n_changes
+FROM sess GROUP BY record_id, sid
+ORDER BY record_id, sess_start_ms""",
 
     // per-source cap: DuckDB ranks each source in one node; the engine's
     // two-stage distributed top-K must admit exactly the same set

@@ -162,6 +162,7 @@ object QueryPack {
     "cdc18_dispatch_counts"  -> ((s, d) => streamDispatch(s, d)), // K1-K7 dispatch layer
     "cdc19_stream_append"    -> ((s, d) => streamHourlyAppend(s, d)), // append+watermark lane
     "cdc20_stream_join"      -> ((s, d) => streamStreamJoin(s, d)), // stream-stream interval join
+    "cdc21_stream_sessions"  -> ((s, d) => streamSessions(s, d)), // session windows
 
     // ---- text analysis ----
     "txt01_token_stats" -> ((s, d) => TextOps.tokenStats(s, d)),
@@ -178,6 +179,7 @@ object QueryPack {
     "txt10_chunking"     -> ((s, d) => TextOps.chunkWindows(s, d)),
     "txt11_tfidf_terms"  -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "txt12_vocab_oov"    -> ((s, d) => TextOps.vocabOovRate(s, d)),
+    "txt13_familiarity"  -> ((s, d) => TextOps.familiarity(s, d)),
 
     // ---- dedup ----
     "dd01_exact_dedup"   -> ((s, d) => Dedup.exact(s, d)),
@@ -201,6 +203,7 @@ object QueryPack {
     "ann02_lsh_bucket"  -> ((s, d) => Ann.lshSelfRecall(s, d)), // planted-copy recall
     "ann03_label_stats" -> ((s, d) => Ann.labelStats(s, d)),
     "ann04_ivf_topk"    -> ((s, d) => Ann.ivfSelfRecall(s, d)), // planted-copy recall
+    "ann05_pq_recall"   -> ((s, d) => Ann.pqSelfRecall(s, d)), // planted-copy recall
 
     // ---- multimodal ----
     "mm01_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),
@@ -371,6 +374,29 @@ object QueryPack {
 
   private val replayQueryCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Experimental stream-width override (unset = session default): scopes
+    * `spark.sql.shuffle.partitions` to a streaming query's START call —
+    * `StreamingQueryManager` clones the session synchronously inside
+    * `start()`, so the cloned query pins the scoped value and the session
+    * conf is restored before anything else plans. Stateful operators
+    * allocate + commit one state store per shuffle partition per operator
+    * per micro-batch, so on bounded local fixtures the batch-width
+    * default can be pure per-partition overhead; a real deployment sizes
+    * this to state volume, not to this knob.
+    */
+  private val streamShuffle: Option[Int] =
+    sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE").map(_.trim.toInt)
+
+  private[graft] def withStreamShuffle[A](spark: SparkSession)(body: => A): A =
+    streamShuffle match {
+      case None => body
+      case Some(n) =>
+        val key = "spark.sql.shuffle.partitions"
+        val prev = spark.conf.get(key)
+        spark.conf.set(key, n.toString)
+        try body finally spark.conf.set(key, prev)
+    }
+
   /** S1-S7 + P1 + P3 end-to-end: the sf change set rendered as binary WAL
     * segments, streamed back through the DSv2 source, transaction-assembled
     * across micro-batches, and projected to typed change rows. The oracle is
@@ -396,8 +422,9 @@ object QueryPack {
       element_at(rec, "val_cents").cast("long").as("val_cents"),
       element_at(rec, "id").cast("long").as("record_id"))
     val qname = s"graft_cdc14_${replayQueryCount.incrementAndGet()}"
-    val q = out.writeStream.format("memory").queryName(qname)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val q = withStreamShuffle(spark)(
+      out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start())
     q.awaitTermination(600000)
     spark.table(qname).orderBy(col("seq"))
   }
@@ -437,8 +464,9 @@ object QueryPack {
       .select(unix_millis(col("window.start")).as("hour_ms"),
         col("table_name"), col("op"), col("n"))
     val qname = s"graft_cdc15_${replayQueryCount.incrementAndGet()}"
-    val q = agg.writeStream.format("memory").queryName(qname)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    val q = withStreamShuffle(spark)(
+      agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start())
     q.awaitTermination(600000)
     spark.table(qname).orderBy(col("hour_ms"), col("table_name"), col("op"))
   }
@@ -473,10 +501,51 @@ object QueryPack {
       .select(unix_millis(col("window.start")).as("hour_ms"),
         col("table_name"), col("op"), col("n"))
     val qname = s"graft_cdc19_${replayQueryCount.incrementAndGet()}"
-    val q = agg.writeStream.format("memory").queryName(qname)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val q = withStreamShuffle(spark)(
+      agg.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start())
     q.awaitTermination(600000)
     spark.table(qname).orderBy(col("hour_ms"), col("table_name"), col("op"))
+  }
+
+  /** §2.7 streaming session windows (the remaining event-time windowing
+    * shape after tumbling cdc15/cdc19): per-entity activity sessions over
+    * the CDC stream — events of one record_id merge while each arrives
+    * within `30 minutes` of the session's end, the classic
+    * "user session" gap semantics, via Spark's native `session_window`
+    * (dynamic-width state merged by the state store, append mode +
+    * watermark). Same determinism device as cdc19: the fixture's horizon
+    * sentinel drags the watermark past every real session's close
+    * (end + gap), so ALL of them finalize and emit in the AvailableNow
+    * trailing batch; the sentinel's own single-event session stays open
+    * and never emits. The oracle is the batch gaps-and-islands
+    * sessionization of the same change set. At 100 TB: state is one open
+    * session per active key (bounded by watermark eviction), shuffled by
+    * record_id — the unbounded-stream shape for sessionization, vs q12's
+    * batch lag/cumsum form.
+    */
+  def streamSessions(spark: SparkSession, d: String): DataFrame = {
+    val dir = ensureWalFixture(spark, d, sentinel = true)
+    val raw = spark.readStream.format(classOf[CdcSourceProvider].getName)
+      .option("path", dir).option("publication", "graft_pub")
+      .load()
+    val rec = coalesce(col("record"), col("old_record"))
+    val ev = TxnAssembler.assemble(raw).toDF()
+      .select(element_at(rec, "id").cast("long").as("record_id"),
+        timestamp_millis(element_at(rec, "updated_at").cast("long")).as("ts"))
+      .withWatermark("ts", "10 minutes")
+    val agg = ev
+      .groupBy(session_window(col("ts"), "30 minutes"), col("record_id"))
+      .agg(count(lit(1)).as("n_changes"))
+      .select(unix_millis(col("session_window.start")).as("sess_start_ms"),
+        unix_millis(col("session_window.end")).as("sess_end_ms"),
+        col("record_id"), col("n_changes"))
+    val qname = s"graft_cdc21_${replayQueryCount.incrementAndGet()}"
+    val q = withStreamShuffle(spark)(
+      agg.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start())
+    q.awaitTermination(600000)
+    spark.table(qname).orderBy(col("record_id"), col("sess_start_ms"))
   }
 
   /** §2.7 stream-static enrichment: the CDC change stream joined to a
@@ -503,8 +572,9 @@ object QueryPack {
       .agg(count(lit(1)).as("n_changes"),
         sum(col("val_cents")).as("sum_val_cents"))
     val qname = s"graft_cdc17_${replayQueryCount.incrementAndGet()}"
-    val q = agg.writeStream.format("memory").queryName(qname)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    val q = withStreamShuffle(spark)(
+      agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start())
     q.awaitTermination(600000)
     spark.table(qname).orderBy(col("c_mktsegment"), col("op"))
   }
@@ -537,7 +607,8 @@ object QueryPack {
         add("on_delete:order"))
     val config = GraftConfig(s"cdc18-${replayQueryCount.incrementAndGet()}",
       publication = Some("graft_pub"))
-    val q = Graft.start(spark, config, dir, engine, trigger = Trigger.AvailableNow())
+    val q = withStreamShuffle(spark)(
+      Graft.start(spark, config, dir, engine, trigger = Trigger.AvailableNow()))
     q.awaitTermination(600000)
     import spark.implicits._
     counts.asScala.toSeq.map { case (h, n) => (h, n.sum()) }
@@ -561,8 +632,9 @@ object QueryPack {
       size(coalesce(col("new_record"), col("old_record"))).as("n_fields"),
       when(col("type") === "update", size(col("changes"))).as("n_changes"))
     val qname = s"graft_cdc16_${replayQueryCount.incrementAndGet()}"
-    val q = out.writeStream.format("memory").queryName(qname)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val q = withStreamShuffle(spark)(
+      out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start())
     q.awaitTermination(600000)
     spark.table(qname).orderBy(col("seq"))
   }
@@ -602,8 +674,9 @@ object QueryPack {
       .select(col("record_id"), col("ins_seq"), col("del_seq"),
         (unix_millis(col("del_ts")) - unix_millis(col("ins_ts"))).as("gap_ms"))
     val qname = s"graft_cdc20_${replayQueryCount.incrementAndGet()}"
-    val q = joined.writeStream.format("memory").queryName(qname)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val q = withStreamShuffle(spark)(
+      joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start())
     q.awaitTermination(600000)
     spark.table(qname)
       .orderBy(col("record_id"), col("ins_seq"), col("del_seq"))

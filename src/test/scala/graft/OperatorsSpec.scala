@@ -727,6 +727,56 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann05 PQ: copies share full codes; ADC+rerank recovers brute-force neighbors") {
+    import graft.operators.ann.Ann
+    val base = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val all = base.union(base.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding")))
+    // the collision theorem's working half: identical subvectors ⇒ same
+    // argmax in every subspace ⇒ identical full code — for EVERY vector,
+    // wherever Lloyd moved the subspace centroids
+    val books = Ann.pqCodebooks(all, m = 4, ksub = 16, subLen = 16, refineIters = 1)
+    val codes = Ann.pqFullCodes(Ann.pqEncode(all, books, subLen = 16)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    base.select("vec_id").collect().map(_.getLong(0)).foreach { id =>
+      assert(codes(id) == codes(id + 100000L), s"vec $id code diverged from copy")
+      assert(codes(id).split(",").length == 4, "one code per subspace")
+    }
+    // compressed-domain search quality: ADC shortlist + exact rerank must
+    // recover most of the true top-5 (exact floor pinned after measuring;
+    // everything is deterministic, so this cannot flake — only regress)
+    val brute = Ann.bruteForceTopK(spark, sf, nQueries = 8, k = 5).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val pq = Ann.pqTopK(spark, sf, m = 8, nQueries = 8, k = 5).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    assert(pq.keySet == brute.keySet, "every query must produce rows")
+    val hits = brute.toSeq.map { case (q, want) => (pq(q) & want).size }.sum
+    val recall = hits.toDouble / (brute.size * 5)
+    assert(recall >= 0.5, s"ADC recall@5 degraded to $recall")
+  }
+
+  test("txt13 familiarity: integral tallies reconcile against a direct recount") {
+    import graft.operators.text.TextOps
+    val out = TextOps.familiarity(spark, sf).collect()
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val cnt = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val total = cnt.values.sum
+    val byDoc = toks.groupBy(_._1)
+    out.foreach { r =>
+      val doc = r.getLong(0)
+      val terms = byDoc.getOrElse(doc, Array.empty).map(_._2)
+      assert(r.getLong(1) == terms.length.toLong, s"doc $doc n_tokens")
+      assert(r.getLong(2) == terms.map(cnt).sum, s"doc $doc sum_cnt")
+      assert(r.getLong(3) == terms.count(t => cnt(t) < 3).toLong, s"doc $doc n_rare")
+      if (terms.nonEmpty) {
+        assert(r.getDouble(4) == terms.map(cnt).sum.toDouble / (terms.length.toLong * total))
+        assert(r.getDouble(5) == terms.count(t => cnt(t) < 3).toDouble / terms.length)
+      } else { assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0) }
+    }
+  }
+
   test("corpus clean: the planted duplicate storm cancels exactly") {
     // gate + dedup over corpus ∪ exact copies must equal the clean-corpus
     // run bit-for-bit: copies share quality/language with their original
