@@ -28,9 +28,31 @@ object GraftSession {
     spark
   }
 
+  /** Bounded-fixture state width for the query pack's streaming lanes
+    * (see QueryPack.withStreamShuffle's scaladoc for the sizing
+    * rationale and measurements): scopes `spark.sql.shuffle.partitions`
+    * to a streaming START call and restores it after — the
+    * StreamingQueryManager clones the session synchronously inside
+    * start(), so only that query pins the scoped width.
+    * `SPARK_GRAFT_STREAM_SHUFFLE` overrides; ≤ 0 leaves the session
+    * value untouched.
+    */
+  private val streamShuffle: Int =
+    sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE").map(_.trim.toInt).getOrElse(8)
+
+  private[graft] def withStreamShuffle[A](spark: SparkSession)(body: => A): A =
+    if (streamShuffle <= 0) body
+    else {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, streamShuffle.toString)
+      try body finally spark.conf.set(key, prev)
+    }
+
   /** Confs any externally-provided session needs before touching testdata.
-    * The events table carries parquet TIMESTAMP(NANOS), which Spark only
-    * reads as LongType behind this legacy flag.
+    * The legacy flag only matters for TIMESTAMP(NANOS) testdata vintages
+    * (read as LongType behind it); current vintages ship MICROS — see
+    * [[Tables.eventTsMs]] — and ignore it. Kept so either vintage reads.
     */
   def prepare(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

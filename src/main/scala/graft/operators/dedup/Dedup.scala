@@ -70,9 +70,10 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select(col("canonical_id"), col("n_copies"))
     val qname = s"graft_dd07_${streamDedupCount.incrementAndGet()}"
-    val q = fp.writeStream.format("memory").queryName(qname)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val q = graft.GraftSession.withStreamShuffle(spark)(
+      fp.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start())
     q.awaitTermination(600000)
     spark.table(qname).orderBy(col("canonical_id"))
   }

@@ -374,28 +374,29 @@ object QueryPack {
 
   private val replayQueryCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Experimental stream-width override (unset = session default): scopes
+  /** State width for the pack's streaming lanes: scopes
     * `spark.sql.shuffle.partitions` to a streaming query's START call —
     * `StreamingQueryManager` clones the session synchronously inside
     * `start()`, so the cloned query pins the scoped value and the session
-    * conf is restored before anything else plans. Stateful operators
-    * allocate + commit one state store per shuffle partition per operator
-    * per micro-batch, so on bounded local fixtures the batch-width
-    * default can be pure per-partition overhead; a real deployment sizes
-    * this to state volume, not to this knob.
+    * conf is restored before anything else plans.
+    *
+    * WHY a small default: stateful operators allocate, commit, and
+    * maintain one state store per shuffle partition per operator per
+    * micro-batch, so state width must be sized to STATE VOLUME — never
+    * defaulted to the session's batch shuffle width. The pack's fixtures
+    * carry KB-scale state (≤ thousands of windows/sessions/join keys), so
+    * the session's 32 is pure per-store overhead: measured at sf0.1
+    * local[32], 8 vs 32 takes cdc19 15.5 s → 2.4 s and cdc20 6.6 s →
+    * 2.2 s (state-store commit + maintenance dominates; AQE is disabled
+    * in stateful queries, so nothing coalesces those partitions at
+    * runtime). A production deployment of [[graft.streaming.Graft]] sizes
+    * this per query via the normal conf — a 100 TB stream with GB-scale
+    * state WANTS hundreds of partitions; these lanes are bounded-fixture
+    * presentations. `SPARK_GRAFT_STREAM_SHUFFLE` overrides (≤ 0 → leave
+    * the session value untouched).
     */
-  private val streamShuffle: Option[Int] =
-    sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE").map(_.trim.toInt)
-
   private[graft] def withStreamShuffle[A](spark: SparkSession)(body: => A): A =
-    streamShuffle match {
-      case None => body
-      case Some(n) =>
-        val key = "spark.sql.shuffle.partitions"
-        val prev = spark.conf.get(key)
-        spark.conf.set(key, n.toString)
-        try body finally spark.conf.set(key, prev)
-    }
+    graft.GraftSession.withStreamShuffle(spark)(body)
 
   /** S1-S7 + P1 + P3 end-to-end: the sf change set rendered as binary WAL
     * segments, streamed back through the DSv2 source, transaction-assembled
