@@ -107,6 +107,31 @@ class PlanAuditSpec extends AnyFunSuite {
       s"embeddings scanned ${scans.size} times — training subtree re-inlined?")
   }
 
+  test("ann05: collision exchange carries ids+codes only; codebooks broadcast; training pinned") {
+    val df = SparkEntry.queries("ann05_pq_recall")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the corpus×corpus collision join on pq_code is CORRECTLY a shuffled
+    // join (neither side broadcastable at scale — the banded-join
+    // discipline); any OTHER SMJ means a codebook or id re-attach join
+    // lost its broadcast
+    val smjKeys = p.linesIterator.filter(_.contains("SortMergeJoin"))
+      .filterNot(_.contains("pq_code#")).mkString("\n")
+    assert(smjKeys.isEmpty, s"non-collision join fell back to SMJ:\n$smjKeys")
+    // the compressed index IS the shuffle payload: no embedding array may
+    // ride a hash exchange (embeddings re-attach by id post-collision,
+    // which the planner serves from the cache-pinned corpus, not a shuffle)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .mkString("\n")
+    assert(!exchanges.contains("embedding#"),
+      s"embedding array rides a shuffle:\n$exchanges")
+    // per-subspace Lloyd training + the corpus must be cache-pinned (the
+    // ann04 discipline: one execution per generation, zero-job constructor)
+    val caches = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(caches.nonEmpty, "PQ codebooks/corpus not cache-pinned")
+  }
+
   test("dd10/mm05: dedup shuffles carry ids+fingerprints only — text/blobs stay put") {
     Seq("dd10_split_leakage" -> "text#", "mm05_blob_dedup" -> "blob#").foreach {
       case (q, payload) =>
