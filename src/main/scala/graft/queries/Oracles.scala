@@ -624,16 +624,18 @@ FROM toks d LEFT JOIN per ON d.doc_id = per.doc_id CROSS JOIN tot
 ORDER BY d.doc_id""",
 
     // streaming session windows: the oracle is the batch gaps-and-islands
-    // sessionization of the change set (new session when the gap to the
-    // previous event is >= 30 min — session_window's half-open [start,
-    // last+gap) semantics), excluding the horizon sentinel's own
-    // never-closing session (it is not in `changes`: the sentinel exists
-    // only in the WAL fixture, appended past the real change set)
+    // sessionization of the change set. Spark's session_window is
+    // CLOSED-interval at the boundary — an event exactly `gap` after the
+    // previous one still MERGES (pinned by the "session_window gap
+    // boundary" spec) — so a new session starts only when the gap is
+    // STRICTLY greater than 30 min. The horizon sentinel's own
+    // never-closing session is excluded for free (it is not in `changes`:
+    // the sentinel exists only in the WAL fixture, past the real set)
     "cdc21_stream_sessions" -> s"""$changesCte,
 marked AS (
   SELECT record_id, commit_ms,
     CASE WHEN lag(commit_ms) OVER w IS NULL
-           OR commit_ms - lag(commit_ms) OVER w >= 1800000
+           OR commit_ms - lag(commit_ms) OVER w > 1800000
          THEN 1 ELSE 0 END AS new_sess
   FROM changes
   WINDOW w AS (PARTITION BY record_id ORDER BY commit_ms)),

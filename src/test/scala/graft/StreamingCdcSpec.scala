@@ -1633,6 +1633,37 @@ class StreamingCdcSpec extends AnyFunSuite {
     q.awaitTermination(120000)
     assert(inserts.toSeq == Seq(1L))
   }
+
+  test("session_window gap boundary: diff == gap merges, diff == gap+1ms splits") {
+    // cdc21's DuckDB oracle encodes session_window's CLOSED-interval
+    // semantics (an event merges iff its gap to the previous event is <=
+    // the gap duration — measured here, not assumed); the driver fixture
+    // may never land an exact-boundary pair, so pin the boundary where it
+    // is constructed deliberately. Batch session_window shares the
+    // streaming implementation's merge logic.
+    import org.apache.spark.sql.functions.{col, count, lit, session_window, timestamp_millis, unix_millis}
+    val gapMs = 30L * 60 * 1000
+    val base = 1704067200000L // 2024-01-01T00:00Z
+    val rows = Seq(
+      (1L, base), (1L, base + gapMs + 1),     // 1ms past the gap → SPLIT
+      (2L, base), (2L, base + gapMs),         // exactly gap apart → MERGE
+      (3L, base), (3L, base + gapMs), (3L, base + 2 * gapMs) // chain merges
+    ).toDF("record_id", "ms").select(col("record_id"),
+      timestamp_millis(col("ms")).as("ts"))
+    val got = rows
+      .groupBy(session_window(col("ts"), "30 minutes"), col("record_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("record_id"), unix_millis(col("session_window.start")).as("s"),
+        unix_millis(col("session_window.end")).as("e"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1L, base, base + gapMs, 1L),                       // closes at start + gap
+      (1L, base + gapMs + 1, base + 2 * gapMs + 1, 1L),   // past-gap event: NEW session
+      (2L, base, base + 2 * gapMs, 2L),                   // boundary event merges; end = last + gap
+      (3L, base, base + 3 * gapMs, 3L)                    // chained boundary extension, one session
+    ), s"session_window boundary semantics drifted: $got")
+  }
 }
 
 /** Fault injector for the ledger IO-degrade spec: creates of MARKER files
