@@ -217,10 +217,15 @@ object Ann {
         assignSim(col("embedding"), col("cent_emb")).as("sim"))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cent_id"), struct(col("sim"), -col("cent_id"))).as("cell"))
+    // scaled-integer mean (the labelStats discipline): float components are
+    // exact in double, round(×1e8) to long, sum exactly in any partition
+    // arrival order, divide once — the refined centroid is BIT-deterministic
+    // run to run, where a plain avg() would drift with shuffle fetch order
     val means = assigned.join(emb, Seq("vec_id"))
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("v")).as("m"))
+      .agg((sum(round(col("v").cast("double") * 1e8).cast("long")).cast("double")
+        / (count(lit(1)) * 1e8)).as("m"))
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cell").as("cent_id"),
@@ -329,35 +334,59 @@ object Ann {
   // specifies, same family as `lib/walex` event filtering is to streams.
   // ---------------------------------------------------------------------
 
-  /** The `mi`-th subvector lane of an embedding frame (1-based slice). */
-  private def subEmb(emb: DataFrame, mi: Int, subLen: Int): DataFrame =
-    emb.select(col("vec_id"),
-      slice(col("embedding"), mi * subLen + 1, subLen).as("embedding"))
-
   /** Per-subspace PQ codebooks, one frame: (m, code, cent_emb), m*ksub
     * rows, always broadcast. Init is the ivf discipline — a deterministic
     * hash-ranked corpus sample (codes keep their seed vec_id; density is
     * irrelevant to equality joins and argmax) — optionally refined by
-    * `refineIters` Lloyd iterations PER SUBSPACE via [[kmeansRefineOnce]]
-    * over the subvector lanes (offline PQ training). Each generation is
-    * cache-pinned to one execution (the ann04 rationale: several
-    * consumers, zero-job constructors, linear plan growth).
+    * `refineIters` FUSED Lloyd iterations ([[pqRefineOnce]]: all m
+    * subspaces assigned and re-centered in one corpus pass per iteration,
+    * not one per lane). Each generation is cache-pinned to one execution
+    * (the ann04 rationale: several consumers, zero-job constructors,
+    * linear plan growth).
     */
   private[graft] def pqCodebooks(emb: DataFrame, m: Int, ksub: Int,
       subLen: Int, refineIters: Int): DataFrame = {
     val pin = (df: DataFrame) => df.cache()
-    val seeds = pin(emb
+    // all m subspace lanes of the hash-ranked seed sample in one frame:
+    // explode the subspace index, slice by column arithmetic — no per-lane
+    // corpus pass at init or during refinement
+    val init = pin(emb
       .select(col("vec_id"), col("embedding"), xxhash64(col("vec_id")).as("h"))
       .orderBy(col("h"), col("vec_id")).limit(ksub)
-      .select(col("vec_id").as("cent_id"), col("embedding")))
-    val lanes = (0 until m).map { mi =>
-      val init = seeds.select(col("cent_id"),
-        slice(col("embedding"), mi * subLen + 1, subLen).as("cent_emb"))
-      val trained = (0 until refineIters)
-        .foldLeft(pin(init))((c, _) => pin(kmeansRefineOnce(subEmb(emb, mi, subLen), c)))
-      trained.select(lit(mi).as("m"), col("cent_id").as("code"), col("cent_emb"))
-    }
-    pin(lanes.reduce(_ unionByName _))
+      .select(col("vec_id").as("code"), col("embedding"),
+        explode(sequence(lit(0), lit(m - 1))).as("m"))
+      .select(col("m"), col("code"),
+        slice(col("embedding"), col("m") * subLen + 1, lit(subLen)).as("cent_emb")))
+    (0 until refineIters).foldLeft(init)((b, _) => pin(pqRefineOnce(emb, b, subLen)))
+  }
+
+  /** One Lloyd iteration over ALL m subspace codebooks in a single corpus
+    * pass (the fused analogue of [[kmeansRefineOnce]]): assign via
+    * [[pqEncode]], re-center each (m, code) cell on the element-wise mean
+    * of its members' subvectors. Means accumulate as scaled integers
+    * (×1e8 longs — exact in any partition arrival order) so refined
+    * codebooks are bit-deterministic run to run; empty cells keep their
+    * previous centroid. Cost per iteration: one encode pass + one
+    * mean pass over the corpus, independent of m.
+    */
+  private[graft] def pqRefineOnce(emb: DataFrame, books: DataFrame,
+      subLen: Int): DataFrame = {
+    val assigned = pqEncode(emb, books, subLen)
+    val means = assigned.join(emb, Seq("vec_id"))
+      .select(col("m"), col("code"),
+        posexplode(slice(col("embedding"), col("m") * subLen + 1, lit(subLen)))
+          .as(Seq("pos", "v")))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg((sum(round(col("v").cast("double") * 1e8).cast("long")).cast("double")
+        / (count(lit(1)) * 1e8)).as("mv"))
+      .groupBy(col("m"), col("code"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+      .select(col("m"), col("code"),
+        transform(col("pm"), x => x.getField("mv").cast("float")).as("mean_emb"))
+    books.select(col("m"), col("code"), col("cent_emb").as("prev_emb"))
+      .join(broadcast(means), Seq("m", "code"), "left")
+      .select(col("m"), col("code"),
+        coalesce(col("mean_emb"), col("prev_emb")).as("cent_emb"))
   }
 
   /** Encode a corpus against trained codebooks: ONE corpus pass — each
