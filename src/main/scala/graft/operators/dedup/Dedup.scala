@@ -214,6 +214,78 @@ object Dedup {
       .orderBy(col("id_a"))
   }
 
+  /** Banded MinHash index of a corpus: (band, bucket, doc_id) — the
+    * PERSISTABLE dedup index an incremental pipeline keeps beside the
+    * corpus (bands × ~24 bytes per doc; parquet/anything keyed by
+    * (band, bucket) at scale). Building it is the only full-corpus pass
+    * the incremental lane ever needs, and it happens once, offline.
+    */
+  def minHashBandIndex(docs: DataFrame, numHashes: Int = 64,
+      bands: Int = 16): DataFrame =
+    shingledOf(docs).select(col("doc_id"),
+      posexplode(graft.plans.SketchCols.minHashBandBuckets(
+        col("shh"), numHashes, bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+      .select(col("band"), col("bucket"), col("doc_id"))
+
+  /** dd11 — INCREMENTAL near-dup screening: dedup an ARRIVING batch
+    * against an already-indexed corpus without re-processing the corpus —
+    * the production shape at 100 TB, where re-shingling the whole corpus
+    * per crawl increment is the cost being designed away. Only the batch
+    * is shingled and signed; candidates are batch×index bucket collisions
+    * (equi-join on (band, bucket) — the index side is pre-keyed, so the
+    * shuffle carries the batch's bands only); exact-Jaccard verification
+    * re-attaches shingle sets for COLLIDING ids alone. Here the corpus
+    * sets are recomputed in-plan (bounded harness); a production pipeline
+    * persists (doc_id, sh) beside the index and this stage becomes an
+    * id-keyed lookup. Batch-internal duplicates are intentionally NOT
+    * paired (the index covers the corpus only) — run [[exact]]/
+    * [[minHashLsh]] within the batch for that, or fold the batch into the
+    * index afterwards (the index is an append-only union of band rows).
+    */
+  def incrementalNearDups(corpus: DataFrame, batch: DataFrame,
+      numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val index = minHashBandIndex(corpus, numHashes, bands)
+    val bsh = shingledOf(batch)
+    val cand = bsh.select(col("doc_id").as("batch_id"),
+        posexplode(graft.plans.SketchCols.minHashBandBuckets(
+          col("shh"), numHashes, bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+      .join(index, Seq("band", "bucket"))
+      .select(col("batch_id"), col("doc_id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(bsh.select(col("doc_id").as("batch_id"), col("sh").as("sh_b")),
+        Seq("batch_id"))
+      .join(shingledOf(corpus).select(col("doc_id").as("corpus_id"),
+        col("sh").as("sh_c")), Seq("corpus_id"))
+      .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_c"))))
+      .withColumn("jac", jaccardFromInter(col("inter"), col("sh_b"), col("sh_c")))
+      .filter(col("jac") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), round(col("jac"), 4).as("jaccard"))
+  }
+
+  /** dd11's driver-checked shape: the corpus is the index side; the
+    * arriving batch is an exact copy of every document at
+    * `doc_id + 100000` (a full re-crawl — the worst-case duplicate
+    * storm). Identical text ⇒ identical signature ⇒ every batch doc
+    * collides with its original in EVERY band and verifies at Jaccard
+    * 1.0, so the planting relation is provably the output restricted to
+    * it (the dd03 device); organic batch×corpus near-dup pairs are
+    * excluded by the relation filter and stay spec-tested.
+    */
+  def incrementalSelfRecall(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.spread(
+      Tables.documents(spark, d).select(col("doc_id"), col("text")))
+    val batch = base.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    incrementalNearDups(base, batch)
+      .filter(col("corpus_id") === col("batch_id") - 100000L)
+      .orderBy(col("batch_id"))
+  }
+
   /** SimHash (64-bit) per doc + near-dup pairs at Hamming ≤ maxHamming,
     * candidates via 4×16-bit chunk equality (pigeonhole: hamming ≤ 3 ⇒ at
     * least one chunk identical) — again an equi-join, no cross product.

@@ -925,6 +925,19 @@ SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
   CAST(1.0 AS DOUBLE) AS jaccard
 FROM t WHERE len(toks) >= 3 ORDER BY id_a""",
 
+    // incremental screening: every batch doc (an exact copy of a corpus
+    // doc) collides with its original in every band and verifies at 1.0 —
+    // the dd03 planting device, restricted to the planting relation; docs
+    // too short to shingle (< 3 tokens) never enter the index
+    "dd11_incremental" -> """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id + 100000 AS batch_id, doc_id AS corpus_id,
+  CAST(1.0 AS DOUBLE) AS jaccard
+FROM t WHERE len(toks) >= 3 ORDER BY batch_id""",
+
     "dd04_simhash" -> """
 WITH t AS (
   SELECT doc_id,

@@ -197,6 +197,7 @@ object QueryPack {
     // pinned bound claims — see Dedup.noisyRecallSummary
     "dd09_noisy_recall"   -> ((s, d) => Dedup.noisyRecallSummary(s, d)),
     "dd10_split_leakage"  -> ((s, d) => Dedup.splitLeakage(s, d)),
+    "dd11_incremental"    -> ((s, d) => Dedup.incrementalSelfRecall(s, d)),
 
     // ---- similarity search ----
     "ann01_brute_topk"  -> ((s, d) => Ann.bruteForceTopK(s, d)),

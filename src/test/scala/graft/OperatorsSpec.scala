@@ -777,6 +777,34 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("dd11 incremental: batch screens against the corpus index only") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six"),
+      (3L, "tiny doc") // < 3 tokens after shingling guard ⇒ never indexed
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // exact dup of corpus 1
+      (11L, "unrelated words entirely different content here"),
+      (12L, "repeated batch doc zeta eta theta"),
+      (13L, "repeated batch doc zeta eta theta"), // dup WITHIN the batch
+      (14L, "tiny doc")                           // dup of unindexed short doc
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDups(corpus, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // exactly one pair: the batch doc duplicating an INDEXED corpus doc
+    assert(out == Set((10L, 1L, 1.0)), s"got $out")
+    // the index is append-only band rows: folding the batch in makes the
+    // batch-internal duplicate visible to the NEXT increment
+    val grown = Dedup.minHashBandIndex(corpus.union(batch))
+    val next = Seq((20L, "repeated batch doc zeta eta theta")).toDF("doc_id", "text")
+    val found = Dedup.incrementalNearDups(corpus.union(batch), next).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == Set((20L, 12L), (20L, 13L)), s"got $found")
+    assert(grown.select("doc_id").distinct().count() == 6) // 2 indexable corpus + 4 indexable batch
+  }
+
   test("corpus clean: the planted duplicate storm cancels exactly") {
     // gate + dedup over corpus ∪ exact copies must equal the clean-corpus
     // run bit-for-bit: copies share quality/language with their original
