@@ -394,6 +394,47 @@ object TrainPrep {
       .orderBy(col("doc_id"))
   }
 
+  /** tp09 — token-level LOSS MASKING: the artifact a trainer consumes to
+    * exclude spans from the loss without dropping the document — PII
+    * tokens (the tp04 dialect, planted by the same `doc_id % 7` lane) and
+    * compliance-blocklisted tokens keep their positions but contribute no
+    * gradient. Output is the 1-based masked token index array plus
+    * tallies. Pure narrow projection — tokenize once, one lambda filter
+    * over the index sequence with codegen'd regex probes, no shuffle; at
+    * 100 TB this is scan-bound like tp04. (The blocklist here is the
+    * two-term fixture list via array_contains; a C4-scale list would go
+    * through the txt09 `count_in_static_set` hash-set probe instead.)
+    */
+  def lossMask(spark: SparkSession, d: String,
+      blocklist: Seq[String] = Seq("slow", "dup")): DataFrame = {
+    val maskRe = s"($emailRe)|($ipv4Re)|($phoneRe)"
+    val blocked = array(blocklist.map(lit): _*)
+    val planted = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com ip 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 100).cast("string"),
+          lit(" call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")).as("text"))
+    val masked = planted
+      .select(col("doc_id"),
+        graft.operators.text.TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).as("n_tokens"),
+        when(size(col("t")) > 0, // sequence(1, 0) would count DOWN
+          filter(sequence(lit(1), size(col("t"))), i =>
+            element_at(col("t"), i).rlike(maskRe) ||
+              array_contains(blocked, element_at(col("t"), i))))
+          .otherwise(array().cast("array<int>")).as("mask_idx"))
+    masked.select(col("doc_id"), col("n_tokens"), col("mask_idx"),
+      size(col("mask_idx")).as("n_masked"),
+      when(col("n_tokens") > 0,
+        size(col("mask_idx")).cast("double") / col("n_tokens"))
+        .otherwise(0.0).as("mask_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- mixture
 
   /** Budget-constrained domain mixture resampling: given target mixture

@@ -1086,6 +1086,37 @@ FROM c ORDER BY doc_id""",
 
     // plant: doc_id % 7 == 0 gains one email + one IPv4 + one phone derived
     // from doc_id; redaction order email → IP → phone is part of the contract
+    // token-level loss mask: same planted-PII lane as tp04, same portable
+    // regex dialect (Java rlike vs RE2 both read these patterns
+    // identically); mask indexes are 1-based over the whitespace tokens
+    "tp09_loss_mask" -> """
+WITH p AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN text
+      || ' contact user' || CAST(doc_id AS VARCHAR)
+      || '@example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+      || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+      || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+    ELSE text END AS text
+  FROM documents),
+t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM p),
+m AS (
+  SELECT doc_id, len(t) AS n_tokens,
+    list_filter(range(1, len(t) + 1), i ->
+      regexp_matches(t[i],
+        '([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})|(\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b)|(\b555-\d{4}\b)')
+      OR t[i] IN ('slow', 'dup')) AS mask_idx
+  FROM t)
+SELECT doc_id, n_tokens, mask_idx,
+  len(mask_idx) AS n_masked,
+  CASE WHEN n_tokens > 0
+       THEN CAST(len(mask_idx) AS DOUBLE) / n_tokens
+       ELSE CAST(0 AS DOUBLE) END AS mask_frac
+FROM m ORDER BY doc_id""",
+
     "tp04_pii_scrub" -> """
 WITH p AS (
   SELECT doc_id,

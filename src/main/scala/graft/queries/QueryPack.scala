@@ -233,7 +233,8 @@ object QueryPack {
     "tp05_embed_quant"   -> ((s, d) => TrainPrep.embedQuant(s, d)),
     "tp06_mixture"       -> ((s, d) => TrainPrep.mixtureSample(s, d)),
     "tp07_epoch_shuffle" -> ((s, d) => TrainPrep.epochShuffle(s, d)),
-    "tp08_source_cap"    -> ((s, d) => TrainPrep.sourceCap(s, d))
+    "tp08_source_cap"    -> ((s, d) => TrainPrep.sourceCap(s, d)),
+    "tp09_loss_mask"     -> ((s, d) => TrainPrep.lossMask(s, d))
   )
 
   /** D1-D11 showcase: a distributed decode of binary pgoutput frames

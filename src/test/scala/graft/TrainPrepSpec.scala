@@ -321,4 +321,35 @@ class TrainPrepSpec extends AnyFunSuite {
           |  abs(x - round(x / scale) * scale) > scale / 2.0D + 1e-12)""".stripMargin))
     assert(bad.count() === 0)
   }
+
+  test("tp09: mask indexes point at exactly the PII-planted + blocklisted tokens") {
+    import graft.operators.text.TextOps
+    val out = TrainPrep.lossMask(spark, sf).collect()
+    val blocked = Set("slow", "dup")
+    val pii = ("([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,})|" +
+      "(\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b)|(\\b555-\\d{4}\\b)").r
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val doc = r.getLong(0)
+      val text = if (doc % 7 == 0)
+        texts(doc) + s" contact user$doc@example.com ip 10.${doc % 256}.0." +
+          s"${doc % 100} call 555-${"%04d".format(doc % 10000)}"
+      else texts(doc)
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      assert(r.getInt(1) == toks.length, s"doc $doc token count")
+      val want = toks.zipWithIndex.collect {
+        case (t, i) if pii.findFirstIn(t).isDefined || blocked(t) => i + 1
+      }.toSeq
+      assert(r.getSeq[Int](2) == want, s"doc $doc mask indexes")
+      assert(r.getInt(3) == want.length)
+      // every planted doc masks at least its three planted PII tokens
+      if (doc % 7 == 0) assert(r.getInt(3) >= 3, s"doc $doc planted mask")
+    }
+    // tokenizer parity guard: the spec's split mirrors TextOps.tokens
+    val got = spark.range(1)
+      .select(TextOps.tokens(org.apache.spark.sql.functions.lit("  a  b c ")))
+      .collect()(0).getSeq[String](0)
+    assert(got == Seq("a", "b", "c"))
+  }
 }
