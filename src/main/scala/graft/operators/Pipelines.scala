@@ -36,7 +36,21 @@ object Pipelines {
     * BIGINT, quality is reported as min/max (order-independent in fp).
     */
   def corpusClean(spark: SparkSession, d: String,
-      minQuality: Double = 0.62, plantStorm: Boolean = true): DataFrame = {
+      minQuality: Double = 0.62, plantStorm: Boolean = true): DataFrame =
+    dedupedGated(spark, d, minQuality, plantStorm)
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("token_budget"),
+        round(min(col("quality")), 4).as("q_min"),
+        round(max(col("quality")), 4).as("q_max"))
+      .orderBy(col("lang_pred"))
+
+  /** Shared head of both composed pipelines: ingest (± duplicate storm) →
+    * quality gate → language bucket → exact dedup (canonical copy only).
+    * ONE definition so pipe01 and pipe02 provably run the same gate.
+    */
+  private def dedupedGated(spark: SparkSession, d: String,
+      minQuality: Double, plantStorm: Boolean): DataFrame = {
     val base = Tables.spread(Tables.documents(spark, d)
         .select(col("doc_id"), col("text")).filter(col("text").isNotNull))
     val ingest = if (!plantStorm) base else base.union(
@@ -74,11 +88,52 @@ object Pipelines {
     val canon = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("canonical_id"))
     fp.join(canon, Seq("fp"))
       .filter(col("doc_id") === col("canonical_id"))
-      .groupBy(col("lang_pred"))
+  }
+
+  /** pipe02 — the FULL training-corpus preparation pass, one declarative
+    * plan: ingest (with duplicate storm) → quality gate → language bucket
+    * → exact dedup → benchmark DECONTAMINATION (drop every surviving doc
+    * sharing any word 8-gram with the benchmark slice — which removes the
+    * benchmark docs themselves, exactly what "don't train on the
+    * benchmark" means) → deterministic hash SPLIT (tp02's 90/5/5
+    * contract) → per-(split, language) document/token budgets.
+    *
+    * The storm cancels at the dedup stage as in pipe01; the benchmark
+    * gram set derives from the RAW originals (`doc_id % 97 == 0`,
+    * pre-storm — a benchmark is external and fixed, and this keeps the
+    * stormy and clean runs provably identical), so the whole five-stage
+    * pipeline stays oracle-checkable end-to-end. Scale shape: the gate is
+    * a pure projection; dedup is the dd01 groupBy+join-back; the bench
+    * gram set is tiny → broadcast left join counting hits per doc (the
+    * tp01 discipline, docs with no grams re-enter via the left join);
+    * split is a per-row hash; budgets are a few rows per (split, lang).
+    */
+  def trainCorpus(spark: SparkSession, d: String,
+      minQuality: Double = 0.62, plantStorm: Boolean = true,
+      n: Int = 8): DataFrame = {
+    import graft.operators.prep.TrainPrep
+    val deduped = dedupedGated(spark, d, minQuality, plantStorm)
+      .select(col("doc_id"), col("text"), col("n_tokens"), col("lang_pred"))
+    val benchGrams = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull && col("doc_id") % 97 === 0)
+      .select(explode(graft.plans.SketchCols.wordNGrams(col("text"), n)).as("gram"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    val hits = deduped
+      .select(col("doc_id"),
+        explode(graft.plans.SketchCols.wordNGrams(col("text"), n)).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("hit")).as("n_hits"))
+    deduped
+      .join(hits, Seq("doc_id"), "left")
+      .filter(coalesce(col("n_hits"), lit(0L)) === 0)
+      .withColumn("split", TrainPrep.splitOf(
+        (TrainPrep.hashBucket16("graft:", col("doc_id")) % 100).cast("int")))
+      .groupBy(col("split"), col("lang_pred"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("token_budget"),
-        round(min(col("quality")), 4).as("q_min"),
-        round(max(col("quality")), 4).as("q_max"))
-      .orderBy(col("lang_pred"))
+        sum(col("n_tokens")).as("token_budget"))
+      .orderBy(col("split"), col("lang_pred"))
   }
 }

@@ -225,6 +225,9 @@ object QueryPack {
     // ---- composed pipeline (quality gate → lang bucket → dedup → budget) ----
     "pipe01_corpus_clean" -> ((s, d) => graft.operators.Pipelines.corpusClean(s, d)),
 
+    // ---- composed pipelines ----
+    "pipe02_train_corpus" -> ((s, d) => graft.operators.Pipelines.trainCorpus(s, d)),
+
     // ---- training prep (decontaminate / split / pack / pii / quantize) ----
     "tp01_decontaminate" -> ((s, d) => TrainPrep.decontaminate(s, d)),
     "tp02_hash_split"    -> ((s, d) => TrainPrep.hashSplit(s, d)),

@@ -805,6 +805,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(grown.select("doc_id").distinct().count() == 6) // 2 indexable corpus + 4 indexable batch
   }
 
+  test("train corpus pipeline: storm cancels; benchmark docs never reach a split") {
+    val stormy = graft.operators.Pipelines.trainCorpus(spark, sf).collect()
+    val clean = graft.operators.Pipelines.trainCorpus(spark, sf, plantStorm = false)
+      .collect()
+    assert(stormy.nonEmpty && stormy.length == clean.length)
+    stormy.zip(clean).foreach { case (a, b) => assert(a == b) }
+    // decontamination removes the benchmark slice itself: total docs across
+    // splits < survivors of gate+dedup (bench docs share all their grams)
+    val surviving = stormy.map(_.getLong(2)).sum
+    val gatedDeduped = graft.operators.Pipelines.corpusClean(spark, sf)
+      .collect().map(_.getLong(1)).sum
+    assert(surviving < gatedDeduped,
+      s"decontamination removed nothing: $surviving vs $gatedDeduped")
+  }
+
   test("corpus clean: the planted duplicate storm cancels exactly") {
     // gate + dedup over corpus ∪ exact copies must equal the clean-corpus
     // run bit-for-bit: copies share quality/language with their original
