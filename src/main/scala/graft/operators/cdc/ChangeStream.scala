@@ -223,4 +223,56 @@ object ChangeStream {
   def unwatchedRecordsPredicate(rec: Column, unwatched: Map[String, String]): Column =
     if (unwatched.isEmpty) lit(true)
     else !unwatched.map { case (k, v) => element_at(rec, k) <=> lit(v) }.reduce(_ && _)
+
+  /** cdc22 — SCD Type 2 dimension maintenance from the change stream: the
+    * warehouse pattern every CDC consumer builds by hand. Each
+    * insert/update becomes a VERSION row valid from its commit until the
+    * record's next change (any op — a delete closes the last version
+    * without opening one); the open version is flagged current. One
+    * window over (table, record) ordered by seq — a single sort-shuffle
+    * keyed by the record identity, the same partitioning a MERGE INTO
+    * target would use; no self-join, no driver state. At 100 TB the
+    * stream is processed per record-key partition exactly like any
+    * warehouse apply job.
+    */
+  def scdType2(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("table_name"), col("record_id"))
+      .orderBy(col("seq"))
+    changes(spark, sfDir)
+      .withColumn("valid_to_ms", lead(col("commit_ms"), 1).over(w))
+      .filter(col("op") =!= "delete") // deletes close versions, never open one
+      .select(col("table_name"), col("record_id"),
+        col("seq").as("version_seq"), col("op"),
+        col("commit_ms").as("valid_from_ms"), col("valid_to_ms"),
+        col("valid_to_ms").isNull.as("is_current"))
+      .orderBy(col("table_name"), col("record_id"), col("version_seq"))
+  }
+
+  /** cdc23 — point-in-time snapshot reconstruction ("time travel"): the
+    * state of every record at an LSN cut = its LAST change at or below
+    * the cut, dropped if that change was a delete. The cut here is the
+    * stream's midpoint seq, derived IN-PLAN from a one-row broadcast
+    * aggregate so the query stays a pure function of the data at any sf.
+    * Shape: one map-side-combined `max_by(struct, seq)` per (table,
+    * record) — ids and the packed row ride the single shuffle; no window,
+    * no sort. This is the replay primitive behind "rebuild the table as
+    * of LSN X" on a segment directory's retained history.
+    */
+  def snapshotAtMidpoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val ch = changes(spark, sfDir)
+    val cut = ch.agg(expr("max(seq) DIV 2").as("cut_seq")) // floor div: engine-exact
+    ch.crossJoin(broadcast(cut)) // one-row scalar side
+      .filter(col("seq") <= col("cut_seq"))
+      .groupBy(col("table_name"), col("record_id"))
+      .agg(max_by(
+        struct(col("op"), col("seq"), col("commit_ms"), col("k"),
+          col("val_cents")), col("seq")).as("s"))
+      .select(col("table_name"), col("record_id"),
+        col("s.seq").as("as_of_seq"), col("s.op").as("last_op"),
+        col("s.commit_ms").as("commit_ms"), col("s.k").as("k"),
+        col("s.val_cents").as("val_cents"))
+      .filter(col("last_op") =!= "delete")
+      .orderBy(col("table_name"), col("record_id"))
+  }
 }

@@ -548,6 +548,38 @@ FROM toks ORDER BY doc_id""",
 SELECT vec_id, vec_id + 100000 AS pq_nearest, CAST(1.0 AS DOUBLE) AS sim
 FROM embeddings ORDER BY vec_id""",
 
+    // SCD Type 2: each insert/update opens a version valid until the
+    // record's next change (a delete closes without opening); lead() over
+    // (table, record, seq) on both engines
+    "cdc22_scd2" -> s"""$changesCte,
+v AS (
+  SELECT table_name, record_id, seq, op, commit_ms,
+    lead(commit_ms) OVER (PARTITION BY table_name, record_id ORDER BY seq)
+      AS valid_to_ms
+  FROM changes)
+SELECT table_name, record_id, seq AS version_seq, op,
+  commit_ms AS valid_from_ms, valid_to_ms,
+  valid_to_ms IS NULL AS is_current
+FROM v WHERE op <> 'delete'
+ORDER BY table_name, record_id, version_seq""",
+
+    // point-in-time snapshot at the midpoint seq: last change per record
+    // at or below the cut, dropped when that change is a delete
+    "cdc23_snapshot" -> s"""$changesCte,
+cut AS (SELECT max(seq) // 2 AS cut_seq FROM changes),
+last AS (
+  SELECT table_name, record_id,
+    max_by(seq, seq) AS as_of_seq,
+    max_by(op, seq) AS last_op,
+    max_by(commit_ms, seq) AS commit_ms,
+    max_by(k, seq) AS k,
+    max_by(val_cents, seq) AS val_cents
+  FROM changes, cut WHERE seq <= cut_seq
+  GROUP BY table_name, record_id)
+SELECT table_name, record_id, as_of_seq, last_op, commit_ms, k, val_cents
+FROM last WHERE last_op <> 'delete'
+ORDER BY table_name, record_id""",
+
     // overlapping token-window chunking: starts are 1, 1+step, … (step =
     // 64−16 = 48); DuckDB's range() excludes its stop so len(t)+1 matches
     // Spark's inclusive sequence(1, size). chunk_id is (start−1)/step —

@@ -163,6 +163,8 @@ object QueryPack {
     "cdc19_stream_append"    -> ((s, d) => streamHourlyAppend(s, d)), // append+watermark lane
     "cdc20_stream_join"      -> ((s, d) => streamStreamJoin(s, d)), // stream-stream interval join
     "cdc21_stream_sessions"  -> ((s, d) => streamSessions(s, d)), // session windows
+    "cdc22_scd2"             -> ((s, d) => ChangeStream.scdType2(s, d)), // warehouse SCD2 versions
+    "cdc23_snapshot"         -> ((s, d) => ChangeStream.snapshotAtMidpoint(s, d)), // time travel
 
     // ---- text analysis ----
     "txt01_token_stats" -> ((s, d) => TextOps.tokenStats(s, d)),

@@ -805,6 +805,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(grown.select("doc_id").distinct().count() == 6) // 2 indexable corpus + 4 indexable batch
   }
 
+  test("cdc22 SCD2: versions chain gaplessly; current iff record not since changed") {
+    val versions = ChangeStream.scdType2(spark, sf).collect()
+    val changes = ChangeStream.changes(spark, sf)
+      .select("table_name", "record_id", "seq", "op", "commit_ms").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    val byKey = changes.groupBy(c => (c._1, c._2))
+    versions.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (key, vs) =>
+      val hist = byKey(key).sortBy(_._3)
+      val sorted = vs.sortBy(_.getLong(2))
+      // every non-delete change opens exactly one version
+      assert(sorted.map(_.getLong(2)).toSeq == hist.filter(_._4 != "delete").map(_._3).toSeq)
+      // valid_to == commit of the record's NEXT change (any op), null at end
+      sorted.foreach { v =>
+        val nxt = hist.find(_._3 > v.getLong(2)).map(_._5)
+        val got = if (v.isNullAt(5)) None else Some(v.getLong(5))
+        assert(got == nxt, s"$key version ${v.getLong(2)} valid_to")
+        assert(v.getBoolean(6) == nxt.isEmpty)
+      }
+      // at most one current; none when the record's last change is a delete
+      val nCurrent = sorted.count(_.getBoolean(6))
+      assert(nCurrent == (if (hist.last._4 == "delete") 0 else 1), s"$key current count")
+    }
+  }
+
+  test("cdc23 snapshot agrees with the SCD2 version covering the cut") {
+    val maxSeq = ChangeStream.changes(spark, sf).agg(max(col("seq"))).collect()(0).getLong(0)
+    val cut = maxSeq / 2
+    val snap = ChangeStream.snapshotAtMidpoint(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // independent derivation: last change at/below cut per key, non-delete
+    val want = ChangeStream.changes(spark, sf)
+      .filter(col("seq") <= cut).collect()
+      .map(r => (r.getString(5), r.getLong(9), r.getLong(0), r.getString(3)))
+      .groupBy(c => (c._1, c._2)).view
+      .mapValues(_.maxBy(_._3)).filter(_._2._4 != "delete")
+      .map { case (k, v) => k -> v._3 }.toMap
+    assert(snap == want, s"snapshot drift: extra=${snap.keySet -- want.keySet} " +
+      s"missing=${want.keySet -- snap.keySet}")
+  }
+
   test("train corpus pipeline: storm cancels; benchmark docs never reach a split") {
     val stormy = graft.operators.Pipelines.trainCorpus(spark, sf).collect()
     val clean = graft.operators.Pipelines.trainCorpus(spark, sf, plantStorm = false)
