@@ -412,9 +412,18 @@ final class PgReplicationClient(ep: PgReplicationClient.Endpoint) extends AutoCl
     * first-column text of each data row).
     */
   private def command(sql: String): (Option[String], Vector[String]) = {
+    val (err, rows) = commandFull(sql)
+    (err, rows.map(r => if (r.isEmpty) null else r(0)))
+  }
+
+  /** [[command]] keeping EVERY column of each data row (multi-column
+    * replication-grammar results: CREATE_REPLICATION_SLOT's
+    * (slot, consistent_point, snapshot, plugin) row).
+    */
+  private def commandFull(sql: String): (Option[String], Vector[Vector[String]]) = {
     send('Q'.toByte, cstr(sql))
     var err: Option[String] = None
-    var rows = Vector.empty[String]
+    var rows = Vector.empty[Vector[String]]
     var done = false
     while (!done) {
       val (tpe, b) = readMessage().getOrElse(
@@ -424,12 +433,13 @@ final class PgReplicationClient(ep: PgReplicationClient.Endpoint) extends AutoCl
         case 'E' => err = errorFields(b).get('C').orElse(Some("XX000"))
         case 'D' => // DataRow: int16 ncols, per column int32 len + bytes
           val buf = ByteBuffer.wrap(b)
-          if (buf.getShort >= 1) {
+          val n = buf.getShort
+          rows :+= Vector.tabulate(n.toInt) { _ =>
             val len = buf.getInt
             if (len >= 0) {
               val a = new Array[Byte](len); buf.get(a)
-              rows :+= new String(a, UTF_8)
-            } else rows :+= null
+              new String(a, UTF_8)
+            } else null
           }
         case _ => () // RowDescription / CommandComplete / notices / status
       }
@@ -481,6 +491,32 @@ final class PgReplicationClient(ep: PgReplicationClient.Endpoint) extends AutoCl
       case (None, _) | (Some("42710"), _) => this
       case (Some(code), _) =>
         throw new java.io.IOException(s"CREATE_REPLICATION_SLOT $safe failed: $code")
+    }
+  }
+
+  /** CREATE_REPLICATION_SLOT … EXPORT_SNAPSHOT: the slot's consistent
+    * point plus the exported snapshot name — the pair a CONSISTENT
+    * bootstrap needs (read the tables under `SET TRANSACTION SNAPSHOT`,
+    * then stream from the consistent point: no gap, no overlap). The
+    * exported snapshot stays importable only until the NEXT command on
+    * THIS connection, so all snapshot reads must finish before
+    * [[startReplication]]. An existing slot cannot re-export its
+    * snapshot — that is the resume path, and it fails loudly here.
+    */
+  def createSlotExported(slot: String): (Long, String) = {
+    val safe = PgReplicationClient.validSlotName(slot)
+    commandFull(
+      s"CREATE_REPLICATION_SLOT $safe LOGICAL pgoutput EXPORT_SNAPSHOT") match {
+      case (Some(code), _) => throw new java.io.IOException(
+        s"CREATE_REPLICATION_SLOT $safe (export snapshot) failed: $code")
+      case (None, rows) =>
+        val r = rows.headOption.getOrElse(throw new java.io.IOException(
+          s"CREATE_REPLICATION_SLOT $safe returned no row"))
+        // (slot_name, consistent_point, snapshot_name, output_plugin)
+        if (r.length < 3 || r(1) == null || r(2) == null)
+          throw new java.io.IOException(
+            s"CREATE_REPLICATION_SLOT $safe: no exported snapshot in $r")
+        (PgReplicationClient.parseLsn(r(1)), r(2))
     }
   }
 

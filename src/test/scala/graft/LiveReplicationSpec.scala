@@ -492,4 +492,72 @@ class LiveReplicationSpec extends AnyFunSuite {
       } finally repl.close()
     } finally cluster.stop()
   }
+
+  test("consistent bootstrap: exported snapshot + stream replicate exactly-once across the boundary") {
+    assume(LivePgHarness.available, "no usable PostgreSQL installation — skipping")
+    val cluster = LivePgHarness.provision()
+    var client: PgReplicationClient = null
+    try {
+      cluster.psql("""
+        CREATE TABLE acct (id bigint PRIMARY KEY, bal bigint);
+        CREATE PUBLICATION boot_pub FOR TABLE acct;
+        INSERT INTO acct SELECT g, g * 100 FROM generate_series(1, 5) g""")
+      client = new PgReplicationClient(PgReplicationClient.Endpoint(
+        unixSocketDir = Some(cluster.sock),
+        database = "postgres", user = "postgres")).connect()
+      val walDir = s"${cluster.base}/bootwal"
+      val url = s"jdbc:graftpg:///postgres?socketDir=${cluster.sock}" +
+        s"&port=${cluster.port}&user=postgres"
+      // the boundary theorem, made deterministic via the afterSlot seam: a
+      // row committed AFTER the consistent point but BEFORE any snapshot
+      // read must reach the replica via the STREAM only
+      val res = graft.sources.replication.Bootstrap.snapshotToSegments(
+        client,
+        () => new graft.sources.jdbc.GraftPgDriver()
+          .connect(url, new java.util.Properties()),
+        "boot_slot", "boot_pub", walDir,
+        afterSlot = () => { cluster.psql("INSERT INTO acct VALUES (99, 9900)"); () })
+      assert(res.tables == Seq("public.acct"))
+      assert(res.rows == 5,
+        s"snapshot isolation must exclude the post-slot row: $res")
+      assert(res.segments >= 1 && res.consistentLsn > 0)
+
+      // post-bootstrap traffic lands while the stream is still offline —
+      // the durable slot retains it
+      cluster.psql(
+        "INSERT INTO acct VALUES (6, 600); UPDATE acct SET bal = 9901 WHERE id = 99")
+      client.startReplication("boot_slot", "boot_pub",
+        startLsn = res.consistentLsn)
+      val tailer = new ReplicationTailer(client, walDir, framesPerSegment = 4)
+      tailer.runUntilIdle(idleMs = 4000)
+
+      // snapshot + stream segments through the FULL standard pipeline
+      val raw = spark.readStream.format(classOf[CdcSourceProvider].getName)
+        .option("path", walDir).option("publication", "boot_pub").load()
+      val events = ChangeStream.eventsFromAssembled(TxnAssembler.assemble(raw).toDF())
+      val q = events.writeStream.format("memory").queryName("t_boot")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val rows = spark.table("t_boot").collect()
+      val inserts = rows.filter(_.getAs[String]("type") == "insert")
+        .map(_.getAs[Map[String, String]]("new_record")("id")).sorted.toSeq
+      // 1-5 from the snapshot; 99 (boundary) and 6 (offline) from the
+      // stream — each exactly once, no gap, no overlap
+      assert(inserts == Seq("1", "2", "3", "4", "5", "6", "99").sorted,
+        s"bootstrap/stream seam lost or duplicated rows: $inserts")
+      val updates = rows.filter(_.getAs[String]("type") == "update")
+      assert(updates.length == 1 &&
+        updates.head.getAs[Map[String, String]]("new_record")("bal") == "9901")
+      // snapshot segments carry the REAL catalog identity: the typed
+      // source.columns come from live attribute OIDs, same as streamed ones
+      val snapRow = rows
+        .filter(_.getAs[String]("type") == "insert")
+        .find(_.getAs[Map[String, String]]("new_record")("id") == "1").get
+      assert(snapRow.getAs[org.apache.spark.sql.Row]("source")
+        .getAs[Map[String, String]]("columns") == Map("id" -> "int8", "bal" -> "int8"))
+    } finally {
+      if (client != null) client.close()
+      cluster.stop()
+    }
+  }
 }
