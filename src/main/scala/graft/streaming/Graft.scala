@@ -220,6 +220,46 @@ object Graft {
       sslRootCert = config.sslRootCert)
   }
 
+  /** One-call consistent INITIAL SYNC (see
+    * [[graft.sources.replication.Bootstrap]]): snapshot the publication's
+    * tables into `walDir` as ordinary WAL segments pinned to the durable
+    * slot's consistent point (`CREATE_REPLICATION_SLOT … EXPORT_SNAPSHOT`
+    * + `SET TRANSACTION SNAPSHOT`). Run once BEFORE [[startLive]]/
+    * [[replicate]]: the slot created here is the one replicate() then
+    * resumes (existing-slot path), so the stream continues from the
+    * consistent point with no gap and no overlap — the initial-sync step
+    * the reference leaves to hand-rolled scripts.
+    */
+  def bootstrap(config: GraftConfig, walDir: String,
+      unixSocketDir: Option[String] = None,
+      rowsPerTxn: Int = 65536): graft.sources.replication.Bootstrap.Result = {
+    import graft.sources.replication._
+    require(config.durableSlot,
+      s"config '${config.appName}': bootstrap needs a durable slot — a " +
+        "temporary slot dies with the bootstrap connection and the stream " +
+        "could never resume from the consistent point")
+    val pub = config.publication.getOrElse(throw new IllegalArgumentException(
+      s"config '${config.appName}': bootstrap() needs a publication"))
+    val ep = replicationEndpoint(config, unixSocketDir)
+    val qs = (unixSocketDir.map(d => "socketDir=" + enc(d)).toSeq ++
+      Seq(s"port=${config.port}") ++
+      config.username.map(u => "user=" + enc(u)) ++
+      config.password.map(p => "password=" + enc(p)) ++
+      config.sslMode.map(m => "sslmode=" + enc(m)) ++
+      config.sslRootCert.map(c => "sslrootcert=" + enc(c))).mkString("&")
+    val host = if (unixSocketDir.isDefined) "" else ep.host
+    val url = s"jdbc:graftpg://$host/${ep.database}?$qs"
+    val client = new PgReplicationClient(ep).connect()
+    try Bootstrap.snapshotToSegments(client,
+      () => new graft.sources.jdbc.GraftPgDriver()
+        .connect(url, new java.util.Properties()),
+      config.effectiveSlotName, pub, walDir, rowsPerTxn = rowsPerTxn)
+    finally client.close()
+  }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
   def replicate(config: GraftConfig, walDir: String,
       unixSocketDir: Option[String] = None,
       framesPerSegment: Int = 4096,

@@ -560,4 +560,41 @@ class LiveReplicationSpec extends AnyFunSuite {
       cluster.stop()
     }
   }
+
+  test("facade bootstrap: Graft.bootstrap + startLive replay snapshot AND live rows to handlers") {
+    assume(LivePgHarness.available, "no usable PostgreSQL installation — skipping")
+    import graft.streaming.{Engine, Graft, GraftConfig}
+    val cluster = LivePgHarness.provision()
+    try {
+      cluster.psql("""
+        CREATE TABLE inv (id bigint PRIMARY KEY, qty bigint);
+        CREATE PUBLICATION inv_pub FOR TABLE inv;
+        INSERT INTO inv SELECT g, g FROM generate_series(1, 3) g""")
+      val walDir = s"${cluster.base}/wal-boot"
+      val config = GraftConfig("boot_demo",
+        database = Some("postgres"), username = Some("postgres"),
+        publication = Some("inv_pub"), durableSlot = true)
+      val res = Graft.bootstrap(config, walDir,
+        unixSocketDir = Some(cluster.sock))
+      assert(res.rows == 3 && res.segments == 1)
+      val ids = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val engine = new Engine().onInsert("inv") { df =>
+        df.collect().foreach(r =>
+          ids.add(r.getAs[Map[String, String]]("new_record")("id")))
+      }
+      // replicate() resumes the bootstrap's durable slot; the query reads
+      // the snapshot segments FIRST, then the live stream appends
+      val (repl, q) = Graft.startLive(spark, config, walDir, engine,
+        unixSocketDir = Some(cluster.sock), framesPerSegment = 4, idleMs = 500)
+      try {
+        cluster.psql("INSERT INTO inv VALUES (4, 4)")
+        val until = System.currentTimeMillis() + 90000
+        while (ids.size < 4 && System.currentTimeMillis() < until)
+          Thread.sleep(250)
+        assert(ids.size == 4 &&
+          Set("1", "2", "3", "4").forall(ids.contains),
+          s"snapshot+live seam delivered $ids")
+      } finally { q.stop(); repl.close() }
+    } finally cluster.stop()
+  }
 }
