@@ -571,9 +571,14 @@ class LiveReplicationSpec extends AnyFunSuite {
         CREATE PUBLICATION inv_pub FOR TABLE inv;
         INSERT INTO inv SELECT g, g FROM generate_series(1, 3) g""")
       val walDir = s"${cluster.base}/wal-boot"
+      // checkpoint under the cluster's own temp dir: the durable-slot
+      // default (/tmp/graft-ckpt/<slot>) would outlive this throwaway
+      // cluster and replay stale offsets into the next run's fresh walDir
+      // (tripping the no-silent-remap guard — by design)
       val config = GraftConfig("boot_demo",
         database = Some("postgres"), username = Some("postgres"),
-        publication = Some("inv_pub"), durableSlot = true)
+        publication = Some("inv_pub"), durableSlot = true,
+        checkpointDir = Some(s"${cluster.base}/ckpt-boot"))
       val res = Graft.bootstrap(config, walDir,
         unixSocketDir = Some(cluster.sock))
       assert(res.rows == 3 && res.segments == 1)
