@@ -249,6 +249,55 @@ object ChangeStream {
       .orderBy(col("table_name"), col("record_id"), col("version_seq"))
   }
 
+  /** cdc24 — retraction-aware incremental aggregate maintenance: keep
+    * per-group aggregates of the CURRENT table in sync from the change
+    * stream alone, never replaying the table. Each change becomes signed
+    * delta rows — insert → +new, delete → −old, update → −old AND +new —
+    * so an update that MOVES a row between groups retracts from the old
+    * group and adds to the new one (the case plain streaming `groupBy`
+    * cannot express: Spark has no retraction in append/update modes; this
+    * is the dataflow "retraction" pattern as a pure column transform).
+    * Summing the deltas per group yields the net aggregate movement —
+    * exactly what a downstream MERGE adds to its running aggregate table.
+    *
+    * Shape at 100 TB: explode to ≤ 2 narrow delta rows per change
+    * (sign, group key, measure — no payloads), then ONE map-side-combined
+    * groupBy on the group key. All-integer arithmetic, so partial-agg
+    * order can never drift. The same select composes unchanged over the
+    * live stream in update output mode (StreamingCdcSpec pins
+    * batch/stream parity).
+    *
+    * The old-image values mirror [[withRecords]]' deterministic deltas
+    * (old val_cents = new − 150 unless k%3=0; old k = new − 1 unless
+    * k%5=0); a delete retracts its carried final image
+    * (reference delete events carry old_record only, README.md:215-216).
+    */
+  /** Signed delta rows for [[incrementalGroupAgg]] — exposed separately so
+    * the streaming spec can aggregate the identical contributions lane.
+    */
+  def signedDeltas(ch: DataFrame): DataFrame = {
+    val oldK = col("k") - when(col("k") % 5 === 0, 0).otherwise(1)
+    val oldVal = col("val_cents") - when(col("k") % 3 === 0, 0).otherwise(150)
+    val addNew = struct(lit(1L).as("sign"), col("k").as("ck"),
+      col("val_cents").as("cv"))
+    val retractOld = struct(lit(-1L).as("sign"), oldK.as("ck"), oldVal.as("cv"))
+    val retractSelf = struct(lit(-1L).as("sign"), col("k").as("ck"),
+      col("val_cents").as("cv"))
+    ch.select(col("table_name"), explode(
+      when(col("op") === "insert", array(addNew))
+        .when(col("op") === "delete", array(retractSelf))
+        .otherwise(array(retractOld, addNew))).as("c"))
+      .select(col("table_name"), col("c.sign").as("sign"),
+        col("c.ck").as("ck"), col("c.cv").as("cv"))
+  }
+
+  def incrementalGroupAgg(spark: SparkSession, sfDir: String): DataFrame =
+    signedDeltas(changes(spark, sfDir))
+      .groupBy(col("table_name"), (col("ck") % 8).as("k_bucket"))
+      .agg(sum(col("sign")).as("row_delta"),
+        sum(col("sign") * col("cv")).as("cents_delta"))
+      .orderBy(col("table_name"), col("k_bucket"))
+
   /** cdc23 — point-in-time snapshot reconstruction ("time travel"): the
     * state of every record at an LSN cut = its LAST change at or below
     * the cut, dropped if that change was a delete. The cut here is the

@@ -580,6 +580,45 @@ SELECT table_name, record_id, as_of_seq, last_op, commit_ms, k, val_cents
 FROM last WHERE last_op <> 'delete'
 ORDER BY table_name, record_id""",
 
+    // retraction-aware incremental aggregation: each change contributes
+    // signed delta rows (insert +new, delete −old, update −old +new; the
+    // old image mirrors withRecords' deterministic deltas) so group-key
+    // migration retracts correctly; net movement per (table, k%8)
+    "cdc24_delta_agg" -> s"""$changesCte,
+contribs AS (
+  SELECT table_name, 1 AS sign, k AS ck, val_cents AS cv
+  FROM changes WHERE op = 'insert'
+  UNION ALL
+  SELECT table_name, -1, k, val_cents FROM changes WHERE op = 'delete'
+  UNION ALL
+  SELECT table_name, -1,
+    k - CASE WHEN k % 5 = 0 THEN 0 ELSE 1 END,
+    val_cents - CASE WHEN k % 3 = 0 THEN 0 ELSE 150 END
+  FROM changes WHERE op = 'update'
+  UNION ALL
+  SELECT table_name, 1, k, val_cents FROM changes WHERE op = 'update')
+SELECT table_name, ck % 8 AS k_bucket,
+  CAST(sum(sign) AS BIGINT) AS row_delta,
+  CAST(sum(sign * cv) AS BIGINT) AS cents_delta
+FROM contribs GROUP BY table_name, ck % 8
+ORDER BY table_name, k_bucket""",
+
+    // materialized current state: the last change per record over the
+    // whole stream, dropped when it was a delete (tombstone) — what the
+    // bucketed store must hold after applying every micro-batch
+    "cdc25_materialize" -> s"""$changesCte,
+last AS (
+  SELECT table_name, record_id,
+    max_by(seq, seq) AS last_seq,
+    max_by(op, seq) AS last_op,
+    max_by(commit_ms, seq) AS commit_ms,
+    max_by(k, seq) AS k,
+    max_by(val_cents, seq) AS val_cents
+  FROM changes GROUP BY table_name, record_id)
+SELECT table_name, record_id, last_seq, commit_ms, k, val_cents
+FROM last WHERE last_op <> 'delete'
+ORDER BY table_name, record_id""",
+
     // overlapping token-window chunking: starts are 1, 1+step, … (step =
     // 64−16 = 48); DuckDB's range() excludes its stop so len(t)+1 matches
     // Spark's inclusive sequence(1, size). chunk_id is (start−1)/step —

@@ -165,6 +165,8 @@ object QueryPack {
     "cdc21_stream_sessions"  -> ((s, d) => streamSessions(s, d)), // session windows
     "cdc22_scd2"             -> ((s, d) => ChangeStream.scdType2(s, d)), // warehouse SCD2 versions
     "cdc23_snapshot"         -> ((s, d) => ChangeStream.snapshotAtMidpoint(s, d)), // time travel
+    "cdc24_delta_agg"        -> ((s, d) => ChangeStream.incrementalGroupAgg(s, d)), // retraction-aware agg
+    "cdc25_materialize"      -> ((s, d) => streamMaterialize(s, d)), // current-state store
 
     // ---- text analysis ----
     "txt01_token_stats" -> ((s, d) => TextOps.tokenStats(s, d)),
@@ -621,6 +623,46 @@ object QueryPack {
     import spark.implicits._
     counts.asScala.toSeq.map { case (h, n) => (h, n.sum()) }
       .sortBy(_._1).toDF("handler", "n_events")
+  }
+
+  /** cdc25 — the full CDC-to-warehouse loop: WAL segments stream through
+    * decode + transaction assembly into [[graft.streaming.Materializer]],
+    * which maintains the bucketed current-state parquet store via
+    * foreachBatch (manifest-committed bucket versions, tombstoned deletes,
+    * idempotent max-by-seq merge). The returned frame is the store read
+    * back — last surviving image per (table, record); the oracle is the
+    * independent DuckDB last-change derivation. This is the apply job a
+    * walex consumer hand-rolls behind `on_insert/on_update/on_delete`
+    * callbacks, as one declarative primitive.
+    */
+  def streamMaterialize(spark: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Materializer
+    val dir = ensureWalFixture(spark, d)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_mat").toString
+    val raw = spark.readStream.format(classOf[CdcSourceProvider].getName)
+      .option("path", dir)
+      .option("publication", "graft_pub")
+      .option("maxFramesPerTrigger", "50000")
+      .load()
+    val assembled = TxnAssembler.assemble(raw).toDF()
+    val rec = coalesce(col("record"), col("old_record"))
+    val out = assembled.select(
+      element_at(rec, "seq").cast("long").as("seq"),
+      col("op"), col("table_name"),
+      element_at(rec, "updated_at").cast("long").as("commit_ms"),
+      element_at(rec, "k").cast("long").as("k"),
+      element_at(rec, "val_cents").cast("long").as("val_cents"),
+      element_at(rec, "id").cast("long").as("record_id"))
+    val spec = Materializer.Spec(
+      keyCols = Seq("table_name", "record_id"), buckets = 16)
+    val q = withStreamShuffle(spark)(
+      out.writeStream.foreachBatch(Materializer.sink(stateDir, spec))
+        .trigger(Trigger.AvailableNow()).start())
+    q.awaitTermination(600000)
+    Materializer.currentState(spark, stateDir, spec)
+      .select(col("table_name"), col("record_id"), col("seq").as("last_seq"),
+        col("commit_ms"), col("k"), col("val_cents"))
+      .orderBy(col("table_name"), col("record_id"))
   }
 
   /** S1's second mode — the JDBC-polling-shaped change-table lane

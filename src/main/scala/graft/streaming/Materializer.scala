@@ -1,0 +1,274 @@
+package graft.streaming
+
+import graft.sources.cdc.WalSegments
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Current-state table maintenance from the change stream — the MERGE
+  * INTO every CDC consumer ultimately wants (reference README.md:14-16
+  * lists "keep state in sync" as the first walex use case; the reference
+  * stops at dispatching events and leaves the apply job to the handler).
+  * `Materializer` is that apply job as a Spark-first primitive: a
+  * bucketed parquet store of the LATEST row per key, maintained
+  * incrementally by `foreachBatch` over the typed change stream.
+  *
+  * Design for 100 TB:
+  *  - **Bucket pruning.** State lives in `spec.buckets` hash buckets of
+  *    the record key. A micro-batch only reads and rewrites the buckets
+  *    its keys fall in — the apply cost scales with the CHANGE RATE, not
+  *    the table size. (Size buckets so one bucket ≈ an executor-friendly
+  *    rewrite unit: a 100 TB table at 64 Ki buckets is ~1.5 GB/bucket.)
+  *  - **One shuffle per batch.** The merge is
+  *    `groupBy(key).agg(max_by(row, seq))` over (affected state ∪ batch)
+  *    — ids and the packed row ride a single exchange; no window, no
+  *    sort, no driver-side state. The only driver materialization is the
+  *    affected-bucket ID LIST (≤ `spec.buckets` ints — metadata, not
+  *    data).
+  *  - **Atomic multi-bucket commit, no data renames.** New bucket
+  *    versions are written DIRECTLY at their final immutable paths
+  *    (`leaf=b<bucket>-v<version>/`); the swap is one manifest-file
+  *    replace ([[WalSegments.writeAtomic]]: tmp+rename on POSIX/HDFS, a
+  *    single atomic PUT on object stores). Readers resolve the manifest
+  *    first, so they see every batch entirely or not at all — snapshot
+  *    isolation over plain parquet. A crash before the swap leaves only
+  *    unreferenced leaf directories, swept by the next apply; a crash
+  *    after leaves superseded leaves, likewise swept.
+  *  - **Idempotent redelivery.** `foreachBatch` after a restart may
+  *    replay a committed batch (Spark's offset-log contract). The merge
+  *    is a pure max-by-seq: re-applying any prefix of already-applied
+  *    changes reproduces the same state, so at-least-once delivery gives
+  *    exactly-once state. DELETES ARE TOMBSTONES — the row is kept with
+  *    its op so a replayed older change can never resurrect a deleted
+  *    record; [[currentState]] filters them, [[compact]] drops those the
+  *    whole pipeline has moved past.
+  *
+  * Single-writer contract: one applier per state directory (the same
+  * contract every non-transactional table format has; the stream that
+  * feeds it is already serial per slot). Readers are unlimited.
+  */
+object Materializer {
+
+  /** Shape of the change rows being applied.
+    *
+    * @param keyCols   record identity (e.g. table_name, record_id)
+    * @param seqCol    total order of changes per key (seq / LSN): the
+    *                  highest wins
+    * @param opCol     operation column; rows where it equals `deleteOp`
+    *                  are tombstones
+    * @param buckets   hash-bucket count — fixed for the life of the state
+    *                  directory (changing it re-keys every row; use
+    *                  [[rebucket]])
+    */
+  final case class Spec(
+      keyCols: Seq[String],
+      seqCol: String = "seq",
+      opCol: String = "op",
+      deleteOp: String = "delete",
+      buckets: Int = 64) {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(buckets > 0, "buckets must be positive")
+  }
+
+  /** Deterministic bucket of a row's key: xxhash64 over the key columns,
+    * non-negative mod `buckets`. Stable across Spark versions for a fixed
+    * seed (42, the xxhash64 default).
+    */
+  def bucketCol(spec: Spec): Column =
+    pmod(xxhash64(spec.keyCols.map(col): _*), lit(spec.buckets.toLong))
+
+  /** Latest row per key (max seq), all non-key columns packed through one
+    * map-side-combined `max_by` — the merge primitive shared by batch
+    * reduction and state merge. Column order is preserved.
+    */
+  def reduceLatest(df: DataFrame, spec: Spec): DataFrame = {
+    val others = df.columns.filterNot(spec.keyCols.contains).toSeq
+    df.groupBy(spec.keyCols.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*), col(spec.seqCol)).as("_s"))
+      .select(spec.keyCols.map(col) ++ others.map(c => col(s"_s.$c").as(c)): _*)
+  }
+
+  // ---- manifest: the store's single source of truth ----
+  // JSON {"version":N,"buckets":{"5":"leaf=b00005-v00012", ...}} — leaf
+  // directory names are immutable and version-suffixed, so the manifest
+  // swap is the ONLY mutation readers can observe.
+
+  final case class Manifest(version: Long, leaves: Map[Int, String])
+
+  private def manifestPath(stateDir: String): Path =
+    new Path(stateDir, "_state_manifest")
+
+  def readManifest(stateDir: String,
+      conf: Configuration = WalSegments.localConf): Manifest = {
+    val (fs, _) = WalSegments.fsFor(stateDir, conf)
+    val p = manifestPath(stateDir)
+    if (!fs.exists(p)) return Manifest(0L, Map.empty)
+    val in = fs.open(p)
+    val text =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+    val version = "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(text)
+      .map(_.group(1).toLong).getOrElse(0L)
+    val leaves = "\"(\\d+)\"\\s*:\\s*\"([^\"]+)\"".r.findAllMatchIn(text)
+      .map(m => m.group(1).toInt -> m.group(2)).toMap
+    Manifest(version, leaves)
+  }
+
+  private def writeManifest(fs: FileSystem, stateDir: String, m: Manifest): Unit =
+    WalSegments.writeAtomic(fs, manifestPath(stateDir)) { out =>
+      val entries = m.leaves.toSeq.sortBy(_._1)
+        .map { case (b, d) => s""""$b":"$d"""" }.mkString(",")
+      out.write(s"""{"version":${m.version},"buckets":{$entries}}"""
+        .getBytes("UTF-8"))
+    }
+
+  private def leafName(bucket: Int, version: Long): String =
+    f"leaf-b$bucket%05d-v$version%08d"
+
+  /** Delete every `leaf=…` directory the manifest does not reference —
+    * residue of crashes before a manifest swap (new leaves never
+    * committed) or after one (superseded leaves whose delete was
+    * interrupted). Safe under the single-writer contract; readers of the
+    * CURRENT manifest never touch unreferenced leaves.
+    */
+  private def sweepUnreferenced(fs: FileSystem, stateDir: String,
+      manifest: Manifest): Unit = {
+    val referenced = manifest.leaves.values.toSet
+    try {
+      fs.listStatus(new Path(stateDir)).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("leaf-") && !referenced.contains(n))
+          try fs.delete(st.getPath, true)
+          catch { case _: java.io.IOException => () }
+      }
+    } catch { case _: java.io.FileNotFoundException => () }
+  }
+
+  /** Apply one micro-batch of change rows to the state directory.
+    *
+    * Steps: reduce the batch to its latest row per key → list affected
+    * buckets (driver-side bucket IDs only) → merge those buckets' current
+    * leaves with the batch in ONE `max_by` shuffle → write new leaf
+    * versions at their final paths → swap the manifest. Unaffected
+    * buckets are not read, not written, and keep their manifest entries.
+    */
+  def applyBatch(spark: SparkSession, stateDir: String, batch: DataFrame,
+      spec: Spec, conf: Configuration = WalSegments.localConf): Unit = {
+    if (batch.isEmpty) return
+    val (fs, root) = WalSegments.fsFor(stateDir, conf)
+    fs.mkdirs(root)
+    val manifest = readManifest(stateDir, conf)
+    sweepUnreferenced(fs, stateDir, manifest)
+    val nextVersion = manifest.version + 1
+
+    val dataCols = batch.columns.toSeq
+    val batchLatest = reduceLatest(batch, spec)
+      .withColumn("_gbucket", bucketCol(spec))
+      .persist() // two consumers: the bucket list and the merge
+    try {
+      val affected = batchLatest.select("_gbucket").distinct()
+        .collect().map(_.getLong(0).toInt).sorted // ≤ spec.buckets ints: metadata
+      val existingPaths = affected.flatMap { b =>
+        manifest.leaves.get(b).map(d => s"$stateDir/$d")
+      }
+      // leaf files do not store the partition/bucket columns — re-derive
+      val existing =
+        if (existingPaths.isEmpty) None
+        else Some(spark.read.parquet(existingPaths.toIndexedSeq: _*)
+          .select(dataCols.map(col): _*)
+          .withColumn("_gbucket", bucketCol(spec)))
+      val unioned = existing.fold(batchLatest)(_.unionByName(batchLatest))
+      val merged = reduceLatest(unioned, spec)
+        .withColumn("_leaf",
+          concat(lit("b"), lpad(col("_gbucket").cast("string"), 5, "0"),
+            lit(f"-v$nextVersion%08d")))
+        .drop("_gbucket")
+      // one job writes every affected bucket's new version; Spark names
+      // the partition dirs `_leaf=<value>` (values avoid '=' so no
+      // escaping), then each is published to its manifest name with one
+      // FS rename of a just-written dir — atomic on POSIX/HDFS; on object
+      // stores a copy of ONLY this batch's new files, never the table
+      merged.write.mode("append").partitionBy("_leaf").parquet(stateDir)
+      affected.foreach { b =>
+        val written = new Path(stateDir, s"_leaf=${leafName(b, nextVersion).stripPrefix("leaf-")}")
+        val dest = new Path(stateDir, leafName(b, nextVersion))
+        if (fs.exists(written) && !fs.rename(written, dest))
+          throw new java.io.IOException(s"could not publish $written to $dest")
+      }
+      val newLeaves = manifest.leaves ++
+        affected.map(b => b -> leafName(b, nextVersion)).toMap
+      writeManifest(fs, stateDir, Manifest(nextVersion, newLeaves)) // THE commit
+      // superseded leaves: best-effort delete (sweep covers failures)
+      affected.foreach { b =>
+        manifest.leaves.get(b).foreach { old =>
+          try fs.delete(new Path(stateDir, old), true)
+          catch { case _: java.io.IOException => () }
+        }
+      }
+    } finally batchLatest.unpersist()
+  }
+
+  /** The store's current rows — tombstones filtered (pass
+    * `keepTombstones = true` for the raw merge state, e.g. to audit
+    * delete retention). A manifest read pins the snapshot: concurrent
+    * applies never tear this view.
+    */
+  def currentState(spark: SparkSession, stateDir: String, spec: Spec,
+      keepTombstones: Boolean = false,
+      conf: Configuration = WalSegments.localConf): DataFrame = {
+    val manifest = readManifest(stateDir, conf)
+    if (manifest.leaves.isEmpty)
+      throw new IllegalStateException(
+        s"$stateDir holds no materialized state (no manifest)")
+    val paths = manifest.leaves.values.map(d => s"$stateDir/$d").toIndexedSeq
+    val df = spark.read.parquet(paths: _*)
+    if (keepTombstones) df else df.filter(col(spec.opCol) =!= spec.deleteOp)
+  }
+
+  /** Drop tombstones whose seq is at or below `floor` — call with the
+    * slowest consumer's committed position (the same figure the WAL
+    * source's ackPath carries) once no replay can reach below it. Rewrites
+    * only buckets that actually hold expirable tombstones.
+    */
+  def compact(spark: SparkSession, stateDir: String, spec: Spec, floor: Long,
+      conf: Configuration = WalSegments.localConf): Unit = {
+    val (fs, _) = WalSegments.fsFor(stateDir, conf)
+    val manifest = readManifest(stateDir, conf)
+    if (manifest.leaves.isEmpty) return
+    val nextVersion = manifest.version + 1
+    val expirable = manifest.leaves.filter { case (_, d) =>
+      !spark.read.parquet(s"$stateDir/$d")
+        .filter(col(spec.opCol) === spec.deleteOp && col(spec.seqCol) <= floor)
+        .isEmpty
+    }
+    if (expirable.isEmpty) return
+    expirable.foreach { case (b, d) =>
+      spark.read.parquet(s"$stateDir/$d")
+        .filter(!(col(spec.opCol) === spec.deleteOp && col(spec.seqCol) <= floor))
+        .write.mode("overwrite").parquet(s"$stateDir/${leafName(b, nextVersion)}")
+    }
+    val newLeaves = manifest.leaves ++
+      expirable.keys.map(b => b -> leafName(b, nextVersion)).toMap
+    writeManifest(fs, stateDir, Manifest(nextVersion, newLeaves))
+    expirable.foreach { case (_, d) =>
+      try fs.delete(new Path(stateDir, d), true)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** `foreachBatch` adapter: attach the materializer to any typed change
+    * stream —
+    * {{{
+    * stream.writeStream.foreachBatch(Materializer.sink(stateDir, spec)).start()
+    * }}}
+    */
+  def sink(stateDir: String, spec: Spec): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) =>
+      applyBatch(batch.sparkSession, stateDir, batch, spec)
+}

@@ -1,0 +1,135 @@
+package graft
+
+import graft.streaming.Materializer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bucketed current-state store: merge semantics (latest-by-seq,
+  * tombstoned deletes), idempotent redelivery, no-resurrection under
+  * out-of-order replay, bucket pruning (untouched buckets keep their leaf
+  * versions), crash-residue sweep, tombstone compaction — all over an
+  * EXPLICIT `file:///` Hadoop path so the storage contract stays the
+  * FileSystem API, not `java.nio`.
+  */
+class MaterializerSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val spec = Materializer.Spec(
+    keyCols = Seq("table_name", "record_id"), buckets = 8)
+
+  private def freshDir(tag: String): String =
+    "file://" + java.nio.file.Files.createTempDirectory(s"mat_$tag").toString
+
+  private def chg(rows: (String, Long, Long, String, Long)*): DataFrame =
+    rows.toSeq.toDF("table_name", "record_id", "seq", "op", "val_cents")
+
+  private def state(dir: String, tombstones: Boolean = false): Seq[(String, Long, Long, String, Long)] =
+    Materializer.currentState(spark, dir, spec, keepTombstones = tombstones)
+      .select("table_name", "record_id", "seq", "op", "val_cents")
+      .as[(String, Long, Long, String, Long)].collect().toSeq.sorted
+
+  test("merge lifecycle: insert, update replaces, delete tombstones") {
+    val dir = freshDir("life")
+    Materializer.applyBatch(spark, dir, chg(
+      ("user", 1L, 10L, "insert", 100L),
+      ("user", 2L, 11L, "insert", 200L),
+      ("todo", 1L, 12L, "insert", 300L)), spec)
+    Materializer.applyBatch(spark, dir, chg(
+      ("user", 1L, 20L, "update", 150L),   // replaces
+      ("user", 2L, 21L, "delete", 200L),   // tombstones
+      ("order", 9L, 22L, "insert", 900L)), spec)
+    assert(state(dir) == Seq(
+      ("order", 9L, 22L, "insert", 900L),
+      ("todo", 1L, 12L, "insert", 300L),
+      ("user", 1L, 20L, "update", 150L)))
+    // the delete is retained as a tombstone, not dropped
+    val withT = state(dir, tombstones = true)
+    assert(withT.contains(("user", 2L, 21L, "delete", 200L)))
+  }
+
+  test("redelivered batch is a no-op (exactly-once state from at-least-once delivery)") {
+    val dir = freshDir("redeliver")
+    val b1 = chg(("user", 1L, 10L, "insert", 100L), ("user", 2L, 11L, "insert", 200L))
+    val b2 = chg(("user", 1L, 20L, "update", 150L), ("user", 2L, 21L, "delete", 200L))
+    Materializer.applyBatch(spark, dir, b1, spec)
+    Materializer.applyBatch(spark, dir, b2, spec)
+    val once = state(dir, tombstones = true)
+    Materializer.applyBatch(spark, dir, b2, spec) // foreachBatch replay after restart
+    assert(state(dir, tombstones = true) == once)
+  }
+
+  test("out-of-order replay cannot resurrect a deleted record") {
+    val dir = freshDir("zombie")
+    Materializer.applyBatch(spark, dir, chg(
+      ("user", 1L, 10L, "insert", 100L),
+      ("user", 1L, 30L, "delete", 100L)), spec)
+    // a replayed OLDER change (seq 20 < the tombstone's 30) arrives late
+    Materializer.applyBatch(spark, dir, chg(
+      ("user", 1L, 20L, "update", 999L)), spec)
+    assert(state(dir).isEmpty, "tombstone must win over older replayed change")
+  }
+
+  test("bucket pruning: untouched buckets keep their leaf version across applies") {
+    val dir = freshDir("prune")
+    // pick a second record id from a DIFFERENT bucket than record 1's
+    val buckets = bucketsFor(1L to 64L)
+    val b1 = buckets(1L)
+    val id2 = (2L to 64L).find(i => buckets(i) != b1).get
+    Materializer.applyBatch(spark, dir,
+      chg(("user", 1L, 10L, "insert", 1L), ("user", id2, 11L, "insert", 2L)), spec)
+    val m1 = Materializer.readManifest(dir)
+    assert(m1.leaves.size == 2)
+    // touch ONLY record 1's bucket
+    Materializer.applyBatch(spark, dir, chg(("user", 1L, 20L, "update", 3L)), spec)
+    val m2 = Materializer.readManifest(dir)
+    val untouched = m1.leaves.keySet - b1
+    assert(untouched.nonEmpty &&
+      untouched.forall(b => m2.leaves(b) == m1.leaves(b)),
+      s"untouched buckets rewrote: $m1 -> $m2")
+    assert(m2.leaves(b1) != m1.leaves(b1), "touched bucket must version forward")
+  }
+
+  /** bucket per record id (table "user"), one job for the whole range */
+  private def bucketsFor(ids: Seq[Long]): Map[Long, Int] =
+    ids.map(i => ("user", i)).toDF("table_name", "record_id")
+      .select(col("record_id"), Materializer.bucketCol(spec).as("b"))
+      .as[(Long, Long)].collect().map { case (i, b) => i -> b.toInt }.toMap
+
+  test("crash residue: unreferenced leaf directories are swept by the next apply") {
+    val dir = freshDir("sweep")
+    Materializer.applyBatch(spark, dir, chg(("user", 1L, 10L, "insert", 1L)), spec)
+    // plant residue of a crashed attempt (written leaves, manifest never swapped)
+    val (fs, root) = graft.sources.cdc.WalSegments.fsFor(dir)
+    val orphan = new org.apache.hadoop.fs.Path(root, "leaf-b00007-v99999999")
+    fs.mkdirs(orphan)
+    Materializer.applyBatch(spark, dir, chg(("user", 1L, 20L, "update", 2L)), spec)
+    assert(!fs.exists(orphan), "crash residue must be swept")
+    assert(state(dir) == Seq(("user", 1L, 20L, "update", 2L)))
+  }
+
+  test("compact drops tombstones at or below the floor, keeps newer ones") {
+    val dir = freshDir("compact")
+    Materializer.applyBatch(spark, dir, chg(
+      ("user", 1L, 10L, "insert", 1L),
+      ("user", 2L, 11L, "insert", 2L),
+      ("user", 3L, 12L, "insert", 3L)), spec)
+    Materializer.applyBatch(spark, dir, chg(
+      ("user", 2L, 20L, "delete", 2L),
+      ("user", 3L, 40L, "delete", 3L)), spec)
+    Materializer.compact(spark, dir, spec, floor = 30L)
+    val t = state(dir, tombstones = true)
+    assert(!t.exists(r => r._2 == 2L), "tombstone below floor must compact away")
+    assert(t.contains(("user", 3L, 40L, "delete", 3L)),
+      "tombstone above floor must survive (replays can still reach it)")
+    assert(state(dir) == Seq(("user", 1L, 10L, "insert", 1L)))
+  }
+}

@@ -234,6 +234,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"tokenization recomputed per consumer ($textScans text scans)")
   }
 
+  test("cdc24: the delta aggregation is one map-side-combined shuffle of narrow rows") {
+    val df = SparkEntry.queries("cdc24_delta_agg")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // explode → partial HashAggregate → ONE hash exchange on the group key
+    // → final HashAggregate (the orderBy's range exchange is presentation)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"delta agg should shuffle once:\n$p")
+    assert(p.contains("partial_sum"), "map-side combine missing")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).mkString("\n")
+    // the shuffle carries (table_name, k_bucket) + two partial sums — the
+    // change payloads (records, props) must never ride it
+    assert(!exchanges.contains("props#") && !exchanges.contains("record"),
+      s"payload rides the delta-agg shuffle:\n$exchanges")
+  }
+
   test("whole-stage codegen covers the scan pipelines of every analytics query") {
     Seq("q01_pricing_summary", "q04_forecast_revenue", "txt01_token_stats")
       .foreach { q =>

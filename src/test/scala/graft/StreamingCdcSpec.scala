@@ -1664,6 +1664,52 @@ class StreamingCdcSpec extends AnyFunSuite {
       (3L, base, base + 3 * gapMs, 3L)                    // chained boundary extension, one session
     ), s"session_window boundary semantics drifted: $got")
   }
+
+  // ---- cdc24: retraction-aware aggregation composes over the stream ----
+
+  test("cdc24 streaming parity: signed-delta aggregation over micro-batches equals batch") {
+    import graft.operators.cdc.ChangeStream
+    import org.apache.spark.sql.functions.{col, sum}
+    // change rows in the `changes` shape signedDeltas consumes; an update
+    // that MOVES groups (k 8→9 retracts bucket 0, adds bucket 1) and a
+    // delete that retracts entirely
+    val rows = Seq(
+      ("user", "insert", Some(8L), 1000L),
+      ("user", "insert", Some(16L), 2000L),
+      ("user", "update", Some(9L), 1150L),  // old image: k=8, val=1000
+      ("todo", "insert", Some(5L), 500L),
+      ("todo", "delete", Some(5L), 500L),
+      ("user", "update", Some(16L), 2000L)) // k%5≠0 → old k=15: migrates buckets
+    def aggOf(df: DataFrame): DataFrame =
+      ChangeStream.signedDeltas(df)
+        .groupBy(col("table_name"), (col("ck") % 8).as("k_bucket"))
+        .agg(sum(col("sign")).as("row_delta"),
+          sum(col("sign") * col("cv")).as("cents_delta"))
+    val batchDf = rows.toDF("table_name", "op", "k", "val_cents")
+    val expected = aggOf(batchDf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, String, Option[Long], Long)]
+    val stream = ms.toDF().toDF("table_name", "op", "k", "val_cents")
+    val q = aggOf(stream)
+      .writeStream.format("memory").queryName("t_cdc24")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(0)).start()
+    rows.grouped(2).foreach { slice => ms.addData(slice: _*); q.processAllAvailable() }
+    val got = spark.table("t_cdc24")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    q.stop()
+    assert(got == expected,
+      s"stream/batch divergence: stream=$got batch=$expected")
+    // the fixture really exercised the interesting paths: the k 16→16
+    // update retracted its old image (k=15) OUT of bucket 7 (a bucket
+    // nothing was ever added to — pure migration retraction), and todo's
+    // insert+delete netted to exactly zero
+    assert(expected.contains(("user", 7L, -1L, -1850L)),
+      s"migration retraction missing: $expected")
+    assert(expected.contains(("todo", 5L, 0L, 0L)),
+      s"insert+delete must net to zero: $expected")
+  }
 }
 
 /** Fault injector for the ledger IO-degrade spec: creates of MARKER files
