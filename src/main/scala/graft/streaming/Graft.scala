@@ -348,6 +348,46 @@ object Graft {
     }
   }
 
+  /** Current-state REPLICA in one call: the config's change stream applied
+    * into a [[Materializer]] store at `stateDir` — "keep a lake table in
+    * sync with the database", the consumer the reference's README lists
+    * first and leaves to hand-rolled callbacks. Rows are keyed by
+    * (source table, `keyField` from the event payload) and versioned by
+    * the stream's monotone `seq`; deletes tombstone. The payload is the
+    * generic record map — schema-agnostic, so mid-stream DDL flows
+    * through; pair with [[bootstrap]] for a full initial-sync + live
+    * replica pipeline, and [[Materializer.compact]] past the consumer
+    * floor. `stateDir` (like `walDir`) may be `hdfs://`/`s3a://`.
+    */
+  def materialize(spark: SparkSession, config: GraftConfig, walDir: String,
+      stateDir: String, keyField: String = "id", buckets: Int = 64,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+    val ev = events(spark, config, walDir)
+    val rec = coalesce(col("new_record"), col("old_record"))
+    val rows = ev.select(
+      col("name").as("table_name"),
+      element_at(rec, keyField).as("record_key"),
+      col("seq"), col("type").as("op"),
+      col("lsn"), col("timestamp_ms"),
+      rec.as("record"))
+    val spec = Materializer.Spec(
+      keyCols = Seq("table_name", "record_key"), buckets = buckets)
+    withStateStoreProvider(spark, config) {
+      var w = rows.writeStream
+        .foreachBatch(Materializer.sink(stateDir, spec))
+        .queryName(s"graft-materialize-${config.appName}")
+        .trigger(trigger)
+      config.effectiveCheckpoint.foreach(c => w = w.option("checkpointLocation", c))
+      w.start()
+    }
+  }
+
+  /** [[Materializer.Spec]] that [[materialize]] uses — for reading the
+    * store back ([[Materializer.currentState]]) or compacting it.
+    */
+  def materializeSpec(buckets: Int = 64): Materializer.Spec =
+    Materializer.Spec(keyCols = Seq("table_name", "record_key"), buckets = buckets)
+
   /** Streaming state-store provider is a SESSION conf bound per query at
     * `.start()` — scope it to this start call by snapshotting and
     * restoring the previous value, so a config that asks for e.g. RocksDB

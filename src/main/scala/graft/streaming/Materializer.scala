@@ -167,7 +167,6 @@ object Materializer {
     sweepUnreferenced(fs, stateDir, manifest)
     val nextVersion = manifest.version + 1
 
-    val dataCols = batch.columns.toSeq
     val batchLatest = reduceLatest(batch, spec)
       .withColumn("_gbucket", bucketCol(spec))
       .persist() // two consumers: the bucket list and the merge
@@ -177,13 +176,18 @@ object Materializer {
       val existingPaths = affected.flatMap { b =>
         manifest.leaves.get(b).map(d => s"$stateDir/$d")
       }
-      // leaf files do not store the partition/bucket columns — re-derive
+      // leaf files do not store the partition/bucket columns — re-derive.
+      // mergeSchema + allowMissingColumns make the store SCHEMA-EVOLVING:
+      // a batch carrying new columns widens the state (old rows read
+      // null); a batch missing columns the state has leaves them null on
+      // its rows — mid-stream ADD COLUMN flows through without a rebuild
       val existing =
         if (existingPaths.isEmpty) None
-        else Some(spark.read.parquet(existingPaths.toIndexedSeq: _*)
-          .select(dataCols.map(col): _*)
+        else Some(spark.read.option("mergeSchema", "true")
+          .parquet(existingPaths.toIndexedSeq: _*)
           .withColumn("_gbucket", bucketCol(spec)))
-      val unioned = existing.fold(batchLatest)(_.unionByName(batchLatest))
+      val unioned = existing.fold(batchLatest)(
+        _.unionByName(batchLatest, allowMissingColumns = true))
       val merged = reduceLatest(unioned, spec)
         .withColumn("_leaf",
           concat(lit("b"), lpad(col("_gbucket").cast("string"), 5, "0"),
@@ -227,7 +231,9 @@ object Materializer {
       throw new IllegalStateException(
         s"$stateDir holds no materialized state (no manifest)")
     val paths = manifest.leaves.values.map(d => s"$stateDir/$d").toIndexedSeq
-    val df = spark.read.parquet(paths: _*)
+    // mergeSchema: buckets last rewritten before a schema widening still
+    // read into the union schema (their missing columns as null)
+    val df = spark.read.option("mergeSchema", "true").parquet(paths: _*)
     if (keepTombstones) df else df.filter(col(spec.opCol) =!= spec.deleteOp)
   }
 

@@ -116,6 +116,25 @@ class MaterializerSpec extends AnyFunSuite {
     assert(state(dir) == Seq(("user", 1L, 20L, "update", 2L)))
   }
 
+  test("schema evolution: a batch with a new column widens state; old rows read null") {
+    val dir = freshDir("evolve")
+    Materializer.applyBatch(spark, dir, chg(("user", 1L, 10L, "insert", 100L)), spec)
+    // mid-stream ADD COLUMN: the next batch carries `email`
+    val widened = Seq(("user", 2L, 20L, "insert", 200L, "a@x"))
+      .toDF("table_name", "record_id", "seq", "op", "val_cents", "email")
+    Materializer.applyBatch(spark, dir, widened, spec)
+    val got = Materializer.currentState(spark, dir, spec)
+      .select("record_id", "val_cents", "email")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(got == Set((1L, 100L, None), (2L, 200L, Some("a@x"))),
+      s"widened state wrong: $got")
+    // and a batch MISSING the new column still applies (its rows null it)
+    Materializer.applyBatch(spark, dir, chg(("user", 3L, 30L, "insert", 300L)), spec)
+    val after = Materializer.currentState(spark, dir, spec)
+      .select("record_id", "email").as[(Long, Option[String])].collect().toSet
+    assert(after == Set((1L, None), (2L, Some("a@x")), (3L, None)))
+  }
+
   test("compact drops tombstones at or below the floor, keeps newer ones") {
     val dir = freshDir("compact")
     Materializer.applyBatch(spark, dir, chg(

@@ -1665,6 +1665,30 @@ class StreamingCdcSpec extends AnyFunSuite {
     ), s"session_window boundary semantics drifted: $got")
   }
 
+  test("Graft.materialize: one call maintains a current-state replica from the WAL stream") {
+    import graft.streaming.{Graft, GraftConfig, Materializer}
+    import org.apache.spark.sql.functions.{col, element_at}
+    val dir = tmpDir("matz")
+    WalFixture.writeSegments(dir, Seq(
+      mkChange(1, 1, "insert", "user", recordId = 1, valCents = 100),
+      mkChange(2, 1, "insert", "user", recordId = 2, valCents = 200),
+      mkChange(3, 1, "insert", "todo", recordId = 3, valCents = 300),
+      mkChange(4, 2, "update", "user", recordId = 1, valCents = 150),
+      mkChange(5, 2, "delete", "user", recordId = 2, valCents = 200)))
+    val state = tmpDir("matz-state")
+    val config = GraftConfig("matz", publication = Some("graft_pub"))
+    val q = Graft.materialize(spark, config, dir, state,
+      buckets = 4, trigger = Trigger.AvailableNow())
+    q.awaitTermination(600000)
+    val got = Materializer.currentState(spark, state, Graft.materializeSpec(4))
+      .select(col("table_name"), col("record_key"),
+        element_at(col("record"), "val_cents"))
+      .as[(String, String, String)].collect().toSet
+    // rec 1 at its updated value, rec 2 deleted, rec 3 intact
+    assert(got == Set(("user", "1", "150"), ("todo", "3", "300")),
+      s"replica state wrong: $got")
+  }
+
   // ---- cdc24: retraction-aware aggregation composes over the stream ----
 
   test("cdc24 streaming parity: signed-delta aggregation over micro-batches equals batch") {
