@@ -229,7 +229,11 @@ object Materializer {
     val manifest = readManifest(stateDir, conf)
     if (manifest.leaves.isEmpty)
       throw new IllegalStateException(
-        s"$stateDir holds no materialized state (no manifest)")
+        if (manifest.version == 0L)
+          s"$stateDir holds no materialized state (no manifest)"
+        else
+          s"$stateDir state is EMPTY at version ${manifest.version} " +
+            "(every record deleted and compacted; schema is gone with the rows)")
     val paths = manifest.leaves.values.map(d => s"$stateDir/$d").toIndexedSeq
     // mergeSchema: buckets last rewritten before a schema widening still
     // read into the union schema (their missing columns as null)
@@ -248,23 +252,44 @@ object Materializer {
     val manifest = readManifest(stateDir, conf)
     if (manifest.leaves.isEmpty) return
     val nextVersion = manifest.version + 1
-    val expirable = manifest.leaves.filter { case (_, d) =>
-      !spark.read.parquet(s"$stateDir/$d")
-        .filter(col(spec.opCol) === spec.deleteOp && col(spec.seqCol) <= floor)
-        .isEmpty
-    }
+    val all = spark.read.option("mergeSchema", "true")
+      .parquet(manifest.leaves.values.map(d => s"$stateDir/$d").toIndexedSeq: _*)
+      .withColumn("_gbucket", bucketCol(spec))
+    val expired = col(spec.opCol) === spec.deleteOp && col(spec.seqCol) <= floor
+    // ONE aggregation finds the buckets holding expirable tombstones (a
+    // per-leaf probe loop would be O(buckets) driver-side jobs — the
+    // compaction scan is inherently full-table, but it must be one job)
+    val expirable = all.filter(expired).select("_gbucket").distinct()
+      .collect().map(_.getLong(0).toInt).sorted // bucket IDs: metadata
     if (expirable.isEmpty) return
-    expirable.foreach { case (b, d) =>
-      spark.read.parquet(s"$stateDir/$d")
-        .filter(!(col(spec.opCol) === spec.deleteOp && col(spec.seqCol) <= floor))
-        .write.mode("overwrite").parquet(s"$stateDir/${leafName(b, nextVersion)}")
+    val expirableSet = expirable.toSet
+    // ONE write job rewrites exactly those buckets without tombstones
+    all.filter(col("_gbucket").isin(expirable.map(Integer.valueOf): _*) && !expired)
+      .withColumn("_leaf",
+        concat(lit("b"), lpad(col("_gbucket").cast("string"), 5, "0"),
+          lit(f"-v$nextVersion%08d")))
+      .drop("_gbucket")
+      .write.mode("append").partitionBy("_leaf").parquet(stateDir)
+    // a bucket whose rows were ALL expirable tombstones writes no dir —
+    // it simply leaves the manifest (an absent entry IS the empty bucket)
+    val rewritten = expirable.filter { b =>
+      val written = new Path(stateDir,
+        s"_leaf=${leafName(b, nextVersion).stripPrefix("leaf-")}")
+      fs.exists(written) && {
+        val dest = new Path(stateDir, leafName(b, nextVersion))
+        if (!fs.rename(written, dest))
+          throw new java.io.IOException(s"could not publish $written to $dest")
+        true
+      }
     }
-    val newLeaves = manifest.leaves ++
-      expirable.keys.map(b => b -> leafName(b, nextVersion)).toMap
+    val newLeaves = (manifest.leaves -- expirableSet) ++
+      rewritten.map(b => b -> leafName(b, nextVersion)).toMap
     writeManifest(fs, stateDir, Manifest(nextVersion, newLeaves))
-    expirable.foreach { case (_, d) =>
-      try fs.delete(new Path(stateDir, d), true)
-      catch { case _: java.io.IOException => () }
+    expirable.foreach { b =>
+      manifest.leaves.get(b).foreach { old =>
+        try fs.delete(new Path(stateDir, old), true)
+        catch { case _: java.io.IOException => () }
+      }
     }
   }
 

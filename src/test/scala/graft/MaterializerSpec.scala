@@ -140,7 +140,8 @@ class MaterializerSpec extends AnyFunSuite {
     Materializer.applyBatch(spark, dir, chg(
       ("user", 1L, 10L, "insert", 1L),
       ("user", 2L, 11L, "insert", 2L),
-      ("user", 3L, 12L, "insert", 3L)), spec)
+      ("user", 3L, 12L, "insert", 3L),
+      ("todo", 9L, 13L, "insert", 9L)), spec) // survives every compaction
     Materializer.applyBatch(spark, dir, chg(
       ("user", 2L, 20L, "delete", 2L),
       ("user", 3L, 40L, "delete", 3L)), spec)
@@ -149,6 +150,13 @@ class MaterializerSpec extends AnyFunSuite {
     assert(!t.exists(r => r._2 == 2L), "tombstone below floor must compact away")
     assert(t.contains(("user", 3L, 40L, "delete", 3L)),
       "tombstone above floor must survive (replays can still reach it)")
-    assert(state(dir) == Seq(("user", 1L, 10L, "insert", 1L)))
+    assert(state(dir) == Seq(
+      ("todo", 9L, 13L, "insert", 9L), ("user", 1L, 10L, "insert", 1L)))
+    // a bucket whose EVERY row expires simply leaves the manifest (an
+    // absent entry IS the empty bucket) and the store keeps working
+    Materializer.applyBatch(spark, dir, chg(("user", 1L, 50L, "delete", 1L)), spec)
+    Materializer.compact(spark, dir, spec, floor = 60L)
+    assert(state(dir, tombstones = true) == Seq(("todo", 9L, 13L, "insert", 9L)),
+      "only the never-deleted record survives full compaction")
   }
 }
