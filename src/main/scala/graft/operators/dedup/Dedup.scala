@@ -3,6 +3,7 @@ package graft.operators.dedup
 import graft.Tables
 import graft.operators.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for training-data pipelines.
@@ -705,5 +706,65 @@ object Dedup {
       i += 1
     }
     labs.select(col("vec_id"), col("label").as("component_id"))
+  }
+
+  /** dd12 — duplicated-span statistics: per document, how many token
+    * positions sit inside a `k`-token span that occurs MORE THAN ONCE in
+    * the corpus (the repeated-substring measure behind span-level
+    * training-data dedup — the reference has no analogue; this is the
+    * LLM-pipeline tail). A span is a positional k-token window (every
+    * start, NOT the distinct shingle set MinHash uses); its corpus
+    * count includes within-document repeats.
+    *
+    * Exactness device: the covered-position count is the union length of
+    * the intervals [s, s+k-1] over a doc's duplicated starts. Because the
+    * interval end is monotone in the start, the union length is
+    * `Σ min(k, s − prev_s)` over starts in order (first start counts k) —
+    * integer arithmetic under one per-doc window, no interval
+    * merge loop, identical in SQL.
+    *
+    * Scale shape: gram rows carry (doc_id, start, md5) only — never text;
+    * the corpus count is a map-side-combined `groupBy(gh)` whose join-back
+    * is AQE-skew-splittable (the dd01 dup-storm discipline — a
+    * `Window.partitionBy(gh)` count would ship every copy of a hot span
+    * to one task); the island sum keys on doc_id. Two key shuffles, no
+    * all-pairs stage.
+    */
+  def spanDupStats(spark: SparkSession, d: String, k: Int = 8): DataFrame =
+    spanDupStatsFor(Tables.documents(spark, d), k)
+
+  /** [[spanDupStats]] over any (doc_id, text) frame — the spec's plant
+    * seam.
+    */
+  def spanDupStatsFor(documents: DataFrame, k: Int): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+    val withN = docs.select(col("doc_id"), size(col("t")).as("n_tokens"), col("t"))
+    val grams = withN.filter(col("n_tokens") >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), col("n_tokens") - k),
+          i => struct(i.as("s"),
+            md5(concat_ws(" ", slice(col("t"), i + 1, lit(k)))).as("gh")))).as("g"))
+      .select(col("doc_id"), col("g.s").as("s"), col("g.gh").as("gh"))
+    val dupGrams = grams.groupBy(col("gh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("gh"))
+    val dupStarts = grams.join(dupGrams, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("s"))
+    val contribs = dupStarts
+      .withColumn("prev", lag(col("s"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("s"))))
+      .select(col("doc_id"),
+        when(col("prev").isNull, lit(k))
+          .otherwise(least(lit(k), col("s") - col("prev"))).as("contrib"))
+    val perDoc = contribs.groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("n_dup_tokens"))
+    withN.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        when(col("n_tokens") > 0,
+          coalesce(col("n_dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -16,6 +16,31 @@ package graft.queries
   */
 object Oracles {
 
+  /** txt14's SQL assembled from the SAME workload definition the Spark
+    * side uses ([[graft.operators.text.TextOps.bm25Queries]]) — the query
+    * terms, their addition order, and the literal-folded constants cannot
+    * drift between the two engines.
+    */
+  private object Bm25 {
+    private val queries = graft.operators.text.TextOps.bm25Queries
+    private val terms = queries.flatMap(_._2).distinct.sorted
+    val termList: String = terms.map(t => s"'$t'").mkString(", ")
+    val tfAggs: String = terms.map(t =>
+      s"SUM(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS tf_$t").mkString(",\n    ")
+    val dfAggs: String = terms.map(t =>
+      s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n    ")
+    private def termScore(t: String): String =
+      s"((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) / " +
+        s"(CAST(df_$t AS DOUBLE) + 0.5)) * ((CAST(tf_$t AS DOUBLE) * 2.2) / " +
+        s"(CAST(tf_$t AS DOUBLE) + 1.2 * (0.25 + 0.75 * " +
+        "(CAST(dl * n_docs AS DOUBLE) / CAST(total_tokens AS DOUBLE)))))"
+    val scoredUnion: String = queries.map { case (qid, qTerms) =>
+      val score = qTerms.map(termScore).mkString(" + ")
+      s"  SELECT $qid AS query_id, doc_id, dl, $score AS score\n" +
+        "  FROM tf CROSS JOIN stats CROSS JOIN dfs"
+    }.mkString("\n  UNION ALL\n")
+  }
+
   /** Shared derivation of the CDC change set from `events` — must mirror
     * [[graft.operators.cdc.ChangeStream.changes]] exactly.
     */
@@ -694,6 +719,31 @@ SELECT d.doc_id,
 FROM toks d LEFT JOIN per ON d.doc_id = per.doc_id CROSS JOIN tot
 ORDER BY d.doc_id""",
 
+    // BM25 top-k retrieval. The score expression mirrors the Spark side
+    // literally — log-free odds idf, k1=1.2 / b=0.75 folded as literals,
+    // dl/avgdl as (dl*n_docs)/total_tokens, per-query sum left-associative
+    // in query-term order — so every double op is the identical IEEE-754
+    // tree and the comparison is bit-exact. Only docs containing at least
+    // one query term rank (zero-score docs are out of scope by contract).
+    "txt14_bm25" -> s"""$toksCte,
+tok AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+qt AS (SELECT doc_id, dl, term FROM tok
+  WHERE term IN (${Bm25.termList})),
+tf AS (
+  SELECT doc_id, dl, ${Bm25.tfAggs}
+  FROM qt GROUP BY doc_id, dl),
+stats AS (SELECT count(*) AS n_docs, sum(len(t)) AS total_tokens FROM toks),
+dfs AS (SELECT ${Bm25.dfAggs} FROM tf),
+scored AS (
+${Bm25.scoredUnion}),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored)
+SELECT query_id, rnk, doc_id, dl AS n_tokens, score
+FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
     // streaming session windows: the oracle is the batch gaps-and-islands
     // sessionization of the change set. Spark's session_window is
     // CLOSED-interval at the boundary — an event exactly `gap` after the
@@ -1066,6 +1116,31 @@ WITH t AS (
 SELECT doc_id + 100000 AS batch_id, doc_id AS corpus_id,
   CAST(1.0 AS DOUBLE) AS jaccard
 FROM t WHERE len(toks) >= 3 ORDER BY batch_id""",
+
+    // duplicated-span statistics: positional 8-gram corpus counts; the
+    // covered-position total per doc is the interval-union length via the
+    // monotone-end identity Σ min(k, s - prev_s) — integer math only
+    "dd12_span_dedup" -> s"""$toksCte,
+st AS (
+  SELECT doc_id, t, unnest(range(0, len(t) - 8 + 1)) AS s
+  FROM toks WHERE len(t) >= 8),
+g AS (
+  SELECT doc_id, s, md5(array_to_string(t[s+1:s+8], ' ')) AS gh FROM st),
+dupg AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1),
+ds AS (SELECT doc_id, s FROM g JOIN dupg USING (gh)),
+isl AS (
+  SELECT doc_id,
+    CASE WHEN prev IS NULL THEN 8 ELSE LEAST(8, s - prev) END AS contrib
+  FROM (
+    SELECT doc_id, s, lag(s) OVER (PARTITION BY doc_id ORDER BY s) AS prev
+    FROM ds)),
+agg AS (SELECT doc_id, sum(contrib) AS n_dup FROM isl GROUP BY 1)
+SELECT d.doc_id, len(d.t) AS n_tokens,
+  COALESCE(agg.n_dup, 0) AS n_dup_tokens,
+  CASE WHEN len(d.t) > 0
+       THEN CAST(COALESCE(agg.n_dup, 0) AS DOUBLE) / len(d.t)
+       ELSE CAST(0 AS DOUBLE) END AS dup_frac
+FROM toks d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id""",
 
     "dd04_simhash" -> """
 WITH t AS (

@@ -184,6 +184,7 @@ object QueryPack {
     "txt11_tfidf_terms"  -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "txt12_vocab_oov"    -> ((s, d) => TextOps.vocabOovRate(s, d)),
     "txt13_familiarity"  -> ((s, d) => TextOps.familiarity(s, d)),
+    "txt14_bm25"         -> ((s, d) => TextOps.bm25TopK(s, d)),
 
     // ---- dedup ----
     "dd01_exact_dedup"   -> ((s, d) => Dedup.exact(s, d)),
@@ -202,6 +203,7 @@ object QueryPack {
     "dd09_noisy_recall"   -> ((s, d) => Dedup.noisyRecallSummary(s, d)),
     "dd10_split_leakage"  -> ((s, d) => Dedup.splitLeakage(s, d)),
     "dd11_incremental"    -> ((s, d) => Dedup.incrementalSelfRecall(s, d)),
+    "dd12_span_dedup"     -> ((s, d) => Dedup.spanDupStats(s, d)),
 
     // ---- similarity search ----
     "ann01_brute_topk"  -> ((s, d) => Ann.bruteForceTopK(s, d)),

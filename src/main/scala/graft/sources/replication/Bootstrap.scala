@@ -122,7 +122,11 @@ object Bootstrap {
         val relation = PgOutputEncoder.encode(WalMessage.Relation(
           relId, schema, rel, ReplicaIdentity.Default, columns))
 
-        val q = conn.prepareStatement(s"""SELECT * FROM "$schema"."$rel"""")
+        // identifiers are interpolated (not bindable) — double any embedded
+        // quote so a legitimately-quoted relation name cannot break out
+        def ident(s: String) = "\"" + s.replace("\"", "\"\"") + "\""
+        val q = conn.prepareStatement(
+          s"SELECT * FROM ${ident(schema)}.${ident(rel)}")
         val rs = q.executeQuery()
         val n = columns.length
         val chunk = Vector.newBuilder[Array[Byte]]

@@ -870,4 +870,62 @@ class OperatorsSpec extends AnyFunSuite {
     assert(stormy.nonEmpty && stormy.length == clean.length)
     stormy.zip(clean).foreach { case (a, b) => assert(a == b) }
   }
+
+  test("dd12 span dedup: interval-union coverage over planted spans") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d x1 x2 x3 x4"),   // shares span "a b c d" with doc 2
+      (2L, "y1 y2 a b c d y3 y4"),
+      (3L, "p q r s p q r s"),        // self-repeat: starts 0 and 4 both dup
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8") // nothing repeated
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDupStatsFor(docs, k = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((8, 4L, 0.5)))
+    assert(out(2L) == ((8, 4L, 0.5)))
+    assert(out(3L) == ((8, 8L, 1.0))) // adjacent islands merge to full cover
+    assert(out(4L) == ((8, 0L, 0.0)))
+    // overlapping duplicated starts: every window of "m n m n m n" at k=2
+    // is duplicated, so contributions 2,1,1,1,1 must union to ALL 6 tokens
+    val overlap = Dedup.spanDupStatsFor(
+      Seq((9L, "m n m n m n")).toDF("doc_id", "text"), k = 2).collect()
+    assert(overlap.map(r => (r.getLong(2), r.getDouble(3))).toSeq ==
+      Seq((6L, 1.0)))
+  }
+
+  test("txt14 bm25: hand-computed exact scores; bucketed top-k == naive") {
+    import spark.implicits._
+    import graft.operators.text.TextOps
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana banana"),
+      (4L, "cherry date elderberry fig") // no query term: out of scope
+    ).toDF("doc_id", "text")
+    val qs = Seq(1 -> Seq("apple", "banana"))
+    val out = TextOps.bm25TopKFor(docs, qs, k = 4, buckets = 8).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(4)))
+    // the operator's exact IEEE tree replayed on JVM doubles: N=4 docs,
+    // total_tokens=13, df(apple)=2, df(banana)=2
+    def ts(tf: Long, df: Long, dl: Long): Double = {
+      val tfd = tf.toDouble; val dfd = df.toDouble
+      val idf = (4.0 - dfd + 0.5) / (dfd + 0.5)
+      val ldn = (dl * 4L).toDouble / 13.0
+      idf * ((tfd * 2.2) / (tfd + 1.2 * (0.25 + 0.75 * ldn)))
+    }
+    val expected = Seq(
+      1L -> (ts(2, 2, 3) + ts(1, 2, 3)),
+      2L -> (ts(1, 2, 2) + ts(0, 2, 2)),
+      3L -> (ts(0, 2, 4) + ts(4, 2, 4)))
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, s), i) => (i + 1, id, s) }
+    assert(out.toSeq == expected, s"got ${out.toSeq}\nexp $expected")
+    // the two-stage bucketed top-k returns exactly the naive (buckets=1)
+    // global ranking on the real corpus
+    val bucketed = TextOps.bm25TopK(spark, sf, k = 5, buckets = 64).collect()
+    val naive = TextOps.bm25TopK(spark, sf, k = 5, buckets = 1).collect()
+    assert(bucketed.toSeq == naive.toSeq)
+    assert(bucketed.length == 15) // 3 queries × k
+  }
 }
