@@ -727,8 +727,17 @@ object Dedup {
     * the corpus count is a map-side-combined `groupBy(gh)` whose join-back
     * is AQE-skew-splittable (the dd01 dup-storm discipline — a
     * `Window.partitionBy(gh)` count would ship every copy of a hot span
-    * to one task); the island sum keys on doc_id. Two key shuffles, no
-    * all-pairs stage.
+    * to one task); the island sum keys on doc_id. The corpus IS tokenized
+    * twice (count lane + position lane) — deliberately NOT the dd06
+    * shared-exchange device: the count lane's shuffle is gh-only partial
+    * counts (tiny), and when the duplicated-gram set broadcasts (the
+    * common case — dup spans are the minority) the position lane's gram
+    * rows never shuffle AT ALL, so the only full-corpus costs are two
+    * scan+tokenize passes. Sharing one exchange would instead push every
+    * gram row (≈ one per corpus token) through the wire to save one
+    * CPU-bound tokenize — the wrong trade at 100 TB. When the dup set is
+    * too large to broadcast, AQE falls back to a shuffled semi join whose
+    * rows are the same narrow triple.
     */
   def spanDupStats(spark: SparkSession, d: String, k: Int = 8): DataFrame =
     spanDupStatsFor(Tables.documents(spark, d), k)

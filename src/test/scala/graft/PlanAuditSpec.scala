@@ -252,6 +252,56 @@ class PlanAuditSpec extends AnyFunSuite {
       s"payload rides the delta-agg shuffle:\n$exchanges")
   }
 
+  test("dd12: gram counts map-side combine; no payload or window on the gram key") {
+    val df = SparkEntry.queries("dd12_span_dedup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("partial_count"), "gram count lost its map-side combine")
+    assert(p.contains("LeftSemi"), "dup-gram screen is not a semi join")
+    // the only Window is the per-doc island scan — a Window on the gram
+    // key would ship every copy of a hot span to one task
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("doc_id#")),
+      s"window not keyed on doc_id:\n${windows.mkString("\n")}")
+    assert(!windows.exists(_.contains("gh#")), "window keyed on the gram hash")
+    // shuffles carry (doc_id, s, gh) / partial counts — never text or the
+    // token array
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).mkString("\n")
+    assert(!exchanges.contains("text#") && !exchanges.contains("t#"),
+      s"corpus payload rides a dd12 shuffle:\n$exchanges")
+  }
+
+  test("txt14: one corpus tf aggregation; broadcast stats; top-k group limits") {
+    val df = SparkEntry.queries("txt14_bm25")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // per-doc tf: map-side-combined conditional sums, ONE corpus-keyed
+    // aggregation exchange (plus window/presentation exchanges)
+    assert(p.contains("partial_sum"), "tf aggregation lost map-side combine")
+    val docExchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning(doc_id#"))
+      .toSeq
+    assert(docExchanges.count(!_.contains("ReusedExchange")) == 1,
+      s"expected exactly one doc-keyed aggregation exchange:\n$p")
+    // the df lane consumes the SAME tf stage (AQE reuse), so the corpus
+    // is tokenized and aggregated once for both the per-doc tf rows and
+    // the global document frequencies
+    assert(docExchanges.exists(_.contains("ReusedExchange")),
+      s"df lane re-aggregated the corpus instead of reusing the tf stage:\n$p")
+    // df/corpus stats are one-row broadcast sides, never a cartesian
+    assert(!p.contains("CartesianProduct"), "stats side fell to cartesian")
+    // both ranking windows carry partial+final WindowGroupLimit: per-task
+    // top-k runs BEFORE each shuffle, so no task ever sorts a full
+    // partition of scored docs
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 4,
+      s"top-k group-limit pushdown missing:\n$p")
+    // all three queries score in one unpivot pass: token explode + struct
+    // explode = exactly 2 Generate nodes (a per-query subtree would be 4+)
+    assert("Generate ".r.findAllIn(p).size == 2,
+      "per-query score subtrees duplicated")
+  }
+
   test("whole-stage codegen covers the scan pipelines of every analytics query") {
     Seq("q01_pricing_summary", "q04_forecast_revenue", "txt01_token_stats")
       .foreach { q =>
