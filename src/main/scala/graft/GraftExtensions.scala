@@ -86,5 +86,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       stringArrayLit(a, 1, "any_changed_key_not_in")))
     reg("any_watched_field_changed", 4)(a => AnyWatchedFieldChanged(a(0), a(1), a(2),
       stringArrayLit(a, 3, "any_watched_field_changed")))
+    reg("word_chunks", 3)(a => WordChunks(a(0),
+      intLit(a, 1, "word_chunks"), intLit(a, 2, "word_chunks")))
+    reg("bm25_score", 5)(a => Bm25Score(a(0), a(1), a(2), a(3), a(4)))
   }
 }

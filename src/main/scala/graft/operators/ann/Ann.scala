@@ -196,7 +196,7 @@ object Ann {
     * the LARGEST double, which would make a degenerate centroid win every
     * argmax. Verify-stage cosines over the raw corpus stay untouched.
     */
-  private def assignSim(v: Column, c: Column): Column =
+  private[ann] def assignSim(v: Column, c: Column): Column =
     nanvl(cosine(v, c), lit(-2.0))
 
   /** One Lloyd iteration over the coarse codebook: assign every vector to

@@ -1,0 +1,246 @@
+package graft.operators.ann
+
+import graft.Tables
+import graft.sources.cdc.WalSegments
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** PERSISTED product-quantization index — the build-once / search-many /
+  * append-increments artifact the ANN lane needs at 100 TB, mirroring the
+  * shape the dedup family already has in `Dedup.minHashBandIndex` /
+  * `incrementalNearDups`: training the codebooks and encoding the corpus
+  * is the only full-corpus pass, it happens once, offline, and every
+  * subsequent query or crawl increment touches the STORED relation only.
+  *
+  * On-disk layout under `indexDir` (any Hadoop FileSystem — file/hdfs/s3a,
+  * the WAL-lane discipline):
+  *
+  * {{{
+  *   _pq_manifest            // tiny JSON: version, geometry, leaf list
+  *   codebooks-v00000001/    // parquet (m, code, cent_emb) — m*ksub rows
+  *   codes-v00000001/        // parquet (vec_id, m, code)   — the corpus
+  *   codes-v00000002/        // appended crawl increment(s)
+  * }}}
+  *
+  * Directory names are immutable and version-suffixed; the atomically
+  * replaced manifest ([[WalSegments.writeAtomic]]: tmp+rename on
+  * POSIX/HDFS, atomic PUT on object stores) is the only mutation a reader
+  * can observe — the Materializer's snapshot-isolation contract applied to
+  * an index. Appends never rewrite existing code leaves: an increment is
+  * one new leaf plus a manifest swap, so append cost is O(batch), not
+  * O(corpus).
+  *
+  * Scale ledger: the stored index is (vec_id, m, code) + m*ksub centroids
+  * — ~m bytes per vector against dim*4 for raw embeddings (64× at
+  * m=4/dim=64). Search reads codes only; raw embeddings re-attach by id
+  * for the rerank shortlist alone, exactly as in [[Ann.pqTopKOf]].
+  *
+  * Reference scope: walex has no ANN surface (its index analogue is the
+  * replication slot's durable bookkeeping, `lib/walex/replication/
+  * server.ex`); this is the training-data-pipeline extension lane.
+  */
+object PqIndex {
+
+  /** Index geometry + current leaves, parsed from `_pq_manifest`. */
+  final case class Meta(version: Long, m: Int, ksub: Int, dim: Int,
+      codebooksDir: String, codeLeaves: Seq[String]) {
+    def subLen: Int = dim / m
+  }
+
+  private def manifestPath(indexDir: String) =
+    new org.apache.hadoop.fs.Path(indexDir, "_pq_manifest")
+
+  def readMeta(indexDir: String): Meta = {
+    val (fs, _) = WalSegments.fsFor(indexDir)
+    val in = fs.open(manifestPath(indexDir))
+    val text =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+    def num(k: String) = s""""$k"\\s*:\\s*(\\d+)""".r
+      .findFirstMatchIn(text).map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(s"manifest missing $k"))
+    val books = """"codebooks"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text)
+      .map(_.group(1))
+      .getOrElse(throw new IllegalStateException("manifest missing codebooks"))
+    val leaves = """"codes-v\d+"""".r.findAllIn(text).toSeq
+      .map(_.stripPrefix("\"").stripSuffix("\"")).distinct.sorted
+    Meta(num("version"), num("m").toInt, num("ksub").toInt,
+      num("dim").toInt, books, leaves)
+  }
+
+  private def writeMeta(indexDir: String, meta: Meta): Unit = {
+    val (fs, _) = WalSegments.fsFor(indexDir)
+    WalSegments.writeAtomic(fs, manifestPath(indexDir)) { out =>
+      val leaves = meta.codeLeaves.map(l => s""""$l"""").mkString(",")
+      out.write(
+        (s"""{"version":${meta.version},"m":${meta.m},"ksub":${meta.ksub},""" +
+          s""""dim":${meta.dim},"codebooks":"${meta.codebooksDir}",""" +
+          s""""leaves":[$leaves]}""").getBytes("UTF-8"))
+    }
+  }
+
+  private def leafName(version: Long) = f"codes-v$version%08d"
+
+  /** Build the index: train codebooks on the corpus (the ONE training
+    * pass; [[Ann.pqCodebooks]] — hash-ranked seed, fused Lloyd
+    * refinement, cache-pinned generations), encode every vector, persist
+    * both relations as parquet, and commit with one manifest write. The
+    * corpus embeddings are read, never stored — the artifact is codes +
+    * centroids only.
+    */
+  def build(emb: DataFrame, indexDir: String, m: Int = 4, ksub: Int = 16,
+      dim: Int = 64, refineIters: Int = 1): Meta = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m subvectors")
+    val subLen = dim / m
+    val books = Ann.pqCodebooks(emb, m, ksub, subLen, refineIters)
+    val booksDir = f"codebooks-v${1L}%08d"
+    books.write.mode("overwrite").parquet(s"$indexDir/$booksDir")
+    // encode against the PERSISTED codebooks, not the in-memory frame:
+    // what a later encodeBatch reads back must be bit-identical to what
+    // the corpus was coded with (parquet float roundtrip is exact, but
+    // reading back removes even the possibility of drift)
+    val spark = emb.sparkSession
+    val stored = spark.read.parquet(s"$indexDir/$booksDir")
+    val leaf = leafName(1L)
+    Ann.pqEncode(emb, stored, subLen)
+      .write.mode("overwrite").parquet(s"$indexDir/$leaf")
+    val meta = Meta(1L, m, ksub, dim, booksDir, Seq(leaf))
+    writeMeta(indexDir, meta)
+    meta
+  }
+
+  /** The stored codebooks relation (m, code, cent_emb) — m*ksub rows,
+    * always broadcast by consumers.
+    */
+  def codebooks(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/${readMeta(indexDir).codebooksDir}")
+
+  /** The stored code relation (vec_id, m, code) — the union of every
+    * committed leaf (parquet union = one multi-path scan, no shuffle).
+    */
+  def codes(spark: SparkSession, indexDir: String): DataFrame = {
+    val meta = readMeta(indexDir)
+    spark.read.parquet(meta.codeLeaves.map(l => s"$indexDir/$l"): _*)
+  }
+
+  /** Encode an arriving batch against the STORED codebooks — no
+    * retraining, no corpus pass: the crawl-increment shape. One batch
+    * scan crossed with the broadcast codebooks ([[Ann.pqEncode]]).
+    * Incremental-equals-full theorem: encoding is a pure per-vector
+    * function of (embedding, codebooks), so encoding a batch against
+    * stored codebooks is bitwise the rows a full re-encode would produce
+    * for those vectors (spec-pinned in PqIndexSpec).
+    */
+  def encodeBatch(spark: SparkSession, indexDir: String,
+      batch: DataFrame): DataFrame = {
+    val meta = readMeta(indexDir)
+    Ann.pqEncode(batch, codebooks(spark, indexDir), meta.subLen)
+  }
+
+  /** Append a batch's codes as a new immutable leaf + manifest swap.
+    * O(batch) work; existing leaves are never read or rewritten. Caller
+    * contract: batch vec_ids are new (the Materializer lane is the
+    * upsert path; an index rebuild is the delete path).
+    */
+  def append(spark: SparkSession, indexDir: String,
+      batch: DataFrame): Meta = {
+    val meta = readMeta(indexDir)
+    val leaf = leafName(meta.version + 1)
+    encodeBatch(spark, indexDir, batch)
+      .write.mode("overwrite").parquet(s"$indexDir/$leaf")
+    val next = meta.copy(version = meta.version + 1,
+      codeLeaves = meta.codeLeaves :+ leaf)
+    writeMeta(indexDir, next)
+    next
+  }
+
+  /** ADC top-k against the PERSISTED index — [[Ann.pqTopKOf]]'s search
+    * stage reading (codebooks, codes) from storage instead of training
+    * in-plan. `queries` is (query_id, q_emb) — tiny, broadcast twice
+    * (lookup tables, rerank). `embProvider` supplies raw embeddings for
+    * the rerank shortlist only, joined by id — at 100 TB that is a
+    * point-lookup-shaped join against the embedding store, never a
+    * wholesale shuffle. Scoring is the exact scaled-integer ADC
+    * discipline of the in-memory lane, so persisted and in-memory
+    * searches are bit-identical (spec-pinned).
+    */
+  def topKAgainst(spark: SparkSession, indexDir: String, queries: DataFrame,
+      embProvider: DataFrame, k: Int = 5, rerank: Int = 32): DataFrame = {
+    val meta = readMeta(indexDir)
+    val subLen = meta.subLen
+    val books = codebooks(spark, indexDir)
+    val tables = queries.crossJoin(broadcast(books))
+      .select(col("query_id"), col("m"), col("code"),
+        round(Ann.assignSim(
+          slice(col("q_emb"), col("m") * subLen + 1, lit(subLen)),
+          col("cent_emb")) * lit(1e8)).cast("long").as("subscore"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val shortlist = codes(spark, indexDir)
+      .join(broadcast(tables), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("subscore")).as("adc"))
+      .withColumn("arnk", row_number().over(wAdc))
+      .filter(col("arnk") <= rerank)
+      .select(col("query_id"), col("vec_id"))
+    val wSim = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    shortlist
+      .join(embProvider, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("sim", Ann.cosine(col("q_emb"), col("embedding")))
+      .withColumn("rnk", row_number().over(wSim))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** ann06's driver-checked shape — the ann05 planted-copy theorem run
+    * THROUGH the persisted artifact: build the index on the original
+    * corpus, [[append]] the planted exact copies as a crawl increment
+    * (exercising encode-against-stored-codebooks), then pair by full-code
+    * collision over the STORED codes and verify by exact cosine. The
+    * copy's subvectors are bitwise its original's, so both get the same
+    * argmax code in every subspace regardless of where Lloyd moved the
+    * centroids — output is provably the planting relation (the ann02/
+    * ann04/ann05 device), while build → persist → append → reload →
+    * collide → verify all execute and any storage or increment bug
+    * surfaces as missing/mis-ranked rows.
+    */
+  def selfRecallPersisted(spark: SparkSession, d: String, m: Int = 4,
+      ksub: Int = 16, dim: Int = 64, refineIters: Int = 1): DataFrame = {
+    val base = Tables.spread(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))).cache()
+    val copies = Ann.withExactCopies(base).filter(col("vec_id") >= 100000L)
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-pq-index").toString
+    build(base, indexDir, m, ksub, dim, refineIters)
+    append(spark, indexDir, copies)
+    val stored = Ann.pqFullCodes(codes(spark, indexDir))
+    val all = base.union(copies)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    stored.filter(col("vec_id") < 100000L)
+      .join(stored.select(col("vec_id").as("cand_id"), col("pq_code")),
+        Seq("pq_code"))
+      .filter(col("cand_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("cand_id"))
+      .join(all, Seq("vec_id"))
+      .join(all.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cand_emb")), Seq("cand_id"))
+      .withColumn("sim", Ann.cosine(col("embedding"), col("cand_emb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("cand_id").as("pq_nearest"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy(col("vec_id"))
+  }
+}

@@ -435,6 +435,20 @@ object TrainPrep {
       .orderBy(col("doc_id"))
   }
 
+  /** tp09 gated form: identical to [[lossMask]] but the index array is
+    * flattened to a comma-joined string. Harness outputs must stay
+    * scalar-typed — a pandas-side compare cannot sort an array column —
+    * so the gate consumes `mask_csv` while library callers keep the
+    * typed `mask_idx` array from [[lossMask]]. Same plan shape (one
+    * extra codegen'd `array_join`), still a pure narrow projection.
+    */
+  def lossMaskGated(spark: SparkSession, d: String): DataFrame =
+    lossMask(spark, d)
+      .select(col("doc_id"), col("n_tokens"),
+        array_join(col("mask_idx"), ",").as("mask_csv"),
+        col("n_masked"), col("mask_frac"))
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------- mixture
 
   /** Budget-constrained domain mixture resampling: given target mixture

@@ -573,6 +573,14 @@ FROM toks ORDER BY doc_id""",
 SELECT vec_id, vec_id + 100000 AS pq_nearest, CAST(1.0 AS DOUBLE) AS sim
 FROM embeddings ORDER BY vec_id""",
 
+    // ann06: the same planting theorem as ann05, but the codes flow
+    // through the PERSISTED index (build on originals, append the copies
+    // as a crawl increment, reload from storage) — storage or increment
+    // bugs surface as missing/mis-ranked rows against this relation
+    "ann06_pq_persisted" -> """
+SELECT vec_id, vec_id + 100000 AS pq_nearest, CAST(1.0 AS DOUBLE) AS sim
+FROM embeddings ORDER BY vec_id""",
+
     // SCD Type 2: each insert/update opens a version valid until the
     // record's next change (a delete closes without opening); lead() over
     // (table, record, seq) on both engines
@@ -708,8 +716,8 @@ per AS (
   FROM tok JOIN cnt USING (term) GROUP BY 1)
 SELECT d.doc_id,
   COALESCE(per.n_tokens, 0) AS n_tokens,
-  COALESCE(per.sum_cnt, 0) AS sum_cnt,
-  COALESCE(per.n_rare, 0) AS n_rare,
+  CAST(COALESCE(per.sum_cnt, 0) AS BIGINT) AS sum_cnt,
+  CAST(COALESCE(per.n_rare, 0) AS BIGINT) AS n_rare,
   CASE WHEN COALESCE(per.n_tokens, 0) > 0
        THEN CAST(per.sum_cnt AS DOUBLE) / (per.n_tokens * tot.total)
        ELSE CAST(0 AS DOUBLE) END AS mean_freq,
@@ -1136,7 +1144,7 @@ isl AS (
     FROM ds)),
 agg AS (SELECT doc_id, sum(contrib) AS n_dup FROM isl GROUP BY 1)
 SELECT d.doc_id, len(d.t) AS n_tokens,
-  COALESCE(agg.n_dup, 0) AS n_dup_tokens,
+  CAST(COALESCE(agg.n_dup, 0) AS BIGINT) AS n_dup_tokens,
   CASE WHEN len(d.t) > 0
        THEN CAST(COALESCE(agg.n_dup, 0) AS DOUBLE) / len(d.t)
        ELSE CAST(0 AS DOUBLE) END AS dup_frac
@@ -1314,7 +1322,8 @@ m AS (
         '([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})|(\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b)|(\b555-\d{4}\b)')
       OR t[i] IN ('slow', 'dup')) AS mask_idx
   FROM t)
-SELECT doc_id, n_tokens, mask_idx,
+SELECT doc_id, n_tokens,
+  COALESCE(array_to_string(mask_idx, ','), '') AS mask_csv,
   len(mask_idx) AS n_masked,
   CASE WHEN n_tokens > 0
        THEN CAST(len(mask_idx) AS DOUBLE) / n_tokens

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.Analytics
-import graft.operators.ann.Ann
+import graft.operators.ann.{Ann, PqIndex}
 import graft.operators.cdc.{ChangeStream, TypedRecords}
 import graft.operators.dedup.Dedup
 import graft.operators.multimodal.Multimodal
@@ -211,6 +211,7 @@ object QueryPack {
     "ann03_label_stats" -> ((s, d) => Ann.labelStats(s, d)),
     "ann04_ivf_topk"    -> ((s, d) => Ann.ivfSelfRecall(s, d)), // planted-copy recall
     "ann05_pq_recall"   -> ((s, d) => Ann.pqSelfRecall(s, d)), // planted-copy recall
+    "ann06_pq_persisted" -> ((s, d) => PqIndex.selfRecallPersisted(s, d)), // build→persist→append→reload
 
     // ---- multimodal ----
     "mm01_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),
@@ -243,7 +244,7 @@ object QueryPack {
     "tp06_mixture"       -> ((s, d) => TrainPrep.mixtureSample(s, d)),
     "tp07_epoch_shuffle" -> ((s, d) => TrainPrep.epochShuffle(s, d)),
     "tp08_source_cap"    -> ((s, d) => TrainPrep.sourceCap(s, d)),
-    "tp09_loss_mask"     -> ((s, d) => TrainPrep.lossMask(s, d))
+    "tp09_loss_mask"     -> ((s, d) => TrainPrep.lossMaskGated(s, d))
   )
 
   /** D1-D11 showcase: a distributed decode of binary pgoutput frames
@@ -636,6 +637,15 @@ object QueryPack {
     * independent DuckDB last-change derivation. This is the apply job a
     * walex consumer hand-rolls behind `on_insert/on_update/on_delete`
     * callbacks, as one declarative primitive.
+    *
+    * Bench geometry (recorded choice, BENCH notes carry it too): this
+    * fixture's change set is DENSE relative to its key space, so every
+    * micro-batch touches all 16 buckets and the store rewrites wholesale
+    * per batch — the worst-case apply, benched on purpose. Bucket
+    * pruning (apply cost ∝ change rate, the 100 TB story at 64 Ki
+    * buckets) is pinned by MaterializerSpec "bucket pruning" instead of
+    * being staged here with a key-local fixture that would just flatter
+    * the number.
     */
   def streamMaterialize(spark: SparkSession, d: String): DataFrame = {
     import graft.streaming.Materializer

@@ -317,6 +317,33 @@ object Graft {
       .map(graft.sources.cdc.WalSegments.expireConsumed(walDir, _))
   }
 
+  /** The state-store analogue of [[expireConsumed]]: compact the replica's
+    * tombstones at or below the SAME consumer-ack floor — frames the
+    * consumer has committed past can never replay, so their tombstones
+    * (kept only to beat out-of-order redelivery) are dead weight. ACQUIRES
+    * the store's writer fence: a running [[materialize]] stream on the
+    * same `stateDir` will be fenced out on its next batch, so run this
+    * only with the applier stopped (scheduled maintenance) — a LIVE
+    * replica compacts in-stream instead via [[materialize]]'s
+    * `compactEvery` cadence, under the applier's own fence. No-op (None)
+    * when the consumer has not committed yet.
+    */
+  def compactState(spark: SparkSession, config: GraftConfig,
+      stateDir: String, buckets: Int = 64): Option[Long] = {
+    val ack = config.ackPath.getOrElse(throw new IllegalArgumentException(
+      s"config '${config.appName}': compactState() needs ackPath — " +
+        "retention must follow the CONSUMER, and the ack file is how the " +
+        "consumer publishes its committed frame count"))
+    graft.sources.replication.ReplicationTailer.committedFrames(ack)
+      .map { committed =>
+        val floor = committed - 1L
+        val token = Some(Materializer.acquire(stateDir))
+        Materializer.compact(spark, stateDir, materializeSpec(buckets),
+          floor, token = token)
+        floor
+      }
+  }
+
   /** The ONE-CALL live engine — the full equivalent of the reference's
     * `WalEx.Supervisor.start_link(config)` + `use WalEx.Event` setup:
     * connect to the config's database, stream its publication into
@@ -361,7 +388,8 @@ object Graft {
     */
   def materialize(spark: SparkSession, config: GraftConfig, walDir: String,
       stateDir: String, keyField: String = "id", buckets: Int = 64,
-      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      compactEvery: Int = 0): StreamingQuery = {
     val ev = events(spark, config, walDir)
     val rec = coalesce(col("new_record"), col("old_record"))
     val rows = ev.select(
@@ -372,9 +400,18 @@ object Graft {
       rec.as("record"))
     val spec = Materializer.Spec(
       keyCols = Seq("table_name", "record_key"), buckets = buckets)
+    // in-stream retention cadence: the applier holds the store's fence,
+    // so it is the only party that can compact a LIVE replica; the floor
+    // is the consumer-ack file's committed frame count (frames below it
+    // can never replay, so their tombstones are dead weight)
+    val floorProvider: () => Option[Long] =
+      if (compactEvery <= 0) () => None
+      else () => config.ackPath.flatMap(
+        graft.sources.replication.ReplicationTailer.committedFrames(_)
+          .map(_ - 1L))
     withStateStoreProvider(spark, config) {
       var w = rows.writeStream
-        .foreachBatch(Materializer.sink(stateDir, spec))
+        .foreachBatch(Materializer.sink(stateDir, spec, compactEvery, floorProvider))
         .queryName(s"graft-materialize-${config.appName}")
         .trigger(trigger)
       config.effectiveCheckpoint.foreach(c => w = w.option("checkpointLocation", c))

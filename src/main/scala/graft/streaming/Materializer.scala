@@ -44,11 +44,34 @@ import org.apache.spark.sql.functions._
   *    record; [[currentState]] filters them, [[compact]] drops those the
   *    whole pipeline has moved past.
   *
-  * Single-writer contract: one applier per state directory (the same
-  * contract every non-transactional table format has; the stream that
-  * feeds it is already serial per slot). Readers are unlimited.
+  * Single-writer contract — ENFORCED, not documented: the store fences
+  * appliers the way the reference's durable replication slot fences a
+  * second walsender (`lib/walex/replication/server.ex:86-143` — takeover
+  * invalidates the old connection, which finds out on its next write).
+  * [[acquire]] stamps the manifest with a writer token (epoch + random
+  * fence id); every fenced commit re-checks the token and every manifest
+  * swap is an EXCLUSIVE CREATE of an immutable version-numbered file
+  * (`_state_manifest-v<N>`), so two appliers racing the same version can
+  * never both win — the loser's [[FencedWriterException]] is the storage
+  * analogue of the slot's "replication slot is active for PID" error. A
+  * fenced-out applier's already-written leaves are unreferenced residue,
+  * swept by the winner's next apply; no committed bucket is ever lost.
+  * Readers are unlimited and resolve the highest committed manifest.
   */
 object Materializer {
+
+  /** Thrown when a commit loses the fence: another applier [[acquire]]d
+    * the store (epoch moved), or won the exclusive create of this
+    * manifest version. The loser must stop — its next state read would
+    * be a torn view of someone else's store.
+    */
+  final class FencedWriterException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** A writer's fence: `epoch` is strictly monotone per acquisition,
+    * `id` disambiguates two acquisitions racing to the same epoch.
+    */
+  final case class WriterToken(epoch: Long, id: String)
 
   /** Shape of the change rows being applied.
     *
@@ -90,43 +113,156 @@ object Materializer {
   }
 
   // ---- manifest: the store's single source of truth ----
-  // JSON {"version":N,"buckets":{"5":"leaf=b00005-v00012", ...}} — leaf
-  // directory names are immutable and version-suffixed, so the manifest
-  // swap is the ONLY mutation readers can observe.
+  // JSON {"version":N,"writerEpoch":E,"writerId":"…",
+  //       "buckets":{"5":"leaf=b00005-v00012", ...}} — leaf directory
+  // names are immutable and version-suffixed, and so is the manifest
+  // itself (`_state_manifest-v<N>`): a commit is an exclusive create of
+  // the next version, readers resolve the highest one. The legacy single
+  // `_state_manifest` file is still read (pre-fence stores) and retired
+  // on the first versioned commit.
 
-  final case class Manifest(version: Long, leaves: Map[Int, String])
+  final case class Manifest(version: Long, leaves: Map[Int, String],
+      writerEpoch: Long = 0L, writerId: String = "")
 
-  private def manifestPath(stateDir: String): Path =
+  private def legacyManifestPath(stateDir: String): Path =
     new Path(stateDir, "_state_manifest")
+
+  private def manifestFile(v: Long): String = f"_state_manifest-v$v%08d"
+
+  private val ManifestVRe = "_state_manifest-v(\\d+)".r
+
+  private def readFully(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  private def parseManifest(text: String): Manifest = {
+    def num(key: String) = s""""$key"\\s*:\\s*(\\d+)""".r
+      .findFirstMatchIn(text).map(_.group(1).toLong)
+    val leaves = "\"(\\d+)\"\\s*:\\s*\"([^\"]+)\"".r.findAllMatchIn(text)
+      .map(m => m.group(1).toInt -> m.group(2)).toMap
+    Manifest(num("version").getOrElse(0L), leaves,
+      num("writerEpoch").getOrElse(0L),
+      """"writerId"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(text)
+        .map(_.group(1)).getOrElse(""))
+  }
 
   def readManifest(stateDir: String,
       conf: Configuration = WalSegments.localConf): Manifest = {
-    val (fs, _) = WalSegments.fsFor(stateDir, conf)
-    val p = manifestPath(stateDir)
-    if (!fs.exists(p)) return Manifest(0L, Map.empty)
-    val in = fs.open(p)
-    val text =
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](8192)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        new String(buf.toByteArray, "UTF-8")
-      } finally in.close()
-    val version = "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(text)
-      .map(_.group(1).toLong).getOrElse(0L)
-    val leaves = "\"(\\d+)\"\\s*:\\s*\"([^\"]+)\"".r.findAllMatchIn(text)
-      .map(m => m.group(1).toInt -> m.group(2)).toMap
-    Manifest(version, leaves)
+    val (fs, root) = WalSegments.fsFor(stateDir, conf)
+    val versioned =
+      try fs.listStatus(root).iterator
+        .map(_.getPath.getName)
+        .collect { case n @ ManifestVRe(v) => (v.toLong, n) }
+        .maxByOption(_._1)
+      catch { case _: java.io.FileNotFoundException => None }
+    versioned match {
+      case Some((_, name)) =>
+        parseManifest(readFully(fs, new Path(stateDir, name)))
+      case None =>
+        val legacy = legacyManifestPath(stateDir)
+        if (fs.exists(legacy)) parseManifest(readFully(fs, legacy))
+        else Manifest(0L, Map.empty)
+    }
   }
 
-  private def writeManifest(fs: FileSystem, stateDir: String, m: Manifest): Unit =
-    WalSegments.writeAtomic(fs, manifestPath(stateDir)) { out =>
+  /** Commit a manifest version: write a uniquely-named temp file, then
+    * RENAME to the immutable `_state_manifest-v<N>` — rename-to-existing
+    * fails on POSIX-semantics Hadoop filesystems, so of two appliers
+    * racing the same version exactly one wins; the loser throws
+    * [[FencedWriterException]] having published nothing. (On object
+    * stores without atomic rename the equivalent is a conditional
+    * PUT-if-absent of the same key.) Older manifest versions beyond a
+    * short debug window, and the legacy single-file manifest, are
+    * retired best-effort — readers only ever resolve the max.
+    */
+  private[graft] def commitManifest(fs: FileSystem, stateDir: String,
+      m: Manifest): Unit = {
+    val dest = new Path(stateDir, manifestFile(m.version))
+    val tmp = new Path(stateDir,
+      s".${dest.getName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try {
       val entries = m.leaves.toSeq.sortBy(_._1)
         .map { case (b, d) => s""""$b":"$d"""" }.mkString(",")
-      out.write(s"""{"version":${m.version},"buckets":{$entries}}"""
-        .getBytes("UTF-8"))
+      out.write((s"""{"version":${m.version},""" +
+        s""""writerEpoch":${m.writerEpoch},"writerId":"${m.writerId}",""" +
+        s""""buckets":{$entries}}""").getBytes("UTF-8"))
+    } finally out.close()
+    val won = !fs.exists(dest) && fs.rename(tmp, dest)
+    if (!won) {
+      try fs.delete(tmp, false)
+      catch { case _: java.io.IOException => () }
+      throw new FencedWriterException(
+        s"lost manifest commit race for version ${m.version} at $stateDir")
     }
+    // retire superseded manifests (keep a short window for debugging)
+    try {
+      fs.listStatus(new Path(stateDir)).foreach { st =>
+        st.getPath.getName match {
+          case ManifestVRe(v) if v.toLong < m.version - 8 =>
+            try fs.delete(st.getPath, false)
+            catch { case _: java.io.IOException => () }
+          case _ => ()
+        }
+      }
+      val legacy = legacyManifestPath(stateDir)
+      if (fs.exists(legacy)) fs.delete(legacy, false)
+    } catch { case _: java.io.IOException => () }
+  }
+
+  /** Acquire the store: bump the writer epoch and commit a manifest
+    * carrying this applier's fence — the slot-takeover move. Any applier
+    * holding an older token fails fast on its next commit ([[applyBatch]]
+    * checks the fence before doing work AND the exclusive manifest create
+    * backstops the read-check-commit window). Call once per applier
+    * lifetime; [[sink]] does it automatically on its first batch.
+    */
+  def acquire(stateDir: String,
+      conf: Configuration = WalSegments.localConf): WriterToken = {
+    val (fs, root) = WalSegments.fsFor(stateDir, conf)
+    fs.mkdirs(root)
+    var tries = 0
+    while (true) {
+      val m = readManifest(stateDir, conf)
+      val token = WriterToken(m.writerEpoch + 1,
+        java.util.UUID.randomUUID().toString)
+      try {
+        commitManifest(fs, stateDir, m.copy(version = m.version + 1,
+          writerEpoch = token.epoch, writerId = token.id))
+        return token
+      } catch {
+        case e: FencedWriterException =>
+          tries += 1
+          if (tries >= 5) throw e // livelock guard: someone else is churning
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Fail fast when `token` no longer owns the store (or, for token-less
+    * legacy callers, when anyone has fenced it).
+    */
+  private def checkFence(manifest: Manifest, token: Option[WriterToken],
+      stateDir: String): Unit = token match {
+    case Some(t) =>
+      if (manifest.writerEpoch != t.epoch || manifest.writerId != t.id)
+        throw new FencedWriterException(
+          s"writer fenced at $stateDir: holding epoch ${t.epoch} but " +
+            s"store is at epoch ${manifest.writerEpoch} " +
+            s"(another applier acquired it)")
+    case None =>
+      if (manifest.writerEpoch > 0L)
+        throw new FencedWriterException(
+          s"$stateDir is fenced (epoch ${manifest.writerEpoch}); " +
+            "unfenced writes are refused — Materializer.acquire() a token")
+  }
 
   private def leafName(bucket: Int, version: Long): String =
     f"leaf-b$bucket%05d-v$version%08d"
@@ -159,11 +295,13 @@ object Materializer {
     * buckets are not read, not written, and keep their manifest entries.
     */
   def applyBatch(spark: SparkSession, stateDir: String, batch: DataFrame,
-      spec: Spec, conf: Configuration = WalSegments.localConf): Unit = {
+      spec: Spec, conf: Configuration = WalSegments.localConf,
+      token: Option[WriterToken] = None): Unit = {
     if (batch.isEmpty) return
     val (fs, root) = WalSegments.fsFor(stateDir, conf)
     fs.mkdirs(root)
     val manifest = readManifest(stateDir, conf)
+    checkFence(manifest, token, stateDir)
     sweepUnreferenced(fs, stateDir, manifest)
     val nextVersion = manifest.version + 1
 
@@ -207,7 +345,12 @@ object Materializer {
       }
       val newLeaves = manifest.leaves ++
         affected.map(b => b -> leafName(b, nextVersion)).toMap
-      writeManifest(fs, stateDir, Manifest(nextVersion, newLeaves)) // THE commit
+      // THE commit: exclusive create of version N+1 — a concurrent
+      // acquire or apply that got there first makes this throw, and the
+      // leaves written above become unreferenced residue for the
+      // winner's sweep (no committed bucket is ever lost)
+      commitManifest(fs, stateDir, Manifest(nextVersion, newLeaves,
+        manifest.writerEpoch, manifest.writerId))
       // superseded leaves: best-effort delete (sweep covers failures)
       affected.foreach { b =>
         manifest.leaves.get(b).foreach { old =>
@@ -247,9 +390,11 @@ object Materializer {
     * only buckets that actually hold expirable tombstones.
     */
   def compact(spark: SparkSession, stateDir: String, spec: Spec, floor: Long,
-      conf: Configuration = WalSegments.localConf): Unit = {
+      conf: Configuration = WalSegments.localConf,
+      token: Option[WriterToken] = None): Unit = {
     val (fs, _) = WalSegments.fsFor(stateDir, conf)
     val manifest = readManifest(stateDir, conf)
+    checkFence(manifest, token, stateDir)
     if (manifest.leaves.isEmpty) return
     val nextVersion = manifest.version + 1
     val all = spark.read.option("mergeSchema", "true")
@@ -284,7 +429,8 @@ object Materializer {
     }
     val newLeaves = (manifest.leaves -- expirableSet) ++
       rewritten.map(b => b -> leafName(b, nextVersion)).toMap
-    writeManifest(fs, stateDir, Manifest(nextVersion, newLeaves))
+    commitManifest(fs, stateDir, Manifest(nextVersion, newLeaves,
+      manifest.writerEpoch, manifest.writerId))
     expirable.foreach { b =>
       manifest.leaves.get(b).foreach { old =>
         try fs.delete(new Path(stateDir, old), true)
@@ -300,6 +446,31 @@ object Materializer {
     * }}}
     */
   def sink(stateDir: String, spec: Spec): (DataFrame, Long) => Unit =
-    (batch: DataFrame, _: Long) =>
-      applyBatch(batch.sparkSession, stateDir, batch, spec)
+    sink(stateDir, spec, compactEvery = 0, floorProvider = () => None)
+
+  /** `foreachBatch` adapter with an in-stream retention cadence: every
+    * `compactEvery` batches (0 = never) the sink [[compact]]s tombstones
+    * at or below `floorProvider()`'s floor — the applier is the ONLY
+    * party that can compact a live store (it holds the fence), so wiring
+    * the cadence here is what keeps a long-running replica's directory
+    * bounded without stopping the stream. The floor comes from the same
+    * consumer-ack file the WAL source's retention uses
+    * ([[graft.streaming.Graft.materialize]] wires it).
+    */
+  def sink(stateDir: String, spec: Spec, compactEvery: Int,
+      floorProvider: () => Option[Long]): (DataFrame, Long) => Unit = {
+    // acquire lazily on the first batch: the stream that owns this sink
+    // owns the store, and a restarted driver's new sink fences the old
+    // one out (the zombie's next applyBatch throws FencedWriterException)
+    var token: Option[WriterToken] = None
+    var applied = 0L
+    (batch: DataFrame, _: Long) => {
+      if (token.isEmpty) token = Some(acquire(stateDir))
+      applyBatch(batch.sparkSession, stateDir, batch, spec, token = token)
+      applied += 1
+      if (compactEvery > 0 && applied % compactEvery == 0)
+        floorProvider().foreach(f =>
+          compact(batch.sparkSession, stateDir, spec, f, token = token))
+    }
+  }
 }

@@ -64,6 +64,60 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(12) == 3) // duplicates counted: bad×2 + worse
   }
 
+  test("word_chunks from SQL reproduces TextOps.chunkWindows chunk_text exactly") {
+    import graft.operators.text.TextOps
+    val sf = "/root/testdata/sf0.001"
+    Tables.documents(spark, sf).createOrReplaceTempView("ge_docs")
+    val sql = spark.sql("""
+      SELECT doc_id, posexplode(word_chunks(text, 64, 16)) AS (chunk_id, chunk_text)
+      FROM ge_docs
+    """).select("doc_id", "chunk_id", "chunk_text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    val api = TextOps.chunkWindows(spark, sf, chunkSize = 64, overlap = 16)
+      .select("doc_id", "chunk_id", "chunk_text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    assert(sql.nonEmpty && sql.toSeq == api.toSeq)
+  }
+
+  test("bm25_score from SQL reproduces TextOps.bm25TopK bit-for-bit") {
+    import graft.operators.text.TextOps
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark joins tables with spark sql join"),
+      (2L, "the customer table holds customer rows"),
+      (3L, "join the spark cluster"),
+      (4L, "nothing relevant here at all"),
+      (5L, "spark spark spark join join query")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("ge_bm25_docs")
+    // the full retrieval pipeline in PURE SQL through the native kernel:
+    // tf/df/corpus stats as SQL aggregates, score = bm25_score summed in
+    // query-term order ('spark' then 'join' — addition order is contract)
+    val sql = spark.sql("""
+      WITH t AS (
+        SELECT doc_id, filter(split(trim(text), '\\s+'), x -> x != '') AS toks
+        FROM ge_bm25_docs),
+      d AS (SELECT doc_id, cast(size(toks) AS bigint) AS dl,
+                   cast(size(filter(toks, x -> x = 'spark')) AS bigint) AS tf_spark,
+                   cast(size(filter(toks, x -> x = 'join')) AS bigint) AS tf_join
+            FROM t),
+      stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens,
+                       cast(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS bigint) AS df_spark,
+                       cast(sum(CASE WHEN tf_join  > 0 THEN 1 ELSE 0 END) AS bigint) AS df_join
+                FROM d)
+      SELECT doc_id,
+        bm25_score(tf_spark, df_spark, dl, n_docs, total_tokens)
+          + bm25_score(tf_join, df_join, dl, n_docs, total_tokens) AS score
+      FROM d CROSS JOIN stats
+      WHERE tf_spark > 0 OR tf_join > 0
+      ORDER BY score DESC, doc_id
+    """).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val api = TextOps.bm25TopKFor(docs, Seq(1 -> Seq("spark", "join")), k = 5)
+      .select("doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(sql.toSeq == api.toSeq, // EXACT double equality — the same IEEE tree
+      s"sql=${sql.toSeq} api=${api.toSeq}")
+  }
+
   test("sketch shape arguments must be INT literals") {
     val ex = intercept[Exception] {
       spark.sql("SELECT minhash_band_buckets(array(cast(1 as bigint)), 1 + 1, 16)")

@@ -159,4 +159,130 @@ class MaterializerSpec extends AnyFunSuite {
     assert(state(dir, tombstones = true) == Seq(("todo", 9L, 13L, "insert", 9L)),
       "only the never-deleted record survives full compaction")
   }
+
+  // ---- writer fencing: the slot-takeover contract on storage ----
+
+  test("fence: second acquire takes over, first applier fails fast, no bucket lost") {
+    val dir = freshDir("fence")
+    val w1 = Some(Materializer.acquire(dir))
+    Materializer.applyBatch(spark, dir,
+      chg(("user", 1L, 10L, "insert", 100L)), spec, token = w1)
+    // takeover: a second applier (misconfigured stream, restarted driver)
+    val w2 = Some(Materializer.acquire(dir))
+    // the zombie's next batch is refused BEFORE it can interleave a swap
+    val e = intercept[Materializer.FencedWriterException] {
+      Materializer.applyBatch(spark, dir,
+        chg(("user", 1L, 20L, "update", 999L)), spec, token = w1)
+    }
+    assert(e.getMessage.contains("another applier"))
+    // the winner applies; every committed bucket is intact
+    Materializer.applyBatch(spark, dir,
+      chg(("user", 2L, 30L, "insert", 200L)), spec, token = w2)
+    assert(state(dir) == Seq(
+      ("user", 1L, 10L, "insert", 100L),   // w1's committed batch survives
+      ("user", 2L, 30L, "insert", 200L)))  // w2's batch lands
+    // the zombie's compact is refused too
+    intercept[Materializer.FencedWriterException] {
+      Materializer.compact(spark, dir, spec, floor = 99L, token = w1)
+    }
+  }
+
+  test("fence: unfenced writes are refused on an acquired store; allowed before") {
+    val dir = freshDir("fence_legacy")
+    // pre-fence (legacy) store: token-less applies work
+    Materializer.applyBatch(spark, dir, chg(("user", 1L, 1L, "insert", 1L)), spec)
+    Materializer.acquire(dir)
+    intercept[Materializer.FencedWriterException] {
+      Materializer.applyBatch(spark, dir,
+        chg(("user", 2L, 2L, "insert", 2L)), spec)
+    }
+    assert(state(dir) == Seq(("user", 1L, 1L, "insert", 1L)))
+  }
+
+  test("fence backstop: the manifest commit is an exclusive create — one winner per version") {
+    val dir = freshDir("fence_cas")
+    val (fs, _) = graft.sources.cdc.WalSegments.fsFor(dir)
+    val m = Materializer.Manifest(7L, Map(0 -> "leaf-b00000-v00000007"))
+    Materializer.commitManifest(fs, dir, m)
+    // a racer committing the SAME version must lose, having published nothing
+    intercept[Materializer.FencedWriterException] {
+      Materializer.commitManifest(fs, dir,
+        m.copy(leaves = Map(1 -> "leaf-b00001-v00000007")))
+    }
+    assert(Materializer.readManifest(dir).leaves == m.leaves,
+      "the winner's manifest is untouched by the loser's attempt")
+  }
+
+  test("retention: the directory stays bounded across many applies (no manifest/leaf growth)") {
+    val dir = freshDir("bounded")
+    val (fs, root) = graft.sources.cdc.WalSegments.fsFor(dir)
+    val w = Some(Materializer.acquire(dir))
+    (1 to 15).foreach { i =>
+      Materializer.applyBatch(spark, dir,
+        chg(("user", (i % 3).toLong, i.toLong, "update", i.toLong)), spec,
+        token = w)
+      // a crash loop leaves unreferenced leaves; simulate one per apply
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir, f"leaf-b00000-v${9000 + i}%08d"))
+    }
+    val names = fs.listStatus(root).map(_.getPath.getName)
+    val manifest = Materializer.readManifest(dir)
+    val leafDirs = names.filter(_.startsWith("leaf-")).toSet
+    // every on-disk leaf is either referenced or THIS round's planted
+    // residue (the next apply sweeps it) — superseded versions are gone
+    val unref = leafDirs -- manifest.leaves.values.toSet
+    assert(unref.forall(_.contains("-v000090")),
+      s"superseded leaves must not accumulate: $unref")
+    // manifests are retired past a short debug window, not kept forever
+    assert(names.count(_.startsWith("_state_manifest-v")) <= 10,
+      s"manifest versions must be bounded: ${names.toSeq.sorted}")
+    // one more apply sweeps the planted crash residue
+    Materializer.applyBatch(spark, dir,
+      chg(("user", 0L, 99L, "update", 99L)), spec, token = w)
+    val after = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("leaf-")).toSet
+    assert(after == Materializer.readManifest(dir).leaves.values.toSet,
+      "apply must sweep crash residue down to exactly the referenced leaves")
+  }
+
+  test("retention: Graft.compactState follows the consumer-ack floor") {
+    val dir = freshDir("compactstate")
+    val ackDir = java.nio.file.Files.createTempDirectory("mat_ack")
+    val ack = ackDir.toString + "/committed.json"
+    val config = graft.streaming.GraftConfig(
+      appName = "compactstate", ackPath = Some(ack))
+    val gspec = graft.streaming.Graft.materializeSpec(buckets = 8)
+    def gchg(rows: (String, String, Long, String, Long)*): DataFrame =
+      rows.toSeq.toDF("table_name", "record_key", "seq", "op", "val_cents")
+    Materializer.applyBatch(spark, dir, gchg(
+      ("user", "1", 10L, "insert", 100L),
+      ("user", "2", 11L, "insert", 200L)), gspec)
+    Materializer.applyBatch(spark, dir, gchg(
+      ("user", "1", 20L, "delete", 100L),
+      ("user", "2", 40L, "delete", 200L)), gspec)
+    // consumer not committed yet → no-op
+    assert(graft.streaming.Graft.compactState(spark, config, dir, 8).isEmpty)
+    // consumer committed past frame 20 but not 40: only the first
+    // tombstone is dead weight
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(ack),
+      """{"committed_frames":31}""")
+    assert(graft.streaming.Graft.compactState(spark, config, dir, 8)
+      .contains(30L))
+    val t = Materializer.currentState(spark, dir, gspec, keepTombstones = true)
+      .select("record_key", "seq").as[(String, Long)].collect().toSet
+    assert(t == Set(("2", 40L)),
+      "tombstone below the ack floor compacts away; the newer one survives")
+  }
+
+  test("fence: sink() acquires on first batch — a second sink fences the first") {
+    val dir = freshDir("fence_sink")
+    val sink1 = Materializer.sink(dir, spec)
+    val sink2 = Materializer.sink(dir, spec)
+    sink1(chg(("user", 1L, 1L, "insert", 1L)), 0L)
+    sink2(chg(("user", 2L, 2L, "insert", 2L)), 0L) // takes over
+    intercept[Materializer.FencedWriterException] {
+      sink1(chg(("user", 3L, 3L, "insert", 3L)), 1L)
+    }
+    assert(state(dir) == Seq(
+      ("user", 1L, 1L, "insert", 1L), ("user", 2L, 2L, "insert", 2L)))
+  }
 }

@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.ann.{Ann, PqIndex}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted-PQ-index theorems:
+  *
+  *  1. incremental == full: encoding a batch against STORED codebooks is
+  *     bitwise the rows a full re-encode of (corpus ∪ batch) produces for
+  *     those vectors — PQ encoding is a pure per-vector function of
+  *     (embedding, codebooks), so splitting the corpus across build +
+  *     append changes nothing.
+  *  2. persisted search == in-memory search: ADC top-k against the
+  *     reloaded (codebooks, codes) equals [[Ann.pqTopKOf]] bit-for-bit at
+  *     identical geometry — parquet roundtrips floats exactly and the
+  *     scaled-integer ADC sums are partition-order independent.
+  *  3. append is O(batch) and immutable: an append adds exactly one new
+  *     leaf, never touches existing leaves, and bumps the manifest
+  *     version by one.
+  */
+class PqIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("pq-index-spec").toString
+
+  private def emb = Tables.embeddings(spark, sf)
+    .select(col("vec_id"), col("embedding"))
+
+  test("incremental encode equals full re-encode") {
+    val all = emb.cache()
+    val corpus = all.filter(col("vec_id") % 3 =!= 0)
+    val batch = all.filter(col("vec_id") % 3 === 0)
+    val dir = tmpDir()
+    PqIndex.build(corpus, dir)
+    PqIndex.append(spark, dir, batch)
+    // full one-shot build at identical geometry, seeded from the SAME
+    // corpus sample: codebooks are a function of the training set, so the
+    // theorem compares batch codes against a re-encode of the whole set
+    // with the STORED books — not a retrain
+    val stored = PqIndex.codes(spark, dir)
+    val fullReencode = PqIndex.encodeBatch(spark, dir, all)
+    assert(stored.count() == all.count() * 4) // m=4 rows per vector
+    val diff = stored.except(fullReencode).count() +
+      fullReencode.except(stored).count()
+    assert(diff == 0, "stored (build+append) codes != full re-encode")
+  }
+
+  test("persisted ADC search equals the in-memory lane bit-for-bit") {
+    val corpus = Tables.spread(emb).cache()
+    val dir = tmpDir()
+    PqIndex.build(corpus, dir, refineIters = 1)
+    val queries = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val persisted = PqIndex.topKAgainst(spark, dir, queries, corpus)
+      .collect().map(_.toSeq)
+    val inMemory = Ann.pqTopKOf(corpus, refineIters = 1)
+      .collect().map(_.toSeq)
+    assert(persisted.toSeq == inMemory.toSeq)
+  }
+
+  test("append adds one immutable leaf and bumps the manifest version") {
+    val all = emb.cache()
+    val dir = tmpDir()
+    val m0 = PqIndex.build(all.filter(col("vec_id") < 30), dir)
+    assert(m0.version == 1L && m0.codeLeaves.size == 1)
+    val before = PqIndex.codes(spark, dir).count()
+    val m1 = PqIndex.append(spark, dir,
+      all.filter(col("vec_id") >= 30 && col("vec_id") < 40))
+    assert(m1.version == 2L && m1.codeLeaves.size == 2)
+    assert(m1.codeLeaves.head == m0.codeLeaves.head) // old leaf untouched
+    val after = PqIndex.codes(spark, dir).count()
+    assert(after == before + 10 * 4) // m=4 code rows per appended vector
+    // reload from disk agrees with what append returned
+    assert(PqIndex.readMeta(dir) == m1)
+  }
+
+  test("ann06 self-recall through the persisted index is the planting relation") {
+    val out = PqIndex.selfRecallPersisted(spark, sf).collect()
+    val n = emb.count()
+    assert(out.length == n)
+    assert(out.forall(r =>
+      r.getLong(1) == r.getLong(0) + 100000L && r.getDouble(2) == 1.0))
+  }
+}
