@@ -287,6 +287,112 @@ object Dedup {
       .orderBy(col("batch_id"))
   }
 
+  // ---- dd13: the dedup index as a STREAMING artifact ----
+
+  /** Persist one batch's dedup-index rows: the (band, bucket, doc_id)
+    * band relation AND the (doc_id, sh) shingle sets — the "persist the
+    * sets beside the index" production shape [[incrementalNearDups]]'s
+    * scaladoc prescribes, so candidate verification is an id-keyed
+    * lookup, never a corpus re-shingle. Leaves are immutable
+    * `bands-<leaf>/` + `sets-<leaf>/` parquet dirs; an append is one new
+    * leaf pair — O(batch) work, existing leaves untouched (the PqIndex /
+    * Materializer leaf discipline; a production deployment would carry
+    * the same manifest-commit + writer fence, elided here where the
+    * single writer is the stream by construction).
+    */
+  def dedupIndexAppend(docs: DataFrame, indexDir: String, leaf: String,
+      numHashes: Int = 64, bands: Int = 16): Unit = {
+    val sh = shingledOf(docs).cache()
+    try {
+      sh.select(col("doc_id"),
+        posexplode(graft.plans.SketchCols.minHashBandBuckets(
+          col("shh"), numHashes, bands)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket")
+        .select(col("band"), col("bucket"), col("doc_id"))
+        .write.mode("overwrite").parquet(s"$indexDir/bands-$leaf")
+      sh.select(col("doc_id"), col("sh"))
+        .write.mode("overwrite").parquet(s"$indexDir/sets-$leaf")
+    } finally { sh.unpersist(); () }
+  }
+
+  /** Screen an arriving batch against the PERSISTED index (every
+    * committed leaf): candidates are (band, bucket) equi-collisions —
+    * the shuffle carries the BATCH's band rows only, the index side is
+    * pre-keyed storage — and verification re-attaches the STORED shingle
+    * sets for colliding ids alone. Only the batch is ever shingled.
+    */
+  def screenAgainstIndex(spark: SparkSession, indexDir: String,
+      batch: DataFrame, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val index = spark.read.parquet(s"$indexDir/bands-*")
+    val sets = spark.read.parquet(s"$indexDir/sets-*")
+    val bsh = shingledOf(batch)
+    val cand = bsh.select(col("doc_id").as("batch_id"),
+        posexplode(graft.plans.SketchCols.minHashBandBuckets(
+          col("shh"), numHashes, bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+      .join(index, Seq("band", "bucket"))
+      .select(col("batch_id"), col("doc_id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(bsh.select(col("doc_id").as("batch_id"), col("sh").as("sh_b")),
+        Seq("batch_id"))
+      .join(sets.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")),
+        Seq("corpus_id"))
+      .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_c"))))
+      .withColumn("jac", jaccardFromInter(col("inter"), col("sh_b"), col("sh_c")))
+      .filter(col("jac") >= threshold)
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("jac"), 4).as("jaccard"))
+  }
+
+  /** dd13 — the CRAWL loop as a STREAM: arriving document batches are
+    * screened against the persisted index, then folded INTO it, inside
+    * one Structured Streaming query — dd11's incremental screen made
+    * continuous (dd11 proves one increment; this proves the loop: later
+    * batches collide against earlier batches' index rows too, and the
+    * index on disk grows by one leaf pair per micro-batch). The planted
+    * relation is dd11's: every arriving doc is an exact copy of a corpus
+    * doc, so the screen provably pairs it with its original at Jaccard
+    * 1.0 regardless of batch boundaries; organic matches are excluded by
+    * the relation filter.
+    *
+    * Scale shape per batch: shingle the BATCH only; one (band, bucket)
+    * equi-join against stored band leaves; stored-set lookup for
+    * colliding ids; one O(batch) leaf append. Cost per batch is
+    * independent of corpus size — the property that makes a continuous
+    * crawl affordable at 100 TB.
+    */
+  def streamingIncrementalSelfRecall(spark: SparkSession, d: String,
+      nBatches: Int = 4): DataFrame = {
+    val base = Tables.spread(
+      Tables.documents(spark, d).select(col("doc_id"), col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dd13").toString
+    val indexDir = s"$tmp/index"
+    val stageDir = s"$tmp/arrivals"
+    val outDir = s"$tmp/pairs"
+    dedupIndexAppend(base, indexDir, "corpus")
+    base.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      .repartition(nBatches, col("doc_id"))
+      .write.parquet(stageDir)
+    val schema = spark.read.parquet(stageDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    val q = graft.GraftSession.withStreamShuffle(spark)(
+      stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+        screenAgainstIndex(spark, indexDir, batch)
+          .write.mode("append").parquet(outDir)
+        dedupIndexAppend(batch, indexDir, f"b$bid%04d")
+        ()
+      }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start())
+    q.awaitTermination(600000)
+    spark.read.parquet(outDir)
+      .filter(col("corpus_id") === col("batch_id") - 100000L)
+      .orderBy(col("batch_id"))
+  }
+
   /** SimHash (64-bit) per doc + near-dup pairs at Hamming ≤ maxHamming,
     * candidates via 4×16-bit chunk equality (pigeonhole: hamming ≤ 3 ⇒ at
     * least one chunk identical) — again an equi-join, no cross product.

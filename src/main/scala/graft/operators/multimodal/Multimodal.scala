@@ -385,6 +385,96 @@ object Multimodal {
     }(enc).orderBy(col("media_id"))
   }
 
+  val aHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("ahash_hi", LongType, nullable = false),
+    StructField("ahash_lo", LongType, nullable = false)))
+
+  /** mm09 — PERCEPTUAL near-duplicate detection by average-hash (aHash),
+    * the image analogue of dd01's exact-hash dedup: decode each image
+    * through the REAL codec, compute the 8×8 luma average-hash from the
+    * DECODED pixels, and bucket by hash equality — images whose content
+    * differs only by imperceptible perturbation land in one bucket.
+    *
+    * Fixture: per document an 8×8 PNG whose pixels follow a NONLINEAR
+    * integer formula of (media_id, x, y) (nonlinear so hash bits vary
+    * per id — a linear gradient would give every image the same bit
+    * pattern); every `doc_id % 5 == 0` also plants a NOISY COPY
+    * (media_id + 100000) with the blue channel bumped by 1 on every 7th
+    * pixel — a sub-luma-quantum perturbation for most pixels, exactly
+    * the "same image, different bytes" case a content-hash (mm05)
+    * misses. The aHash bit is `luma·64 > Σluma` (cross-multiplied: no
+    * division rounding to disagree on), packed into two unsigned 32-bit
+    * halves so the DuckDB oracle can re-derive every bit in integer SQL
+    * without 64-bit shift-overflow semantics entering the contract.
+    * PNG is lossless, so the decoded-side hash equals the formula-side
+    * hash — the oracle derives buckets from FIRST PRINCIPLES (pixel
+    * formula → luma → bits → equality join), proving decode + hash +
+    * bucket end to end; whether a given noisy copy collides with its
+    * original is decided by the same arithmetic on both engines, not
+    * assumed.
+    *
+    * Scale shape: generation+decode+hash is a narrow `mapPartitions`
+    * over the id column (blobs never leave the task); the bucket count
+    * is ONE map-side-combined groupBy of (hi, lo) pairs — 16 bytes per
+    * image rides the shuffle, never pixels; the join-back is by the
+    * same tiny key. The dd01 discipline on perceptual keys.
+    */
+  def imageAHashDedup(spark: SparkSession, d: String): DataFrame = {
+    val ids = Tables.documents(spark, d).select(col("doc_id"))
+      .select(explode(when(col("doc_id") % 5 === 0,
+        array(col("doc_id"), col("doc_id") + 100000L))
+        .otherwise(array(col("doc_id")))).as("media_id"))
+    val enc = RowEncoder.encoderFor(aHashSchema)
+    val hashed = ids.mapPartitions { rows =>
+      rows.map { r =>
+        val mid = r.getLong(0)
+        val id = if (mid >= 100000L) mid - 100000L else mid
+        val noisy = mid >= 100000L
+        // pixels are an integer HASH of (id, position) — mod a prime
+        // before the byte fold so neither an additive id constant (which
+        // the mean-threshold bits are invariant to) nor a mod-256 id
+        // period (which would plant accidental identical images) leaks
+        // structure into the hash space
+        def mix(idMul: Long, posMul: Long, c: Long, x: Int, y: Int): Long =
+          ((id * idMul + (y * 8L + x) * posMul + c) % 65521L) % 256L
+        def red(x: Int, y: Int)   = mix(2654435761L, 40503L, 17L, x, y).toInt
+        def green(x: Int, y: Int) = mix(2246822519L, 52361L, 101L, x, y).toInt
+        def blue(x: Int, y: Int) = {
+          val b = mix(3266489917L, 44131L, 233L, x, y)
+          (if (noisy && (x + y) % 7 == 0) (b + 1L) % 256L else b).toInt
+        }
+        val png = ImageCodec.encodePng(8, 8,
+          (x, y) => (red(x, y) << 16) | (green(x, y) << 8) | blue(x, y))
+        val img = ImageCodec.decode(png).getOrElse(
+          throw new IllegalStateException(s"PNG for media $mid failed to decode"))
+        // aHash from the DECODED pixels: bit(x,y) = luma*64 > total
+        val lumas = Array.tabulate(8, 8)((y, x) => ImageCodec.luma(img.getRGB(x, y)))
+        val total = lumas.map(_.sum.toLong).sum
+        var hi = 0L; var lo = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val bit = y * 8 + x
+            if (lumas(y)(x).toLong * 64L > total) {
+              if (bit >= 32) hi |= 1L << (bit - 32) else lo |= 1L << bit
+            }
+            x += 1
+          }
+          y += 1
+        }
+        Row(mid, hi, lo)
+      }
+    }(enc)
+    val buckets = hashed.groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(count(lit(1)).as("bucket_size"))
+    hashed.join(buckets, Seq("ahash_hi", "ahash_lo"))
+      .select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
+        col("bucket_size"), (col("bucket_size") > 1L).as("is_dup"))
+      .orderBy(col("media_id"))
+  }
+
   val audioRoundTripSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("sample_rate", IntegerType, nullable = false),

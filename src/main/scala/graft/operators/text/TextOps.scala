@@ -403,12 +403,22 @@ object TextOps {
   /** txt14's fixed query workload: id → terms. Terms are corpus
     * vocabulary (one rare term, `dup`, exercises the idf end); the list
     * order is the score's ADDITION order — part of the contract (see
-    * [[bm25TopK]]).
+    * [[bm25TopK]]). Terms must be `[a-z0-9_]+`: the oracle assembler
+    * interpolates them into SQL string literals AND `tf_<term>`
+    * identifiers, so anything else (quote, space, hyphen, uppercase)
+    * would generate broken or silently mismatched SQL — fail at
+    * definition time instead.
     */
-  val bm25Queries: Seq[(Int, Seq[String])] = Seq(
-    1 -> Seq("spark", "join"),
-    2 -> Seq("dup", "vector"),
-    3 -> Seq("customer", "table", "query"))
+  val bm25Queries: Seq[(Int, Seq[String])] = {
+    val qs = Seq(
+      1 -> Seq("spark", "join"),
+      2 -> Seq("dup", "vector"),
+      3 -> Seq("customer", "table", "query"))
+    qs.flatMap(_._2).foreach(t => require(t.matches("[a-z0-9_]+"),
+      s"bm25 workload term '$t' must match [a-z0-9_]+ — it is spliced " +
+        "into oracle SQL literals and tf_/df_ column identifiers"))
+    qs
+  }
 
   /** txt14 — BM25 top-k retrieval (the lexical-retrieval primitive of
     * RAG and data-curation stacks; the reference has no analogue). For
@@ -418,8 +428,17 @@ object TextOps {
     * the identical IEEE-754 expression tree.
     *
     * Cross-engine exactness: idf is the log-free odds form
-    * `(N−df+0.5)/(df+0.5)` (same per-term ranking as Robertson idf, and a
-    * fixed five-op double tree instead of an engine-specific `ln`);
+    * `(N−df+0.5)/(df+0.5)` — the ODDS whose logarithm is Robertson idf.
+    * CAVEAT (intentional, callers must know): odds is monotone in the
+    * Robertson idf PER TERM, so single-term rankings are identical, but
+    * a SUM of odds is not order-equivalent to a sum of log-odds — a
+    * multi-term query can rank documents differently than textbook
+    * ln-idf BM25 (rare terms weigh in linearly rather than
+    * logarithmically, so they dominate harder). The trade is bit-exact
+    * cross-engine comparability (a fixed five-op double tree instead of
+    * an engine-specific `ln`) over textbook ordering fidelity; callers
+    * needing Robertson ordering for multi-term queries should apply
+    * `ln` per term and accept ULP-level engine divergence;
     * `dl/avgdl` is computed as `(dl·N)/total_tokens` — one exact integer
     * product (safe: dl·N < 2^53 up to ~10^3-token docs at 10^10 docs)
     * and one double division; tf/df/N/total are integer aggregates, so
@@ -491,5 +510,72 @@ object TextOps {
       .select(col("query_id"), col("rnk"), col("doc_id"),
         col("dl").as("n_tokens"), col("score"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** txt15 — the Gopher-style quality-rule battery (Rae et al. 2021 §A1.1
+    * repetition/format heuristics, the standard pre-training corpus gate;
+    * the reference has no analogue — this is the LLM-pipeline extension
+    * lane): per document, the structural measures and ONE pass/fail
+    * verdict with the thresholds folded as literals.
+    *
+    * Measures (every counter INTEGRAL, so the only floating-point ops are
+    * the final per-row divisions — bit-exact across engines):
+    *  - `mean_word_len`  — token characters / tokens (target 3–10)
+    *  - `symbol_frac`    — (# '#' chars + # '...' runs) / tokens (< 0.1)
+    *  - `bullet_frac`    — lines starting '-'/'*'/'•' over non-empty
+    *                       trimmed lines (< 0.9)
+    *  - `ellipsis_line_frac` — lines ending '...' or '…' (< 0.3)
+    *  - `dup_line_frac`  — 1 − distinct/total non-empty lines (< 0.3)
+    *  - `alpha_frac`     — tokens containing a letter / tokens (> 0.8)
+    *  - token count in [50, 100000]
+    *
+    * Shape at 100 TB: a pure narrow projection — tokenize + line-split +
+    * per-row array ops, NO shuffle, no aggregation; runs at parquet-scan
+    * speed with output parallelism = input parallelism (the txt01/txt02
+    * discipline, which this battery composes with: txt02 is the
+    * length/punct/stopword lane, this is the repetition/format lane).
+    */
+  def gopherRules(spark: SparkSession, d: String): DataFrame =
+    gopherRulesFor(Tables.documents(spark, d))
+
+  /** [[gopherRules]] over any (doc_id, text) frame — the spec seam. */
+  def gopherRulesFor(documents: DataFrame): DataFrame = {
+    val lines = filter(transform(split(col("text"), "\n"), l => trim(l)),
+      l => l =!= "")
+    val m = documents.select(col("doc_id"),
+      size(tokens(col("text"))).as("n_tokens"),
+      length(concat_ws("", tokens(col("text")))).as("n_token_chars"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "#", ""))).as("n_hash"),
+      expr("CAST((length(text) - length(replace(text, '...', ''))) DIV 3 AS BIGINT)")
+        .as("n_ellipsis"),
+      size(lines).as("n_lines"),
+      size(filter(lines, l => l.startsWith("-") || l.startsWith("*") ||
+        l.startsWith("•"))).as("n_bullet"),
+      size(filter(lines, l => l.endsWith("...") || l.endsWith("…")))
+        .as("n_ellipsis_end"),
+      size(array_distinct(lines)).as("n_distinct_lines"),
+      size(filter(tokens(col("text")), x => x.rlike("[A-Za-z]")))
+        .as("n_alpha"))
+    def overTokens(c: Column): Column =
+      when(col("n_tokens") > 0, c.cast("double") / col("n_tokens"))
+        .otherwise(0.0)
+    def overLines(c: Column): Column =
+      when(col("n_lines") > 0, c.cast("double") / col("n_lines"))
+        .otherwise(0.0)
+    m.select(col("doc_id"), col("n_tokens"),
+      overTokens(col("n_token_chars")).as("mean_word_len"),
+      overTokens(col("n_hash") + col("n_ellipsis")).as("symbol_frac"),
+      overLines(col("n_bullet")).as("bullet_frac"),
+      overLines(col("n_ellipsis_end")).as("ellipsis_line_frac"),
+      overLines(col("n_lines") - col("n_distinct_lines")).as("dup_line_frac"),
+      overTokens(col("n_alpha")).as("alpha_frac"))
+      .withColumn("passes",
+        col("n_tokens") >= 50 && col("n_tokens") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_frac") < 0.1 && col("bullet_frac") < 0.9 &&
+          col("ellipsis_line_frac") < 0.3 && col("dup_line_frac") < 0.3 &&
+          col("alpha_frac") > 0.8)
+      .orderBy(col("doc_id"))
   }
 }

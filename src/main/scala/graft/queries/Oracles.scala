@@ -752,6 +752,55 @@ r AS (
 SELECT query_id, rnk, doc_id, dl AS n_tokens, score
 FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""",
 
+    // Gopher-style quality battery: integral counters, final per-row
+    // divisions only — thresholds folded as the same literals as the
+    // Spark side. Lines are trimmed non-empty splits on chr(10);
+    // '...' runs count via the replace-length identity // 3
+    "txt15_gopher_rules" -> """
+WITH t0 AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t,
+    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+      l -> l <> '') AS lines
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    len(t) AS n_tokens,
+    COALESCE(len(array_to_string(t, '')), 0) AS n_token_chars,
+    len(text) - len(replace(text, '#', '')) AS n_hash,
+    (len(text) - len(replace(text, '...', ''))) // 3 AS n_ellipsis,
+    len(lines) AS n_lines,
+    len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%'))
+      AS n_bullet,
+    len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))
+      AS n_ellipsis_end,
+    len(list_distinct(lines)) AS n_distinct_lines,
+    len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha
+  FROM t0),
+f AS (
+  SELECT doc_id, n_tokens,
+    CASE WHEN n_tokens > 0 THEN CAST(n_token_chars AS DOUBLE) / n_tokens
+         ELSE CAST(0 AS DOUBLE) END AS mean_word_len,
+    CASE WHEN n_tokens > 0 THEN CAST(n_hash + n_ellipsis AS DOUBLE) / n_tokens
+         ELSE CAST(0 AS DOUBLE) END AS symbol_frac,
+    CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / n_lines
+         ELSE CAST(0 AS DOUBLE) END AS bullet_frac,
+    CASE WHEN n_lines > 0 THEN CAST(n_ellipsis_end AS DOUBLE) / n_lines
+         ELSE CAST(0 AS DOUBLE) END AS ellipsis_line_frac,
+    CASE WHEN n_lines > 0 THEN CAST(n_lines - n_distinct_lines AS DOUBLE) / n_lines
+         ELSE CAST(0 AS DOUBLE) END AS dup_line_frac,
+    CASE WHEN n_tokens > 0 THEN CAST(n_alpha AS DOUBLE) / n_tokens
+         ELSE CAST(0 AS DOUBLE) END AS alpha_frac
+  FROM m)
+SELECT doc_id, n_tokens, mean_word_len, symbol_frac, bullet_frac,
+  ellipsis_line_frac, dup_line_frac, alpha_frac,
+  (n_tokens >= 50 AND n_tokens <= 100000
+   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+   AND symbol_frac < 0.1 AND bullet_frac < 0.9
+   AND ellipsis_line_frac < 0.3 AND dup_line_frac < 0.3
+   AND alpha_frac > 0.8) AS passes
+FROM f ORDER BY doc_id""",
+
     // streaming session windows: the oracle is the batch gaps-and-islands
     // sessionization of the change set. Spark's session_window is
     // CLOSED-interval at the boundary — an event exactly `gap` after the
@@ -935,6 +984,48 @@ FROM m ORDER BY media_id""",
     // formula alone — integer luma (299r+587g+114b)//1000, bucket //16,
     // NN resample src index (i*dim)//4 — so a hash match pins the codec's
     // pixel exactness, not just plumbing
+    // mm09: the aHash near-dup buckets derived from FIRST PRINCIPLES —
+    // pixel formula → integer luma → cross-multiplied threshold bits →
+    // two unsigned 32-bit halves → equality-join buckets. PNG is
+    // lossless, so the engine's decoded-side hash must equal this
+    "mm09_image_ahash" -> """
+WITH ids AS (
+  SELECT unnest(CASE WHEN doc_id % 5 = 0
+                THEN [doc_id, doc_id + 100000]
+                ELSE [doc_id] END) AS media_id
+  FROM documents),
+px AS (
+  SELECT media_id,
+    CASE WHEN media_id >= 100000 THEN media_id - 100000 ELSE media_id END AS id,
+    media_id >= 100000 AS noisy, y, x
+  FROM ids, range(0, 8) ty(y), range(0, 8) tx(x)),
+lum AS (
+  SELECT media_id, y * 8 + x AS bit,
+    (299 * (((id * 2654435761 + (y*8 + x) * 40503 + 17) % 65521) % 256)
+     + 587 * (((id * 2246822519 + (y*8 + x) * 52361 + 101) % 65521) % 256)
+     + 114 * (CASE WHEN noisy AND (x + y) % 7 = 0
+              THEN (((id * 3266489917 + (y*8 + x) * 44131 + 233) % 65521) % 256 + 1) % 256
+              ELSE ((id * 3266489917 + (y*8 + x) * 44131 + 233) % 65521) % 256 END)) // 1000 AS luma
+  FROM px),
+tot AS (SELECT media_id, sum(luma) AS total FROM lum GROUP BY 1),
+bits AS (
+  SELECT l.media_id, l.bit,
+    CASE WHEN l.luma * 64 > t.total THEN 1 ELSE 0 END AS b
+  FROM lum l JOIN tot t USING (media_id)),
+hash AS (
+  SELECT media_id,
+    CAST(sum(CASE WHEN bit >= 32
+             THEN b * (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+    CAST(sum(CASE WHEN bit < 32
+             THEN b * (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS ahash_lo
+  FROM bits GROUP BY 1),
+bk AS (SELECT ahash_hi, ahash_lo, count(*) AS bucket_size
+       FROM hash GROUP BY 1, 2)
+SELECT h.media_id, h.ahash_hi, h.ahash_lo, bk.bucket_size,
+       bk.bucket_size > 1 AS is_dup
+FROM hash h JOIN bk USING (ahash_hi, ahash_lo)
+ORDER BY media_id""",
+
     "mm06_image_roundtrip" -> """
 WITH m AS (
   SELECT doc_id AS media_id,
@@ -1117,6 +1208,19 @@ FROM t WHERE len(toks) >= 3 ORDER BY id_a""",
     // the dd03 planting device, restricted to the planting relation; docs
     // too short to shingle (< 3 tokens) never enter the index
     "dd11_incremental" -> """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id + 100000 AS batch_id, doc_id AS corpus_id,
+  CAST(1.0 AS DOUBLE) AS jaccard
+FROM t WHERE len(toks) >= 3 ORDER BY batch_id""",
+
+    // dd13: the same planting relation as dd11 — every arriving copy
+    // pairs with its original at Jaccard 1.0 REGARDLESS of which
+    // micro-batch it arrived in, so the streaming loop's output is
+    // batch-boundary independent and fully derivable
+    "dd13_stream_increments" -> """
 WITH t AS (
   SELECT doc_id,
     list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks

@@ -185,6 +185,7 @@ object QueryPack {
     "txt12_vocab_oov"    -> ((s, d) => TextOps.vocabOovRate(s, d)),
     "txt13_familiarity"  -> ((s, d) => TextOps.familiarity(s, d)),
     "txt14_bm25"         -> ((s, d) => TextOps.bm25TopK(s, d)),
+    "txt15_gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d)),
 
     // ---- dedup ----
     "dd01_exact_dedup"   -> ((s, d) => Dedup.exact(s, d)),
@@ -203,6 +204,7 @@ object QueryPack {
     "dd09_noisy_recall"   -> ((s, d) => Dedup.noisyRecallSummary(s, d)),
     "dd10_split_leakage"  -> ((s, d) => Dedup.splitLeakage(s, d)),
     "dd11_incremental"    -> ((s, d) => Dedup.incrementalSelfRecall(s, d)),
+    "dd13_stream_increments" -> ((s, d) => Dedup.streamingIncrementalSelfRecall(s, d)),
     "dd12_span_dedup"     -> ((s, d) => Dedup.spanDupStats(s, d)),
 
     // ---- similarity search ----
@@ -222,6 +224,7 @@ object QueryPack {
     // real javax.imageio PNG encode→decode round trip vs the pixel
     // formula re-derived oracle-side — see Multimodal.imageRoundTrip
     "mm06_image_roundtrip" -> ((s, d) => Multimodal.imageRoundTrip(s, d)),
+    "mm09_image_ahash"   -> ((s, d) => Multimodal.imageAHashDedup(s, d)),
     // real javax.sound WAV encode→decode round trip vs the sample
     // formula re-derived oracle-side — see Multimodal.audioRoundTrip
     "mm07_audio_roundtrip" -> ((s, d) => Multimodal.audioRoundTrip(s, d)),

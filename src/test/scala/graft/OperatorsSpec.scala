@@ -928,4 +928,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bucketed.toSeq == naive.toSeq)
     assert(bucketed.length == 15) // 3 queries × k
   }
+
+  test("dd13 building blocks: the persisted index GROWS — later arrivals match earlier arrivals") {
+    val text = "the quick brown fox jumps over the lazy dog tonight"
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("dd13_spec").toString
+    // corpus: one doc
+    Dedup.dedupIndexAppend(Seq((1L, text)).toDF("doc_id", "text"),
+      indexDir, "corpus")
+    // batch 1: an exact copy — pairs with the corpus doc only
+    val b1 = Seq((100L, text)).toDF("doc_id", "text")
+    val p1 = Dedup.screenAgainstIndex(spark, indexDir, b1)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(p1 == Set((100L, 1L)))
+    Dedup.dedupIndexAppend(b1, indexDir, "b1")
+    // batch 2: another copy — must pair with the corpus doc AND batch 1's
+    // doc: the proof the index grew mid-stream, the property dd13's
+    // driver oracle cannot see (its relation filter keeps planted pairs)
+    val b2 = Seq((200L, text)).toDF("doc_id", "text")
+    val p2 = Dedup.screenAgainstIndex(spark, indexDir, b2)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(p2 == Set((200L, 1L), (200L, 100L)),
+      s"index did not grow with appended batches: $p2")
+  }
+
+  test("txt15 gopher rules: hand-built docs hit each rule exactly") {
+    import graft.operators.text.TextOps
+    val good = (1 to 60).map(i => s"word$i").mkString(" ") // 60 tokens, clean
+    val docs = Seq(
+      (1L, good),
+      (2L, "short doc"),                               // n_tokens < 50
+      (3L, good + " ### #### " + "#" * 20),            // symbol storm
+      (4L, (1 to 30).map(_ => "- bullet line").mkString("\n")), // bullets+dups
+      (5L, good + "\nline one...\nline two…\nline three...\nplain line")
+    ).toDF("doc_id", "text")
+    val r = TextOps.gopherRulesFor(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getBoolean(8), "clean doc must pass")
+    assert(!r(2L).getBoolean(8), "under-length doc must fail")
+    assert(!r(3L).getBoolean(8), "symbol-heavy doc must fail")
+    assert(r(3L).getDouble(3) >= 0.1, "symbol_frac must register the #s")
+    assert(!r(4L).getBoolean(8), "bullet/dup-line doc must fail")
+    assert(r(4L).getDouble(4) == 1.0, "every line is a bullet")
+    // 30 identical lines -> 1 distinct -> dup_line_frac 29/30
+    assert(math.abs(r(4L).getDouble(6) - 29.0 / 30.0) < 1e-12)
+    // doc 5: 5 lines (the 60-token head + 4), 3 end in ellipsis -> 0.6 > 0.3
+    assert(math.abs(r(5L).getDouble(5) - 0.6) < 1e-12)
+    assert(!r(5L).getBoolean(8), "ellipsis-line doc must fail")
+    // mean word length of the clean doc: 'wordN' lengths 5..7, all alpha
+    assert(r(1L).getDouble(7) == 1.0, "alpha_frac of letter tokens is 1")
+  }
 }

@@ -268,8 +268,63 @@ class PlanAuditSpec extends AnyFunSuite {
     // token array
     val exchanges = p.linesIterator
       .filter(_.contains("Exchange hashpartitioning")).mkString("\n")
-    assert(!exchanges.contains("text#") && !exchanges.contains("t#"),
+    // match the payload columns PRECISELY (`text#NN` / the token array
+    // `t#NN`): a bare "t#" substring would also hit benign aliases that
+    // merely end in 't' (count#NN, cnt#NN) and break across Spark versions
+    val payload = """(?<![A-Za-z0-9_])(text|t)#\d+""".r
+    assert(payload.findFirstIn(exchanges).isEmpty,
       s"corpus payload rides a dd12 shuffle:\n$exchanges")
+  }
+
+  test("pq index search: broadcast codebooks/tables, codes-only ADC shuffle, id-join rerank") {
+    import graft.operators.ann.PqIndex
+    import org.apache.spark.sql.functions.col
+    val corpus = Tables.spread(Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))).cache()
+    val dir = java.nio.file.Files.createTempDirectory("pq-audit").toString
+    PqIndex.build(corpus, dir)
+    val queries = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val df = PqIndex.topKAgainst(spark, dir, queries, corpus)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the m*ksub codebook-derived lookup tables and the query side ride
+    // broadcasts — the stored code relation itself is never re-shuffled
+    // wholesale with embeddings aboard
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "codebook tables / query side lost their broadcasts")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).mkString("\n")
+    val payload = """(?<![A-Za-z0-9_])(embedding|q_emb|cent_emb)#\d+""".r
+    assert(payload.findFirstIn(exchanges).isEmpty,
+      s"embedding payload rides an ADC shuffle:\n$exchanges")
+    // ADC scores partial-aggregate before the (query_id, vec_id) exchange
+    assert(p.contains("partial_sum"), "ADC sum lost its map-side combine")
+  }
+
+  test("txt15: the quality battery is a pure narrow projection — zero exchanges") {
+    val df = SparkEntry.queries("txt15_gopher_rules")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // scan → project → (presentation sort); NO aggregation, NO shuffle
+    // beyond the ORDER BY's range partitioning at the presentation edge
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-row quality battery grew a hash shuffle:\n$p")
+    assert(!p.contains("HashAggregate"), "per-row battery grew an aggregation")
+  }
+
+  test("mm09: the aHash bucket count shuffles 16-byte keys, never pixels") {
+    val df = SparkEntry.queries("mm09_image_ahash")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("partial_count"), "bucket count lost its map-side combine")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).mkString("\n")
+    // only (ahash_hi, ahash_lo[, media_id]) may ride a shuffle
+    val allowed = """(ahash_hi|ahash_lo|media_id|count|bucket_size)"""
+    val cols = s"""(?<![A-Za-z0-9_])(?!$allowed)[a-z_]+#\\d+""".r
+    assert(cols.findFirstIn(exchanges).isEmpty,
+      s"unexpected column rides the mm09 shuffle:\n$exchanges")
   }
 
   test("txt14: one corpus tf aggregation; broadcast stats; top-k group limits") {
