@@ -48,12 +48,20 @@ object PqIndex {
     def subLen: Int = dim / m
   }
 
-  private def manifestPath(indexDir: String) =
-    new org.apache.hadoop.fs.Path(indexDir, "_pq_manifest")
+  private val ManifestVRe = "_pq_manifest-v(\\d+)".r
+
+  private def manifestFile(v: Long): String = f"_pq_manifest-v$v%08d"
 
   def readMeta(indexDir: String): Meta = {
-    val (fs, _) = WalSegments.fsFor(indexDir)
-    val in = fs.open(manifestPath(indexDir))
+    val (fs, root) = WalSegments.fsFor(indexDir)
+    val name =
+      try fs.listStatus(root).iterator.map(_.getPath.getName)
+        .collect { case n @ ManifestVRe(v) => (v.toLong, n) }
+        .maxByOption(_._1).map(_._2)
+      catch { case _: java.io.FileNotFoundException => None }
+    val path = name.map(n => new org.apache.hadoop.fs.Path(indexDir, n))
+      .getOrElse(new org.apache.hadoop.fs.Path(indexDir, "_pq_manifest"))
+    val in = fs.open(path)
     val text =
       try {
         val buf = new java.io.ByteArrayOutputStream()
@@ -74,14 +82,33 @@ object PqIndex {
       num("dim").toInt, books, leaves)
   }
 
-  private def writeMeta(indexDir: String, meta: Meta): Unit = {
+  /** Commit a meta version the Materializer way: uniquely-named temp
+    * file → rename to the immutable `_pq_manifest-v<N>` — rename-to-
+    * existing fails, so two appenders racing the same version have
+    * exactly one winner and the loser throws having published nothing
+    * (its just-written code leaf is unreferenced residue). Readers
+    * resolve the max committed version.
+    */
+  private[graft] def writeMeta(indexDir: String, meta: Meta): Unit = {
     val (fs, _) = WalSegments.fsFor(indexDir)
-    WalSegments.writeAtomic(fs, manifestPath(indexDir)) { out =>
+    val dest = new org.apache.hadoop.fs.Path(indexDir, manifestFile(meta.version))
+    val tmp = new org.apache.hadoop.fs.Path(indexDir,
+      s".${dest.getName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try {
       val leaves = meta.codeLeaves.map(l => s""""$l"""").mkString(",")
       out.write(
         (s"""{"version":${meta.version},"m":${meta.m},"ksub":${meta.ksub},""" +
           s""""dim":${meta.dim},"codebooks":"${meta.codebooksDir}",""" +
           s""""leaves":[$leaves]}""").getBytes("UTF-8"))
+    } finally out.close()
+    val won = !fs.exists(dest) && fs.rename(tmp, dest)
+    if (!won) {
+      try fs.delete(tmp, false)
+      catch { case _: java.io.IOException => () }
+      throw new IllegalStateException(
+        s"lost pq-index manifest commit race for version ${meta.version} " +
+          s"at $indexDir — another appender won; re-read and retry")
     }
   }
 

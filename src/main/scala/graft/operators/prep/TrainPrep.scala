@@ -449,6 +449,64 @@ object TrainPrep {
         col("n_masked"), col("mask_frac"))
       .orderBy(col("doc_id"))
 
+  /** tp10 — BENCHMARK-SET contamination screening: the GPT-3/Llama
+    * decontamination rule at corpus scale. Where tp01 screens against a
+    * single planted snippet, this screens every training document
+    * against the full n-gram SET of a benchmark corpus (here the
+    * deterministic `doc_id % benchMod == 0` subset): a document is
+    * contaminated when ANY of its positional `k`-grams appears anywhere
+    * in the benchmark, and `hit_frac` (contaminated positions over
+    * positions) grades the severity — the figure a curation run reports
+    * before dropping or masking.
+    *
+    * Shape at 100 TB: both sides explode positional k-grams as narrow
+    * projections (the dd12 device — md5 over the joined window, ids and
+    * 128-bit hashes only past the scan); the benchmark gram set is one
+    * map-side-combined distinct (benchmarks are small relative to the
+    * corpus — MMLU+GSM8K+… is megabytes against terabytes, so the gram
+    * relation often BROADCASTS; AQE decides); the screen is one
+    * LEFT SEMI equi-join on the gram hash keeping contaminated POSITION
+    * rows, then a per-doc count. No window on the gram key, no text
+    * rides any exchange.
+    */
+  def contaminationScreen(spark: SparkSession, d: String, k: Int = 13,
+      benchMod: Long = 17L): DataFrame =
+    contaminationScreenFor(Tables.documents(spark, d), k, benchMod)
+
+  /** [[contaminationScreen]] over any (doc_id, text) frame — the spec
+    * seam.
+    */
+  def contaminationScreenFor(documents: DataFrame, k: Int = 13,
+      benchMod: Long = 17L): DataFrame = {
+    val withN = documents
+      .select(col("doc_id"),
+        graft.operators.text.TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).as("n_tokens"), col("t"))
+    def gramsOf(df: DataFrame): DataFrame = df
+      .filter(col("n_tokens") >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), col("n_tokens") - k),
+          i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(k)))))).as("gh"))
+    val benchGrams = gramsOf(withN.filter(col("doc_id") % benchMod === 0))
+      .select(col("gh")).distinct()
+    val corpus = withN.filter(col("doc_id") % benchMod =!= 0)
+    val hits = gramsOf(corpus)
+      .join(benchGrams, Seq("gh"), "left_semi") // keeps contaminated POSITIONS
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    corpus.select(col("doc_id"), col("n_tokens"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") >= k, col("n_tokens") - (k - 1))
+          .otherwise(lit(0)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(col("n_tokens") >= k,
+          coalesce(col("n_hit"), lit(0L)).cast("double") /
+            (col("n_tokens") - (k - 1)))
+          .otherwise(lit(0.0)).as("hit_frac"),
+        (coalesce(col("n_hit"), lit(0L)) > 0L).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- mixture
 
   /** Budget-constrained domain mixture resampling: given target mixture

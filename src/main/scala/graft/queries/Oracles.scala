@@ -801,6 +801,27 @@ SELECT doc_id, n_tokens, mean_word_len, symbol_frac, bullet_frac,
    AND alpha_frac > 0.8) AS passes
 FROM f ORDER BY doc_id""",
 
+    // txt16: BPE iteration-0 input — adjacent-pair counts over the char
+    // + '</w>' symbolization, weighted by word frequency. The merge LOOP
+    // is iterative (not SQL-derivable) and is pinned by BpeSpec; this
+    // derives the distributed stage the loop consumes
+    "txt16_bpe_pairs" -> s"""$toksCte,
+tok AS (SELECT unnest(t) AS word FROM toks),
+wc AS (SELECT word, count(*) AS n FROM tok GROUP BY 1),
+syms AS (
+  SELECT n, list_append(
+    list_transform(range(0, len(word)), i -> substr(word, CAST(i+1 AS INT), 1)),
+    '</w>') AS s
+  FROM wc),
+pairs AS (
+  SELECT n, list_extract(s, CAST(i+1 AS INT)) AS left_sym,
+         list_extract(s, CAST(i+2 AS INT)) AS right_sym
+  FROM (SELECT n, s, unnest(range(0, len(s) - 1)) AS i FROM syms)),
+pc AS (SELECT left_sym, right_sym, CAST(sum(n) AS BIGINT) AS pair_count
+       FROM pairs GROUP BY 1, 2)
+SELECT left_sym, right_sym, pair_count
+FROM pc ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20""",
+
     // streaming session windows: the oracle is the batch gaps-and-islands
     // sessionization of the change set. Spark's session_window is
     // CLOSED-interval at the boundary — an event exactly `gap` after the
@@ -1433,6 +1454,32 @@ SELECT doc_id, n_tokens,
        THEN CAST(len(mask_idx) AS DOUBLE) / n_tokens
        ELSE CAST(0 AS DOUBLE) END AS mask_frac
 FROM m ORDER BY doc_id""",
+
+    // tp10: benchmark-set contamination — positional 13-grams of every
+    // non-benchmark doc screened against the DISTINCT gram set of the
+    // doc_id % 17 == 0 benchmark subset; hits count POSITIONS
+    "tp10_contamination" -> s"""$toksCte,
+wn AS (SELECT doc_id, len(t) AS n_tokens, t FROM toks),
+bg AS (
+  SELECT DISTINCT md5(array_to_string(t[s+1:s+13], ' ')) AS gh
+  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 13 + 1)) AS s
+        FROM wn WHERE doc_id % 17 = 0 AND len(t) >= 13)),
+cg AS (
+  SELECT doc_id, md5(array_to_string(t[s+1:s+13], ' ')) AS gh
+  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 13 + 1)) AS s
+        FROM wn WHERE doc_id % 17 <> 0 AND len(t) >= 13)),
+h AS (SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+      FROM cg JOIN bg USING (gh) GROUP BY 1)
+SELECT w.doc_id, w.n_tokens,
+  CASE WHEN w.n_tokens >= 13 THEN w.n_tokens - 12 ELSE 0 END AS n_grams,
+  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+  CASE WHEN w.n_tokens >= 13
+       THEN CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / (w.n_tokens - 12)
+       ELSE CAST(0 AS DOUBLE) END AS hit_frac,
+  COALESCE(h.n_hit, 0) > 0 AS contaminated
+FROM wn w LEFT JOIN h USING (doc_id)
+WHERE w.doc_id % 17 <> 0
+ORDER BY w.doc_id""",
 
     "tp04_pii_scrub" -> """
 WITH p AS (

@@ -186,6 +186,7 @@ object QueryPack {
     "txt13_familiarity"  -> ((s, d) => TextOps.familiarity(s, d)),
     "txt14_bm25"         -> ((s, d) => TextOps.bm25TopK(s, d)),
     "txt15_gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d)),
+    "txt16_bpe_pairs"    -> ((s, d) => graft.operators.text.Bpe.topInitialPairs(s, d)),
 
     // ---- dedup ----
     "dd01_exact_dedup"   -> ((s, d) => Dedup.exact(s, d)),
@@ -247,7 +248,8 @@ object QueryPack {
     "tp06_mixture"       -> ((s, d) => TrainPrep.mixtureSample(s, d)),
     "tp07_epoch_shuffle" -> ((s, d) => TrainPrep.epochShuffle(s, d)),
     "tp08_source_cap"    -> ((s, d) => TrainPrep.sourceCap(s, d)),
-    "tp09_loss_mask"     -> ((s, d) => TrainPrep.lossMaskGated(s, d))
+    "tp09_loss_mask"     -> ((s, d) => TrainPrep.lossMaskGated(s, d)),
+    "tp10_contamination" -> ((s, d) => TrainPrep.contaminationScreen(s, d))
   )
 
   /** D1-D11 showcase: a distributed decode of binary pgoutput frames

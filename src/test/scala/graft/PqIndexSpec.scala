@@ -85,6 +85,30 @@ class PqIndexSpec extends AnyFunSuite {
     assert(PqIndex.readMeta(dir) == m1)
   }
 
+  test("manifest commits are exclusive — two appenders racing a version have one winner") {
+    val all = emb.cache()
+    val dir = tmpDir()
+    PqIndex.build(all.filter(col("vec_id") < 30), dir)
+    // appender A commits version 2
+    val mA = PqIndex.append(spark, dir,
+      all.filter(col("vec_id") >= 30 && col("vec_id") < 35))
+    assert(mA.version == 2L)
+    // appender B read the index BEFORE A committed (stale meta at v1) and
+    // now races the SAME version — its commit must lose, publishing
+    // nothing, and A's manifest must be untouched
+    val stale = mA.copy(codeLeaves = mA.codeLeaves.init :+ "codes-v00000099")
+    val e = intercept[IllegalStateException] {
+      PqIndex.writeMeta(dir, stale)
+    }
+    assert(e.getMessage.contains("lost pq-index manifest commit race"))
+    assert(PqIndex.readMeta(dir) == mA,
+      "the loser's attempt must not perturb the committed manifest")
+    // the documented retry path: re-read the CURRENT meta, append again
+    val mB = PqIndex.append(spark, dir,
+      all.filter(col("vec_id") >= 35 && col("vec_id") < 40))
+    assert(mB.version == 3L && mB.codeLeaves.startsWith(mA.codeLeaves))
+  }
+
   test("ann06 self-recall through the persisted index is the planting relation") {
     val out = PqIndex.selfRecallPersisted(spark, sf).collect()
     val n = emb.count()

@@ -352,4 +352,28 @@ class TrainPrepSpec extends AnyFunSuite {
       .collect()(0).getSeq[String](0)
     assert(got == Seq("a", "b", "c"))
   }
+
+  test("tp10: planted benchmark overlap is found at exactly its positional mass") {
+    import spark.implicits._
+    val bench = (1 to 20).map(i => s"bench$i").mkString(" ") // doc 0: 20 tokens
+    val clean = (1 to 30).map(i => s"clean$i").mkString(" ")
+    // doc 3 embeds benchmark tokens 3..17 (15 tokens) mid-document:
+    // its contaminated 13-gram STARTS are those fully inside the span
+    val infected = (1 to 5).map(i => s"pre$i").mkString(" ") + " " +
+      (3 to 17).map(i => s"bench$i").mkString(" ") + " " +
+      (1 to 5).map(i => s"post$i").mkString(" ")
+    val docs = Seq((0L, bench), (3L, infected), (5L, clean), (9L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val r = TrainPrep.contaminationScreenFor(docs, k = 13, benchMod = 17L)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(!r.contains(0L), "benchmark docs are not screened rows")
+    // infected: 25 tokens -> 13 grams; the 15-token benchmark span holds
+    // 15-13+1 = 3 contaminated gram starts
+    assert(r(3L).getInt(2) == 13 && r(3L).getLong(3) == 3L)
+    assert(r(3L).getBoolean(5), "overlap must flag contaminated")
+    assert(math.abs(r(3L).getDouble(4) - 3.0 / 13.0) < 1e-12)
+    assert(r(5L).getLong(3) == 0L && !r(5L).getBoolean(5))
+    assert(r(9L).getInt(2) == 0 && !r(9L).getBoolean(5),
+      "sub-k docs have zero grams and are never flagged")
+  }
 }
