@@ -170,14 +170,41 @@ object PqIndex {
     Ann.pqEncode(batch, codebooks(spark, indexDir), meta.subLen)
   }
 
+  /** Delete every DEAD `codes-v<N>` leaf: unreferenced by the current
+    * manifest AND with `N` at or below its version — such a leaf's
+    * committing manifest provably lost its race (versions are claimed by
+    * exclusive create), so no future commit can ever reference it. An
+    * unreferenced leaf with `N` ABOVE the current version may belong to
+    * a concurrent appender mid-commit and is left alone; readers are
+    * safe either way (they only resolve committed manifests).
+    */
+  private def sweepUnreferenced(indexDir: String, meta: Meta): Unit = {
+    val (fs, root) = WalSegments.fsFor(indexDir)
+    val referenced = meta.codeLeaves.toSet
+    val LeafRe = "codes-v(\\d+)".r
+    try {
+      fs.listStatus(root).foreach { st =>
+        st.getPath.getName match {
+          case n @ LeafRe(v) if st.isDirectory && !referenced.contains(n) &&
+              v.toLong <= meta.version =>
+            try fs.delete(st.getPath, true)
+            catch { case _: java.io.IOException => () }
+          case _ => ()
+        }
+      }
+    } catch { case _: java.io.FileNotFoundException => () }
+  }
+
   /** Append a batch's codes as a new immutable leaf + manifest swap.
-    * O(batch) work; existing leaves are never read or rewritten. Caller
+    * O(batch) work; existing leaves are never read or rewritten; crash
+    * residue from earlier failed appends is swept first. Caller
     * contract: batch vec_ids are new (the Materializer lane is the
     * upsert path; an index rebuild is the delete path).
     */
   def append(spark: SparkSession, indexDir: String,
       batch: DataFrame): Meta = {
     val meta = readMeta(indexDir)
+    sweepUnreferenced(indexDir, meta)
     val leaf = leafName(meta.version + 1)
     encodeBatch(spark, indexDir, batch)
       .write.mode("overwrite").parquet(s"$indexDir/$leaf")
@@ -228,6 +255,71 @@ object PqIndex {
       .select(col("query_id"), col("rnk"), col("vec_id"),
         round(col("sim"), 4).as("sim"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** ann07 — the EMBEDDING crawl loop as a STREAM (the dd13 pattern for
+    * the ANN family): arriving vector batches are searched against the
+    * persisted index, then [[append]]ed INTO it, inside one Structured
+    * Streaming query — so later batches are retrievable by the time the
+    * next increment lands, with no retraining and no corpus pass. Search
+    * is the ann05 full-code collision device (encode the batch against
+    * the STORED codebooks, pair on stored pq_code equality, exact-cosine
+    * rerank with deterministic ties): every arriving vector is an exact
+    * copy of a corpus vector, so it provably matches its original at
+    * sim 1.0 regardless of batch boundaries — while the whole
+    * reload → encode → collide → verify → append loop executes per
+    * micro-batch and any staleness or increment bug surfaces as
+    * missing/mis-ranked rows. `embProvider` plays the embedding store
+    * for rerank lookups (ids in, vectors out — point-lookup shaped).
+    *
+    * Scale per batch: encode is one batch×broadcast-codebook pass; the
+    * collision join shuffles (vec_id, pq_code) only; rerank touches
+    * colliding ids' embeddings alone; the append is one immutable leaf.
+    * Cost per increment is independent of index size.
+    */
+  def streamingSelfRecall(spark: SparkSession, d: String,
+      nBatches: Int = 4, m: Int = 4, ksub: Int = 16, dim: Int = 64,
+      refineIters: Int = 1): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val base = Tables.spread(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))).cache()
+    val all = Ann.withExactCopies(base).cache() // rerank's embedding store
+    val copies = all.filter(col("vec_id") >= 100000L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-stream").toString
+    val indexDir = s"$tmp/index"
+    val stageDir = s"$tmp/arrivals"
+    val outDir = s"$tmp/matches"
+    build(base, indexDir, m, ksub, dim, refineIters)
+    copies.repartition(nBatches, col("vec_id")).write.parquet(stageDir)
+    val schema = spark.read.parquet(stageDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    val q = graft.GraftSession.withStreamShuffle(spark)(
+      stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        val bcodes = Ann.pqFullCodes(encodeBatch(spark, indexDir, batch))
+        val stored = Ann.pqFullCodes(codes(spark, indexDir))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("cand_id"))
+        bcodes
+          .join(stored.select(col("vec_id").as("cand_id"), col("pq_code")),
+            Seq("pq_code"))
+          .select(col("vec_id"), col("cand_id"))
+          .join(batch.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+          .join(all.select(col("vec_id").as("cand_id"),
+            col("embedding").as("cand_emb")), Seq("cand_id"))
+          .withColumn("sim", Ann.cosine(col("embedding"), col("cand_emb")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select(col("vec_id").as("query_id"), col("cand_id").as("match_id"),
+            round(col("sim"), 4).as("sim"))
+          .write.mode("append").parquet(outDir)
+        append(spark, indexDir, batch)
+        ()
+      }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start())
+    q.awaitTermination(600000)
+    spark.read.parquet(outDir)
+      .filter(col("match_id") === col("query_id") - 100000L)
+      .orderBy(col("query_id"))
   }
 
   /** ann06's driver-checked shape — the ann05 planted-copy theorem run

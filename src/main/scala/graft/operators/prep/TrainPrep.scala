@@ -187,6 +187,15 @@ object TrainPrep {
     */
   def seqPacking(spark: SparkSession, d: String, budget: Int = 2048,
       bucketWidth: Long = 1000L, fanout: Long = 1000L,
+      maxDocs: Long = 1L << 42): DataFrame =
+    seqPackingFor(Tables.documents(spark, d), budget, bucketWidth,
+      fanout, maxDocs)
+
+  /** [[seqPacking]] over any (doc_id, text) frame — the composition seam
+    * ([[packedLossMask]] packs the PII-planted corpus through it).
+    */
+  def seqPackingFor(documents: DataFrame, budget: Int = 2048,
+      bucketWidth: Long = 1000L, fanout: Long = 1000L,
       maxDocs: Long = 1L << 42): DataFrame = {
     // smallest depth with maxDocs/bucketWidth/fanout^depth ≤ fanout rows at
     // the top: depth ≥ log_fanout(maxBuckets) - 1
@@ -209,7 +218,7 @@ object TrainPrep {
     // in the dd02/dd06 shared-fingerprint stage.
     val levelKeys = (1 to depth).scanLeft("bucket")((e, _) => s"($e div $fanout)")
     val n = levelKeys.foldLeft(
-      Tables.documents(spark, d)
+      documents
         .filter(col("doc_id").isNotNull)
         .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tokens"),
           floor(guardedId / bucketWidth).cast("long").as("bucket")))(
@@ -362,6 +371,21 @@ object TrainPrep {
   val ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val phoneRe = "\\b555-\\d{4}\\b"
 
+  /** The shared planted-PII lane (tp04/tp09/tp11): `doc_id % 7 == 0`
+    * gains one email + one IPv4 + one phone, each derived from doc_id —
+    * one definition so the three operators (and their oracles) cannot
+    * drift.
+    */
+  private[graft] def withPlantedPii(documents: DataFrame): DataFrame = documents
+    .select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com ip 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") % 100).cast("string"),
+        lit(" call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(col("text")).as("text"))
+
   /** PII detection + redaction: per-doc counts of email / IPv4 / phone
     * matches and the fingerprint of the redacted text (email→`<EMAIL>`
     * first, then IP, then phone — order matters and is part of the
@@ -372,15 +396,7 @@ object TrainPrep {
     * no shuffle, no UDFs; at 100 TB this is scan-bound.
     */
   def piiScrub(spark: SparkSession, d: String): DataFrame = {
-    val planted = Tables.documents(spark, d)
-      .select(col("doc_id"),
-        when(col("doc_id") % 7 === 0, concat(col("text"),
-          lit(" contact user"), col("doc_id").cast("string"),
-          lit("@example.com ip 10."), (col("doc_id") % 256).cast("string"),
-          lit(".0."), (col("doc_id") % 100).cast("string"),
-          lit(" call 555-"),
-          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-          .otherwise(col("text")).as("text"))
+    val planted = withPlantedPii(Tables.documents(spark, d))
     val redacted = regexp_replace(
       regexp_replace(
         regexp_replace(col("text"), emailRe, "<EMAIL>"),
@@ -409,15 +425,12 @@ object TrainPrep {
       blocklist: Seq[String] = Seq("slow", "dup")): DataFrame = {
     val maskRe = s"($emailRe)|($ipv4Re)|($phoneRe)"
     val blocked = array(blocklist.map(lit): _*)
-    val planted = Tables.documents(spark, d)
-      .select(col("doc_id"),
-        when(col("doc_id") % 7 === 0, concat(col("text"),
-          lit(" contact user"), col("doc_id").cast("string"),
-          lit("@example.com ip 10."), (col("doc_id") % 256).cast("string"),
-          lit(".0."), (col("doc_id") % 100).cast("string"),
-          lit(" call 555-"),
-          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-          .otherwise(col("text")).as("text"))
+    // spread BEFORE the per-token regex probes: the interpreted lambda
+    // filter is the most compute-heavy per-row projection in the prep
+    // family (measured 29 s single-task at sf0.1 on the unsplittable
+    // single-row-group fixture vs ~1 s spread across cores); at 100 TB
+    // spread is a no-op and the scan splits naturally
+    val planted = withPlantedPii(Tables.spread(Tables.documents(spark, d)))
     val masked = planted
       .select(col("doc_id"),
         graft.operators.text.TextOps.tokens(col("text")).as("t"))
@@ -448,6 +461,50 @@ object TrainPrep {
         array_join(col("mask_idx"), ",").as("mask_csv"),
         col("n_masked"), col("mask_frac"))
       .orderBy(col("doc_id"))
+
+  /** tp11 — loss masks in PACKED coordinates: the artifact a trainer
+    * actually consumes once documents are concatenated into fixed-length
+    * sequences — each masked token's position in the GLOBAL token tape
+    * (`start_offset + idx − 1`, composing [[seqPackingFor]]'s
+    * distributed prefix-sum geometry with [[lossMask]]'s per-doc
+    * indexes) and its (sequence, offset) coordinate under the packing
+    * budget. A document spanning a sequence boundary lands its masks in
+    * BOTH sequences correctly — the case per-doc masks can't express and
+    * the reason this composition exists. Long-form one row per masked
+    * token: scalar-only, gate-safe, and the shape a masking dataloader
+    * joins by (mask_seq_id, mask_pos).
+    *
+    * Shape at 100 TB: the packing lane is tp03's recursive prefix sum
+    * (no single-task window at any level); the mask lane here is the
+    * RELATIONAL form — `posexplode` the tokens and filter with a
+    * codegen'd `rlike`, NOT [[lossMask]]'s array-lambda form: an array
+    * column consumed by a downstream `explode` makes Catalyst infer a
+    * non-empty filter and SUBSTITUTE the whole lambda expression into
+    * it, where `element_at(tokens(...), i)` re-derives the tokenization
+    * per probed element — a measured O(tokens²) interpreted blowup
+    * (~15 s at sf0.1 vs ~1 s relational). Long-form masks keep every
+    * regex probe inside whole-stage codegen and shuffle (doc_id, int)
+    * pairs only; the composition is one id-keyed join.
+    */
+  def packedLossMask(spark: SparkSession, d: String,
+      budget: Int = 2048): DataFrame = {
+    val packed = seqPackingFor(withPlantedPii(Tables.documents(spark, d)),
+      budget).select(col("doc_id"), col("start_offset"))
+    val maskRe = s"($emailRe)|($ipv4Re)|($phoneRe)"
+    val masks = withPlantedPii(Tables.spread(Tables.documents(spark, d)))
+      .select(col("doc_id"),
+        posexplode(graft.operators.text.TextOps.tokens(col("text")))
+          .as(Seq("pos", "tok")))
+      .filter(col("tok").rlike(maskRe) || col("tok").isin("slow", "dup"))
+      .select(col("doc_id"), (col("pos") + 1).as("idx"))
+    packed.join(masks, Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("start_offset") + col("idx") - 1).as("mask_global"))
+      .select(col("doc_id"), col("mask_global"),
+        expr(s"mask_global div $budget").as("mask_seq_id"),
+        (col("mask_global") % budget).as("mask_pos"))
+      .orderBy(col("doc_id"), col("mask_global"))
+  }
 
   /** tp10 — BENCHMARK-SET contamination screening: the GPT-3/Llama
     * decontamination rule at corpus scale. Where tp01 screens against a

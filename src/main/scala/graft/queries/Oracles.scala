@@ -581,6 +581,14 @@ FROM embeddings ORDER BY vec_id""",
 SELECT vec_id, vec_id + 100000 AS pq_nearest, CAST(1.0 AS DOUBLE) AS sim
 FROM embeddings ORDER BY vec_id""",
 
+    // ann07: the planting theorem through the STREAMING loop — every
+    // arriving copy retrieves its original at sim 1.0 whatever batch it
+    // arrived in (search against stored codebooks/codes, then append)
+    "ann07_pq_stream" -> """
+SELECT vec_id + 100000 AS query_id, vec_id AS match_id,
+  CAST(1.0 AS DOUBLE) AS sim
+FROM embeddings ORDER BY query_id""",
+
     // SCD Type 2: each insert/update opens a version valid until the
     // record's next change (a delete closes without opening); lead() over
     // (table, record, seq) on both engines
@@ -1454,6 +1462,43 @@ SELECT doc_id, n_tokens,
        THEN CAST(len(mask_idx) AS DOUBLE) / n_tokens
        ELSE CAST(0 AS DOUBLE) END AS mask_frac
 FROM m ORDER BY doc_id""",
+
+    // tp11: loss masks in PACKED coordinates — tp03's serial prefix sum
+    // over the PLANTED corpus composed with tp09's mask indexes; one row
+    // per masked token with its global-tape and (sequence, offset) spot
+    "tp11_packed_masks" -> """
+WITH p AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN text
+      || ' contact user' || CAST(doc_id AS VARCHAR)
+      || '@example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+      || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+      || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+    ELSE text END AS text
+  FROM documents),
+t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM p WHERE doc_id IS NOT NULL),
+c AS (
+  SELECT doc_id, t,
+    CAST(sum(len(t)) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len(t) AS BIGINT)
+      AS start_offset
+  FROM t),
+m AS (
+  SELECT doc_id, start_offset,
+    list_filter(range(1, len(t) + 1), i ->
+      regexp_matches(t[i],
+        '([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})|(\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b)|(\b555-\d{4}\b)')
+      OR t[i] IN ('slow', 'dup')) AS mask_idx
+  FROM c),
+e AS (SELECT doc_id, start_offset, unnest(mask_idx) AS idx FROM m)
+SELECT doc_id,
+  CAST(start_offset + idx - 1 AS BIGINT) AS mask_global,
+  (start_offset + idx - 1) // 2048 AS mask_seq_id,
+  (start_offset + idx - 1) % 2048 AS mask_pos
+FROM e ORDER BY doc_id, mask_global""",
 
     // tp10: benchmark-set contamination — positional 13-grams of every
     // non-benchmark doc screened against the DISTINCT gram set of the

@@ -215,6 +215,7 @@ object QueryPack {
     "ann04_ivf_topk"    -> ((s, d) => Ann.ivfSelfRecall(s, d)), // planted-copy recall
     "ann05_pq_recall"   -> ((s, d) => Ann.pqSelfRecall(s, d)), // planted-copy recall
     "ann06_pq_persisted" -> ((s, d) => PqIndex.selfRecallPersisted(s, d)), // build→persist→append→reload
+    "ann07_pq_stream"   -> ((s, d) => PqIndex.streamingSelfRecall(s, d)), // streaming search+append loop
 
     // ---- multimodal ----
     "mm01_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),
@@ -249,7 +250,8 @@ object QueryPack {
     "tp07_epoch_shuffle" -> ((s, d) => TrainPrep.epochShuffle(s, d)),
     "tp08_source_cap"    -> ((s, d) => TrainPrep.sourceCap(s, d)),
     "tp09_loss_mask"     -> ((s, d) => TrainPrep.lossMaskGated(s, d)),
-    "tp10_contamination" -> ((s, d) => TrainPrep.contaminationScreen(s, d))
+    "tp10_contamination" -> ((s, d) => TrainPrep.contaminationScreen(s, d)),
+    "tp11_packed_masks"  -> ((s, d) => TrainPrep.packedLossMask(s, d))
   )
 
   /** D1-D11 showcase: a distributed decode of binary pgoutput frames

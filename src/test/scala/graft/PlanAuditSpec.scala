@@ -327,6 +327,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unexpected column rides the mm09 shuffle:\n$exchanges")
   }
 
+  test("tp11: masks stay relational — no lambda re-substitution into inferred filters") {
+    val df = SparkEntry.queries("tp11_packed_masks")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the regression this guards: an array-lambda mask column consumed by
+    // a downstream explode makes Catalyst substitute the WHOLE lambda
+    // into an inferred non-empty filter, where element_at(tokens(...), i)
+    // re-derives the tokenization per probed element — O(tokens²)
+    // interpreted work (measured ~15 s at sf0.1 vs ~1 s relational)
+    assert(!p.contains("element_at(filter(split"),
+      "quadratic lambda substitution returned to the tp11 mask lane")
+    assert(p.contains("RLIKE"), "mask probe missing") // codegen'd, per-token-row
+  }
+
   test("txt14: one corpus tf aggregation; broadcast stats; top-k group limits") {
     val df = SparkEntry.queries("txt14_bm25")(spark, sf)
     df.collect()

@@ -109,6 +109,27 @@ class PqIndexSpec extends AnyFunSuite {
     assert(mB.version == 3L && mB.codeLeaves.startsWith(mA.codeLeaves))
   }
 
+  test("append sweeps dead leaves but never in-flight ones") {
+    val all = emb.cache()
+    val dir = tmpDir()
+    PqIndex.build(all.filter(col("vec_id") < 30), dir)
+    val (fs, _) = graft.sources.cdc.WalSegments.fsFor(dir)
+    // dead residue: an unreferenced leaf AT a claimed version (its commit
+    // provably lost) — must be swept by the next append
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "codes-v00000001x"))
+    val dead = new org.apache.hadoop.fs.Path(dir, "codes-v00000000")
+    fs.mkdirs(dead)
+    // in-flight: a leaf ABOVE the committed version (a concurrent
+    // appender mid-commit) — must be left alone
+    val inflight = new org.apache.hadoop.fs.Path(dir, "codes-v00000077")
+    fs.mkdirs(inflight)
+    PqIndex.append(spark, dir, all.filter(col("vec_id") >= 30 && col("vec_id") < 35))
+    assert(!fs.exists(dead), "dead leaf at a claimed version must be swept")
+    assert(fs.exists(inflight), "leaf above the committed version must survive")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "codes-v00000001x")),
+      "non-leaf-named directories are never touched")
+  }
+
   test("ann06 self-recall through the persisted index is the planting relation") {
     val out = PqIndex.selfRecallPersisted(spark, sf).collect()
     val n = emb.count()

@@ -353,6 +353,36 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(got == Seq("a", "b", "c"))
   }
 
+  test("tp11: packed masks land docs across sequence boundaries correctly") {
+    val sf = "/root/testdata/sf0.001"
+    // tiny budget so documents straddle sequence boundaries
+    val rows = TrainPrep.packedLossMask(spark, sf, budget = 64).collect()
+    assert(rows.nonEmpty)
+    // invariant: coordinates decompose exactly
+    rows.foreach { r =>
+      val g = r.getLong(1)
+      assert(r.getLong(2) == g / 64 && r.getLong(3) == g % 64)
+    }
+    // at least one doc's masks span two different sequences — the case
+    // per-doc masks cannot express (the reason tp11 exists)
+    val spanning = rows.groupBy(_.getLong(0))
+      .filter { case (_, rs) => rs.map(_.getLong(2)).distinct.length > 1 }
+    assert(spanning.nonEmpty, "no doc's masks straddle a boundary at budget 64")
+    // cross-check one doc against the un-packed mask lane: global
+    // positions are start_offset + idx - 1 under the PLANTED packing
+    val masks = TrainPrep.lossMask(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rs) =>
+      val globals = rs.map(_.getLong(1)).sorted
+      val idxs = masks(doc).sorted
+      assert(globals.length == idxs.length, s"doc $doc mask count")
+      val start = globals.head - (idxs.head - 1)
+      assert(globals.zip(idxs).forall { case (g, i) => g == start + i - 1 },
+        s"doc $doc global positions inconsistent with mask indexes")
+    }
+  }
+
   test("tp10: planted benchmark overlap is found at exactly its positional mass") {
     import spark.implicits._
     val bench = (1 to 20).map(i => s"bench$i").mkString(" ") // doc 0: 20 tokens
