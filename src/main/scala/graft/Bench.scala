@@ -102,12 +102,23 @@ object Bench {
     // apply scale with change rate at 100 TB, where 64 Ki buckets make
     // a batch touch a sliver) is separately pinned by MaterializerSpec
     // "bucket pruning" rather than diluted into a prettier bench number.
-    val notes = jstr("cdc25") + ":" + jstr(
-      "worst-case by design: dense change set rewrites all 16 buckets " +
-        "per batch; pruning behavior is spec-pinned (MaterializerSpec), " +
-        "not bench-visible at this fixture geometry")
+    val notes = Seq(
+      jstr("cdc25") + ":" + jstr(
+        "worst-case by design: dense change set rewrites all 16 buckets " +
+          "per batch; pruning behavior is spec-pinned (MaterializerSpec), " +
+          "not bench-visible at this fixture geometry"),
+      jstr("dd13") + ":" + jstr(
+        "each pass rebuilds the corpus band index then streams 4 " +
+          "increments (screen + append per micro-batch) — the measured " +
+          "figure is the WHOLE crawl-loop bootstrap, not steady-state " +
+          "per-increment cost, which is corpus-size independent"),
+      jstr("ann07") + ":" + jstr(
+        "each pass trains+persists the PQ index then streams 4 vector " +
+          "increments (search + append per micro-batch) — same " +
+          "whole-loop measurement convention as dd13")
+    ).mkString(",")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$meds,"median_total":$medTotal,"errors":$errs,"sf":"$sfDir","notes":{$notes},"protocol":"per-query min of $repeats round-robin passes; medians of the same passes alongside"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$meds,"median_total":$medTotal,"errors":$errs,"sf":"$sfDir","notes":{${notes}},"protocol":"per-query min of $repeats round-robin passes; medians of the same passes alongside"}"""
     println(line)
     // Belt-and-braces for log-prefixing launchers: also drop the line in a file.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")

@@ -416,8 +416,14 @@ object TrainPrep {
     * compliance-blocklisted tokens keep their positions but contribute no
     * gradient. Output is the 1-based masked token index array plus
     * tallies. Pure narrow projection — tokenize once, one lambda filter
-    * over the index sequence with codegen'd regex probes, no shuffle; at
-    * 100 TB this is scan-bound like tp04. (The blocklist here is the
+    * over the index sequence, no shuffle; at 100 TB this is scan-bound
+    * like tp04. CONSUMER WARNING: the `mask_idx` ARRAY is a leaf output —
+    * never feed it into a downstream `explode`/join; Catalyst substitutes
+    * the whole lambda into an inferred filter where `element_at` re-runs
+    * the tokenization per probed element, an O(tokens²) interpreted
+    * blowup (measured 16.6 s vs 2.2 s at sf0.1). Compositions use the
+    * relational long form instead — see [[packedLossMask]] and the
+    * PlanAuditSpec "tp11" guard. (The blocklist here is the
     * two-term fixture list via array_contains; a C4-scale list would go
     * through the txt09 `count_in_static_set` hash-set probe instead.)
     */
