@@ -260,6 +260,44 @@ object WalSegments {
         throw new java.io.IOException(s"could not rename $tmp to $path")
     }
 
+  /** Publish the fully-written, closed `tmp` file at `dest` EXCLUSIVELY:
+    * true iff this call claimed `dest`, false if another committer already
+    * holds it. The manifest-commit arbiter for [[graft.streaming
+    * .Materializer]] and `PqIndex`.
+    *
+    * On local (`file://`) filesystems the claim is an atomic hard link —
+    * link(2) fails with EEXIST if `dest` exists, and the link appears with
+    * its COMPLETE content, so readers can never observe a torn file. A
+    * plain rename(2) would be wrong here: POSIX rename silently REPLACES
+    * an existing destination, so two committers checking `!exists` then
+    * renaming could both "win" and the second would clobber the first.
+    * On HDFS rename-to-existing fails, which is the same arbiter; object
+    * stores should map this to a conditional PUT-if-absent.
+    */
+  def publishExclusive(fs: FileSystem, tmp: Path, dest: Path): Boolean =
+    if (schemeOf(fs) == "file" || schemeOf(fs).isEmpty) {
+      val won =
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(fs.makeQualified(dest).toUri.getPath),
+            java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          // tmp vanished (a sweeper raced us): the claim is simply lost
+          case _: java.nio.file.NoSuchFileException => false
+        }
+      try fs.delete(tmp, false)
+      catch { case _: java.io.IOException => () }
+      won
+    } else {
+      val won = !fs.exists(dest) && fs.rename(tmp, dest)
+      if (!won)
+        try fs.delete(tmp, false)
+        catch { case _: java.io.IOException => () }
+      won
+    }
+
   def write(fs: FileSystem, path: Path, frames: Seq[Array[Byte]]): Unit = {
     writeAtomic(fs, path) { raw =>
       val out = new DataOutputStream(new BufferedOutputStream(raw))

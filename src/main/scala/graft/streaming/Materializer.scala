@@ -32,9 +32,12 @@ import org.apache.spark.sql.functions._
   *    replace ([[WalSegments.writeAtomic]]: tmp+rename on POSIX/HDFS, a
   *    single atomic PUT on object stores). Readers resolve the manifest
   *    first, so they see every batch entirely or not at all — snapshot
-  *    isolation over plain parquet. A crash before the swap leaves only
-  *    unreferenced leaf directories, swept by the next apply; a crash
-  *    after leaves superseded leaves, likewise swept.
+  *    isolation over plain parquet, and NOT just at plan time: superseded
+  *    leaves are retained for the full [[RetainedManifests]]-version
+  *    grace window (the Iceberg vacuum rule), so a scan planned against
+  *    any retained manifest finds its files even while the applier keeps
+  *    committing. A crash before the swap leaves only unreferenced leaf
+  *    directories, swept once no retained manifest names them.
   *  - **Idempotent redelivery.** `foreachBatch` after a restart may
   *    replay a committed batch (Spark's offset-log contract). The merge
   *    is a pure max-by-seq: re-applying any prefix of already-applied
@@ -172,15 +175,28 @@ object Materializer {
     }
   }
 
+  /** How many manifest versions stay on disk after a commit. This is the
+    * store's READ GRACE WINDOW, for manifests and leaves alike: a reader
+    * that planned its scan against any retained manifest finds every leaf
+    * that manifest references ([[sweepUnreferenced]] only deletes leaves
+    * no retained manifest names — the Iceberg/Delta vacuum rule, "a data
+    * file is live while any retained snapshot references it"). A query
+    * must finish within `RetainedManifests` commits of when it planned;
+    * at a typical replica cadence of one commit per multi-second
+    * micro-batch that is tens of seconds to minutes of scan time.
+    */
+  private[graft] val RetainedManifests = 8
+
   /** Commit a manifest version: write a uniquely-named temp file, then
-    * RENAME to the immutable `_state_manifest-v<N>` — rename-to-existing
-    * fails on POSIX-semantics Hadoop filesystems, so of two appliers
-    * racing the same version exactly one wins; the loser throws
-    * [[FencedWriterException]] having published nothing. (On object
-    * stores without atomic rename the equivalent is a conditional
-    * PUT-if-absent of the same key.) Older manifest versions beyond a
-    * short debug window, and the legacy single-file manifest, are
-    * retired best-effort — readers only ever resolve the max.
+    * publish it EXCLUSIVELY at the immutable `_state_manifest-v<N>`
+    * ([[WalSegments.publishExclusive]]: atomic hard-link claim on local
+    * POSIX — where a bare rename would silently overwrite a racer's
+    * manifest — rename-to-existing on HDFS, PUT-if-absent on object
+    * stores). Of two appliers racing the same version exactly one wins;
+    * the loser throws [[FencedWriterException]] having published nothing.
+    * Manifest versions older than [[RetainedManifests]], and the legacy
+    * single-file manifest, are retired best-effort — readers only ever
+    * resolve the max, and leaf retention follows the retained set.
     */
   private[graft] def commitManifest(fs: FileSystem, stateDir: String,
       m: Manifest): Unit = {
@@ -195,18 +211,14 @@ object Materializer {
         s""""writerEpoch":${m.writerEpoch},"writerId":"${m.writerId}",""" +
         s""""buckets":{$entries}}""").getBytes("UTF-8"))
     } finally out.close()
-    val won = !fs.exists(dest) && fs.rename(tmp, dest)
-    if (!won) {
-      try fs.delete(tmp, false)
-      catch { case _: java.io.IOException => () }
+    if (!WalSegments.publishExclusive(fs, tmp, dest))
       throw new FencedWriterException(
         s"lost manifest commit race for version ${m.version} at $stateDir")
-    }
-    // retire superseded manifests (keep a short window for debugging)
+    // retire superseded manifests (keep the read grace window)
     try {
       fs.listStatus(new Path(stateDir)).foreach { st =>
         st.getPath.getName match {
-          case ManifestVRe(v) if v.toLong < m.version - 8 =>
+          case ManifestVRe(v) if v.toLong < m.version - RetainedManifests =>
             try fs.delete(st.getPath, false)
             catch { case _: java.io.IOException => () }
           case _ => ()
@@ -267,15 +279,50 @@ object Materializer {
   private def leafName(bucket: Int, version: Long): String =
     f"leaf-b$bucket%05d-v$version%08d"
 
-  /** Delete every `leaf=…` directory the manifest does not reference —
-    * residue of crashes before a manifest swap (new leaves never
-    * committed) or after one (superseded leaves whose delete was
-    * interrupted). Safe under the single-writer contract; readers of the
-    * CURRENT manifest never touch unreferenced leaves.
+  /** The union of leaf directories referenced by EVERY manifest version
+    * still on disk (the [[RetainedManifests]] window plus the legacy
+    * single-file manifest). This — not the current manifest alone — is
+    * the live set for the sweep: a reader plans its scan against the
+    * manifest it read, and the applier may commit several more versions
+    * before the reader's tasks open those files; retaining every leaf any
+    * retained manifest references gives in-flight readers the same grace
+    * window the manifests themselves get. A manifest that fails to read
+    * mid-sweep contributes nothing (fail-open would retain garbage
+    * forever; the next sweep retries).
     */
-  private def sweepUnreferenced(fs: FileSystem, stateDir: String,
-      manifest: Manifest): Unit = {
-    val referenced = manifest.leaves.values.toSet
+  private[graft] def retainedLeafRefs(fs: FileSystem,
+      stateDir: String): Set[String] = {
+    try {
+      val root = new Path(stateDir)
+      val versioned = fs.listStatus(root).iterator
+        .map(_.getPath.getName)
+        .collect { case n @ ManifestVRe(_) => n }
+        .toSeq
+      val refs = Set.newBuilder[String]
+      versioned.foreach { n =>
+        try refs ++= parseManifest(readFully(fs, new Path(stateDir, n)))
+          .leaves.values
+        catch { case _: java.io.IOException => () }
+      }
+      val legacy = legacyManifestPath(stateDir)
+      if (fs.exists(legacy))
+        try refs ++= parseManifest(readFully(fs, legacy)).leaves.values
+        catch { case _: java.io.IOException => () }
+      refs.result()
+    } catch { case _: java.io.FileNotFoundException => Set.empty }
+  }
+
+  /** Delete every `leaf-…` directory NO retained manifest references —
+    * residue of crashes before a manifest swap (new leaves never
+    * committed) and superseded leaves whose last referencing manifest has
+    * been retired past the [[RetainedManifests]] window. Superseded
+    * leaves still named by a retained manifest are NOT residue: an
+    * in-flight reader that planned against that manifest is entitled to
+    * open them (snapshot isolation with a grace window, not just at plan
+    * time). Safe under the single-writer contract.
+    */
+  private def sweepUnreferenced(fs: FileSystem, stateDir: String): Unit = {
+    val referenced = retainedLeafRefs(fs, stateDir)
     try {
       fs.listStatus(new Path(stateDir)).foreach { st =>
         val n = st.getPath.getName
@@ -302,7 +349,6 @@ object Materializer {
     fs.mkdirs(root)
     val manifest = readManifest(stateDir, conf)
     checkFence(manifest, token, stateDir)
-    sweepUnreferenced(fs, stateDir, manifest)
     val nextVersion = manifest.version + 1
 
     val batchLatest = reduceLatest(batch, spec)
@@ -351,13 +397,12 @@ object Materializer {
       // winner's sweep (no committed bucket is ever lost)
       commitManifest(fs, stateDir, Manifest(nextVersion, newLeaves,
         manifest.writerEpoch, manifest.writerId))
-      // superseded leaves: best-effort delete (sweep covers failures)
-      affected.foreach { b =>
-        manifest.leaves.get(b).foreach { old =>
-          try fs.delete(new Path(stateDir, old), true)
-          catch { case _: java.io.IOException => () }
-        }
-      }
+      // superseded leaves are NOT deleted here: a reader that planned its
+      // scan against the just-superseded manifest may still open them.
+      // The post-commit sweep (after this commit retired manifests past
+      // the RetainedManifests window) collects only leaves NO retained
+      // manifest references — crash residue and long-superseded versions.
+      sweepUnreferenced(fs, stateDir)
     } finally batchLatest.unpersist()
   }
 
@@ -431,12 +476,9 @@ object Materializer {
       rewritten.map(b => b -> leafName(b, nextVersion)).toMap
     commitManifest(fs, stateDir, Manifest(nextVersion, newLeaves,
       manifest.writerEpoch, manifest.writerId))
-    expirable.foreach { b =>
-      manifest.leaves.get(b).foreach { old =>
-        try fs.delete(new Path(stateDir, old), true)
-        catch { case _: java.io.IOException => () }
-      }
-    }
+    // compacted-away leaves keep the same reader grace window as apply:
+    // the sweep only collects leaves no retained manifest references
+    sweepUnreferenced(fs, stateDir)
   }
 
   /** `foreachBatch` adapter: attach the materializer to any typed change

@@ -225,23 +225,54 @@ class MaterializerSpec extends AnyFunSuite {
       fs.mkdirs(new org.apache.hadoop.fs.Path(dir, f"leaf-b00000-v${9000 + i}%08d"))
     }
     val names = fs.listStatus(root).map(_.getPath.getName)
-    val manifest = Materializer.readManifest(dir)
     val leafDirs = names.filter(_.startsWith("leaf-")).toSet
-    // every on-disk leaf is either referenced or THIS round's planted
-    // residue (the next apply sweeps it) — superseded versions are gone
-    val unref = leafDirs -- manifest.leaves.values.toSet
+    // every on-disk leaf is either referenced by SOME retained manifest
+    // (the reader grace window — superseded leaves live as long as a
+    // manifest naming them does) or THIS round's planted residue, which
+    // the next apply sweeps
+    val retained = Materializer.retainedLeafRefs(fs, dir)
+    val unref = leafDirs -- retained
     assert(unref.forall(_.contains("-v000090")),
-      s"superseded leaves must not accumulate: $unref")
-    // manifests are retired past a short debug window, not kept forever
+      s"leaves beyond the retained-manifest window must not accumulate: $unref")
+    // manifests are retired past the grace window, not kept forever
     assert(names.count(_.startsWith("_state_manifest-v")) <= 10,
       s"manifest versions must be bounded: ${names.toSeq.sorted}")
-    // one more apply sweeps the planted crash residue
+    // one more apply sweeps the planted crash residue (it is referenced by
+    // no manifest at all); retained superseded leaves survive
     Materializer.applyBatch(spark, dir,
       chg(("user", 0L, 99L, "update", 99L)), spec, token = w)
     val after = fs.listStatus(root).map(_.getPath.getName)
       .filter(_.startsWith("leaf-")).toSet
-    assert(after == Materializer.readManifest(dir).leaves.values.toSet,
-      "apply must sweep crash residue down to exactly the referenced leaves")
+    assert(after == Materializer.retainedLeafRefs(fs, dir),
+      "apply must sweep down to exactly the leaves retained manifests reference")
+    // and the retained set is itself bounded: ≤ window+1 manifests, each
+    // naming ≤ spec.buckets leaves
+    assert(after.size <= (Materializer.RetainedManifests + 2) * spec.buckets,
+      s"retained leaf set unbounded: ${after.size}")
+  }
+
+  test("snapshot isolation with grace: a reader planned before later commits still collects") {
+    val dir = freshDir("grace")
+    Materializer.applyBatch(spark, dir, chg(
+      ("user", 1L, 10L, "insert", 100L),
+      ("user", 2L, 11L, "insert", 200L)), spec)
+    // the reader plans its scan against the CURRENT manifest (v1)…
+    val planned = Materializer.currentState(spark, dir, spec)
+      .select("record_id", "seq")
+    // …then the applier keeps committing: each apply supersedes record 1's
+    // bucket leaf and runs the sweep (pre-fix, the v1 leaf was deleted
+    // here and the reader died with FILE_NOT_EXIST mid-scan)
+    (1 to 3).foreach { i =>
+      Materializer.applyBatch(spark, dir,
+        chg(("user", 1L, (20 + i).toLong, "update", i.toLong)), spec)
+    }
+    val got = planned.as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 11L)),
+      s"reader across commits must see its planned snapshot, got $got")
+    // a FRESH read sees the latest commit
+    val fresh = Materializer.currentState(spark, dir, spec)
+      .select("record_id", "seq").as[(Long, Long)].collect().toSet
+    assert(fresh == Set((1L, 23L), (2L, 11L)), s"fresh read wrong: $fresh")
   }
 
   test("retention: Graft.compactState follows the consumer-ack floor") {
