@@ -49,6 +49,25 @@ object GraftSession {
       try body finally spark.conf.set(key, prev)
     }
 
+  /** Await a bounded streaming query and FAIL LOUDLY on timeout:
+    * `awaitTermination(ms)` returning false means the query is still
+    * running — a caller that ignores the boolean and reads its output
+    * directory gets a silently PARTIAL result. Every bounded
+    * (AvailableNow) lane in the library awaits through here: on timeout
+    * the query is stopped and the lane throws instead of returning
+    * truncated data.
+    */
+  private[graft] def awaitFinished(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      timeoutMs: Long = 600000L): Unit =
+    if (!q.awaitTermination(timeoutMs)) {
+      try q.stop()
+      catch { case _: Exception => () }
+      throw new IllegalStateException(
+        s"streaming query '${q.name}' did not finish within ${timeoutMs} ms" +
+          " — refusing to read a partial output")
+    }
+
   /** Confs any externally-provided session needs before touching testdata.
     * The legacy flag only matters for TIMESTAMP(NANOS) testdata vintages
     * (read as LongType behind it); current vintages ship MICROS — see

@@ -17,17 +17,21 @@ import org.apache.spark.sql.functions._
   * the WAL-lane discipline):
   *
   * {{{
-  *   _pq_manifest            // tiny JSON: version, geometry, leaf list
-  *   codebooks-v00000001/    // parquet (m, code, cent_emb) — m*ksub rows
-  *   codes-v00000001/        // parquet (vec_id, m, code)   — the corpus
-  *   codes-v00000002/        // appended crawl increment(s)
+  *   _pq_manifest-v00000001     // tiny JSON: version, geometry, leaf list
+  *   codebooks-v00000001/       // parquet (m, code, cent_emb) — m*ksub rows
+  *   codes-v00000001-ab12cd34/  // parquet (vec_id, m, code)   — the corpus
+  *   codes-v00000002-99e0f1a2/  // appended crawl increment(s)
   * }}}
   *
-  * Directory names are immutable and version-suffixed; the atomically
-  * replaced manifest ([[WalSegments.writeAtomic]]: tmp+rename on
-  * POSIX/HDFS, atomic PUT on object stores) is the only mutation a reader
-  * can observe — the Materializer's snapshot-isolation contract applied to
-  * an index. Appends never rewrite existing code leaves: an increment is
+  * Leaf directory names are immutable, version-prefixed for ordering and
+  * random-suffixed for collision freedom; the manifest records the exact
+  * names. A commit is an EXCLUSIVE publish of the next immutable manifest
+  * version ([[WalSegments.publishExclusive]]) and readers resolve the max
+  * — the Materializer's snapshot-isolation contract applied to an index,
+  * including its read grace window: superseded manifests (and every leaf
+  * they reference) are retained for [[RetainedManifests]] versions, so a
+  * search planned against a just-superseded manifest still finds its
+  * files. Appends never rewrite existing code leaves: an increment is
   * one new leaf plus a manifest swap, so append cost is O(batch), not
   * O(corpus).
   *
@@ -76,18 +80,33 @@ object PqIndex {
     val books = """"codebooks"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text)
       .map(_.group(1))
       .getOrElse(throw new IllegalStateException("manifest missing codebooks"))
-    val leaves = """"codes-v\d+"""".r.findAllIn(text).toSeq
+    val leaves = """"codes-v\d+[^"]*"""".r.findAllIn(text).toSeq
       .map(_.stripPrefix("\"").stripSuffix("\"")).distinct.sorted
     Meta(num("version"), num("m").toInt, num("ksub").toInt,
       num("dim").toInt, books, leaves)
   }
 
+  private def parseMetaLeaves(text: String): Seq[String] =
+    """"codes-v\d+[^"]*"""".r.findAllIn(text).toSeq
+      .map(_.stripPrefix("\"").stripSuffix("\"")).distinct
+
+  /** How many manifest versions stay on disk after a commit — the index's
+    * read grace window, shared by leaves: [[sweepUnreferenced]] only
+    * deletes a leaf once NO retained manifest names it, so a searcher
+    * that planned its scan against any retained manifest still finds its
+    * files while appends keep committing (the Materializer rule).
+    */
+  private[graft] val RetainedManifests = 8
+
   /** Commit a meta version the Materializer way: uniquely-named temp
-    * file → rename to the immutable `_pq_manifest-v<N>` — rename-to-
-    * existing fails, so two appenders racing the same version have
-    * exactly one winner and the loser throws having published nothing
-    * (its just-written code leaf is unreferenced residue). Readers
-    * resolve the max committed version.
+    * file → EXCLUSIVE publish at the immutable `_pq_manifest-v<N>`
+    * ([[WalSegments.publishExclusive]]: atomic hard-link claim on local
+    * POSIX, rename-to-existing on HDFS, PUT-if-absent on object stores),
+    * so two appenders racing the same version have exactly one winner
+    * and the loser throws having published nothing (its just-written
+    * code leaf is unreferenced residue with a unique name — it can never
+    * be confused with the winner's leaf). Readers resolve the max
+    * committed version; manifests past [[RetainedManifests]] retire.
     */
   private[graft] def writeMeta(indexDir: String, meta: Meta): Unit = {
     val (fs, _) = WalSegments.fsFor(indexDir)
@@ -102,17 +121,31 @@ object PqIndex {
           s""""dim":${meta.dim},"codebooks":"${meta.codebooksDir}",""" +
           s""""leaves":[$leaves]}""").getBytes("UTF-8"))
     } finally out.close()
-    val won = !fs.exists(dest) && fs.rename(tmp, dest)
-    if (!won) {
-      try fs.delete(tmp, false)
-      catch { case _: java.io.IOException => () }
+    if (!WalSegments.publishExclusive(fs, tmp, dest))
       throw new IllegalStateException(
         s"lost pq-index manifest commit race for version ${meta.version} " +
           s"at $indexDir — another appender won; re-read and retry")
-    }
+    // retire manifests past the read grace window (leaf retention follows)
+    try {
+      fs.listStatus(new org.apache.hadoop.fs.Path(indexDir)).foreach { st =>
+        st.getPath.getName match {
+          case ManifestVRe(v) if v.toLong < meta.version - RetainedManifests =>
+            try fs.delete(st.getPath, false)
+            catch { case _: java.io.IOException => () }
+          case _ => ()
+        }
+      }
+    } catch { case _: java.io.IOException => () }
   }
 
-  private def leafName(version: Long) = f"codes-v$version%08d"
+  /** A new leaf's directory name: version-prefixed for ordering, with a
+    * random suffix so two appenders that both read meta version N and
+    * race to claim v(N+1) write DISTINCT directories — the loser's leaf
+    * is unreferenced residue for the sweep, never a torn overwrite of
+    * the winner's committed data. The manifest records the actual name.
+    */
+  private def leafName(version: Long) =
+    f"codes-v$version%08d-${java.util.UUID.randomUUID().toString.take(8)}"
 
   /** Build the index: train codebooks on the corpus (the ONE training
     * pass; [[Ann.pqCodebooks]] — hash-ranked seed, fused Lloyd
@@ -124,6 +157,19 @@ object PqIndex {
   def build(emb: DataFrame, indexDir: String, m: Int = 4, ksub: Int = 16,
       dim: Int = 64, refineIters: Int = 1): Meta = {
     require(dim % m == 0, s"dim=$dim must split into m=$m subvectors")
+    // fail fast on a non-empty index: re-running build here would retrain
+    // the codebooks UNDER the committed codes (later leaves were encoded
+    // against the originals), silently corrupting every ADC score. The
+    // delete path is an explicit rebuild into a fresh directory.
+    val (fsB, rootB) = WalSegments.fsFor(indexDir)
+    val existing =
+      try fsB.listStatus(rootB).iterator.map(_.getPath.getName)
+        .exists(n => n == "_pq_manifest" || ManifestVRe.matches(n))
+      catch { case _: java.io.FileNotFoundException => false }
+    require(!existing,
+      s"$indexDir already holds a committed pq index — build() would " +
+        "corrupt it (codes in later leaves were encoded against the " +
+        "existing codebooks); rebuild into a fresh directory instead")
     val subLen = dim / m
     val books = Ann.pqCodebooks(emb, m, ksub, subLen, refineIters)
     val booksDir = f"codebooks-v${1L}%08d"
@@ -170,18 +216,21 @@ object PqIndex {
     Ann.pqEncode(batch, codebooks(spark, indexDir), meta.subLen)
   }
 
-  /** Delete every DEAD `codes-v<N>` leaf: unreferenced by the current
-    * manifest AND with `N` at or below its version — such a leaf's
-    * committing manifest provably lost its race (versions are claimed by
-    * exclusive create), so no future commit can ever reference it. An
+  /** Delete every DEAD `codes-v<N>…` leaf: referenced by NO manifest
+    * version still on disk (the [[RetainedManifests]] read grace window
+    * — a searcher that planned against any retained manifest must find
+    * its leaves, the Materializer/Iceberg vacuum rule) AND with `N` at
+    * or below the current committed version — such a leaf's committing
+    * manifest provably lost its race (versions are claimed by exclusive
+    * publish), so no future commit can ever reference it. An
     * unreferenced leaf with `N` ABOVE the current version may belong to
-    * a concurrent appender mid-commit and is left alone; readers are
-    * safe either way (they only resolve committed manifests).
+    * a concurrent appender mid-commit and is left alone.
     */
   private def sweepUnreferenced(indexDir: String, meta: Meta): Unit = {
     val (fs, root) = WalSegments.fsFor(indexDir)
-    val referenced = meta.codeLeaves.toSet
-    val LeafRe = "codes-v(\\d+)".r
+    val referenced = retainedLeafRefs(fs, indexDir)
+    // exactly a leaf name: legacy `codes-v<N>` or suffixed `codes-v<N>-hex8`
+    val LeafRe = "codes-v(\\d+)(?:-[0-9a-f]{8})?".r
     try {
       fs.listStatus(root).foreach { st =>
         st.getPath.getName match {
@@ -193,6 +242,34 @@ object PqIndex {
         }
       }
     } catch { case _: java.io.FileNotFoundException => () }
+  }
+
+  /** Union of the leaf names referenced by every manifest version still
+    * on disk (plus the legacy single-file manifest) — the live set for
+    * [[sweepUnreferenced]]. A manifest that fails to read contributes
+    * nothing (the next sweep retries).
+    */
+  private[graft] def retainedLeafRefs(fs: org.apache.hadoop.fs.FileSystem,
+      indexDir: String): Set[String] = {
+    def textOf(p: org.apache.hadoop.fs.Path): Option[String] =
+      try {
+        val in = fs.open(p)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](8192)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          Some(new String(buf.toByteArray, "UTF-8"))
+        } finally in.close()
+      } catch { case _: java.io.IOException => None }
+    try {
+      val root = new org.apache.hadoop.fs.Path(indexDir)
+      val names = fs.listStatus(root).iterator.map(_.getPath.getName)
+        .filter(n => n == "_pq_manifest" || ManifestVRe.matches(n)).toSeq
+      names.flatMap(n =>
+        textOf(new org.apache.hadoop.fs.Path(indexDir, n))
+          .toSeq.flatMap(parseMetaLeaves)).toSet
+    } catch { case _: java.io.FileNotFoundException => Set.empty }
   }
 
   /** Append a batch's codes as a new immutable leaf + manifest swap.
@@ -316,7 +393,7 @@ object PqIndex {
         append(spark, indexDir, batch)
         ()
       }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start())
-    q.awaitTermination(600000)
+    graft.GraftSession.awaitFinished(q)
     spark.read.parquet(outDir)
       .filter(col("match_id") === col("query_id") - 100000L)
       .orderBy(col("query_id"))

@@ -75,7 +75,7 @@ object Dedup {
       fp.writeStream.format("memory").queryName(qname)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start())
-    q.awaitTermination(600000)
+    graft.GraftSession.awaitFinished(q)
     spark.table(qname).orderBy(col("canonical_id"))
   }
 
@@ -293,26 +293,63 @@ object Dedup {
     * band relation AND the (doc_id, sh) shingle sets — the "persist the
     * sets beside the index" production shape [[incrementalNearDups]]'s
     * scaladoc prescribes, so candidate verification is an id-keyed
-    * lookup, never a corpus re-shingle. Leaves are immutable
-    * `bands-<leaf>/` + `sets-<leaf>/` parquet dirs; an append is one new
-    * leaf pair — O(batch) work, existing leaves untouched (the PqIndex /
-    * Materializer leaf discipline; a production deployment would carry
-    * the same manifest-commit + writer fence, elided here where the
-    * single writer is the stream by construction).
+    * lookup, never a corpus re-shingle.
+    *
+    * Layout: ONE partitioned table per relation —
+    * `bands/bgrp=<g>/leaf=<tag>/` and `sets/sgrp=<g>/leaf=<tag>/` —
+    * where the group is a hash range of the lookup key and `leaf` is
+    * this append's tag. An append only CREATES `leaf=<tag>` dirs (tags
+    * must be unique per append), never touches existing files — the
+    * PqIndex / Materializer immutable-leaf discipline — while the
+    * group-first nesting keeps the whole index one consistently
+    * partitioned relation a screening batch can PRUNE by its touched
+    * groups. (A production deployment would carry the same
+    * manifest-commit + writer fence as the Materializer, elided here
+    * where the single writer is the stream by construction.)
     */
+  /** Hash-range partition count for the persisted index leaves. Small
+    * enough that a screening batch's touched-group list is driver-side
+    * METADATA (≤ `IndexGroups` ints — the Materializer's affected-bucket
+    * discipline), large enough that a small batch's scan prunes most of
+    * the stored relation's partitions.
+    */
+  private val IndexGroups = 32
+
+  // INT group keys: Spark infers integral partition-directory values as
+  // IntegerType on read, so probing with int literals keeps the pruning
+  // predicate cast-free (a long-vs-int mismatch can defeat PartitionFilters)
+  private def bandGroup: Column =
+    pmod(xxhash64(col("band"), col("bucket")), lit(IndexGroups.toLong)).cast("int")
+
+  private def setGroup(c: Column): Column =
+    pmod(xxhash64(c), lit(IndexGroups.toLong)).cast("int")
+
   def dedupIndexAppend(docs: DataFrame, indexDir: String, leaf: String,
       numHashes: Int = 64, bands: Int = 16): Unit = {
     val sh = shingledOf(docs).cache()
     try {
+      // leaves are PARTITIONED by hash range of their lookup key — band
+      // leaves by (band, bucket) hash, set leaves by doc_id hash — so a
+      // later screening batch prunes its scan to the partitions its keys
+      // touch instead of reading every leaf whole. repartition by the
+      // group first: one file per (leaf, group), not one per (task, group)
       sh.select(col("doc_id"),
         posexplode(graft.plans.SketchCols.minHashBandBuckets(
           col("shh"), numHashes, bands)))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bucket")
         .select(col("band"), col("bucket"), col("doc_id"))
-        .write.mode("overwrite").parquet(s"$indexDir/bands-$leaf")
+        .withColumn("bgrp", bandGroup)
+        .withColumn("leaf", lit(leaf))
+        .repartition(col("bgrp"))
+        .write.partitionBy("bgrp", "leaf")
+        .mode("append").parquet(s"$indexDir/bands")
       sh.select(col("doc_id"), col("sh"))
-        .write.mode("overwrite").parquet(s"$indexDir/sets-$leaf")
+        .withColumn("sgrp", setGroup(col("doc_id")))
+        .withColumn("leaf", lit(leaf))
+        .repartition(col("sgrp"))
+        .write.partitionBy("sgrp", "leaf")
+        .mode("append").parquet(s"$indexDir/sets")
     } finally { sh.unpersist(); () }
   }
 
@@ -321,26 +358,43 @@ object Dedup {
     * the shuffle carries the BATCH's band rows only, the index side is
     * pre-keyed storage — and verification re-attaches the STORED shingle
     * sets for colliding ids alone. Only the batch is ever shingled.
+    *
+    * PARTITION-PRUNED: leaves are hash-range partitioned by their lookup
+    * key ([[dedupIndexAppend]]), and the screen first collects the
+    * batch's touched band-group list (≤ `IndexGroups` ints — metadata,
+    * one O(batch) pass) and reads only those partitions of the band
+    * leaves (`PartitionFilters` in the scan, plan-audited). The stored
+    * side of the candidate join therefore scales with the batch's key
+    * coverage, not the corpus — the property that was previously true of
+    * the SHUFFLE but not the SCAN. The set lookup joins on
+    * (sgrp, corpus_id) so the set-leaf scan is partition-prunable by
+    * Spark's dynamic partition pruning from the candidate side.
     */
   def screenAgainstIndex(spark: SparkSession, indexDir: String,
       batch: DataFrame, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
-    val index = spark.read.parquet(s"$indexDir/bands-*")
-    val sets = spark.read.parquet(s"$indexDir/sets-*")
     val bsh = shingledOf(batch)
-    val cand = bsh.select(col("doc_id").as("batch_id"),
+    def batchBands = bsh.select(col("doc_id").as("batch_id"),
         posexplode(graft.plans.SketchCols.minHashBandBuckets(
           col("shh"), numHashes, bands)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+    val groups = batchBands.select(bandGroup.as("bgrp")).distinct()
+      .collect().map(r => Int.box(r.getInt(0))).toSeq
+    val index = spark.read.parquet(s"$indexDir/bands")
+      .filter(col("bgrp").isin(groups: _*))
+      .select(col("band"), col("bucket"), col("doc_id"))
+    val sets = spark.read.parquet(s"$indexDir/sets")
+    val cand = batchBands
       .join(index, Seq("band", "bucket"))
       .select(col("batch_id"), col("doc_id").as("corpus_id"))
       .distinct()
     cand
       .join(bsh.select(col("doc_id").as("batch_id"), col("sh").as("sh_b")),
         Seq("batch_id"))
-      .join(sets.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")),
-        Seq("corpus_id"))
+      .withColumn("sgrp", setGroup(col("corpus_id")))
+      .join(sets.select(col("sgrp"), col("doc_id").as("corpus_id"),
+        col("sh").as("sh_c")), Seq("sgrp", "corpus_id"))
       .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_c"))))
       .withColumn("jac", jaccardFromInter(col("inter"), col("sh_b"), col("sh_c")))
       .filter(col("jac") >= threshold)
@@ -387,7 +441,7 @@ object Dedup {
         dedupIndexAppend(batch, indexDir, f"b$bid%04d")
         ()
       }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start())
-    q.awaitTermination(600000)
+    graft.GraftSession.awaitFinished(q)
     spark.read.parquet(outDir)
       .filter(col("corpus_id") === col("batch_id") - 100000L)
       .orderBy(col("batch_id"))

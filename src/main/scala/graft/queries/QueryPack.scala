@@ -445,7 +445,7 @@ object QueryPack {
     val q = withStreamShuffle(spark)(
       out.writeStream.format("memory").queryName(qname)
         .outputMode("append").trigger(Trigger.AvailableNow()).start())
-    q.awaitTermination(600000)
+    graft.GraftSession.awaitFinished(q)
     spark.table(qname).orderBy(col("seq"))
   }
 
@@ -487,7 +487,7 @@ object QueryPack {
     val q = withStreamShuffle(spark)(
       agg.writeStream.format("memory").queryName(qname)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start())
-    q.awaitTermination(600000)
+    graft.GraftSession.awaitFinished(q)
     spark.table(qname).orderBy(col("hour_ms"), col("table_name"), col("op"))
   }
 
@@ -524,7 +524,7 @@ object QueryPack {
     val q = withStreamShuffle(spark)(
       agg.writeStream.format("memory").queryName(qname)
         .outputMode("append").trigger(Trigger.AvailableNow()).start())
-    q.awaitTermination(600000)
+    graft.GraftSession.awaitFinished(q)
     spark.table(qname).orderBy(col("hour_ms"), col("table_name"), col("op"))
   }
 
@@ -564,7 +564,7 @@ object QueryPack {
     val q = withStreamShuffle(spark)(
       agg.writeStream.format("memory").queryName(qname)
         .outputMode("append").trigger(Trigger.AvailableNow()).start())
-    q.awaitTermination(600000)
+    graft.GraftSession.awaitFinished(q)
     spark.table(qname).orderBy(col("record_id"), col("sess_start_ms"))
   }
 
@@ -595,7 +595,7 @@ object QueryPack {
     val q = withStreamShuffle(spark)(
       agg.writeStream.format("memory").queryName(qname)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start())
-    q.awaitTermination(600000)
+    graft.GraftSession.awaitFinished(q)
     spark.table(qname).orderBy(col("c_mktsegment"), col("op"))
   }
 
@@ -629,7 +629,7 @@ object QueryPack {
       publication = Some("graft_pub"))
     val q = withStreamShuffle(spark)(
       Graft.start(spark, config, dir, engine, trigger = Trigger.AvailableNow()))
-    q.awaitTermination(600000)
+    graft.GraftSession.awaitFinished(q)
     import spark.implicits._
     counts.asScala.toSeq.map { case (h, n) => (h, n.sum()) }
       .sortBy(_._1).toDF("handler", "n_events")
@@ -677,7 +677,7 @@ object QueryPack {
     val q = withStreamShuffle(spark)(
       out.writeStream.foreachBatch(Materializer.sink(stateDir, spec))
         .trigger(Trigger.AvailableNow()).start())
-    q.awaitTermination(600000)
+    graft.GraftSession.awaitFinished(q)
     Materializer.currentState(spark, stateDir, spec)
       .select(col("table_name"), col("record_id"), col("seq").as("last_seq"),
         col("commit_ms"), col("k"), col("val_cents"))
@@ -704,7 +704,7 @@ object QueryPack {
     val q = withStreamShuffle(spark)(
       out.writeStream.format("memory").queryName(qname)
         .outputMode("append").trigger(Trigger.AvailableNow()).start())
-    q.awaitTermination(600000)
+    graft.GraftSession.awaitFinished(q)
     spark.table(qname).orderBy(col("seq"))
   }
 
@@ -746,7 +746,7 @@ object QueryPack {
     val q = withStreamShuffle(spark)(
       joined.writeStream.format("memory").queryName(qname)
         .outputMode("append").trigger(Trigger.AvailableNow()).start())
-    q.awaitTermination(600000)
+    graft.GraftSession.awaitFinished(q)
     spark.table(qname)
       .orderBy(col("record_id"), col("ins_seq"), col("del_seq"))
   }

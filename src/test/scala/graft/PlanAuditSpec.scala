@@ -371,6 +371,34 @@ class PlanAuditSpec extends AnyFunSuite {
       "per-query score subtrees duplicated")
   }
 
+  test("dd13 screen: band-leaf scan is partition-pruned to the batch's hash groups") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("audit_dd13").toString
+    // a many-doc corpus spread across the hash groups…
+    val corpus = (1L to 200L).map(i => (i, s"corpus document number $i with words " + ("x " * 20)))
+      .toDF("doc_id", "text")
+    graft.operators.dedup.Dedup.dedupIndexAppend(corpus, dir, "corpus")
+    // …screened by a ONE-doc batch: its 16 band keys touch ≤16 of the 32
+    // groups, so the stored-band scan must read a strict partition subset
+    val batch = Seq((9001L, "corpus document number 3 with words " + ("x " * 20)))
+      .toDF("doc_id", "text")
+    val screened = graft.operators.dedup.Dedup
+      .screenAgainstIndex(spark, dir, batch)
+    screened.collect()
+    val p = screened.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("bands") && l.contains("PartitionFilters"))
+      .getOrElse(fail(s"no partition-filtered bands scan in plan:\n$p"))
+    // PartitionFilters: [bgrp#N INSET g1, g2, …] — a strict subset: a
+    // 1-doc batch emits 16 band keys, so ≤16 of the 32 groups are read
+    val inset = "PartitionFilters: \\[bgrp#\\d+ INSET ([^\\]]*)\\]".r
+      .findFirstMatchIn(scanLine).map(_.group(1))
+      .getOrElse(fail(s"bands scan not pruned by batch groups: $scanLine"))
+    assert(inset.split(",").length <= 16,
+      s"prune list not batch-sized: $inset")
+  }
+
   test("whole-stage codegen covers the scan pipelines of every analytics query") {
     Seq("q01_pricing_summary", "q04_forecast_revenue", "txt01_token_stats")
       .foreach { q =>
