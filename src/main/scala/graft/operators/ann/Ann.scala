@@ -238,51 +238,69 @@ object Ann {
         coalesce(col("mean_emb"), col("prev_emb")).as("cent_emb"))
   }
 
-  def ivfTopKOf(emb: DataFrame, nlist: Int, nprobe: Int, nQueries: Int,
-      k: Int, refineIters: Int = 0): DataFrame = {
-    // codebook init: deterministic hash-ranked corpus sample, optionally
-    // refined by `refineIters` Lloyd iterations (offline k-means training,
-    // [[kmeansRefineOnce]]) — everything downstream is codebook-agnostic
+  /** The coarse (IVF) codebook: deterministic hash-ranked corpus sample,
+    * optionally refined by `refineIters` Lloyd iterations (offline
+    * k-means training, [[kmeansRefineOnce]]) — everything downstream is
+    * codebook-agnostic.
+    *
+    * Pin every codebook generation to ONE execution: the sampled init and
+    * each Lloyd refinement cost a full corpus pass, and the result is
+    * referenced from several subtrees below (cell assignment, probe
+    * ranking, the next refinement). A lazy `cache()` rebases all consumers
+    * on the same nlist-row InMemoryRelation — the training subtree runs
+    * once, structurally, instead of relying on ReusedExchange to dedupe
+    * identical broadcast subtrees — and keeps plan size linear in
+    * refineIters (each iteration references its predecessor twice, so
+    * inlined plans would grow exponentially). cache(), NOT localCheckpoint:
+    * even a lazy localCheckpoint materializes the AQE query stages below
+    * it at BUILD time (AdaptiveSparkPlanExec.doExecute finalizes the
+    * plan), and a library query constructor must submit zero Spark jobs.
+    * Lifecycle: entries are nlist rows each and CacheManager dedupes
+    * identical plans across rebuilds; a session that wants them gone
+    * uses spark.catalog.clearCache() (no per-query release API here —
+    * consumers execute after construction returns).
+    */
+  private[graft] def coarseCentroids(emb: DataFrame, nlist: Int,
+      refineIters: Int): DataFrame = {
     val cents0 = emb
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
         xxhash64(col("vec_id")).as("h"))
       .orderBy(col("h"), col("cent_id")).limit(nlist).drop("h")
-    // Pin every codebook generation to ONE execution: the sampled init and
-    // each Lloyd refinement cost a full corpus pass, and the result is
-    // referenced from several subtrees below (cell assignment, probe
-    // ranking, the next refinement). A lazy `cache()` rebases all consumers
-    // on the same nlist-row InMemoryRelation — the training subtree runs
-    // once, structurally, instead of relying on ReusedExchange to dedupe
-    // identical broadcast subtrees — and keeps plan size linear in
-    // refineIters (each iteration references its predecessor twice, so
-    // inlined plans would grow exponentially). cache(), NOT localCheckpoint:
-    // even a lazy localCheckpoint materializes the AQE query stages below
-    // it at BUILD time (AdaptiveSparkPlanExec.doExecute finalizes the
-    // plan), and a library query constructor must submit zero Spark jobs.
-    // Lifecycle: entries are nlist rows each and CacheManager dedupes
-    // identical plans across rebuilds; a session that wants them gone
-    // uses spark.catalog.clearCache() (no per-query release API here —
-    // consumers execute after construction returns).
     val pin = (df: DataFrame) => df.cache()
-    val cents = (0 until refineIters)
+    (0 until refineIters)
       .foldLeft(pin(cents0))((c, _) => pin(kmeansRefineOnce(emb, c)))
+  }
 
-    // corpus → cell: slim projection, then map-side-combined argmax
-    val cells = emb.crossJoin(broadcast(cents))
+  /** Corpus → nearest coarse cell: slim (vec_id, cent_id, sim) projection
+    * against the broadcast codebook, then a map-side-combined argmax —
+    * the one exchange carries a single (vec_id, cell) row per vector.
+    */
+  private[graft] def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
         assignSim(col("embedding"), col("cent_emb")).as("sim"))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cent_id"), struct(col("sim"), -col("cent_id"))).as("cell"))
 
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    // query → nprobe nearest cells (nQueries × nlist rows: tiny window)
-    val probes = queries.crossJoin(broadcast(cents))
+  /** Query → its `nprobe` nearest cells (|queries| × nlist rows: a tiny
+    * broadcast-side window).
+    */
+  private[graft] def probeCells(queries: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame =
+    queries.crossJoin(broadcast(cents))
       .withColumn("qsim", assignSim(col("q_emb"), col("cent_emb")))
       .withColumn("prb", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("qsim").desc, col("cent_id"))))
       .filter(col("prb") <= nprobe)
       .select(col("query_id"), col("cent_id").as("cell"))
+
+  def ivfTopKOf(emb: DataFrame, nlist: Int, nprobe: Int, nQueries: Int,
+      k: Int, refineIters: Int = 0): DataFrame = {
+    val cents = coarseCentroids(emb, nlist, refineIters)
+    val cells = assignCells(emb, cents)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probes = probeCells(queries, cents, nprobe)
 
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
     // probes are nQueries × nprobe rows — always broadcast (the planner

@@ -46,9 +46,13 @@ import org.apache.spark.sql.functions._
   */
 object PqIndex {
 
-  /** Index geometry + current leaves, parsed from `_pq_manifest`. */
+  /** Index geometry + current leaves, parsed from `_pq_manifest`.
+    * `ncells`/`coarseDir` describe the IVF coarse quantizer (0/"" on a
+    * pre-IVF index: exhaustive ADC only).
+    */
   final case class Meta(version: Long, m: Int, ksub: Int, dim: Int,
-      codebooksDir: String, codeLeaves: Seq[String]) {
+      codebooksDir: String, codeLeaves: Seq[String],
+      ncells: Int = 0, coarseDir: String = "") {
     def subLen: Int = dim / m
   }
 
@@ -82,8 +86,12 @@ object PqIndex {
       .getOrElse(throw new IllegalStateException("manifest missing codebooks"))
     val leaves = """"codes-v\d+[^"]*"""".r.findAllIn(text).toSeq
       .map(_.stripPrefix("\"").stripSuffix("\"")).distinct.sorted
+    val ncells = s""""ncells"\\s*:\\s*(\\d+)""".r
+      .findFirstMatchIn(text).map(_.group(1).toInt).getOrElse(0)
+    val coarse = """"coarse"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text)
+      .map(_.group(1)).getOrElse("")
     Meta(num("version"), num("m").toInt, num("ksub").toInt,
-      num("dim").toInt, books, leaves)
+      num("dim").toInt, books, leaves, ncells, coarse)
   }
 
   private def parseMetaLeaves(text: String): Seq[String] =
@@ -118,7 +126,8 @@ object PqIndex {
       val leaves = meta.codeLeaves.map(l => s""""$l"""").mkString(",")
       out.write(
         (s"""{"version":${meta.version},"m":${meta.m},"ksub":${meta.ksub},""" +
-          s""""dim":${meta.dim},"codebooks":"${meta.codebooksDir}",""" +
+          s""""dim":${meta.dim},"ncells":${meta.ncells},""" +
+          s""""codebooks":"${meta.codebooksDir}","coarse":"${meta.coarseDir}",""" +
           s""""leaves":[$leaves]}""").getBytes("UTF-8"))
     } finally out.close()
     if (!WalSegments.publishExclusive(fs, tmp, dest))
@@ -147,15 +156,24 @@ object PqIndex {
   private def leafName(version: Long) =
     f"codes-v$version%08d-${java.util.UUID.randomUUID().toString.take(8)}"
 
-  /** Build the index: train codebooks on the corpus (the ONE training
-    * pass; [[Ann.pqCodebooks]] — hash-ranked seed, fused Lloyd
-    * refinement, cache-pinned generations), encode every vector, persist
-    * both relations as parquet, and commit with one manifest write. The
-    * corpus embeddings are read, never stored — the artifact is codes +
-    * centroids only.
+  /** Build the index: train the PQ codebooks AND the IVF coarse
+    * quantizer on the corpus (the ONE training pass; [[Ann.pqCodebooks]]
+    * / [[Ann.coarseCentroids]] — hash-ranked seeds, Lloyd refinement,
+    * cache-pinned generations), encode every vector, assign it a coarse
+    * cell, persist all three relations as parquet, and commit with one
+    * manifest write. The corpus embeddings are read, never stored — the
+    * artifact is codes + centroids only.
+    *
+    * Codes land in ONE partitioned table `codes/cell=<c>/leaf=<tag>/`:
+    * cell-first nesting is what lets a later [[topKIvfAgainst]] prune
+    * its scan to the probed cells, while the `leaf` partition keeps each
+    * append an immutable directory set and lets readers restrict to
+    * COMMITTED leaves only (the manifest's leaf list as a partition
+    * filter — crash residue is invisible to readers even before the
+    * sweep collects it).
     */
   def build(emb: DataFrame, indexDir: String, m: Int = 4, ksub: Int = 16,
-      dim: Int = 64, refineIters: Int = 1): Meta = {
+      dim: Int = 64, refineIters: Int = 1, ncells: Int = 16): Meta = {
     require(dim % m == 0, s"dim=$dim must split into m=$m subvectors")
     // fail fast on a non-empty index: re-running build here would retrain
     // the codebooks UNDER the committed codes (later leaves were encoded
@@ -174,19 +192,38 @@ object PqIndex {
     val books = Ann.pqCodebooks(emb, m, ksub, subLen, refineIters)
     val booksDir = f"codebooks-v${1L}%08d"
     books.write.mode("overwrite").parquet(s"$indexDir/$booksDir")
+    val coarseDir = f"coarse-v${1L}%08d"
+    Ann.coarseCentroids(emb, ncells, refineIters)
+      .write.mode("overwrite").parquet(s"$indexDir/$coarseDir")
     // encode against the PERSISTED codebooks, not the in-memory frame:
     // what a later encodeBatch reads back must be bit-identical to what
     // the corpus was coded with (parquet float roundtrip is exact, but
     // reading back removes even the possibility of drift)
     val spark = emb.sparkSession
-    val stored = spark.read.parquet(s"$indexDir/$booksDir")
     val leaf = leafName(1L)
-    Ann.pqEncode(emb, stored, subLen)
-      .write.mode("overwrite").parquet(s"$indexDir/$leaf")
-    val meta = Meta(1L, m, ksub, dim, booksDir, Seq(leaf))
+    writeCodesLeaf(spark, indexDir, emb, leaf,
+      spark.read.parquet(s"$indexDir/$booksDir"),
+      spark.read.parquet(s"$indexDir/$coarseDir"), subLen)
+    val meta = Meta(1L, m, ksub, dim, booksDir, Seq(leaf), ncells, coarseDir)
     writeMeta(indexDir, meta)
     meta
   }
+
+  /** Encode + cell-assign one vector set and append it as the immutable
+    * `leaf=<tag>` partition set of the shared codes table. The (codes ⋈
+    * cells) join is ids-and-codes only, one vec_id shuffle of the BATCH;
+    * repartition by cell first so each (cell, leaf) partition is one
+    * file, not one per task.
+    */
+  private def writeCodesLeaf(spark: SparkSession, indexDir: String,
+      emb: DataFrame, leaf: String, books: DataFrame, coarse: DataFrame,
+      subLen: Int): Unit =
+    Ann.pqEncode(emb, books, subLen)
+      .join(Ann.assignCells(emb, coarse), Seq("vec_id"))
+      .withColumn("leaf", lit(leaf))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell", "leaf")
+      .parquet(s"$indexDir/codes")
 
   /** The stored codebooks relation (m, code, cent_emb) — m*ksub rows,
     * always broadcast by consumers.
@@ -194,12 +231,57 @@ object PqIndex {
   def codebooks(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/${readMeta(indexDir).codebooksDir}")
 
-  /** The stored code relation (vec_id, m, code) — the union of every
-    * committed leaf (parquet union = one multi-path scan, no shuffle).
+  /** The stored IVF coarse codebook (cent_id, cent_emb) — ncells rows,
+    * always broadcast by consumers.
     */
-  def codes(spark: SparkSession, indexDir: String): DataFrame = {
+  def coarse(spark: SparkSession, indexDir: String): DataFrame = {
     val meta = readMeta(indexDir)
-    spark.read.parquet(meta.codeLeaves.map(l => s"$indexDir/$l"): _*)
+    require(meta.coarseDir.nonEmpty,
+      s"$indexDir has no coarse quantizer (pre-IVF index)")
+    spark.read.parquet(s"$indexDir/${meta.coarseDir}")
+  }
+
+  /** The stored code relation with its partition columns, restricted to
+    * COMMITTED leaves (the manifest's leaf list as a `leaf` partition
+    * filter — uncommitted crash residue never reaches a reader).
+    */
+  private def codesRaw(spark: SparkSession, indexDir: String,
+      meta: Meta): DataFrame =
+    spark.read.parquet(s"$indexDir/codes")
+      .filter(col("leaf").isin(meta.codeLeaves: _*))
+
+  /** The stored code relation (vec_id, m, code) across every committed
+    * leaf — one partition-filtered scan of the shared codes table.
+    */
+  def codes(spark: SparkSession, indexDir: String): DataFrame =
+    codesRaw(spark, indexDir, readMeta(indexDir))
+      .select(col("vec_id"), col("m"), col("code"))
+
+  /** [[codes]] plus each vector's IVF `cell` — the scan IVF search
+    * prunes by probed cells.
+    */
+  def codesWithCells(spark: SparkSession, indexDir: String): DataFrame =
+    codesRaw(spark, indexDir, readMeta(indexDir))
+      .select(col("vec_id"), col("m"), col("code"), col("cell"))
+
+  /** Committed codes restricted to `cells` — the cell-pruned scan
+    * (`PartitionFilters` on the shared codes table). `cells` is a
+    * driver-side list bounded by ncells: metadata, never data.
+    */
+  def codesInCells(spark: SparkSession, indexDir: String,
+      cells: Seq[Long]): DataFrame = {
+    val meta = readMeta(indexDir)
+    val codesDf = spark.read.parquet(s"$indexDir/codes")
+    // partition-value inference types `cell` by its values — box the
+    // literals to the inferred type so pruning stays cast-free
+    val lits: Seq[Any] = codesDf.schema("cell").dataType match {
+      case org.apache.spark.sql.types.IntegerType =>
+        cells.map(v => Int.box(v.toInt))
+      case _ => cells.map(Long.box)
+    }
+    codesDf.filter(col("leaf").isin(meta.codeLeaves: _*) &&
+      col("cell").isin(lits: _*))
+      .select(col("vec_id"), col("m"), col("code"))
   }
 
   /** Encode an arriving batch against the STORED codebooks — no
@@ -227,20 +309,26 @@ object PqIndex {
     * a concurrent appender mid-commit and is left alone.
     */
   private def sweepUnreferenced(indexDir: String, meta: Meta): Unit = {
-    val (fs, root) = WalSegments.fsFor(indexDir)
+    val (fs, _) = WalSegments.fsFor(indexDir)
     val referenced = retainedLeafRefs(fs, indexDir)
-    // exactly a leaf name: legacy `codes-v<N>` or suffixed `codes-v<N>-hex8`
+    // exactly a leaf tag: legacy `codes-v<N>` or suffixed `codes-v<N>-hex8`
     val LeafRe = "codes-v(\\d+)(?:-[0-9a-f]{8})?".r
+    // leaves live as `leaf=<tag>` partition dirs nested under each cell
     try {
-      fs.listStatus(root).foreach { st =>
-        st.getPath.getName match {
-          case n @ LeafRe(v) if st.isDirectory && !referenced.contains(n) &&
-              v.toLong <= meta.version =>
-            try fs.delete(st.getPath, true)
-            catch { case _: java.io.IOException => () }
-          case _ => ()
+      fs.listStatus(new org.apache.hadoop.fs.Path(indexDir, "codes"))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        .foreach { cellDir =>
+          try fs.listStatus(cellDir.getPath).foreach { st =>
+            st.getPath.getName.stripPrefix("leaf=") match {
+              case n @ LeafRe(v) if st.isDirectory &&
+                  st.getPath.getName.startsWith("leaf=") &&
+                  !referenced.contains(n) && v.toLong <= meta.version =>
+                try fs.delete(st.getPath, true)
+                catch { case _: java.io.IOException => () }
+              case _ => ()
+            }
+          } catch { case _: java.io.FileNotFoundException => () }
         }
-      }
     } catch { case _: java.io.FileNotFoundException => () }
   }
 
@@ -283,8 +371,9 @@ object PqIndex {
     val meta = readMeta(indexDir)
     sweepUnreferenced(indexDir, meta)
     val leaf = leafName(meta.version + 1)
-    encodeBatch(spark, indexDir, batch)
-      .write.mode("overwrite").parquet(s"$indexDir/$leaf")
+    writeCodesLeaf(spark, indexDir, batch, leaf,
+      spark.read.parquet(s"$indexDir/${meta.codebooksDir}"),
+      spark.read.parquet(s"$indexDir/${meta.coarseDir}"), meta.subLen)
     val next = meta.copy(version = meta.version + 1,
       codeLeaves = meta.codeLeaves :+ leaf)
     writeMeta(indexDir, next)
@@ -334,6 +423,110 @@ object PqIndex {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** IVF+PQ search over the persisted index — the billion-vector shape:
+    * rank the stored coarse cells per query (|queries| × ncells rows,
+    * broadcast-side), PRUNE the codes scan to the union of probed cells
+    * (≤ min(|queries|·nprobe, ncells) cell ids — driver-side METADATA,
+    * surfaced as `PartitionFilters` on the cell-partitioned codes table),
+    * then run the exact scaled-integer ADC + exact-cosine rerank of
+    * [[topKAgainst]] within those cells only. Search cost scales with
+    * the probed fraction (≈ nprobe/ncells of the corpus), not the index.
+    *
+    * `rerank` bounds the exact-rerank shortlist per query; raise it for
+    * recall-critical workloads (the harness below uses a planted-copy
+    * theorem that needs every max-ADC candidate reranked).
+    */
+  def topKIvfAgainst(spark: SparkSession, indexDir: String,
+      queries: DataFrame, embProvider: DataFrame, nprobe: Int = 4,
+      k: Int = 5, rerank: Int = 32): DataFrame = {
+    val meta = readMeta(indexDir)
+    val subLen = meta.subLen
+    val cents = coarse(spark, indexDir)
+    val probes = Ann.probeCells(queries, cents, nprobe)
+    // the probed-cell union: bounded by ncells — metadata, never data
+    val probedVals = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0))
+    val codesDf = spark.read.parquet(s"$indexDir/codes")
+    // partition-value inference types `cell` by its values (int when they
+    // fit) — box the probe literals to the inferred type so the pruning
+    // predicate stays cast-free
+    val cellLits: Seq[Any] = codesDf.schema("cell").dataType match {
+      case org.apache.spark.sql.types.IntegerType =>
+        probedVals.toIndexedSeq.map(v => Int.box(v.toInt))
+      case _ => probedVals.toIndexedSeq.map(Long.box)
+    }
+    val probedCodes = codesDf
+      .filter(col("leaf").isin(meta.codeLeaves: _*) &&
+        col("cell").isin(cellLits: _*))
+      .select(col("vec_id"), col("m"), col("code"), col("cell"))
+    val books = codebooks(spark, indexDir)
+    val tables = queries.crossJoin(broadcast(books))
+      .select(col("query_id"), col("m"), col("code"),
+        round(Ann.assignSim(
+          slice(col("q_emb"), col("m") * subLen + 1, lit(subLen)),
+          col("cent_emb")) * lit(1e8)).cast("long").as("subscore"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val shortlist = probedCodes
+      // restrict candidates to each query's OWN probed cells (the
+      // broadcast probes relation), then ADC-score within
+      .join(broadcast(probes.withColumn("cell",
+        col("cell").cast(codesDf.schema("cell").dataType))), Seq("cell"))
+      .join(broadcast(tables), Seq("query_id", "m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("subscore")).as("adc"))
+      .withColumn("arnk", row_number().over(wAdc))
+      .filter(col("arnk") <= rerank)
+      .select(col("query_id"), col("vec_id"))
+    val wSim = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    shortlist
+      .join(embProvider, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("sim", Ann.cosine(col("q_emb"), col("embedding")))
+      .withColumn("rnk", row_number().over(wSim))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** ann08's driver-checked shape — the planted-copy theorem through the
+    * IVF+PQ search path: build the index on the corpus, [[append]] exact
+    * copies of the first `nQueries` vectors as a crawl increment, then
+    * [[topKIvfAgainst]] top-1 with each original as the query. The copy
+    * has bitwise the original's embedding, so (a) its argmax coarse cell
+    * IS the query's top-1 probed cell — cell pruning can never exclude
+    * it; (b) per subspace its code is the argmax centroid of the query's
+    * own subvector, so its ADC total is the GLOBAL maximum over any
+    * candidate — the shortlist always contains it (rerank bounds only
+    * same-ADC ties, generous here); (c) exact rerank scores it sim 1.0,
+    * above every organic neighbor (the fixture has no duplicate
+    * vectors). Output is provably the planting relation restricted to
+    * the queries, while build → persist → append → probe → prune → ADC →
+    * rerank all execute — a staleness, pruning, or scoring bug surfaces
+    * as missing or mis-ranked rows.
+    */
+  def selfRecallIvfPersisted(spark: SparkSession, d: String,
+      nQueries: Int = 64, m: Int = 4, ksub: Int = 16, dim: Int = 64,
+      refineIters: Int = 1, ncells: Int = 16, nprobe: Int = 2): DataFrame = {
+    val base = Tables.spread(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))).cache()
+    val copies = base.filter(col("vec_id") < nQueries)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-index").toString
+    build(base, indexDir, m, ksub, dim, refineIters, ncells)
+    append(spark, indexDir, copies)
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    topKIvfAgainst(spark, indexDir, queries,
+      base.unionByName(copies), nprobe, k = 1, rerank = 4096)
+      .select(col("query_id"), col("vec_id").as("ivf_nearest"), col("sim"))
+      .orderBy(col("query_id"))
+  }
+
   /** ann07 — the EMBEDDING crawl loop as a STREAM (the dd13 pattern for
     * the ANN family): arriving vector batches are searched against the
     * persisted index, then [[append]]ed INTO it, inside one Structured
@@ -374,7 +567,13 @@ object PqIndex {
     val q = graft.GraftSession.withStreamShuffle(spark)(
       stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
         val bcodes = Ann.pqFullCodes(encodeBatch(spark, indexDir, batch))
-        val stored = Ann.pqFullCodes(codes(spark, indexDir))
+        // prune the stored scan to the BATCH's coarse cells: an exact
+        // copy shares its original's cell (same argmax vs the stored
+        // coarse books), so the planted relation survives the prune while
+        // the per-batch scan reads a cell subset, not the whole index
+        val batchCells = Ann.assignCells(batch, coarse(spark, indexDir))
+          .select(col("cell")).distinct().collect().map(_.getLong(0)).toSeq
+        val stored = Ann.pqFullCodes(codesInCells(spark, indexDir, batchCells))
         val w = Window.partitionBy(col("vec_id"))
           .orderBy(col("sim").desc, col("cand_id"))
         bcodes

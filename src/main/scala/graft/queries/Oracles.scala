@@ -589,6 +589,17 @@ SELECT vec_id + 100000 AS query_id, vec_id AS match_id,
   CAST(1.0 AS DOUBLE) AS sim
 FROM embeddings ORDER BY query_id""",
 
+    // ann08: the planting theorem through the IVF+PQ search path — the
+    // copy shares its original's coarse cell (identical embedding, same
+    // argmax), so cell pruning cannot exclude it; per subspace its code
+    // is the argmax of the query's own subvector, so its ADC total is
+    // the global max and the shortlist always holds it; exact rerank
+    // then scores it sim 1.0 above every organic neighbor
+    "ann08_ivf_pq" -> """
+SELECT vec_id AS query_id, vec_id + 100000 AS ivf_nearest,
+  CAST(1.0 AS DOUBLE) AS sim
+FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
+
     // SCD Type 2: each insert/update opens a version valid until the
     // record's next change (a delete closes without opening); lead() over
     // (table, record, seq) on both engines

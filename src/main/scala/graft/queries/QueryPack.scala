@@ -216,6 +216,7 @@ object QueryPack {
     "ann05_pq_recall"   -> ((s, d) => Ann.pqSelfRecall(s, d)), // planted-copy recall
     "ann06_pq_persisted" -> ((s, d) => PqIndex.selfRecallPersisted(s, d)), // build→persist→append→reload
     "ann07_pq_stream"   -> ((s, d) => PqIndex.streamingSelfRecall(s, d)), // streaming search+append loop
+    "ann08_ivf_pq"      -> ((s, d) => PqIndex.selfRecallIvfPersisted(s, d)), // cell-pruned IVF+PQ search
 
     // ---- multimodal ----
     "mm01_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),

@@ -399,6 +399,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"prune list not batch-sized: $inset")
   }
 
+  test("ann08 IVF search: codes scan reads only the probed cells' partitions") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Tables.spread(Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))).cache()
+    val dir = java.nio.file.Files.createTempDirectory("audit_ann08").toString
+    graft.operators.ann.PqIndex.build(corpus, dir, ncells = 16)
+    val queries = corpus.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val searched = graft.operators.ann.PqIndex
+      .topKIvfAgainst(spark, dir, queries, corpus, nprobe = 2)
+    searched.collect()
+    val p = searched.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("/codes") && l.contains("PartitionFilters"))
+      .getOrElse(fail(s"no partition-filtered codes scan in plan:\n$p"))
+    // 2 queries × 2 probes = ≤4 of 16 cells read
+    val cells = "cell#\\d+(?: IN | INSET )\\(?([^\\]]*?)\\)?[,\\]]".r
+      .findFirstMatchIn(scanLine).map(_.group(1))
+      .getOrElse(fail(s"codes scan not pruned by probed cells: $scanLine"))
+    assert(cells.split(",").length <= 4,
+      s"prune list not probe-sized: $cells")
+  }
+
   test("whole-stage codegen covers the scan pipelines of every analytics query") {
     Seq("q01_pricing_summary", "q04_forecast_revenue", "txt01_token_stats")
       .foreach { q =>

@@ -114,20 +114,65 @@ class PqIndexSpec extends AnyFunSuite {
     val dir = tmpDir()
     PqIndex.build(all.filter(col("vec_id") < 30), dir)
     val (fs, _) = graft.sources.cdc.WalSegments.fsFor(dir)
+    // leaves are `leaf=<tag>` partition dirs nested under each cell of
+    // the shared codes table — plant residue in that layout
+    def leafDir(tag: String) =
+      new org.apache.hadoop.fs.Path(dir, s"codes/cell=0/leaf=$tag")
     // dead residue: an unreferenced leaf AT a claimed version (its commit
     // provably lost) — must be swept by the next append
-    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "codes-v00000001x"))
-    val dead = new org.apache.hadoop.fs.Path(dir, "codes-v00000000")
+    fs.mkdirs(leafDir("codes-v00000001x")) // not a leaf tag: untouched
+    val dead = leafDir("codes-v00000000")
     fs.mkdirs(dead)
     // in-flight: a leaf ABOVE the committed version (a concurrent
     // appender mid-commit) — must be left alone
-    val inflight = new org.apache.hadoop.fs.Path(dir, "codes-v00000077")
+    val inflight = leafDir("codes-v00000077")
     fs.mkdirs(inflight)
     PqIndex.append(spark, dir, all.filter(col("vec_id") >= 30 && col("vec_id") < 35))
     assert(!fs.exists(dead), "dead leaf at a claimed version must be swept")
     assert(fs.exists(inflight), "leaf above the committed version must survive")
-    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "codes-v00000001x")),
-      "non-leaf-named directories are never touched")
+    assert(fs.exists(leafDir("codes-v00000001x")),
+      "non-leaf-tagged directories are never touched")
+    // and readers never see ANY of the residue: codes() restricts to
+    // committed leaves via the manifest's leaf partition filter
+    assert(PqIndex.codes(spark, dir).count() == 35 * 4)
+  }
+
+  test("ann08: IVF+PQ search through the persisted index finds every planted copy") {
+    val out = PqIndex.selfRecallIvfPersisted(spark, sf, nQueries = 16).collect()
+    assert(out.length == 16)
+    assert(out.forall(r =>
+      r.getLong(1) == r.getLong(0) + 100000L && r.getDouble(2) == 1.0),
+      s"planted relation violated: ${out.take(5).toSeq}")
+  }
+
+  test("ann08: cell-pruned recall@5 matches exhaustive ADC on real queries") {
+    val corpus = Tables.spread(emb).cache()
+    val dir = tmpDir()
+    PqIndex.build(corpus, dir, refineIters = 1)
+    val queries = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val exhaustive = PqIndex.topKAgainst(spark, dir, queries, corpus)
+      .select("query_id", "rnk", "vec_id").collect().map(_.toSeq).toSet
+    // probing ALL cells must reproduce the exhaustive ADC lane exactly…
+    val allCells = PqIndex.topKIvfAgainst(spark, dir, queries, corpus,
+      nprobe = 16).select("query_id", "rnk", "vec_id")
+      .collect().map(_.toSeq).toSet
+    assert(allCells == exhaustive, "nprobe=ncells must equal exhaustive ADC")
+    // …and partial probes behave like the standard IVF quality/cost dial.
+    // This fixture's embeddings are near-random — cosine neighbors
+    // scatter uniformly over cells, so recall@5 ≈ the probed fraction
+    // (clustered production data does far better). Assert the dial: at
+    // least ~half the probed fraction at each setting, monotone in nprobe
+    def recallAt(nprobe: Int): Double = {
+      val pruned = PqIndex.topKIvfAgainst(spark, dir, queries, corpus,
+        nprobe = nprobe).select("query_id", "rnk", "vec_id")
+        .collect().map(_.toSeq).toSet
+      (pruned intersect exhaustive).size.toDouble / exhaustive.size
+    }
+    val r4 = recallAt(4); val r8 = recallAt(8)
+    assert(r4 >= 0.5 * 4.0 / 16 && r8 >= 0.5 * 8.0 / 16,
+      s"recall@5 below probed-fraction floor: r4=$r4 r8=$r8")
+    assert(r8 >= r4, s"recall not monotone in nprobe: r4=$r4 r8=$r8")
   }
 
   test("ann06 self-recall through the persisted index is the planting relation") {
