@@ -148,13 +148,18 @@ object PqIndex {
   }
 
   /** A new leaf's directory name: version-prefixed for ordering, with a
-    * random suffix so two appenders that both read meta version N and
-    * race to claim v(N+1) write DISTINCT directories — the loser's leaf
-    * is unreferenced residue for the sweep, never a torn overwrite of
-    * the winner's committed data. The manifest records the actual name.
+    * suffix so two appenders that both read meta version N and race to
+    * claim v(N+1) write DISTINCT directories — the loser's leaf is
+    * unreferenced residue for the sweep, never a torn overwrite of the
+    * winner's committed data. The manifest records the actual name. The
+    * suffix is random by default; [[append]] callers can pin it to an
+    * idempotency tag instead.
     */
-  private def leafName(version: Long) =
-    f"codes-v$version%08d-${java.util.UUID.randomUUID().toString.take(8)}"
+  private def leafName(version: Long, suffix: String) =
+    f"codes-v$version%08d-$suffix"
+
+  private def randomSuffix(): String =
+    java.util.UUID.randomUUID().toString.take(8)
 
   /** Build the index: train the PQ codebooks AND the IVF coarse
     * quantizer on the corpus (the ONE training pass; [[Ann.pqCodebooks]]
@@ -200,7 +205,7 @@ object PqIndex {
     // the corpus was coded with (parquet float roundtrip is exact, but
     // reading back removes even the possibility of drift)
     val spark = emb.sparkSession
-    val leaf = leafName(1L)
+    val leaf = leafName(1L, randomSuffix())
     writeCodesLeaf(spark, indexDir, emb, leaf,
       spark.read.parquet(s"$indexDir/$booksDir"),
       spark.read.parquet(s"$indexDir/$coarseDir"), subLen)
@@ -311,8 +316,9 @@ object PqIndex {
   private def sweepUnreferenced(indexDir: String, meta: Meta): Unit = {
     val (fs, _) = WalSegments.fsFor(indexDir)
     val referenced = retainedLeafRefs(fs, indexDir)
-    // exactly a leaf tag: legacy `codes-v<N>` or suffixed `codes-v<N>-hex8`
-    val LeafRe = "codes-v(\\d+)(?:-[0-9a-f]{8})?".r
+    // exactly a leaf tag: `codes-v<N>` or `codes-v<N>-<suffix>` (random
+    // hex or a caller idempotency tag)
+    val LeafRe = "codes-v(\\d+)(?:-[0-9a-zA-Z_\\-]+)?".r
     // leaves live as `leaf=<tag>` partition dirs nested under each cell
     try {
       fs.listStatus(new org.apache.hadoop.fs.Path(indexDir, "codes"))
@@ -367,10 +373,26 @@ object PqIndex {
     * upsert path; an index rebuild is the delete path).
     */
   def append(spark: SparkSession, indexDir: String,
-      batch: DataFrame): Meta = {
+      batch: DataFrame): Meta =
+    append(spark, indexDir, batch, tag = None)
+
+  /** [[append]] with an optional IDEMPOTENCY tag — the exactly-once fold
+    * for at-least-once delivery (a `foreachBatch` replay after restart):
+    * the tag becomes the leaf-name suffix, and an append whose tag is
+    * already carried by a COMMITTED leaf is a no-op. A crash after the
+    * leaf write but before the manifest commit leaves unreferenced
+    * residue (swept later); the replay then writes a fresh leaf and
+    * commits — no duplicate ever becomes visible. Tags: `[0-9A-Za-z_-]`.
+    */
+  def append(spark: SparkSession, indexDir: String, batch: DataFrame,
+      tag: Option[String]): Meta = {
     val meta = readMeta(indexDir)
+    tag.foreach { t =>
+      require(t.matches("[0-9A-Za-z_\\-]+"), s"invalid idempotency tag: $t")
+      if (meta.codeLeaves.exists(_.endsWith(s"-$t"))) return meta
+    }
     sweepUnreferenced(indexDir, meta)
-    val leaf = leafName(meta.version + 1)
+    val leaf = leafName(meta.version + 1, tag.getOrElse(randomSuffix()))
     writeCodesLeaf(spark, indexDir, batch, leaf,
       spark.read.parquet(s"$indexDir/${meta.codebooksDir}"),
       spark.read.parquet(s"$indexDir/${meta.coarseDir}"), meta.subLen)
@@ -528,29 +550,32 @@ object PqIndex {
   }
 
   /** ann07 — the EMBEDDING crawl loop as a STREAM (the dd13 pattern for
-    * the ANN family): arriving vector batches are searched against the
-    * persisted index, then [[append]]ed INTO it, inside one Structured
-    * Streaming query — so later batches are retrievable by the time the
-    * next increment lands, with no retraining and no corpus pass. Search
-    * is the ann05 full-code collision device (encode the batch against
-    * the STORED codebooks, pair on stored pq_code equality, exact-cosine
-    * rerank with deterministic ties): every arriving vector is an exact
-    * copy of a corpus vector, so it provably matches its original at
-    * sim 1.0 regardless of batch boundaries — while the whole
-    * reload → encode → collide → verify → append loop executes per
-    * micro-batch and any staleness or increment bug surfaces as
-    * missing/mis-ranked rows. `embProvider` plays the embedding store
-    * for rerank lookups (ids in, vectors out — point-lookup shaped).
+    * the ANN family), run through the ONE-CALL facade
+    * [[graft.streaming.Graft.searchAndAppend]] so this lane driver-gates
+    * it: arriving vector batches are searched against the persisted
+    * index ([[topKIvfAgainst]] — probe the batch vector's coarse cells,
+    * exact scaled-integer ADC within, exact-cosine rerank), matches
+    * append to the output, then the batch is [[append]]ed INTO the index
+    * — so later batches are retrievable by the time the next increment
+    * lands, with no retraining and no corpus pass.
     *
-    * Scale per batch: encode is one batch×broadcast-codebook pass; the
-    * collision join shuffles (vec_id, pq_code) only; rerank touches
-    * colliding ids' embeddings alone; the append is one immutable leaf.
-    * Cost per increment is independent of index size.
+    * The planted theorem (the ann08 device per micro-batch): every
+    * arriving vector is an exact copy of a corpus vector, so its top-1
+    * probed cell IS its original's cell (pruning can never exclude it),
+    * its ADC total against the original is the global max (per-subspace
+    * argmax of its own subvectors), and exact rerank scores the original
+    * sim 1.0 — whatever batch it arrived in. Any staleness, pruning, or
+    * increment bug surfaces as missing/mis-ranked rows. `rerank` is
+    * generous (1024) because the theorem bounds only same-ADC ties.
+    *
+    * Scale per batch: probe ranking is batch × broadcast-coarse; the
+    * codes scan is cell-pruned; ADC shuffles (query, vec, subscore)
+    * ids only; rerank touches shortlist embeddings alone; the append is
+    * one immutable leaf. Cost per increment is independent of index size.
     */
   def streamingSelfRecall(spark: SparkSession, d: String,
       nBatches: Int = 4, m: Int = 4, ksub: Int = 16, dim: Int = 64,
       refineIters: Int = 1): DataFrame = {
-    import org.apache.spark.sql.DataFrame
     val base = Tables.spread(Tables.embeddings(spark, d)
       .select(col("vec_id"), col("embedding"))).cache()
     val all = Ann.withExactCopies(base).cache() // rerank's embedding store
@@ -565,35 +590,12 @@ object PqIndex {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stageDir)
     val q = graft.GraftSession.withStreamShuffle(spark)(
-      stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-        val bcodes = Ann.pqFullCodes(encodeBatch(spark, indexDir, batch))
-        // prune the stored scan to the BATCH's coarse cells: an exact
-        // copy shares its original's cell (same argmax vs the stored
-        // coarse books), so the planted relation survives the prune while
-        // the per-batch scan reads a cell subset, not the whole index
-        val batchCells = Ann.assignCells(batch, coarse(spark, indexDir))
-          .select(col("cell")).distinct().collect().map(_.getLong(0)).toSeq
-        val stored = Ann.pqFullCodes(codesInCells(spark, indexDir, batchCells))
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("sim").desc, col("cand_id"))
-        bcodes
-          .join(stored.select(col("vec_id").as("cand_id"), col("pq_code")),
-            Seq("pq_code"))
-          .select(col("vec_id"), col("cand_id"))
-          .join(batch.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-          .join(all.select(col("vec_id").as("cand_id"),
-            col("embedding").as("cand_emb")), Seq("cand_id"))
-          .withColumn("sim", Ann.cosine(col("embedding"), col("cand_emb")))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") === 1)
-          .select(col("vec_id").as("query_id"), col("cand_id").as("match_id"),
-            round(col("sim"), 4).as("sim"))
-          .write.mode("append").parquet(outDir)
-        append(spark, indexDir, batch)
-        ()
-      }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start())
+      graft.streaming.Graft.searchAndAppend(stream, indexDir, outDir,
+        embProvider = all, nprobe = 2, k = 1, rerank = 1024,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()))
     graft.GraftSession.awaitFinished(q)
     spark.read.parquet(outDir)
+      .select(col("query_id"), col("vec_id").as("match_id"), col("sim"))
       .filter(col("match_id") === col("query_id") - 100000L)
       .orderBy(col("query_id"))
   }

@@ -324,8 +324,37 @@ object Dedup {
   private def setGroup(c: Column): Column =
     pmod(xxhash64(c), lit(IndexGroups.toLong)).cast("int")
 
+  /** True when `leaf` is already folded into the index — the band table
+    * (written LAST, the fold's commit point) carries its partition dirs.
+    */
+  def indexHasLeaf(spark: SparkSession, indexDir: String,
+      leaf: String): Boolean = {
+    val (fs, _) = graft.sources.cdc.WalSegments.fsFor(indexDir)
+    try fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$indexDir/bands/*/leaf=$leaf")) match {
+      case null => false
+      case a => a.nonEmpty
+    } catch { case _: java.io.IOException => false }
+  }
+
   def dedupIndexAppend(docs: DataFrame, indexDir: String, leaf: String,
       numHashes: Int = 64, bands: Int = 16): Unit = {
+    // IDEMPOTENT fold for at-least-once delivery (foreachBatch replay):
+    // a leaf tag that already reached the band table is a no-op. Sets
+    // write FIRST, bands LAST — a crash between leaves set residue that
+    // no candidate ever joins (candidates come from bands), while the
+    // replay sees no band dirs and re-folds both relations.
+    if (indexHasLeaf(docs.sparkSession, indexDir, leaf)) return
+    // replay after a sets-written/bands-missing crash: drop the set
+    // residue first, or the re-fold would append duplicate set rows
+    locally {
+      val (fs, _) = graft.sources.cdc.WalSegments.fsFor(indexDir)
+      try Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$indexDir/sets/*/leaf=$leaf"))).toSeq.flatten.foreach { st =>
+        try fs.delete(st.getPath, true)
+        catch { case _: java.io.IOException => () }
+      } catch { case _: java.io.IOException => () }
+    }
     val sh = shingledOf(docs).cache()
     try {
       // leaves are PARTITIONED by hash range of their lookup key — band
@@ -333,6 +362,12 @@ object Dedup {
       // later screening batch prunes its scan to the partitions its keys
       // touch instead of reading every leaf whole. repartition by the
       // group first: one file per (leaf, group), not one per (task, group)
+      sh.select(col("doc_id"), col("sh"))
+        .withColumn("sgrp", setGroup(col("doc_id")))
+        .withColumn("leaf", lit(leaf))
+        .repartition(col("sgrp"))
+        .write.partitionBy("sgrp", "leaf")
+        .mode("append").parquet(s"$indexDir/sets")
       sh.select(col("doc_id"),
         posexplode(graft.plans.SketchCols.minHashBandBuckets(
           col("shh"), numHashes, bands)))
@@ -344,12 +379,6 @@ object Dedup {
         .repartition(col("bgrp"))
         .write.partitionBy("bgrp", "leaf")
         .mode("append").parquet(s"$indexDir/bands")
-      sh.select(col("doc_id"), col("sh"))
-        .withColumn("sgrp", setGroup(col("doc_id")))
-        .withColumn("leaf", lit(leaf))
-        .repartition(col("sgrp"))
-        .write.partitionBy("sgrp", "leaf")
-        .mode("append").parquet(s"$indexDir/sets")
     } finally { sh.unpersist(); () }
   }
 
@@ -434,13 +463,10 @@ object Dedup {
     val schema = spark.read.parquet(stageDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    // the loop itself is the ONE-CALL facade — this lane driver-gates it
     val q = graft.GraftSession.withStreamShuffle(spark)(
-      stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
-        screenAgainstIndex(spark, indexDir, batch)
-          .write.mode("append").parquet(outDir)
-        dedupIndexAppend(batch, indexDir, f"b$bid%04d")
-        ()
-      }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start())
+      graft.streaming.Graft.screenAndFold(stream, indexDir, outDir,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()))
     graft.GraftSession.awaitFinished(q)
     spark.read.parquet(outDir)
       .filter(col("corpus_id") === col("batch_id") - 100000L)

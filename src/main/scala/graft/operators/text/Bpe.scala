@@ -122,11 +122,24 @@ object Bpe {
   }
 
   /** [[train]] fed by the distributed corpus pass — collect is of the
-    * word-frequency TABLE (vocabulary-sized; the 100 TB corpus never
-    * reaches the driver).
+    * word-frequency TABLE, floored IN the distributed pass: words rarer
+    * than `minCount` are dropped before anything reaches the driver.
+    *
+    * Driver-memory bound: O(|{words: n ≥ minCount}|) rows. At web scale
+    * the DISTINCT-word tail (URLs, typos, hashes) is itself corpus-sized
+    * — a raw collect would be the 100 TB anti-pattern — while the
+    * ≥minCount head follows Zipf's law and is vocabulary-sized for any
+    * minCount ≥ 2. The floor is standard in production BPE trainers
+    * (subword-nmt's `--min-frequency`, SentencePiece's pruning) and
+    * biases only pairs whose count comes from sub-floor words — by
+    * definition under minCount occurrences per dropped word — so
+    * frequent merges (the ones a tokenizer keeps) are unaffected;
+    * BpeSpec pins that the textbook merge sequence is floor-invariant.
+    * `minCount = 1` keeps the exact semantics for bounded corpora.
     */
-  def trainOn(documents: DataFrame, numMerges: Int): Seq[Merge] =
-    train(wordCounts(documents).collect()
+  def trainOn(documents: DataFrame, numMerges: Int,
+      minCount: Long = 1L): Seq[Merge] =
+    train(wordCounts(documents).filter(col("n") >= minCount).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq, numMerges)
 
   val encodedSchema: StructType = StructType(Seq(

@@ -473,4 +473,77 @@ object Graft {
         queryName = s"graft-${config.appName}")
     }
   }
+
+  // ---- crawl-loop facades: the persisted-index loops as one call ----
+
+  /** The DEDUP crawl loop as one call — the [[materialize]] shape for the
+    * near-dup index: each micro-batch of (doc_id, text) documents is
+    * screened against the persisted band index
+    * ([[graft.operators.dedup.Dedup.screenAgainstIndex]] — partition-
+    * pruned to the batch's hash groups), matched (batch_id, corpus_id,
+    * jaccard) pairs append to `pairsDir`, and the batch then folds INTO
+    * the index as an immutable leaf, so later batches screen against it.
+    *
+    * Delivery: the fold is EXACTLY-ONCE (leaf tags derive from the
+    * stable foreachBatch batch id; [[graft.operators.dedup.Dedup
+    * .dedupIndexAppend]] no-ops on a tag already folded), the pairs sink
+    * is at-least-once (replays can re-append pair files — dedupe
+    * downstream or read with `dropDuplicates`). Per-batch cost: shingle
+    * the batch, one pruned equi-join, one O(batch) leaf append —
+    * independent of corpus size.
+    */
+  def screenAndFold(docs: DataFrame, indexDir: String, pairsDir: String,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
+      checkpoint: Option[String] = None,
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      queryName: String = "graft-screen-and-fold"): StreamingQuery = {
+    val spark = docs.sparkSession
+    var w = docs.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      graft.operators.dedup.Dedup
+        .screenAgainstIndex(spark, indexDir, batch, numHashes, bands, threshold)
+        .write.mode("append").parquet(pairsDir)
+      graft.operators.dedup.Dedup
+        .dedupIndexAppend(batch, indexDir, f"b$bid%06d", numHashes, bands)
+      ()
+    }.queryName(queryName).trigger(trigger)
+    checkpoint.foreach(c => w = w.option("checkpointLocation", c))
+    w.start()
+  }
+
+  /** The EMBEDDING crawl loop as one call: each micro-batch of (vec_id,
+    * embedding) vectors is searched against the persisted IVF+PQ index
+    * ([[graft.operators.ann.PqIndex.topKIvfAgainst]] — cell-pruned probe
+    * + exact-ADC + cosine rerank), per-query top-k matches append to
+    * `matchesDir`, and the batch is then appended into the index (encode
+    * against STORED codebooks, one immutable leaf) so later batches can
+    * retrieve it. `embProvider` supplies raw embeddings for the rerank
+    * shortlist by vec_id — at scale a point-lookup-shaped join against
+    * the embedding store; it must cover previously indexed ids (the
+    * arriving batch's own vectors are added to it per batch).
+    *
+    * Delivery: the index fold is EXACTLY-ONCE (batch-id idempotency tag
+    * on [[graft.operators.ann.PqIndex.append]]); the matches sink is
+    * at-least-once.
+    */
+  def searchAndAppend(vecs: DataFrame, indexDir: String, matchesDir: String,
+      embProvider: DataFrame, nprobe: Int = 4, k: Int = 5, rerank: Int = 32,
+      checkpoint: Option[String] = None,
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      queryName: String = "graft-search-and-append"): StreamingQuery = {
+    val spark = vecs.sparkSession
+    var w = vecs.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      val queries = batch.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))
+      graft.operators.ann.PqIndex
+        .topKIvfAgainst(spark, indexDir, queries,
+          embProvider.unionByName(batch.select(col("vec_id"), col("embedding"))),
+          nprobe, k, rerank)
+        .write.mode("append").parquet(matchesDir)
+      graft.operators.ann.PqIndex
+        .append(spark, indexDir, batch, tag = Some(f"b$bid%06d"))
+      ()
+    }.queryName(queryName).trigger(trigger)
+    checkpoint.foreach(c => w = w.option("checkpointLocation", c))
+    w.start()
+  }
 }

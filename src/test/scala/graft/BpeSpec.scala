@@ -54,6 +54,25 @@ class BpeSpec extends AnyFunSuite {
     assert((m0.left, m0.right, m0.count) == (best._1._1, best._1._2, best._2))
   }
 
+  test("minCount floor bounds the collect without changing the textbook merges") {
+    // textbook corpus + a hapax tail (the web-scale distinct-word tail in
+    // miniature: each junk word occurs ONCE and shares no frequent pairs)
+    val noisy = Seq((1L, (textbook.flatMap { case (w, n) =>
+      Seq.fill(n.toInt)(w) } ++ Seq("zq1x", "vk9j", "qzzv")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val floored = Bpe.trainOn(noisy, numMerges = 4, minCount = 2L)
+    val exact = Bpe.train(textbook, numMerges = 4)
+    assert(floored.map(m => (m.rank, m.left, m.right, m.count)) ==
+      exact.map(m => (m.rank, m.left, m.right, m.count)),
+      "the ≥2 floor must reproduce the textbook merge sequence exactly")
+    // and the floor is applied in the DISTRIBUTED pass: the collected
+    // table excludes the hapax words entirely
+    val collected = Bpe.wordCounts(noisy)
+      .filter(org.apache.spark.sql.functions.col("n") >= 2L)
+      .collect().map(_.getString(0)).toSet
+    assert(collected == textbook.map(_._1).toSet)
+  }
+
   test("greedy encode reproduces training segmentation on trained words") {
     val merges = Bpe.train(textbook, numMerges = 10)
     val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap

@@ -134,4 +134,75 @@ class GraftConfigSpec extends AnyFunSuite {
     store.remove("b")
     assert(store.get("b").isEmpty && store.all.keySet == Set("a"))
   }
+
+  // ---- crawl-loop facades: the persisted-index loops as one call ----
+
+  private lazy val spark: org.apache.spark.sql.SparkSession =
+    org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+
+  test("screenAndFold: one call screens, folds, and replays idempotently") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("facade_dd").toString
+    val corpus = (1L to 20L)
+      .map(i => (i, s"corpus document number $i with shared words " + ("w " * 15)))
+      .toDF("doc_id", "text")
+    graft.operators.dedup.Dedup.dedupIndexAppend(corpus, s"$tmp/index", "corpus")
+    // two crawl increments of exact copies
+    corpus.select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+      .repartition(2, col("doc_id")).write.parquet(s"$tmp/arrivals")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/arrivals").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/arrivals")
+    val q = graft.streaming.Graft.screenAndFold(stream, s"$tmp/index",
+      s"$tmp/pairs", checkpoint = Some(s"$tmp/ck"),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    assert(q.awaitTermination(120000), "facade stream timed out")
+    val pairs = spark.read.parquet(s"$tmp/pairs")
+      .filter(col("corpus_id") === col("batch_id") - 1000L)
+    assert(pairs.count() == 20L, "every copy must screen against its original")
+    // the batches are folded in: the index now carries corpus + 2 leaves
+    val bands = spark.read.parquet(s"$tmp/index/bands")
+    val leaves = bands.select("leaf").distinct().as[String].collect().toSet
+    assert(leaves.size == 3 && leaves.contains("corpus"), s"leaves: $leaves")
+    // replaying an already-folded batch id is a NO-OP (exactly-once fold)
+    val before = bands.count()
+    graft.operators.dedup.Dedup.dedupIndexAppend(
+      corpus.limit(5), s"$tmp/index", leaves.filter(_ != "corpus").head)
+    assert(spark.read.parquet(s"$tmp/index/bands").count() == before,
+      "replayed leaf tag must not re-fold")
+  }
+
+  test("searchAndAppend: one call searches, appends, exactly-once tags") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("facade_ann").toString
+    val base = Tables.spread(Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))).cache()
+    graft.operators.ann.PqIndex.build(base, s"$tmp/index")
+    val copies = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    copies.repartition(2, col("vec_id")).write.parquet(s"$tmp/arrivals")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/arrivals").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/arrivals")
+    val q = graft.streaming.Graft.searchAndAppend(stream, s"$tmp/index",
+      s"$tmp/matches", embProvider = base, nprobe = 2, k = 1, rerank = 1024,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    assert(q.awaitTermination(120000), "facade stream timed out")
+    val matches = spark.read.parquet(s"$tmp/matches")
+      .filter(col("vec_id") === col("query_id") - 100000L)
+    assert(matches.count() == copies.count(),
+      "every arriving copy must retrieve its original")
+    // replaying an already-appended batch id is a NO-OP
+    val meta = graft.operators.ann.PqIndex.readMeta(s"$tmp/index")
+    val replayTag = meta.codeLeaves.last.split("-").last
+    val after = graft.operators.ann.PqIndex.append(spark, s"$tmp/index",
+      copies.limit(3), tag = Some(replayTag))
+    assert(after == meta, "replayed append tag must not bump the index")
+  }
 }
