@@ -110,15 +110,30 @@ object Bench {
       jstr("dd13") + ":" + jstr(
         "each pass rebuilds the corpus band index then streams 4 " +
           "increments (screen + append per micro-batch) — the measured " +
-          "figure is the WHOLE crawl-loop bootstrap, not steady-state " +
-          "per-increment cost, which is corpus-size independent"),
+          "figure is the WHOLE crawl-loop bootstrap; the steady-state " +
+          "per-increment cost (corpus-size independent) is MEASURED in " +
+          "per_increment_sec"),
       jstr("ann07") + ":" + jstr(
-        "each pass trains+persists the PQ index then streams 4 vector " +
-          "increments (search + append per micro-batch) — same " +
-          "whole-loop measurement convention as dd13")
+        "each pass trains+persists the IVF+PQ index then streams 4 " +
+          "vector increments (cell-pruned search + append per " +
+          "micro-batch) — same whole-loop convention as dd13; " +
+          "steady-state figure in per_increment_sec")
     ).mkString(",")
+    // measured per-increment cost of the crawl loops: every micro-batch's
+    // wall time across all passes (CrawlMetrics, recorded inside the
+    // facades), reported as median + max — the corpus-size-independence
+    // claim as a number instead of a convention note
+    val perIncr = Seq(
+      "dd13_stream_increments" -> "graft-screen-and-fold",
+      "ann07_pq_stream" -> "graft-search-and-append")
+      .flatMap { case (q, qn) =>
+        val xs = graft.streaming.Graft.CrawlMetrics.snapshot(qn)
+        if (xs.isEmpty) None
+        else Some(jstr(q) + ":" + s"""{"median":${median(xs.toList)},""" +
+          s""""max":${xs.max},"batches":${xs.length}}""")
+      }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$meds,"median_total":$medTotal,"errors":$errs,"sf":"$sfDir","notes":{${notes}},"protocol":"per-query min of $repeats round-robin passes; medians of the same passes alongside"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$meds,"median_total":$medTotal,"errors":$errs,"sf":"$sfDir","notes":{${notes}},"per_increment_sec":$perIncr,"protocol":"per-query min of $repeats round-robin passes; medians of the same passes alongside"}"""
     println(line)
     // Belt-and-braces for log-prefixing launchers: also drop the line in a file.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")

@@ -178,7 +178,8 @@ object PqIndex {
     * sweep collects it).
     */
   def build(emb: DataFrame, indexDir: String, m: Int = 4, ksub: Int = 16,
-      dim: Int = 64, refineIters: Int = 1, ncells: Int = 16): Meta = {
+      dim: Int = 64, refineIters: Int = 1, ncells: Int = 16,
+      coarseRefineIters: Int = 0): Meta = {
     require(dim % m == 0, s"dim=$dim must split into m=$m subvectors")
     // fail fast on a non-empty index: re-running build here would retrain
     // the codebooks UNDER the committed codes (later leaves were encoded
@@ -197,8 +198,12 @@ object PqIndex {
     val books = Ann.pqCodebooks(emb, m, ksub, subLen, refineIters)
     val booksDir = f"codebooks-v${1L}%08d"
     books.write.mode("overwrite").parquet(s"$indexDir/$booksDir")
+    // hash-ranked sample by default (coarseRefineIters = 0, the ivfTopKOf
+    // init): cell PRUNING is codebook-agnostic — every search probes the
+    // same quantizer it was assigned by — so Lloyd refinement here buys
+    // organic recall per probe, not correctness; dial it up offline
     val coarseDir = f"coarse-v${1L}%08d"
-    Ann.coarseCentroids(emb, ncells, refineIters)
+    Ann.coarseCentroids(emb, ncells, coarseRefineIters)
       .write.mode("overwrite").parquet(s"$indexDir/$coarseDir")
     // encode against the PERSISTED codebooks, not the in-memory frame:
     // what a later encodeBatch reads back must be bit-identical to what
@@ -207,8 +212,8 @@ object PqIndex {
     val spark = emb.sparkSession
     val leaf = leafName(1L, randomSuffix())
     writeCodesLeaf(spark, indexDir, emb, leaf,
-      spark.read.parquet(s"$indexDir/$booksDir"),
-      spark.read.parquet(s"$indexDir/$coarseDir"), subLen)
+      artifact(spark, s"$indexDir/$booksDir"),
+      artifact(spark, s"$indexDir/$coarseDir"), subLen)
     val meta = Meta(1L, m, ksub, dim, booksDir, Seq(leaf), ncells, coarseDir)
     writeMeta(indexDir, meta)
     meta
@@ -216,9 +221,11 @@ object PqIndex {
 
   /** Encode + cell-assign one vector set and append it as the immutable
     * `leaf=<tag>` partition set of the shared codes table. The (codes ⋈
-    * cells) join is ids-and-codes only, one vec_id shuffle of the BATCH;
-    * repartition by cell first so each (cell, leaf) partition is one
-    * file, not one per task.
+    * cells) join is ids-and-codes only, one vec_id shuffle of the BATCH.
+    * Repartition by cell before the write: one file per (cell, leaf)
+    * instead of one per (task, cell) — without it every task writes
+    * every cell dir and the file count (hence later listings and
+    * cell-pruned scans) explodes.
     */
   private def writeCodesLeaf(spark: SparkSession, indexDir: String,
       emb: DataFrame, leaf: String, books: DataFrame, coarse: DataFrame,
@@ -230,11 +237,23 @@ object PqIndex {
       .write.mode("append").partitionBy("cell", "leaf")
       .parquet(s"$indexDir/codes")
 
+  /** Tiny immutable artifacts (codebooks, coarse centroids) memoized per
+    * version-named directory: the dirs never change once committed, so
+    * re-resolving the relation (file listing + schema inference, a
+    * driver-side cost per `spark.read`) every micro-batch of a crawl
+    * loop is pure waste. Entries are m*ksub / ncells rows — metadata.
+    */
+  private val artifactCache =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  private def artifact(spark: SparkSession, path: String): DataFrame =
+    artifactCache.getOrElseUpdate(path, spark.read.parquet(path).cache())
+
   /** The stored codebooks relation (m, code, cent_emb) — m*ksub rows,
     * always broadcast by consumers.
     */
   def codebooks(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/${readMeta(indexDir).codebooksDir}")
+    artifact(spark, s"$indexDir/${readMeta(indexDir).codebooksDir}")
 
   /** The stored IVF coarse codebook (cent_id, cent_emb) — ncells rows,
     * always broadcast by consumers.
@@ -243,7 +262,7 @@ object PqIndex {
     val meta = readMeta(indexDir)
     require(meta.coarseDir.nonEmpty,
       s"$indexDir has no coarse quantizer (pre-IVF index)")
-    spark.read.parquet(s"$indexDir/${meta.coarseDir}")
+    artifact(spark, s"$indexDir/${meta.coarseDir}")
   }
 
   /** The stored code relation with its partition columns, restricted to
@@ -394,8 +413,8 @@ object PqIndex {
     sweepUnreferenced(indexDir, meta)
     val leaf = leafName(meta.version + 1, tag.getOrElse(randomSuffix()))
     writeCodesLeaf(spark, indexDir, batch, leaf,
-      spark.read.parquet(s"$indexDir/${meta.codebooksDir}"),
-      spark.read.parquet(s"$indexDir/${meta.coarseDir}"), meta.subLen)
+      artifact(spark, s"$indexDir/${meta.codebooksDir}"),
+      artifact(spark, s"$indexDir/${meta.coarseDir}"), meta.subLen)
     val next = meta.copy(version = meta.version + 1,
       codeLeaves = meta.codeLeaves :+ leaf)
     writeMeta(indexDir, next)
@@ -463,8 +482,13 @@ object PqIndex {
       k: Int = 5, rerank: Int = 32): DataFrame = {
     val meta = readMeta(indexDir)
     val subLen = meta.subLen
-    val cents = coarse(spark, indexDir)
-    val probes = Ann.probeCells(queries, cents, nprobe)
+    require(meta.coarseDir.nonEmpty,
+      s"$indexDir has no coarse quantizer (pre-IVF index)")
+    val cents = artifact(spark, s"$indexDir/${meta.coarseDir}")
+    // cache the tiny probes relation (|queries| × nprobe rows): it feeds
+    // both the driver-side prune list and the in-plan candidate join —
+    // without the pin the probe ranking subtree executes twice
+    val probes = Ann.probeCells(queries, cents, nprobe).cache()
     // the probed-cell union: bounded by ncells — metadata, never data
     val probedVals = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0))
@@ -481,7 +505,7 @@ object PqIndex {
       .filter(col("leaf").isin(meta.codeLeaves: _*) &&
         col("cell").isin(cellLits: _*))
       .select(col("vec_id"), col("m"), col("code"), col("cell"))
-    val books = codebooks(spark, indexDir)
+    val books = artifact(spark, s"$indexDir/${meta.codebooksDir}")
     val tables = queries.crossJoin(broadcast(books))
       .select(col("query_id"), col("m"), col("code"),
         round(Ann.assignSim(

@@ -360,8 +360,10 @@ object Dedup {
       // leaves are PARTITIONED by hash range of their lookup key — band
       // leaves by (band, bucket) hash, set leaves by doc_id hash — so a
       // later screening batch prunes its scan to the partitions its keys
-      // touch instead of reading every leaf whole. repartition by the
-      // group first: one file per (leaf, group), not one per (task, group)
+      // touch instead of reading every leaf whole. Repartition by the
+      // group first: one file per (leaf, group) instead of one per
+      // (task, group) — without it every task writes every group dir and
+      // the file count (hence later listings and scans) explodes
       sh.select(col("doc_id"), col("sh"))
         .withColumn("sgrp", setGroup(col("doc_id")))
         .withColumn("leaf", lit(leaf))

@@ -476,6 +476,26 @@ object Graft {
 
   // ---- crawl-loop facades: the persisted-index loops as one call ----
 
+  /** Per-micro-batch wall times of the crawl-loop facades, keyed by query
+    * name — the measured STEADY-STATE per-increment cost the whole-loop
+    * bench envelope can't show (that figure includes index bootstrap).
+    * Bench reads this after its passes; tests may [[CrawlMetrics.clear]].
+    */
+  object CrawlMetrics {
+    private val samples =
+      new scala.collection.concurrent.TrieMap[String, Vector[Double]]()
+    private[graft] def record(query: String, secs: Double): Unit = {
+      samples.updateWith(query) {
+        case Some(xs) => Some(xs :+ secs)
+        case None => Some(Vector(secs))
+      }
+      ()
+    }
+    def snapshot(query: String): Vector[Double] =
+      samples.getOrElse(query, Vector.empty)
+    def clear(): Unit = samples.clear()
+  }
+
   /** The DEDUP crawl loop as one call — the [[materialize]] shape for the
     * near-dup index: each micro-batch of (doc_id, text) documents is
     * screened against the persisted band index
@@ -499,12 +519,13 @@ object Graft {
       queryName: String = "graft-screen-and-fold"): StreamingQuery = {
     val spark = docs.sparkSession
     var w = docs.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      val t0 = System.nanoTime()
       graft.operators.dedup.Dedup
         .screenAgainstIndex(spark, indexDir, batch, numHashes, bands, threshold)
         .write.mode("append").parquet(pairsDir)
       graft.operators.dedup.Dedup
         .dedupIndexAppend(batch, indexDir, f"b$bid%06d", numHashes, bands)
-      ()
+      CrawlMetrics.record(queryName, (System.nanoTime() - t0) / 1e9)
     }.queryName(queryName).trigger(trigger)
     checkpoint.foreach(c => w = w.option("checkpointLocation", c))
     w.start()
@@ -532,6 +553,7 @@ object Graft {
       queryName: String = "graft-search-and-append"): StreamingQuery = {
     val spark = vecs.sparkSession
     var w = vecs.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      val t0 = System.nanoTime()
       val queries = batch.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"))
       graft.operators.ann.PqIndex
@@ -541,7 +563,7 @@ object Graft {
         .write.mode("append").parquet(matchesDir)
       graft.operators.ann.PqIndex
         .append(spark, indexDir, batch, tag = Some(f"b$bid%06d"))
-      ()
+      CrawlMetrics.record(queryName, (System.nanoTime() - t0) / 1e9)
     }.queryName(queryName).trigger(trigger)
     checkpoint.foreach(c => w = w.option("checkpointLocation", c))
     w.start()

@@ -28,9 +28,11 @@ import org.apache.spark.sql.functions._
   *    data).
   *  - **Atomic multi-bucket commit, no data renames.** New bucket
   *    versions are written DIRECTLY at their final immutable paths
-  *    (`leaf=b<bucket>-v<version>/`); the swap is one manifest-file
-  *    replace ([[WalSegments.writeAtomic]]: tmp+rename on POSIX/HDFS, a
-  *    single atomic PUT on object stores). Readers resolve the manifest
+  *    (`leaf=b<bucket>-v<version>/`); the swap is one EXCLUSIVE publish
+  *    of the next immutable manifest version
+  *    ([[WalSegments.publishExclusive]]: atomic hard-link claim on local
+  *    POSIX, rename-to-existing on HDFS, PUT-if-absent on object
+  *    stores). Readers resolve the manifest
   *    first, so they see every batch entirely or not at all — snapshot
   *    isolation over plain parquet, and NOT just at plan time: superseded
   *    leaves are retained for the full [[RetainedManifests]]-version
