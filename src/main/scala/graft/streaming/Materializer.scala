@@ -127,7 +127,7 @@ object Materializer {
   // on the first versioned commit.
 
   final case class Manifest(version: Long, leaves: Map[Int, String],
-      writerEpoch: Long = 0L, writerId: String = "")
+      writerEpoch: Long = 0L, writerId: String = "", nbuckets: Int = 0)
 
   private def legacyManifestPath(stateDir: String): Path =
     new Path(stateDir, "_state_manifest")
@@ -155,7 +155,8 @@ object Materializer {
     Manifest(num("version").getOrElse(0L), leaves,
       num("writerEpoch").getOrElse(0L),
       """"writerId"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(text)
-        .map(_.group(1)).getOrElse(""))
+        .map(_.group(1)).getOrElse(""),
+      num("nbuckets").getOrElse(0L).toInt)
   }
 
   def readManifest(stateDir: String,
@@ -211,6 +212,7 @@ object Materializer {
         .map { case (b, d) => s""""$b":"$d"""" }.mkString(",")
       out.write((s"""{"version":${m.version},""" +
         s""""writerEpoch":${m.writerEpoch},"writerId":"${m.writerId}",""" +
+        s""""nbuckets":${m.nbuckets},""" +
         s""""buckets":{$entries}}""").getBytes("UTF-8"))
     } finally out.close()
     if (!WalSegments.publishExclusive(fs, tmp, dest))
@@ -280,6 +282,22 @@ object Materializer {
 
   private def leafName(bucket: Int, version: Long): String =
     f"leaf-b$bucket%05d-v$version%08d"
+
+  /** Fail fast when the caller's Spec disagrees with the bucket count the
+    * store was created (or last [[rebucket]]ed) with: a mismatched
+    * applier would hash every key into the WRONG bucket — reading buckets
+    * that don't hold the key, writing merged rows where no later reader
+    * of that key looks — and silently fork the state. The manifest
+    * records the count (`nbuckets`; 0 on legacy stores, adopted from the
+    * first post-upgrade commit's Spec).
+    */
+  private def checkBuckets(manifest: Manifest, spec: Spec,
+      stateDir: String): Unit =
+    if (manifest.nbuckets > 0 && manifest.nbuckets != spec.buckets)
+      throw new IllegalStateException(
+        s"$stateDir is bucketed at ${manifest.nbuckets} but the Spec says " +
+          s"${spec.buckets} — a mismatched applier scatters keys across " +
+          "wrong buckets; use the store's count, or rebucket() offline")
 
   /** The union of leaf directories referenced by EVERY manifest version
     * still on disk (the [[RetainedManifests]] window plus the legacy
@@ -351,6 +369,7 @@ object Materializer {
     fs.mkdirs(root)
     val manifest = readManifest(stateDir, conf)
     checkFence(manifest, token, stateDir)
+    checkBuckets(manifest, spec, stateDir)
     val nextVersion = manifest.version + 1
 
     val batchLatest = reduceLatest(batch, spec)
@@ -398,7 +417,7 @@ object Materializer {
       // leaves written above become unreferenced residue for the
       // winner's sweep (no committed bucket is ever lost)
       commitManifest(fs, stateDir, Manifest(nextVersion, newLeaves,
-        manifest.writerEpoch, manifest.writerId))
+        manifest.writerEpoch, manifest.writerId, spec.buckets))
       // superseded leaves are NOT deleted here: a reader that planned its
       // scan against the just-superseded manifest may still open them.
       // The post-commit sweep (after this commit retired manifests past
@@ -442,6 +461,7 @@ object Materializer {
     val (fs, _) = WalSegments.fsFor(stateDir, conf)
     val manifest = readManifest(stateDir, conf)
     checkFence(manifest, token, stateDir)
+    checkBuckets(manifest, spec, stateDir)
     if (manifest.leaves.isEmpty) return
     val nextVersion = manifest.version + 1
     val all = spark.read.option("mergeSchema", "true")
@@ -477,9 +497,58 @@ object Materializer {
     val newLeaves = (manifest.leaves -- expirableSet) ++
       rewritten.map(b => b -> leafName(b, nextVersion)).toMap
     commitManifest(fs, stateDir, Manifest(nextVersion, newLeaves,
-      manifest.writerEpoch, manifest.writerId))
+      manifest.writerEpoch, manifest.writerId, spec.buckets))
     // compacted-away leaves keep the same reader grace window as apply:
     // the sweep only collects leaves no retained manifest references
+    sweepUnreferenced(fs, stateDir)
+  }
+
+  /** Re-key the WHOLE store into `newBuckets` hash buckets — the one
+    * maintenance operation that cannot be incremental, because changing
+    * the count moves every row's bucket. One full-table read → one
+    * shuffle on the new bucket key → an all-new leaf set at the next
+    * version → one manifest swap; fenced like any write, and
+    * snapshot-isolated like any commit (readers planned against retained
+    * manifests keep the old-bucket leaves until the grace window retires
+    * them). Run it OFFLINE like an Iceberg rewrite — cost is one read +
+    * one write of the table. Afterwards every applier must use the new
+    * count: the manifest records it and [[applyBatch]]/[[compact]] refuse
+    * a mismatched Spec.
+    */
+  def rebucket(spark: SparkSession, stateDir: String, spec: Spec,
+      newBuckets: Int, conf: Configuration = WalSegments.localConf,
+      token: Option[WriterToken] = None): Unit = {
+    require(newBuckets > 0, "newBuckets must be positive")
+    val (fs, _) = WalSegments.fsFor(stateDir, conf)
+    val manifest = readManifest(stateDir, conf)
+    checkFence(manifest, token, stateDir)
+    checkBuckets(manifest, spec, stateDir)
+    val newSpec = spec.copy(buckets = newBuckets)
+    val nextVersion = manifest.version + 1
+    if (manifest.leaves.nonEmpty) {
+      spark.read.option("mergeSchema", "true")
+        .parquet(manifest.leaves.values.map(d => s"$stateDir/$d").toIndexedSeq: _*)
+        .withColumn("_gbucket", bucketCol(newSpec))
+        .withColumn("_leaf",
+          concat(lit("b"), lpad(col("_gbucket").cast("string"), 5, "0"),
+            lit(f"-v$nextVersion%08d")))
+        .drop("_gbucket")
+        .write.mode("append").partitionBy("_leaf").parquet(stateDir)
+    }
+    // publish every just-written dir (one listing, not a per-bucket probe)
+    val suffix = f"-v$nextVersion%08d"
+    val newLeaves = fs.listStatus(new Path(stateDir)).iterator
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("_leaf=b") && n.endsWith(suffix))
+      .map { n =>
+        val leafN = "leaf-" + n.stripPrefix("_leaf=")
+        val dest = new Path(stateDir, leafN)
+        if (!fs.rename(new Path(stateDir, n), dest))
+          throw new java.io.IOException(s"could not publish $n to $dest")
+        n.stripPrefix("_leaf=b").take(5).toInt -> leafN
+      }.toMap
+    commitManifest(fs, stateDir, Manifest(nextVersion, newLeaves,
+      manifest.writerEpoch, manifest.writerId, newBuckets))
     sweepUnreferenced(fs, stateDir)
   }
 

@@ -251,6 +251,36 @@ class MaterializerSpec extends AnyFunSuite {
       s"retained leaf set unbounded: ${after.size}")
   }
 
+  test("rebucket re-keys the whole store; mismatched Specs are refused after") {
+    val dir = freshDir("rebucket")
+    Materializer.applyBatch(spark, dir, chg(
+      ("user", 1L, 10L, "insert", 100L),
+      ("user", 2L, 11L, "insert", 200L),
+      ("user", 3L, 30L, "delete", 300L), // tombstone must survive the re-key
+      ("todo", 9L, 12L, "insert", 900L)), spec)
+    val before = state(dir, tombstones = true)
+    Materializer.rebucket(spark, dir, spec, newBuckets = 3)
+    // same rows, new geometry: every leaf carries the new version, the
+    // manifest records the new count
+    val m = Materializer.readManifest(dir)
+    assert(m.nbuckets == 3 && m.leaves.keySet.forall(_ < 3),
+      s"manifest not re-keyed: $m")
+    val spec3 = spec.copy(buckets = 3)
+    assert(Materializer.currentState(spark, dir, spec3, keepTombstones = true)
+      .select("table_name", "record_id", "seq", "op", "val_cents")
+      .as[(String, Long, Long, String, Long)].collect().toSeq.sorted == before)
+    // an applier still using the OLD bucket count is refused — it would
+    // scatter keys across wrong buckets and silently fork the state
+    val e = intercept[IllegalStateException] {
+      Materializer.applyBatch(spark, dir, chg(("user", 4L, 40L, "insert", 4L)), spec)
+    }
+    assert(e.getMessage.contains("bucketed at 3"))
+    // the RIGHT spec keeps applying
+    Materializer.applyBatch(spark, dir, chg(("user", 4L, 40L, "insert", 4L)), spec3)
+    assert(Materializer.currentState(spark, dir, spec3)
+      .filter($"record_id" === 4L).count() == 1)
+  }
+
   test("snapshot isolation with grace: a reader planned before later commits still collects") {
     val dir = freshDir("grace")
     Materializer.applyBatch(spark, dir, chg(
