@@ -52,7 +52,7 @@ object PqIndex {
     */
   final case class Meta(version: Long, m: Int, ksub: Int, dim: Int,
       codebooksDir: String, codeLeaves: Seq[String],
-      ncells: Int = 0, coarseDir: String = "") {
+      ncells: Int = 0, coarseDir: String = "", residual: Boolean = false) {
     def subLen: Int = dim / m
   }
 
@@ -90,8 +90,9 @@ object PqIndex {
       .findFirstMatchIn(text).map(_.group(1).toInt).getOrElse(0)
     val coarse = """"coarse"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text)
       .map(_.group(1)).getOrElse("")
+    val residual = """"residual"\s*:\s*true""".r.findFirstIn(text).isDefined
     Meta(num("version"), num("m").toInt, num("ksub").toInt,
-      num("dim").toInt, books, leaves, ncells, coarse)
+      num("dim").toInt, books, leaves, ncells, coarse, residual)
   }
 
   private def parseMetaLeaves(text: String): Seq[String] =
@@ -127,6 +128,7 @@ object PqIndex {
       out.write(
         (s"""{"version":${meta.version},"m":${meta.m},"ksub":${meta.ksub},""" +
           s""""dim":${meta.dim},"ncells":${meta.ncells},""" +
+          s""""residual":${meta.residual},""" +
           s""""codebooks":"${meta.codebooksDir}","coarse":"${meta.coarseDir}",""" +
           s""""leaves":[$leaves]}""").getBytes("UTF-8"))
     } finally out.close()
@@ -179,7 +181,7 @@ object PqIndex {
     */
   def build(emb: DataFrame, indexDir: String, m: Int = 4, ksub: Int = 16,
       dim: Int = 64, refineIters: Int = 1, ncells: Int = 16,
-      coarseRefineIters: Int = 0): Meta = {
+      coarseRefineIters: Int = 0, residual: Boolean = false): Meta = {
     require(dim % m == 0, s"dim=$dim must split into m=$m subvectors")
     // fail fast on a non-empty index: re-running build here would retrain
     // the codebooks UNDER the committed codes (later leaves were encoded
@@ -195,29 +197,50 @@ object PqIndex {
         "corrupt it (codes in later leaves were encoded against the " +
         "existing codebooks); rebuild into a fresh directory instead")
     val subLen = dim / m
-    val books = Ann.pqCodebooks(emb, m, ksub, subLen, refineIters)
-    val booksDir = f"codebooks-v${1L}%08d"
-    books.write.mode("overwrite").parquet(s"$indexDir/$booksDir")
     // hash-ranked sample by default (coarseRefineIters = 0, the ivfTopKOf
     // init): cell PRUNING is codebook-agnostic — every search probes the
     // same quantizer it was assigned by — so Lloyd refinement here buys
-    // organic recall per probe, not correctness; dial it up offline
+    // organic recall per probe, not correctness; dial it up offline.
+    // Coarse FIRST: residual mode trains the PQ codebooks on residuals
+    // against the PERSISTED coarse centroids
     val coarseDir = f"coarse-v${1L}%08d"
     Ann.coarseCentroids(emb, ncells, coarseRefineIters)
       .write.mode("overwrite").parquet(s"$indexDir/$coarseDir")
+    val spark = emb.sparkSession
+    val storedCoarse = artifact(spark, s"$indexDir/$coarseDir")
+    val trainIn =
+      if (!residual) emb
+      else residualsOf(emb, storedCoarse).select(col("vec_id"), col("embedding"))
+    val books = Ann.pqCodebooks(trainIn, m, ksub, subLen, refineIters)
+    val booksDir = f"codebooks-v${1L}%08d"
+    books.write.mode("overwrite").parquet(s"$indexDir/$booksDir")
     // encode against the PERSISTED codebooks, not the in-memory frame:
     // what a later encodeBatch reads back must be bit-identical to what
     // the corpus was coded with (parquet float roundtrip is exact, but
     // reading back removes even the possibility of drift)
-    val spark = emb.sparkSession
     val leaf = leafName(1L, randomSuffix())
     writeCodesLeaf(spark, indexDir, emb, leaf,
-      artifact(spark, s"$indexDir/$booksDir"),
-      artifact(spark, s"$indexDir/$coarseDir"), subLen)
-    val meta = Meta(1L, m, ksub, dim, booksDir, Seq(leaf), ncells, coarseDir)
+      artifact(spark, s"$indexDir/$booksDir"), storedCoarse, subLen, residual)
+    val meta = Meta(1L, m, ksub, dim, booksDir, Seq(leaf), ncells, coarseDir,
+      residual)
     writeMeta(indexDir, meta)
     meta
   }
+
+  /** v ↦ (vec_id, embedding = v − centroid(cell(v)), cell): the IVFADC
+    * residual frame (Jégou et al. 2011) — what residual-mode codebooks
+    * train on and codes encode. Cells come from the broadcast coarse
+    * argmax; the subtraction is elementwise against the broadcast
+    * centroid row, so the pass shuffles (vec_id, cell) ids only.
+    */
+  private def residualsOf(emb: DataFrame, coarse: DataFrame): DataFrame =
+    emb.join(Ann.assignCells(emb, coarse), Seq("vec_id"))
+      .join(broadcast(coarse.select(col("cent_id").as("cell"),
+        col("cent_emb").as("_cent"))), Seq("cell"))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("_cent"), (a, b) => a - b)
+          .as("embedding"),
+        col("cell"))
 
   /** Encode + cell-assign one vector set and append it as the immutable
     * `leaf=<tag>` partition set of the shared codes table. The (codes ⋈
@@ -229,13 +252,21 @@ object PqIndex {
     */
   private def writeCodesLeaf(spark: SparkSession, indexDir: String,
       emb: DataFrame, leaf: String, books: DataFrame, coarse: DataFrame,
-      subLen: Int): Unit =
-    Ann.pqEncode(emb, books, subLen)
-      .join(Ann.assignCells(emb, coarse), Seq("vec_id"))
-      .withColumn("leaf", lit(leaf))
+      subLen: Int, residual: Boolean): Unit = {
+    val rows =
+      if (!residual)
+        Ann.pqEncode(emb, books, subLen)
+          .join(Ann.assignCells(emb, coarse), Seq("vec_id"))
+      else {
+        val res = residualsOf(emb, coarse)
+        Ann.pqEncode(res.select(col("vec_id"), col("embedding")), books, subLen)
+          .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      }
+    rows.withColumn("leaf", lit(leaf))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell", "leaf")
       .parquet(s"$indexDir/codes")
+  }
 
   /** Tiny immutable artifacts (codebooks, coarse centroids) memoized per
     * version-named directory: the dirs never change once committed, so
@@ -319,7 +350,11 @@ object PqIndex {
   def encodeBatch(spark: SparkSession, indexDir: String,
       batch: DataFrame): DataFrame = {
     val meta = readMeta(indexDir)
-    Ann.pqEncode(batch, codebooks(spark, indexDir), meta.subLen)
+    val in =
+      if (!meta.residual) batch
+      else residualsOf(batch, coarse(spark, indexDir))
+        .select(col("vec_id"), col("embedding"))
+    Ann.pqEncode(in, codebooks(spark, indexDir), meta.subLen)
   }
 
   /** Delete every DEAD `codes-v<N>…` leaf: referenced by NO manifest
@@ -414,7 +449,8 @@ object PqIndex {
     val leaf = leafName(meta.version + 1, tag.getOrElse(randomSuffix()))
     writeCodesLeaf(spark, indexDir, batch, leaf,
       artifact(spark, s"$indexDir/${meta.codebooksDir}"),
-      artifact(spark, s"$indexDir/${meta.coarseDir}"), meta.subLen)
+      artifact(spark, s"$indexDir/${meta.coarseDir}"), meta.subLen,
+      meta.residual)
     val next = meta.copy(version = meta.version + 1,
       codeLeaves = meta.codeLeaves :+ leaf)
     writeMeta(indexDir, next)
@@ -434,6 +470,9 @@ object PqIndex {
   def topKAgainst(spark: SparkSession, indexDir: String, queries: DataFrame,
       embProvider: DataFrame, k: Int = 5, rerank: Int = 32): DataFrame = {
     val meta = readMeta(indexDir)
+    require(!meta.residual,
+      s"$indexDir stores RESIDUAL codes (IVFADC): exhaustive raw-vector " +
+        "ADC does not apply — search with topKIvfAgainst")
     val subLen = meta.subLen
     val books = codebooks(spark, indexDir)
     val tables = queries.crossJoin(broadcast(books))
@@ -506,19 +545,43 @@ object PqIndex {
         col("cell").isin(cellLits: _*))
       .select(col("vec_id"), col("m"), col("code"), col("cell"))
     val books = artifact(spark, s"$indexDir/${meta.codebooksDir}")
-    val tables = queries.crossJoin(broadcast(books))
-      .select(col("query_id"), col("m"), col("code"),
-        round(Ann.assignSim(
-          slice(col("q_emb"), col("m") * subLen + 1, lit(subLen)),
-          col("cent_emb")) * lit(1e8)).cast("long").as("subscore"))
+    val cellType = codesDf.schema("cell").dataType
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id"))
-    val shortlist = probedCodes
-      // restrict candidates to each query's OWN probed cells (the
-      // broadcast probes relation), then ADC-score within
-      .join(broadcast(probes.withColumn("cell",
-        col("cell").cast(codesDf.schema("cell").dataType))), Seq("cell"))
-      .join(broadcast(tables), Seq("query_id", "m", "code"))
+    // ADC pairing differs by coding mode. Raw mode: one lookup table per
+    // query over (m, code) — a candidate's subscore is cell-independent,
+    // and the probes relation only RESTRICTS candidates to each query's
+    // probed cells. Residual mode (IVFADC, Jégou 2011): the table is per
+    // (query, PROBED CELL) — the query's residual against that cell's
+    // centroid is what the stored residual codes approximate — so the
+    // single join on (cell, m, code) both restricts candidates and
+    // selects the right per-cell table.
+    val scored =
+      if (!meta.residual) {
+        val tables = queries.crossJoin(broadcast(books))
+          .select(col("query_id"), col("m"), col("code"),
+            round(Ann.assignSim(
+              slice(col("q_emb"), col("m") * subLen + 1, lit(subLen)),
+              col("cent_emb")) * lit(1e8)).cast("long").as("subscore"))
+        probedCodes
+          .join(broadcast(probes.withColumn("cell", col("cell").cast(cellType))),
+            Seq("cell"))
+          .join(broadcast(tables), Seq("query_id", "m", "code"))
+      } else {
+        val tables = probes
+          .join(broadcast(cents.select(col("cent_id").as("cell"),
+            col("cent_emb").as("_cent"))), Seq("cell"))
+          .join(broadcast(queries), Seq("query_id"))
+          .crossJoin(broadcast(books))
+          .select(col("query_id"), col("cell").cast(cellType).as("cell"),
+            col("m"), col("code"),
+            round(Ann.assignSim(
+              slice(zip_with(col("q_emb"), col("_cent"), (a, b) => a - b),
+                col("m") * subLen + 1, lit(subLen)),
+              col("cent_emb")) * lit(1e8)).cast("long").as("subscore"))
+        probedCodes.join(broadcast(tables), Seq("cell", "m", "code"))
+      }
+    val shortlist = scored
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("subscore")).as("adc"))
@@ -570,6 +633,47 @@ object PqIndex {
     topKIvfAgainst(spark, indexDir, queries,
       base.unionByName(copies), nprobe, k = 1, rerank = 4096)
       .select(col("query_id"), col("vec_id").as("ivf_nearest"), col("sim"))
+      .orderBy(col("query_id"))
+  }
+
+  /** ann09's driver-checked shape — the planted-copy theorem through the
+    * RESIDUAL IVFADC path (Jégou et al. 2011: codebooks trained on, and
+    * codes encoding, each vector's residual against its coarse
+    * centroid — the composition that makes PQ accurate enough for
+    * billion-vector indexes, because residual magnitudes are far smaller
+    * than vector magnitudes). Build a residual index on the corpus,
+    * [[append]] exact copies of the first `nQueries` vectors (the
+    * increment encodes residuals against the STORED coarse + codebooks),
+    * then [[topKIvfAgainst]] top-1 — the residual branch computes one
+    * ADC table per (query, probed cell) against the query's OWN residual
+    * in that cell.
+    *
+    * Theorem: the copy's coarse cell is bitwise the original's, so is
+    * its residual, so are its codes. `rerank` here EXCEEDS the probed
+    * candidate volume at every driver fixture (nprobe/ncells of the
+    * corpus), so the exact-cosine rerank sees every candidate and the
+    * copy's sim-1.0 wins rank 1 regardless of how residual ADC orders
+    * candidates ACROSS different probed cells — the output is provably
+    * the planting relation while train → residual-encode → persist →
+    * append → probe → per-cell-table ADC → rerank all execute.
+    */
+  def selfRecallIvfResidual(spark: SparkSession, d: String,
+      nQueries: Int = 64, m: Int = 4, ksub: Int = 16, dim: Int = 64,
+      refineIters: Int = 1, ncells: Int = 16, nprobe: Int = 2): DataFrame = {
+    val base = Tables.spread(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))).cache()
+    val copies = base.filter(col("vec_id") < nQueries)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-ivfadc-index").toString
+    build(base, indexDir, m, ksub, dim, refineIters, ncells,
+      residual = true)
+    append(spark, indexDir, copies)
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    topKIvfAgainst(spark, indexDir, queries,
+      base.unionByName(copies), nprobe, k = 1, rerank = 1 << 20)
+      .select(col("query_id"), col("vec_id").as("adc_nearest"), col("sim"))
       .orderBy(col("query_id"))
   }
 

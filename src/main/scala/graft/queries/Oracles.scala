@@ -600,6 +600,16 @@ SELECT vec_id AS query_id, vec_id + 100000 AS ivf_nearest,
   CAST(1.0 AS DOUBLE) AS sim
 FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
 
+    // ann09: the planting theorem through RESIDUAL IVFADC — the copy's
+    // coarse cell, residual, and residual codes are bitwise its
+    // original's; the harness's rerank exceeds the probed candidate
+    // volume, so exact-cosine rerank sees every candidate and sim 1.0
+    // wins rank 1 whatever the cross-cell ADC ordering did
+    "ann09_ivfadc_residual" -> """
+SELECT vec_id AS query_id, vec_id + 100000 AS adc_nearest,
+  CAST(1.0 AS DOUBLE) AS sim
+FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
+
     // SCD Type 2: each insert/update opens a version valid until the
     // record's next change (a delete closes without opening); lead() over
     // (table, record, seq) on both engines

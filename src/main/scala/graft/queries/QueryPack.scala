@@ -217,6 +217,7 @@ object QueryPack {
     "ann06_pq_persisted" -> ((s, d) => PqIndex.selfRecallPersisted(s, d)), // build→persist→append→reload
     "ann07_pq_stream"   -> ((s, d) => PqIndex.streamingSelfRecall(s, d)), // streaming search+append loop
     "ann08_ivf_pq"      -> ((s, d) => PqIndex.selfRecallIvfPersisted(s, d)), // cell-pruned IVF+PQ search
+    "ann09_ivfadc_residual" -> ((s, d) => PqIndex.selfRecallIvfResidual(s, d)), // residual-coded IVFADC
 
     // ---- multimodal ----
     "mm01_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),

@@ -443,6 +443,38 @@ object Materializer {
         else
           s"$stateDir state is EMPTY at version ${manifest.version} " +
             "(every record deleted and compacted; schema is gone with the rows)")
+    stateOf(spark, stateDir, spec, manifest, keepTombstones)
+  }
+
+  /** The store's rows AS OF manifest `version` — TIME TRAVEL over the
+    * retention window. Retention keeps every manifest (and every leaf a
+    * retained manifest references) for [[RetainedManifests]] commits, so
+    * any still-on-disk version reads as a complete, consistent snapshot:
+    * "what did the replica say N commits ago" costs one manifest read.
+    * Versions retired past the window throw — use a longer-horizon
+    * history mechanism (the SCD2 lane) for audits beyond the grace
+    * window.
+    */
+  def currentStateAt(spark: SparkSession, stateDir: String, spec: Spec,
+      version: Long, keepTombstones: Boolean = false,
+      conf: Configuration = WalSegments.localConf): DataFrame = {
+    val (fs, _) = WalSegments.fsFor(stateDir, conf)
+    val p = new Path(stateDir, manifestFile(version))
+    val manifest =
+      try parseManifest(readFully(fs, p))
+      catch {
+        case _: java.io.IOException =>
+          val latest = readManifest(stateDir, conf).version
+          throw new IllegalArgumentException(
+            s"$stateDir has no retained manifest v$version — retained " +
+              s"window is (${math.max(1, latest - RetainedManifests)}" +
+              s"..$latest]; older snapshots are retired")
+      }
+    stateOf(spark, stateDir, spec, manifest, keepTombstones)
+  }
+
+  private def stateOf(spark: SparkSession, stateDir: String, spec: Spec,
+      manifest: Manifest, keepTombstones: Boolean): DataFrame = {
     val paths = manifest.leaves.values.map(d => s"$stateDir/$d").toIndexedSeq
     // mergeSchema: buckets last rewritten before a schema widening still
     // read into the union schema (their missing columns as null)

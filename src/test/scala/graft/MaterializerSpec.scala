@@ -251,6 +251,23 @@ class MaterializerSpec extends AnyFunSuite {
       s"retained leaf set unbounded: ${after.size}")
   }
 
+  test("time travel: currentStateAt reads any retained version; retired ones throw") {
+    val dir = freshDir("timetravel")
+    Materializer.applyBatch(spark, dir, chg(("user", 1L, 10L, "insert", 100L)), spec)
+    Materializer.applyBatch(spark, dir, chg(("user", 1L, 20L, "update", 150L)), spec)
+    Materializer.applyBatch(spark, dir, chg(("user", 1L, 30L, "delete", 150L)), spec)
+    def at(v: Long) = Materializer.currentStateAt(spark, dir, spec, v)
+      .select("record_id", "seq").as[(Long, Long)].collect().toSet
+    assert(at(1L) == Set((1L, 10L)), "v1 must show the insert")
+    assert(at(2L) == Set((1L, 20L)), "v2 must show the update")
+    assert(at(3L).isEmpty, "v3's delete filters the record")
+    // a version past the retention window is retired and refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Materializer.currentStateAt(spark, dir, spec, 99L)
+    }
+    assert(e.getMessage.contains("no retained manifest"))
+  }
+
   test("rebucket re-keys the whole store; mismatched Specs are refused after") {
     val dir = freshDir("rebucket")
     Materializer.applyBatch(spark, dir, chg(

@@ -175,6 +175,29 @@ class PqIndexSpec extends AnyFunSuite {
     assert(r8 >= r4, s"recall not monotone in nprobe: r4=$r4 r8=$r8")
   }
 
+  test("ann09: residual IVFADC — incremental residual encode equals full, copies found") {
+    val corpus = Tables.spread(emb).cache()
+    val dir = tmpDir()
+    PqIndex.build(corpus.filter(col("vec_id") % 3 =!= 0), dir, residual = true)
+    assert(PqIndex.readMeta(dir).residual, "manifest must record residual mode")
+    // incremental == full for RESIDUAL codes too: cell assignment and
+    // residual are pure per-vector functions of (embedding, stored
+    // coarse), encoding a pure function of (residual, stored codebooks)
+    PqIndex.append(spark, dir, corpus.filter(col("vec_id") % 3 === 0))
+    val stored = PqIndex.codes(spark, dir)
+    val fullReencode = PqIndex.encodeBatch(spark, dir, corpus)
+    assert(stored.except(fullReencode).count() +
+      fullReencode.except(stored).count() == 0,
+      "stored residual codes != full residual re-encode")
+    // exhaustive raw ADC refuses a residual index (wrong coding domain)
+    val e = intercept[IllegalArgumentException] {
+      PqIndex.topKAgainst(spark, dir,
+        corpus.limit(1).select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb")), corpus)
+    }
+    assert(e.getMessage.contains("RESIDUAL"))
+  }
+
   test("ann06 self-recall through the persisted index is the planting relation") {
     val out = PqIndex.selfRecallPersisted(spark, sf).collect()
     val n = emb.count()
