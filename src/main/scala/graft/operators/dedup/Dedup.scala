@@ -759,6 +759,66 @@ object Dedup {
           .as("precision_floor_met"))
   }
 
+  /** dd14 — SemDeDup (semantic dedup, cluster-then-prune): k-means the
+    * embedding space into `nlist` clusters (the offline Lloyd trainer the
+    * IVF lane already owns — deterministic hash-ranked init +
+    * scaled-integer mean refinement), then compare pairs ONLY within a
+    * cluster and keep those above the cosine threshold. This is the
+    * Abbas et al. 2023 "SemDeDup" shape, and it is a different scale
+    * regime from the LSH lane ([[cosineNearDups]]): LSH bounds candidates
+    * by hash collisions (tunable recall), SemDeDup bounds them by cluster
+    * geometry — the quadratic term is Σ|cluster|², controlled by scaling
+    * nlist with corpus size (√N clusters → expected O(N^1.5/nlist)=O(N)
+    * work), and recall within a cluster is EXACT (every within-cluster
+    * pair is scored, no banding miss).
+    *
+    * Scale shape: centroid training is the cached one-pass-per-iteration
+    * Lloyd loop (broadcast nlist-row codebook, map-side argmax,
+    * scaled-integer means); assignment is one broadcast crossJoin +
+    * map-side-combined argmax (one (vec_id, cell) row per vector on the
+    * exchange); the pairing join shuffles each embedding ONCE keyed by
+    * cell — the |c|² candidate rows are formed post-shuffle inside the
+    * joined partitions, scored by the fused cosine immediately, and
+    * filtered before anything else moves. A skewed giant cluster is the
+    * known failure mode at scale; AQE skew-join splits it, and production
+    * deployments additionally cap |cluster| by re-clustering outliers.
+    */
+  def semDedupPairs(emb: DataFrame, nlist: Int = 16, refineIters: Int = 1,
+      threshold: Double = 0.5): DataFrame = {
+    import graft.operators.ann.Ann
+    val cents = Ann.coarseCentroids(emb, nlist, refineIters)
+    val cells = Ann.assignCells(emb, cents)
+    val e = emb.join(cells, Seq("vec_id"))
+    val a = e.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = e.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", Ann.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** dd14's driver-checked shape — the planted-copy theorem through the
+    * cluster-then-prune pipeline: an exact copy has a bitwise-identical
+    * embedding, so its similarity to every centroid equals its
+    * original's and the deterministic argmax tie-break assigns both to
+    * the SAME cluster regardless of where Lloyd moved the centroids —
+    * the within-cluster scoring then finds the pair with certainty at
+    * cosine exactly 1.0. Training, assignment, the cell-keyed pairing
+    * join, and the fused-cosine verify all execute; the relation filter
+    * reduces the output to the planting relation DuckDB re-derives.
+    */
+  def semDedupSelfRecall(spark: SparkSession, d: String, nlist: Int = 16,
+      refineIters: Int = 1, threshold: Double = 0.5): DataFrame = {
+    import graft.operators.ann.Ann
+    val base = Tables.spread(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding")))
+    semDedupPairs(Ann.withExactCopies(base), nlist, refineIters, threshold)
+      .filter(col("id_b") === col("id_a") + 100000L)
+      .orderBy(col("id_a"))
+  }
+
   /** dd10 — cross-split leakage: the train→eval contamination check every
     * training pipeline runs after splitting (an eval document whose exact
     * content also sits in train measures memorization, not generalization).

@@ -377,6 +377,60 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** txt17 — bigram-LM familiarity (the CONTEXT-CONDITIONAL extension of
+    * [[familiarity]]): scores each document by how typical its word
+    * TRANSITIONS are of the corpus, the signal an n-gram-LM perplexity
+    * filter (CCNet-style) uses — fluent text chains common bigrams,
+    * shuffled/garbled/boilerplate text chains rare ones, even when every
+    * individual token is common (the case unigram familiarity cannot
+    * see). Same linear-domain discipline as txt13: per doc, sum the
+    * corpus count of each of its bigrams (Σc₂) and of each bigram's
+    * context unigram in first position (Σc₁) — both INTEGRAL, so partial
+    * aggregation is exact in any arrival order — and emit the pooled
+    * conditional estimate Σc₂/Σc₁ (one IEEE division, bit-exact across
+    * engines) plus the rare-transition fraction. Pooling the division to
+    * the end is what makes the statistic hash-portable; the per-bigram
+    * mean of c₂/c₁ would be a float sum whose value depends on partition
+    * order. Shape at 100 TB: bigrams come from a slice/zip projection at
+    * scan speed (no positional self-join); the two count tables are
+    * map-side-combined aggs on (w1,w2)/(w1); the scoring joins shuffle on
+    * those keys (AQE absorbs stopword-context skew) and the per-doc tally
+    * keys on doc_id — no step is quadratic and nothing collects.
+    */
+  def bigramFamiliarity(spark: SparkSession, d: String,
+      rareBelow: Long = 3L): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val big = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cnt2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val cnt1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val per = big.join(cnt2, Seq("w1", "w2")).join(cnt1, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c2")).as("sum_big_cnt"),
+        sum(col("c1")).as("sum_ctx_cnt"),
+        sum(when(col("c2") < rareBelow, 1L).otherwise(0L)).as("n_rare"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_big_cnt"), lit(0L)).as("sum_big_cnt"),
+        coalesce(col("sum_ctx_cnt"), lit(0L)).as("sum_ctx_cnt"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          col("sum_big_cnt").cast("double") / col("sum_ctx_cnt"))
+          .otherwise(0.0).as("cond_familiarity"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          col("n_rare").cast("double") / col("n_bigrams"))
+          .otherwise(0.0).as("rare_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   def vocabOovRate(spark: SparkSession, d: String,
       vocabSize: Int = 256): DataFrame = {
     val docs = Tables.documents(spark, d)

@@ -851,6 +851,35 @@ pc AS (SELECT left_sym, right_sym, CAST(sum(n) AS BIGINT) AS pair_count
 SELECT left_sym, right_sym, pair_count
 FROM pc ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20""",
 
+    // bigram-LM familiarity (txt13's context-conditional extension): all
+    // aggregates are integral (corpus bigram counts, context counts,
+    // per-doc sums) so partial-agg order can't drift; the only fp ops are
+    // the two per-row divisions — bit-exact across engines
+    "txt17_bigram_lm" -> s"""$toksCte,
+big AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        FROM toks WHERE len(t) >= 2)),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+per AS (
+  SELECT big.doc_id, count(*) AS n_bigrams, sum(c2.c2) AS sum_big_cnt,
+    sum(c1.c1) AS sum_ctx_cnt,
+    sum(CASE WHEN c2.c2 < 3 THEN 1 ELSE 0 END) AS n_rare
+  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY 1)
+SELECT d.doc_id,
+  CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(per.sum_big_cnt, 0) AS BIGINT) AS sum_big_cnt,
+  CAST(COALESCE(per.sum_ctx_cnt, 0) AS BIGINT) AS sum_ctx_cnt,
+  CAST(COALESCE(per.n_rare, 0) AS BIGINT) AS n_rare,
+  CASE WHEN COALESCE(per.n_bigrams, 0) > 0
+       THEN CAST(per.sum_big_cnt AS DOUBLE) / per.sum_ctx_cnt
+       ELSE CAST(0 AS DOUBLE) END AS cond_familiarity,
+  CASE WHEN COALESCE(per.n_bigrams, 0) > 0
+       THEN CAST(per.n_rare AS DOUBLE) / per.n_bigrams
+       ELSE CAST(0 AS DOUBLE) END AS rare_frac
+FROM toks d LEFT JOIN per USING (doc_id) ORDER BY doc_id""",
+
     // streaming session windows: the oracle is the batch gaps-and-islands
     // sessionization of the change set. Spark's session_window is
     // CLOSED-interval at the boundary — an event exactly `gap` after the
@@ -1313,6 +1342,15 @@ SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
 FROM t WHERE len(toks) >= 1 ORDER BY id_a""",
 
     "dd05_cosine_neardup" -> """
+SELECT vec_id AS id_a, vec_id + 100000 AS id_b, CAST(1.0 AS DOUBLE) AS sim
+FROM embeddings ORDER BY id_a""",
+
+    // SemDeDup (cluster-then-prune): an exact copy's embedding is bitwise
+    // its original's, so both take the same argmax cluster under the
+    // deterministic tie-break and the within-cluster scoring finds the
+    // pair at cosine exactly 1.0 — the planted relation is the provable
+    // output (the dd05 device through the k-means pipeline)
+    "dd14_semdedup" -> """
 SELECT vec_id AS id_a, vec_id + 100000 AS id_b, CAST(1.0 AS DOUBLE) AS sim
 FROM embeddings ORDER BY id_a""",
 

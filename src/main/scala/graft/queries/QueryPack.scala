@@ -187,6 +187,7 @@ object QueryPack {
     "txt14_bm25"         -> ((s, d) => TextOps.bm25TopK(s, d)),
     "txt15_gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d)),
     "txt16_bpe_pairs"    -> ((s, d) => graft.operators.text.Bpe.topInitialPairs(s, d)),
+    "txt17_bigram_lm"    -> ((s, d) => TextOps.bigramFamiliarity(s, d)),
 
     // ---- dedup ----
     "dd01_exact_dedup"   -> ((s, d) => Dedup.exact(s, d)),
@@ -207,6 +208,8 @@ object QueryPack {
     "dd11_incremental"    -> ((s, d) => Dedup.incrementalSelfRecall(s, d)),
     "dd13_stream_increments" -> ((s, d) => Dedup.streamingIncrementalSelfRecall(s, d)),
     "dd12_span_dedup"     -> ((s, d) => Dedup.spanDupStats(s, d)),
+    // cluster-then-prune semantic dedup (planted-copy recall harness)
+    "dd14_semdedup"       -> ((s, d) => Dedup.semDedupSelfRecall(s, d)),
 
     // ---- similarity search ----
     "ann01_brute_topk"  -> ((s, d) => Ann.bruteForceTopK(s, d)),

@@ -777,6 +777,64 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("txt17 bigram familiarity: integral tallies reconcile against a direct recount") {
+    import graft.operators.text.TextOps
+    val out = TextOps.bigramFamiliarity(spark, sf).collect()
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.getSeq[String](1)).map(_.toArray).getOrElse(Array.empty[String])))
+    val bigs = toks.flatMap { case (id, t) =>
+      if (t.length >= 2) t.sliding(2).map(p => (id, (p(0), p(1)))).toArray
+      else Array.empty[(Long, (String, String))]
+    }
+    val c2 = bigs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val c1 = bigs.groupBy(_._2._1).view.mapValues(_.length.toLong).toMap
+    val byDoc = bigs.groupBy(_._1)
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val doc = r.getLong(0)
+      val bs = byDoc.getOrElse(doc, Array.empty).map(_._2)
+      assert(r.getLong(1) == bs.length.toLong, s"doc $doc n_bigrams")
+      assert(r.getLong(2) == bs.map(c2).sum, s"doc $doc sum_big_cnt")
+      assert(r.getLong(3) == bs.map(b => c1(b._1)).sum, s"doc $doc sum_ctx_cnt")
+      assert(r.getLong(4) == bs.count(b => c2(b) < 3).toLong, s"doc $doc n_rare")
+      if (bs.nonEmpty) {
+        assert(r.getDouble(5) ==
+          bs.map(c2).sum.toDouble / bs.map(b => c1(b._1)).sum)
+        assert(r.getDouble(6) == bs.count(b => c2(b) < 3).toDouble / bs.length)
+      } else { assert(r.getDouble(5) == 0.0 && r.getDouble(6) == 0.0) }
+    }
+  }
+
+  test("dd14 semdedup: planted copies recovered within their cluster") {
+    val out = Dedup.semDedupSelfRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ids = Tables.embeddings(spark, sf).select(col("vec_id"))
+      .collect().map(_.getLong(0)).sorted
+    assert(out.map(_._1).toSeq == ids.toSeq) // 100% recall on planted copies
+    assert(out.forall { case (a, b, s) => b == a + 100000L && s == 1.0 })
+  }
+
+  test("dd14 semdedup: threshold and clustering exclude cross-cluster pairs") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.95f, 0.05f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)),
+      (4L, Array(0f, 0.95f, 0.05f, 0f)),
+      (101L, Array(1f, 0f, 0f, 0f)) // exact copy of 1
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semDedupPairs(emb, nlist = 2, refineIters = 1,
+        threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out.exists { case (a, b, s) => a == 1L && b == 101L && s == 1.0 })
+    // orthogonal clusters never pair (by geometry AND by threshold)
+    val aSide = Set(1L, 2L, 101L); val bSide = Set(3L, 4L)
+    assert(out.forall { case (a, b, _) =>
+      !(aSide(a) && bSide(b)) && !(bSide(a) && aSide(b)) })
+  }
+
   test("dd11 incremental: batch screens against the corpus index only") {
     import spark.implicits._
     val corpus = Seq(

@@ -371,6 +371,26 @@ class PlanAuditSpec extends AnyFunSuite {
       "per-query score subtrees duplicated")
   }
 
+  test("dd14: codebook broadcasts; pairing keys on cell — no cartesian; training pinned") {
+    val df = SparkEntry.queries("dd14_semdedup")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the quadratic danger is a cartesian pairing — the join MUST key on
+    // the cluster id so candidates form only within a cell's partitions
+    assert(!p.contains("CartesianProduct"),
+      "within-cluster pairing degenerated to a cartesian product")
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("cell#")),
+      s"pair join not keyed on cell:\n$p")
+    // centroid codebook (nlist rows) enters via broadcast, and the Lloyd
+    // training subtree is cache-pinned, not re-inlined per consumer
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroid codebook join not broadcast")
+    val caches = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(caches.nonEmpty, "centroid training not cache-pinned")
+  }
+
   test("dd13 screen: band-leaf scan is partition-pruned to the batch's hash groups") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
