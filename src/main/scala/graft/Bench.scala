@@ -132,8 +132,20 @@ object Bench {
         else Some(jstr(q) + ":" + s"""{"median":${median(xs.toList)},""" +
           s""""max":${xs.max},"batches":${xs.length}}""")
       }.mkString("{", ",", "}")
+    // the one-off index build/train cost per pass — the rest of the lane's
+    // envelope beyond the increments; at production scale it amortizes to
+    // zero while per_increment_sec is the recurring cost
+    val bootstrap = Seq(
+      "dd13_stream_increments" -> "graft-screen-and-fold-bootstrap",
+      "ann07_pq_stream" -> "graft-search-and-append-bootstrap")
+      .flatMap { case (q, qn) =>
+        val xs = graft.streaming.Graft.CrawlMetrics.snapshot(qn)
+        if (xs.isEmpty) None
+        else Some(jstr(q) + ":" + s"""{"median":${median(xs.toList)},""" +
+          s""""max":${xs.max},"passes":${xs.length}}""")
+      }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$meds,"median_total":$medTotal,"errors":$errs,"sf":"$sfDir","notes":{${notes}},"per_increment_sec":$perIncr,"protocol":"per-query min of $repeats round-robin passes; medians of the same passes alongside"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$meds,"median_total":$medTotal,"errors":$errs,"sf":"$sfDir","notes":{${notes}},"per_increment_sec":$perIncr,"bootstrap_sec":$bootstrap,"protocol":"per-query min of $repeats round-robin passes; medians of the same passes alongside"}"""
     println(line)
     // Belt-and-braces for log-prefixing launchers: also drop the line in a file.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")

@@ -110,7 +110,19 @@ object Pipelines {
     */
   def trainCorpus(spark: SparkSession, d: String,
       minQuality: Double = 0.62, plantStorm: Boolean = true,
-      n: Int = 8): DataFrame = {
+      n: Int = 8): DataFrame =
+    cleanSplit(spark, d, minQuality, plantStorm, n)
+      .groupBy(col("split"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("token_budget"))
+      .orderBy(col("split"), col("lang_pred"))
+
+  /** Shared per-document relation of pipe02/pipe03: gate → dedup →
+    * decontaminate → deterministic split, one declarative plan. pipe02
+    * aggregates it to budgets; pipe03 packs its train slice.
+    */
+  private def cleanSplit(spark: SparkSession, d: String,
+      minQuality: Double, plantStorm: Boolean, n: Int): DataFrame = {
     import graft.operators.prep.TrainPrep
     val deduped = dedupedGated(spark, d, minQuality, plantStorm)
       .select(col("doc_id"), col("text"), col("n_tokens"), col("lang_pred"))
@@ -131,9 +143,33 @@ object Pipelines {
       .filter(coalesce(col("n_hits"), lit(0L)) === 0)
       .withColumn("split", TrainPrep.splitOf(
         (TrainPrep.hashBucket16("graft:", col("doc_id")) % 100).cast("int")))
-      .groupBy(col("split"), col("lang_pred"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("token_budget"))
-      .orderBy(col("split"), col("lang_pred"))
+  }
+
+  /** pipe03 — the EXPORT manifest: the surviving TRAIN-split documents of
+    * the full preparation pass ([[trainCorpus]]'s gate → dedup →
+    * decontaminate → split), packed into the contiguous fixed-length
+    * token stream a trainer consumes (tp03's concat-then-chunk packing).
+    * One row per exported document: where its tokens land —
+    * (start_offset, seq_id, pos_in_seq) — in the packed stream. This is
+    * the artifact the whole pipeline exists to produce, and every
+    * upstream stage is load-bearing in it: a gate, dedup, contamination,
+    * or split drift shifts every downstream offset, so the end-to-end
+    * hash check is maximally discriminating.
+    *
+    * Scale shape: the preparation stages are pipe02's (projection gate,
+    * groupBy+join-back dedup, broadcast gram screen, per-row hash split);
+    * the packing is tp03's recursive bucketed prefix sum — the global
+    * running total WITHOUT a single-partition window ([[TrainPrep
+    * .seqPackingFor]]), the one construction that survives 100 TB where
+    * `Window.orderBy` alone would serialize the corpus through one task.
+    */
+  def exportPacking(spark: SparkSession, d: String,
+      minQuality: Double = 0.62, plantStorm: Boolean = true,
+      n: Int = 8, budget: Int = 2048): DataFrame = {
+    import graft.operators.prep.TrainPrep
+    val train = cleanSplit(spark, d, minQuality, plantStorm, n)
+      .filter(col("split") === "train")
+      .select(col("doc_id"), col("text"))
+    TrainPrep.seqPackingFor(train, budget)
   }
 }

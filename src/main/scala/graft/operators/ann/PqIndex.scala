@@ -712,7 +712,14 @@ object PqIndex {
     val indexDir = s"$tmp/index"
     val stageDir = s"$tmp/arrivals"
     val outDir = s"$tmp/matches"
-    build(base, indexDir, m, ksub, dim, refineIters)
+    // one-off train+persist bootstrap, metered apart from the increments
+    // (bench: bootstrap_sec vs per_increment_sec)
+    locally {
+      val t0 = System.nanoTime()
+      build(base, indexDir, m, ksub, dim, refineIters)
+      graft.streaming.Graft.CrawlMetrics.record(
+        "graft-search-and-append-bootstrap", (System.nanoTime() - t0) / 1e9)
+    }
     copies.repartition(nBatches, col("vec_id")).write.parquet(stageDir)
     val schema = spark.read.parquet(stageDir).schema
     val stream = spark.readStream.schema(schema)

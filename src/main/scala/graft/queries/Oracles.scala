@@ -1268,6 +1268,69 @@ SELECT CASE WHEN bucket < 90 THEN 'train'
   CAST(sum(n_tokens) AS BIGINT) AS token_budget
 FROM sp GROUP BY 1, 2 ORDER BY split, lang_pred""",
 
+    // pipe03: pipe02's per-doc pipeline (same CTE chain through `sp`),
+    // train slice only, packed by the tp03 concat-then-chunk window —
+    // the running sum is CAST from DuckDB's HUGEINT before any division
+    "pipe03_export_pack" -> """
+WITH ingest AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE text IS NOT NULL),
+feats AS (
+  SELECT doc_id, text, length(text) AS len,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM ingest
+  WHERE len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) >= 1),
+scored AS (
+  SELECT doc_id, text, t, len(t) AS n_tokens,
+    CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) / len(t) * 2.0
+      - CAST(len(list_filter(t, x -> length(x) <= 2)) AS DOUBLE) / len(t)
+      + (CAST(len AS DOUBLE) / len(t)) / 10.0 AS quality,
+    CASE WHEN CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE) / len(t) >= 0.10 THEN 'en'
+         WHEN CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on'))) AS DOUBLE) / len(t) >= 0.04 THEN 'maybe-en'
+         ELSE 'other' END AS lang_pred
+  FROM feats),
+gated AS (SELECT * FROM scored WHERE quality >= 0.62),
+fp AS (
+  SELECT *, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+  FROM gated),
+canon AS (SELECT f, min(doc_id) AS canonical_id FROM fp GROUP BY f),
+dedup AS (
+  SELECT doc_id, t, n_tokens FROM fp JOIN canon USING (f)
+  WHERE doc_id = canonical_id),
+bt AS (
+  SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents WHERE text IS NOT NULL AND doc_id % 97 = 0),
+bgrams AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(t) - 6),
+    i -> array_to_string(t[i:i+7], ' ')))) AS gram
+  FROM bt WHERE len(t) >= 8),
+contaminated AS (
+  SELECT DISTINCT d.doc_id
+  FROM (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 6),
+          i -> array_to_string(t[i:i+7], ' ')))) AS gram
+        FROM dedup WHERE len(t) >= 8) d
+  JOIN bgrams USING (gram)),
+clean AS (
+  SELECT * FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+sp AS (
+  SELECT *, CAST(CAST(list_sum(list_transform(range(1, 5),
+      i -> (strpos('0123456789abcdef',
+              substr(md5('graft:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+           * ([4096, 256, 16, 1])[i])) AS BIGINT) % 100 AS INT) AS bucket
+  FROM clean),
+train AS (SELECT doc_id, n_tokens FROM sp WHERE bucket < 90),
+c AS (
+  SELECT doc_id, n_tokens,
+    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT)
+      AS start_offset
+  FROM train)
+SELECT doc_id, n_tokens, start_offset,
+  start_offset // 2048 AS seq_id,
+  start_offset % 2048 AS pos_in_seq
+FROM c ORDER BY doc_id""",
+
     // planted-exact-copy recall oracles: the Spark side runs the whole
     // sketch → band join → verify pipeline over corpus ∪ exact copies and
     // keeps the planted relation, whose presence is a theorem (identical

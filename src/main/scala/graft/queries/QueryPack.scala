@@ -244,6 +244,9 @@ object QueryPack {
 
     // ---- composed pipelines ----
     "pipe02_train_corpus" -> ((s, d) => graft.operators.Pipelines.trainCorpus(s, d)),
+    // the packed-export manifest: pipe02's surviving train docs through
+    // tp03's bucketed prefix-sum packing — end-to-end offsets hash-gated
+    "pipe03_export_pack" -> ((s, d) => graft.operators.Pipelines.exportPacking(s, d)),
 
     // ---- training prep (decontaminate / split / pack / pii / quantize) ----
     "tp01_decontaminate" -> ((s, d) => TrainPrep.decontaminate(s, d)),

@@ -807,6 +807,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipe03: export packing is the contiguous stream over the clean train slice") {
+    import graft.operators.Pipelines
+    val rows = Pipelines.exportPacking(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // contiguous concat-then-chunk: offsets tile the token stream exactly
+    assert(rows.head._3 == 0L, "stream does not start at offset 0")
+    rows.sliding(2).foreach {
+      case Array((_, n, off, _, _), (id2, _, off2, _, _)) =>
+        assert(off2 == off + n, s"gap/overlap before doc $id2")
+      case _ => ()
+    }
+    rows.foreach { case (id, _, off, seq, pos) =>
+      assert(seq == off / 2048 && pos == off % 2048, s"doc $id seq/pos drift")
+    }
+    // the exported doc set IS pipe02's train slice (same plan head)
+    val trainDocs = Pipelines.trainCorpus(spark, sf).collect()
+      .filter(_.getString(0) == "train").map(_.getLong(2)).sum
+    assert(rows.length.toLong == trainDocs,
+      s"export rows ${rows.length} != pipe02 train n_docs $trainDocs")
+  }
+
   test("dd14 semdedup: planted copies recovered within their cluster") {
     val out = Dedup.semDedupSelfRecall(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
