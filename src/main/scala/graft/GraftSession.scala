@@ -163,4 +163,20 @@ object Tables {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** Scratch directory removed recursively at JVM exit. The self-recall
+    * harness lanes (dd13/ann06-09/cdc25) build one throwaway index/state
+    * dir per invocation; a long-lived driver running them repeatedly
+    * (bench passes, notebooks) would otherwise accumulate them in /tmp.
+    */
+  private[graft] def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
 }

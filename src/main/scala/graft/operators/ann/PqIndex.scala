@@ -624,8 +624,7 @@ object PqIndex {
       .select(col("vec_id"), col("embedding"))).cache()
     val copies = base.filter(col("vec_id") < nQueries)
       .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
-    val indexDir = java.nio.file.Files
-      .createTempDirectory("graft-ivfpq-index").toString
+    val indexDir = graft.Tables.scratchDir("graft-ivfpq-index")
     build(base, indexDir, m, ksub, dim, refineIters, ncells)
     append(spark, indexDir, copies)
     val queries = base.filter(col("vec_id") < nQueries)
@@ -664,8 +663,7 @@ object PqIndex {
       .select(col("vec_id"), col("embedding"))).cache()
     val copies = base.filter(col("vec_id") < nQueries)
       .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
-    val indexDir = java.nio.file.Files
-      .createTempDirectory("graft-ivfadc-index").toString
+    val indexDir = graft.Tables.scratchDir("graft-ivfadc-index")
     build(base, indexDir, m, ksub, dim, refineIters, ncells,
       residual = true)
     append(spark, indexDir, copies)
@@ -708,7 +706,7 @@ object PqIndex {
       .select(col("vec_id"), col("embedding"))).cache()
     val all = Ann.withExactCopies(base).cache() // rerank's embedding store
     val copies = all.filter(col("vec_id") >= 100000L)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-stream").toString
+    val tmp = graft.Tables.scratchDir("graft-pq-stream")
     val indexDir = s"$tmp/index"
     val stageDir = s"$tmp/arrivals"
     val outDir = s"$tmp/matches"
@@ -752,8 +750,7 @@ object PqIndex {
     val base = Tables.spread(Tables.embeddings(spark, d)
       .select(col("vec_id"), col("embedding"))).cache()
     val copies = Ann.withExactCopies(base).filter(col("vec_id") >= 100000L)
-    val indexDir = java.nio.file.Files
-      .createTempDirectory("graft-pq-index").toString
+    val indexDir = graft.Tables.scratchDir("graft-pq-index")
     build(base, indexDir, m, ksub, dim, refineIters)
     append(spark, indexDir, copies)
     val stored = Ann.pqFullCodes(codes(spark, indexDir))

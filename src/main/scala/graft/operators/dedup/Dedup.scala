@@ -454,7 +454,7 @@ object Dedup {
       nBatches: Int = 4): DataFrame = {
     val base = Tables.spread(
       Tables.documents(spark, d).select(col("doc_id"), col("text")))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_dd13").toString
+    val tmp = graft.Tables.scratchDir("graft_dd13")
     val indexDir = s"$tmp/index"
     val stageDir = s"$tmp/arrivals"
     val outDir = s"$tmp/pairs"

@@ -610,6 +610,15 @@ SELECT vec_id AS query_id, vec_id + 100000 AS adc_nearest,
   CAST(1.0 AS DOUBLE) AS sim
 FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
 
+    // SQ8 scalar-quantized search: an exact copy quantizes to its
+    // original's code bitwise, per-vector scales cancel in cosine, so the
+    // copy-as-query's code-space top-1 is provably the original at exact
+    // cosine 1.0 (the planted relation, re-derived here)
+    "ann10_sq8" -> """
+SELECT vec_id + 100000 AS query_id, vec_id AS match_id,
+  CAST(1.0 AS DOUBLE) AS sim
+FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
+
     // SCD Type 2: each insert/update opens a version valid until the
     // record's next change (a delete closes without opening); lead() over
     // (table, record, seq) on both engines

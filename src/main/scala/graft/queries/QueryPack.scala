@@ -221,6 +221,7 @@ object QueryPack {
     "ann07_pq_stream"   -> ((s, d) => PqIndex.streamingSelfRecall(s, d)), // streaming search+append loop
     "ann08_ivf_pq"      -> ((s, d) => PqIndex.selfRecallIvfPersisted(s, d)), // cell-pruned IVF+PQ search
     "ann09_ivfadc_residual" -> ((s, d) => PqIndex.selfRecallIvfResidual(s, d)), // residual-coded IVFADC
+    "ann10_sq8"         -> ((s, d) => Ann.sq8SelfRecall(s, d)), // int8 scalar-quantized search
 
     // ---- multimodal ----
     "mm01_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),
@@ -665,7 +666,7 @@ object QueryPack {
   def streamMaterialize(spark: SparkSession, d: String): DataFrame = {
     import graft.streaming.Materializer
     val dir = ensureWalFixture(spark, d)
-    val stateDir = java.nio.file.Files.createTempDirectory("graft_mat").toString
+    val stateDir = graft.Tables.scratchDir("graft_mat")
     val raw = spark.readStream.format(classOf[CdcSourceProvider].getName)
       .option("path", dir)
       .option("publication", "graft_pub")

@@ -241,7 +241,7 @@ class LiveReplicationSpec extends AnyFunSuite {
           val it = WalSegments.readFrames(p)
           try it.count(_.headOption.contains('C'.toByte)) finally it.close()
         }.sum
-        val deadline = System.currentTimeMillis() + 90000
+        val deadline = System.currentTimeMillis() + 60000
         while (commitFrames < 2 && System.currentTimeMillis() < deadline)
           Thread.sleep(250)
         assert(commitFrames >= 2, s"both transactions not flushed: $commitFrames")
@@ -399,7 +399,7 @@ class LiveReplicationSpec extends AnyFunSuite {
         unixSocketDir = Some(cluster.sock), framesPerSegment = 4, idleMs = 500)
       try {
         def awaitCount(n: Int): Boolean = {
-          val until = System.currentTimeMillis() + 90000
+          val until = System.currentTimeMillis() + 60000
           while (seen.get() < n && System.currentTimeMillis() < until)
             Thread.sleep(250)
           seen.get() == n
@@ -465,7 +465,7 @@ class LiveReplicationSpec extends AnyFunSuite {
           cond
         }
         cluster.psql("INSERT INTO chaos VALUES (1, 10)")
-        assert(waitFor(segCount >= 1, 90000), "pre-kill traffic not segmented")
+        assert(waitFor(segCount >= 1, 60000), "pre-kill traffic not segmented")
         // the reference's own chaos scenario (database_test.exs): kill the
         // walsender out from under the client
         cluster.psql("SELECT pg_terminate_backend(active_pid) " +
@@ -474,7 +474,7 @@ class LiveReplicationSpec extends AnyFunSuite {
         // resume the durable slot and deliver it
         cluster.psql("INSERT INTO chaos VALUES (2, 20)")
         val before = segCount
-        assert(waitFor(segCount > before, 90000),
+        assert(waitFor(segCount > before, 60000),
           "no new segment after walsender kill — reconnect failed")
         assert(repl.isRunning, "replicator thread died instead of reconnecting")
         // end-to-end: both rows exactly once across the kill
@@ -593,7 +593,7 @@ class LiveReplicationSpec extends AnyFunSuite {
         unixSocketDir = Some(cluster.sock), framesPerSegment = 4, idleMs = 500)
       try {
         cluster.psql("INSERT INTO inv VALUES (4, 4)")
-        val until = System.currentTimeMillis() + 90000
+        val until = System.currentTimeMillis() + 60000
         while (ids.size < 4 && System.currentTimeMillis() < until)
           Thread.sleep(250)
         assert(ids.size == 4 &&
@@ -639,7 +639,7 @@ class LiveReplicationSpec extends AnyFunSuite {
             .as[(String, String)].collect().toSet
           catch { case _: IllegalStateException => Set.empty } // no manifest yet
         val want = Set(("1", "100"), ("2", "999"), ("4", "400"))
-        val until = System.currentTimeMillis() + 90000
+        val until = System.currentTimeMillis() + 60000
         while (replica != want && System.currentTimeMillis() < until)
           Thread.sleep(500)
         assert(replica == want,

@@ -829,6 +829,33 @@ class OperatorsSpec extends AnyFunSuite {
       s"export rows ${rows.length} != pipe02 train n_docs $trainDocs")
   }
 
+  test("ann10 sq8: code-space cosine tracks raw cosine within quantization error") {
+    import graft.operators.ann.Ann
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).limit(20)
+    val withCodes = emb.join(Ann.sq8Codes(emb), Seq("vec_id"))
+    val l = withCodes.select(col("vec_id").as("id_a"),
+      col("embedding").as("e_a"), col("q").as("q_a"))
+    val r = withCodes.select(col("vec_id").as("id_b"),
+      col("embedding").as("e_b"), col("q").as("q_b"))
+    val worst = l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .select(abs(Ann.cosine(col("e_a"), col("e_b"))
+        - Ann.cosine(col("q_a"), col("q_b"))).as("d"))
+      .agg(max(col("d"))).collect()(0).getDouble(0)
+    assert(worst < 0.02, s"sq8 cosine error $worst exceeds the int8 bound")
+  }
+
+  test("ann10 sq8: planted copies are the code-space top-1 at exact sim 1.0") {
+    import graft.operators.ann.Ann
+    val out = Ann.sq8SelfRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (q, m, s) => m == q - 100000L && s == 1.0 })
+    val n = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 64).count()
+    assert(out.length.toLong == n, "a planted copy missed code-space top-1")
+  }
+
   test("dd14 semdedup: planted copies recovered within their cluster") {
     val out = Dedup.semDedupSelfRecall(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
