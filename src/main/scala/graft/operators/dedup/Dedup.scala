@@ -827,6 +827,95 @@ object Dedup {
       .orderBy(col("id_a"))
   }
 
+  /** dd15 — set-CONTAINMENT join (the asymmetric dual of dd02's Jaccard):
+    * ordered pairs (a, b) where a's distinct-3-shingle set sits mostly INSIDE
+    * b's — quotes, partial scrapes, boilerplate inclusion, subsumed
+    * duplicates — the relation a symmetric Jaccard structurally misses
+    * (a large b deflates the union below any threshold even when a is
+    * 100% contained). Candidates come from the prefix-filtering
+    * discipline of the set-similarity-join literature (the PPJoin
+    * family): global shingle df's order each doc's shingles, a doc's
+    * SIGNATURE is its `sigSize` globally-rarest shingles (deterministic
+    * (df, shingle) order), and candidates are signature × inverted-index
+    * equi-collisions on the shingle; verification re-attaches the stored
+    * shingle sets for colliding ids alone.
+    *
+    * df-cap: shingles above max(2, maxDfFrac·N) df are excluded from
+    * BOTH signatures and the inverted index (dd02's hot-key device) — no
+    * posting list exceeds the cap, candidate volume is ≤ sigSize·cap per
+    * doc, and no boilerplate shingle ever rides a shuffle. A doc whose
+    * every shingle is hot gets no signature; the oracle mirrors the
+    * candidate rule exactly, so the check stays hash-exact rather than
+    * recall-lenient.
+    *
+    * Scale shape: shingle once into (doc_id, tk); df is a map-side
+    * combined agg; the signature window partitions by doc_id (each group
+    * = one doc's capped shingle set — never hot); the candidate join
+    * carries (tk, id) pairs only; shingle-set payloads re-attach by id
+    * after the pair distinct.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
+      sigSize: Int = 2, maxDfFrac: Double = 0.01): DataFrame = {
+    // the set unit is the DISTINCT 3-shingle (the dedup family's unit),
+    // not the word: a natural-language corpus has a heavy-tailed shingle
+    // vocabulary (the fixture's WORD vocabulary is 31 tokens, min df 25 —
+    // word-level signatures would all be df-capped away), and shingle
+    // containment is the substring-inclusion signal quote/scrape
+    // detection actually wants
+    val k = docs
+      .select(col("doc_id"),
+        graft.plans.SketchCols.wordNGrams(col("text"), 3).as("ws"))
+      .filter(size(col("ws")) >= 1)
+    val tok = k.select(col("doc_id"), explode(col("ws")).as("tk"))
+    val total = k.agg(count(lit(1)).as("n_docs"))
+    val dfs = tok.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(total))
+      .filter(col("df") <= greatest(lit(2.0), lit(maxDfFrac) * col("n_docs")))
+      .select(col("tk"), col("df"))
+    val capped = tok.join(dfs, Seq("tk"))
+    val wSig = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tk"))
+    val sig = capped.withColumn("rn", row_number().over(wSig))
+      .filter(col("rn") <= sigSize).select(col("tk"), col("doc_id").as("id_a"))
+    val inv = capped.select(col("tk"), col("doc_id").as("id_b"))
+    val cand = sig.join(inv, Seq("tk"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(k.select(col("doc_id").as("id_a"), col("ws").as("ws_a")), Seq("id_a"))
+      .join(k.select(col("doc_id").as("id_b"), col("ws").as("ws_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("ws_a"), col("ws_b"))))
+      .withColumn("na", size(col("ws_a")))
+      .filter(col("inter").cast("double") / col("na") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("na"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** dd15's driver-checked shape: beside the corpus, plant the PREFIX
+    * HALF of every fifth document (its first ⌈n/2⌉ tokens) at doc_id +
+    * 100000 — a genuine contained-in relation (the half's distinct
+    * shingles are a subset of the original's — a prefix's shingle set is
+    * a subset of the full document's), detected at containment
+    * 1.0, while the reverse direction (original → its half) scores ≈ 0.5
+    * and is correctly excluded by the 0.8 threshold. The whole candidate
+    * machinery — df cap, rarest-token signatures, inverted-index
+    * collisions, set verification — executes and is mirrored step for
+    * step by the DuckDB oracle (dd02's hash-exact discipline; no
+    * planted-relation shortcut here, organic containments rank too).
+    */
+  def containmentSelfRecall(spark: SparkSession, d: String,
+      threshold: Double = 0.8, sigSize: Int = 2,
+      maxDfFrac: Double = 0.01): DataFrame = {
+    val base = Tables.spread(Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).filter(col("text").isNotNull))
+    def toks = TextOps.tokens(col("text"))
+    val planted = base
+      .filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1),
+          ((size(toks) + 1) / lit(2)).cast("int"))).as("text"))
+    containmentPairs(base.union(planted), threshold, sigSize, maxDfFrac)
+  }
+
   /** dd10 — cross-split leakage: the train→eval contamination check every
     * training pipeline runs after splitting (an eval document whose exact
     * content also sits in train measures memorization, not generalization).

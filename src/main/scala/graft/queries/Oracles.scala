@@ -1426,6 +1426,56 @@ FROM embeddings ORDER BY id_a""",
 SELECT vec_id AS id_a, vec_id + 100000 AS id_b, CAST(1.0 AS DOUBLE) AS sim
 FROM embeddings ORDER BY id_a""",
 
+    // set-containment join over distinct 3-shingle sets: the oracle
+    // mirrors the WHOLE candidate machinery (df cap, rarest-shingle
+    // signatures with (df, shingle) tie-break, inverted-index
+    // collisions, set verification) — the dd02 hash-exact discipline;
+    // planted prefix-half docs guarantee a non-empty contained-in
+    // relation at containment 1.0
+    "dd15_containment" -> """
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+pl AS (
+  SELECT doc_id + 100000 AS doc_id,
+    array_to_string(
+      (list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+        [1:(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) + 1) // 2],
+      ' ') AS text
+  FROM base WHERE doc_id % 5 = 0),
+allr AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
+t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM allr),
+k AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(toks) - 1),
+      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ws
+  FROM t WHERE len(toks) >= 3),
+tok AS (SELECT doc_id, unnest(ws) AS tk FROM k),
+tot AS (SELECT count(*) AS n_docs FROM k),
+dfs AS (SELECT tk, count(*) AS df FROM tok GROUP BY 1),
+capped AS (
+  SELECT tok.doc_id, tok.tk, dfs.df FROM tok JOIN dfs USING (tk), tot
+  WHERE dfs.df <= greatest(2.0, 0.01 * tot.n_docs)),
+sig AS (
+  SELECT tk, doc_id AS id_a FROM (
+    SELECT doc_id, tk,
+      row_number() OVER (PARTITION BY doc_id ORDER BY df, tk) AS rn
+    FROM capped) WHERE rn <= 2),
+inv AS (SELECT tk, doc_id AS id_b FROM capped),
+cand AS (
+  SELECT DISTINCT id_a, id_b FROM sig JOIN inv USING (tk)
+  WHERE id_a <> id_b),
+sim AS (
+  SELECT id_a, id_b,
+    len(list_filter(x.ws, v -> list_contains(y.ws, v))) AS inter,
+    len(x.ws) AS na
+  FROM cand JOIN k x ON x.doc_id = id_a JOIN k y ON y.doc_id = id_b)
+SELECT id_a, id_b, inter, na FROM sim
+WHERE CAST(inter AS DOUBLE) / na >= 0.8
+ORDER BY id_a, id_b""",
+
     // the claims are constants BY DESIGN: the oracle pins the recall and
     // precision floors; Spark computes the actual fractions through the
     // full noisy-LSH pipeline — a degradation flips a boolean and the

@@ -210,6 +210,9 @@ object QueryPack {
     "dd12_span_dedup"     -> ((s, d) => Dedup.spanDupStats(s, d)),
     // cluster-then-prune semantic dedup (planted-copy recall harness)
     "dd14_semdedup"       -> ((s, d) => Dedup.semDedupSelfRecall(s, d)),
+    // set-containment join (PPJoin-style prefix filtering); hash-exact
+    // oracle mirrors the candidate rule — no planted-relation shortcut
+    "dd15_containment"    -> ((s, d) => Dedup.containmentSelfRecall(s, d)),
 
     // ---- similarity search ----
     "ann01_brute_topk"  -> ((s, d) => Ann.bruteForceTopK(s, d)),

@@ -829,6 +829,20 @@ class OperatorsSpec extends AnyFunSuite {
       s"export rows ${rows.length} != pipe02 train n_docs $trainDocs")
   }
 
+  test("dd15 containment: subsets detected, direction asymmetric, partial overlap excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // 4 shingles
+      (2L, "alpha beta gamma delta"), // its 2 shingles ⊂ doc 1 → containment 1.0
+      (3L, "completely different words here entirely now"),
+      (4L, "alpha beta gamma aa bb cc dd ee") // shares 1 of its 6 shingles
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, threshold = 0.8, sigSize = 2,
+        maxDfFrac = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(out.toSet == Set((2L, 1L, 2, 2)), s"got ${out.toSet}")
+  }
+
   test("ann10 sq8: code-space cosine tracks raw cosine within quantization error") {
     import graft.operators.ann.Ann
     val emb = Tables.embeddings(spark, sf)
