@@ -425,8 +425,24 @@ object Multimodal {
       .select(explode(when(col("doc_id") % 5 === 0,
         array(col("doc_id"), col("doc_id") + 100000L))
         .otherwise(array(col("doc_id")))).as("media_id"))
+    val hashed = ahashOf(ids)
+    val buckets = hashed.groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(count(lit(1)).as("bucket_size"))
+    hashed.join(buckets, Seq("ahash_hi", "ahash_lo"))
+      .select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
+        col("bucket_size"), (col("bucket_size") > 1L).as("is_dup"))
+      .orderBy(col("media_id"))
+  }
+
+  /** The mm09 fixture generator + REAL decode + aHash, reusable by the
+    * batch (mm09) and streaming (mm10) lanes: per media_id, render the
+    * deterministic PNG, decode it through `javax.imageio`, hash the
+    * DECODED pixels. One narrow mapPartitions — blobs never leave the
+    * task, 16 bytes of hash per image is all that ever shuffles.
+    */
+  private[multimodal] def ahashOf(ids: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(aHashSchema)
-    val hashed = ids.mapPartitions { rows =>
+    ids.select(col("media_id")).mapPartitions { rows =>
       rows.map { r =>
         val mid = r.getLong(0)
         val id = if (mid >= 100000L) mid - 100000L else mid
@@ -467,12 +483,119 @@ object Multimodal {
         Row(mid, hi, lo)
       }
     }(enc)
-    val buckets = hashed.groupBy(col("ahash_hi"), col("ahash_lo"))
-      .agg(count(lit(1)).as("bucket_size"))
-    hashed.join(buckets, Seq("ahash_hi", "ahash_lo"))
-      .select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
-        col("bucket_size"), (col("bucket_size") > 1L).as("is_dup"))
-      .orderBy(col("media_id"))
+  }
+
+  // ---- mm10: the IMAGE crawl loop — aHash screen over a persisted,
+  // growing hash index (dd13's discipline on the perceptual key) ----
+
+  /** Hash-range partition count for the persisted aHash index leaves —
+    * the dd13 sizing: small enough that a batch's touched-group list is
+    * driver-side metadata, large enough that small batches prune most
+    * partitions.
+    */
+  private val AHashGroups = 32
+
+  private def ahashGroup: org.apache.spark.sql.Column =
+    pmod(xxhash64(col("ahash_hi"), col("ahash_lo")),
+      lit(AHashGroups.toLong)).cast("int")
+
+  private def ahashIndexHasLeaf(spark: SparkSession, indexDir: String,
+      leaf: String): Boolean = {
+    val (fs, _) = graft.sources.cdc.WalSegments.fsFor(indexDir)
+    try fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$indexDir/hashes/*/leaf=$leaf")) match {
+      case null => false
+      case a => a.nonEmpty
+    } catch { case _: java.io.IOException => false }
+  }
+
+  /** Idempotent O(batch) leaf append of (media_id, ahash) rows into the
+    * partitioned hash table `hashes/hgrp=g/leaf=tag` — immutable leaves,
+    * a replayed foreachBatch tag no-ops (the dd13 fold discipline).
+    */
+  def ahashIndexAppend(hashed: DataFrame, indexDir: String,
+      leaf: String): Unit = {
+    if (ahashIndexHasLeaf(hashed.sparkSession, indexDir, leaf)) return
+    hashed.select(col("media_id"), col("ahash_hi"), col("ahash_lo"))
+      .withColumn("hgrp", ahashGroup)
+      .withColumn("leaf", lit(leaf))
+      .repartition(col("hgrp"))
+      .write.partitionBy("hgrp", "leaf")
+      .mode("append").parquet(s"$indexDir/hashes")
+    ()
+  }
+
+  /** Screen a hashed batch against every committed index leaf: exact
+    * (hi, lo) equi-collisions, the scan PRUNED to the batch's touched
+    * hash groups (≤ [[AHashGroups]] ints collected driver-side — the
+    * dd13 PartitionFilters device). Shuffle carries 24-byte hash rows.
+    */
+  def screenAhash(spark: SparkSession, indexDir: String,
+      batchHashed: DataFrame): DataFrame = {
+    val groups = batchHashed.select(ahashGroup.as("hgrp")).distinct()
+      .collect().map(r => Int.box(r.getInt(0))).toSeq
+    val index = spark.read.parquet(s"$indexDir/hashes")
+      .filter(col("hgrp").isin(groups: _*))
+      .select(col("media_id").as("corpus_id"),
+        col("ahash_hi"), col("ahash_lo"))
+    batchHashed.select(col("media_id").as("batch_id"),
+        col("ahash_hi"), col("ahash_lo"))
+      .join(index, Seq("ahash_hi", "ahash_lo"))
+      .select(col("batch_id"), col("corpus_id"))
+  }
+
+  /** mm10 — mm09's perceptual dedup as a CRAWL LOOP: arriving image
+    * batches are decoded + aHashed, screened against the persisted hash
+    * index, and folded into it, inside one Structured Streaming query —
+    * the text (dd13) and embedding (ann07) crawl loops' missing
+    * multimodal sibling. The fixture streams the mm09 noisy copies in
+    * micro-batches against an index bootstrapped with the originals;
+    * matched (batch, corpus-original) pairs are EXACTLY the
+    * equal-derived-hash relation, which the DuckDB oracle re-computes
+    * bit by bit from the pixel formulas (whether a given noisy copy
+    * collides is decided by the same integer arithmetic on both engines
+    * — never assumed; accidental cross-original collisions rank too).
+    *
+    * Scale per batch: decode+hash is one narrow mapPartitions (blobs
+    * never shuffle); the screen joins 16-byte keys against a
+    * group-pruned scan; the fold is one immutable leaf. Per-batch cost
+    * is independent of index size.
+    */
+  def streamingAHashSelfRecall(spark: SparkSession, d: String,
+      nBatches: Int = 4): DataFrame = {
+    val tmp = graft.Tables.scratchDir("graft_mm10")
+    val indexDir = s"$tmp/index"
+    val stageDir = s"$tmp/arrivals"
+    val outDir = s"$tmp/pairs"
+    val orig = Tables.documents(spark, d)
+      .select(col("doc_id").as("media_id"))
+    ahashIndexAppend(ahashOf(orig), indexDir, "corpus")
+    Tables.documents(spark, d).select(col("doc_id"))
+      .filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("media_id"))
+      .repartition(nBatches, col("media_id"))
+      .write.parquet(stageDir)
+    val schema = spark.read.parquet(stageDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    val q = graft.GraftSession.withStreamShuffle(spark)(
+      stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+        val hashed = ahashOf(batch)
+        screenAhash(spark, indexDir, hashed)
+          .write.mode("append").parquet(outDir)
+        ahashIndexAppend(hashed, indexDir, f"b$bid%06d")
+      }.queryName("graft-mm10-ahash-loop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
+    graft.GraftSession.awaitFinished(q)
+    // gate on the copy→ORIGINAL relation (fully formula-derivable); the
+    // loop also folds copies so later batches screen against them —
+    // copy↔copy collisions would be batch-order-dependent and are
+    // filtered out of the driver-checked output (none exist at any
+    // fixture sf: distinct base images hash apart)
+    spark.read.parquet(outDir)
+      .filter(col("corpus_id") < 100000L)
+      .orderBy(col("batch_id"), col("corpus_id"))
   }
 
   val audioRoundTripSchema: StructType = StructType(Seq(

@@ -1114,6 +1114,47 @@ SELECT h.media_id, h.ahash_hi, h.ahash_lo, bk.bucket_size,
 FROM hash h JOIN bk USING (ahash_hi, ahash_lo)
 ORDER BY media_id""",
 
+    // the image crawl loop gates on the copy→ORIGINAL equal-hash
+    // relation: the same mm09 bit-by-bit hash derivation, joined on hash
+    // equality across the planted boundary — whether each noisy copy (or
+    // an accidental cross-original collision) matches is decided by the
+    // identical integer arithmetic on both engines
+    "mm10_ahash_stream" -> """
+WITH ids AS (
+  SELECT unnest(CASE WHEN doc_id % 5 = 0
+                THEN [doc_id, doc_id + 100000]
+                ELSE [doc_id] END) AS media_id
+  FROM documents),
+px AS (
+  SELECT media_id,
+    CASE WHEN media_id >= 100000 THEN media_id - 100000 ELSE media_id END AS id,
+    media_id >= 100000 AS noisy, y, x
+  FROM ids, range(0, 8) ty(y), range(0, 8) tx(x)),
+lum AS (
+  SELECT media_id, y * 8 + x AS bit,
+    (299 * (((id * 2654435761 + (y*8 + x) * 40503 + 17) % 65521) % 256)
+     + 587 * (((id * 2246822519 + (y*8 + x) * 52361 + 101) % 65521) % 256)
+     + 114 * (CASE WHEN noisy AND (x + y) % 7 = 0
+              THEN (((id * 3266489917 + (y*8 + x) * 44131 + 233) % 65521) % 256 + 1) % 256
+              ELSE ((id * 3266489917 + (y*8 + x) * 44131 + 233) % 65521) % 256 END)) // 1000 AS luma
+  FROM px),
+tot AS (SELECT media_id, sum(luma) AS total FROM lum GROUP BY 1),
+bits AS (
+  SELECT l.media_id, l.bit,
+    CASE WHEN l.luma * 64 > t.total THEN 1 ELSE 0 END AS b
+  FROM lum l JOIN tot t USING (media_id)),
+hash AS (
+  SELECT media_id,
+    CAST(sum(CASE WHEN bit >= 32
+             THEN b * (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+    CAST(sum(CASE WHEN bit < 32
+             THEN b * (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS ahash_lo
+  FROM bits GROUP BY 1)
+SELECT c.media_id AS batch_id, o.media_id AS corpus_id
+FROM hash c JOIN hash o USING (ahash_hi, ahash_lo)
+WHERE c.media_id >= 100000 AND o.media_id < 100000
+ORDER BY batch_id, corpus_id""",
+
     "mm06_image_roundtrip" -> """
 WITH m AS (
   SELECT doc_id AS media_id,

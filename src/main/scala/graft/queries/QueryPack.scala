@@ -236,6 +236,8 @@ object QueryPack {
     // formula re-derived oracle-side — see Multimodal.imageRoundTrip
     "mm06_image_roundtrip" -> ((s, d) => Multimodal.imageRoundTrip(s, d)),
     "mm09_image_ahash"   -> ((s, d) => Multimodal.imageAHashDedup(s, d)),
+    // the image crawl loop: decode→aHash→screen→fold per micro-batch
+    "mm10_ahash_stream"  -> ((s, d) => Multimodal.streamingAHashSelfRecall(s, d)),
     // real javax.sound WAV encode→decode round trip vs the sample
     // formula re-derived oracle-side — see Multimodal.audioRoundTrip
     "mm07_audio_roundtrip" -> ((s, d) => Multimodal.audioRoundTrip(s, d)),

@@ -829,6 +829,32 @@ class OperatorsSpec extends AnyFunSuite {
       s"export rows ${rows.length} != pipe02 train n_docs $trainDocs")
   }
 
+  test("mm10: aHash index folds are idempotent; screen matches exact hash keys only") {
+    import spark.implicits._
+    import graft.operators.multimodal.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("mm10_spec").toString
+    val a = Seq((1L, 10L, 20L), (2L, 30L, 40L)).toDF("media_id", "ahash_hi", "ahash_lo")
+    Multimodal.ahashIndexAppend(a, dir, "corpus")
+    Multimodal.ahashIndexAppend(a, dir, "corpus") // replay must no-op
+    assert(spark.read.parquet(s"$dir/hashes").count() == 2L)
+    val batch = Seq((100L, 10L, 20L), (101L, 99L, 99L)).toDF("media_id", "ahash_hi", "ahash_lo")
+    val out = Multimodal.screenAhash(spark, dir, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((100L, 1L)), s"got ${out.toSet}")
+  }
+
+  test("mm10: the streamed loop recovers exactly the equal-hash relation") {
+    import graft.operators.multimodal.Multimodal
+    val out = Multimodal.streamingAHashSelfRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (b, c) => b >= 100000L && c < 100000L })
+    // the self-pairs (copy vs its own original) must dominate: the noisy
+    // perturbation is sub-luma-quantum on most pixels
+    val self = out.count { case (b, c) => c == b - 100000L }
+    assert(self * 2 > out.length, s"only $self/${out.length} self pairs")
+  }
+
   test("dd15 containment: subsets detected, direction asymmetric, partial overlap excluded") {
     import spark.implicits._
     val docs = Seq(
