@@ -391,6 +391,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(caches.nonEmpty, "centroid training not cache-pinned")
   }
 
+  test("mm10 screen: hash-leaf scan is partition-pruned to the batch's groups") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("audit_mm10").toString
+    val corpus = (1L to 200L).map(i => (i, i * 7L, i * 13L))
+      .toDF("media_id", "ahash_hi", "ahash_lo")
+    graft.operators.multimodal.Multimodal.ahashIndexAppend(corpus, dir, "corpus")
+    val batch = Seq((9001L, 7L, 13L)).toDF("media_id", "ahash_hi", "ahash_lo")
+    val screened = graft.operators.multimodal.Multimodal
+      .screenAhash(spark, dir, batch)
+    screened.collect()
+    val p = screened.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("hashes") && l.contains("PartitionFilters"))
+      .getOrElse(fail(s"no partition-filtered hashes scan in plan:\n$p"))
+    // a 1-row batch touches exactly 1 of the 32 hash groups — the
+    // pruning predicate collapses to a single equality (an INSET/IN list
+    // would appear for multi-group batches)
+    val pruned = "hgrp#\\d+ (?:=|INSET|IN)".r.findFirstIn(scanLine)
+    assert(pruned.isDefined,
+      s"hashes scan not pruned by batch groups: $scanLine")
+  }
+
+  test("dd15: candidate join carries (shingle, id) only; payload sets re-attach by id") {
+    val p = plan("dd15_containment")
+    assert(!p.contains("CartesianProduct"), "containment join went cartesian")
+    // no shuffle may carry the shingle-set arrays — the candidate and
+    // signature exchanges move (tk, id, df) rows only; ws re-attaches
+    // via the id-keyed verification join after the pair distinct
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .mkString("\n")
+    assert(!exchanges.contains("ws#"),
+      s"shingle-set arrays ride a shuffle:\n$exchanges")
+  }
+
   test("dd13 screen: band-leaf scan is partition-pruned to the batch's hash groups") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
