@@ -123,27 +123,22 @@ object Bench {
     // wall time across all passes (CrawlMetrics, recorded inside the
     // facades), reported as median + max — the corpus-size-independence
     // claim as a number instead of a convention note
-    val perIncr = Seq(
+    val crawlLoops = Seq(
       "dd13_stream_increments" -> "graft-screen-and-fold",
-      "ann07_pq_stream" -> "graft-search-and-append")
-      .flatMap { case (q, qn) =>
-        val xs = graft.streaming.Graft.CrawlMetrics.snapshot(qn)
+      "ann07_pq_stream" -> "graft-search-and-append",
+      "mm10_ahash_stream" -> "graft-mm10-ahash-loop")
+    def loopStats(suffix: String, countLabel: String): String =
+      crawlLoops.flatMap { case (q, qn) =>
+        val xs = graft.streaming.Graft.CrawlMetrics.snapshot(qn + suffix)
         if (xs.isEmpty) None
         else Some(jstr(q) + ":" + s"""{"median":${median(xs.toList)},""" +
-          s""""max":${xs.max},"batches":${xs.length}}""")
+          s""""max":${xs.max},"$countLabel":${xs.length}}""")
       }.mkString("{", ",", "}")
+    val perIncr = loopStats("", "batches")
     // the one-off index build/train cost per pass — the rest of the lane's
     // envelope beyond the increments; at production scale it amortizes to
     // zero while per_increment_sec is the recurring cost
-    val bootstrap = Seq(
-      "dd13_stream_increments" -> "graft-screen-and-fold-bootstrap",
-      "ann07_pq_stream" -> "graft-search-and-append-bootstrap")
-      .flatMap { case (q, qn) =>
-        val xs = graft.streaming.Graft.CrawlMetrics.snapshot(qn)
-        if (xs.isEmpty) None
-        else Some(jstr(q) + ":" + s"""{"median":${median(xs.toList)},""" +
-          s""""max":${xs.max},"passes":${xs.length}}""")
-      }.mkString("{", ",", "}")
+    val bootstrap = loopStats("-bootstrap", "passes")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$meds,"median_total":$medTotal,"errors":$errs,"sf":"$sfDir","notes":{${notes}},"per_increment_sec":$perIncr,"bootstrap_sec":$bootstrap,"protocol":"per-query min of $repeats round-robin passes; medians of the same passes alongside"}"""
     println(line)

@@ -169,14 +169,26 @@ object Tables {
     * dir per invocation; a long-lived driver running them repeatedly
     * (bench passes, notebooks) would otherwise accumulate them in /tmp.
     */
-  private[graft] def scratchDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  // ONE hook draining the queue, registered lazily on first use — a
+  // long-lived driver allocating scratch dirs in a loop holds O(1)
+  // hook threads, not one per dir
+  private lazy val scratchHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
       }
-      rm(p.toFile)
+      var p = scratchDirs.poll()
+      while (p != null) { rm(p.toFile); p = scratchDirs.poll() }
     }))
+  }
+
+  private[graft] def scratchDir(prefix: String): String = {
+    scratchHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
     p.toString
   }
 }

@@ -59,14 +59,15 @@ object Ann {
     * the SEARCH consumer). Codes are stored as exact small-int floats so
     * the native fused cosine ranks them without a new expression.
     */
-  private[graft] def sq8Codes(emb: DataFrame): DataFrame =
+  private[graft] def sq8Codes(emb: DataFrame): DataFrame = {
+    import graft.operators.prep.TrainPrep
     emb.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
-      .select(col("vec_id"), expr(
-        """CASE WHEN amax > 0
-          |THEN transform(v, x -> CAST(CAST(round(x / (amax / CAST(127 AS DOUBLE))) AS INT) AS FLOAT))
-          |ELSE transform(v, x -> CAST(0 AS FLOAT)) END""".stripMargin).as("q"))
+      .withColumn("amax", TrainPrep.sq8AmaxExpr)
+      .withColumn("qi", TrainPrep.sq8QuantExpr) // THE tp05 quantizer, shared
+      .select(col("vec_id"),
+        transform(col("qi"), x => x.cast("float")).as("q")) // exact in float
+  }
 
   /** ann10 — brute search over int8 SCALAR-quantized codes (the FAISS
     * "SQ8" rung of the memory-bandwidth ladder: 1 byte/dim stored, 4× the
@@ -96,8 +97,11 @@ object Ann {
       .select(col("vec_id").as("query_id"), col("q").as("q_code")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("qsim").desc, col("vec_id"))
+    // nanvl: an all-zero embedding quantizes to the zero code and its
+    // cosine is 0/0 = NaN, which Spark's DESC sort ranks ABOVE every
+    // real score (the assignSim hazard) — floor it below valid cosines
     val top1 = queries.join(codes, col("vec_id") =!= col("query_id"))
-      .withColumn("qsim", cosine(col("q_code"), col("q")))
+      .withColumn("qsim", nanvl(cosine(col("q_code"), col("q")), lit(-2.0)))
       .select(col("query_id"), col("vec_id"), col("qsim"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)

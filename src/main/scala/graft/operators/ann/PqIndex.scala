@@ -712,11 +712,8 @@ object PqIndex {
     val outDir = s"$tmp/matches"
     // one-off train+persist bootstrap, metered apart from the increments
     // (bench: bootstrap_sec vs per_increment_sec)
-    locally {
-      val t0 = System.nanoTime()
+    graft.streaming.Graft.CrawlMetrics.timed("graft-search-and-append-bootstrap") {
       build(base, indexDir, m, ksub, dim, refineIters)
-      graft.streaming.Graft.CrawlMetrics.record(
-        "graft-search-and-append-bootstrap", (System.nanoTime() - t0) / 1e9)
     }
     copies.repartition(nBatches, col("vec_id")).write.parquet(stageDir)
     val schema = spark.read.parquet(stageDir).schema

@@ -328,14 +328,8 @@ object Dedup {
     * (written LAST, the fold's commit point) carries its partition dirs.
     */
   def indexHasLeaf(spark: SparkSession, indexDir: String,
-      leaf: String): Boolean = {
-    val (fs, _) = graft.sources.cdc.WalSegments.fsFor(indexDir)
-    try fs.globStatus(new org.apache.hadoop.fs.Path(
-      s"$indexDir/bands/*/leaf=$leaf")) match {
-      case null => false
-      case a => a.nonEmpty
-    } catch { case _: java.io.IOException => false }
-  }
+      leaf: String): Boolean =
+    graft.sources.cdc.WalSegments.globNonEmpty(indexDir, s"bands/*/leaf=$leaf")
 
   def dedupIndexAppend(docs: DataFrame, indexDir: String, leaf: String,
       numHashes: Int = 64, bands: Int = 16): Unit = {
@@ -461,11 +455,8 @@ object Dedup {
     // the one-off index bootstrap is metered separately from the
     // steady-state increments (bench reports both, bootstrap_sec vs
     // per_increment_sec — the scale claim rests on the latter)
-    locally {
-      val t0 = System.nanoTime()
+    graft.streaming.Graft.CrawlMetrics.timed("graft-screen-and-fold-bootstrap") {
       dedupIndexAppend(base, indexDir, "corpus")
-      graft.streaming.Graft.CrawlMetrics.record(
-        "graft-screen-and-fold-bootstrap", (System.nanoTime() - t0) / 1e9)
     }
     base.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
       .repartition(nBatches, col("doc_id"))

@@ -499,15 +499,8 @@ object Multimodal {
     pmod(xxhash64(col("ahash_hi"), col("ahash_lo")),
       lit(AHashGroups.toLong)).cast("int")
 
-  private def ahashIndexHasLeaf(spark: SparkSession, indexDir: String,
-      leaf: String): Boolean = {
-    val (fs, _) = graft.sources.cdc.WalSegments.fsFor(indexDir)
-    try fs.globStatus(new org.apache.hadoop.fs.Path(
-      s"$indexDir/hashes/*/leaf=$leaf")) match {
-      case null => false
-      case a => a.nonEmpty
-    } catch { case _: java.io.IOException => false }
-  }
+  private def ahashIndexHasLeaf(indexDir: String, leaf: String): Boolean =
+    graft.sources.cdc.WalSegments.globNonEmpty(indexDir, s"hashes/*/leaf=$leaf")
 
   /** Idempotent O(batch) leaf append of (media_id, ahash) rows into the
     * partitioned hash table `hashes/hgrp=g/leaf=tag` — immutable leaves,
@@ -515,7 +508,7 @@ object Multimodal {
     */
   def ahashIndexAppend(hashed: DataFrame, indexDir: String,
       leaf: String): Unit = {
-    if (ahashIndexHasLeaf(hashed.sparkSession, indexDir, leaf)) return
+    if (ahashIndexHasLeaf(indexDir, leaf)) return
     hashed.select(col("media_id"), col("ahash_hi"), col("ahash_lo"))
       .withColumn("hgrp", ahashGroup)
       .withColumn("leaf", lit(leaf))
@@ -569,7 +562,10 @@ object Multimodal {
     val outDir = s"$tmp/pairs"
     val orig = Tables.documents(spark, d)
       .select(col("doc_id").as("media_id"))
-    ahashIndexAppend(ahashOf(orig), indexDir, "corpus")
+    // bootstrap metered apart from the increments (bench: bootstrap_sec)
+    graft.streaming.Graft.CrawlMetrics.timed("graft-mm10-ahash-loop-bootstrap") {
+      ahashIndexAppend(ahashOf(orig), indexDir, "corpus")
+    }
     Tables.documents(spark, d).select(col("doc_id"))
       .filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 100000L).as("media_id"))
@@ -580,10 +576,17 @@ object Multimodal {
       .option("maxFilesPerTrigger", "1").parquet(stageDir)
     val q = graft.GraftSession.withStreamShuffle(spark)(
       stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
-        val hashed = ahashOf(batch)
-        screenAhash(spark, indexDir, hashed)
-          .write.mode("append").parquet(outDir)
-        ahashIndexAppend(hashed, indexDir, f"b$bid%06d")
+        graft.streaming.Graft.CrawlMetrics.timed("graft-mm10-ahash-loop") {
+          // cache: the decoded hashes feed THREE consumers per batch (the
+          // screen's driver-side group collect, the screen join, the index
+          // fold) — uncached, every image would render+decode 3×
+          val hashed = ahashOf(batch).cache()
+          try {
+            screenAhash(spark, indexDir, hashed)
+              .write.mode("append").parquet(outDir)
+            ahashIndexAppend(hashed, indexDir, f"b$bid%06d")
+          } finally { hashed.unpersist(); () }
+        }
       }.queryName("graft-mm10-ahash-loop")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start())

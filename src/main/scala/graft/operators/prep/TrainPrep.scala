@@ -630,16 +630,27 @@ object TrainPrep {
     * Zero vectors (amax == 0) quantize to all-zeros rather than NaN-ing
     * the division — the never-throw discipline of the cast layer.
     */
+  /** The int8 symmetric quantizer — per-vector max-abs scale, round to
+    * [-127, 127] INTs — as ONE shared expression pair over a staged
+    * `v: array<double>` column: the tp05 integrity lane ([[embedQuant]])
+    * and the SQ8 search lane (`Ann.sq8Codes`) both quantize through
+    * these, so their bit-parity is structural, not copy-paste.
+    */
+  private[graft] def sq8AmaxExpr: Column =
+    expr("array_max(transform(v, x -> abs(x)))")
+
+  private[graft] def sq8QuantExpr: Column = expr(
+    """CASE WHEN amax > 0
+      |THEN transform(v, x -> CAST(round(x / (amax / CAST(127 AS DOUBLE))) AS INT))
+      |ELSE transform(v, x -> 0) END""".stripMargin)
+
   def embedQuant(spark: SparkSession, d: String): DataFrame =
     Tables.spread(Tables.embeddings(spark, d)
         .select(col("vec_id"), col("embedding")))
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("amax", expr("array_max(transform(v, x -> abs(x)))"))
-      .withColumn("q", expr(
-        """CASE WHEN amax > 0
-          |THEN transform(v, x -> CAST(round(x / (amax / CAST(127 AS DOUBLE))) AS INT))
-          |ELSE transform(v, x -> 0) END""".stripMargin))
+      .withColumn("amax", sq8AmaxExpr)
+      .withColumn("q", sq8QuantExpr)
       .select(col("vec_id"),
         size(col("q")).as("dim"),
         expr("CAST(round(amax * CAST(100000000 AS DOUBLE)) AS BIGINT)").as("amax_e8"),

@@ -71,6 +71,20 @@ object WalSegments {
     (p.getFileSystem(conf), p)
   }
 
+  /** True when `pattern` (a glob under some index/state dir) matches at
+    * least one path — absent dirs and IO errors read as "no match". The
+    * shared probe behind the persisted indexes' idempotent-fold checks
+    * (dedup band leaves, aHash leaves): one definition of the
+    * null-globStatus / IOException edge cases instead of one per index.
+    */
+  def globNonEmpty(dir: String, pattern: String): Boolean = {
+    val (fs, _) = fsFor(dir)
+    try fs.globStatus(new Path(s"$dir/$pattern")) match {
+      case null => false
+      case a    => a.nonEmpty
+    } catch { case _: java.io.IOException => false }
+  }
+
   def listSegments(dir: String, conf: Configuration = localConf): Seq[Path] = {
     val (fs, d) = fsFor(dir, conf)
     try {

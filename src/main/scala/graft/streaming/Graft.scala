@@ -494,6 +494,16 @@ object Graft {
     def snapshot(query: String): Vector[Double] =
       samples.getOrElse(query, Vector.empty)
     def clear(): Unit = samples.clear()
+
+    /** Time `body`, record its wall seconds under `query` — the one
+      * wrapper behind every crawl-loop bootstrap/increment meter.
+      */
+    private[graft] def timed[A](query: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      record(query, (System.nanoTime() - t0) / 1e9)
+      r
+    }
   }
 
   /** The DEDUP crawl loop as one call — the [[materialize]] shape for the
@@ -519,13 +529,13 @@ object Graft {
       queryName: String = "graft-screen-and-fold"): StreamingQuery = {
     val spark = docs.sparkSession
     var w = docs.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
-      val t0 = System.nanoTime()
-      graft.operators.dedup.Dedup
-        .screenAgainstIndex(spark, indexDir, batch, numHashes, bands, threshold)
-        .write.mode("append").parquet(pairsDir)
-      graft.operators.dedup.Dedup
-        .dedupIndexAppend(batch, indexDir, f"b$bid%06d", numHashes, bands)
-      CrawlMetrics.record(queryName, (System.nanoTime() - t0) / 1e9)
+      CrawlMetrics.timed(queryName) {
+        graft.operators.dedup.Dedup
+          .screenAgainstIndex(spark, indexDir, batch, numHashes, bands, threshold)
+          .write.mode("append").parquet(pairsDir)
+        graft.operators.dedup.Dedup
+          .dedupIndexAppend(batch, indexDir, f"b$bid%06d", numHashes, bands)
+      }
     }.queryName(queryName).trigger(trigger)
     checkpoint.foreach(c => w = w.option("checkpointLocation", c))
     w.start()
@@ -553,17 +563,18 @@ object Graft {
       queryName: String = "graft-search-and-append"): StreamingQuery = {
     val spark = vecs.sparkSession
     var w = vecs.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
-      val t0 = System.nanoTime()
-      val queries = batch.select(col("vec_id").as("query_id"),
-        col("embedding").as("q_emb"))
-      graft.operators.ann.PqIndex
-        .topKIvfAgainst(spark, indexDir, queries,
-          embProvider.unionByName(batch.select(col("vec_id"), col("embedding"))),
-          nprobe, k, rerank)
-        .write.mode("append").parquet(matchesDir)
-      graft.operators.ann.PqIndex
-        .append(spark, indexDir, batch, tag = Some(f"b$bid%06d"))
-      CrawlMetrics.record(queryName, (System.nanoTime() - t0) / 1e9)
+      CrawlMetrics.timed(queryName) {
+        val queries = batch.select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"))
+        graft.operators.ann.PqIndex
+          .topKIvfAgainst(spark, indexDir, queries,
+            embProvider.unionByName(batch.select(col("vec_id"), col("embedding"))),
+            nprobe, k, rerank)
+          .write.mode("append").parquet(matchesDir)
+        graft.operators.ann.PqIndex
+          .append(spark, indexDir, batch, tag = Some(f"b$bid%06d"))
+        ()
+      }
     }.queryName(queryName).trigger(trigger)
     checkpoint.foreach(c => w = w.option("checkpointLocation", c))
     w.start()
