@@ -1112,4 +1112,62 @@ object Dedup {
           .otherwise(lit(0.0)).as("dup_frac"))
       .orderBy(col("doc_id"))
   }
+
+  // ---- dd16: cross-document duplicate-chunk REMOVAL (cleaned corpus) ----
+
+  /** Paragraph-unit exact dedup across the corpus — the MassiveText/C4
+    * "remove repeated paragraphs" cleaning step, which differs from dd12
+    * (stats only) by PRODUCING the cleaned corpus: documents are split
+    * into paragraph units, every unit that exactly repeats an earlier
+    * occurrence anywhere in the corpus is dropped (first occurrence in
+    * (doc_id, position) order wins), and each document is reassembled
+    * from its surviving units. The fixture's documents are single-line,
+    * so the unit here is a fixed non-overlapping window of `w` tokens
+    * (trailing partial window included); with newline-delimited text the
+    * splitter column is the only thing to swap.
+    *
+    * Scale shape: one scan → window split → explode; first-occurrence
+    * arbitration is a `row_number` window PARTITIONED BY THE UNIT HASH —
+    * balanced partitions (each hash group is the copy count of one
+    * distinct unit; the heaviest group is the corpus's most-repeated
+    * boilerplate, which is exactly what AQE skew handling is for) and no
+    * global sort; reassembly is one map-side-combined groupBy(doc_id)
+    * collecting (pos, unit) structs for an in-memory per-doc sort —
+    * bounded by a single document's size, never the corpus. Unit rows
+    * carry (hash, doc_id, pos) plus the unit text once; the output rides
+    * an md5 so the gate compares the REASSEMBLED text exactly.
+    */
+  def chunkDedup(spark: SparkSession, d: String, w: Int = 8): DataFrame =
+    chunkDedupFor(Tables.spread(
+      Tables.documents(spark, d).select(col("doc_id"), col("text"))), w)
+
+  /** [[chunkDedup]] over any (doc_id, text) frame — the spec seam. */
+  def chunkDedupFor(documents: DataFrame, w: Int = 8): DataFrame = {
+    val units = documents
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), expr(s"CAST((size(t) - 1) DIV $w AS INT)")),
+          i => concat_ws(" ", slice(col("t"), i * w + 1, lit(w))))))
+      .withColumnRenamed("col", "unit")
+    val arb = Window.partitionBy(md5(col("unit")))
+      .orderBy(col("doc_id"), col("pos"))
+    val ranked = units.withColumn("rn", row_number().over(arb))
+    val kept = ranked.filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(size(split(col("unit"), " "))).as("kept_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("unit")))),
+          s => s.getField("unit")), " ").as("cleaned"))
+    units.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dup_chunks"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        md5(coalesce(col("cleaned"), lit(""))).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -658,4 +658,104 @@ object TrainPrep {
         expr("array_max(transform(q, x -> abs(x)))").as("max_abs_q"),
         expr("size(filter(q, x -> abs(x) = 127))").as("n_sat"))
       .orderBy(col("vec_id"))
+
+  // ---------------------------------------------------------------- dsir
+
+  /** Hashed n-gram features for DSIR-style importance weighting (Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): unigrams + bigrams of the whitespace tokens, each
+    * hashed into a 65536-bucket space by the first 4 hex digits of its
+    * md5 — the hashing trick, engine-portable so the DuckDB oracle can
+    * re-derive every bucket.
+    */
+  private def dsirGrams(documents: DataFrame): DataFrame =
+    documents
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), col("lang"),
+        explode(concat(col("t"),
+          when(size(col("t")) >= 2,
+            transform(sequence(lit(1), size(col("t")) - 1),
+              i => concat(element_at(col("t"), i), lit(" "),
+                element_at(col("t"), i + 1))))
+            .otherwise(array().cast("array<string>")))).as("gram"))
+      .select(col("doc_id"), col("lang"),
+        conv(substring(md5(col("gram")), 1, 4), 16, 10)
+          .cast("long").as("bucket"))
+
+  /** DSIR importance scoring, integral gating form (tp12): fit two
+    * bag-of-hashed-ngrams models — a TARGET model from the `lang = 'en'`
+    * slice and a RAW model from the whole corpus — then score every
+    * document by its pooled occurrence mass under each. The gated
+    * verdict is the cross-multiplied integer comparison
+    * `t_mass·R > r_mass·T` (i.e. the document's per-gram target-hit
+    * rate exceeds its raw-hit rate relative to the corpus totals), an
+    * exact-integer proxy for the sign of the likelihood-ratio weight
+    * that stays hash-comparable across engines; the float log-ratio
+    * weight itself (what production resampling ranks by) is
+    * [[dsirLogWeights]].
+    *
+    * Scale shape: gram explosion is one scan; both model fits are
+    * bucket-keyed counts (≤ 65536 rows, map-side combined) that come
+    * back as BROADCAST joins; the per-doc masses are one map-side-
+    * combined groupBy(doc_id). No all-pairs, no global sort — the
+    * selection rule is per-document against broadcast corpus totals, so
+    * the 100 TB corpus never re-shuffles its text.
+    */
+  def dsirScores(spark: SparkSession, d: String): DataFrame =
+    dsirScoresFor(Tables.spread(
+      Tables.documents(spark, d).select(col("doc_id"), col("lang"), col("text"))))
+
+  /** [[dsirScores]] over any (doc_id, lang, text) frame — the spec seam.
+    * Target slice = `lang = 'en'`.
+    */
+  def dsirScoresFor(documents: DataFrame): DataFrame = {
+    val g = dsirGrams(documents)
+    val ct = g.filter(col("lang") === "en")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c_t"))
+    val cr = g.groupBy(col("bucket")).agg(count(lit(1)).as("c_r"))
+    val tot = ct.agg(coalesce(sum(col("c_t")), lit(0L)).as("tt"))
+      .crossJoin(cr.agg(coalesce(sum(col("c_r")), lit(0L)).as("rt")))
+    g.join(broadcast(ct), Seq("bucket"), "left")
+      .join(broadcast(cr), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("c_t"), lit(0L))).as("t_mass"),
+        sum(col("c_r")).as("r_mass"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_grams"), col("t_mass"), col("r_mass"),
+        (col("t_mass") * col("rt") - col("r_mass") * col("tt")).as("score_num"),
+        (col("t_mass") * col("rt") - col("r_mass") * col("tt") > 0L).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The production DSIR weight: per-document log likelihood ratio
+    * `Σ_g log p̂(b(g)) − log q̂(b(g))` under Laplace-smoothed hashed-ngram
+    * models (target p̂ from `targetPred` docs, raw q̂ from all docs) —
+    * what importance resampling ranks by. Float output (not gated: sum
+    * order perturbs last ulps); the integral tp12 verdict agrees with
+    * this weight's SIGN wherever both masses are bucket-collision-free,
+    * and DsirSpec pins the ranking on a planted vocabulary skew.
+    */
+  def dsirLogWeights(documents: DataFrame, targetPred: Column,
+      alpha: Double = 1.0, buckets: Int = 65536): DataFrame = {
+    val g = dsirGrams(documents.withColumn("lang",
+      when(targetPred, lit("en")).otherwise(lit("__raw"))))
+    val ct = g.filter(col("lang") === "en")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c_t"))
+    val cr = g.groupBy(col("bucket")).agg(count(lit(1)).as("c_r"))
+    val tot = ct.agg(coalesce(sum(col("c_t")), lit(0L)).as("tt"))
+      .crossJoin(cr.agg(coalesce(sum(col("c_r")), lit(0L)).as("rt")))
+    g.join(broadcast(ct), Seq("bucket"), "left")
+      .join(broadcast(cr), Seq("bucket"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lw",
+        log((coalesce(col("c_t"), lit(0L)) + lit(alpha)) /
+            (col("tt") + lit(alpha * buckets))) -
+        log((col("c_r") + lit(alpha)) /
+            (col("rt") + lit(alpha * buckets))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lw")).as("log_weight"), count(lit(1)).as("n_grams"))
+  }
 }

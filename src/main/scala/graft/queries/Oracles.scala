@@ -1748,6 +1748,71 @@ FROM wn w LEFT JOIN h USING (doc_id)
 WHERE w.doc_id % 17 <> 0
 ORDER BY w.doc_id""",
 
+    // tp12: DSIR hashed-ngram importance scoring — unigrams+bigrams into a
+    // 65536-bucket space (first 4 md5 hex digits), target model = lang='en'
+    // slice, raw model = whole corpus; verdict is the exact-integer
+    // cross-multiplication t_mass·R - r_mass·T (sign of the pooled ratio)
+    "tp12_dsir" -> """
+WITH toks AS (
+  SELECT doc_id, lang,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents WHERE text IS NOT NULL),
+g AS (
+  SELECT doc_id, lang,
+    unnest(t || list_transform(range(1, len(t)),
+      i -> t[i] || ' ' || t[i+1])) AS gram
+  FROM toks WHERE len(t) >= 1),
+b AS (
+  SELECT doc_id, lang,
+    CAST(list_sum(list_transform(range(1, 5),
+      i -> (strpos('0123456789abcdef', substr(md5(gram), i, 1)) - 1)
+           * ([4096, 256, 16, 1])[i])) AS BIGINT) AS bucket
+  FROM g),
+ct AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_t
+       FROM b WHERE lang = 'en' GROUP BY 1),
+cr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_r FROM b GROUP BY 1),
+tot AS (SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM b WHERE lang = 'en') AS tt,
+  (SELECT CAST(count(*) AS BIGINT) FROM b) AS rt),
+mass AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+    CAST(sum(COALESCE(c_t, 0)) AS BIGINT) AS t_mass,
+    CAST(sum(c_r) AS BIGINT) AS r_mass
+  FROM b LEFT JOIN ct USING (bucket) JOIN cr USING (bucket)
+  GROUP BY doc_id)
+SELECT doc_id, n_grams, t_mass, r_mass,
+  t_mass * rt - r_mass * tt AS score_num,
+  (t_mass * rt - r_mass * tt) > 0 AS selected
+FROM mass, tot ORDER BY doc_id""",
+
+    // dd16: duplicate-chunk removal — 8-token non-overlapping units,
+    // row_number over (unit md5) in (doc_id, pos) order, first wins;
+    // cleaned text reassembled in pos order and gated by md5
+    "dd16_chunk_dedup" -> """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents WHERE text IS NOT NULL),
+ch AS (
+  SELECT doc_id, s AS pos, array_to_string(t[s*8+1 : s*8+8], ' ') AS unit
+  FROM (SELECT doc_id, t, unnest(range(0, (len(t) + 7) // 8)) AS s
+        FROM toks WHERE len(t) >= 1)),
+rn AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY md5(unit) ORDER BY doc_id, pos) AS rn FROM ch),
+keptagg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+    CAST(sum(len(string_split(unit, ' '))) AS BIGINT) AS kept_tokens,
+    string_agg(unit, ' ' ORDER BY pos) AS cleaned
+  FROM rn WHERE rn = 1 GROUP BY doc_id),
+allagg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM ch GROUP BY doc_id)
+SELECT a.doc_id, n_chunks,
+  n_chunks - COALESCE(n_kept, 0) AS n_dup_chunks,
+  COALESCE(kept_tokens, 0) AS kept_tokens,
+  md5(COALESCE(cleaned, '')) AS cleaned_md5
+FROM allagg a LEFT JOIN keptagg USING (doc_id) ORDER BY a.doc_id""",
+
     "tp04_pii_scrub" -> """
 WITH p AS (
   SELECT doc_id,

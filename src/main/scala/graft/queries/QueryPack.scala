@@ -213,6 +213,9 @@ object QueryPack {
     // set-containment join (PPJoin-style prefix filtering); hash-exact
     // oracle mirrors the candidate rule — no planted-relation shortcut
     "dd15_containment"    -> ((s, d) => Dedup.containmentSelfRecall(s, d)),
+    // cross-doc duplicate-chunk REMOVAL: first-occurrence-wins over
+    // 8-token units, reassembled cleaned text gated by md5
+    "dd16_chunk_dedup"    -> ((s, d) => Dedup.chunkDedup(s, d)),
 
     // ---- similarity search ----
     "ann01_brute_topk"  -> ((s, d) => Ann.bruteForceTopK(s, d)),
@@ -265,7 +268,9 @@ object QueryPack {
     "tp08_source_cap"    -> ((s, d) => TrainPrep.sourceCap(s, d)),
     "tp09_loss_mask"     -> ((s, d) => TrainPrep.lossMaskGated(s, d)),
     "tp10_contamination" -> ((s, d) => TrainPrep.contaminationScreen(s, d)),
-    "tp11_packed_masks"  -> ((s, d) => TrainPrep.packedLossMask(s, d))
+    "tp11_packed_masks"  -> ((s, d) => TrainPrep.packedLossMask(s, d)),
+    // DSIR-style hashed-ngram importance scoring (integral gating form)
+    "tp12_dsir"          -> ((s, d) => TrainPrep.dsirScores(s, d))
   )
 
   /** D1-D11 showcase: a distributed decode of binary pgoutput frames

@@ -869,6 +869,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.toSet == Set((2L, 1L, 2, 2)), s"got ${out.toSet}")
   }
 
+  test("dd16 chunk dedup: first occurrence wins, later copies stripped, text reassembled") {
+    // w=8 units: doc 1 = [u1][u2]; doc 2 repeats u1 then has its own u3;
+    // doc 3 repeats u1 AND u2 wholesale (loses everything); doc 4 has a
+    // 3-token trailing partial unit only
+    val u1 = "a b c d e f g h"
+    val u2 = "i j k l m n o p"
+    val u3 = "q r s t u v w x"
+    val docs = Seq(
+      (1L, s"$u1 $u2"),
+      (2L, s"$u1 $u3"),
+      (3L, s"$u1 $u2"),
+      (4L, "tail only three")
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedupFor(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    def md5s(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out(1L) == ((2L, 0L, 16L, md5s(s"$u1 $u2"))), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, 8L, md5s(u3))), s"doc2 keeps only u3: ${out(2L)}")
+    assert(out(3L) == ((2L, 2L, 0L, md5s(""))), s"doc3 loses all: ${out(3L)}")
+    assert(out(4L) == ((1L, 0L, 3L, md5s("tail only three"))), s"doc4: ${out(4L)}")
+  }
+
   test("ann10 sq8: code-space cosine tracks raw cosine within quantization error") {
     import graft.operators.ann.Ann
     val emb = Tables.embeddings(spark, sf)

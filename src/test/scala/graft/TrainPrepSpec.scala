@@ -406,4 +406,46 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(r(9L).getInt(2) == 0 && !r(9L).getBoolean(5),
       "sub-k docs have zero grams and are never flagged")
   }
+
+  test("tp12: planted vocabulary skew — target-like docs outrank off-target docs") {
+    import spark.implicits._
+    // target model trains on 'en' docs (alpha/beta vocabulary), raw model
+    // on everything; doc 100 reuses the target vocabulary, doc 101 the
+    // off-target one — the log-likelihood-ratio weight must rank 100 > 101
+    // and the integral verdict must agree with the weight's sign
+    val docs = (
+      (1L to 20L).map(i => (i, "en", "alpha beta gamma alpha beta")) ++
+      (21L to 40L).map(i => (i, "zz", "zeta eta theta zeta eta")) ++
+      Seq((100L, "zz", "alpha beta alpha beta gamma"),
+          (101L, "zz", "zeta eta zeta eta theta"))
+    ).toDF("doc_id", "lang", "text")
+    val w = TrainPrep.dsirLogWeights(docs, col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // note: the SMOOTHED weight's absolute sign is not meaningful here —
+    // the raw model contains the target slice, so per-gram ratios sit just
+    // below 1 and only the RANKING (what resampling uses) is the contract
+    assert(w(100L) > w(101L) + 5.0,
+      s"target-vocab doc must far outweigh off-vocab doc: ${w(100L)} vs ${w(101L)}")
+    val s = TrainPrep.dsirScoresFor(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getBoolean(5)))).toMap
+    assert(s(100L)._2 && !s(101L)._2,
+      s"integral verdict must agree with the weight sign: ${s(100L)}, ${s(101L)}")
+    assert(s(100L)._1 > 0 && s(101L)._1 < 0)
+  }
+
+  test("tp12 plan: model tables join broadcast; no cartesian on the gram lane") {
+    val df = TrainPrep.dsirScores(spark, sf)
+    df.collect() // AQE finalizes on execution
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"bucket-count models must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"tp12 must not cartesian anywhere:\n$plan")
+    // the only full shuffles may carry (bucket) counts or (doc_id) masses —
+    // never a gram-exploded text column
+    val gramShuffles = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && l.contains("gram#"))
+    assert(gramShuffles == 0, s"gram rows must not shuffle:\n$plan")
+  }
 }
