@@ -172,4 +172,48 @@ object Pipelines {
       .select(col("doc_id"), col("text"))
     TrainPrep.seqPackingFor(train, budget)
   }
+
+  /** pipe04's tail — the REPLICA-to-corpus manifest: the CDC-maintained
+    * current state (one surviving row per (table_name, record_id), the
+    * Materializer's output) joined to its document payloads and
+    * exact-deduped with first-occurrence-wins arbitration, emitting one
+    * manifest row per surviving record with its `kept` verdict. This is
+    * the "training corpus maintained off a live replica" composition:
+    * walex-side, a consumer hand-rolls it behind insert/update/delete
+    * callbacks; here the whole tail is one declarative plan over the
+    * state store.
+    *
+    * `docOf` maps a record to its document id (in production the text
+    * IS the replicated row's payload column and this is the identity;
+    * the harness maps `record_id % 97` onto the documents table so
+    * cross-table duplicate payloads provably exist).
+    *
+    * Scale shape: the state read is bucket-pruned parquet
+    * ([[graft.streaming.Materializer.currentState]]); the payload join
+    * keys on doc_id (broadcast when the doc dimension is small, AQE
+    * decides); arbitration is the dd01 discipline — map-side-combined
+    * `groupBy(fp)` with a lexicographic `min(struct(table, record))`
+    * joined back, never a window over the fingerprint (a hot duplicate
+    * payload would serialize through one task).
+    */
+  def replicaCorpusManifest(state: DataFrame, documents: DataFrame,
+      docMod: Long = 97L): DataFrame = {
+    val docs = documents.select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull)
+    val rows = state
+      .select(col("table_name"), col("record_id"),
+        (col("record_id") % docMod).as("doc_id"))
+      .join(docs, Seq("doc_id"))
+      .select(col("table_name"), col("record_id"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        md5(TextOps.normalized(col("text"))).as("fp"))
+    val canon = rows.groupBy(col("fp"))
+      .agg(min(struct(col("table_name"), col("record_id"))).as("canonical"))
+    rows.join(canon, Seq("fp"))
+      .select(col("table_name"), col("record_id"), col("doc_id"),
+        col("n_tokens"),
+        (struct(col("table_name"), col("record_id")) === col("canonical"))
+          .as("kept"))
+      .orderBy(col("table_name"), col("record_id"))
+  }
 }

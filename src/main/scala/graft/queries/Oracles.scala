@@ -690,6 +690,30 @@ SELECT table_name, record_id, last_seq, commit_ms, k, val_cents
 FROM last WHERE last_op <> 'delete'
 ORDER BY table_name, record_id""",
 
+    // pipe04: cdc25's last-op-wins state, mapped onto document payloads
+    // (record_id % 97 — collisions across tables are the point), exact-
+    // deduped with (table_name, record_id) first-occurrence arbitration
+    "pipe04_cdc_corpus" -> s"""$changesCte,
+last AS (
+  SELECT table_name, record_id, max_by(op, seq) AS last_op
+  FROM changes GROUP BY table_name, record_id),
+surv AS (
+  SELECT table_name, record_id, CAST(record_id % 97 AS BIGINT) AS doc_id
+  FROM last WHERE last_op <> 'delete'),
+txt AS (
+  SELECT s.table_name, s.record_id, s.doc_id,
+    CAST(len(list_filter(string_split_regex(trim(d.text), '\\s+'),
+      x -> x <> '')) AS BIGINT) AS n_tokens,
+    md5(lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g'))) AS fp
+  FROM surv s JOIN documents d USING (doc_id)
+  WHERE d.text IS NOT NULL),
+arb AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY fp ORDER BY table_name, record_id) AS rn
+  FROM txt)
+SELECT table_name, record_id, doc_id, n_tokens, (rn = 1) AS kept
+FROM arb ORDER BY table_name, record_id""",
+
     // overlapping token-window chunking: starts are 1, 1+step, … (step =
     // 64−16 = 48); DuckDB's range() excludes its stop so len(t)+1 matches
     // Spark's inclusive sequence(1, size). chunk_id is (start−1)/step —

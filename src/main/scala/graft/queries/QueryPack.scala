@@ -256,6 +256,9 @@ object QueryPack {
     // the packed-export manifest: pipe02's surviving train docs through
     // tp03's bucketed prefix-sum packing — end-to-end offsets hash-gated
     "pipe03_export_pack" -> ((s, d) => graft.operators.Pipelines.exportPacking(s, d)),
+    // the replica-to-corpus composition: cdc25's apply loop feeding the
+    // dedup manifest — CDC source → assembly → Materializer → dedup
+    "pipe04_cdc_corpus"  -> ((s, d) => streamCdcCorpus(s, d)),
 
     // ---- training prep (decontaminate / split / pack / pii / quantize) ----
     "tp01_decontaminate" -> ((s, d) => TrainPrep.decontaminate(s, d)),
@@ -701,6 +704,42 @@ object QueryPack {
       .select(col("table_name"), col("record_id"), col("seq").as("last_seq"),
         col("commit_ms"), col("k"), col("val_cents"))
       .orderBy(col("table_name"), col("record_id"))
+  }
+
+  /** pipe04 — the replica-to-training-corpus composition: cdc25's whole
+    * apply loop (WAL stream → decode → transaction assembly →
+    * Materializer current-state store), then
+    * [[graft.operators.Pipelines.replicaCorpusManifest]] over the store —
+    * surviving records joined to their document payloads, exact-deduped
+    * with (table, record) first-occurrence arbitration. Every stage is
+    * load-bearing in the gate: a mis-applied delete, a wrong merge
+    * winner, or a broken canonical pick each flips `kept` rows.
+    */
+  def streamCdcCorpus(spark: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Materializer
+    val dir = ensureWalFixture(spark, d)
+    val stateDir = graft.Tables.scratchDir("graft_p4")
+    val raw = spark.readStream.format(classOf[CdcSourceProvider].getName)
+      .option("path", dir)
+      .option("publication", "graft_pub")
+      .option("maxFramesPerTrigger", "50000")
+      .load()
+    val assembled = TxnAssembler.assemble(raw).toDF()
+    val rec = coalesce(col("record"), col("old_record"))
+    val out = assembled.select(
+      element_at(rec, "seq").cast("long").as("seq"),
+      col("op"), col("table_name"),
+      element_at(rec, "id").cast("long").as("record_id"))
+    val spec = Materializer.Spec(
+      keyCols = Seq("table_name", "record_id"), buckets = 16)
+    val q = withStreamShuffle(spark)(
+      out.writeStream.foreachBatch(Materializer.sink(stateDir, spec))
+        .trigger(Trigger.AvailableNow()).start())
+    graft.GraftSession.awaitFinished(q)
+    graft.operators.Pipelines.replicaCorpusManifest(
+      Materializer.currentState(spark, stateDir, spec)
+        .select(col("table_name"), col("record_id")),
+      Tables.documents(spark, d))
   }
 
   /** S1's second mode — the JDBC-polling-shaped change-table lane

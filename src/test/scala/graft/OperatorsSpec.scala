@@ -869,6 +869,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.toSet == Set((2L, 1L, 2, 2)), s"got ${out.toSet}")
   }
 
+  test("pipe04 tail: replica manifest dedups cross-table payload copies, first (table, record) wins") {
+    import graft.operators.Pipelines
+    // records 5/user, 102/todo, 5/order all map to doc 5 (102 % 97 = 5):
+    // one canonical survivor by (table_name, record_id) lexicographic
+    // order → ('order', 5). record 10/user is unique; record 96/todo maps
+    // to a doc absent from the payload table and must drop out entirely.
+    val state = Seq(("user", 5L), ("todo", 102L), ("order", 5L), ("user", 10L),
+      ("todo", 96L)).toDF("table_name", "record_id")
+    val docs = Seq((5L, "shared payload text"), (10L, "unique payload"))
+      .toDF("doc_id", "text")
+    val out = Pipelines.replicaCorpusManifest(state, docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out.size == 4, s"missing-doc record must drop: ${out.keySet}")
+    assert(out(("order", 5L)) == ((5L, 3L, true)))
+    assert(out(("todo", 102L)) == ((5L, 3L, false)))
+    assert(out(("user", 5L)) == ((5L, 3L, false)))
+    assert(out(("user", 10L)) == ((10L, 2L, true)))
+  }
+
   test("dd16 chunk dedup: first occurrence wins, later copies stripped, text reassembled") {
     // w=8 units: doc 1 = [u1][u2]; doc 2 repeats u1 then has its own u3;
     // doc 3 repeats u1 AND u2 wholesale (loses everything); doc 4 has a
