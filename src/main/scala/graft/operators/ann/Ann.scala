@@ -595,6 +595,65 @@ object Ann {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** ann11 — HYBRID retrieval: BM25 sparse leg + brute-cosine dense leg
+    * fused by Reciprocal Rank Fusion (Cormack et al. 2009), the standard
+    * two-tower production shape (every RAG/search stack runs exactly
+    * this: lexical candidates ∪ vector candidates → rank fusion). The
+    * corpus is the documents/embeddings pair keyed by the shared id
+    * (doc_id ≡ vec_id); sparse queries are the [[graft.operators.text
+    * .TextOps.bm25Queries]] workload and each dense query is the
+    * embedding of the same id — one fused ranking per query.
+    *
+    * RRF is computed INTEGRALLY: contribution = `1000000 div (60 + rank)`
+    * per leg (k=60, the published constant; the 1e6 scale keeps the
+    * score integer so cross-engine float summation order never enters
+    * the contract). Absent legs contribute 0 and surface as rank 0.
+    *
+    * Scale shape: each leg is its own already-audited plan (bm25's
+    * two-stage bucketed top-k; the dense leg's broadcast-query single
+    * scan); fusion touches only the ≤ 2·kLeg survivors per query — a
+    * full-outer join on (query_id, doc_id) over a few dozen rows per
+    * query, never the corpus. At 10⁹ docs the legs dominate and the
+    * fusion cost is invisible.
+    */
+  def hybridRrfTopK(spark: SparkSession, d: String,
+      kLeg: Int = 20, k: Int = 10): DataFrame = {
+    import graft.operators.text.TextOps
+    val qids = TextOps.bm25Queries.map(_._1.toLong)
+    val sparse = TextOps.bm25TopKFor(
+        Tables.documents(spark, d), TextOps.bm25Queries, kLeg)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("doc_id"), col("rnk").as("sparse_rnk"))
+    val emb = Tables.spread(Tables.embeddings(spark, d))
+    val queries = broadcast(emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("doc_id"))
+    val dense = queries.join(emb, col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("sim"))
+      .withColumn("dense_rnk", row_number().over(w))
+      .filter(col("dense_rnk") <= kLeg)
+      .select(col("query_id"), col("doc_id"), col("dense_rnk"))
+    val fused = sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("sparse_rnk"), lit(0)).as("sparse_rnk"),
+        coalesce(col("dense_rnk"), lit(0)).as("dense_rnk"))
+      .withColumn("rrf_score",
+        (when(col("sparse_rnk") > 0,
+          expr("1000000 div (60 + sparse_rnk)")).otherwise(0L) +
+         when(col("dense_rnk") > 0,
+           expr("1000000 div (60 + dense_rnk)")).otherwise(0L))
+          .cast("long"))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(wf))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        col("rrf_score"), col("sparse_rnk"), col("dense_rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   def pqTopK(spark: SparkSession, d: String, m: Int = 4, ksub: Int = 16,
       nQueries: Int = 8, k: Int = 5): DataFrame =
     pqTopKOf(Tables.spread(Tables.embeddings(spark, d)

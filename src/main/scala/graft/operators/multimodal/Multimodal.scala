@@ -719,4 +719,101 @@ object Multimodal {
       .select(col("media_id"), col("canonical_id"), col("n_copies"))
       .orderBy(col("media_id"))
   }
+
+  val audioFpSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("afp_hi", LongType, nullable = false),
+    StructField("afp_lo", LongType, nullable = false)))
+
+  /** mm11 — PERCEPTUAL near-duplicate detection for AUDIO, mm09's
+    * sibling on the sound half of the multimodal family: each signal is
+    * WAV-encoded and decoded back through the REAL `javax.sound.sampled`
+    * codec, a 64-bit frame-energy fingerprint is computed from the
+    * DECODED samples (64 frames × 16 samples; bit f = `E_f·64 > ΣE`,
+    * the aHash mean-threshold discipline on energies — cross-multiplied,
+    * no division rounding to disagree on), and recordings bucket by
+    * fingerprint equality — re-encodes and sample-level dither that
+    * leave the energy envelope alone land in one bucket while a
+    * byte-hash (mm05) misses them.
+    *
+    * Fixture: per document a 1024-sample PCM signal whose samples follow
+    * a NONLINEAR integer formula of (media_id, i) (mod a prime before
+    * the amplitude fold, exactly mm09's reasoning); every
+    * `doc_id % 5 == 0` also plants a DITHERED COPY (media_id + 100000)
+    * with the amplitude code bumped by 1 on every 13th sample — a
+    * sub-envelope perturbation, the "same recording, different bytes"
+    * case. Fingerprint halves are packed unsigned-32 so the DuckDB
+    * oracle re-derives every bit in integer SQL (sample formula →
+    * |amp| → frame energy → threshold bits → equality join); WAV PCM is
+    * lossless, so the decoded-side fingerprint equals the formula-side
+    * one — decode + fingerprint + bucket proven end to end, and whether
+    * a given dithered copy collides is decided by the same integer
+    * arithmetic on both engines, never assumed.
+    *
+    * Scale shape: encode+decode+fingerprint is one narrow
+    * `mapPartitions` over the id column (PCM never leaves the task);
+    * 16 bytes per recording ride the bucket-count shuffle and the tiny
+    * join-back key — the dd01/mm09 discipline on the audio key.
+    */
+  def audioFpDedup(spark: SparkSession, d: String): DataFrame = {
+    val ids = Tables.documents(spark, d).select(col("doc_id"))
+      .select(explode(when(col("doc_id") % 5 === 0,
+        array(col("doc_id"), col("doc_id") + 100000L))
+        .otherwise(array(col("doc_id")))).as("media_id"))
+    val printed = audioFpOf(ids)
+    val buckets = printed.groupBy(col("afp_hi"), col("afp_lo"))
+      .agg(count(lit(1)).as("bucket_size"))
+    printed.join(buckets, Seq("afp_hi", "afp_lo"))
+      .select(col("media_id"), col("afp_hi"), col("afp_lo"),
+        col("bucket_size"), (col("bucket_size") > 1L).as("is_dup"))
+      .orderBy(col("media_id"))
+  }
+
+  /** The mm11 fixture generator + REAL decode + fingerprint: per
+    * media_id, synthesize the deterministic WAV, decode it through
+    * `javax.sound.sampled`, fingerprint the DECODED samples. Exposed for
+    * the spec's codec-exactness cross-check.
+    */
+  private[graft] def audioFpOf(ids: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioFpSchema)
+    ids.select(col("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val mid = r.getLong(0)
+        val id = if (mid >= 100000L) mid - 100000L else mid
+        val dithered = mid >= 100000L
+        // amplitude code in [0, 4096) — a HASH of (id, i) mod a prime
+        // with an id·i CROSS-TERM (without it the per-sample stride in
+        // the mod-65521 ring is id-independent, frame energies vary
+        // smoothly with the id offset, and distinct signals collide in
+        // droves); sample = code - 2048
+        def code(i: Int): Long = {
+          val c = ((id * 2654435761L + i * 40503L + id * i * 7919L + 17L)
+            % 65521L) % 4096L
+          if (dithered && i % 13 == 0) (c + 1L) % 4096L else c
+        }
+        val wav = AudioCodec.encodeWav(1024, 16000,
+          i => (code(i) - 2048L).toShort)
+        val pcm = AudioCodec.decodePcm16(wav).getOrElse(
+          throw new IllegalStateException(s"WAV for media $mid failed to decode"))
+        // fingerprint from the DECODED samples: 64 frames × 16 samples,
+        // bit f = E_f * 64 > total (cross-multiplied mean threshold)
+        val energy = new Array[Long](64)
+        var i = 0
+        while (i < pcm.length) {
+          energy(i / 16) += math.abs(pcm(i).toInt).toLong
+          i += 1
+        }
+        val total = energy.sum
+        var hi = 0L; var lo = 0L
+        var f = 0
+        while (f < 64) {
+          if (energy(f) * 64L > total) {
+            if (f >= 32) hi |= 1L << (f - 32) else lo |= 1L << f
+          }
+          f += 1
+        }
+        Row(mid, hi, lo)
+      }
+    }(enc)
+  }
 }

@@ -738,6 +738,57 @@ object TrainPrep {
     * this weight's SIGN wherever both masses are bucket-collision-free,
     * and DsirSpec pins the ranking on a planted vocabulary skew.
     */
+  /** tp13 — CCNet-style PERPLEXITY BUCKETING (Wenzek et al. 2020): rank
+    * the corpus by language-model fluency and split it into head /
+    * middle / tail thirds — the standard "keep the fluent third, drop
+    * the garbled tail" curation gate. The LM signal is txt17's pooled
+    * bigram conditional estimate (`Σc₂/Σc₁` ∈ [0,1], higher = more
+    * fluent = lower perplexity); since c₂(w1,w2) ≤ c₁(w1) per bigram,
+    * the pooled ratio is bounded and maps onto a FIXED INTEGER GRID.
+    *
+    * The tercile cutoffs come from a distributed HISTOGRAM, not a global
+    * per-doc sort (the scale decision): each doc's score lands in one of
+    * `grid` cells (one narrow projection), the per-cell counts are a
+    * map-side-combined groupBy whose output is ≤ `grid` rows, and the
+    * cutoff cells fall out of one running sum over that bounded table
+    * (the single-partition window is over ≤ 65 536 rows — independent of
+    * corpus size). Docs then bucket by comparing their cell against the
+    * two broadcast cutoffs. Buckets are exact to cell granularity —
+    * the same contract a KLL/t-digest quantile gives, but fully
+    * deterministic: cutoff-cell docs go to the HIGHER bucket, so both
+    * engines agree doc by doc. CCNet itself thresholds on quantiles
+    * computed offline once; this is that computation, kept in-plan.
+    */
+  def perplexityBuckets(spark: SparkSession, d: String,
+      grid: Int = 65536): DataFrame = {
+    val scores = TextOps.bigramFamiliarity(spark, d)
+      .select(col("doc_id"), col("n_bigrams"), col("cond_familiarity"))
+      .withColumn("gcell",
+        least(floor(col("cond_familiarity") * grid).cast("long"),
+          lit(grid - 1L)))
+    val cells = scores.groupBy(col("gcell")).agg(count(lit(1)).as("cnt"))
+    // running doc count from the MOST fluent cell down; ≤ grid rows, so
+    // the unpartitioned window is bounded and corpus-size independent
+    val cum = cells.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("gcell").desc)))
+      .crossJoin(broadcast(cells.agg(sum(col("cnt")).as("n"))))
+    // head = cells down to where the running count first reaches N/3;
+    // middle down to 2N/3. Cutoffs are the LARGEST cells satisfying
+    // cum ≥ target (the first reached walking down); `3·cum ≥ N` is the
+    // integer cross-multiplied form of `cum ≥ ⌈N/3⌉` — no division
+    val cuts = broadcast(cum.agg(
+      max(when(col("cum") * 3L >= col("n"), col("gcell"))).as("h_cut"),
+      max(when(col("cum") * 3L >= col("n") * 2L, col("gcell"))).as("m_cut")))
+    scores.crossJoin(cuts)
+      .select(col("doc_id"), col("n_bigrams"), col("cond_familiarity"),
+        col("gcell"),
+        when(col("gcell") >= col("h_cut"), "head")
+          .when(col("gcell") >= col("m_cut"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .withColumn("kept", col("ppl_bucket") =!= "tail")
+      .orderBy(col("doc_id"))
+  }
+
   def dsirLogWeights(documents: DataFrame, targetPred: Column,
       alpha: Double = 1.0, buckets: Int = 65536): DataFrame = {
     val g = dsirGrams(documents.withColumn("lang",

@@ -619,6 +619,63 @@ SELECT vec_id + 100000 AS query_id, vec_id AS match_id,
   CAST(1.0 AS DOUBLE) AS sim
 FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
 
+    // ann11: hybrid BM25+cosine retrieval fused by integral RRF — the
+    // sparse leg is txt14's full BM25 derivation cut at kLeg=20, the
+    // dense leg is ann01's cosine ranking for query ids 1–3 cut at 20,
+    // fusion is 1000000 // (60 + rank) per present leg (integer: no
+    // float summation order in the contract), final top-10 per query
+    "ann11_hybrid_rrf" -> s"""$toksCte,
+tok AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+qt AS (SELECT doc_id, dl, term FROM tok
+  WHERE term IN (${Bm25.termList})),
+tf AS (
+  SELECT doc_id, dl, ${Bm25.tfAggs}
+  FROM qt GROUP BY doc_id, dl),
+stats AS (SELECT count(*) AS n_docs, sum(len(t)) AS total_tokens FROM toks),
+dfs AS (SELECT ${Bm25.dfAggs} FROM tf),
+scored AS (
+${Bm25.scoredUnion}),
+sp AS (
+  SELECT query_id, doc_id, sparse_rnk FROM (
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, doc_id ASC) AS sparse_rnk
+    FROM scored) WHERE sparse_rnk <= 20),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id IN (1, 2, 3)),
+sims AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+    list_cosine_similarity(
+      list_transform(q.q_emb, x -> CAST(x AS DOUBLE)),
+      list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+de AS (
+  SELECT query_id, doc_id, dense_rnk FROM (
+    SELECT query_id, doc_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY sim DESC, doc_id ASC) AS dense_rnk
+    FROM sims) WHERE dense_rnk <= 20),
+fused AS (
+  SELECT coalesce(sp.query_id, de.query_id) AS query_id,
+         coalesce(sp.doc_id, de.doc_id) AS doc_id,
+         coalesce(sp.sparse_rnk, 0) AS sparse_rnk,
+         coalesce(de.dense_rnk, 0) AS dense_rnk
+  FROM sp FULL OUTER JOIN de
+    ON sp.query_id = de.query_id AND sp.doc_id = de.doc_id),
+sc AS (
+  SELECT query_id, doc_id, sparse_rnk, dense_rnk,
+    CAST(CASE WHEN sparse_rnk > 0 THEN 1000000 // (60 + sparse_rnk) ELSE 0 END
+       + CASE WHEN dense_rnk > 0 THEN 1000000 // (60 + dense_rnk) ELSE 0 END
+      AS BIGINT) AS rrf_score
+  FROM fused),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY rrf_score DESC, doc_id ASC) AS rnk
+  FROM sc)
+SELECT query_id, rnk, doc_id, rrf_score, sparse_rnk, dense_rnk
+FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
     // SCD Type 2: each insert/update opens a version valid until the
     // record's next change (a delete closes without opening); lead() over
     // (table, record, seq) on both engines
@@ -1210,6 +1267,48 @@ FROM m JOIN luma ON m.media_id = luma.media_id
        JOIN rz ON m.media_id = rz.media_id
 ORDER BY m.media_id""",
 
+    // mm11: the audio near-dup fingerprint derived from FIRST PRINCIPLES —
+    // sample formula → |amplitude| → 64 frame energies → cross-multiplied
+    // mean-threshold bits → two unsigned 32-bit halves → equality-join
+    // buckets. WAV PCM is lossless, so the engine's decoded-side
+    // fingerprint must equal this
+    "mm11_audio_fp" -> """
+WITH ids AS (
+  SELECT unnest(CASE WHEN doc_id % 5 = 0
+                THEN [doc_id, doc_id + 100000]
+                ELSE [doc_id] END) AS media_id
+  FROM documents),
+samp AS (
+  SELECT media_id,
+    CASE WHEN media_id >= 100000 THEN media_id - 100000 ELSE media_id END AS id,
+    media_id >= 100000 AS dithered, i
+  FROM ids, range(0, 1024) t(i)),
+amp AS (
+  SELECT media_id, i // 16 AS frame,
+    abs((CASE WHEN dithered AND i % 13 = 0
+         THEN (((id * 2654435761 + i * 40503 + id * i * 7919 + 17) % 65521) % 4096 + 1) % 4096
+         ELSE ((id * 2654435761 + i * 40503 + id * i * 7919 + 17) % 65521) % 4096 END) - 2048) AS a
+  FROM samp),
+fe AS (SELECT media_id, frame, sum(a) AS e FROM amp GROUP BY 1, 2),
+tot AS (SELECT media_id, sum(e) AS total FROM fe GROUP BY 1),
+bits AS (
+  SELECT f.media_id, f.frame,
+    CASE WHEN f.e * 64 > t.total THEN 1 ELSE 0 END AS b
+  FROM fe f JOIN tot t USING (media_id)),
+fp AS (
+  SELECT media_id,
+    CAST(sum(CASE WHEN frame >= 32
+             THEN b * (CAST(1 AS BIGINT) << (frame - 32)) ELSE 0 END) AS BIGINT) AS afp_hi,
+    CAST(sum(CASE WHEN frame < 32
+             THEN b * (CAST(1 AS BIGINT) << frame) ELSE 0 END) AS BIGINT) AS afp_lo
+  FROM bits GROUP BY 1),
+bk AS (SELECT afp_hi, afp_lo, count(*) AS bucket_size
+       FROM fp GROUP BY 1, 2)
+SELECT f.media_id, f.afp_hi, f.afp_lo, bk.bucket_size,
+       bk.bucket_size > 1 AS is_dup
+FROM fp f JOIN bk USING (afp_hi, afp_lo)
+ORDER BY media_id""",
+
     // mm07: the audio sibling of mm06 — Spark WAV-encodes a deterministic
     // 16-bit PCM signal per doc and computes every column from the
     // DECODED side (real javax.sound RIFF/WAVE parse); this oracle
@@ -1771,6 +1870,50 @@ SELECT w.doc_id, w.n_tokens,
 FROM wn w LEFT JOIN h USING (doc_id)
 WHERE w.doc_id % 17 <> 0
 ORDER BY w.doc_id""",
+
+    // tp13: CCNet-style perplexity terciles — txt17's pooled bigram
+    // conditional estimate onto a 65536-cell integer grid (×2^16 is an
+    // EXACT double scaling), per-cell histogram, running count from the
+    // most fluent cell down, cutoff cells by the integer
+    // cross-multiplication 3·cum ≥ N / 3·cum ≥ 2N, cutoff-cell docs to
+    // the higher bucket — deterministic doc by doc on both engines
+    "tp13_ppl_buckets" -> s"""$toksCte,
+big AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        FROM toks WHERE len(t) >= 2)),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+per AS (
+  SELECT big.doc_id, count(*) AS n_bigrams, sum(c2.c2) AS sum_big_cnt,
+    sum(c1.c1) AS sum_ctx_cnt
+  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY 1),
+sc AS (
+  SELECT d.doc_id,
+    CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+    CASE WHEN COALESCE(per.n_bigrams, 0) > 0
+         THEN CAST(per.sum_big_cnt AS DOUBLE) / per.sum_ctx_cnt
+         ELSE CAST(0 AS DOUBLE) END AS cond_familiarity
+  FROM toks d LEFT JOIN per USING (doc_id)),
+gc AS (
+  SELECT doc_id, n_bigrams, cond_familiarity,
+    least(CAST(floor(cond_familiarity * 65536) AS BIGINT), 65535) AS gcell
+  FROM sc),
+cells AS (SELECT gcell, count(*) AS cnt FROM gc GROUP BY 1),
+cum AS (
+  SELECT gcell, sum(cnt) OVER (ORDER BY gcell DESC) AS cum,
+         (SELECT sum(cnt) FROM cells) AS n
+  FROM cells),
+cuts AS (
+  SELECT max(CASE WHEN cum * 3 >= n THEN gcell END) AS h_cut,
+         max(CASE WHEN cum * 3 >= n * 2 THEN gcell END) AS m_cut
+  FROM cum)
+SELECT g.doc_id, g.n_bigrams, g.cond_familiarity, g.gcell,
+  CASE WHEN g.gcell >= c.h_cut THEN 'head'
+       WHEN g.gcell >= c.m_cut THEN 'middle'
+       ELSE 'tail' END AS ppl_bucket,
+  g.gcell >= c.m_cut AS kept
+FROM gc g CROSS JOIN cuts c ORDER BY g.doc_id""",
 
     // tp12: DSIR hashed-ngram importance scoring — unigrams+bigrams into a
     // 65536-bucket space (first 4 md5 hex digits), target model = lang='en'

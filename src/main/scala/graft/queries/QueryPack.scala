@@ -228,6 +228,9 @@ object QueryPack {
     "ann08_ivf_pq"      -> ((s, d) => PqIndex.selfRecallIvfPersisted(s, d)), // cell-pruned IVF+PQ search
     "ann09_ivfadc_residual" -> ((s, d) => PqIndex.selfRecallIvfResidual(s, d)), // residual-coded IVFADC
     "ann10_sq8"         -> ((s, d) => Ann.sq8SelfRecall(s, d)), // int8 scalar-quantized search
+    // hybrid retrieval: BM25 sparse leg ∪ cosine dense leg, integral
+    // reciprocal-rank fusion — see Ann.hybridRrfTopK
+    "ann11_hybrid_rrf"  -> ((s, d) => Ann.hybridRrfTopK(s, d)),
 
     // ---- multimodal ----
     "mm01_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),
@@ -244,6 +247,10 @@ object QueryPack {
     // real javax.sound WAV encode→decode round trip vs the sample
     // formula re-derived oracle-side — see Multimodal.audioRoundTrip
     "mm07_audio_roundtrip" -> ((s, d) => Multimodal.audioRoundTrip(s, d)),
+    // perceptual audio near-dup: frame-energy fingerprint over REAL
+    // decoded PCM, every bit re-derived oracle-side from the sample
+    // formula — see Multimodal.audioFpDedup
+    "mm11_audio_fp"      -> ((s, d) => Multimodal.audioFpDedup(s, d)),
     // ISO BMFF (MP4) header write→parse round trip vs the geometry
     // formulas re-derived oracle-side — see Multimodal.videoProbe
     "mm08_video_probe" -> ((s, d) => Multimodal.videoProbe(s, d)),
@@ -273,7 +280,10 @@ object QueryPack {
     "tp10_contamination" -> ((s, d) => TrainPrep.contaminationScreen(s, d)),
     "tp11_packed_masks"  -> ((s, d) => TrainPrep.packedLossMask(s, d)),
     // DSIR-style hashed-ngram importance scoring (integral gating form)
-    "tp12_dsir"          -> ((s, d) => TrainPrep.dsirScores(s, d))
+    "tp12_dsir"          -> ((s, d) => TrainPrep.dsirScores(s, d)),
+    // CCNet-style perplexity head/middle/tail bucketing via a
+    // distributed histogram (no global per-doc sort)
+    "tp13_ppl_buckets"   -> ((s, d) => TrainPrep.perplexityBuckets(s, d))
   )
 
   /** D1-D11 showcase: a distributed decode of binary pgoutput frames

@@ -855,6 +855,75 @@ class OperatorsSpec extends AnyFunSuite {
     assert(self * 2 > out.length, s"only $self/${out.length} self pairs")
   }
 
+  test("ann11: RRF fusion is the integral formula of the leg ranks; both legs surface") {
+    import graft.operators.ann.Ann
+    val rows = Ann.hybridRrfTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sRnk, dRnk, score) = (r.getInt(4), r.getInt(5), r.getLong(3))
+      val want = (if (sRnk > 0) 1000000L / (60 + sRnk) else 0L) +
+        (if (dRnk > 0) 1000000L / (60 + dRnk) else 0L)
+      assert(score == want, s"row $r rrf drift")
+      assert(sRnk > 0 || dRnk > 0, s"row $r in neither leg")
+    }
+    // each bm25 workload query produced a fused top-k with both legs
+    // represented somewhere (the corpus has lexical AND vector neighbors)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(1L, 2L, 3L), s"queries ${byQ.keySet}")
+    byQ.values.foreach { qr =>
+      assert(qr.exists(_.getInt(4) > 0) && qr.exists(_.getInt(5) > 0))
+      val ranks = qr.map(_.getInt(1)).sorted.toSeq
+      assert(ranks == (1 to qr.length), s"rank gap in $ranks")
+    }
+  }
+
+  test("mm11: decoded-side audio fingerprint equals the formula-side one bit for bit") {
+    import spark.implicits._
+    import graft.operators.multimodal.Multimodal
+    val ids = Seq(3L, 40L, 117L, 100040L).toDF("media_id")
+    val got = Multimodal.audioFpOf(ids).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // re-derive each fingerprint from the sample formula alone — no codec
+    ids.collect().map(_.getLong(0)).foreach { mid =>
+      val id = if (mid >= 100000L) mid - 100000L else mid
+      val dithered = mid >= 100000L
+      val energy = new Array[Long](64)
+      (0 until 1024).foreach { i =>
+        val c0 = ((id * 2654435761L + i * 40503L + id * i * 7919L + 17L)
+          % 65521L) % 4096L
+        val c = if (dithered && i % 13 == 0) (c0 + 1L) % 4096L else c0
+        energy(i / 16) += math.abs(c - 2048L)
+      }
+      val total = energy.sum
+      var hi = 0L; var lo = 0L
+      (0 until 64).foreach { f =>
+        if (energy(f) * 64L > total) {
+          if (f >= 32) hi |= 1L << (f - 32) else lo |= 1L << f
+        }
+      }
+      assert(got(mid) == ((hi, lo)), s"media $mid codec/formula drift")
+    }
+  }
+
+  test("mm11: dithered copies collide with their originals; distinct signals hash apart") {
+    import graft.operators.multimodal.Multimodal
+    val rows = Multimodal.audioFpDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)), r.getLong(3)))
+    val fp = rows.map { case (id, h, _) => id -> h }.toMap
+    val copies = fp.keys.filter(_ >= 100000L).toSeq
+    assert(copies.nonEmpty)
+    // ±1 on every 13th amplitude code moves each frame energy by at most
+    // ~2 against a mean-threshold: collisions must dominate
+    val collide = copies.count(c => fp(c) == fp(c - 100000L))
+    assert(collide * 2 > copies.size, s"only $collide/${copies.size} collide")
+    // originals are hash-distinct in the overwhelming majority: buckets
+    // of size >2 would mean accidental cross-original collisions
+    val origs = fp.keys.filter(_ < 100000L).toSeq
+    val distinctFps = origs.map(fp).distinct.size
+    assert(distinctFps * 10 > origs.size * 9,
+      s"only $distinctFps/${origs.size} distinct original fingerprints")
+  }
+
   test("dd15 containment: subsets detected, direction asymmetric, partial overlap excluded") {
     import spark.implicits._
     val docs = Seq(

@@ -433,6 +433,30 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(s(100L)._1 > 0 && s(101L)._1 < 0)
   }
 
+  test("tp13: terciles are grid-ordered, cutoff-exact in size, kept = not tail") {
+    val rows = TrainPrep.perplexityBuckets(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getString(4), r.getBoolean(5)))
+    val n = rows.length
+    assert(n > 0)
+    rows.foreach { case (_, _, b, kept) => assert(kept == (b != "tail")) }
+    val byB = rows.groupBy(_._3).map { case (b, rs) => b -> rs.map(_._2) }
+    assert(byB.keySet == Set("head", "middle", "tail"), s"${byB.keySet}")
+    // grid ordering: every head cell ≥ every middle cell ≥ every tail cell
+    assert(byB("head").min >= byB("middle").max)
+    assert(byB("middle").min > byB("tail").max)
+    // cutoff exactness: head holds ≥ N/3 docs but overshoots by less than
+    // its boundary cell's mass; head+middle likewise at 2N/3
+    val hCut = byB("head").min
+    val hMass = rows.count(_._2 == hCut)
+    assert(3 * byB("head").size >= n)
+    assert(3 * (byB("head").size - hMass) < n,
+      s"head ${byB("head").size} overshoots beyond its cutoff cell ($hMass)")
+    val hm = byB("head").size + byB("middle").size
+    val mCut = byB("middle").min
+    val mMass = rows.count(_._2 == mCut)
+    assert(3 * hm >= 2 * n && 3 * (hm - mMass) < 2 * n)
+  }
+
   test("tp12 plan: model tables join broadcast; no cartesian on the gram lane") {
     val df = TrainPrep.dsirScores(spark, sf)
     df.collect() // AQE finalizes on execution
