@@ -747,6 +747,32 @@ SELECT table_name, record_id, last_seq, commit_ms, k, val_cents
 FROM last WHERE last_op <> 'delete'
 ORDER BY table_name, record_id""",
 
+    // pipe05: the Morton interleave re-derived bit by bit — source-suffix
+    // and length-bucket codes, z = Σ bit_i(src)·2^(2i+1) + bit_i(ncb)·2^2i,
+    // fixed-width pid = z·16 // 1024, per-pid min/max spans on BOTH dims
+    "pipe05_zorder_layout" -> """
+WITH c AS (
+  SELECT doc_id, source,
+    CAST(substring(source, 4) AS INT) AS src_code,
+    least(n_chars // 32, 31) AS ncb
+  FROM documents),
+z AS (
+  SELECT doc_id, source, src_code, ncb,
+    ((src_code >> 0) & 1) * 2 + ((ncb >> 0) & 1) * 1 +
+    ((src_code >> 1) & 1) * 8 + ((ncb >> 1) & 1) * 4 +
+    ((src_code >> 2) & 1) * 32 + ((ncb >> 2) & 1) * 16 +
+    ((src_code >> 3) & 1) * 128 + ((ncb >> 3) & 1) * 64 +
+    ((src_code >> 4) & 1) * 512 + ((ncb >> 4) & 1) * 256 AS z
+  FROM c)
+SELECT z * 16 // 1024 AS pid,
+  count(*) AS n_docs,
+  count(DISTINCT source) AS n_sources,
+  max(src_code) - min(src_code) AS src_span,
+  CAST(max(ncb) - min(ncb) AS INT) AS ncb_span,
+  CAST(min(z) AS BIGINT) AS min_z,
+  CAST(max(z) AS BIGINT) AS max_z
+FROM z GROUP BY 1 ORDER BY pid""",
+
     // pipe04: cdc25's last-op-wins state, mapped onto document payloads
     // (record_id % 97 — collisions across tables are the point), exact-
     // deduped with (table_name, record_id) first-occurrence arbitration

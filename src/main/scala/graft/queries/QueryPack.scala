@@ -266,6 +266,10 @@ object QueryPack {
     // the replica-to-corpus composition: cdc25's apply loop feeding the
     // dedup manifest — CDC source → assembly → Materializer → dedup
     "pipe04_cdc_corpus"  -> ((s, d) => streamCdcCorpus(s, d)),
+    // z-order (Morton) layout audit: every fixed-width z partition
+    // covers an aligned 8×8 (source, length-bucket) rectangle — the
+    // multi-dim min/max pruning a single-column sort cannot give
+    "pipe05_zorder_layout" -> ((s, d) => graft.operators.Layout.zOrderStats(s, d)),
 
     // ---- training prep (decontaminate / split / pack / pii / quantize) ----
     "tp01_decontaminate" -> ((s, d) => TrainPrep.decontaminate(s, d)),

@@ -855,6 +855,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(self * 2 > out.length, s"only $self/${out.length} self pairs")
   }
 
+  test("pipe05: z partitions are aligned rectangles — both spans bounded at 7") {
+    import graft.operators.Layout
+    val rows = Layout.zOrderStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    // every fixed-width 64-length z range is an aligned 8×8 rectangle of
+    // (source, length-bucket) space: spans can never exceed 7 on EITHER
+    // dimension — the property a single-column sort cannot give
+    rows.foreach { case (pid, _, srcSpan, ncbSpan) =>
+      assert(srcSpan <= 7 && ncbSpan <= 7, s"pid $pid spans $srcSpan/$ncbSpan")
+    }
+    val total = rows.map(_._2).sum
+    val docs = graft.Tables.documents(spark, sf).count()
+    assert(total == docs, s"layout covers $total of $docs docs")
+    // multi-dim locality beats the single-sort alternative: the corpus's
+    // global length span is far wider than any partition's
+    val globalNcb = graft.Tables.documents(spark, sf)
+      .selectExpr("max(least(cast(n_chars / 32 as int), 31)) - " +
+        "min(least(cast(n_chars / 32 as int), 31))").collect()(0).getInt(0)
+    assert(rows.map(_._4).max < globalNcb,
+      s"partition ncb spans must beat the global span $globalNcb")
+  }
+
+  test("pipe05: the z-ordered write round-trips and stays sorted within partitions") {
+    import graft.operators.Layout
+    val dir = java.nio.file.Files.createTempDirectory("pipe05_spec").toString
+    val docs = graft.Tables.documents(spark, sf)
+    val n = Layout.writeZOrdered(docs, s"$dir/z")
+    assert(n == docs.count())
+    // within every written file the z column is non-decreasing (tight
+    // row-group min/max stats — what the scan prunes with)
+    val perFile = spark.read.parquet(s"$dir/z")
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"), col("z"))
+      .collect().groupBy(_.getString(0))
+    perFile.values.foreach { rs =>
+      val zs = rs.map(_.getLong(1)).toSeq
+      assert(zs == zs.sorted, "z not sorted within a file")
+    }
+  }
+
   test("ann11: RRF fusion is the integral formula of the leg ranks; both legs surface") {
     import graft.operators.ann.Ann
     val rows = Ann.hybridRrfTopK(spark, sf).collect()
