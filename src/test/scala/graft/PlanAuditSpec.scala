@@ -477,6 +477,58 @@ class PlanAuditSpec extends AnyFunSuite {
       s"prune list not probe-sized: $cells")
   }
 
+  test("mm11: the audio fingerprint shuffles 16-byte keys, never PCM") {
+    val df = SparkEntry.queries("mm11_audio_fp")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("partial_count"), "bucket count lost its map-side combine")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).mkString("\n")
+    val allowed = """(afp_hi|afp_lo|media_id|count|bucket_size)"""
+    val cols = s"""(?<![A-Za-z0-9_])(?!$allowed)[a-z_]+#\\d+""".r
+    assert(cols.findFirstIn(exchanges).isEmpty,
+      s"unexpected column rides the mm11 shuffle:\n$exchanges")
+  }
+
+  test("ann11: legs broadcast their query side; fusion never cartesians; group limits hold") {
+    val df = SparkEntry.queries("ann11_hybrid_rrf")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), s"hybrid fusion cartesianed:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "dense-leg query side must broadcast")
+    // every ranking window (two leg cuts + the fusion cut) carries a
+    // WindowGroupLimit so only per-group top rows survive the shuffle
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 3,
+      s"a ranking window lost its group limit:\n$p")
+  }
+
+  test("tp13: cutoffs come from the bounded cell histogram, not a per-doc sort") {
+    val df = SparkEntry.queries("tp13_ppl_buckets")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the histogram is a map-side-combined groupBy on the grid cell
+    assert(p.contains("partial_count"), "cell histogram lost its map-side combine")
+    // exactly ONE window runs in the whole plan — the running sum over
+    // ≤65536 cells; a second would mean a per-doc ranking crept back in
+    assert("Window".r.findAllIn(p).size -
+      "WindowGroupLimit".r.findAllIn(p).size == 1,
+      s"unexpected extra window (per-doc sort regression):\n$p")
+    // both scalar sides (N and the two cutoffs) broadcast to the docs
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2,
+      "cutoff scalars must broadcast, not shuffle the corpus")
+  }
+
+  test("pipe05: the layout audit is one map-side-combined agg — no joins at all") {
+    val df = SparkEntry.queries("pipe05_zorder_layout")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), s"pipe05 grew a join:\n$p")
+    assert(p.contains("partial_count"), "pid stats lost their map-side combine")
+    // z/pid are literal-folded integer arithmetic inside codegen
+    assert(p.contains("*(1)"), "layout projection fell out of codegen")
+  }
+
   test("whole-stage codegen covers the scan pipelines of every analytics query") {
     Seq("q01_pricing_summary", "q04_forecast_revenue", "txt01_token_stats")
       .foreach { q =>
