@@ -89,5 +89,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("word_chunks", 3)(a => WordChunks(a(0),
       intLit(a, 1, "word_chunks"), intLit(a, 2, "word_chunks")))
     reg("bm25_score", 5)(a => Bm25Score(a(0), a(1), a(2), a(3), a(4)))
+    // zorder_key(a, b, bits): Morton interleave of two bucket codes — the
+    // pipe05 layout key from SQL. Expands to the same shift/mask/add tree
+    // the Column API builds (Layout.zOrderKey), all stock codegen'd
+    // expressions; bits shapes the tree, so it must be an INT literal.
+    reg("zorder_key", 3) { a =>
+      import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Cast, Multiply, ShiftRight}
+      import org.apache.spark.sql.types.LongType
+      val bits = intLit(a, 2, "zorder_key")
+      require(bits >= 1 && bits <= 31, s"zorder_key: bits must be in [1,31], got $bits")
+      def lane(e: Expression, pos: Int => Int): Seq[Expression] =
+        (0 until bits).map { i =>
+          Multiply(
+            Cast(BitwiseAnd(ShiftRight(e, Literal(i)), Literal(1)), LongType),
+            Literal(1L << pos(i)))
+        }
+      (lane(a(0), i => 2 * i + 1) ++ lane(a(1), i => 2 * i))
+        .reduce[Expression]((x, y) => Add(x, y))
+    }
   }
 }

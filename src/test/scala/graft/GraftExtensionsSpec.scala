@@ -79,6 +79,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sql.nonEmpty && sql.toSeq == api.toSeq)
   }
 
+  test("zorder_key from SQL reproduces Layout.zOrderKey bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val grid = (0 until 32).flatMap(a => (0 until 32).map(b => (a, b))).toDF("a", "b")
+    val viaSql = grid.selectExpr("a", "b", "zorder_key(a, b, 5) AS z")
+    val viaCol = grid.select(col("a"), col("b"),
+      graft.operators.Layout.zOrderKey(col("a"), col("b"), 5).as("z"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+    // spot-check the Morton identity: a=0b11111, b=0 → odd bit positions
+    val z = viaSql.where("a = 31 AND b = 0").collect()(0).getLong(2)
+    assert(z == (2L + 8L + 32L + 128L + 512L), s"z=$z")
+    // bits must be an INT literal — it shapes the expression
+    val e = intercept[Exception](spark.sql("SELECT zorder_key(1, 2, 1 + 2)").collect())
+    assert(e.getMessage.contains("INT literal"))
+  }
+
   test("bm25_score from SQL reproduces TextOps.bm25TopK bit-for-bit") {
     import graft.operators.text.TextOps
     import spark.implicits._
