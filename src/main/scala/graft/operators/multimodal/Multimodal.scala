@@ -720,6 +720,68 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** mm12 — mm11's perceptual audio dedup as a CRAWL LOOP, completing the
+    * crawl-loop × modality matrix (text dd13, embeddings ann07, image
+    * mm10, audio here): arriving recordings are decoded + fingerprinted,
+    * screened against the persisted hash index, and folded into it per
+    * micro-batch. The index layer is the SAME generic 64-bit-pair-key
+    * store mm10 uses ([[ahashIndexAppend]]/[[screenAhash]] — nothing in
+    * it is image-specific; the fingerprint columns rename at the seam),
+    * so the audio lane inherits the group-pruned partitioned leaves and
+    * idempotent batch-tag folds unchanged.
+    *
+    * Gate: the matched (batch, corpus-original) pairs are exactly the
+    * equal-derived-fingerprint relation, which the DuckDB oracle
+    * re-computes bit by bit from the mm11 sample formulas — whether a
+    * given dithered copy collides is decided by the same integer
+    * arithmetic on both engines. Copies folded into the index screen
+    * later batches too; copy↔copy pairs are batch-order-dependent and
+    * filtered from the gated output (the mm10 discipline).
+    */
+  def streamingAudioFpSelfRecall(spark: SparkSession, d: String,
+      nBatches: Int = 4): DataFrame = {
+    val tmp = graft.Tables.scratchDir("graft_mm12")
+    val indexDir = s"$tmp/index"
+    val stageDir = s"$tmp/arrivals"
+    val outDir = s"$tmp/pairs"
+    def asKey(fp: DataFrame): DataFrame = fp
+      .withColumnRenamed("afp_hi", "ahash_hi")
+      .withColumnRenamed("afp_lo", "ahash_lo")
+    val orig = Tables.documents(spark, d)
+      .select(col("doc_id").as("media_id"))
+    graft.streaming.Graft.CrawlMetrics.timed("graft-mm12-afp-loop-bootstrap") {
+      ahashIndexAppend(asKey(audioFpOf(orig)), indexDir, "corpus")
+    }
+    Tables.documents(spark, d).select(col("doc_id"))
+      .filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("media_id"))
+      .repartition(nBatches, col("media_id"))
+      .write.parquet(stageDir)
+    val schema = spark.read.parquet(stageDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    val q = graft.GraftSession.withStreamShuffle(spark)(
+      stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.streaming.Graft.CrawlMetrics.timed("graft-mm12-afp-loop") {
+          // cache: decode+fingerprint feeds the screen's group collect,
+          // the screen join, and the fold — uncached it would run 3×
+          val hashed = asKey(audioFpOf(batch)).cache()
+          try {
+            screenAhash(spark, indexDir, hashed)
+              .write.mode("append").parquet(outDir)
+            ahashIndexAppend(hashed, indexDir, f"b$bid%06d")
+          } finally { hashed.unpersist(); () }
+        }
+      }.queryName("graft-mm12-afp-loop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
+    graft.GraftSession.awaitFinished(q)
+    spark.read.parquet(outDir)
+      .filter(col("corpus_id") < 100000L)
+      .select(col("batch_id"), col("corpus_id"))
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
   val audioFpSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("afp_hi", LongType, nullable = false),

@@ -1335,6 +1335,44 @@ SELECT f.media_id, f.afp_hi, f.afp_lo, bk.bucket_size,
 FROM fp f JOIN bk USING (afp_hi, afp_lo)
 ORDER BY media_id""",
 
+    // mm12: the audio crawl loop gates on the copy→ORIGINAL
+    // equal-fingerprint relation — the same mm11 bit-by-bit derivation,
+    // joined on fingerprint equality across the planted boundary
+    "mm12_afp_stream" -> """
+WITH ids AS (
+  SELECT unnest(CASE WHEN doc_id % 5 = 0
+                THEN [doc_id, doc_id + 100000]
+                ELSE [doc_id] END) AS media_id
+  FROM documents),
+samp AS (
+  SELECT media_id,
+    CASE WHEN media_id >= 100000 THEN media_id - 100000 ELSE media_id END AS id,
+    media_id >= 100000 AS dithered, i
+  FROM ids, range(0, 1024) t(i)),
+amp AS (
+  SELECT media_id, i // 16 AS frame,
+    abs((CASE WHEN dithered AND i % 13 = 0
+         THEN (((id * 2654435761 + i * 40503 + id * i * 7919 + 17) % 65521) % 4096 + 1) % 4096
+         ELSE ((id * 2654435761 + i * 40503 + id * i * 7919 + 17) % 65521) % 4096 END) - 2048) AS a
+  FROM samp),
+fe AS (SELECT media_id, frame, sum(a) AS e FROM amp GROUP BY 1, 2),
+tot AS (SELECT media_id, sum(e) AS total FROM fe GROUP BY 1),
+bits AS (
+  SELECT f.media_id, f.frame,
+    CASE WHEN f.e * 64 > t.total THEN 1 ELSE 0 END AS b
+  FROM fe f JOIN tot t USING (media_id)),
+fp AS (
+  SELECT media_id,
+    CAST(sum(CASE WHEN frame >= 32
+             THEN b * (CAST(1 AS BIGINT) << (frame - 32)) ELSE 0 END) AS BIGINT) AS afp_hi,
+    CAST(sum(CASE WHEN frame < 32
+             THEN b * (CAST(1 AS BIGINT) << frame) ELSE 0 END) AS BIGINT) AS afp_lo
+  FROM bits GROUP BY 1)
+SELECT c.media_id AS batch_id, o.media_id AS corpus_id
+FROM fp c JOIN fp o USING (afp_hi, afp_lo)
+WHERE c.media_id >= 100000 AND o.media_id < 100000
+ORDER BY batch_id, corpus_id""",
+
     // mm07: the audio sibling of mm06 — Spark WAV-encodes a deterministic
     // 16-bit PCM signal per doc and computes every column from the
     // DECODED side (real javax.sound RIFF/WAVE parse); this oracle

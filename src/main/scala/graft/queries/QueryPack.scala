@@ -251,6 +251,9 @@ object QueryPack {
     // decoded PCM, every bit re-derived oracle-side from the sample
     // formula — see Multimodal.audioFpDedup
     "mm11_audio_fp"      -> ((s, d) => Multimodal.audioFpDedup(s, d)),
+    // the audio crawl loop: decode→fingerprint→screen→fold per
+    // micro-batch over the generic persisted hash index
+    "mm12_afp_stream"    -> ((s, d) => Multimodal.streamingAudioFpSelfRecall(s, d)),
     // ISO BMFF (MP4) header write→parse round trip vs the geometry
     // formulas re-derived oracle-side — see Multimodal.videoProbe
     "mm08_video_probe" -> ((s, d) => Multimodal.videoProbe(s, d)),

@@ -964,6 +964,18 @@ class OperatorsSpec extends AnyFunSuite {
       s"only $distinctFps/${origs.size} distinct original fingerprints")
   }
 
+  test("mm12: the audio crawl loop recovers exactly the equal-fingerprint relation") {
+    import graft.operators.multimodal.Multimodal
+    val out = Multimodal.streamingAudioFpSelfRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (b, c) => b >= 100000L && c < 100000L })
+    // self-pairs (dithered copy vs its own original) must dominate: the
+    // ±1-per-13th-sample dither is sub-envelope on most frames
+    val self = out.count { case (b, c) => c == b - 100000L }
+    assert(self * 2 > out.length, s"only $self/${out.length} self pairs")
+  }
+
   test("dd15 containment: subsets detected, direction asymmetric, partial overlap excluded") {
     import spark.implicits._
     val docs = Seq(
