@@ -1170,4 +1170,51 @@ object Dedup {
         md5(coalesce(col("cleaned"), lit(""))).as("cleaned_md5"))
       .orderBy(col("doc_id"))
   }
+
+  /** dd17 — SOFT dedup: down-weight duplicates instead of dropping them
+    * (the sampling-weight alternative to [[exact]]'s removal — e.g. "keep
+    * one expected copy per cluster" as used by production LLM-corpus
+    * pipelines when exact removal is too blunt: cluster members stay in
+    * the corpus, each carrying weight 1/n_copies so the cluster
+    * contributes one document's worth of probability mass to the sampler).
+    *
+    * Weights are INTEGRAL parts-per-million (`1e6 div n_copies`) so no
+    * float division enters the cross-engine contract; the per-doc
+    * effective token mass is `n_tokens · weight_ppm` (the quantity a
+    * token-budgeted sampler actually consumes). Reference semantics:
+    * cluster = identical normalized text, the dd01 fingerprint.
+    *
+    * The fixture corpus has no exact duplicates, so the relation is made
+    * non-trivial the mm09 way: every `doc_id % 7 == 0` document plants an
+    * identical-text copy at `doc_id + 200000`, every `doc_id % 21 == 0` a
+    * second at `doc_id + 400000` — clusters of size 1, 2 and 3, so all
+    * three weight levels appear and the oracle re-derives membership from
+    * the planting formula.
+    *
+    * Scale shape: identical to [[exact]] — one map-side-combined
+    * `groupBy(fp)` for the cluster sizes (never a window over fp: dup
+    * storms ship every copy to one task under window aggregation), joined
+    * back on the 32-byte fingerprint; AQE skew-splittable. Everything
+    * else is a narrow projection at scan speed.
+    */
+  def softDedupWeights(spark: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+      .select(explode(
+        when(col("doc_id") % 21 === 0,
+          array(col("doc_id"), col("doc_id") + 200000L, col("doc_id") + 400000L))
+        .when(col("doc_id") % 7 === 0,
+          array(col("doc_id"), col("doc_id") + 200000L))
+        .otherwise(array(col("doc_id")))).as("doc_id"), col("text"))
+    val fp = Tables.spread(planted)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        md5(TextOps.normalized(col("text"))).as("fp"))
+    val sizes = fp.groupBy(col("fp")).agg(count(lit(1)).as("n_copies"))
+    fp.join(sizes, Seq("fp"))
+      .select(col("doc_id"), col("n_tokens"), col("n_copies"),
+        expr("1000000L div n_copies").as("weight_ppm"),
+        (col("n_tokens") * expr("1000000L div n_copies")).as("eff_token_ppm"))
+      .orderBy(col("doc_id"))
+  }
 }

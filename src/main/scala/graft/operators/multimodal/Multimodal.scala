@@ -878,4 +878,105 @@ object Multimodal {
       }
     }(enc)
   }
+
+  // ---- mm13: VIDEO near-dup — frame-sampled perceptual signatures ----
+
+  val videoFpSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("fh_hi", LongType, nullable = false),
+    StructField("fh_lo", LongType, nullable = false)))
+
+  /** mm13 — VIDEO perceptual near-dup: the temporal member of the
+    * image (mm09) / audio (mm11) near-dup family. A clip is matched by
+    * its SAMPLED-FRAME signature — per video, 4 frames are rendered as
+    * real PNGs (pixel formula of (id, frame, position), real
+    * `javax.imageio` decode), each frame aHashed exactly as mm09, and
+    * two clips are near-dups when ≥3 of 4 frame hashes agree AT THE SAME
+    * TIMESTAMP — the frame-vote rule production video dedup uses so a
+    * re-encode with one visibly-edited frame (thumbnail swap, intro
+    * card) still matches. Every `doc_id % 5 == 0` plants a noisy copy at
+    * `+100000`: frames ≠ 2 get the sub-luma-quantum blue bump (mm09's
+    * "same pixels, different bytes"), frame 2 a SUPER-quantum
+    * checkerboard edit (+96 blue on half the pixels) so copies genuinely
+    * disagree on one frame and the ≥3-of-4 vote — not all-equality — is
+    * what links them; whether each frame hash matches is decided by the
+    * same integer arithmetic on both engines, never assumed.
+    *
+    * Scale shape: render+decode+hash is one narrow `mapPartitions`
+    * (pixels never leave the task; 20 bytes per frame ride the shuffle);
+    * the match is an equi-JOIN on (frame_idx, hash) — candidate buckets
+    * are hash-equal frames only, never a clip×clip cross join — followed
+    * by one map-side-combined pair count. The dd01 discipline in the
+    * time dimension.
+    */
+  def videoFpDedup(spark: SparkSession, d: String): DataFrame = {
+    val ids = Tables.documents(spark, d).select(col("doc_id"))
+      .select(explode(when(col("doc_id") % 5 === 0,
+        array(col("doc_id"), col("doc_id") + 100000L))
+        .otherwise(array(col("doc_id")))).as("media_id"))
+    val hashed = videoFrameHashes(ids)
+    val a = hashed.select(col("media_id").as("a_id"), col("frame_idx"),
+      col("fh_hi"), col("fh_lo"))
+    val b = hashed.select(col("media_id").as("b_id"), col("frame_idx"),
+      col("fh_hi"), col("fh_lo"))
+    a.join(b, Seq("frame_idx", "fh_hi", "fh_lo"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_frames_matched"))
+      .select(col("a_id"), col("b_id"), col("n_frames_matched"),
+        (col("n_frames_matched") >= 3L).as("is_neardup"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** The mm13 fixture generator + REAL codec + per-frame aHash: per
+    * media_id, render 4 deterministic 8×8 PNG frames (position term
+    * spans the full 256-pixel clip so frames differ), decode through
+    * `javax.imageio`, aHash each frame's DECODED pixels exactly as mm09.
+    */
+  private[graft] def videoFrameHashes(ids: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(videoFpSchema)
+    ids.select(col("media_id")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val mid = r.getLong(0)
+        val id = if (mid >= 100000L) mid - 100000L else mid
+        val noisy = mid >= 100000L
+        (0 until 4).iterator.map { f =>
+          def mix(idMul: Long, posMul: Long, c: Long, x: Int, y: Int): Long =
+            ((id * idMul + (f * 64L + y * 8L + x) * posMul + c) % 65521L) % 256L
+          def red(x: Int, y: Int)   = mix(2654435761L, 40503L, 17L, x, y).toInt
+          def green(x: Int, y: Int) = mix(2246822519L, 52361L, 101L, x, y).toInt
+          def blue(x: Int, y: Int) = {
+            val base = mix(3266489917L, 44131L, 233L, x, y)
+            val v =
+              if (noisy && f != 2 && (x + y) % 7 == 0) (base + 1L) % 256L
+              else if (noisy && f == 2 && (x + y) % 2 == 0) (base + 96L) % 256L
+              else base
+            v.toInt
+          }
+          val png = ImageCodec.encodePng(8, 8,
+            (x, y) => (red(x, y) << 16) | (green(x, y) << 8) | blue(x, y))
+          val img = ImageCodec.decode(png).getOrElse(
+            throw new IllegalStateException(
+              s"PNG frame $f for media $mid failed to decode"))
+          val lumas = Array.tabulate(8, 8)((y, x) => ImageCodec.luma(img.getRGB(x, y)))
+          val total = lumas.map(_.sum.toLong).sum
+          var hi = 0L; var lo = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val bit = y * 8 + x
+              if (lumas(y)(x).toLong * 64L > total) {
+                if (bit >= 32) hi |= 1L << (bit - 32) else lo |= 1L << bit
+              }
+              x += 1
+            }
+            y += 1
+          }
+          Row(mid, f, hi, lo)
+        }
+      }
+    }(enc)
+  }
 }

@@ -632,4 +632,105 @@ object TextOps {
           col("alpha_frac") > 0.8)
       .orderBy(col("doc_id"))
   }
+
+  /** txt18 — KMV (k-minimum-values) distinct sketch per source over the
+    * 3-gram shingle universe: the "how many distinct n-grams does each
+    * source contribute" statistic that sizes dedup/contamination passes
+    * BEFORE running them. Exact `count(distinct shingle)` at 100 TB is a
+    * full shuffle of every distinct string; the KMV bottom-k sketch ships
+    * k=64 8-byte hashes per source and estimates distinct cardinality as
+    * `(k-1)·2^60 / kth_min_hash` (Bar-Yossef et al. 2002) with standard
+    * error ~1/√k. The hash is the 60-bit md5 prefix — DETERMINISTIC, so
+    * the sketch itself (not just the estimate) is cross-engine gated;
+    * the estimator is INTEGRAL (div/mod cross-multiplication, a guarded
+    * branch for huge kth values keeps every intermediate in 63 bits) so
+    * no float division enters the contract. Exact-mode fallback when a
+    * source holds fewer than k distinct hashes.
+    *
+    * Scale shape: shingles are hashed AT THE SCAN and distinct-ed as
+    * (source, 8-byte hash) — the only wide exchange carries 16-byte rows,
+    * never shingle strings; bottom-k is the two-stage window device
+    * (per-(source, h%32) bucket top-k then per-source top-k over ≤32k
+    * survivors — txt14's discipline), so no source's full distinct set
+    * ever sorts in one task.
+    */
+  def kmvDistinctShingles(spark: SparkSession, d: String, k: Int = 64): DataFrame = {
+    val hashed = Tables.spread(Tables.documents(spark, d)
+        .select(col("source"), col("text")).filter(col("text").isNotNull))
+      .select(col("source"), explode(shingles(tokens(col("text")))).as("sh"))
+      .select(col("source"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val perBucket = Window.partitionBy(col("source"), pmod(col("h"), lit(32L)))
+      .orderBy(col("h"))
+    val perSource = Window.partitionBy(col("source")).orderBy(col("h"))
+    val bottom = hashed
+      .withColumn("rn", row_number().over(perBucket)).filter(col("rn") <= k)
+      .drop("rn")
+      .withColumn("rn", row_number().over(perSource)).filter(col("rn") <= k)
+    val H = "1152921504606846976L" // 2^60, the hash-space size
+    bottom.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_hash"))
+      .withColumn("est_distinct", expr(
+        s"""CASE WHEN n_sketch < $k THEN n_sketch
+              WHEN kth_hash >= 144115188075855872L THEN ($H div kth_hash) * ${k - 1}
+              ELSE ($H div kth_hash) * ${k - 1}
+                 + (($H % kth_hash) * ${k - 1}) div kth_hash END"""))
+      .orderBy(col("source"))
+  }
+
+  /** txt19 — URL canonicalization + dedup: the identity pass a crawl
+    * pipeline runs BEFORE content dedup (the same page fetched as
+    * `HTTP://WWW.Site.COM:80/p/?utm_source=feed&id=3` and
+    * `http://site.com/p?id=3` must collapse without touching its body).
+    * Rules (the standard RFC-3986-normalization subset): lowercase
+    * scheme and host, strip a leading `www.` and a default `:80` port,
+    * strip the trailing path slash (bare host → `/`), drop `utm_*`
+    * tracking parameters, sort the surviving query parameters. Raw URLs
+    * are synthesized per doc from a fixed integer formula that spreads
+    * each canonical page across five raw spellings, so the collapse is
+    * non-trivial and the oracle re-derives it from the same formula.
+    *
+    * Canonicalization is pure codegen'd string expressions
+    * (regexp_extract/replace, split/filter/sort — no UDF): it runs at
+    * parquet-scan speed on 100 TB of crawl logs. The dedup tail is
+    * dd01's: one map-side-combined groupBy(canonical) + join-back, AQE
+    * skew-splittable (hot URLs are exactly the skew case).
+    */
+  def urlCanonDedup(spark: SparkSession, d: String): DataFrame = {
+    val raw = Tables.documents(spark, d).select(col("doc_id"))
+      .withColumn("raw_url", expr(
+        """(CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' ELSE 'hTtp' END)
+           || '://'
+           || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.Site' || (doc_id % 50) || '.COM'
+               ELSE 'site' || (doc_id % 50) || '.com' END)
+           || (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END)
+           || '/P' || (doc_id % 20)
+           || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+           || '?'
+           || (CASE WHEN doc_id % 2 = 0
+               THEN 'utm_source=feed&id=' || (doc_id % 10) || '&b=2'
+               ELSE 'b=2&id=' || (doc_id % 10) END)"""))
+    val scheme = lower(regexp_extract(col("raw_url"), "^([A-Za-z]+)://", 1))
+    val host = regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(col("raw_url"), "^[A-Za-z]+://([^/?]+)", 1)),
+        ":80$", ""),
+      "^www\\.", "")
+    val path0 = regexp_replace(
+      regexp_extract(col("raw_url"), "^[A-Za-z]+://[^/?]+(/[^?]*)?", 1), "/$", "")
+    val params = array_join(array_sort(filter(
+      split(regexp_extract(col("raw_url"), "\\?(.*)$", 1), "&"),
+      x => !x.startsWith("utm_") && x =!= "")), "&")
+    val canon = concat(scheme, lit("://"), host,
+      when(path0 === "", lit("/")).otherwise(path0),
+      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+    val withCanon = Tables.spread(raw)
+      .select(col("doc_id"), canon.as("canon_url"))
+    val groups = withCanon.groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+    withCanon.join(groups, Seq("canon_url"))
+      .select(col("doc_id"), col("canon_url"), col("canonical_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -996,6 +996,80 @@ SELECT d.doc_id,
        ELSE CAST(0 AS DOUBLE) END AS rare_frac
 FROM toks d LEFT JOIN per USING (doc_id) ORDER BY doc_id""",
 
+    // txt18: KMV bottom-k distinct sketch per source — 60-bit md5-prefix
+    // hash of each distinct 3-gram shingle, kth-minimum per source, and
+    // the (k-1)·2^60/kth estimator in pure integer div/mod arithmetic
+    // (guarded branch keeps every intermediate in 63 bits); exact count
+    // when a source holds fewer than k distinct hashes
+    "txt18_kmv_distinct" -> """
+WITH t AS (
+  SELECT source,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL),
+s AS (
+  SELECT source, unnest(list_transform(range(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM t WHERE len(toks) >= 3),
+h AS (
+  SELECT DISTINCT source,
+    CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) AS h FROM s),
+rn AS (SELECT source, h,
+       row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+sk AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS kth_hash
+       FROM rn WHERE rn <= 64 GROUP BY source)
+SELECT source, n_sketch, kth_hash,
+  CASE WHEN n_sketch < 64 THEN n_sketch
+       WHEN kth_hash >= 144115188075855872
+         THEN (1152921504606846976 // kth_hash) * 63
+       ELSE (1152921504606846976 // kth_hash) * 63
+          + ((1152921504606846976 % kth_hash) * 63) // kth_hash
+  END AS est_distinct
+FROM sk ORDER BY source""",
+
+    // txt19: URL canonicalization + dedup — raw spellings synthesized
+    // from the integer formula, canonicalized by the RFC-3986 subset
+    // (lowercase scheme/host, strip www. and :80, trailing-slash strip,
+    // drop utm_*, sort params), collapsed dd01-style
+    "txt19_url_canon" -> """
+WITH raw AS (
+  SELECT doc_id,
+    (CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' ELSE 'hTtp' END)
+    || '://'
+    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.Site' || (doc_id % 50) || '.COM'
+        ELSE 'site' || (doc_id % 50) || '.com' END)
+    || (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END)
+    || '/P' || (doc_id % 20)
+    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+    || '?'
+    || (CASE WHEN doc_id % 2 = 0
+        THEN 'utm_source=feed&id=' || (doc_id % 10) || '&b=2'
+        ELSE 'b=2&id=' || (doc_id % 10) END) AS raw_url
+  FROM documents),
+parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(raw_url, '^([A-Za-z]+)://', 1)) AS scheme,
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(raw_url, '^[A-Za-z]+://([^/?]+)', 1)),
+      ':80$', ''), '^www\.', '') AS host,
+    regexp_replace(
+      regexp_extract(raw_url, '^[A-Za-z]+://[^/?]+(/[^?]*)?', 1),
+      '/$', '') AS path0,
+    array_to_string(list_sort(list_filter(
+      string_split(regexp_extract(raw_url, '\?(.*)$', 1), '&'),
+      x -> NOT starts_with(x, 'utm_') AND x <> '')), '&') AS pq
+  FROM raw),
+canon AS (
+  SELECT doc_id,
+    scheme || '://' || host
+    || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
+    || (CASE WHEN pq = '' THEN '' ELSE '?' || pq END) AS canon_url
+  FROM parts),
+g AS (SELECT canon_url, min(doc_id) AS canonical_id,
+             CAST(count(*) AS BIGINT) AS n_copies
+      FROM canon GROUP BY 1)
+SELECT c.doc_id, c.canon_url, g.canonical_id, g.n_copies
+FROM canon c JOIN g USING (canon_url) ORDER BY c.doc_id""",
+
     // streaming session windows: the oracle is the batch gaps-and-islands
     // sessionization of the change set. Spark's session_window is
     // CLOSED-interval at the boundary — an event exactly `gap` after the
@@ -1372,6 +1446,56 @@ SELECT c.media_id AS batch_id, o.media_id AS corpus_id
 FROM fp c JOIN fp o USING (afp_hi, afp_lo)
 WHERE c.media_id >= 100000 AND o.media_id < 100000
 ORDER BY batch_id, corpus_id""",
+
+    // mm13: VIDEO near-dup from FIRST PRINCIPLES — 4 frames per clip,
+    // pixel formula (position term spans the 256-pixel clip) → luma →
+    // per-frame aHash bits → pairs matched by the ≥3-of-4 same-timestamp
+    // frame vote. Noisy copies perturb frames ≠ 2 below the luma quantum
+    // and frame 2 far above it, so the vote (not all-equality) links
+    // them; every frame-hash (dis)agreement is decided by this same
+    // integer arithmetic
+    "mm13_video_fp" -> """
+WITH ids AS (
+  SELECT unnest(CASE WHEN doc_id % 5 = 0
+                THEN [doc_id, doc_id + 100000]
+                ELSE [doc_id] END) AS media_id
+  FROM documents),
+px AS (
+  SELECT media_id,
+    CASE WHEN media_id >= 100000 THEN media_id - 100000 ELSE media_id END AS id,
+    media_id >= 100000 AS noisy, f, y, x, f * 64 + y * 8 + x AS p
+  FROM ids, range(0, 4) tf(f), range(0, 8) ty(y), range(0, 8) tx(x)),
+lum AS (
+  SELECT media_id, f, y * 8 + x AS bit,
+    (299 * (((id * 2654435761 + p * 40503 + 17) % 65521) % 256)
+     + 587 * (((id * 2246822519 + p * 52361 + 101) % 65521) % 256)
+     + 114 * (CASE
+         WHEN noisy AND f <> 2 AND (x + y) % 7 = 0
+           THEN (((id * 3266489917 + p * 44131 + 233) % 65521) % 256 + 1) % 256
+         WHEN noisy AND f = 2 AND (x + y) % 2 = 0
+           THEN (((id * 3266489917 + p * 44131 + 233) % 65521) % 256 + 96) % 256
+         ELSE ((id * 3266489917 + p * 44131 + 233) % 65521) % 256 END)) // 1000 AS luma
+  FROM px),
+tot AS (SELECT media_id, f, sum(luma) AS total FROM lum GROUP BY 1, 2),
+bits AS (
+  SELECT l.media_id, l.f, l.bit,
+    CASE WHEN l.luma * 64 > t.total THEN 1 ELSE 0 END AS b
+  FROM lum l JOIN tot t ON l.media_id = t.media_id AND l.f = t.f),
+hash AS (
+  SELECT media_id, f,
+    CAST(sum(CASE WHEN bit >= 32
+             THEN b * (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END) AS BIGINT) AS fh_hi,
+    CAST(sum(CASE WHEN bit < 32
+             THEN b * (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS fh_lo
+  FROM bits GROUP BY 1, 2)
+SELECT a.media_id AS a_id, b.media_id AS b_id,
+  CAST(count(*) AS BIGINT) AS n_frames_matched,
+  count(*) >= 3 AS is_neardup
+FROM hash a JOIN hash b
+  ON a.f = b.f AND a.fh_hi = b.fh_hi AND a.fh_lo = b.fh_lo
+  AND a.media_id < b.media_id
+GROUP BY 1, 2
+ORDER BY a_id, b_id""",
 
     // mm07: the audio sibling of mm06 — Spark WAV-encodes a deterministic
     // 16-bit PCM signal per doc and computes every column from the
@@ -2043,6 +2167,29 @@ SELECT a.doc_id, n_chunks,
   COALESCE(kept_tokens, 0) AS kept_tokens,
   md5(COALESCE(cleaned, '')) AS cleaned_md5
 FROM allagg a LEFT JOIN keptagg USING (doc_id) ORDER BY a.doc_id""",
+
+    // dd17: soft dedup — duplicates DOWN-WEIGHTED, not removed: cluster =
+    // dd01's normalized-text fingerprint, weight = 1e6 div n_copies in
+    // integral ppm (no float division in the contract), effective token
+    // mass = n_tokens · weight_ppm
+    "dd17_soft_dedup" -> """
+WITH planted AS (
+  SELECT unnest(CASE WHEN doc_id % 21 = 0
+                THEN [doc_id, doc_id + 200000, doc_id + 400000]
+                WHEN doc_id % 7 = 0 THEN [doc_id, doc_id + 200000]
+                ELSE [doc_id] END) AS doc_id, text
+  FROM documents WHERE text IS NOT NULL),
+fp AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+         x -> x <> '')) AS BIGINT) AS n_tokens,
+    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+  FROM planted),
+cl AS (SELECT f, CAST(count(*) AS BIGINT) AS n_copies FROM fp GROUP BY f)
+SELECT doc_id, n_tokens, n_copies,
+  CAST(1000000 AS BIGINT) // n_copies AS weight_ppm,
+  n_tokens * (CAST(1000000 AS BIGINT) // n_copies) AS eff_token_ppm
+FROM fp JOIN cl ON fp.f = cl.f ORDER BY doc_id""",
 
     "tp04_pii_scrub" -> """
 WITH p AS (

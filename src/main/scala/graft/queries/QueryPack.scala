@@ -188,6 +188,10 @@ object QueryPack {
     "txt15_gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d)),
     "txt16_bpe_pairs"    -> ((s, d) => graft.operators.text.Bpe.topInitialPairs(s, d)),
     "txt17_bigram_lm"    -> ((s, d) => TextOps.bigramFamiliarity(s, d)),
+    // KMV bottom-k distinct-shingle sketch per source (integral estimator)
+    "txt18_kmv_distinct" -> ((s, d) => TextOps.kmvDistinctShingles(s, d)),
+    // URL canonicalization + dedup (RFC-3986 normalization subset)
+    "txt19_url_canon"    -> ((s, d) => TextOps.urlCanonDedup(s, d)),
 
     // ---- dedup ----
     "dd01_exact_dedup"   -> ((s, d) => Dedup.exact(s, d)),
@@ -216,6 +220,8 @@ object QueryPack {
     // cross-doc duplicate-chunk REMOVAL: first-occurrence-wins over
     // 8-token units, reassembled cleaned text gated by md5
     "dd16_chunk_dedup"    -> ((s, d) => Dedup.chunkDedup(s, d)),
+    // soft dedup: integral ppm down-weighting instead of removal
+    "dd17_soft_dedup"     -> ((s, d) => Dedup.softDedupWeights(s, d)),
 
     // ---- similarity search ----
     "ann01_brute_topk"  -> ((s, d) => Ann.bruteForceTopK(s, d)),
@@ -254,6 +260,9 @@ object QueryPack {
     // the audio crawl loop: decode→fingerprint→screen→fold per
     // micro-batch over the generic persisted hash index
     "mm12_afp_stream"    -> ((s, d) => Multimodal.streamingAudioFpSelfRecall(s, d)),
+    // VIDEO near-dup: 4 real-codec frames per clip, per-frame aHash,
+    // clips linked by the ≥3-of-4 same-timestamp frame vote
+    "mm13_video_fp"      -> ((s, d) => Multimodal.videoFpDedup(s, d)),
     // ISO BMFF (MP4) header write→parse round trip vs the geometry
     // formulas re-derived oracle-side — see Multimodal.videoProbe
     "mm08_video_probe" -> ((s, d) => Multimodal.videoProbe(s, d)),
