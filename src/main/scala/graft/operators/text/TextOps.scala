@@ -711,26 +711,33 @@ object TextOps {
            || (CASE WHEN doc_id % 2 = 0
                THEN 'utm_source=feed&id=' || (doc_id % 10) || '&b=2'
                ELSE 'b=2&id=' || (doc_id % 10) END)"""))
-    val scheme = lower(regexp_extract(col("raw_url"), "^([A-Za-z]+)://", 1))
-    val host = regexp_replace(
-      regexp_replace(
-        lower(regexp_extract(col("raw_url"), "^[A-Za-z]+://([^/?]+)", 1)),
-        ":80$", ""),
-      "^www\\.", "")
-    val path0 = regexp_replace(
-      regexp_extract(col("raw_url"), "^[A-Za-z]+://[^/?]+(/[^?]*)?", 1), "/$", "")
-    val params = array_join(array_sort(filter(
-      split(regexp_extract(col("raw_url"), "\\?(.*)$", 1), "&"),
-      x => !x.startsWith("utm_") && x =!= "")), "&")
-    val canon = concat(scheme, lit("://"), host,
-      when(path0 === "", lit("/")).otherwise(path0),
-      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
     val withCanon = Tables.spread(raw)
-      .select(col("doc_id"), canon.as("canon_url"))
+      .select(col("doc_id"), canonicalizeUrl(col("raw_url")).as("canon_url"))
     val groups = withCanon.groupBy(col("canon_url"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
     withCanon.join(groups, Seq("canon_url"))
       .select(col("doc_id"), col("canon_url"), col("canonical_id"), col("n_copies"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The txt19 normalization rules as one reusable column expression —
+    * IDEMPOTENT (canonicalizing a canonical URL is a no-op; spec-pinned),
+    * pure codegen'd string functions.
+    */
+  def canonicalizeUrl(raw: Column): Column = {
+    val scheme = lower(regexp_extract(raw, "^([A-Za-z]+)://", 1))
+    val host = regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(raw, "^[A-Za-z]+://([^/?]+)", 1)),
+        ":80$", ""),
+      "^www\\.", "")
+    val path0 = regexp_replace(
+      regexp_extract(raw, "^[A-Za-z]+://[^/?]+(/[^?]*)?", 1), "/$", "")
+    val params = array_join(array_sort(filter(
+      split(regexp_extract(raw, "\\?(.*)$", 1), "&"),
+      x => !x.startsWith("utm_") && x =!= "")), "&")
+    concat(scheme, lit("://"), host,
+      when(path0 === "", lit("/")).otherwise(path0),
+      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
   }
 }

@@ -1291,4 +1291,106 @@ class OperatorsSpec extends AnyFunSuite {
     // mean word length of the clean doc: 'wordN' lengths 5..7, all alpha
     assert(r(1L).getDouble(7) == 1.0, "alpha_frac of letter tokens is 1")
   }
+
+  test("dd17 soft dedup: cluster mass conserved, weights integral, planting exact") {
+    val rows = Dedup.softDedupWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // planted geometry: %21 docs form 3-clusters, remaining %7 docs
+    // 2-clusters, everything else singletons (modulo organic collisions,
+    // which can only merge clusters — so sizes are AT LEAST the planted)
+    rows.foreach { case (id, nTok, nCopies, ppm, eff) =>
+      assert(ppm == 1000000L / nCopies, s"doc $id ppm $ppm vs copies $nCopies")
+      assert(eff == nTok * ppm, s"doc $id eff mass mismatch")
+      val base = if (id >= 200000L) id % 200000L else id
+      if (base % 21 == 0) assert(nCopies >= 3, s"doc $id: planted 3-cluster")
+      else if (base % 7 == 0) assert(nCopies >= 2, s"doc $id: planted 2-cluster")
+    }
+    // cluster accounting: members of size-c clusters come in multiples of
+    // c, and each cluster's total weight is 1e6 up to integral-floor loss
+    rows.groupBy(_._3).foreach { case (c, members) =>
+      assert(members.length % c == 0,
+        s"${members.length} docs claim cluster size $c")
+      val total = (1000000L / c) * c
+      assert(total <= 1000000L && total > 1000000L - c,
+        s"cluster of $c: total weight $total")
+    }
+  }
+
+  test("txt18 KMV: exact mode below k, estimator within 4 sigma above it") {
+    import graft.operators.text.TextOps
+    // sf0.001 sources hold fewer distinct shingle hashes than k=64 → the
+    // sketch must be EXACT (n_sketch < k branch)
+    val small = TextOps.kmvDistinctShingles(spark, sf).collect()
+    val exactSmall = graft.Tables.documents(spark, sf)
+      .select(col("source"), explode(TextOps.shingles(TextOps.tokens(col("text")))).as("sh"))
+      .select(col("source"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct().groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    small.foreach { r =>
+      val (src, nSketch, est) = (r.getString(0), r.getLong(1), r.getLong(3))
+      if (nSketch < 64) assert(est == exactSmall(src),
+        s"$src: exact-mode sketch must equal true distinct count")
+    }
+    // sf0.01 sources exceed k → estimator path; 1/sqrt(64) = 12.5% standard
+    // error, assert within 4σ = 50%
+    val big = TextOps.kmvDistinctShingles(spark, "/root/testdata/sf0.01").collect()
+    val exactBig = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("source"), explode(TextOps.shingles(TextOps.tokens(col("text")))).as("sh"))
+      .select(col("source"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct().groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sketched = big.filter(_.getLong(1) == 64)
+    assert(sketched.nonEmpty, "sf0.01 must exercise the estimator branch")
+    sketched.foreach { r =>
+      val (src, est) = (r.getString(0), r.getLong(3))
+      val exact = exactBig(src).toDouble
+      assert(math.abs(est - exact) / exact < 0.5,
+        s"$src: est $est vs exact $exact beyond 4σ")
+    }
+  }
+
+  test("txt19 URL canonicalization: rules fire individually and the map is idempotent") {
+    import graft.operators.text.TextOps
+    val cases = Seq(
+      ("HTTP://WWW.Ex.COM:80/A/b/?utm_source=f&z=1&a=2", "http://ex.com/A/b?a=2&z=1"),
+      ("http://ex.com", "http://ex.com/"),            // bare host → root path
+      ("https://ex.com:80/p", "https://ex.com/p"),    // :80 stripped even on https (rule is literal)
+      ("http://sub.www.ex.com/p", "http://sub.www.ex.com/p"), // only LEADING www.
+      ("http://ex.com/p?utm_a=1&utm_b=2", "http://ex.com/p")  // all params tracking
+    ).toDF("raw", "expected")
+    val out = cases.select(col("expected"), TextOps.canonicalizeUrl(col("raw")).as("canon"))
+      .collect()
+    out.foreach(r => assert(r.getString(1) == r.getString(0),
+      s"got ${r.getString(1)}, want ${r.getString(0)}"))
+    // idempotence: canon(canon(x)) == canon(x)
+    val twice = cases.select(TextOps.canonicalizeUrl(col("raw")).as("c1"))
+      .select(col("c1"), TextOps.canonicalizeUrl(col("c1")).as("c2")).collect()
+    twice.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"not idempotent: ${r.getString(0)} → ${r.getString(1)}"))
+  }
+
+  test("mm13 video vote: planted pairs matched on ≥3 frames; frame 2 carries the edit") {
+    import graft.operators.multimodal.Multimodal
+    val rows = Multimodal.videoFpDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val planted = rows.filter { case (a, b, _, _) => b == a + 100000L }
+    val plantedIds = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0).select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // planted copies DOMINANTLY pass the vote (the sub-quantum bump can
+    // cross a luma floor near the mean threshold and cost a second frame
+    // — whether it does is decided by arithmetic, mm09's contract, so the
+    // pin is dominance, not totality)
+    val voted = planted.filter { case (_, _, n, nd) => n >= 3 && nd }
+    assert(voted.length * 4 >= plantedIds.size * 3,
+      s"planted vote recall ${voted.length}/${plantedIds.size}")
+    // the vote rule is exercised: some planted pair loses frame 2 to the
+    // super-quantum edit (n == 3), or the fixture degenerated
+    assert(planted.exists(_._3 == 3L), "no pair exercised the 3-of-4 vote")
+    // is_neardup is exactly the ≥3 rule on every output row
+    rows.foreach { case (_, _, n, nd) => assert(nd == (n >= 3L)) }
+  }
 }

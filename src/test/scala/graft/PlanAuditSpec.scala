@@ -529,6 +529,56 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("*(1)"), "layout projection fell out of codegen")
   }
 
+  test("txt18: sketch exchanges carry 16-byte (source, hash) rows, never shingles") {
+    val df = SparkEntry.queries("txt18_kmv_distinct")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .mkString("\n")
+    assert(!exchanges.contains("sh#"),
+      s"shingle strings ride a sketch shuffle:\n$exchanges")
+    // both rank filters keep their partial/final group-limit pairs — the
+    // two-stage bottom-k never sorts a source's full distinct set
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 4,
+      "bottom-k lost its group-limit pushdown")
+  }
+
+  test("txt19: canonicalization happens before the shuffle — raw URLs never move") {
+    val df = SparkEntry.queries("txt19_url_canon")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("MapPartitions") && !p.contains("DeserializeToObject"),
+      "URL canonicalization fell out of the expression lane")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .mkString("\n")
+    assert(!exchanges.contains("raw_url#"),
+      s"raw URL strings ride the dedup shuffle:\n$exchanges")
+  }
+
+  test("dd17: weight shuffles carry fingerprints, never document text") {
+    val df = SparkEntry.queries("dd17_soft_dedup")(spark, sf)
+    df.collect()
+    val exchanges = df.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).mkString("\n")
+    assert(!exchanges.contains("text#"),
+      s"document text rides a soft-dedup shuffle:\n$exchanges")
+  }
+
+  test("mm13: frame hashes are the only thing that moves — pixels stay in-task") {
+    val df = SparkEntry.queries("mm13_video_fp")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // exactly two codec lanes (one per join side); a third means the
+    // render+decode started running per downstream consumer
+    assert("MapPartitions".r.findAllIn(p).size == 2,
+      "frame render/decode lane duplicated")
+    val moved = p.linesIterator
+      .filter(l => l.contains("Exchange") || l.contains("Broadcast"))
+      .mkString("\n")
+    assert(!moved.contains("text#") && !moved.contains("png"),
+      s"blob-bearing column rides an exchange:\n$moved")
+  }
+
   test("whole-stage codegen covers the scan pipelines of every analytics query") {
     Seq("q01_pricing_summary", "q04_forecast_revenue", "txt01_token_stats")
       .foreach { q =>
