@@ -570,6 +570,84 @@ object TrainPrep {
       .orderBy(col("doc_id"))
   }
 
+  /** tp14 — BLOOM decontamination screen: the broadcast-bitset form of
+    * tp10. The semi-join screen ships every corpus gram hash into a
+    * join; at 100 TB the cheaper shape is a Bloom filter built ONCE over
+    * the benchmark gram set and broadcast as a literal bitmask — each
+    * corpus gram then tests two bits locally at scan speed, no exchange
+    * at all on the screening side. This operator runs BOTH screens and
+    * emits them side by side, so the filter's false-positive behavior is
+    * part of the gated relation: `n_bloom_hits >= n_exact_hits` always
+    * (no false negatives, the Bloom guarantee), and the overshoot is the
+    * measured FP mass a curation run uses to size `mBits` before
+    * trusting the cheap screen alone.
+    *
+    * Bits are DETERMINISTIC: positions are the two 60-bit md5-prefix
+    * halves of the gram hash mod `mBits`, so the DuckDB oracle
+    * re-derives membership as `h1 IN set AND h2 IN set` — the identical
+    * relation to the engine's bit tests. The driver-side filter build
+    * collects DISTINCT set positions: bounded by `mBits` ints (8 KiB of
+    * filter at the default), NOT by benchmark size.
+    *
+    * Scale shape: gram hashing is the tp10 narrow projection; the only
+    * exchange left is the exact-screen comparison lane (drop it in
+    * production once FP rate is accepted, and the whole screen is
+    * shuffle-free); the filter rides codegen as an array literal.
+    */
+  def bloomScreen(spark: SparkSession, d: String, k: Int = 13,
+      benchMod: Long = 17L, mBits: Int = 65536): DataFrame =
+    bloomScreenFor(Tables.documents(spark, d), k, benchMod, mBits)
+
+  /** [[bloomScreen]] over any (doc_id, text) frame — the spec seam. */
+  def bloomScreenFor(documents: DataFrame, k: Int = 13, benchMod: Long = 17L,
+      mBits: Int = 65536): DataFrame = {
+    require(mBits % 64 == 0 && mBits > 0, s"mBits must pack into longs: $mBits")
+    val withN = documents
+      .select(col("doc_id"),
+        graft.operators.text.TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).as("n_tokens"), col("t"))
+    def gramsOf(df: DataFrame): DataFrame = df
+      .filter(col("n_tokens") >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), col("n_tokens") - k),
+          i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(k)))))).as("gh"))
+    // two independent hash positions from the md5 halves
+    def pos(start: Int): Column =
+      pmod(conv(substring(col("gh"), start, 15), 16, 10).cast("long"),
+        lit(mBits.toLong))
+    val benchGrams = gramsOf(withN.filter(col("doc_id") % benchMod === 0))
+      .select(col("gh")).distinct()
+    val setPositions = benchGrams
+      .select(explode(array(pos(1), pos(17))).as("p")).distinct()
+      .collect().map(_.getLong(0))
+    val words = new Array[Long](mBits / 64)
+    setPositions.foreach(p => words(p.toInt / 64) |= 1L << (p.toInt % 64))
+    val corpus = withN.filter(col("doc_id") % benchMod =!= 0)
+    val tested = gramsOf(corpus)
+      .select(col("doc_id"), col("gh"), pos(1).as("h1"), pos(17).as("h2"))
+      .withColumn("bloom_bits", typedlit(words.toSeq))
+      .withColumn("bloom_hit", expr(
+        """((element_at(bloom_bits, CAST(h1 div 64 AS INT) + 1)
+            & shiftleft(1L, CAST(h1 % 64 AS INT))) <> 0L)
+           AND ((element_at(bloom_bits, CAST(h2 div 64 AS INT) + 1)
+            & shiftleft(1L, CAST(h2 % 64 AS INT))) <> 0L)"""))
+    val counted = tested
+      .join(benchGrams.withColumn("ex", lit(1)), Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bloom_hit").cast("long")).as("n_bloom"),
+        sum(coalesce(col("ex"), lit(0)).cast("long")).as("n_exact"))
+    corpus.select(col("doc_id"), col("n_tokens"))
+      .join(counted, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") >= k, col("n_tokens") - (k - 1))
+          .otherwise(lit(0)).as("n_grams"),
+        coalesce(col("n_bloom"), lit(0L)).as("n_bloom_hits"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact_hits"),
+        (coalesce(col("n_bloom"), lit(0L)) > 0L).as("flagged_bloom"),
+        (coalesce(col("n_exact"), lit(0L)) > 0L).as("flagged_exact"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- mixture
 
   /** Budget-constrained domain mixture resampling: given target mixture

@@ -2059,6 +2059,46 @@ FROM wn w LEFT JOIN h USING (doc_id)
 WHERE w.doc_id % 17 <> 0
 ORDER BY w.doc_id""",
 
+    // tp14: the Bloom screen relation — set positions are the two 60-bit
+    // md5-prefix halves of each DISTINCT benchmark gram hash mod 65536;
+    // a corpus gram bloom-hits iff BOTH its positions are set (h IN set
+    // is exactly the engine's bit test); the exact lane is tp10's
+    "tp14_bloom_screen" -> s"""$toksCte,
+wn AS (SELECT doc_id, len(t) AS n_tokens, t FROM toks),
+bg AS (
+  SELECT DISTINCT md5(array_to_string(t[s+1:s+13], ' ')) AS gh
+  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 13 + 1)) AS s
+        FROM wn WHERE doc_id % 17 = 0 AND len(t) >= 13)),
+bgp AS (
+  SELECT CAST(('0x' || substring(gh, 1, 15)) AS BIGINT) % 65536 AS p FROM bg
+  UNION
+  SELECT CAST(('0x' || substring(gh, 17, 15)) AS BIGINT) % 65536 FROM bg),
+cg AS (
+  SELECT doc_id, gh,
+    CAST(('0x' || substring(gh, 1, 15)) AS BIGINT) % 65536 AS h1,
+    CAST(('0x' || substring(gh, 17, 15)) AS BIGINT) % 65536 AS h2
+  FROM (
+    SELECT doc_id, md5(array_to_string(t[s+1:s+13], ' ')) AS gh
+    FROM (SELECT doc_id, t, unnest(range(0, len(t) - 13 + 1)) AS s
+          FROM wn WHERE doc_id % 17 <> 0 AND len(t) >= 13))),
+h AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN h1 IN (SELECT p FROM bgp)
+                   AND h2 IN (SELECT p FROM bgp) THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_bloom,
+    CAST(sum(CASE WHEN gh IN (SELECT gh FROM bg) THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_exact
+  FROM cg GROUP BY 1)
+SELECT w.doc_id, w.n_tokens,
+  CASE WHEN w.n_tokens >= 13 THEN w.n_tokens - 12 ELSE 0 END AS n_grams,
+  COALESCE(h.n_bloom, 0) AS n_bloom_hits,
+  COALESCE(h.n_exact, 0) AS n_exact_hits,
+  COALESCE(h.n_bloom, 0) > 0 AS flagged_bloom,
+  COALESCE(h.n_exact, 0) > 0 AS flagged_exact
+FROM wn w LEFT JOIN h USING (doc_id)
+WHERE w.doc_id % 17 <> 0
+ORDER BY w.doc_id""",
+
     // tp13: CCNet-style perplexity terciles — txt17's pooled bigram
     // conditional estimate onto a 65536-cell integer grid (×2^16 is an
     // EXACT double scaling), per-cell histogram, running count from the

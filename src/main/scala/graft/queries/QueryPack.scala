@@ -299,7 +299,10 @@ object QueryPack {
     "tp12_dsir"          -> ((s, d) => TrainPrep.dsirScores(s, d)),
     // CCNet-style perplexity head/middle/tail bucketing via a
     // distributed histogram (no global per-doc sort)
-    "tp13_ppl_buckets"   -> ((s, d) => TrainPrep.perplexityBuckets(s, d))
+    "tp13_ppl_buckets"   -> ((s, d) => TrainPrep.perplexityBuckets(s, d)),
+    // Bloom decontamination screen beside the exact semi-join — the
+    // false-positive overshoot is part of the gated relation
+    "tp14_bloom_screen"  -> ((s, d) => TrainPrep.bloomScreen(s, d))
   )
 
   /** D1-D11 showcase: a distributed decode of binary pgoutput frames

@@ -472,4 +472,38 @@ class TrainPrepSpec extends AnyFunSuite {
       .count(l => l.contains("Exchange hashpartitioning") && l.contains("gram#"))
     assert(gramShuffles == 0, s"gram rows must not shuffle:\n$plan")
   }
+
+  test("tp14: Bloom never misses, saturates at tiny widths, converges at large ones") {
+    import spark.implicits._
+    val bench = (1 to 20).map(i => s"bench$i").mkString(" ")
+    val infected = (1 to 5).map(i => s"pre$i").mkString(" ") + " " +
+      (3 to 17).map(i => s"bench$i").mkString(" ") + " " +
+      (1 to 5).map(i => s"post$i").mkString(" ")
+    val clean = (1 to 30).map(i => s"clean$i").mkString(" ")
+    val docs = Seq((0L, bench), (3L, infected), (5L, clean))
+      .toDF("doc_id", "text")
+    // default width: no false negatives, exact lane agrees with tp10
+    val r = TrainPrep.bloomScreenFor(docs, k = 13, benchMod = 17L)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(!r.contains(0L), "benchmark docs are not screened rows")
+    assert(r(3L).getLong(4) == 3L && r(3L).getBoolean(6), "exact lane = tp10")
+    r.values.foreach { x =>
+      assert(x.getLong(3) >= x.getLong(4),
+        s"doc ${x.getLong(0)}: bloom missed an exact hit (false negative)")
+    }
+    // 64-bit filter: the 40 benchmark positions saturate ~all 64 bits →
+    // (nearly) every gram collides; the clean doc must pick up FP flags
+    val tiny = TrainPrep.bloomScreenFor(docs, k = 13, benchMod = 17L, mBits = 64)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(tiny(5L).getLong(3) > tiny(5L).getLong(4),
+      "a saturated filter must show false positives on the clean doc")
+    // generous width: FP probability ~(40/2^20)^2 per gram — bloom == exact
+    val wide = TrainPrep.bloomScreenFor(docs, k = 13, benchMod = 17L,
+      mBits = 1 << 20)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    wide.values.foreach { x =>
+      assert(x.getLong(3) == x.getLong(4),
+        s"doc ${x.getLong(0)}: wide filter should be FP-free here")
+    }
+  }
 }
