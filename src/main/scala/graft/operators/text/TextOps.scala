@@ -679,6 +679,63 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** txt20 — COUNT-MIN heavy hitters: the frequency twin of txt18's
+    * cardinality sketch. Exact "which boilerplate n-grams dominate the
+    * corpus" needs a full groupBy over every distinct gram; the
+    * count-min sketch folds all occurrences into `d=2` rows of `w`
+    * integer counters (positions = the two 60-bit md5-prefix halves mod
+    * `w` — tp14's hash pair), and estimates any gram's frequency as the
+    * MIN over its counters: never an undercount, overcounts by colliding
+    * mass (Cormode & Muthukrishnan 2005). This operator emits the top-k
+    * exact-count shingles WITH their sketch estimates side by side, so
+    * the overestimate — the quantity that sizes `w` before trusting the
+    * sketch alone — is part of the gated relation: `est_cms >= n_exact`
+    * on every row, by the same deterministic arithmetic on both engines.
+    *
+    * Scale shape: the sketch lane shuffles at most `d·w` counter keys
+    * (map-side-combined — constant exchange width no matter the corpus);
+    * the exact lane is the comparison harness (drop it in production and
+    * the whole pass is one bounded aggregation); top-k is the two-stage
+    * group-limit device, never a global sort of the gram table.
+    */
+  def cmsHeavyHitters(spark: SparkSession, d: String, w: Int = 1024,
+      topK: Int = 20): DataFrame = {
+    val grams = Tables.spread(Tables.documents(spark, d)
+        .select(col("text")).filter(col("text").isNotNull))
+      .select(explode(shingles(tokens(col("text")))).as("sh"))
+      .withColumn("gh", md5(col("sh")))
+      .withColumn("h1", pmod(conv(substring(col("gh"), 1, 15), 16, 10)
+        .cast("long"), lit(w.toLong)))
+      .withColumn("h2", pmod(conv(substring(col("gh"), 17, 15), 16, 10)
+        .cast("long"), lit(w.toLong)))
+    // the sketch: d=2 bounded counter rows — ≤ 2w keys ride this exchange
+    val counters = grams
+      .select(explode(array(
+        struct(lit(0).as("r"), col("h1").as("p")),
+        struct(lit(1).as("r"), col("h2").as("p")))).as("c"))
+      .select(col("c.r").as("r"), col("c.p").as("p"))
+      .groupBy(col("r"), col("p")).agg(count(lit(1)).as("cnt"))
+    // exact counts + deterministic top-k (count desc, shingle asc)
+    val exact = grams.groupBy(col("sh"), col("h1"), col("h2"))
+      .agg(count(lit(1)).as("n_exact"))
+    val perBucket = Window.partitionBy(pmod(col("h1"), lit(32L)))
+      .orderBy(col("n_exact").desc, col("sh"))
+    val global = Window.partitionBy().orderBy(col("n_exact").desc, col("sh"))
+    val top = exact
+      .withColumn("rn", row_number().over(perBucket)).filter(col("rn") <= topK)
+      .drop("rn")
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= topK)
+    val c0 = counters.filter(col("r") === 0)
+      .select(col("p").as("h1"), col("cnt").as("cnt1"))
+    val c1 = counters.filter(col("r") === 1)
+      .select(col("p").as("h2"), col("cnt").as("cnt2"))
+    top.join(c0, Seq("h1")).join(c1, Seq("h2"))
+      .select(col("rank"), col("sh"), col("n_exact"),
+        least(col("cnt1"), col("cnt2")).as("est_cms"),
+        (least(col("cnt1"), col("cnt2")) - col("n_exact")).as("overestimate"))
+      .orderBy(col("rank"))
+  }
+
   /** txt19 — URL canonicalization + dedup: the identity pass a crawl
     * pipeline runs BEFORE content dedup (the same page fetched as
     * `HTTP://WWW.Site.COM:80/p/?utm_source=feed&id=3` and

@@ -1026,6 +1026,40 @@ SELECT source, n_sketch, kth_hash,
   END AS est_distinct
 FROM sk ORDER BY source""",
 
+    // txt20: count-min heavy hitters — d=2 rows of w=1024 counters at
+    // the two md5-prefix positions (tp14's hash pair), estimate = min
+    // over the gram's counters, emitted beside the exact count for the
+    // deterministic top-20 (count desc, shingle asc). Occurrences are
+    // per-doc-DISTINCT shingles (the engine's shingle unit)
+    "txt20_cms_heavy" -> """
+WITH t AS (
+  SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL),
+s AS (
+  SELECT unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+  FROM t WHERE len(toks) >= 3),
+g AS (
+  SELECT sh,
+    CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) % 1024 AS h1,
+    CAST(('0x' || substring(md5(sh), 17, 15)) AS BIGINT) % 1024 AS h2
+  FROM s),
+c1 AS (SELECT h1 AS p, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1),
+c2 AS (SELECT h2 AS p, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1),
+ex AS (SELECT sh, h1, h2, CAST(count(*) AS BIGINT) AS n_exact
+       FROM g GROUP BY 1, 2, 3),
+top AS (
+  SELECT * FROM (
+    SELECT sh, h1, h2, n_exact,
+      CAST(row_number() OVER (ORDER BY n_exact DESC, sh) AS INT) AS rank
+    FROM ex)
+  WHERE rank <= 20)
+SELECT rank, sh, n_exact,
+  least(c1.cnt, c2.cnt) AS est_cms,
+  least(c1.cnt, c2.cnt) - n_exact AS overestimate
+FROM top JOIN c1 ON top.h1 = c1.p JOIN c2 ON top.h2 = c2.p
+ORDER BY rank""",
+
     // txt19: URL canonicalization + dedup — raw spellings synthesized
     // from the integer formula, canonicalized by the RFC-3986 subset
     // (lowercase scheme/host, strip www. and :80, trailing-slash strip,

@@ -192,6 +192,8 @@ object QueryPack {
     "txt18_kmv_distinct" -> ((s, d) => TextOps.kmvDistinctShingles(s, d)),
     // URL canonicalization + dedup (RFC-3986 normalization subset)
     "txt19_url_canon"    -> ((s, d) => TextOps.urlCanonDedup(s, d)),
+    // count-min heavy hitters beside exact counts (bounded-counter sketch)
+    "txt20_cms_heavy"    -> ((s, d) => TextOps.cmsHeavyHitters(s, d)),
 
     // ---- dedup ----
     "dd01_exact_dedup"   -> ((s, d) => Dedup.exact(s, d)),

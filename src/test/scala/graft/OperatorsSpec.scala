@@ -1372,6 +1372,27 @@ class OperatorsSpec extends AnyFunSuite {
       s"not idempotent: ${r.getString(0)} → ${r.getString(1)}"))
   }
 
+  test("txt20 CMS: never undercounts, mass conserved, exact at generous width") {
+    import graft.operators.text.TextOps
+    val narrow = TextOps.cmsHeavyHitters(spark, sf, w = 64).collect()
+    assert(narrow.length == 20)
+    narrow.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(2),
+        s"rank ${r.getInt(0)}: sketch undercounted (${r.getLong(3)} < ${r.getLong(2)})")
+      assert(r.getLong(4) == r.getLong(3) - r.getLong(2))
+    }
+    // a 64-counter sketch over thousands of distinct grams MUST collide
+    assert(narrow.exists(_.getLong(4) > 0L), "no collision at w=64?")
+    // generous width: top-20 grams' counters hold only their own mass
+    val wide = TextOps.cmsHeavyHitters(spark, sf, w = 1 << 20).collect()
+    wide.foreach { r =>
+      assert(r.getLong(4) == 0L,
+        s"rank ${r.getInt(0)} overestimates at w=2^20: ${r.getLong(4)}")
+    }
+    // ranks are the deterministic (count desc, shingle asc) order
+    assert(wide.map(_.getInt(0)).toSeq == (1 to 20))
+  }
+
   test("mm13 video vote: planted pairs matched on ≥3 frames; frame 2 carries the edit") {
     import graft.operators.multimodal.Multimodal
     val rows = Multimodal.videoFpDedup(spark, sf).collect()

@@ -579,6 +579,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"blob-bearing column rides an exchange:\n$moved")
   }
 
+  test("txt20: the sketch lane shuffles bounded counter keys; top-k keeps group limits") {
+    val df = SparkEntry.queries("txt20_cms_heavy")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the counter aggregation is map-side combined (≤ 2w rows per task
+    // reach its exchange) — a missing partial agg would ship every gram
+    // occurrence to the counter reducers
+    assert(p.contains("partial_count"),
+      "counter lane lost its partial aggregation")
+    val counterExchange = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("r#") &&
+        !l.contains("sh#"))
+    assert(counterExchange, s"no shingle-free counter exchange found:\n$p")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "top-k lost its group-limit pushdown")
+    assert(!p.contains("CartesianProduct"), "counter join-back cartesianed")
+  }
+
   test("whole-stage codegen covers the scan pipelines of every analytics query") {
     Seq("q01_pricing_summary", "q04_forecast_revenue", "txt01_token_stats")
       .foreach { q =>
