@@ -53,6 +53,58 @@ object Ann {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** ann12 — MIPS (maximum inner-product search) via the norm-augmentation
+    * reduction to cosine (Bachrach et al. 2014 / Shrivastava-Li 2014):
+    * inner product is NOT a metric (a vector can be its own worst match),
+    * so none of the cosine-family indexes apply directly — but appending
+    * one dimension `sqrt(M² − ‖v‖²)` to every data vector (M = the max
+    * corpus norm) and `0` to queries makes every augmented data vector the
+    * same length M, and augmented-cosine order EQUALS inner-product order.
+    * This operator runs the REDUCTION path end to end — augment, rank by
+    * augmented cosine — and emits the true inner product per returned
+    * neighbor; the oracle ranks by the same augmented construction, so
+    * the gate proves the reduction's ordering on real data. Recommender
+    * retrieval (user·item scores) is the standard consumer.
+    *
+    * Scale shape: ‖v‖² and the augmented column are narrow per-row
+    * expressions at scan speed; M is one map-side-combined max broadcast
+    * back as a 1-row join; ranking reuses ann01's broadcast-query +
+    * per-query window discipline — and because augmentation is one extra
+    * float, the SAME augmented column feeds the LSH/IVF/PQ indexes when
+    * brute force stops scaling (that is the reduction's whole point).
+    */
+  def mipsTopK(spark: SparkSession, d: String,
+               nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val emb = Tables.spread(Tables.embeddings(spark, d))
+      .withColumn("n2", expr(
+        "aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+    val m2 = broadcast(emb.agg(max(col("n2")).as("m2")))
+    val aug = emb.crossJoin(m2)
+      .withColumn("aug_emb",
+        concat(col("embedding"),
+          array(sqrt(col("m2") - col("n2")).cast("float"))))
+      .select(col("vec_id"), col("embedding"), col("aug_emb"))
+    val queries = broadcast(
+      aug.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"),
+          concat(col("embedding"), array(lit(0.0f))).as("q_aug")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_aug").desc, col("vec_id"))
+    queries.join(aug, col("vec_id") =!= col("query_id"))
+      .withColumn("sim_aug", cosine(col("q_aug"), col("aug_emb")))
+      .withColumn("ip", expr(
+        """aggregate(zip_with(q_emb, embedding,
+             (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0D,
+             (acc, x) -> acc + x)"""))
+      .select(col("query_id"), col("vec_id"), col("sim_aug"), col("ip"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"),
+        round(col("ip"), 4).as("ip"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** int8 SCALAR quantization of an embedding frame — per-vector max-abs
     * symmetric scale, the tp05 formula exactly ([[graft.operators.prep
     * .TrainPrep.embedQuant]] reports its integrity invariants; this is

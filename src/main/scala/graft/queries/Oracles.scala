@@ -1932,6 +1932,41 @@ ranked AS (
 SELECT query_id, rnk, vec_id, round(sim, 4) AS sim
 FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""",
 
+    // ann12: the MIPS reduction mirrored — same augmented construction
+    // (norm², max-norm M², sqrt tail dim CAST to FLOAT — the exact bits
+    // the engine appends), ranked by augmented cosine, inner product
+    // emitted per neighbor
+    "ann12_mips_topk" -> """
+WITH n AS (
+  SELECT vec_id, embedding,
+    list_sum(list_transform(embedding,
+      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+  FROM embeddings),
+m AS (SELECT max(n2) AS m2 FROM n),
+aug AS (
+  SELECT vec_id, embedding,
+    list_append(embedding, CAST(sqrt(m2 - n2) AS FLOAT)) AS aug_emb
+  FROM n, m),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb,
+    list_append(embedding, CAST(0.0 AS FLOAT)) AS q_aug
+  FROM embeddings WHERE vec_id < 8),
+sims AS (
+  SELECT q.query_id, a.vec_id,
+    list_cosine_similarity(
+      list_transform(q.q_aug, x -> CAST(x AS DOUBLE)),
+      list_transform(a.aug_emb, x -> CAST(x AS DOUBLE))) AS sim_aug,
+    list_inner_product(
+      list_transform(q.q_emb, x -> CAST(x AS DOUBLE)),
+      list_transform(a.embedding, x -> CAST(x AS DOUBLE))) AS ip
+  FROM q JOIN aug a ON a.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, vec_id, ip,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim_aug DESC, vec_id) AS rnk
+  FROM sims)
+SELECT query_id, rnk, vec_id, round(ip, 4) AS ip
+FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
     // ---- training prep ----
 
     // benchmark = doc_id % 97 == 0 slice; plant: doc_id % 31 == 5 gains

@@ -227,6 +227,8 @@ object QueryPack {
 
     // ---- similarity search ----
     "ann01_brute_topk"  -> ((s, d) => Ann.bruteForceTopK(s, d)),
+    // MIPS via the norm-augmentation reduction to cosine
+    "ann12_mips_topk"   -> ((s, d) => Ann.mipsTopK(s, d)),
     "ann02_lsh_bucket"  -> ((s, d) => Ann.lshSelfRecall(s, d)), // planted-copy recall
     "ann03_label_stats" -> ((s, d) => Ann.labelStats(s, d)),
     "ann04_ivf_topk"    -> ((s, d) => Ann.ivfSelfRecall(s, d)), // planted-copy recall

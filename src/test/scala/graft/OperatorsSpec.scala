@@ -1372,6 +1372,27 @@ class OperatorsSpec extends AnyFunSuite {
       s"not idempotent: ${r.getString(0)} → ${r.getString(1)}"))
   }
 
+  test("ann12 MIPS: augmented-cosine order equals direct inner-product order") {
+    import graft.operators.ann.Ann
+    val viaReduction = Ann.mipsTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // direct MIPS ranking, no reduction: rank every candidate by the
+    // exact double inner product with id tie-break
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val direct = for {
+      q <- emb.keys.filter(_ < 8L).toSeq.sorted
+      qv = emb(q)
+      ranked = emb.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, qv.zip(v).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (id, ip) => (-ip, id) }.take(5)
+      ((id, _), i) <- ranked.zipWithIndex
+    } yield (q, i + 1, id)
+    assert(viaReduction.toSeq == direct,
+      s"reduction order diverged:\n${viaReduction.toSeq}\nvs\n$direct")
+  }
+
   test("txt20 CMS: never undercounts, mass conserved, exact at generous width") {
     import graft.operators.text.TextOps
     val narrow = TextOps.cmsHeavyHitters(spark, sf, w = 64).collect()
