@@ -654,20 +654,36 @@ object TextOps {
     * survivors — txt14's discipline), so no source's full distinct set
     * ever sorts in one task.
     */
-  def kmvDistinctShingles(spark: SparkSession, d: String, k: Int = 64): DataFrame = {
-    val hashed = Tables.spread(Tables.documents(spark, d)
-        .select(col("source"), col("text")).filter(col("text").isNotNull))
-      .select(col("source"), explode(shingles(tokens(col("text")))).as("sh"))
-      .select(col("source"),
-        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
-      .distinct()
+  def kmvDistinctShingles(spark: SparkSession, d: String, k: Int = 64): DataFrame =
+    kmvSummary(kmvBottomK(shingleHashes(Tables.spread(
+      Tables.documents(spark, d)
+        .select(col("source"), col("text")).filter(col("text").isNotNull))), k), k)
+
+  /** Per-source 60-bit md5-prefix hashes of distinct shingles — the KMV
+    * sketch's input relation (16-byte rows past the scan).
+    */
+  private def shingleHashes(docs: DataFrame): DataFrame = docs
+    .select(col("source"), explode(shingles(tokens(col("text")))).as("sh"))
+    .select(col("source"),
+      conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+    .distinct()
+
+  /** Bottom-k hashes per source via the two-stage group-limit device. */
+  private def kmvBottomK(hashed: DataFrame, k: Int): DataFrame = {
     val perBucket = Window.partitionBy(col("source"), pmod(col("h"), lit(32L)))
       .orderBy(col("h"))
     val perSource = Window.partitionBy(col("source")).orderBy(col("h"))
-    val bottom = hashed
+    hashed
       .withColumn("rn", row_number().over(perBucket)).filter(col("rn") <= k)
       .drop("rn")
       .withColumn("rn", row_number().over(perSource)).filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** The KMV summary row per source: sketch size, kth minimum, integral
+    * estimator (shared by the batch and streaming lanes).
+    */
+  private def kmvSummary(bottom: DataFrame, k: Int): DataFrame = {
     val H = "1152921504606846976L" // 2^60, the hash-space size
     bottom.groupBy(col("source"))
       .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_hash"))
@@ -677,6 +693,65 @@ object TextOps {
               ELSE ($H div kth_hash) * ${k - 1}
                  + (($H % kth_hash) * ${k - 1}) div kth_hash END"""))
       .orderBy(col("source"))
+  }
+
+  /** txt21 — the KMV sketch as STREAMING state: document batches arrive
+    * as a stream and the per-source bottom-k sketch is FOLDED forward
+    * per micro-batch — `bottomK(state ∪ batchHashes)` — exploiting the
+    * sketch's mergeability (bottom-k of a union is the bottom-k of
+    * merged bottom-ks), so distinct-cardinality tracking over a
+    * continuous crawl costs one tiny-state merge per batch instead of
+    * re-scanning the corpus. The final summary equals the batch-built
+    * sketch EXACTLY (same oracle as txt18 — the merge identity is the
+    * gated claim), and the driver gate exercises it across `nBatches`
+    * real micro-batches.
+    *
+    * Scale shape per batch: hash the BATCH only (16-byte rows), union
+    * with ≤ sources·k state rows, one bounded bottom-k; the state write
+    * is versioned per batch id and mode-overwrite, so foreachBatch
+    * replay is idempotent (the dd13 fold discipline on sketch state).
+    */
+  def streamingKmvDistinct(spark: SparkSession, d: String, k: Int = 64,
+      nBatches: Int = 4): DataFrame = {
+    val tmp = Tables.scratchDir("graft_txt21")
+    val stateDir = s"$tmp/sketch"
+    val stageDir = s"$tmp/arrivals"
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .filter(col("text").isNotNull)
+      .repartition(nBatches, col("doc_id"))
+      .write.parquet(stageDir)
+    val schema = spark.read.parquet(stageDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    def vdir(b: Long): String = f"$stateDir%s/v$b%05d"
+    val q = graft.GraftSession.withStreamShuffle(spark) {
+      stream.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val s = batch.sparkSession
+          val prior =
+            if (batchId == 0L)
+              s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("source",
+                    org.apache.spark.sql.types.StringType),
+                  org.apache.spark.sql.types.StructField("h",
+                    org.apache.spark.sql.types.LongType))))
+            else s.read.parquet(vdir(batchId))
+          // bottom-k of (state ∪ batch) — the KMV merge; overwrite makes
+          // at-least-once replay a pure recompute of the same version
+          kmvBottomK(prior.unionByName(shingleHashes(batch)).distinct(), k)
+            .write.mode("overwrite").parquet(vdir(batchId + 1))
+          ()
+        }
+        .start()
+    }
+    graft.GraftSession.awaitFinished(q)
+    val latest = new java.io.File(stateDir).listFiles()
+      .filter(_.getName.startsWith("v")).map(_.getName).max
+    kmvSummary(spark.read.parquet(s"$stateDir/$latest"), k)
   }
 
   /** txt20 — COUNT-MIN heavy hitters: the frequency twin of txt18's

@@ -65,6 +65,34 @@ object Oracles {
   FROM documents
 )"""
 
+  /** Shared by txt18 (batch) and txt21 (streamed fold) — one sketch
+    * definition, two execution lanes.
+    */
+  private val kmvOracle: String = """
+WITH t AS (
+  SELECT source,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL),
+s AS (
+  SELECT source, unnest(list_transform(range(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM t WHERE len(toks) >= 3),
+h AS (
+  SELECT DISTINCT source,
+    CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) AS h FROM s),
+rn AS (SELECT source, h,
+       row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+sk AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS kth_hash
+       FROM rn WHERE rn <= 64 GROUP BY source)
+SELECT source, n_sketch, kth_hash,
+  CASE WHEN n_sketch < 64 THEN n_sketch
+       WHEN kth_hash >= 144115188075855872
+         THEN (1152921504606846976 // kth_hash) * 63
+       ELSE (1152921504606846976 // kth_hash) * 63
+          + ((1152921504606846976 % kth_hash) * 63) // kth_hash
+  END AS est_distinct
+FROM sk ORDER BY source"""
+
   val sql: Map[String, String] = Map(
 
     "q01_pricing_summary" -> """
@@ -1000,32 +1028,12 @@ FROM toks d LEFT JOIN per USING (doc_id) ORDER BY doc_id""",
     // hash of each distinct 3-gram shingle, kth-minimum per source, and
     // the (k-1)·2^60/kth estimator in pure integer div/mod arithmetic
     // (guarded branch keeps every intermediate in 63 bits); exact count
-    // when a source holds fewer than k distinct hashes
-    "txt18_kmv_distinct" -> """
-WITH t AS (
-  SELECT source,
-    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
-  FROM documents WHERE text IS NOT NULL),
-s AS (
-  SELECT source, unnest(list_transform(range(1, len(toks) - 1),
-         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-  FROM t WHERE len(toks) >= 3),
-h AS (
-  SELECT DISTINCT source,
-    CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) AS h FROM s),
-rn AS (SELECT source, h,
-       row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
-sk AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS kth_hash
-       FROM rn WHERE rn <= 64 GROUP BY source)
-SELECT source, n_sketch, kth_hash,
-  CASE WHEN n_sketch < 64 THEN n_sketch
-       WHEN kth_hash >= 144115188075855872
-         THEN (1152921504606846976 // kth_hash) * 63
-       ELSE (1152921504606846976 // kth_hash) * 63
-          + ((1152921504606846976 % kth_hash) * 63) // kth_hash
-  END AS est_distinct
-FROM sk ORDER BY source""",
-
+    // when a source holds fewer than k distinct hashes.
+    // txt21 (the streamed fold) shares this oracle verbatim: the gated
+    // claim is the KMV merge identity — per-batch folds converge to the
+    // batch-built sketch exactly
+    "txt18_kmv_distinct" -> kmvOracle,
+    "txt21_kmv_stream"   -> kmvOracle,
     // txt20: count-min heavy hitters — d=2 rows of w=1024 counters at
     // the two md5-prefix positions (tp14's hash pair), estimate = min
     // over the gram's counters, emitted beside the exact count for the

@@ -194,6 +194,8 @@ object QueryPack {
     "txt19_url_canon"    -> ((s, d) => TextOps.urlCanonDedup(s, d)),
     // count-min heavy hitters beside exact counts (bounded-counter sketch)
     "txt20_cms_heavy"    -> ((s, d) => TextOps.cmsHeavyHitters(s, d)),
+    // the KMV sketch folded forward as streaming state (merge identity)
+    "txt21_kmv_stream"   -> ((s, d) => TextOps.streamingKmvDistinct(s, d)),
 
     // ---- dedup ----
     "dd01_exact_dedup"   -> ((s, d) => Dedup.exact(s, d)),

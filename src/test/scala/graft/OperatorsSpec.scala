@@ -1372,6 +1372,18 @@ class OperatorsSpec extends AnyFunSuite {
       s"not idempotent: ${r.getString(0)} → ${r.getString(1)}"))
   }
 
+  test("txt21: streamed KMV folds equal the batch sketch at any batch geometry") {
+    import graft.operators.text.TextOps
+    val batchBuilt = TextOps.kmvDistinctShingles(spark, sf).collect().toSeq
+    // the merge identity must hold regardless of how arrivals are cut
+    Seq(1, 3).foreach { n =>
+      val streamed = TextOps.streamingKmvDistinct(spark, sf, nBatches = n)
+        .collect().toSeq
+      assert(streamed == batchBuilt,
+        s"$n-batch fold diverged from the batch sketch")
+    }
+  }
+
   test("ann12 MIPS: augmented-cosine order equals direct inner-product order") {
     import graft.operators.ann.Ann
     val viaReduction = Ann.mipsTopK(spark, sf).collect()
