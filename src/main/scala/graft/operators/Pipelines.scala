@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.operators.text.TextOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Composed end-to-end passes — the operators of this library chained the
@@ -215,5 +215,92 @@ object Pipelines {
         (struct(col("table_name"), col("record_id")) === col("canonical"))
           .as("kept"))
       .orderBy(col("table_name"), col("record_id"))
+  }
+
+  /** pipe06 — CRAWL ACCOUNTING: the identity-and-weighting pass a crawl
+    * runs between fetching and training, composed from this round's
+    * operators as ONE declarative plan: raw fetch log (each page fetched
+    * under 1-3 URL spellings; every `doc_id % 10 == 3` page also served
+    * by a content-identical MIRROR host under its own URL) →
+    * [[TextOps.canonicalizeUrl]] collapse to canonical PAGES (re-fetches
+    * of one URL merge; mirrors do NOT — distinct canonical URLs) →
+    * dd17's soft content weighting ACROSS pages (the mirror pair is
+    * exactly what URL identity cannot catch: same bytes, different site
+    * — each carries weight ½) → tp14's Bloom contamination flag over the
+    * benchmark slice (`doc_id % benchMod == 0`; a mirror of a benchmark
+    * page is flagged by CONTENT even though its URL is clean) → per-host
+    * accounting: fetch redundancy, page count, flagged mass, and the
+    * effective token budget `Σ n_tokens·weight_ppm` over clean pages —
+    * the number a sampler actually spends.
+    *
+    * Scale shape: stages keep their individual disciplines (URL collapse
+    * = one groupBy on the canonical string; weighting = map-side-combined
+    * groupBy(fp) join-back; Bloom = broadcast bitmask, zero screening
+    * exchange) and Catalyst optimizes the chain as one plan; the final
+    * accounting is a per-source rollup of a few integral columns.
+    */
+  def crawlAccounting(spark: SparkSession, d: String, k: Int = 13,
+      benchMod: Long = 17L, mBits: Int = 65536): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .filter(col("text").isNotNull))
+    // the fetch log: 1-3 raw spellings per page + mirror fetches
+    val variants = docs
+      .select(col("doc_id"), col("source"), col("text"),
+        explode(expr("sequence(0, CAST(doc_id % 3 AS INT))")).as("v"))
+      .withColumn("raw_url", expr(
+        """CASE v
+             WHEN 0 THEN 'http://' || source || '.com/doc' || doc_id
+             WHEN 1 THEN 'HTTP://WWW.' || source || '.COM/doc' || doc_id
+                         || '?utm_source=crawl'
+             ELSE 'http://' || source || '.com:80/doc' || doc_id || '/'
+           END"""))
+      .select(col("doc_id"), col("source"), col("text"), col("raw_url"))
+    val mirrors = docs.filter(col("doc_id") % 10 === 3)
+      .select(col("doc_id"), lit("mirror").as("source"), col("text"),
+        concat(lit("http://mirror.org/m"), col("doc_id")).as("raw_url"))
+    val fetches = variants.unionByName(mirrors)
+      .withColumn("canon_url", TextOps.canonicalizeUrl(col("raw_url")))
+    // canonical pages (all fetches of one canonical URL carry one page)
+    val pages = fetches.groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("source")).as("source"),
+        min(col("text")).as("text"), count(lit(1)).as("n_fetches"))
+    // content weight across pages (dd17): mirrors halve with their twin
+    val withFp = pages
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
+      .withColumn("fp", md5(TextOps.normalized(col("text"))))
+    val clusters = withFp.groupBy(col("fp")).agg(count(lit(1)).as("n_copies"))
+    val weighted = withFp.join(clusters, Seq("fp"))
+      .withColumn("weight_ppm", expr("1000000L div n_copies"))
+    // Bloom contamination flag (tp14's production configuration: filter
+    // only, no exact comparison lane); benchmark pages themselves are
+    // excluded from the accounted corpus, their mirrors are not — a
+    // mirror of a benchmark page is caught by CONTENT despite its URL
+    import graft.operators.prep.TrainPrep
+    val keyed = weighted.withColumn("page_key",
+      col("doc_id") * 2L + when(col("source") === "mirror", 1L).otherwise(0L))
+    def tokFrame(df: DataFrame, idCol: Column): DataFrame = df
+      .select(idCol.as("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).as("n_tokens"), col("t"))
+    val words = TrainPrep.bloomBitsOf(
+      TrainPrep.pageGrams(
+        tokFrame(docs.filter(col("doc_id") % benchMod === 0), col("doc_id")), k)
+        .select(col("gh")).distinct(), mBits)
+    val flags = TrainPrep.bloomTested(
+      TrainPrep.pageGrams(tokFrame(keyed, col("page_key")), k), words, mBits)
+      .groupBy(col("doc_id"))
+      .agg(max(col("bloom_hit")).as("flagged"))
+      .withColumnRenamed("doc_id", "page_key")
+    val accounted = keyed.join(flags, Seq("page_key"), "left")
+      .withColumn("flagged", coalesce(col("flagged"), lit(false)))
+      .filter(col("source") === "mirror" || col("doc_id") % benchMod =!= 0)
+    accounted.groupBy(col("source"))
+      .agg(sum(col("n_fetches")).as("n_fetches"),
+        count(lit(1)).as("n_pages"),
+        sum(col("flagged").cast("long")).as("n_flagged"),
+        sum(col("weight_ppm")).as("sum_weight_ppm"),
+        sum(when(!col("flagged"), col("n_tokens") * col("weight_ppm"))
+          .otherwise(lit(0L))).as("eff_token_ppm"))
+      .orderBy(col("source"))
   }
 }

@@ -598,39 +598,61 @@ object TrainPrep {
       benchMod: Long = 17L, mBits: Int = 65536): DataFrame =
     bloomScreenFor(Tables.documents(spark, d), k, benchMod, mBits)
 
+  /** Positional k-gram hashes of a (doc_id, n_tokens, t) frame (pipe06
+    * reuses it with page keys in the doc_id column).
+    */
+  private[graft] def pageGrams(df: DataFrame, k: Int): DataFrame = df
+    .filter(col("n_tokens") >= k)
+    .select(col("doc_id"),
+      explode(transform(sequence(lit(0), col("n_tokens") - k),
+        i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(k)))))).as("gh"))
+
+  /** Bloom position from an md5-half of the gram hash (`gh` column). */
+  private def bloomPos(start: Int, mBits: Int): Column =
+    pmod(conv(substring(col("gh"), start, 15), 16, 10).cast("long"),
+      lit(mBits.toLong))
+
+  /** Build the Bloom bitmask over a gram-hash frame. Driver memory is
+    * bounded by `mBits` DISTINCT positions, not the gram count.
+    */
+  private[graft] def bloomBitsOf(grams: DataFrame, mBits: Int): Array[Long] = {
+    require(mBits % 64 == 0 && mBits > 0, s"mBits must pack into longs: $mBits")
+    val words = new Array[Long](mBits / 64)
+    grams.select(explode(array(bloomPos(1, mBits), bloomPos(17, mBits))).as("p"))
+      .distinct().collect()
+      .foreach { r =>
+        val p = r.getLong(0).toInt
+        words(p / 64) |= 1L << (p % 64)
+      }
+    words
+  }
+
+  /** Per-gram Bloom membership of a gram-hash frame against `words` —
+    * two local bit tests, no exchange.
+    */
+  private[graft] def bloomTested(grams: DataFrame, words: Array[Long],
+      mBits: Int): DataFrame = grams
+    .select(col("doc_id"), col("gh"),
+      bloomPos(1, mBits).as("h1"), bloomPos(17, mBits).as("h2"))
+    .withColumn("bloom_bits", typedlit(words.toSeq))
+    .withColumn("bloom_hit", expr(
+      """((element_at(bloom_bits, CAST(h1 div 64 AS INT) + 1)
+          & shiftleft(1L, CAST(h1 % 64 AS INT))) <> 0L)
+         AND ((element_at(bloom_bits, CAST(h2 div 64 AS INT) + 1)
+          & shiftleft(1L, CAST(h2 % 64 AS INT))) <> 0L)"""))
+
   /** [[bloomScreen]] over any (doc_id, text) frame — the spec seam. */
   def bloomScreenFor(documents: DataFrame, k: Int = 13, benchMod: Long = 17L,
       mBits: Int = 65536): DataFrame = {
-    require(mBits % 64 == 0 && mBits > 0, s"mBits must pack into longs: $mBits")
     val withN = documents
       .select(col("doc_id"),
         graft.operators.text.TextOps.tokens(col("text")).as("t"))
       .select(col("doc_id"), size(col("t")).as("n_tokens"), col("t"))
-    def gramsOf(df: DataFrame): DataFrame = df
-      .filter(col("n_tokens") >= k)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), col("n_tokens") - k),
-          i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(k)))))).as("gh"))
-    // two independent hash positions from the md5 halves
-    def pos(start: Int): Column =
-      pmod(conv(substring(col("gh"), start, 15), 16, 10).cast("long"),
-        lit(mBits.toLong))
-    val benchGrams = gramsOf(withN.filter(col("doc_id") % benchMod === 0))
+    val benchGrams = pageGrams(withN.filter(col("doc_id") % benchMod === 0), k)
       .select(col("gh")).distinct()
-    val setPositions = benchGrams
-      .select(explode(array(pos(1), pos(17))).as("p")).distinct()
-      .collect().map(_.getLong(0))
-    val words = new Array[Long](mBits / 64)
-    setPositions.foreach(p => words(p.toInt / 64) |= 1L << (p.toInt % 64))
+    val words = bloomBitsOf(benchGrams, mBits)
     val corpus = withN.filter(col("doc_id") % benchMod =!= 0)
-    val tested = gramsOf(corpus)
-      .select(col("doc_id"), col("gh"), pos(1).as("h1"), pos(17).as("h2"))
-      .withColumn("bloom_bits", typedlit(words.toSeq))
-      .withColumn("bloom_hit", expr(
-        """((element_at(bloom_bits, CAST(h1 div 64 AS INT) + 1)
-            & shiftleft(1L, CAST(h1 % 64 AS INT))) <> 0L)
-           AND ((element_at(bloom_bits, CAST(h2 div 64 AS INT) + 1)
-            & shiftleft(1L, CAST(h2 % 64 AS INT))) <> 0L)"""))
+    val tested = bloomTested(pageGrams(corpus, k), words, mBits)
     val counted = tested
       .join(benchGrams.withColumn("ex", lit(1)), Seq("gh"), "left")
       .groupBy(col("doc_id"))

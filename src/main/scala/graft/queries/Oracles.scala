@@ -775,6 +775,101 @@ SELECT table_name, record_id, last_seq, commit_ms, k, val_cents
 FROM last WHERE last_op <> 'delete'
 ORDER BY table_name, record_id""",
 
+    // pipe06: the whole crawl-accounting chain mirrored — fetch-log
+    // synthesis, txt19's canonicalization rules, page collapse, dd17's
+    // ppm weighting across pages (mirror pairs halve), tp14's Bloom
+    // membership (set containment = the engine's bit tests), per-host
+    // rollup
+    "pipe06_crawl_account" -> """
+WITH docs AS (
+  SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL),
+vars AS (
+  SELECT doc_id, source, text,
+    unnest(range(0, doc_id % 3 + 1)) AS v
+  FROM docs),
+fetches AS (
+  SELECT doc_id, source, text,
+    CASE v
+      WHEN 0 THEN 'http://' || source || '.com/doc' || doc_id
+      WHEN 1 THEN 'HTTP://WWW.' || source || '.COM/doc' || doc_id
+                  || '?utm_source=crawl'
+      ELSE 'http://' || source || '.com:80/doc' || doc_id || '/' END AS raw_url
+  FROM vars
+  UNION ALL
+  SELECT doc_id, 'mirror' AS source, text,
+    'http://mirror.org/m' || doc_id AS raw_url
+  FROM docs WHERE doc_id % 10 = 3),
+canon AS (
+  SELECT doc_id, source, text,
+    lower(regexp_extract(raw_url, '^([A-Za-z]+)://', 1)) || '://'
+    || regexp_replace(regexp_replace(
+         lower(regexp_extract(raw_url, '^[A-Za-z]+://([^/?]+)', 1)),
+         ':80$', ''), '^www\.', '')
+    || (CASE WHEN p0 = '' THEN '/' ELSE p0 END)
+    || (CASE WHEN pq = '' THEN '' ELSE '?' || pq END) AS canon_url
+  FROM (
+    SELECT *,
+      regexp_replace(regexp_extract(raw_url,
+        '^[A-Za-z]+://[^/?]+(/[^?]*)?', 1), '/$', '') AS p0,
+      COALESCE(array_to_string(list_sort(list_filter(
+        string_split(regexp_extract(raw_url, '\?(.*)$', 1), '&'),
+        x -> NOT starts_with(x, 'utm_') AND x <> '')), '&'), '') AS pq
+    FROM fetches)),
+pages AS (
+  SELECT canon_url, min(doc_id) AS doc_id, min(source) AS source,
+         min(text) AS text, CAST(count(*) AS BIGINT) AS n_fetches
+  FROM canon GROUP BY 1),
+wt AS (
+  SELECT *,
+    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+         x -> x <> '')) AS BIGINT) AS n_tokens,
+    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+  FROM pages),
+cl AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_copies FROM wt GROUP BY 1),
+weighted AS (
+  SELECT wt.*, CAST(1000000 AS BIGINT) // cl.n_copies AS weight_ppm
+  FROM wt JOIN cl USING (fp)),
+btoks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM docs WHERE doc_id % 17 = 0),
+bg AS (
+  SELECT DISTINCT md5(array_to_string(t[s+1:s+13], ' ')) AS gh
+  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 13 + 1)) AS s
+        FROM btoks WHERE len(t) >= 13)),
+bgp AS (
+  SELECT CAST(('0x' || substring(gh, 1, 15)) AS BIGINT) % 65536 AS p FROM bg
+  UNION
+  SELECT CAST(('0x' || substring(gh, 17, 15)) AS BIGINT) % 65536 FROM bg),
+ptoks AS (
+  SELECT doc_id * 2 + (CASE WHEN source = 'mirror' THEN 1 ELSE 0 END) AS pk,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM weighted),
+pg AS (
+  SELECT pk, md5(array_to_string(t[s+1:s+13], ' ')) AS gh
+  FROM (SELECT pk, t, unnest(range(0, len(t) - 13 + 1)) AS s
+        FROM ptoks WHERE len(t) >= 13)),
+fl AS (
+  SELECT pk, max(
+    CAST(('0x' || substring(gh, 1, 15)) AS BIGINT) % 65536
+      IN (SELECT p FROM bgp)
+    AND CAST(('0x' || substring(gh, 17, 15)) AS BIGINT) % 65536
+      IN (SELECT p FROM bgp)) AS flagged
+  FROM pg GROUP BY 1),
+acct AS (
+  SELECT w.*, COALESCE(fl.flagged, false) AS flagged
+  FROM weighted w LEFT JOIN fl
+    ON w.doc_id * 2 + (CASE WHEN w.source = 'mirror' THEN 1 ELSE 0 END) = fl.pk
+  WHERE w.source = 'mirror' OR w.doc_id % 17 <> 0)
+SELECT source,
+  CAST(sum(n_fetches) AS BIGINT) AS n_fetches,
+  CAST(count(*) AS BIGINT) AS n_pages,
+  CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+  CAST(sum(weight_ppm) AS BIGINT) AS sum_weight_ppm,
+  CAST(sum(CASE WHEN NOT flagged THEN n_tokens * weight_ppm ELSE 0 END)
+    AS BIGINT) AS eff_token_ppm
+FROM acct GROUP BY 1 ORDER BY 1""",
+
     // pipe05: the Morton interleave re-derived bit by bit — source-suffix
     // and length-bucket codes, z = Σ bit_i(src)·2^(2i+1) + bit_i(ncb)·2^2i,
     // fixed-width pid = z·16 // 1024, per-pid min/max spans on BOTH dims

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Analytics
+import graft.operators.{Analytics, Pipelines}
 import graft.operators.ann.{Ann, PqIndex}
 import graft.operators.cdc.{ChangeStream, TypedRecords}
 import graft.operators.dedup.Dedup
@@ -288,6 +288,9 @@ object QueryPack {
     // covers an aligned 8×8 (source, length-bucket) rectangle — the
     // multi-dim min/max pruning a single-column sort cannot give
     "pipe05_zorder_layout" -> ((s, d) => graft.operators.Layout.zOrderStats(s, d)),
+    // crawl accounting: URL collapse → mirror-aware content weighting →
+    // Bloom contamination gate → per-host effective token budget
+    "pipe06_crawl_account" -> ((s, d) => Pipelines.crawlAccounting(s, d)),
 
     // ---- training prep (decontaminate / split / pack / pii / quantize) ----
     "tp01_decontaminate" -> ((s, d) => TrainPrep.decontaminate(s, d)),

@@ -1372,6 +1372,31 @@ class OperatorsSpec extends AnyFunSuite {
       s"not idempotent: ${r.getString(0)} → ${r.getString(1)}"))
   }
 
+  test("pipe06: fetch redundancy collapses, mirrors halve, benchmark pages leave") {
+    import graft.operators.Pipelines
+    val rows = Pipelines.crawlAccounting(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // mirror host: one page per doc_id % 10 == 3 doc, each weight-halved
+    // with its content twin — sum_weight_ppm is exactly pages · 500000
+    val m = rows("mirror")
+    val nMirrors = docs.count(_._1 % 10 == 3)
+    assert(m.getLong(2) == nMirrors.toLong, "one mirror page per %10==3 doc")
+    assert(m.getLong(1) == m.getLong(2), "mirror fetches are single-spelling")
+    assert(m.getLong(4) == nMirrors * 500000L,
+      s"mirror weight mass ${m.getLong(4)}")
+    // real hosts: spellings collapse (fetches ≥ pages), benchmark pages
+    // (doc_id % 17 == 0) are excluded from the accounting
+    rows.filterNot(_._1 == "mirror").foreach { case (src, r) =>
+      assert(r.getLong(1) >= r.getLong(2), s"$src: fetches < pages?")
+      val expectPages = docs.count { case (id, s) => s == src && id % 17 != 0 }
+      assert(r.getLong(2) == expectPages.toLong,
+        s"$src: ${r.getLong(2)} pages vs $expectPages corpus docs")
+    }
+  }
+
   test("txt21: streamed KMV folds equal the batch sketch at any batch geometry") {
     import graft.operators.text.TextOps
     val batchBuilt = TextOps.kmvDistinctShingles(spark, sf).collect().toSeq

@@ -597,6 +597,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "counter join-back cartesianed")
   }
 
+  test("pipe06: one expression-lane plan — no object round-trip, no cartesian") {
+    val df = SparkEntry.queries("pipe06_crawl_account")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("MapPartitions") && !p.contains("DeserializeToObject"),
+      "crawl accounting fell out of the expression lane")
+    assert(!p.contains("CartesianProduct"), "a pipeline stage cartesianed")
+  }
+
   test("whole-stage codegen covers the scan pipelines of every analytics query") {
     Seq("q01_pricing_summary", "q04_forecast_revenue", "txt01_token_stats")
       .foreach { q =>
