@@ -457,6 +457,49 @@ object PqIndex {
     next
   }
 
+  /** COMPACT the committed code leaves into ONE fresh leaf — the small-file
+    * maintenance pass every streaming append path eventually needs: a crawl
+    * loop commits one leaf per micro-batch, so after N increments every
+    * cell partition holds N tiny files and the cell-pruned scan pays N
+    * listings + opens per cell. Compaction reads the committed relation
+    * once, rewrites it as a single leaf (still `cell=<c>/leaf=<tag>`
+    * partitioned — one file per cell), and commits a manifest referencing
+    * only the new leaf. Codes are copied verbatim (no re-encode), so
+    * search over the compacted index is IDENTICAL row-for-row.
+    *
+    * Readers keep working throughout: a search planned against any
+    * retained pre-compaction manifest still finds the old leaves (they
+    * stay referenced by retained manifests and are therefore not
+    * sweepable — the [[RetainedManifests]] grace window); once those
+    * manifests retire, the next append's sweep collects the old leaves.
+    * Concurrency: the manifest commit is the same exclusive publish as
+    * [[append]] — a compaction racing an append has exactly one winner
+    * and the loser throws having published nothing. The optional `tag`
+    * gives scheduled compactions the same idempotency contract as
+    * appends (a committed leaf already carrying the tag makes the call a
+    * no-op). This is the Iceberg/Delta `rewrite_data_files` / `OPTIMIZE`
+    * shape applied to the index artifact.
+    */
+  def compact(spark: SparkSession, indexDir: String,
+      tag: Option[String] = None): Meta = {
+    val meta = readMeta(indexDir)
+    tag.foreach { t =>
+      require(t.matches("[0-9A-Za-z_\\-]+"), s"invalid idempotency tag: $t")
+      if (meta.codeLeaves.exists(_.endsWith(s"-$t"))) return meta
+    }
+    if (meta.codeLeaves.size <= 1) return meta // already compact
+    val leaf = leafName(meta.version + 1, tag.getOrElse(randomSuffix()))
+    codesRaw(spark, indexDir, meta)
+      .select(col("vec_id"), col("m"), col("code"), col("cell"))
+      .withColumn("leaf", lit(leaf))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell", "leaf")
+      .parquet(s"$indexDir/codes")
+    val next = meta.copy(version = meta.version + 1, codeLeaves = Seq(leaf))
+    writeMeta(indexDir, next)
+    next
+  }
+
   /** ADC top-k against the PERSISTED index — [[Ann.pqTopKOf]]'s search
     * stage reading (codebooks, codes) from storage instead of training
     * in-plan. `queries` is (query_id, q_emb) — tiny, broadcast twice
@@ -601,6 +644,113 @@ object PqIndex {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** FILTERED IVF+PQ search — the vector-database "metadata filter"
+    * composed with the persisted index: each query carries a
+    * `want_label`, and only vectors whose stored label matches are
+    * eligible. The filter applies BEFORE the ADC shortlist cut
+    * (pre-filtering): with post-filtering a selective predicate would
+    * saturate the `rerank` shortlist with to-be-discarded vectors and
+    * recall would collapse as selectivity rises — the classic filtered-
+    * ANN failure mode. `labels` is the (vec_id, label) metadata store;
+    * the candidate↔label join is vec_id-keyed (co-located by id at
+    * 100 TB — point-lookup shaped, the embProvider discipline), and the
+    * rest of the pipeline is [[topKIvfAgainst]]'s: probe-pruned
+    * partitioned scan, exact scaled-integer ADC, exact-cosine rerank.
+    * Raw-coding mode only (residual composition is the same label join
+    * on the per-cell-table branch).
+    */
+  def topKIvfFilteredAgainst(spark: SparkSession, indexDir: String,
+      queries: DataFrame, labels: DataFrame, embProvider: DataFrame,
+      nprobe: Int = 4, k: Int = 5, rerank: Int = 32): DataFrame = {
+    val meta = readMeta(indexDir)
+    require(!meta.residual,
+      s"$indexDir stores RESIDUAL codes — compose the label join on the " +
+        "residual branch of topKIvfAgainst for IVFADC filtered search")
+    val subLen = meta.subLen
+    require(meta.coarseDir.nonEmpty,
+      s"$indexDir has no coarse quantizer (pre-IVF index)")
+    val cents = artifact(spark, s"$indexDir/${meta.coarseDir}")
+    val qSlim = queries.select(col("query_id"), col("q_emb"))
+    val probes = Ann.probeCells(qSlim, cents, nprobe).cache()
+    val probedVals = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0))
+    val codesDf = spark.read.parquet(s"$indexDir/codes")
+    val cellLits: Seq[Any] = codesDf.schema("cell").dataType match {
+      case org.apache.spark.sql.types.IntegerType =>
+        probedVals.toIndexedSeq.map(v => Int.box(v.toInt))
+      case _ => probedVals.toIndexedSeq.map(Long.box)
+    }
+    val probedCodes = codesDf
+      .filter(col("leaf").isin(meta.codeLeaves: _*) &&
+        col("cell").isin(cellLits: _*))
+      .select(col("vec_id"), col("m"), col("code"), col("cell"))
+    val books = artifact(spark, s"$indexDir/${meta.codebooksDir}")
+    val cellType = codesDf.schema("cell").dataType
+    val tables = queries.crossJoin(broadcast(books))
+      .select(col("query_id"), col("want_label"), col("m"), col("code"),
+        round(Ann.assignSim(
+          slice(col("q_emb"), col("m") * subLen + 1, lit(subLen)),
+          col("cent_emb")) * lit(1e8)).cast("long").as("subscore"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val shortlist = probedCodes
+      .join(broadcast(probes.withColumn("cell", col("cell").cast(cellType))),
+        Seq("cell"))
+      .join(broadcast(tables), Seq("query_id", "m", "code"))
+      .join(labels, Seq("vec_id")) // pre-filter: before the shortlist cut
+      .filter(col("label") === col("want_label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("subscore")).as("adc"))
+      .withColumn("arnk", row_number().over(wAdc))
+      .filter(col("arnk") <= rerank)
+      .select(col("query_id"), col("vec_id"))
+    val wSim = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    shortlist
+      .join(embProvider, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("sim", Ann.cosine(col("q_emb"), col("embedding")))
+      .withColumn("rnk", row_number().over(wSim))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("want_label"), col("rnk"), col("vec_id"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** ann14's driver-checked shape — the planted-copy theorem through the
+    * FILTERED search path: the copy inherits its original's label, each
+    * original queries with `want_label` = its own label, so the copy
+    * passes the pre-filter, its ADC total is the global max among
+    * same-label candidates, and exact rerank scores it sim 1.0 — the
+    * planting relation carrying the label column. The filter's BITE
+    * (wrong-label exclusion) is spec-pinned, not driver-gated, since
+    * excluded-candidate rankings are organic.
+    */
+  def selfRecallFiltered(spark: SparkSession, d: String,
+      nQueries: Int = 64, m: Int = 4, ksub: Int = 16, dim: Int = 64,
+      refineIters: Int = 1, ncells: Int = 16, nprobe: Int = 2): DataFrame = {
+    val withLabel = Tables.spread(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"), col("label"))).cache()
+    val base = withLabel.select(col("vec_id"), col("embedding"))
+    val copies = base.filter(col("vec_id") < nQueries)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val indexDir = graft.Tables.scratchDir("graft-pq-filtered")
+    build(base, indexDir, m, ksub, dim, refineIters, ncells)
+    append(spark, indexDir, copies)
+    val labels = withLabel.select(col("vec_id"), col("label"))
+      .unionByName(withLabel.filter(col("vec_id") < nQueries)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("label")))
+    val queries = withLabel.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("want_label"))
+    topKIvfFilteredAgainst(spark, indexDir, queries, labels,
+      base.unionByName(copies), nprobe, k = 1, rerank = 4096)
+      .select(col("query_id"), col("want_label"),
+        col("vec_id").as("match_id"), col("sim"))
+      .orderBy(col("query_id"))
+  }
+
   /** ann08's driver-checked shape — the planted-copy theorem through the
     * IVF+PQ search path: build the index on the corpus, [[append]] exact
     * copies of the first `nQueries` vectors as a crawl increment, then
@@ -632,6 +782,43 @@ object PqIndex {
     topKIvfAgainst(spark, indexDir, queries,
       base.unionByName(copies), nprobe, k = 1, rerank = 4096)
       .select(col("query_id"), col("vec_id").as("ivf_nearest"), col("sim"))
+      .orderBy(col("query_id"))
+  }
+
+  /** ann13's driver-checked shape — the ann08 planted-copy theorem run
+    * THROUGH [[compact]]: build on the corpus, append the planted copies
+    * in THREE separate increments (a 4-leaf index — the post-crawl
+    * small-file state), compact to one leaf, then run the cell-pruned
+    * IVF+PQ search. Compaction copies codes verbatim, so the search
+    * relation is provably the planting relation (the ann08 theorem);
+    * a row lost, duplicated, or mis-celled by the rewrite surfaces as a
+    * missing/duplicate/mis-ranked output row. The leaf counts before and
+    * after ride along as gated columns — the compaction CONTRACT
+    * (4 leaves in, exactly 1 referenced out) is part of the relation.
+    */
+  def selfRecallCompacted(spark: SparkSession, d: String,
+      nQueries: Int = 64, m: Int = 4, ksub: Int = 16, dim: Int = 64,
+      refineIters: Int = 1, ncells: Int = 16, nprobe: Int = 2): DataFrame = {
+    val base = Tables.spread(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))).cache()
+    val copies = base.filter(col("vec_id") < nQueries)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val indexDir = graft.Tables.scratchDir("graft-pq-compact")
+    build(base, indexDir, m, ksub, dim, refineIters, ncells)
+    val third = nQueries / 3
+    append(spark, indexDir, copies.filter(col("vec_id") < 100000L + third))
+    append(spark, indexDir, copies.filter(col("vec_id") >= 100000L + third &&
+      col("vec_id") < 100000L + 2 * third))
+    append(spark, indexDir, copies.filter(col("vec_id") >= 100000L + 2 * third))
+    val before = readMeta(indexDir).codeLeaves.size
+    compact(spark, indexDir)
+    val after = readMeta(indexDir).codeLeaves.size
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    topKIvfAgainst(spark, indexDir, queries,
+      base.unionByName(copies), nprobe, k = 1, rerank = 4096)
+      .select(col("query_id"), col("vec_id").as("ivf_nearest"), col("sim"),
+        lit(before).as("n_leaves_before"), lit(after).as("n_leaves_after"))
       .orderBy(col("query_id"))
   }
 

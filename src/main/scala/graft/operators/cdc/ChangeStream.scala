@@ -298,6 +298,72 @@ object ChangeStream {
         sum(col("sign") * col("cv")).as("cents_delta"))
       .orderBy(col("table_name"), col("k_bucket"))
 
+  /** cdc26 — [[incrementalGroupAgg]] run as a MAINTAINED MATERIALIZED
+    * VIEW: change batches arrive as a stream and the per-group aggregate
+    * table is FOLDED forward per micro-batch — state(b+1) = groupwise sum
+    * of (state(b) ∪ batch deltas) — instead of re-aggregating the change
+    * history. This is incremental view maintenance (the DBSP/differential-
+    * dataflow discipline): because the deltas are signed and the merge is
+    * an integer sum (associative, commutative), the folded state after N
+    * batches EQUALS the one-shot aggregate over all N batches' changes —
+    * cdc26 shares cdc24's oracle verbatim; the merge identity is the
+    * gated claim (the txt21 device on the aggregate lane).
+    *
+    * Scale shape per batch: signed-delta explode is narrow; ONE map-side-
+    * combined groupBy of the BATCH (≤ 2 rows per change in, ≤ |groups|
+    * out); the merge touches |groups| state rows — O(view), never
+    * O(history). State versions are written per batch id with overwrite,
+    * so at-least-once foreachBatch replay recomputes the same version —
+    * idempotent (the dd13 fold discipline). In production the state
+    * lands in the Materializer's bucketed store keyed by group; the
+    * versioned-directory form here keeps the identity inspectable.
+    */
+  def streamingGroupAggFold(spark: SparkSession, sfDir: String,
+      nBatches: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val tmp = Tables.scratchDir("graft_cdc26")
+    val stateDir = s"$tmp/state"
+    val stageDir = s"$tmp/arrivals"
+    changes(spark, sfDir).repartition(nBatches, col("seq"))
+      .write.parquet(stageDir)
+    val schema = spark.read.parquet(stageDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    def vdir(b: Long): String = f"$stateDir%s/v$b%05d"
+    val stateSchema = StructType(Seq(
+      StructField("table_name", StringType), StructField("k_bucket", LongType),
+      StructField("row_delta", LongType), StructField("cents_delta", LongType)))
+    val q = graft.GraftSession.withStreamShuffle(spark) {
+      stream.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val s = batch.sparkSession
+          val deltas = signedDeltas(batch)
+            .groupBy(col("table_name"), (col("ck") % 8).as("k_bucket"))
+            .agg(sum(col("sign")).as("row_delta"),
+              sum(col("sign") * col("cv")).as("cents_delta"))
+          val prior =
+            if (batchId == 0L)
+              s.createDataFrame(
+                s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+            else s.read.parquet(vdir(batchId))
+          prior.unionByName(deltas)
+            .groupBy(col("table_name"), col("k_bucket"))
+            .agg(sum(col("row_delta")).as("row_delta"),
+              sum(col("cents_delta")).as("cents_delta"))
+            .write.mode("overwrite").parquet(vdir(batchId + 1))
+          ()
+        }
+        .start()
+    }
+    graft.GraftSession.awaitFinished(q)
+    val latest = new java.io.File(stateDir).listFiles()
+      .filter(_.getName.startsWith("v")).map(_.getName).max
+    spark.read.parquet(s"$stateDir/$latest")
+      .orderBy(col("table_name"), col("k_bucket"))
+  }
+
   /** cdc23 — point-in-time snapshot reconstruction ("time travel"): the
     * state of every record at an LSN cut = its LAST change at or below
     * the cut, dropped if that change was a delete. The cut here is the

@@ -1217,4 +1217,53 @@ object Dedup {
         (col("n_tokens") * expr("1000000L div n_copies")).as("eff_token_ppm"))
       .orderBy(col("doc_id"))
   }
+
+  /** dd18 — bounded EDIT-DISTANCE near-dup: the fuzzy-match family's
+    * character-level member (catches OCR noise, typo farms, template
+    * fills — edits that shift every downstream shingle, which the
+    * set-similarity lanes under-count). Exact all-pairs Levenshtein is
+    * O(N²·len²); the production shape is BLOCK-then-verify: documents
+    * sharing an identical `prefixLen`-char prefix (hashed — 16-byte
+    * blocking keys) are candidates, and only candidates pay the O(len²)
+    * DP, via Spark's codegen'd `levenshtein`. Run AFTER exact dedup
+    * (group by content hash, min doc_id canonical — the dd01 head): the
+    * edit-distance unit is the distinct text, so a duplicate storm can
+    * never quadratically inflate a block.
+    *
+    * The planted lane appends a fixed 4-char tail to canonical docs
+    * (doc_id < `plantMax`, length ≥ `minLen` so the blocking prefix is
+    * untouched): same block by construction, Levenshtein EXACTLY 4
+    * (insertions only) — both engines derive the identical integer, and
+    * the DuckDB oracle mirrors the whole block/verify machinery, so
+    * organic same-prefix pairs are gated too, not just the plants.
+    *
+    * Scale shape: one groupBy(md5) for canonicals, one equi-join on the
+    * 32-byte block key (AQE skew-splittable; block geometry bounds the
+    * quadratic term the way cluster geometry bounds dd14's). Texts ride
+    * the blocking shuffle here because the verify needs both strings; at
+    * 100 TB swap to ids-only pairing + re-attach by id against the
+    * corpus store if string width dominates.
+    */
+  def editNearDups(spark: SparkSession, d: String, prefixLen: Int = 200,
+      maxDist: Int = 16, plantMax: Int = 300, minLen: Int = 250): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).filter(col("text").isNotNull))
+    val canon = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
+      .select(col("doc_id"), col("text"))
+    val plants = canon
+      .filter(col("doc_id") < plantMax && length(col("text")) >= minLen)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" zqx")).as("text"))
+    val blocked = canon.unionByName(plants)
+      .withColumn("blk", md5(substring(col("text"), 1, prefixLen)))
+    blocked.select(col("blk"), col("doc_id").as("id_a"), col("text").as("text_a"))
+      .join(blocked.select(col("blk"), col("doc_id").as("id_b"),
+        col("text").as("text_b")), Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

@@ -909,4 +909,46 @@ object TrainPrep {
       .groupBy(col("doc_id"))
       .agg(sum(col("lw")).as("log_weight"), count(lit(1)).as("n_grams"))
   }
+
+  /** tp15 — LENGTH-BUCKETED batching efficiency (the "group by length"
+    * curriculum every trainer applies before padding): documents batch
+    * with similar-length peers, each batch pads to its own bucket
+    * ceiling instead of the global max, and this operator reports the
+    * padding the bucketing saves — the quantity that decides bucket
+    * geometry BEFORE an expensive packing run. Per bucket of
+    * `granularity` tokens: document count, real token mass, padded mass
+    * at the bucket ceiling (n_docs · ceiling), padded mass under naive
+    * global-max padding, and the saved fraction in integral ppm.
+    *
+    * All-integer arithmetic (ceilings via `((n-1) div g + 1) * g`, ppm
+    * via 63-bit cross-multiplication), so the relation is cross-engine
+    * exact. Docs longer than `seqLen` truncate to it first — the
+    * trainer's own behavior.
+    *
+    * Scale shape: one narrow scan projects (doc → n_tokens), one
+    * map-side-combined groupBy on ≤ seqLen/granularity bucket keys, and
+    * the global-max side is a one-row broadcast — nothing wide ever
+    * shuffles.
+    */
+  def lengthBuckets(spark: SparkSession, d: String, seqLen: Int = 2048,
+      granularity: Int = 64): DataFrame = {
+    val toks = Tables.spread(Tables.documents(spark, d)
+        .select(col("doc_id"), col("text")).filter(col("text").isNotNull))
+      .select(least(size(TextOps.tokens(col("text"))).cast("long"),
+        lit(seqLen.toLong)).as("n"))
+      .filter(col("n") > 0)
+    val bucketed = toks.withColumn("ceiling",
+      expr(s"((n - 1) div $granularity + 1) * $granularity"))
+    val g = bucketed.groupBy(col("ceiling"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("token_mass"))
+      .withColumn("padded_mass", col("n_docs") * col("ceiling"))
+    val globalCeil = bucketed.agg(max(col("ceiling")).as("global_ceiling"))
+    g.crossJoin(broadcast(globalCeil))
+      .select(col("ceiling"), col("n_docs"), col("token_mass"),
+        col("padded_mass"),
+        (col("n_docs") * col("global_ceiling")).as("naive_mass"),
+        expr("""((n_docs * global_ceiling - padded_mass) * 1000000L)
+                div (n_docs * global_ceiling)""").as("saved_ppm"))
+      .orderBy(col("ceiling"))
+  }
 }

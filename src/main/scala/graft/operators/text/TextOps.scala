@@ -754,6 +754,76 @@ object TextOps {
     kmvSummary(spark.read.parquet(s"$stateDir/$latest"), k)
   }
 
+  /** Integral HLL estimator numerator: floor(α₁₆ · m² · 2^48+1) with
+    * α₁₆ = 0.673, m = 16, and the register scale 2^(49−reg) — computed
+    * once in BigInt (the product overflows 63 bits before the /1000) and
+    * shared by the Spark lane and the DuckDB oracle so the two engines
+    * divide the identical literal.
+    */
+  val HllNumerator: Long = (BigInt(172288) * (BigInt(1) << 49) / 1000).toLong
+
+  /** txt22 — HyperLogLog distinct-cardinality REGISTERS per source
+    * (Flajolet et al. 2007): the third sketch beside KMV (txt18) and
+    * count-min (txt20), and the one production systems actually merge
+    * across shards — a register bank is m small integers, and the union
+    * of two sketches is the elementwise MAX (spec-pinned). m = 16
+    * buckets (low 4 bits of the 60-bit md5-prefix hash); ρ = position of
+    * the first 1-bit in the next 48 bits (49 when they are all zero),
+    * register = max ρ per bucket.
+    *
+    * The whole relation is cross-engine EXACT: registers are integer
+    * string arithmetic (`lpad(bin(suffix))` + first-'1' position — both
+    * engines produce identical binary strings), and the estimator is
+    * INTEGRAL — E = α·m²/Σ2^(−reg) becomes [[HllNumerator]] div
+    * Σ2^(49−reg), every term a 63-bit integer, no float pow/harmonic sum
+    * anywhere. The exact distinct count rides beside the estimate (the
+    * txt20 side-by-side discipline) so the sketch error is part of the
+    * gated relation. No small-range (linear-counting) correction: n/m is
+    * far above the bias regime at every shipped sf; n_empty is emitted
+    * so a consumer can apply it.
+    *
+    * Scale shape: the only wide exchange carries (source, 8-byte hash)
+    * distinct rows — the txt18 discipline; registers aggregate to
+    * 16 rows per source (map-side max), the grid/summary joins touch
+    * sketch-sized relations only.
+    */
+  def hllRegisters(spark: SparkSession, d: String): DataFrame = {
+    val hashed = shingleHashes(Tables.spread(
+      Tables.documents(spark, d)
+        .select(col("source"), col("text")).filter(col("text").isNotNull)))
+    val regs = hllRegsOf(hashed)
+    val grid = hashed.select(col("source")).distinct()
+      .select(col("source"), explode(sequence(lit(0L), lit(15L))).as("bucket"))
+    val full = grid.join(regs, Seq("source", "bucket"), "left")
+      .withColumn("register", coalesce(col("register"), lit(0L)))
+    val summ = full.groupBy(col("source")).agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - register AS INT))"))
+        .as("s_denom"),
+      sum(when(col("register") === 0, 1L).otherwise(0L)).as("n_empty"))
+    val ex = hashed.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    full.join(summ, Seq("source")).join(ex, Seq("source"))
+      .select(col("source"), col("bucket"), col("register"), col("n_empty"),
+        expr(s"${HllNumerator}L div s_denom").as("est_hll"), col("n_exact"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  /** Register bank (source, bucket, register) from a (source, h) hash
+    * relation — the mergeability seam [[hllRegisters]]' spec pins:
+    * registers(A ∪ B) = elementwise max(registers(A), registers(B)).
+    */
+  private[graft] def hllRegsOf(hashed: DataFrame): DataFrame =
+    hashed.select(col("source"),
+        expr("h % 16").as("bucket"),
+        expr("CAST((h div 16) % 281474976710656 AS BIGINT)").as("suffix"))
+      .withColumn("pos", instr(lpad(bin(col("suffix")), 48, "0"), "1"))
+      .withColumn("rho", when(col("pos") === 0, 49).otherwise(col("pos")))
+      .groupBy(col("source"), col("bucket"))
+      .agg(max(col("rho")).cast("long").as("register"))
+
+  /** [[hllRegsOf]] over a document set (shingle-hash head included). */
+  private[graft] def hllRegisterBank(docs: DataFrame): DataFrame =
+    hllRegsOf(shingleHashes(docs))
+
   /** txt20 — COUNT-MIN heavy hitters: the frequency twin of txt18's
     * cardinality sketch. Exact "which boilerplate n-grams dominate the
     * corpus" needs a full groupBy over every distinct gram; the

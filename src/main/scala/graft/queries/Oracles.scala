@@ -68,6 +68,29 @@ object Oracles {
   /** Shared by txt18 (batch) and txt21 (streamed fold) — one sketch
     * definition, two execution lanes.
     */
+  /** cdc24's signed-delta aggregate — shared verbatim by cdc26 (the
+    * streaming fold): integer-sum mergeability makes the folded state
+    * equal the one-shot aggregate exactly.
+    */
+  private lazy val deltaAggOracle: String = s"""$changesCte,
+contribs AS (
+  SELECT table_name, 1 AS sign, k AS ck, val_cents AS cv
+  FROM changes WHERE op = 'insert'
+  UNION ALL
+  SELECT table_name, -1, k, val_cents FROM changes WHERE op = 'delete'
+  UNION ALL
+  SELECT table_name, -1,
+    k - CASE WHEN k % 5 = 0 THEN 0 ELSE 1 END,
+    val_cents - CASE WHEN k % 3 = 0 THEN 0 ELSE 150 END
+  FROM changes WHERE op = 'update'
+  UNION ALL
+  SELECT table_name, 1, k, val_cents FROM changes WHERE op = 'update')
+SELECT table_name, ck % 8 AS k_bucket,
+  CAST(sum(sign) AS BIGINT) AS row_delta,
+  CAST(sum(sign * cv) AS BIGINT) AS cents_delta
+FROM contribs GROUP BY table_name, ck % 8
+ORDER BY table_name, k_bucket"""
+
   private val kmvOracle: String = """
 WITH t AS (
   SELECT source,
@@ -92,6 +115,49 @@ SELECT source, n_sketch, kth_hash,
           + ((1152921504606846976 % kth_hash) * 63) // kth_hash
   END AS est_distinct
 FROM sk ORDER BY source"""
+
+  /** txt22 — HLL registers + integral estimator: same distinct-hash head
+    * as the KMV oracle; registers via binary-string arithmetic (lpad/bin/
+    * strpos produce identical strings on both engines); the estimator
+    * divides the SHARED numerator literal
+    * ([[graft.operators.text.TextOps.HllNumerator]]) by an exact 63-bit
+    * integer denominator — no float anywhere.
+    */
+  private lazy val hllOracle: String = s"""
+WITH t AS (
+  SELECT source,
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL),
+s AS (
+  SELECT source, unnest(list_transform(range(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM t WHERE len(toks) >= 3),
+h AS (
+  SELECT DISTINCT source,
+    CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) AS h FROM s),
+r AS (
+  SELECT source, h % 16 AS bucket,
+    CASE WHEN strpos(lpad(bin((h // 16) % 281474976710656), 48, '0'), '1') = 0
+         THEN 49
+         ELSE strpos(lpad(bin((h // 16) % 281474976710656), 48, '0'), '1')
+    END AS rho
+  FROM h),
+regs AS (SELECT source, bucket, CAST(max(rho) AS BIGINT) AS register
+         FROM r GROUP BY source, bucket),
+srcs AS (SELECT DISTINCT source FROM h),
+grid AS (SELECT source, range AS bucket FROM srcs CROSS JOIN range(16)),
+fullr AS (SELECT g.source, g.bucket, COALESCE(register, 0) AS register
+          FROM grid g LEFT JOIN regs USING (source, bucket)),
+summ AS (SELECT source,
+    CAST(sum(CAST(1 AS BIGINT) << CAST(49 - register AS INTEGER)) AS BIGINT)
+      AS s_denom,
+    CAST(sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+  FROM fullr GROUP BY source),
+ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM h GROUP BY source)
+SELECT f.source, f.bucket, f.register, n_empty,
+  ${graft.operators.text.TextOps.HllNumerator} // s_denom AS est_hll, n_exact
+FROM fullr f JOIN summ USING (source) JOIN ex USING (source)
+ORDER BY f.source, f.bucket"""
 
   val sql: Map[String, String] = Map(
 
@@ -628,6 +694,26 @@ SELECT vec_id AS query_id, vec_id + 100000 AS ivf_nearest,
   CAST(1.0 AS DOUBLE) AS sim
 FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
 
+    // ann13: the ann08 theorem THROUGH leaf compaction — codes are copied
+    // verbatim (no re-encode), so the cell-pruned search after compaction
+    // returns exactly the planting relation; the leaf counts (1 build +
+    // 3 append increments = 4 before, exactly 1 referenced after) are
+    // part of the gated relation — the compaction contract itself
+    "ann13_compact" -> """
+SELECT vec_id AS query_id, vec_id + 100000 AS ivf_nearest,
+  CAST(1.0 AS DOUBLE) AS sim,
+  4 AS n_leaves_before, 1 AS n_leaves_after
+FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
+
+    // ann14: the planting theorem through FILTERED search — the copy
+    // inherits its original's label, each original queries with its own
+    // label as the predicate, so the copy passes the pre-filter and wins
+    // rank 1 at sim 1.0; the label column rides the gated relation
+    "ann14_filtered" -> """
+SELECT vec_id AS query_id, label AS want_label,
+  vec_id + 100000 AS match_id, CAST(1.0 AS DOUBLE) AS sim
+FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
+
     // ann09: the planting theorem through RESIDUAL IVFADC — the copy's
     // coarse cell, residual, and residual codes are bitwise its
     // original's; the harness's rerank exceeds the probed candidate
@@ -740,24 +826,14 @@ ORDER BY table_name, record_id""",
     // signed delta rows (insert +new, delete −old, update −old +new; the
     // old image mirrors withRecords' deterministic deltas) so group-key
     // migration retracts correctly; net movement per (table, k%8)
-    "cdc24_delta_agg" -> s"""$changesCte,
-contribs AS (
-  SELECT table_name, 1 AS sign, k AS ck, val_cents AS cv
-  FROM changes WHERE op = 'insert'
-  UNION ALL
-  SELECT table_name, -1, k, val_cents FROM changes WHERE op = 'delete'
-  UNION ALL
-  SELECT table_name, -1,
-    k - CASE WHEN k % 5 = 0 THEN 0 ELSE 1 END,
-    val_cents - CASE WHEN k % 3 = 0 THEN 0 ELSE 150 END
-  FROM changes WHERE op = 'update'
-  UNION ALL
-  SELECT table_name, 1, k, val_cents FROM changes WHERE op = 'update')
-SELECT table_name, ck % 8 AS k_bucket,
-  CAST(sum(sign) AS BIGINT) AS row_delta,
-  CAST(sum(sign * cv) AS BIGINT) AS cents_delta
-FROM contribs GROUP BY table_name, ck % 8
-ORDER BY table_name, k_bucket""",
+    "cdc24_delta_agg" -> deltaAggOracle,
+
+    // cdc26: the SAME relation maintained as a streaming materialized
+    // view — state(b+1) = groupwise integer sum of (state(b) ∪ batch
+    // deltas); signed-delta sums are associative and commutative, so the
+    // folded state equals the one-shot aggregate EXACTLY and cdc26
+    // shares cdc24's oracle verbatim (the merge identity is the claim)
+    "cdc26_ivm_stream" -> deltaAggOracle,
 
     // materialized current state: the last change per record over the
     // whole stream, dropped when it was a delete (tombstone) — what the
@@ -1128,6 +1204,7 @@ FROM toks d LEFT JOIN per USING (doc_id) ORDER BY doc_id""",
     // claim is the KMV merge identity — per-batch folds converge to the
     // batch-built sketch exactly
     "txt18_kmv_distinct" -> kmvOracle,
+    "txt22_hll"          -> hllOracle,
     "txt21_kmv_stream"   -> kmvOracle,
     // txt20: count-min heavy hitters — d=2 rows of w=1024 counters at
     // the two md5-prefix positions (tp14's hash pair), estimate = min
@@ -2402,6 +2479,47 @@ SELECT doc_id, n_tokens, n_copies,
   CAST(1000000 AS BIGINT) // n_copies AS weight_ppm,
   n_tokens * (CAST(1000000 AS BIGINT) // n_copies) AS eff_token_ppm
 FROM fp JOIN cl ON fp.f = cl.f ORDER BY doc_id""",
+
+    // dd18: bounded edit-distance near-dup — exact-dedup canonicals
+    // (group by content hash, min doc_id) blocked on the md5 of the
+    // 200-char prefix, candidates verified by EXACT levenshtein ≤ 16.
+    // The planted lane appends a 4-char tail to canonicals with
+    // doc_id < 300 and length ≥ 250 (prefix untouched ⇒ same block;
+    // insertions only ⇒ distance exactly 4); the oracle mirrors the
+    // whole block/verify machinery so organic same-prefix pairs gate too
+    "dd18_edit_dedup" -> """
+WITH u AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+c AS (SELECT min(doc_id) AS doc_id, min(text) AS text
+      FROM u GROUP BY md5(text)),
+p AS (SELECT doc_id + 100000 AS doc_id, text || ' zqx' AS text
+      FROM c WHERE doc_id < 300 AND length(text) >= 250),
+allv AS (SELECT * FROM c UNION ALL SELECT * FROM p),
+b AS (SELECT doc_id, text, md5(substr(text, 1, 200)) AS blk FROM allv),
+pr AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+         CAST(levenshtein(a.text, b2.text) AS BIGINT) AS dist
+       FROM b a JOIN b b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id)
+SELECT id_a, id_b, dist FROM pr WHERE dist <= 16 ORDER BY id_a, id_b""",
+
+    // tp15: length-bucketed batching efficiency — ceilings and padded
+    // masses in pure integer arithmetic; saved fraction by 63-bit
+    // cross-multiplied ppm (docs truncate to seqLen=2048 first,
+    // granularity=64 — the operator defaults)
+    "tp15_length_buckets" -> """
+WITH t AS (
+  SELECT len(list_filter(string_split_regex(trim(text), '\s+'),
+         x -> x <> '')) AS n0
+  FROM documents WHERE text IS NOT NULL),
+n AS (SELECT least(CAST(n0 AS BIGINT), 2048) AS n FROM t WHERE n0 > 0),
+b AS (SELECT ((n - 1) // 64 + 1) * 64 AS ceiling, n FROM n),
+g AS (SELECT ceiling, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n) AS BIGINT) AS token_mass FROM b GROUP BY ceiling),
+gc AS (SELECT max(ceiling) AS global_ceiling FROM b)
+SELECT ceiling, n_docs, token_mass,
+  n_docs * ceiling AS padded_mass,
+  n_docs * global_ceiling AS naive_mass,
+  ((n_docs * global_ceiling - n_docs * ceiling) * 1000000)
+    // (n_docs * global_ceiling) AS saved_ppm
+FROM g CROSS JOIN gc ORDER BY ceiling""",
 
     "tp04_pii_scrub" -> """
 WITH p AS (

@@ -166,6 +166,10 @@ object QueryPack {
     "cdc22_scd2"             -> ((s, d) => ChangeStream.scdType2(s, d)), // warehouse SCD2 versions
     "cdc23_snapshot"         -> ((s, d) => ChangeStream.snapshotAtMidpoint(s, d)), // time travel
     "cdc24_delta_agg"        -> ((s, d) => ChangeStream.incrementalGroupAgg(s, d)), // retraction-aware agg
+    // the same aggregate MAINTAINED as a streaming materialized view:
+    // signed deltas folded into versioned state per micro-batch; the
+    // integer-sum merge identity makes it share cdc24's oracle verbatim
+    "cdc26_ivm_stream"       -> ((s, d) => ChangeStream.streamingGroupAggFold(s, d)),
     "cdc25_materialize"      -> ((s, d) => streamMaterialize(s, d)), // current-state store
 
     // ---- text analysis ----
@@ -196,6 +200,9 @@ object QueryPack {
     "txt20_cms_heavy"    -> ((s, d) => TextOps.cmsHeavyHitters(s, d)),
     // the KMV sketch folded forward as streaming state (merge identity)
     "txt21_kmv_stream"   -> ((s, d) => TextOps.streamingKmvDistinct(s, d)),
+    // HyperLogLog registers per source with a fully INTEGRAL estimator
+    // (registers exact via binary-string arithmetic; exact count beside)
+    "txt22_hll"          -> ((s, d) => TextOps.hllRegisters(s, d)),
 
     // ---- dedup ----
     "dd01_exact_dedup"   -> ((s, d) => Dedup.exact(s, d)),
@@ -226,6 +233,9 @@ object QueryPack {
     "dd16_chunk_dedup"    -> ((s, d) => Dedup.chunkDedup(s, d)),
     // soft dedup: integral ppm down-weighting instead of removal
     "dd17_soft_dedup"     -> ((s, d) => Dedup.softDedupWeights(s, d)),
+    // bounded edit-distance near-dup: prefix-hash blocking + exact
+    // levenshtein verify, oracle mirrors the whole machinery
+    "dd18_edit_dedup"     -> ((s, d) => Dedup.editNearDups(s, d)),
 
     // ---- similarity search ----
     "ann01_brute_topk"  -> ((s, d) => Ann.bruteForceTopK(s, d)),
@@ -243,6 +253,12 @@ object QueryPack {
     // hybrid retrieval: BM25 sparse leg ∪ cosine dense leg, integral
     // reciprocal-rank fusion — see Ann.hybridRrfTopK
     "ann11_hybrid_rrf"  -> ((s, d) => Ann.hybridRrfTopK(s, d)),
+    // leaf COMPACTION: 4-leaf post-crawl index rewritten to one leaf,
+    // search provably identical — see PqIndex.selfRecallCompacted
+    "ann13_compact"     -> ((s, d) => PqIndex.selfRecallCompacted(s, d)),
+    // FILTERED vector search: per-query metadata predicate applied
+    // BEFORE the ADC shortlist cut — see PqIndex.topKIvfFilteredAgainst
+    "ann14_filtered"    -> ((s, d) => PqIndex.selfRecallFiltered(s, d)),
 
     // ---- multimodal ----
     "mm01_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),
@@ -311,7 +327,10 @@ object QueryPack {
     "tp13_ppl_buckets"   -> ((s, d) => TrainPrep.perplexityBuckets(s, d)),
     // Bloom decontamination screen beside the exact semi-join — the
     // false-positive overshoot is part of the gated relation
-    "tp14_bloom_screen"  -> ((s, d) => TrainPrep.bloomScreen(s, d))
+    "tp14_bloom_screen"  -> ((s, d) => TrainPrep.bloomScreen(s, d)),
+    // length-bucketed batching efficiency: padding saved vs global-max
+    // padding, integral ppm — the group-by-length curriculum report
+    "tp15_length_buckets" -> ((s, d) => TrainPrep.lengthBuckets(s, d))
   )
 
   /** D1-D11 showcase: a distributed decode of binary pgoutput frames

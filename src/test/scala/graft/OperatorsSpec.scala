@@ -1472,4 +1472,67 @@ class OperatorsSpec extends AnyFunSuite {
     // is_neardup is exactly the ≥3 rule on every output row
     rows.foreach { case (_, _, n, nd) => assert(nd == (n >= 3L)) }
   }
+
+  test("dd18 edit dedup: planted tails at distance exactly 4, blocks honest") {
+    import graft.operators.dedup.Dedup
+    val rows = Dedup.editNearDups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every planted (canonical, canonical+100000) pair present at the
+    // provable distance: a fixed 4-char appended tail is 4 insertions
+    val eligible = graft.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"),
+        min(col("text")).as("text"))
+      .filter(col("doc_id") < 300 && length(col("text")) >= 250)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(eligible.nonEmpty, "fixture has no eligible plant docs")
+    eligible.foreach { id =>
+      assert(rows.contains((id, id + 100000L, 4L)),
+        s"planted pair for $id missing or at wrong distance")
+    }
+    // the relation is symmetric-free (a < b) and every distance is ≤ 16
+    rows.foreach { case (a, b, dist) =>
+      assert(a < b && dist <= 16L && dist >= 0L)
+    }
+  }
+
+  test("cdc26: the streamed IVM fold equals the one-shot aggregate at any geometry") {
+    import graft.operators.cdc.ChangeStream
+    val oneShot = ChangeStream.incrementalGroupAgg(spark, sf).collect().toSeq
+    Seq(1, 3).foreach { n =>
+      val folded = ChangeStream.streamingGroupAggFold(spark, sf, nBatches = n)
+        .collect().toSeq
+      assert(folded == oneShot, s"$n-batch IVM fold diverged from one-shot")
+    }
+  }
+
+  test("txt22 HLL: registers merge by max, estimator tracks exact within 2x") {
+    import graft.operators.text.TextOps
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("text"), col("doc_id"))
+      .filter(col("text").isNotNull)
+    // mergeability: registers(A ∪ B) = elementwise max — the property
+    // that makes HLL banks shard-combinable with no re-scan
+    val whole = TextOps.hllRegisterBank(docs.drop("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val a = TextOps.hllRegisterBank(
+      docs.filter(col("doc_id") % 2 === 0).drop("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = TextOps.hllRegisterBank(
+      docs.filter(col("doc_id") % 2 === 1).drop("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    whole.foreach { case (k, reg) =>
+      val merged = math.max(a.getOrElse(k, 0L), b.getOrElse(k, 0L))
+      assert(merged == reg, s"merge mismatch at $k: $merged vs $reg")
+    }
+    // estimator sanity at the fixture's n/m regime (no small-range
+    // correction: σ ≈ 26% at m=16, so 2× is a generous deterministic pin)
+    val out = TextOps.hllRegisters(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(4), r.getLong(5)))
+      .distinct
+    out.foreach { case (src, est, exact) =>
+      assert(est > 0 && est < 2 * exact + 64 && exact < 2 * est + 64,
+        s"$src estimator off: est=$est exact=$exact")
+    }
+  }
 }

@@ -606,6 +606,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "a pipeline stage cartesianed")
   }
 
+  test("dd18: the verify join is equi-keyed on the block hash, never cartesian") {
+    val df = SparkEntry.queries("dd18_edit_dedup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"edit-dedup candidate join degenerated:\n$p")
+    // the quadratic term is bounded by block geometry: the pair join keys
+    // on the 32-byte blk hash (equi-join), and levenshtein runs only on
+    // the joined candidates — never in a pre-join projection
+    assert(p.contains("blk#") && p.contains("levenshtein"),
+      "blocking key or verify stage missing from the plan")
+  }
+
+  test("tp15: one bounded aggregation, broadcast global ceiling, no wide shuffle") {
+    val df = SparkEntry.queries("tp15_length_buckets")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "bucket aggregation lost its map-side combine")
+    assert(p.contains("BroadcastExchange"),
+      "global ceiling stopped being a broadcast scalar")
+    assert(!p.contains("SortMergeJoin"),
+      s"tp15 grew a wide join:\n$p")
+  }
+
+  test("txt22: HLL exchanges carry hashes, never shingles; registers aggregate map-side") {
+    val df = SparkEntry.queries("txt22_hll")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .mkString("\n")
+    assert(!exchanges.contains("sh#"),
+      s"shingle strings ride an HLL shuffle:\n$exchanges")
+    assert(p.contains("partial_max") || p.contains("max"),
+      "register max lost its partial aggregation")
+  }
+
   test("whole-stage codegen covers the scan pipelines of every analytics query") {
     Seq("q01_pricing_summary", "q04_forecast_revenue", "txt01_token_stats")
       .foreach { q =>

@@ -198,6 +198,64 @@ class PqIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("RESIDUAL"))
   }
 
+  test("ann13: compaction preserves the code relation bit-for-bit and readers survive") {
+    val all = emb.cache()
+    val dir = tmpDir()
+    PqIndex.build(all.filter(col("vec_id") % 3 === 0), dir)
+    PqIndex.append(spark, dir, all.filter(col("vec_id") % 3 === 1))
+    PqIndex.append(spark, dir, all.filter(col("vec_id") % 3 === 2))
+    val before = PqIndex.readMeta(dir)
+    assert(before.codeLeaves.size == 3)
+    // a reader plans its scan against the PRE-compaction manifest
+    val preReader = PqIndex.codes(spark, dir)
+    val preRows = preReader.collect().map(_.toSeq).toSet
+    val after = PqIndex.compact(spark, dir)
+    assert(after.version == before.version + 1)
+    assert(after.codeLeaves.size == 1)
+    // post-compaction relation identical row-for-row
+    val postRows = PqIndex.codes(spark, dir).collect().map(_.toSeq).toSet
+    assert(postRows == preRows, "compaction changed the code relation")
+    // the pre-compaction reader still collects — old leaves are retained
+    // by the manifest grace window, not swept at compaction time
+    assert(preReader.collect().map(_.toSeq).toSet == preRows)
+    // idempotency tag: second compact with the same tag is a no-op
+    val dir2 = tmpDir()
+    PqIndex.build(all.filter(col("vec_id") % 2 === 0), dir2)
+    PqIndex.append(spark, dir2, all.filter(col("vec_id") % 2 === 1))
+    val c1 = PqIndex.compact(spark, dir2, tag = Some("nightly-001"))
+    val c2 = PqIndex.compact(spark, dir2, tag = Some("nightly-001"))
+    assert(c1.version == c2.version, "tagged compaction replay must be a no-op")
+    // single-leaf index: compact is a no-op without a new commit
+    val c3 = PqIndex.compact(spark, dir2)
+    assert(c3.version == c1.version)
+  }
+
+  test("ann14: the label pre-filter bites — wrong-label vectors never surface") {
+    import graft.operators.ann.PqIndex
+    val withLabel = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label")).cache()
+    val base = withLabel.select(col("vec_id"), col("embedding"))
+    val dir = tmpDir()
+    PqIndex.build(base, dir)
+    val labels = withLabel.select(col("vec_id"), col("label"))
+    // query with a label OTHER than the queried vector's own: its exact
+    // self (sim 1.0 via vec_id != query_id exclusion doesn't apply — the
+    // vector IS in the index) and every same-label neighbor must be
+    // filtered out; everything returned carries the demanded label
+    val nLabels = withLabel.agg(max(col("label"))).collect()(0).getInt(0) + 1
+    val queries = withLabel.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        ((col("label") + 1) % nLabels).as("want_label"))
+    val out = PqIndex.topKIvfFilteredAgainst(spark, dir, queries, labels,
+      base, nprobe = 16, k = 5, rerank = 4096)
+    val labelOf = labels.select(col("vec_id").as("matched_id"), col("label"))
+    val joined = out.join(labelOf, col("vec_id") === col("matched_id"))
+      .select(col("want_label"), col("label")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"filtered search returned label ${r.getInt(1)} for want ${r.getInt(0)}"))
+  }
+
   test("ann06 self-recall through the persisted index is the planting relation") {
     val out = PqIndex.selfRecallPersisted(spark, sf).collect()
     val n = emb.count()
