@@ -378,6 +378,97 @@ object Dedup {
     } finally { sh.unpersist(); () }
   }
 
+  /** COMPACT the dedup index's per-batch leaves into one leaf per
+    * relation — the small-file maintenance pass the crawl loop needs
+    * (ann13's `PqIndex.compact` for the band/set store): after N
+    * micro-batches every group partition holds N tiny leaf files, and
+    * the screen's pruned scan pays N listings + opens per touched
+    * group. Row content is copied verbatim (each doc lives in exactly
+    * one leaf, so the union has no duplicates) — screening against the
+    * compacted index is IDENTICAL row-for-row.
+    *
+    * Contract: OFFLINE maintenance — this store is single-writer-by-
+    * construction (the crawl stream) and has no manifest, so run
+    * compaction while the loop is down (readers racing the final delete
+    * could double-count candidates; the manifest-arbitrated PqIndex is
+    * the online-compaction shape). Crash-safe and replayable with the
+    * append discipline: sets fold first, bands last (the commit point);
+    * a `tag` already present in the band table skips straight to the
+    * old-leaf sweep, and set residue from a torn attempt is dropped
+    * before re-folding. Old leaves are deleted only after the commit
+    * point exists.
+    */
+  def compactDedupIndex(spark: SparkSession, indexDir: String,
+      tag: String): Unit = {
+    require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid compaction tag: $tag")
+    val (fs, _) = graft.sources.cdc.WalSegments.fsFor(indexDir)
+    def leaves(rel: String): Seq[org.apache.hadoop.fs.Path] =
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$indexDir/$rel/*/leaf=*"))).toSeq.flatten.map(_.getPath)
+    if (!indexHasLeaf(spark, indexDir, tag)) {
+      // torn prior attempt: drop set residue carrying the tag
+      leaves("sets").filter(_.getName == s"leaf=$tag").foreach { p =>
+        try fs.delete(p, true) catch { case _: java.io.IOException => () }
+      }
+      // fold every other leaf's rows into leaf=<tag>: sets first, bands
+      // last — bands/leaf=<tag> existing IS the commit point
+      spark.read.parquet(s"$indexDir/sets")
+        .filter(col("leaf") =!= tag)
+        .select(col("doc_id"), col("sh"), col("sgrp"))
+        .withColumn("leaf", lit(tag))
+        .repartition(col("sgrp"))
+        .write.partitionBy("sgrp", "leaf")
+        .mode("append").parquet(s"$indexDir/sets")
+      spark.read.parquet(s"$indexDir/bands")
+        .filter(col("leaf") =!= tag)
+        .select(col("band"), col("bucket"), col("doc_id"), col("bgrp"))
+        .withColumn("leaf", lit(tag))
+        .repartition(col("bgrp"))
+        .write.partitionBy("bgrp", "leaf")
+        .mode("append").parquet(s"$indexDir/bands")
+    }
+    // sweep the superseded leaves (everything but the compaction tag)
+    (leaves("sets") ++ leaves("bands"))
+      .filter(_.getName != s"leaf=$tag").foreach { p =>
+        try fs.delete(p, true) catch { case _: java.io.IOException => () }
+      }
+  }
+
+  /** Distinct leaf tags currently in the band table — the leaf census
+    * [[compactDedupIndex]]'s harness gates (4 appends in, 1 out).
+    */
+  def indexLeafCount(spark: SparkSession, indexDir: String): Int =
+    spark.read.parquet(s"$indexDir/bands").select(col("leaf"))
+      .distinct().count().toInt
+
+  /** dd19's driver-checked shape — dd11's planting theorem THROUGH
+    * [[compactDedupIndex]]: the corpus folds into the index as FOUR
+    * separate leaves (the post-crawl small-file state), compaction
+    * rewrites them to one leaf per relation, and the screen then runs
+    * against the compacted store — every copy still pairs with its
+    * original at Jaccard 1.0 (rows copied verbatim), and the leaf
+    * census before/after rides the gated relation (the ann13 device).
+    */
+  def compactedSelfRecall(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.spread(
+      Tables.documents(spark, d).select(col("doc_id"), col("text")))
+    val tmp = graft.Tables.scratchDir("graft_dd19")
+    val indexDir = s"$tmp/index"
+    (0 until 4).foreach { i =>
+      dedupIndexAppend(base.filter(col("doc_id") % 4 === i), indexDir,
+        s"inc$i")
+    }
+    val before = indexLeafCount(spark, indexDir)
+    compactDedupIndex(spark, indexDir, "compact0")
+    val after = indexLeafCount(spark, indexDir)
+    val batch = base.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    screenAgainstIndex(spark, indexDir, batch)
+      .filter(col("corpus_id") === col("batch_id") - 100000L)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"),
+        lit(before).as("n_leaves_before"), lit(after).as("n_leaves_after"))
+      .orderBy(col("batch_id"))
+  }
+
   /** Screen an arriving batch against the PERSISTED index (every
     * committed leaf): candidates are (band, bucket) equi-collisions —
     * the shuffle carries the BATCH's band rows only, the index side is

@@ -1933,6 +1933,20 @@ SELECT doc_id + 100000 AS batch_id, doc_id AS corpus_id,
   CAST(1.0 AS DOUBLE) AS jaccard
 FROM t WHERE len(toks) >= 3 ORDER BY batch_id""",
 
+    // dd19: dd11's planting relation THROUGH dedup-index compaction —
+    // rows are copied verbatim (each doc in exactly one leaf), so the
+    // screen against the compacted store is identical; the leaf census
+    // (4 crawl leaves in, exactly 1 out) rides the gated relation
+    "dd19_index_compact" -> """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id + 100000 AS batch_id, doc_id AS corpus_id,
+  CAST(1.0 AS DOUBLE) AS jaccard,
+  4 AS n_leaves_before, 1 AS n_leaves_after
+FROM t WHERE len(toks) >= 3 ORDER BY batch_id""",
+
     // dd13: the same planting relation as dd11 — every arriving copy
     // pairs with its original at Jaccard 1.0 REGARDLESS of which
     // micro-batch it arrived in, so the streaming loop's output is

@@ -236,6 +236,9 @@ object QueryPack {
     // bounded edit-distance near-dup: prefix-hash blocking + exact
     // levenshtein verify, oracle mirrors the whole machinery
     "dd18_edit_dedup"     -> ((s, d) => Dedup.editNearDups(s, d)),
+    // dedup-index leaf COMPACTION: 4 crawl leaves rewritten to one,
+    // screen provably identical — see Dedup.compactedSelfRecall
+    "dd19_index_compact"  -> ((s, d) => Dedup.compactedSelfRecall(s, d)),
 
     // ---- similarity search ----
     "ann01_brute_topk"  -> ((s, d) => Ann.bruteForceTopK(s, d)),

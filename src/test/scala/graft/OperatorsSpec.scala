@@ -1496,6 +1496,31 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("dd19: dedup-index compaction preserves the screen relation and is replayable") {
+    import graft.operators.dedup.Dedup
+    val base = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("dd19-spec").toString
+    val indexDir = s"$tmp/index"
+    Dedup.dedupIndexAppend(base.filter(col("doc_id") % 2 === 0), indexDir, "a")
+    Dedup.dedupIndexAppend(base.filter(col("doc_id") % 2 === 1), indexDir, "b")
+    val batch = base.limit(50)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val beforeRows = Dedup.screenAgainstIndex(spark, indexDir, batch)
+      .collect().map(_.toSeq).toSet
+    assert(Dedup.indexLeafCount(spark, indexDir) == 2)
+    Dedup.compactDedupIndex(spark, indexDir, "c0")
+    assert(Dedup.indexLeafCount(spark, indexDir) == 1)
+    val afterRows = Dedup.screenAgainstIndex(spark, indexDir, batch)
+      .collect().map(_.toSeq).toSet
+    assert(afterRows == beforeRows, "compaction changed the screen relation")
+    // replay with the same tag: commit point exists, sweep is a no-op set
+    Dedup.compactDedupIndex(spark, indexDir, "c0")
+    assert(Dedup.indexLeafCount(spark, indexDir) == 1)
+    assert(Dedup.screenAgainstIndex(spark, indexDir, batch)
+      .collect().map(_.toSeq).toSet == beforeRows)
+  }
+
   test("cdc26: the streamed IVM fold equals the one-shot aggregate at any geometry") {
     import graft.operators.cdc.ChangeStream
     val oneShot = ChangeStream.incrementalGroupAgg(spark, sf).collect().toSeq
