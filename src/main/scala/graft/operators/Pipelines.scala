@@ -303,4 +303,57 @@ object Pipelines {
           .otherwise(lit(0L))).as("eff_token_ppm"))
       .orderBy(col("source"))
   }
+
+  /** pipe07 — MULTIMODAL corpus assembly: the identity pass a paired
+    * (text, image) training set needs, with BOTH modalities
+    * canonicalized in one declarative plan. Text side: dd01's exact
+    * dedup (normalized-content fingerprint → min-doc_id canonical).
+    * Image side: mm09's perceptual canonicalization — every document's
+    * image (the deterministic fixture, planted near-dup mirrors
+    * included so the bucket structure is mm09's) decodes through the
+    * REAL codec, aHashes, and maps to the min media_id of its hash
+    * bucket. The manifest emits, per surviving document, its canonical
+    * text id, its canonical image id, whether its image is shared
+    * (mirror or accidental collision — both decided by the identical
+    * integer arithmetic oracle-side), and its token count — exactly
+    * what a pair-loader dedupes and joins on at training time.
+    *
+    * Scale shape: the text lane is dd01's single fingerprint groupBy;
+    * the image lane is one narrow mapPartitions (blobs never shuffle,
+    * 16-byte hashes do) + a hash-bucket groupBy; the final join is
+    * id-keyed. Every stage oracle-mirrored — no planted-relation
+    * shortcut; collisions land wherever the arithmetic puts them.
+    */
+  def multimodalManifest(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.multimodal.Multimodal
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+    val fp = Tables.spread(docs)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        md5(TextOps.normalized(col("text"))).as("fp"))
+    val canonText = fp.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canonical_text_id"))
+    val textSide = fp.join(canonText, Seq("fp"))
+    // image ids mirror mm09's fixture exactly (planted mirrors included)
+    // so the bucket structure — including accidental collisions — is the
+    // SAME relation mm09 gates
+    val ids = Tables.documents(spark, d).select(col("doc_id"))
+      .select(explode(when(col("doc_id") % 5 === 0,
+        array(col("doc_id"), col("doc_id") + 100000L))
+        .otherwise(array(col("doc_id")))).as("media_id"))
+    val hashed = Multimodal.ahashOf(ids)
+    val canonImage = hashed.groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(min(col("media_id")).as("canonical_image_id"),
+        count(lit(1)).as("bucket_size"))
+    val imageSide = hashed.join(canonImage, Seq("ahash_hi", "ahash_lo"))
+      .filter(col("media_id") < 100000L)
+      .select(col("media_id").as("doc_id"), col("canonical_image_id"),
+        (col("bucket_size") > 1L).as("image_shared"))
+    textSide.join(imageSide, Seq("doc_id"))
+      .select(col("doc_id"), col("canonical_text_id"),
+        (col("doc_id") === col("canonical_text_id")).as("is_text_canonical"),
+        col("canonical_image_id"), col("image_shared"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
 }

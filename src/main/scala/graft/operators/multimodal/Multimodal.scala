@@ -440,7 +440,7 @@ object Multimodal {
     * DECODED pixels. One narrow mapPartitions — blobs never leave the
     * task, 16 bytes of hash per image is all that ever shuffles.
     */
-  private[multimodal] def ahashOf(ids: DataFrame): DataFrame = {
+  private[graft] def ahashOf(ids: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(aHashSchema)
     ids.select(col("media_id")).mapPartitions { rows =>
       rows.map { r =>

@@ -1471,6 +1471,63 @@ FROM m ORDER BY media_id""",
     // pixel formula → integer luma → cross-multiplied threshold bits →
     // two unsigned 32-bit halves → equality-join buckets. PNG is
     // lossless, so the engine's decoded-side hash must equal this
+    // pipe07: multimodal corpus assembly — dd01's exact-text canonical
+    // joined with mm09's perceptual image canonical (same pixel-formula
+    // hash derivation, planted mirrors included so bucket structure and
+    // accidental collisions land identically); per-doc pair manifest
+    "pipe07_mm_manifest" -> """
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+fp AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+         x -> x <> '')) AS BIGINT) AS n_tokens,
+    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+  FROM d),
+ct AS (SELECT f, min(doc_id) AS canonical_text_id FROM fp GROUP BY f),
+ids AS (
+  SELECT unnest(CASE WHEN doc_id % 5 = 0
+                THEN [doc_id, doc_id + 100000]
+                ELSE [doc_id] END) AS media_id
+  FROM documents),
+px AS (
+  SELECT media_id,
+    CASE WHEN media_id >= 100000 THEN media_id - 100000 ELSE media_id END AS id,
+    media_id >= 100000 AS noisy, y, x
+  FROM ids, range(0, 8) ty(y), range(0, 8) tx(x)),
+lum AS (
+  SELECT media_id, y * 8 + x AS bit,
+    (299 * (((id * 2654435761 + (y*8 + x) * 40503 + 17) % 65521) % 256)
+     + 587 * (((id * 2246822519 + (y*8 + x) * 52361 + 101) % 65521) % 256)
+     + 114 * (CASE WHEN noisy AND (x + y) % 7 = 0
+              THEN (((id * 3266489917 + (y*8 + x) * 44131 + 233) % 65521) % 256 + 1) % 256
+              ELSE ((id * 3266489917 + (y*8 + x) * 44131 + 233) % 65521) % 256 END)) // 1000 AS luma
+  FROM px),
+tot AS (SELECT media_id, sum(luma) AS total FROM lum GROUP BY 1),
+bits AS (
+  SELECT l.media_id, l.bit,
+    CASE WHEN l.luma * 64 > t.total THEN 1 ELSE 0 END AS b
+  FROM lum l JOIN tot t USING (media_id)),
+hash AS (
+  SELECT media_id,
+    CAST(sum(CASE WHEN bit >= 32
+             THEN b * (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+    CAST(sum(CASE WHEN bit < 32
+             THEN b * (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS ahash_lo
+  FROM bits GROUP BY 1),
+ci AS (SELECT ahash_hi, ahash_lo, min(media_id) AS canonical_image_id,
+         count(*) AS bucket_size
+       FROM hash GROUP BY 1, 2),
+img AS (
+  SELECT h.media_id AS doc_id, canonical_image_id,
+    bucket_size > 1 AS image_shared
+  FROM hash h JOIN ci USING (ahash_hi, ahash_lo)
+  WHERE h.media_id < 100000)
+SELECT fp.doc_id, canonical_text_id,
+  fp.doc_id = canonical_text_id AS is_text_canonical,
+  canonical_image_id, image_shared, n_tokens
+FROM fp JOIN ct ON fp.f = ct.f JOIN img ON img.doc_id = fp.doc_id
+ORDER BY fp.doc_id""",
+
     "mm09_image_ahash" -> """
 WITH ids AS (
   SELECT unnest(CASE WHEN doc_id % 5 = 0

@@ -310,6 +310,9 @@ object QueryPack {
     // crawl accounting: URL collapse → mirror-aware content weighting →
     // Bloom contamination gate → per-host effective token budget
     "pipe06_crawl_account" -> ((s, d) => Pipelines.crawlAccounting(s, d)),
+    // multimodal corpus assembly: text exact-dedup × image perceptual
+    // canonicalization in one plan — the paired-training-set manifest
+    "pipe07_mm_manifest" -> ((s, d) => Pipelines.multimodalManifest(s, d)),
 
     // ---- training prep (decontaminate / split / pack / pii / quantize) ----
     "tp01_decontaminate" -> ((s, d) => TrainPrep.decontaminate(s, d)),
