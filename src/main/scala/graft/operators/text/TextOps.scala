@@ -942,4 +942,58 @@ object TextOps {
       when(path0 === "", lit("/")).otherwise(path0),
       when(params === "", lit("")).otherwise(concat(lit("?"), params)))
   }
+
+  /** txt23 — the corpus FRONT DOOR: raw JSONL ingestion with
+    * corrupt-record quarantine. Every 100 TB pipeline starts at messy
+    * line-delimited JSON (crawl exports, API dumps); the production
+    * contract is: parse what parses, quarantine what doesn't — never
+    * drop silently, never fail the job (Spark's PERMISSIVE mode with
+    * `columnNameOfCorruptRecord`). This lane writes the documents table
+    * as real JSONL (Spark `to_json` escaping), plants unparseable lines
+    * (every `doc_id % 23 == 0` line truncated mid-token), reads the file
+    * back through the JSON source with an explicit schema + corrupt
+    * column, and accounts per source: docs, null-text docs, chars,
+    * tokens — plus one `_corrupt` quarantine row. The oracle recomputes
+    * every figure from the documents table and the planting rule alone,
+    * so the gate proves the JSON round-trip LOSSLESS (an escaping bug in
+    * either direction shifts sum_chars/sum_tokens) and the corrupt set
+    * exactly the planted set.
+    *
+    * Scale shape: ingestion is a parquet-speed scan of the JSON lines
+    * (schema given — no inference pass), accounting one map-side-combined
+    * groupBy(source); the quarantine row rides the same aggregate. No
+    * shuffle beyond the final tiny rollup.
+    */
+  def jsonlIngestAccounting(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val stage = graft.Tables.scratchDir("graft-jsonl")
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        to_json(struct(col("doc_id"), col("source"), col("text")))
+          .as("value"))
+      .select(when(col("doc_id") % 23 === 0,
+        substring(col("value"), 1, 10)).otherwise(col("value")).as("value"))
+      .write.mode("overwrite").text(stage)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType), StructField("_corrupt", StringType)))
+    val parsed = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(stage)
+    parsed
+      .withColumn("src", coalesce(col("source"), lit("_corrupt")))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_corrupt").isNull && col("text").isNull, 1L)
+          .otherwise(0L)).as("n_null_text"),
+        coalesce(sum(length(col("text")).cast("long")), lit(0L))
+          .as("sum_chars"),
+        coalesce(sum(when(col("text").isNotNull,
+          size(tokens(col("text"))).cast("long"))), lit(0L))
+          .as("sum_tokens"))
+      .select(col("src").as("source"), col("n_docs"), col("n_null_text"),
+        col("sum_chars"), col("sum_tokens"))
+      .orderBy(col("source"))
+  }
 }

@@ -822,6 +822,33 @@ SELECT table_name, record_id, as_of_seq, last_op, commit_ms, k, val_cents
 FROM last WHERE last_op <> 'delete'
 ORDER BY table_name, record_id""",
 
+    // cdc27: transaction-consistent snapshot — the cut aligned DOWN to
+    // the last commit boundary (max per-xid commit_seq <= raw cut), so
+    // the snapshot contains whole transactions only; aligned_seq and the
+    // excluded torn-row count ride every row
+    "cdc27_txn_snapshot" -> s"""$changesCte,
+cut AS (SELECT max(seq) // 2 AS cut_seq FROM changes),
+commits AS (SELECT xid, max(seq) AS commit_seq FROM changes GROUP BY xid),
+aligned AS (
+  SELECT max(commit_seq) AS aligned_seq FROM commits, cut
+  WHERE commit_seq <= cut_seq),
+torn AS (
+  SELECT count(*) AS torn_rows FROM changes, cut, aligned
+  WHERE seq > aligned_seq AND seq <= cut_seq),
+last AS (
+  SELECT table_name, record_id,
+    max_by(seq, seq) AS as_of_seq,
+    max_by(op, seq) AS last_op,
+    max_by(commit_ms, seq) AS commit_ms,
+    max_by(k, seq) AS k,
+    max_by(val_cents, seq) AS val_cents
+  FROM changes, aligned WHERE seq <= aligned_seq
+  GROUP BY table_name, record_id)
+SELECT table_name, record_id, as_of_seq, last_op, commit_ms, k, val_cents,
+  aligned_seq, torn_rows
+FROM last, aligned, torn WHERE last_op <> 'delete'
+ORDER BY table_name, record_id""",
+
     // retraction-aware incremental aggregation: each change contributes
     // signed delta rows (insert +new, delete −old, update −old +new; the
     // old image mirrors withRecords' deterministic deltas) so group-key
@@ -995,6 +1022,22 @@ arb AS (
   FROM txt)
 SELECT table_name, record_id, doc_id, n_tokens, (rn = 1) AS kept
 FROM arb ORDER BY table_name, record_id""",
+
+    // pipe08: replica-fed vector index — the LIVE record set (CDC apply
+    // loop's survivors) drives PqIndex membership; the ann08 planted-copy
+    // theorem restricted to surviving ids, with the index census riding
+    // every row so a mis-applied delete shifts n_indexed and fails
+    "pipe08_cdc_vectors" -> s"""$changesCte,
+last AS (
+  SELECT table_name, record_id, max_by(op, seq) AS last_op
+  FROM changes GROUP BY table_name, record_id),
+live AS (SELECT DISTINCT record_id FROM last WHERE last_op <> 'delete'),
+vecs AS (
+  SELECT e.vec_id FROM embeddings e JOIN live l ON e.vec_id = l.record_id),
+census AS (SELECT count(*) AS n_indexed FROM vecs)
+SELECT vec_id AS query_id, vec_id + 100000 AS match_id,
+  CAST(1.0 AS DOUBLE) AS sim, n_indexed
+FROM vecs, census WHERE vec_id < 64 ORDER BY query_id""",
 
     // overlapping token-window chunking: starts are 1, 1+step, … (step =
     // 64−16 = 48); DuckDB's range() excludes its stop so len(t)+1 matches
@@ -1206,6 +1249,29 @@ FROM toks d LEFT JOIN per USING (doc_id) ORDER BY doc_id""",
     "txt18_kmv_distinct" -> kmvOracle,
     "txt22_hll"          -> hllOracle,
     "txt21_kmv_stream"   -> kmvOracle,
+
+    // txt23: JSONL ingestion accounting — every figure re-derived from
+    // the documents table and the planting rule (doc_id % 23 truncated),
+    // so the JSON round-trip is proven lossless and the corrupt set
+    // exactly the planted set
+    "txt23_jsonl_ingest" -> """
+WITH d AS (SELECT doc_id, source, text FROM documents),
+good AS (
+  SELECT source,
+    count(*) AS n_docs,
+    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_null_text,
+    CAST(coalesce(sum(len(text)), 0) AS BIGINT) AS sum_chars,
+    CAST(coalesce(sum(CASE WHEN text IS NOT NULL THEN
+      len(list_filter(string_split_regex(trim(text), '\s+'),
+        x -> x <> '')) END), 0) AS BIGINT) AS sum_tokens
+  FROM d WHERE doc_id % 23 <> 0 GROUP BY source),
+corrupt AS (
+  SELECT '_corrupt' AS source, count(*) AS n_docs,
+    CAST(0 AS BIGINT) AS n_null_text, CAST(0 AS BIGINT) AS sum_chars,
+    CAST(0 AS BIGINT) AS sum_tokens
+  FROM d WHERE doc_id % 23 = 0)
+SELECT * FROM good UNION ALL SELECT * FROM corrupt ORDER BY source""",
     // txt20: count-min heavy hitters — d=2 rows of w=1024 counters at
     // the two md5-prefix positions (tp14's hash pair), estimate = min
     // over the gram's counters, emitted beside the exact count for the

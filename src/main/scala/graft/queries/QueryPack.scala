@@ -165,6 +165,10 @@ object QueryPack {
     "cdc21_stream_sessions"  -> ((s, d) => streamSessions(s, d)), // session windows
     "cdc22_scd2"             -> ((s, d) => ChangeStream.scdType2(s, d)), // warehouse SCD2 versions
     "cdc23_snapshot"         -> ((s, d) => ChangeStream.snapshotAtMidpoint(s, d)), // time travel
+    // transaction-ALIGNED snapshot: cut rolled back to the last commit
+    // boundary, so no torn writes — the reference's whole-transaction
+    // delivery guarantee as a batch reconstruction
+    "cdc27_txn_snapshot"     -> ((s, d) => ChangeStream.snapshotTxnConsistent(s, d)),
     "cdc24_delta_agg"        -> ((s, d) => ChangeStream.incrementalGroupAgg(s, d)), // retraction-aware agg
     // the same aggregate MAINTAINED as a streaming materialized view:
     // signed deltas folded into versioned state per micro-batch; the
@@ -203,6 +207,9 @@ object QueryPack {
     // HyperLogLog registers per source with a fully INTEGRAL estimator
     // (registers exact via binary-string arithmetic; exact count beside)
     "txt22_hll"          -> ((s, d) => TextOps.hllRegisters(s, d)),
+    // the corpus front door: JSONL ingestion with corrupt-record
+    // quarantine (PERMISSIVE mode); gate proves the round-trip lossless
+    "txt23_jsonl_ingest" -> ((s, d) => TextOps.jsonlIngestAccounting(s, d)),
 
     // ---- dedup ----
     "dd01_exact_dedup"   -> ((s, d) => Dedup.exact(s, d)),
@@ -303,6 +310,8 @@ object QueryPack {
     // the replica-to-corpus composition: cdc25's apply loop feeding the
     // dedup manifest — CDC source → assembly → Materializer → dedup
     "pipe04_cdc_corpus"  -> ((s, d) => streamCdcCorpus(s, d)),
+    // replica-fed vector index: live record set drives PqIndex membership
+    "pipe08_cdc_vectors" -> ((s, d) => streamReplicaVectorIndex(s, d)),
     // z-order (Morton) layout audit: every fixed-width z partition
     // covers an aligned 8×8 (source, length-bucket) rectangle — the
     // multi-dim min/max pruning a single-column sort cannot give
@@ -803,6 +812,45 @@ object QueryPack {
       Materializer.currentState(spark, stateDir, spec)
         .select(col("table_name"), col("record_id")),
       Tables.documents(spark, d))
+  }
+
+  /** pipe08 — the replica-fed VECTOR index: cdc25's whole apply loop
+    * (WAL stream → decode → transaction assembly → Materializer
+    * current-state store), then the LIVE record set drives PqIndex
+    * membership — a vector index kept consistent with a database, the
+    * pgvector-sync shape (only rows that survive in the replica are
+    * searchable; a deleted row's vector is provably absent, pinned by
+    * the `n_indexed` census riding every output row). Search runs the
+    * ann08 planted-copy theorem restricted to SURVIVING ids: a
+    * mis-applied delete, a lost insert, or a wrong merge winner shifts
+    * the census and/or the query set and the gate fails.
+    *
+    * Scale shape: the state read is cdc25's bucket-pruned scan; index
+    * membership is one id-keyed semi-join at scan speed; build/append/
+    * search are the persisted IVF+PQ paths (cell-pruned probes, exact
+    * ADC + rerank) already audited under ann08.
+    */
+  def streamReplicaVectorIndex(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.ann.PqIndex
+    val live = streamMaterialize(spark, d).select(col("record_id")).distinct()
+    val emb = Tables.spread(Tables.embeddings(spark, d))
+      .select(col("vec_id"), col("embedding"))
+    val base = emb.join(live.withColumnRenamed("record_id", "vec_id"),
+      Seq("vec_id"), "left_semi").cache()
+    val census = base.agg(count(lit(1)).as("n_indexed"))
+    val copies = base.filter(col("vec_id") < 64)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val indexDir = graft.Tables.scratchDir("graft-p8")
+    PqIndex.build(base, indexDir, m = 4, ksub = 16, dim = 64,
+      refineIters = 1, ncells = 16)
+    PqIndex.append(spark, indexDir, copies)
+    val queries = base.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    PqIndex.topKIvfAgainst(spark, indexDir, queries,
+      base.unionByName(copies), nprobe = 2, k = 1, rerank = 4096)
+      .select(col("query_id"), col("vec_id").as("match_id"), col("sim"))
+      .crossJoin(broadcast(census))
+      .orderBy(col("query_id"))
   }
 
   /** S1's second mode — the JDBC-polling-shaped change-table lane

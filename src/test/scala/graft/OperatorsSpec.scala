@@ -1158,6 +1158,101 @@ class OperatorsSpec extends AnyFunSuite {
       s"missing=${want.keySet -- snap.keySet}")
   }
 
+  test("cdc27: aligned snapshot holds whole transactions only; mid-txn cut tears") {
+    val ch = ChangeStream.changes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))) // (seq, xid)
+    val maxSeq = ch.map(_._1).max
+    val commitOf = ch.groupBy(_._2).view.mapValues(_.map(_._1).max).toMap
+    def check(cut: Long, rows: Array[org.apache.spark.sql.Row]): Long = {
+      val alignedWant = commitOf.values.filter(_ <= cut).max
+      assert(rows.nonEmpty)
+      val aligned = rows.map(_.getLong(7)).distinct
+      assert(aligned.sameElements(Array(alignedWant)),
+        s"aligned_seq ${aligned.toSeq} want $alignedWant")
+      // every transaction in the aligned prefix is INCLUDED WHOLE
+      ch.filter(_._1 <= alignedWant).groupBy(_._2).foreach { case (xid, in) =>
+        assert(commitOf(xid) <= alignedWant, s"xid $xid torn at $alignedWant")
+        assert(in.map(_._1).max == commitOf(xid))
+      }
+      val torn = rows.map(_.getLong(8)).distinct
+      assert(torn.length == 1 &&
+        torn(0) == ch.count(c => c._1 > alignedWant && c._1 <= cut),
+        s"torn_rows ${torn.toSeq}")
+      alignedWant
+    }
+    // the driver lane's default midpoint cut: aligned, whole-txn, exact torn
+    check(maxSeq / 2,
+      ChangeStream.snapshotTxnConsistent(spark, sf).collect())
+    // a provably MID-transaction cut (4 past a commit boundary): the
+    // aligned cut moves back, torn rows exist, and every key whose raw-cut
+    // state came from the torn transaction rolls back to the aligned prefix
+    val midTxnCut = {
+      val base = maxSeq / 2
+      val boundary = commitOf.values.filter(_ <= base).max
+      boundary + 4
+    }
+    val rows = ChangeStream.snapshotTxnConsistent(spark, sf, Some(midTxnCut))
+      .collect()
+    val alignedWant = check(midTxnCut, rows)
+    assert(alignedWant < midTxnCut, s"cut $midTxnCut aligned to itself")
+    val torn = rows.head.getLong(8)
+    assert(torn > 0 && torn <= 4, s"torn_rows $torn want 1..4")
+    val txnSnap = rows.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // independent raw-cut derivation at the same cut: keys whose last
+    // change sits in the torn tail must roll back or vanish here
+    val rawLast = ch.filter(_._1 <= midTxnCut)
+    val tornSeqs = rawLast.filter(_._1 > alignedWant).map(_._1).toSet
+    assert(tornSeqs.nonEmpty)
+    txnSnap.values.foreach(s => assert(s <= alignedWant, s"torn seq $s leaked"))
+  }
+
+  test("pipe08: vector-index membership equals the replica's live record set") {
+    val rows = graft.queries.QueryPack.streamReplicaVectorIndex(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // independent survivor derivation from the raw change set
+    val ch = ChangeStream.changes(spark, sf).collect()
+      .map(r => (r.getLong(9), r.getLong(0), r.getString(3))) // (rec, seq, op)
+    val live = ch.groupBy(_._1).view
+      .mapValues(_.maxBy(_._2)._3).filter(_._2 != "delete").keySet
+    assert(live.size < ch.map(_._1).distinct.length,
+      "fixture has no deletes — membership untested")
+    val vecIds = Tables.embeddings(spark, sf).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    val wantCensus = (live & vecIds).size.toLong
+    assert(rows.map(_.getLong(3)).distinct.sameElements(Array(wantCensus)),
+      s"census ${rows.head.getLong(3)} want $wantCensus")
+    // query set = live ids < 64 present in the corpus; each finds its copy
+    val wantQueries = (live & vecIds).filter(_ < 64).toSeq.sorted
+    assert(rows.map(_.getLong(0)).toSeq == wantQueries)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + 100000L, s"wrong match: $r")
+      assert(r.getDouble(2) == 1.0, s"planted copy not exact: $r")
+    }
+  }
+
+  test("txt23: quarantine is exactly the planted corrupt set; round-trip lossless") {
+    import graft.operators.text.TextOps
+    val got = TextOps.jsonlIngestAccounting(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // independent JVM-side derivation (third derivation beside the oracle)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+    val (corrupt, good) = docs.partition(_.getLong(0) % 23 == 0)
+    val want = good.groupBy(_.getString(1)).map { case (src, rs) =>
+      src -> ((rs.length.toLong,
+        rs.count(_.isNullAt(2)).toLong,
+        rs.filterNot(_.isNullAt(2)).map(_.getString(2).length.toLong).sum,
+        rs.filterNot(_.isNullAt(2))
+          .map(_.getString(2).trim.split("\\s+").count(_.nonEmpty).toLong)
+          .sum))
+    } + ("_corrupt" -> ((corrupt.length.toLong, 0L, 0L, 0L)))
+    assert(corrupt.nonEmpty, "no planted corruption at this sf")
+    assert(got == want,
+      s"drift: got=${got.toSeq.sorted.take(3)} want=${want.toSeq.sorted.take(3)}")
+  }
+
   test("train corpus pipeline: storm cancels; benchmark docs never reach a split") {
     val stormy = graft.operators.Pipelines.trainCorpus(spark, sf).collect()
     val clean = graft.operators.Pipelines.trainCorpus(spark, sf, plantStorm = false)

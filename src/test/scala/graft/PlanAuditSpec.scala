@@ -643,6 +643,29 @@ class PlanAuditSpec extends AnyFunSuite {
       "register max lost its partial aggregation")
   }
 
+  test("cdc27: alignment is three broadcast scalars on cdc23's one-shuffle shape") {
+    val df = SparkEntry.queries("cdc27_txn_snapshot")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"a scalar cut joined wide:\n$p")
+    assert(p.contains("max_by") || p.contains("partial_max_by"),
+      "state pick lost its map-side max_by combine")
+    assert(!p.contains("Window"), "cdc27 grew a window")
+  }
+
+  test("txt23: ingestion accounting is one scan + one map-side-combined rollup") {
+    val df = SparkEntry.queries("txt23_jsonl_ingest")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("JsonScan") || p.contains("json"),
+      "ingestion stopped reading through the JSON source")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-source rollup lost its map-side combine")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"accounting grew a join/window:\n$p")
+  }
+
   test("whole-stage codegen covers the scan pipelines of every analytics query") {
     Seq("q01_pricing_summary", "q04_forecast_revenue", "txt01_token_stats")
       .foreach { q =>
