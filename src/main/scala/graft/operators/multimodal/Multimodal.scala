@@ -929,6 +929,82 @@ object Multimodal {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** mm14 — mm13's VIDEO near-dup as a CRAWL LOOP, completing the
+    * crawl-loop × modality matrix (text dd13, embeddings ann07, image
+    * mm10, audio mm12, video here): arriving clips are rendered through
+    * the REAL codec, per-frame aHashed, screened against the persisted
+    * hash index with TIMESTAMP-ALIGNED frame matching, linked by the
+    * ≥3-of-4 frame vote, and folded in. The index is the SAME generic
+    * group-pruned hash store the image/audio loops use — the frame
+    * dimension rides INSIDE the key (`media_id·4 + frame_idx` on the id,
+    * the frame hash on the 64-bit pair), so same-timestamp matching is
+    * plain key equality plus a `% 4` alignment check, and the vote is
+    * integer arithmetic the DuckDB oracle replays exactly (whether each
+    * frame of each dithered copy matches — including the planted f=2
+    * super-quantum edit that breaks one frame — is DECIDED by the shared
+    * formula, never assumed).
+    *
+    * Scale per batch: render+decode+hash one narrow mapPartitions
+    * (pixels never shuffle; 20 bytes/frame ride); the screen joins
+    * 24-byte keys against the group-pruned scan; the vote groups the
+    * few colliding pairs; the fold is one immutable leaf. Per-batch
+    * cost independent of index size — the dd13 discipline in the time
+    * dimension.
+    */
+  def streamingVideoFpSelfRecall(spark: SparkSession, d: String,
+      nBatches: Int = 4): DataFrame = {
+    val tmp = graft.Tables.scratchDir("graft_mm14")
+    val indexDir = s"$tmp/index"
+    val stageDir = s"$tmp/arrivals"
+    val outDir = s"$tmp/frame_matches"
+    def asKey(h: DataFrame): DataFrame = h.select(
+      (col("media_id") * 4L + col("frame_idx")).as("media_id"),
+      col("fh_hi").as("ahash_hi"), col("fh_lo").as("ahash_lo"))
+    val orig = Tables.documents(spark, d)
+      .select(col("doc_id").as("media_id"))
+    graft.streaming.Graft.CrawlMetrics.timed("graft-mm14-vfp-loop-bootstrap") {
+      ahashIndexAppend(asKey(videoFrameHashes(orig)), indexDir, "corpus")
+    }
+    Tables.documents(spark, d).select(col("doc_id"))
+      .filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("media_id"))
+      .repartition(nBatches, col("media_id"))
+      .write.parquet(stageDir)
+    val schema = spark.read.parquet(stageDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    val q = graft.GraftSession.withStreamShuffle(spark)(
+      stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.streaming.Graft.CrawlMetrics.timed("graft-mm14-vfp-loop") {
+          // cache: 4 rendered frames per clip feed the screen's group
+          // collect, the screen join, and the fold
+          val hashed = asKey(videoFrameHashes(batch)).cache()
+          try {
+            screenAhash(spark, indexDir, hashed)
+              // timestamp alignment: frame i matches frame i only
+              .filter(col("batch_id") % 4 === col("corpus_id") % 4)
+              .write.mode("append").parquet(outDir)
+            ahashIndexAppend(hashed, indexDir, f"b$bid%06d")
+          } finally { hashed.unpersist(); () }
+        }
+      }.queryName("graft-mm14-vfp-loop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
+    graft.GraftSession.awaitFinished(q)
+    // the ≥3-of-4 vote over copy→ORIGINAL frame matches (fully
+    // formula-derivable; copy↔copy matches are batch-order-dependent
+    // and filtered, the mm10/mm12 convention)
+    spark.read.parquet(outDir)
+      .filter(col("corpus_id") < 400000L) // original clips: keys < 4·10⁵
+      .groupBy(expr("batch_id DIV 4").as("batch_clip"),
+        expr("corpus_id DIV 4").as("corpus_clip"))
+      .agg(count(lit(1)).as("n_frames_matched"))
+      .filter(col("n_frames_matched") >= 3L)
+      .select(col("batch_clip").as("batch_id"),
+        col("corpus_clip").as("corpus_id"), col("n_frames_matched"))
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
   /** The mm13 fixture generator + REAL codec + per-frame aHash: per
     * media_id, render 4 deterministic 8×8 PNG frames (position term
     * spans the full 256-pixel clip so frames differ), decode through

@@ -1834,6 +1834,53 @@ FROM hash a JOIN hash b
 GROUP BY 1, 2
 ORDER BY a_id, b_id""",
 
+    // mm14: the video crawl loop — mm13's frame-hash derivation, pairs
+    // restricted to (arriving copy, corpus ORIGINAL), timestamp-aligned
+    // frame equality, >=3-of-4 vote; whether each frame of each copy
+    // matches (the f=2 super-quantum edit breaks one) is decided by the
+    // shared integer formula on both engines
+    "mm14_vfp_stream" -> """
+WITH ids AS (
+  SELECT unnest(CASE WHEN doc_id % 5 = 0
+                THEN [doc_id, doc_id + 100000]
+                ELSE [doc_id] END) AS media_id
+  FROM documents),
+px AS (
+  SELECT media_id,
+    CASE WHEN media_id >= 100000 THEN media_id - 100000 ELSE media_id END AS id,
+    media_id >= 100000 AS noisy, f, y, x, f * 64 + y * 8 + x AS p
+  FROM ids, range(0, 4) tf(f), range(0, 8) ty(y), range(0, 8) tx(x)),
+lum AS (
+  SELECT media_id, f, y * 8 + x AS bit,
+    (299 * (((id * 2654435761 + p * 40503 + 17) % 65521) % 256)
+     + 587 * (((id * 2246822519 + p * 52361 + 101) % 65521) % 256)
+     + 114 * (CASE
+         WHEN noisy AND f <> 2 AND (x + y) % 7 = 0
+           THEN (((id * 3266489917 + p * 44131 + 233) % 65521) % 256 + 1) % 256
+         WHEN noisy AND f = 2 AND (x + y) % 2 = 0
+           THEN (((id * 3266489917 + p * 44131 + 233) % 65521) % 256 + 96) % 256
+         ELSE ((id * 3266489917 + p * 44131 + 233) % 65521) % 256 END)) // 1000 AS luma
+  FROM px),
+tot AS (SELECT media_id, f, sum(luma) AS total FROM lum GROUP BY 1, 2),
+bits AS (
+  SELECT l.media_id, l.f, l.bit,
+    CASE WHEN l.luma * 64 > t.total THEN 1 ELSE 0 END AS b
+  FROM lum l JOIN tot t ON l.media_id = t.media_id AND l.f = t.f),
+hash AS (
+  SELECT media_id, f,
+    CAST(sum(CASE WHEN bit >= 32
+             THEN b * (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END) AS BIGINT) AS fh_hi,
+    CAST(sum(CASE WHEN bit < 32
+             THEN b * (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS fh_lo
+  FROM bits GROUP BY 1, 2)
+SELECT c.media_id AS batch_id, o.media_id AS corpus_id,
+  CAST(count(*) AS BIGINT) AS n_frames_matched
+FROM hash c JOIN hash o
+  ON c.f = o.f AND c.fh_hi = o.fh_hi AND c.fh_lo = o.fh_lo
+WHERE c.media_id >= 100000 AND o.media_id < 100000
+GROUP BY 1, 2 HAVING count(*) >= 3
+ORDER BY batch_id, corpus_id""",
+
     // mm07: the audio sibling of mm06 — Spark WAV-encodes a deterministic
     // 16-bit PCM signal per doc and computes every column from the
     // DECODED side (real javax.sound RIFF/WAVE parse); this oracle

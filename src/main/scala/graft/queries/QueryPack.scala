@@ -295,6 +295,9 @@ object QueryPack {
     // VIDEO near-dup: 4 real-codec frames per clip, per-frame aHash,
     // clips linked by the ≥3-of-4 same-timestamp frame vote
     "mm13_video_fp"      -> ((s, d) => Multimodal.videoFpDedup(s, d)),
+    // the VIDEO crawl loop: per-frame hashes in the generic index,
+    // timestamp-aligned screen + >=3-of-4 vote per micro-batch
+    "mm14_vfp_stream"    -> ((s, d) => Multimodal.streamingVideoFpSelfRecall(s, d)),
     // ISO BMFF (MP4) header write→parse round trip vs the geometry
     // formulas re-derived oracle-side — see Multimodal.videoProbe
     "mm08_video_probe" -> ((s, d) => Multimodal.videoProbe(s, d)),

@@ -1231,6 +1231,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("mm14: the streamed video loop equals mm13's voted copy-original relation") {
+    import graft.operators.multimodal.Multimodal
+    val loop = Multimodal.streamingVideoFpSelfRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // batch derivation: mm13's pairwise vote, restricted to copy-original
+    val want = Multimodal.videoFpDedup(spark, sf).collect()
+      .filter(r => r.getBoolean(3) && r.getLong(0) < 100000L &&
+        r.getLong(1) >= 100000L)
+      .map(r => (r.getLong(1), r.getLong(0)) -> r.getLong(2)).toMap
+    assert(loop == want,
+      s"loop drift: extra=${(loop.keySet -- want.keySet).take(3)} " +
+        s"missing=${(want.keySet -- loop.keySet).take(3)}")
+    assert(loop.nonEmpty && loop.values.forall(n => n >= 3 && n <= 4))
+    // the planted f=2 edit genuinely breaks one frame on some copies:
+    // 3-frame matches must exist, else the vote degenerates to equality
+    assert(loop.values.exists(_ == 3L), "no copy lost its edited frame")
+  }
+
   test("txt23: quarantine is exactly the planted corrupt set; round-trip lossless") {
     import graft.operators.text.TextOps
     val got = TextOps.jsonlIngestAccounting(spark, sf).collect()
