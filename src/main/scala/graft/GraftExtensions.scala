@@ -93,6 +93,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // pipe05 layout key from SQL. Expands to the same shift/mask/add tree
     // the Column API builds (Layout.zOrderKey), all stock codegen'd
     // expressions; bits shapes the tree, so it must be an INT literal.
+    // canon_url(url): RFC-3986 canonicalization subset — the txt19/pipe06
+    // URL-identity key from SQL. Expands to the exact Column-API tree
+    // (TextOps.canonicalizeUrl): all stock codegen'd string expressions,
+    // bridged through the classic ColumnNode converter.
+    // canon_url(url): built as the same catalyst tree the Column API
+    // produces (TextOps.canonicalizeUrl) — regexp extract/replace, a
+    // higher-order filter over the query params (lambda resolves via the
+    // analyzer like any parsed `filter(x, x -> ...)`), sort, join. The
+    // GraftExtensionsSpec bit-parity test pins SQL == Column API.
+    reg("canon_url", 1) { a =>
+      import org.apache.spark.sql.catalyst.expressions._
+      val u = a(0)
+      def rex(src: Expression, re: String) =
+        RegExpExtract(src, Literal(re), Literal(1))
+      def rep(src: Expression, re: String, to: String) =
+        RegExpReplace(src, Literal(re), Literal(to))
+      val scheme = Lower(rex(u, "^([A-Za-z]+)://"))
+      val host = rep(rep(Lower(rex(u, "^[A-Za-z]+://([^/?]+)")),
+        ":80$", ""), "^www\\.", "")
+      val path0 = rep(rex(u, "^[A-Za-z]+://[^/?]+(/[^?]*)?"), "/$", "")
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val keep = LambdaFunction(
+        And(Not(StartsWith(x, Literal("utm_"))), Not(EqualTo(x, Literal("")))),
+        Seq(x))
+      val params = ArrayJoin(
+        new ArraySort(ArrayFilter(
+          StringSplit(rex(u, "\\?(.*)$"), Literal("&"), Literal(-1)), keep)),
+        Literal("&"), None)
+      Concat(Seq(
+        scheme, Literal("://"), host,
+        CaseWhen(Seq((EqualTo(path0, Literal(""))) -> Literal("/")),
+          Some(path0)),
+        CaseWhen(Seq((EqualTo(params, Literal(""))) -> Literal("")),
+          Some(Concat(Seq(Literal("?"), params))))))
+    }
     reg("zorder_key", 3) { a =>
       import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Cast, Multiply, ShiftRight}
       import org.apache.spark.sql.types.LongType

@@ -134,6 +134,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
       s"sql=${sql.toSeq} api=${api.toSeq}")
   }
 
+  test("canon_url from SQL reproduces TextOps.canonicalizeUrl exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val urls = Seq(
+      "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&z=1&a=2",
+      "https://site.org/path/",
+      "http://host.net",
+      "http://host.net/?utm_campaign=only").toDF("u")
+    val viaSql = urls.selectExpr("u", "canon_url(u) AS c")
+    val viaCol = urls.select(col("u"),
+      graft.operators.text.TextOps.canonicalizeUrl(col("u")).as("c"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+    val got = viaSql.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("HTTP://WWW.Example.COM:80/a/b/?utm_source=x&z=1&a=2") ==
+      "http://example.com/a/b?a=2&z=1")
+    // idempotent from SQL too
+    val twice = urls.selectExpr("canon_url(canon_url(u)) AS c2")
+    assert(twice.exceptAll(viaSql.select(col("c"))).isEmpty)
+  }
+
   test("sketch shape arguments must be INT literals") {
     val ex = intercept[Exception] {
       spark.sql("SELECT minhash_band_buckets(array(cast(1 as bigint)), 1 + 1, 16)")
