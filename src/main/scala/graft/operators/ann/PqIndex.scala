@@ -52,7 +52,8 @@ object PqIndex {
     */
   final case class Meta(version: Long, m: Int, ksub: Int, dim: Int,
       codebooksDir: String, codeLeaves: Seq[String],
-      ncells: Int = 0, coarseDir: String = "", residual: Boolean = false) {
+      ncells: Int = 0, coarseDir: String = "", residual: Boolean = false,
+      tombLeaves: Seq[String] = Seq.empty) {
     def subLen: Int = dim / m
   }
 
@@ -91,12 +92,14 @@ object PqIndex {
     val coarse = """"coarse"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text)
       .map(_.group(1)).getOrElse("")
     val residual = """"residual"\s*:\s*true""".r.findFirstIn(text).isDefined
+    val tombs = """"tombs-v\d+[^"]*"""".r.findAllIn(text).toSeq
+      .map(_.stripPrefix("\"").stripSuffix("\"")).distinct.sorted
     Meta(num("version"), num("m").toInt, num("ksub").toInt,
-      num("dim").toInt, books, leaves, ncells, coarse, residual)
+      num("dim").toInt, books, leaves, ncells, coarse, residual, tombs)
   }
 
   private def parseMetaLeaves(text: String): Seq[String] =
-    """"codes-v\d+[^"]*"""".r.findAllIn(text).toSeq
+    """"(?:codes|tombs)-v\d+[^"]*"""".r.findAllIn(text).toSeq
       .map(_.stripPrefix("\"").stripSuffix("\"")).distinct
 
   /** How many manifest versions stay on disk after a commit — the index's
@@ -125,12 +128,13 @@ object PqIndex {
     val out = fs.create(tmp, false)
     try {
       val leaves = meta.codeLeaves.map(l => s""""$l"""").mkString(",")
+      val tombs = meta.tombLeaves.map(l => s""""$l"""").mkString(",")
       out.write(
         (s"""{"version":${meta.version},"m":${meta.m},"ksub":${meta.ksub},""" +
           s""""dim":${meta.dim},"ncells":${meta.ncells},""" +
           s""""residual":${meta.residual},""" +
           s""""codebooks":"${meta.codebooksDir}","coarse":"${meta.coarseDir}",""" +
-          s""""leaves":[$leaves]}""").getBytes("UTF-8"))
+          s""""leaves":[$leaves],"tombs":[$tombs]}""").getBytes("UTF-8"))
     } finally out.close()
     if (!WalSegments.publishExclusive(fs, tmp, dest))
       throw new IllegalStateException(
@@ -159,6 +163,9 @@ object PqIndex {
     */
   private def leafName(version: Long, suffix: String) =
     f"codes-v$version%08d-$suffix"
+
+  private def tombLeafName(version: Long, suffix: String) =
+    f"tombs-v$version%08d-$suffix"
 
   private def randomSuffix(): String =
     java.util.UUID.randomUUID().toString.take(8)
@@ -390,6 +397,21 @@ object PqIndex {
           } catch { case _: java.io.FileNotFoundException => () }
         }
     } catch { case _: java.io.FileNotFoundException => () }
+    // tombstone leaves follow the same retained-manifest rule
+    val TombRe = "tombs-v(\\d+)(?:-[0-9a-zA-Z_\\-]+)?".r
+    try {
+      fs.listStatus(new org.apache.hadoop.fs.Path(indexDir, "tombs"))
+        .foreach { st =>
+          st.getPath.getName.stripPrefix("leaf=") match {
+            case n @ TombRe(v) if st.isDirectory &&
+                st.getPath.getName.startsWith("leaf=") &&
+                !referenced.contains(n) && v.toLong <= meta.version =>
+              try fs.delete(st.getPath, true)
+              catch { case _: java.io.IOException => () }
+            case _ => ()
+          }
+        }
+    } catch { case _: java.io.FileNotFoundException => () }
   }
 
   /** Union of the leaf names referenced by every manifest version still
@@ -457,6 +479,57 @@ object PqIndex {
     next
   }
 
+  /** DELETE vectors from the index by TOMBSTONE — the CDC-sync shape
+    * ([[graft.queries.QueryPack.streamReplicaVectorIndex]] / pgvector
+    * style): a replicated row's DELETE must leave the index without
+    * rewriting any committed code leaf, so deletes commit as immutable
+    * tombstone id-leaves (`tombs/leaf=<tag>`, parquet of `vec_id`) under
+    * the SAME exclusive-publish manifest discipline as [[append]] —
+    * one winner per version, idempotency tags for at-least-once replays,
+    * readers restricted to committed tomb leaves, retention following
+    * the manifest grace window. Every search path anti-joins the
+    * tombstone set BEFORE the ADC shortlist cut (a deleted vector must
+    * not consume shortlist slots — the ann14 pre-filter reasoning), and
+    * [[compact]] physically drops tombstoned codes and clears the set,
+    * so the tombstone relation stays bounded by deletes-since-last-
+    * compaction. The anti-join keys on vec_id and AQE broadcasts it
+    * while small — mass deletes stay a shuffle join, never a driver
+    * collect.
+    */
+  def delete(spark: SparkSession, indexDir: String, ids: DataFrame,
+      tag: Option[String] = None): Meta = {
+    val meta = readMeta(indexDir)
+    tag.foreach { t =>
+      require(t.matches("[0-9A-Za-z_\\-]+"), s"invalid idempotency tag: $t")
+      if (meta.tombLeaves.exists(_.endsWith(s"-$t"))) return meta
+    }
+    val leaf = tombLeafName(meta.version + 1, tag.getOrElse(randomSuffix()))
+    ids.select(col("vec_id").cast("long").as("vec_id"))
+      .withColumn("leaf", lit(leaf))
+      .write.mode("append").partitionBy("leaf")
+      .parquet(s"$indexDir/tombs")
+    val next = meta.copy(version = meta.version + 1,
+      tombLeaves = meta.tombLeaves :+ leaf)
+    writeMeta(indexDir, next)
+    next
+  }
+
+  /** The committed tombstone ids (empty frame when none). */
+  private def tombstones(spark: SparkSession, indexDir: String,
+      meta: Meta): Option[DataFrame] =
+    if (meta.tombLeaves.isEmpty) None
+    else Some(spark.read.parquet(s"$indexDir/tombs")
+      .filter(col("leaf").isin(meta.tombLeaves: _*))
+      .select(col("vec_id")))
+
+  /** Drop tombstoned rows from a code scan (no-op without deletes). */
+  private def liveOnly(spark: SparkSession, indexDir: String, meta: Meta,
+      codes: DataFrame): DataFrame =
+    tombstones(spark, indexDir, meta) match {
+      case None        => codes
+      case Some(tombs) => codes.join(tombs, Seq("vec_id"), "left_anti")
+    }
+
   /** COMPACT the committed code leaves into ONE fresh leaf — the small-file
     * maintenance pass every streaming append path eventually needs: a crawl
     * loop commits one leaf per micro-batch, so after N increments every
@@ -487,15 +560,20 @@ object PqIndex {
       require(t.matches("[0-9A-Za-z_\\-]+"), s"invalid idempotency tag: $t")
       if (meta.codeLeaves.exists(_.endsWith(s"-$t"))) return meta
     }
-    if (meta.codeLeaves.size <= 1) return meta // already compact
+    if (meta.codeLeaves.size <= 1 && meta.tombLeaves.isEmpty)
+      return meta // already compact
     val leaf = leafName(meta.version + 1, tag.getOrElse(randomSuffix()))
-    codesRaw(spark, indexDir, meta)
+    // tombstoned codes drop out physically here; the rewritten index
+    // carries an empty tombstone set (deletes are already invisible to
+    // every search path, so the compacted relation is search-identical)
+    liveOnly(spark, indexDir, meta, codesRaw(spark, indexDir, meta))
       .select(col("vec_id"), col("m"), col("code"), col("cell"))
       .withColumn("leaf", lit(leaf))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell", "leaf")
       .parquet(s"$indexDir/codes")
-    val next = meta.copy(version = meta.version + 1, codeLeaves = Seq(leaf))
+    val next = meta.copy(version = meta.version + 1, codeLeaves = Seq(leaf),
+      tombLeaves = Seq.empty)
     writeMeta(indexDir, next)
     next
   }
@@ -525,7 +603,9 @@ object PqIndex {
           col("cent_emb")) * lit(1e8)).cast("long").as("subscore"))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id"))
-    val shortlist = codes(spark, indexDir)
+    val shortlist = liveOnly(spark, indexDir, meta,
+        codesRaw(spark, indexDir, meta)
+          .select(col("vec_id"), col("m"), col("code")))
       .join(broadcast(tables), Seq("m", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
@@ -583,10 +663,10 @@ object PqIndex {
         probedVals.toIndexedSeq.map(v => Int.box(v.toInt))
       case _ => probedVals.toIndexedSeq.map(Long.box)
     }
-    val probedCodes = codesDf
+    val probedCodes = liveOnly(spark, indexDir, meta, codesDf
       .filter(col("leaf").isin(meta.codeLeaves: _*) &&
         col("cell").isin(cellLits: _*))
-      .select(col("vec_id"), col("m"), col("code"), col("cell"))
+      .select(col("vec_id"), col("m"), col("code"), col("cell")))
     val books = artifact(spark, s"$indexDir/${meta.codebooksDir}")
     val cellType = codesDf.schema("cell").dataType
     val wAdc = Window.partitionBy(col("query_id"))
@@ -680,10 +760,10 @@ object PqIndex {
         probedVals.toIndexedSeq.map(v => Int.box(v.toInt))
       case _ => probedVals.toIndexedSeq.map(Long.box)
     }
-    val probedCodes = codesDf
+    val probedCodes = liveOnly(spark, indexDir, meta, codesDf
       .filter(col("leaf").isin(meta.codeLeaves: _*) &&
         col("cell").isin(cellLits: _*))
-      .select(col("vec_id"), col("m"), col("code"), col("cell"))
+      .select(col("vec_id"), col("m"), col("code"), col("cell")))
     val books = artifact(spark, s"$indexDir/${meta.codebooksDir}")
     val cellType = codesDf.schema("cell").dataType
     val tables = queries.crossJoin(broadcast(books))
@@ -782,6 +862,45 @@ object PqIndex {
     topKIvfAgainst(spark, indexDir, queries,
       base.unionByName(copies), nprobe, k = 1, rerank = 4096)
       .select(col("query_id"), col("vec_id").as("ivf_nearest"), col("sim"))
+      .orderBy(col("query_id"))
+  }
+
+  /** ann15's driver-checked shape — the planted-copy theorem through
+    * [[delete]]: TWO exact copies per query (+100000, +200000) appended
+    * as separate increments, then the +100000 copy TOMBSTONED for every
+    * `query % 7 == 0`. Both copies score sim 1.0 and tie-break by
+    * ascending vec_id, so the search answer is +100000 exactly when that
+    * copy is alive and +200000 exactly when it was deleted — the
+    * tombstone's bite IS the gated relation, decided per query by the
+    * shared modular arithmetic. The tombstone census rides every row, so
+    * a delete that leaked (or over-deleted) shifts both the census and
+    * the affected matches.
+    */
+  def selfRecallDeleted(spark: SparkSession, d: String,
+      nQueries: Int = 64, m: Int = 4, ksub: Int = 16, dim: Int = 64,
+      refineIters: Int = 1, ncells: Int = 16, nprobe: Int = 2): DataFrame = {
+    val base = Tables.spread(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))).cache()
+    val qs = base.filter(col("vec_id") < nQueries)
+    val copies1 = qs.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding"))
+    val copies2 = qs.select((col("vec_id") + 200000L).as("vec_id"),
+      col("embedding"))
+    val indexDir = graft.Tables.scratchDir("graft-pq-del")
+    build(base, indexDir, m, ksub, dim, refineIters, ncells)
+    append(spark, indexDir, copies1)
+    append(spark, indexDir, copies2)
+    val dead = copies1.filter((col("vec_id") - 100000L) % 7 === 0)
+      .select(col("vec_id"))
+    delete(spark, indexDir, dead)
+    val census = dead.agg(count(lit(1)).as("n_tombstones"))
+    val queries = qs.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    topKIvfAgainst(spark, indexDir, queries,
+      base.unionByName(copies1).unionByName(copies2), nprobe,
+      k = 1, rerank = 4096)
+      .select(col("query_id"), col("vec_id").as("match_id"), col("sim"))
+      .crossJoin(broadcast(census))
       .orderBy(col("query_id"))
   }
 

@@ -714,6 +714,19 @@ SELECT vec_id AS query_id, label AS want_label,
   vec_id + 100000 AS match_id, CAST(1.0 AS DOUBLE) AS sim
 FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
 
+    // ann15: tombstone deletes — two exact copies per query, the
+    // +100000 copy deleted for query % 7 == 0; sim-1.0 ties break by
+    // ascending vec_id, so the match flips to +200000 exactly where the
+    // tombstone bites; the tombstone census rides every row
+    "ann15_tombstone" -> """
+SELECT vec_id AS query_id,
+  CASE WHEN vec_id % 7 = 0 THEN vec_id + 200000
+       ELSE vec_id + 100000 END AS match_id,
+  CAST(1.0 AS DOUBLE) AS sim,
+  (SELECT count(*) FROM embeddings WHERE vec_id < 64 AND vec_id % 7 = 0)
+    AS n_tombstones
+FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
+
     // ann09: the planting theorem through RESIDUAL IVFADC — the copy's
     // coarse cell, residual, and residual codes are bitwise its
     // original's; the harness's rerank exceeds the probed candidate

@@ -269,6 +269,9 @@ object QueryPack {
     // FILTERED vector search: per-query metadata predicate applied
     // BEFORE the ADC shortlist cut — see PqIndex.topKIvfFilteredAgainst
     "ann14_filtered"    -> ((s, d) => PqIndex.selfRecallFiltered(s, d)),
+    // tombstone DELETES: the CDC-sync shape — deleted vectors invisible
+    // to every search path without rewriting a code leaf
+    "ann15_tombstone"   -> ((s, d) => PqIndex.selfRecallDeleted(s, d)),
 
     // ---- multimodal ----
     "mm01_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),

@@ -230,6 +230,57 @@ class PqIndexSpec extends AnyFunSuite {
     assert(c3.version == c1.version)
   }
 
+  test("ann15: tombstoned vectors vanish from search; compaction drops them physically") {
+    val all = emb.cache()
+    val dir = tmpDir()
+    PqIndex.build(all, dir)
+    val copies = all.filter(col("vec_id") < 8)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    PqIndex.append(spark, dir, copies)
+    val queries = all.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    def top1(): Map[Long, Long] =
+      PqIndex.topKIvfAgainst(spark, dir, queries,
+        all.unionByName(copies), nprobe = 2, k = 1, rerank = 4096)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // alive: every query finds its planted copy
+    assert(top1() == (0L until 8L).map(q => q -> (q + 100000L)).toMap)
+    // delete half the copies: those queries must fall back to an organic
+    // neighbor (never the tombstoned id); the rest keep their copies
+    val dead = copies.filter(col("vec_id") % 2 === 0).select(col("vec_id"))
+    val m1 = PqIndex.delete(spark, dir, dead, tag = Some("del-001"))
+    assert(m1.tombLeaves.size == 1)
+    // idempotent: tag replay is a no-op
+    val m2 = PqIndex.delete(spark, dir, dead, tag = Some("del-001"))
+    assert(m2.version == m1.version && m2.tombLeaves == m1.tombLeaves)
+    val afterDelete = top1()
+    (0L until 8L).foreach { q =>
+      if (q % 2 == 0) assert(afterDelete(q) != q + 100000L,
+        s"tombstoned copy of $q still surfaces")
+      else assert(afterDelete(q) == q + 100000L, s"live copy of $q lost")
+    }
+    // exhaustive-ADC path honours tombstones too (its organic fallbacks
+    // legitimately differ from IVF's — global best vs best-in-probed-cells
+    // — so assert the tombstone contract, not result equality)
+    val adc = PqIndex.topKAgainst(spark, dir, queries,
+      all.unionByName(copies), k = 1, rerank = 4096)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0L until 8L).foreach { q =>
+      if (q % 2 == 0) assert(adc(q) != q + 100000L,
+        s"exhaustive path surfaced the tombstoned copy of $q")
+      else assert(adc(q) == q + 100000L)
+    }
+    // compaction drops tombstoned codes physically and clears the set;
+    // search is identical before/after
+    val nBefore = PqIndex.codes(spark, dir).count()
+    val meta = PqIndex.compact(spark, dir)
+    assert(meta.tombLeaves.isEmpty)
+    // 4 tombstoned vectors × m=4 code rows each
+    assert(PqIndex.codes(spark, dir).count() == nBefore - 16,
+      "compaction did not drop the tombstoned codes")
+    assert(top1() == afterDelete, "compaction changed search results")
+  }
+
   test("ann14: the label pre-filter bites — wrong-label vectors never surface") {
     import graft.operators.ann.PqIndex
     val withLabel = Tables.embeddings(spark, sf)
