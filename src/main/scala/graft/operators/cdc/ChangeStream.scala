@@ -415,6 +415,86 @@ object ChangeStream {
     * cdc23's single map-side-combined `max_by` per (table, record). No
     * window, no sort, nothing new on the data path at 100 TB.
     */
+  /** cdc28 — mid-stream SCHEMA EVOLUTION through the current-state store:
+    * the replica's table gains a column while the apply loop is running
+    * (ALTER TABLE ... ADD COLUMN upstream; the reference's relation
+    * registry re-reads the Relation message mid-stream — reference:
+    * lib/walex/decoder.ex Relation handling — and decoded maps simply
+    * carry the new key from then on). The STORE must widen without a
+    * rebuild: this operator applies the change set in two phases — the
+    * pre-DDL prefix WITHOUT `val_cents` (the column does not exist yet),
+    * the post-DDL suffix WITH it — into one Materializer store, and reads
+    * the evolved state back: a key whose last change predates the DDL
+    * surfaces `val_cents` NULL (its leaf parquet has no such column — the
+    * mergeSchema read supplies it); keys touched after the DDL carry real
+    * values. The phase boundary (`max(seq) div 2`, both engines derive
+    * it) and the null/echo arithmetic are the gated relation, so a store
+    * that dropped old rows, rewrote them, or mis-merged schemas all fail
+    * the hash.
+    *
+    * Scale shape: exactly cdc25's apply loop (bucketed max_by merge,
+    * O(affected-buckets) leaf writes) — schema widening adds NO pass over
+    * old data: untouched buckets keep their narrow-schema leaves and
+    * widen lazily at read time (the Delta/Iceberg ADD COLUMN metadata-only
+    * discipline).
+    */
+  def schemaEvolutionStore(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.Materializer
+    val ch = changes(spark, sfDir)
+      .select(col("seq"), col("op"), col("table_name"), col("k"),
+        col("val_cents"), col("record_id"))
+    // metadata-sized driver scalar (one long), the affected-bucket
+    // discipline — NOT a data collect
+    val cut = ch.agg(expr("max(seq) DIV 2")).head().getLong(0)
+    val stateDir = Tables.scratchDir("graft_cdc28")
+    val spec = Materializer.Spec(
+      keyCols = Seq("table_name", "record_id"), buckets = 16)
+    // phase A: the world before the DDL — val_cents does not exist
+    Materializer.applyBatch(spark, stateDir,
+      ch.filter(col("seq") <= cut).drop("val_cents"), spec)
+    // phase B: the DDL landed; decoded records carry the new column
+    Materializer.applyBatch(spark, stateDir, ch.filter(col("seq") > cut), spec)
+    Materializer.currentState(spark, stateDir, spec)
+      .select(col("table_name"), col("record_id"), col("seq").as("last_seq"),
+        col("k"), col("val_cents"),
+        col("val_cents").isNull.as("pre_ddl_row"), lit(cut).as("ddl_seq"))
+      .orderBy(col("table_name"), col("record_id"))
+  }
+
+  /** cdc29 — TRUNCATE through the current-state store: the one reference
+    * change type (reference: lib/walex/changes.ex TruncatedRelation;
+    * decoded by D-lane as WalMessage.Truncate) the store could not apply
+    * until now. A TRUNCATE carries no per-row tombstones — at 100 TB the
+    * table being truncated may hold billions of rows, so the apply MUST
+    * be O(1): [[graft.streaming.Materializer.applyTruncate]] commits a
+    * (table → seq) watermark in the manifest, dead rows filter at read
+    * and drop physically at the next compact. This operator applies the
+    * change set with a TRUNCATE of the `todo` table at the midpoint seq:
+    * `todo` records whose LAST change predates the truncate vanish even
+    * though no delete ever targeted them; `todo` records touched after it
+    * survive (Postgres semantics — only post-truncate WAL can repopulate);
+    * other tables are untouched. The watermark and each row's survival
+    * arithmetic are the gated relation.
+    */
+  def truncateApplyStore(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.Materializer
+    val ch = changes(spark, sfDir)
+      .select(col("seq"), col("op"), col("table_name"), col("k"),
+        col("val_cents"), col("record_id"))
+    val cut = ch.agg(expr("max(seq) DIV 2")).head().getLong(0) // one long
+    val stateDir = Tables.scratchDir("graft_cdc29")
+    val spec = Materializer.Spec(
+      keyCols = Seq("table_name", "record_id"), buckets = 16)
+    Materializer.applyBatch(spark, stateDir, ch.filter(col("seq") <= cut), spec)
+    // the TRUNCATE lands between batches, exactly where WAL order puts it
+    Materializer.applyTruncate(stateDir, "todo", cut, spec)
+    Materializer.applyBatch(spark, stateDir, ch.filter(col("seq") > cut), spec)
+    Materializer.currentState(spark, stateDir, spec)
+      .select(col("table_name"), col("record_id"), col("seq").as("last_seq"),
+        col("k"), col("val_cents"), lit(cut).as("trunc_seq"))
+      .orderBy(col("table_name"), col("record_id"))
+  }
+
   def snapshotTxnConsistent(spark: SparkSession, sfDir: String,
       cutAt: Option[Long] = None): DataFrame = {
     val ch = changes(spark, sfDir)

@@ -824,6 +824,134 @@ object TextOps {
   private[graft] def hllRegisterBank(docs: DataFrame): DataFrame =
     hllRegsOf(shingleHashes(docs))
 
+  /** txt24 — MERGEABLE log₂-bucket QUANTILE sketch over document token
+    * lengths, per source: the distribution profiler that sizes sequence
+    * length, bucket geometry (tp15) and packing (tp03) BEFORE a pass runs.
+    * Exact per-source quantiles at 100 TB need a global sort (or a
+    * non-mergeable exact percentile); the sketch needs one counter per
+    * power-of-two bucket — `bucket = len(bin(n))`, i.e. ⌊log₂ n⌋+1, pure
+    * integer string arithmetic both engines compute identically — and the
+    * q-quantile estimate is the first bucket whose cumulative count
+    * crosses q·N (integer cross-multiplication: `100·cum ≥ q·N` — the
+    * tp13 device), reported as the bucket's inclusive value range
+    * [2^(b−1), 2^b−1]. The true quantile provably lies in that range —
+    * the DDSketch/HdrHistogram guarantee with γ = 2 — and the sketch
+    * MERGES by counter addition (spec-pinned: sketch(A ∪ B) = sketch(A)
+    * + sketch(B) elementwise, so per-partition sketches fold into the
+    * corpus sketch without a re-scan, the txt18/txt22 mergeability law
+    * on the quantile axis).
+    *
+    * Output: one row per non-empty (source, bucket) carrying the counter,
+    * the cumulative count, and the source's p50/p90/p99 range bounds —
+    * estimator output rides the gated relation (the txt22 discipline).
+    * Everything is BIGINT; no float enters the contract.
+    *
+    * Scale shape: one narrow scan projects (source, n_tokens) — no
+    * shingles, no strings past the scan; one map-side-combined groupBy on
+    * (source, bucket) where bucket has ≤ 64 values, so the exchange
+    * carries at most sources·64 counter rows regardless of corpus size;
+    * the cumulative window and the quantile aggregation run over those
+    * sketch-sized rows only (never a per-document window).
+    */
+  def lengthQuantileSketch(spark: SparkSession, d: String): DataFrame =
+    quantilesOf(lengthBucketCounters(
+      Tables.documents(spark, d)
+        .select(col("source"), col("text")).filter(col("text").isNotNull)))
+
+  /** The sketch itself: per-(source, log₂-bucket) counters — the unit that
+    * merges by addition across corpus partitions.
+    */
+  private[graft] def lengthBucketCounters(docs: DataFrame): DataFrame = docs
+    .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
+    .filter(col("n") > 0)
+    .select(col("source"), length(bin(col("n"))).cast("long").as("bucket"))
+    .groupBy(col("source"), col("bucket"))
+    .agg(count(lit(1)).as("n_in_bucket"))
+
+  /** txt25 — the quantile sketch FOLDED as streaming state: per
+    * micro-batch, bucket-count the batch only and ADD into the stored
+    * counter bank — counter addition is the sketch's merge, so continuous
+    * length-distribution monitoring of a crawl costs one sketch-sized
+    * integer sum per batch instead of a corpus re-scan. The final summary
+    * equals the batch-built sketch EXACTLY (same oracle as txt24 — the
+    * merge identity is the gated claim; the txt21/cdc26 device on the
+    * quantile axis). State writes are versioned per batch id and
+    * mode-overwrite, so foreachBatch replay is idempotent.
+    */
+  def streamingLenQuantiles(spark: SparkSession, d: String,
+      nBatches: Int = 4): DataFrame = {
+    val tmp = Tables.scratchDir("graft_txt25")
+    val stateDir = s"$tmp/sketch"
+    val stageDir = s"$tmp/arrivals"
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .filter(col("text").isNotNull)
+      .repartition(nBatches, col("doc_id"))
+      .write.parquet(stageDir)
+    val schema = spark.read.parquet(stageDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    def vdir(b: Long): String = f"$stateDir%s/v$b%05d"
+    val q = graft.GraftSession.withStreamShuffle(spark) {
+      stream.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val s = batch.sparkSession
+          val prior =
+            if (batchId == 0L)
+              s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("source",
+                    org.apache.spark.sql.types.StringType),
+                  org.apache.spark.sql.types.StructField("bucket",
+                    org.apache.spark.sql.types.LongType),
+                  org.apache.spark.sql.types.StructField("n_in_bucket",
+                    org.apache.spark.sql.types.LongType))))
+            else s.read.parquet(vdir(batchId))
+          // counters(state) + counters(batch) — the sketch merge; overwrite
+          // makes at-least-once replay a pure recompute of the same version
+          prior.unionByName(lengthBucketCounters(batch))
+            .groupBy(col("source"), col("bucket"))
+            .agg(sum(col("n_in_bucket")).as("n_in_bucket"))
+            .write.mode("overwrite").parquet(vdir(batchId + 1))
+          ()
+        }
+        .start()
+    }
+    graft.GraftSession.awaitFinished(q)
+    val latest = new java.io.File(stateDir).listFiles()
+      .filter(_.getName.startsWith("v")).map(_.getName).max
+    quantilesOf(spark.read.parquet(s"$stateDir/$latest"))
+  }
+
+  /** Cumulative counts + p50/p90/p99 range bounds from a (source, bucket,
+    * n_in_bucket) counter relation — the mergeability seam the spec pins:
+    * counters from disjoint corpus halves ADD into the whole's sketch.
+    */
+  private[graft] def quantilesOf(counters: DataFrame): DataFrame = {
+    val wCum = Window.partitionBy(col("source")).orderBy(col("bucket"))
+    val cum = counters
+      .withColumn("cum", sum(col("n_in_bucket")).over(wCum))
+      .withColumn("n_docs",
+        sum(col("n_in_bucket")).over(Window.partitionBy(col("source"))))
+    def qBucket(q: Int): Column =
+      min(when(col("cum") * 100 >= col("n_docs") * q, col("bucket")))
+    val qs = cum.groupBy(col("source")).agg(
+      qBucket(50).as("b50"), qBucket(90).as("b90"), qBucket(99).as("b99"))
+    def lo(b: String): Column =
+      expr(s"shiftleft(CAST(1 AS BIGINT), CAST($b - 1 AS INT))")
+    def hi(b: String): Column =
+      expr(s"shiftleft(CAST(1 AS BIGINT), CAST($b AS INT)) - 1")
+    cum.join(broadcast(qs), Seq("source"))
+      .select(col("source"), col("bucket"), col("n_in_bucket"), col("cum"),
+        col("n_docs"),
+        lo("b50").as("p50_lo"), hi("b50").as("p50_hi"),
+        lo("b90").as("p90_lo"), hi("b90").as("p90_hi"),
+        lo("b99").as("p99_lo"), hi("b99").as("p99_hi"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
   /** txt20 — COUNT-MIN heavy hitters: the frequency twin of txt18's
     * cardinality sketch. Exact "which boilerplate n-grams dominate the
     * corpus" needs a full groupBy over every distinct gram; the

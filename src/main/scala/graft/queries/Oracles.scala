@@ -91,6 +91,39 @@ SELECT table_name, ck % 8 AS k_bucket,
 FROM contribs GROUP BY table_name, ck % 8
 ORDER BY table_name, k_bucket"""
 
+  /** Shared by txt24 (batch) and txt25 (streamed counter fold) — one
+    * sketch definition, two execution lanes (the kmv/deltaAgg device).
+    */
+  private val lenQuantOracle: String = """
+WITH t AS (
+  SELECT source,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL),
+b AS (
+  SELECT source, CAST(length(bin(CAST(len(toks) AS BIGINT))) AS BIGINT) AS bucket
+  FROM t WHERE len(toks) > 0),
+g AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_in_bucket
+      FROM b GROUP BY 1, 2),
+c AS (SELECT source, bucket, n_in_bucket,
+        CAST(sum(n_in_bucket) OVER (
+          PARTITION BY source ORDER BY bucket) AS BIGINT) AS cum,
+        CAST(sum(n_in_bucket) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+      FROM g),
+q AS (SELECT source,
+        min(CASE WHEN cum * 100 >= n_docs * 50 THEN bucket END) AS b50,
+        min(CASE WHEN cum * 100 >= n_docs * 90 THEN bucket END) AS b90,
+        min(CASE WHEN cum * 100 >= n_docs * 99 THEN bucket END) AS b99
+      FROM c GROUP BY source)
+SELECT c.source, bucket, n_in_bucket, cum, n_docs,
+  (CAST(1 AS BIGINT) << CAST(b50 - 1 AS INT)) AS p50_lo,
+  (CAST(1 AS BIGINT) << CAST(b50 AS INT)) - 1 AS p50_hi,
+  (CAST(1 AS BIGINT) << CAST(b90 - 1 AS INT)) AS p90_lo,
+  (CAST(1 AS BIGINT) << CAST(b90 AS INT)) - 1 AS p90_hi,
+  (CAST(1 AS BIGINT) << CAST(b99 - 1 AS INT)) AS p99_lo,
+  (CAST(1 AS BIGINT) << CAST(b99 AS INT)) - 1 AS p99_hi
+FROM c JOIN q USING (source)
+ORDER BY source, bucket"""
+
   private val kmvOracle: String = """
 WITH t AS (
   SELECT source,
@@ -878,6 +911,44 @@ ORDER BY table_name, record_id""",
     // materialized current state: the last change per record over the
     // whole stream, dropped when it was a delete (tombstone) — what the
     // bucketed store must hold after applying every micro-batch
+    // cdc28: schema evolution — same last-change derivation as cdc25,
+    // with val_cents masked NULL for keys whose last change predates the
+    // DDL boundary (max(seq) div 2, the boundary both engines derive)
+    "cdc28_schema_evolution" -> s"""$changesCte,
+cut AS (SELECT max(seq) // 2 AS ddl_seq FROM changes),
+last AS (
+  SELECT table_name, record_id,
+    max_by(seq, seq) AS last_seq,
+    max_by(op, seq) AS last_op,
+    max_by(k, seq) AS k,
+    max_by(val_cents, seq) AS val_cents
+  FROM changes GROUP BY table_name, record_id)
+SELECT table_name, record_id, last_seq, k,
+  CASE WHEN last_seq > ddl_seq THEN val_cents END AS val_cents,
+  last_seq <= ddl_seq AS pre_ddl_row,
+  ddl_seq
+FROM last CROSS JOIN cut
+WHERE last_op <> 'delete'
+ORDER BY table_name, record_id""",
+
+    // cdc29: TRUNCATE semantics — cdc25's last-change derivation minus
+    // 'todo' rows whose LAST change is at or below the truncate watermark
+    // (max(seq) div 2); rows the post-truncate WAL touched survive
+    "cdc29_truncate_apply" -> s"""$changesCte,
+cut AS (SELECT max(seq) // 2 AS trunc_seq FROM changes),
+last AS (
+  SELECT table_name, record_id,
+    max_by(seq, seq) AS last_seq,
+    max_by(op, seq) AS last_op,
+    max_by(k, seq) AS k,
+    max_by(val_cents, seq) AS val_cents
+  FROM changes GROUP BY table_name, record_id)
+SELECT table_name, record_id, last_seq, k, val_cents, trunc_seq
+FROM last CROSS JOIN cut
+WHERE last_op <> 'delete'
+  AND NOT (table_name = 'todo' AND last_seq <= trunc_seq)
+ORDER BY table_name, record_id""",
+
     "cdc25_materialize" -> s"""$changesCte,
 last AS (
   SELECT table_name, record_id,
@@ -1285,6 +1356,16 @@ corrupt AS (
     CAST(0 AS BIGINT) AS sum_tokens
   FROM d WHERE doc_id % 23 = 0)
 SELECT * FROM good UNION ALL SELECT * FROM corrupt ORDER BY source""",
+    // txt24: mergeable log2-bucket quantile sketch over token lengths —
+    // bucket = length(bin(n)) (⌊log2 n⌋+1, identical string arithmetic on
+    // both engines), quantile crossing by integer cross-multiplication,
+    // estimates as [2^(b-1), 2^b - 1] range bounds (the DDSketch γ=2
+    // guarantee); everything BIGINT, no float in the contract.
+    // txt25 (the streaming fold) shares it VERBATIM: counter addition is
+    // the sketch merge, so streamed == batch-built exactly
+    "txt24_len_quantiles" -> lenQuantOracle,
+    "txt25_quantile_stream" -> lenQuantOracle,
+
     // txt20: count-min heavy hitters — d=2 rows of w=1024 counters at
     // the two md5-prefix positions (tp14's hash pair), estimate = min
     // over the gram's counters, emitted beside the exact count for the

@@ -175,6 +175,13 @@ object QueryPack {
     // integer-sum merge identity makes it share cdc24's oracle verbatim
     "cdc26_ivm_stream"       -> ((s, d) => ChangeStream.streamingGroupAggFold(s, d)),
     "cdc25_materialize"      -> ((s, d) => streamMaterialize(s, d)), // current-state store
+    // mid-stream ADD COLUMN: pre-DDL batches lack val_cents, post-DDL
+    // batches carry it; the store widens with NO rewrite of old leaves
+    // (mergeSchema read) — stale keys surface NULL, fresh ones real values
+    "cdc28_schema_evolution" -> ((s, d) => ChangeStream.schemaEvolutionStore(s, d)),
+    // TRUNCATE applied as an O(1) manifest watermark: pre-truncate rows of
+    // the table die with no per-row tombstones; post-truncate rows live
+    "cdc29_truncate_apply"   -> ((s, d) => ChangeStream.truncateApplyStore(s, d)),
 
     // ---- text analysis ----
     "txt01_token_stats" -> ((s, d) => TextOps.tokenStats(s, d)),
@@ -210,6 +217,12 @@ object QueryPack {
     // the corpus front door: JSONL ingestion with corrupt-record
     // quarantine (PERMISSIVE mode); gate proves the round-trip lossless
     "txt23_jsonl_ingest" -> ((s, d) => TextOps.jsonlIngestAccounting(s, d)),
+    // mergeable log2-bucket quantile sketch over token lengths per source
+    // (integral cross-multiplied quantile crossing, range-bound estimates)
+    "txt24_len_quantiles" -> ((s, d) => TextOps.lengthQuantileSketch(s, d)),
+    // the quantile sketch folded forward as streaming state (counter
+    // addition = the merge); streamed == batch-built, shares txt24's oracle
+    "txt25_quantile_stream" -> ((s, d) => TextOps.streamingLenQuantiles(s, d)),
 
     // ---- dedup ----
     "dd01_exact_dedup"   -> ((s, d) => Dedup.exact(s, d)),

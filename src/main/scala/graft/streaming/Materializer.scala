@@ -126,8 +126,16 @@ object Materializer {
   // `_state_manifest` file is still read (pre-fence stores) and retired
   // on the first versioned commit.
 
+  /** @param truncates TRUNCATE watermarks: first-key-column value → seq.
+    *                   A row whose first key equals the entry's key and
+    *                   whose seq is ≤ the watermark is DEAD — filtered at
+    *                   read, physically dropped at the next [[compact]].
+    *                   Riding the manifest makes truncation snapshot-
+    *                   isolated and time-travelable like any commit.
+    */
   final case class Manifest(version: Long, leaves: Map[Int, String],
-      writerEpoch: Long = 0L, writerId: String = "", nbuckets: Int = 0)
+      writerEpoch: Long = 0L, writerId: String = "", nbuckets: Int = 0,
+      truncates: Map[String, Long] = Map.empty)
 
   private def legacyManifestPath(stateDir: String): Path =
     new Path(stateDir, "_state_manifest")
@@ -152,11 +160,18 @@ object Materializer {
       .findFirstMatchIn(text).map(_.group(1).toLong)
     val leaves = "\"(\\d+)\"\\s*:\\s*\"([^\"]+)\"".r.findAllMatchIn(text)
       .map(m => m.group(1).toInt -> m.group(2)).toMap
+    val truncates = """"truncates"\s*:\s*\{([^}]*)\}""".r
+      .findFirstMatchIn(text).map(_.group(1)) match {
+      case Some(body) => """"([^"]+)"\s*:\s*(\d+)""".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap
+      case None => Map.empty[String, Long]
+    }
     Manifest(num("version").getOrElse(0L), leaves,
       num("writerEpoch").getOrElse(0L),
       """"writerId"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(text)
         .map(_.group(1)).getOrElse(""),
-      num("nbuckets").getOrElse(0L).toInt)
+      num("nbuckets").getOrElse(0L).toInt,
+      truncates)
   }
 
   def readManifest(stateDir: String,
@@ -210,9 +225,12 @@ object Materializer {
     try {
       val entries = m.leaves.toSeq.sortBy(_._1)
         .map { case (b, d) => s""""$b":"$d"""" }.mkString(",")
+      val truncs = m.truncates.toSeq.sorted
+        .map { case (k, s) => s""""$k":$s""" }.mkString(",")
       out.write((s"""{"version":${m.version},""" +
         s""""writerEpoch":${m.writerEpoch},"writerId":"${m.writerId}",""" +
         s""""nbuckets":${m.nbuckets},""" +
+        s""""truncates":{$truncs},""" +
         s""""buckets":{$entries}}""").getBytes("UTF-8"))
     } finally out.close()
     if (!WalSegments.publishExclusive(fs, tmp, dest))
@@ -417,7 +435,8 @@ object Materializer {
       // leaves written above become unreferenced residue for the
       // winner's sweep (no committed bucket is ever lost)
       commitManifest(fs, stateDir, Manifest(nextVersion, newLeaves,
-        manifest.writerEpoch, manifest.writerId, spec.buckets))
+        manifest.writerEpoch, manifest.writerId, spec.buckets,
+        manifest.truncates))
       // superseded leaves are NOT deleted here: a reader that planned its
       // scan against the just-superseded manifest may still open them.
       // The post-commit sweep (after this commit retired manifests past
@@ -473,19 +492,63 @@ object Materializer {
     stateOf(spark, stateDir, spec, manifest, keepTombstones)
   }
 
+  /** Rows dead under the manifest's TRUNCATE watermarks: first key column
+    * matches an entry and seq is at or below its watermark. `lit(false)`
+    * when no table was ever truncated — folds away entirely.
+    */
+  private def truncatedPredicate(manifest: Manifest, spec: Spec): Column =
+    manifest.truncates.foldLeft(lit(false)) { case (acc, (k, wm)) =>
+      acc || (col(spec.keyCols.head) === lit(k) && col(spec.seqCol) <= wm)
+    }
+
   private def stateOf(spark: SparkSession, stateDir: String, spec: Spec,
       manifest: Manifest, keepTombstones: Boolean): DataFrame = {
     val paths = manifest.leaves.values.map(d => s"$stateDir/$d").toIndexedSeq
     // mergeSchema: buckets last rewritten before a schema widening still
     // read into the union schema (their missing columns as null)
     val df = spark.read.option("mergeSchema", "true").parquet(paths: _*)
-    if (keepTombstones) df else df.filter(col(spec.opCol) =!= spec.deleteOp)
+    if (keepTombstones) df
+    else df.filter(col(spec.opCol) =!= spec.deleteOp &&
+      !truncatedPredicate(manifest, spec))
+  }
+
+  /** Apply a TRUNCATE: every row of `key` (the first key column's value —
+    * the table, in the CDC shape) whose seq is at or below `upToSeq` dies.
+    * This is a METADATA-ONLY commit — one watermark entry in the next
+    * manifest version, no leaf read or written, O(1) at any table size
+    * (the reference delivers TruncatedRelation events the same way:
+    * reference lib/walex/changes.ex TruncatedRelation — no per-row
+    * tombstones exist to replay). Readers planned against earlier
+    * manifests still see the rows (snapshot isolation); time travel to a
+    * pre-truncate version shows the table as it was; the next [[compact]]
+    * drops dead rows physically. Rows arriving AFTER the watermark
+    * (seq > upToSeq) live — exactly Postgres semantics, where nothing can
+    * touch a truncated row's identity except a fresh insert later in WAL
+    * order. Re-applying (foreachBatch replay) is idempotent: watermarks
+    * only ratchet up.
+    */
+  def applyTruncate(stateDir: String, key: String, upToSeq: Long, spec: Spec,
+      conf: Configuration = WalSegments.localConf,
+      token: Option[WriterToken] = None): Unit = {
+    val (fs, root) = WalSegments.fsFor(stateDir, conf)
+    fs.mkdirs(root)
+    val manifest = readManifest(stateDir, conf)
+    checkFence(manifest, token, stateDir)
+    checkBuckets(manifest, spec, stateDir)
+    val wm = math.max(upToSeq,
+      manifest.truncates.getOrElse(key, Long.MinValue))
+    commitManifest(fs, stateDir, manifest.copy(
+      version = manifest.version + 1,
+      truncates = manifest.truncates + (key -> wm)))
   }
 
   /** Drop tombstones whose seq is at or below `floor` — call with the
     * slowest consumer's committed position (the same figure the WAL
-    * source's ackPath carries) once no replay can reach below it. Rewrites
-    * only buckets that actually hold expirable tombstones.
+    * source's ackPath carries) once no replay can reach below it — and
+    * rows dead under TRUNCATE watermarks (expirable at ANY floor: the
+    * watermark rides every future manifest, so a replayed old batch's
+    * resurrected rows die at read regardless). Rewrites only buckets that
+    * actually hold expirable rows.
     */
   def compact(spark: SparkSession, stateDir: String, spec: Spec, floor: Long,
       conf: Configuration = WalSegments.localConf,
@@ -499,7 +562,8 @@ object Materializer {
     val all = spark.read.option("mergeSchema", "true")
       .parquet(manifest.leaves.values.map(d => s"$stateDir/$d").toIndexedSeq: _*)
       .withColumn("_gbucket", bucketCol(spec))
-    val expired = col(spec.opCol) === spec.deleteOp && col(spec.seqCol) <= floor
+    val expired = (col(spec.opCol) === spec.deleteOp &&
+      col(spec.seqCol) <= floor) || truncatedPredicate(manifest, spec)
     // ONE aggregation finds the buckets holding expirable tombstones (a
     // per-leaf probe loop would be O(buckets) driver-side jobs — the
     // compaction scan is inherently full-table, but it must be one job)
@@ -529,7 +593,8 @@ object Materializer {
     val newLeaves = (manifest.leaves -- expirableSet) ++
       rewritten.map(b => b -> leafName(b, nextVersion)).toMap
     commitManifest(fs, stateDir, Manifest(nextVersion, newLeaves,
-      manifest.writerEpoch, manifest.writerId, spec.buckets))
+      manifest.writerEpoch, manifest.writerId, spec.buckets,
+      manifest.truncates))
     // compacted-away leaves keep the same reader grace window as apply:
     // the sweep only collects leaves no retained manifest references
     sweepUnreferenced(fs, stateDir)
@@ -580,7 +645,8 @@ object Materializer {
         n.stripPrefix("_leaf=b").take(5).toInt -> leafN
       }.toMap
     commitManifest(fs, stateDir, Manifest(nextVersion, newLeaves,
-      manifest.writerEpoch, manifest.writerId, newBuckets))
+      manifest.writerEpoch, manifest.writerId, newBuckets,
+      manifest.truncates))
     sweepUnreferenced(fs, stateDir)
   }
 

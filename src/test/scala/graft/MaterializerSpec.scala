@@ -135,6 +135,58 @@ class MaterializerSpec extends AnyFunSuite {
     assert(after == Set((1L, None), (2L, Some("a@x")), (3L, None)))
   }
 
+  test("truncate: O(1) metadata commit kills the table's old rows, later inserts live") {
+    val dir = freshDir("trunc")
+    Materializer.applyBatch(spark, dir, chg(
+      ("user", 1L, 10L, "insert", 100L),
+      ("todo", 1L, 11L, "insert", 200L),
+      ("todo", 2L, 12L, "insert", 300L)), spec)
+    val preLeaves = Materializer.readManifest(dir).leaves
+    Materializer.applyTruncate(dir, "todo", upToSeq = 12L, spec)
+    val m = Materializer.readManifest(dir)
+    // metadata-only: same leaf set, version forward, watermark recorded
+    assert(m.leaves == preLeaves && m.truncates == Map("todo" -> 12L))
+    assert(state(dir) == Seq(("user", 1L, 10L, "insert", 100L)),
+      "all todo rows at/below the watermark must die; user untouched")
+    // post-truncate WAL repopulates: a fresh insert (and a survivor whose
+    // change outruns the watermark) live
+    Materializer.applyBatch(spark, dir, chg(
+      ("todo", 2L, 20L, "update", 999L),
+      ("todo", 7L, 21L, "insert", 700L)), spec)
+    assert(state(dir) == Seq(
+      ("todo", 2L, 20L, "update", 999L),
+      ("todo", 7L, 21L, "insert", 700L),
+      ("user", 1L, 10L, "insert", 100L)))
+    // re-applying the truncate (foreachBatch replay) is a semantic no-op
+    Materializer.applyTruncate(dir, "todo", upToSeq = 12L, spec)
+    assert(state(dir).size == 3)
+    // time travel: the pre-truncate version still shows the truncated rows
+    val preTruncVersion = m.version - 1
+    val timeTravel = Materializer.currentStateAt(spark, dir, spec, preTruncVersion)
+      .select("table_name", "record_id").as[(String, Long)].collect().toSet
+    assert(timeTravel == Set(("user", 1L), ("todo", 1L), ("todo", 2L)),
+      s"pre-truncate snapshot must include truncated rows: $timeTravel")
+  }
+
+  test("truncate: compact physically drops dead rows; read view unchanged") {
+    val dir = freshDir("trunccomp")
+    Materializer.applyBatch(spark, dir, chg(
+      ("todo", 1L, 10L, "insert", 100L),
+      ("todo", 2L, 11L, "insert", 200L),
+      ("user", 1L, 12L, "insert", 300L)), spec)
+    Materializer.applyTruncate(dir, "todo", upToSeq = 11L, spec)
+    // dead rows are still physically present pre-compact (raw view)
+    assert(state(dir, tombstones = true).count(_._1 == "todo") == 2)
+    Materializer.compact(spark, dir, spec, floor = 0L)
+    assert(state(dir, tombstones = true).count(_._1 == "todo") == 0,
+      "compact must drop truncated rows physically at ANY floor")
+    assert(state(dir) == Seq(("user", 1L, 12L, "insert", 300L)))
+    // a replayed pre-truncate batch cannot resurrect: the watermark rides
+    // every manifest version forever
+    Materializer.applyBatch(spark, dir, chg(("todo", 1L, 10L, "insert", 100L)), spec)
+    assert(state(dir) == Seq(("user", 1L, 12L, "insert", 300L)))
+  }
+
   test("compact drops tombstones at or below the floor, keeps newer ones") {
     val dir = freshDir("compact")
     Materializer.applyBatch(spark, dir, chg(

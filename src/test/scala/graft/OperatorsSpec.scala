@@ -1485,6 +1485,43 @@ class OperatorsSpec extends AnyFunSuite {
       s"not idempotent: ${r.getString(0)} → ${r.getString(1)}"))
   }
 
+  test("txt24 quantile sketch: merges by addition, exact quantiles inside range bounds") {
+    import graft.operators.text.TextOps
+    val sfDir = "/root/testdata/sf0.01"
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .filter(col("text").isNotNull)
+    // mergeability: sketch(A) + sketch(B) elementwise == sketch(A ∪ B),
+    // so partition sketches fold into the corpus sketch without a re-scan
+    val whole = TextOps.lengthQuantileSketch(spark, sfDir)
+    val halfA = TextOps.lengthBucketCounters(docs.filter(col("doc_id") % 2 === 0))
+    val halfB = TextOps.lengthBucketCounters(docs.filter(col("doc_id") % 2 === 1))
+    val merged = TextOps.quantilesOf(
+      halfA.unionByName(halfB)
+        .groupBy(col("source"), col("bucket"))
+        .agg(sum(col("n_in_bucket")).as("n_in_bucket")))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "merged half-sketches must equal the whole-corpus sketch exactly")
+    // the DDSketch γ=2 guarantee: the TRUE q-quantile lies inside the
+    // reported [2^(b-1), 2^b - 1] range, for every source and q
+    val lens = docs
+      .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    val bounds = whole.select("source", "p50_lo", "p50_hi", "p90_lo", "p90_hi",
+        "p99_lo", "p99_hi").distinct().collect()
+    assert(bounds.nonEmpty)
+    bounds.foreach { r =>
+      val ns = lens(r.getString(0))
+      def exactQ(q: Int): Long = ns((ns.length * q + 99) / 100 - 1)
+      for ((q, i) <- Seq(50 -> 1, 90 -> 3, 99 -> 5)) {
+        val (lo, hi, ex) = (r.getLong(i), r.getLong(i + 1), exactQ(q))
+        assert(lo <= ex && ex <= hi,
+          s"${r.getString(0)} p$q: exact $ex outside sketch range [$lo, $hi]")
+      }
+    }
+  }
+
   test("pipe06: fetch redundancy collapses, mirrors halve, benchmark pages leave") {
     import graft.operators.Pipelines
     val rows = Pipelines.crawlAccounting(spark, sf).collect()
