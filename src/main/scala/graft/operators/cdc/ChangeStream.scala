@@ -364,6 +364,108 @@ object ChangeStream {
       .orderBy(col("table_name"), col("k_bucket"))
   }
 
+  /** cdc30 — incremental JOIN-VIEW maintenance: cdc26 maintains an
+    * AGGREGATE under change streams; this maintains a JOIN — the other
+    * half of materialized-view maintenance, and the one that needs
+    * retraction PROPAGATION: when the dimension side changes, every fact
+    * row joined to it must update without touching the rest of the view.
+    * Shape: two Materializer stores (order facts, user accounts — an
+    * order's account is `(record_id div 3)·3`, the user-table key it
+    * points at), and per micro-batch the AFFECTED-KEY recompute rule —
+    * affected = the batch's order keys ∪ stored orders whose account the
+    * batch touched; recompute exactly those view rows from the two
+    * stores' current states (left join: an absent account reads NULL),
+    * tombstone affected keys whose order died. The folded view equals
+    * the one-shot join of the final states EXACTLY (the txt21/cdc26
+    * merge-identity device on the join axis), so cdc30's oracle is the
+    * independent DuckDB join of the two last-change derivations. Deletes
+    * on BOTH sides propagate: a dead order leaves the view, a dead user
+    * NULLs its orders' account columns.
+    *
+    * Scale shape per batch: store applies are bucket-pruned (cdc25's
+    * discipline); the recompute set is bounded by the batch's keys, not
+    * the view size; view upserts stamp a monotone batch version so
+    * foreachBatch replay is idempotent. The one full-state touch is the
+    * account→orders lookup (stored orders joined to the batch's touched
+    * accounts) — at 100 TB that wants a secondary index keyed by account
+    * (a second bucketing of the fact store), the standard IVM index;
+    * here it is a LEFT SEMI join against the batch's account set, which
+    * AQE broadcasts.
+    */
+  def joinViewMaintained(spark: SparkSession, sfDir: String,
+      nBatches: Int = 4): DataFrame = {
+    import graft.streaming.Materializer
+    import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
+    val tmp = Tables.scratchDir("graft_cdc30")
+    val stageDir = s"$tmp/arrivals"
+    changes(spark, sfDir).repartition(nBatches, col("seq"))
+      .write.parquet(stageDir)
+    val schema = spark.read.parquet(stageDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    val (uDir, oDir, vDir) = (s"$tmp/users", s"$tmp/orders", s"$tmp/view")
+    val kSpec = Materializer.Spec(keyCols = Seq("record_id"), buckets = 16)
+    val sideSchema = StructType(Seq(
+      StructField("record_id", LongType), StructField("seq", LongType),
+      StructField("op", StringType), StructField("val_cents", LongType)))
+    def stateOrEmpty(s: SparkSession, dir: String): DataFrame =
+      try Materializer.currentState(s, dir, kSpec)
+      catch { case _: IllegalStateException =>
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          sideSchema)
+      }
+    val acct = expr("(record_id DIV 3) * 3")
+    val q = graft.GraftSession.withStreamShuffle(spark) {
+      stream.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val s = batch.sparkSession
+          def side(t: String) = batch.filter(col("table_name") === t)
+            .select(col("record_id"), col("seq"), col("op"), col("val_cents"))
+          Materializer.applyBatch(s, uDir, side("user"), kSpec)
+          Materializer.applyBatch(s, oDir, side("order"), kSpec)
+          val curU = stateOrEmpty(s, uDir)
+          val curO = stateOrEmpty(s, oDir).withColumn("account", acct)
+          val touchedAcc = side("user").select(col("record_id").as("account"))
+            .distinct()
+          val affected = side("order").select("record_id").distinct()
+            .unionByName(curO.join(touchedAcc, Seq("account"), "left_semi")
+              .select("record_id"))
+            .distinct()
+          if (!affected.isEmpty) {
+            val alive = curO.join(affected, Seq("record_id"), "left_semi")
+              .select(col("record_id"), col("seq").as("order_seq"),
+                col("val_cents").as("order_cents"), col("account"))
+              .join(curU.select(col("record_id").as("account"),
+                col("val_cents").as("account_cents"),
+                lit(true).as("account_present")), Seq("account"), "left")
+              .select(col("record_id"), lit(batchId).as("seq"),
+                lit("upsert").as("op"), col("order_seq"), col("order_cents"),
+                col("account"),
+                col("account_cents"),
+                coalesce(col("account_present"), lit(false))
+                  .as("account_present"))
+            val dead = affected.join(curO, Seq("record_id"), "left_anti")
+              .select(col("record_id"), lit(batchId).as("seq"),
+                lit("delete").as("op"), lit(null).cast("long").as("order_seq"),
+                lit(null).cast("long").as("order_cents"),
+                lit(null).cast("long").as("account"),
+                lit(null).cast("long").as("account_cents"),
+                lit(null).cast("boolean").as("account_present"))
+            Materializer.applyBatch(s, vDir, alive.unionByName(dead), kSpec)
+          }
+          ()
+        }
+        .start()
+    }
+    graft.GraftSession.awaitFinished(q)
+    Materializer.currentState(spark, vDir, kSpec)
+      .select(col("record_id"), col("order_seq"), col("order_cents"),
+        col("account"), col("account_cents"), col("account_present"))
+      .orderBy(col("record_id"))
+  }
+
   /** cdc23 — point-in-time snapshot reconstruction ("time travel"): the
     * state of every record at an LSN cut = its LAST change at or below
     * the cut, dropped if that change was a delete. The cut here is the

@@ -931,6 +931,29 @@ FROM last CROSS JOIN cut
 WHERE last_op <> 'delete'
 ORDER BY table_name, record_id""",
 
+    // cdc30: join-view maintenance — the folded affected-key-recompute
+    // view must equal the ONE-SHOT left join of the two final last-change
+    // states (alive orders against alive users on the account key); the
+    // merge identity is the gated claim
+    "cdc30_join_ivm" -> s"""$changesCte,
+last_o AS (
+  SELECT record_id, max_by(seq, seq) AS order_seq,
+    max_by(op, seq) AS last_op, max_by(val_cents, seq) AS order_cents
+  FROM changes WHERE table_name = 'order' GROUP BY record_id),
+last_u AS (
+  SELECT record_id, max_by(op, seq) AS last_op,
+    max_by(val_cents, seq) AS val_cents
+  FROM changes WHERE table_name = 'user' GROUP BY record_id),
+alive_u AS (SELECT * FROM last_u WHERE last_op <> 'delete')
+SELECT o.record_id, o.order_seq, o.order_cents,
+  (o.record_id // 3) * 3 AS account,
+  u.val_cents AS account_cents,
+  u.record_id IS NOT NULL AS account_present
+FROM last_o o
+LEFT JOIN alive_u u ON u.record_id = (o.record_id // 3) * 3
+WHERE o.last_op <> 'delete'
+ORDER BY o.record_id""",
+
     // cdc29: TRUNCATE semantics — cdc25's last-change derivation minus
     // 'todo' rows whose LAST change is at or below the truncate watermark
     // (max(seq) div 2); rows the post-truncate WAL touched survive

@@ -182,6 +182,9 @@ object QueryPack {
     // TRUNCATE applied as an O(1) manifest watermark: pre-truncate rows of
     // the table die with no per-row tombstones; post-truncate rows live
     "cdc29_truncate_apply"   -> ((s, d) => ChangeStream.truncateApplyStore(s, d)),
+    // JOIN-view maintenance: affected-key recompute over two stores per
+    // micro-batch; folded view == one-shot join of final states exactly
+    "cdc30_join_ivm"         -> ((s, d) => ChangeStream.joinViewMaintained(s, d)),
 
     // ---- text analysis ----
     "txt01_token_stats" -> ((s, d) => TextOps.tokenStats(s, d)),

@@ -525,7 +525,10 @@ object Materializer {
     * (seq > upToSeq) live — exactly Postgres semantics, where nothing can
     * touch a truncated row's identity except a fresh insert later in WAL
     * order. Re-applying (foreachBatch replay) is idempotent: watermarks
-    * only ratchet up.
+    * only ratchet up. The first key column should be string-typed (the
+    * CDC table_name shape) — the watermark matches it by string equality.
+    * Truncate rows arriving IN a change stream (op == "truncate") are
+    * handled by [[sink]] automatically.
     */
   def applyTruncate(stateDir: String, key: String, upToSeq: Long, spec: Spec,
       conf: Configuration = WalSegments.localConf,
@@ -677,7 +680,23 @@ object Materializer {
     var applied = 0L
     (batch: DataFrame, _: Long) => {
       if (token.isEmpty) token = Some(acquire(stateDir))
-      applyBatch(batch.sparkSession, stateDir, batch, spec, token = token)
+      // TRUNCATE rows arriving IN the stream (op == "truncate"): the row
+      // set applies first, then watermarks ratchet to each truncate's seq.
+      // Order within the batch is irrelevant by the watermark rule — a
+      // same-batch row at seq ≤ the truncate dies at read no matter when
+      // its leaf was written, and a row after it (seq > watermark) lives.
+      // One tiny aggregate per batch; zero cost when no truncate arrived.
+      val truncOp = "truncate"
+      val truncs = batch.filter(col(spec.opCol) === truncOp)
+        .groupBy(col(spec.keyCols.head))
+        .agg(max(col(spec.seqCol)).as("_wm"))
+        .collect() // ≤ one row per truncated table: metadata, not data
+      applyBatch(batch.sparkSession, stateDir,
+        batch.filter(col(spec.opCol) =!= truncOp), spec, token = token)
+      truncs.foreach { r =>
+        applyTruncate(stateDir, String.valueOf(r.get(0)),
+          r.getLong(1), spec, token = token)
+      }
       applied += 1
       if (compactEvery > 0 && applied % compactEvery == 0)
         floorProvider().foreach(f =>

@@ -187,6 +187,27 @@ class MaterializerSpec extends AnyFunSuite {
     assert(state(dir) == Seq(("user", 1L, 12L, "insert", 300L)))
   }
 
+  test("truncate: sink applies in-stream truncate rows at their seq boundary") {
+    val dir = freshDir("truncsink")
+    val s = Materializer.sink(dir, spec)
+    s(chg(
+      ("todo", 1L, 10L, "insert", 100L),
+      ("user", 1L, 11L, "insert", 200L)), 0L)
+    // one batch carries pre-truncate rows, the TRUNCATE itself, and a
+    // post-truncate repopulating insert — WAL order within the batch
+    s(chg(
+      ("todo", 2L, 20L, "insert", 300L),   // dies: seq ≤ the truncate's 21
+      ("todo", 0L, 21L, "truncate", 0L),   // the truncate event
+      ("todo", 3L, 22L, "insert", 400L)),  // lives: arrived after
+      1L)
+    assert(state(dir) == Seq(
+      ("todo", 3L, 22L, "insert", 400L),
+      ("user", 1L, 11L, "insert", 200L)),
+      "sink must ratchet the watermark and keep only post-truncate rows")
+    val m = Materializer.readManifest(dir)
+    assert(m.truncates == Map("todo" -> 21L))
+  }
+
   test("compact drops tombstones at or below the floor, keeps newer ones") {
     val dir = freshDir("compact")
     Materializer.applyBatch(spark, dir, chg(

@@ -666,6 +666,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"accounting grew a join/window:\n$p")
   }
 
+  test("txt24: one corpus scan (AQE reuses the counter stage); narrow read; no cartesian") {
+    val df = SparkEntry.queries("txt24_len_quantiles")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the quantile-bound branch must REUSE the (source, bucket) counter
+    // aggregation — statically the subtree is duplicated, and without AQE
+    // stage reuse the corpus would be scanned and tokenized TWICE
+    assert(p.contains("ReusedExchange"),
+      s"quantile branch re-scanned the corpus instead of reusing the counter stage:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"expected exactly one corpus scan in the final plan:\n$p")
+    // narrow scan: only (text, source) leave the parquet reader
+    assert(p.contains("ReadSchema: struct<text:string,source:string>"),
+      "scan read more than the two live columns")
+    // counters are map-side combined; the bound side enters via broadcast
+    assert(p.contains("partial_count"), "counter aggregation lost map-side combine")
+    assert(p.contains("BroadcastExchange") && !p.contains("CartesianProduct"),
+      s"per-source bounds must broadcast-join back:\n$p")
+  }
+
   test("whole-stage codegen covers the scan pipelines of every analytics query") {
     Seq("q01_pricing_summary", "q04_forecast_revenue", "txt01_token_stats")
       .foreach { q =>
