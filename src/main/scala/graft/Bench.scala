@@ -117,7 +117,13 @@ object Bench {
         "each pass trains+persists the IVF+PQ index then streams 4 " +
           "vector increments (cell-pruned search + append per " +
           "micro-batch) — same whole-loop convention as dd13; " +
-          "steady-state figure in per_increment_sec")
+          "steady-state figure in per_increment_sec"),
+      jstr("cdc30") + ":" + jstr(
+        "whole-loop convention: each pass maintains THREE stores (facts, " +
+          "dims, view) across 4 micro-batches — 12 manifest-committed " +
+          "applies plus per-batch affected-key recomputes; per-batch cost " +
+          "scales with batch keys, not view size (the dense fixture " +
+          "touches most keys every batch, the worst case)")
     ).mkString(",")
     // measured per-increment cost of the crawl loops: every micro-batch's
     // wall time across all passes (CrawlMetrics, recorded inside the

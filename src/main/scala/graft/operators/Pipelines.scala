@@ -356,4 +356,33 @@ object Pipelines {
         col("canonical_image_id"), col("image_shared"), col("n_tokens"))
       .orderBy(col("doc_id"))
   }
+
+  /** pipe09 — SKETCH-SIZED packing geometry: the quantile sketch (txt24)
+    * becomes load-bearing — instead of hand-picked seq-length/bucket
+    * constants, the corpus's own measured length distribution derives
+    * them (seq_len = the p90 upper bound: pad-or-truncate loses ≤ 10% of
+    * docs' tails; granularity = p50_hi/4, floored at 16: median-scaled
+    * bucket width), and tp15's padding-efficiency report runs at exactly
+    * that geometry with the derived parameters riding every row. This is
+    * the two-pass planner a real packing job runs: one sketch-sized
+    * profile pass, then the geometry-dependent report — no full-data
+    * second profile.
+    *
+    * Scale shape: the profile pass is txt24's (narrow scan → ≤64 counter
+    * rows); only TWO LONGS cross to the driver (the affected-bucket
+    * metadata discipline); the report pass is tp15's zero-shuffle shape.
+    */
+  def sketchSizedPacking(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("source"), col("text")).filter(col("text").isNotNull)
+    val geo = TextOps.quantilesOf(TextOps.lengthBucketCounters(
+        docs.withColumn("source", lit("all"))))
+      .select(col("p50_hi"), col("p90_hi")).distinct().head() // two longs
+    val seqLen = geo.getLong(1)
+    val gran = math.max(16L, geo.getLong(0) / 4)
+    graft.operators.prep.TrainPrep
+      .lengthBuckets(spark, d, seqLen.toInt, gran.toInt)
+      .withColumn("seq_len", lit(seqLen))
+      .withColumn("gran", lit(gran))
+  }
 }

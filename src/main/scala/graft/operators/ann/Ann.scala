@@ -434,6 +434,59 @@ object Ann {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** k-NN GRAPH construction — the batch substrate under NN-descent,
+    * graph clustering, SemDeDup-style pruning and HNSW/UMAP builds: every
+    * vector's top-k cosine neighbors, searched within its IVF coarse cell
+    * only (the dd14 no-cartesian discipline: pair candidates form
+    * cell-keyed, never corpus × corpus), plus the MUTUAL flag — edge
+    * (i → j) is mutual iff (j → i) is also a top-k edge, the symmetric
+    * backbone graph algorithms actually consume.
+    *
+    * Scale shape: the codebook broadcasts; candidate volume is
+    * Σ|cell|² (bounded by the coarse partitioning, not n²); the top-k
+    * ranking window carries partial WindowGroupLimit so no task sorts a
+    * whole cell's pair list; the mutual check is an ids-only self-join of
+    * the k·n edge relation — embeddings never ride it.
+    */
+  def knnGraphOf(emb: DataFrame, nlist: Int = 16, k: Int = 3,
+      refineIters: Int = 1): DataFrame = {
+    val cents = coarseCentroids(emb, nlist, refineIters)
+    val keyed = assignCells(emb, cents).join(emb, Seq("vec_id"))
+    val nbrs = keyed.select(col("cell"), col("vec_id").as("nbr_id"),
+      col("embedding").as("nbr_emb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("nbr_id"))
+    val edges = keyed.join(nbrs, Seq("cell"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        cosine(col("embedding"), col("nbr_emb")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("nbr_id"), col("rank"))
+    val reverse = edges.select(col("nbr_id").as("vec_id"),
+      col("vec_id").as("nbr_id"), lit(true).as("mutual"))
+    edges.join(reverse, Seq("vec_id", "nbr_id"), "left")
+      .withColumn("mutual", coalesce(col("mutual"), lit(false)))
+  }
+
+  /** ann16's driver-checked shape: [[knnGraphOf]] over the corpus with
+    * planted EXACT copies. A copy assigns to its original's cell
+    * (identical similarities, identical tie-break), each twin's rank-1
+    * neighbor is the other at sim 1.0 (naturals cap ≈ 0.4, no duplicate
+    * vectors in the fixture), and BOTH directions are top-k edges — so
+    * every original's rank-1 row is (original, copy, mutual = true), the
+    * relation DuckDB re-derives from the planting formula while the full
+    * cell-keyed pairing + ranking + mutual-join machinery executes.
+    */
+  def knnGraphSelfRecall(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.spread(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding")))
+    knnGraphOf(withExactCopies(base))
+      .filter(col("rank") === 1 && col("vec_id") < 100000L)
+      .select(col("vec_id"), col("nbr_id"), col("mutual"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-label embedding stats (norm distribution) — the sanity scan a
     * pipeline runs before indexing.
     *

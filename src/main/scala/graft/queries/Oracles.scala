@@ -2393,6 +2393,13 @@ SELECT vec_id, vec_id + 100000 AS nearest_candidate,
   CAST(1.0 AS DOUBLE) AS sim
 FROM embeddings ORDER BY vec_id""",
 
+    // ann16: k-NN graph planted theorem — every original's rank-1
+    // neighbor is its exact copy and the edge is mutual (both directions
+    // are rank-1, hence top-k, edges)
+    "ann16_knn_graph" -> """
+SELECT vec_id, vec_id + 100000 AS nbr_id, true AS mutual
+FROM embeddings ORDER BY vec_id""",
+
     "ann04_ivf_topk" -> """
 SELECT vec_id AS query_id, 1 AS rnk, vec_id + 100000 AS vec_id,
   CAST(1.0 AS DOUBLE) AS sim
@@ -2805,6 +2812,44 @@ SELECT id_a, id_b, dist FROM pr WHERE dist <= 16 ORDER BY id_a, id_b""",
     // masses in pure integer arithmetic; saved fraction by 63-bit
     // cross-multiplied ppm (docs truncate to seqLen=2048 first,
     // granularity=64 — the operator defaults)
+    // pipe09: the quantile sketch derives the packing geometry (seq_len =
+    // corpus-wide p90 upper bound, gran = max(16, p50_hi // 4)), then the
+    // tp15 report runs at exactly that geometry — the whole two-pass
+    // planner mirrored, derived parameters riding every row
+    "pipe09_sketch_pack" -> """
+WITH t AS (
+  SELECT len(list_filter(string_split_regex(trim(text), '\s+'),
+         x -> x <> '')) AS n0
+  FROM documents WHERE text IS NOT NULL),
+lens AS (SELECT CAST(n0 AS BIGINT) AS n FROM t WHERE n0 > 0),
+bk AS (SELECT CAST(length(bin(n)) AS BIGINT) AS bucket FROM lens),
+gq AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM bk GROUP BY bucket),
+cq AS (SELECT bucket, sum(c) OVER (ORDER BY bucket) AS cum,
+              sum(c) OVER () AS nd FROM gq),
+geo AS (SELECT
+  (CAST(1 AS BIGINT) <<
+     CAST(min(CASE WHEN cum * 100 >= nd * 50 THEN bucket END) AS INT)) - 1
+    AS p50_hi,
+  (CAST(1 AS BIGINT) <<
+     CAST(min(CASE WHEN cum * 100 >= nd * 90 THEN bucket END) AS INT)) - 1
+    AS p90_hi
+  FROM cq),
+param AS (SELECT p90_hi AS seq_len, greatest(16, p50_hi // 4) AS gran
+          FROM geo),
+n AS (SELECT least(l.n, seq_len) AS n, seq_len, gran
+      FROM lens l CROSS JOIN param),
+b AS (SELECT ((n - 1) // gran + 1) * gran AS ceiling, n, seq_len, gran FROM n),
+g AS (SELECT ceiling, seq_len, gran, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n) AS BIGINT) AS token_mass FROM b GROUP BY 1, 2, 3),
+gc AS (SELECT max(ceiling) AS global_ceiling FROM b)
+SELECT ceiling, n_docs, token_mass,
+  n_docs * ceiling AS padded_mass,
+  n_docs * global_ceiling AS naive_mass,
+  ((n_docs * global_ceiling - n_docs * ceiling) * 1000000)
+    // (n_docs * global_ceiling) AS saved_ppm,
+  seq_len, gran
+FROM g CROSS JOIN gc ORDER BY ceiling""",
+
     "tp15_length_buckets" -> """
 WITH t AS (
   SELECT len(list_filter(string_split_regex(trim(text), '\s+'),

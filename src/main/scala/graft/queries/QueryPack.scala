@@ -288,6 +288,9 @@ object QueryPack {
     // tombstone DELETES: the CDC-sync shape — deleted vectors invisible
     // to every search path without rewriting a code leaf
     "ann15_tombstone"   -> ((s, d) => PqIndex.selfRecallDeleted(s, d)),
+    // k-NN graph: cell-keyed top-k neighbors + mutual-edge flag (the
+    // NN-descent/graph-clustering substrate); planted-copy theorem
+    "ann16_knn_graph"   -> ((s, d) => Ann.knnGraphSelfRecall(s, d)),
 
     // ---- multimodal ----
     "mm01_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),
@@ -344,6 +347,9 @@ object QueryPack {
     // multimodal corpus assembly: text exact-dedup × image perceptual
     // canonicalization in one plan — the paired-training-set manifest
     "pipe07_mm_manifest" -> ((s, d) => Pipelines.multimodalManifest(s, d)),
+    // sketch-sized packing geometry: txt24's quantiles derive seq_len and
+    // granularity, tp15's report runs at exactly that geometry
+    "pipe09_sketch_pack" -> ((s, d) => Pipelines.sketchSizedPacking(s, d)),
 
     // ---- training prep (decontaminate / split / pack / pii / quantize) ----
     "tp01_decontaminate" -> ((s, d) => TrainPrep.decontaminate(s, d)),

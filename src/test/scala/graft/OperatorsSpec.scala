@@ -1522,6 +1522,39 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann16 kNN graph: k edges per node (cell permitting), mutual flag symmetric") {
+    import graft.operators.ann.Ann
+    val base = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val k = 3
+    val edges = Ann.knnGraphOf(base, nlist = 4, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    assert(edges.nonEmpty)
+    val bySrc = edges.groupBy(_._1)
+    // ranks are contiguous 1..deg and capped at k
+    bySrc.foreach { case (src, es) =>
+      val ranks = es.map(_._3).sorted.toSeq
+      assert(ranks.length <= k && ranks == (1 to ranks.length),
+        s"node $src has ranks ${ranks.mkString(",")}")
+    }
+    // the mutual flag is exactly "the reverse edge is also a top-k edge"
+    val edgeSet = edges.map(e => (e._1, e._2)).toSet
+    edges.foreach { case (i, j, _, mutual) =>
+      assert(mutual == edgeSet.contains((j, i)),
+        s"edge ($i,$j) mutual=$mutual but reverse-in-graph=${edgeSet.contains((j, i))}")
+    }
+    // planted copies: every twin pair forms a mutual rank-1 edge
+    val planted = Ann.knnGraphOf(
+        base.unionByName(base.select((col("vec_id") + 100000L).as("vec_id"),
+          col("embedding"))), nlist = 4, k = k)
+      .filter(col("rank") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    planted.foreach { case (i, j, mutual) =>
+      assert(math.abs(i - j) == 100000L && mutual,
+        s"rank-1 of $i should be its twin, mutual: got $j mutual=$mutual")
+    }
+  }
+
   test("pipe06: fetch redundancy collapses, mirrors halve, benchmark pages leave") {
     import graft.operators.Pipelines
     val rows = Pipelines.crawlAccounting(spark, sf).collect()
