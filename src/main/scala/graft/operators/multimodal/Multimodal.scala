@@ -434,6 +434,69 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** mm15 — perceptual near-dup WITHIN HAMMING DISTANCE, the search mm09
+    * cannot do: a real edit (crop, logo, re-filter) flips a few aHash
+    * bits, so equal-hash bucketing misses it — the match predicate must
+    * be `popcount(h_a XOR h_b) ≤ d`. All-pairs XOR is n² at 100 TB; this
+    * runs MULTI-INDEX HASHING (Norouzi et al. 2012): split the 64-bit
+    * hash into 4 16-bit chunks — by pigeonhole, two hashes within
+    * distance d ≤ 3 agree EXACTLY on at least one chunk (3 flips cannot
+    * touch all 4) — so candidates come from four chunk-equality
+    * equi-joins and only candidates pay the popcount verify. The
+    * candidate guarantee is a theorem, not a recall estimate, which is
+    * what lets DuckDB mirror the SEMANTIC relation (all pairs within
+    * distance d, derived from the pixel formulas bit by bit) while the
+    * engine runs the whole chunk-index machinery: a missed candidate or
+    * a wrong popcount breaks the hash.
+    *
+    * Fixture: mm09's corpus (originals + `%5` sub-quantum noisy copies
+    * at +100000, distance 0) PLUS `%7` EDITED copies at +200000 — blue
+    * bumped by 64 on every 9th pixel, a real visible edit whose exact
+    * bit-flip count both engines derive from the same integer
+    * arithmetic.
+    *
+    * Scale shape: decode+hash is the mm09 narrow mapPartitions (blobs
+    * never shuffle); the chunk index is 4 rows × 16-byte payload per
+    * image; candidates ≈ pairs sharing a 16-bit chunk value — AQE's
+    * skew handling covers pathological chunk hot spots; the verify is
+    * two codegen'd bit_counts per candidate.
+    */
+  def imageHammingNearDup(spark: SparkSession, d: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-chunk pigeonhole guarantees candidates only for d <= 3")
+    val ids = Tables.documents(spark, d).select(col("doc_id"))
+      .select(explode(
+        when(col("doc_id") % 35 === 0,
+          array(col("doc_id"), col("doc_id") + 100000L, col("doc_id") + 200000L))
+          .when(col("doc_id") % 5 === 0,
+            array(col("doc_id"), col("doc_id") + 100000L))
+          .when(col("doc_id") % 7 === 0,
+            array(col("doc_id"), col("doc_id") + 200000L))
+          .otherwise(array(col("doc_id")))).as("media_id"))
+    val hashed = ahashOf(ids)
+    val chunks = hashed.select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
+      posexplode(array(
+        expr("ahash_lo % 65536"), expr("(ahash_lo div 65536) % 65536"),
+        expr("ahash_hi % 65536"), expr("(ahash_hi div 65536) % 65536"))))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+    val a = chunks.select(col("chunk_idx"), col("chunk"),
+      col("media_id").as("a_id"), col("ahash_hi").as("a_hi"),
+      col("ahash_lo").as("a_lo"))
+    val b = chunks.select(col("chunk_idx"), col("chunk"),
+      col("media_id").as("b_id"), col("ahash_hi").as("b_hi"),
+      col("ahash_lo").as("b_lo"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_hi"), col("a_lo"),
+        col("b_hi"), col("b_lo"))
+      .distinct() // pairs sharing several chunks enter once
+      .withColumn("dist",
+        expr("CAST(bit_count(a_hi ^ b_hi) + bit_count(a_lo ^ b_lo) AS BIGINT)"))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** The mm09 fixture generator + REAL decode + aHash, reusable by the
     * batch (mm09) and streaming (mm10) lanes: per media_id, render the
     * deterministic PNG, decode it through `javax.imageio`, hash the
@@ -445,8 +508,9 @@ object Multimodal {
     ids.select(col("media_id")).mapPartitions { rows =>
       rows.map { r =>
         val mid = r.getLong(0)
-        val id = if (mid >= 100000L) mid - 100000L else mid
-        val noisy = mid >= 100000L
+        val id = mid % 100000L
+        val noisy = mid >= 100000L && mid < 200000L
+        val edited = mid >= 200000L // mm15: a REAL edit, not sub-quantum
         // pixels are an integer HASH of (id, position) — mod a prime
         // before the byte fold so neither an additive id constant (which
         // the mean-threshold bits are invariant to) nor a mod-256 id
@@ -458,7 +522,9 @@ object Multimodal {
         def green(x: Int, y: Int) = mix(2246822519L, 52361L, 101L, x, y).toInt
         def blue(x: Int, y: Int) = {
           val b = mix(3266489917L, 44131L, 233L, x, y)
-          (if (noisy && (x + y) % 7 == 0) (b + 1L) % 256L else b).toInt
+          (if (noisy && (x + y) % 7 == 0) (b + 1L) % 256L
+           else if (edited && (x + y) % 9 == 0) (b + 64L) % 256L
+           else b).toInt
         }
         val png = ImageCodec.encodePng(8, 8,
           (x, y) => (red(x, y) << 16) | (green(x, y) << 8) | blue(x, y))

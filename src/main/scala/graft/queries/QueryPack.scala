@@ -320,6 +320,9 @@ object QueryPack {
     // the VIDEO crawl loop: per-frame hashes in the generic index,
     // timestamp-aligned screen + >=3-of-4 vote per micro-batch
     "mm14_vfp_stream"    -> ((s, d) => Multimodal.streamingVideoFpSelfRecall(s, d)),
+    // Hamming-distance near-dup via multi-index hashing: 4x16-bit chunk
+    // equi-joins (pigeonhole-complete for d<=3), popcount verify
+    "mm15_hamming_neardup" -> ((s, d) => Multimodal.imageHammingNearDup(s, d)),
     // ISO BMFF (MP4) header write→parse round trip vs the geometry
     // formulas re-derived oracle-side — see Multimodal.videoProbe
     "mm08_video_probe" -> ((s, d) => Multimodal.videoProbe(s, d)),
