@@ -378,6 +378,37 @@ object Dedup {
     } finally { sh.unpersist(); () }
   }
 
+  /** TOMBSTONE deletes for the persisted dedup index — the CDC-sync
+    * delete path (ann15's device on the band/set store): a replicated
+    * document's DELETE (or an update that re-crawls its content) must
+    * leave the index without rewriting any committed band/set leaf, so
+    * deletes commit as immutable id-leaves (`tombs/leaf=<tag>`, parquet
+    * of `doc_id`) under the same tag-idempotent fold discipline as
+    * appends. [[screenAgainstIndex]] anti-joins the tombstone set
+    * BEFORE set verification — a deleted document can neither match nor
+    * consume verify work — and [[compactDedupIndex]] drops tombstoned
+    * rows physically and clears the tombstone relation, so it stays
+    * bounded by deletes-since-last-compaction.
+    */
+  def dedupIndexDelete(spark: SparkSession, indexDir: String,
+      ids: DataFrame, leaf: String): Unit = {
+    if (graft.sources.cdc.WalSegments.globNonEmpty(indexDir,
+        s"tombs/leaf=$leaf")) return
+    ids.select(col("doc_id")).distinct()
+      .withColumn("leaf", lit(leaf))
+      .coalesce(1) // a delete batch is id-sized: one file per tag
+      .write.partitionBy("leaf").mode("append").parquet(s"$indexDir/tombs")
+  }
+
+  /** The live tombstone set, or None when nothing was ever deleted (the
+    * common crawl case — zero cost on the screen path).
+    */
+  private def tombstonesOf(spark: SparkSession,
+      indexDir: String): Option[DataFrame] =
+    if (graft.sources.cdc.WalSegments.globNonEmpty(indexDir, "tombs/leaf=*"))
+      Some(spark.read.parquet(s"$indexDir/tombs").select(col("doc_id")))
+    else None
+
   /** COMPACT the dedup index's per-batch leaves into one leaf per
     * relation — the small-file maintenance pass the crawl loop needs
     * (ann13's `PqIndex.compact` for the band/set store): after N
@@ -410,18 +441,22 @@ object Dedup {
       leaves("sets").filter(_.getName == s"leaf=$tag").foreach { p =>
         try fs.delete(p, true) catch { case _: java.io.IOException => () }
       }
+      // tombstoned docs leave PHYSICALLY here (read filter → not folded);
+      // the anti-join is broadcast — the tomb set is deletes-sized
+      def dropTombs(df: DataFrame): DataFrame = tombstonesOf(spark, indexDir)
+        .fold(df)(t => df.join(broadcast(t), Seq("doc_id"), "left_anti"))
       // fold every other leaf's rows into leaf=<tag>: sets first, bands
       // last — bands/leaf=<tag> existing IS the commit point
-      spark.read.parquet(s"$indexDir/sets")
+      dropTombs(spark.read.parquet(s"$indexDir/sets")
         .filter(col("leaf") =!= tag)
-        .select(col("doc_id"), col("sh"), col("sgrp"))
+        .select(col("doc_id"), col("sh"), col("sgrp")))
         .withColumn("leaf", lit(tag))
         .repartition(col("sgrp"))
         .write.partitionBy("sgrp", "leaf")
         .mode("append").parquet(s"$indexDir/sets")
-      spark.read.parquet(s"$indexDir/bands")
+      dropTombs(spark.read.parquet(s"$indexDir/bands")
         .filter(col("leaf") =!= tag)
-        .select(col("band"), col("bucket"), col("doc_id"), col("bgrp"))
+        .select(col("band"), col("bucket"), col("doc_id"), col("bgrp")))
         .withColumn("leaf", lit(tag))
         .repartition(col("bgrp"))
         .write.partitionBy("bgrp", "leaf")
@@ -432,6 +467,13 @@ object Dedup {
       .filter(_.getName != s"leaf=$tag").foreach { p =>
         try fs.delete(p, true) catch { case _: java.io.IOException => () }
       }
+    // tombstoned rows are physically gone past the commit point — clear
+    // the tombstone relation so it stays bounded by future deletes
+    try Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$indexDir/tombs/leaf=*"))).toSeq.flatten.foreach { st =>
+      try fs.delete(st.getPath, true)
+      catch { case _: java.io.IOException => () }
+    } catch { case _: java.io.IOException => () }
   }
 
   /** Distinct leaf tags currently in the band table — the leaf census
@@ -466,6 +508,49 @@ object Dedup {
       .filter(col("corpus_id") === col("batch_id") - 100000L)
       .select(col("batch_id"), col("corpus_id"), col("jaccard"),
         lit(before).as("n_leaves_before"), lit(after).as("n_leaves_after"))
+      .orderBy(col("batch_id"))
+  }
+
+  /** dd20's driver-checked shape — DELETES through the dedup index:
+    * dd11's planting theorem with a CDC delete wave in the middle. The
+    * corpus folds into the index, every `doc_id % 9 == 0` document is
+    * tombstoned ([[dedupIndexDelete]] — the replica dropped those rows),
+    * and the arriving exact copies are screened: a copy of a SURVIVING
+    * doc provably pairs with its original at Jaccard 1.0, a copy of a
+    * DELETED doc provably matches NOTHING (its only guaranteed collision
+    * is tombstoned; the anti-join runs before verification). The oracle
+    * is the planting formula restricted to survivors — a screen that
+    * ignores tombstones surfaces the deleted pairs and breaks the hash;
+    * then compaction drops the tombstoned rows physically and the
+    * re-screen is row-identical (the census rides the relation).
+    */
+  def deletedSelfRecall(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.spread(
+      Tables.documents(spark, d).select(col("doc_id"), col("text")))
+    val tmp = graft.Tables.scratchDir("graft_dd20")
+    val indexDir = s"$tmp/index"
+    dedupIndexAppend(base, indexDir, "corpus")
+    dedupIndexDelete(spark, indexDir,
+      base.filter(col("doc_id") % 9 === 0).select(col("doc_id")), "del0")
+    val batch = base.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    // MATERIALIZE the pre-compaction screen before compacting: the store
+    // is manifest-free, so compaction's old-leaf sweep would pull this
+    // lazy scan's files out from under it (the offline-maintenance
+    // contract — compact only while no reader is in flight)
+    val preDir = s"$tmp/pre"
+    screenAgainstIndex(spark, indexDir, batch)
+      .filter(col("corpus_id") === col("batch_id") - 100000L)
+      .write.parquet(preDir)
+    val screened = spark.read.parquet(preDir)
+    // physical drop: compaction folds live rows only and clears tombs;
+    // the post-compaction screen must be row-identical to the tombstone-
+    // filtered one (both ride the gate via the n_lanes census)
+    compactDedupIndex(spark, indexDir, "compact0")
+    val after = screenAgainstIndex(spark, indexDir, batch)
+      .filter(col("corpus_id") === col("batch_id") - 100000L)
+    screened.unionByName(after)
+      .groupBy(col("batch_id"), col("corpus_id"), col("jaccard"))
+      .agg(count(lit(1)).as("n_lanes")) // 2 ⇔ pre- and post-compaction agree
       .orderBy(col("batch_id"))
   }
 
@@ -505,7 +590,14 @@ object Dedup {
       .join(index, Seq("band", "bucket"))
       .select(col("batch_id"), col("doc_id").as("corpus_id"))
       .distinct()
-    cand
+    // deleted docs leave the match relation BEFORE verification (the
+    // ann15 before-the-shortlist discipline): a tombstoned corpus doc
+    // neither matches nor consumes set-lookup work. Broadcast: the
+    // tombstone set is bounded by deletes-since-compaction.
+    val live = tombstonesOf(spark, indexDir).fold(cand)(t =>
+      cand.join(broadcast(t.select(col("doc_id").as("corpus_id"))),
+        Seq("corpus_id"), "left_anti"))
+    live
       .join(bsh.select(col("doc_id").as("batch_id"), col("sh").as("sh_b")),
         Seq("batch_id"))
       .withColumn("sgrp", setGroup(col("corpus_id")))

@@ -2257,6 +2257,19 @@ FROM t WHERE len(toks) >= 3 ORDER BY id_a""",
     // doc) collides with its original in every band and verifies at 1.0 —
     // the dd03 planting device, restricted to the planting relation; docs
     // too short to shingle (< 3 tokens) never enter the index
+    // dd20: the planting relation restricted to SURVIVORS (doc_id % 9
+    // != 0 was not tombstoned); n_lanes = 2 pins pre- and post-compaction
+    // screens agreeing row-for-row — a screen that ignores tombstones, or
+    // a compaction that loses live rows or keeps dead ones, breaks it
+    "dd20_index_delete" -> """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id + 100000 AS batch_id, doc_id AS corpus_id,
+  CAST(1.0 AS DOUBLE) AS jaccard, CAST(2 AS BIGINT) AS n_lanes
+FROM t WHERE len(toks) >= 3 AND doc_id % 9 <> 0 ORDER BY batch_id""",
+
     "dd11_incremental" -> """
 WITH t AS (
   SELECT doc_id,

@@ -262,6 +262,10 @@ object QueryPack {
     // dedup-index leaf COMPACTION: 4 crawl leaves rewritten to one,
     // screen provably identical — see Dedup.compactedSelfRecall
     "dd19_index_compact"  -> ((s, d) => Dedup.compactedSelfRecall(s, d)),
+    // tombstone deletes through the dedup index (the CDC-sync delete
+    // path): deleted docs' copies provably match nothing, survivors at
+    // 1.0; compaction drops tombstoned rows physically (n_lanes == 2)
+    "dd20_index_delete"   -> ((s, d) => Dedup.deletedSelfRecall(s, d)),
 
     // ---- similarity search ----
     "ann01_brute_topk"  -> ((s, d) => Ann.bruteForceTopK(s, d)),
