@@ -2257,6 +2257,26 @@ FROM t WHERE len(toks) >= 3 ORDER BY id_a""",
     // doc) collides with its original in every band and verifies at 1.0 —
     // the dd03 planting device, restricted to the planting relation; docs
     // too short to shingle (< 3 tokens) never enter the index
+    // pipe10: the planting relation restricted to docs whose replica row
+    // SURVIVES (last change per (table, record) is not a delete); the
+    // tombstone census rides every row
+    "pipe10_cdc_dedup_sync" -> s"""$changesCte,
+last AS (
+  SELECT table_name, record_id, max_by(op, seq) AS last_op
+  FROM changes GROUP BY table_name, record_id),
+dead AS (SELECT DISTINCT record_id FROM last WHERE last_op = 'delete'),
+cens AS (SELECT CAST(count(*) AS BIGINT) AS n_tombstoned FROM dead),
+t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id + 100000 AS batch_id, doc_id AS corpus_id,
+  CAST(1.0 AS DOUBLE) AS jaccard, n_tombstoned
+FROM t CROSS JOIN cens
+WHERE len(toks) >= 3
+  AND doc_id NOT IN (SELECT record_id FROM dead)
+ORDER BY batch_id""",
+
     // dd20: the planting relation restricted to SURVIVORS (doc_id % 9
     // != 0 was not tombstoned); n_lanes = 2 pins pre- and post-compaction
     // screens agreeing row-for-row — a screen that ignores tombstones, or

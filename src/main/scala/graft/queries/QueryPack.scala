@@ -357,6 +357,9 @@ object QueryPack {
     // sketch-sized packing geometry: txt24's quantiles derive seq_len and
     // granularity, tp15's report runs at exactly that geometry
     "pipe09_sketch_pack" -> ((s, d) => Pipelines.sketchSizedPacking(s, d)),
+    // the replica-synced dedup index: store tombstones feed dd20's delete
+    // lane; a deleted record's copy provably matches nothing
+    "pipe10_cdc_dedup_sync" -> ((s, d) => replicaDedupSync(s, d)),
 
     // ---- training prep (decontaminate / split / pack / pii / quantize) ----
     "tp01_decontaminate" -> ((s, d) => TrainPrep.decontaminate(s, d)),
@@ -886,6 +889,48 @@ object QueryPack {
       .select(col("query_id"), col("vec_id").as("match_id"), col("sim"))
       .crossJoin(broadcast(census))
       .orderBy(col("query_id"))
+  }
+
+  /** pipe10 — the replica-synced DEDUP index, completing the
+    * replica→artifact matrix (pipe04: corpus manifest; pipe08: vector
+    * index; here: the band/set index): the change set applies into the
+    * current-state store, the store's RETAINED TOMBSTONES (the
+    * keepTombstones audit view — exactly the rows the replica deleted)
+    * become the dedup index's delete feed ([[graft.operators.dedup.Dedup
+    * .dedupIndexDelete]], dd20's lane), and the screen then provably
+    * matches only content whose replica row survives: a deleted record's
+    * planted copy matches NOTHING. The tombstone census rides every row,
+    * so a mis-applied delete, a lost tombstone, or a screen that ignores
+    * the tombstone set each breaks the gate.
+    *
+    * Scale shape: one bucketed store apply (cdc25's discipline), one
+    * keepTombstones scan filtered to deletes (ids only), one id-leaf
+    * tombstone write, then dd11's pruned screen.
+    */
+  def replicaDedupSync(spark: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Materializer
+    val ch = ChangeStream.changes(spark, d)
+      .select(col("seq"), col("op"), col("table_name"), col("k"),
+        col("val_cents"), col("record_id"))
+    val stateDir = graft.Tables.scratchDir("graft_p10_state")
+    val spec = Materializer.Spec(
+      keyCols = Seq("table_name", "record_id"), buckets = 16)
+    Materializer.applyBatch(spark, stateDir, ch, spec)
+    val dead = Materializer
+      .currentState(spark, stateDir, spec, keepTombstones = true)
+      .filter(col("op") === "delete")
+      .select(col("record_id").as("doc_id")).distinct()
+    val base = Tables.spread(
+      Tables.documents(spark, d).select(col("doc_id"), col("text")))
+    val indexDir = graft.Tables.scratchDir("graft_p10_index")
+    Dedup.dedupIndexAppend(base, indexDir, "corpus")
+    Dedup.dedupIndexDelete(spark, indexDir, dead, "replica0")
+    val census = dead.agg(count(lit(1)).as("n_tombstoned"))
+    val batch = base.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    Dedup.screenAgainstIndex(spark, indexDir, batch)
+      .filter(col("corpus_id") === col("batch_id") - 100000L)
+      .crossJoin(broadcast(census))
+      .orderBy(col("batch_id"))
   }
 
   /** S1's second mode — the JDBC-polling-shaped change-table lane

@@ -522,6 +522,12 @@ object Graft {
     * the batch, one pruned equi-join, one O(batch) leaf append —
     * independent of corpus size.
     */
+  /** If the stream carries an `op` column, rows with op == "delete" are
+    * DELETE notices (the recrawl-found-it-gone / replica-DELETE case):
+    * their doc_ids tombstone the index ([[graft.operators.dedup.Dedup
+    * .dedupIndexDelete]], tag-idempotent) and they are neither screened
+    * nor folded. Streams without an `op` column behave as before.
+    */
   def screenAndFold(docs: DataFrame, indexDir: String, pairsDir: String,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
       checkpoint: Option[String] = None,
@@ -530,11 +536,21 @@ object Graft {
     val spark = docs.sparkSession
     var w = docs.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       CrawlMetrics.timed(queryName) {
+        val hasOp = batch.columns.contains("op")
+        val upserts =
+          if (hasOp) batch.filter(col("op") =!= "delete").drop("op")
+          else batch
+        if (hasOp) {
+          val deletes = batch.filter(col("op") === "delete").select(col("doc_id"))
+          if (!deletes.isEmpty)
+            graft.operators.dedup.Dedup
+              .dedupIndexDelete(spark, indexDir, deletes, f"d$bid%06d")
+        }
         graft.operators.dedup.Dedup
-          .screenAgainstIndex(spark, indexDir, batch, numHashes, bands, threshold)
+          .screenAgainstIndex(spark, indexDir, upserts, numHashes, bands, threshold)
           .write.mode("append").parquet(pairsDir)
         graft.operators.dedup.Dedup
-          .dedupIndexAppend(batch, indexDir, f"b$bid%06d", numHashes, bands)
+          .dedupIndexAppend(upserts, indexDir, f"b$bid%06d", numHashes, bands)
       }
     }.queryName(queryName).trigger(trigger)
     checkpoint.foreach(c => w = w.option("checkpointLocation", c))

@@ -1555,6 +1555,41 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("screenAndFold: in-stream delete notices tombstone the index before screening") {
+    import graft.operators.dedup.Dedup
+    val base = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+      .limit(20).cache()
+    val victim = base.select(min(col("doc_id"))).head().getLong(0)
+    val tmp = graft.Tables.scratchDir("graft_safdel")
+    val indexDir = s"$tmp/index"
+    Dedup.dedupIndexAppend(base, indexDir, "corpus")
+    // ONE micro-batch carries the victim's delete notice AND arriving
+    // copies of every doc (including the victim's) — the facade must
+    // tombstone first, so the victim's copy matches nothing
+    val arrivals = base
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+        lit("upsert").as("op"))
+      .unionByName(base.filter(col("doc_id") === victim)
+        .select(col("doc_id"), lit(null).cast("string").as("text"),
+          lit("delete").as("op")))
+    arrivals.coalesce(1).write.parquet(s"$tmp/arrivals")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/arrivals").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/arrivals")
+    val q = GraftSession.withStreamShuffle(spark)(
+      graft.streaming.Graft.screenAndFold(stream, indexDir, s"$tmp/pairs",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    GraftSession.awaitFinished(q)
+    val pairs = spark.read.parquet(s"$tmp/pairs")
+      .filter(col("corpus_id") === col("batch_id") - 100000L)
+      .select("corpus_id").collect().map(_.getLong(0)).toSet
+    assert(!pairs.contains(victim),
+      s"deleted doc $victim still matched through the facade")
+    assert(pairs.nonEmpty, "surviving docs must still match their copies")
+    base.unpersist()
+  }
+
   test("pipe06: fetch redundancy collapses, mirrors halve, benchmark pages leave") {
     import graft.operators.Pipelines
     val rows = Pipelines.crawlAccounting(spark, sf).collect()
