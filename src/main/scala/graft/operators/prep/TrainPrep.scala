@@ -716,6 +716,50 @@ object TrainPrep {
       .orderBy(col("doc_id"))
   }
 
+  /** tp16 — the TOKEN-BUDGET mixture plan (the DoReMi/Chinchilla-style
+    * data-budget table a training run is sized from): per source, its
+    * measured token mass, its target share of the budget, the allocated
+    * tokens, the sampling rate (≤ 1) or repetition factor (> 1 epoch —
+    * upsampling a small high-weight source), and the repeated-token count.
+    * tp06 samples documents BY COUNT at a fixed fraction; this plans BY
+    * TOKENS against explicit shares — the number that actually sizes a
+    * run. Budget = the corpus's own total mass (one epoch-equivalent), so
+    * over-weighted sources provably repeat and under-weighted ones
+    * provably downsample, both visible in the gated relation.
+    *
+    * All arithmetic is integral with 63-bit-safe split multiplication
+    * (the KMV guard): shares in ppm, rates/epochs in permille — exact up
+    * to ~9.2e15 tokens per source (≈ 36 PB of text), documented bound.
+    *
+    * Scale shape: one narrow scan → one map-side-combined groupBy(source)
+    * → a one-row broadcast total — nothing wide ever shuffles.
+    */
+  def budgetPlan(spark: SparkSession, d: String): DataFrame = {
+    val masses = Tables.spread(Tables.documents(spark, d)
+        .select(col("source"), col("text")).filter(col("text").isNotNull))
+      .select(col("source"),
+        size(graft.operators.text.TextOps.tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("token_mass"))
+    val total = masses.agg(sum(col("token_mass")).as("budget"))
+    masses.crossJoin(broadcast(total))
+      // the fixture share formula (srcK → (k+1)/210), ppm-exact
+      .withColumn("share_ppm",
+        expr("((CAST(substring(source, 4) AS BIGINT) + 1) * 1000000) div 210"))
+      // alloc = budget · share, split-multiplied so no 63-bit overflow
+      .withColumn("alloc_tokens", expr(
+        """(budget div 1000000) * share_ppm
+           + ((budget % 1000000) * share_ppm) div 1000000"""))
+      .withColumn("rate_permille", expr(
+        """CASE WHEN alloc_tokens >= token_mass THEN 1000
+                ELSE (alloc_tokens * 1000) div token_mass END"""))
+      .withColumn("epochs_permille", expr(
+        """(alloc_tokens div token_mass) * 1000
+           + ((alloc_tokens % token_mass) * 1000) div token_mass"""))
+      .withColumn("repeat_tokens",
+        greatest(lit(0L), col("alloc_tokens") - col("token_mass")))
+      .orderBy(col("source"))
+  }
+
   // --------------------------------------------------------------- quant
 
   /** Int8 scalar quantization of the embedding column (the standard ANN

@@ -2929,6 +2929,32 @@ SELECT ceiling, n_docs, token_mass,
   seq_len, gran
 FROM g CROSS JOIN gc ORDER BY ceiling""",
 
+    // tp16: the token-budget mixture plan — masses from the shared token
+    // definition, shares from the fixture formula, alloc/rate/epochs by
+    // the same split-multiplied integral arithmetic
+    "tp16_budget_plan" -> """
+WITH m AS (
+  SELECT source,
+    CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+      x -> x <> ''))) AS BIGINT) AS token_mass
+  FROM documents WHERE text IS NOT NULL GROUP BY source),
+tot AS (SELECT CAST(sum(token_mass) AS BIGINT) AS budget FROM m),
+p AS (
+  SELECT source, token_mass, budget,
+    ((CAST(substring(source, 4) AS BIGINT) + 1) * 1000000) // 210 AS share_ppm
+  FROM m CROSS JOIN tot),
+a AS (
+  SELECT *, (budget // 1000000) * share_ppm
+            + ((budget % 1000000) * share_ppm) // 1000000 AS alloc_tokens
+  FROM p)
+SELECT source, token_mass, budget, share_ppm, alloc_tokens,
+  CASE WHEN alloc_tokens >= token_mass THEN 1000
+       ELSE (alloc_tokens * 1000) // token_mass END AS rate_permille,
+  (alloc_tokens // token_mass) * 1000
+    + ((alloc_tokens % token_mass) * 1000) // token_mass AS epochs_permille,
+  greatest(0, alloc_tokens - token_mass) AS repeat_tokens
+FROM a ORDER BY source""",
+
     "tp15_length_buckets" -> """
 WITH t AS (
   SELECT len(list_filter(string_split_regex(trim(text), '\s+'),

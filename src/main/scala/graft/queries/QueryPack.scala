@@ -383,7 +383,10 @@ object QueryPack {
     "tp14_bloom_screen"  -> ((s, d) => TrainPrep.bloomScreen(s, d)),
     // length-bucketed batching efficiency: padding saved vs global-max
     // padding, integral ppm — the group-by-length curriculum report
-    "tp15_length_buckets" -> ((s, d) => TrainPrep.lengthBuckets(s, d))
+    "tp15_length_buckets" -> ((s, d) => TrainPrep.lengthBuckets(s, d)),
+    // token-budget mixture plan: measured masses x target shares ->
+    // alloc/rate/epochs/repeat per source, all integral (ppm + permille)
+    "tp16_budget_plan"   -> ((s, d) => TrainPrep.budgetPlan(s, d))
   )
 
   /** D1-D11 showcase: a distributed decode of binary pgoutput frames
