@@ -425,15 +425,21 @@ object ChangeStream {
             .select(col("record_id"), col("seq"), col("op"), col("val_cents"))
           Materializer.applyBatch(s, uDir, side("user"), kSpec)
           Materializer.applyBatch(s, oDir, side("order"), kSpec)
-          val curU = stateOrEmpty(s, uDir)
+          // each store state and the affected set have 2-3 consumers in
+          // this batch body — persist so the bucket leaves are read and
+          // max-seq-merged ONCE per batch, not per consumer (the
+          // applyBatch batchLatest discipline)
+          val curU = stateOrEmpty(s, uDir).persist()
           val curO = stateOrEmpty(s, oDir).withColumn("account", acct)
+            .persist()
           val touchedAcc = side("user").select(col("record_id").as("account"))
             .distinct()
           val affected = side("order").select("record_id").distinct()
             .unionByName(curO.join(touchedAcc, Seq("account"), "left_semi")
               .select("record_id"))
             .distinct()
-          if (!affected.isEmpty) {
+            .persist()
+          try if (!affected.isEmpty) {
             val alive = curO.join(affected, Seq("record_id"), "left_semi")
               .select(col("record_id"), col("seq").as("order_seq"),
                 col("val_cents").as("order_cents"), col("account"))
@@ -454,6 +460,8 @@ object ChangeStream {
                 lit(null).cast("long").as("account_cents"),
                 lit(null).cast("boolean").as("account_present"))
             Materializer.applyBatch(s, vDir, alive.unionByName(dead), kSpec)
+          } finally {
+            affected.unpersist(); curO.unpersist(); curU.unpersist()
           }
           ()
         }
@@ -493,30 +501,6 @@ object ChangeStream {
       .orderBy(col("table_name"), col("record_id"))
   }
 
-  /** cdc27 — TRANSACTION-consistent snapshot: [[snapshotAtMidpoint]]'s
-    * raw seq cut can land MID-transaction (the fixture's xid groups ten
-    * consecutive seqs, so a midpoint cut splits one transaction roughly
-    * 9 times in 10) — a replica built at that cut shows a torn write,
-    * which is exactly the anomaly the reference exists to prevent: walex
-    * delivers whole transactions or nothing (reference:
-    * lib/walex/transaction_filter.ex — messages group by transaction;
-    * the consumer never observes a commit's partial effect). This
-    * operator aligns the cut to the last COMMIT boundary at or below the
-    * requested seq — `aligned_seq = max(commit_seq ≤ cut)` where
-    * `commit_seq = max(seq) per xid` — and snapshots the aligned prefix.
-    * Because a transaction's rows are contiguous in WAL order, filtering
-    * `seq <= aligned_seq` includes exactly the fully-committed
-    * transactions: no torn writes, by construction. The aligned cut and
-    * the count of rows the alignment excluded (`torn_rows`, the split
-    * transaction's visible half) ride every output row so the alignment
-    * arithmetic — not just the surviving states — is part of the gated
-    * relation.
-    *
-    * Scale shape: three one-row broadcast aggregates (cut, aligned cut,
-    * torn count — the commit-boundary table shuffles xid+seq only), then
-    * cdc23's single map-side-combined `max_by` per (table, record). No
-    * window, no sort, nothing new on the data path at 100 TB.
-    */
   /** cdc28 — mid-stream SCHEMA EVOLUTION through the current-state store:
     * the replica's table gains a column while the apply loop is running
     * (ALTER TABLE ... ADD COLUMN upstream; the reference's relation
@@ -559,7 +543,9 @@ object ChangeStream {
     Materializer.currentState(spark, stateDir, spec)
       .select(col("table_name"), col("record_id"), col("seq").as("last_seq"),
         col("k"), col("val_cents"),
-        col("val_cents").isNull.as("pre_ddl_row"), lit(cut).as("ddl_seq"))
+        // from the seq boundary, NOT val_cents.isNull: a post-DDL row
+        // whose new column is genuinely NULL is not a pre-DDL row
+        (col("seq") <= cut).as("pre_ddl_row"), lit(cut).as("ddl_seq"))
       .orderBy(col("table_name"), col("record_id"))
   }
 
@@ -597,6 +583,30 @@ object ChangeStream {
       .orderBy(col("table_name"), col("record_id"))
   }
 
+  /** cdc27 — TRANSACTION-consistent snapshot: [[snapshotAtMidpoint]]'s
+    * raw seq cut can land MID-transaction (the fixture's xid groups ten
+    * consecutive seqs, so a midpoint cut splits one transaction roughly
+    * 9 times in 10) — a replica built at that cut shows a torn write,
+    * which is exactly the anomaly the reference exists to prevent: walex
+    * delivers whole transactions or nothing (reference:
+    * lib/walex/transaction_filter.ex — messages group by transaction;
+    * the consumer never observes a commit's partial effect). This
+    * operator aligns the cut to the last COMMIT boundary at or below the
+    * requested seq — `aligned_seq = max(commit_seq ≤ cut)` where
+    * `commit_seq = max(seq) per xid` — and snapshots the aligned prefix.
+    * Because a transaction's rows are contiguous in WAL order, filtering
+    * `seq <= aligned_seq` includes exactly the fully-committed
+    * transactions: no torn writes, by construction. The aligned cut and
+    * the count of rows the alignment excluded (`torn_rows`, the split
+    * transaction's visible half) ride every output row so the alignment
+    * arithmetic — not just the surviving states — is part of the gated
+    * relation.
+    *
+    * Scale shape: three one-row broadcast aggregates (cut, aligned cut,
+    * torn count — the commit-boundary table shuffles xid+seq only), then
+    * cdc23's single map-side-combined `max_by` per (table, record). No
+    * window, no sort, nothing new on the data path at 100 TB.
+    */
   def snapshotTxnConsistent(spark: SparkSession, sfDir: String,
       cutAt: Option[Long] = None): DataFrame = {
     val ch = changes(spark, sfDir)

@@ -331,8 +331,14 @@ object Dedup {
       leaf: String): Boolean =
     graft.sources.cdc.WalSegments.globNonEmpty(indexDir, s"bands/*/leaf=$leaf")
 
+  /** @param bid the append's position in the fold order (the facade
+    *            passes the foreachBatch batch id; -1 = "the bootstrap,
+    *            before every delete"). Tombstones kill only rows with a
+    *            STRICTLY SMALLER bid, so a re-crawled doc_id revives:
+    *            delete at bid 3, re-append at bid 5 → alive again.
+    */
   def dedupIndexAppend(docs: DataFrame, indexDir: String, leaf: String,
-      numHashes: Int = 64, bands: Int = 16): Unit = {
+      numHashes: Int = 64, bands: Int = 16, bid: Long = -1L): Unit = {
     // IDEMPOTENT fold for at-least-once delivery (foreachBatch replay):
     // a leaf tag that already reached the band table is a no-op. Sets
     // write FIRST, bands LAST — a crash between leaves set residue that
@@ -359,6 +365,7 @@ object Dedup {
       // (task, group) — without it every task writes every group dir and
       // the file count (hence later listings and scans) explodes
       sh.select(col("doc_id"), col("sh"))
+        .withColumn("bid", lit(bid))
         .withColumn("sgrp", setGroup(col("doc_id")))
         .withColumn("leaf", lit(leaf))
         .repartition(col("sgrp"))
@@ -370,6 +377,7 @@ object Dedup {
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bucket")
         .select(col("band"), col("bucket"), col("doc_id"))
+        .withColumn("bid", lit(bid))
         .withColumn("bgrp", bandGroup)
         .withColumn("leaf", lit(leaf))
         .repartition(col("bgrp"))
@@ -384,30 +392,52 @@ object Dedup {
     * leave the index without rewriting any committed band/set leaf, so
     * deletes commit as immutable id-leaves (`tombs/leaf=<tag>`, parquet
     * of `doc_id`) under the same tag-idempotent fold discipline as
-    * appends. [[screenAgainstIndex]] anti-joins the tombstone set
-    * BEFORE set verification — a deleted document can neither match nor
-    * consume verify work — and [[compactDedupIndex]] drops tombstoned
-    * rows physically and clears the tombstone relation, so it stays
-    * bounded by deletes-since-last-compaction.
+    * appends. A tombstone is ORDERED by its `bid`: it kills only rows
+    * folded at a strictly smaller bid, so a later re-crawl of the same
+    * doc_id revives it (the Materializer's max-seq discipline on the
+    * index axis; the default `bid = Long.MaxValue` kills everything
+    * folded so far — the one-shot batch semantics). [[screenAgainstIndex]]
+    * applies the tombstone order BEFORE set verification — dead content
+    * can neither match nor consume verify work — and
+    * [[compactDedupIndex]] drops dead and superseded rows physically.
+    * Tombstone leaves are RETAINED across compaction (they are the
+    * replay guard: a re-delivered delete batch must stay a no-op), so
+    * the relation is bounded by total deletes; clear it with a retention
+    * floor once the replay horizon passes (the consumer-ack device).
     */
   def dedupIndexDelete(spark: SparkSession, indexDir: String,
-      ids: DataFrame, leaf: String): Unit = {
+      ids: DataFrame, leaf: String, bid: Long = Long.MaxValue): Unit = {
     if (graft.sources.cdc.WalSegments.globNonEmpty(indexDir,
         s"tombs/leaf=$leaf")) return
     ids.select(col("doc_id")).distinct()
+      .withColumn("bid", lit(bid))
       .withColumn("leaf", lit(leaf))
       .coalesce(1) // a delete batch is id-sized: one file per tag
       .write.partitionBy("leaf").mode("append").parquet(s"$indexDir/tombs")
   }
 
-  /** The live tombstone set, or None when nothing was ever deleted (the
-    * common crawl case — zero cost on the screen path).
+  /** Per-doc tombstone watermark (doc_id, tomb_bid) — None when nothing
+    * was ever deleted (the common crawl case — zero cost on the screen
+    * path). Legacy bid-less tombstones read as MaxValue (kill-all, their
+    * original semantics).
     */
   private def tombstonesOf(spark: SparkSession,
       indexDir: String): Option[DataFrame] =
     if (graft.sources.cdc.WalSegments.globNonEmpty(indexDir, "tombs/leaf=*"))
-      Some(spark.read.parquet(s"$indexDir/tombs").select(col("doc_id")))
+      Some(withBidDefault(
+          spark.read.option("mergeSchema", "true").parquet(s"$indexDir/tombs"),
+          Long.MaxValue)
+        .groupBy(col("doc_id")).agg(max(col("bid")).as("tomb_bid")))
     else None
+
+  /** `bid` with a default for relations written before the column existed
+    * (or rows from bid-less leaves under a merged schema): tombstones
+    * default to kill-all, data rows to "the bootstrap".
+    */
+  private def withBidDefault(df: DataFrame, dflt: Long): DataFrame =
+    if (df.columns.contains("bid"))
+      df.withColumn("bid", coalesce(col("bid"), lit(dflt)))
+    else df.withColumn("bid", lit(dflt))
 
   /** COMPACT the dedup index's per-batch leaves into one leaf per
     * relation — the small-file maintenance pass the crawl loop needs
@@ -441,39 +471,50 @@ object Dedup {
       leaves("sets").filter(_.getName == s"leaf=$tag").foreach { p =>
         try fs.delete(p, true) catch { case _: java.io.IOException => () }
       }
-      // tombstoned docs leave PHYSICALLY here (read filter → not folded);
-      // the anti-join is broadcast — the tomb set is deletes-sized
-      def dropTombs(df: DataFrame): DataFrame = tombstonesOf(spark, indexDir)
-        .fold(df)(t => df.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      // DEAD rows (tombstoned at a bid above theirs) and SUPERSEDED
+      // generations (a newer fold of the same doc exists) both leave
+      // PHYSICALLY here: only each doc's newest fold survives — and only
+      // if no tombstone outranks it. Both reductions are ids+bids only.
+      val tombs = tombstonesOf(spark, indexDir)
+      def survivors(df: DataFrame): DataFrame = {
+        val newest = df.groupBy(col("doc_id")).agg(max(col("bid")).as("mbid"))
+        val alive = tombs.fold(newest)(t =>
+          newest.join(broadcast(t), Seq("doc_id"), "left")
+            .filter(col("tomb_bid").isNull || col("mbid") >= col("tomb_bid"))
+            .select(col("doc_id"), col("mbid")))
+        df.join(alive, df("doc_id") === alive("doc_id") &&
+            df("bid") === alive("mbid"), "left_semi")
+      }
       // fold every other leaf's rows into leaf=<tag>: sets first, bands
-      // last — bands/leaf=<tag> existing IS the commit point
-      dropTombs(spark.read.parquet(s"$indexDir/sets")
+      // last — bands/leaf=<tag> existing IS the commit point. Bids are
+      // PRESERVED so retained tombstones keep ranking below survivors.
+      survivors(withBidDefault(spark.read.option("mergeSchema", "true")
+          .parquet(s"$indexDir/sets"), -1L)
         .filter(col("leaf") =!= tag)
-        .select(col("doc_id"), col("sh"), col("sgrp")))
+        .select(col("doc_id"), col("sh"), col("bid"), col("sgrp")))
         .withColumn("leaf", lit(tag))
         .repartition(col("sgrp"))
         .write.partitionBy("sgrp", "leaf")
         .mode("append").parquet(s"$indexDir/sets")
-      dropTombs(spark.read.parquet(s"$indexDir/bands")
+      survivors(withBidDefault(spark.read.option("mergeSchema", "true")
+          .parquet(s"$indexDir/bands"), -1L)
         .filter(col("leaf") =!= tag)
-        .select(col("band"), col("bucket"), col("doc_id"), col("bgrp")))
+        .select(col("band"), col("bucket"), col("doc_id"), col("bid"),
+          col("bgrp")))
         .withColumn("leaf", lit(tag))
         .repartition(col("bgrp"))
         .write.partitionBy("bgrp", "leaf")
         .mode("append").parquet(s"$indexDir/bands")
     }
-    // sweep the superseded leaves (everything but the compaction tag)
+    // sweep the superseded leaves (everything but the compaction tag).
+    // Tombstone leaves are RETAINED: they are the replay guard (a
+    // re-delivered delete batch must no-op on its tag) and they rank
+    // below every surviving row's bid — bounded by total deletes, clear
+    // with a retention floor once the replay horizon passes.
     (leaves("sets") ++ leaves("bands"))
       .filter(_.getName != s"leaf=$tag").foreach { p =>
         try fs.delete(p, true) catch { case _: java.io.IOException => () }
       }
-    // tombstoned rows are physically gone past the commit point — clear
-    // the tombstone relation so it stays bounded by future deletes
-    try Option(fs.globStatus(new org.apache.hadoop.fs.Path(
-      s"$indexDir/tombs/leaf=*"))).toSeq.flatten.foreach { st =>
-      try fs.delete(st.getPath, true)
-      catch { case _: java.io.IOException => () }
-    } catch { case _: java.io.IOException => () }
   }
 
   /** Distinct leaf tags currently in the band table — the leaf census
@@ -521,8 +562,9 @@ object Dedup {
     * is tombstoned; the anti-join runs before verification). The oracle
     * is the planting formula restricted to survivors — a screen that
     * ignores tombstones surfaces the deleted pairs and breaks the hash;
-    * then compaction drops the tombstoned rows physically and the
-    * re-screen is row-identical (the census rides the relation).
+    * then compaction drops the tombstoned rows physically (tombstone
+    * leaves are retained as the replay guard) and the re-screen is
+    * row-identical (the census rides the relation).
     */
   def deletedSelfRecall(spark: SparkSession, d: String): DataFrame = {
     val base = Tables.spread(
@@ -582,27 +624,38 @@ object Dedup {
       .withColumnRenamed("col", "bucket")
     val groups = batchBands.select(bandGroup.as("bgrp")).distinct()
       .collect().map(r => Int.box(r.getInt(0))).toSeq
-    val index = spark.read.parquet(s"$indexDir/bands")
+    val index = withBidDefault(
+        spark.read.option("mergeSchema", "true").parquet(s"$indexDir/bands"),
+        -1L)
       .filter(col("bgrp").isin(groups: _*))
-      .select(col("band"), col("bucket"), col("doc_id"))
-    val sets = spark.read.parquet(s"$indexDir/sets")
+      .select(col("band"), col("bucket"), col("doc_id"), col("bid"))
+    val sets = withBidDefault(
+      spark.read.option("mergeSchema", "true").parquet(s"$indexDir/sets"), -1L)
     val cand = batchBands
       .join(index, Seq("band", "bucket"))
-      .select(col("batch_id"), col("doc_id").as("corpus_id"))
-      .distinct()
-    // deleted docs leave the match relation BEFORE verification (the
-    // ann15 before-the-shortlist discipline): a tombstoned corpus doc
-    // neither matches nor consumes set-lookup work. Broadcast: the
-    // tombstone set is bounded by deletes-since-compaction.
+      .select(col("batch_id"), col("doc_id").as("corpus_id"), col("bid"))
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(max(col("bid")).as("row_bid")) // the doc's newest colliding fold
+    // dead content leaves the match relation BEFORE verification (the
+    // ann15 before-the-shortlist discipline): a tombstone kills folds at
+    // a strictly smaller bid, so a re-crawled doc revives. Broadcast:
+    // the tombstone relation is bounded by deletes.
     val live = tombstonesOf(spark, indexDir).fold(cand)(t =>
-      cand.join(broadcast(t.select(col("doc_id").as("corpus_id"))),
-        Seq("corpus_id"), "left_anti"))
+      cand.join(broadcast(t.withColumnRenamed("doc_id", "corpus_id")),
+          Seq("corpus_id"), "left")
+        .filter(col("tomb_bid").isNull || col("row_bid") >= col("tomb_bid")))
+      .select(col("batch_id"), col("corpus_id"))
     live
       .join(bsh.select(col("doc_id").as("batch_id"), col("sh").as("sh_b")),
         Seq("batch_id"))
       .withColumn("sgrp", setGroup(col("corpus_id")))
       .join(sets.select(col("sgrp"), col("doc_id").as("corpus_id"),
-        col("sh").as("sh_c")), Seq("sgrp", "corpus_id"))
+        col("sh").as("sh_c"), col("bid").as("set_bid")), Seq("sgrp", "corpus_id"))
+      // a re-crawled doc has one set row per generation: verify against
+      // the NEWEST (the index represents current content)
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(max_by(col("sh_c"), col("set_bid")).as("sh_c"),
+        first(col("sh_b")).as("sh_b"))
       .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_c"))))
       .withColumn("jac", jaccardFromInter(col("inter"), col("sh_b"), col("sh_c")))
       .filter(col("jac") >= threshold)

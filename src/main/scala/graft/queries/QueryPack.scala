@@ -919,9 +919,10 @@ object QueryPack {
     val spec = Materializer.Spec(
       keyCols = Seq("table_name", "record_id"), buckets = 16)
     Materializer.applyBatch(spark, stateDir, ch, spec)
-    val dead = Materializer
-      .currentState(spark, stateDir, spec, keepTombstones = true)
-      .filter(col("op") === "delete")
+    // the store's delete feed: per-row tombstones AND truncate-dead rows
+    // (a truncated row keeps its original op — an op == delete filter
+    // alone would miss it)
+    val dead = Materializer.deletedRecords(spark, stateDir, spec)
       .select(col("record_id").as("doc_id")).distinct()
     val base = Tables.spread(
       Tables.documents(spark, d).select(col("doc_id"), col("text")))

@@ -521,12 +521,14 @@ object Graft {
     * downstream or read with `dropDuplicates`). Per-batch cost: shingle
     * the batch, one pruned equi-join, one O(batch) leaf append —
     * independent of corpus size.
-    */
-  /** If the stream carries an `op` column, rows with op == "delete" are
+    *
+    * If the stream carries an `op` column, rows with op == "delete" are
     * DELETE notices (the recrawl-found-it-gone / replica-DELETE case):
     * their doc_ids tombstone the index ([[graft.operators.dedup.Dedup
-    * .dedupIndexDelete]], tag-idempotent) and they are neither screened
-    * nor folded. Streams without an `op` column behave as before.
+    * .dedupIndexDelete]], tag-idempotent, batch-id ordered so a LATER
+    * re-crawl of the same doc_id revives it) and they are neither
+    * screened nor folded; all other rows — including op NULL — are
+    * upserts. Streams without an `op` column behave as before.
     */
   def screenAndFold(docs: DataFrame, indexDir: String, pairsDir: String,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
@@ -537,20 +539,24 @@ object Graft {
     var w = docs.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       CrawlMetrics.timed(queryName) {
         val hasOp = batch.columns.contains("op")
+        // null-safe: an op of NULL (unknown change type) is an upsert,
+        // never a silently dropped row
         val upserts =
-          if (hasOp) batch.filter(col("op") =!= "delete").drop("op")
+          if (hasOp) batch.filter(!(col("op") <=> "delete")).drop("op")
           else batch
         if (hasOp) {
           val deletes = batch.filter(col("op") === "delete").select(col("doc_id"))
           if (!deletes.isEmpty)
             graft.operators.dedup.Dedup
-              .dedupIndexDelete(spark, indexDir, deletes, f"d$bid%06d")
+              .dedupIndexDelete(spark, indexDir, deletes, f"d$bid%06d",
+                bid = bid)
         }
         graft.operators.dedup.Dedup
           .screenAgainstIndex(spark, indexDir, upserts, numHashes, bands, threshold)
           .write.mode("append").parquet(pairsDir)
         graft.operators.dedup.Dedup
-          .dedupIndexAppend(upserts, indexDir, f"b$bid%06d", numHashes, bands)
+          .dedupIndexAppend(upserts, indexDir, f"b$bid%06d", numHashes, bands,
+            bid = bid)
       }
     }.queryName(queryName).trigger(trigger)
     checkpoint.foreach(c => w = w.option("checkpointLocation", c))

@@ -540,9 +540,29 @@ object Materializer {
     checkBuckets(manifest, spec, stateDir)
     val wm = math.max(upToSeq,
       manifest.truncates.getOrElse(key, Long.MinValue))
+    // an unchanged watermark commits NOTHING: a replayed truncate must
+    // not burn the RetainedManifests time-travel window on no-op versions
+    if (manifest.truncates.get(key).contains(wm)) return
     commitManifest(fs, stateDir, manifest.copy(
       version = manifest.version + 1,
       truncates = manifest.truncates + (key -> wm)))
+  }
+
+  /** The store's DELETE FEED — the key rows a replica-synced downstream
+    * artifact (dedup index, vector index, corpus manifest) must retire:
+    * retained per-row tombstones (latest change is a delete) PLUS rows
+    * dead under TRUNCATE watermarks, which carry their original op and
+    * would otherwise be invisible to an op == delete filter.
+    */
+  def deletedRecords(spark: SparkSession, stateDir: String, spec: Spec,
+      conf: Configuration = WalSegments.localConf): DataFrame = {
+    val manifest = readManifest(stateDir, conf)
+    if (manifest.leaves.isEmpty)
+      throw new IllegalStateException(s"$stateDir holds no materialized state")
+    val raw = stateOf(spark, stateDir, spec, manifest, keepTombstones = true)
+    raw.filter(col(spec.opCol) === spec.deleteOp ||
+        truncatedPredicate(manifest, spec))
+      .select(spec.keyCols.map(col): _*).distinct()
   }
 
   /** Drop tombstones whose seq is at or below `floor` — call with the

@@ -1555,6 +1555,42 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup tombstones are bid-ordered: a re-crawled doc revives; replayed deletes stay no-ops") {
+    import graft.operators.dedup.Dedup
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+      .limit(10).cache()
+    val victim = docs.select(min(col("doc_id"))).head().getLong(0)
+    val tmp = graft.Tables.scratchDir("graft_revive")
+    val indexDir = s"$tmp/index"
+    Dedup.dedupIndexAppend(docs, indexDir, "corpus", bid = 0L)
+    Dedup.dedupIndexDelete(spark, indexDir,
+      docs.filter(col("doc_id") === victim).select("doc_id"), "del3", bid = 3L)
+    val probe = docs.filter(col("doc_id") === victim)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    def matches(): Set[Long] =
+      Dedup.screenAgainstIndex(spark, indexDir, probe)
+        .select("corpus_id").collect().map(_.getLong(0)).toSet
+    assert(!matches().contains(victim), "tombstone at bid 3 must kill the bid-0 fold")
+    // the doc is RE-CRAWLED at bid 5: it revives
+    Dedup.dedupIndexAppend(docs.filter(col("doc_id") === victim), indexDir,
+      "re5", bid = 5L)
+    assert(matches().contains(victim), "bid-5 re-append must outrank the bid-3 tombstone")
+    // an OLDER delete replayed late (new tag, smaller bid) cannot re-kill
+    Dedup.dedupIndexDelete(spark, indexDir,
+      docs.filter(col("doc_id") === victim).select("doc_id"), "del1", bid = 1L)
+    assert(matches().contains(victim), "a bid-1 tombstone must not kill the bid-5 fold")
+    // compaction keeps the newest generation AND the tombstone leaves;
+    // a replayed delete tag after compaction is still a no-op
+    Dedup.compactDedupIndex(spark, indexDir, "c0")
+    assert(matches().contains(victim), "compaction must keep the surviving generation")
+    Dedup.dedupIndexDelete(spark, indexDir,
+      docs.filter(col("doc_id") === victim).select("doc_id"), "del3", bid = 3L)
+    assert(matches().contains(victim),
+      "a replayed delete tag must no-op (tombstone leaves survive compaction)")
+    docs.unpersist()
+  }
+
   test("screenAndFold: in-stream delete notices tombstone the index before screening") {
     import graft.operators.dedup.Dedup
     val base = graft.Tables.documents(spark, sf)
