@@ -424,8 +424,7 @@ object Dedup {
   private def tombstonesOf(spark: SparkSession,
       indexDir: String): Option[DataFrame] =
     if (graft.sources.cdc.WalSegments.globNonEmpty(indexDir, "tombs/leaf=*"))
-      Some(withBidDefault(
-          spark.read.option("mergeSchema", "true").parquet(s"$indexDir/tombs"),
+      Some(withBidDefault(readBidAware(spark, s"$indexDir/tombs"),
           Long.MaxValue)
         .groupBy(col("doc_id")).agg(max(col("bid")).as("tomb_bid")))
     else None
@@ -438,6 +437,20 @@ object Dedup {
     if (df.columns.contains("bid"))
       df.withColumn("bid", coalesce(col("bid"), lit(dflt)))
     else df.withColumn("bid", lit(dflt))
+
+  /** Read an index relation bid-aware WITHOUT paying per-leaf footer
+    * merging on the hot path: every append since the bid column exists
+    * writes it, so the sampled schema normally has it and the plain read
+    * suffices (files that lack a schema column surface it as null —
+    * [[withBidDefault]] fills the default). Only when the SAMPLE predates
+    * the column (a legacy index) does the read fall back to mergeSchema
+    * to find bids in newer leaves.
+    */
+  private def readBidAware(spark: SparkSession, path: String): DataFrame = {
+    val plain = spark.read.parquet(path)
+    if (plain.columns.contains("bid")) plain
+    else spark.read.option("mergeSchema", "true").parquet(path)
+  }
 
   /** COMPACT the dedup index's per-batch leaves into one leaf per
     * relation — the small-file maintenance pass the crawl loop needs
@@ -488,16 +501,14 @@ object Dedup {
       // fold every other leaf's rows into leaf=<tag>: sets first, bands
       // last — bands/leaf=<tag> existing IS the commit point. Bids are
       // PRESERVED so retained tombstones keep ranking below survivors.
-      survivors(withBidDefault(spark.read.option("mergeSchema", "true")
-          .parquet(s"$indexDir/sets"), -1L)
+      survivors(withBidDefault(readBidAware(spark, s"$indexDir/sets"), -1L)
         .filter(col("leaf") =!= tag)
         .select(col("doc_id"), col("sh"), col("bid"), col("sgrp")))
         .withColumn("leaf", lit(tag))
         .repartition(col("sgrp"))
         .write.partitionBy("sgrp", "leaf")
         .mode("append").parquet(s"$indexDir/sets")
-      survivors(withBidDefault(spark.read.option("mergeSchema", "true")
-          .parquet(s"$indexDir/bands"), -1L)
+      survivors(withBidDefault(readBidAware(spark, s"$indexDir/bands"), -1L)
         .filter(col("leaf") =!= tag)
         .select(col("band"), col("bucket"), col("doc_id"), col("bid"),
           col("bgrp")))
@@ -624,13 +635,10 @@ object Dedup {
       .withColumnRenamed("col", "bucket")
     val groups = batchBands.select(bandGroup.as("bgrp")).distinct()
       .collect().map(r => Int.box(r.getInt(0))).toSeq
-    val index = withBidDefault(
-        spark.read.option("mergeSchema", "true").parquet(s"$indexDir/bands"),
-        -1L)
+    val index = withBidDefault(readBidAware(spark, s"$indexDir/bands"), -1L)
       .filter(col("bgrp").isin(groups: _*))
       .select(col("band"), col("bucket"), col("doc_id"), col("bid"))
-    val sets = withBidDefault(
-      spark.read.option("mergeSchema", "true").parquet(s"$indexDir/sets"), -1L)
+    val sets = withBidDefault(readBidAware(spark, s"$indexDir/sets"), -1L)
     val cand = batchBands
       .join(index, Seq("band", "bucket"))
       .select(col("batch_id"), col("doc_id").as("corpus_id"), col("bid"))
@@ -651,13 +659,13 @@ object Dedup {
       .withColumn("sgrp", setGroup(col("corpus_id")))
       .join(sets.select(col("sgrp"), col("doc_id").as("corpus_id"),
         col("sh").as("sh_c"), col("bid").as("set_bid")), Seq("sgrp", "corpus_id"))
-      // a re-crawled doc has one set row per generation: verify against
-      // the NEWEST (the index represents current content)
-      .groupBy(col("batch_id"), col("corpus_id"))
-      .agg(max_by(col("sh_c"), col("set_bid")).as("sh_c"),
-        first(col("sh_b")).as("sh_b"))
       .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_c"))))
       .withColumn("jac", jaccardFromInter(col("inter"), col("sh_b"), col("sh_c")))
+      // a re-crawled doc has one set row per generation: score each
+      // in-place (no array ever rides this exchange), then keep the
+      // NEWEST generation's score — the index represents current content
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(max_by(col("jac"), col("set_bid")).as("jac"))
       .filter(col("jac") >= threshold)
       .select(col("batch_id"), col("corpus_id"),
         round(col("jac"), 4).as("jaccard"))

@@ -686,6 +686,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"per-source bounds must broadcast-join back:\n$p")
   }
 
+  test("tp16: one narrow scan, map-side-combined masses, one-row broadcast total") {
+    val df = SparkEntry.queries("tp16_budget_plan")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"budget plan must scan the corpus exactly once:\n$p")
+    assert(p.contains("ReadSchema: struct<text:string,source:string>"),
+      "scan read more than the two live columns")
+    assert(p.contains("partial_sum"), "token masses lost map-side combine")
+    assert(p.contains("BroadcastExchange") && !p.contains("SortMergeJoin"),
+      s"the budget total must enter as a one-row broadcast:\n$p")
+  }
+
   test("whole-stage codegen covers the scan pipelines of every analytics query") {
     Seq("q01_pricing_summary", "q04_forecast_revenue", "txt01_token_stats")
       .foreach { q =>
