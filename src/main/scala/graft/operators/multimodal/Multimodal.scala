@@ -603,6 +603,124 @@ object Multimodal {
       .select(col("batch_id"), col("corpus_id"))
   }
 
+  private def chunkGroup: org.apache.spark.sql.Column =
+    pmod(xxhash64(col("chunk_idx"), col("chunk")),
+      lit(AHashGroups.toLong)).cast("int")
+
+  /** The 4 × 16-bit multi-index chunks of a hash relation (mm15's MIH
+    * decomposition) — the unit the Hamming-tolerant index stores and the
+    * screen joins on.
+    */
+  private[graft] def ahashChunks(hashed: DataFrame): DataFrame = hashed
+    .select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
+      posexplode(array(
+        expr("ahash_lo % 65536"), expr("(ahash_lo div 65536) % 65536"),
+        expr("ahash_hi % 65536"), expr("(ahash_hi div 65536) % 65536"))))
+    .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+
+  /** Fold a hashed batch into the persisted CHUNK index (4 rows per
+    * image, partitioned by chunk-hash group) — the Hamming-searchable
+    * sibling of [[ahashIndexAppend]]'s equality index; same immutable
+    * tag-idempotent leaf discipline.
+    */
+  def ahashChunkIndexAppend(hashed: DataFrame, indexDir: String,
+      leaf: String): Unit = {
+    if (graft.sources.cdc.WalSegments.globNonEmpty(indexDir,
+        s"chunks/*/leaf=$leaf")) return
+    ahashChunks(hashed)
+      .withColumn("cgrp", chunkGroup)
+      .withColumn("leaf", lit(leaf))
+      .repartition(col("cgrp"))
+      .write.partitionBy("cgrp", "leaf")
+      .mode("append").parquet(s"$indexDir/chunks")
+    ()
+  }
+
+  /** Screen a hashed batch against the chunk index WITHIN HAMMING
+    * DISTANCE `maxDist` (≤ 3 — the 4-chunk pigeonhole bound): candidates
+    * from chunk-equality joins over the batch's touched chunk groups
+    * (pruned scan, the dd13 device), popcount verify on candidates only.
+    */
+  def screenAhashHamming(spark: SparkSession, indexDir: String,
+      batchHashed: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-chunk pigeonhole guarantees candidates only for d <= 3")
+    val bc = ahashChunks(batchHashed)
+      .select(col("media_id").as("batch_id"), col("ahash_hi").as("b_hi"),
+        col("ahash_lo").as("b_lo"), col("chunk_idx"), col("chunk"))
+    val groups = bc.select(chunkGroup.as("cgrp")).distinct()
+      .collect().map(r => Int.box(r.getInt(0))).toSeq
+    val index = spark.read.parquet(s"$indexDir/chunks")
+      .filter(col("cgrp").isin(groups: _*))
+      .select(col("chunk_idx"), col("chunk"), col("media_id").as("corpus_id"),
+        col("ahash_hi").as("c_hi"), col("ahash_lo").as("c_lo"))
+    bc.join(index, Seq("chunk_idx", "chunk"))
+      .select(col("batch_id"), col("corpus_id"), col("b_hi"), col("b_lo"),
+        col("c_hi"), col("c_lo"))
+      .distinct()
+      .withColumn("dist",
+        expr("CAST(bit_count(b_hi ^ c_hi) + bit_count(b_lo ^ c_lo) AS BIGINT)"))
+      .filter(col("dist") <= maxDist)
+      .select(col("batch_id"), col("corpus_id"), col("dist"))
+  }
+
+  /** mm16 — the HAMMING-tolerant image crawl loop: mm10 screens arriving
+    * images by EXACT hash equality, which a real edit defeats; this loop
+    * screens each micro-batch within Hamming distance 3 via the
+    * persisted chunk index ([[screenAhashHamming]] — mm15's multi-index
+    * machinery made incremental), then folds the batch's chunks in. The
+    * fixture streams really-EDITED copies (+200000, the mm15 blue-bump
+    * edit) against an index bootstrapped with the originals; the gated
+    * relation is the SEMANTIC one — every (arrival, original) pair
+    * within distance 3, hashes re-derived bit by bit oracle-side, with
+    * candidate completeness the pigeonhole theorem, so a missed chunk
+    * join, a wrong popcount, or a lost fold all break the hash.
+    *
+    * Scale per batch: decode+hash is one narrow mapPartitions; the
+    * chunk join carries 4 rows × 34 bytes per image against a
+    * group-pruned scan; the fold is one immutable leaf. Per-batch cost
+    * is independent of index size.
+    */
+  def streamingHammingSelfRecall(spark: SparkSession, d: String,
+      nBatches: Int = 4): DataFrame = {
+    val tmp = graft.Tables.scratchDir("graft_mm16")
+    val indexDir = s"$tmp/index"
+    val stageDir = s"$tmp/arrivals"
+    val outDir = s"$tmp/pairs"
+    val orig = Tables.documents(spark, d)
+      .select(col("doc_id").as("media_id"))
+    graft.streaming.Graft.CrawlMetrics.timed("graft-mm16-hamming-loop-bootstrap") {
+      ahashChunkIndexAppend(ahashOf(orig), indexDir, "corpus")
+    }
+    Tables.documents(spark, d).select(col("doc_id"))
+      .filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000L).as("media_id"))
+      .repartition(nBatches, col("media_id"))
+      .write.parquet(stageDir)
+    val schema = spark.read.parquet(stageDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    val q = graft.GraftSession.withStreamShuffle(spark)(
+      stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.streaming.Graft.CrawlMetrics.timed("graft-mm16-hamming-loop") {
+          val hashed = ahashOf(batch).cache()
+          try {
+            screenAhashHamming(spark, indexDir, hashed)
+              .write.mode("append").parquet(outDir)
+            ahashChunkIndexAppend(hashed, indexDir, f"b$bid%06d")
+          } finally { hashed.unpersist(); () }
+        }
+      }.queryName("graft-mm16-hamming-loop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
+    graft.GraftSession.awaitFinished(q)
+    // gate on the arrival→ORIGINAL relation (fully formula-derivable);
+    // arrival↔arrival matches across batches would be batch-order-
+    // dependent and leave the driver-checked output
+    spark.read.parquet(outDir)
+      .filter(col("corpus_id") < 100000L)
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
   /** mm10 — mm09's perceptual dedup as a CRAWL LOOP: arriving image
     * batches are decoded + aHashed, screened against the persisted hash
     * index, and folded into it, inside one Structured Streaming query —

@@ -1757,6 +1757,50 @@ FROM hash a JOIN hash b ON a.media_id < b.media_id
 WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
 ORDER BY a_id, b_id""",
 
+    // mm16: the Hamming crawl loop — every (edited arrival, original)
+    // pair within distance 3, the mm15 semantic relation restricted to
+    // the loop's bootstrap-vs-arrival shape (arrival↔arrival matches are
+    // excluded as batch-order-dependent); candidate completeness is the
+    // pigeonhole theorem, so the chunk-index machinery is invisible here
+    "mm16_hamming_stream" -> """
+WITH ids AS (
+  SELECT doc_id AS media_id FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 FROM documents WHERE doc_id % 7 = 0),
+px AS (
+  SELECT media_id, media_id % 100000 AS id,
+    media_id >= 100000 AND media_id < 200000 AS noisy,
+    media_id >= 200000 AS edited, y, x
+  FROM ids, range(0, 8) ty(y), range(0, 8) tx(x)),
+lum AS (
+  SELECT media_id, y * 8 + x AS bit,
+    (299 * (((id * 2654435761 + (y*8 + x) * 40503 + 17) % 65521) % 256)
+     + 587 * (((id * 2246822519 + (y*8 + x) * 52361 + 101) % 65521) % 256)
+     + 114 * (CASE WHEN noisy AND (x + y) % 7 = 0
+              THEN (((id * 3266489917 + (y*8 + x) * 44131 + 233) % 65521) % 256 + 1) % 256
+              WHEN edited AND (x + y) % 9 = 0
+              THEN (((id * 3266489917 + (y*8 + x) * 44131 + 233) % 65521) % 256 + 64) % 256
+              ELSE ((id * 3266489917 + (y*8 + x) * 44131 + 233) % 65521) % 256 END)) // 1000 AS luma
+  FROM px),
+tot AS (SELECT media_id, sum(luma) AS total FROM lum GROUP BY 1),
+bits AS (
+  SELECT l.media_id, l.bit,
+    CASE WHEN l.luma * 64 > t.total THEN 1 ELSE 0 END AS b
+  FROM lum l JOIN tot t USING (media_id)),
+hash AS (
+  SELECT media_id,
+    CAST(sum(CASE WHEN bit >= 32
+             THEN b * (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END) AS BIGINT) AS hi,
+    CAST(sum(CASE WHEN bit < 32
+             THEN b * (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS lo
+  FROM bits GROUP BY 1)
+SELECT a.media_id AS batch_id, b.media_id AS corpus_id,
+  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS dist
+FROM hash a JOIN hash b
+  ON a.media_id >= 200000 AND b.media_id < 100000
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+ORDER BY batch_id, corpus_id""",
+
     "mm09_image_ahash" -> """
 WITH ids AS (
   SELECT unnest(CASE WHEN doc_id % 5 = 0

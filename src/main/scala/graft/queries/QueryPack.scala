@@ -327,6 +327,9 @@ object QueryPack {
     // Hamming-distance near-dup via multi-index hashing: 4x16-bit chunk
     // equi-joins (pigeonhole-complete for d<=3), popcount verify
     "mm15_hamming_neardup" -> ((s, d) => Multimodal.imageHammingNearDup(s, d)),
+    // the Hamming-tolerant image crawl loop: mm15's MIH screen made
+    // incremental over a persisted chunk index (edited copies still match)
+    "mm16_hamming_stream" -> ((s, d) => Multimodal.streamingHammingSelfRecall(s, d)),
     // ISO BMFF (MP4) header write→parse round trip vs the geometry
     // formulas re-derived oracle-side — see Multimodal.videoProbe
     "mm08_video_probe" -> ((s, d) => Multimodal.videoProbe(s, d)),
