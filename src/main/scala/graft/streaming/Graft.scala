@@ -344,6 +344,42 @@ object Graft {
       }
   }
 
+  /** One-call REPLICA → VECTOR-INDEX sync (the pgvector-consistency job
+    * pipe08 composes by hand): diff the state store's live/dead key sets
+    * against what the index holds, tombstone dead indexed vectors
+    * ([[graft.operators.ann.PqIndex.delete]]) and append live unindexed
+    * ones (encode against stored codebooks) — both tag-idempotent, so
+    * re-running a sync cycle (cron replay, crashed job) commits nothing
+    * twice. `idCol` maps a store key column to vec_id; `embProvider`
+    * supplies (vec_id, embedding) for the append side — at scale a
+    * point-lookup-shaped join against the embedding store. The dead set
+    * comes from [[Materializer.deletedRecords]], so per-row tombstones
+    * AND truncate-dead rows both leave the index. Returns
+    * (nDeleted, nAppended) — metadata-sized counts.
+    */
+  def syncVectorIndex(spark: SparkSession, stateDir: String,
+      spec: Materializer.Spec, idCol: String, indexDir: String,
+      embProvider: DataFrame, tag: String): (Long, Long) = {
+    import graft.operators.ann.PqIndex
+    require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid sync tag: $tag")
+    val indexed = PqIndex.codes(spark, indexDir)
+      .select(col("vec_id")).distinct()
+    val dead = Materializer.deletedRecords(spark, stateDir, spec)
+      .select(col(idCol).cast("long").as("vec_id")).distinct()
+    val alive = Materializer.currentState(spark, stateDir, spec)
+      .select(col(idCol).cast("long").as("vec_id")).distinct()
+    val toDelete = indexed.join(dead, Seq("vec_id"), "left_semi")
+    val toAppend = embProvider.join(alive, Seq("vec_id"), "left_semi")
+      .join(indexed, Seq("vec_id"), "left_anti")
+    val nDel = toDelete.count()
+    if (nDel > 0)
+      PqIndex.delete(spark, indexDir, toDelete, tag = Some(s"sync-$tag-del"))
+    val nAdd = toAppend.count()
+    if (nAdd > 0)
+      PqIndex.append(spark, indexDir, toAppend, tag = Some(s"sync-$tag-add"))
+    (nDel, nAdd)
+  }
+
   /** The ONE-CALL live engine — the full equivalent of the reference's
     * `WalEx.Supervisor.start_link(config)` + `use WalEx.Event` setup:
     * connect to the config's database, stream its publication into

@@ -230,6 +230,52 @@ class PqIndexSpec extends AnyFunSuite {
     assert(c3.version == c1.version)
   }
 
+  test("syncVectorIndex: replica deletes+truncates tombstone, live unindexed rows append, replay no-ops") {
+    import graft.streaming.Materializer
+    import spark.implicits._
+    val all = Tables.spread(emb).cache()
+    val dir = tmpDir()
+    // index bootstrapped with a SUBSET of the replica's rows
+    PqIndex.build(all.filter(col("vec_id") < 30), dir)
+    // the replica: every id inserted (seq = id); ids 10, 11 deleted
+    // later; table truncated up to seq 4 (kills ids 0..4)
+    val stateDir = "file://" +
+      java.nio.file.Files.createTempDirectory("sync_state").toString
+    val mspec = Materializer.Spec(
+      keyCols = Seq("table_name", "record_id"), buckets = 8)
+    val ids = all.select(col("vec_id")).as[Long].collect().toSeq.sorted
+    val inserts = ids.map(i => ("v", i, i + 100L, "insert", 0L))
+    val deletes = Seq(("v", 10L, 900L, "delete", 0L), ("v", 11L, 901L, "delete", 0L))
+    Materializer.applyBatch(spark, stateDir,
+      (inserts ++ deletes)
+        .toDF("table_name", "record_id", "seq", "op", "val_cents"), mspec)
+    Materializer.applyTruncate(stateDir, "v", upToSeq = 104L, mspec)
+    val deadExpected = ids.filter(i => i + 100L <= 104L).toSet ++ Set(10L, 11L)
+    // sync: dead∩indexed tombstones; alive∖indexed appends
+    val (nDel, nAdd) = graft.streaming.Graft.syncVectorIndex(
+      spark, stateDir, mspec, "record_id", dir, all, tag = "cycle1")
+    val indexedBefore = ids.filter(_ < 30).toSet
+    assert(nDel == (deadExpected & indexedBefore).size.toLong,
+      s"tombstoned $nDel, expected ${(deadExpected & indexedBefore).size}")
+    assert(nAdd == ids.filter(i => i >= 30 && !deadExpected(i)).size.toLong,
+      s"appended $nAdd")
+    // the searchable set is exactly the replica's live rows ∩ provider
+    val tombs = spark.read.parquet(s"$dir/tombs")
+      .select(col("vec_id")).as[Long].collect().toSet
+    val codes = PqIndex.codes(spark, dir).select(col("vec_id"))
+      .distinct().as[Long].collect().toSet
+    assert((codes -- tombs) == ids.filterNot(deadExpected).toSet,
+      "post-sync searchable ids must equal the replica's live set")
+    // replay: same tag commits nothing twice
+    val vBefore = PqIndex.readMeta(dir).version
+    val (d2, a2) = graft.streaming.Graft.syncVectorIndex(
+      spark, stateDir, mspec, "record_id", dir, all, tag = "cycle1")
+    assert(d2 == nDel && a2 == 0L, s"replay diff drifted: ($d2, $a2)")
+    assert(PqIndex.readMeta(dir).version == vBefore,
+      "a replayed sync cycle must not commit new versions")
+    all.unpersist(); ()
+  }
+
   test("ann15: tombstoned vectors vanish from search; compaction drops them physically") {
     val all = emb.cache()
     val dir = tmpDir()
