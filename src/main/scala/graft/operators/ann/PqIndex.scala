@@ -514,6 +514,18 @@ object PqIndex {
     next
   }
 
+  /** The committed tombstoned vec_ids as a (vec_id: long) relation —
+    * empty when nothing is tombstoned. Public so reconcile jobs
+    * ([[graft.streaming.Graft.syncVectorIndex]]) can diff against the
+    * SEARCHABLE set (codes minus tombstones) instead of raw codes: raw
+    * codes retain tombstoned ids until [[compact]], so a diff against
+    * them re-tombstones dead ids every cycle and never re-appends a
+    * deleted-then-reinserted live id.
+    */
+  def tombstonedIds(spark: SparkSession, indexDir: String): DataFrame =
+    tombstones(spark, indexDir, readMeta(indexDir))
+      .getOrElse(spark.range(0).select(col("id").as("vec_id")))
+
   /** The committed tombstone ids (empty frame when none). */
   private def tombstones(spark: SparkSession, indexDir: String,
       meta: Meta): Option[DataFrame] =

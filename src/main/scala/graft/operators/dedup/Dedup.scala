@@ -637,23 +637,13 @@ object Dedup {
       .collect().map(r => Int.box(r.getInt(0))).toSeq
     val index = withBidDefault(readBidAware(spark, s"$indexDir/bands"), -1L)
       .filter(col("bgrp").isin(groups: _*))
-      .select(col("band"), col("bucket"), col("doc_id"), col("bid"))
+      .select(col("band"), col("bucket"), col("doc_id"))
     val sets = withBidDefault(readBidAware(spark, s"$indexDir/sets"), -1L)
     val cand = batchBands
       .join(index, Seq("band", "bucket"))
-      .select(col("batch_id"), col("doc_id").as("corpus_id"), col("bid"))
-      .groupBy(col("batch_id"), col("corpus_id"))
-      .agg(max(col("bid")).as("row_bid")) // the doc's newest colliding fold
-    // dead content leaves the match relation BEFORE verification (the
-    // ann15 before-the-shortlist discipline): a tombstone kills folds at
-    // a strictly smaller bid, so a re-crawled doc revives. Broadcast:
-    // the tombstone relation is bounded by deletes.
-    val live = tombstonesOf(spark, indexDir).fold(cand)(t =>
-      cand.join(broadcast(t.withColumnRenamed("doc_id", "corpus_id")),
-          Seq("corpus_id"), "left")
-        .filter(col("tomb_bid").isNull || col("row_bid") >= col("tomb_bid")))
-      .select(col("batch_id"), col("corpus_id"))
-    live
+      .select(col("batch_id"), col("doc_id").as("corpus_id"))
+      .distinct()
+    val scored = cand
       .join(bsh.select(col("doc_id").as("batch_id"), col("sh").as("sh_b")),
         Seq("batch_id"))
       .withColumn("sgrp", setGroup(col("corpus_id")))
@@ -663,9 +653,24 @@ object Dedup {
       .withColumn("jac", jaccardFromInter(col("inter"), col("sh_b"), col("sh_c")))
       // a re-crawled doc has one set row per generation: score each
       // in-place (no array ever rides this exchange), then keep the
-      // NEWEST generation's score — the index represents current content
+      // NEWEST generation's score — the index represents current content.
+      // max(set_bid) is the doc's GLOBAL newest fold bid (every
+      // generation's set rows share the doc's sgrp, so the set join sees
+      // them all) — the liveness watermark the tombstone order compares
+      // against. Deciding liveness from the max bid over COLLIDING band
+      // rows instead would conflate "which generation collided" with "is
+      // the doc alive": a doc tombstoned at bid 3 and re-folded at bid 5
+      // whose bid-5 bands miss (LSH) but bid-0 bands hit would read dead.
       .groupBy(col("batch_id"), col("corpus_id"))
-      .agg(max_by(col("jac"), col("set_bid")).as("jac"))
+      .agg(max_by(col("jac"), col("set_bid")).as("jac"),
+        max(col("set_bid")).as("newest_bid"))
+    // tombstone order: a tombstone kills folds at a STRICTLY smaller bid
+    // than its own, so a doc whose newest fold outranks the tombstone
+    // revives. Broadcast: the tombstone relation is bounded by deletes.
+    tombstonesOf(spark, indexDir).fold(scored)(t =>
+      scored.join(broadcast(t.withColumnRenamed("doc_id", "corpus_id")),
+          Seq("corpus_id"), "left")
+        .filter(col("tomb_bid").isNull || col("newest_bid") >= col("tomb_bid")))
       .filter(col("jac") >= threshold)
       .select(col("batch_id"), col("corpus_id"),
         round(col("jac"), 4).as("jaccard"))

@@ -356,21 +356,43 @@ object Graft {
     * comes from [[Materializer.deletedRecords]], so per-row tombstones
     * AND truncate-dead rows both leave the index. Returns
     * (nDeleted, nAppended) — metadata-sized counts.
+    *
+    * The diff runs against the SEARCHABLE set (committed codes minus
+    * committed tombstones), never raw codes: raw codes retain tombstoned
+    * vec_ids until compaction, so a raw-codes diff would re-tombstone
+    * the same dead ids every cycle (growing tomb leaves and repeating
+    * nDeleted with no new deletes) and would never re-append a replica
+    * row deleted in one cycle and re-inserted later — counted as
+    * "already indexed" while the standing tombstone hides it from every
+    * search. RESURRECTION (alive ∩ tombstoned non-empty) compacts the
+    * index first — the tombstone is an unordered kill-all anti-join, so
+    * a plain re-append would stay invisible; compaction drops the dead
+    * codes physically and clears the tombstone set, and the normal
+    * append path then restores the row. After the sync, searchable set
+    * == replica live set (restricted to embProvider coverage).
     */
   def syncVectorIndex(spark: SparkSession, stateDir: String,
       spec: Materializer.Spec, idCol: String, indexDir: String,
       embProvider: DataFrame, tag: String): (Long, Long) = {
     import graft.operators.ann.PqIndex
     require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid sync tag: $tag")
-    val indexed = PqIndex.codes(spark, indexDir)
-      .select(col("vec_id")).distinct()
     val dead = Materializer.deletedRecords(spark, stateDir, spec)
       .select(col(idCol).cast("long").as("vec_id")).distinct()
     val alive = Materializer.currentState(spark, stateDir, spec)
       .select(col(idCol).cast("long").as("vec_id")).distinct()
-    val toDelete = indexed.join(dead, Seq("vec_id"), "left_semi")
+    // resurrection check: a live replica id with a standing tombstone
+    // can only become searchable again through compaction (tag-
+    // idempotent: a replayed cycle's compact no-ops, and once tombs are
+    // cleared the check itself is false)
+    if (!alive.join(PqIndex.tombstonedIds(spark, indexDir),
+        Seq("vec_id"), "left_semi").isEmpty)
+      PqIndex.compact(spark, indexDir, tag = Some(s"sync-$tag-rc"))
+    val searchable = PqIndex.codes(spark, indexDir)
+      .select(col("vec_id")).distinct()
+      .join(PqIndex.tombstonedIds(spark, indexDir), Seq("vec_id"), "left_anti")
+    val toDelete = searchable.join(dead, Seq("vec_id"), "left_semi")
     val toAppend = embProvider.join(alive, Seq("vec_id"), "left_semi")
-      .join(indexed, Seq("vec_id"), "left_anti")
+      .join(searchable, Seq("vec_id"), "left_anti")
     val nDel = toDelete.count()
     if (nDel > 0)
       PqIndex.delete(spark, indexDir, toDelete, tag = Some(s"sync-$tag-del"))

@@ -494,11 +494,16 @@ object Materializer {
 
   /** Rows dead under the manifest's TRUNCATE watermarks: first key column
     * matches an entry and seq is at or below its watermark. `lit(false)`
-    * when no table was ever truncated — folds away entirely.
+    * when no table was ever truncated — folds away entirely. Watermark
+    * keys round-trip through the JSON manifest as STRINGS, so the key
+    * column is compared as a string EXPLICITLY — with a bare `===` Spark
+    * would insert an implicit cast on a non-string key column and could
+    * silently match or miss rows (e.g. `1` vs `"1"` vs `"01"`).
     */
   private def truncatedPredicate(manifest: Manifest, spec: Spec): Column =
     manifest.truncates.foldLeft(lit(false)) { case (acc, (k, wm)) =>
-      acc || (col(spec.keyCols.head) === lit(k) && col(spec.seqCol) <= wm)
+      acc || (col(spec.keyCols.head).cast("string") === lit(k) &&
+        col(spec.seqCol) <= wm)
     }
 
   private def stateOf(spark: SparkSession, stateDir: String, spec: Spec,

@@ -168,6 +168,30 @@ class MaterializerSpec extends AnyFunSuite {
       s"pre-truncate snapshot must include truncated rows: $timeTravel")
   }
 
+  test("truncate: watermark matches a NON-STRING first key column by explicit string cast") {
+    // watermark keys round-trip through the JSON manifest as strings; the
+    // predicate must compare the key column AS A STRING explicitly — with
+    // implicit coercion a long-typed first key could silently match or
+    // miss ("1" vs 1 vs "01")
+    val longKeySpec = Materializer.Spec(keyCols = Seq("tenant_id", "record_id"),
+      buckets = 4)
+    val dir = freshDir("trunclong")
+    Materializer.applyBatch(spark, dir,
+      Seq((7L, 1L, 10L, "insert", 100L),
+        (7L, 2L, 11L, "insert", 200L),
+        (8L, 1L, 12L, "insert", 300L))
+        .toDF("tenant_id", "record_id", "seq", "op", "val_cents"), longKeySpec)
+    Materializer.applyTruncate(dir, "7", upToSeq = 11L, longKeySpec)
+    val live = Materializer.currentState(spark, dir, longKeySpec)
+      .select("tenant_id", "record_id").as[(Long, Long)].collect().toSet
+    assert(live == Set((8L, 1L)),
+      s"tenant 7's rows at/below the watermark must die: $live")
+    // deletedRecords sees the truncate-dead rows through the same cast
+    val deadKeys = Materializer.deletedRecords(spark, dir, longKeySpec)
+      .select("tenant_id", "record_id").as[(Long, Long)].collect().toSet
+    assert(deadKeys == Set((7L, 1L), (7L, 2L)), s"delete feed: $deadKeys")
+  }
+
   test("truncate: compact physically drops dead rows; read view unchanged") {
     val dir = freshDir("trunccomp")
     Materializer.applyBatch(spark, dir, chg(

@@ -1591,6 +1591,57 @@ class OperatorsSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("dedup screen liveness uses the GLOBAL newest fold bid, not the max colliding bid") {
+    import graft.operators.dedup.Dedup
+    import spark.implicits._
+    // Scenario (the LSH-miss revival): doc 1 folded with content A at
+    // bid 0, tombstoned at bid 3, re-folded with content A5 at bid 5 —
+    // where A5 is CHOSEN so that none of its 16 band signatures equals
+    // any of A's (the probe, a copy of A, collides with the bid-0 bands
+    // only). Liveness derived from the max COLLIDING bid (0 < 3) would
+    // read the doc dead and drop the true match against its live bid-5
+    // generation; the global newest fold bid (5 ≥ 3) keeps it alive.
+    val baseWords = ("alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi").split(" ")
+    val textA = baseWords.mkString(" ")
+    // deterministic search (xxhash64 is fixed-seed) for a one-word
+    // replacement variant with ZERO band overlap against A
+    val cands = for (i <- baseWords.indices; j <- 0 until 10) yield {
+      val w = baseWords.updated(i, s"zz$i$j")
+      (i.toLong * 10 + j + 10L, w.mkString(" "))
+    }
+    val probeDir = s"${graft.Tables.scratchDir("graft_a4probe")}/index"
+    Dedup.dedupIndexAppend(
+      (Seq((0L, textA)) ++ cands).toDF("doc_id", "text"), probeDir, "probe")
+    val bands = spark.read.parquet(s"$probeDir/bands")
+      .select(col("doc_id"), col("band"), col("bucket")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(r => (r.getInt(1), r.getLong(2))).toSet }
+    val aBands = bands(0L)
+    val pick = cands.find { case (id, _) => (bands(id) & aBands).isEmpty }
+    assert(pick.isDefined,
+      "fixture search found no zero-band-overlap variant — widen the search")
+    val (_, textA5) = pick.get
+    val tmp = graft.Tables.scratchDir("graft_a4")
+    val indexDir = s"$tmp/index"
+    Dedup.dedupIndexAppend(Seq((1L, textA)).toDF("doc_id", "text"),
+      indexDir, "g0", bid = 0L)
+    Dedup.dedupIndexDelete(spark, indexDir,
+      Seq(Tuple1(1L)).toDF("doc_id"), "del3", bid = 3L)
+    Dedup.dedupIndexAppend(Seq((1L, textA5)).toDF("doc_id", "text"),
+      indexDir, "g5", bid = 5L)
+    val probe = Seq((999L, textA)).toDF("doc_id", "text")
+    val hits = Dedup.screenAgainstIndex(spark, indexDir, probe,
+        threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.map(h => (h._1, h._2)).toSeq == Seq((999L, 1L)),
+      s"live bid-5 generation must match the probe, got ${hits.toSeq}")
+    // and the score is the NEWEST generation's (A vs A5 < 1.0), never
+    // the tombstone-killed bid-0 generation's 1.0
+    assert(hits.head._3 < 1.0 && hits.head._3 >= 0.3,
+      s"score must come from the bid-5 generation, got ${hits.head._3}")
+  }
+
   test("screenAndFold: in-stream delete notices tombstone the index before screening") {
     import graft.operators.dedup.Dedup
     val base = graft.Tables.documents(spark, sf)

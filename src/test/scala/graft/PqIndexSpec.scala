@@ -266,13 +266,75 @@ class PqIndexSpec extends AnyFunSuite {
       .distinct().as[Long].collect().toSet
     assert((codes -- tombs) == ids.filterNot(deadExpected).toSet,
       "post-sync searchable ids must equal the replica's live set")
-    // replay: same tag commits nothing twice
+    // replay: same tag commits nothing twice — and the diff itself is
+    // EMPTY, because the dead ids already left the searchable set
+    // (diffing raw codes instead would re-count them every cycle)
     val vBefore = PqIndex.readMeta(dir).version
     val (d2, a2) = graft.streaming.Graft.syncVectorIndex(
       spark, stateDir, mspec, "record_id", dir, all, tag = "cycle1")
-    assert(d2 == nDel && a2 == 0L, s"replay diff drifted: ($d2, $a2)")
+    assert(d2 == 0L && a2 == 0L, s"replay diff drifted: ($d2, $a2)")
     assert(PqIndex.readMeta(dir).version == vBefore,
       "a replayed sync cycle must not commit new versions")
+    // a FRESH-tag cycle with no replica changes is also a full no-op:
+    // already-tombstoned ids must not be re-tombstoned per cycle
+    val (d3, a3) = graft.streaming.Graft.syncVectorIndex(
+      spark, stateDir, mspec, "record_id", dir, all, tag = "cycle2")
+    assert(d3 == 0L && a3 == 0L, s"steady-state cycle not a no-op: ($d3, $a3)")
+    assert(PqIndex.readMeta(dir).version == vBefore,
+      "a steady-state sync cycle must not commit new versions")
+    all.unpersist(); ()
+  }
+
+  test("syncVectorIndex: a deleted-then-reinserted replica row becomes searchable again") {
+    import graft.streaming.Materializer
+    import spark.implicits._
+    val all = Tables.spread(emb).cache()
+    val dir = tmpDir()
+    PqIndex.build(all, dir)
+    val stateDir = "file://" +
+      java.nio.file.Files.createTempDirectory("sync_resurrect").toString
+    val mspec = Materializer.Spec(
+      keyCols = Seq("table_name", "record_id"), buckets = 8)
+    val ids = all.select(col("vec_id")).as[Long].collect().toSeq.sorted
+    Materializer.applyBatch(spark, stateDir,
+      ids.map(i => ("v", i, i + 100L, "insert", 0L))
+        .toDF("table_name", "record_id", "seq", "op", "val_cents"), mspec)
+    // cycle 1: id 7 deleted → tombstoned in the index
+    Materializer.applyBatch(spark, stateDir,
+      Seq(("v", 7L, 900L, "delete", 0L))
+        .toDF("table_name", "record_id", "seq", "op", "val_cents"), mspec)
+    val (d1, a1) = graft.streaming.Graft.syncVectorIndex(
+      spark, stateDir, mspec, "record_id", dir, all, tag = "c1")
+    assert(d1 == 1L && a1 == 0L, s"cycle 1 diff: ($d1, $a1)")
+    def searchable(): Set[Long] = {
+      val tombs = PqIndex.tombstonedIds(spark, dir)
+        .as[Long].collect().toSet
+      PqIndex.codes(spark, dir).select(col("vec_id")).distinct()
+        .as[Long].collect().toSet -- tombs
+    }
+    assert(!searchable().contains(7L), "deleted id still searchable")
+    // cycle 2: id 7 RE-INSERTED at a later seq — the standing tombstone
+    // would hide a plain re-append, so the sync must compact first and
+    // the row must come back searchable (the reconcile contract:
+    // searchable set == replica live set)
+    Materializer.applyBatch(spark, stateDir,
+      Seq(("v", 7L, 950L, "insert", 0L))
+        .toDF("table_name", "record_id", "seq", "op", "val_cents"), mspec)
+    val (d2, a2) = graft.streaming.Graft.syncVectorIndex(
+      spark, stateDir, mspec, "record_id", dir, all, tag = "c2")
+    assert(d2 == 0L && a2 == 1L, s"cycle 2 diff: ($d2, $a2)")
+    assert(searchable() == ids.toSet,
+      "re-inserted row must be searchable after the sync cycle")
+    // and the search path itself finds it: querying id 7's embedding
+    // under a foreign query_id must return vec 7 at sim 1.0 (the
+    // planted-copy reasoning — identical embedding, global-max ADC)
+    val q = all.filter(col("vec_id") === 7L)
+      .select(lit(900007L).as("query_id"), col("embedding").as("q_emb"))
+    val hits = PqIndex.topKIvfAgainst(spark, dir, q, all,
+        nprobe = 2, k = 1, rerank = 4096)
+      .collect().map(r => r.getLong(2))
+    assert(hits.toSeq == Seq(7L),
+      s"re-inserted vector must be the top hit, got ${hits.toSeq}")
     all.unpersist(); ()
   }
 
