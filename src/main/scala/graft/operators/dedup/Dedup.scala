@@ -307,54 +307,96 @@ object Dedup {
     * manifest-commit + writer fence as the Materializer, elided here
     * where the single writer is the stream by construction.)
     */
-  /** Hash-range partition count for the persisted index leaves. Small
-    * enough that a screening batch's touched-group list is driver-side
-    * METADATA (≤ `IndexGroups` ints — the Materializer's affected-bucket
-    * discipline), large enough that a small batch's scan prunes most of
-    * the stored relation's partitions.
+  /** DEFAULT hash-range partition count for the persisted index leaves.
+    * Small enough that a screening batch's touched-group list is
+    * driver-side METADATA (≤ groups ints — the Materializer's
+    * affected-bucket discipline), large enough that a small batch's
+    * scan prunes most of the stored relation's partitions. The dial is
+    * a BUILD parameter now: the first append records it in the index
+    * manifest, later appends and screens read it back, a mismatched
+    * append is refused (the Materializer's nbuckets rule — a mismatched
+    * writer would scatter keys across wrong groups and silently fork
+    * the index), and [[regroupDedupIndex]] re-keys the store offline
+    * when the fleet outgrows the count.
     */
-  private val IndexGroups = 32
+  val DefaultIndexGroups = 32
+
+  private def metaOf(indexDir: String) =
+    graft.operators.store.IndexManifest.readMeta(indexDir)
+
+  /** The store's group count: manifest first, default for legacy
+    * (pre-manifest) stores.
+    */
+  private def groupsOf(indexDir: String): Int =
+    metaOf(indexDir).map(_.groups).getOrElse(DefaultIndexGroups)
 
   // INT group keys: Spark infers integral partition-directory values as
   // IntegerType on read, so probing with int literals keeps the pruning
   // predicate cast-free (a long-vs-int mismatch can defeat PartitionFilters)
-  private def bandGroup: Column =
-    pmod(xxhash64(col("band"), col("bucket")), lit(IndexGroups.toLong)).cast("int")
+  private def bandGroup(groups: Int): Column =
+    pmod(xxhash64(col("band"), col("bucket")), lit(groups.toLong)).cast("int")
 
-  private def setGroup(c: Column): Column =
-    pmod(xxhash64(c), lit(IndexGroups.toLong)).cast("int")
+  private def setGroup(c: Column, groups: Int): Column =
+    pmod(xxhash64(c), lit(groups.toLong)).cast("int")
 
-  /** True when `leaf` is already folded into the index — the band table
-    * (written LAST, the fold's commit point) carries its partition dirs.
+  /** Restrict an index relation to the manifest's COMMITTED leaves —
+    * crash residue and retained-but-superseded compaction leftovers are
+    * invisible to readers (`leaf` is a partition column, so this is a
+    * partition prune, not a data filter). Legacy stores (no manifest)
+    * scan every leaf — the pre-manifest semantics.
+    */
+  private def committedOnly(df: DataFrame,
+      live: Option[Seq[String]]): DataFrame = live match {
+    case Some(ls) if ls.isEmpty => df.filter(lit(false))
+    case Some(ls)               => df.filter(col("leaf").isin(ls: _*))
+    case None                   => df
+  }
+
+  /** True when `leaf`'s tag is already folded into the index — the
+    * committed manifest carries it (legacy fallback: the band table's
+    * partition dirs).
     */
   def indexHasLeaf(spark: SparkSession, indexDir: String,
       leaf: String): Boolean =
-    graft.sources.cdc.WalSegments.globNonEmpty(indexDir, s"bands/*/leaf=$leaf")
+    metaOf(indexDir) match {
+      case Some(m) => m.hasLeafTag(leaf)
+      case None =>
+        graft.sources.cdc.WalSegments.globNonEmpty(indexDir,
+          s"bands/*/leaf=$leaf")
+    }
 
   /** @param bid the append's position in the fold order (the facade
     *            passes the foreachBatch batch id; -1 = "the bootstrap,
     *            before every delete"). Tombstones kill only rows with a
     *            STRICTLY SMALLER bid, so a re-crawled doc_id revives:
     *            delete at bid 3, re-append at bid 5 → alive again.
+    * @param groups hash-range partition count — recorded in the index
+    *            manifest on the FIRST append; later appends must pass
+    *            the same count (or read it back via the manifest) and
+    *            a mismatch throws rather than scattering keys across
+    *            wrong groups.
     */
   def dedupIndexAppend(docs: DataFrame, indexDir: String, leaf: String,
-      numHashes: Int = 64, bands: Int = 16, bid: Long = -1L): Unit = {
+      numHashes: Int = 64, bands: Int = 16, bid: Long = -1L,
+      groups: Int = DefaultIndexGroups): Unit = {
+    import graft.operators.store.IndexManifest
+    require(leaf.matches("[0-9A-Za-z_\\-]+"), s"invalid leaf tag: $leaf")
     // IDEMPOTENT fold for at-least-once delivery (foreachBatch replay):
-    // a leaf tag that already reached the band table is a no-op. Sets
-    // write FIRST, bands LAST — a crash between leaves set residue that
-    // no candidate ever joins (candidates come from bands), while the
-    // replay sees no band dirs and re-folds both relations.
-    if (indexHasLeaf(docs.sparkSession, indexDir, leaf)) return
-    // replay after a sets-written/bands-missing crash: drop the set
-    // residue first, or the re-fold would append duplicate set rows
-    locally {
-      val (fs, _) = graft.sources.cdc.WalSegments.fsFor(indexDir)
-      try Option(fs.globStatus(new org.apache.hadoop.fs.Path(
-        s"$indexDir/sets/*/leaf=$leaf"))).toSeq.flatten.foreach { st =>
-        try fs.delete(st.getPath, true)
-        catch { case _: java.io.IOException => () }
-      } catch { case _: java.io.IOException => () }
-    }
+    // a tag the committed manifest already carries is a no-op. The
+    // COMMIT POINT is the manifest publish — leaf directories written
+    // before a crash are invisible residue (readers restrict to
+    // committed leaves) and are dropped before the re-fold, so a replay
+    // can never duplicate rows.
+    val meta = metaOf(indexDir).getOrElse(
+      IndexManifest.Meta(0L, groups, Seq.empty, Seq.empty))
+    if (meta.hasLeafTag(leaf)) return
+    if (meta.groups != groups)
+      throw new IllegalStateException(
+        s"$indexDir is grouped at ${meta.groups} but the append says " +
+          s"$groups — a mismatched appender scatters keys across wrong " +
+          "groups; use the store's count, or regroupDedupIndex() offline")
+    val leafDir = IndexManifest.leafName(meta.version + 1, leaf)
+    IndexManifest.dropResidue(indexDir, Seq("sets", "bands"), leafDir)
     val sh = shingledOf(docs).cache()
     try {
       // leaves are PARTITIONED by hash range of their lookup key — band
@@ -366,8 +408,8 @@ object Dedup {
       // the file count (hence later listings and scans) explodes
       sh.select(col("doc_id"), col("sh"))
         .withColumn("bid", lit(bid))
-        .withColumn("sgrp", setGroup(col("doc_id")))
-        .withColumn("leaf", lit(leaf))
+        .withColumn("sgrp", setGroup(col("doc_id"), groups))
+        .withColumn("leaf", lit(leafDir))
         .repartition(col("sgrp"))
         .write.partitionBy("sgrp", "leaf")
         .mode("append").parquet(s"$indexDir/sets")
@@ -378,12 +420,19 @@ object Dedup {
         .withColumnRenamed("col", "bucket")
         .select(col("band"), col("bucket"), col("doc_id"))
         .withColumn("bid", lit(bid))
-        .withColumn("bgrp", bandGroup)
-        .withColumn("leaf", lit(leaf))
+        .withColumn("bgrp", bandGroup(groups))
+        .withColumn("leaf", lit(leafDir))
         .repartition(col("bgrp"))
         .write.partitionBy("bgrp", "leaf")
         .mode("append").parquet(s"$indexDir/bands")
     } finally { sh.unpersist(); () }
+    IndexManifest.commit(indexDir, meta.copy(version = meta.version + 1,
+      leaves = meta.leaves :+ leafDir))
+    // collect leaves whose last referencing manifest retired past the
+    // grace window (compaction leftovers; crash residue is handled by
+    // dropResidue at the tag that rewrites it)
+    IndexManifest.sweep(indexDir, Seq("sets", "bands", "tombs"),
+      meta.version + 1)
   }
 
   /** TOMBSTONE deletes for the persisted dedup index — the CDC-sync
@@ -402,32 +451,109 @@ object Dedup {
     * [[compactDedupIndex]] drops dead and superseded rows physically.
     * Tombstone leaves are RETAINED across compaction (they are the
     * replay guard: a re-delivered delete batch must stay a no-op), so
-    * the relation is bounded by total deletes; clear it with a retention
-    * floor once the replay horizon passes (the consumer-ack device).
+    * the relation is bounded by total deletes;
+    * [[clearDedupTombstones]] clears it at the consumer-ack retention
+    * floor once the replay horizon passes.
     */
   def dedupIndexDelete(spark: SparkSession, indexDir: String,
       ids: DataFrame, leaf: String, bid: Long = Long.MaxValue): Unit = {
-    if (graft.sources.cdc.WalSegments.globNonEmpty(indexDir,
-        s"tombs/leaf=$leaf")) return
+    import graft.operators.store.IndexManifest
+    require(leaf.matches("[0-9A-Za-z_\\-]+"), s"invalid tombstone tag: $leaf")
+    val meta = metaOf(indexDir).getOrElse(
+      IndexManifest.Meta(0L, DefaultIndexGroups, Seq.empty, Seq.empty))
+    if (meta.hasTombTag(leaf)) return
+    val leafDir = IndexManifest.leafName(meta.version + 1, leaf)
+    IndexManifest.dropResidue(indexDir, Seq("tombs"), leafDir)
     ids.select(col("doc_id")).distinct()
       .withColumn("bid", lit(bid))
-      .withColumn("leaf", lit(leaf))
+      .withColumn("leaf", lit(leafDir))
       .coalesce(1) // a delete batch is id-sized: one file per tag
       .write.partitionBy("leaf").mode("append").parquet(s"$indexDir/tombs")
+    IndexManifest.commit(indexDir, meta.copy(version = meta.version + 1,
+      tombs = meta.tombs :+ leafDir))
+  }
+
+  /** Clear tombstones at or below the retention floor — the promised
+    * consumer-ack device ([[graft.streaming.Graft.compactState]] /
+    * `WalSegments.expireConsumed` on the index axis): once the delivery
+    * pipeline's committed position passes `floorBid`, no delete batch
+    * at or below it can ever replay, so its tombstone is dead weight.
+    * A tombstone leaf carries ONE bid (each [[dedupIndexDelete]] stamps
+    * its whole batch), so clearing is a MANIFEST-ONLY commit — tomb
+    * leaves whose bid ≤ floor leave the manifest's tomb list; their
+    * directories follow via the retained-manifest sweep. A delete
+    * replayed at or below the floor after clearing is OUT OF HORIZON by
+    * contract (the same contract WAL segment expiry has): call this
+    * only with the slowest consumer's committed floor.
+    *
+    * SAFE IN ANY ORDER: a tombstone still BITING — killing at least one
+    * committed index row ([[compactDedupIndex]] hasn't dropped the dead
+    * fold physically yet) — is never cleared regardless of the floor,
+    * because clearing it would resurrect the dead rows at the next
+    * screen. The biting check is one ids+bids aggregation over the
+    * committed band relation (the compaction cost class — this is a
+    * maintenance op). Production cadence: compact, then clear; the
+    * guard makes a misordered call a no-op instead of a corruption.
+    * Returns the number of tombstone leaves cleared.
+    */
+  def clearDedupTombstones(spark: SparkSession, indexDir: String,
+      floorBid: Long): Int = {
+    import graft.operators.store.IndexManifest
+    val meta = metaOf(indexDir).getOrElse(return 0)
+    if (meta.tombs.isEmpty) return 0
+    val tombRows = withBidDefault(
+      spark.read.parquet(s"$indexDir/tombs")
+        .filter(col("leaf").isin(meta.tombs: _*)), Long.MaxValue)
+    // one bid per tomb leaf: the per-leaf max IS the leaf's bid
+    val leafBids = tombRows
+      .groupBy(col("leaf")).agg(max(col("bid")).as("bid"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val belowFloor = meta.tombs.filter(l =>
+      leafBids.get(l).exists(_ <= floorBid))
+    if (belowFloor.isEmpty) return 0
+    // biting check: a candidate leaf whose tombstones still kill a
+    // committed row (a band row of the doc at a strictly smaller bid)
+    // must stay — clearing it would resurrect the dead fold
+    val candidates = tombRows.filter(col("leaf").isin(belowFloor: _*))
+      .select(col("doc_id"), col("bid").as("tomb_bid"), col("leaf"))
+    val liveRows = committedOnly(
+        withBidDefault(readBidAware(spark, s"$indexDir/bands"), -1L),
+        Some(meta.leaves))
+      .select(col("doc_id"), col("bid"))
+    val biting = candidates
+      .join(liveRows, Seq("doc_id"))
+      .filter(col("bid") < col("tomb_bid"))
+      .select(col("leaf")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val cleared = belowFloor.filterNot(biting)
+    if (cleared.isEmpty) return 0
+    val clearedSet = cleared.toSet
+    IndexManifest.commit(indexDir, meta.copy(version = meta.version + 1,
+      tombs = meta.tombs.filterNot(clearedSet)))
+    IndexManifest.sweep(indexDir, Seq("sets", "bands", "tombs"),
+      meta.version + 1)
+    cleared.size
   }
 
   /** Per-doc tombstone watermark (doc_id, tomb_bid) — None when nothing
     * was ever deleted (the common crawl case — zero cost on the screen
     * path). Legacy bid-less tombstones read as MaxValue (kill-all, their
-    * original semantics).
+    * original semantics). Restricted to the manifest's committed tomb
+    * leaves; cleared tombstones are invisible the moment the clearing
+    * manifest commits.
     */
   private def tombstonesOf(spark: SparkSession,
-      indexDir: String): Option[DataFrame] =
-    if (graft.sources.cdc.WalSegments.globNonEmpty(indexDir, "tombs/leaf=*"))
-      Some(withBidDefault(readBidAware(spark, s"$indexDir/tombs"),
-          Long.MaxValue)
+      indexDir: String): Option[DataFrame] = {
+    val live = metaOf(indexDir).map(_.tombs)
+    if (live.exists(_.isEmpty)) None
+    else if (live.isDefined ||
+        graft.sources.cdc.WalSegments.globNonEmpty(indexDir, "tombs/leaf=*"))
+      Some(committedOnly(
+          withBidDefault(readBidAware(spark, s"$indexDir/tombs"),
+            Long.MaxValue), live)
         .groupBy(col("doc_id")).agg(max(col("bid")).as("tomb_bid")))
     else None
+  }
 
   /** `bid` with a default for relations written before the column existed
     * (or rows from bid-less leaves under a merged schema): tombstones
@@ -461,29 +587,31 @@ object Dedup {
     * one leaf, so the union has no duplicates) — screening against the
     * compacted index is IDENTICAL row-for-row.
     *
-    * Contract: OFFLINE maintenance — this store is single-writer-by-
-    * construction (the crawl stream) and has no manifest, so run
-    * compaction while the loop is down (readers racing the final delete
-    * could double-count candidates; the manifest-arbitrated PqIndex is
-    * the online-compaction shape). Crash-safe and replayable with the
-    * append discipline: sets fold first, bands last (the commit point);
-    * a `tag` already present in the band table skips straight to the
-    * old-leaf sweep, and set residue from a torn attempt is dropped
-    * before re-folding. Old leaves are deleted only after the commit
-    * point exists.
+    * ONLINE-SAFE: the commit point is a manifest publish, and
+    * superseded leaves are retained for the full manifest grace window
+    * — a screen that planned its scan against any retained manifest
+    * (its leaf list is a partition filter) still finds every file it
+    * references while this compaction, and the commits after it, keep
+    * landing; the old leaves are collected only once no retained
+    * manifest names them (the Materializer/PqIndex/Iceberg vacuum
+    * rule). Crash-safe and replayable: a torn attempt's leaf residue is
+    * dropped and re-folded (residue is invisible to readers — they
+    * restrict to committed leaves), and a `tag` the manifest already
+    * carries skips straight to the sweep. Tombstone leaves are RETAINED
+    * (the replay guard: a re-delivered delete batch must no-op on its
+    * tag); [[clearDedupTombstones]] expires them at the consumer-ack
+    * floor. Writer concurrency follows the store's single-writer
+    * contract — schedule compaction from the crawl loop's own cadence.
     */
   def compactDedupIndex(spark: SparkSession, indexDir: String,
       tag: String): Unit = {
+    import graft.operators.store.IndexManifest
     require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid compaction tag: $tag")
-    val (fs, _) = graft.sources.cdc.WalSegments.fsFor(indexDir)
-    def leaves(rel: String): Seq[org.apache.hadoop.fs.Path] =
-      Option(fs.globStatus(new org.apache.hadoop.fs.Path(
-        s"$indexDir/$rel/*/leaf=*"))).toSeq.flatten.map(_.getPath)
-    if (!indexHasLeaf(spark, indexDir, tag)) {
-      // torn prior attempt: drop set residue carrying the tag
-      leaves("sets").filter(_.getName == s"leaf=$tag").foreach { p =>
-        try fs.delete(p, true) catch { case _: java.io.IOException => () }
-      }
+    val meta = metaOf(indexDir).getOrElse(throw new IllegalStateException(
+      s"$indexDir holds no committed dedup index (no manifest)"))
+    if (!meta.hasLeafTag(tag)) {
+      val leafDir = IndexManifest.leafName(meta.version + 1, tag)
+      IndexManifest.dropResidue(indexDir, Seq("sets", "bands"), leafDir)
       // DEAD rows (tombstoned at a bid above theirs) and SUPERSEDED
       // generations (a newer fold of the same doc exists) both leave
       // PHYSICALLY here: only each doc's newest fold survives — and only
@@ -498,42 +626,99 @@ object Dedup {
         df.join(alive, df("doc_id") === alive("doc_id") &&
             df("bid") === alive("mbid"), "left_semi")
       }
-      // fold every other leaf's rows into leaf=<tag>: sets first, bands
-      // last — bands/leaf=<tag> existing IS the commit point. Bids are
-      // PRESERVED so retained tombstones keep ranking below survivors.
-      survivors(withBidDefault(readBidAware(spark, s"$indexDir/sets"), -1L)
-        .filter(col("leaf") =!= tag)
+      // fold the committed leaves' surviving rows into one new leaf per
+      // relation. Bids are PRESERVED so retained tombstones keep ranking
+      // below survivors.
+      survivors(committedOnly(
+          withBidDefault(readBidAware(spark, s"$indexDir/sets"), -1L),
+          Some(meta.leaves))
         .select(col("doc_id"), col("sh"), col("bid"), col("sgrp")))
-        .withColumn("leaf", lit(tag))
+        .withColumn("leaf", lit(leafDir))
         .repartition(col("sgrp"))
         .write.partitionBy("sgrp", "leaf")
         .mode("append").parquet(s"$indexDir/sets")
-      survivors(withBidDefault(readBidAware(spark, s"$indexDir/bands"), -1L)
-        .filter(col("leaf") =!= tag)
+      survivors(committedOnly(
+          withBidDefault(readBidAware(spark, s"$indexDir/bands"), -1L),
+          Some(meta.leaves))
         .select(col("band"), col("bucket"), col("doc_id"), col("bid"),
           col("bgrp")))
-        .withColumn("leaf", lit(tag))
+        .withColumn("leaf", lit(leafDir))
         .repartition(col("bgrp"))
         .write.partitionBy("bgrp", "leaf")
         .mode("append").parquet(s"$indexDir/bands")
+      // THE commit: the next manifest references only the new leaf (and
+      // the retained tombstones)
+      IndexManifest.commit(indexDir, meta.copy(version = meta.version + 1,
+        leaves = Seq(leafDir)))
     }
-    // sweep the superseded leaves (everything but the compaction tag).
-    // Tombstone leaves are RETAINED: they are the replay guard (a
-    // re-delivered delete batch must no-op on its tag) and they rank
-    // below every surviving row's bid — bounded by total deletes, clear
-    // with a retention floor once the replay horizon passes.
-    (leaves("sets") ++ leaves("bands"))
-      .filter(_.getName != s"leaf=$tag").foreach { p =>
-        try fs.delete(p, true) catch { case _: java.io.IOException => () }
-      }
+    // collect only leaves NO retained manifest references — in-flight
+    // readers planned against retained manifests keep their files
+    IndexManifest.sweep(indexDir, Seq("sets", "bands", "tombs"),
+      metaOf(indexDir).map(_.version).getOrElse(meta.version))
   }
 
-  /** Distinct leaf tags currently in the band table — the leaf census
-    * [[compactDedupIndex]]'s harness gates (4 appends in, 1 out).
+  /** Committed leaf count per relation — the leaf census
+    * [[compactDedupIndex]]'s harness gates (4 appends in, 1 referenced
+    * out). Manifest-backed: superseded directories retained for the
+    * read grace window don't count (they are no longer part of the
+    * store, merely not yet collected). Legacy fallback: distinct `leaf`
+    * partition values in the band table.
     */
   def indexLeafCount(spark: SparkSession, indexDir: String): Int =
-    spark.read.parquet(s"$indexDir/bands").select(col("leaf"))
-      .distinct().count().toInt
+    metaOf(indexDir) match {
+      case Some(m) => m.leaves.size
+      case None => spark.read.parquet(s"$indexDir/bands").select(col("leaf"))
+        .distinct().count().toInt
+    }
+
+  /** Re-key the WHOLE index into `newGroups` hash-range partitions —
+    * the maintenance move for when the fleet outgrows the group dial
+    * (the dial caps scan pruning at 1/groups of the index; a huge index
+    * wants more groups). Like [[graft.streaming.Materializer.rebucket]]
+    * this cannot be incremental — changing the count moves every row's
+    * group — so it is one full read → one shuffle on the new group key
+    * → one new leaf per relation → one manifest commit recording the
+    * new count; afterwards appends with the old count are refused.
+    * Readers planned against retained manifests keep the old-group
+    * leaves until the grace window retires them; screens resolve
+    * (groups, leaves) from ONE manifest so no reader ever mixes dials.
+    * Tombstones ride along unchanged (they carry no group key). Screen
+    * output is IDENTICAL row-for-row — only the partition geometry
+    * moves.
+    */
+  def regroupDedupIndex(spark: SparkSession, indexDir: String,
+      newGroups: Int, tag: String): Unit = {
+    import graft.operators.store.IndexManifest
+    require(newGroups > 0, "newGroups must be positive")
+    require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid regroup tag: $tag")
+    val meta = metaOf(indexDir).getOrElse(throw new IllegalStateException(
+      s"$indexDir holds no committed dedup index (no manifest)"))
+    if (meta.hasLeafTag(tag)) return
+    val leafDir = IndexManifest.leafName(meta.version + 1, tag)
+    IndexManifest.dropResidue(indexDir, Seq("sets", "bands"), leafDir)
+    committedOnly(
+        withBidDefault(readBidAware(spark, s"$indexDir/sets"), -1L),
+        Some(meta.leaves))
+      .select(col("doc_id"), col("sh"), col("bid"))
+      .withColumn("sgrp", setGroup(col("doc_id"), newGroups))
+      .withColumn("leaf", lit(leafDir))
+      .repartition(col("sgrp"))
+      .write.partitionBy("sgrp", "leaf")
+      .mode("append").parquet(s"$indexDir/sets")
+    committedOnly(
+        withBidDefault(readBidAware(spark, s"$indexDir/bands"), -1L),
+        Some(meta.leaves))
+      .select(col("band"), col("bucket"), col("doc_id"), col("bid"))
+      .withColumn("bgrp", bandGroup(newGroups))
+      .withColumn("leaf", lit(leafDir))
+      .repartition(col("bgrp"))
+      .write.partitionBy("bgrp", "leaf")
+      .mode("append").parquet(s"$indexDir/bands")
+    IndexManifest.commit(indexDir, meta.copy(version = meta.version + 1,
+      groups = newGroups, leaves = Seq(leafDir)))
+    IndexManifest.sweep(indexDir, Seq("sets", "bands", "tombs"),
+      meta.version + 1)
+  }
 
   /** dd19's driver-checked shape — dd11's planting theorem THROUGH
     * [[compactDedupIndex]]: the corpus folds into the index as FOUR
@@ -586,18 +771,17 @@ object Dedup {
     dedupIndexDelete(spark, indexDir,
       base.filter(col("doc_id") % 9 === 0).select(col("doc_id")), "del0")
     val batch = base.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
-    // MATERIALIZE the pre-compaction screen before compacting: the store
-    // is manifest-free, so compaction's old-leaf sweep would pull this
-    // lazy scan's files out from under it (the offline-maintenance
-    // contract — compact only while no reader is in flight)
-    val preDir = s"$tmp/pre"
-    screenAgainstIndex(spark, indexDir, batch)
+    // the pre-compaction screen stays LAZY across the compaction — the
+    // manifest discipline retains every leaf its planned-against
+    // manifest references for the read grace window, so executing this
+    // scan AFTER the compaction commit still finds its files (the
+    // reader-across-commits guarantee; a manifest-free store would have
+    // needed a defensive materialization here)
+    val screened = screenAgainstIndex(spark, indexDir, batch)
       .filter(col("corpus_id") === col("batch_id") - 100000L)
-      .write.parquet(preDir)
-    val screened = spark.read.parquet(preDir)
-    // physical drop: compaction folds live rows only and clears tombs;
-    // the post-compaction screen must be row-identical to the tombstone-
-    // filtered one (both ride the gate via the n_lanes census)
+    // physical drop: compaction folds live rows only; the post-
+    // compaction screen must be row-identical to the tombstone-filtered
+    // one (both ride the gate via the n_lanes census)
     compactDedupIndex(spark, indexDir, "compact0")
     val after = screenAgainstIndex(spark, indexDir, batch)
       .filter(col("corpus_id") === col("batch_id") - 100000L)
@@ -627,18 +811,28 @@ object Dedup {
   def screenAgainstIndex(spark: SparkSession, indexDir: String,
       batch: DataFrame, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
+    // resolve ONE manifest for the whole screen: leaf lists and the
+    // group dial come from the same committed version, so the scan is a
+    // consistent snapshot even while appends/compactions keep landing
+    // (retained manifests keep their leaves on disk for the grace
+    // window — this plan stays executable across later commits)
+    val meta = metaOf(indexDir)
+    val live = meta.map(_.leaves)
+    val ngroups = meta.map(_.groups).getOrElse(DefaultIndexGroups)
     val bsh = shingledOf(batch)
     def batchBands = bsh.select(col("doc_id").as("batch_id"),
         posexplode(graft.plans.SketchCols.minHashBandBuckets(
           col("shh"), numHashes, bands)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    val groups = batchBands.select(bandGroup.as("bgrp")).distinct()
+    val groups = batchBands.select(bandGroup(ngroups).as("bgrp")).distinct()
       .collect().map(r => Int.box(r.getInt(0))).toSeq
-    val index = withBidDefault(readBidAware(spark, s"$indexDir/bands"), -1L)
+    val index = committedOnly(
+        withBidDefault(readBidAware(spark, s"$indexDir/bands"), -1L), live)
       .filter(col("bgrp").isin(groups: _*))
       .select(col("band"), col("bucket"), col("doc_id"))
-    val sets = withBidDefault(readBidAware(spark, s"$indexDir/sets"), -1L)
+    val sets = committedOnly(
+      withBidDefault(readBidAware(spark, s"$indexDir/sets"), -1L), live)
     val cand = batchBands
       .join(index, Seq("band", "bucket"))
       .select(col("batch_id"), col("doc_id").as("corpus_id"))
@@ -646,7 +840,7 @@ object Dedup {
     val scored = cand
       .join(bsh.select(col("doc_id").as("batch_id"), col("sh").as("sh_b")),
         Seq("batch_id"))
-      .withColumn("sgrp", setGroup(col("corpus_id")))
+      .withColumn("sgrp", setGroup(col("corpus_id"), ngroups))
       .join(sets.select(col("sgrp"), col("doc_id").as("corpus_id"),
         col("sh").as("sh_c"), col("bid").as("set_bid")), Seq("sgrp", "corpus_id"))
       .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_c"))))

@@ -1,0 +1,225 @@
+package graft.operators.store
+
+import graft.sources.cdc.WalSegments
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Versioned-manifest discipline for the partitioned immutable-leaf
+  * INDEX stores (the dedup band/set index, the multimodal hash and
+  * chunk indexes) — the same snapshot-isolation-with-grace-window
+  * contract the [[graft.streaming.Materializer]] state store and the
+  * [[graft.operators.ann.PqIndex]] already enforce, factored out so
+  * every persisted store in the repo shares ONE rule set:
+  *
+  *  - **The manifest is the store's single source of truth.** A tiny
+  *    immutable JSON file `_idx_manifest-v<N>` lists the live leaf
+  *    names per relation plus the store's hash-group count; readers
+  *    resolve the highest committed version and restrict their scans
+  *    to its leaves (`leaf` is a partition column, so the restriction
+  *    is a `PartitionFilters` prune, and uncommitted crash residue is
+  *    invisible even before any sweep).
+  *  - **Commits are exclusive.** A commit writes a uniquely-named temp
+  *    file and publishes it at the immutable versioned name via
+  *    [[WalSegments.publishExclusive]] (atomic hard-link claim on local
+  *    POSIX, rename-to-existing on HDFS, PUT-if-absent on object
+  *    stores): of two writers racing a version exactly one wins, the
+  *    loser throws having published nothing and its just-written leaf
+  *    is unreferenced residue.
+  *  - **Leaves are version-named.** A leaf's partition value is
+  *    `v<version>-<tag>` where `tag` is the caller's idempotency tag
+  *    (foreachBatch batch id, compaction tag): the version prefix
+  *    gives the sweep its safety rule, the tag suffix gives replays
+  *    their no-op check — exact tag equality, never substring.
+  *  - **Retention is the read grace window.** [[RetainedManifests]]
+  *    manifest versions stay on disk after a commit, and
+  *    [[sweep]] deletes ONLY leaf directories that (a) no retained
+  *    manifest references and (b) carry a version at or below the
+  *    current committed one (an unreferenced HIGHER version may belong
+  *    to a writer mid-commit). A reader that planned its scan against
+  *    any retained manifest therefore finds every file it needs while
+  *    commits — including COMPACTIONS — keep landing: this is what
+  *    makes index compaction online-safe instead of offline-only.
+  *
+  * Legacy stores (written before this module) have no manifest:
+  * [[readMeta]] returns None and callers fall back to scanning every
+  * on-disk leaf — the pre-manifest semantics, preserved for read
+  * compatibility.
+  */
+object IndexManifest {
+
+  /** The committed state of one index store.
+    *
+    * @param version monotone commit counter
+    * @param groups  hash-range partition count the store was built with
+    *                — recorded so appends and screens can refuse a
+    *                mismatched dial (the Materializer's nbuckets rule:
+    *                a mismatched writer scatters keys across wrong
+    *                groups and silently forks the store)
+    * @param leaves  live data-leaf names (`v<version>-<tag>`), shared
+    *                by every data relation of the store (relations are
+    *                written together under one tag per commit)
+    * @param tombs   live tombstone-leaf names (separate lifecycle:
+    *                compaction RETAINS them as the replay guard;
+    *                a retention floor clears them)
+    */
+  final case class Meta(version: Long, groups: Int,
+      leaves: Seq[String], tombs: Seq[String]) {
+    def hasLeafTag(tag: String): Boolean = leaves.exists(tagOf(_) == tag)
+    def hasTombTag(tag: String): Boolean = tombs.exists(tagOf(_) == tag)
+  }
+
+  private val ManifestVRe = "_idx_manifest-v(\\d+)".r
+
+  private def manifestFile(v: Long): String = f"_idx_manifest-v$v%08d"
+
+  /** `v<version>-<tag>`: version-prefixed for the sweep's safety rule,
+    * tag-suffixed for replay idempotency.
+    */
+  def leafName(version: Long, tag: String): String = f"v$version%08d-$tag"
+
+  /** The tag back out of a leaf name (exact — `v########-` is 10 chars). */
+  def tagOf(leaf: String): String = leaf.drop(10)
+
+  private val LeafVRe = "v(\\d+)-.*".r
+
+  private def versionOf(leaf: String): Option[Long] = leaf match {
+    case LeafVRe(v) => Some(v.toLong)
+    case _          => None
+  }
+
+  /** Manifest versions retained after a commit — the read grace window
+    * for manifests and leaves alike (the Materializer/PqIndex figure).
+    */
+  private[graft] val RetainedManifests = 8
+
+  private def readFully(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  private def parseMeta(text: String): Meta = {
+    def num(k: String) = s""""$k"\\s*:\\s*(\\d+)""".r
+      .findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(0L)
+    def list(k: String): Seq[String] =
+      s""""$k"\\s*:\\s*\\[([^\\]]*)\\]""".r.findFirstMatchIn(text)
+        .map(_.group(1)).toSeq
+        .flatMap("\"([^\"]+)\"".r.findAllMatchIn(_).map(_.group(1)))
+    Meta(num("version"), num("groups").toInt, list("leaves"), list("tombs"))
+  }
+
+  /** The highest committed manifest, or None on a legacy (pre-manifest)
+    * or empty store.
+    */
+  def readMeta(indexDir: String): Option[Meta] = {
+    val (fs, root) = WalSegments.fsFor(indexDir)
+    val name =
+      try fs.listStatus(root).iterator.map(_.getPath.getName)
+        .collect { case n @ ManifestVRe(v) => (v.toLong, n) }
+        .maxByOption(_._1).map(_._2)
+      catch { case _: java.io.FileNotFoundException => None }
+    name.map(n => parseMeta(readFully(fs, new Path(indexDir, n))))
+  }
+
+  /** Commit `meta` as the next manifest version: exclusive publish (one
+    * winner per version — the loser throws having published nothing),
+    * then retire manifests past the grace window.
+    */
+  def commit(indexDir: String, meta: Meta): Unit = {
+    val (fs, root) = WalSegments.fsFor(indexDir)
+    fs.mkdirs(root)
+    val dest = new Path(indexDir, manifestFile(meta.version))
+    val tmp = new Path(indexDir,
+      s".${dest.getName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try {
+      def arr(xs: Seq[String]) = xs.map(l => s""""$l"""").mkString(",")
+      out.write((s"""{"version":${meta.version},"groups":${meta.groups},""" +
+        s""""leaves":[${arr(meta.leaves)}],""" +
+        s""""tombs":[${arr(meta.tombs)}]}""").getBytes("UTF-8"))
+    } finally out.close()
+    if (!WalSegments.publishExclusive(fs, tmp, dest))
+      throw new IllegalStateException(
+        s"lost index-manifest commit race for version ${meta.version} at " +
+          s"$indexDir — another writer won; re-read and retry")
+    try {
+      fs.listStatus(root).foreach { st =>
+        st.getPath.getName match {
+          case ManifestVRe(v) if v.toLong < meta.version - RetainedManifests =>
+            try fs.delete(st.getPath, false)
+            catch { case _: java.io.IOException => () }
+          case _ => ()
+        }
+      }
+    } catch { case _: java.io.IOException => () }
+  }
+
+  /** Union of every leaf/tomb name referenced by ANY manifest version
+    * still on disk — the live set for [[sweep]]. A manifest that fails
+    * to read contributes nothing (fail-open would retain garbage
+    * forever; the next sweep retries).
+    */
+  private[graft] def retainedRefs(indexDir: String): Set[String] = {
+    val (fs, root) = WalSegments.fsFor(indexDir)
+    try {
+      fs.listStatus(root).iterator.map(_.getPath.getName)
+        .collect { case n @ ManifestVRe(_) => n }.toSeq
+        .flatMap { n =>
+          try {
+            val m = parseMeta(readFully(fs, new Path(indexDir, n)))
+            m.leaves ++ m.tombs
+          } catch { case _: java.io.IOException => Seq.empty }
+        }.toSet
+    } catch { case _: java.io.FileNotFoundException => Set.empty }
+  }
+
+  /** Delete every `leaf=v<N>-<tag>` directory under the given relations
+    * that NO retained manifest references and whose `N` is at or below
+    * the current committed version (an unreferenced higher version may
+    * belong to a writer mid-commit). Handles both nested
+    * (`rel/<grp>=g/leaf=…`) and flat (`rel/leaf=…`) layouts. Pre-
+    * manifest leaves (no `v<N>-` prefix) are never touched — they are
+    * the legacy store's data.
+    */
+  def sweep(indexDir: String, rels: Seq[String], currentVersion: Long): Unit = {
+    val (fs, _) = WalSegments.fsFor(indexDir)
+    val referenced = retainedRefs(indexDir)
+    def sweepDirs(paths: Seq[Path]): Unit = paths.foreach { p =>
+      val leaf = p.getName.stripPrefix("leaf=")
+      versionOf(leaf) match {
+        case Some(v) if !referenced.contains(leaf) && v <= currentVersion =>
+          try fs.delete(p, true) catch { case _: java.io.IOException => () }
+        case _ => ()
+      }
+    }
+    rels.foreach { rel =>
+      def glob(pattern: String): Seq[Path] =
+        try Option(fs.globStatus(new Path(s"$indexDir/$rel/$pattern")))
+          .toSeq.flatten.filter(_.isDirectory).map(_.getPath)
+        catch { case _: java.io.IOException => Seq.empty }
+      sweepDirs(glob("*/leaf=*") ++ glob("leaf=*"))
+    }
+  }
+
+  /** Delete any directory named exactly `leaf=<leaf>` under the given
+    * relations — crash residue of a torn write carrying the name the
+    * retry is about to (re)write; mode("append") would otherwise
+    * duplicate its rows.
+    */
+  def dropResidue(indexDir: String, rels: Seq[String], leaf: String): Unit = {
+    val (fs, _) = WalSegments.fsFor(indexDir)
+    rels.foreach { rel =>
+      def glob(pattern: String): Seq[Path] =
+        try Option(fs.globStatus(new Path(s"$indexDir/$rel/$pattern")))
+          .toSeq.flatten.map(_.getPath)
+        catch { case _: java.io.IOException => Seq.empty }
+      (glob(s"*/leaf=$leaf") ++ glob(s"leaf=$leaf")).foreach { p =>
+        try fs.delete(p, true) catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+}

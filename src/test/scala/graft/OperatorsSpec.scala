@@ -1591,6 +1591,143 @@ class OperatorsSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("dedup index: a reader planned before compaction still executes after it (online-safe)") {
+    import graft.operators.dedup.Dedup
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+      .limit(40).cache()
+    val tmp = graft.Tables.scratchDir("graft_online_compact")
+    val indexDir = s"$tmp/index"
+    (0 until 4).foreach { i =>
+      Dedup.dedupIndexAppend(docs.filter(col("doc_id") % 4 === i), indexDir,
+        s"inc$i")
+    }
+    val probe = docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    // plan the screen BEFORE compaction, execute it AFTER: the manifest
+    // grace window retains the pre-compaction leaves, so the lazy scan
+    // finds every file it planned against — the exact reader/sweep race
+    // that used to require offline-only compaction
+    val before = Dedup.screenAgainstIndex(spark, indexDir, probe)
+      .filter(col("corpus_id") === col("batch_id") - 100000L)
+    Dedup.compactDedupIndex(spark, indexDir, "c0")
+    val beforeRows = before.collect().map(_.toSeq).toSet // executes post-compaction
+    val afterRows = Dedup.screenAgainstIndex(spark, indexDir, probe)
+      .filter(col("corpus_id") === col("batch_id") - 100000L)
+      .collect().map(_.toSeq).toSet
+    assert(beforeRows == afterRows && beforeRows.nonEmpty,
+      "pre-compaction reader and post-compaction screen must agree")
+    assert(Dedup.indexLeafCount(spark, indexDir) == 1,
+      "compaction must leave one referenced leaf")
+    // the superseded leaf DIRECTORIES are retained for the grace window
+    // (that is what kept the reader alive) …
+    val (fs, _) = graft.sources.cdc.WalSegments.fsFor(indexDir)
+    def bandDirs(): Set[String] =
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$indexDir/bands/*/leaf=*"))).toSeq.flatten
+        .map(_.getPath.getName.stripPrefix("leaf=")).toSet
+    assert(bandDirs().size > 1,
+      "superseded leaves must survive the compaction commit (grace window)")
+    // … and are collected once their manifests retire past the window:
+    // push RetainedManifests+1 more commits through the store
+    (0 until 9).foreach { i =>
+      Dedup.dedupIndexAppend(
+        docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 200000L + i * 1000L).as("doc_id"),
+            col("text")),
+        indexDir, s"late$i")
+    }
+    val remaining = bandDirs()
+    assert(!remaining.exists(_.endsWith("-inc0")),
+      s"long-superseded leaves must be swept once unreferenced: $remaining")
+    docs.unpersist()
+  }
+
+  test("dedup tombstone retention floor: clearDedupTombstones expires acked deletes only") {
+    import graft.operators.dedup.Dedup
+    import spark.implicits._
+    val docs = (1L to 12L).map(i => (i, s"alpha beta gamma delta epsilon " +
+      s"zeta eta theta iota kappa doc$i marker$i")).toDF("doc_id", "text")
+    val tmp = graft.Tables.scratchDir("graft_tombfloor")
+    val indexDir = s"$tmp/index"
+    Dedup.dedupIndexAppend(docs, indexDir, "corpus", bid = 0L)
+    Dedup.dedupIndexDelete(spark, indexDir, Seq(Tuple1(1L)).toDF("doc_id"),
+      "d2", bid = 2L)
+    Dedup.dedupIndexDelete(spark, indexDir, Seq(Tuple1(2L)).toDF("doc_id"),
+      "d5", bid = 5L)
+    Dedup.dedupIndexDelete(spark, indexDir, Seq(Tuple1(3L)).toDF("doc_id"),
+      "d9", bid = 9L)
+    def screenHits(): Set[Long] = {
+      val probe = docs.select((col("doc_id") + 100000L).as("doc_id"),
+        col("text"))
+      Dedup.screenAgainstIndex(spark, indexDir, probe)
+        .filter(col("corpus_id") === col("batch_id") - 100000L)
+        .select("corpus_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(screenHits() == (4L to 12L).toSet, "three tombstoned docs dead")
+    // a MISORDERED clear (before compaction dropped the dead rows) is a
+    // no-op: every candidate tombstone still bites a committed row, and
+    // clearing it would resurrect the dead fold at the next screen
+    assert(Dedup.clearDedupTombstones(spark, indexDir, floorBid = 5L) == 0,
+      "biting tombstones must never clear")
+    assert(screenHits() == (4L to 12L).toSet, "nothing resurrected")
+    // production order: compact (drops dead rows physically, retains
+    // tombs as the replay guard), then clear at the consumer-ack floor —
+    // d2/d5 (bid ≤ 5) expire, d9 (bid 9 > floor) stays in horizon
+    Dedup.compactDedupIndex(spark, indexDir, "c0")
+    assert(Dedup.clearDedupTombstones(spark, indexDir, floorBid = 5L) == 2)
+    assert(Dedup.clearDedupTombstones(spark, indexDir, floorBid = 5L) == 0,
+      "a replayed clear at the same floor is a no-op")
+    // the ack floor advances past d9: it expires too
+    assert(Dedup.clearDedupTombstones(spark, indexDir, floorBid = 99L) == 1)
+    assert(screenHits() == (4L to 12L).toSet,
+      "compaction dropped dead rows; cleared tombstones change nothing")
+    // a delete replayed at or below the floor after clearing is OUT OF
+    // HORIZON by contract (the WAL-expiry contract): the consumer-ack
+    // floor guarantees no such replay reaches a correct pipeline
+  }
+
+  test("dedup index group dial: recorded in the manifest, mismatched appends refused, regroup re-keys") {
+    import graft.operators.dedup.Dedup
+    import spark.implicits._
+    val docs = (1L to 30L).map(i => (i, s"alpha beta gamma delta epsilon " +
+      s"zeta eta theta iota kappa doc$i marker$i")).toDF("doc_id", "text")
+    val tmp = graft.Tables.scratchDir("graft_regroup")
+    val indexDir = s"$tmp/index"
+    Dedup.dedupIndexAppend(docs.filter(col("doc_id") <= 15L), indexDir,
+      "half1", groups = 8)
+    // a mismatched dial is refused — it would scatter keys across wrong
+    // groups and silently fork the index
+    val e = intercept[IllegalStateException] {
+      Dedup.dedupIndexAppend(docs.filter(col("doc_id") > 15L), indexDir,
+        "half2", groups = 32)
+    }
+    assert(e.getMessage.contains("grouped at 8"))
+    Dedup.dedupIndexAppend(docs.filter(col("doc_id") > 15L), indexDir,
+      "half2", groups = 8)
+    val probe = docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    def hits(): Set[(Long, Long)] =
+      Dedup.screenAgainstIndex(spark, indexDir, probe)
+        .filter(col("corpus_id") === col("batch_id") - 100000L)
+        .select("batch_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = hits()
+    assert(before.size == 30, s"planted self-recall: ${before.size}")
+    // regroup 8 → 64: screen output identical, dial updated, old-dial
+    // appends refused
+    Dedup.regroupDedupIndex(spark, indexDir, newGroups = 64, tag = "rg0")
+    assert(hits() == before, "regroup must not change the screen relation")
+    val e2 = intercept[IllegalStateException] {
+      Dedup.dedupIndexAppend(docs.limit(1)
+        .select((col("doc_id") + 500L).as("doc_id"), col("text")),
+        indexDir, "post", groups = 8)
+    }
+    assert(e2.getMessage.contains("grouped at 64"))
+    Dedup.dedupIndexAppend(docs.filter(col("doc_id") === 1L)
+      .select((col("doc_id") + 500L).as("doc_id"), col("text")),
+      indexDir, "post", groups = 64)
+    assert(hits().size == 30, "post-regroup appends screen correctly")
+  }
+
   test("dedup screen liveness uses the GLOBAL newest fold bid, not the max colliding bid") {
     import graft.operators.dedup.Dedup
     import spark.implicits._

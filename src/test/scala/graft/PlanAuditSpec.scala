@@ -445,9 +445,14 @@ class PlanAuditSpec extends AnyFunSuite {
     val scanLine = p.linesIterator.find(l =>
       l.contains("bands") && l.contains("PartitionFilters"))
       .getOrElse(fail(s"no partition-filtered bands scan in plan:\n$p"))
-    // PartitionFilters: [bgrp#N INSET g1, g2, …] — a strict subset: a
-    // 1-doc batch emits 16 band keys, so ≤16 of the 32 groups are read
-    val inset = "PartitionFilters: \\[bgrp#\\d+ INSET ([^\\]]*)\\]".r
+    // PartitionFilters carry BOTH prunes: the committed-leaf restriction
+    // (the manifest's leaf list — crash residue and retired compaction
+    // leftovers are invisible) and the batch's group INSET — a strict
+    // subset: a 1-doc batch emits 16 band keys, so ≤16 of the 32 groups
+    // are read
+    assert(scanLine.contains("leaf#"),
+      s"bands scan not restricted to committed leaves: $scanLine")
+    val inset = "bgrp#\\d+ INSET ([0-9, .]+)".r
       .findFirstMatchIn(scanLine).map(_.group(1))
       .getOrElse(fail(s"bands scan not pruned by batch groups: $scanLine"))
     assert(inset.split(",").length <= 16,
