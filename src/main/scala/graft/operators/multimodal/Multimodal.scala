@@ -554,46 +554,169 @@ object Multimodal {
   // ---- mm10: the IMAGE crawl loop — aHash screen over a persisted,
   // growing hash index (dd13's discipline on the perceptual key) ----
 
-  /** Hash-range partition count for the persisted aHash index leaves —
-    * the dd13 sizing: small enough that a batch's touched-group list is
-    * driver-side metadata, large enough that small batches prune most
-    * partitions.
+  /** DEFAULT hash-range partition count for the persisted aHash/chunk
+    * index leaves — the dd13 sizing: small enough that a batch's
+    * touched-group list is driver-side metadata, large enough that
+    * small batches prune most partitions. A BUILD parameter now: the
+    * first append records it in the index manifest, later appends and
+    * screens read it back, a mismatched append is refused, and
+    * [[regroupAhashIndex]]/[[regroupAhashChunkIndex]] re-key the store
+    * offline when the fleet outgrows the count.
     */
-  private val AHashGroups = 32
+  val DefaultAHashGroups = 32
 
-  private def ahashGroup: org.apache.spark.sql.Column =
+  private def metaOf(indexDir: String) =
+    graft.operators.store.IndexManifest.readMeta(indexDir)
+
+  private def groupsOf(indexDir: String): Int =
+    metaOf(indexDir).map(_.groups).getOrElse(DefaultAHashGroups)
+
+  private def ahashGroup(groups: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(col("ahash_hi"), col("ahash_lo")),
-      lit(AHashGroups.toLong)).cast("int")
+      lit(groups.toLong)).cast("int")
 
-  private def ahashIndexHasLeaf(indexDir: String, leaf: String): Boolean =
-    graft.sources.cdc.WalSegments.globNonEmpty(indexDir, s"hashes/*/leaf=$leaf")
-
-  /** Idempotent O(batch) leaf append of (media_id, ahash) rows into the
-    * partitioned hash table `hashes/hgrp=g/leaf=tag` — immutable leaves,
-    * a replayed foreachBatch tag no-ops (the dd13 fold discipline).
+  /** Generic manifest-committed leaf append for the two multimodal index
+    * relations (`hashes`, `chunks` — ONE relation per index directory):
+    * tag-idempotent against the committed manifest, crash residue
+    * dropped before the re-write, manifest publish as the commit point,
+    * long-unreferenced leaves swept after (the
+    * [[graft.operators.store.IndexManifest]] discipline — readers
+    * restricted to committed leaves never see residue, and readers
+    * planned against retained manifests keep their files across later
+    * commits including compactions).
     */
-  def ahashIndexAppend(hashed: DataFrame, indexDir: String,
-      leaf: String): Unit = {
-    if (ahashIndexHasLeaf(indexDir, leaf)) return
-    hashed.select(col("media_id"), col("ahash_hi"), col("ahash_lo"))
-      .withColumn("hgrp", ahashGroup)
-      .withColumn("leaf", lit(leaf))
-      .repartition(col("hgrp"))
-      .write.partitionBy("hgrp", "leaf")
-      .mode("append").parquet(s"$indexDir/hashes")
-    ()
+  private def mmIndexAppend(rows: DataFrame, indexDir: String, rel: String,
+      grpCol: Int => org.apache.spark.sql.Column, grpName: String,
+      leaf: String, groups: Int): Unit = {
+    import graft.operators.store.IndexManifest
+    require(leaf.matches("[0-9A-Za-z_\\-]+"), s"invalid leaf tag: $leaf")
+    val meta = metaOf(indexDir).getOrElse(
+      IndexManifest.Meta(0L, groups, Seq.empty, Seq.empty))
+    if (meta.hasLeafTag(leaf)) return
+    if (meta.groups != groups)
+      throw new IllegalStateException(
+        s"$indexDir is grouped at ${meta.groups} but the append says " +
+          s"$groups — a mismatched appender scatters keys across wrong " +
+          "groups; use the store's count, or regroup offline")
+    val leafDir = IndexManifest.leafName(meta.version + 1, leaf)
+    IndexManifest.dropResidue(indexDir, Seq(rel), leafDir)
+    rows
+      .withColumn(grpName, grpCol(groups))
+      .withColumn("leaf", lit(leafDir))
+      .repartition(col(grpName))
+      .write.partitionBy(grpName, "leaf")
+      .mode("append").parquet(s"$indexDir/$rel")
+    IndexManifest.commit(indexDir, meta.copy(version = meta.version + 1,
+      leaves = meta.leaves :+ leafDir))
+    IndexManifest.sweep(indexDir, Seq(rel), meta.version + 1)
   }
 
-  /** Screen a hashed batch against every committed index leaf: exact
+  /** Fold every committed leaf's rows into ONE new leaf — the
+    * small-file maintenance pass the crawl loops need (after N
+    * micro-batches every group partition holds N tiny files). Rows are
+    * copied VERBATIM (group values are a pure function of row content,
+    * unchanged), so screens over the compacted store are identical
+    * row-for-row — and ONLINE-SAFE: the old leaves stay on disk for the
+    * manifest grace window, so a screen planned before the compaction
+    * still finds its files.
+    */
+  private def mmIndexCompact(spark: SparkSession, indexDir: String,
+      rel: String, grpName: String, tag: String): Unit = {
+    import graft.operators.store.IndexManifest
+    require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid compaction tag: $tag")
+    val meta = metaOf(indexDir).getOrElse(throw new IllegalStateException(
+      s"$indexDir holds no committed index (no manifest)"))
+    if (!meta.hasLeafTag(tag)) {
+      val leafDir = IndexManifest.leafName(meta.version + 1, tag)
+      IndexManifest.dropResidue(indexDir, Seq(rel), leafDir)
+      IndexManifest.committedOnly(
+          spark.read.parquet(s"$indexDir/$rel"), Some(meta.leaves))
+        .drop("leaf")
+        .withColumn("leaf", lit(leafDir))
+        .repartition(col(grpName))
+        .write.partitionBy(grpName, "leaf")
+        .mode("append").parquet(s"$indexDir/$rel")
+      IndexManifest.commit(indexDir, meta.copy(version = meta.version + 1,
+        leaves = Seq(leafDir)))
+    }
+    IndexManifest.sweep(indexDir, Seq(rel),
+      metaOf(indexDir).map(_.version).getOrElse(meta.version))
+  }
+
+  /** Re-key the whole relation into `newGroups` hash-range partitions —
+    * the Materializer-rebucket move for the multimodal indexes; the
+    * manifest records the new dial and old-dial appends are refused.
+    */
+  private def mmIndexRegroup(spark: SparkSession, indexDir: String,
+      rel: String, grpCol: Int => org.apache.spark.sql.Column,
+      grpName: String, newGroups: Int, tag: String): Unit = {
+    import graft.operators.store.IndexManifest
+    require(newGroups > 0, "newGroups must be positive")
+    require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid regroup tag: $tag")
+    val meta = metaOf(indexDir).getOrElse(throw new IllegalStateException(
+      s"$indexDir holds no committed index (no manifest)"))
+    if (meta.hasLeafTag(tag)) return
+    val leafDir = IndexManifest.leafName(meta.version + 1, tag)
+    IndexManifest.dropResidue(indexDir, Seq(rel), leafDir)
+    IndexManifest.committedOnly(
+        spark.read.parquet(s"$indexDir/$rel"), Some(meta.leaves))
+      .drop("leaf").drop(grpName)
+      .withColumn(grpName, grpCol(newGroups))
+      .withColumn("leaf", lit(leafDir))
+      .repartition(col(grpName))
+      .write.partitionBy(grpName, "leaf")
+      .mode("append").parquet(s"$indexDir/$rel")
+    IndexManifest.commit(indexDir, meta.copy(version = meta.version + 1,
+      groups = newGroups, leaves = Seq(leafDir)))
+    IndexManifest.sweep(indexDir, Seq(rel), meta.version + 1)
+  }
+
+  /** Committed leaf count — the census the compaction harnesses gate
+    * (N appends in, 1 referenced out; retained-but-superseded
+    * directories don't count).
+    */
+  def mmIndexLeafCount(indexDir: String): Int =
+    metaOf(indexDir).map(_.leaves.size).getOrElse(0)
+
+  /** Idempotent O(batch) leaf append of (media_id, ahash) rows into the
+    * partitioned hash table `hashes/hgrp=g/leaf=v<N>-tag` — immutable
+    * manifest-committed leaves, a replayed foreachBatch tag no-ops (the
+    * dd13 fold discipline).
+    */
+  def ahashIndexAppend(hashed: DataFrame, indexDir: String,
+      leaf: String, groups: Int = DefaultAHashGroups): Unit =
+    mmIndexAppend(
+      hashed.select(col("media_id"), col("ahash_hi"), col("ahash_lo")),
+      indexDir, "hashes", ahashGroup, "hgrp", leaf, groups)
+
+  /** [[mmIndexCompact]] for the aHash equality index. */
+  def compactAhashIndex(spark: SparkSession, indexDir: String,
+      tag: String): Unit =
+    mmIndexCompact(spark, indexDir, "hashes", "hgrp", tag)
+
+  /** [[mmIndexRegroup]] for the aHash equality index. */
+  def regroupAhashIndex(spark: SparkSession, indexDir: String,
+      newGroups: Int, tag: String): Unit =
+    mmIndexRegroup(spark, indexDir, "hashes", ahashGroup, "hgrp",
+      newGroups, tag)
+
+  /** Screen a hashed batch against the committed index leaves: exact
     * (hi, lo) equi-collisions, the scan PRUNED to the batch's touched
-    * hash groups (≤ [[AHashGroups]] ints collected driver-side — the
-    * dd13 PartitionFilters device). Shuffle carries 24-byte hash rows.
+    * hash groups (≤ groups ints collected driver-side — the dd13
+    * PartitionFilters device) and to the manifest's committed leaves.
+    * Shuffle carries 24-byte hash rows. The manifest is resolved ONCE
+    * (leaves + group dial from the same committed version), and
+    * retained manifests keep this plan executable across later commits
+    * including compactions.
     */
   def screenAhash(spark: SparkSession, indexDir: String,
       batchHashed: DataFrame): DataFrame = {
-    val groups = batchHashed.select(ahashGroup.as("hgrp")).distinct()
+    val meta = metaOf(indexDir)
+    val ngroups = meta.map(_.groups).getOrElse(DefaultAHashGroups)
+    val groups = batchHashed.select(ahashGroup(ngroups).as("hgrp")).distinct()
       .collect().map(r => Int.box(r.getInt(0))).toSeq
-    val index = spark.read.parquet(s"$indexDir/hashes")
+    val index = graft.operators.store.IndexManifest.committedOnly(
+        spark.read.parquet(s"$indexDir/hashes"), meta.map(_.leaves))
       .filter(col("hgrp").isin(groups: _*))
       .select(col("media_id").as("corpus_id"),
         col("ahash_hi"), col("ahash_lo"))
@@ -603,9 +726,9 @@ object Multimodal {
       .select(col("batch_id"), col("corpus_id"))
   }
 
-  private def chunkGroup: org.apache.spark.sql.Column =
+  private def chunkGroup(groups: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(col("chunk_idx"), col("chunk")),
-      lit(AHashGroups.toLong)).cast("int")
+      lit(groups.toLong)).cast("int")
 
   /** The 4 × 16-bit multi-index chunks of a hash relation (mm15's MIH
     * decomposition) — the unit the Hamming-tolerant index stores and the
@@ -621,35 +744,42 @@ object Multimodal {
   /** Fold a hashed batch into the persisted CHUNK index (4 rows per
     * image, partitioned by chunk-hash group) — the Hamming-searchable
     * sibling of [[ahashIndexAppend]]'s equality index; same immutable
-    * tag-idempotent leaf discipline.
+    * manifest-committed tag-idempotent leaf discipline.
     */
   def ahashChunkIndexAppend(hashed: DataFrame, indexDir: String,
-      leaf: String): Unit = {
-    if (graft.sources.cdc.WalSegments.globNonEmpty(indexDir,
-        s"chunks/*/leaf=$leaf")) return
-    ahashChunks(hashed)
-      .withColumn("cgrp", chunkGroup)
-      .withColumn("leaf", lit(leaf))
-      .repartition(col("cgrp"))
-      .write.partitionBy("cgrp", "leaf")
-      .mode("append").parquet(s"$indexDir/chunks")
-    ()
-  }
+      leaf: String, groups: Int = DefaultAHashGroups): Unit =
+    mmIndexAppend(ahashChunks(hashed), indexDir, "chunks", chunkGroup,
+      "cgrp", leaf, groups)
+
+  /** [[mmIndexCompact]] for the Hamming chunk index. */
+  def compactAhashChunkIndex(spark: SparkSession, indexDir: String,
+      tag: String): Unit =
+    mmIndexCompact(spark, indexDir, "chunks", "cgrp", tag)
+
+  /** [[mmIndexRegroup]] for the Hamming chunk index. */
+  def regroupAhashChunkIndex(spark: SparkSession, indexDir: String,
+      newGroups: Int, tag: String): Unit =
+    mmIndexRegroup(spark, indexDir, "chunks", chunkGroup, "cgrp",
+      newGroups, tag)
 
   /** Screen a hashed batch against the chunk index WITHIN HAMMING
     * DISTANCE `maxDist` (≤ 3 — the 4-chunk pigeonhole bound): candidates
     * from chunk-equality joins over the batch's touched chunk groups
-    * (pruned scan, the dd13 device), popcount verify on candidates only.
+    * (pruned scan, the dd13 device) restricted to committed leaves,
+    * popcount verify on candidates only.
     */
   def screenAhashHamming(spark: SparkSession, indexDir: String,
       batchHashed: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-chunk pigeonhole guarantees candidates only for d <= 3")
+    val meta = metaOf(indexDir)
+    val ngroups = meta.map(_.groups).getOrElse(DefaultAHashGroups)
     val bc = ahashChunks(batchHashed)
       .select(col("media_id").as("batch_id"), col("ahash_hi").as("b_hi"),
         col("ahash_lo").as("b_lo"), col("chunk_idx"), col("chunk"))
-    val groups = bc.select(chunkGroup.as("cgrp")).distinct()
+    val groups = bc.select(chunkGroup(ngroups).as("cgrp")).distinct()
       .collect().map(r => Int.box(r.getInt(0))).toSeq
-    val index = spark.read.parquet(s"$indexDir/chunks")
+    val index = graft.operators.store.IndexManifest.committedOnly(
+        spark.read.parquet(s"$indexDir/chunks"), meta.map(_.leaves))
       .filter(col("cgrp").isin(groups: _*))
       .select(col("chunk_idx"), col("chunk"), col("media_id").as("corpus_id"),
         col("ahash_hi").as("c_hi"), col("ahash_lo").as("c_lo"))
@@ -661,6 +791,39 @@ object Multimodal {
         expr("CAST(bit_count(b_hi ^ c_hi) + bit_count(b_lo ^ c_lo) AS BIGINT)"))
       .filter(col("dist") <= maxDist)
       .select(col("batch_id"), col("corpus_id"), col("dist"))
+  }
+
+  /** mm17's driver-checked shape — mm16's Hamming relation run THROUGH
+    * [[compactAhashChunkIndex]]: the originals fold into the chunk
+    * index as FOUR separate leaves (the post-crawl small-file state),
+    * compaction rewrites them to one committed leaf, and the edited
+    * arrivals (+200000, the mm15 blue-bump edit) are then screened
+    * within Hamming distance 3 against the compacted store. Rows are
+    * copied verbatim, so the output is provably mm16's semantic
+    * relation — every (arrival, original) pair within distance 3,
+    * hashes re-derived bit by bit oracle-side, candidate completeness
+    * the pigeonhole theorem — and the leaf census before/after rides
+    * the gated relation (the ann13/dd19 device).
+    */
+  def compactedHammingSelfRecall(spark: SparkSession, d: String): DataFrame = {
+    val tmp = graft.Tables.scratchDir("graft_mm17")
+    val indexDir = s"$tmp/index"
+    val orig = Tables.documents(spark, d)
+      .select(col("doc_id").as("media_id"))
+    (0 until 4).foreach { i =>
+      ahashChunkIndexAppend(ahashOf(orig.filter(col("media_id") % 4 === i)),
+        indexDir, s"inc$i")
+    }
+    val before = mmIndexLeafCount(indexDir)
+    compactAhashChunkIndex(spark, indexDir, "compact0")
+    val after = mmIndexLeafCount(indexDir)
+    val batch = Tables.documents(spark, d).select(col("doc_id"))
+      .filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000L).as("media_id"))
+    screenAhashHamming(spark, indexDir, ahashOf(batch))
+      .select(col("batch_id"), col("corpus_id"), col("dist"),
+        lit(before).as("n_leaves_before"), lit(after).as("n_leaves_after"))
+      .orderBy(col("batch_id"), col("corpus_id"))
   }
 
   /** mm16 — the HAMMING-tolerant image crawl loop: mm10 screens arriving

@@ -205,6 +205,21 @@ object IndexManifest {
     }
   }
 
+  /** Restrict an index relation to the committed leaves (`leaf` is a
+    * partition column, so this is a partition prune): None = legacy
+    * store, scan everything; Some(empty) = committed-empty store, no
+    * rows.
+    */
+  def committedOnly(df: org.apache.spark.sql.DataFrame,
+      live: Option[Seq[String]]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    live match {
+      case Some(ls) if ls.isEmpty => df.filter(lit(false))
+      case Some(ls)               => df.filter(col("leaf").isin(ls: _*))
+      case None                   => df
+    }
+  }
+
   /** Delete any directory named exactly `leaf=<leaf>` under the given
     * relations — crash residue of a torn write carrying the name the
     * retry is about to (re)write; mode("append") would otherwise

@@ -1801,6 +1801,51 @@ FROM hash a JOIN hash b
 WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
 ORDER BY batch_id, corpus_id""",
 
+    // mm17: mm16's semantic relation through chunk-index compaction —
+    // rows copied verbatim, so the screen is provably identical; the
+    // leaf census (4 appended leaves in, 1 referenced out) rides the
+    // gated relation, so a compaction that lost/duplicated rows or a
+    // manifest that miscounted committed leaves both break the hash
+    "mm17_chunk_compact" -> """
+WITH ids AS (
+  SELECT doc_id AS media_id FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 FROM documents WHERE doc_id % 7 = 0),
+px AS (
+  SELECT media_id, media_id % 100000 AS id,
+    media_id >= 100000 AND media_id < 200000 AS noisy,
+    media_id >= 200000 AS edited, y, x
+  FROM ids, range(0, 8) ty(y), range(0, 8) tx(x)),
+lum AS (
+  SELECT media_id, y * 8 + x AS bit,
+    (299 * (((id * 2654435761 + (y*8 + x) * 40503 + 17) % 65521) % 256)
+     + 587 * (((id * 2246822519 + (y*8 + x) * 52361 + 101) % 65521) % 256)
+     + 114 * (CASE WHEN noisy AND (x + y) % 7 = 0
+              THEN (((id * 3266489917 + (y*8 + x) * 44131 + 233) % 65521) % 256 + 1) % 256
+              WHEN edited AND (x + y) % 9 = 0
+              THEN (((id * 3266489917 + (y*8 + x) * 44131 + 233) % 65521) % 256 + 64) % 256
+              ELSE ((id * 3266489917 + (y*8 + x) * 44131 + 233) % 65521) % 256 END)) // 1000 AS luma
+  FROM px),
+tot AS (SELECT media_id, sum(luma) AS total FROM lum GROUP BY 1),
+bits AS (
+  SELECT l.media_id, l.bit,
+    CASE WHEN l.luma * 64 > t.total THEN 1 ELSE 0 END AS b
+  FROM lum l JOIN tot t USING (media_id)),
+hash AS (
+  SELECT media_id,
+    CAST(sum(CASE WHEN bit >= 32
+             THEN b * (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END) AS BIGINT) AS hi,
+    CAST(sum(CASE WHEN bit < 32
+             THEN b * (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS lo
+  FROM bits GROUP BY 1)
+SELECT a.media_id AS batch_id, b.media_id AS corpus_id,
+  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS dist,
+  4 AS n_leaves_before, 1 AS n_leaves_after
+FROM hash a JOIN hash b
+  ON a.media_id >= 200000 AND b.media_id < 100000
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+ORDER BY batch_id, corpus_id""",
+
     "mm09_image_ahash" -> """
 WITH ids AS (
   SELECT unnest(CASE WHEN doc_id % 5 = 0

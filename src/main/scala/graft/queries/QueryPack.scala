@@ -330,6 +330,10 @@ object QueryPack {
     // the Hamming-tolerant image crawl loop: mm15's MIH screen made
     // incremental over a persisted chunk index (edited copies still match)
     "mm16_hamming_stream" -> ((s, d) => Multimodal.streamingHammingSelfRecall(s, d)),
+    // chunk-index leaf compaction: mm16's Hamming relation through
+    // compactAhashChunkIndex — screen identical row-for-row, leaf census
+    // (4 in, 1 referenced out) riding the gated relation
+    "mm17_chunk_compact" -> ((s, d) => Multimodal.compactedHammingSelfRecall(s, d)),
     // ISO BMFF (MP4) header write→parse round trip vs the geometry
     // formulas re-derived oracle-side — see Multimodal.videoProbe
     "mm08_video_probe" -> ((s, d) => Multimodal.videoProbe(s, d)),

@@ -843,6 +843,60 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.toSet == Set((100L, 1L)), s"got ${out.toSet}")
   }
 
+  test("mm index: online compaction keeps pre-planned readers alive; dial recorded; regroup identical") {
+    import spark.implicits._
+    import graft.operators.multimodal.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("mm_compact_spec").toString
+    val rows = (1L to 40L).map(i => (i, i * 7L % 97L, i * 13L % 89L))
+      .toDF("media_id", "ahash_hi", "ahash_lo")
+    (0 until 4).foreach { i =>
+      Multimodal.ahashIndexAppend(rows.filter(col("media_id") % 4 === i),
+        dir, s"inc$i")
+    }
+    assert(Multimodal.mmIndexLeafCount(dir) == 4)
+    val probe = rows.select((col("media_id") + 1000L).as("media_id"),
+      col("ahash_hi"), col("ahash_lo"))
+    // plan BEFORE compaction, execute AFTER — the grace window keeps the
+    // pre-compaction leaves on disk for this reader
+    val preReader = Multimodal.screenAhash(spark, dir, probe)
+    Multimodal.compactAhashIndex(spark, dir, "c0")
+    val pre = preReader.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val post = Multimodal.screenAhash(spark, dir, probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pre == post && pre.size >= 40,
+      s"pre/post-compaction screens must agree: ${pre.size} vs ${post.size}")
+    assert(Multimodal.mmIndexLeafCount(dir) == 1)
+    // compaction replay is a no-op; mismatched dial refused; regroup
+    // re-keys with identical screen output and the new dial enforced
+    Multimodal.compactAhashIndex(spark, dir, "c0")
+    assert(Multimodal.mmIndexLeafCount(dir) == 1)
+    val e = intercept[IllegalStateException] {
+      Multimodal.ahashIndexAppend(rows.limit(1)
+        .select((col("media_id") + 500L).as("media_id"), col("ahash_hi"),
+          col("ahash_lo")), dir, "bad", groups = 8)
+    }
+    assert(e.getMessage.contains("grouped at 32"))
+    Multimodal.regroupAhashIndex(spark, dir, newGroups = 8, tag = "rg0")
+    val regrouped = Multimodal.screenAhash(spark, dir, probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(regrouped == pre, "regroup must not change the screen relation")
+    // the CHUNK index shares the machinery: compacted Hamming screen
+    // identical through the same manifest discipline
+    val cdir = java.nio.file.Files.createTempDirectory("mm_chunk_spec").toString
+    (0 until 2).foreach { i =>
+      Multimodal.ahashChunkIndexAppend(rows.filter(col("media_id") % 2 === i),
+        cdir, s"inc$i")
+    }
+    val hpre = Multimodal.screenAhashHamming(spark, cdir, probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    Multimodal.compactAhashChunkIndex(spark, cdir, "c0")
+    val hpost = Multimodal.screenAhashHamming(spark, cdir, probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hpre == hpost && hpre.nonEmpty,
+      "chunk-index compaction must preserve the Hamming screen")
+    assert(Multimodal.mmIndexLeafCount(cdir) == 1)
+  }
+
   test("mm10: the streamed loop recovers exactly the equal-hash relation") {
     import graft.operators.multimodal.Multimodal
     val out = Multimodal.streamingAHashSelfRecall(spark, sf).collect()
