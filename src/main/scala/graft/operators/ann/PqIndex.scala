@@ -748,16 +748,18 @@ object PqIndex {
     * 100 TB — point-lookup shaped, the embProvider discipline), and the
     * rest of the pipeline is [[topKIvfAgainst]]'s: probe-pruned
     * partitioned scan, exact scaled-integer ADC, exact-cosine rerank.
-    * Raw-coding mode only (residual composition is the same label join
-    * on the per-cell-table branch).
+    * Both coding modes: raw tables are per (query, m, code); RESIDUAL
+    * (IVFADC) tables are per (query, PROBED CELL, m, code) — the
+    * query's residual against each probed cell's centroid is what the
+    * stored residual codes approximate — with the label pre-filter
+    * composed identically on either branch (the ann14 recall
+    * rationale applies the same either way, so the accuracy-bearing
+    * residual index serves the filtered-ANN shape too).
     */
   def topKIvfFilteredAgainst(spark: SparkSession, indexDir: String,
       queries: DataFrame, labels: DataFrame, embProvider: DataFrame,
       nprobe: Int = 4, k: Int = 5, rerank: Int = 32): DataFrame = {
     val meta = readMeta(indexDir)
-    require(!meta.residual,
-      s"$indexDir stores RESIDUAL codes — compose the label join on the " +
-        "residual branch of topKIvfAgainst for IVFADC filtered search")
     val subLen = meta.subLen
     require(meta.coarseDir.nonEmpty,
       s"$indexDir has no coarse quantizer (pre-IVF index)")
@@ -778,17 +780,38 @@ object PqIndex {
       .select(col("vec_id"), col("m"), col("code"), col("cell")))
     val books = artifact(spark, s"$indexDir/${meta.codebooksDir}")
     val cellType = codesDf.schema("cell").dataType
-    val tables = queries.crossJoin(broadcast(books))
-      .select(col("query_id"), col("want_label"), col("m"), col("code"),
-        round(Ann.assignSim(
-          slice(col("q_emb"), col("m") * subLen + 1, lit(subLen)),
-          col("cent_emb")) * lit(1e8)).cast("long").as("subscore"))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id"))
-    val shortlist = probedCodes
-      .join(broadcast(probes.withColumn("cell", col("cell").cast(cellType))),
-        Seq("cell"))
-      .join(broadcast(tables), Seq("query_id", "m", "code"))
+    val scored =
+      if (!meta.residual) {
+        val tables = queries.crossJoin(broadcast(books))
+          .select(col("query_id"), col("want_label"), col("m"), col("code"),
+            round(Ann.assignSim(
+              slice(col("q_emb"), col("m") * subLen + 1, lit(subLen)),
+              col("cent_emb")) * lit(1e8)).cast("long").as("subscore"))
+        probedCodes
+          .join(broadcast(probes.withColumn("cell", col("cell").cast(cellType))),
+            Seq("cell"))
+          .join(broadcast(tables), Seq("query_id", "m", "code"))
+      } else {
+        // IVFADC: one lookup table per (query, probed cell) against the
+        // query's residual in that cell — the topKIvfAgainst residual
+        // branch with want_label riding the broadcast table
+        val tables = probes
+          .join(broadcast(cents.select(col("cent_id").as("cell"),
+            col("cent_emb").as("_cent"))), Seq("cell"))
+          .join(broadcast(queries), Seq("query_id"))
+          .crossJoin(broadcast(books))
+          .select(col("query_id"), col("want_label"),
+            col("cell").cast(cellType).as("cell"),
+            col("m"), col("code"),
+            round(Ann.assignSim(
+              slice(zip_with(col("q_emb"), col("_cent"), (a, b) => a - b),
+                col("m") * subLen + 1, lit(subLen)),
+              col("cent_emb")) * lit(1e8)).cast("long").as("subscore"))
+        probedCodes.join(broadcast(tables), Seq("cell", "m", "code"))
+      }
+    val shortlist = scored
       .join(labels, Seq("vec_id")) // pre-filter: before the shortlist cut
       .filter(col("label") === col("want_label"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -821,14 +844,40 @@ object PqIndex {
     */
   def selfRecallFiltered(spark: SparkSession, d: String,
       nQueries: Int = 64, m: Int = 4, ksub: Int = 16, dim: Int = 64,
-      refineIters: Int = 1, ncells: Int = 16, nprobe: Int = 2): DataFrame = {
+      refineIters: Int = 1, ncells: Int = 16, nprobe: Int = 2): DataFrame =
+    selfRecallFilteredCore(spark, d, nQueries, m, ksub, dim, refineIters,
+      ncells, nprobe, residual = false, rerank = 4096)
+
+  /** ann17's driver-checked shape — ann14's filtered planted-copy
+    * theorem through the RESIDUAL (IVFADC) index, the accuracy-bearing
+    * variant a production deployment actually serves filtered retrieval
+    * from: the copy's coarse cell, residual, and codes are bitwise its
+    * original's, it inherits the label so it passes the pre-filter, and
+    * `rerank` exceeds the probed candidate volume at every driver
+    * fixture so the exact-cosine rerank sees every surviving candidate
+    * and the copy's sim 1.0 wins rank 1 regardless of how residual ADC
+    * orders candidates across probed cells (the ann09 device) — while
+    * train-on-residuals → per-(query, cell) ADC tables → label
+    * pre-filter → rerank all execute.
+    */
+  def selfRecallFilteredResidual(spark: SparkSession, d: String,
+      nQueries: Int = 64, m: Int = 4, ksub: Int = 16, dim: Int = 64,
+      refineIters: Int = 1, ncells: Int = 16, nprobe: Int = 2): DataFrame =
+    selfRecallFilteredCore(spark, d, nQueries, m, ksub, dim, refineIters,
+      ncells, nprobe, residual = true, rerank = 1 << 20)
+
+  private def selfRecallFilteredCore(spark: SparkSession, d: String,
+      nQueries: Int, m: Int, ksub: Int, dim: Int, refineIters: Int,
+      ncells: Int, nprobe: Int, residual: Boolean, rerank: Int): DataFrame = {
     val withLabel = Tables.spread(Tables.embeddings(spark, d)
       .select(col("vec_id"), col("embedding"), col("label"))).cache()
     val base = withLabel.select(col("vec_id"), col("embedding"))
     val copies = base.filter(col("vec_id") < nQueries)
       .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
-    val indexDir = graft.Tables.scratchDir("graft-pq-filtered")
-    build(base, indexDir, m, ksub, dim, refineIters, ncells)
+    val indexDir = graft.Tables.scratchDir(
+      if (residual) "graft-pq-filtered-res" else "graft-pq-filtered")
+    build(base, indexDir, m, ksub, dim, refineIters, ncells,
+      residual = residual)
     append(spark, indexDir, copies)
     val labels = withLabel.select(col("vec_id"), col("label"))
       .unionByName(withLabel.filter(col("vec_id") < nQueries)
@@ -837,7 +886,7 @@ object PqIndex {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("label").as("want_label"))
     topKIvfFilteredAgainst(spark, indexDir, queries, labels,
-      base.unionByName(copies), nprobe, k = 1, rerank = 4096)
+      base.unionByName(copies), nprobe, k = 1, rerank = rerank)
       .select(col("query_id"), col("want_label"),
         col("vec_id").as("match_id"), col("sim"))
       .orderBy(col("query_id"))

@@ -747,6 +747,15 @@ SELECT vec_id AS query_id, label AS want_label,
   vec_id + 100000 AS match_id, CAST(1.0 AS DOUBLE) AS sim
 FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
 
+    // ann17: ann14's filtered planting formula through the RESIDUAL
+    // (IVFADC) index — identical relation: the copy shares its
+    // original's cell/residual/codes and label, rerank exceeds probed
+    // volume, so filtered residual search provably returns it at rank 1
+    "ann17_filtered_residual" -> """
+SELECT vec_id AS query_id, label AS want_label,
+  vec_id + 100000 AS match_id, CAST(1.0 AS DOUBLE) AS sim
+FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
+
     // ann15: tombstone deletes — two exact copies per query, the
     // +100000 copy deleted for query % 7 == 0; sim-1.0 ties break by
     // ascending vec_id, so the match flips to +200000 exactly where the

@@ -289,6 +289,9 @@ object QueryPack {
     // FILTERED vector search: per-query metadata predicate applied
     // BEFORE the ADC shortlist cut — see PqIndex.topKIvfFilteredAgainst
     "ann14_filtered"    -> ((s, d) => PqIndex.selfRecallFiltered(s, d)),
+    // filtered search over the RESIDUAL (IVFADC) index — per-(query,
+    // cell) ADC tables with the label pre-filter before the shortlist cut
+    "ann17_filtered_residual" -> ((s, d) => PqIndex.selfRecallFilteredResidual(s, d)),
     // tombstone DELETES: the CDC-sync shape — deleted vectors invisible
     // to every search path without rewriting a code leaf
     "ann15_tombstone"   -> ((s, d) => PqIndex.selfRecallDeleted(s, d)),

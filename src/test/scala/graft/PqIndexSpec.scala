@@ -415,6 +415,30 @@ class PqIndexSpec extends AnyFunSuite {
       s"filtered search returned label ${r.getInt(1)} for want ${r.getInt(0)}"))
   }
 
+  test("ann17: the label pre-filter bites on the RESIDUAL (IVFADC) branch too") {
+    import graft.operators.ann.PqIndex
+    val withLabel = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label")).cache()
+    val base = withLabel.select(col("vec_id"), col("embedding"))
+    val dir = tmpDir()
+    PqIndex.build(base, dir, residual = true)
+    assert(PqIndex.readMeta(dir).residual, "fixture must be an IVFADC index")
+    val labels = withLabel.select(col("vec_id"), col("label"))
+    val nLabels = withLabel.agg(max(col("label"))).collect()(0).getInt(0) + 1
+    val queries = withLabel.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        ((col("label") + 1) % nLabels).as("want_label"))
+    val out = PqIndex.topKIvfFilteredAgainst(spark, dir, queries, labels,
+      base, nprobe = 16, k = 5, rerank = 4096)
+    val labelOf = labels.select(col("vec_id").as("matched_id"), col("label"))
+    val joined = out.join(labelOf, col("vec_id") === col("matched_id"))
+      .select(col("want_label"), col("label")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"residual filtered search returned label ${r.getInt(1)} for " +
+        s"want ${r.getInt(0)}"))
+  }
+
   test("ann06 self-recall through the persisted index is the planting relation") {
     val out = PqIndex.selfRecallPersisted(spark, sf).collect()
     val n = emb.count()
