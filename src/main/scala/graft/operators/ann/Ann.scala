@@ -487,6 +487,97 @@ object Ann {
       .orderBy(col("vec_id"))
   }
 
+  /** GREEDY GRAPH SEARCH over a [[knnGraphOf]] graph — the consumer
+    * that makes the k-NN graph load-bearing (HNSW/NSG's beam-search
+    * move as a relational plan): starting from per-query SEED vertices,
+    * expand `hops` rounds of graph neighbors, keep a beam of the best
+    * `beam` visited candidates per query by EXACT cosine after each
+    * round, and return the top-k of everything visited. Candidates come
+    * ONLY from the seeds and the graph's edges — no cell probe, no
+    * corpus scan — so search cost is |queries| · beam · degree per hop
+    * regardless of corpus size, and a broken graph (a missing edge)
+    * surfaces as a missing result, never silently recovered.
+    *
+    * Scale shape: each hop is one edge equi-join (ids only ride it)
+    * plus one point-lookup-shaped embedding join for the new frontier
+    * and a per-query WindowGroupLimit beam cut; `hops` is a small
+    * constant so the plan is a fixed chain. The graph side is the
+    * (vec_id → nbr_id) relation, co-located by vec_id at 100 TB.
+    *
+    * @param graph   (vec_id, nbr_id, …) edge relation ([[knnGraphOf]])
+    * @param emb     (vec_id, embedding) store for exact scoring
+    * @param queries (query_id, q_emb) — tiny, broadcast
+    * @param seeds   (query_id, vec_id) entry points (an IVF probe's
+    *                coarse winners, a prior result, or any known-near
+    *                vertex)
+    */
+  def graphSearchTopK(graph: DataFrame, emb: DataFrame, queries: DataFrame,
+      seeds: DataFrame, hops: Int = 2, beam: Int = 8, k: Int = 5): DataFrame = {
+    require(hops >= 1 && hops <= 4, "hops must be a small constant (1..4)")
+    val edges = graph.select(col("vec_id"), col("nbr_id"))
+    val wSim = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    def score(cands: DataFrame): DataFrame = cands
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .select(col("query_id"), col("vec_id"), col("sim"))
+    var visited = seeds.select(col("query_id"), col("vec_id")).distinct()
+    var frontier = visited
+    for (_ <- 1 to hops) {
+      val expanded = frontier
+        .join(edges, Seq("vec_id"))
+        .select(col("query_id"), col("nbr_id").as("vec_id"))
+      visited = visited.unionByName(expanded).distinct()
+      // greedy beam: only the best `beam` visited vertices expand next
+      frontier = score(visited)
+        .withColumn("rnk", row_number().over(wSim))
+        .filter(col("rnk") <= beam)
+        .select(col("query_id"), col("vec_id"))
+    }
+    score(visited)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rnk", row_number().over(wSim))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** ann18's driver-checked shape — the planted theorem through
+    * build → SEARCH: [[knnGraphOf]] over the corpus plus TWO exact
+    * copies per planted original (+100000, +200000 — a sim-1.0
+    * triple), then [[graphSearchTopK]] with each +200000 copy as the
+    * query, seeded AT ITSELF. The only path to an answer is the
+    * graph: hop 1 reaches the seed's top-k edges, which provably
+    * include both its twins (identical vectors rank 1–2 at sim 1.0 in
+    * the seed's cell — same cell by identical assignment); exact
+    * rerank then puts the ORIGINAL first (sim 1.0, ascending-id
+    * tie-break beats +100000; organic sims cap ≈ 0.4 in the fixture).
+    * A lost edge, a broken expansion join, or a wrong beam cut all
+    * surface as a missing or mis-ranked row — the graph is
+    * load-bearing, not decorative.
+    */
+  def graphSearchSelfRecall(spark: SparkSession, d: String,
+      nQueries: Int = 64): DataFrame = {
+    val base = Tables.spread(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))).cache()
+    val qs = base.filter(col("vec_id") < nQueries)
+    val copies1 = qs.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding"))
+    val copies2 = qs.select((col("vec_id") + 200000L).as("vec_id"),
+      col("embedding"))
+    val all = base.unionByName(copies1).unionByName(copies2)
+    val graph = knnGraphOf(all)
+    val queries = copies2.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val seeds = copies2.select((col("vec_id")).as("query_id"),
+      col("vec_id"))
+    graphSearchTopK(graph, all, queries, seeds, hops = 2, beam = 8, k = 1)
+      .select(col("query_id"), col("vec_id").as("match_id"), col("sim"))
+      .orderBy(col("query_id"))
+  }
+
   /** Per-label embedding stats (norm distribution) — the sanity scan a
     * pipeline runs before indexing.
     *

@@ -2577,6 +2577,15 @@ FROM embeddings ORDER BY vec_id""",
 SELECT vec_id, vec_id + 100000 AS nbr_id, true AS mutual
 FROM embeddings ORDER BY vec_id""",
 
+    // ann18: greedy graph search planted theorem — each +200000 copy,
+    // seeded at itself, reaches its sim-1.0 twins only through its
+    // graph edges; exact rerank puts the ORIGINAL first (ascending-id
+    // tie-break at sim 1.0)
+    "ann18_graph_search" -> """
+SELECT vec_id + 200000 AS query_id, vec_id AS match_id,
+  CAST(1.0 AS DOUBLE) AS sim
+FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
+
     "ann04_ivf_topk" -> """
 SELECT vec_id AS query_id, 1 AS rnk, vec_id + 100000 AS vec_id,
   CAST(1.0 AS DOUBLE) AS sim

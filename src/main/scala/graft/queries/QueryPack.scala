@@ -298,6 +298,9 @@ object QueryPack {
     // k-NN graph: cell-keyed top-k neighbors + mutual-edge flag (the
     // NN-descent/graph-clustering substrate); planted-copy theorem
     "ann16_knn_graph"   -> ((s, d) => Ann.knnGraphSelfRecall(s, d)),
+    // greedy graph search CONSUMING the k-NN graph: seed → edge
+    // expansion → beam → exact rerank; candidates come only from edges
+    "ann18_graph_search" -> ((s, d) => Ann.graphSearchSelfRecall(s, d)),
 
     // ---- multimodal ----
     "mm01_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),

@@ -1576,6 +1576,36 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann18 graph search: candidates come ONLY from graph edges (the graph is load-bearing)") {
+    import spark.implicits._
+    import graft.operators.ann.Ann
+    // v1 and v2 are identical; v3 is orthogonal-ish. A handcrafted graph
+    // gives the seed (v3) an edge to v1 ONLY: v2 would score identically
+    // but is unreachable, so the search returning v1 — and NOT v2 even
+    // with a generous beam/k — proves candidates are edge-restricted
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val graph = Seq((3L, 1L)).toDF("vec_id", "nbr_id")
+    val queries = Seq((3L, Array(1f, 0f, 0f, 0f))).toDF("query_id", "q_emb")
+    val seeds = Seq((3L, 3L)).toDF("query_id", "vec_id")
+    val out = Ann.graphSearchTopK(graph, emb, queries, seeds,
+        hops = 2, beam = 8, k = 5)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.map(_._2).toSet == Set(1L),
+      s"only edge-reachable vertices may surface (v2 unreachable, the " +
+        s"seed itself self-excluded): ${out.toSeq}")
+    assert(out.head == (1, 1L), s"v1 (sim 1.0) must rank first: ${out.toSeq}")
+    // add the v1→v2 edge: v2 becomes reachable at hop 2 and now surfaces
+    val graph2 = Seq((3L, 1L), (1L, 2L)).toDF("vec_id", "nbr_id")
+    val out2 = Ann.graphSearchTopK(graph2, emb, queries, seeds,
+        hops = 2, beam = 8, k = 5)
+      .collect().map(r => r.getLong(2)).toSet
+    assert(out2 == Set(1L, 2L),
+      s"two-hop expansion must reach v2 through v1: $out2")
+  }
+
   test("ann16 kNN graph: k edges per node (cell permitting), mutual flag symmetric") {
     import graft.operators.ann.Ann
     val base = graft.Tables.embeddings(spark, sf)
