@@ -659,13 +659,23 @@ object PqIndex {
     require(meta.coarseDir.nonEmpty,
       s"$indexDir has no coarse quantizer (pre-IVF index)")
     val cents = artifact(spark, s"$indexDir/${meta.coarseDir}")
-    // cache the tiny probes relation (|queries| × nprobe rows): it feeds
-    // both the driver-side prune list and the in-plan candidate join —
-    // without the pin the probe ranking subtree executes twice
-    val probes = Ann.probeCells(queries, cents, nprobe).cache()
+    // the probes relation (|queries| × nprobe id pairs) is collected
+    // ONCE and re-planned as a LocalRelation: it feeds both the
+    // driver-side prune list and the in-plan broadcast join, and a
+    // LocalRelation costs nothing to re-reference — unlike the previous
+    // per-call .cache(), which a crawl loop leaked one pinned relation
+    // per micro-batch. Scale envelope: strictly smaller than the
+    // broadcast(queries) every search already carries (ids vs
+    // ids+embeddings), so this collect is broadcast-sized by the same
+    // argument.
+    val probeRows = Ann.probeCells(queries, cents, nprobe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toIndexedSeq
+    val probes = {
+      import spark.implicits._
+      probeRows.toDF("query_id", "cell")
+    }
     // the probed-cell union: bounded by ncells — metadata, never data
-    val probedVals = probes.select(col("cell")).distinct()
-      .collect().map(_.getLong(0))
+    val probedVals = probeRows.map(_._2).distinct.toArray
     val codesDf = spark.read.parquet(s"$indexDir/codes")
     // partition-value inference types `cell` by its values (int when they
     // fit) — box the probe literals to the inferred type so the pruning
@@ -765,9 +775,14 @@ object PqIndex {
       s"$indexDir has no coarse quantizer (pre-IVF index)")
     val cents = artifact(spark, s"$indexDir/${meta.coarseDir}")
     val qSlim = queries.select(col("query_id"), col("q_emb"))
-    val probes = Ann.probeCells(qSlim, cents, nprobe).cache()
-    val probedVals = probes.select(col("cell")).distinct()
-      .collect().map(_.getLong(0))
+    // collected-once LocalRelation, not .cache() — see topKIvfAgainst
+    val probeRows = Ann.probeCells(qSlim, cents, nprobe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toIndexedSeq
+    val probes = {
+      import spark.implicits._
+      probeRows.toDF("query_id", "cell")
+    }
+    val probedVals = probeRows.map(_._2).distinct.toArray
     val codesDf = spark.read.parquet(s"$indexDir/codes")
     val cellLits: Seq[Any] = codesDf.schema("cell").dataType match {
       case org.apache.spark.sql.types.IntegerType =>
@@ -1078,9 +1093,13 @@ object PqIndex {
     val stageDir = s"$tmp/arrivals"
     val outDir = s"$tmp/matches"
     // one-off train+persist bootstrap, metered apart from the increments
-    // (bench: bootstrap_sec vs per_increment_sec)
+    // (bench: bootstrap_sec vs per_increment_sec). The fixture's cached
+    // embedding store materializes HERE too — it is scaffolding shared
+    // by every increment, and letting the first micro-batch pay it made
+    // that increment read as a false straggler in per_increment_sec.
     graft.streaming.Graft.CrawlMetrics.timed("graft-search-and-append-bootstrap") {
       build(base, indexDir, m, ksub, dim, refineIters)
+      all.count()
     }
     copies.repartition(nBatches, col("vec_id")).write.parquet(stageDir)
     val schema = spark.read.parquet(stageDir).schema
