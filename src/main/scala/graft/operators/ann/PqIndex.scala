@@ -414,6 +414,24 @@ object PqIndex {
     } catch { case _: java.io.FileNotFoundException => () }
   }
 
+  /** Delete any directory named `leaf=<leaf>` under `rel` — residue of
+    * a torn TAGGED write about to be retried under the same
+    * deterministic name (random-suffixed leaves never collide; tagged
+    * ones do by design, that is the idempotency device). Handles both
+    * the nested `codes/cell=c/leaf=…` and flat `tombs/leaf=…` layouts.
+    */
+  private def dropLeafResidue(indexDir: String, rel: String,
+      leaf: String): Unit = {
+    val (fs, _) = WalSegments.fsFor(indexDir)
+    def glob(pattern: String) =
+      try Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$indexDir/$rel/$pattern"))).toSeq.flatten.map(_.getPath)
+      catch { case _: java.io.IOException => Seq.empty }
+    (glob(s"*/leaf=$leaf") ++ glob(s"leaf=$leaf")).foreach { p =>
+      try fs.delete(p, true) catch { case _: java.io.IOException => () }
+    }
+  }
+
   /** Union of the leaf names referenced by every manifest version still
     * on disk (plus the legacy single-file manifest) — the live set for
     * [[sweepUnreferenced]]. A manifest that fails to read contributes
@@ -469,6 +487,13 @@ object PqIndex {
     }
     sweepUnreferenced(indexDir, meta)
     val leaf = leafName(meta.version + 1, tag.getOrElse(randomSuffix()))
+    // a TAGGED append's leaf name is deterministic, so a replay after a
+    // crash between the leaf write and the manifest commit would
+    // mode("append") into the SAME directories and duplicate every row
+    // once committed — and the version-guarded sweep above cannot
+    // collect that residue (its version is ABOVE the current commit).
+    // Drop the torn attempt's dirs explicitly before rewriting.
+    dropLeafResidue(indexDir, "codes", leaf)
     writeCodesLeaf(spark, indexDir, batch, leaf,
       artifact(spark, s"$indexDir/${meta.codebooksDir}"),
       artifact(spark, s"$indexDir/${meta.coarseDir}"), meta.subLen,
@@ -504,6 +529,7 @@ object PqIndex {
       if (meta.tombLeaves.exists(_.endsWith(s"-$t"))) return meta
     }
     val leaf = tombLeafName(meta.version + 1, tag.getOrElse(randomSuffix()))
+    dropLeafResidue(indexDir, "tombs", leaf) // torn tagged-replay residue
     ids.select(col("vec_id").cast("long").as("vec_id"))
       .withColumn("leaf", lit(leaf))
       .write.mode("append").partitionBy("leaf")
@@ -575,6 +601,7 @@ object PqIndex {
     if (meta.codeLeaves.size <= 1 && meta.tombLeaves.isEmpty)
       return meta // already compact
     val leaf = leafName(meta.version + 1, tag.getOrElse(randomSuffix()))
+    dropLeafResidue(indexDir, "codes", leaf) // torn tagged-replay residue
     // tombstoned codes drop out physically here; the rewritten index
     // carries an empty tombstone set (deletes are already invisible to
     // every search path, so the compacted relation is search-identical)

@@ -917,6 +917,51 @@ object Dedup {
       .orderBy(col("batch_id"))
   }
 
+  /** dd21 — dd13's crawl loop WITH the in-stream compaction cadence
+    * (`compactEvery = 2`): the facade compacts the index every second
+    * micro-batch WHILE the loop runs — the maintenance move a
+    * production crawl needs to keep its directory bounded without
+    * stopping, possible only because compaction is online-safe under
+    * the index manifest (screens planned against earlier manifests keep
+    * their files through the grace window). The gated relation is
+    * dd13's planted theorem — every arriving copy pairs with its
+    * original at Jaccard 1.0 regardless of batch boundaries OR of
+    * compactions landing between them — plus the final leaf census:
+    * with 4 batches and a cadence of 2, the last fold (bid 3) is
+    * followed by a compaction, so exactly ONE committed leaf remains
+    * (a cadence that silently stopped compacting, or a compaction that
+    * lost rows, both break the gate).
+    */
+  def streamingCompactingSelfRecall(spark: SparkSession, d: String,
+      nBatches: Int = 4): DataFrame = {
+    val base = Tables.spread(
+      Tables.documents(spark, d).select(col("doc_id"), col("text")))
+    val tmp = graft.Tables.scratchDir("graft_dd21")
+    val indexDir = s"$tmp/index"
+    val stageDir = s"$tmp/arrivals"
+    val outDir = s"$tmp/pairs"
+    graft.streaming.Graft.CrawlMetrics.timed(
+        "graft-screen-fold-compact-bootstrap") {
+      dedupIndexAppend(base, indexDir, "corpus")
+    }
+    base.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      .repartition(nBatches, col("doc_id"))
+      .write.parquet(stageDir)
+    val schema = spark.read.parquet(stageDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    val q = graft.GraftSession.withStreamShuffle(spark)(
+      graft.streaming.Graft.screenAndFold(stream, indexDir, outDir,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        queryName = "graft-screen-fold-compact", compactEvery = 2))
+    graft.GraftSession.awaitFinished(q)
+    val leavesFinal = indexLeafCount(spark, indexDir)
+    spark.read.parquet(outDir)
+      .filter(col("corpus_id") === col("batch_id") - 100000L)
+      .withColumn("n_leaves_final", lit(leavesFinal))
+      .orderBy(col("batch_id"))
+  }
+
   /** SimHash (64-bit) per doc + near-dup pairs at Hamming ≤ maxHamming,
     * candidates via 4×16-bit chunk equality (pigeonhole: hamming ≤ 3 ⇒ at
     * least one chunk identical) — again an equi-join, no cross product.

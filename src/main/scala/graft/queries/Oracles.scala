@@ -2424,6 +2424,20 @@ SELECT doc_id + 100000 AS batch_id, doc_id AS corpus_id,
   CAST(1.0 AS DOUBLE) AS jaccard
 FROM t WHERE len(toks) >= 3 ORDER BY batch_id""",
 
+    // dd21: dd13's planted relation THROUGH in-stream compactions
+    // (cadence 2 over 4 batches => the final fold is followed by a
+    // compaction, so exactly one committed leaf remains); the census
+    // breaks the hash if the cadence silently stops compacting or a
+    // compaction loses rows
+    "dd21_stream_compact" -> """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id + 100000 AS batch_id, doc_id AS corpus_id,
+  CAST(1.0 AS DOUBLE) AS jaccard, 1 AS n_leaves_final
+FROM t WHERE len(toks) >= 3 ORDER BY batch_id""",
+
     // duplicated-span statistics: positional 8-gram corpus counts; the
     // covered-position total per doc is the interval-union length via the
     // monotone-end identity Σ min(k, s - prev_s) — integer math only

@@ -261,6 +261,10 @@ object QueryPack {
     "dd18_edit_dedup"     -> ((s, d) => Dedup.editNearDups(s, d)),
     // dedup-index leaf COMPACTION: 4 crawl leaves rewritten to one,
     // screen provably identical — see Dedup.compactedSelfRecall
+    // the crawl loop with the IN-STREAM compaction cadence: compactEvery=2
+    // folds leaves mid-loop (online-safe under the index manifest); the
+    // final leaf census rides the gated relation
+    "dd21_stream_compact" -> ((s, d) => Dedup.streamingCompactingSelfRecall(s, d)),
     "dd19_index_compact"  -> ((s, d) => Dedup.compactedSelfRecall(s, d)),
     // tombstone deletes through the dedup index (the CDC-sync delete
     // path): deleted docs' copies provably match nothing, survivors at

@@ -587,12 +587,24 @@ object Graft {
     * re-crawl of the same doc_id revives it) and they are neither
     * screened nor folded; all other rows — including op NULL — are
     * upserts. Streams without an `op` column behave as before.
+    *
+    * `compactEvery` (0 = never) is the in-stream small-file maintenance
+    * cadence — the [[Materializer.sink]] discipline on the index axis:
+    * every `compactEvery` batches the loop folds its accumulated leaves
+    * to one ([[graft.operators.dedup.Dedup.compactDedupIndex]],
+    * deterministic per-bid tag so replays no-op). The loop is the
+    * store's single writer, so IT owns the cadence; compaction is
+    * ONLINE-SAFE under the index manifest's retained-leaf grace window
+    * — concurrent screens planned against earlier manifests keep their
+    * files — which is what keeps a long-running crawl's directory
+    * bounded without stopping the stream.
     */
   def screenAndFold(docs: DataFrame, indexDir: String, pairsDir: String,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.8,
       checkpoint: Option[String] = None,
       trigger: Trigger = Trigger.ProcessingTime(0L),
-      queryName: String = "graft-screen-and-fold"): StreamingQuery = {
+      queryName: String = "graft-screen-and-fold",
+      compactEvery: Int = 0): StreamingQuery = {
     val spark = docs.sparkSession
     var w = docs.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       CrawlMetrics.timed(queryName) {
@@ -615,6 +627,9 @@ object Graft {
         graft.operators.dedup.Dedup
           .dedupIndexAppend(upserts, indexDir, f"b$bid%06d", numHashes, bands,
             bid = bid)
+        if (compactEvery > 0 && (bid + 1) % compactEvery == 0)
+          graft.operators.dedup.Dedup
+            .compactDedupIndex(spark, indexDir, f"c$bid%06d")
       }
     }.queryName(queryName).trigger(trigger)
     checkpoint.foreach(c => w = w.option("checkpointLocation", c))
@@ -634,13 +649,19 @@ object Graft {
     *
     * Delivery: the index fold is EXACTLY-ONCE (batch-id idempotency tag
     * on [[graft.operators.ann.PqIndex.append]]); the matches sink is
-    * at-least-once.
+    * at-least-once. `compactEvery` (0 = never) folds the accumulated
+    * code leaves to one every `compactEvery` batches
+    * ([[graft.operators.ann.PqIndex.compact]], deterministic per-bid
+    * tag) — the loop owns the maintenance cadence as the store's single
+    * writer; searches planned against retained manifests keep working
+    * through it.
     */
   def searchAndAppend(vecs: DataFrame, indexDir: String, matchesDir: String,
       embProvider: DataFrame, nprobe: Int = 4, k: Int = 5, rerank: Int = 32,
       checkpoint: Option[String] = None,
       trigger: Trigger = Trigger.ProcessingTime(0L),
-      queryName: String = "graft-search-and-append"): StreamingQuery = {
+      queryName: String = "graft-search-and-append",
+      compactEvery: Int = 0): StreamingQuery = {
     val spark = vecs.sparkSession
     var w = vecs.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       CrawlMetrics.timed(queryName) {
@@ -653,6 +674,9 @@ object Graft {
           .write.mode("append").parquet(matchesDir)
         graft.operators.ann.PqIndex
           .append(spark, indexDir, batch, tag = Some(f"b$bid%06d"))
+        if (compactEvery > 0 && (bid + 1) % compactEvery == 0)
+          graft.operators.ann.PqIndex
+            .compact(spark, indexDir, tag = Some(f"c$bid%06d"))
         ()
       }
     }.queryName(queryName).trigger(trigger)

@@ -167,13 +167,16 @@ class GraftConfigSpec extends AnyFunSuite {
       .filter(col("corpus_id") === col("batch_id") - 1000L)
     assert(pairs.count() == 20L, "every copy must screen against its original")
     // the batches are folded in: the index now carries corpus + 2 leaves
+    // (leaf partition values are `v<version>-<tag>` under the manifest
+    // discipline — compare by TAG)
     val bands = spark.read.parquet(s"$tmp/index/bands")
     val leaves = bands.select("leaf").distinct().as[String].collect().toSet
-    assert(leaves.size == 3 && leaves.contains("corpus"), s"leaves: $leaves")
-    // replaying an already-folded batch id is a NO-OP (exactly-once fold)
+    val tags = leaves.map(graft.operators.store.IndexManifest.tagOf)
+    assert(tags.size == 3 && tags.contains("corpus"), s"leaves: $leaves")
+    // replaying an already-folded batch TAG is a NO-OP (exactly-once fold)
     val before = bands.count()
     graft.operators.dedup.Dedup.dedupIndexAppend(
-      corpus.limit(5), s"$tmp/index", leaves.filter(_ != "corpus").head)
+      corpus.limit(5), s"$tmp/index", tags.filter(_ != "corpus").head)
     assert(spark.read.parquet(s"$tmp/index/bands").count() == before,
       "replayed leaf tag must not re-fold")
   }

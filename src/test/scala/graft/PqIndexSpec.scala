@@ -285,6 +285,70 @@ class PqIndexSpec extends AnyFunSuite {
     all.unpersist(); ()
   }
 
+  test("searchAndAppend: compactEvery folds code leaves mid-loop; matches unchanged") {
+    val base = Tables.spread(emb).cache()
+    val all = graft.operators.ann.Ann.withExactCopies(base).cache()
+    val copies = all.filter(col("vec_id") >= 100000L)
+    val tmp = graft.Tables.scratchDir("graft-pq-stream-compact")
+    val dir = s"$tmp/index"
+    val stageDir = s"$tmp/arrivals"
+    val outDir = s"$tmp/matches"
+    PqIndex.build(base, dir)
+    copies.repartition(4, col("vec_id")).write.parquet(stageDir)
+    val schema = spark.read.parquet(stageDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    val q = graft.GraftSession.withStreamShuffle(spark)(
+      graft.streaming.Graft.searchAndAppend(stream, dir, outDir,
+        embProvider = all, nprobe = 2, k = 1, rerank = 1024,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        queryName = "graft-saa-compact-spec", compactEvery = 2))
+    graft.GraftSession.awaitFinished(q)
+    // 4 batches at cadence 2: the last fold is followed by a compaction,
+    // so exactly one committed code leaf remains — and the planted
+    // relation survived every mid-loop compaction
+    assert(PqIndex.readMeta(dir).codeLeaves.size == 1,
+      s"cadence must leave one committed leaf: ${PqIndex.readMeta(dir).codeLeaves}")
+    val pairs = spark.read.parquet(outDir)
+      .filter(col("vec_id") === col("query_id") - 100000L)
+      .select(col("query_id")).distinct().count()
+    val expected = copies.count()
+    assert(pairs == expected,
+      s"every arriving copy must find its original: $pairs of $expected")
+    base.unpersist(); all.unpersist(); ()
+  }
+
+  test("append: a torn TAGGED attempt's residue is dropped on replay — no duplicate rows") {
+    import spark.implicits._
+    val all = Tables.spread(emb).cache()
+    val dir = tmpDir()
+    PqIndex.build(all.filter(col("vec_id") < 30), dir)
+    val batch = all.filter(col("vec_id") >= 30 && col("vec_id") < 40)
+    // commit a tagged append, then simulate "crashed between the leaf
+    // write and the manifest commit" by deleting the committing
+    // manifest version: the deterministic leaf name's dirs stay behind
+    // as residue
+    val m = PqIndex.append(spark, dir, batch, tag = Some("b000001"))
+    val (fs, _) = graft.sources.cdc.WalSegments.fsFor(dir)
+    fs.delete(new org.apache.hadoop.fs.Path(dir,
+      f"_pq_manifest-v${m.version}%08d"), false)
+    assert(PqIndex.readMeta(dir).version == m.version - 1,
+      "fixture must read back the pre-append manifest")
+    // the foreachBatch replay: same tag, same deterministic leaf name —
+    // the torn attempt's residue must be dropped, not appended into
+    PqIndex.append(spark, dir, batch, tag = Some("b000001"))
+    val counts = PqIndex.codes(spark, dir)
+      .groupBy(col("vec_id")).count()
+      .filter(col("count") =!= 4) // m=4 codes per vector, exactly once
+      .count()
+    assert(counts == 0L,
+      "a replayed tagged append must never duplicate a vector's codes")
+    val ids = PqIndex.codes(spark, dir).select(col("vec_id")).distinct()
+      .as[Long].collect().toSet
+    assert(ids == (0L until 40L).toSet, s"post-replay id set: ${ids.size}")
+    all.unpersist(); ()
+  }
+
   test("syncVectorIndex: a deleted-then-reinserted replica row becomes searchable again") {
     import graft.streaming.Materializer
     import spark.implicits._
