@@ -544,6 +544,77 @@ object Ann {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** One NN-DESCENT refinement round (Dong et al. 2011) — the
+    * graph-improvement move that turns a cheap/degraded initial k-NN
+    * graph into a better one without any corpus×corpus pass: each
+    * node's candidate set is its current neighbors, its REVERSE
+    * neighbors, and the neighbors of both (the "a neighbor of my
+    * neighbor is probably my neighbor" step); candidates are verified
+    * by EXACT cosine and each node keeps its new top-k. All joins are
+    * ids-only until the bounded per-node verification; embeddings ride
+    * only the candidate-scoring join, never a shuffle of the corpus.
+    * Cost per round: |E|·degree candidate rows, |E| = k·n — linear in
+    * the corpus, never quadratic.
+    */
+  def nnDescentRound(graph: DataFrame, emb: DataFrame, k: Int = 3): DataFrame = {
+    val fwd = graph.select(col("vec_id"), col("nbr_id"))
+    val rev = fwd.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id"))
+    val und = fwd.unionByName(rev) // neighbors ∪ reverse neighbors
+    val twoHop = und
+      .join(und.select(col("vec_id").as("nbr_id"), col("nbr_id").as("hop2")),
+        Seq("nbr_id"))
+      .select(col("vec_id"), col("hop2").as("nbr_id"))
+    val cands = und.unionByName(twoHop)
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .distinct()
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("nbr_id"))
+    cands
+      .join(emb, Seq("vec_id"))
+      .join(emb.select(col("vec_id").as("nbr_id"),
+        col("embedding").as("nbr_emb")), Seq("nbr_id"))
+      .withColumn("sim", cosine(col("embedding"), col("nbr_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("nbr_id"), col("rank"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** ann19's driver-checked shape — NN-descent made PROVABLE: build a
+    * deliberately DEGRADED initial graph (k = 1: every node keeps only
+    * its single nearest neighbor) over the corpus plus TWO exact copies
+    * per planted original, then run ONE [[nnDescentRound]] at k = 2.
+    * In the k = 1 graph each member of a planted sim-1.0 triple
+    * (i, i+100000, i+200000) points at exactly one twin (ascending-id
+    * tie-break: i→i+1e5, i+1e5→i, i+2e5→i), so the +200000 node's list
+    * provably LACKS its second twin — and one refinement round
+    * provably finds it: candidates include neighbors-of-neighbors, and
+    * nbr(nbr(i+2e5)) = nbr(i) ∋ i+100000. After the round every
+    * +200000 node's top-2 is exactly {original, +100000 copy} at sim
+    * 1.0 (no other candidate reaches 1.0; naturals cap ≈ 0.4) — the
+    * relation the oracle re-derives from the planting formula alone,
+    * while degraded-build → candidate generation → exact verify →
+    * re-rank all execute. A refinement that stopped at 1 hop, skipped
+    * reverse edges, or mis-ranked candidates breaks the gate.
+    */
+  def nnDescentSelfRecall(spark: SparkSession, d: String,
+      nQueries: Int = 64): DataFrame = {
+    val base = Tables.spread(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))).cache()
+    val qs = base.filter(col("vec_id") < nQueries)
+    val copies1 = qs.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding"))
+    val copies2 = qs.select((col("vec_id") + 200000L).as("vec_id"),
+      col("embedding"))
+    val all = base.unionByName(copies1).unionByName(copies2)
+    val degraded = knnGraphOf(all, k = 1)
+    nnDescentRound(degraded, all, k = 2)
+      .filter(col("vec_id") >= 200000L)
+      .select(col("vec_id").as("node_id"), col("rank"),
+        col("nbr_id"), col("sim"))
+      .orderBy(col("node_id"), col("rank"))
+  }
+
   /** ann18's driver-checked shape — the planted theorem through
     * build → SEARCH: [[knnGraphOf]] over the corpus plus TWO exact
     * copies per planted original (+100000, +200000 — a sim-1.0

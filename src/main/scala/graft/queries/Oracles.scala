@@ -2600,6 +2600,20 @@ SELECT vec_id + 200000 AS query_id, vec_id AS match_id,
   CAST(1.0 AS DOUBLE) AS sim
 FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
 
+    // ann19: NN-descent planted theorem — in the degraded k=1 graph
+    // every +200000 node knows only its original; one refinement round
+    // (2-hop + reverse candidates, exact verify) provably adds the
+    // +100000 twin, so each node's top-2 is {original, +100000} at sim
+    // 1.0 with the ascending-id tie-break fixing the order
+    "ann19_nn_descent" -> """
+SELECT vec_id + 200000 AS node_id, 1 AS rank, vec_id AS nbr_id,
+  CAST(1.0 AS DOUBLE) AS sim
+FROM embeddings WHERE vec_id < 64
+UNION ALL
+SELECT vec_id + 200000, 2, vec_id + 100000, CAST(1.0 AS DOUBLE)
+FROM embeddings WHERE vec_id < 64
+ORDER BY node_id, rank""",
+
     "ann04_ivf_topk" -> """
 SELECT vec_id AS query_id, 1 AS rnk, vec_id + 100000 AS vec_id,
   CAST(1.0 AS DOUBLE) AS sim

@@ -305,6 +305,9 @@ object QueryPack {
     // greedy graph search CONSUMING the k-NN graph: seed → edge
     // expansion → beam → exact rerank; candidates come only from edges
     "ann18_graph_search" -> ((s, d) => Ann.graphSearchSelfRecall(s, d)),
+    // one NN-descent round provably repairs a degraded (k=1) graph:
+    // neighbors-of-neighbors + reverse edges, exact-cosine verify
+    "ann19_nn_descent" -> ((s, d) => Ann.nnDescentSelfRecall(s, d)),
 
     // ---- multimodal ----
     "mm01_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),

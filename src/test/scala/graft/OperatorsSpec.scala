@@ -1606,6 +1606,30 @@ class OperatorsSpec extends AnyFunSuite {
       s"two-hop expansion must reach v2 through v1: $out2")
   }
 
+  test("ann19 NN-descent: the degraded graph provably lacks the edge the round adds") {
+    import spark.implicits._
+    import graft.operators.ann.Ann
+    // four identical vectors + one distractor: k=1 keeps a single edge
+    // per node, so node 4 (highest id) knows only node 1 — the round's
+    // 2-hop + reverse candidates must surface nodes 2 and 3
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(1f, 0f, 0f, 0f)), (4L, Array(1f, 0f, 0f, 0f)),
+      (9L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val degraded = Ann.knnGraphOf(emb, nlist = 1, k = 1)
+    val before = degraded.filter(col("vec_id") === 4L)
+      .select("nbr_id").as[Long].collect().toSet
+    assert(before == Set(1L), s"k=1 graph must know only node 1: $before")
+    val refined = Ann.nnDescentRound(degraded, emb, k = 3)
+    val after = refined.filter(col("vec_id") === 4L)
+      .orderBy(col("rank")).select("nbr_id").as[Long].collect().toSeq
+    assert(after == Seq(1L, 2L, 3L),
+      s"one round must add the 2-hop twins in id order: $after")
+    // the distractor never enters a sim-1.0 slot
+    assert(!refined.filter(col("vec_id") === 4L && col("nbr_id") === 9L)
+      .collect().exists(_.getDouble(3) >= 0.99))
+  }
+
   test("ann16 kNN graph: k edges per node (cell permitting), mutual flag symmetric") {
     import graft.operators.ann.Ann
     val base = graft.Tables.embeddings(spark, sf)

@@ -459,6 +459,54 @@ class PlanAuditSpec extends AnyFunSuite {
       s"prune list not batch-sized: $inset")
   }
 
+  test("mm16/mm17 Hamming screen: chunk scan pruned to batch groups AND committed leaves") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.multimodal.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("audit_mm16").toString
+    val corpus = (1L to 200L).map(i => (i, i * 7L % 97L, i * 13L % 89L))
+      .toDF("media_id", "ahash_hi", "ahash_lo")
+    Multimodal.ahashChunkIndexAppend(corpus, dir, "corpus")
+    val batch = Seq((9001L, 7L, 13L)).toDF("media_id", "ahash_hi", "ahash_lo")
+    val screened = Multimodal.screenAhashHamming(spark, dir, batch)
+    screened.collect()
+    val p = screened.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("chunks") && l.contains("PartitionFilters"))
+      .getOrElse(fail(s"no partition-filtered chunks scan in plan:\n$p"))
+    assert(scanLine.contains("leaf#"),
+      s"chunks scan not restricted to committed leaves: $scanLine")
+    // a 1-image batch emits 4 chunk keys → ≤4 of the 32 groups read
+    val inset = "cgrp#\\d+ (?:INSET|IN) \\(?([0-9, .]+)".r
+      .findFirstMatchIn(scanLine).map(_.group(1))
+      .getOrElse(fail(s"chunks scan not pruned by batch groups: $scanLine"))
+    assert(inset.split(",").length <= 4,
+      s"prune list not batch-sized: $inset")
+  }
+
+  test("ann18/ann19 graph ops: no cartesian products, ids-only expansion joins") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.ann.Ann
+    val corpus = Tables.spread(Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))).cache()
+    val graph = Ann.knnGraphOf(corpus)
+    val queries = corpus.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val seeds = queries.select(col("query_id"), col("query_id").as("vec_id"))
+    val searched = Ann.graphSearchTopK(graph, corpus, queries, seeds,
+      hops = 2, beam = 4, k = 3)
+    searched.collect()
+    val p1 = searched.queryExecution.executedPlan.toString
+    assert(!p1.contains("CartesianProduct"),
+      s"graph search must never go quadratic:\n${p1.take(2000)}")
+    val refined = Ann.nnDescentRound(graph, corpus, k = 3)
+    refined.collect()
+    val p2 = refined.queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct"),
+      s"NN-descent must never go quadratic:\n${p2.take(2000)}")
+    corpus.unpersist(); ()
+  }
+
   test("ann08 IVF search: codes scan reads only the probed cells' partitions") {
     import org.apache.spark.sql.functions.col
     val corpus = Tables.spread(Tables.embeddings(spark, sf)
