@@ -917,6 +917,100 @@ object Dedup {
       .orderBy(col("batch_id"))
   }
 
+  /** MERGE several dedup indexes into one — the scale-out BUILD path: a
+    * 100 TB corpus builds its band/set index as N shards in parallel
+    * (each shard a [[dedupIndexAppend]] over its slice, no coordination),
+    * then one merge folds the shards' committed rows into the
+    * destination as a single manifest-committed leaf. Band/set rows are
+    * pure functions of (document, numHashes, bands) — only the GROUP
+    * key depends on the dial — so merged rows are BIT-IDENTICAL to a
+    * single-build index's (group keys are recomputed against the
+    * destination's dial, which also lets shards with different dials
+    * merge). Tombstones ride along with their bids (a delete known to
+    * any shard stays a delete). Tag-idempotent and crash-replayable
+    * under the same manifest discipline as every other commit.
+    */
+  def mergeDedupIndexes(spark: SparkSession, srcDirs: Seq[String],
+      destDir: String, tag: String,
+      groups: Int = DefaultIndexGroups): Unit = {
+    import graft.operators.store.IndexManifest
+    require(srcDirs.nonEmpty, "mergeDedupIndexes needs at least one source")
+    require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid merge tag: $tag")
+    val dest = metaOf(destDir).getOrElse(
+      IndexManifest.Meta(0L, groups, Seq.empty, Seq.empty))
+    if (dest.hasLeafTag(tag)) return
+    if (dest.groups != groups)
+      throw new IllegalStateException(
+        s"$destDir is grouped at ${dest.groups} but the merge says " +
+          s"$groups — use the destination's dial")
+    val leafDir = IndexManifest.leafName(dest.version + 1, tag)
+    IndexManifest.dropResidue(destDir, Seq("sets", "bands", "tombs"), leafDir)
+    def srcRel(dir: String, rel: String, cols: Seq[String]): Option[DataFrame] = {
+      val live = metaOf(dir).map(r => if (rel == "tombs") r.tombs else r.leaves)
+      if (live.exists(_.isEmpty)) None
+      else if (!graft.sources.cdc.WalSegments.globNonEmpty(dir, s"$rel/leaf=*") &&
+          !graft.sources.cdc.WalSegments.globNonEmpty(dir, s"$rel/*/leaf=*")) None
+      else Some(committedOnly(withBidDefault(
+          readBidAware(spark, s"$dir/$rel"),
+          if (rel == "tombs") Long.MaxValue else -1L), live)
+        .select(cols.map(col): _*))
+    }
+    def unionAll(rel: String, cols: Seq[String]): Option[DataFrame] =
+      srcDirs.flatMap(srcRel(_, rel, cols)).reduceOption(_ unionByName _)
+    unionAll("sets", Seq("doc_id", "sh", "bid")).foreach {
+      _.withColumn("sgrp", setGroup(col("doc_id"), groups))
+        .withColumn("leaf", lit(leafDir))
+        .repartition(col("sgrp"))
+        .write.partitionBy("sgrp", "leaf")
+        .mode("append").parquet(s"$destDir/sets")
+    }
+    unionAll("bands", Seq("band", "bucket", "doc_id", "bid")).foreach {
+      _.withColumn("bgrp", bandGroup(groups))
+        .withColumn("leaf", lit(leafDir))
+        .repartition(col("bgrp"))
+        .write.partitionBy("bgrp", "leaf")
+        .mode("append").parquet(s"$destDir/bands")
+    }
+    val tombsMerged = unionAll("tombs", Seq("doc_id", "bid")).map { t =>
+      t.withColumn("leaf", lit(leafDir))
+        .coalesce(1)
+        .write.partitionBy("leaf").mode("append").parquet(s"$destDir/tombs")
+      leafDir
+    }
+    IndexManifest.commit(destDir, dest.copy(version = dest.version + 1,
+      leaves = dest.leaves :+ leafDir,
+      tombs = dest.tombs ++ tombsMerged.toSeq))
+    IndexManifest.sweep(destDir, Seq("sets", "bands", "tombs"),
+      dest.version + 1)
+  }
+
+  /** dd22's driver-checked shape — the planting theorem through the
+    * SHARDED build: the corpus splits across TWO shard indexes (built
+    * independently, as a parallel fleet would), [[mergeDedupIndexes]]
+    * folds both into a fresh destination, and the screen then runs
+    * against the merged store. Band/set rows are pure per-document
+    * functions, so the merged index is provably row-identical to a
+    * single build — every exact copy pairs with its original at
+    * Jaccard 1.0 whichever shard held it; the shard census rides the
+    * gated relation.
+    */
+  def shardMergedSelfRecall(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.spread(
+      Tables.documents(spark, d).select(col("doc_id"), col("text")))
+    val tmp = graft.Tables.scratchDir("graft_dd22")
+    (0 until 2).foreach { i =>
+      dedupIndexAppend(base.filter(col("doc_id") % 2 === i),
+        s"$tmp/shard$i", "corpus")
+    }
+    mergeDedupIndexes(spark, Seq(s"$tmp/shard0", s"$tmp/shard1"),
+      s"$tmp/merged", "merge0")
+    val batch = base.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    screenAgainstIndex(spark, s"$tmp/merged", batch)
+      .filter(col("corpus_id") === col("batch_id") - 100000L)
+      .withColumn("n_shards", lit(2))
+      .orderBy(col("batch_id"))
+  }
+
   /** dd21 — dd13's crawl loop WITH the in-stream compaction cadence
     * (`compactEvery = 2`): the facade compacts the index every second
     * micro-batch WHILE the loop runs — the maintenance move a

@@ -2438,6 +2438,19 @@ SELECT doc_id + 100000 AS batch_id, doc_id AS corpus_id,
   CAST(1.0 AS DOUBLE) AS jaccard, 1 AS n_leaves_final
 FROM t WHERE len(toks) >= 3 ORDER BY batch_id""",
 
+    // dd22: the sharded-build planting theorem — band/set rows are pure
+    // per-document functions, so the merged index is row-identical to a
+    // single build and the screen returns exactly dd11's relation; the
+    // shard census rides every row
+    "dd22_shard_merge" -> """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id + 100000 AS batch_id, doc_id AS corpus_id,
+  CAST(1.0 AS DOUBLE) AS jaccard, 2 AS n_shards
+FROM t WHERE len(toks) >= 3 ORDER BY batch_id""",
+
     // duplicated-span statistics: positional 8-gram corpus counts; the
     // covered-position total per doc is the interval-union length via the
     // monotone-end identity Σ min(k, s - prev_s) — integer math only

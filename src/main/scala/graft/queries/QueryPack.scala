@@ -265,6 +265,10 @@ object QueryPack {
     // folds leaves mid-loop (online-safe under the index manifest); the
     // final leaf census rides the gated relation
     "dd21_stream_compact" -> ((s, d) => Dedup.streamingCompactingSelfRecall(s, d)),
+    // the scale-out BUILD path: two shard indexes built independently,
+    // merged into one manifest-committed leaf — screen provably equals a
+    // single build (band/set rows are pure per-document functions)
+    "dd22_shard_merge" -> ((s, d) => Dedup.shardMergedSelfRecall(s, d)),
     "dd19_index_compact"  -> ((s, d) => Dedup.compactedSelfRecall(s, d)),
     // tombstone deletes through the dedup index (the CDC-sync delete
     // path): deleted docs' copies provably match nothing, survivors at

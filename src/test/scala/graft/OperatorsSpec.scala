@@ -1699,6 +1699,59 @@ class OperatorsSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("IndexManifest: exclusive commits (one winner per version), retention window, tag exactness") {
+    import graft.operators.store.IndexManifest
+    val dir = "file://" +
+      java.nio.file.Files.createTempDirectory("idx_manifest").toString
+    // empty store reads as None (legacy semantics)
+    assert(IndexManifest.readMeta(dir).isEmpty)
+    IndexManifest.commit(dir, IndexManifest.Meta(1L, 32,
+      Seq(IndexManifest.leafName(1L, "corpus")), Seq.empty))
+    val m1 = IndexManifest.readMeta(dir).get
+    assert(m1.version == 1L && m1.groups == 32)
+    // two writers both read v1 and race v2: the second exclusive create
+    // must THROW having published nothing (the fence backstop)
+    IndexManifest.commit(dir, m1.copy(version = 2L,
+      leaves = m1.leaves :+ IndexManifest.leafName(2L, "winner")))
+    intercept[IllegalStateException] {
+      IndexManifest.commit(dir, m1.copy(version = 2L,
+        leaves = m1.leaves :+ IndexManifest.leafName(2L, "loser")))
+    }
+    assert(IndexManifest.readMeta(dir).get.leaves
+      .exists(IndexManifest.tagOf(_) == "winner"))
+    assert(!IndexManifest.readMeta(dir).get.leaves
+      .exists(IndexManifest.tagOf(_) == "loser"))
+    // tag matching is EXACT, never substring: a leaf tagged "b1" must
+    // not satisfy an idempotency check for tag "1"
+    val mm = IndexManifest.readMeta(dir).get
+    val withB1 = mm.copy(version = 3L,
+      leaves = mm.leaves :+ IndexManifest.leafName(3L, "b1"))
+    IndexManifest.commit(dir, withB1)
+    val m3 = IndexManifest.readMeta(dir).get
+    assert(m3.hasLeafTag("b1") && !m3.hasLeafTag("1"))
+    // manifests retire past the window; readers resolve the max
+    var cur = m3
+    (4L to 15L).foreach { v =>
+      cur = cur.copy(version = v,
+        leaves = Seq(IndexManifest.leafName(v, s"c$v")))
+      IndexManifest.commit(dir, cur)
+    }
+    val (fs, root) = graft.sources.cdc.WalSegments.fsFor(dir)
+    val manifests = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("_idx_manifest-v"))
+    assert(manifests.length == IndexManifest.RetainedManifests + 1,
+      s"retention window must bound the directory: ${manifests.toSeq.sorted}")
+    assert(IndexManifest.readMeta(dir).get.version == 15L)
+    // retainedRefs is the union across the window — leaves referenced
+    // by ANY retained manifest are not sweepable
+    val refs = IndexManifest.retainedRefs(dir)
+    assert(refs.contains(IndexManifest.leafName(15L, "c15")))
+    assert(refs.contains(IndexManifest.leafName(7L, "c7")),
+      "oldest retained manifest's leaves must stay referenced")
+    assert(!refs.contains(IndexManifest.leafName(2L, "winner")),
+      "leaves only named by retired manifests leave the live set")
+  }
+
   test("dedup index: a reader planned before compaction still executes after it (online-safe)") {
     import graft.operators.dedup.Dedup
     val docs = graft.Tables.documents(spark, sf)
@@ -1748,6 +1801,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!remaining.exists(_.endsWith("-inc0")),
       s"long-superseded leaves must be swept once unreferenced: $remaining")
     docs.unpersist()
+  }
+
+  test("mergeDedupIndexes: a shard's tombstones survive the merge; replay no-ops; dials may differ") {
+    import graft.operators.dedup.Dedup
+    import spark.implicits._
+    val docs = (1L to 12L).map(i => (i, s"alpha beta gamma delta epsilon " +
+      s"zeta eta theta iota kappa doc$i marker$i")).toDF("doc_id", "text")
+    val tmp = graft.Tables.scratchDir("graft_merge_tombs")
+    // shard 0 (dial 8) holds odd docs and a DELETE of doc 3 at bid 5;
+    // shard 1 (dial 16) holds even docs — different dials merge fine,
+    // group keys are recomputed against the destination's dial
+    Dedup.dedupIndexAppend(docs.filter(col("doc_id") % 2 === 1),
+      s"$tmp/s0", "corpus", bid = 0L, groups = 8)
+    Dedup.dedupIndexDelete(spark, s"$tmp/s0",
+      Seq(Tuple1(3L)).toDF("doc_id"), "del", bid = 5L)
+    Dedup.dedupIndexAppend(docs.filter(col("doc_id") % 2 === 0),
+      s"$tmp/s1", "corpus", bid = 0L, groups = 16)
+    Dedup.mergeDedupIndexes(spark, Seq(s"$tmp/s0", s"$tmp/s1"),
+      s"$tmp/m", "merge0", groups = 32)
+    val probe = docs.select((col("doc_id") + 100000L).as("doc_id"),
+      col("text"))
+    def hits(): Set[Long] =
+      Dedup.screenAgainstIndex(spark, s"$tmp/m", probe)
+        .filter(col("corpus_id") === col("batch_id") - 100000L)
+        .select("corpus_id").collect().map(_.getLong(0)).toSet
+    assert(hits() == ((1L to 12L).toSet - 3L),
+      s"shard 0's delete must survive the merge: ${hits()}")
+    // replayed merge tag commits nothing twice
+    val vBefore = graft.operators.store.IndexManifest
+      .readMeta(s"$tmp/m").get.version
+    Dedup.mergeDedupIndexes(spark, Seq(s"$tmp/s0", s"$tmp/s1"),
+      s"$tmp/m", "merge0", groups = 32)
+    assert(graft.operators.store.IndexManifest
+      .readMeta(s"$tmp/m").get.version == vBefore)
+    // bid order holds post-merge: a bid-7 re-crawl of doc 3 revives it
+    Dedup.dedupIndexAppend(docs.filter(col("doc_id") === 3L),
+      s"$tmp/m", "re7", bid = 7L)
+    assert(hits() == (1L to 12L).toSet,
+      "a later re-crawl must outrank the merged tombstone")
   }
 
   test("dedup tombstone retention floor: clearDedupTombstones expires acked deletes only") {
