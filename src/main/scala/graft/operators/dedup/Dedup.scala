@@ -917,6 +917,32 @@ object Dedup {
       .orderBy(col("batch_id"))
   }
 
+  /** The index's LIVE doc_ids — every doc with at least one committed
+    * fold whose newest bid outranks any tombstone (the searchable set,
+    * what [[screenAgainstIndex]] can match). One ids+bids aggregation
+    * over the committed sets relation plus the broadcast tombstone
+    * watermark — the reconcile-job shape
+    * ([[graft.streaming.Graft.syncDedupIndex]] diffs against this, the
+    * [[graft.operators.ann.PqIndex.tombstonedIds]] rationale on the
+    * text side).
+    */
+  def indexedLiveIds(spark: SparkSession, indexDir: String): DataFrame = {
+    val meta = metaOf(indexDir)
+    // an index that never folded anything (the catch-up bootstrap case)
+    // has no committed leaves — and possibly no sets directory at all
+    if (meta.forall(_.leaves.isEmpty) &&
+        !graft.sources.cdc.WalSegments.globNonEmpty(indexDir, "sets/*/leaf=*"))
+      return spark.range(0).select(col("id").as("doc_id"))
+    val newest = committedOnly(
+        withBidDefault(readBidAware(spark, s"$indexDir/sets"), -1L),
+        meta.map(_.leaves))
+      .groupBy(col("doc_id")).agg(max(col("bid")).as("newest_bid"))
+    tombstonesOf(spark, indexDir).fold(newest)(t =>
+      newest.join(broadcast(t), Seq("doc_id"), "left")
+        .filter(col("tomb_bid").isNull || col("newest_bid") >= col("tomb_bid")))
+      .select(col("doc_id"))
+  }
+
   /** MERGE several dedup indexes into one — the scale-out BUILD path: a
     * 100 TB corpus builds its band/set index as N shards in parallel
     * (each shard a [[dedupIndexAppend]] over its slice, no coordination),

@@ -2442,6 +2442,27 @@ FROM t WHERE len(toks) >= 3 ORDER BY batch_id""",
     // per-document functions, so the merged index is row-identical to a
     // single build and the screen returns exactly dd11's relation; the
     // shard census rides every row
+    // pipe11: the reconcile-facade planting formulas — the index
+    // bootstrapped with %3==0 docs, replica deletes %9==0; one sync
+    // tombstones the indexed dead (%9==0 with >=3 tokens — shorter docs
+    // never folded) and folds the live unindexed (%9!=0 and (%3!=0 or
+    // <3 tokens)); the screen then pairs copies of every live foldable
+    // doc and nothing else, censuses riding every row
+    "pipe11_dedup_sync_facade" -> """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL),
+cens AS (SELECT
+  (SELECT count(*) FROM t WHERE doc_id % 9 = 0 AND len(toks) >= 3) AS n_deleted,
+  (SELECT count(*) FROM t
+   WHERE doc_id % 9 <> 0 AND (doc_id % 3 <> 0 OR len(toks) < 3)) AS n_folded)
+SELECT doc_id + 100000 AS batch_id, doc_id AS corpus_id,
+  CAST(1.0 AS DOUBLE) AS jaccard, n_deleted, n_folded
+FROM t, cens
+WHERE len(toks) >= 3 AND doc_id % 9 <> 0
+ORDER BY batch_id""",
+
     "dd22_shard_merge" -> """
 WITH t AS (
   SELECT doc_id,

@@ -384,6 +384,9 @@ object QueryPack {
     // the replica-synced dedup index: store tombstones feed dd20's delete
     // lane; a deleted record's copy provably matches nothing
     "pipe10_cdc_dedup_sync" -> ((s, d) => replicaDedupSync(s, d)),
+    // the full replica->dedup reconcile facade: dead indexed docs
+    // tombstone AND live unindexed docs fold, one idempotent call
+    "pipe11_dedup_sync_facade" -> ((s, d) => replicaDedupSyncFacade(s, d)),
 
     // ---- training prep (decontaminate / split / pack / pii / quantize) ----
     "tp01_decontaminate" -> ((s, d) => TrainPrep.decontaminate(s, d)),
@@ -934,6 +937,60 @@ object QueryPack {
     * keepTombstones scan filtered to deletes (ids only), one id-leaf
     * tombstone write, then dd11's pruned screen.
     */
+  /** pipe11 — the replica→dedup reconcile as ONE idempotent call
+    * ([[graft.streaming.Graft.syncDedupIndex]], the [[replicaDedupSync]]
+    * matrix entry upgraded from a hand-composed delete half to the full
+    * diff: dead indexed docs tombstone AND live unindexed docs fold —
+    * the catch-up shape a partially-bootstrapped index needs). Fixture:
+    * every document inserted into the replica (seq = id), every
+    * `doc_id % 9 == 0` deleted later; the index bootstrapped with the
+    * `% 3 == 0` docs only. One sync cycle must tombstone exactly the
+    * indexed dead (`% 9 == 0` with enough tokens to have folded), fold
+    * exactly the live unindexed, and the screen then provably pairs
+    * copies of every live foldable doc while a deleted doc's copy
+    * matches NOTHING; a replayed cycle commits nothing and diffs (0,0).
+    * The (n_deleted, n_folded) censuses ride every row, both derivable
+    * from the planting formulas alone.
+    */
+  def replicaDedupSyncFacade(spark: SparkSession, d: String): DataFrame = {
+    import graft.streaming.{Graft, Materializer}
+    // null-text docs are excluded from the fixture: they can never fold
+    // (no shingles), and keeping them would make the fold census depend
+    // on NULL-comparison conventions rather than the planting formula
+    val base = Tables.spread(
+      Tables.documents(spark, d).select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull))
+    val stateDir = graft.Tables.scratchDir("graft_p11_state")
+    val spec = Materializer.Spec(
+      keyCols = Seq("table_name", "record_id"), buckets = 16)
+    val inserts = base.select(lit("documents").as("table_name"),
+      col("doc_id").as("record_id"), col("doc_id").as("seq"),
+      lit("insert").as("op"))
+    val deletes = base.filter(col("doc_id") % 9 === 0)
+      .select(lit("documents").as("table_name"),
+        col("doc_id").as("record_id"),
+        (col("doc_id") + 1000000L).as("seq"), lit("delete").as("op"))
+    Materializer.applyBatch(spark, stateDir,
+      inserts.unionByName(deletes), spec)
+    val indexDir = graft.Tables.scratchDir("graft_p11_index")
+    Dedup.dedupIndexAppend(base.filter(col("doc_id") % 3 === 0),
+      indexDir, "bootstrap", bid = 0L)
+    val (nDel, nAdd) = Graft.syncDedupIndex(spark, stateDir, spec,
+      "record_id", base, indexDir, tag = "cycle1", bid = 1L)
+    // replayed cycle: same tag commits nothing, and the diff itself is
+    // empty (the reconcile fixpoint) — gated via the census columns
+    val (d2, a2) = Graft.syncDedupIndex(spark, stateDir, spec,
+      "record_id", base, indexDir, tag = "cycle1", bid = 1L)
+    require(d2 == 0L && a2 == 0L,
+      s"replayed sync cycle must be a fixpoint, got ($d2, $a2)")
+    val batch = base.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    Dedup.screenAgainstIndex(spark, indexDir, batch)
+      .filter(col("corpus_id") === col("batch_id") - 100000L)
+      .withColumn("n_deleted", lit(nDel))
+      .withColumn("n_folded", lit(nAdd))
+      .orderBy(col("batch_id"))
+  }
+
   def replicaDedupSync(spark: SparkSession, d: String): DataFrame = {
     import graft.streaming.Materializer
     val ch = ChangeStream.changes(spark, d)

@@ -376,10 +376,15 @@ object Graft {
       embProvider: DataFrame, tag: String): (Long, Long) = {
     import graft.operators.ann.PqIndex
     require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid sync tag: $tag")
-    val dead = Materializer.deletedRecords(spark, stateDir, spec)
-      .select(col(idCol).cast("long").as("vec_id")).distinct()
     val alive = Materializer.currentState(spark, stateDir, spec)
       .select(col(idCol).cast("long").as("vec_id")).distinct()
+    // "dead" excludes currently-live keys: a key truncate-killed and
+    // re-inserted at a later seq appears in the delete feed (its old
+    // row is truncate-dead) AND in the live set — it must never be
+    // tombstoned in the same cycle it lives
+    val dead = Materializer.deletedRecords(spark, stateDir, spec)
+      .select(col(idCol).cast("long").as("vec_id")).distinct()
+      .join(alive, Seq("vec_id"), "left_anti")
     // resurrection check: a live replica id with a standing tombstone
     // can only become searchable again through compaction (tag-
     // idempotent: a replayed cycle's compact no-ops, and once tombs are
@@ -399,6 +404,48 @@ object Graft {
     val nAdd = toAppend.count()
     if (nAdd > 0)
       PqIndex.append(spark, indexDir, toAppend, tag = Some(s"sync-$tag-add"))
+    (nDel, nAdd)
+  }
+
+  /** One-call REPLICA → DEDUP-INDEX sync, completing the reconcile
+    * facade matrix beside [[syncVectorIndex]] (pipe10 composes the
+    * delete half by hand): diff the state store's live/dead key sets
+    * against the index's LIVE set
+    * ([[graft.operators.dedup.Dedup.indexedLiveIds]] — newest fold bid
+    * vs tombstone watermark), tombstone dead indexed docs and fold live
+    * unindexed ones, both tag-idempotent. `docProvider` supplies
+    * (doc_id, text) for the fold side — at scale a point-lookup-shaped
+    * join against the document store. Unlike the vector index's
+    * kill-all tombstones, dedup tombstones are BID-ORDERED, so a
+    * deleted-then-reinserted replica row revives through the normal
+    * fold path with NO compaction: pass a monotone `bid` per sync cycle
+    * (greater than any prior cycle's) and the re-fold outranks the
+    * standing tombstone. Returns (nDeleted, nFolded) — metadata-sized
+    * counts; a steady-state cycle is (0, 0).
+    */
+  def syncDedupIndex(spark: SparkSession, stateDir: String,
+      spec: Materializer.Spec, idCol: String, docProvider: DataFrame,
+      indexDir: String, tag: String, bid: Long): (Long, Long) = {
+    import graft.operators.dedup.Dedup
+    require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid sync tag: $tag")
+    val alive = Materializer.currentState(spark, stateDir, spec)
+      .select(col(idCol).cast("long").as("doc_id")).distinct()
+    // dead ∖ alive: a truncate-killed key re-inserted at a later seq is
+    // in the delete feed AND live — never tombstone a living key
+    val dead = Materializer.deletedRecords(spark, stateDir, spec)
+      .select(col(idCol).cast("long").as("doc_id")).distinct()
+      .join(alive, Seq("doc_id"), "left_anti")
+    val indexed = Dedup.indexedLiveIds(spark, indexDir)
+    val toDelete = indexed.join(dead, Seq("doc_id"), "left_semi")
+    val toFold = docProvider.join(alive, Seq("doc_id"), "left_semi")
+      .join(indexed, Seq("doc_id"), "left_anti")
+    val nDel = toDelete.count()
+    if (nDel > 0)
+      Dedup.dedupIndexDelete(spark, indexDir, toDelete,
+        s"sync-$tag-del", bid = bid)
+    val nAdd = toFold.count()
+    if (nAdd > 0)
+      Dedup.dedupIndexAppend(toFold, indexDir, s"sync-$tag-add", bid = bid)
     (nDel, nAdd)
   }
 

@@ -1842,6 +1842,51 @@ class OperatorsSpec extends AnyFunSuite {
       "a later re-crawl must outrank the merged tombstone")
   }
 
+  test("syncDedupIndex: deleted-then-reinserted docs revive via bid order, no compaction") {
+    import graft.operators.dedup.Dedup
+    import graft.streaming.{Graft, Materializer}
+    import spark.implicits._
+    val docs = (1L to 9L).map(i => (i, s"alpha beta gamma delta epsilon " +
+      s"zeta eta theta iota kappa doc$i marker$i")).toDF("doc_id", "text")
+    val stateDir = "file://" +
+      java.nio.file.Files.createTempDirectory("sync_dd_state").toString
+    val spec = Materializer.Spec(
+      keyCols = Seq("table_name", "record_id"), buckets = 4)
+    def chg(rows: (Long, Long, String)*) = rows
+      .map { case (id, seq, op) => ("d", id, seq, op) }
+      .toDF("table_name", "record_id", "seq", "op")
+    Materializer.applyBatch(spark, stateDir,
+      chg((1L to 9L).map(i => (i, i, "insert")): _*), spec)
+    val indexDir = s"${graft.Tables.scratchDir("graft_sync_dd")}/index"
+    // cycle 1: full catch-up fold from an empty index
+    val (d1, a1) = Graft.syncDedupIndex(spark, stateDir, spec,
+      "record_id", docs, indexDir, tag = "c1", bid = 1L)
+    assert((d1, a1) == (0L, 9L), s"cycle 1: ($d1, $a1)")
+    def live(): Set[Long] = Dedup.indexedLiveIds(spark, indexDir)
+      .as[Long].collect().toSet
+    assert(live() == (1L to 9L).toSet)
+    // cycle 2: doc 5 deleted — tombstoned at bid 2
+    Materializer.applyBatch(spark, stateDir,
+      chg((5L, 100L, "delete")), spec)
+    val (d2, a2) = Graft.syncDedupIndex(spark, stateDir, spec,
+      "record_id", docs, indexDir, tag = "c2", bid = 2L)
+    assert((d2, a2) == (1L, 0L), s"cycle 2: ($d2, $a2)")
+    assert(live() == (1L to 9L).toSet - 5L)
+    // cycle 3: doc 5 RE-INSERTED — the bid-3 re-fold outranks the bid-2
+    // tombstone, so the doc revives with NO compaction (contrast with
+    // the vector index's kill-all tombstones, which need one)
+    Materializer.applyBatch(spark, stateDir,
+      chg((5L, 200L, "insert")), spec)
+    val (d3, a3) = Graft.syncDedupIndex(spark, stateDir, spec,
+      "record_id", docs, indexDir, tag = "c3", bid = 3L)
+    assert((d3, a3) == (0L, 1L), s"cycle 3: ($d3, $a3)")
+    assert(live() == (1L to 9L).toSet, "re-inserted doc must be live again")
+    // steady state: a fresh-tag cycle with no changes is a fixpoint
+    val (d4, a4) = Graft.syncDedupIndex(spark, stateDir, spec,
+      "record_id", docs, indexDir, tag = "c4", bid = 4L)
+    assert((d4, a4) == (0L, 0L), s"steady state: ($d4, $a4)")
+  }
+
   test("dedup tombstone retention floor: clearDedupTombstones expires acked deletes only") {
     import graft.operators.dedup.Dedup
     import spark.implicits._
