@@ -324,6 +324,24 @@ object Dedup {
   private def metaOf(indexDir: String) =
     graft.operators.store.IndexManifest.readMeta(indexDir)
 
+  /** The committed meta, or — on a legacy (pre-manifest) store — an
+    * initial meta with every existing on-disk leaf ENROLLED, so the
+    * first manifest commit migrates the store instead of hiding it:
+    * committed readers restrict scans to the manifest's leaves, so an
+    * empty first commit would silently drop the whole pre-upgrade
+    * corpus from every screen (worst case a first [[dedupIndexDelete]]
+    * commits `leaves=[]` and the index reads as empty). Enrolled legacy
+    * leaves keep their prefix-less names (their name IS their tag, so
+    * tag idempotency still holds) and are never swept.
+    */
+  private def metaOrEnroll(indexDir: String,
+      groups: Int): graft.operators.store.IndexManifest.Meta = {
+    import graft.operators.store.IndexManifest
+    metaOf(indexDir).getOrElse(IndexManifest.Meta(0L, groups,
+      IndexManifest.legacyLeaves(indexDir, Seq("sets", "bands")),
+      IndexManifest.legacyLeaves(indexDir, Seq("tombs"))))
+  }
+
   /** The store's group count: manifest first, default for legacy
     * (pre-manifest) stores.
     */
@@ -387,8 +405,7 @@ object Dedup {
     // before a crash are invisible residue (readers restrict to
     // committed leaves) and are dropped before the re-fold, so a replay
     // can never duplicate rows.
-    val meta = metaOf(indexDir).getOrElse(
-      IndexManifest.Meta(0L, groups, Seq.empty, Seq.empty))
+    val meta = metaOrEnroll(indexDir, groups)
     if (meta.hasLeafTag(leaf)) return
     if (meta.groups != groups)
       throw new IllegalStateException(
@@ -459,8 +476,7 @@ object Dedup {
       ids: DataFrame, leaf: String, bid: Long = Long.MaxValue): Unit = {
     import graft.operators.store.IndexManifest
     require(leaf.matches("[0-9A-Za-z_\\-]+"), s"invalid tombstone tag: $leaf")
-    val meta = metaOf(indexDir).getOrElse(
-      IndexManifest.Meta(0L, DefaultIndexGroups, Seq.empty, Seq.empty))
+    val meta = metaOrEnroll(indexDir, DefaultIndexGroups)
     if (meta.hasTombTag(leaf)) return
     val leafDir = IndexManifest.leafName(meta.version + 1, leaf)
     IndexManifest.dropResidue(indexDir, Seq("tombs"), leafDir)
@@ -501,8 +517,11 @@ object Dedup {
     import graft.operators.store.IndexManifest
     val meta = metaOf(indexDir).getOrElse(return 0)
     if (meta.tombs.isEmpty) return 0
+    // readBidAware, like every other tombs read: a plain read whose
+    // sampled footer predates the bid column would default EVERY leaf's
+    // bid to MaxValue and the floor compare would silently never fire
     val tombRows = withBidDefault(
-      spark.read.parquet(s"$indexDir/tombs")
+      readBidAware(spark, s"$indexDir/tombs")
         .filter(col("leaf").isin(meta.tombs: _*)), Long.MaxValue)
     // one bid per tomb leaf: the per-leaf max IS the leaf's bid
     val leafBids = tombRows
@@ -607,8 +626,10 @@ object Dedup {
       tag: String): Unit = {
     import graft.operators.store.IndexManifest
     require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid compaction tag: $tag")
-    val meta = metaOf(indexDir).getOrElse(throw new IllegalStateException(
-      s"$indexDir holds no committed dedup index (no manifest)"))
+    // a legacy (pre-manifest) store compacts via enrollment: its on-disk
+    // leaves become the committed set this compaction folds — the
+    // explicit migration path (the first commit must never hide them)
+    val meta = metaOrEnroll(indexDir, DefaultIndexGroups)
     if (!meta.hasLeafTag(tag)) {
       val leafDir = IndexManifest.leafName(meta.version + 1, tag)
       IndexManifest.dropResidue(indexDir, Seq("sets", "bands"), leafDir)
@@ -691,8 +712,8 @@ object Dedup {
     import graft.operators.store.IndexManifest
     require(newGroups > 0, "newGroups must be positive")
     require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid regroup tag: $tag")
-    val meta = metaOf(indexDir).getOrElse(throw new IllegalStateException(
-      s"$indexDir holds no committed dedup index (no manifest)"))
+    // legacy stores migrate via enrollment (see metaOrEnroll)
+    val meta = metaOrEnroll(indexDir, DefaultIndexGroups)
     if (meta.hasLeafTag(tag)) return
     val leafDir = IndexManifest.leafName(meta.version + 1, tag)
     IndexManifest.dropResidue(indexDir, Seq("sets", "bands"), leafDir)
@@ -962,8 +983,7 @@ object Dedup {
     import graft.operators.store.IndexManifest
     require(srcDirs.nonEmpty, "mergeDedupIndexes needs at least one source")
     require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid merge tag: $tag")
-    val dest = metaOf(destDir).getOrElse(
-      IndexManifest.Meta(0L, groups, Seq.empty, Seq.empty))
+    val dest = metaOrEnroll(destDir, groups)
     if (dest.hasLeafTag(tag)) return
     if (dest.groups != groups)
       throw new IllegalStateException(
@@ -997,15 +1017,33 @@ object Dedup {
         .write.partitionBy("bgrp", "leaf")
         .mode("append").parquet(s"$destDir/bands")
     }
-    val tombsMerged = unionAll("tombs", Seq("doc_id", "bid")).map { t =>
-      t.withColumn("leaf", lit(leafDir))
-        .coalesce(1)
-        .write.partitionBy("leaf").mode("append").parquet(s"$destDir/tombs")
-      leafDir
+    // tombstones keep the ONE-BID-PER-LEAF invariant across the merge
+    // ([[clearDedupTombstones]]'s per-leaf floor compare depends on it —
+    // a mixed-bid leaf is only clearable once its MAX bid passes the
+    // floor, retaining the rest indefinitely): one destination tomb
+    // leaf per (source, distinct bid), names deterministic so a torn
+    // replay rewrites the same directories. Bids are compared as ONE
+    // space — sources whose doc_id sets overlap must share a bid space
+    // (the facade's monotone-bid contract), else a doc alive in its own
+    // shard could read dead under another shard's higher tombstone.
+    val tombsMerged = srcDirs.zipWithIndex.flatMap { case (dir, i) =>
+      srcRel(dir, "tombs", Seq("doc_id", "bid")).toSeq.flatMap { t =>
+        val bids = t.select(col("bid")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        bids.zipWithIndex.map { case (b, j) =>
+          val tl = IndexManifest.leafName(dest.version + 1, s"$tag-t$i-$j")
+          IndexManifest.dropResidue(destDir, Seq("tombs"), tl)
+          t.filter(col("bid") === b)
+            .withColumn("leaf", lit(tl))
+            .coalesce(1)
+            .write.partitionBy("leaf").mode("append").parquet(s"$destDir/tombs")
+          tl
+        }
+      }
     }
     IndexManifest.commit(destDir, dest.copy(version = dest.version + 1,
       leaves = dest.leaves :+ leafDir,
-      tombs = dest.tombs ++ tombsMerged.toSeq))
+      tombs = dest.tombs ++ tombsMerged))
     IndexManifest.sweep(destDir, Seq("sets", "bands", "tombs"),
       dest.version + 1)
   }

@@ -42,7 +42,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * Legacy stores (written before this module) have no manifest:
   * [[readMeta]] returns None and callers fall back to scanning every
   * on-disk leaf — the pre-manifest semantics, preserved for read
-  * compatibility.
+  * compatibility. The FIRST manifest commit on such a store must
+  * enroll the existing leaves via [[legacyLeaves]]: after the commit,
+  * readers restrict to committed leaves, so an un-enrolled first
+  * commit would silently hide the whole pre-upgrade corpus.
   */
 object IndexManifest {
 
@@ -76,8 +79,13 @@ object IndexManifest {
     */
   def leafName(version: Long, tag: String): String = f"v$version%08d-$tag"
 
-  /** The tag back out of a leaf name (exact — `v########-` is 10 chars). */
-  def tagOf(leaf: String): String = leaf.drop(10)
+  /** The tag back out of a leaf name — structural, not positional:
+    * `f"v$version%08d"` WIDENS past 1e8 versions instead of truncating,
+    * so a fixed `drop(10)` would return garbage there; and a legacy
+    * (pre-manifest) leaf enrolled by [[legacyLeaves]] has no version
+    * prefix at all, so its name IS its tag.
+    */
+  def tagOf(leaf: String): String = leaf.replaceFirst("^v\\d+-", "")
 
   private val LeafVRe = "v(\\d+)-.*".r
 
@@ -175,6 +183,29 @@ object IndexManifest {
           } catch { case _: java.io.IOException => Seq.empty }
         }.toSet
     } catch { case _: java.io.FileNotFoundException => Set.empty }
+  }
+
+  /** Partition values of PRE-MANIFEST leaf directories (no `v<N>-`
+    * prefix) under the given relations — the legacy store's data. The
+    * FIRST manifest commit on a directory that already holds such
+    * leaves MUST enroll them ([[Meta.leaves]] / [[Meta.tombs]]):
+    * committed readers restrict their scans to the manifest's leaf
+    * list, so an empty first commit would silently hide every
+    * pre-upgrade row (worst case: a first delete commits `leaves=[]`
+    * and the whole index reads as empty). Enrolling is retention-safe
+    * — [[sweep]] never touches a version-less leaf. Handles both
+    * nested (`rel/<grp>=g/leaf=…`) and flat (`rel/leaf=…`) layouts.
+    */
+  def legacyLeaves(indexDir: String, rels: Seq[String]): Seq[String] = {
+    val (fs, _) = WalSegments.fsFor(indexDir)
+    rels.flatMap { rel =>
+      def glob(pattern: String): Seq[Path] =
+        try Option(fs.globStatus(new Path(s"$indexDir/$rel/$pattern")))
+          .toSeq.flatten.filter(_.isDirectory).map(_.getPath)
+        catch { case _: java.io.IOException => Seq.empty }
+      (glob("*/leaf=*") ++ glob("leaf=*"))
+        .map(_.getName.stripPrefix("leaf="))
+    }.distinct.filter(l => versionOf(l).isEmpty).sorted
   }
 
   /** Delete every `leaf=v<N>-<tag>` directory under the given relations

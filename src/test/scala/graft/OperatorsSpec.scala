@@ -2247,4 +2247,122 @@ class OperatorsSpec extends AnyFunSuite {
         s"$src estimator off: est=$est exact=$exact")
     }
   }
+
+  test("legacy (pre-manifest) store: the first manifest commit ENROLLS existing leaves") {
+    import graft.operators.dedup.Dedup
+    import graft.operators.store.IndexManifest
+    import spark.implicits._
+    val docs = (1L to 12L).map(i => (i, s"alpha beta gamma delta epsilon " +
+      s"zeta eta theta iota kappa doc$i marker$i")).toDF("doc_id", "text")
+    val tmp = graft.Tables.scratchDir("graft_legacy_enroll")
+    val indexDir = s"$tmp/index"
+    Dedup.dedupIndexAppend(docs, indexDir, "corpus", bid = 0L)
+    // fabricate the PRE-MANIFEST layout this store would have had before
+    // the IndexManifest module: drop the manifests and strip the version
+    // prefix off every leaf partition dir (legacy leaves were leaf=<tag>)
+    val (fs, root) = graft.sources.cdc.WalSegments.fsFor(indexDir)
+    fs.listStatus(root).foreach { st =>
+      if (st.getPath.getName.startsWith("_idx_manifest"))
+        fs.delete(st.getPath, false)
+    }
+    Seq("sets", "bands", "tombs").foreach { rel =>
+      def glob(pat: String) =
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"$indexDir/$rel/$pat"))).toSeq.flatten.map(_.getPath)
+      (glob("*/leaf=*") ++ glob("leaf=*")).foreach { p =>
+        val tag = p.getName.stripPrefix("leaf=").replaceFirst("^v\\d+-", "")
+        if (p.getName != s"leaf=$tag")
+          fs.rename(p, new org.apache.hadoop.fs.Path(p.getParent, s"leaf=$tag"))
+      }
+    }
+    assert(IndexManifest.readMeta(indexDir).isEmpty, "legacy = no manifest")
+    val probe = docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    def hits(): Set[Long] =
+      Dedup.screenAgainstIndex(spark, indexDir, probe)
+        .filter(col("corpus_id") === col("batch_id") - 100000L)
+        .select("corpus_id").collect().map(_.getLong(0)).toSet
+    assert(hits() == (1L to 12L).toSet, "legacy fallback scans every leaf")
+    // the ADVICE worst case: the FIRST commit on the legacy store is a
+    // DELETE — without enrollment it would commit leaves=[] and
+    // committed-leaf pruning would read the ENTIRE index as empty
+    Dedup.dedupIndexDelete(spark, indexDir, Seq(Tuple1(3L)).toDF("doc_id"),
+      "del0", bid = 1L)
+    val m = IndexManifest.readMeta(indexDir).get
+    assert(m.leaves.contains("corpus"),
+      s"first commit must enroll the legacy leaf: ${m.leaves}")
+    assert(hits() == (1L to 12L).toSet - 3L,
+      "pre-upgrade corpus stays visible; only the deleted doc drops")
+    // appends keep folding beside the enrolled leaf, and tag idempotency
+    // holds for the prefix-less legacy tag too (its name IS its tag)
+    Dedup.dedupIndexAppend(docs.select((col("doc_id") + 50L).as("doc_id"),
+      col("text")), indexDir, "inc1", bid = 2L)
+    val v = IndexManifest.readMeta(indexDir).get.version
+    Dedup.dedupIndexAppend(docs, indexDir, "corpus", bid = 3L) // replay
+    assert(IndexManifest.readMeta(indexDir).get.version == v,
+      "an enrolled legacy tag must no-op on replay")
+    // the identity-pair filter keeps corpus 1-12; the +50 fold is the
+    // SECOND match for each probe text — its presence proves the new
+    // leaf landed beside the enrolled one
+    assert(hits() == (1L to 12L).toSet - 3L,
+      "pre-upgrade corpus stays visible after post-migration folds")
+    val paired = Dedup.screenAgainstIndex(spark, indexDir, probe)
+      .filter(col("corpus_id") === col("batch_id") - 100000L + 50L)
+      .select("corpus_id").collect().map(_.getLong(0)).toSet
+    // (53 is alive: the tombstone killed doc_id 3, not its +50 re-fold)
+    assert(paired == (51L to 62L).toSet,
+      s"post-migration folds land beside the enrolled corpus: $paired")
+    // compaction folds the enrolled + new leaves into one, rows intact
+    Dedup.compactDedupIndex(spark, indexDir, "c0")
+    assert(Dedup.indexLeafCount(spark, indexDir) == 1)
+    assert(hits() == (1L to 12L).toSet - 3L)
+  }
+
+  test("IndexManifest.tagOf is structural: survives version widening and legacy names") {
+    import graft.operators.store.IndexManifest
+    // f"v$v%08d" WIDENS past 1e8 — a positional drop(10) returns garbage
+    assert(IndexManifest.tagOf(IndexManifest.leafName(123456789L, "b7")) == "b7")
+    assert(IndexManifest.tagOf(IndexManifest.leafName(1L, "b7")) == "b7")
+    // a legacy (prefix-less) leaf's name IS its tag
+    assert(IndexManifest.tagOf("corpus") == "corpus")
+    // replay idempotency rides on it at high versions
+    val m = IndexManifest.Meta(123456789L, 32,
+      Seq(IndexManifest.leafName(123456789L, "b7")), Seq.empty)
+    assert(m.hasLeafTag("b7") && !m.hasLeafTag("7"))
+  }
+
+  test("mergeDedupIndexes keeps the one-bid-per-tomb-leaf invariant (floor clears stay exact)") {
+    import graft.operators.dedup.Dedup
+    import graft.operators.store.IndexManifest
+    import spark.implicits._
+    val docs = (1L to 12L).map(i => (i, s"alpha beta gamma delta epsilon " +
+      s"zeta eta theta iota kappa doc$i marker$i")).toDF("doc_id", "text")
+    val tmp = graft.Tables.scratchDir("graft_merge_bidleaf")
+    // shard 0: docs 1-6 with deletes at TWO bids (2 and 5); shard 1: 7-12
+    Dedup.dedupIndexAppend(docs.filter(col("doc_id") <= 6L),
+      s"$tmp/s0", "corpus", bid = 0L)
+    Dedup.dedupIndexDelete(spark, s"$tmp/s0",
+      Seq(Tuple1(1L)).toDF("doc_id"), "d2", bid = 2L)
+    Dedup.dedupIndexDelete(spark, s"$tmp/s0",
+      Seq(Tuple1(2L)).toDF("doc_id"), "d5", bid = 5L)
+    Dedup.dedupIndexAppend(docs.filter(col("doc_id") > 6L),
+      s"$tmp/s1", "corpus", bid = 0L)
+    Dedup.mergeDedupIndexes(spark, Seq(s"$tmp/s0", s"$tmp/s1"),
+      s"$tmp/m", "merge0")
+    // each merged tomb leaf carries exactly one bid
+    val mm = IndexManifest.readMeta(s"$tmp/m").get
+    assert(mm.tombs.size == 2, s"one tomb leaf per (source, bid): ${mm.tombs}")
+    // so the retention floor stays EXACT post-merge: after compaction,
+    // clearing at floor 2 expires only the bid-2 leaf (a mixed-bid merged
+    // leaf would be clearable only past its MAX bid, retaining bid-2
+    // tombstones indefinitely)
+    Dedup.compactDedupIndex(spark, s"$tmp/m", "c0")
+    assert(Dedup.clearDedupTombstones(spark, s"$tmp/m", floorBid = 2L) == 1)
+    assert(Dedup.clearDedupTombstones(spark, s"$tmp/m", floorBid = 99L) == 1)
+    val probe = docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val hits = Dedup.screenAgainstIndex(spark, s"$tmp/m", probe)
+      .filter(col("corpus_id") === col("batch_id") - 100000L)
+      .select("corpus_id").collect().map(_.getLong(0)).toSet
+    assert(hits == (3L to 12L).toSet,
+      s"deleted docs stay dead through merge+compact+clear: $hits")
+  }
 }
