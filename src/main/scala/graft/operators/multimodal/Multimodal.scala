@@ -568,6 +568,22 @@ object Multimodal {
   private def metaOf(indexDir: String) =
     graft.operators.store.IndexManifest.readMeta(indexDir)
 
+  /** The committed meta, or — on a legacy (pre-manifest) store — an
+    * initial meta that ENROLLS every existing on-disk leaf, so the first
+    * manifest commit migrates the store instead of hiding it from
+    * committed-leaf readers (the Dedup.metaOrEnroll rationale; an empty
+    * first commit would silently drop the pre-upgrade corpus from every
+    * screen). Enrolled legacy leaves keep their prefix-less names and
+    * are never swept.
+    */
+  private def metaOrEnroll(indexDir: String, rel: String,
+      groups: Int): graft.operators.store.IndexManifest.Meta = {
+    import graft.operators.store.IndexManifest
+    metaOf(indexDir).getOrElse(IndexManifest.Meta(0L, groups,
+      IndexManifest.legacyLeaves(indexDir, Seq(rel)),
+      IndexManifest.legacyLeaves(indexDir, Seq("tombs"))))
+  }
+
   private def groupsOf(indexDir: String): Int =
     metaOf(indexDir).map(_.groups).getOrElse(DefaultAHashGroups)
 
@@ -590,8 +606,7 @@ object Multimodal {
       leaf: String, groups: Int): Unit = {
     import graft.operators.store.IndexManifest
     require(leaf.matches("[0-9A-Za-z_\\-]+"), s"invalid leaf tag: $leaf")
-    val meta = metaOf(indexDir).getOrElse(
-      IndexManifest.Meta(0L, groups, Seq.empty, Seq.empty))
+    val meta = metaOrEnroll(indexDir, rel, groups)
     if (meta.hasLeafTag(leaf)) return
     if (meta.groups != groups)
       throw new IllegalStateException(
@@ -608,38 +623,135 @@ object Multimodal {
       .mode("append").parquet(s"$indexDir/$rel")
     IndexManifest.commit(indexDir, meta.copy(version = meta.version + 1,
       leaves = meta.leaves :+ leafDir))
-    IndexManifest.sweep(indexDir, Seq(rel), meta.version + 1)
+    IndexManifest.sweep(indexDir, Seq(rel, "tombs"), meta.version + 1)
   }
+
+  /** KILL-ALL tombstone deletes for a multimodal index — the TAKEDOWN
+    * path (a replica DELETE, a GDPR/abuse takedown) that must leave the
+    * perceptual indexes without rewriting any committed leaf: deletes
+    * commit as immutable id-leaves (`tombs/leaf=v<N>-<tag>`, parquet of
+    * `media_id`) under the same tag-idempotent exclusive-publish
+    * manifest discipline as appends. Semantics are
+    * [[graft.operators.ann.PqIndex.delete]]'s, NOT the dedup index's
+    * bid order: a tombstone kills EVERY row of its media_id — current
+    * and future folds alike — until [[mmIndexCompact]] drops the dead
+    * rows physically and clears the set, after which a re-crawl
+    * restores the media (the resurrection contract
+    * [[graft.streaming.Graft.syncVectorIndex]] automates; deletes are
+    * bounded between compactions, so the screens' anti-join side stays
+    * broadcast-small). Every screen anti-joins the tombstone set
+    * BEFORE its verify/distinct cut — dead content can neither match
+    * nor consume verify work.
+    */
+  private def mmIndexDelete(spark: SparkSession, indexDir: String,
+      rel: String, ids: DataFrame, leaf: String): Unit = {
+    import graft.operators.store.IndexManifest
+    require(leaf.matches("[0-9A-Za-z_\\-]+"), s"invalid tombstone tag: $leaf")
+    val meta = metaOrEnroll(indexDir, rel, DefaultAHashGroups)
+    if (meta.hasTombTag(leaf)) return
+    val leafDir = IndexManifest.leafName(meta.version + 1, leaf)
+    IndexManifest.dropResidue(indexDir, Seq("tombs"), leafDir)
+    ids.select(col("media_id").cast("long").as("media_id")).distinct()
+      .withColumn("leaf", lit(leafDir))
+      .coalesce(1) // a delete batch is id-sized: one file per tag
+      .write.partitionBy("leaf").mode("append").parquet(s"$indexDir/tombs")
+    IndexManifest.commit(indexDir, meta.copy(version = meta.version + 1,
+      tombs = meta.tombs :+ leafDir))
+  }
+
+  /** The committed tombstoned media_ids (None when nothing was ever
+    * deleted — zero cost on the screen path, the common crawl case).
+    */
+  private def mmTombstones(spark: SparkSession,
+      indexDir: String): Option[DataFrame] = {
+    val live = metaOf(indexDir).map(_.tombs)
+    if (live.exists(_.isEmpty)) None
+    else if (live.isDefined ||
+        graft.sources.cdc.WalSegments.globNonEmpty(indexDir, "tombs/leaf=*"))
+      Some(graft.operators.store.IndexManifest.committedOnly(
+          spark.read.parquet(s"$indexDir/tombs"), live)
+        .select(col("media_id")).distinct())
+    else None
+  }
+
+  /** The committed tombstoned media_ids as a relation (empty when none)
+    * — public so reconcile jobs
+    * ([[graft.streaming.Graft.syncAhashIndex]]) can diff against the
+    * SEARCHABLE set and detect resurrections, the
+    * [[graft.operators.ann.PqIndex.tombstonedIds]] rationale.
+    */
+  def mmTombstonedIds(spark: SparkSession, indexDir: String): DataFrame =
+    mmTombstones(spark, indexDir)
+      .getOrElse(spark.range(0).select(col("id").as("media_id")))
+
+  /** The index's LIVE media_ids — every committed row's id minus the
+    * tombstone set (what the screens can still match): the
+    * reconcile-job diff base ([[graft.operators.dedup.Dedup.indexedLiveIds]]
+    * on the multimodal axis). One ids-only distinct over the committed
+    * relation plus the broadcast tombstone anti-join.
+    */
+  def mmIndexedLiveIds(spark: SparkSession, indexDir: String,
+      rel: String = "hashes"): DataFrame = {
+    val meta = metaOf(indexDir)
+    if (meta.forall(_.leaves.isEmpty) &&
+        !graft.sources.cdc.WalSegments.globNonEmpty(indexDir, s"$rel/*/leaf=*"))
+      return spark.range(0).select(col("id").as("media_id"))
+    val ids = graft.operators.store.IndexManifest.committedOnly(
+        spark.read.parquet(s"$indexDir/$rel"), meta.map(_.leaves))
+      .select(col("media_id")).distinct()
+    mmTombstones(spark, indexDir).fold(ids)(t =>
+      ids.join(broadcast(t), Seq("media_id"), "left_anti"))
+  }
+
+  /** Anti-join a screen's candidate side against the committed
+    * tombstones — applied BEFORE the verify/distinct cut so dead
+    * content neither matches nor consumes verify work. Broadcast: the
+    * tombstone relation is bounded by deletes since the last
+    * compaction.
+    */
+  private def withoutTombstoned(spark: SparkSession, indexDir: String,
+      cands: DataFrame): DataFrame =
+    mmTombstones(spark, indexDir).fold(cands)(t =>
+      cands.join(broadcast(t.withColumnRenamed("media_id", "corpus_id")),
+        Seq("corpus_id"), "left_anti"))
 
   /** Fold every committed leaf's rows into ONE new leaf — the
     * small-file maintenance pass the crawl loops need (after N
-    * micro-batches every group partition holds N tiny files). Rows are
-    * copied VERBATIM (group values are a pure function of row content,
-    * unchanged), so screens over the compacted store are identical
-    * row-for-row — and ONLINE-SAFE: the old leaves stay on disk for the
-    * manifest grace window, so a screen planned before the compaction
-    * still finds its files.
+    * micro-batches every group partition holds N tiny files). LIVE rows
+    * are copied VERBATIM (group values are a pure function of row
+    * content, unchanged) while TOMBSTONED rows drop out physically and
+    * the tombstone set clears — deletes are already invisible to every
+    * screen, so the compacted relation is screen-identical — and
+    * ONLINE-SAFE: the old leaves stay on disk for the manifest grace
+    * window, so a screen planned before the compaction still finds its
+    * files.
     */
   private def mmIndexCompact(spark: SparkSession, indexDir: String,
       rel: String, grpName: String, tag: String): Unit = {
     import graft.operators.store.IndexManifest
     require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid compaction tag: $tag")
-    val meta = metaOf(indexDir).getOrElse(throw new IllegalStateException(
-      s"$indexDir holds no committed index (no manifest)"))
+    // legacy stores migrate via enrollment (see metaOrEnroll)
+    val meta = metaOrEnroll(indexDir, rel, DefaultAHashGroups)
     if (!meta.hasLeafTag(tag)) {
       val leafDir = IndexManifest.leafName(meta.version + 1, tag)
       IndexManifest.dropResidue(indexDir, Seq(rel), leafDir)
-      IndexManifest.committedOnly(
+      val src = IndexManifest.committedOnly(
           spark.read.parquet(s"$indexDir/$rel"), Some(meta.leaves))
         .drop("leaf")
+      // tombstoned media drop out physically; the rewritten index
+      // carries an empty tombstone set (the PqIndex.compact contract —
+      // a later re-crawl of a deleted media restores it)
+      val live = mmTombstones(spark, indexDir).fold(src)(t =>
+        src.join(broadcast(t), Seq("media_id"), "left_anti"))
+      live
         .withColumn("leaf", lit(leafDir))
         .repartition(col(grpName))
         .write.partitionBy(grpName, "leaf")
         .mode("append").parquet(s"$indexDir/$rel")
       IndexManifest.commit(indexDir, meta.copy(version = meta.version + 1,
-        leaves = Seq(leafDir)))
+        leaves = Seq(leafDir), tombs = Seq.empty))
     }
-    IndexManifest.sweep(indexDir, Seq(rel),
+    IndexManifest.sweep(indexDir, Seq(rel, "tombs"),
       metaOf(indexDir).map(_.version).getOrElse(meta.version))
   }
 
@@ -653,8 +765,8 @@ object Multimodal {
     import graft.operators.store.IndexManifest
     require(newGroups > 0, "newGroups must be positive")
     require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid regroup tag: $tag")
-    val meta = metaOf(indexDir).getOrElse(throw new IllegalStateException(
-      s"$indexDir holds no committed index (no manifest)"))
+    // legacy stores migrate via enrollment (see metaOrEnroll)
+    val meta = metaOrEnroll(indexDir, rel, DefaultAHashGroups)
     if (meta.hasLeafTag(tag)) return
     val leafDir = IndexManifest.leafName(meta.version + 1, tag)
     IndexManifest.dropResidue(indexDir, Seq(rel), leafDir)
@@ -668,7 +780,7 @@ object Multimodal {
       .mode("append").parquet(s"$indexDir/$rel")
     IndexManifest.commit(indexDir, meta.copy(version = meta.version + 1,
       groups = newGroups, leaves = Seq(leafDir)))
-    IndexManifest.sweep(indexDir, Seq(rel), meta.version + 1)
+    IndexManifest.sweep(indexDir, Seq(rel, "tombs"), meta.version + 1)
   }
 
   /** Committed leaf count — the census the compaction harnesses gate
@@ -688,6 +800,13 @@ object Multimodal {
     mmIndexAppend(
       hashed.select(col("media_id"), col("ahash_hi"), col("ahash_lo")),
       indexDir, "hashes", ahashGroup, "hgrp", leaf, groups)
+
+  /** [[mmIndexDelete]] for the aHash equality index — the takedown
+    * lane (mm18's device on the hash store).
+    */
+  def ahashIndexDelete(spark: SparkSession, indexDir: String,
+      ids: DataFrame, leaf: String): Unit =
+    mmIndexDelete(spark, indexDir, "hashes", ids, leaf)
 
   /** [[mmIndexCompact]] for the aHash equality index. */
   def compactAhashIndex(spark: SparkSession, indexDir: String,
@@ -720,9 +839,12 @@ object Multimodal {
       .filter(col("hgrp").isin(groups: _*))
       .select(col("media_id").as("corpus_id"),
         col("ahash_hi"), col("ahash_lo"))
-    batchHashed.select(col("media_id").as("batch_id"),
-        col("ahash_hi"), col("ahash_lo"))
-      .join(index, Seq("ahash_hi", "ahash_lo"))
+    // tombstone anti-join BEFORE the projection cut: a taken-down
+    // media's hash rows can never surface (the mm18 delete lane)
+    withoutTombstoned(spark, indexDir,
+        batchHashed.select(col("media_id").as("batch_id"),
+            col("ahash_hi"), col("ahash_lo"))
+          .join(index, Seq("ahash_hi", "ahash_lo")))
       .select(col("batch_id"), col("corpus_id"))
   }
 
@@ -750,6 +872,11 @@ object Multimodal {
       leaf: String, groups: Int = DefaultAHashGroups): Unit =
     mmIndexAppend(ahashChunks(hashed), indexDir, "chunks", chunkGroup,
       "cgrp", leaf, groups)
+
+  /** [[mmIndexDelete]] for the Hamming chunk index. */
+  def ahashChunkIndexDelete(spark: SparkSession, indexDir: String,
+      ids: DataFrame, leaf: String): Unit =
+    mmIndexDelete(spark, indexDir, "chunks", ids, leaf)
 
   /** [[mmIndexCompact]] for the Hamming chunk index. */
   def compactAhashChunkIndex(spark: SparkSession, indexDir: String,
@@ -783,7 +910,9 @@ object Multimodal {
       .filter(col("cgrp").isin(groups: _*))
       .select(col("chunk_idx"), col("chunk"), col("media_id").as("corpus_id"),
         col("ahash_hi").as("c_hi"), col("ahash_lo").as("c_lo"))
-    bc.join(index, Seq("chunk_idx", "chunk"))
+    // tombstone anti-join BEFORE the distinct + popcount verify: dead
+    // media neither match nor consume verify work (the mm18 delete lane)
+    withoutTombstoned(spark, indexDir, bc.join(index, Seq("chunk_idx", "chunk")))
       .select(col("batch_id"), col("corpus_id"), col("b_hi"), col("b_lo"),
         col("c_hi"), col("c_lo"))
       .distinct()
@@ -824,6 +953,64 @@ object Multimodal {
       .select(col("batch_id"), col("corpus_id"), col("dist"),
         lit(before).as("n_leaves_before"), lit(after).as("n_leaves_after"))
       .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
+  /** mm18's driver-checked shape — TAKEDOWN DELETES through BOTH
+    * multimodal indexes (the dd20/ann15 device on the perceptual
+    * stores, closing the CDC delete matrix's last family): the corpus
+    * folds into the equality hash index AND the Hamming chunk index,
+    * every `media_id % 9 == 0` original is tombstoned in both
+    * ([[ahashIndexDelete]] / [[ahashChunkIndexDelete]] — the replica
+    * dropped those media), and the arriving copies are screened: a
+    * noisy copy of a SURVIVING original matches exactly when its
+    * derived hash collides (the mm09/mm10 relation), an edited copy
+    * within Hamming 3 (the mm15/mm16 relation), and a copy of a
+    * DELETED original provably matches NOTHING in EITHER lane — the
+    * anti-join runs before each screen's verify cut. Then compaction
+    * drops the tombstoned rows physically in both stores and the
+    * re-screens are row-identical: `n_passes == 2` rides every gated
+    * row (the dd20 n_lanes device), so a screen that ignored
+    * tombstones, a compaction that lost live rows, or one that FAILED
+    * to drop dead rows all break the hash.
+    */
+  def deletedAhashSelfRecall(spark: SparkSession, d: String): DataFrame = {
+    val tmp = graft.Tables.scratchDir("graft_mm18")
+    val hIdx = s"$tmp/hashes"
+    val cIdx = s"$tmp/chunks"
+    val orig = Tables.documents(spark, d)
+      .select(col("doc_id").as("media_id"))
+    val hashed = ahashOf(orig).cache()
+    try {
+      ahashIndexAppend(hashed, hIdx, "corpus")
+      ahashChunkIndexAppend(hashed, cIdx, "corpus")
+    } finally { hashed.unpersist(); () }
+    // the takedown wave: every ninth original leaves both indexes
+    val dead = orig.filter(col("media_id") % 9 === 0)
+    ahashIndexDelete(spark, hIdx, dead, "takedown0")
+    ahashChunkIndexDelete(spark, cIdx, dead, "takedown0")
+    // arrivals: mm10's noisy copies against the equality lane, mm16's
+    // edited copies against the Hamming lane
+    val noisy = ahashOf(Tables.documents(spark, d).select(col("doc_id"))
+      .filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("media_id"))).cache()
+    val edited = ahashOf(Tables.documents(spark, d).select(col("doc_id"))
+      .filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000L).as("media_id"))).cache()
+    def bothLanes(): DataFrame =
+      screenAhash(spark, hIdx, noisy)
+        .withColumn("lane", lit("eq")).withColumn("dist", lit(0L))
+        .unionByName(screenAhashHamming(spark, cIdx, edited)
+          .withColumn("lane", lit("ham")))
+    // planned BEFORE the compactions, executed after — the manifest
+    // grace window keeps this scan's files alive (the dd20 device)
+    val pre = bothLanes()
+    compactAhashIndex(spark, hIdx, "compact0")
+    compactAhashChunkIndex(spark, cIdx, "compact0")
+    val post = bothLanes()
+    pre.unionByName(post)
+      .groupBy(col("lane"), col("batch_id"), col("corpus_id"), col("dist"))
+      .agg(count(lit(1)).as("n_passes")) // 2 ⇔ pre- and post-compaction agree
+      .orderBy(col("lane"), col("batch_id"), col("corpus_id"))
   }
 
   /** mm16 — the HAMMING-tolerant image crawl loop: mm10 screens arriving

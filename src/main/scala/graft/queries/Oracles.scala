@@ -1855,6 +1855,119 @@ FROM hash a JOIN hash b
 WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
 ORDER BY batch_id, corpus_id""",
 
+    // pipe12: the replica→multimodal reconcile — post-sync membership is
+    // (all media ∖ the %9 delete wave) in BOTH stores, so the screens are
+    // mm18's eq+ham relations restricted to survivors; the censuses are
+    // the planting formulas themselves (every %9 id was bootstrapped —
+    // 9's residue class sits inside 3's — and every %3!=0 id folds)
+    "pipe12_ahash_sync_facade" -> """
+WITH ids AS (
+  SELECT doc_id AS media_id FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 200000 FROM documents WHERE doc_id % 7 = 0),
+px AS (
+  SELECT media_id, media_id % 100000 AS id,
+    media_id >= 100000 AND media_id < 200000 AS noisy,
+    media_id >= 200000 AS edited, y, x
+  FROM ids, range(0, 8) ty(y), range(0, 8) tx(x)),
+lum AS (
+  SELECT media_id, y * 8 + x AS bit,
+    (299 * (((id * 2654435761 + (y*8 + x) * 40503 + 17) % 65521) % 256)
+     + 587 * (((id * 2246822519 + (y*8 + x) * 52361 + 101) % 65521) % 256)
+     + 114 * (CASE WHEN noisy AND (x + y) % 7 = 0
+              THEN (((id * 3266489917 + (y*8 + x) * 44131 + 233) % 65521) % 256 + 1) % 256
+              WHEN edited AND (x + y) % 9 = 0
+              THEN (((id * 3266489917 + (y*8 + x) * 44131 + 233) % 65521) % 256 + 64) % 256
+              ELSE ((id * 3266489917 + (y*8 + x) * 44131 + 233) % 65521) % 256 END)) // 1000 AS luma
+  FROM px),
+tot AS (SELECT media_id, sum(luma) AS total FROM lum GROUP BY 1),
+bits AS (
+  SELECT l.media_id, l.bit,
+    CASE WHEN l.luma * 64 > t.total THEN 1 ELSE 0 END AS b
+  FROM lum l JOIN tot t USING (media_id)),
+hash AS (
+  SELECT media_id,
+    CAST(sum(CASE WHEN bit >= 32
+             THEN b * (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END) AS BIGINT) AS hi,
+    CAST(sum(CASE WHEN bit < 32
+             THEN b * (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS lo
+  FROM bits GROUP BY 1),
+eq AS (
+  SELECT 'eq' AS lane, a.media_id AS batch_id, b.media_id AS corpus_id,
+    CAST(0 AS BIGINT) AS dist
+  FROM hash a JOIN hash b ON a.hi = b.hi AND a.lo = b.lo
+  WHERE a.media_id >= 100000 AND a.media_id < 200000
+    AND b.media_id < 100000 AND b.media_id % 9 <> 0),
+ham AS (
+  SELECT 'ham' AS lane, a.media_id AS batch_id, b.media_id AS corpus_id,
+    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS dist
+  FROM hash a JOIN hash b ON a.media_id >= 200000 AND b.media_id < 100000
+  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+    AND b.media_id % 9 <> 0)
+SELECT lane, batch_id, corpus_id, dist,
+  CAST((SELECT count(*) FROM documents WHERE doc_id % 9 = 0) AS BIGINT) AS n_deleted,
+  CAST((SELECT count(*) FROM documents WHERE doc_id % 3 <> 0) AS BIGINT) AS n_appended
+FROM (SELECT * FROM eq UNION ALL SELECT * FROM ham)
+ORDER BY lane, batch_id, corpus_id""",
+
+    // mm18: takedown deletes through BOTH perceptual indexes — the
+    // mm10 equality relation and the mm16 Hamming relation, each
+    // restricted to SURVIVING originals (media_id % 9 <> 0 — the
+    // tombstoned wave matches nothing in either lane); n_passes = 2
+    // pins pre- and post-compaction screens row-identical (compaction
+    // drops dead rows physically, live rows verbatim)
+    "mm18_index_delete" -> """
+WITH ids AS (
+  SELECT doc_id AS media_id FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 200000 FROM documents WHERE doc_id % 7 = 0),
+px AS (
+  SELECT media_id, media_id % 100000 AS id,
+    media_id >= 100000 AND media_id < 200000 AS noisy,
+    media_id >= 200000 AS edited, y, x
+  FROM ids, range(0, 8) ty(y), range(0, 8) tx(x)),
+lum AS (
+  SELECT media_id, y * 8 + x AS bit,
+    (299 * (((id * 2654435761 + (y*8 + x) * 40503 + 17) % 65521) % 256)
+     + 587 * (((id * 2246822519 + (y*8 + x) * 52361 + 101) % 65521) % 256)
+     + 114 * (CASE WHEN noisy AND (x + y) % 7 = 0
+              THEN (((id * 3266489917 + (y*8 + x) * 44131 + 233) % 65521) % 256 + 1) % 256
+              WHEN edited AND (x + y) % 9 = 0
+              THEN (((id * 3266489917 + (y*8 + x) * 44131 + 233) % 65521) % 256 + 64) % 256
+              ELSE ((id * 3266489917 + (y*8 + x) * 44131 + 233) % 65521) % 256 END)) // 1000 AS luma
+  FROM px),
+tot AS (SELECT media_id, sum(luma) AS total FROM lum GROUP BY 1),
+bits AS (
+  SELECT l.media_id, l.bit,
+    CASE WHEN l.luma * 64 > t.total THEN 1 ELSE 0 END AS b
+  FROM lum l JOIN tot t USING (media_id)),
+hash AS (
+  SELECT media_id,
+    CAST(sum(CASE WHEN bit >= 32
+             THEN b * (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END) AS BIGINT) AS hi,
+    CAST(sum(CASE WHEN bit < 32
+             THEN b * (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS lo
+  FROM bits GROUP BY 1),
+eq AS (
+  SELECT 'eq' AS lane, a.media_id AS batch_id, b.media_id AS corpus_id,
+    CAST(0 AS BIGINT) AS dist
+  FROM hash a JOIN hash b ON a.hi = b.hi AND a.lo = b.lo
+  WHERE a.media_id >= 100000 AND a.media_id < 200000
+    AND b.media_id < 100000 AND b.media_id % 9 <> 0),
+ham AS (
+  SELECT 'ham' AS lane, a.media_id AS batch_id, b.media_id AS corpus_id,
+    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS dist
+  FROM hash a JOIN hash b ON a.media_id >= 200000 AND b.media_id < 100000
+  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+    AND b.media_id % 9 <> 0)
+SELECT lane, batch_id, corpus_id, dist, CAST(2 AS BIGINT) AS n_passes
+FROM (SELECT * FROM eq UNION ALL SELECT * FROM ham)
+ORDER BY lane, batch_id, corpus_id""",
+
     "mm09_image_ahash" -> """
 WITH ids AS (
   SELECT unnest(CASE WHEN doc_id % 5 = 0

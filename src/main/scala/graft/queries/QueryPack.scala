@@ -351,6 +351,10 @@ object QueryPack {
     // compactAhashChunkIndex — screen identical row-for-row, leaf census
     // (4 in, 1 referenced out) riding the gated relation
     "mm17_chunk_compact" -> ((s, d) => Multimodal.compactedHammingSelfRecall(s, d)),
+    // takedown deletes through BOTH perceptual indexes: tombstoned media
+    // match nothing in either the equality or the Hamming screen;
+    // compaction drops dead rows physically (n_passes == 2)
+    "mm18_index_delete" -> ((s, d) => Multimodal.deletedAhashSelfRecall(s, d)),
     // ISO BMFF (MP4) header write→parse round trip vs the geometry
     // formulas re-derived oracle-side — see Multimodal.videoProbe
     "mm08_video_probe" -> ((s, d) => Multimodal.videoProbe(s, d)),
@@ -387,6 +391,10 @@ object QueryPack {
     // the full replica->dedup reconcile facade: dead indexed docs
     // tombstone AND live unindexed docs fold, one idempotent call
     "pipe11_dedup_sync_facade" -> ((s, d) => replicaDedupSyncFacade(s, d)),
+    // the replica->multimodal reconcile facade: dead indexed media
+    // tombstone AND live unindexed media fold, in BOTH perceptual
+    // stores, one idempotent call
+    "pipe12_ahash_sync_facade" -> ((s, d) => replicaAhashSyncFacade(s, d)),
 
     // ---- training prep (decontaminate / split / pack / pii / quantize) ----
     "tp01_decontaminate" -> ((s, d) => TrainPrep.decontaminate(s, d)),
@@ -989,6 +997,74 @@ object QueryPack {
       .withColumn("n_deleted", lit(nDel))
       .withColumn("n_folded", lit(nAdd))
       .orderBy(col("batch_id"))
+  }
+
+  /** pipe12 — the replica→MULTIMODAL reconcile as ONE idempotent call
+    * ([[graft.streaming.Graft.syncAhashIndex]]), completing the facade
+    * matrix (pipe08/ann15: vectors; pipe10/pipe11: text; here: the
+    * perceptual stores). Fixture: every media row inserted into the
+    * replica (seq = id), every `% 9 == 0` deleted later; BOTH indexes
+    * bootstrapped with the `% 3 == 0` media only. One sync cycle must
+    * tombstone exactly the indexed dead (every `% 9` id — 9 ⊂ 3's
+    * residue class, so all of them bootstrapped) and fold exactly the
+    * live unindexed (`% 3 != 0`), in BOTH stores; the equality and
+    * Hamming screens then provably match copies of every surviving
+    * original and NOTHING of a deleted one, and a replayed cycle
+    * commits nothing and diffs (0, 0). The (n_deleted, n_appended)
+    * censuses ride every row, both derivable from the planting
+    * formulas alone.
+    */
+  def replicaAhashSyncFacade(spark: SparkSession, d: String): DataFrame = {
+    import graft.streaming.{Graft, Materializer}
+    val mediaIds = Tables.documents(spark, d)
+      .select(col("doc_id").as("media_id"))
+    val stateDir = graft.Tables.scratchDir("graft_p12_state")
+    val spec = Materializer.Spec(
+      keyCols = Seq("table_name", "record_id"), buckets = 16)
+    val inserts = mediaIds.select(lit("media").as("table_name"),
+      col("media_id").as("record_id"), col("media_id").as("seq"),
+      lit("insert").as("op"))
+    val deletes = mediaIds.filter(col("media_id") % 9 === 0)
+      .select(lit("media").as("table_name"),
+        col("media_id").as("record_id"),
+        (col("media_id") + 1000000L).as("seq"), lit("delete").as("op"))
+    Materializer.applyBatch(spark, stateDir,
+      inserts.unionByName(deletes), spec)
+    val hIdx = graft.Tables.scratchDir("graft_p12_h")
+    val cIdx = graft.Tables.scratchDir("graft_p12_c")
+    // partial bootstrap: only every third media indexed pre-sync
+    val boot = Multimodal.ahashOf(
+      mediaIds.filter(col("media_id") % 3 === 0)).cache()
+    try {
+      Multimodal.ahashIndexAppend(boot, hIdx, "bootstrap")
+      Multimodal.ahashChunkIndexAppend(boot, cIdx, "bootstrap")
+    } finally { boot.unpersist(); () }
+    // the hash provider: at scale a point-lookup join against the media
+    // store's derived-hash column (hashes ride the sync, never pixels)
+    val hashedAll = Multimodal.ahashOf(mediaIds).cache()
+    val (nDel, nAdd) = Graft.syncAhashIndex(spark, stateDir, spec,
+      "record_id", hashedAll, hIdx, cIdx, tag = "cycle1")
+    // replayed cycle: same tag commits nothing, the diff is empty
+    val (d2, a2) = Graft.syncAhashIndex(spark, stateDir, spec,
+      "record_id", hashedAll, hIdx, cIdx, tag = "cycle1")
+    require(d2 == 0L && a2 == 0L,
+      s"replayed sync cycle must be a fixpoint, got ($d2, $a2)")
+    hashedAll.unpersist()
+    val noisy = Multimodal.ahashOf(Tables.documents(spark, d)
+      .select(col("doc_id")).filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("media_id")))
+    val edited = Multimodal.ahashOf(Tables.documents(spark, d)
+      .select(col("doc_id")).filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000L).as("media_id")))
+    Multimodal.screenAhash(spark, hIdx, noisy)
+      .withColumn("lane", lit("eq")).withColumn("dist", lit(0L))
+      .unionByName(Multimodal.screenAhashHamming(spark, cIdx, edited)
+        .withColumn("lane", lit("ham")))
+      .withColumn("n_deleted", lit(nDel))
+      .withColumn("n_appended", lit(nAdd))
+      .select(col("lane"), col("batch_id"), col("corpus_id"), col("dist"),
+        col("n_deleted"), col("n_appended"))
+      .orderBy(col("lane"), col("batch_id"), col("corpus_id"))
   }
 
   def replicaDedupSync(spark: SparkSession, d: String): DataFrame = {

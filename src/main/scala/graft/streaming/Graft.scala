@@ -395,16 +395,25 @@ object Graft {
     val searchable = PqIndex.codes(spark, indexDir)
       .select(col("vec_id")).distinct()
       .join(PqIndex.tombstonedIds(spark, indexDir), Seq("vec_id"), "left_anti")
+    // SINGLE-PASS diffs: each diff is computed once into a persisted
+    // relation — the census count and the commit both read it, instead
+    // of re-deriving the whole state-store/index diff twice (the
+    // delete/append calls are eager writes, so unpersist after them is
+    // safe). The diff is delete-feed-sized — bounded, spillable.
     val toDelete = searchable.join(dead, Seq("vec_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toAppend = embProvider.join(alive, Seq("vec_id"), "left_semi")
       .join(searchable, Seq("vec_id"), "left_anti")
-    val nDel = toDelete.count()
-    if (nDel > 0)
-      PqIndex.delete(spark, indexDir, toDelete, tag = Some(s"sync-$tag-del"))
-    val nAdd = toAppend.count()
-    if (nAdd > 0)
-      PqIndex.append(spark, indexDir, toAppend, tag = Some(s"sync-$tag-add"))
-    (nDel, nAdd)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nDel = toDelete.count()
+      if (nDel > 0)
+        PqIndex.delete(spark, indexDir, toDelete, tag = Some(s"sync-$tag-del"))
+      val nAdd = toAppend.count()
+      if (nAdd > 0)
+        PqIndex.append(spark, indexDir, toAppend, tag = Some(s"sync-$tag-add"))
+      (nDel, nAdd)
+    } finally { toDelete.unpersist(); toAppend.unpersist(); () }
   }
 
   /** One-call REPLICA → DEDUP-INDEX sync, completing the reconcile
@@ -436,17 +445,91 @@ object Graft {
       .select(col(idCol).cast("long").as("doc_id")).distinct()
       .join(alive, Seq("doc_id"), "left_anti")
     val indexed = Dedup.indexedLiveIds(spark, indexDir)
+    // single-pass diffs (the syncVectorIndex device): census + commit
+    // read ONE persisted computation of each diff
     val toDelete = indexed.join(dead, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toFold = docProvider.join(alive, Seq("doc_id"), "left_semi")
       .join(indexed, Seq("doc_id"), "left_anti")
-    val nDel = toDelete.count()
-    if (nDel > 0)
-      Dedup.dedupIndexDelete(spark, indexDir, toDelete,
-        s"sync-$tag-del", bid = bid)
-    val nAdd = toFold.count()
-    if (nAdd > 0)
-      Dedup.dedupIndexAppend(toFold, indexDir, s"sync-$tag-add", bid = bid)
-    (nDel, nAdd)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nDel = toDelete.count()
+      if (nDel > 0)
+        Dedup.dedupIndexDelete(spark, indexDir, toDelete,
+          s"sync-$tag-del", bid = bid)
+      val nAdd = toFold.count()
+      if (nAdd > 0)
+        Dedup.dedupIndexAppend(toFold, indexDir, s"sync-$tag-add", bid = bid)
+      (nDel, nAdd)
+    } finally { toDelete.unpersist(); toFold.unpersist(); () }
+  }
+
+  /** One-call REPLICA → MULTIMODAL-INDEX sync — the last entry of the
+    * reconcile facade matrix ([[syncVectorIndex]]: vectors,
+    * [[syncDedupIndex]]: text, here: the perceptual stores): diff the
+    * state store's live/dead media sets against each index's LIVE set
+    * ([[graft.operators.multimodal.Multimodal.mmIndexedLiveIds]]),
+    * tombstone dead indexed media ([[graft.operators.multimodal
+    * .Multimodal.ahashIndexDelete]] — mm18's takedown lane) and fold
+    * live unindexed ones, both tag-idempotent. The equality hash index
+    * and the Hamming chunk index are TWO PROJECTIONS of one membership,
+    * so the facade reconciles BOTH against the replica — each lane
+    * diffs its own store, so a partial failure (one store committed,
+    * the other crashed) heals on the retried cycle instead of freezing
+    * the divergence behind the healthy store's no-op. `hashProvider`
+    * supplies (media_id, ahash_hi, ahash_lo) for the fold side — at
+    * scale a point-lookup-shaped join against the media store (hashes,
+    * never pixels). Tombstones are KILL-ALL (the vector-index
+    * semantics), so a deleted-then-reinserted replica row resurrects
+    * via compact-then-refold — detected and run automatically, exactly
+    * [[syncVectorIndex]]'s resurrection path. Returns (nDeleted,
+    * nAppended) for the HASH lane (the chunk lane reconciles to the
+    * same membership; a steady-state cycle is (0, 0) on both).
+    */
+  def syncAhashIndex(spark: SparkSession, stateDir: String,
+      spec: Materializer.Spec, idCol: String, hashProvider: DataFrame,
+      hashIndexDir: String, chunkIndexDir: String, tag: String): (Long, Long) = {
+    import graft.operators.multimodal.Multimodal
+    require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid sync tag: $tag")
+    val alive = Materializer.currentState(spark, stateDir, spec)
+      .select(col(idCol).cast("long").as("media_id")).distinct()
+    // dead ∖ alive: never tombstone a living key (truncate-killed keys
+    // re-inserted at a later seq are in the delete feed AND live)
+    val dead = Materializer.deletedRecords(spark, stateDir, spec)
+      .select(col(idCol).cast("long").as("media_id")).distinct()
+      .join(alive, Seq("media_id"), "left_anti")
+    def lane(indexDir: String, rel: String,
+        append: (DataFrame, String) => Unit,
+        delete: (DataFrame, String) => Unit,
+        compact: String => Unit): (Long, Long) = {
+      // resurrection: a live replica id with a standing (kill-all)
+      // tombstone becomes screenable only through compaction
+      if (!alive.join(Multimodal.mmTombstonedIds(spark, indexDir),
+          Seq("media_id"), "left_semi").isEmpty)
+        compact(s"sync-$tag-rc")
+      val indexed = Multimodal.mmIndexedLiveIds(spark, indexDir, rel)
+      val toDelete = indexed.join(dead, Seq("media_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val toAppend = hashProvider.join(alive, Seq("media_id"), "left_semi")
+        .join(indexed, Seq("media_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nDel = toDelete.count()
+        if (nDel > 0) delete(toDelete, s"sync-$tag-del")
+        val nAdd = toAppend.count()
+        if (nAdd > 0) append(toAppend, s"sync-$tag-add")
+        (nDel, nAdd)
+      } finally { toDelete.unpersist(); toAppend.unpersist(); () }
+    }
+    val hashCounts = lane(hashIndexDir, "hashes",
+      (df, t) => Multimodal.ahashIndexAppend(df, hashIndexDir, t),
+      (df, t) => Multimodal.ahashIndexDelete(spark, hashIndexDir, df, t),
+      t => Multimodal.compactAhashIndex(spark, hashIndexDir, t))
+    lane(chunkIndexDir, "chunks",
+      (df, t) => Multimodal.ahashChunkIndexAppend(df, chunkIndexDir, t),
+      (df, t) => Multimodal.ahashChunkIndexDelete(spark, chunkIndexDir, df, t),
+      t => Multimodal.compactAhashChunkIndex(spark, chunkIndexDir, t))
+    hashCounts
   }
 
   /** The ONE-CALL live engine — the full equivalent of the reference's

@@ -2365,4 +2365,101 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits == (3L to 12L).toSet,
       s"deleted docs stay dead through merge+compact+clear: $hits")
   }
+
+  test("multimodal tombstone lane: kill-all deletes, physical drop at compaction, refold revives") {
+    import graft.operators.multimodal.Multimodal
+    import graft.operators.store.IndexManifest
+    import spark.implicits._
+    val ids = (1L to 12L).toDF("media_id")
+    val tmp = graft.Tables.scratchDir("graft_mm_tomb")
+    val hIdx = s"$tmp/h"; val cIdx = s"$tmp/c"
+    val hashed = Multimodal.ahashOf(ids).cache()
+    Multimodal.ahashIndexAppend(hashed, hIdx, "corpus")
+    Multimodal.ahashChunkIndexAppend(hashed, cIdx, "corpus")
+    // self-probe: every id hash-matches itself (identical derived hash)
+    def eqHits(): Set[Long] = Multimodal.screenAhash(spark, hIdx, hashed)
+      .filter(col("batch_id") === col("corpus_id"))
+      .select("corpus_id").collect().map(_.getLong(0)).toSet
+    def hamHits(): Set[Long] =
+      Multimodal.screenAhashHamming(spark, cIdx, hashed)
+        .filter(col("batch_id") === col("corpus_id"))
+        .select("corpus_id").collect().map(_.getLong(0)).toSet
+    assert(eqHits() == (1L to 12L).toSet && hamHits() == (1L to 12L).toSet)
+    // the takedown: id 3 leaves both screens without any leaf rewrite
+    Multimodal.ahashIndexDelete(spark, hIdx, Seq(Tuple1(3L)).toDF("media_id"), "t0")
+    Multimodal.ahashChunkIndexDelete(spark, cIdx, Seq(Tuple1(3L)).toDF("media_id"), "t0")
+    assert(eqHits() == (1L to 12L).toSet - 3L, "equality lane hides the takedown")
+    assert(hamHits() == (1L to 12L).toSet - 3L, "Hamming lane hides the takedown")
+    // a replayed delete tag commits nothing
+    val v = IndexManifest.readMeta(hIdx).get.version
+    Multimodal.ahashIndexDelete(spark, hIdx, Seq(Tuple1(3L)).toDF("media_id"), "t0")
+    assert(IndexManifest.readMeta(hIdx).get.version == v)
+    // KILL-ALL: a re-crawl BEFORE compaction stays dead (contrast with
+    // the dedup index's bid order) …
+    Multimodal.ahashIndexAppend(Multimodal.ahashOf(Seq(Tuple1(3L))
+      .toDF("media_id")), hIdx, "re1")
+    assert(eqHits() == (1L to 12L).toSet - 3L, "kill-all outranks refolds")
+    // … compaction drops the dead rows physically and clears the set …
+    Multimodal.compactAhashIndex(spark, hIdx, "c0")
+    Multimodal.compactAhashChunkIndex(spark, cIdx, "c0")
+    assert(IndexManifest.readMeta(hIdx).get.tombs.isEmpty)
+    assert(eqHits() == (1L to 12L).toSet - 3L, "still dead after the drop")
+    assert(hamHits() == (1L to 12L).toSet - 3L)
+    // … and the post-compaction refold revives (the resurrection path
+    // Graft.syncAhashIndex automates)
+    Multimodal.ahashIndexAppend(Multimodal.ahashOf(Seq(Tuple1(3L))
+      .toDF("media_id")), hIdx, "re2")
+    assert(eqHits() == (1L to 12L).toSet, "compact-then-refold revives")
+    hashed.unpersist()
+  }
+
+  test("syncAhashIndex: full reconcile in both stores; reinserts resurrect via compaction") {
+    import graft.operators.multimodal.Multimodal
+    import graft.streaming.{Graft, Materializer}
+    import spark.implicits._
+    val ids = (1L to 9L).toDF("media_id")
+    val hashes = Multimodal.ahashOf(ids).cache()
+    val stateDir = "file://" +
+      java.nio.file.Files.createTempDirectory("sync_mm_state").toString
+    val spec = Materializer.Spec(
+      keyCols = Seq("table_name", "record_id"), buckets = 4)
+    def chg(rows: (Long, Long, String)*) = rows
+      .map { case (id, seq, op) => ("m", id, seq, op) }
+      .toDF("table_name", "record_id", "seq", "op")
+    Materializer.applyBatch(spark, stateDir,
+      chg((1L to 9L).map(i => (i, i, "insert")): _*), spec)
+    val tmp = graft.Tables.scratchDir("graft_sync_mm")
+    val hIdx = s"$tmp/h"; val cIdx = s"$tmp/c"
+    // cycle 1: full catch-up fold into BOTH empty stores
+    val (d1, a1) = Graft.syncAhashIndex(spark, stateDir, spec,
+      "record_id", hashes, hIdx, cIdx, tag = "c1")
+    assert((d1, a1) == (0L, 9L), s"cycle 1: ($d1, $a1)")
+    def live(dir: String, rel: String): Set[Long] =
+      Multimodal.mmIndexedLiveIds(spark, dir, rel)
+        .as[Long].collect().toSet
+    assert(live(hIdx, "hashes") == (1L to 9L).toSet)
+    assert(live(cIdx, "chunks") == (1L to 9L).toSet,
+      "the chunk lane reconciles too")
+    // cycle 2: media 5 deleted — tombstoned in both stores
+    Materializer.applyBatch(spark, stateDir, chg((5L, 100L, "delete")), spec)
+    val (d2, a2) = Graft.syncAhashIndex(spark, stateDir, spec,
+      "record_id", hashes, hIdx, cIdx, tag = "c2")
+    assert((d2, a2) == (1L, 0L), s"cycle 2: ($d2, $a2)")
+    assert(live(hIdx, "hashes") == (1L to 9L).toSet - 5L)
+    assert(live(cIdx, "chunks") == (1L to 9L).toSet - 5L)
+    // cycle 3: media 5 RE-INSERTED — kill-all tombstones need the
+    // resurrection compaction, which the facade detects and runs
+    Materializer.applyBatch(spark, stateDir, chg((5L, 200L, "insert")), spec)
+    val (d3, a3) = Graft.syncAhashIndex(spark, stateDir, spec,
+      "record_id", hashes, hIdx, cIdx, tag = "c3")
+    assert((d3, a3) == (0L, 1L), s"cycle 3: ($d3, $a3)")
+    assert(live(hIdx, "hashes") == (1L to 9L).toSet,
+      "reinserted media must be screenable again")
+    assert(live(cIdx, "chunks") == (1L to 9L).toSet)
+    // steady state: a fresh-tag cycle with no changes is a fixpoint
+    val (d4, a4) = Graft.syncAhashIndex(spark, stateDir, spec,
+      "record_id", hashes, hIdx, cIdx, tag = "c4")
+    assert((d4, a4) == (0L, 0L), s"steady state: ($d4, $a4)")
+    hashes.unpersist()
+  }
 }
