@@ -2747,6 +2747,14 @@ SELECT vec_id + 200000 AS query_id, vec_id AS match_id,
   CAST(1.0 AS DOUBLE) AS sim
 FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
 
+    // ann20: ann18's planted relation through build → PERSIST → reload →
+    // search (the committed edge store is the only candidate source);
+    // n_leaves = 1 pins the manifest-committed census
+    "ann20_graph_persisted" -> """
+SELECT vec_id + 200000 AS query_id, vec_id AS match_id,
+  CAST(1.0 AS DOUBLE) AS sim, 1 AS n_leaves
+FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
+
     // ann19: NN-descent planted theorem — in the degraded k=1 graph
     // every +200000 node knows only its original; one refinement round
     // (2-hop + reverse candidates, exact verify) provably adds the

@@ -312,6 +312,11 @@ object QueryPack {
     // one NN-descent round provably repairs a degraded (k=1) graph:
     // neighbors-of-neighbors + reverse edges, exact-cosine verify
     "ann19_nn_descent" -> ((s, d) => Ann.nnDescentSelfRecall(s, d)),
+    // the k-NN graph as a PERSISTED store: ann18's search relation
+    // through build -> manifest commit -> reload, committed edges the
+    // only candidate source; leaf census rides the relation
+    "ann20_graph_persisted" -> ((s, d) => graft.operators.ann.KnnGraph
+      .persistedSearchSelfRecall(s, d)),
 
     // ---- multimodal ----
     "mm01_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),

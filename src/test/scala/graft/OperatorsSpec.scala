@@ -2462,4 +2462,58 @@ class OperatorsSpec extends AnyFunSuite {
     assert((d4, a4) == (0L, 0L), s"steady state: ($d4, $a4)")
     hashes.unpersist()
   }
+
+  test("KnnGraph store: persisted == in-plan edges; append links a batch; refine repairs ranks") {
+    import graft.operators.ann.{Ann, KnnGraph}
+    val base = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .cache()
+    val tmp = graft.Tables.scratchDir("graft_knn_store")
+    val dir = s"$tmp/graph"
+    KnnGraph.build(base, dir, "corpus")
+    // the committed relation is BIT-IDENTICAL to the in-plan build
+    // (rows copied verbatim through the leaf write)
+    val inPlan = Ann.knnGraphOf(base).collect().map(_.toSeq).toSet
+    val stored = KnnGraph.edges(spark, dir)
+      .select($"vec_id", $"nbr_id", $"rank", $"mutual")
+      .collect().map(_.toSeq).toSet
+    assert(stored == inPlan, "persisted edges must equal the in-plan build")
+    // a replayed build tag commits nothing
+    val v = graft.operators.store.IndexManifest.readMeta(dir).get.version
+    KnnGraph.build(base, dir, "corpus")
+    assert(graft.operators.store.IndexManifest.readMeta(dir).get.version == v)
+    // APPEND links an exact copy of vec 0 through the stored edges only:
+    // the newcomer's rank-1 forward edge is its sim-1.0 twin, and the
+    // reverse edge splices it into the twin's adjacency list
+    val newcomer = base.filter($"vec_id" === 0L)
+      .select(($"vec_id" + 500000L).as("vec_id"), $"embedding")
+    KnnGraph.append(spark, dir, base.unionByName(newcomer), newcomer, "inc1")
+    val fwd = KnnGraph.edges(spark, dir)
+      .filter($"vec_id" === 500000L && $"rank" === 1)
+      .select($"nbr_id").collect().map(_.getLong(0)).toSeq
+    assert(fwd == Seq(0L), s"appended vector must link to its twin: $fwd")
+    val rev = KnnGraph.edges(spark, dir)
+      .filter($"vec_id" === 0L && $"nbr_id" === 500000L)
+      .count()
+    assert(rev == 1L, "the reverse edge must splice the newcomer in")
+    // REFINE (one NN-descent round) re-ranks exactly and compacts to one
+    // leaf: vec 0's rank-1 neighbor becomes its sim-1.0 twin
+    assert(KnnGraph.leafCount(dir) == 2)
+    KnnGraph.refine(spark, dir, base.unionByName(newcomer), "r1")
+    assert(KnnGraph.leafCount(dir) == 1, "refine replaces every leaf")
+    val top0 = KnnGraph.edges(spark, dir)
+      .filter($"vec_id" === 0L && $"rank" === 1)
+      .select($"nbr_id", $"mutual").collect()
+    assert(top0.length == 1 && top0(0).getLong(0) == 500000L &&
+      top0(0).getBoolean(1),
+      s"refined rank-1 of vec 0 must be its twin, mutual: ${top0.toSeq}")
+    // search over the refined store still resolves the twin first
+    val queries = newcomer.select($"vec_id".as("query_id"),
+      $"embedding".as("q_emb"))
+    val seeds = newcomer.select($"vec_id".as("query_id"), $"vec_id")
+    val hit = KnnGraph.searchTopK(spark, dir, base.unionByName(newcomer),
+      queries, seeds, hops = 2, beam = 8, k = 1)
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    assert(hit == Seq(0L), s"persisted search must return the twin: $hit")
+    base.unpersist()
+  }
 }
