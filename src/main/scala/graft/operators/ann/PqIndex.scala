@@ -504,6 +504,133 @@ object PqIndex {
     next
   }
 
+  /** Encode `emb` as a SHARD of a distributed build: a fresh index at
+    * `shardDir` whose codebooks and coarse quantizer are bit-copies of
+    * the TEMPLATE's (parquet float round-trips are exact), so N shards
+    * built in parallel from one template are mutually comparable and
+    * [[merge]] can fold them into one store. This is the scale-out
+    * BUILD path ([[graft.operators.dedup.Dedup.mergeDedupIndexes]]'s
+    * rationale on the vector axis): train ONCE on a sample, then every
+    * shard is an embarrassingly-parallel encode of its slice — no
+    * coordination, no shared writer.
+    */
+  def buildShardFrom(spark: SparkSession, templateDir: String,
+      emb: DataFrame, shardDir: String): Meta = {
+    val t = readMeta(templateDir)
+    val (fs, root) = WalSegments.fsFor(shardDir)
+    val existing =
+      try fs.listStatus(root).iterator.map(_.getPath.getName)
+        .exists(n => n == "_pq_manifest" || ManifestVRe.matches(n))
+      catch { case _: java.io.FileNotFoundException => false }
+    require(!existing,
+      s"$shardDir already holds a committed pq index — shards build into " +
+        "fresh directories")
+    artifact(spark, s"$templateDir/${t.codebooksDir}")
+      .write.mode("overwrite").parquet(s"$shardDir/${t.codebooksDir}")
+    if (t.coarseDir.nonEmpty)
+      artifact(spark, s"$templateDir/${t.coarseDir}")
+        .write.mode("overwrite").parquet(s"$shardDir/${t.coarseDir}")
+    val leaf = leafName(1L, randomSuffix())
+    writeCodesLeaf(spark, shardDir, emb, leaf,
+      artifact(spark, s"$shardDir/${t.codebooksDir}"),
+      artifact(spark, s"$shardDir/${t.coarseDir}"), t.subLen, t.residual)
+    val meta = Meta(1L, t.m, t.ksub, t.dim, t.codebooksDir, Seq(leaf),
+      t.ncells, t.coarseDir, t.residual)
+    writeMeta(shardDir, meta)
+    meta
+  }
+
+  /** MERGE several pq-index shards into one fresh destination — the
+    * fold after [[buildShardFrom]]'s parallel fleet: one codes leaf
+    * carrying every shard's committed rows VERBATIM (codes are pure
+    * functions of (embedding, codebooks) and cells of (embedding,
+    * coarse), so the merged store is row-identical to a single build),
+    * tombstones riding as one destination leaf per source (kill-all
+    * ids — a delete known to any shard stays a delete). REFUSES shards
+    * whose codebook or coarse content differs from the first's (the
+    * group-dial rule on the codebook axis: codes from different
+    * codebooks are incomparable, and merging them would silently
+    * corrupt every ADC score — the content check is a collect of
+    * m·ksub + ncells broadcast-sized rows per shard). Replaying a
+    * completed merge no-ops on its tag; a torn attempt rewrites its
+    * deterministic leaf names.
+    */
+  def merge(spark: SparkSession, srcDirs: Seq[String], destDir: String,
+      tag: String): Meta = {
+    require(srcDirs.nonEmpty, "merge needs at least one source")
+    require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid merge tag: $tag")
+    val (fs, root) = WalSegments.fsFor(destDir)
+    val hasManifest =
+      try fs.listStatus(root).iterator.map(_.getPath.getName)
+        .exists(n => n == "_pq_manifest" || ManifestVRe.matches(n))
+      catch { case _: java.io.FileNotFoundException => false }
+    if (hasManifest) {
+      val dm = readMeta(destDir)
+      if (dm.codeLeaves.exists(_.endsWith(s"-$tag"))) return dm
+      throw new IllegalStateException(
+        s"$destDir already holds a committed pq index — merge builds a " +
+          "fresh destination")
+    }
+    val metas = srcDirs.map(readMeta)
+    val h = metas.head
+    metas.zip(srcDirs).foreach { case (m, dir) =>
+      require((m.m, m.ksub, m.dim, m.ncells, m.residual) ==
+          (h.m, h.ksub, h.dim, h.ncells, h.residual),
+        s"shard $dir disagrees on index geometry with ${srcDirs.head}")
+    }
+    // shared-codebook fence: content equality, not name equality
+    def contentOf(dir: String, rel: String): Set[Vector[Any]] =
+      spark.read.parquet(s"$dir/$rel").collect()
+        .map(_.toSeq.map {
+          case a: scala.collection.Seq[_] => a.toVector
+          case x => x
+        }.toVector).toSet
+    val books0 = contentOf(srcDirs.head, h.codebooksDir)
+    val coarse0 =
+      if (h.coarseDir.isEmpty) Set.empty[Vector[Any]]
+      else contentOf(srcDirs.head, h.coarseDir)
+    srcDirs.zip(metas).drop(1).foreach { case (dir, m) =>
+      require(contentOf(dir, m.codebooksDir) == books0,
+        s"shard $dir was encoded against DIFFERENT codebooks — its codes " +
+          "are incomparable with the other shards'; rebuild it with " +
+          "buildShardFrom the shared template")
+      require(m.coarseDir.isEmpty || contentOf(dir, m.coarseDir) == coarse0,
+        s"shard $dir carries a different coarse quantizer — its cells " +
+          "are incomparable; rebuild it from the shared template")
+    }
+    artifact(spark, s"${srcDirs.head}/${h.codebooksDir}")
+      .write.mode("overwrite").parquet(s"$destDir/${h.codebooksDir}")
+    if (h.coarseDir.nonEmpty)
+      artifact(spark, s"${srcDirs.head}/${h.coarseDir}")
+        .write.mode("overwrite").parquet(s"$destDir/${h.coarseDir}")
+    val leaf = leafName(1L, tag)
+    dropLeafResidue(destDir, "codes", leaf)
+    srcDirs.zip(metas).map { case (dir, m) =>
+      codesRaw(spark, dir, m)
+        .select(col("vec_id"), col("m"), col("code"), col("cell"))
+    }.reduce(_ unionByName _)
+      .withColumn("leaf", lit(leaf))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell", "leaf")
+      .parquet(s"$destDir/codes")
+    val tombLeaves = srcDirs.zip(metas).zipWithIndex.flatMap {
+      case ((dir, m), i) =>
+        tombstones(spark, dir, m).map { t =>
+          val tl = tombLeafName(1L, s"$tag-t$i")
+          dropLeafResidue(destDir, "tombs", tl)
+          t.distinct().withColumn("leaf", lit(tl))
+            .coalesce(1)
+            .write.mode("append").partitionBy("leaf")
+            .parquet(s"$destDir/tombs")
+          tl
+        }
+    }
+    val meta = Meta(1L, h.m, h.ksub, h.dim, h.codebooksDir, Seq(leaf),
+      h.ncells, h.coarseDir, h.residual, tombLeaves)
+    writeMeta(destDir, meta)
+    meta
+  }
+
   /** DELETE vectors from the index by TOMBSTONE — the CDC-sync shape
     * ([[graft.queries.QueryPack.streamReplicaVectorIndex]] / pgvector
     * style): a replicated row's DELETE must leave the index without
@@ -1003,6 +1130,52 @@ object PqIndex {
       base.unionByName(copies1).unionByName(copies2), nprobe,
       k = 1, rerank = 4096)
       .select(col("query_id"), col("vec_id").as("match_id"), col("sim"))
+      .crossJoin(broadcast(census))
+      .orderBy(col("query_id"))
+  }
+
+  /** ann21's driver-checked shape — ann15's planted theorem through the
+    * SHARDED build: the shared codebooks train ONCE ([[build]] on the
+    * corpus — at scale, a sample), TWO shards encode their slices
+    * independently against them ([[buildShardFrom]] — the parallel
+    * fleet), shard 0 tombstones its own `% 7` copies (a takedown known
+    * to one shard), and [[merge]] folds both into a fresh destination.
+    * Codes are pure functions of (embedding, codebooks), so the merged
+    * store is provably row-identical to ann15's single build: the
+    * search answer is +100000 exactly when that copy survived and
+    * +200000 exactly when shard 0 deleted it, decided per query by the
+    * shared modular arithmetic. Shard and tombstone censuses ride the
+    * relation.
+    */
+  def selfRecallShardMerged(spark: SparkSession, d: String,
+      nQueries: Int = 64, m: Int = 4, ksub: Int = 16, dim: Int = 64,
+      refineIters: Int = 1, ncells: Int = 16, nprobe: Int = 2): DataFrame = {
+    val base = Tables.spread(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))).cache()
+    val qs = base.filter(col("vec_id") < nQueries)
+    val copies1 = qs.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding"))
+    val copies2 = qs.select((col("vec_id") + 200000L).as("vec_id"),
+      col("embedding"))
+    val tmp = graft.Tables.scratchDir("graft-pq-shards")
+    val template = s"$tmp/template"
+    build(base, template, m, ksub, dim, refineIters, ncells)
+    buildShardFrom(spark, template,
+      base.filter(col("vec_id") % 2 === 0).unionByName(copies1), s"$tmp/s0")
+    buildShardFrom(spark, template,
+      base.filter(col("vec_id") % 2 === 1).unionByName(copies2), s"$tmp/s1")
+    val dead = copies1.filter((col("vec_id") - 100000L) % 7 === 0)
+      .select(col("vec_id"))
+    delete(spark, s"$tmp/s0", dead, tag = Some("takedown0"))
+    merge(spark, Seq(s"$tmp/s0", s"$tmp/s1"), s"$tmp/merged", "merge0")
+    val census = dead.agg(count(lit(1)).as("n_tombstones"))
+    val queries = qs.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    topKIvfAgainst(spark, s"$tmp/merged", queries,
+      base.unionByName(copies1).unionByName(copies2), nprobe,
+      k = 1, rerank = 4096)
+      .select(col("query_id"), col("vec_id").as("match_id"), col("sim"))
+      .withColumn("n_shards", lit(2))
       .crossJoin(broadcast(census))
       .orderBy(col("query_id"))
   }

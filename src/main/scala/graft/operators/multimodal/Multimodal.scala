@@ -790,6 +790,82 @@ object Multimodal {
   def mmIndexLeafCount(indexDir: String): Int =
     metaOf(indexDir).map(_.leaves.size).getOrElse(0)
 
+  /** MERGE several multimodal indexes into one — the scale-out BUILD
+    * path (dd22's device on the perceptual stores): a 100 TB media
+    * corpus hashes as N independent shards (each a plain append over
+    * its slice, no coordination), then one merge folds the shards'
+    * committed rows into the destination as a single
+    * manifest-committed leaf. Rows are PURE per-media functions — only
+    * the group key depends on the dial — so the merged index is
+    * row-identical to a single build (group keys recomputed against
+    * the destination's dial; mixed-dial shards merge fine). Tombstones
+    * ride as one destination leaf per source (kill-all ids — a delete
+    * known to any shard stays a delete; overlapping media_id spaces
+    * therefore OR their deletes). Tag-idempotent and crash-replayable
+    * under the same manifest discipline as every other commit.
+    */
+  private def mmIndexMerge(spark: SparkSession, srcDirs: Seq[String],
+      destDir: String, rel: String,
+      grpCol: Int => org.apache.spark.sql.Column, grpName: String,
+      tag: String, groups: Int): Unit = {
+    import graft.operators.store.IndexManifest
+    require(srcDirs.nonEmpty, "mmIndexMerge needs at least one source")
+    require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid merge tag: $tag")
+    val dest = metaOrEnroll(destDir, rel, groups)
+    if (dest.hasLeafTag(tag)) return
+    if (dest.groups != groups)
+      throw new IllegalStateException(
+        s"$destDir is grouped at ${dest.groups} but the merge says " +
+          s"$groups — use the destination's dial")
+    val leafDir = IndexManifest.leafName(dest.version + 1, tag)
+    IndexManifest.dropResidue(destDir, Seq(rel), leafDir)
+    def srcRel(dir: String, r: String): Option[DataFrame] = {
+      val live = metaOf(dir).map(m => if (r == "tombs") m.tombs else m.leaves)
+      if (live.exists(_.isEmpty)) None
+      else if (!graft.sources.cdc.WalSegments.globNonEmpty(dir, s"$r/leaf=*") &&
+          !graft.sources.cdc.WalSegments.globNonEmpty(dir, s"$r/*/leaf=*")) None
+      else Some(IndexManifest.committedOnly(
+        spark.read.parquet(s"$dir/$r"), live))
+    }
+    srcDirs.flatMap(srcRel(_, rel).map(_.drop("leaf").drop(grpName)))
+      .reduceOption(_ unionByName _).foreach {
+        _.withColumn(grpName, grpCol(groups))
+          .withColumn("leaf", lit(leafDir))
+          .repartition(col(grpName))
+          .write.partitionBy(grpName, "leaf")
+          .mode("append").parquet(s"$destDir/$rel")
+      }
+    val tombsMerged = srcDirs.zipWithIndex.flatMap { case (dir, i) =>
+      srcRel(dir, "tombs").map { t =>
+        val tl = IndexManifest.leafName(dest.version + 1, s"$tag-t$i")
+        IndexManifest.dropResidue(destDir, Seq("tombs"), tl)
+        t.select(col("media_id")).distinct()
+          .withColumn("leaf", lit(tl))
+          .coalesce(1)
+          .write.partitionBy("leaf").mode("append").parquet(s"$destDir/tombs")
+        tl
+      }
+    }
+    IndexManifest.commit(destDir, dest.copy(version = dest.version + 1,
+      leaves = dest.leaves :+ leafDir,
+      tombs = dest.tombs ++ tombsMerged))
+    IndexManifest.sweep(destDir, Seq(rel, "tombs"), dest.version + 1)
+  }
+
+  /** [[mmIndexMerge]] for the aHash equality index. */
+  def mergeAhashIndexes(spark: SparkSession, srcDirs: Seq[String],
+      destDir: String, tag: String,
+      groups: Int = DefaultAHashGroups): Unit =
+    mmIndexMerge(spark, srcDirs, destDir, "hashes", ahashGroup, "hgrp",
+      tag, groups)
+
+  /** [[mmIndexMerge]] for the Hamming chunk index. */
+  def mergeAhashChunkIndexes(spark: SparkSession, srcDirs: Seq[String],
+      destDir: String, tag: String,
+      groups: Int = DefaultAHashGroups): Unit =
+    mmIndexMerge(spark, srcDirs, destDir, "chunks", chunkGroup, "cgrp",
+      tag, groups)
+
   /** Idempotent O(batch) leaf append of (media_id, ahash) rows into the
     * partitioned hash table `hashes/hgrp=g/leaf=v<N>-tag` — immutable
     * manifest-committed leaves, a replayed foreachBatch tag no-ops (the
@@ -1011,6 +1087,40 @@ object Multimodal {
       .groupBy(col("lane"), col("batch_id"), col("corpus_id"), col("dist"))
       .agg(count(lit(1)).as("n_passes")) // 2 ⇔ pre- and post-compaction agree
       .orderBy(col("lane"), col("batch_id"), col("corpus_id"))
+  }
+
+  /** mm19's driver-checked shape — the planted Hamming theorem through
+    * the SHARDED build (dd22's scale-out device on the chunk index):
+    * the originals hash into TWO chunk-index shards built independently
+    * (media parity — a parallel fleet's slices), each shard tombstones
+    * its own `% 9 == 0` members (a takedown known to one shard), and
+    * [[mergeAhashChunkIndexes]] folds both into a fresh destination.
+    * Chunk rows are pure per-media functions, so the merged store is
+    * provably row-identical to a single build-then-delete: the edited
+    * arrivals match every SURVIVING original within Hamming 3 (the
+    * mm16 semantic relation minus the union of shard tombstones —
+    * which is exactly `% 9 == 0`) and nothing of a deleted one,
+    * whichever shard held it. The shard census rides the gated
+    * relation.
+    */
+  def shardMergedHammingSelfRecall(spark: SparkSession, d: String): DataFrame = {
+    val tmp = graft.Tables.scratchDir("graft_mm19")
+    val orig = Tables.documents(spark, d)
+      .select(col("doc_id").as("media_id"))
+    (0 until 2).foreach { i =>
+      val slice = orig.filter(col("media_id") % 2 === i)
+      ahashChunkIndexAppend(ahashOf(slice), s"$tmp/shard$i", "corpus")
+      ahashChunkIndexDelete(spark, s"$tmp/shard$i",
+        slice.filter(col("media_id") % 9 === 0), "takedown0")
+    }
+    mergeAhashChunkIndexes(spark, Seq(s"$tmp/shard0", s"$tmp/shard1"),
+      s"$tmp/merged", "merge0")
+    val edited = ahashOf(Tables.documents(spark, d).select(col("doc_id"))
+      .filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000L).as("media_id")))
+    screenAhashHamming(spark, s"$tmp/merged", edited)
+      .withColumn("n_shards", lit(2))
+      .orderBy(col("batch_id"), col("corpus_id"))
   }
 
   /** mm16 — the HAMMING-tolerant image crawl loop: mm10 screens arriving

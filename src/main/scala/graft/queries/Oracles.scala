@@ -769,6 +769,18 @@ SELECT vec_id AS query_id,
     AS n_tombstones
 FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
 
+    // ann21: ann15's relation through the sharded build — codes are pure
+    // functions of (embedding, codebooks), so merge == single build; the
+    // %7 takedown known only to shard 0 still bites post-merge
+    "ann21_shard_merge" -> """
+SELECT vec_id AS query_id,
+  CASE WHEN vec_id % 7 = 0 THEN vec_id + 200000
+       ELSE vec_id + 100000 END AS match_id,
+  CAST(1.0 AS DOUBLE) AS sim, 2 AS n_shards,
+  (SELECT count(*) FROM embeddings WHERE vec_id < 64 AND vec_id % 7 = 0)
+    AS n_tombstones
+FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
+
     // ann09: the planting theorem through RESIDUAL IVFADC — the copy's
     // coarse cell, residual, and residual codes are bitwise its
     // original's; the harness's rerank exceeds the probed candidate
@@ -1911,6 +1923,51 @@ SELECT lane, batch_id, corpus_id, dist,
   CAST((SELECT count(*) FROM documents WHERE doc_id % 3 <> 0) AS BIGINT) AS n_appended
 FROM (SELECT * FROM eq UNION ALL SELECT * FROM ham)
 ORDER BY lane, batch_id, corpus_id""",
+
+    // mm19: the sharded chunk-index build — mm16's Hamming relation
+    // restricted to survivors of the per-shard takedowns (their union is
+    // exactly %9 == 0); chunk rows are pure per-media functions, so the
+    // merged store equals a single build-then-delete
+    "mm19_shard_merge" -> """
+WITH ids AS (
+  SELECT doc_id AS media_id FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 FROM documents WHERE doc_id % 7 = 0),
+px AS (
+  SELECT media_id, media_id % 100000 AS id,
+    media_id >= 100000 AND media_id < 200000 AS noisy,
+    media_id >= 200000 AS edited, y, x
+  FROM ids, range(0, 8) ty(y), range(0, 8) tx(x)),
+lum AS (
+  SELECT media_id, y * 8 + x AS bit,
+    (299 * (((id * 2654435761 + (y*8 + x) * 40503 + 17) % 65521) % 256)
+     + 587 * (((id * 2246822519 + (y*8 + x) * 52361 + 101) % 65521) % 256)
+     + 114 * (CASE WHEN noisy AND (x + y) % 7 = 0
+              THEN (((id * 3266489917 + (y*8 + x) * 44131 + 233) % 65521) % 256 + 1) % 256
+              WHEN edited AND (x + y) % 9 = 0
+              THEN (((id * 3266489917 + (y*8 + x) * 44131 + 233) % 65521) % 256 + 64) % 256
+              ELSE ((id * 3266489917 + (y*8 + x) * 44131 + 233) % 65521) % 256 END)) // 1000 AS luma
+  FROM px),
+tot AS (SELECT media_id, sum(luma) AS total FROM lum GROUP BY 1),
+bits AS (
+  SELECT l.media_id, l.bit,
+    CASE WHEN l.luma * 64 > t.total THEN 1 ELSE 0 END AS b
+  FROM lum l JOIN tot t USING (media_id)),
+hash AS (
+  SELECT media_id,
+    CAST(sum(CASE WHEN bit >= 32
+             THEN b * (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END) AS BIGINT) AS hi,
+    CAST(sum(CASE WHEN bit < 32
+             THEN b * (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS lo
+  FROM bits GROUP BY 1)
+SELECT a.media_id AS batch_id, b.media_id AS corpus_id,
+  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS dist,
+  2 AS n_shards
+FROM hash a JOIN hash b
+  ON a.media_id >= 200000 AND b.media_id < 100000
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+  AND b.media_id % 9 <> 0
+ORDER BY batch_id, corpus_id""",
 
     // mm18: takedown deletes through BOTH perceptual indexes — the
     // mm10 equality relation and the mm16 Hamming relation, each

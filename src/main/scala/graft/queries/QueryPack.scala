@@ -303,6 +303,10 @@ object QueryPack {
     // tombstone DELETES: the CDC-sync shape — deleted vectors invisible
     // to every search path without rewriting a code leaf
     "ann15_tombstone"   -> ((s, d) => PqIndex.selfRecallDeleted(s, d)),
+    // the scale-out BUILD: shared codebooks train once, two shards
+    // encode independently, merge folds them -- search row-identical to
+    // a single build, one shard's takedown surviving
+    "ann21_shard_merge" -> ((s, d) => PqIndex.selfRecallShardMerged(s, d)),
     // k-NN graph: cell-keyed top-k neighbors + mutual-edge flag (the
     // NN-descent/graph-clustering substrate); planted-copy theorem
     "ann16_knn_graph"   -> ((s, d) => Ann.knnGraphSelfRecall(s, d)),
@@ -360,6 +364,10 @@ object QueryPack {
     // match nothing in either the equality or the Hamming screen;
     // compaction drops dead rows physically (n_passes == 2)
     "mm18_index_delete" -> ((s, d) => Multimodal.deletedAhashSelfRecall(s, d)),
+    // the scale-out build: two chunk-index shards (each with its own
+    // takedowns) merge into one store, screen identical to a single
+    // build-then-delete
+    "mm19_shard_merge" -> ((s, d) => Multimodal.shardMergedHammingSelfRecall(s, d)),
     // ISO BMFF (MP4) header write→parse round trip vs the geometry
     // formulas re-derived oracle-side — see Multimodal.videoProbe
     "mm08_video_probe" -> ((s, d) => Multimodal.videoProbe(s, d)),

@@ -2516,4 +2516,82 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hit == Seq(0L), s"persisted search must return the twin: $hit")
     base.unpersist()
   }
+
+  test("PqIndex.merge: shared-codebook fence, replay no-op, tombstones ride") {
+    import graft.operators.ann.PqIndex
+    val base = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .cache()
+    val tmp = graft.Tables.scratchDir("graft_pq_merge")
+    // two templates trained on DIFFERENT corpora → different codebooks
+    PqIndex.build(base, s"$tmp/tA", m = 4, ksub = 16, dim = 64,
+      refineIters = 0, ncells = 8)
+    PqIndex.build(base.filter($"vec_id" % 3 === 0), s"$tmp/tB", m = 4,
+      ksub = 16, dim = 64, refineIters = 1, ncells = 8)
+    PqIndex.buildShardFrom(spark, s"$tmp/tA",
+      base.filter($"vec_id" % 2 === 0), s"$tmp/s0")
+    PqIndex.buildShardFrom(spark, s"$tmp/tB",
+      base.filter($"vec_id" % 2 === 1), s"$tmp/sBad")
+    // codes from different codebooks are incomparable — the merge refuses
+    val e = intercept[IllegalArgumentException] {
+      PqIndex.merge(spark, Seq(s"$tmp/s0", s"$tmp/sBad"), s"$tmp/mBad",
+        "merge0")
+    }
+    assert(e.getMessage.contains("DIFFERENT codebooks"))
+    // a compatible shard (same template) merges; one shard's tombstone
+    // rides into the destination
+    PqIndex.buildShardFrom(spark, s"$tmp/tA",
+      base.filter($"vec_id" % 2 === 1), s"$tmp/s1")
+    import spark.implicits._
+    PqIndex.delete(spark, s"$tmp/s1", Seq(Tuple1(1L)).toDF("vec_id"),
+      tag = Some("t0"))
+    val m1 = PqIndex.merge(spark, Seq(s"$tmp/s0", s"$tmp/s1"),
+      s"$tmp/m", "merge0")
+    assert(m1.tombLeaves.size == 1, s"per-source tomb leaves: ${m1.tombLeaves}")
+    val searchable = PqIndex.codes(spark, s"$tmp/m")
+      .select($"vec_id").distinct()
+      .join(PqIndex.tombstonedIds(spark, s"$tmp/m"), Seq("vec_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    val all = base.select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(searchable == all - 1L,
+      "merged store holds every shard row minus the ridden tombstone")
+    // replaying a completed merge is a no-op on its tag
+    val m2 = PqIndex.merge(spark, Seq(s"$tmp/s0", s"$tmp/s1"),
+      s"$tmp/m", "merge0")
+    assert(m2.version == m1.version)
+    base.unpersist()
+  }
+
+  test("mergeAhashChunkIndexes: mixed dials merge; per-source takedowns survive; replay no-ops") {
+    import graft.operators.multimodal.Multimodal
+    import graft.operators.store.IndexManifest
+    import spark.implicits._
+    val ids = (1L to 12L).toDF("media_id")
+    val tmp = graft.Tables.scratchDir("graft_mm_merge")
+    // shard dials differ — group keys are recomputed at the destination
+    Multimodal.ahashChunkIndexAppend(
+      Multimodal.ahashOf(ids.filter($"media_id" % 2 === 0)),
+      s"$tmp/s0", "corpus", groups = 8)
+    Multimodal.ahashChunkIndexAppend(
+      Multimodal.ahashOf(ids.filter($"media_id" % 2 === 1)),
+      s"$tmp/s1", "corpus", groups = 16)
+    Multimodal.ahashChunkIndexDelete(spark, s"$tmp/s0",
+      Seq(Tuple1(4L)).toDF("media_id"), "t0")
+    Multimodal.mergeAhashChunkIndexes(spark, Seq(s"$tmp/s0", s"$tmp/s1"),
+      s"$tmp/m", "merge0", groups = 32)
+    val probe = Multimodal.ahashOf(ids)
+    def hits(): Set[Long] =
+      Multimodal.screenAhashHamming(spark, s"$tmp/m", probe)
+        .filter($"batch_id" === $"corpus_id")
+        .select("corpus_id").collect().map(_.getLong(0)).toSet
+    assert(hits() == (1L to 12L).toSet - 4L,
+      s"shard 0's takedown must survive the merge: ${hits()}")
+    val v = IndexManifest.readMeta(s"$tmp/m").get.version
+    Multimodal.mergeAhashChunkIndexes(spark, Seq(s"$tmp/s0", s"$tmp/s1"),
+      s"$tmp/m", "merge0", groups = 32)
+    assert(IndexManifest.readMeta(s"$tmp/m").get.version == v,
+      "a replayed merge tag commits nothing")
+    // destination compaction drops the merged dead rows physically
+    Multimodal.compactAhashChunkIndex(spark, s"$tmp/m", "c0")
+    assert(hits() == (1L to 12L).toSet - 4L)
+  }
 }
