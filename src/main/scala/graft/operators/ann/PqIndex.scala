@@ -17,10 +17,10 @@ import org.apache.spark.sql.functions._
   * the WAL-lane discipline):
   *
   * {{{
-  *   _pq_manifest-v00000001     // tiny JSON: version, geometry, leaf list
+  *   _idx_manifest-v00000001    // tiny JSON: version, geometry, leaf list
   *   codebooks-v00000001/       // parquet (m, code, cent_emb) — m*ksub rows
-  *   codes-v00000001-ab12cd34/  // parquet (vec_id, m, code)   — the corpus
-  *   codes-v00000002-99e0f1a2/  // appended crawl increment(s)
+  *   codes/cell=c/leaf=v00000001-ab12cd34/  // (vec_id, m, code) — the corpus
+  *   codes/cell=c/leaf=v00000002-99e0f1a2/  // appended crawl increment(s)
   * }}}
   *
   * Leaf directory names are immutable, version-prefixed for ordering and
@@ -46,7 +46,7 @@ import org.apache.spark.sql.functions._
   */
 object PqIndex {
 
-  /** Index geometry + current leaves, parsed from `_pq_manifest`.
+  /** Index geometry + current leaves, parsed from the shared manifest.
     * `ncells`/`coarseDir` describe the IVF coarse quantizer (0/"" on a
     * pre-IVF index: exhaustive ADC only).
     */
@@ -57,115 +57,66 @@ object PqIndex {
     def subLen: Int = dim / m
   }
 
-  private val ManifestVRe = "_pq_manifest-v(\\d+)".r
+  import graft.operators.store.IndexManifest
 
-  private def manifestFile(v: Long): String = f"_pq_manifest-v$v%08d"
-
-  def readMeta(indexDir: String): Meta = {
-    val (fs, root) = WalSegments.fsFor(indexDir)
-    val name =
-      try fs.listStatus(root).iterator.map(_.getPath.getName)
-        .collect { case n @ ManifestVRe(v) => (v.toLong, n) }
-        .maxByOption(_._1).map(_._2)
-      catch { case _: java.io.FileNotFoundException => None }
-    val path = name.map(n => new org.apache.hadoop.fs.Path(indexDir, n))
-      .getOrElse(new org.apache.hadoop.fs.Path(indexDir, "_pq_manifest"))
-    val in = fs.open(path)
-    val text =
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](8192)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        new String(buf.toByteArray, "UTF-8")
-      } finally in.close()
-    def num(k: String) = s""""$k"\\s*:\\s*(\\d+)""".r
-      .findFirstMatchIn(text).map(_.group(1).toLong)
-      .getOrElse(throw new IllegalStateException(s"manifest missing $k"))
-    val books = """"codebooks"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text)
-      .map(_.group(1))
-      .getOrElse(throw new IllegalStateException("manifest missing codebooks"))
-    val leaves = """"codes-v\d+[^"]*"""".r.findAllIn(text).toSeq
-      .map(_.stripPrefix("\"").stripSuffix("\"")).distinct.sorted
-    val ncells = s""""ncells"\\s*:\\s*(\\d+)""".r
-      .findFirstMatchIn(text).map(_.group(1).toInt).getOrElse(0)
-    val coarse = """"coarse"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text)
-      .map(_.group(1)).getOrElse("")
-    val residual = """"residual"\s*:\s*true""".r.findFirstIn(text).isDefined
-    val tombs = """"tombs-v\d+[^"]*"""".r.findAllIn(text).toSeq
-      .map(_.stripPrefix("\"").stripSuffix("\"")).distinct.sorted
-    Meta(num("version"), num("m").toInt, num("ksub").toInt,
-      num("dim").toInt, books, leaves, ncells, coarse, residual, tombs)
-  }
-
-  private def parseMetaLeaves(text: String): Seq[String] =
-    """"(?:codes|tombs)-v\d+[^"]*"""".r.findAllIn(text).toSeq
-      .map(_.stripPrefix("\"").stripSuffix("\"")).distinct
-
-  /** How many manifest versions stay on disk after a commit — the index's
-    * read grace window, shared by leaves: [[sweepUnreferenced]] only
-    * deletes a leaf once NO retained manifest names it, so a searcher
-    * that planned its scan against any retained manifest still finds its
-    * files while appends keep committing (the Materializer rule).
+  /** The PqIndex view of the SHARED index-manifest format
+    * ([[graft.operators.store.IndexManifest]] — one rule set for every
+    * persisted store in the repo: exclusive-publish versioned
+    * manifests, committed-leaf pruning, the retained read grace
+    * window, the version-guarded sweep): `groups` carries `ncells`
+    * (the store's partition dial — codes are cell-partitioned), and
+    * the PQ geometry + artifact directory names ride the manifest's
+    * `params` map.
     */
-  private[graft] val RetainedManifests = 8
+  private def toShared(meta: Meta): IndexManifest.Meta =
+    IndexManifest.Meta(meta.version, meta.ncells,
+      meta.codeLeaves, meta.tombLeaves,
+      Map("m" -> meta.m.toString, "ksub" -> meta.ksub.toString,
+        "dim" -> meta.dim.toString, "residual" -> meta.residual.toString,
+        "codebooks" -> meta.codebooksDir, "coarse" -> meta.coarseDir))
 
-  /** Commit a meta version the Materializer way: uniquely-named temp
-    * file → EXCLUSIVE publish at the immutable `_pq_manifest-v<N>`
-    * ([[WalSegments.publishExclusive]]: atomic hard-link claim on local
-    * POSIX, rename-to-existing on HDFS, PUT-if-absent on object stores),
-    * so two appenders racing the same version have exactly one winner
-    * and the loser throws having published nothing (its just-written
-    * code leaf is unreferenced residue with a unique name — it can never
-    * be confused with the winner's leaf). Readers resolve the max
-    * committed version; manifests past [[RetainedManifests]] retire.
+  private def fromShared(s: IndexManifest.Meta): Meta =
+    Meta(s.version,
+      s.params.getOrElse("m", "0").toInt,
+      s.params.getOrElse("ksub", "0").toInt,
+      s.params.getOrElse("dim", "0").toInt,
+      s.params.getOrElse("codebooks", ""),
+      s.leaves, s.groups,
+      s.params.getOrElse("coarse", ""),
+      s.params.get("residual").contains("true"),
+      s.tombs)
+
+  def readMeta(indexDir: String): Meta =
+    IndexManifest.readMeta(indexDir).map(fromShared)
+      .getOrElse(throw new IllegalStateException(
+        s"$indexDir holds no committed pq index (no manifest)"))
+
+  private def hasCommittedManifest(indexDir: String): Boolean =
+    IndexManifest.readMeta(indexDir).isDefined
+
+  /** Commit a meta version through the shared manifest rules: exclusive
+    * publish (two appenders racing a version have exactly one winner;
+    * the loser throws having published nothing — its just-written leaf
+    * is unreferenced residue), retention past the read grace window.
     */
-  private[graft] def writeMeta(indexDir: String, meta: Meta): Unit = {
-    val (fs, _) = WalSegments.fsFor(indexDir)
-    val dest = new org.apache.hadoop.fs.Path(indexDir, manifestFile(meta.version))
-    val tmp = new org.apache.hadoop.fs.Path(indexDir,
-      s".${dest.getName}.${java.util.UUID.randomUUID()}.tmp")
-    val out = fs.create(tmp, false)
-    try {
-      val leaves = meta.codeLeaves.map(l => s""""$l"""").mkString(",")
-      val tombs = meta.tombLeaves.map(l => s""""$l"""").mkString(",")
-      out.write(
-        (s"""{"version":${meta.version},"m":${meta.m},"ksub":${meta.ksub},""" +
-          s""""dim":${meta.dim},"ncells":${meta.ncells},""" +
-          s""""residual":${meta.residual},""" +
-          s""""codebooks":"${meta.codebooksDir}","coarse":"${meta.coarseDir}",""" +
-          s""""leaves":[$leaves],"tombs":[$tombs]}""").getBytes("UTF-8"))
-    } finally out.close()
-    if (!WalSegments.publishExclusive(fs, tmp, dest))
-      throw new IllegalStateException(
-        s"lost pq-index manifest commit race for version ${meta.version} " +
-          s"at $indexDir — another appender won; re-read and retry")
-    // retire manifests past the read grace window (leaf retention follows)
-    try {
-      fs.listStatus(new org.apache.hadoop.fs.Path(indexDir)).foreach { st =>
-        st.getPath.getName match {
-          case ManifestVRe(v) if v.toLong < meta.version - RetainedManifests =>
-            try fs.delete(st.getPath, false)
-            catch { case _: java.io.IOException => () }
-          case _ => ()
-        }
-      }
-    } catch { case _: java.io.IOException => () }
-  }
+  private[graft] def writeMeta(indexDir: String, meta: Meta): Unit =
+    IndexManifest.commit(indexDir, toShared(meta))
 
-  /** A new leaf's directory name: version-prefixed for ordering, with a
-    * suffix so two appenders that both read meta version N and race to
-    * claim v(N+1) write DISTINCT directories — the loser's leaf is
-    * unreferenced residue for the sweep, never a torn overwrite of the
-    * winner's committed data. The manifest records the actual name. The
-    * suffix is random by default; [[append]] callers can pin it to an
-    * idempotency tag instead.
+  /** A new leaf's directory name — the shared `v<version>-<suffix>`
+    * scheme: version-prefixed for the sweep's safety rule, suffixed so
+    * two appenders racing a version write DISTINCT directories (random
+    * by default; [[append]] callers pin an idempotency tag instead).
+    * Code and tombstone leaves share the scheme — their RELATIONS
+    * (`codes/`, `tombs/`) distinguish them.
     */
   private def leafName(version: Long, suffix: String) =
-    f"codes-v$version%08d-$suffix"
+    IndexManifest.leafName(version, suffix)
 
   private def tombLeafName(version: Long, suffix: String) =
-    f"tombs-v$version%08d-$suffix"
+    IndexManifest.leafName(version, suffix)
+
+  private def hasTag(leaves: Seq[String], tag: String): Boolean =
+    leaves.exists(IndexManifest.tagOf(_) == tag)
 
   private def randomSuffix(): String =
     java.util.UUID.randomUUID().toString.take(8)
@@ -194,12 +145,7 @@ object PqIndex {
     // the codebooks UNDER the committed codes (later leaves were encoded
     // against the originals), silently corrupting every ADC score. The
     // delete path is an explicit rebuild into a fresh directory.
-    val (fsB, rootB) = WalSegments.fsFor(indexDir)
-    val existing =
-      try fsB.listStatus(rootB).iterator.map(_.getPath.getName)
-        .exists(n => n == "_pq_manifest" || ManifestVRe.matches(n))
-      catch { case _: java.io.FileNotFoundException => false }
-    require(!existing,
+    require(!hasCommittedManifest(indexDir),
       s"$indexDir already holds a committed pq index — build() would " +
         "corrupt it (codes in later leaves were encoded against the " +
         "existing codebooks); rebuild into a fresh directory instead")
@@ -364,101 +310,24 @@ object PqIndex {
     Ann.pqEncode(in, codebooks(spark, indexDir), meta.subLen)
   }
 
-  /** Delete every DEAD `codes-v<N>…` leaf: referenced by NO manifest
-    * version still on disk (the [[RetainedManifests]] read grace window
-    * — a searcher that planned against any retained manifest must find
-    * its leaves, the Materializer/Iceberg vacuum rule) AND with `N` at
-    * or below the current committed version — such a leaf's committing
-    * manifest provably lost its race (versions are claimed by exclusive
-    * publish), so no future commit can ever reference it. An
-    * unreferenced leaf with `N` ABOVE the current version may belong to
-    * a concurrent appender mid-commit and is left alone.
+  /** Delete every dead leaf — referenced by NO manifest version still
+    * on disk (the retained read grace window: a searcher that planned
+    * against any retained manifest must find its leaves, the
+    * Materializer/Iceberg vacuum rule) AND with a version at or below
+    * the current committed one (an unreferenced HIGHER version may
+    * belong to a concurrent appender mid-commit). One call into the
+    * shared rule set — see [[IndexManifest.sweep]].
     */
-  private def sweepUnreferenced(indexDir: String, meta: Meta): Unit = {
-    val (fs, _) = WalSegments.fsFor(indexDir)
-    val referenced = retainedLeafRefs(fs, indexDir)
-    // exactly a leaf tag: `codes-v<N>` or `codes-v<N>-<suffix>` (random
-    // hex or a caller idempotency tag)
-    val LeafRe = "codes-v(\\d+)(?:-[0-9a-zA-Z_\\-]+)?".r
-    // leaves live as `leaf=<tag>` partition dirs nested under each cell
-    try {
-      fs.listStatus(new org.apache.hadoop.fs.Path(indexDir, "codes"))
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-        .foreach { cellDir =>
-          try fs.listStatus(cellDir.getPath).foreach { st =>
-            st.getPath.getName.stripPrefix("leaf=") match {
-              case n @ LeafRe(v) if st.isDirectory &&
-                  st.getPath.getName.startsWith("leaf=") &&
-                  !referenced.contains(n) && v.toLong <= meta.version =>
-                try fs.delete(st.getPath, true)
-                catch { case _: java.io.IOException => () }
-              case _ => ()
-            }
-          } catch { case _: java.io.FileNotFoundException => () }
-        }
-    } catch { case _: java.io.FileNotFoundException => () }
-    // tombstone leaves follow the same retained-manifest rule
-    val TombRe = "tombs-v(\\d+)(?:-[0-9a-zA-Z_\\-]+)?".r
-    try {
-      fs.listStatus(new org.apache.hadoop.fs.Path(indexDir, "tombs"))
-        .foreach { st =>
-          st.getPath.getName.stripPrefix("leaf=") match {
-            case n @ TombRe(v) if st.isDirectory &&
-                st.getPath.getName.startsWith("leaf=") &&
-                !referenced.contains(n) && v.toLong <= meta.version =>
-              try fs.delete(st.getPath, true)
-              catch { case _: java.io.IOException => () }
-            case _ => ()
-          }
-        }
-    } catch { case _: java.io.FileNotFoundException => () }
-  }
+  private def sweepUnreferenced(indexDir: String, meta: Meta): Unit =
+    IndexManifest.sweep(indexDir, Seq("codes", "tombs"), meta.version)
 
-  /** Delete any directory named `leaf=<leaf>` under `rel` — residue of
-    * a torn TAGGED write about to be retried under the same
-    * deterministic name (random-suffixed leaves never collide; tagged
-    * ones do by design, that is the idempotency device). Handles both
-    * the nested `codes/cell=c/leaf=…` and flat `tombs/leaf=…` layouts.
+  /** Delete residue of a torn TAGGED write about to be retried under
+    * the same deterministic name ([[IndexManifest.dropResidue]] —
+    * mode("append") would otherwise duplicate its rows).
     */
   private def dropLeafResidue(indexDir: String, rel: String,
-      leaf: String): Unit = {
-    val (fs, _) = WalSegments.fsFor(indexDir)
-    def glob(pattern: String) =
-      try Option(fs.globStatus(new org.apache.hadoop.fs.Path(
-        s"$indexDir/$rel/$pattern"))).toSeq.flatten.map(_.getPath)
-      catch { case _: java.io.IOException => Seq.empty }
-    (glob(s"*/leaf=$leaf") ++ glob(s"leaf=$leaf")).foreach { p =>
-      try fs.delete(p, true) catch { case _: java.io.IOException => () }
-    }
-  }
-
-  /** Union of the leaf names referenced by every manifest version still
-    * on disk (plus the legacy single-file manifest) — the live set for
-    * [[sweepUnreferenced]]. A manifest that fails to read contributes
-    * nothing (the next sweep retries).
-    */
-  private[graft] def retainedLeafRefs(fs: org.apache.hadoop.fs.FileSystem,
-      indexDir: String): Set[String] = {
-    def textOf(p: org.apache.hadoop.fs.Path): Option[String] =
-      try {
-        val in = fs.open(p)
-        try {
-          val buf = new java.io.ByteArrayOutputStream()
-          val chunk = new Array[Byte](8192)
-          var n = in.read(chunk)
-          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-          Some(new String(buf.toByteArray, "UTF-8"))
-        } finally in.close()
-      } catch { case _: java.io.IOException => None }
-    try {
-      val root = new org.apache.hadoop.fs.Path(indexDir)
-      val names = fs.listStatus(root).iterator.map(_.getPath.getName)
-        .filter(n => n == "_pq_manifest" || ManifestVRe.matches(n)).toSeq
-      names.flatMap(n =>
-        textOf(new org.apache.hadoop.fs.Path(indexDir, n))
-          .toSeq.flatMap(parseMetaLeaves)).toSet
-    } catch { case _: java.io.FileNotFoundException => Set.empty }
-  }
+      leaf: String): Unit =
+    IndexManifest.dropResidue(indexDir, Seq(rel), leaf)
 
   /** Append a batch's codes as a new immutable leaf + manifest swap.
     * O(batch) work; existing leaves are never read or rewritten; crash
@@ -483,7 +352,7 @@ object PqIndex {
     val meta = readMeta(indexDir)
     tag.foreach { t =>
       require(t.matches("[0-9A-Za-z_\\-]+"), s"invalid idempotency tag: $t")
-      if (meta.codeLeaves.exists(_.endsWith(s"-$t"))) return meta
+      if (hasTag(meta.codeLeaves, t)) return meta
     }
     sweepUnreferenced(indexDir, meta)
     val leaf = leafName(meta.version + 1, tag.getOrElse(randomSuffix()))
@@ -517,12 +386,7 @@ object PqIndex {
   def buildShardFrom(spark: SparkSession, templateDir: String,
       emb: DataFrame, shardDir: String): Meta = {
     val t = readMeta(templateDir)
-    val (fs, root) = WalSegments.fsFor(shardDir)
-    val existing =
-      try fs.listStatus(root).iterator.map(_.getPath.getName)
-        .exists(n => n == "_pq_manifest" || ManifestVRe.matches(n))
-      catch { case _: java.io.FileNotFoundException => false }
-    require(!existing,
+    require(!hasCommittedManifest(shardDir),
       s"$shardDir already holds a committed pq index — shards build into " +
         "fresh directories")
     artifact(spark, s"$templateDir/${t.codebooksDir}")
@@ -559,14 +423,9 @@ object PqIndex {
       tag: String): Meta = {
     require(srcDirs.nonEmpty, "merge needs at least one source")
     require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid merge tag: $tag")
-    val (fs, root) = WalSegments.fsFor(destDir)
-    val hasManifest =
-      try fs.listStatus(root).iterator.map(_.getPath.getName)
-        .exists(n => n == "_pq_manifest" || ManifestVRe.matches(n))
-      catch { case _: java.io.FileNotFoundException => false }
-    if (hasManifest) {
+    if (hasCommittedManifest(destDir)) {
       val dm = readMeta(destDir)
-      if (dm.codeLeaves.exists(_.endsWith(s"-$tag"))) return dm
+      if (hasTag(dm.codeLeaves, tag)) return dm
       throw new IllegalStateException(
         s"$destDir already holds a committed pq index — merge builds a " +
           "fresh destination")
@@ -653,7 +512,7 @@ object PqIndex {
     val meta = readMeta(indexDir)
     tag.foreach { t =>
       require(t.matches("[0-9A-Za-z_\\-]+"), s"invalid idempotency tag: $t")
-      if (meta.tombLeaves.exists(_.endsWith(s"-$t"))) return meta
+      if (hasTag(meta.tombLeaves, t)) return meta
     }
     val leaf = tombLeafName(meta.version + 1, tag.getOrElse(randomSuffix()))
     dropLeafResidue(indexDir, "tombs", leaf) // torn tagged-replay residue
@@ -723,7 +582,7 @@ object PqIndex {
     val meta = readMeta(indexDir)
     tag.foreach { t =>
       require(t.matches("[0-9A-Za-z_\\-]+"), s"invalid idempotency tag: $t")
-      if (meta.codeLeaves.exists(_.endsWith(s"-$t"))) return meta
+      if (hasTag(meta.codeLeaves, t)) return meta
     }
     if (meta.codeLeaves.size <= 1 && meta.tombLeaves.isEmpty)
       return meta // already compact

@@ -63,9 +63,15 @@ object IndexManifest {
     * @param tombs   live tombstone-leaf names (separate lifecycle:
     *                compaction RETAINS them as the replay guard;
     *                a retention floor clears them)
+    * @param params  store-specific build parameters beyond the group
+    *                dial (the PqIndex geometry: m/ksub/dim/residual and
+    *                the artifact directory names) — opaque strings the
+    *                owning module interprets; manifests written before
+    *                the field parse with it empty
     */
   final case class Meta(version: Long, groups: Int,
-      leaves: Seq[String], tombs: Seq[String]) {
+      leaves: Seq[String], tombs: Seq[String],
+      params: Map[String, String] = Map.empty) {
     def hasLeafTag(tag: String): Boolean = leaves.exists(tagOf(_) == tag)
     def hasTombTag(tag: String): Boolean = tombs.exists(tagOf(_) == tag)
   }
@@ -117,7 +123,12 @@ object IndexManifest {
       s""""$k"\\s*:\\s*\\[([^\\]]*)\\]""".r.findFirstMatchIn(text)
         .map(_.group(1)).toSeq
         .flatMap("\"([^\"]+)\"".r.findAllMatchIn(_).map(_.group(1)))
-    Meta(num("version"), num("groups").toInt, list("leaves"), list("tombs"))
+    val params = """"params"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(text)
+      .map(_.group(1)).toSeq
+      .flatMap(""""([^"]+)"\s*:\s*"([^"]*)"""".r.findAllMatchIn(_)
+        .map(mm => mm.group(1) -> mm.group(2))).toMap
+    Meta(num("version"), num("groups").toInt, list("leaves"), list("tombs"),
+      params)
   }
 
   /** The highest committed manifest, or None on a legacy (pre-manifest)
@@ -146,9 +157,12 @@ object IndexManifest {
     val out = fs.create(tmp, false)
     try {
       def arr(xs: Seq[String]) = xs.map(l => s""""$l"""").mkString(",")
+      val params = meta.params.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
       out.write((s"""{"version":${meta.version},"groups":${meta.groups},""" +
         s""""leaves":[${arr(meta.leaves)}],""" +
-        s""""tombs":[${arr(meta.tombs)}]}""").getBytes("UTF-8"))
+        s""""tombs":[${arr(meta.tombs)}],""" +
+        s""""params":{$params}}""").getBytes("UTF-8"))
     } finally out.close()
     if (!WalSegments.publishExclusive(fs, tmp, dest))
       throw new IllegalStateException(

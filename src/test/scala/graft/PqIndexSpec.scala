@@ -100,7 +100,7 @@ class PqIndexSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException] {
       PqIndex.writeMeta(dir, stale)
     }
-    assert(e.getMessage.contains("lost pq-index manifest commit race"))
+    assert(e.getMessage.contains("lost index-manifest commit race"))
     assert(PqIndex.readMeta(dir) == mA,
       "the loser's attempt must not perturb the committed manifest")
     // the documented retry path: re-read the CURRENT meta, append again
@@ -120,18 +120,18 @@ class PqIndexSpec extends AnyFunSuite {
       new org.apache.hadoop.fs.Path(dir, s"codes/cell=0/leaf=$tag")
     // dead residue: an unreferenced leaf AT a claimed version (its commit
     // provably lost) — must be swept by the next append
-    fs.mkdirs(leafDir("codes-v00000001x")) // not a leaf tag: untouched
-    val dead = leafDir("codes-v00000000")
+    fs.mkdirs(leafDir("corpus")) // no version prefix (legacy): untouched
+    val dead = leafDir("v00000000-dead")
     fs.mkdirs(dead)
     // in-flight: a leaf ABOVE the committed version (a concurrent
     // appender mid-commit) — must be left alone
-    val inflight = leafDir("codes-v00000077")
+    val inflight = leafDir("v00000077-x")
     fs.mkdirs(inflight)
     PqIndex.append(spark, dir, all.filter(col("vec_id") >= 30 && col("vec_id") < 35))
     assert(!fs.exists(dead), "dead leaf at a claimed version must be swept")
     assert(fs.exists(inflight), "leaf above the committed version must survive")
-    assert(fs.exists(leafDir("codes-v00000001x")),
-      "non-leaf-tagged directories are never touched")
+    assert(fs.exists(leafDir("corpus")),
+      "version-prefix-less (legacy) directories are never touched")
     // and readers never see ANY of the residue: codes() restricts to
     // committed leaves via the manifest's leaf partition filter
     assert(PqIndex.codes(spark, dir).count() == 35 * 4)
@@ -331,7 +331,7 @@ class PqIndexSpec extends AnyFunSuite {
     val m = PqIndex.append(spark, dir, batch, tag = Some("b000001"))
     val (fs, _) = graft.sources.cdc.WalSegments.fsFor(dir)
     fs.delete(new org.apache.hadoop.fs.Path(dir,
-      f"_pq_manifest-v${m.version}%08d"), false)
+      f"_idx_manifest-v${m.version}%08d"), false)
     assert(PqIndex.readMeta(dir).version == m.version - 1,
       "fixture must read back the pre-append manifest")
     // the foreachBatch replay: same tag, same deterministic leaf name —
