@@ -510,9 +510,18 @@ object Ann {
     * @param seeds   (query_id, vec_id) entry points (an IVF probe's
     *                coarse winners, a prior result, or any known-near
     *                vertex)
+    * @param exclude (vec_id) vertices banned from the RESULT — the
+    *                persisted store's tombstone set. Anti-joined BEFORE
+    *                the top-k cut (a dead vertex must not consume
+    *                result slots — the ann14/ann15 pre-filter rule) but
+    *                NOT from expansion: a tombstoned vertex keeps
+    *                ROUTING until compaction drops its edges physically
+    *                (the HNSW soft-delete discipline — removing a hub
+    *                from routing would orphan its neighborhood).
     */
   def graphSearchTopK(graph: DataFrame, emb: DataFrame, queries: DataFrame,
-      seeds: DataFrame, hops: Int = 2, beam: Int = 8, k: Int = 5): DataFrame = {
+      seeds: DataFrame, hops: Int = 2, beam: Int = 8, k: Int = 5,
+      exclude: Option[DataFrame] = None): DataFrame = {
     require(hops >= 1 && hops <= 4, "hops must be a small constant (1..4)")
     val edges = graph.select(col("vec_id"), col("nbr_id"))
     val wSim = Window.partitionBy(col("query_id"))
@@ -535,7 +544,10 @@ object Ann {
         .filter(col("rnk") <= beam)
         .select(col("query_id"), col("vec_id"))
     }
-    score(visited)
+    val scored = score(visited)
+    exclude.fold(scored)(t =>
+        scored.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"),
+          "left_anti"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("rnk", row_number().over(wSim))
       .filter(col("rnk") <= k)

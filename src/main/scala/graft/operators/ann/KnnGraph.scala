@@ -51,14 +51,17 @@ object KnnGraph {
 
   /** Write one committed edge leaf (vec_id, nbr_id, rank, mutual) and
     * publish the next manifest — the shared append/build/refine commit
-    * path. `replace = true` commits ONLY the new leaf (compaction /
-    * refine semantics); otherwise the leaf joins the committed set.
+    * path. `replace = true` commits ONLY the new leaf AND clears the
+    * tombstone set (compaction/refine semantics: dead edges were
+    * dropped physically by the caller); otherwise the leaf joins the
+    * committed set and tombstones carry over.
     */
   private def commitLeaf(edges: DataFrame, indexDir: String, tag: String,
       groups: Int, replace: Boolean): Unit = {
     require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid leaf tag: $tag")
     val meta = metaOf(indexDir).getOrElse(IndexManifest.Meta(0L, groups,
-      IndexManifest.legacyLeaves(indexDir, Seq("edges")), Seq.empty))
+      IndexManifest.legacyLeaves(indexDir, Seq("edges")),
+      IndexManifest.legacyLeaves(indexDir, Seq("tombs"))))
     if (meta.hasLeafTag(tag)) return
     if (meta.groups != groups)
       throw new IllegalStateException(
@@ -74,8 +77,70 @@ object KnnGraph {
       .write.partitionBy("ggrp", "leaf")
       .mode("append").parquet(s"$indexDir/edges")
     IndexManifest.commit(indexDir, meta.copy(version = meta.version + 1,
-      leaves = if (replace) Seq(leafDir) else meta.leaves :+ leafDir))
-    IndexManifest.sweep(indexDir, Seq("edges"), meta.version + 1)
+      leaves = if (replace) Seq(leafDir) else meta.leaves :+ leafDir,
+      tombs = if (replace) Seq.empty else meta.tombs))
+    IndexManifest.sweep(indexDir, Seq("edges", "tombs"), meta.version + 1)
+  }
+
+  /** KILL-ALL vertex tombstones — the takedown lane on the graph store
+    * (mm18/ann15's device on the edge relation): a deleted vector must
+    * stop appearing in ANY search result without rewriting a committed
+    * edge leaf, so deletes commit as immutable id-leaves
+    * (`tombs/leaf=v<N>-<tag>`, parquet of `vec_id`) under the same
+    * tag-idempotent manifest discipline. [[searchTopK]] anti-joins the
+    * set BEFORE its top-k cut; the tombstoned vertex keeps ROUTING
+    * (its edges stay — the HNSW soft-delete rule: dropping a hub from
+    * routing would orphan its neighborhood) until [[refine]] or
+    * [[compact]] drops every incident edge physically and clears the
+    * set, after which a re-crawled vector re-links via [[append]].
+    */
+  def delete(spark: SparkSession, indexDir: String, ids: DataFrame,
+      tag: String): Unit = {
+    require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid tombstone tag: $tag")
+    val meta = metaOf(indexDir).getOrElse(throw new IllegalStateException(
+      s"$indexDir holds no committed k-NN graph (build first)"))
+    if (meta.hasTombTag(tag)) return
+    val leafDir = IndexManifest.leafName(meta.version + 1, tag)
+    IndexManifest.dropResidue(indexDir, Seq("tombs"), leafDir)
+    ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+      .withColumn("leaf", lit(leafDir))
+      .coalesce(1) // a delete batch is id-sized: one file per tag
+      .write.partitionBy("leaf").mode("append").parquet(s"$indexDir/tombs")
+    IndexManifest.commit(indexDir, meta.copy(version = meta.version + 1,
+      tombs = meta.tombs :+ leafDir))
+  }
+
+  /** The committed tombstoned vec_ids (None when nothing was deleted —
+    * zero cost on the search path).
+    */
+  private def tombstones(spark: SparkSession,
+      indexDir: String): Option[DataFrame] = {
+    val live = metaOf(indexDir).map(_.tombs)
+    if (live.forall(_.isEmpty)) None
+    else Some(IndexManifest.committedOnly(
+        spark.read.parquet(s"$indexDir/tombs"), live)
+      .select(col("vec_id")).distinct())
+  }
+
+  /** The committed tombstoned vec_ids as a relation (empty when none) —
+    * public for reconcile jobs, the
+    * [[graft.operators.ann.PqIndex.tombstonedIds]] rationale.
+    */
+  def tombstonedIds(spark: SparkSession, indexDir: String): DataFrame =
+    tombstones(spark, indexDir)
+      .getOrElse(spark.range(0).select(col("id").as("vec_id")))
+
+  /** Drop every edge INCIDENT to a tombstoned vertex (either endpoint)
+    * — what [[refine]]/[[compact]] fold, making the physical drop.
+    */
+  private def liveEdges(spark: SparkSession, indexDir: String): DataFrame = {
+    val e = edges(spark, indexDir)
+    tombstones(spark, indexDir).fold(e) { t =>
+      val bt = broadcast(t)
+      e.join(bt, Seq("vec_id"), "left_anti")
+        .join(bt.withColumnRenamed("vec_id", "nbr_id"), Seq("nbr_id"),
+          "left_anti")
+    }
   }
 
   /** Build the graph over `emb` ([[Ann.knnGraphOf]] — one cell-keyed
@@ -103,13 +168,15 @@ object KnnGraph {
   /** Greedy beam search over the COMMITTED graph ([[Ann.graphSearchTopK]]
     * reading edges from storage): candidates come only from the stored
     * edges, so cost is |queries| · beam · degree per hop regardless of
-    * corpus size — the property persisting the graph buys.
+    * corpus size — the property persisting the graph buys. Tombstoned
+    * vertices ([[delete]]) are anti-joined out BEFORE the top-k cut
+    * but keep routing until compaction.
     */
   def searchTopK(spark: SparkSession, indexDir: String, emb: DataFrame,
       queries: DataFrame, seeds: DataFrame, hops: Int = 2, beam: Int = 8,
       k: Int = 5): DataFrame =
     Ann.graphSearchTopK(edges(spark, indexDir), emb, queries, seeds,
-      hops, beam, k)
+      hops, beam, k, exclude = tombstones(spark, indexDir))
 
   /** Deterministic HUB seeds: the store's `n` smallest vec_ids — the
     * fixed entry points [[append]] searches from (ids-only
@@ -168,7 +235,10 @@ object KnnGraph {
     val meta = metaOf(indexDir).getOrElse(throw new IllegalStateException(
       s"$indexDir holds no committed k-NN graph (build first)"))
     if (meta.hasLeafTag(tag)) return
-    val refined = Ann.nnDescentRound(edges(spark, indexDir), emb, k)
+    // dead vertices leave physically here: tombstoned endpoints' edges
+    // drop before the round, so they neither survive nor become
+    // candidates, and the replace-commit clears the tombstone set
+    val refined = Ann.nnDescentRound(liveEdges(spark, indexDir), emb, k)
       .select(col("vec_id"), col("nbr_id"), col("rank"))
     val rev = refined.select(col("nbr_id").as("vec_id"),
       col("vec_id").as("nbr_id"), lit(true).as("mutual"))
@@ -178,15 +248,18 @@ object KnnGraph {
     commitLeaf(withMutual, indexDir, tag, meta.groups, replace = true)
   }
 
-  /** Verbatim small-file fold of the committed leaves into one (the
-    * crawl loop's maintenance cadence; rows unchanged, searches
-    * identical, online-safe under the manifest grace window).
+  /** Small-file fold of the committed leaves into one (the crawl
+    * loop's maintenance cadence): LIVE edges copy verbatim, edges
+    * incident to a tombstoned vertex drop physically, the tombstone
+    * set clears — searches are identical (deletes were already
+    * invisible), and the commit is online-safe under the manifest
+    * grace window.
     */
   def compact(spark: SparkSession, indexDir: String, tag: String): Unit = {
     val meta = metaOf(indexDir).getOrElse(throw new IllegalStateException(
       s"$indexDir holds no committed k-NN graph (build first)"))
     if (meta.hasLeafTag(tag)) return
-    commitLeaf(edges(spark, indexDir), indexDir, tag, meta.groups,
+    commitLeaf(liveEdges(spark, indexDir), indexDir, tag, meta.groups,
       replace = true)
   }
 
@@ -201,6 +274,52 @@ object KnnGraph {
     * rerank puts the ORIGINAL first (the ann18 argument, unchanged).
     * The committed-leaf census rides the relation.
     */
+  /** ann22's driver-checked shape — TAKEDOWNS through the persisted
+    * graph (the delete matrix's sixth and last store family): build
+    * over corpus + two exact copies per planted original, tombstone
+    * every `% 7` ORIGINAL ([[delete]] — the replica dropped those
+    * vectors), and search each +200000 copy seeded at itself. Both
+    * twins sit in the seed's stored edge list at sim 1.0, so the
+    * answer is the ORIGINAL exactly when it survived and the +100000
+    * twin exactly when it was tombstoned (the anti-join runs before
+    * the top-k cut — a dead vertex cannot consume the slot; ascending-
+    * id tie-break fixes each case). Then [[compact]] drops every
+    * incident edge physically and clears the set, and the re-search is
+    * row-identical: `n_passes == 2` rides every row (the dd20/mm18
+    * device), with the tombstone census beside it.
+    */
+  def deletedSearchSelfRecall(spark: SparkSession, d: String,
+      nQueries: Int = 64): DataFrame = {
+    val base = graft.Tables.spread(graft.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))).cache()
+    val qs = base.filter(col("vec_id") < nQueries)
+    val copies1 = qs.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding"))
+    val copies2 = qs.select((col("vec_id") + 200000L).as("vec_id"),
+      col("embedding"))
+    val all = base.unionByName(copies1).unionByName(copies2)
+    val indexDir = s"${graft.Tables.scratchDir("graft_ann22")}/graph"
+    build(all, indexDir, "corpus")
+    val dead = qs.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    delete(spark, indexDir, dead, "takedown0")
+    val census = dead.agg(count(lit(1)).as("n_tombstones"))
+    val queries = copies2.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val seeds = copies2.select(col("vec_id").as("query_id"), col("vec_id"))
+    def search(): DataFrame =
+      searchTopK(spark, indexDir, all, queries, seeds,
+        hops = 2, beam = 8, k = 1)
+        .select(col("query_id"), col("vec_id").as("match_id"), col("sim"))
+    val pre = search() // planned pre-compaction, grace window keeps it live
+    compact(spark, indexDir, "compact0")
+    val post = search()
+    pre.unionByName(post)
+      .groupBy(col("query_id"), col("match_id"), col("sim"))
+      .agg(count(lit(1)).as("n_passes")) // 2 ⇔ pre/post agree
+      .crossJoin(broadcast(census))
+      .orderBy(col("query_id"))
+  }
+
   def persistedSearchSelfRecall(spark: SparkSession, d: String,
       nQueries: Int = 64): DataFrame = {
     val base = graft.Tables.spread(graft.Tables.embeddings(spark, d)

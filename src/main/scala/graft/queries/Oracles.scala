@@ -2812,6 +2812,19 @@ SELECT vec_id + 200000 AS query_id, vec_id AS match_id,
   CAST(1.0 AS DOUBLE) AS sim, 1 AS n_leaves
 FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
 
+    // ann22: takedowns through the persisted graph — the answer is the
+    // original exactly when it survived and the +100000 twin exactly
+    // when the %7 wave tombstoned it (anti-join before the top-k cut;
+    // both twins sit in the seed's stored edges at sim 1.0); n_passes=2
+    // pins the pre- and post-compaction searches row-identical
+    "ann22_graph_delete" -> """
+SELECT vec_id + 200000 AS query_id,
+  CASE WHEN vec_id % 7 = 0 THEN vec_id + 100000 ELSE vec_id END AS match_id,
+  CAST(1.0 AS DOUBLE) AS sim, CAST(2 AS BIGINT) AS n_passes,
+  (SELECT count(*) FROM embeddings WHERE vec_id < 64 AND vec_id % 7 = 0)
+    AS n_tombstones
+FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
+
     // ann19: NN-descent planted theorem — in the degraded k=1 graph
     // every +200000 node knows only its original; one refinement round
     // (2-hop + reverse candidates, exact verify) provably adds the

@@ -321,6 +321,11 @@ object QueryPack {
     // only candidate source; leaf census rides the relation
     "ann20_graph_persisted" -> ((s, d) => graft.operators.ann.KnnGraph
       .persistedSearchSelfRecall(s, d)),
+    // takedowns through the persisted graph: tombstoned vertices leave
+    // every search result (anti-join before the top-k cut, routing kept
+    // until compaction drops incident edges physically; n_passes == 2)
+    "ann22_graph_delete" -> ((s, d) => graft.operators.ann.KnnGraph
+      .deletedSearchSelfRecall(s, d)),
 
     // ---- multimodal ----
     "mm01_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),

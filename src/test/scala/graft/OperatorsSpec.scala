@@ -2594,4 +2594,42 @@ class OperatorsSpec extends AnyFunSuite {
     Multimodal.compactAhashChunkIndex(spark, s"$tmp/m", "c0")
     assert(hits() == (1L to 12L).toSet - 4L)
   }
+
+  test("KnnGraph.delete: dead vertices leave results but keep routing; compaction drops edges") {
+    import graft.operators.ann.KnnGraph
+    import graft.operators.store.IndexManifest
+    import spark.implicits._
+    val base = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .cache()
+    val tmp = graft.Tables.scratchDir("graft_knn_del")
+    val dir = s"$tmp/graph"
+    // plant a sim-1.0 triple for vec 0: the original plus two copies
+    val c1 = base.filter($"vec_id" === 0L)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val c2 = base.filter($"vec_id" === 0L)
+      .select(($"vec_id" + 200000L).as("vec_id"), $"embedding")
+    val all = base.unionByName(c1).unionByName(c2)
+    KnnGraph.build(all, dir, "corpus")
+    val queries = c2.select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val seeds = c2.select($"vec_id".as("query_id"), $"vec_id")
+    def top1(): Long = KnnGraph.searchTopK(spark, dir, all, queries, seeds,
+      hops = 2, beam = 8, k = 1).select($"vec_id").collect()(0).getLong(0)
+    assert(top1() == 0L, "pre-delete: the original wins the tie-break")
+    // tombstone the original: it must leave the result while its edges
+    // keep routing (the +100000 twin takes the slot)
+    KnnGraph.delete(spark, dir, Seq(Tuple1(0L)).toDF("vec_id"), "t0")
+    assert(top1() == 100000L, "dead vertex must not consume the top-k slot")
+    // replayed delete tag commits nothing
+    val v = IndexManifest.readMeta(dir).get.version
+    KnnGraph.delete(spark, dir, Seq(Tuple1(0L)).toDF("vec_id"), "t0")
+    assert(IndexManifest.readMeta(dir).get.version == v)
+    // compaction drops every incident edge physically and clears tombs
+    KnnGraph.compact(spark, dir, "c0")
+    assert(IndexManifest.readMeta(dir).get.tombs.isEmpty)
+    assert(KnnGraph.edges(spark, dir)
+      .filter($"vec_id" === 0L || $"nbr_id" === 0L).count() == 0L,
+      "no edge may touch the dead vertex after compaction")
+    assert(top1() == 100000L, "search identical after the physical drop")
+    base.unpersist()
+  }
 }
