@@ -507,6 +507,38 @@ class PlanAuditSpec extends AnyFunSuite {
     corpus.unpersist(); ()
   }
 
+  test("ann20/ann22 persisted graph: committed-leaf prune, no cartesian, broadcast tombstone anti-join") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.ann.KnnGraph
+    import spark.implicits._
+    val corpus = Tables.spread(Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))).cache()
+    val dir = java.nio.file.Files.createTempDirectory("audit_ann20").toString
+    KnnGraph.build(corpus, dir, "corpus")
+    KnnGraph.delete(spark, dir, Seq(Tuple1(1L)).toDF("vec_id"), "t0")
+    val queries = corpus.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val seeds = queries.select(col("query_id"), col("query_id").as("vec_id"))
+    val searched = KnnGraph.searchTopK(spark, dir, corpus, queries, seeds,
+      hops = 2, beam = 4, k = 3)
+    searched.collect()
+    val p = searched.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"persisted graph search must never go quadratic:\n${p.take(2000)}")
+    // edge scans restrict to the committed leaves (partition filter on
+    // the version-tagged leaf column)
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("/edges") && l.contains("PartitionFilters"))
+      .getOrElse(fail(s"no partition-filtered edges scan in plan:\n$p"))
+    assert(scanLine.contains("leaf#"),
+      s"edges scan not restricted to committed leaves: $scanLine")
+    // the tombstone exclusion is a BROADCAST anti-join (bounded by
+    // deletes since compaction), never a shuffle of the result side
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"tombstone exclusion must broadcast:\n${p.take(2000)}")
+    corpus.unpersist(); ()
+  }
+
   test("ann08 IVF search: codes scan reads only the probed cells' partitions") {
     import org.apache.spark.sql.functions.col
     val corpus = Tables.spread(Tables.embeddings(spark, sf)
