@@ -248,6 +248,66 @@ object KnnGraph {
     commitLeaf(withMutual, indexDir, tag, meta.groups, replace = true)
   }
 
+  /** MERGE several graph stores into one — the scale-out BUILD path
+    * (dd22/ann21/mm19's device on the edge relation): a 100 TB corpus
+    * builds as N independent per-shard graphs (each [[build]] over its
+    * slice, no coordination), then one merge folds the shards'
+    * committed edges into the destination as a single
+    * manifest-committed leaf. The union of per-shard k-NN graphs is
+    * the standard distributed NN-descent INITIALIZATION (Dong et al.
+    * 2011): within-shard edges are exact for within-shard neighbors,
+    * and a [[refine]] round over the merged store then converges
+    * toward the global graph without any corpus × corpus pass. Edges
+    * copy VERBATIM (only the group key depends on the dial, so it is
+    * recomputed against the destination's — mixed-dial shards merge
+    * fine); tombstones ride as one destination leaf per source
+    * (kill-all vec_ids — a takedown known to any shard stays a
+    * takedown; overlapping vec_id spaces therefore OR their deletes).
+    * One manifest commit publishes the edge leaf and every ridden tomb
+    * leaf together; replaying a completed merge no-ops on its tag, a
+    * torn attempt rewrites its deterministic leaf names.
+    */
+  def merge(spark: SparkSession, srcDirs: Seq[String], destDir: String,
+      tag: String, groups: Int = DefaultGroups): Unit = {
+    import graft.operators.store.IndexManifest
+    require(srcDirs.nonEmpty, "merge needs at least one source")
+    require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid merge tag: $tag")
+    val dest = metaOf(destDir).getOrElse(IndexManifest.Meta(0L, groups,
+      IndexManifest.legacyLeaves(destDir, Seq("edges")),
+      IndexManifest.legacyLeaves(destDir, Seq("tombs"))))
+    if (dest.hasLeafTag(tag)) return
+    if (dest.groups != groups)
+      throw new IllegalStateException(
+        s"$destDir is grouped at ${dest.groups} but the merge says " +
+          s"$groups — use the destination's dial")
+    srcDirs.foreach { dir =>
+      if (metaOf(dir).isEmpty) throw new IllegalStateException(
+        s"$dir holds no committed k-NN graph — merge folds committed shards")
+    }
+    val leafDir = IndexManifest.leafName(dest.version + 1, tag)
+    IndexManifest.dropResidue(destDir, Seq("edges"), leafDir)
+    srcDirs.map(edges(spark, _)).reduce(_ unionByName _)
+      .withColumn("ggrp", ggrp(groups))
+      .withColumn("leaf", lit(leafDir))
+      .repartition(col("ggrp"))
+      .write.partitionBy("ggrp", "leaf")
+      .mode("append").parquet(s"$destDir/edges")
+    val tombsMerged = srcDirs.zipWithIndex.flatMap { case (dir, i) =>
+      tombstones(spark, dir).map { t =>
+        val tl = IndexManifest.leafName(dest.version + 1, s"$tag-t$i")
+        IndexManifest.dropResidue(destDir, Seq("tombs"), tl)
+        t.withColumn("leaf", lit(tl))
+          .coalesce(1)
+          .write.partitionBy("leaf").mode("append").parquet(s"$destDir/tombs")
+        tl
+      }
+    }
+    IndexManifest.commit(destDir, dest.copy(version = dest.version + 1,
+      leaves = dest.leaves :+ leafDir,
+      tombs = dest.tombs ++ tombsMerged))
+    IndexManifest.sweep(destDir, Seq("edges", "tombs"), dest.version + 1)
+  }
+
   /** Small-file fold of the committed leaves into one (the crawl
     * loop's maintenance cadence): LIVE edges copy verbatim, edges
     * incident to a tombstoned vertex drop physically, the tombstone
@@ -316,6 +376,50 @@ object KnnGraph {
     pre.unionByName(post)
       .groupBy(col("query_id"), col("match_id"), col("sim"))
       .agg(count(lit(1)).as("n_passes")) // 2 ⇔ pre/post agree
+      .crossJoin(broadcast(census))
+      .orderBy(col("query_id"))
+  }
+
+  /** ann23's driver-checked shape — the SCALE-OUT BUILD through the
+    * graph store: ann22's planted relation built as TWO independent
+    * parity shards (deliberately mixed group dials), per-shard `% 7`
+    * takedowns, one [[merge]], then the search over the MERGED store
+    * only. Copies keep their original's parity (+100000/+200000 are
+    * even offsets), so each planted sim-1.0 triple lives WITHIN one
+    * shard and its stored edges survive the union verbatim: seeding
+    * each +200000 copy at itself, the answer is the ORIGINAL exactly
+    * when it survived its shard's takedown and the +100000 twin
+    * exactly when it was tombstoned (tombstones ride the merge per
+    * source; the anti-join runs before the top-k cut). `n_leaves = 1`
+    * pins the single merged edge leaf; the tombstone census rides. A
+    * merge that lost a shard's edges, re-keyed groups wrong, or
+    * dropped a ridden takedown breaks its rows.
+    */
+  def shardMergedSearchSelfRecall(spark: SparkSession, d: String,
+      nQueries: Int = 64): DataFrame = {
+    val base = graft.Tables.spread(graft.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))).cache()
+    val qs = base.filter(col("vec_id") < nQueries)
+    val copies1 = qs.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding"))
+    val copies2 = qs.select((col("vec_id") + 200000L).as("vec_id"),
+      col("embedding"))
+    val all = base.unionByName(copies1).unionByName(copies2)
+    val tmp = graft.Tables.scratchDir("graft_ann23")
+    val (s0, s1, m) = (s"$tmp/s0", s"$tmp/s1", s"$tmp/merged")
+    build(all.filter(col("vec_id") % 2 === 0), s0, "shard", groups = 16)
+    build(all.filter(col("vec_id") % 2 === 1), s1, "shard", groups = 64)
+    val dead = qs.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    delete(spark, s0, dead.filter(col("vec_id") % 2 === 0), "takedown0")
+    delete(spark, s1, dead.filter(col("vec_id") % 2 === 1), "takedown0")
+    merge(spark, Seq(s0, s1), m, "merge0")
+    val census = dead.agg(count(lit(1)).as("n_tombstones"))
+    val queries = copies2.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val seeds = copies2.select(col("vec_id").as("query_id"), col("vec_id"))
+    searchTopK(spark, m, all, queries, seeds, hops = 2, beam = 8, k = 1)
+      .select(col("query_id"), col("vec_id").as("match_id"), col("sim"),
+        lit(leafCount(m)).as("n_leaves"))
       .crossJoin(broadcast(census))
       .orderBy(col("query_id"))
   }

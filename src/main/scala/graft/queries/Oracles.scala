@@ -1924,6 +1924,23 @@ SELECT lane, batch_id, corpus_id, dist,
 FROM (SELECT * FROM eq UNION ALL SELECT * FROM ham)
 ORDER BY lane, batch_id, corpus_id""",
 
+    // pipe13: the replica→graph reconcile — post-sync every live vector
+    // is a searchable vertex, so the copy-of-live proof search resolves
+    // each original at sim 1.0 (the seed IS the original; no duplicate
+    // vectors in the fixture, naturals cap ≈ 0.4); the censuses are the
+    // planting formulas (every %9 id was a bootstrap vertex — 9's
+    // residue class sits inside 3's and the nlist=1 build makes vertex
+    // membership total — and every %3!=0 id greedy-links)
+    "pipe13_graph_sync_facade" -> """
+SELECT vec_id + 100000 AS query_id, vec_id AS match_id,
+  CAST(1.0 AS DOUBLE) AS sim,
+  CAST((SELECT count(*) FROM embeddings WHERE vec_id % 9 = 0) AS BIGINT)
+    AS n_deleted,
+  CAST((SELECT count(*) FROM embeddings WHERE vec_id % 3 <> 0) AS BIGINT)
+    AS n_linked
+FROM embeddings WHERE vec_id < 64 AND vec_id % 9 <> 0
+ORDER BY query_id""",
+
     // mm19: the sharded chunk-index build — mm16's Hamming relation
     // restricted to survivors of the per-shard takedowns (their union is
     // exactly %9 == 0); chunk rows are pure per-media functions, so the
@@ -2821,6 +2838,19 @@ FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
 SELECT vec_id + 200000 AS query_id,
   CASE WHEN vec_id % 7 = 0 THEN vec_id + 100000 ELSE vec_id END AS match_id,
   CAST(1.0 AS DOUBLE) AS sim, CAST(2 AS BIGINT) AS n_passes,
+  (SELECT count(*) FROM embeddings WHERE vec_id < 64 AND vec_id % 7 = 0)
+    AS n_tombstones
+FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
+
+    // ann23: the scale-out graph build — ann22's relation through two
+    // parity shards (copies keep their original's parity, so each
+    // planted triple's edges are within-shard and survive the union
+    // verbatim), per-shard %7 takedowns riding the merge, searches over
+    // the single merged edge leaf (n_leaves = 1)
+    "ann23_graph_shard_merge" -> """
+SELECT vec_id + 200000 AS query_id,
+  CASE WHEN vec_id % 7 = 0 THEN vec_id + 100000 ELSE vec_id END AS match_id,
+  CAST(1.0 AS DOUBLE) AS sim, 1 AS n_leaves,
   (SELECT count(*) FROM embeddings WHERE vec_id < 64 AND vec_id % 7 = 0)
     AS n_tombstones
 FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",

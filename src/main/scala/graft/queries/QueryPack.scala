@@ -326,6 +326,11 @@ object QueryPack {
     // until compaction drops incident edges physically; n_passes == 2)
     "ann22_graph_delete" -> ((s, d) => graft.operators.ann.KnnGraph
       .deletedSearchSelfRecall(s, d)),
+    // the scale-out graph BUILD: two parity shards (mixed dials) with
+    // per-shard takedowns fold into one store; searches run over the
+    // merged edges only, ridden tombstones still biting
+    "ann23_graph_shard_merge" -> ((s, d) => graft.operators.ann.KnnGraph
+      .shardMergedSearchSelfRecall(s, d)),
 
     // ---- multimodal ----
     "mm01_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),
@@ -413,6 +418,10 @@ object QueryPack {
     // tombstone AND live unindexed media fold, in BOTH perceptual
     // stores, one idempotent call
     "pipe12_ahash_sync_facade" -> ((s, d) => replicaAhashSyncFacade(s, d)),
+    // the replica->graph reconcile facade: dead vertices tombstone AND
+    // live unindexed vectors greedy-link, one idempotent call closing
+    // the facade matrix over all four index families
+    "pipe13_graph_sync_facade" -> ((s, d) => replicaGraphSyncFacade(s, d)),
 
     // ---- training prep (decontaminate / split / pack / pii / quantize) ----
     "tp01_decontaminate" -> ((s, d) => TrainPrep.decontaminate(s, d)),
@@ -1083,6 +1092,68 @@ object QueryPack {
       .select(col("lane"), col("batch_id"), col("corpus_id"), col("dist"),
         col("n_deleted"), col("n_appended"))
       .orderBy(col("lane"), col("batch_id"), col("corpus_id"))
+  }
+
+  /** pipe13 — the replica→K-NN-GRAPH reconcile as ONE idempotent call
+    * ([[graft.streaming.Graft.syncGraphIndex]]), closing the facade
+    * matrix over all four index families (pipe08/ann15: vectors;
+    * pipe10/pipe11: text; pipe12: perceptual; here: the graph store).
+    * Fixture: every vector inserted into the replica (seq = id), every
+    * `% 9 == 0` deleted later; the graph bootstrapped over the
+    * `% 3 == 0` vectors only — built at nlist = 1 so EVERY bootstrap
+    * vector provably has a same-cell peer and therefore edges (vertex
+    * membership is structural, not data-dependent). One sync cycle
+    * must tombstone exactly the indexed dead (every % 9 id — 9 ⊂ 3's
+    * residue class, so all of them are bootstrap vertices) and
+    * greedy-link exactly the live unindexed (% 3 != 0); a replayed
+    * cycle commits nothing and diffs (0, 0) — gated in the harness.
+    * The proof search queries an EXACT COPY (+100000) of every live
+    * vec_id < 64 seeded at its original: the original is in the
+    * visited set by construction (it IS the seed) and is the unique
+    * sim-1.0 vertex, so top-1 must be (original, 1.0) — a vector the
+    * sync failed to link, or wrongly tombstoned, breaks its row. The
+    * (n_deleted, n_linked) censuses ride every row, both derivable
+    * from the planting formulas alone.
+    */
+  def replicaGraphSyncFacade(spark: SparkSession, d: String): DataFrame = {
+    import graft.streaming.{Graft, Materializer}
+    import graft.operators.ann.KnnGraph
+    val emb = Tables.spread(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))).cache()
+    val ids = emb.select(col("vec_id"))
+    val stateDir = graft.Tables.scratchDir("graft_p13_state")
+    val spec = Materializer.Spec(
+      keyCols = Seq("table_name", "record_id"), buckets = 16)
+    val inserts = ids.select(lit("vectors").as("table_name"),
+      col("vec_id").as("record_id"), col("vec_id").as("seq"),
+      lit("insert").as("op"))
+    val deletes = ids.filter(col("vec_id") % 9 === 0)
+      .select(lit("vectors").as("table_name"),
+        col("vec_id").as("record_id"),
+        (col("vec_id") + 1000000L).as("seq"), lit("delete").as("op"))
+    Materializer.applyBatch(spark, stateDir,
+      inserts.unionByName(deletes), spec)
+    val gIdx = s"${graft.Tables.scratchDir("graft_p13_index")}/graph"
+    KnnGraph.build(emb.filter(col("vec_id") % 3 === 0), gIdx, "bootstrap",
+      nlist = 1)
+    val (nDel, nAdd) = Graft.syncGraphIndex(spark, stateDir, spec,
+      "record_id", emb, gIdx, tag = "cycle1")
+    // replayed cycle: same tag commits nothing, the diff is empty
+    val (d2, a2) = Graft.syncGraphIndex(spark, stateDir, spec,
+      "record_id", emb, gIdx, tag = "cycle1")
+    require(d2 == 0L && a2 == 0L,
+      s"replayed sync cycle must be a fixpoint, got ($d2, $a2)")
+    val live64 = emb.filter(col("vec_id") < 64 && col("vec_id") % 9 =!= 0)
+    val queries = live64.select((col("vec_id") + 100000L).as("query_id"),
+      col("embedding").as("q_emb"))
+    val seeds = live64.select((col("vec_id") + 100000L).as("query_id"),
+      col("vec_id"))
+    KnnGraph.searchTopK(spark, gIdx, emb, queries, seeds,
+        hops = 2, beam = 8, k = 1)
+      .select(col("query_id"), col("vec_id").as("match_id"), col("sim"))
+      .withColumn("n_deleted", lit(nDel))
+      .withColumn("n_linked", lit(nAdd))
+      .orderBy(col("query_id"))
   }
 
   def replicaDedupSync(spark: SparkSession, d: String): DataFrame = {

@@ -532,6 +532,93 @@ object Graft {
     hashCounts
   }
 
+  /** One-call REPLICA → K-NN-GRAPH sync — closing the reconcile facade
+    * matrix over all FOUR index families ([[syncVectorIndex]]: codes,
+    * [[syncDedupIndex]]: text, [[syncAhashIndex]]: perceptual, here:
+    * the graph store): diff the state store's live/dead key sets
+    * against the graph's SEARCHABLE vertex set (committed edge
+    * endpoints minus committed tombstones), tombstone dead searchable
+    * vertices ([[graft.operators.ann.KnnGraph.delete]] — they keep
+    * ROUTING until compaction, the HNSW soft-delete rule) and
+    * greedy-link live unindexed vectors
+    * ([[graft.operators.ann.KnnGraph.append]] — O(batch · degree), no
+    * corpus pass), both tag-idempotent. `embProvider` supplies
+    * (vec_id, embedding) and must cover the graph's committed vertices
+    * as well as the link side (the append contract — at scale a
+    * point-lookup-shaped join against the embedding store; an
+    * uncovered vertex silently stops scoring and the search routes
+    * around it). Tombstones are KILL-ALL, so a deleted-then-reinserted
+    * replica row resurrects via compact-then-relink — detected and run
+    * automatically ([[syncVectorIndex]]'s resurrection path; the
+    * compact also drops the dead vertices' edges physically, after
+    * which the normal link path restores the row). An EMPTY store
+    * bootstraps on the first cycle via
+    * [[graft.operators.ann.KnnGraph.build]] (greedy linking needs
+    * committed edges to search; a full cell-keyed construction is the
+    * right first move anyway); later cycles link incrementally.
+    * Returns (nDeleted, nLinked) — metadata-sized counts; a
+    * steady-state cycle is (0, 0).
+    */
+  def syncGraphIndex(spark: SparkSession, stateDir: String,
+      spec: Materializer.Spec, idCol: String, embProvider: DataFrame,
+      indexDir: String, tag: String): (Long, Long) = {
+    import graft.operators.ann.KnnGraph
+    require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid sync tag: $tag")
+    val alive = Materializer.currentState(spark, stateDir, spec)
+      .select(col(idCol).cast("long").as("vec_id")).distinct()
+    // dead ∖ alive: never tombstone a living key (truncate-killed keys
+    // re-inserted at a later seq are in the delete feed AND live)
+    val dead = Materializer.deletedRecords(spark, stateDir, spec)
+      .select(col(idCol).cast("long").as("vec_id")).distinct()
+      .join(alive, Seq("vec_id"), "left_anti")
+    // resurrection: a live replica id with a standing (kill-all)
+    // tombstone becomes searchable again only through compaction
+    if (!alive.join(KnnGraph.tombstonedIds(spark, indexDir),
+        Seq("vec_id"), "left_semi").isEmpty)
+      KnnGraph.compact(spark, indexDir, s"sync-$tag-rc")
+    // vertex set = either endpoint: append writes fwd + rev so a linked
+    // vector always appears as vec_id, but a build-time vertex can sit
+    // only on the nbr side of a sparse cell — the union is exact
+    val searchable =
+      if (KnnGraph.leafCount(indexDir) == 0)
+        spark.range(0).select(col("id").as("vec_id"))
+      else {
+        val e = KnnGraph.edges(spark, indexDir)
+        e.select(col("vec_id"))
+          .unionByName(e.select(col("nbr_id").as("vec_id"))).distinct()
+          .join(KnnGraph.tombstonedIds(spark, indexDir), Seq("vec_id"),
+            "left_anti")
+      }
+    // single-pass diffs (the syncVectorIndex device): census + commit
+    // read ONE persisted computation of each diff
+    val toDelete = searchable.join(dead, Seq("vec_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toLink = embProvider.join(alive, Seq("vec_id"), "left_semi")
+      .join(searchable, Seq("vec_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nDel = toDelete.count()
+      if (nDel > 0)
+        KnnGraph.delete(spark, indexDir, toDelete, s"sync-$tag-del")
+      val nAdd = toLink.count()
+      if (nAdd > 0) {
+        if (KnnGraph.leafCount(indexDir) == 0) {
+          // cell count sized to the batch (~64 vectors per cell, floor
+          // 1): a tiny bootstrap stays single-cell so EVERY vector
+          // provably gets edges, a large one stays Σ|cell|²-bounded. A
+          // vector stranded alone in a sparse cell self-heals anyway:
+          // still alive-and-unindexed next cycle, the append path links
+          // it (greedy linking always writes the forward edges)
+          val nlist = math.max(1L, math.min(256L, nAdd / 64L)).toInt
+          KnnGraph.build(toLink, indexDir, s"sync-$tag-add", nlist = nlist)
+        } else
+          KnnGraph.append(spark, indexDir, embProvider, toLink,
+            s"sync-$tag-add")
+      }
+      (nDel, nAdd)
+    } finally { toDelete.unpersist(); toLink.unpersist(); () }
+  }
+
   /** The ONE-CALL live engine — the full equivalent of the reference's
     * `WalEx.Supervisor.start_link(config)` + `use WalEx.Event` setup:
     * connect to the config's database, stream its publication into

@@ -2632,4 +2632,91 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top1() == 100000L, "search identical after the physical drop")
     base.unpersist()
   }
+
+  test("KnnGraph.merge: mixed dials merge verbatim; per-shard takedowns ride; replay no-ops") {
+    import graft.operators.ann.KnnGraph
+    import graft.operators.store.IndexManifest
+    import spark.implicits._
+    val base = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .cache()
+    val tmp = graft.Tables.scratchDir("graft_knn_merge")
+    val (s0, s1, m) = (s"$tmp/s0", s"$tmp/s1", s"$tmp/m")
+    // shard dials differ — group keys are recomputed at the destination
+    KnnGraph.build(base.filter($"vec_id" % 2 === 0), s0, "shard", groups = 8)
+    KnnGraph.build(base.filter($"vec_id" % 2 === 1), s1, "shard", groups = 16)
+    KnnGraph.delete(spark, s0, Seq(Tuple1(2L)).toDF("vec_id"), "t0")
+    KnnGraph.merge(spark, Seq(s0, s1), m, "merge0", groups = 32)
+    // merged edges == union of shard edges, bit-for-bit (the dial only
+    // moves layout, never rows)
+    val union = (KnnGraph.edges(spark, s0).collect() ++
+      KnnGraph.edges(spark, s1).collect()).map(_.toSeq).toSet
+    val merged = KnnGraph.edges(spark, m).collect().map(_.toSeq).toSet
+    assert(merged == union, "merge must fold the shard edges verbatim")
+    // the ridden takedown bites in the destination
+    assert(KnnGraph.tombstonedIds(spark, m).as[Long].collect().toSet
+      == Set(2L), "shard 0's takedown must ride the merge")
+    // replayed merge tag commits nothing
+    val v = IndexManifest.readMeta(m).get.version
+    KnnGraph.merge(spark, Seq(s0, s1), m, "merge0", groups = 32)
+    assert(IndexManifest.readMeta(m).get.version == v)
+    // destination dial fence
+    val e = intercept[IllegalStateException] {
+      KnnGraph.merge(spark, Seq(s0, s1), m, "merge1", groups = 8)
+    }
+    assert(e.getMessage.contains("grouped at"))
+    base.unpersist()
+  }
+
+  test("syncGraphIndex: bootstrap build, reconcile cycles, reinserts resurrect via compaction") {
+    import graft.operators.ann.KnnGraph
+    import graft.streaming.{Graft, Materializer}
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+      .filter($"vec_id".between(1L, 9L))
+      .select($"vec_id", $"embedding").cache()
+    val stateDir = "file://" +
+      java.nio.file.Files.createTempDirectory("sync_g_state").toString
+    val spec = Materializer.Spec(
+      keyCols = Seq("table_name", "record_id"), buckets = 4)
+    def chg(rows: (Long, Long, String)*) = rows
+      .map { case (id, seq, op) => ("v", id, seq, op) }
+      .toDF("table_name", "record_id", "seq", "op")
+    Materializer.applyBatch(spark, stateDir,
+      chg((1L to 9L).map(i => (i, i, "insert")): _*), spec)
+    val gIdx = s"${graft.Tables.scratchDir("graft_sync_g")}/graph"
+    // cycle 1: the empty store bootstraps via build (single-cell at
+    // this batch size — every vector provably gets edges)
+    val (d1, a1) = Graft.syncGraphIndex(spark, stateDir, spec,
+      "record_id", emb, gIdx, tag = "c1")
+    assert((d1, a1) == (0L, 9L), s"cycle 1: ($d1, $a1)")
+    def searchableSet(): Set[Long] = {
+      val e = KnnGraph.edges(spark, gIdx)
+      e.select($"vec_id").unionByName(e.select($"nbr_id".as("vec_id")))
+        .distinct()
+        .join(KnnGraph.tombstonedIds(spark, gIdx), Seq("vec_id"),
+          "left_anti")
+        .as[Long].collect().toSet
+    }
+    assert(searchableSet() == (1L to 9L).toSet)
+    // cycle 2: vector 5 deleted — tombstoned (keeps routing until the
+    // next compaction)
+    Materializer.applyBatch(spark, stateDir, chg((5L, 100L, "delete")), spec)
+    val (d2, a2) = Graft.syncGraphIndex(spark, stateDir, spec,
+      "record_id", emb, gIdx, tag = "c2")
+    assert((d2, a2) == (1L, 0L), s"cycle 2: ($d2, $a2)")
+    assert(searchableSet() == (1L to 9L).toSet - 5L)
+    // cycle 3: vector 5 RE-INSERTED — kill-all tombstones need the
+    // resurrection compaction, which the facade detects and runs
+    Materializer.applyBatch(spark, stateDir, chg((5L, 200L, "insert")), spec)
+    val (d3, a3) = Graft.syncGraphIndex(spark, stateDir, spec,
+      "record_id", emb, gIdx, tag = "c3")
+    assert((d3, a3) == (0L, 1L), s"cycle 3: ($d3, $a3)")
+    assert(searchableSet() == (1L to 9L).toSet,
+      "reinserted vector must be searchable again")
+    // steady state: a fresh-tag cycle with no changes is a fixpoint
+    val (d4, a4) = Graft.syncGraphIndex(spark, stateDir, spec,
+      "record_id", emb, gIdx, tag = "c4")
+    assert((d4, a4) == (0L, 0L), s"steady state: ($d4, $a4)")
+    emb.unpersist()
+  }
 }
