@@ -207,12 +207,43 @@ object KnnGraph {
     val meta = metaOf(indexDir).getOrElse(throw new IllegalStateException(
       s"$indexDir holds no committed k-NN graph (build first)"))
     if (meta.hasLeafTag(tag)) return
+    linkFound(spark, indexDir,
+      searchForLink(spark, indexDir, emb, batch, nSeeds, hops, beam, k),
+      tag, k)
+  }
+
+  /** [[append]]'s SEARCH half, separable so a streaming loop writes
+    * matches and links from ONE search: each batch vector
+    * greedy-searches the committed graph for its top-k neighbors,
+    * seeded at the [[hubIds]] hub vertices. Tombstoned vertices are
+    * excluded — a match must never surface a takedown, and a newcomer
+    * should link to LIVE neighbors (the dead still route mid-search,
+    * the soft-delete rule). Returns (query_id, rnk, vec_id, sim).
+    */
+  def searchForLink(spark: SparkSession, indexDir: String, emb: DataFrame,
+      batch: DataFrame, nSeeds: Int = 16, hops: Int = 2, beam: Int = 8,
+      k: Int = 3): DataFrame = {
     val queries = batch.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"))
     val seeds = queries.select(col("query_id"))
       .crossJoin(broadcast(hubIds(spark, indexDir, nSeeds)))
-    val found = Ann.graphSearchTopK(edges(spark, indexDir), emb, queries,
-      seeds, hops, beam, k)
+    Ann.graphSearchTopK(edges(spark, indexDir), emb, queries,
+      seeds, hops, beam, k, exclude = tombstones(spark, indexDir))
+  }
+
+  /** [[append]]'s LINK half: ONE leaf commits the found relation's
+    * forward edges (rank = search rank) plus the REVERSE edges that
+    * splice each newcomer into its neighbors' adjacency lists
+    * (appended at rank k — a beyond-quota approximation a later
+    * [[refine]] round re-ranks exactly; both directions land together,
+    * so they carry `mutual = true` by construction). Tag-idempotent
+    * like every other fold.
+    */
+  def linkFound(spark: SparkSession, indexDir: String, found: DataFrame,
+      tag: String, k: Int = 3): Unit = {
+    val meta = metaOf(indexDir).getOrElse(throw new IllegalStateException(
+      s"$indexDir holds no committed k-NN graph (build first)"))
+    if (meta.hasLeafTag(tag)) return
     val fwd = found.select(col("query_id").as("vec_id"),
       col("vec_id").as("nbr_id"), col("rnk").as("rank"),
       lit(true).as("mutual"))
@@ -421,6 +452,66 @@ object KnnGraph {
       .select(col("query_id"), col("vec_id").as("match_id"), col("sim"),
         lit(leafCount(m)).as("n_leaves"))
       .crossJoin(broadcast(census))
+      .orderBy(col("query_id"))
+  }
+
+  /** ann24's driver-checked shape — the GRAPH crawl loop as a STREAM
+    * (the ann07/dd13 pattern on the edge store), run through the
+    * ONE-CALL facade [[graft.streaming.Graft.searchAndLink]]: arriving
+    * vector batches greedy-search the persisted graph, matches append
+    * to the output, and the SAME search's results link the batch in —
+    * so later batches can reach it — with one NN-descent refine every
+    * second batch (the in-stream maintenance cadence, dd21's device).
+    *
+    * The planted theorem: every arriving vector is an exact copy of a
+    * corpus vector with vec_id < nSeeds, and the loop's hub seeds are
+    * the store's nSeeds SMALLEST vec_ids — exactly those originals
+    * (copies sit at +100000 and never displace them). Every query is
+    * therefore seeded AT its own original: the original is in the
+    * visited set by construction, exact scoring puts it at sim 1.0
+    * (unique — no duplicate vectors in the fixture, naturals cap
+    * ≈ 0.4), so each copy's top-1 match is its original REGARDLESS of
+    * graph quality, whatever batch it arrived in and across the
+    * mid-loop refines. A loop that lost a batch, searched a stale
+    * manifest, or broke the hub-seed rule surfaces as missing rows.
+    *
+    * Scale per increment: the search touches |batch| · beam · degree
+    * candidate rows (never the corpus), the link is one immutable
+    * leaf, the refine is |E|-linear.
+    */
+  def streamingSearchSelfRecall(spark: SparkSession, d: String,
+      nBatches: Int = 4, nQueries: Int = 64): DataFrame = {
+    val base = graft.Tables.spread(graft.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))).cache()
+    val copies = base.filter(col("vec_id") < nQueries)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val all = base.unionByName(copies).cache() // the loop's emb store
+    val tmp = graft.Tables.scratchDir("graft-knn-stream")
+    val indexDir = s"$tmp/graph"
+    val stageDir = s"$tmp/arrivals"
+    val outDir = s"$tmp/matches"
+    // one-off corpus build, metered apart from the increments (bench:
+    // bootstrap_sec vs per_increment_sec); the shared embedding store
+    // materializes here too, not inside the first micro-batch
+    graft.streaming.Graft.CrawlMetrics
+      .timed("graft-search-and-link-bootstrap") {
+        build(base, indexDir, "corpus")
+        all.count()
+        ()
+      }
+    copies.repartition(nBatches, col("vec_id")).write.parquet(stageDir)
+    val schema = spark.read.parquet(stageDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    val q = graft.GraftSession.withStreamShuffle(spark)(
+      graft.streaming.Graft.searchAndLink(stream, indexDir, outDir,
+        embProvider = all, k = 1, hops = 2, beam = 8, nSeeds = nQueries,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        refineEvery = 2))
+    graft.GraftSession.awaitFinished(q)
+    spark.read.parquet(outDir)
+      .select(col("query_id"), col("vec_id").as("match_id"), col("sim"))
+      .filter(col("match_id") === col("query_id") - 100000L)
       .orderBy(col("query_id"))
   }
 

@@ -2855,6 +2855,15 @@ SELECT vec_id + 200000 AS query_id,
     AS n_tombstones
 FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
 
+    // ann24: the graph crawl loop — every arriving copy is seeded AT
+    // its own original (hub seeds = the store's 64 smallest vec_ids =
+    // the originals), so its top-1 is the original at sim 1.0 whatever
+    // batch it arrived in and across the mid-loop refines
+    "ann24_graph_stream" -> """
+SELECT vec_id + 100000 AS query_id, vec_id AS match_id,
+  CAST(1.0 AS DOUBLE) AS sim
+FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
+
     // ann19: NN-descent planted theorem — in the degraded k=1 graph
     // every +200000 node knows only its original; one refinement round
     // (2-hop + reverse candidates, exact verify) provably adds the

@@ -331,6 +331,11 @@ object QueryPack {
     // merged edges only, ridden tombstones still biting
     "ann23_graph_shard_merge" -> ((s, d) => graft.operators.ann.KnnGraph
       .shardMergedSearchSelfRecall(s, d)),
+    // the GRAPH crawl loop as a stream: search the persisted edges,
+    // write matches, link the batch from the SAME search, refine every
+    // second batch (one-call facade Graft.searchAndLink)
+    "ann24_graph_stream" -> ((s, d) => graft.operators.ann.KnnGraph
+      .streamingSearchSelfRecall(s, d)),
 
     // ---- multimodal ----
     "mm01_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),

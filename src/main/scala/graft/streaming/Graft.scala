@@ -900,4 +900,66 @@ object Graft {
     checkpoint.foreach(c => w = w.option("checkpointLocation", c))
     w.start()
   }
+
+  /** The GRAPH crawl loop as one call — [[searchAndAppend]]'s shape on
+    * the persisted k-NN graph: each micro-batch of (vec_id, embedding)
+    * vectors greedy-searches the committed edge store for its top-k
+    * neighbors ([[graft.operators.ann.KnnGraph.searchForLink]] — hub
+    * seeds, candidates only from stored edges, cost independent of
+    * corpus size), the matches append to `matchesDir`, and the SAME
+    * search's results then link the batch into the graph
+    * ([[graft.operators.ann.KnnGraph.linkFound]] — forward + reverse
+    * edges, one immutable leaf) so later batches can reach it. One
+    * search serves both outputs (persisted for the two reads). An
+    * EMPTY store bootstraps from the first batch
+    * ([[graft.operators.ann.KnnGraph.build]], batch-sized cell count —
+    * the [[syncGraphIndex]] rule) with zero matches.
+    *
+    * `embProvider` supplies raw embeddings for exact scoring by vec_id
+    * — at scale a point-lookup-shaped join against the embedding
+    * store; it must cover previously linked ids (the arriving batch's
+    * own vectors are added per batch).
+    *
+    * Delivery: the link fold is EXACTLY-ONCE (batch-id idempotency tag
+    * on the leaf commit); the matches sink is at-least-once.
+    * `refineEvery` (0 = never) runs one NN-descent round every that
+    * many batches ([[graft.operators.ann.KnnGraph.refine]] — repairs
+    * the reverse edges' rank-k approximations, drops tombstoned
+    * vertices physically, and doubles as compaction: the result
+    * replaces every committed leaf). The loop owns the maintenance
+    * cadence as the store's single writer; searches planned against
+    * retained manifests keep working through it.
+    */
+  def searchAndLink(vecs: DataFrame, indexDir: String, matchesDir: String,
+      embProvider: DataFrame, k: Int = 3, hops: Int = 2, beam: Int = 8,
+      nSeeds: Int = 16, checkpoint: Option[String] = None,
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      queryName: String = "graft-search-and-link",
+      refineEvery: Int = 0): StreamingQuery = {
+    import graft.operators.ann.KnnGraph
+    val spark = vecs.sparkSession
+    var w = vecs.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      CrawlMetrics.timed(queryName) {
+        val emb = embProvider.unionByName(
+          batch.select(col("vec_id"), col("embedding")))
+        if (KnnGraph.leafCount(indexDir) == 0) {
+          val n = batch.count()
+          val nlist = math.max(1L, math.min(256L, n / 64L)).toInt
+          KnnGraph.build(batch, indexDir, f"b$bid%06d", nlist = nlist)
+        } else {
+          val found = KnnGraph.searchForLink(spark, indexDir, emb, batch,
+            nSeeds, hops, beam, k)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            found.write.mode("append").parquet(matchesDir)
+            KnnGraph.linkFound(spark, indexDir, found, f"b$bid%06d", k)
+          } finally { found.unpersist(); () }
+        }
+        if (refineEvery > 0 && (bid + 1) % refineEvery == 0)
+          KnnGraph.refine(spark, indexDir, emb, f"r$bid%06d", k)
+      }
+    }.queryName(queryName).trigger(trigger)
+    checkpoint.foreach(c => w = w.option("checkpointLocation", c))
+    w.start()
+  }
 }
