@@ -279,6 +279,36 @@ object KnnGraph {
     commitLeaf(withMutual, indexDir, tag, meta.groups, replace = true)
   }
 
+  /** Re-key the committed edge relation into `newGroups` hash-range
+    * partitions — the Materializer-rebucket move on the graph store
+    * (the dedup/multimodal regroup rule): edges copy VERBATIM into one
+    * fresh leaf under the new dial (tombstoned vertices' edges ride —
+    * they keep ROUTING, the soft-delete rule — and the tombstone set
+    * carries over), the manifest records the new dial, and mismatched
+    * old-dial writes are refused from then on. Tag-idempotent,
+    * online-safe under the retained grace window.
+    */
+  def regroup(spark: SparkSession, indexDir: String, newGroups: Int,
+      tag: String): Unit = {
+    import graft.operators.store.IndexManifest
+    require(newGroups > 0, "newGroups must be positive")
+    require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid regroup tag: $tag")
+    val meta = metaOf(indexDir).getOrElse(throw new IllegalStateException(
+      s"$indexDir holds no committed k-NN graph (build first)"))
+    if (meta.hasLeafTag(tag)) return
+    val leafDir = IndexManifest.leafName(meta.version + 1, tag)
+    IndexManifest.dropResidue(indexDir, Seq("edges"), leafDir)
+    edges(spark, indexDir)
+      .withColumn("ggrp", ggrp(newGroups))
+      .withColumn("leaf", lit(leafDir))
+      .repartition(col("ggrp"))
+      .write.partitionBy("ggrp", "leaf")
+      .mode("append").parquet(s"$indexDir/edges")
+    IndexManifest.commit(indexDir, meta.copy(version = meta.version + 1,
+      groups = newGroups, leaves = Seq(leafDir)))
+    IndexManifest.sweep(indexDir, Seq("edges", "tombs"), meta.version + 1)
+  }
+
   /** MERGE several graph stores into one — the scale-out BUILD path
     * (dd22/ann21/mm19's device on the edge relation): a 100 TB corpus
     * builds as N independent per-shard graphs (each [[build]] over its

@@ -2667,6 +2667,48 @@ class OperatorsSpec extends AnyFunSuite {
     base.unpersist()
   }
 
+  test("KnnGraph.regroup: search-identical re-key; new dial recorded; old-dial writes refused") {
+    import graft.operators.ann.KnnGraph
+    import graft.operators.store.IndexManifest
+    import spark.implicits._
+    val base = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .cache()
+    val dir = s"${graft.Tables.scratchDir("graft_knn_regroup")}/graph"
+    // plant a sim-1.0 pair and a tombstone so BOTH lifecycles cross the
+    // regroup: the dead vertex keeps routing, the search stays identical
+    val c1 = base.filter($"vec_id" === 0L)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val all = base.unionByName(c1)
+    KnnGraph.build(all, dir, "corpus", groups = 8)
+    KnnGraph.delete(spark, dir, Seq(Tuple1(3L)).toDF("vec_id"), "t0")
+    val queries = c1.select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val seeds = c1.select($"vec_id".as("query_id"), $"vec_id")
+    def hits(): Seq[(Long, Long)] = KnnGraph.searchTopK(spark, dir, all,
+        queries, seeds, hops = 2, beam = 8, k = 1)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSeq
+    val before = hits()
+    val edgesBefore = KnnGraph.edges(spark, dir)
+      .collect().map(_.toSeq).toSet
+    KnnGraph.regroup(spark, dir, newGroups = 64, tag = "rg0")
+    assert(IndexManifest.readMeta(dir).get.groups == 64,
+      "the manifest must record the new dial")
+    assert(hits() == before, "search must be identical across the regroup")
+    assert(KnnGraph.edges(spark, dir).collect().map(_.toSeq).toSet
+      == edgesBefore, "edges copy verbatim (only layout moves)")
+    assert(KnnGraph.tombstonedIds(spark, dir).as[Long].collect().toSet
+      == Set(3L), "the tombstone set carries over")
+    // replayed regroup tag commits nothing
+    val v = IndexManifest.readMeta(dir).get.version
+    KnnGraph.regroup(spark, dir, newGroups = 64, tag = "rg0")
+    assert(IndexManifest.readMeta(dir).get.version == v)
+    // an old-dial write is refused from now on
+    val e = intercept[IllegalStateException] {
+      KnnGraph.build(all, dir, "stale", groups = 8)
+    }
+    assert(e.getMessage.contains("grouped at"))
+    base.unpersist()
+  }
+
   test("syncGraphIndex: bootstrap build, reconcile cycles, reinserts resurrect via compaction") {
     import graft.operators.ann.KnnGraph
     import graft.streaming.{Graft, Materializer}

@@ -539,6 +539,37 @@ class PlanAuditSpec extends AnyFunSuite {
     corpus.unpersist(); ()
   }
 
+  test("ann24 loop increment: hub seeds broadcast, committed-leaf prune, no cartesian") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.ann.KnnGraph
+    val corpus = Tables.spread(Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))).cache()
+    val dir = java.nio.file.Files.createTempDirectory("audit_ann24").toString
+    KnnGraph.build(corpus, dir, "corpus")
+    val batch = corpus.filter(col("vec_id") < 2)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val found = KnnGraph.searchForLink(spark, dir,
+      corpus.unionByName(batch), batch, nSeeds = 4, hops = 2, beam = 4,
+      k = 2)
+    found.collect()
+    val p = found.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"the loop increment must never go quadratic:\n${p.take(2000)}")
+    // the query × hub-seed pairing is metadata-sized and must broadcast
+    // (a shuffle cartesian here would scale with the batch, not break,
+    // so only the plan shape catches it)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"hub seeds must broadcast:\n${p.take(2000)}")
+    // edge scans restrict to the committed leaves
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("/edges") && l.contains("PartitionFilters"))
+      .getOrElse(fail(s"no partition-filtered edges scan in plan:\n$p"))
+    assert(scanLine.contains("leaf#"),
+      s"edges scan not restricted to committed leaves: $scanLine")
+    corpus.unpersist(); ()
+  }
+
   test("ann08 IVF search: codes scan reads only the probed cells' partitions") {
     import org.apache.spark.sql.functions.col
     val corpus = Tables.spread(Tables.embeddings(spark, sf)
