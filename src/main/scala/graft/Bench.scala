@@ -132,7 +132,8 @@ object Bench {
     val crawlLoops = Seq(
       "dd13_stream_increments" -> "graft-screen-and-fold",
       "ann07_pq_stream" -> "graft-search-and-append",
-      "mm10_ahash_stream" -> "graft-mm10-ahash-loop")
+      "mm10_ahash_stream" -> "graft-mm10-ahash-loop",
+      "ann24_graph_stream" -> "graft-search-and-link")
     def loopStats(suffix: String, countLabel: String): String =
       crawlLoops.flatMap { case (q, qn) =>
         val xs = graft.streaming.Graft.CrawlMetrics.snapshot(qn + suffix)
