@@ -114,8 +114,12 @@ object KnnGraph {
     * zero cost on the search path).
     */
   private def tombstones(spark: SparkSession,
-      indexDir: String): Option[DataFrame] = {
-    val live = metaOf(indexDir).map(_.tombs)
+      indexDir: String): Option[DataFrame] =
+    tombstonesSnapshot(spark, indexDir, metaOf(indexDir))
+
+  private def tombstonesSnapshot(spark: SparkSession, indexDir: String,
+      meta: Option[IndexManifest.Meta]): Option[DataFrame] = {
+    val live = meta.map(_.tombs)
     if (live.forall(_.isEmpty)) None
     else Some(IndexManifest.committedOnly(
         spark.read.parquet(s"$indexDir/tombs"), live)
@@ -177,6 +181,29 @@ object KnnGraph {
       k: Int = 5): DataFrame =
     Ann.graphSearchTopK(edges(spark, indexDir), emb, queries, seeds,
       hops, beam, k, exclude = tombstones(spark, indexDir))
+
+  /** TIME-TRAVEL search — [[searchTopK]] against the exact snapshot a
+    * PAST manifest version committed (edges AND the tombstone set — the
+    * dd23 device on the graph store): a vertex linked later is
+    * unreachable, a vertex tombstoned later still matches. Reach is the
+    * retained-manifest grace window (whose leaves stay on disk — the
+    * same rule that makes refine/compact online-safe); asking beyond it
+    * throws instead of silently answering from a different snapshot.
+    */
+  def searchTopKAt(spark: SparkSession, indexDir: String, emb: DataFrame,
+      queries: DataFrame, seeds: DataFrame, asOfVersion: Long,
+      hops: Int = 2, beam: Int = 8, k: Int = 5): DataFrame = {
+    val meta = IndexManifest.readMetaAt(indexDir, asOfVersion).getOrElse(
+      throw new IllegalArgumentException(
+        s"manifest version $asOfVersion is not retained at $indexDir — " +
+          s"time travel reaches the ${IndexManifest.RetainedManifests}-" +
+          "version grace window"))
+    val asOfEdges = IndexManifest.committedOnly(
+        spark.read.parquet(s"$indexDir/edges"), Some(meta.leaves))
+      .select(col("vec_id"), col("nbr_id"), col("rank"), col("mutual"))
+    Ann.graphSearchTopK(asOfEdges, emb, queries, seeds, hops, beam, k,
+      exclude = tombstonesSnapshot(spark, indexDir, Some(meta)))
+  }
 
   /** Deterministic HUB seeds: the store's `n` smallest vec_ids — the
     * fixed entry points [[append]] searches from (ids-only

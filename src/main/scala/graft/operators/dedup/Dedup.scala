@@ -562,8 +562,13 @@ object Dedup {
     * manifest commits.
     */
   private def tombstonesOf(spark: SparkSession,
-      indexDir: String): Option[DataFrame] = {
-    val live = metaOf(indexDir).map(_.tombs)
+      indexDir: String): Option[DataFrame] =
+    tombstonesSnapshot(spark, indexDir, metaOf(indexDir))
+
+  private def tombstonesSnapshot(spark: SparkSession, indexDir: String,
+      meta: Option[graft.operators.store.IndexManifest.Meta])
+      : Option[DataFrame] = {
+    val live = meta.map(_.tombs)
     if (live.exists(_.isEmpty)) None
     else if (live.isDefined ||
         graft.sources.cdc.WalSegments.globNonEmpty(indexDir, "tombs/leaf=*"))
@@ -812,6 +817,47 @@ object Dedup {
       .orderBy(col("batch_id"))
   }
 
+  /** dd23's driver-checked shape — TIME TRAVEL on the dedup index (the
+    * Materializer `currentStateAt` device, extended to the index
+    * stores): fold the even docs (version 1), then the odd docs
+    * (version 2), then tombstone every `% 4 == 0` doc (version 3), and
+    * screen copies of EVERYTHING twice. The `asof` lane runs
+    * [[screenAgainstIndexAt]] pinned to version 1: it must match
+    * exactly the even docs — the odd docs are invisible (not yet
+    * folded) and the `% 4` docs STILL match (not yet deleted; the
+    * tombstone set resolves from the same snapshot as the leaves). The
+    * `now` lane runs the current screen: every doc except the `% 4`
+    * dead. Both relations are re-derivable from the planting formulas
+    * alone; a time travel that read today's tombs, today's leaves, or
+    * a swept file breaks its lane.
+    */
+  def timeTravelSelfRecall(spark: SparkSession, d: String): DataFrame = {
+    val base = Tables.spread(
+      Tables.documents(spark, d).select(col("doc_id"), col("text")))
+    val tmp = graft.Tables.scratchDir("graft_dd23")
+    val indexDir = s"$tmp/index"
+    dedupIndexAppend(base.filter(col("doc_id") % 2 === 0), indexDir, "c1",
+      bid = 0L)
+    val v1 = metaOf(indexDir).get.version
+    dedupIndexAppend(base.filter(col("doc_id") % 2 === 1), indexDir, "c2",
+      bid = 1L)
+    dedupIndexDelete(spark, indexDir,
+      base.filter(col("doc_id") % 4 === 0).select(col("doc_id")), "del0",
+      bid = 2L)
+    val batch = base.select((col("doc_id") + 100000L).as("doc_id"),
+      col("text"))
+    val asof = screenAgainstIndexAt(spark, indexDir, batch, v1)
+      .filter(col("corpus_id") === col("batch_id") - 100000L)
+      .withColumn("lane", lit("asof"))
+    val now = screenAgainstIndex(spark, indexDir, batch)
+      .filter(col("corpus_id") === col("batch_id") - 100000L)
+      .withColumn("lane", lit("now"))
+    asof.unionByName(now)
+      .select(col("lane"), col("batch_id"), col("corpus_id"),
+        col("jaccard"))
+      .orderBy(col("lane"), col("batch_id"))
+  }
+
   /** Screen an arriving batch against the PERSISTED index (every
     * committed leaf): candidates are (band, bucket) equi-collisions —
     * the shuffle carries the BATCH's band rows only, the index side is
@@ -831,13 +877,47 @@ object Dedup {
     */
   def screenAgainstIndex(spark: SparkSession, indexDir: String,
       batch: DataFrame, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8): DataFrame =
+    screenSnapshot(spark, indexDir, metaOf(indexDir), batch,
+      numHashes, bands, threshold)
+
+  /** TIME-TRAVEL screen — [[screenAgainstIndex]] against the exact
+    * snapshot a PAST manifest version committed (the Materializer
+    * `currentStateAt` device on the dedup index): leaf lists, the group
+    * dial, AND the tombstone set all resolve from that version, so the
+    * result is what the screen returned when that commit was current —
+    * a doc appended later is invisible, a doc deleted later still
+    * matches. The reach is the retention window
+    * ([[graft.operators.store.IndexManifest.RetainedManifests]]
+    * versions — retained manifests keep their leaves on disk, which is
+    * the same rule that makes compaction online-safe); asking beyond it
+    * throws instead of silently answering from a different snapshot.
+    * Reproducibility is the training-data audit's core move: "which
+    * corpus members did this batch collide with AS OF the crawl's
+    * nightly mark" must be re-derivable after the index moved on.
+    */
+  def screenAgainstIndexAt(spark: SparkSession, indexDir: String,
+      batch: DataFrame, asOfVersion: Long, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    import graft.operators.store.IndexManifest
+    val meta = IndexManifest.readMetaAt(indexDir, asOfVersion).getOrElse(
+      throw new IllegalArgumentException(
+        s"manifest version $asOfVersion is not retained at $indexDir — " +
+          s"time travel reaches the ${IndexManifest.RetainedManifests}-" +
+          "version grace window"))
+    screenSnapshot(spark, indexDir, Some(meta), batch,
+      numHashes, bands, threshold)
+  }
+
+  private def screenSnapshot(spark: SparkSession, indexDir: String,
+      meta: Option[graft.operators.store.IndexManifest.Meta],
+      batch: DataFrame, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame = {
     // resolve ONE manifest for the whole screen: leaf lists and the
     // group dial come from the same committed version, so the scan is a
     // consistent snapshot even while appends/compactions keep landing
     // (retained manifests keep their leaves on disk for the grace
     // window — this plan stays executable across later commits)
-    val meta = metaOf(indexDir)
     val live = meta.map(_.leaves)
     val ngroups = meta.map(_.groups).getOrElse(DefaultIndexGroups)
     val bsh = shingledOf(batch)
@@ -882,7 +962,9 @@ object Dedup {
     // tombstone order: a tombstone kills folds at a STRICTLY smaller bid
     // than its own, so a doc whose newest fold outranks the tombstone
     // revives. Broadcast: the tombstone relation is bounded by deletes.
-    tombstonesOf(spark, indexDir).fold(scored)(t =>
+    // Tombs resolve from the SAME snapshot as the leaves (time travel
+    // sees the past tombstone set, not today's).
+    tombstonesSnapshot(spark, indexDir, meta).fold(scored)(t =>
       scored.join(broadcast(t.withColumnRenamed("doc_id", "corpus_id")),
           Seq("corpus_id"), "left")
         .filter(col("tomb_bid").isNull || col("newest_bid") >= col("tomb_bid")))

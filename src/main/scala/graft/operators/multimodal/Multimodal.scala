@@ -663,8 +663,13 @@ object Multimodal {
     * deleted — zero cost on the screen path, the common crawl case).
     */
   private def mmTombstones(spark: SparkSession,
-      indexDir: String): Option[DataFrame] = {
-    val live = metaOf(indexDir).map(_.tombs)
+      indexDir: String): Option[DataFrame] =
+    mmTombstonesSnapshot(spark, indexDir, metaOf(indexDir))
+
+  private def mmTombstonesSnapshot(spark: SparkSession, indexDir: String,
+      meta: Option[graft.operators.store.IndexManifest.Meta])
+      : Option[DataFrame] = {
+    val live = meta.map(_.tombs)
     if (live.exists(_.isEmpty)) None
     else if (live.isDefined ||
         graft.sources.cdc.WalSegments.globNonEmpty(indexDir, "tombs/leaf=*"))
@@ -710,8 +715,9 @@ object Multimodal {
     * compaction.
     */
   private def withoutTombstoned(spark: SparkSession, indexDir: String,
-      cands: DataFrame): DataFrame =
-    mmTombstones(spark, indexDir).fold(cands)(t =>
+      cands: DataFrame,
+      meta: Option[graft.operators.store.IndexManifest.Meta]): DataFrame =
+    mmTombstonesSnapshot(spark, indexDir, meta).fold(cands)(t =>
       cands.join(broadcast(t.withColumnRenamed("media_id", "corpus_id")),
         Seq("corpus_id"), "left_anti"))
 
@@ -905,8 +911,32 @@ object Multimodal {
     * including compactions.
     */
   def screenAhash(spark: SparkSession, indexDir: String,
+      batchHashed: DataFrame): DataFrame =
+    screenAhashSnapshot(spark, indexDir, metaOf(indexDir), batchHashed)
+
+  /** TIME-TRAVEL equality screen — [[screenAhash]] against the exact
+    * snapshot a PAST manifest version committed (leaves, dial, AND the
+    * tombstone set — the dd23 device on the perceptual store); asking
+    * beyond the retained window throws.
+    */
+  def screenAhashAt(spark: SparkSession, indexDir: String,
+      batchHashed: DataFrame, asOfVersion: Long): DataFrame =
+    screenAhashSnapshot(spark, indexDir,
+      Some(metaAtOrThrow(indexDir, asOfVersion)), batchHashed)
+
+  private def metaAtOrThrow(indexDir: String,
+      version: Long): graft.operators.store.IndexManifest.Meta = {
+    import graft.operators.store.IndexManifest
+    IndexManifest.readMetaAt(indexDir, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"manifest version $version is not retained at $indexDir — " +
+          s"time travel reaches the ${IndexManifest.RetainedManifests}-" +
+          "version grace window"))
+  }
+
+  private def screenAhashSnapshot(spark: SparkSession, indexDir: String,
+      meta: Option[graft.operators.store.IndexManifest.Meta],
       batchHashed: DataFrame): DataFrame = {
-    val meta = metaOf(indexDir)
     val ngroups = meta.map(_.groups).getOrElse(DefaultAHashGroups)
     val groups = batchHashed.select(ahashGroup(ngroups).as("hgrp")).distinct()
       .collect().map(r => Int.box(r.getInt(0))).toSeq
@@ -920,7 +950,7 @@ object Multimodal {
     withoutTombstoned(spark, indexDir,
         batchHashed.select(col("media_id").as("batch_id"),
             col("ahash_hi"), col("ahash_lo"))
-          .join(index, Seq("ahash_hi", "ahash_lo")))
+          .join(index, Seq("ahash_hi", "ahash_lo")), meta)
       .select(col("batch_id"), col("corpus_id"))
   }
 
@@ -972,9 +1002,24 @@ object Multimodal {
     * popcount verify on candidates only.
     */
   def screenAhashHamming(spark: SparkSession, indexDir: String,
-      batchHashed: DataFrame, maxDist: Int = 3): DataFrame = {
+      batchHashed: DataFrame, maxDist: Int = 3): DataFrame =
+    screenAhashHammingSnapshot(spark, indexDir, metaOf(indexDir),
+      batchHashed, maxDist)
+
+  /** TIME-TRAVEL Hamming screen — [[screenAhashHamming]] pinned to a
+    * retained manifest version (the dd23 device; see [[screenAhashAt]]).
+    */
+  def screenAhashHammingAt(spark: SparkSession, indexDir: String,
+      batchHashed: DataFrame, asOfVersion: Long,
+      maxDist: Int = 3): DataFrame =
+    screenAhashHammingSnapshot(spark, indexDir,
+      Some(metaAtOrThrow(indexDir, asOfVersion)), batchHashed, maxDist)
+
+  private def screenAhashHammingSnapshot(spark: SparkSession,
+      indexDir: String,
+      meta: Option[graft.operators.store.IndexManifest.Meta],
+      batchHashed: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist <= 3, "4-chunk pigeonhole guarantees candidates only for d <= 3")
-    val meta = metaOf(indexDir)
     val ngroups = meta.map(_.groups).getOrElse(DefaultAHashGroups)
     val bc = ahashChunks(batchHashed)
       .select(col("media_id").as("batch_id"), col("ahash_hi").as("b_hi"),
@@ -988,7 +1033,8 @@ object Multimodal {
         col("ahash_hi").as("c_hi"), col("ahash_lo").as("c_lo"))
     // tombstone anti-join BEFORE the distinct + popcount verify: dead
     // media neither match nor consume verify work (the mm18 delete lane)
-    withoutTombstoned(spark, indexDir, bc.join(index, Seq("chunk_idx", "chunk")))
+    withoutTombstoned(spark, indexDir,
+        bc.join(index, Seq("chunk_idx", "chunk")), meta)
       .select(col("batch_id"), col("corpus_id"), col("b_hi"), col("b_lo"),
         col("c_hi"), col("c_lo"))
       .distinct()

@@ -144,6 +144,22 @@ object IndexManifest {
     name.map(n => parseMeta(readFully(fs, new Path(indexDir, n))))
   }
 
+  /** A SPECIFIC retained manifest version — the index stores' TIME
+    * TRAVEL (the Materializer `currentStateAt` device): any reader can
+    * re-run a screen/search against the exact snapshot a past commit
+    * published, because retained manifests keep their leaves on disk
+    * ([[sweep]]'s rule). None when the version was never committed or
+    * has left the [[RetainedManifests]] grace window — time travel
+    * reaches exactly as far as retention does, never silently further.
+    */
+  def readMetaAt(indexDir: String, version: Long): Option[Meta] = {
+    val (fs, _) = WalSegments.fsFor(indexDir)
+    val p = new Path(indexDir, manifestFile(version))
+    try {
+      if (fs.exists(p)) Some(parseMeta(readFully(fs, p))) else None
+    } catch { case _: java.io.IOException => None }
+  }
+
   /** Commit `meta` as the next manifest version: exclusive publish (one
     * winner per version — the loser throws having published nothing),
     * then retire manifests past the grace window.

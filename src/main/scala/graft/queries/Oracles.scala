@@ -2584,6 +2584,22 @@ SELECT doc_id + 100000 AS batch_id, doc_id AS corpus_id,
   CAST(1.0 AS DOUBLE) AS jaccard
 FROM t WHERE len(toks) >= 3 ORDER BY batch_id""",
 
+    // dd23: time travel — the asof lane is the version-1 snapshot (even
+    // docs only, the %4 deletes not yet committed so they still match);
+    // the now lane is the current screen (all docs minus the %4 dead)
+    "dd23_time_travel" -> """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents)
+SELECT 'asof' AS lane, doc_id + 100000 AS batch_id, doc_id AS corpus_id,
+  CAST(1.0 AS DOUBLE) AS jaccard
+FROM t WHERE len(toks) >= 3 AND doc_id % 2 = 0
+UNION ALL
+SELECT 'now', doc_id + 100000, doc_id, CAST(1.0 AS DOUBLE)
+FROM t WHERE len(toks) >= 3 AND doc_id % 4 <> 0
+ORDER BY lane, batch_id""",
+
     // dd19: dd11's planting relation THROUGH dedup-index compaction —
     // rows are copied verbatim (each doc in exactly one leaf), so the
     // screen against the compacted store is identical; the leaf census

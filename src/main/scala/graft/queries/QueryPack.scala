@@ -274,6 +274,10 @@ object QueryPack {
     // path): deleted docs' copies provably match nothing, survivors at
     // 1.0; compaction drops tombstoned rows physically (n_lanes == 2)
     "dd20_index_delete"   -> ((s, d) => Dedup.deletedSelfRecall(s, d)),
+    // TIME TRAVEL on the dedup index: a screen pinned to a retained
+    // manifest version sees that snapshot's leaves AND tombstones —
+    // docs folded later are invisible, docs deleted later still match
+    "dd23_time_travel"    -> ((s, d) => Dedup.timeTravelSelfRecall(s, d)),
 
     // ---- similarity search ----
     "ann01_brute_topk"  -> ((s, d) => Ann.bruteForceTopK(s, d)),

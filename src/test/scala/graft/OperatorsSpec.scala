@@ -1752,6 +1752,159 @@ class OperatorsSpec extends AnyFunSuite {
       "leaves only named by retired manifests leave the live set")
   }
 
+  test("IndexManifest: tagOf inverts leafName for any version, including past 1e8") {
+    import graft.operators.store.IndexManifest
+    for (v <- Seq(0L, 1L, 99999999L, 100000000L, 123456789012L);
+         t <- Seq("corpus", "b000001", "sync-c1-add", "c-x_Y9"))
+      assert(IndexManifest.tagOf(IndexManifest.leafName(v, t)) == t,
+        s"tagOf(leafName($v, $t))")
+    // a legacy (pre-manifest) leaf has no version prefix: its name IS
+    // its tag
+    assert(IndexManifest.tagOf("corpus") == "corpus")
+  }
+
+  test("IndexManifest fuzz: random commit/sweep/residue interleavings never lose a committed leaf") {
+    import graft.operators.store.IndexManifest
+    import org.apache.hadoop.fs.Path
+    val dir = "file://" +
+      java.nio.file.Files.createTempDirectory("idx_fuzz").toString
+    val (fs, _) = graft.sources.cdc.WalSegments.fsFor(dir)
+    def mkLeaf(leaf: String): Unit = {
+      fs.mkdirs(new Path(s"$dir/rel/leaf=$leaf")); ()
+    }
+    def leafExists(leaf: String): Boolean =
+      fs.exists(new Path(s"$dir/rel/leaf=$leaf"))
+    // pre-manifest store: two legacy leaves that must never be swept
+    Seq("lega", "legb").foreach(mkLeaf)
+    val rnd = new scala.util.Random(42)
+    var committed = IndexManifest.Meta(0L, 32,
+      Seq("lega", "legb"), Seq.empty) // enrolled on the first commit
+    var tagN = 0
+    for (i <- 1 to 300) {
+      rnd.nextInt(4) match {
+        case 0 | 1 => // append commit, sometimes a replace (compaction)
+          tagN += 1
+          val leaf = IndexManifest.leafName(committed.version + 1, s"t$tagN")
+          mkLeaf(leaf)
+          val replace = rnd.nextInt(4) == 0
+          committed = committed.copy(version = committed.version + 1,
+            leaves = if (replace) Seq(leaf) else committed.leaves :+ leaf)
+          IndexManifest.commit(dir, committed)
+        case 2 =>
+          IndexManifest.sweep(dir, Seq("rel"), committed.version)
+        case 3 => // a mid-commit writer's leaf at a FUTURE version:
+          // unreferenced but HIGHER than committed — a sweep right now
+          // must leave it alone (the version guard)
+          val fl = IndexManifest
+            .leafName(committed.version + 3, s"future$i")
+          mkLeaf(fl)
+          IndexManifest.sweep(dir, Seq("rel"), committed.version)
+          assert(leafExists(fl),
+            s"op $i: sweep deleted a possible mid-commit leaf: $fl")
+      }
+      // invariants after EVERY op: the committed view is intact, every
+      // leaf any retained manifest references is still on disk, and the
+      // legacy leaves survive all sweeps
+      if (committed.version > 0) {
+        val meta = IndexManifest.readMeta(dir)
+          .getOrElse(fail(s"op $i: committed manifest unreadable"))
+        assert(meta.version == committed.version, s"op $i: version drift")
+        assert(meta.leaves == committed.leaves, s"op $i: leaf-list drift")
+        IndexManifest.retainedRefs(dir).foreach { l =>
+          assert(leafExists(l),
+            s"op $i: retained-referenced leaf lost: $l")
+        }
+      }
+      assert(leafExists("lega") && leafExists("legb"),
+        s"op $i: a legacy leaf was swept")
+    }
+  }
+
+  test("screenAgainstIndexAt: snapshot semantics inside the window, refusal beyond it") {
+    import graft.operators.dedup.Dedup
+    import graft.operators.store.IndexManifest
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+      .limit(24).cache()
+    val dir = s"${graft.Tables.scratchDir("graft_dd_asof")}/index"
+    Dedup.dedupIndexAppend(docs.filter(col("doc_id") % 2 === 0), dir, "c1",
+      bid = 0L)
+    val v1 = IndexManifest.readMeta(dir).get.version
+    Dedup.dedupIndexAppend(docs.filter(col("doc_id") % 2 === 1), dir, "c2",
+      bid = 1L)
+    val batch = docs.select((col("doc_id") + 100000L).as("doc_id"),
+      col("text"))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] = df
+      .filter(col("corpus_id") === col("batch_id") - 100000L)
+      .select(col("corpus_id")).collect().map(_.getLong(0)).toSet
+    val asof = ids(Dedup.screenAgainstIndexAt(spark, dir, batch, v1))
+    val now = ids(Dedup.screenAgainstIndex(spark, dir, batch))
+    assert(asof.nonEmpty && asof.forall(_ % 2 == 0),
+      s"v1 snapshot must see only the even fold: $asof")
+    assert(now.exists(_ % 2 == 1), "the current screen sees both folds")
+    assert((now -- asof).forall(_ % 2 == 1))
+    // push v1 out of the retained window: the read REFUSES instead of
+    // silently answering from a different snapshot
+    (1 to IndexManifest.RetainedManifests + 1).foreach { i =>
+      Dedup.dedupIndexAppend(
+        docs.filter(col("doc_id") === (i % 24).toLong), dir, s"w$i",
+        bid = 10L + i)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Dedup.screenAgainstIndexAt(spark, dir, batch, v1)
+    }
+    assert(e.getMessage.contains("not retained"))
+    docs.unpersist()
+  }
+
+  test("time travel on the graph and multimodal stores: past leaves AND past tombstones") {
+    import graft.operators.ann.KnnGraph
+    import graft.operators.multimodal.Multimodal
+    import graft.operators.store.IndexManifest
+    import spark.implicits._
+    // GRAPH: the snapshot search must see the pre-delete world
+    val base = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .cache()
+    val c1 = base.filter($"vec_id" === 0L)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val c2 = base.filter($"vec_id" === 0L)
+      .select(($"vec_id" + 200000L).as("vec_id"), $"embedding")
+    val all = base.unionByName(c1).unionByName(c2)
+    val gDir = s"${graft.Tables.scratchDir("graft_tt_graph")}/graph"
+    KnnGraph.build(all, gDir, "corpus")
+    val gv1 = IndexManifest.readMeta(gDir).get.version
+    KnnGraph.delete(spark, gDir, Seq(Tuple1(0L)).toDF("vec_id"), "t0")
+    val queries = c2.select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val seeds = c2.select($"vec_id".as("query_id"), $"vec_id")
+    val nowTop = KnnGraph.searchTopK(spark, gDir, all, queries, seeds,
+      hops = 2, beam = 8, k = 1).select($"vec_id").collect()(0).getLong(0)
+    assert(nowTop == 100000L, "current search must skip the tombstone")
+    val asofTop = KnnGraph.searchTopKAt(spark, gDir, all, queries, seeds,
+      gv1, hops = 2, beam = 8, k = 1)
+      .select($"vec_id").collect()(0).getLong(0)
+    assert(asofTop == 0L,
+      "the v1 snapshot predates the delete — the original must match")
+    // MULTIMODAL: the snapshot screen sees yesterday's membership
+    val mDir = s"${graft.Tables.scratchDir("graft_tt_mm")}/h"
+    Multimodal.ahashIndexAppend(
+      Multimodal.ahashOf((1L to 8L).toDF("media_id")), mDir, "c1")
+    val mv1 = IndexManifest.readMeta(mDir).get.version
+    Multimodal.ahashIndexDelete(spark, mDir,
+      Seq(Tuple1(3L)).toDF("media_id"), "t0")
+    Multimodal.ahashIndexAppend(
+      Multimodal.ahashOf((9L to 12L).toDF("media_id")), mDir, "c2")
+    val probe = Multimodal.ahashOf((1L to 12L).toDF("media_id"))
+    def hits(df: org.apache.spark.sql.DataFrame): Set[Long] = df
+      .filter($"batch_id" === $"corpus_id")
+      .select("corpus_id").collect().map(_.getLong(0)).toSet
+    assert(hits(Multimodal.screenAhash(spark, mDir, probe))
+      == (1L to 12L).toSet - 3L, "current: later fold in, takedown out")
+    assert(hits(Multimodal.screenAhashAt(spark, mDir, probe, mv1))
+      == (1L to 8L).toSet,
+      "v1 snapshot: the later fold invisible, media 3 still alive")
+    base.unpersist()
+  }
+
   test("dedup index: a reader planned before compaction still executes after it (online-safe)") {
     import graft.operators.dedup.Dedup
     val docs = graft.Tables.documents(spark, sf)
