@@ -666,8 +666,33 @@ object PqIndex {
     */
   def topKIvfAgainst(spark: SparkSession, indexDir: String,
       queries: DataFrame, embProvider: DataFrame, nprobe: Int = 4,
-      k: Int = 5, rerank: Int = 32): DataFrame = {
-    val meta = readMeta(indexDir)
+      k: Int = 5, rerank: Int = 32): DataFrame =
+    topKIvfSnapshot(spark, indexDir, readMeta(indexDir), queries,
+      embProvider, nprobe, k, rerank)
+
+  /** TIME-TRAVEL search — [[topKIvfAgainst]] against the exact snapshot
+    * a PAST manifest version committed (code leaves AND the tombstone
+    * set resolve from it — the dd23 device on the vector index; sound
+    * because codebooks and the coarse quantizer are immutable after
+    * [[build]], so every retained version shares them). Reach is the
+    * retained-manifest grace window; asking beyond it throws instead of
+    * silently answering from a different snapshot.
+    */
+  def topKIvfAgainstAt(spark: SparkSession, indexDir: String,
+      queries: DataFrame, embProvider: DataFrame, asOfVersion: Long,
+      nprobe: Int = 4, k: Int = 5, rerank: Int = 32): DataFrame = {
+    val meta = IndexManifest.readMetaAt(indexDir, asOfVersion)
+      .map(fromShared).getOrElse(throw new IllegalArgumentException(
+        s"manifest version $asOfVersion is not retained at $indexDir — " +
+          s"time travel reaches the ${IndexManifest.RetainedManifests}-" +
+          "version grace window"))
+    topKIvfSnapshot(spark, indexDir, meta, queries, embProvider,
+      nprobe, k, rerank)
+  }
+
+  private def topKIvfSnapshot(spark: SparkSession, indexDir: String,
+      meta: Meta, queries: DataFrame, embProvider: DataFrame,
+      nprobe: Int, k: Int, rerank: Int): DataFrame = {
     val subLen = meta.subLen
     require(meta.coarseDir.nonEmpty,
       s"$indexDir has no coarse quantizer (pre-IVF index)")

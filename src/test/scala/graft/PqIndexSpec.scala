@@ -145,6 +145,50 @@ class PqIndexSpec extends AnyFunSuite {
       s"planted relation violated: ${out.take(5).toSeq}")
   }
 
+  test("topKIvfAgainstAt: the snapshot search sees past codes and past tombstones") {
+    import spark.implicits._
+    val base = Tables.spread(emb).cache()
+    val dir = tmpDir()
+    // v1: corpus only; v2: planted exact copies appended; v3: vec 0's
+    // copy tombstoned — the snapshot lanes must disagree exactly there
+    PqIndex.build(base, dir, m = 4, ksub = 16, dim = 64, refineIters = 1)
+    val v1 = PqIndex.readMeta(dir).version
+    val copies = base.filter($"vec_id" < 4L)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    PqIndex.append(spark, dir, copies, tag = Some("inc1"))
+    val v2 = PqIndex.readMeta(dir).version
+    PqIndex.delete(spark, dir, Seq(Tuple1(100000L)).toDF("vec_id"),
+      tag = Some("t0"))
+    val queries = base.filter($"vec_id" < 4L)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val all = base.unionByName(copies)
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = df
+      .filter($"rnk" === 1).select($"query_id", $"vec_id")
+      .as[(Long, Long)].collect().toMap
+    // as of v1 the copies are not yet indexed: no sim-1.0 twin exists
+    val atV1 = top1(PqIndex.topKIvfAgainstAt(spark, dir, queries, all, v1,
+      nprobe = 2, k = 1, rerank = 1024))
+    assert(atV1.values.forall(_ < 100000L),
+      s"v1 predates the copies — none may surface: $atV1")
+    // as of v2 every copy is indexed and none is deleted yet
+    val atV2 = top1(PqIndex.topKIvfAgainstAt(spark, dir, queries, all, v2,
+      nprobe = 2, k = 1, rerank = 1024))
+    assert((0L until 4L).forall(q => atV2(q) == q + 100000L),
+      s"v2 must surface every planted twin: $atV2")
+    // today vec 0's twin is tombstoned; the others still match
+    val now = top1(PqIndex.topKIvfAgainst(spark, dir, queries, all,
+      nprobe = 2, k = 1, rerank = 1024))
+    assert(now(0L) != 100000L && (1L until 4L).forall(q => now(q) == q + 100000L),
+      s"current search must hide the tombstone only: $now")
+    // beyond the retained window the read refuses
+    val e = intercept[IllegalArgumentException] {
+      PqIndex.topKIvfAgainstAt(spark, dir, queries, all, v1 + 1000L,
+        nprobe = 2, k = 1, rerank = 4)
+    }
+    assert(e.getMessage.contains("not retained"))
+    base.unpersist()
+  }
+
   test("ann08: cell-pruned recall@5 matches exhaustive ADC on real queries") {
     val corpus = Tables.spread(emb).cache()
     val dir = tmpDir()
