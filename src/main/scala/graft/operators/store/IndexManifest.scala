@@ -160,6 +160,17 @@ object IndexManifest {
     } catch { case _: java.io.IOException => None }
   }
 
+  /** The manifest versions currently on disk, ascending — what
+    * [[readMetaAt]] can reach (the time-travel catalog; Delta's
+    * DESCRIBE HISTORY move). At most [[RetainedManifests]] + 1 entries.
+    */
+  def retainedVersions(indexDir: String): Seq[Long] = {
+    val (fs, root) = WalSegments.fsFor(indexDir)
+    try fs.listStatus(root).iterator.map(_.getPath.getName)
+      .collect { case ManifestVRe(v) => v.toLong }.toSeq.sorted
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+  }
+
   /** Commit `meta` as the next manifest version: exclusive publish (one
     * winner per version — the loser throws having published nothing),
     * then retire manifests past the grace window.

@@ -1763,6 +1763,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(IndexManifest.tagOf("corpus") == "corpus")
   }
 
+  test("IndexManifest.retainedVersions: the time-travel catalog tracks the window") {
+    import graft.operators.store.IndexManifest
+    val dir = "file://" +
+      java.nio.file.Files.createTempDirectory("idx_versions").toString
+    assert(IndexManifest.retainedVersions(dir).isEmpty)
+    var m = IndexManifest.Meta(0L, 32, Seq.empty, Seq.empty)
+    (1L to 3L).foreach { v =>
+      m = m.copy(version = v,
+        leaves = m.leaves :+ IndexManifest.leafName(v, s"c$v"))
+      IndexManifest.commit(dir, m)
+    }
+    assert(IndexManifest.retainedVersions(dir) == Seq(1L, 2L, 3L))
+    // every listed version is readable, and only those
+    assert(IndexManifest.readMetaAt(dir, 2L).exists(_.version == 2L))
+    assert(IndexManifest.readMetaAt(dir, 9L).isEmpty)
+    (4L to 12L).foreach { v =>
+      m = m.copy(version = v)
+      IndexManifest.commit(dir, m)
+    }
+    val vs = IndexManifest.retainedVersions(dir)
+    assert(vs == (12L - IndexManifest.RetainedManifests to 12L).toSeq,
+      s"catalog must track the retention window: $vs")
+    assert(IndexManifest.readMetaAt(dir, vs.head).isDefined)
+    assert(IndexManifest.readMetaAt(dir, vs.head - 1L).isEmpty,
+      "versions past the window are unreadable, never silently remapped")
+  }
+
   test("IndexManifest fuzz: random commit/sweep/residue interleavings never lose a committed leaf") {
     import graft.operators.store.IndexManifest
     import org.apache.hadoop.fs.Path
