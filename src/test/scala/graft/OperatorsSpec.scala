@@ -2844,6 +2844,11 @@ class OperatorsSpec extends AnyFunSuite {
       KnnGraph.merge(spark, Seq(s0, s1), m, "merge1", groups = 8)
     }
     assert(e.getMessage.contains("grouped at"))
+    // a LATER delete on the merged store joins the ridden tombstones
+    // (the post-merge takedown lane keeps working)
+    KnnGraph.delete(spark, m, Seq(Tuple1(4L)).toDF("vec_id"), "t1")
+    assert(KnnGraph.tombstonedIds(spark, m).as[Long].collect().toSet
+      == Set(2L, 4L), "post-merge deletes must join the ridden set")
     base.unpersist()
   }
 
