@@ -1929,6 +1929,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits(Multimodal.screenAhashAt(spark, mDir, probe, mv1))
       == (1L to 8L).toSet,
       "v1 snapshot: the later fold invisible, media 3 still alive")
+    // beyond-window reads refuse on BOTH stores (never silently remap)
+    val ge = intercept[IllegalArgumentException] {
+      KnnGraph.searchTopKAt(spark, gDir, all, queries, seeds, 999L, k = 1)
+    }
+    assert(ge.getMessage.contains("not retained"))
+    val me = intercept[IllegalArgumentException] {
+      Multimodal.screenAhashAt(spark, mDir, probe, 999L)
+    }
+    assert(me.getMessage.contains("not retained"))
     base.unpersist()
   }
 
