@@ -459,6 +459,34 @@ class PlanAuditSpec extends AnyFunSuite {
       s"prune list not batch-sized: $inset")
   }
 
+  test("dd23 as-of screen: the band scan prunes to the SNAPSHOT's leaves, not today's") {
+    import spark.implicits._
+    import graft.operators.store.IndexManifest
+    val dir = java.nio.file.Files.createTempDirectory("audit_dd23").toString
+    val mk = (lo: Long, hi: Long) => (lo to hi)
+      .map(i => (i, s"corpus document number $i with words " + ("x " * 20)))
+      .toDF("doc_id", "text")
+    graft.operators.dedup.Dedup.dedupIndexAppend(mk(1L, 100L), dir, "c1")
+    val v1 = IndexManifest.readMeta(dir).get.version
+    graft.operators.dedup.Dedup.dedupIndexAppend(mk(101L, 200L), dir, "c2")
+    val batch = Seq((9001L, "corpus document number 3 with words " + ("x " * 20)))
+      .toDF("doc_id", "text")
+    val asof = graft.operators.dedup.Dedup
+      .screenAgainstIndexAt(spark, dir, batch, v1)
+    asof.collect()
+    val p = asof.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("bands") && l.contains("PartitionFilters"))
+      .getOrElse(fail(s"no partition-filtered bands scan in plan:\n$p"))
+    // the scan's leaf restriction names ONLY the v1 leaf — the later c2
+    // leaf never enters the plan, so time travel is a partition prune,
+    // not a post-filter over today's files
+    assert(scanLine.contains("v00000001-c1"),
+      s"as-of scan must pin the v1 leaf: $scanLine")
+    assert(!scanLine.contains("c2"),
+      s"as-of scan must not see the later leaf: $scanLine")
+  }
+
   test("mm16/mm17 Hamming screen: chunk scan pruned to batch groups AND committed leaves") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
