@@ -49,12 +49,42 @@ object KnnGraph {
   private def ggrp(groups: Int) =
     pmod(xxhash64(col("vec_id")), lit(groups.toLong)).cast("int")
 
+  /** How many hub ids ride the manifest — the seed pool [[hubIds]]
+    * serves without scanning the store.
+    */
+  private val HubCount = 64
+
+  /** The next commit's hub list: the HubCount smallest vec_ids of
+    * (prior hubs ∪ the just-written leaf's vertices). The leaf read-back
+    * is a partition-pruned TakeOrdered over ONE leaf — batch-sized for
+    * appends — so maintaining the pool costs O(batch), never O(store).
+    * On a replace commit (refine/compact) the prior pool is DROPPED:
+    * the new leaf IS the whole store and tombstoned vertices were
+    * dropped physically before the write, so the read-back can never
+    * resurrect a stale hub after the tombstone set clears.
+    */
+  private def nextHubs(spark: SparkSession, indexDir: String,
+      leafDir: String, prior: Seq[Long]): Seq[Long] = {
+    val fresh = spark.read.parquet(s"$indexDir/edges")
+      .filter(col("leaf") === leafDir)
+      .select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(HubCount)
+      .collect().map(_.getLong(0)).toSeq
+    (prior ++ fresh).distinct.sorted.take(HubCount)
+  }
+
+  private def hubsParam(meta: IndexManifest.Meta): Seq[Long] =
+    meta.params.get("hubs").toSeq.flatMap(_.split(","))
+      .filter(_.nonEmpty).map(_.toLong)
+
   /** Write one committed edge leaf (vec_id, nbr_id, rank, mutual) and
     * publish the next manifest — the shared append/build/refine commit
     * path. `replace = true` commits ONLY the new leaf AND clears the
     * tombstone set (compaction/refine semantics: dead edges were
     * dropped physically by the caller); otherwise the leaf joins the
-    * committed set and tombstones carry over.
+    * committed set and tombstones carry over. Every commit refreshes
+    * the manifest's HUB pool from the written leaf ([[nextHubs]]), so
+    * seed selection never scans the store.
     */
   private def commitLeaf(edges: DataFrame, indexDir: String, tag: String,
       groups: Int, replace: Boolean): Unit = {
@@ -76,9 +106,13 @@ object KnnGraph {
       .repartition(col("ggrp"))
       .write.partitionBy("ggrp", "leaf")
       .mode("append").parquet(s"$indexDir/edges")
+    val spark = edges.sparkSession
+    val hubs = nextHubs(spark, indexDir, leafDir,
+      if (replace) Seq.empty else hubsParam(meta))
     IndexManifest.commit(indexDir, meta.copy(version = meta.version + 1,
       leaves = if (replace) Seq(leafDir) else meta.leaves :+ leafDir,
-      tombs = if (replace) Seq.empty else meta.tombs))
+      tombs = if (replace) Seq.empty else meta.tombs,
+      params = meta.params + ("hubs" -> hubs.mkString(","))))
     IndexManifest.sweep(indexDir, Seq("edges", "tombs"), meta.version + 1)
   }
 
@@ -206,13 +240,24 @@ object KnnGraph {
   }
 
   /** Deterministic HUB seeds: the store's `n` smallest vec_ids — the
-    * fixed entry points [[append]] searches from (ids-only
-    * TakeOrderedAndProject; metadata-sized).
+    * fixed entry points [[append]] searches from. Served from the
+    * MANIFEST's hub pool (maintained by every commit, [[nextHubs]]), so
+    * a crawl-loop increment pays O(1) metadata here instead of a
+    * distinct+sort over the whole edge relation — the scan that would
+    * otherwise make "per-increment cost independent of corpus size"
+    * false. Stores committed before the pool existed fall back to the
+    * scan (their next commit enrolls them).
     */
   private def hubIds(spark: SparkSession, indexDir: String,
-      n: Int): DataFrame =
-    edges(spark, indexDir).select(col("vec_id")).distinct()
-      .orderBy(col("vec_id")).limit(n)
+      n: Int): DataFrame = {
+    val pooled = metaOf(indexDir).map(hubsParam).getOrElse(Seq.empty)
+    if (pooled.nonEmpty) {
+      import spark.implicits._
+      pooled.take(n).toDF("vec_id")
+    } else
+      edges(spark, indexDir).select(col("vec_id")).distinct()
+        .orderBy(col("vec_id")).limit(n)
+  }
 
   /** Link a new batch into the committed graph — the crawl-increment
     * move, O(batch · degree), no corpus pass: each batch vector
@@ -390,9 +435,11 @@ object KnnGraph {
         tl
       }
     }
+    val hubs = nextHubs(spark, destDir, leafDir, hubsParam(dest))
     IndexManifest.commit(destDir, dest.copy(version = dest.version + 1,
       leaves = dest.leaves :+ leafDir,
-      tombs = dest.tombs ++ tombsMerged))
+      tombs = dest.tombs ++ tombsMerged,
+      params = dest.params + ("hubs" -> hubs.mkString(","))))
     IndexManifest.sweep(destDir, Seq("edges", "tombs"), dest.version + 1)
   }
 

@@ -2666,6 +2666,14 @@ class OperatorsSpec extends AnyFunSuite {
       .select($"vec_id", $"nbr_id", $"rank", $"mutual")
       .collect().map(_.toSeq).toSet
     assert(stored == inPlan, "persisted edges must equal the in-plan build")
+    // the manifest's HUB pool equals the scan definition (the smallest
+    // vertex ids) — seed selection reads metadata, never the store
+    def pool(): Seq[Long] = graft.operators.store.IndexManifest
+      .readMeta(dir).get.params("hubs").split(",").map(_.toLong).toSeq
+    val scanHubs = KnnGraph.edges(spark, dir).select($"vec_id").distinct()
+      .orderBy($"vec_id").limit(pool().size)
+      .collect().map(_.getLong(0)).toSeq
+    assert(pool() == scanHubs, "hub pool must match the scan definition")
     // a replayed build tag commits nothing
     val v = graft.operators.store.IndexManifest.readMeta(dir).get.version
     KnnGraph.build(base, dir, "corpus")
@@ -2689,6 +2697,13 @@ class OperatorsSpec extends AnyFunSuite {
     assert(KnnGraph.leafCount(dir) == 2)
     KnnGraph.refine(spark, dir, base.unionByName(newcomer), "r1")
     assert(KnnGraph.leafCount(dir) == 1, "refine replaces every leaf")
+    // the replace commit rebuilt the pool from the fresh leaf alone —
+    // still the smallest vertices, never a stale carry-over
+    val postPool = pool()
+    val postScan = KnnGraph.edges(spark, dir).select($"vec_id").distinct()
+      .orderBy($"vec_id").limit(postPool.size)
+      .collect().map(_.getLong(0)).toSeq
+    assert(postPool == postScan, "refine must rebuild the hub pool")
     val top0 = KnnGraph.edges(spark, dir)
       .filter($"vec_id" === 0L && $"rank" === 1)
       .select($"nbr_id", $"mutual").collect()
