@@ -57,17 +57,28 @@ object KnnGraph {
   /** The next commit's hub list: the HubCount smallest vec_ids of
     * (prior hubs ∪ the just-written leaf's vertices). The leaf read-back
     * is a partition-pruned TakeOrdered over ONE leaf — batch-sized for
-    * appends — so maintaining the pool costs O(batch), never O(store).
-    * On a replace commit (refine/compact) the prior pool is DROPPED:
-    * the new leaf IS the whole store and tombstoned vertices were
-    * dropped physically before the write, so the read-back can never
-    * resurrect a stale hub after the tombstone set clears.
+    * appends, so maintaining the pool costs O(batch) there. [[merge]] is
+    * the documented exception: its single leaf IS the union of the
+    * shards, so the read-back is merge-sized — paid once per merge, the
+    * same order as the merge's own write. On a replace commit
+    * (refine/compact) the prior pool is DROPPED: the new leaf IS the
+    * whole store and tombstoned vertices were dropped physically before
+    * the write, so the read-back can never resurrect a stale hub after
+    * the tombstone set clears. `exclude` anti-joins known-tombstoned
+    * vec_ids out of the read-back (the merge path rides its sources'
+    * takedowns into the same commit — without the exclusion a dead
+    * vertex would enroll as a hub in the very commit that tombstones
+    * it, contradicting the rule above).
     */
   private def nextHubs(spark: SparkSession, indexDir: String,
-      leafDir: String, prior: Seq[Long]): Seq[Long] = {
-    val fresh = spark.read.parquet(s"$indexDir/edges")
+      leafDir: String, prior: Seq[Long],
+      exclude: Option[DataFrame] = None): Seq[Long] = {
+    val freshBase = spark.read.parquet(s"$indexDir/edges")
       .filter(col("leaf") === leafDir)
       .select(col("vec_id")).distinct()
+    val fresh = exclude.fold(freshBase)(t =>
+        freshBase.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"),
+          "left_anti"))
       .orderBy(col("vec_id")).limit(HubCount)
       .collect().map(_.getLong(0)).toSeq
     (prior ++ fresh).distinct.sorted.take(HubCount)
@@ -76,6 +87,36 @@ object KnnGraph {
   private def hubsParam(meta: IndexManifest.Meta): Seq[Long] =
     meta.params.get("hubs").toSeq.flatMap(_.split(","))
       .filter(_.nonEmpty).map(_.toLong)
+
+  /** Tags RETIRED from the manifest's leaf/tomb lists by replace commits
+    * (refine/compact/regroup rewrite the store as one fresh leaf, which
+    * would otherwise erase every prior commit's tag) — kept in the
+    * manifest's `donetags` param so tag idempotency survives the
+    * rewrite: a checkpoint-replayed crawl batch whose leaf was folded
+    * away by an intervening refine still no-ops instead of committing
+    * duplicate edges. Growth is one short tag per retired commit —
+    * manifest-sized metadata, linear in commits ever made, the price of
+    * an exactly-once fold claim that holds across maintenance.
+    */
+  private def doneTags(meta: IndexManifest.Meta): Set[String] =
+    meta.params.get("donetags").toSeq.flatMap(_.split(","))
+      .filter(_.nonEmpty).toSet
+
+  /** Has `tag` been committed — as a live leaf OR retired by a later
+    * replace commit? The idempotency check every fold uses.
+    */
+  private def isDone(meta: IndexManifest.Meta, tag: String): Boolean =
+    meta.hasLeafTag(tag) || doneTags(meta).contains(tag)
+
+  private def isDoneTomb(meta: IndexManifest.Meta, tag: String): Boolean =
+    meta.hasTombTag(tag) || doneTags(meta).contains(tag)
+
+  /** The `donetags` value a replace commit publishes: prior retired tags
+    * plus every leaf/tomb tag the rewrite erases.
+    */
+  private def retiredTags(meta: IndexManifest.Meta): String =
+    (doneTags(meta) ++ meta.leaves.map(IndexManifest.tagOf) ++
+      meta.tombs.map(IndexManifest.tagOf)).toSeq.sorted.mkString(",")
 
   /** Write one committed edge leaf (vec_id, nbr_id, rank, mutual) and
     * publish the next manifest — the shared append/build/refine commit
@@ -92,7 +133,7 @@ object KnnGraph {
     val meta = metaOf(indexDir).getOrElse(IndexManifest.Meta(0L, groups,
       IndexManifest.legacyLeaves(indexDir, Seq("edges")),
       IndexManifest.legacyLeaves(indexDir, Seq("tombs"))))
-    if (meta.hasLeafTag(tag)) return
+    if (isDone(meta, tag)) return
     if (meta.groups != groups)
       throw new IllegalStateException(
         s"$indexDir is grouped at ${meta.groups} but the write says " +
@@ -107,12 +148,31 @@ object KnnGraph {
       .write.partitionBy("ggrp", "leaf")
       .mode("append").parquet(s"$indexDir/edges")
     val spark = edges.sparkSession
-    val hubs = nextHubs(spark, indexDir, leafDir,
-      if (replace) Seq.empty else hubsParam(meta))
+    // prior pool for the fold: a replace commit drops it (the new leaf
+    // IS the store); a PRE-POOL store (committed before the pool
+    // existed, or a merge destination upgraded mid-life) enrolls from
+    // the full committed scan ONCE here — reading only the new leaf
+    // would silently seed the pool with the batch's ids, not the
+    // store's smallest, and the scan fallback in hubIds would stop
+    // triggering the moment this commit publishes a partial pool
+    val prior =
+      if (replace) Seq.empty
+      else {
+        val pooled = hubsParam(meta)
+        if (pooled.nonEmpty || meta.leaves.isEmpty) pooled
+        else IndexManifest.committedOnly(
+            spark.read.parquet(s"$indexDir/edges"), Some(meta.leaves))
+          .select(col("vec_id")).distinct()
+          .orderBy(col("vec_id")).limit(HubCount)
+          .collect().map(_.getLong(0)).toSeq
+      }
+    val hubs = nextHubs(spark, indexDir, leafDir, prior)
+    val params = meta.params + ("hubs" -> hubs.mkString(",")) ++
+      (if (replace) Map("donetags" -> retiredTags(meta)) else Map.empty)
     IndexManifest.commit(indexDir, meta.copy(version = meta.version + 1,
       leaves = if (replace) Seq(leafDir) else meta.leaves :+ leafDir,
       tombs = if (replace) Seq.empty else meta.tombs,
-      params = meta.params + ("hubs" -> hubs.mkString(","))))
+      params = params))
     IndexManifest.sweep(indexDir, Seq("edges", "tombs"), meta.version + 1)
   }
 
@@ -133,7 +193,7 @@ object KnnGraph {
     require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid tombstone tag: $tag")
     val meta = metaOf(indexDir).getOrElse(throw new IllegalStateException(
       s"$indexDir holds no committed k-NN graph (build first)"))
-    if (meta.hasTombTag(tag)) return
+    if (isDoneTomb(meta, tag)) return
     val leafDir = IndexManifest.leafName(meta.version + 1, tag)
     IndexManifest.dropResidue(indexDir, Seq("tombs"), leafDir)
     ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
@@ -230,7 +290,7 @@ object KnnGraph {
     val meta = IndexManifest.readMetaAt(indexDir, asOfVersion).getOrElse(
       throw new IllegalArgumentException(
         s"manifest version $asOfVersion is not retained at $indexDir — " +
-          s"time travel reaches the ${IndexManifest.RetainedManifests}-" +
+          s"time travel reaches the ${IndexManifest.retentionWindow(indexDir)}-" +
           "version grace window"))
     val asOfEdges = IndexManifest.committedOnly(
         spark.read.parquet(s"$indexDir/edges"), Some(meta.leaves))
@@ -246,12 +306,18 @@ object KnnGraph {
     * distinct+sort over the whole edge relation — the scan that would
     * otherwise make "per-increment cost independent of corpus size"
     * false. Stores committed before the pool existed fall back to the
-    * scan (their next commit enrolls them).
+    * scan (their next commit enrolls them), and so does a caller asking
+    * for MORE seeds than the pool holds ([[HubCount]]) on a store with
+    * at least that many vertices — a pool of exactly HubCount entries
+    * is a prefix, not the full sorted vertex set, so serving
+    * `pooled.take(n)` there would silently cap the caller's seed count.
+    * A pool SHORTER than HubCount is by construction the store's entire
+    * vertex set and serves any n exactly.
     */
-  private def hubIds(spark: SparkSession, indexDir: String,
+  private[graft] def hubIds(spark: SparkSession, indexDir: String,
       n: Int): DataFrame = {
     val pooled = metaOf(indexDir).map(hubsParam).getOrElse(Seq.empty)
-    if (pooled.nonEmpty) {
+    if (pooled.nonEmpty && (n <= pooled.size || pooled.size < HubCount)) {
       import spark.implicits._
       pooled.take(n).toDF("vec_id")
     } else
@@ -278,7 +344,7 @@ object KnnGraph {
       beam: Int = 8, nSeeds: Int = 16): Unit = {
     val meta = metaOf(indexDir).getOrElse(throw new IllegalStateException(
       s"$indexDir holds no committed k-NN graph (build first)"))
-    if (meta.hasLeafTag(tag)) return
+    if (isDone(meta, tag)) return
     linkFound(spark, indexDir,
       searchForLink(spark, indexDir, emb, batch, nSeeds, hops, beam, k),
       tag, k)
@@ -315,7 +381,7 @@ object KnnGraph {
       tag: String, k: Int = 3): Unit = {
     val meta = metaOf(indexDir).getOrElse(throw new IllegalStateException(
       s"$indexDir holds no committed k-NN graph (build first)"))
-    if (meta.hasLeafTag(tag)) return
+    if (isDone(meta, tag)) return
     val fwd = found.select(col("query_id").as("vec_id"),
       col("vec_id").as("nbr_id"), col("rnk").as("rank"),
       lit(true).as("mutual"))
@@ -337,7 +403,7 @@ object KnnGraph {
       tag: String, k: Int = 3): Unit = {
     val meta = metaOf(indexDir).getOrElse(throw new IllegalStateException(
       s"$indexDir holds no committed k-NN graph (build first)"))
-    if (meta.hasLeafTag(tag)) return
+    if (isDone(meta, tag)) return
     // dead vertices leave physically here: tombstoned endpoints' edges
     // drop before the round, so they neither survive nor become
     // candidates, and the replace-commit clears the tombstone set
@@ -367,7 +433,7 @@ object KnnGraph {
     require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid regroup tag: $tag")
     val meta = metaOf(indexDir).getOrElse(throw new IllegalStateException(
       s"$indexDir holds no committed k-NN graph (build first)"))
-    if (meta.hasLeafTag(tag)) return
+    if (isDone(meta, tag)) return
     val leafDir = IndexManifest.leafName(meta.version + 1, tag)
     IndexManifest.dropResidue(indexDir, Seq("edges"), leafDir)
     edges(spark, indexDir)
@@ -376,8 +442,14 @@ object KnnGraph {
       .repartition(col("ggrp"))
       .write.partitionBy("ggrp", "leaf")
       .mode("append").parquet(s"$indexDir/edges")
+    // a regroup erases every prior leaf tag (leaves := the one fresh
+    // leaf) — retire them into donetags so replayed folds still no-op;
+    // tombs carry over, so only the LEAF tags retire here
+    val retired = (doneTags(meta) ++ meta.leaves.map(IndexManifest.tagOf))
+      .toSeq.sorted.mkString(",")
     IndexManifest.commit(indexDir, meta.copy(version = meta.version + 1,
-      groups = newGroups, leaves = Seq(leafDir)))
+      groups = newGroups, leaves = Seq(leafDir),
+      params = meta.params + ("donetags" -> retired)))
     IndexManifest.sweep(indexDir, Seq("edges", "tombs"), meta.version + 1)
   }
 
@@ -408,7 +480,7 @@ object KnnGraph {
     val dest = metaOf(destDir).getOrElse(IndexManifest.Meta(0L, groups,
       IndexManifest.legacyLeaves(destDir, Seq("edges")),
       IndexManifest.legacyLeaves(destDir, Seq("tombs"))))
-    if (dest.hasLeafTag(tag)) return
+    if (isDone(dest, tag)) return
     if (dest.groups != groups)
       throw new IllegalStateException(
         s"$destDir is grouped at ${dest.groups} but the merge says " +
@@ -435,7 +507,23 @@ object KnnGraph {
         tl
       }
     }
-    val hubs = nextHubs(spark, destDir, leafDir, hubsParam(dest))
+    // ridden takedowns must not enroll as hubs in the commit that
+    // tombstones them — anti-join the sources' dead ids out of the
+    // (merge-sized, see nextHubs) read-back. A PRE-POOL destination
+    // with committed leaves enrolls its prior pool from the full
+    // committed scan, the commitLeaf rule.
+    val ridden = srcDirs.flatMap(tombstones(spark, _))
+      .reduceOption(_ unionByName _)
+    val prior = {
+      val pooled = hubsParam(dest)
+      if (pooled.nonEmpty || dest.leaves.isEmpty) pooled
+      else IndexManifest.committedOnly(
+          spark.read.parquet(s"$destDir/edges"), Some(dest.leaves))
+        .select(col("vec_id")).distinct()
+        .orderBy(col("vec_id")).limit(HubCount)
+        .collect().map(_.getLong(0)).toSeq
+    }
+    val hubs = nextHubs(spark, destDir, leafDir, prior, exclude = ridden)
     IndexManifest.commit(destDir, dest.copy(version = dest.version + 1,
       leaves = dest.leaves :+ leafDir,
       tombs = dest.tombs ++ tombsMerged,
@@ -453,7 +541,7 @@ object KnnGraph {
   def compact(spark: SparkSession, indexDir: String, tag: String): Unit = {
     val meta = metaOf(indexDir).getOrElse(throw new IllegalStateException(
       s"$indexDir holds no committed k-NN graph (build first)"))
-    if (meta.hasLeafTag(tag)) return
+    if (isDone(meta, tag)) return
     commitLeaf(liveEdges(spark, indexDir), indexDir, tag, meta.groups,
       replace = true)
   }

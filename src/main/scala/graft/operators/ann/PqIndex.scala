@@ -53,7 +53,8 @@ object PqIndex {
   final case class Meta(version: Long, m: Int, ksub: Int, dim: Int,
       codebooksDir: String, codeLeaves: Seq[String],
       ncells: Int = 0, coarseDir: String = "", residual: Boolean = false,
-      tombLeaves: Seq[String] = Seq.empty) {
+      tombLeaves: Seq[String] = Seq.empty,
+      extraParams: Map[String, String] = Map.empty) {
     def subLen: Int = dim / m
   }
 
@@ -68,12 +69,22 @@ object PqIndex {
     * the PQ geometry + artifact directory names ride the manifest's
     * `params` map.
     */
+  /** The manifest-param keys PqIndex itself owns — anything else in the
+    * shared params map (the `retain` retention dial, future
+    * store-generic knobs) is FOREIGN and must round-trip untouched
+    * through [[Meta.extraParams]]: a rebuilt-from-scratch map here
+    * would silently erase another module's dial on the next commit.
+    */
+  private val OwnParamKeys =
+    Set("m", "ksub", "dim", "residual", "codebooks", "coarse")
+
   private def toShared(meta: Meta): IndexManifest.Meta =
     IndexManifest.Meta(meta.version, meta.ncells,
       meta.codeLeaves, meta.tombLeaves,
-      Map("m" -> meta.m.toString, "ksub" -> meta.ksub.toString,
-        "dim" -> meta.dim.toString, "residual" -> meta.residual.toString,
-        "codebooks" -> meta.codebooksDir, "coarse" -> meta.coarseDir))
+      meta.extraParams ++
+        Map("m" -> meta.m.toString, "ksub" -> meta.ksub.toString,
+          "dim" -> meta.dim.toString, "residual" -> meta.residual.toString,
+          "codebooks" -> meta.codebooksDir, "coarse" -> meta.coarseDir))
 
   private def fromShared(s: IndexManifest.Meta): Meta =
     Meta(s.version,
@@ -84,7 +95,8 @@ object PqIndex {
       s.leaves, s.groups,
       s.params.getOrElse("coarse", ""),
       s.params.get("residual").contains("true"),
-      s.tombs)
+      s.tombs,
+      s.params -- OwnParamKeys)
 
   def readMeta(indexDir: String): Meta =
     IndexManifest.readMeta(indexDir).map(fromShared)
@@ -614,8 +626,38 @@ object PqIndex {
     * searches are bit-identical (spec-pinned).
     */
   def topKAgainst(spark: SparkSession, indexDir: String, queries: DataFrame,
-      embProvider: DataFrame, k: Int = 5, rerank: Int = 32): DataFrame = {
-    val meta = readMeta(indexDir)
+      embProvider: DataFrame, k: Int = 5, rerank: Int = 32): DataFrame =
+    topKSnapshot(spark, indexDir, readMeta(indexDir), queries, embProvider,
+      k, rerank)
+
+  /** TIME-TRAVEL flat search — [[topKAgainst]] against the exact
+    * snapshot a PAST manifest version committed (code leaves AND the
+    * tombstone set resolve from it — the dd23 device on the exhaustive
+    * ADC lane, completing the search matrix beside
+    * [[topKIvfAgainstAt]]; sound because codebooks are immutable after
+    * [[build]], so every retained version shares them). Reach is the
+    * store's dialed retained-manifest grace window; asking beyond it
+    * throws instead of silently answering from a different snapshot.
+    */
+  def topKAgainstAt(spark: SparkSession, indexDir: String,
+      queries: DataFrame, embProvider: DataFrame, asOfVersion: Long,
+      k: Int = 5, rerank: Int = 32): DataFrame =
+    topKSnapshot(spark, indexDir, metaAt(indexDir, asOfVersion), queries,
+      embProvider, k, rerank)
+
+  /** The retained snapshot for an as-of lane, or a loud refusal — the
+    * shared resolution every `*At` search uses.
+    */
+  private def metaAt(indexDir: String, asOfVersion: Long): Meta =
+    IndexManifest.readMetaAt(indexDir, asOfVersion)
+      .map(fromShared).getOrElse(throw new IllegalArgumentException(
+        s"manifest version $asOfVersion is not retained at $indexDir — " +
+          s"time travel reaches the ${IndexManifest.retentionWindow(indexDir)}-" +
+          "version grace window"))
+
+  private def topKSnapshot(spark: SparkSession, indexDir: String,
+      meta: Meta, queries: DataFrame, embProvider: DataFrame,
+      k: Int, rerank: Int): DataFrame = {
     require(!meta.residual,
       s"$indexDir stores RESIDUAL codes (IVFADC): exhaustive raw-vector " +
         "ADC does not apply — search with topKIvfAgainst")
@@ -680,15 +722,9 @@ object PqIndex {
     */
   def topKIvfAgainstAt(spark: SparkSession, indexDir: String,
       queries: DataFrame, embProvider: DataFrame, asOfVersion: Long,
-      nprobe: Int = 4, k: Int = 5, rerank: Int = 32): DataFrame = {
-    val meta = IndexManifest.readMetaAt(indexDir, asOfVersion)
-      .map(fromShared).getOrElse(throw new IllegalArgumentException(
-        s"manifest version $asOfVersion is not retained at $indexDir — " +
-          s"time travel reaches the ${IndexManifest.RetainedManifests}-" +
-          "version grace window"))
-    topKIvfSnapshot(spark, indexDir, meta, queries, embProvider,
-      nprobe, k, rerank)
-  }
+      nprobe: Int = 4, k: Int = 5, rerank: Int = 32): DataFrame =
+    topKIvfSnapshot(spark, indexDir, metaAt(indexDir, asOfVersion),
+      queries, embProvider, nprobe, k, rerank)
 
   private def topKIvfSnapshot(spark: SparkSession, indexDir: String,
       meta: Meta, queries: DataFrame, embProvider: DataFrame,
@@ -806,8 +842,33 @@ object PqIndex {
     */
   def topKIvfFilteredAgainst(spark: SparkSession, indexDir: String,
       queries: DataFrame, labels: DataFrame, embProvider: DataFrame,
-      nprobe: Int = 4, k: Int = 5, rerank: Int = 32): DataFrame = {
-    val meta = readMeta(indexDir)
+      nprobe: Int = 4, k: Int = 5, rerank: Int = 32): DataFrame =
+    topKIvfFilteredSnapshot(spark, indexDir, readMeta(indexDir), queries,
+      labels, embProvider, nprobe, k, rerank)
+
+  /** TIME-TRAVEL filtered search — [[topKIvfFilteredAgainst]] against
+    * the exact snapshot a PAST manifest version committed. This is the
+    * COMPLIANCE lane's audit form: "what did this label-filtered query
+    * match as of the nightly mark" must answer from that mark's code
+    * leaves and tombstone set — a vector indexed later is invisible, a
+    * vector tombstoned later still matches — or the re-run is not a
+    * reproduction at all. `labels` is the caller's metadata relation
+    * and travels with the CALLER's notion of time (pass the as-of
+    * labels for a full as-of audit; the index pins its own rows).
+    * Reach is the store's dialed retained-manifest grace window; beyond
+    * it the call throws instead of silently answering from a different
+    * snapshot.
+    */
+  def topKIvfFilteredAgainstAt(spark: SparkSession, indexDir: String,
+      queries: DataFrame, labels: DataFrame, embProvider: DataFrame,
+      asOfVersion: Long, nprobe: Int = 4, k: Int = 5,
+      rerank: Int = 32): DataFrame =
+    topKIvfFilteredSnapshot(spark, indexDir, metaAt(indexDir, asOfVersion),
+      queries, labels, embProvider, nprobe, k, rerank)
+
+  private def topKIvfFilteredSnapshot(spark: SparkSession, indexDir: String,
+      meta: Meta, queries: DataFrame, labels: DataFrame,
+      embProvider: DataFrame, nprobe: Int, k: Int, rerank: Int): DataFrame = {
     val subLen = meta.subLen
     require(meta.coarseDir.nonEmpty,
       s"$indexDir has no coarse quantizer (pre-IVF index)")
@@ -943,6 +1004,68 @@ object PqIndex {
       .select(col("query_id"), col("want_label"),
         col("vec_id").as("match_id"), col("sim"))
       .orderBy(col("query_id"))
+  }
+
+  /** ann25's driver-checked shape — the COMPLIANCE AUDIT through the
+    * filtered time-travel lane ([[topKIvfFilteredAgainstAt]]): re-run a
+    * label-filtered screen exactly as it answered at a past nightly
+    * mark. The planted relation makes BOTH properties load-bearing in
+    * every row:
+    *
+    *  - **Filter bite.** Each original plants TWO sim-1.0 copies: a
+    *    DECOY at +100000 under a wrong label (`label + 1000`) and a
+    *    TWIN at +200000 under the original's label. The decoy has the
+    *    smaller id, so the ascending-id tie-break hands it every query
+    *    the moment the pre-filter stops biting — the correct match is
+    *    provably the +200000 twin, in both lanes.
+    *  - **As-of pinning.** After the audit mark (version `v2`: corpus
+    *    build + one append of decoys+twins), every `%3 == 0` twin is
+    *    TOMBSTONED. The `asof` lane re-runs at v2 and must still match
+    *    them (the deleted-later row, dd23's device on the filtered
+    *    lane); the `now` lane must not. Rows are restricted to
+    *    sim == 1.0 (the planted relation — a tombstoned twin's query
+    *    falls to an organic same-label neighbor below 1.0 in the now
+    *    lane, which is exactly the row going missing).
+    *
+    * rerank = 4096 exceeds the probed candidate volume at the driver
+    * fixtures, so exact rerank sees every surviving candidate (the
+    * ann14 argument, unchanged).
+    */
+  def selfRecallFilteredTimeTravel(spark: SparkSession, d: String,
+      nQueries: Int = 64, m: Int = 4, ksub: Int = 16, dim: Int = 64,
+      refineIters: Int = 1, ncells: Int = 16, nprobe: Int = 2): DataFrame = {
+    val withLabel = Tables.spread(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"), col("label"))).cache()
+    val base = withLabel.select(col("vec_id"), col("embedding"))
+    val orig = withLabel.filter(col("vec_id") < nQueries)
+    val decoys = orig.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding"))
+    val twins = orig.select((col("vec_id") + 200000L).as("vec_id"),
+      col("embedding"))
+    val indexDir = s"${graft.Tables.scratchDir("graft-pq-filtered-tt")}/idx"
+    build(base, indexDir, m, ksub, dim, refineIters, ncells) // v1
+    append(spark, indexDir, decoys.unionByName(twins))       // v2 = the mark
+    val asOfVersion = readMeta(indexDir).version
+    delete(spark, indexDir,                                   // v3: later
+      orig.filter(col("vec_id") % 3 === 0)
+        .select((col("vec_id") + 200000L).as("vec_id")))
+    val labels = withLabel.select(col("vec_id"), col("label"))
+      .unionByName(orig.select((col("vec_id") + 100000L).as("vec_id"),
+        (col("label") + 1000).as("label")))
+      .unionByName(orig.select((col("vec_id") + 200000L).as("vec_id"),
+        col("label")))
+    val queries = orig.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), col("label").as("want_label"))
+    val emb = base.unionByName(decoys).unionByName(twins)
+    def lane(name: String, df: DataFrame): DataFrame =
+      df.filter(col("sim") === 1.0)
+        .select(lit(name).as("lane"), col("query_id"), col("want_label"),
+          col("vec_id").as("match_id"), col("sim"))
+    lane("asof", topKIvfFilteredAgainstAt(spark, indexDir, queries, labels,
+        emb, asOfVersion, nprobe, k = 1, rerank = 4096))
+      .unionByName(lane("now", topKIvfFilteredAgainst(spark, indexDir,
+        queries, labels, emb, nprobe, k = 1, rerank = 4096)))
+      .orderBy(col("lane"), col("query_id"))
   }
 
   /** ann08's driver-checked shape — the planted-copy theorem through the

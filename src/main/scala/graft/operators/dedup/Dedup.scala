@@ -903,7 +903,7 @@ object Dedup {
     val meta = IndexManifest.readMetaAt(indexDir, asOfVersion).getOrElse(
       throw new IllegalArgumentException(
         s"manifest version $asOfVersion is not retained at $indexDir — " +
-          s"time travel reaches the ${IndexManifest.RetainedManifests}-" +
+          s"time travel reaches the ${IndexManifest.retentionWindow(indexDir)}-" +
           "version grace window"))
     screenSnapshot(spark, indexDir, Some(meta), batch,
       numHashes, bands, threshold)

@@ -930,7 +930,7 @@ object Multimodal {
     IndexManifest.readMetaAt(indexDir, version).getOrElse(
       throw new IllegalArgumentException(
         s"manifest version $version is not retained at $indexDir — " +
-          s"time travel reaches the ${IndexManifest.RetainedManifests}-" +
+          s"time travel reaches the ${IndexManifest.retentionWindow(indexDir)}-" +
           "version grace window"))
   }
 

@@ -100,10 +100,48 @@ object IndexManifest {
     case _          => None
   }
 
-  /** Manifest versions retained after a commit — the read grace window
-    * for manifests and leaves alike (the Materializer/PqIndex figure).
+  /** Default manifest versions retained after a commit — the read grace
+    * window for manifests and leaves alike (the Materializer/PqIndex
+    * figure). Per store, the `retain` manifest param OVERRIDES this
+    * ([[retentionOf]] / [[setRetention]] — the Delta/Iceberg
+    * per-table-retention move): a crawl loop committing per micro-batch
+    * burns a version per batch, so its time-travel reach in WALL time is
+    * `retain × commit cadence` — a store whose audit cadence is nightly
+    * but whose commit cadence is minutes must dial `retain` up or its
+    * reproducibility window is minutes, not days.
     */
   private[graft] val RetainedManifests = 8
+
+  /** The store's dialed read-grace window: the `retain` manifest param,
+    * defaulting to [[RetainedManifests]] (legacy manifests have no
+    * params at all and parse with the map empty — same default).
+    */
+  def retentionOf(meta: Meta): Int =
+    meta.params.get("retain").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(RetainedManifests)
+
+  /** The dialed window of a store by directory — what an out-of-window
+    * time-travel error should quote.
+    */
+  def retentionWindow(indexDir: String): Int =
+    readMeta(indexDir).map(retentionOf).getOrElse(RetainedManifests)
+
+  /** Dial the store's retention window — a metadata-only commit (no
+    * leaves change) publishing `retain` into the manifest params, which
+    * every LATER commit's retirement honors ([[commit]]) and the sweep
+    * follows for free (it keeps whatever any on-disk manifest
+    * references). Dialing DOWN takes effect on the next data commit's
+    * retirement; already-retired versions never come back — reach can
+    * only shrink to what is still on disk.
+    */
+  def setRetention(indexDir: String, retain: Int): Unit = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
+    val meta = readMeta(indexDir).getOrElse(throw new IllegalStateException(
+      s"$indexDir holds no committed manifest — dial retention on a " +
+        "committed store"))
+    commit(indexDir, meta.copy(version = meta.version + 1,
+      params = meta.params + ("retain" -> retain.toString)))
+  }
 
   private def readFully(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
@@ -162,7 +200,8 @@ object IndexManifest {
 
   /** The manifest versions currently on disk, ascending — what
     * [[readMetaAt]] can reach (the time-travel catalog; Delta's
-    * DESCRIBE HISTORY move). At most [[RetainedManifests]] + 1 entries.
+    * DESCRIBE HISTORY move). At most the store's dialed window + 1
+    * entries ([[retentionOf]]).
     */
   def retainedVersions(indexDir: String): Seq[Long] = {
     val (fs, root) = WalSegments.fsFor(indexDir)
@@ -196,9 +235,10 @@ object IndexManifest {
         s"lost index-manifest commit race for version ${meta.version} at " +
           s"$indexDir — another writer won; re-read and retry")
     try {
+      val window = retentionOf(meta) // the store's dialed grace window
       fs.listStatus(root).foreach { st =>
         st.getPath.getName match {
-          case ManifestVRe(v) if v.toLong < meta.version - RetainedManifests =>
+          case ManifestVRe(v) if v.toLong < meta.version - window =>
             try fs.delete(st.getPath, false)
             catch { case _: java.io.IOException => () }
           case _ => ()

@@ -2880,6 +2880,21 @@ SELECT vec_id + 100000 AS query_id, vec_id AS match_id,
   CAST(1.0 AS DOUBLE) AS sim
 FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
 
+    // ann25: the filtered TIME-TRAVEL audit — at the v2 mark every
+    // query matches its same-label +200000 twin at sim 1.0 (the
+    // wrong-label +100000 decoy is pre-filtered despite the smaller
+    // id); the now lane loses exactly the %3==0 twins tombstoned after
+    // the mark (their queries fall below sim 1.0 and leave the planted
+    // relation)
+    "ann25_filtered_time_travel" -> """
+SELECT 'asof' AS lane, vec_id AS query_id, label AS want_label,
+  vec_id + 200000 AS match_id, CAST(1.0 AS DOUBLE) AS sim
+FROM embeddings WHERE vec_id < 64
+UNION ALL
+SELECT 'now', vec_id, label, vec_id + 200000, CAST(1.0 AS DOUBLE)
+FROM embeddings WHERE vec_id < 64 AND vec_id % 3 <> 0
+ORDER BY lane, query_id""",
+
     // ann19: NN-descent planted theorem — in the degraded k=1 graph
     // every +200000 node knows only its original; one refinement round
     // (2-hop + reverse candidates, exact verify) provably adds the

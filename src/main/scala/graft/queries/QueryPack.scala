@@ -340,6 +340,13 @@ object QueryPack {
     // second batch (one-call facade Graft.searchAndLink)
     "ann24_graph_stream" -> ((s, d) => graft.operators.ann.KnnGraph
       .streamingSearchSelfRecall(s, d)),
+    // the COMPLIANCE audit lane: filtered search re-run AT a retained
+    // manifest version — a twin tombstoned after the mark still matches
+    // in the asof lane, never in the now lane; a wrong-label sim-1.0
+    // decoy with the smaller id makes the pre-filter load-bearing in
+    // every row (completes the time-travel search matrix)
+    "ann25_filtered_time_travel" -> ((s, d) => PqIndex
+      .selfRecallFilteredTimeTravel(s, d)),
 
     // ---- multimodal ----
     "mm01_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),

@@ -920,8 +920,12 @@ object Graft {
     * store; it must cover previously linked ids (the arriving batch's
     * own vectors are added per batch).
     *
-    * Delivery: the link fold is EXACTLY-ONCE (batch-id idempotency tag
-    * on the leaf commit); the matches sink is at-least-once.
+    * Delivery: the link fold is EXACTLY-ONCE — batch-id idempotency
+    * tags on the leaf commit, and tags a replace commit (refine) folds
+    * away are RETIRED into the manifest's `donetags` param rather than
+    * erased, so a checkpoint-replayed batch whose leaf an intervening
+    * refine rewrote still no-ops instead of re-linking duplicate edges.
+    * The matches sink is at-least-once.
     * `refineEvery` (0 = never) runs one NN-descent round every that
     * many batches ([[graft.operators.ann.KnnGraph.refine]] — repairs
     * the reverse edges' rank-k approximations, drops tombstoned

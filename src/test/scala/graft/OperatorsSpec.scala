@@ -2970,4 +2970,180 @@ class OperatorsSpec extends AnyFunSuite {
     assert((d4, a4) == (0L, 0L), s"steady state: ($d4, $a4)")
     emb.unpersist()
   }
+
+  test("KnnGraph: replace commits retire folded tags — replays no-op across refine") {
+    import graft.operators.ann.KnnGraph
+    import graft.operators.store.IndexManifest
+    val base = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .cache()
+    val dir = s"${graft.Tables.scratchDir("graft_knn_donetags")}/graph"
+    KnnGraph.build(base, dir, "corpus")
+    val n1 = base.filter($"vec_id" === 1L)
+      .select(($"vec_id" + 500000L).as("vec_id"), $"embedding")
+    val all = base.unionByName(n1)
+    KnnGraph.append(spark, dir, all, n1, "b1")
+    KnnGraph.delete(spark, dir, Seq(Tuple1(7L)).toDF("vec_id"), "t7")
+    // refine REPLACES every leaf and clears the tombstone set — the
+    // corpus/b1/t7 tags leave the leaf lists but RETIRE into donetags,
+    // so a checkpoint-replayed fold still no-ops (the exactly-once
+    // claim searchAndLink documents)
+    KnnGraph.refine(spark, dir, all, "r1")
+    val metaAfter = IndexManifest.readMeta(dir).get
+    assert(!metaAfter.hasLeafTag("b1") && !metaAfter.hasTombTag("t7"),
+      "refine must have erased the live tags (the hazard under test)")
+    val edges0 = KnnGraph.edges(spark, dir).collect().map(_.toSeq).toSet
+    val v0 = metaAfter.version
+    KnnGraph.append(spark, dir, all, n1, "b1") // replayed batch
+    KnnGraph.delete(spark, dir, Seq(Tuple1(7L)).toDF("vec_id"), "t7")
+    KnnGraph.build(base, dir, "corpus")
+    assert(IndexManifest.readMeta(dir).get.version == v0,
+      "replayed tags must commit nothing after the refine")
+    assert(KnnGraph.edges(spark, dir).collect().map(_.toSeq).toSet == edges0,
+      "no duplicate edges from the replay")
+    assert(KnnGraph.tombstonedIds(spark, dir).isEmpty,
+      "a processed delete must not re-tombstone after its physical drop")
+    // a genuinely new tag still commits
+    val n2 = base.filter($"vec_id" === 2L)
+      .select(($"vec_id" + 600000L).as("vec_id"), $"embedding")
+    KnnGraph.append(spark, dir, all.unionByName(n2), n2, "b2")
+    assert(IndexManifest.readMeta(dir).get.version == v0 + 1)
+    base.unpersist()
+  }
+
+  test("KnnGraph: a pre-pool store enrolls its hub pool from the committed scan, not the batch") {
+    import graft.operators.ann.KnnGraph
+    import graft.operators.store.IndexManifest
+    val base = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .cache()
+    val dir = s"${graft.Tables.scratchDir("graft_knn_prepool")}/graph"
+    KnnGraph.build(base, dir, "corpus")
+    // simulate a store whose manifests predate the hub pool
+    val m = IndexManifest.readMeta(dir).get
+    IndexManifest.commit(dir,
+      m.copy(version = m.version + 1, params = m.params - "hubs"))
+    // first pooled commit is a HIGH-id batch: the pool must enroll from
+    // the full committed scan (the store's smallest ids), never from
+    // the new leaf alone
+    val batch = base.filter($"vec_id" < 4)
+      .select(($"vec_id" + 700000L).as("vec_id"), $"embedding")
+    KnnGraph.append(spark, dir, base.unionByName(batch), batch, "hi1")
+    val pool = IndexManifest.readMeta(dir).get
+      .params("hubs").split(",").map(_.toLong).toSeq
+    assert(pool == (0L until 64L).toSeq,
+      s"pool must be the store's smallest ids, got head=${pool.take(8)}")
+    base.unpersist()
+  }
+
+  test("KnnGraph.hubIds: pool serves n within reach; larger n falls back to the scan") {
+    import graft.operators.ann.KnnGraph
+    val base = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .cache()
+    val dir = s"${graft.Tables.scratchDir("graft_knn_hubn")}/graph"
+    KnnGraph.build(base, dir, "corpus") // 500 vertices -> pool of 64
+    val h32 = KnnGraph.hubIds(spark, dir, 32)
+      .orderBy($"vec_id").as[Long].collect().toSeq
+    assert(h32 == (0L until 32L).toSeq)
+    // beyond the pool the pool is only a PREFIX of the vertex set — the
+    // scan must serve the full count instead of silently capping at 64
+    val h100 = KnnGraph.hubIds(spark, dir, 100)
+      .orderBy($"vec_id").as[Long].collect().toSeq
+    assert(h100 == (0L until 100L).toSeq,
+      s"n beyond the pool must fall back to the scan, got ${h100.size} seeds")
+    // a pool SHORTER than its cap is the store's whole vertex set and
+    // serves any n exactly
+    val tiny = base.filter($"vec_id" < 10)
+    val dir2 = s"${graft.Tables.scratchDir("graft_knn_hubtiny")}/graph"
+    KnnGraph.build(tiny, dir2, "corpus", nlist = 1)
+    val vert = KnnGraph.edges(spark, dir2).select($"vec_id").distinct()
+      .as[Long].collect().toSet
+    assert(vert.size < 64)
+    val hAll = KnnGraph.hubIds(spark, dir2, 100).as[Long].collect().toSet
+    assert(hAll == vert, "a complete pool serves any n without a scan")
+    base.unpersist()
+  }
+
+  test("KnnGraph.merge: ridden takedowns never enroll as hubs") {
+    import graft.operators.ann.KnnGraph
+    import graft.operators.store.IndexManifest
+    val base = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .cache()
+    val tmp = graft.Tables.scratchDir("graft_knn_mhub")
+    val (s0, s1, m) = (s"$tmp/s0", s"$tmp/s1", s"$tmp/m")
+    KnnGraph.build(base.filter($"vec_id" % 2 === 0), s0, "shard", groups = 8)
+    KnnGraph.build(base.filter($"vec_id" % 2 === 1), s1, "shard", groups = 16)
+    // vec 0 is the store's smallest id — exactly what the pool would
+    // enroll first if the ridden takedown were not excluded
+    KnnGraph.delete(spark, s0, Seq(Tuple1(0L)).toDF("vec_id"), "t0")
+    KnnGraph.merge(spark, Seq(s0, s1), m, "merge0")
+    val pool = IndexManifest.readMeta(m).get
+      .params("hubs").split(",").map(_.toLong).toSeq
+    assert(!pool.contains(0L),
+      "a vec_id tombstoned in the same commit must not become a hub")
+    assert(pool.headOption.contains(1L), s"pool head: ${pool.headOption}")
+    base.unpersist()
+  }
+
+  test("IndexManifest: retention is a per-store dial honored by commit retirement") {
+    import graft.operators.store.IndexManifest
+    val dir = graft.Tables.scratchDir("graft_retain_dial")
+    IndexManifest.commit(dir, IndexManifest.Meta(1L, 4,
+      Seq("v00000001-a"), Seq.empty))
+    assert(IndexManifest.retentionWindow(dir) == 8) // the default
+    IndexManifest.setRetention(dir, 2) // commits v2
+    assert(IndexManifest.retentionWindow(dir) == 2)
+    (3L to 8L).foreach { v =>
+      val m = IndexManifest.readMeta(dir).get
+      IndexManifest.commit(dir, m.copy(version = v))
+    }
+    assert(IndexManifest.retainedVersions(dir) == Seq(6L, 7L, 8L),
+      "a store dialed to 2 keeps exactly its window + the head")
+    assert(IndexManifest.readMetaAt(dir, 6L).isDefined,
+      "time travel must reach the dialed window")
+    assert(IndexManifest.readMetaAt(dir, 5L).isEmpty,
+      "beyond the dialed window the snapshot is gone")
+    // dialing UP widens the window for subsequent commits
+    IndexManifest.setRetention(dir, 4) // v9
+    (10L to 12L).foreach { v =>
+      val m = IndexManifest.readMeta(dir).get
+      IndexManifest.commit(dir, m.copy(version = v))
+    }
+    assert(IndexManifest.retainedVersions(dir) == Seq(8L, 9L, 10L, 11L, 12L))
+  }
+
+  test("retention dial survives PqIndex commits and bounds graph time travel") {
+    import graft.operators.ann.{KnnGraph, PqIndex}
+    import graft.operators.store.IndexManifest
+    val base = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+      .cache()
+    // PqIndex rebuilds its params map on every commit — the foreign
+    // `retain` key must round-trip through extraParams, not vanish
+    val pdir = s"${graft.Tables.scratchDir("graft_retain_pq")}/idx"
+    PqIndex.build(base, pdir, m = 4, ksub = 16, dim = 64, refineIters = 0)
+    IndexManifest.setRetention(pdir, 3)
+    val copies = base.filter($"vec_id" < 4)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    PqIndex.append(spark, pdir, copies)
+    assert(IndexManifest.readMeta(pdir).get.params.get("retain")
+      .contains("3"), "PqIndex commits must preserve the retention dial")
+    // a graph store dialed to 2: commits burn the window, the as-of
+    // error quotes the DIALED figure
+    val gdir = s"${graft.Tables.scratchDir("graft_retain_g")}/graph"
+    KnnGraph.build(base, gdir, "corpus")  // v1
+    IndexManifest.setRetention(gdir, 2)   // v2
+    (1 to 4).foreach { i =>               // v3..v6
+      KnnGraph.delete(spark, gdir, Seq(Tuple1(i.toLong)).toDF("vec_id"),
+        s"t$i")
+    }
+    val q = base.filter($"vec_id" === 9L)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val seeds = q.select($"query_id", $"query_id".as("vec_id"))
+    assert(KnnGraph.searchTopKAt(spark, gdir, base, q, seeds, 4L, k = 1)
+      .collect().nonEmpty, "the dialed window must still serve v4")
+    val e = intercept[IllegalArgumentException] {
+      KnnGraph.searchTopKAt(spark, gdir, base, q, seeds, 3L, k = 1)
+    }
+    assert(e.getMessage.contains("the 2-version"),
+      s"the error must quote the dialed window: ${e.getMessage}")
+    base.unpersist()
+  }
 }

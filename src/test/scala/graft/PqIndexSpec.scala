@@ -189,6 +189,75 @@ class PqIndexSpec extends AnyFunSuite {
     base.unpersist()
   }
 
+  test("as-of matrix: the flat and FILTERED lanes answer from the snapshot") {
+    import spark.implicits._
+    val withLabel = Tables.spread(Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding", $"label")).cache()
+    val base = withLabel.select($"vec_id", $"embedding")
+    val dir = tmpDir()
+    PqIndex.build(base, dir, m = 4, ksub = 16, dim = 64, refineIters = 1,
+      ncells = 16)
+    val v1 = PqIndex.readMeta(dir).version
+    val copies = base.filter($"vec_id" < 4L)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    PqIndex.append(spark, dir, copies, tag = Some("inc1"))
+    val v2 = PqIndex.readMeta(dir).version
+    PqIndex.delete(spark, dir, Seq(Tuple1(100000L)).toDF("vec_id"),
+      tag = Some("t0"))
+    val all = base.unionByName(copies)
+    val queries = base.filter($"vec_id" < 4L)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = df
+      .filter($"rnk" === 1).select($"query_id", $"vec_id")
+      .as[(Long, Long)].collect().toMap
+    // FLAT exhaustive-ADC lane (topKAgainstAt): v1 predates the copies,
+    // v2 surfaces every twin, the live lane hides the tombstone only
+    val flatV1 = top1(PqIndex.topKAgainstAt(spark, dir, queries, all, v1,
+      k = 1, rerank = 1024))
+    assert(flatV1.values.forall(_ < 100000L), s"flat v1: $flatV1")
+    val flatV2 = top1(PqIndex.topKAgainstAt(spark, dir, queries, all, v2,
+      k = 1, rerank = 1024))
+    assert((0L until 4L).forall(q => flatV2(q) == q + 100000L),
+      s"flat v2: $flatV2")
+    val flatNow = top1(PqIndex.topKAgainst(spark, dir, queries, all,
+      k = 1, rerank = 1024))
+    assert(flatNow(0L) != 100000L &&
+      (1L until 4L).forall(q => flatNow(q) == q + 100000L),
+      s"flat now: $flatNow")
+    // FILTERED lane (topKIvfFilteredAgainstAt): copies inherit their
+    // original's label, so the pre-filter passes them and the same
+    // three-way contrast holds — the compliance-audit shape
+    val labels = withLabel.select($"vec_id", $"label")
+      .unionByName(withLabel.filter($"vec_id" < 4L)
+        .select(($"vec_id" + 100000L).as("vec_id"), $"label"))
+    val fq = withLabel.filter($"vec_id" < 4L)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        $"label".as("want_label"))
+    val filtV1 = top1(PqIndex.topKIvfFilteredAgainstAt(spark, dir, fq,
+      labels, all, v1, nprobe = 2, k = 1, rerank = 4096))
+    assert(filtV1.values.forall(_ < 100000L), s"filtered v1: $filtV1")
+    val filtV2 = top1(PqIndex.topKIvfFilteredAgainstAt(spark, dir, fq,
+      labels, all, v2, nprobe = 2, k = 1, rerank = 4096))
+    assert((0L until 4L).forall(q => filtV2(q) == q + 100000L),
+      s"filtered v2: $filtV2")
+    val filtNow = top1(PqIndex.topKIvfFilteredAgainst(spark, dir, fq,
+      labels, all, nprobe = 2, k = 1, rerank = 4096))
+    assert(filtNow(0L) != 100000L &&
+      (1L until 4L).forall(q => filtNow(q) == q + 100000L),
+      s"filtered now: $filtNow")
+    // both lanes refuse beyond the retained window
+    val e1 = intercept[IllegalArgumentException] {
+      PqIndex.topKAgainstAt(spark, dir, queries, all, v1 + 1000L, k = 1)
+    }
+    assert(e1.getMessage.contains("not retained"))
+    val e2 = intercept[IllegalArgumentException] {
+      PqIndex.topKIvfFilteredAgainstAt(spark, dir, fq, labels, all,
+        v1 + 1000L, nprobe = 2, k = 1)
+    }
+    assert(e2.getMessage.contains("not retained"))
+    withLabel.unpersist()
+  }
+
   test("ann08: cell-pruned recall@5 matches exhaustive ADC on real queries") {
     val corpus = Tables.spread(emb).cache()
     val dir = tmpDir()
