@@ -1,10 +1,11 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
 
 /** SQL surface for the library's native expressions: register via
   * `spark.sql.extensions=graft.GraftExtensions` (or
@@ -24,6 +25,141 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
   * arguments (band/bit/width counts) must be INT literals: they shape the
   * expression itself, exactly as in the Column API.
   */
+/** The index-store TABLE functions — the SQL read surface over every
+  * persisted store family in the repo (dedup band/set index, PQ/IVF
+  * codes, multimodal hash/chunk indexes, the k-NN edge store: anything
+  * committed through [[graft.operators.store.IndexManifest]]):
+  *
+  * {{{
+  *   SELECT * FROM graft_index('/indexes/neardup', 'bands')        -- committed read
+  *   SELECT * FROM graft_index_at('/indexes/graph', 'edges', 41)   -- time travel
+  *   SELECT * FROM graft_index('/indexes/graph', 'tombs')          -- takedown set
+  *   SELECT * FROM graft_index_meta('/indexes/neardup')            -- the catalog row
+  * }}}
+  *
+  * Each call resolves the store's manifest AT PLAN TIME and returns the
+  * stock parquet scan RESTRICTED to the committed leaves — `leaf` is a
+  * partition column, so the restriction plans as a `PartitionFilters`
+  * prune (exactly the Scala API's `committedOnly` read: crash residue
+  * and torn appends are invisible, a committed-empty relation reads
+  * zero rows, a legacy pre-manifest store scans everything). Every
+  * further SQL filter/projection lands on a plain parquet relation and
+  * pushes down as usual — the TVF adds a leaf pinning, never a new
+  * reader. `graft_index_at` pins a RETAINED version (leaves AND the
+  * tombstone relation resolve from that snapshot's manifest) and throws
+  * beyond the store's dialed grace window, the dd23 rule. Arguments
+  * must be literals: the manifest resolution shapes the plan itself.
+  *
+  * Registration: builder-time via `withExtensions(new GraftExtensions)`
+  * / `spark.sql.extensions`, or on a LIVE session via
+  * [[GraftExtensions.registerIndexTableFunctions]] (idempotent) — the
+  * lane Verify/notebook sessions use.
+  */
+object GraftExtensions {
+  import graft.operators.store.IndexManifest
+
+  private def strArg(args: Seq[Expression], i: Int, fn: String): String =
+    args(i) match {
+      case l @ Literal(_, StringType) if l.value != null => l.value.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a STRING literal, got ${other.sql}")
+    }
+
+  private def longArg(args: Seq[Expression], i: Int, fn: String): Long =
+    args(i) match {
+      case Literal(v: Int, IntegerType) => v.toLong
+      case Literal(v: Long, LongType)   => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an INT/BIGINT literal, got ${other.sql}")
+    }
+
+  /** The committed (or as-of) read as a LOGICAL PLAN: the stock parquet
+    * scan of `<path>/<rel>` leaf-pruned to the resolved manifest — the
+    * tombstone relation (`rel == "tombs"`) prunes on the manifest's
+    * tomb list, every data relation on its leaf list.
+    */
+  private def indexPlan(path: String, rel: String,
+      meta: Option[IndexManifest.Meta]): LogicalPlan = {
+    require(rel.matches("[0-9A-Za-z_\\-]+"), s"invalid relation name: $rel")
+    val spark = SparkSession.active
+    val live = meta.map(m => if (rel == "tombs") m.tombs else m.leaves)
+    IndexManifest.committedOnly(spark.read.parquet(s"$path/$rel"), live)
+      .queryExecution.logical
+  }
+
+  /** One catalog row for the store: the current manifest's version,
+    * group dial, leaf/tomb census, and dialed retention window — the
+    * DESCRIBE surface an auditor joins against before picking an
+    * `asOfVersion` (pair with
+    * [[graft.operators.store.IndexManifest.retainedVersions]]).
+    */
+  private def metaPlan(path: String): LogicalPlan = {
+    import org.apache.spark.sql.functions.lit
+    val spark = SparkSession.active
+    val m = IndexManifest.readMeta(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path holds no committed index manifest"))
+    spark.range(1).select(
+      lit(m.version).as("version"),
+      lit(m.groups).as("groups"),
+      lit(m.leaves.size).as("n_leaves"),
+      lit(m.tombs.size).as("n_tombs"),
+      lit(IndexManifest.retentionOf(m)).as("retain"))
+      .queryExecution.logical
+  }
+
+  /** The three TVF descriptions — one list serves builder-time
+    * injection and live-session registration.
+    */
+  private def tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] = Seq(
+    (FunctionIdentifier("graft_index"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_index"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"graft_index expects (path, rel), got ${args.length}")
+        val path = strArg(args, 0, "graft_index")
+        indexPlan(path, strArg(args, 1, "graft_index"),
+          IndexManifest.readMeta(path))
+      }),
+    (FunctionIdentifier("graft_index_at"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_index_at"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_index_at expects (path, rel, version), got ${args.length}")
+        val path = strArg(args, 0, "graft_index_at")
+        val v = longArg(args, 2, "graft_index_at")
+        val meta = IndexManifest.readMetaAt(path, v).getOrElse(
+          throw new IllegalArgumentException(
+            s"manifest version $v is not retained at $path — time travel " +
+              s"reaches the ${IndexManifest.retentionWindow(path)}-version " +
+              "grace window"))
+        indexPlan(path, strArg(args, 1, "graft_index_at"), Some(meta))
+      }),
+    (FunctionIdentifier("graft_index_meta"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_index_meta"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"graft_index_meta expects (path), got ${args.length}")
+        metaPlan(strArg(args, 0, "graft_index_meta"))
+      }))
+
+  private[graft] def injectTableFunctions(ext: SparkSessionExtensions): Unit =
+    tableFunctions.foreach(ext.injectTableFunction(_))
+
+  /** Register the index TVFs on a LIVE session (idempotent — re-register
+    * overwrites with the same builders): sessions built without
+    * `withExtensions` (a shared notebook session, the Verify driver)
+    * get the SQL surface this way.
+    */
+  def registerIndexTableFunctions(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry
+    tableFunctions.foreach { case (id, info, builder) =>
+      reg.registerFunction(id, info, builder)
+    }
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import graft.plans._
 
@@ -66,6 +202,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           require(args.length == arity, s"$name expects $arity arguments, got ${args.length}")
           build(args)
         }))
+
+    GraftExtensions.injectTableFunctions(ext)
 
     reg("pg_array_parse", 1)(a => PgArrayParse(a(0)))
     reg("pg_timetz", 1)(a => PgTimeTz(a(0)))

@@ -15,9 +15,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object GraftSession {
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")): SparkSession = {
+    // withExtensions wires the 17 native SQL functions + the index-store
+    // TVFs at build time; getOrCreate on an EXISTING session skips it —
+    // GraftExtensions.registerIndexTableFunctions covers that lane
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -2880,6 +2880,30 @@ SELECT vec_id + 100000 AS query_id, vec_id AS match_id,
   CAST(1.0 AS DOUBLE) AS sim
 FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
 
+    // sql01: the SQL read surface — TVF reads of the two-fold dedup
+    // store: eligible (>=3-token) docs fold 16 band rows each, the
+    // as-of lane pins the even-docs-only v1 snapshot (no tombstone
+    // yet), n_mismatch = 0 gates SQL == Scala-API row-identity, and
+    // the catalog row (v3 head, 32-group dial, 2 leaves, 1 tomb leaf,
+    // default 8-version retention) rides every row
+    "sql01_index_tvf" -> """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents),
+ e AS (SELECT doc_id FROM t WHERE len(toks) >= 3)
+SELECT 'asof' AS lane,
+  (SELECT count(*) FROM e WHERE doc_id % 2 = 0) AS n_docs,
+  16 * (SELECT count(*) FROM e WHERE doc_id % 2 = 0) AS n_band_rows,
+  CAST(0 AS BIGINT) AS n_tomb_rows, CAST(0 AS BIGINT) AS n_mismatch,
+  CAST(1 AS BIGINT) AS version, CAST(3 AS BIGINT) AS head_version,
+  32 AS groups, 2 AS n_leaves, 1 AS n_tombs, 8 AS retain
+UNION ALL
+SELECT 'now', (SELECT count(*) FROM e), 16 * (SELECT count(*) FROM e),
+  CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(3 AS BIGINT),
+  CAST(3 AS BIGINT), 32, 2, 1, 8
+ORDER BY lane""",
+
     // ann25: the filtered TIME-TRAVEL audit — at the v2 mark every
     // query matches its same-label +200000 twin at sim 1.0 (the
     // wrong-label +100000 decoy is pre-filtered despite the smaller

@@ -439,6 +439,13 @@ object QueryPack {
     // the facade matrix over all four index families
     "pipe13_graph_sync_facade" -> ((s, d) => replicaGraphSyncFacade(s, d)),
 
+    // ---- SQL read surface over the persisted stores ----
+    // the graft_index / graft_index_at / graft_index_meta TVFs: pure-SQL
+    // reads of a committed store, row-identical to the Scala-API read
+    // (n_mismatch = 0 folds six exceptAll comparisons), with the as-of
+    // lane pinned to a retained version and the catalog row riding
+    "sql01_index_tvf" -> ((s, d) => indexTvfAudit(s, d)),
+
     // ---- training prep (decontaminate / split / pack / pii / quantize) ----
     "tp01_decontaminate" -> ((s, d) => TrainPrep.decontaminate(s, d)),
     "tp02_hash_split"    -> ((s, d) => TrainPrep.hashSplit(s, d)),
@@ -1170,6 +1177,75 @@ object QueryPack {
       .withColumn("n_deleted", lit(nDel))
       .withColumn("n_linked", lit(nAdd))
       .orderBy(col("query_id"))
+  }
+
+  /** sql01's driver-checked shape — the SQL READ SURFACE over a
+    * persisted store ([[graft.GraftExtensions]] index TVFs): an analyst
+    * with no Scala must be able to read, audit, and time-travel any
+    * manifest-committed index from plain SQL. The fixture is a dedup
+    * band index built as two folds (even docs at v1 — the audit mark —
+    * odd docs at v2) plus one tombstone (v3), and every figure in the
+    * gated relation crosses the TVF lane:
+    *
+    *  - `n_docs` / `n_band_rows` / `n_tomb_rows` count PURE-SQL reads
+    *    (`graft_index` / `graft_index_at`) of the sets, bands, and
+    *    tombs relations — the as-of lane pins the v1 snapshot, so the
+    *    odd-fold rows and the later tombstone are invisible there;
+    *  - `n_mismatch` folds SIX exceptAll comparisons (three relations ×
+    *    both directions) of the SQL read against the Scala-API read
+    *    ([[graft.operators.store.IndexManifest.committedOnly]]) — the
+    *    hash-identical-to-the-API gate, 0 in both lanes;
+    *  - the `graft_index_meta` catalog row (head version, group dial,
+    *    leaf/tomb census, retention window) rides every row.
+    *
+    * The TVFs register on the LIVE session (the extensions path wires
+    * them at builder time; this is the shared-session lane).
+    */
+  def indexTvfAudit(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.store.IndexManifest
+    graft.GraftExtensions.registerIndexTableFunctions(spark)
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val dir = s"${graft.Tables.scratchDir("graft_sql01")}/idx"
+    Dedup.dedupIndexAppend(docs.filter(col("doc_id") % 2 === 0), dir,
+      "f1", bid = 1L)                                        // v1 = the mark
+    val asOf = IndexManifest.readMeta(dir).get.version
+    Dedup.dedupIndexAppend(docs.filter(col("doc_id") % 2 === 1), dir,
+      "f2", bid = 2L)                                        // v2
+    Dedup.dedupIndexDelete(spark, dir,
+      docs.filter(col("doc_id") === 0L).select(col("doc_id")),
+      "d1", bid = 3L)                                        // v3
+    def sqlRead(rel: String, at: Option[Long]): DataFrame = at match {
+      case Some(v) =>
+        spark.sql(s"SELECT * FROM graft_index_at('$dir', '$rel', $v)")
+      case None => spark.sql(s"SELECT * FROM graft_index('$dir', '$rel')")
+    }
+    def apiRead(rel: String, at: Option[Long]): DataFrame = {
+      val meta = at.fold(IndexManifest.readMeta(dir))(
+        IndexManifest.readMetaAt(dir, _))
+      val live = meta.map(m => if (rel == "tombs") m.tombs else m.leaves)
+      IndexManifest.committedOnly(spark.read.parquet(s"$dir/$rel"), live)
+    }
+    def lane(name: String, at: Option[Long], pinned: Long): DataFrame = {
+      val nm = Seq("sets", "bands", "tombs").map { rel =>
+        val s0 = sqlRead(rel, at)
+        val a0 = apiRead(rel, at)
+        s0.exceptAll(a0).count() + a0.exceptAll(s0).count()
+      }.sum
+      sqlRead("sets", at).agg(countDistinct(col("doc_id")).as("n_docs"))
+        .crossJoin(sqlRead("bands", at).agg(count(lit(1)).as("n_band_rows")))
+        .crossJoin(sqlRead("tombs", at).agg(count(lit(1)).as("n_tomb_rows")))
+        .select(lit(name).as("lane"), col("n_docs"), col("n_band_rows"),
+          col("n_tomb_rows"), lit(nm).as("n_mismatch"),
+          lit(pinned).as("version"))
+    }
+    val metaRow = spark.sql(s"SELECT * FROM graft_index_meta('$dir')")
+      .select(col("version").as("head_version"), col("groups"),
+        col("n_leaves"), col("n_tombs"), col("retain"))
+    lane("asof", Some(asOf), asOf)
+      .unionByName(lane("now", None,
+        IndexManifest.readMeta(dir).get.version))
+      .crossJoin(broadcast(metaRow))
+      .orderBy(col("lane"))
   }
 
   def replicaDedupSync(spark: SparkSession, d: String): DataFrame = {

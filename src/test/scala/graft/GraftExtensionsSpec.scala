@@ -163,4 +163,33 @@ class GraftExtensionsSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
     assert(msgs(ex).exists(_.contains("INT literal")))
   }
+
+  test("index TVFs resolve through builder-time injection; literal fence holds") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ext_tvf").toString
+    val docs = (1L to 40L)
+      .map(i => (i, s"corpus document number $i with words " + ("x " * 20)))
+      .toDF("doc_id", "text")
+    graft.operators.dedup.Dedup.dedupIndexAppend(docs, dir, "c1")
+    val n = spark.sql(
+      s"SELECT count(DISTINCT doc_id) AS n FROM graft_index('$dir', 'sets')")
+      .collect()(0).getLong(0)
+    assert(n == 40L, s"TVF read through withExtensions must see the fold: $n")
+    val meta = spark.sql(s"SELECT * FROM graft_index_meta('$dir')").collect()(0)
+    assert(meta.getAs[Long]("version") == 1L &&
+      meta.getAs[Int]("n_leaves") == 1 && meta.getAs[Int]("retain") == 8,
+      s"catalog row: $meta")
+    // beyond the retained window the as-of TVF refuses at plan time
+    val ex1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_index_at('$dir', 'sets', 999)").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex1).exists(_.contains("not retained")))
+    // the path argument shapes the plan — non-literals are refused
+    val ex2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_index(concat('a', rand()), 'sets')").collect()
+    }
+    assert(msgs(ex2).exists(_.contains("STRING literal")))
+  }
 }

@@ -487,6 +487,45 @@ class PlanAuditSpec extends AnyFunSuite {
       s"as-of scan must not see the later leaf: $scanLine")
   }
 
+  test("sql01 index TVF: the pure-SQL read is the same leaf-pruned parquet scan") {
+    import spark.implicits._
+    import graft.operators.store.IndexManifest
+    graft.GraftExtensions.registerIndexTableFunctions(spark)
+    val dir = java.nio.file.Files.createTempDirectory("audit_sql01").toString
+    val mk = (lo: Long, hi: Long) => (lo to hi)
+      .map(i => (i, s"corpus document number $i with words " + ("x " * 20)))
+      .toDF("doc_id", "text")
+    graft.operators.dedup.Dedup.dedupIndexAppend(mk(1L, 100L), dir, "c1")
+    val v1 = IndexManifest.readMeta(dir).get.version
+    graft.operators.dedup.Dedup.dedupIndexAppend(mk(101L, 200L), dir, "c2")
+    // committed read: a plain partition-filtered parquet scan — the TVF
+    // adds a leaf pinning, never a new reader; downstream SQL filters
+    // push into the SAME scan
+    val now = spark.sql(
+      s"SELECT doc_id FROM graft_index('$dir', 'bands') WHERE doc_id = 7")
+    now.collect()
+    val pNow = now.queryExecution.executedPlan.toString
+    val nowScan = pNow.linesIterator.find(l =>
+      l.contains("bands") && l.contains("PartitionFilters"))
+      .getOrElse(fail(s"no partition-filtered bands scan in plan:\n$pNow"))
+    assert(nowScan.contains("leaf#"),
+      s"TVF read not restricted to committed leaves: $nowScan")
+    assert(pNow.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]")
+      || pNow.contains("EqualTo(doc_id,7)"),
+      s"SQL predicate must push into the TVF's parquet scan:\n$pNow")
+    // as-of read: the scan pins the SNAPSHOT's leaf — the later c2 leaf
+    // never enters the plan (the dd23 rule, now from pure SQL)
+    val asof = spark.sql(
+      s"SELECT * FROM graft_index_at('$dir', 'bands', $v1)")
+    asof.collect()
+    val pAsof = asof.queryExecution.executedPlan.toString
+    val asofScan = pAsof.linesIterator.find(l =>
+      l.contains("bands") && l.contains("PartitionFilters"))
+      .getOrElse(fail(s"no partition-filtered bands scan in plan:\n$pAsof"))
+    assert(asofScan.contains("v00000001-c1") && !asofScan.contains("c2"),
+      s"as-of TVF must pin the v1 leaf only: $asofScan")
+  }
+
   test("mm16/mm17 Hamming screen: chunk scan pruned to batch groups AND committed leaves") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
