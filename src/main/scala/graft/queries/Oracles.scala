@@ -2919,6 +2919,15 @@ SELECT 'now', vec_id, label, vec_id + 200000, CAST(1.0 AS DOUBLE)
 FROM embeddings WHERE vec_id < 64 AND vec_id % 3 <> 0
 ORDER BY lane, query_id""",
 
+    // ann26: the graph-quality floor — recall@1 vs brute force for
+    // hub-seeded searches must clear 55% after build + 4 appends + one
+    // refine (measured 65-72% healthy vs ~39% degraded; the measured
+    // value is spec-pinned, the FLOOR is the cross-engine contract —
+    // a quality regression flips floor_met and breaks the hash)
+    "ann26_graph_recall" -> """
+SELECT CAST(64 AS BIGINT) AS n_queries, CAST(55 AS BIGINT) AS floor_pct,
+  true AS floor_met""",
+
     // ann19: NN-descent planted theorem — in the degraded k=1 graph
     // every +200000 node knows only its original; one refinement round
     // (2-hop + reverse candidates, exact verify) provably adds the

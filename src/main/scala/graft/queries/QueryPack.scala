@@ -347,6 +347,12 @@ object QueryPack {
     // every row (completes the time-travel search matrix)
     "ann25_filtered_time_travel" -> ((s, d) => PqIndex
       .selfRecallFilteredTimeTravel(s, d)),
+    // graph QUALITY, not reachability: true recall@1 vs in-plan brute
+    // force for hub-seeded searches over the full build→append→refine
+    // lifecycle, gated as a floor (the planted gates are deliberately
+    // insensitive to navigation quality; this row is the teeth)
+    "ann26_graph_recall" -> ((s, d) => graft.operators.ann.KnnGraph
+      .recallAudit(s, d)),
 
     // ---- multimodal ----
     "mm01_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),

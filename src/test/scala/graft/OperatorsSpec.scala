@@ -3146,4 +3146,24 @@ class OperatorsSpec extends AnyFunSuite {
       s"the error must quote the dialed window: ${e.getMessage}")
     base.unpersist()
   }
+
+  test("ann26 recall audit: healthy lifecycle clears the floor; a degraded graph fails it") {
+    import graft.operators.ann.KnnGraph
+    // TRUE recall@1 vs in-plan brute force, searches seeded at hubs —
+    // the quality signal the planted self-recall gates are deliberately
+    // insensitive to. Healthy = 3-NN build + 4 appends + one refine.
+    val healthy = KnnGraph.recallHits(spark, sf)
+    info(s"healthy hits: $healthy / 64")
+    assert(healthy * 100L >= 55L * 64L,
+      s"healthy lifecycle must clear the 55% floor: $healthy/64")
+    // k=1 chains, no build refinement, no post-append refine: genuinely
+    // poor navigation fails the SAME floor — the gate is sensitive to
+    // graph quality, not just reachability
+    val degraded = KnnGraph.recallHits(spark, sf, buildK = 1,
+      buildRefineIters = 0, refineAfter = false)
+    info(s"degraded hits: $degraded / 64")
+    assert(degraded * 100L < 55L * 64L,
+      s"degraded graph must fail the floor: $degraded/64")
+  }
+
 }
