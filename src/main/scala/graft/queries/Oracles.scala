@@ -2880,6 +2880,21 @@ SELECT vec_id + 100000 AS query_id, vec_id AS match_id,
   CAST(1.0 AS DOUBLE) AS sim
 FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
 
+    // pipe14: the full-fleet reconcile — all four families bootstrap
+    // with the %3 slice of the non-null-text id universe and sync
+    // against the same replica (every id inserted, %9 deleted later),
+    // so every census collapses to the two planting formulas: delete
+    // the %9 ids (9's residues sit inside 3's — all were bootstrapped),
+    // add the %3 != 0 ids; solo == fleet per family by construction
+    "pipe14_sync_all_fleet" -> """
+WITH ids AS (SELECT doc_id AS id FROM documents WHERE text IS NOT NULL),
+ nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ids WHERE id % 9 = 0),
+ na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ids WHERE id % 3 <> 0)
+SELECT f.family, nd.n AS n_del_solo, na.n AS n_add_solo,
+  nd.n AS n_del_fleet, na.n AS n_add_fleet, true AS census_match
+FROM (VALUES ('ahash'), ('dedup'), ('graph'), ('vector')) f(family), nd, na
+ORDER BY family""",
+
     // sql01: the SQL read surface — TVF reads of the two-fold dedup
     // store: eligible (>=3-token) docs fold 16 band rows each, the
     // as-of lane pins the even-docs-only v1 snapshot (no tombstone

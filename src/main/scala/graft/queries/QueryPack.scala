@@ -444,6 +444,10 @@ object QueryPack {
     // live unindexed vectors greedy-link, one idempotent call closing
     // the facade matrix over all four index families
     "pipe13_graph_sync_facade" -> ((s, d) => replicaGraphSyncFacade(s, d)),
+    // the FULL-FLEET reconcile: one replica scan, four family diffs —
+    // censuses gated identical to the four individual facades, fleet
+    // replay a (0,0) fixpoint everywhere
+    "pipe14_sync_all_fleet" -> ((s, d) => replicaSyncAllFleet(s, d)),
 
     // ---- SQL read surface over the persisted stores ----
     // the graft_index / graft_index_at / graft_index_meta TVFs: pure-SQL
@@ -1183,6 +1187,92 @@ object QueryPack {
       .withColumn("n_deleted", lit(nDel))
       .withColumn("n_linked", lit(nAdd))
       .orderBy(col("query_id"))
+  }
+
+  /** pipe14's driver-checked shape — the FULL-FLEET reconcile
+    * ([[graft.streaming.Graft.syncAllIndexes]]): ONE replica scan
+    * feeding all four index families' diffs, gated census-identical to
+    * the four individual facades run against their own (identically
+    * bootstrapped) stores. Fixture: one replica table keyed by the
+    * non-null-text document ids (inserts for every id, `%9` deleted at
+    * a later seq), every family bootstrapped with the `%3` slice —
+    * 9's residue class sits inside 3's, so each family must tombstone
+    * exactly the `%9` ids and add exactly the `%3 != 0` ids, and all
+    * four censuses collapse to the SAME two planting formulas (the
+    * nlist=1 graph build and nonempty shingle sets make membership
+    * total, the pipe11/pipe13 arguments). `census_match` pins
+    * solo == fleet per family; a replayed fleet cycle must diff (0,0)
+    * everywhere (the facade fixpoint). The one-scan property itself is
+    * spec-asserted against [[graft.streaming.Materializer.stateReads]].
+    */
+  def replicaSyncAllFleet(spark: SparkSession, d: String): DataFrame = {
+    import graft.streaming.{Graft, Materializer}
+    import graft.operators.ann.{KnnGraph, PqIndex}
+    val docs = Tables.spread(Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).filter(col("text").isNotNull))
+      .cache()
+    val ids = docs.select(col("doc_id").as("id"))
+    val emb = Tables.spread(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding")))
+      .join(ids.select(col("id").as("vec_id")), Seq("vec_id"), "left_semi")
+      .cache()
+    val stateDir = graft.Tables.scratchDir("graft_p14_state")
+    val spec = Materializer.Spec(
+      keyCols = Seq("table_name", "record_id"), buckets = 16)
+    val inserts = ids.select(lit("records").as("table_name"),
+      col("id").as("record_id"), col("id").as("seq"),
+      lit("insert").as("op"))
+    val deletes = ids.filter(col("id") % 9 === 0)
+      .select(lit("records").as("table_name"), col("id").as("record_id"),
+        (col("id") + 1000000L).as("seq"), lit("delete").as("op"))
+    Materializer.applyBatch(spark, stateDir,
+      inserts.unionByName(deletes), spec)
+    val hashes = Multimodal.ahashOf(ids.select(col("id").as("media_id")))
+      .cache()
+    def boot(px: String): (String, String, String, String, String) = {
+      val v = s"${graft.Tables.scratchDir(s"graft_p14_${px}_v")}/idx"
+      val dd = graft.Tables.scratchDir(s"graft_p14_${px}_d")
+      val h = graft.Tables.scratchDir(s"graft_p14_${px}_h")
+      val c = graft.Tables.scratchDir(s"graft_p14_${px}_c")
+      val g = s"${graft.Tables.scratchDir(s"graft_p14_${px}_g")}/graph"
+      PqIndex.build(emb.filter(col("vec_id") % 3 === 0), v)
+      Dedup.dedupIndexAppend(docs.filter(col("doc_id") % 3 === 0), dd,
+        "bootstrap", bid = 0L)
+      val b = hashes.filter(col("media_id") % 3 === 0)
+      Multimodal.ahashIndexAppend(b, h, "bootstrap")
+      Multimodal.ahashChunkIndexAppend(b, c, "bootstrap")
+      KnnGraph.build(emb.filter(col("vec_id") % 3 === 0), g, "bootstrap",
+        nlist = 1)
+      (v, dd, h, c, g)
+    }
+    val (sv, sd, sh, sc, sg) = boot("solo")
+    val (fv, fd, fh, fc, fg) = boot("fleet")
+    val solo = Map(
+      "vector" -> Graft.syncVectorIndex(spark, stateDir, spec,
+        "record_id", sv, emb, "cycle1"),
+      "dedup" -> Graft.syncDedupIndex(spark, stateDir, spec,
+        "record_id", docs, sd, "cycle1", bid = 1L),
+      "ahash" -> Graft.syncAhashIndex(spark, stateDir, spec,
+        "record_id", hashes, sh, sc, "cycle1"),
+      "graph" -> Graft.syncGraphIndex(spark, stateDir, spec,
+        "record_id", emb, sg, "cycle1"))
+    def fleetCycle(): Map[String, (Long, Long)] =
+      Graft.syncAllIndexes(spark, stateDir, spec, "record_id", "cycle1",
+        vector = Some((fv, emb)), dedup = Some((fd, docs, 1L)),
+        ahash = Some((fh, fc, hashes)), graph = Some((fg, emb)))
+    val fleet = fleetCycle()
+    val replay = fleetCycle()
+    require(replay.values.forall(_ == ((0L, 0L))),
+      s"replayed fleet cycle must be a fixpoint: $replay")
+    import spark.implicits._
+    val out = Seq("ahash", "dedup", "graph", "vector").map { fam =>
+      val (sd1, sa1) = solo(fam)
+      val (fd1, fa1) = fleet(fam)
+      (fam, sd1, sa1, fd1, fa1, sd1 == fd1 && sa1 == fa1)
+    }.toDF("family", "n_del_solo", "n_add_solo", "n_del_fleet",
+      "n_add_fleet", "census_match").orderBy(col("family"))
+    docs.unpersist(); emb.unpersist(); hashes.unpersist()
+    out
   }
 
   /** sql01's driver-checked shape — the SQL READ SURFACE over a

@@ -374,17 +374,33 @@ object Graft {
   def syncVectorIndex(spark: SparkSession, stateDir: String,
       spec: Materializer.Spec, idCol: String, indexDir: String,
       embProvider: DataFrame, tag: String): (Long, Long) = {
+    val (alive, dead) = liveDeadSets(spark, stateDir, spec, idCol, "vec_id")
+    syncVectorCore(spark, alive, dead, indexDir, embProvider, tag)
+  }
+
+  /** The replica's (live, dead) key sets under `keyName` — the ONE
+    * state-store read every reconcile facade diffs against. "Dead"
+    * excludes currently-live keys: a key truncate-killed and
+    * re-inserted at a later seq appears in the delete feed (its old
+    * row is truncate-dead) AND in the live set — it must never be
+    * tombstoned in the same cycle it lives.
+    */
+  private def liveDeadSets(spark: SparkSession, stateDir: String,
+      spec: Materializer.Spec, idCol: String,
+      keyName: String): (DataFrame, DataFrame) = {
+    val alive = Materializer.currentState(spark, stateDir, spec)
+      .select(col(idCol).cast("long").as(keyName)).distinct()
+    val dead = Materializer.deletedRecords(spark, stateDir, spec)
+      .select(col(idCol).cast("long").as(keyName)).distinct()
+      .join(alive, Seq(keyName), "left_anti")
+    (alive, dead)
+  }
+
+  private def syncVectorCore(spark: SparkSession, alive: DataFrame,
+      dead: DataFrame, indexDir: String, embProvider: DataFrame,
+      tag: String): (Long, Long) = {
     import graft.operators.ann.PqIndex
     require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid sync tag: $tag")
-    val alive = Materializer.currentState(spark, stateDir, spec)
-      .select(col(idCol).cast("long").as("vec_id")).distinct()
-    // "dead" excludes currently-live keys: a key truncate-killed and
-    // re-inserted at a later seq appears in the delete feed (its old
-    // row is truncate-dead) AND in the live set — it must never be
-    // tombstoned in the same cycle it lives
-    val dead = Materializer.deletedRecords(spark, stateDir, spec)
-      .select(col(idCol).cast("long").as("vec_id")).distinct()
-      .join(alive, Seq("vec_id"), "left_anti")
     // resurrection check: a live replica id with a standing tombstone
     // can only become searchable again through compaction (tag-
     // idempotent: a replayed cycle's compact no-ops, and once tombs are
@@ -435,15 +451,15 @@ object Graft {
   def syncDedupIndex(spark: SparkSession, stateDir: String,
       spec: Materializer.Spec, idCol: String, docProvider: DataFrame,
       indexDir: String, tag: String, bid: Long): (Long, Long) = {
+    val (alive, dead) = liveDeadSets(spark, stateDir, spec, idCol, "doc_id")
+    syncDedupCore(spark, alive, dead, docProvider, indexDir, tag, bid)
+  }
+
+  private def syncDedupCore(spark: SparkSession, alive: DataFrame,
+      dead: DataFrame, docProvider: DataFrame, indexDir: String,
+      tag: String, bid: Long): (Long, Long) = {
     import graft.operators.dedup.Dedup
     require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid sync tag: $tag")
-    val alive = Materializer.currentState(spark, stateDir, spec)
-      .select(col(idCol).cast("long").as("doc_id")).distinct()
-    // dead ∖ alive: a truncate-killed key re-inserted at a later seq is
-    // in the delete feed AND live — never tombstone a living key
-    val dead = Materializer.deletedRecords(spark, stateDir, spec)
-      .select(col(idCol).cast("long").as("doc_id")).distinct()
-      .join(alive, Seq("doc_id"), "left_anti")
     val indexed = Dedup.indexedLiveIds(spark, indexDir)
     // single-pass diffs (the syncVectorIndex device): census + commit
     // read ONE persisted computation of each diff
@@ -489,15 +505,16 @@ object Graft {
   def syncAhashIndex(spark: SparkSession, stateDir: String,
       spec: Materializer.Spec, idCol: String, hashProvider: DataFrame,
       hashIndexDir: String, chunkIndexDir: String, tag: String): (Long, Long) = {
+    val (alive, dead) = liveDeadSets(spark, stateDir, spec, idCol, "media_id")
+    syncAhashCore(spark, alive, dead, hashProvider, hashIndexDir,
+      chunkIndexDir, tag)
+  }
+
+  private def syncAhashCore(spark: SparkSession, alive: DataFrame,
+      dead: DataFrame, hashProvider: DataFrame, hashIndexDir: String,
+      chunkIndexDir: String, tag: String): (Long, Long) = {
     import graft.operators.multimodal.Multimodal
     require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid sync tag: $tag")
-    val alive = Materializer.currentState(spark, stateDir, spec)
-      .select(col(idCol).cast("long").as("media_id")).distinct()
-    // dead ∖ alive: never tombstone a living key (truncate-killed keys
-    // re-inserted at a later seq are in the delete feed AND live)
-    val dead = Materializer.deletedRecords(spark, stateDir, spec)
-      .select(col(idCol).cast("long").as("media_id")).distinct()
-      .join(alive, Seq("media_id"), "left_anti")
     def lane(indexDir: String, rel: String,
         append: (DataFrame, String) => Unit,
         delete: (DataFrame, String) => Unit,
@@ -562,15 +579,15 @@ object Graft {
   def syncGraphIndex(spark: SparkSession, stateDir: String,
       spec: Materializer.Spec, idCol: String, embProvider: DataFrame,
       indexDir: String, tag: String): (Long, Long) = {
+    val (alive, dead) = liveDeadSets(spark, stateDir, spec, idCol, "vec_id")
+    syncGraphCore(spark, alive, dead, embProvider, indexDir, tag)
+  }
+
+  private def syncGraphCore(spark: SparkSession, alive: DataFrame,
+      dead: DataFrame, embProvider: DataFrame, indexDir: String,
+      tag: String): (Long, Long) = {
     import graft.operators.ann.KnnGraph
     require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid sync tag: $tag")
-    val alive = Materializer.currentState(spark, stateDir, spec)
-      .select(col(idCol).cast("long").as("vec_id")).distinct()
-    // dead ∖ alive: never tombstone a living key (truncate-killed keys
-    // re-inserted at a later seq are in the delete feed AND live)
-    val dead = Materializer.deletedRecords(spark, stateDir, spec)
-      .select(col(idCol).cast("long").as("vec_id")).distinct()
-      .join(alive, Seq("vec_id"), "left_anti")
     // resurrection: a live replica id with a standing (kill-all)
     // tombstone becomes searchable again only through compaction
     if (!alive.join(KnnGraph.tombstonedIds(spark, indexDir),
@@ -617,6 +634,61 @@ object Graft {
       }
       (nDel, nAdd)
     } finally { toDelete.unpersist(); toLink.unpersist(); () }
+  }
+
+  /** ONE replica scan, up to FOUR reconciles — the full-fleet form of
+    * the facade matrix. Each individual facade reads the replica's
+    * live/dead key sets itself, so a deployment syncing all four index
+    * families from one replica pays the (at 100 TB, dominant)
+    * state-store scan four times; here the sets are computed ONCE,
+    * persisted, and fanned out to the same per-family cores — identical
+    * semantics (per-family diffs, tag idempotency, automatic
+    * resurrection compaction, fixpoint replay), one scan (asserted
+    * against [[Materializer.stateReads]] in the specs). Families are
+    * opt-in:
+    *
+    *  - `vector`: (indexDir, embProvider) — [[syncVectorIndex]]'s core
+    *  - `dedup`:  (indexDir, docProvider, bid) — [[syncDedupIndex]]'s
+    *  - `ahash`:  (hashIndexDir, chunkIndexDir, hashProvider) —
+    *    [[syncAhashIndex]]'s
+    *  - `graph`:  (indexDir, embProvider) — [[syncGraphIndex]]'s
+    *
+    * All families key on the SAME replica column (`idCol`) — the
+    * one-scan sharing is exactly the case where one replica table
+    * feeds every index. Returns family → (nDeleted, nAdded) for the
+    * families requested.
+    */
+  def syncAllIndexes(spark: SparkSession, stateDir: String,
+      spec: Materializer.Spec, idCol: String, tag: String,
+      vector: Option[(String, DataFrame)] = None,
+      dedup: Option[(String, DataFrame, Long)] = None,
+      ahash: Option[(String, String, DataFrame)] = None,
+      graph: Option[(String, DataFrame)] = None): Map[String, (Long, Long)] = {
+    require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid sync tag: $tag")
+    val (aliveRaw, deadRaw) =
+      liveDeadSets(spark, stateDir, spec, idCol, "rid")
+    val alive = aliveRaw
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dead = deadRaw
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    alive.count(); dead.count() // materialize the one scan up front
+    def as(key: String, df: DataFrame) = df.withColumnRenamed("rid", key)
+    try {
+      Seq(
+        vector.map { case (dir, embP) => "vector" ->
+          syncVectorCore(spark, as("vec_id", alive), as("vec_id", dead),
+            dir, embP, tag) },
+        dedup.map { case (dir, docP, bid) => "dedup" ->
+          syncDedupCore(spark, as("doc_id", alive), as("doc_id", dead),
+            docP, dir, tag, bid) },
+        ahash.map { case (hDir, cDir, hashP) => "ahash" ->
+          syncAhashCore(spark, as("media_id", alive), as("media_id", dead),
+            hashP, hDir, cDir, tag) },
+        graph.map { case (dir, embP) => "graph" ->
+          syncGraphCore(spark, as("vec_id", alive), as("vec_id", dead),
+            embP, dir, tag) }
+      ).flatten.toMap
+    } finally { alive.unpersist(); dead.unpersist(); () }
   }
 
   /** The ONE-CALL live engine — the full equivalent of the reference's

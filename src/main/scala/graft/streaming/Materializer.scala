@@ -451,9 +451,18 @@ object Materializer {
     * delete retention). A manifest read pins the snapshot: concurrent
     * applies never tear this view.
     */
+  /** Test-visible census of full-state READ PLANS built
+    * ([[currentState]] + [[deletedRecords]] calls) — the
+    * one-scan contract of `Graft.syncAllIndexes` is asserted against
+    * it: the fleet facade must build exactly one of each, where four
+    * individual facades build four.
+    */
+  private[graft] val stateReads = new java.util.concurrent.atomic.AtomicLong
+
   def currentState(spark: SparkSession, stateDir: String, spec: Spec,
       keepTombstones: Boolean = false,
       conf: Configuration = WalSegments.localConf): DataFrame = {
+    stateReads.incrementAndGet()
     val manifest = readManifest(stateDir, conf)
     if (manifest.leaves.isEmpty)
       throw new IllegalStateException(
@@ -561,6 +570,7 @@ object Materializer {
     */
   def deletedRecords(spark: SparkSession, stateDir: String, spec: Spec,
       conf: Configuration = WalSegments.localConf): DataFrame = {
+    stateReads.incrementAndGet()
     val manifest = readManifest(stateDir, conf)
     if (manifest.leaves.isEmpty)
       throw new IllegalStateException(s"$stateDir holds no materialized state")

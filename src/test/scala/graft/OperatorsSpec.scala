@@ -3166,4 +3166,58 @@ class OperatorsSpec extends AnyFunSuite {
       s"degraded graph must fail the floor: $degraded/64")
   }
 
+
+  test("syncAllIndexes: ONE state scan feeds every family; results equal the solo facades") {
+    import graft.operators.ann.KnnGraph
+    import graft.streaming.{Graft, Materializer}
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+      .filter($"vec_id".between(1L, 9L))
+      .select($"vec_id", $"embedding").cache()
+    val docs = (1L to 9L)
+      .map(i => (i, s"fleet document number $i with words " + ("x " * 20)))
+      .toDF("doc_id", "text").cache()
+    val stateDir = "file://" +
+      java.nio.file.Files.createTempDirectory("sync_all_state").toString
+    val spec = Materializer.Spec(
+      keyCols = Seq("table_name", "record_id"), buckets = 4)
+    def chg(rows: (Long, Long, String)*) = rows
+      .map { case (id, seq, op) => ("r", id, seq, op) }
+      .toDF("table_name", "record_id", "seq", "op")
+    Materializer.applyBatch(spark, stateDir,
+      chg(((1L to 9L).map(i => (i, i, "insert")) :+ ((9L, 100L, "delete"))): _*),
+      spec)
+    def bootPair(): (String, String) = {
+      val dd = graft.Tables.scratchDir("sync_all_d")
+      val g = s"${graft.Tables.scratchDir("sync_all_g")}/graph"
+      graft.operators.dedup.Dedup.dedupIndexAppend(
+        docs.filter($"doc_id" % 3 === 0), dd, "bootstrap", bid = 0L)
+      KnnGraph.build(emb.filter($"vec_id" % 3 === 0), g, "bootstrap",
+        nlist = 1)
+      (dd, g)
+    }
+    val (sd, sg) = bootPair()
+    val (fd, fg) = bootPair()
+    // the fleet call builds exactly ONE currentState + ONE
+    // deletedRecords plan; the two solo facades build four
+    Materializer.stateReads.set(0L)
+    val fleet = Graft.syncAllIndexes(spark, stateDir, spec, "record_id",
+      "c1", dedup = Some((fd, docs, 1L)), graph = Some((fg, emb)))
+    assert(Materializer.stateReads.get == 2L,
+      s"fleet must scan the replica once: ${Materializer.stateReads.get}")
+    Materializer.stateReads.set(0L)
+    val soloD = Graft.syncDedupIndex(spark, stateDir, spec, "record_id",
+      docs, sd, "c1", bid = 1L)
+    val soloG = Graft.syncGraphIndex(spark, stateDir, spec, "record_id",
+      emb, sg, "c1")
+    assert(Materializer.stateReads.get == 4L,
+      s"two solo facades pay the scan twice each: ${Materializer.stateReads.get}")
+    assert(fleet("dedup") == soloD && fleet("graph") == soloG,
+      s"fleet censuses must equal solo: $fleet vs ($soloD, $soloG)")
+    // delete 9 was live-killed: both families tombstoned it; adds are
+    // the %3 != 0 live ids (1,2,4,5,7,8) minus nothing
+    assert(fleet("dedup") == ((1L, 6L)) && fleet("graph") == ((1L, 6L)),
+      s"planting formulas: $fleet")
+    emb.unpersist(); docs.unpersist()
+  }
 }
