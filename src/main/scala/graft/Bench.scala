@@ -123,7 +123,24 @@ object Bench {
           "dims, view) across 4 micro-batches — 12 manifest-committed " +
           "applies plus per-batch affected-key recomputes; per-batch cost " +
           "scales with batch keys, not view size (the dense fixture " +
-          "touches most keys every batch, the worst case)")
+          "touches most keys every batch, the worst case)"),
+      jstr("pipe14") + ":" + jstr(
+        "whole-MATRIX audit by design: each pass bootstraps TEN stores " +
+          "(all four families, twice) and runs 12 sync cores (4 solo + " +
+          "2x4 fleet incl. the replay fixpoint) over a fixture-capped " +
+          "600-id universe — the subject is the one-scan/census-equality " +
+          "contract, not throughput; per-family scale figures live in " +
+          "pipe08/pipe11/pipe12/pipe13"),
+      jstr("ann26") + ":" + jstr(
+        "whole-lifecycle QUALITY audit: each pass builds the graph, runs " +
+          "4 appends + one NN-descent refine, computes the in-plan " +
+          "brute-force ground truth (64 x corpus cosines — audit-sized, " +
+          "never the serving path), and gates recall@1 >= 55%"),
+      jstr("sql01") + ":" + jstr(
+        "the figure includes six eager exceptAll row-identity " +
+          "comparisons (SQL vs Scala-API read, both lanes, three " +
+          "relations) — the audit cost, not the TVF read cost (a plain " +
+          "leaf-pruned parquet scan, plan-audited)")
     ).mkString(",")
     // measured per-increment cost of the crawl loops: every micro-batch's
     // wall time across all passes (CrawlMetrics, recorded inside the

@@ -35,6 +35,8 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
   *   SELECT * FROM graft_index_at('/indexes/graph', 'edges', 41)   -- time travel
   *   SELECT * FROM graft_index('/indexes/graph', 'tombs')          -- takedown set
   *   SELECT * FROM graft_index_meta('/indexes/neardup')            -- the catalog row
+  *   SELECT * FROM graft_state('/replica', 'table_name,record_id') -- CDC replica rows
+  *   SELECT * FROM graft_state_at('/replica', 'table_name,record_id', 7)
   * }}}
   *
   * Each call resolves the store's manifest AT PLAN TIME and returns the
@@ -108,8 +110,33 @@ object GraftExtensions {
       .queryExecution.logical
   }
 
-  /** The three TVF descriptions — one list serves builder-time
-    * injection and live-session registration.
+  /** One row per RETAINED manifest version — the DESCRIBE HISTORY move:
+    * the time-travel catalog an auditor joins against to pick an
+    * `asOfVersion` for [[graft_index_at]]. Exactly the versions
+    * [[graft.operators.store.IndexManifest.readMetaAt]] can still
+    * reach; each row carries that snapshot's leaf/tomb census.
+    */
+  private def historyPlan(path: String): LogicalPlan = {
+    val spark = SparkSession.active
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val rows: Seq[Row] = IndexManifest.retainedVersions(path).flatMap { v =>
+      IndexManifest.readMetaAt(path, v).map(m =>
+        Row(v, m.groups, m.leaves.size, m.tombs.size))
+    }
+    // encoder-free construction: the builder may run inside a REPL
+    // session where product-encoder reflection is unreliable
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("groups", IntegerType, nullable = false),
+      StructField("n_leaves", IntegerType, nullable = false),
+      StructField("n_tombs", IntegerType, nullable = false)))
+    spark.createDataFrame(rows.asJava, schema).queryExecution.logical
+  }
+
+  /** The TVF descriptions — one list serves builder-time injection and
+    * live-session registration.
     */
   private def tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] = Seq(
@@ -141,7 +168,62 @@ object GraftExtensions {
         require(args.length == 1,
           s"graft_index_meta expects (path), got ${args.length}")
         metaPlan(strArg(args, 0, "graft_index_meta"))
+      }),
+    (FunctionIdentifier("graft_index_history"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "graft_index_history"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"graft_index_history expects (path), got ${args.length}")
+        historyPlan(strArg(args, 0, "graft_index_history"))
+      }),
+    (FunctionIdentifier("graft_state"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_state"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          s"graft_state expects (path, key_cols [, buckets]), got ${args.length}")
+        val (path, spec) = stateSpec(args, "graft_state", bucketsAt = 2)
+        graft.streaming.Materializer
+          .currentState(SparkSession.active, path, spec)
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_state_at"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_state_at"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3 || args.length == 4,
+          s"graft_state_at expects (path, key_cols, version [, buckets]), " +
+            s"got ${args.length}")
+        val (path, spec) = stateSpec(args, "graft_state_at", bucketsAt = 3)
+        graft.streaming.Materializer
+          .currentStateAt(SparkSession.active, path, spec,
+            longArg(args, 2, "graft_state_at"))
+          .queryExecution.logical
       }))
+
+  /** The CDC replica rows need a [[graft.streaming.Materializer.Spec]]:
+    * key columns come from the caller (a comma-separated literal — the
+    * store's key is deployment knowledge, exactly as in the Scala API),
+    * the bucket dial from the store's own manifest (`nbuckets`, recorded
+    * at apply time) unless the optional trailing argument overrides it
+    * (required for legacy stores that predate the recorded dial).
+    */
+  private def stateSpec(args: Seq[Expression], fn: String,
+      bucketsAt: Int): (String, graft.streaming.Materializer.Spec) = {
+    val path = strArg(args, 0, fn)
+    val keys = strArg(args, 1, fn).split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    require(keys.nonEmpty, s"$fn: key_cols must name at least one column")
+    val buckets =
+      if (args.length > bucketsAt) longArg(args, bucketsAt, fn).toInt
+      else {
+        val nb = graft.streaming.Materializer.readManifest(path).nbuckets
+        require(nb > 0, s"$fn: $path records no bucket dial (legacy " +
+          "store) — pass buckets as the trailing argument")
+        nb
+      }
+    (path, graft.streaming.Materializer.Spec(keyCols = keys,
+      buckets = buckets))
+  }
 
   private[graft] def injectTableFunctions(ext: SparkSessionExtensions): Unit =
     tableFunctions.foreach(ext.injectTableFunction(_))

@@ -2887,7 +2887,8 @@ FROM embeddings WHERE vec_id < 64 ORDER BY query_id""",
     // the %9 ids (9's residues sit inside 3's — all were bootstrapped),
     // add the %3 != 0 ids; solo == fleet per family by construction
     "pipe14_sync_all_fleet" -> """
-WITH ids AS (SELECT doc_id AS id FROM documents WHERE text IS NOT NULL),
+WITH ids AS (SELECT doc_id AS id FROM documents
+  WHERE text IS NOT NULL AND doc_id < 600),
  nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ids WHERE id % 9 = 0),
  na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ids WHERE id % 3 <> 0)
 SELECT f.family, nd.n AS n_del_solo, na.n AS n_add_solo,
@@ -2917,6 +2918,19 @@ UNION ALL
 SELECT 'now', (SELECT count(*) FROM e), 16 * (SELECT count(*) FROM e),
   CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(3 AS BIGINT),
   CAST(3 AS BIGINT), 32, 2, 1, 8
+ORDER BY lane""",
+
+    // sql02: the replica from SQL — every document id inserted, %4
+    // deleted after the audit mark: the as-of TVF read sees every id,
+    // the now read only survivors, and n_mismatch = 0 gates SQL ==
+    // Scala-API row identity in both lanes
+    "sql02_state_tvf" -> """
+WITH ids AS (SELECT doc_id AS id FROM documents)
+SELECT 'asof' AS lane, (SELECT CAST(count(*) AS BIGINT) FROM ids) AS n_rows,
+  CAST(0 AS BIGINT) AS n_mismatch
+UNION ALL
+SELECT 'now', (SELECT count(*) FROM ids WHERE id % 4 <> 0),
+  CAST(0 AS BIGINT)
 ORDER BY lane""",
 
     // ann25: the filtered TIME-TRAVEL audit — at the v2 mark every

@@ -455,6 +455,10 @@ object QueryPack {
     // (n_mismatch = 0 folds six exceptAll comparisons), with the as-of
     // lane pinned to a retained version and the catalog row riding
     "sql01_index_tvf" -> ((s, d) => indexTvfAudit(s, d)),
+    // the CDC replica from SQL: graft_state / graft_state_at TVFs over
+    // the Materializer store (bucket dial from the store's manifest),
+    // now + as-of lanes gated row-identical to the Scala-API read
+    "sql02_state_tvf" -> ((s, d) => stateTvfAudit(s, d)),
 
     // ---- training prep (decontaminate / split / pack / pii / quantize) ----
     "tp01_decontaminate" -> ((s, d) => TrainPrep.decontaminate(s, d)),
@@ -1208,8 +1212,13 @@ object QueryPack {
   def replicaSyncAllFleet(spark: SparkSession, d: String): DataFrame = {
     import graft.streaming.{Graft, Materializer}
     import graft.operators.ann.{KnnGraph, PqIndex}
+    // fixture-capped universe: the matrix audit's subject is the
+    // one-scan/equality CONTRACT, not corpus throughput (the per-family
+    // scale stories live in each family's own rows) — 600 ids keep the
+    // ten store builds + twelve sync cores audit-sized at every sf
     val docs = Tables.spread(Tables.documents(spark, d)
-      .select(col("doc_id"), col("text")).filter(col("text").isNotNull))
+      .select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull && col("doc_id") < 600))
       .cache()
     val ids = docs.select(col("doc_id").as("id"))
     val emb = Tables.spread(Tables.embeddings(spark, d)
@@ -1341,6 +1350,50 @@ object QueryPack {
       .unionByName(lane("now", None,
         IndexManifest.readMeta(dir).get.version))
       .crossJoin(broadcast(metaRow))
+      .orderBy(col("lane"))
+  }
+
+  /** sql02's driver-checked shape — the SQL read surface over the CDC
+    * REPLICA (the `graft_state` / `graft_state_at` TVFs): the state
+    * store is the first thing an analyst queries, and it must be
+    * readable — current AND as-of — without Scala. Fixture: every
+    * document id inserted (seq = id), the `%4` ids deleted at a later
+    * seq AFTER the audit mark. The now lane must see only survivors,
+    * the as-of lane (pinned to the pre-delete manifest version) every
+    * id; `n_mismatch` folds four exceptAll comparisons of the SQL read
+    * against the Scala-API read ([[graft.streaming.Materializer
+    * .currentState]]/`currentStateAt`) — 0 in both lanes. The bucket
+    * dial comes from the store's own manifest (`nbuckets`), so the SQL
+    * caller passes only the key columns.
+    */
+  def stateTvfAudit(spark: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Materializer
+    graft.GraftExtensions.registerIndexTableFunctions(spark)
+    val ids = Tables.documents(spark, d).select(col("doc_id").as("id"))
+    val stateDir = graft.Tables.scratchDir("graft_sql02")
+    val spec = Materializer.Spec(
+      keyCols = Seq("table_name", "record_id"), buckets = 16)
+    Materializer.applyBatch(spark, stateDir,
+      ids.select(lit("records").as("table_name"), col("id").as("record_id"),
+        col("id").as("seq"), lit("insert").as("op")), spec)
+    val mark = Materializer.readManifest(stateDir).version
+    Materializer.applyBatch(spark, stateDir,
+      ids.filter(col("id") % 4 === 0)
+        .select(lit("records").as("table_name"), col("id").as("record_id"),
+          (col("id") + 1000000L).as("seq"), lit("delete").as("op")), spec)
+    val keys = "table_name,record_id"
+    def lane(name: String, sql: DataFrame, api: DataFrame): DataFrame = {
+      val nm = sql.exceptAll(api).count() + api.exceptAll(sql).count()
+      sql.agg(count(lit(1)).as("n_rows"))
+        .select(lit(name).as("lane"), col("n_rows"),
+          lit(nm).as("n_mismatch"))
+    }
+    lane("asof",
+        spark.sql(s"SELECT * FROM graft_state_at('$stateDir', '$keys', $mark)"),
+        Materializer.currentStateAt(spark, stateDir, spec, mark))
+      .unionByName(lane("now",
+        spark.sql(s"SELECT * FROM graft_state('$stateDir', '$keys')"),
+        Materializer.currentState(spark, stateDir, spec)))
       .orderBy(col("lane"))
   }
 

@@ -191,5 +191,44 @@ class GraftExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM graft_index(concat('a', rand()), 'sets')").collect()
     }
     assert(msgs(ex2).exists(_.contains("STRING literal")))
+    // the history TVF is the time-travel catalog: one row per retained
+    // version, each with its snapshot's census
+    graft.operators.dedup.Dedup.dedupIndexAppend(
+      docs.select($"doc_id" + 1000, $"text")
+        .toDF("doc_id", "text"), dir, "c2")
+    val hist = spark.sql(
+      s"SELECT version, n_leaves FROM graft_index_history('$dir') ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(hist == Seq((1L, 1), (2L, 2)), s"history rows: $hist")
+  }
+
+  test("graft_state TVFs read the replica current and as-of, dial from the manifest") {
+    import spark.implicits._
+    import graft.streaming.Materializer
+    val stateDir = java.nio.file.Files.createTempDirectory("ext_state").toString
+    val spec = Materializer.Spec(
+      keyCols = Seq("table_name", "record_id"), buckets = 4)
+    def chg(rows: (Long, Long, String)*) = rows
+      .map { case (id, seq, op) => ("r", id, seq, op) }
+      .toDF("table_name", "record_id", "seq", "op")
+    Materializer.applyBatch(spark, stateDir,
+      chg((1L to 6L).map(i => (i, i, "insert")): _*), spec)
+    val mark = Materializer.readManifest(stateDir).version
+    Materializer.applyBatch(spark, stateDir, chg((2L, 100L, "delete")), spec)
+    val keys = "table_name,record_id"
+    val now = spark.sql(
+      s"SELECT record_id FROM graft_state('$stateDir', '$keys')")
+      .collect().map(_.getLong(0)).toSet
+    assert(now == Set(1L, 3L, 4L, 5L, 6L), s"now rows: $now")
+    val asof = spark.sql(
+      s"SELECT record_id FROM graft_state_at('$stateDir', '$keys', $mark)")
+      .collect().map(_.getLong(0)).toSet
+    assert(asof == (1L to 6L).toSet, s"asof rows: $asof")
+    // the dial came from the manifest; the explicit trailing-argument
+    // form (the legacy-store lane) reads identically at the true dial
+    val explicit = spark.sql(
+      s"SELECT record_id FROM graft_state('$stateDir', '$keys', 4)")
+      .collect().map(_.getLong(0)).toSet
+    assert(explicit == now, s"explicit-dial rows: $explicit")
   }
 }
