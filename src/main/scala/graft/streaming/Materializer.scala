@@ -135,7 +135,8 @@ object Materializer {
     */
   final case class Manifest(version: Long, leaves: Map[Int, String],
       writerEpoch: Long = 0L, writerId: String = "", nbuckets: Int = 0,
-      truncates: Map[String, Long] = Map.empty)
+      truncates: Map[String, Long] = Map.empty,
+      retain: Int = 0)
 
   private def legacyManifestPath(stateDir: String): Path =
     new Path(stateDir, "_state_manifest")
@@ -171,7 +172,8 @@ object Materializer {
       """"writerId"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(text)
         .map(_.group(1)).getOrElse(""),
       num("nbuckets").getOrElse(0L).toInt,
-      truncates)
+      truncates,
+      num("retain").getOrElse(0L).toInt)
   }
 
   def readManifest(stateDir: String,
@@ -205,6 +207,16 @@ object Materializer {
     */
   private[graft] val RetainedManifests = 8
 
+  /** The store's dialed read-grace window: the manifest's `retain` field
+    * (published by [[setRetention]]), defaulting to [[RetainedManifests]]
+    * — pre-dial manifests parse with it 0 and keep the default. The
+    * IndexManifest `retain`-param rule applied to the state store: a
+    * replica committing per micro-batch burns a version per batch, so
+    * its time-travel reach in WALL time is `retain x commit cadence`.
+    */
+  private[graft] def retentionOf(m: Manifest): Int =
+    if (m.retain >= 1) m.retain else RetainedManifests
+
   /** Commit a manifest version: write a uniquely-named temp file, then
     * publish it EXCLUSIVELY at the immutable `_state_manifest-v<N>`
     * ([[WalSegments.publishExclusive]]: atomic hard-link claim on local
@@ -229,18 +241,19 @@ object Materializer {
         .map { case (k, s) => s""""$k":$s""" }.mkString(",")
       out.write((s"""{"version":${m.version},""" +
         s""""writerEpoch":${m.writerEpoch},"writerId":"${m.writerId}",""" +
-        s""""nbuckets":${m.nbuckets},""" +
+        s""""nbuckets":${m.nbuckets},"retain":${m.retain},""" +
         s""""truncates":{$truncs},""" +
         s""""buckets":{$entries}}""").getBytes("UTF-8"))
     } finally out.close()
     if (!WalSegments.publishExclusive(fs, tmp, dest))
       throw new FencedWriterException(
         s"lost manifest commit race for version ${m.version} at $stateDir")
-    // retire superseded manifests (keep the read grace window)
+    // retire superseded manifests (keep the store's dialed grace window)
     try {
+      val window = retentionOf(m)
       fs.listStatus(new Path(stateDir)).foreach { st =>
         st.getPath.getName match {
-          case ManifestVRe(v) if v.toLong < m.version - RetainedManifests =>
+          case ManifestVRe(v) if v.toLong < m.version - window =>
             try fs.delete(st.getPath, false)
             catch { case _: java.io.IOException => () }
           case _ => ()
@@ -249,6 +262,31 @@ object Materializer {
       val legacy = legacyManifestPath(stateDir)
       if (fs.exists(legacy)) fs.delete(legacy, false)
     } catch { case _: java.io.IOException => () }
+  }
+
+  /** Dial the store's retention window — a metadata-only commit
+    * publishing `retain` into the manifest, which every LATER commit's
+    * retirement honors (and the leaf sweep follows for free: it keeps
+    * whatever any on-disk manifest references). The state-store form of
+    * [[graft.operators.store.IndexManifest.setRetention]]; dialing down
+    * takes effect on the next commit's retirement, and already-retired
+    * versions never come back. Respects the writer fence exactly like
+    * [[applyBatch]]: pass the applier's token on an acquired store (the
+    * commit is a version bump, so an un-fenced racer loses the exclusive
+    * publish at worst).
+    */
+  def setRetention(stateDir: String, retain: Int,
+      token: Option[WriterToken] = None,
+      conf: Configuration = WalSegments.localConf): Unit = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
+    val (fs, _) = WalSegments.fsFor(stateDir, conf)
+    val m = readManifest(stateDir, conf)
+    if (m.version == 0L) throw new IllegalStateException(
+      s"$stateDir holds no materialized state — dial retention on a " +
+        "committed store")
+    checkFence(m, token, stateDir)
+    commitManifest(fs, stateDir, m.copy(version = m.version + 1,
+      retain = retain))
   }
 
   /** Acquire the store: bump the writer epoch and commit a manifest
@@ -436,7 +474,7 @@ object Materializer {
       // winner's sweep (no committed bucket is ever lost)
       commitManifest(fs, stateDir, Manifest(nextVersion, newLeaves,
         manifest.writerEpoch, manifest.writerId, spec.buckets,
-        manifest.truncates))
+        manifest.truncates, manifest.retain))
       // superseded leaves are NOT deleted here: a reader that planned its
       // scan against the just-superseded manifest may still open them.
       // The post-commit sweep (after this commit retired manifests past
@@ -492,11 +530,11 @@ object Materializer {
       try parseManifest(readFully(fs, p))
       catch {
         case _: java.io.IOException =>
-          val latest = readManifest(stateDir, conf).version
+          val head = readManifest(stateDir, conf)
           throw new IllegalArgumentException(
             s"$stateDir has no retained manifest v$version — retained " +
-              s"window is (${math.max(1, latest - RetainedManifests)}" +
-              s"..$latest]; older snapshots are retired")
+              s"window is (${math.max(1, head.version - retentionOf(head))}" +
+              s"..${head.version}]; older snapshots are retired")
       }
     stateOf(spark, stateDir, spec, manifest, keepTombstones)
   }

@@ -460,4 +460,41 @@ class MaterializerSpec extends AnyFunSuite {
     assert(state(dir) == Seq(
       ("user", 1L, 1L, "insert", 1L), ("user", 2L, 2L, "insert", 2L)))
   }
+
+  test("retention is a per-store dial: retirement and time-travel reach follow it") {
+    val dir = freshDir("retdial")
+    Materializer.applyBatch(spark, dir, chg(
+      ("user", 1L, 10L, "insert", 100L)), spec)                       // v1
+    Materializer.setRetention(dir, 2)                                 // v2
+    (1 to 6).foreach { i =>                                           // v3..v8
+      Materializer.applyBatch(spark, dir, chg(
+        ("user", 1L, 100L + i, "update", 100L + i)), spec)
+    }
+    val head = Materializer.readManifest(dir)
+    assert(head.version == 8L && head.retain == 2,
+      s"the dial must ride every later commit: $head")
+    // on-disk manifests = the dialed window + head
+    assert(Materializer.currentStateAt(spark, dir, spec, 6L)
+      .count() == 1L, "the dialed window must still serve v(n-2)")
+    val e = intercept[IllegalArgumentException] {
+      Materializer.currentStateAt(spark, dir, spec, 5L)
+    }
+    assert(e.getMessage.contains("(6..8]"),
+      s"the as-of error must quote the DIALED window: ${e.getMessage}")
+    // dialing UP widens reach for subsequent commits
+    Materializer.setRetention(dir, 4)                                 // v9
+    (1 to 3).foreach { i =>                                           // v10..v12
+      Materializer.applyBatch(spark, dir, chg(
+        ("user", 1L, 200L + i, "update", 200L + i)), spec)
+    }
+    assert(Materializer.currentStateAt(spark, dir, spec, 8L)
+      .count() == 1L, "reach must widen with the new dial")
+    // an acquired store requires the applier's token for the dial commit
+    val token = Materializer.acquire(dir)
+    intercept[Materializer.FencedWriterException] {
+      Materializer.setRetention(dir, 3)
+    }
+    Materializer.setRetention(dir, 3, token = Some(token))
+    assert(Materializer.readManifest(dir).retain == 3)
+  }
 }
