@@ -136,6 +136,13 @@ object Bench {
           "4 appends + one NN-descent refine, computes the in-plan " +
           "brute-force ground truth (64 x corpus cosines — audit-sized, " +
           "never the serving path), and gates recall@1 >= 55%"),
+      jstr("txt20") + ":" + jstr(
+        "r15 driver artifact recorded 14.6s min / 38.2s median vs 2.3s " +
+          "committed on the same commit (no code change on the path); " +
+          "r16 derives the sketch counters FROM the exact aggregate — " +
+          "one corpus tokenization (exchange reuse), sketch-lane input " +
+          "= distinct grams, not occurrences — removing the double-scan " +
+          "memory pressure suspected behind the anomaly"),
       jstr("sql01") + ":" + jstr(
         "the figure includes six eager exceptAll row-identity " +
           "comparisons (SQL vs Scala-API read, both lanes, three " +
@@ -169,6 +176,22 @@ object Bench {
     // Belt-and-braces for log-prefixing launchers: also drop the line in a file.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
     catch { case _: Throwable => () }
+    // The LAST stdout line is a COMPACT summary: the full per-query line
+    // above overflows tail-capture harnesses (BENCH_r14/r15 both recorded
+    // parsed:null), so the parse-critical figures — totals, error census,
+    // crawl-loop increment ratios — ride a ~1 KB trailer while the full
+    // envelope lives in the first line and BENCH_LOCAL.json.
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    val incrRatios = crawlLoops.flatMap { case (q, qn) =>
+      val xs = graft.streaming.Graft.CrawlMetrics.snapshot(qn)
+      if (xs.isEmpty) None
+      else Some(jstr(q) + ":" + r3(xs.max / median(xs.toList)))
+    }.mkString("{", ",", "}")
+    val errNames = results.collect { case (k, _, Some(_)) => jstr(k) }
+      .mkString("[", ",", "]")
+    val summary =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","median_total":${r3(medTotal)},"n_queries":${results.length},"n_errors":${errors.size},"error_queries":$errNames,"per_increment_max_over_median":$incrRatios,"sf":"$sfDir","protocol":"per-query min of $repeats round-robin passes","full":"first stdout line + BENCH_LOCAL.json carry per-query mins/medians/notes"}"""
+    println(summary)
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

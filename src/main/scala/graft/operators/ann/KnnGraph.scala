@@ -712,15 +712,17 @@ object KnnGraph {
     * planted self-recall gates (ann20/ann22/ann24) deliberately seed
     * each query at (or next to) its own answer, so they stay green
     * regardless of how good the graph is; this row removes that crutch.
-    * Queries are originals planted OUTSIDE the hub pool (vec_ids
-    * `[200, 200+n)` — the pool is the 64 smallest ids), their sim-1.0
-    * copies arrive through `nBatches` crawl [[append]]s followed by ONE
+    * [[recallHits]] measures the real thing: queries are corpus
+    * originals OUTSIDE the hub pool (vec_ids `[200, 200+n)` — the pool
+    * is the 64 smallest ids), the corpus splits 80/20 into a build
+    * slice plus `nBatches` crawl [[append]] batches followed by ONE
     * [[refine]] (the lifecycle under audit), and every search starts at
-    * the store's hub seeds — reaching the copy requires real hops
-    * through stored edges. Brute-force top-1 is DERIVABLE: the copy is
-    * the unique global sim-1.0 maximum (no duplicate vectors in the
-    * fixture), so recall@1 vs brute force is exactly the fraction of
-    * searches returning sim 1.0. The gated row pins
+    * the store's hub seeds — reaching a query's true neighbor requires
+    * real hops through stored edges. No copies are planted (recallHits'
+    * doc explains why a planted target would not discriminate);
+    * instead the graph's top-1 is compared against an EXPLICIT in-plan
+    * brute-force top-1 over the whole corpus, and a hit is exact
+    * agreement. The gated row pins
     * `n_hits * 100 >= floor_pct * n_queries` (floor 55% — the healthy
     * lifecycle measures 65-72% across the driver fixtures while the
     * degraded contrast graph measures ~39%, so the floor splits the

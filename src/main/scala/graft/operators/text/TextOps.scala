@@ -967,9 +967,14 @@ object TextOps {
     *
     * Scale shape: the sketch lane shuffles at most `d·w` counter keys
     * (map-side-combined — constant exchange width no matter the corpus);
-    * the exact lane is the comparison harness (drop it in production and
-    * the whole pass is one bounded aggregation); top-k is the two-stage
-    * group-limit device, never a global sort of the gram table.
+    * in PRODUCTION (no exact comparison) it aggregates the gram stream
+    * directly — one bounded pass. In THIS harness the exact lane must
+    * run anyway, so the counters are derived FROM the exact aggregate
+    * (`sum(n_exact)` per position ≡ `count(occurrences)` per position,
+    * exactly): the corpus is tokenized once — Spark's exchange reuse
+    * dedupes the shared gram aggregation — and the sketch lane's input
+    * shrinks from every occurrence to every DISTINCT gram. Top-k is the
+    * two-stage group-limit device, never a global sort of the gram table.
     */
   def cmsHeavyHitters(spark: SparkSession, d: String, w: Int = 1024,
       topK: Int = 20): DataFrame = {
@@ -981,16 +986,19 @@ object TextOps {
         .cast("long"), lit(w.toLong)))
       .withColumn("h2", pmod(conv(substring(col("gh"), 17, 15), 16, 10)
         .cast("long"), lit(w.toLong)))
-    // the sketch: d=2 bounded counter rows — ≤ 2w keys ride this exchange
-    val counters = grams
-      .select(explode(array(
-        struct(lit(0).as("r"), col("h1").as("p")),
-        struct(lit(1).as("r"), col("h2").as("p")))).as("c"))
-      .select(col("c.r").as("r"), col("c.p").as("p"))
-      .groupBy(col("r"), col("p")).agg(count(lit(1)).as("cnt"))
-    // exact counts + deterministic top-k (count desc, shingle asc)
+    // exact counts: the one corpus-wide aggregation (both lanes ride it)
     val exact = grams.groupBy(col("sh"), col("h1"), col("h2"))
       .agg(count(lit(1)).as("n_exact"))
+    // the sketch: d=2 bounded counter rows — ≤ 2w keys ride this
+    // exchange, and its input is the distinct-gram aggregate, not the
+    // occurrence stream (identical sums by associativity)
+    val counters = exact
+      .select(explode(array(
+        struct(lit(0).as("r"), col("h1").as("p"), col("n_exact").as("n")),
+        struct(lit(1).as("r"), col("h2").as("p"), col("n_exact").as("n")))).as("c"))
+      .select(col("c.r").as("r"), col("c.p").as("p"), col("c.n").as("n"))
+      .groupBy(col("r"), col("p")).agg(sum(col("n")).as("cnt"))
+    // deterministic top-k (count desc, shingle asc)
     val perBucket = Window.partitionBy(pmod(col("h1"), lit(32L)))
       .orderBy(col("n_exact").desc, col("sh"))
     val global = Window.partitionBy().orderBy(col("n_exact").desc, col("sh"))

@@ -195,6 +195,21 @@ object Materializer {
     }
   }
 
+  /** The RETAINED manifest at `version`, or None once retired past the
+    * grace window — the state store's [[graft.operators.store
+    * .IndexManifest.readMetaAt]]: snapshot metadata (bucket dial,
+    * truncate watermarks, retention) resolves from the SNAPSHOT, not
+    * the head (a `graft_state_at` read across an intervening
+    * [[rebucket]] must plan with the pinned version's dial).
+    */
+  private[graft] def readManifestAt(stateDir: String, version: Long,
+      conf: Configuration = WalSegments.localConf): Option[Manifest] = {
+    val (fs, _) = WalSegments.fsFor(stateDir, conf)
+    try Some(parseManifest(
+      readFully(fs, new Path(stateDir, manifestFile(version)))))
+    catch { case _: java.io.IOException => None }
+  }
+
   /** How many manifest versions stay on disk after a commit. This is the
     * store's READ GRACE WINDOW, for manifests and leaves alike: a reader
     * that planned its scan against any retained manifest finds every leaf
@@ -670,7 +685,7 @@ object Materializer {
       rewritten.map(b => b -> leafName(b, nextVersion)).toMap
     commitManifest(fs, stateDir, Manifest(nextVersion, newLeaves,
       manifest.writerEpoch, manifest.writerId, spec.buckets,
-      manifest.truncates))
+      manifest.truncates, manifest.retain))
     // compacted-away leaves keep the same reader grace window as apply:
     // the sweep only collects leaves no retained manifest references
     sweepUnreferenced(fs, stateDir)
@@ -722,7 +737,7 @@ object Materializer {
       }.toMap
     commitManifest(fs, stateDir, Manifest(nextVersion, newLeaves,
       manifest.writerEpoch, manifest.writerId, newBuckets,
-      manifest.truncates))
+      manifest.truncates, manifest.retain))
     sweepUnreferenced(fs, stateDir)
   }
 

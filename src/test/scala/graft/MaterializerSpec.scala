@@ -497,4 +497,31 @@ class MaterializerSpec extends AnyFunSuite {
     Materializer.setRetention(dir, 3, token = Some(token))
     assert(Materializer.readManifest(dir).retain == 3)
   }
+
+  test("retention dial survives compact() and rebucket() maintenance commits") {
+    val dir = freshDir("retmaint")
+    Materializer.applyBatch(spark, dir, chg(
+      ("user", 1L, 1L, "insert", 10L),
+      ("user", 2L, 2L, "insert", 20L)), spec)                         // v1
+    Materializer.setRetention(dir, 5)                                 // v2
+    Materializer.applyBatch(spark, dir, chg(
+      ("user", 1L, 3L, "delete", 10L)), spec)                         // v3
+    // compact() drops the tombstone — the dial must ride its manifest
+    Materializer.compact(spark, dir, spec, floor = 3L)                // v4
+    assert(Materializer.readManifest(dir).retain == 5,
+      "compact() must propagate the retention dial")
+    // rebucket() rewrites the whole store — the dial must ride too
+    Materializer.rebucket(spark, dir, spec, newBuckets = 4)           // v5
+    val head = Materializer.readManifest(dir)
+    assert(head.retain == 5 && head.nbuckets == 4,
+      s"rebucket() must propagate the retention dial: $head")
+    // and the dialed window is still honored by the NEXT apply's retirement
+    val spec4 = spec.copy(buckets = 4)
+    (1 to 6).foreach { i =>                                           // v6..v11
+      Materializer.applyBatch(spark, dir, chg(
+        ("user", 2L, 10L + i, "update", 20L + i)), spec4)
+    }
+    assert(Materializer.currentStateAt(spark, dir, spec4, 6L).count() == 1L,
+      "the dialed 5-version window must survive maintenance commits")
+  }
 }
