@@ -136,6 +136,21 @@ object Bench {
           "4 appends + one NN-descent refine, computes the in-plan " +
           "brute-force ground truth (64 x corpus cosines — audit-sized, " +
           "never the serving path), and gates recall@1 >= 55%"),
+      jstr("pipe15") + ":" + jstr(
+        "whole-matrix audit like pipe14: each pass bootstraps SIX " +
+          "stores (2 lanes x 3 families) + THREE replicas and runs 9 " +
+          "sync cores (3 solo + 2x3 mixed-key fleet incl. the replay " +
+          "fixpoint) — the subject is per-family ReplicaKey routing + " +
+          "shared-key one-scan sharing, not throughput"),
+      jstr("sql03") + ":" + jstr(
+        "the figure includes the full dedup + Hamming index builds AND " +
+          "four eager exceptAll comparisons (SQL TVF vs Scala call, " +
+          "both screens, both directions) — audit cost; the TVF plans " +
+          "the identical group-pruned screen (PlanAuditSpec)"),
+      jstr("sql04") + ":" + jstr(
+        "includes PQ codebook training + graph build plus the four " +
+          "eager exceptAll identity comparisons; the TVF plans the " +
+          "identical cell-pruned search (PlanAuditSpec)"),
       jstr("txt20") + ":" + jstr(
         "r15 driver artifact recorded 14.6s min / 38.2s median vs 2.3s " +
           "committed on the same commit (no code change on the path); " +

@@ -75,6 +75,28 @@ object GraftExtensions {
         s"$fn: argument ${i + 1} must be an INT/BIGINT literal, got ${other.sql}")
     }
 
+  private def intArgOr(args: Seq[Expression], i: Int, fn: String,
+      default: Int): Int =
+    if (args.length > i) longArg(args, i, fn).toInt else default
+
+  /** A TVF argument naming the CALLER-SIDE relation (the batch to
+    * screen, the queries to search with): the name of a registered
+    * temp view / table, resolved on the active session at plan time.
+    * SQL stages its input with `CREATE OR REPLACE TEMP VIEW batch AS
+    * ...`, then passes the view NAME — the one literal-argument shape
+    * a table function can carry a whole relation through.
+    */
+  private def viewArg(args: Seq[Expression], i: Int,
+      fn: String): org.apache.spark.sql.DataFrame = {
+    val name = strArg(args, i, fn)
+    try SparkSession.active.table(name)
+    catch { case e: org.apache.spark.sql.AnalysisException =>
+      throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must name a registered temp view/table " +
+          s"holding the input rows; '$name' did not resolve: ${e.getMessage}")
+    }
+  }
+
   /** The committed (or as-of) read as a LOGICAL PLAN: the stock parquet
     * scan of `<path>/<rel>` leaf-pruned to the resolved manifest — the
     * tombstone relation (`rel == "tombs"`) prunes on the manifest's
@@ -135,6 +157,218 @@ object GraftExtensions {
     spark.createDataFrame(rows.asJava, schema).queryExecution.logical
   }
 
+  /** One row per STORE under a root path — the fleet-discovery catalog
+    * (compose with [[graft_index_history]] / [[graft_index_meta]] for
+    * drill-down): child directories holding a committed manifest list
+    * with their family (inferred from which relation dirs exist), head
+    * version, group dial, leaf/tomb census, and dialed retention — an
+    * auditor enumerates a deployment's stores without deployment
+    * knowledge. Metadata-only: one FS listing + one manifest read per
+    * store, no data scan.
+    */
+  private def storesPlan(root: String): LogicalPlan = {
+    val spark = SparkSession.active
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    val (fs, rootPath) = graft.sources.cdc.WalSegments.fsFor(root)
+    val kids =
+      try fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath).toSeq
+      catch { case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(s"graft_stores: $root does not exist")
+      }
+    val relFamilies = Seq("bands" -> "dedup", "codes" -> "vector",
+      "edges" -> "graph", "hashes" -> "ahash", "chunks" -> "hamming")
+    val rows: Seq[Row] = kids.flatMap { p =>
+      IndexManifest.readMeta(p.toString).map { m =>
+        val fams = relFamilies.collect {
+          case (rel, fam) if fs.exists(new Path(p, rel)) => fam
+        }
+        Row(p.getName, if (fams.isEmpty) "unknown" else fams.mkString("+"),
+          m.version, m.groups, m.leaves.size, m.tombs.size,
+          IndexManifest.retentionOf(m))
+      }.orElse {
+        // a Materializer STATE store (the CDC replica) catalogs too:
+        // family "state", the bucket dial in the groups column (both
+        // are the store's partition dial), tombstones not tracked as
+        // leaves (they are rows) — 0 by convention
+        val m = graft.streaming.Materializer.readManifest(p.toString)
+        if (m.version > 0L)
+          Some(Row(p.getName, "state", m.version, m.nbuckets,
+            m.leaves.size, 0, graft.streaming.Materializer.retentionOf(m)))
+        else None
+      }
+    }.sortBy(_.getString(0))
+    // encoder-free construction — the REPL-classloader rule (historyPlan)
+    val schema = StructType(Seq(
+      StructField("store", StringType, nullable = false),
+      StructField("family", StringType, nullable = false),
+      StructField("version", LongType, nullable = false),
+      StructField("groups", IntegerType, nullable = false),
+      StructField("n_leaves", IntegerType, nullable = false),
+      StructField("n_tombs", IntegerType, nullable = false),
+      StructField("retain", IntegerType, nullable = false)))
+    spark.createDataFrame(rows.asJava, schema).queryExecution.logical
+  }
+
+  /** The SEARCH table functions — the engine's signature operations
+    * reachable from plain SQL, planning the IDENTICAL logical plan as
+    * the Scala calls (same group/cell prune, same tombstone anti-join,
+    * same manifest snapshot — sql03/sql04 gate row-identity and
+    * PlanAuditSpec pins the prunes):
+    *
+    * {{{
+    *   CREATE OR REPLACE TEMP VIEW batch AS SELECT ...;   -- stage input
+    *   SELECT * FROM graft_screen('/indexes/neardup', 'batch')
+    *   SELECT * FROM graft_screen_hamming('/indexes/images', 'batch', 3)
+    *   SELECT * FROM graft_topk('/indexes/vectors', 'queries', 'corpus_emb', 4, 5)
+    *   SELECT * FROM graft_graph_topk('/indexes/graph', 'corpus_emb',
+    *                                  'queries', 'seeds', 2, 8, 1)
+    *   SELECT * FROM graft_stores('/indexes')             -- fleet catalog
+    * }}}
+    *
+    * Relation-valued inputs (the batch to screen, the queries, the
+    * embedding provider, the seeds) pass as temp-view NAMES — string
+    * literals, the one shape a SQL TVF argument can carry a relation
+    * through; scalar dials are optional trailing INT literals with the
+    * Scala defaults.
+    */
+  private def searchFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] = Seq(
+    (FunctionIdentifier("graft_screen"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_screen"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2 && args.length <= 4,
+          s"graft_screen expects (path, batch_view [, num_hashes, bands])," +
+            s" got ${args.length} arguments")
+        graft.operators.dedup.Dedup.screenAgainstIndex(SparkSession.active,
+          strArg(args, 0, "graft_screen"), viewArg(args, 1, "graft_screen"),
+          intArgOr(args, 2, "graft_screen", 64),
+          intArgOr(args, 3, "graft_screen", 16))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_screen_hamming"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "graft_screen_hamming"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2 && args.length <= 3,
+          s"graft_screen_hamming expects (path, batch_view [, max_dist])," +
+            s" got ${args.length} arguments")
+        graft.operators.multimodal.Multimodal.screenAhashHamming(
+          SparkSession.active, strArg(args, 0, "graft_screen_hamming"),
+          viewArg(args, 1, "graft_screen_hamming"),
+          intArgOr(args, 2, "graft_screen_hamming", 3))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_topk"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 3 && args.length <= 6,
+          s"graft_topk expects (path, queries_view, emb_view [, nprobe, " +
+            s"k, rerank]), got ${args.length} arguments")
+        graft.operators.ann.PqIndex.topKIvfAgainst(SparkSession.active,
+          strArg(args, 0, "graft_topk"), viewArg(args, 1, "graft_topk"),
+          viewArg(args, 2, "graft_topk"),
+          intArgOr(args, 3, "graft_topk", 4),
+          intArgOr(args, 4, "graft_topk", 5),
+          intArgOr(args, 5, "graft_topk", 32))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_graph_topk"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "graft_graph_topk"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 4 && args.length <= 7,
+          s"graft_graph_topk expects (path, emb_view, queries_view, " +
+            s"seeds_view [, hops, beam, k]), got ${args.length} arguments")
+        graft.operators.ann.KnnGraph.searchTopK(SparkSession.active,
+          strArg(args, 0, "graft_graph_topk"),
+          viewArg(args, 1, "graft_graph_topk"),
+          viewArg(args, 2, "graft_graph_topk"),
+          viewArg(args, 3, "graft_graph_topk"),
+          intArgOr(args, 4, "graft_graph_topk", 2),
+          intArgOr(args, 5, "graft_graph_topk", 8),
+          intArgOr(args, 6, "graft_graph_topk", 5))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_stores"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_stores"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"graft_stores expects (root), got ${args.length} arguments")
+        storesPlan(strArg(args, 0, "graft_stores"))
+      }),
+    // the TIME-TRAVEL search lane from SQL — the as-of variants pin the
+    // snapshot exactly like the Scala At-calls (leaves, dial, AND the
+    // tombstone set resolve from the retained version; beyond-window
+    // asks throw the loud window error): "what did this batch collide
+    // with AS OF the nightly mark" without Scala, the dd23/ann25 rule
+    (FunctionIdentifier("graft_screen_at"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "graft_screen_at"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 3 && args.length <= 5,
+          s"graft_screen_at expects (path, batch_view, version " +
+            s"[, num_hashes, bands]), got ${args.length} arguments")
+        graft.operators.dedup.Dedup.screenAgainstIndexAt(
+          SparkSession.active, strArg(args, 0, "graft_screen_at"),
+          viewArg(args, 1, "graft_screen_at"),
+          longArg(args, 2, "graft_screen_at"),
+          intArgOr(args, 3, "graft_screen_at", 64),
+          intArgOr(args, 4, "graft_screen_at", 16))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_screen_hamming_at"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "graft_screen_hamming_at"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 3 && args.length <= 4,
+          s"graft_screen_hamming_at expects (path, batch_view, version " +
+            s"[, max_dist]), got ${args.length} arguments")
+        graft.operators.multimodal.Multimodal.screenAhashHammingAt(
+          SparkSession.active, strArg(args, 0, "graft_screen_hamming_at"),
+          viewArg(args, 1, "graft_screen_hamming_at"),
+          longArg(args, 2, "graft_screen_hamming_at"),
+          intArgOr(args, 3, "graft_screen_hamming_at", 3))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_topk_at"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_topk_at"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 4 && args.length <= 7,
+          s"graft_topk_at expects (path, queries_view, emb_view, version " +
+            s"[, nprobe, k, rerank]), got ${args.length} arguments")
+        graft.operators.ann.PqIndex.topKIvfAgainstAt(SparkSession.active,
+          strArg(args, 0, "graft_topk_at"),
+          viewArg(args, 1, "graft_topk_at"),
+          viewArg(args, 2, "graft_topk_at"),
+          longArg(args, 3, "graft_topk_at"),
+          intArgOr(args, 4, "graft_topk_at", 4),
+          intArgOr(args, 5, "graft_topk_at", 5),
+          intArgOr(args, 6, "graft_topk_at", 32))
+          .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_graph_topk_at"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "graft_graph_topk_at"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 5 && args.length <= 8,
+          s"graft_graph_topk_at expects (path, emb_view, queries_view, " +
+            s"seeds_view, version [, hops, beam, k]), got ${args.length} " +
+            "arguments")
+        graft.operators.ann.KnnGraph.searchTopKAt(SparkSession.active,
+          strArg(args, 0, "graft_graph_topk_at"),
+          viewArg(args, 1, "graft_graph_topk_at"),
+          viewArg(args, 2, "graft_graph_topk_at"),
+          viewArg(args, 3, "graft_graph_topk_at"),
+          longArg(args, 4, "graft_graph_topk_at"),
+          intArgOr(args, 5, "graft_graph_topk_at", 2),
+          intArgOr(args, 6, "graft_graph_topk_at", 8),
+          intArgOr(args, 7, "graft_graph_topk_at", 5))
+          .queryExecution.logical
+      }))
+
   /** The TVF descriptions — one list serves builder-time injection and
     * live-session registration.
     */
@@ -193,12 +427,13 @@ object GraftExtensions {
         require(args.length == 3 || args.length == 4,
           s"graft_state_at expects (path, key_cols, version [, buckets]), " +
             s"got ${args.length}")
-        val (path, spec) = stateSpec(args, "graft_state_at", bucketsAt = 3)
+        val at = longArg(args, 2, "graft_state_at")
+        val (path, spec) = stateSpec(args, "graft_state_at", bucketsAt = 3,
+          at = Some(at))
         graft.streaming.Materializer
-          .currentStateAt(SparkSession.active, path, spec,
-            longArg(args, 2, "graft_state_at"))
+          .currentStateAt(SparkSession.active, path, spec, at)
           .queryExecution.logical
-      }))
+      })) ++ searchFunctions
 
   /** The CDC replica rows need a [[graft.streaming.Materializer.Spec]]:
     * key columns come from the caller (a comma-separated literal — the
@@ -208,7 +443,8 @@ object GraftExtensions {
     * (required for legacy stores that predate the recorded dial).
     */
   private def stateSpec(args: Seq[Expression], fn: String,
-      bucketsAt: Int): (String, graft.streaming.Materializer.Spec) = {
+      bucketsAt: Int, at: Option[Long] = None):
+      (String, graft.streaming.Materializer.Spec) = {
     val path = strArg(args, 0, fn)
     val keys = strArg(args, 1, fn).split(",").map(_.trim)
       .filter(_.nonEmpty).toSeq
@@ -216,10 +452,19 @@ object GraftExtensions {
     val buckets =
       if (args.length > bucketsAt) longArg(args, bucketsAt, fn).toInt
       else {
-        val nb = graft.streaming.Materializer.readManifest(path).nbuckets
-        require(nb > 0, s"$fn: $path records no bucket dial (legacy " +
-          "store) — pass buckets as the trailing argument")
-        nb
+        val head = graft.streaming.Materializer.readManifest(path)
+        if (head.version == 0L) throw new IllegalArgumentException(
+          s"$fn: $path holds no materialized state (no manifest)")
+        // an as-of read resolves the SNAPSHOT's dial: across an
+        // intervening rebucket the head's count would mis-plan the
+        // pinned version's leaves (not-retained falls through to the
+        // head — currentStateAt then throws the loud window error)
+        val m = at.flatMap(v =>
+          graft.streaming.Materializer.readManifestAt(path, v))
+          .getOrElse(head)
+        require(m.nbuckets > 0, s"$fn: $path records no bucket dial " +
+          "(legacy store) — pass buckets as the trailing argument")
+        m.nbuckets
       }
     (path, graft.streaming.Materializer.Spec(keyCols = keys,
       buckets = buckets))
@@ -234,8 +479,16 @@ object GraftExtensions {
     * get the SQL surface this way.
     */
   def registerIndexTableFunctions(spark: SparkSession): Unit = {
-    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.tableFunctionRegistry
+    val reg = spark match {
+      case s: org.apache.spark.sql.classic.SparkSession =>
+        s.sessionState.tableFunctionRegistry
+      case other => throw new IllegalStateException(
+        "graft TVF registration requires a classic (JVM-embedded) " +
+          s"SparkSession; got ${other.getClass.getName} — a Spark " +
+          "Connect client cannot register plan-time table functions; " +
+          "set spark.sql.extensions=graft.GraftExtensions on the " +
+          "SERVER instead")
+    }
     tableFunctions.foreach { case (id, info, builder) =>
       reg.registerFunction(id, info, builder)
     }

@@ -50,11 +50,22 @@ object KnnGraph {
     pmod(xxhash64(col("vec_id")), lit(groups.toLong)).cast("int")
 
   /** How many hub ids ride the manifest — the seed pool [[hubIds]]
-    * serves without scanning the store.
+    * serves without scanning the store. This is the DEFAULT; each
+    * store can dial its own pool size via the `hubs_n` manifest param
+    * ([[setHubCount]] — the `retain` treatment: seed-pool size is the
+    * recall/cost knob for graph search, so it belongs to the store,
+    * not the binary).
     */
-  private val HubCount = 64
+  private val DefaultHubCount = 64
 
-  /** The next commit's hub list: the HubCount smallest vec_ids of
+  /** The store's dialed pool size: `hubs_n` param, default
+    * [[DefaultHubCount]] — pre-dial manifests keep the default.
+    */
+  private def hubCountOf(meta: Option[IndexManifest.Meta]): Int =
+    meta.flatMap(_.params.get("hubs_n")).map(_.trim).filter(_.nonEmpty)
+      .map(_.toInt).filter(_ >= 1).getOrElse(DefaultHubCount)
+
+  /** The next commit's hub list: the `hubN` (store-dialed) smallest vec_ids of
     * (prior hubs ∪ the just-written leaf's vertices). The leaf read-back
     * is a partition-pruned TakeOrdered over ONE leaf — batch-sized for
     * appends, so maintaining the pool costs O(batch) there. [[merge]] is
@@ -71,7 +82,7 @@ object KnnGraph {
     * it, contradicting the rule above).
     */
   private def nextHubs(spark: SparkSession, indexDir: String,
-      leafDir: String, prior: Seq[Long],
+      leafDir: String, prior: Seq[Long], hubN: Int,
       exclude: Option[DataFrame] = None): Seq[Long] = {
     val freshBase = spark.read.parquet(s"$indexDir/edges")
       .filter(col("leaf") === leafDir)
@@ -79,9 +90,9 @@ object KnnGraph {
     val fresh = exclude.fold(freshBase)(t =>
         freshBase.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"),
           "left_anti"))
-      .orderBy(col("vec_id")).limit(HubCount)
+      .orderBy(col("vec_id")).limit(hubN)
       .collect().map(_.getLong(0)).toSeq
-    (prior ++ fresh).distinct.sorted.take(HubCount)
+    (prior ++ fresh).distinct.sorted.take(hubN)
   }
 
   private def hubsParam(meta: IndexManifest.Meta): Seq[Long] =
@@ -148,6 +159,7 @@ object KnnGraph {
       .write.partitionBy("ggrp", "leaf")
       .mode("append").parquet(s"$indexDir/edges")
     val spark = edges.sparkSession
+    val hubN = hubCountOf(Some(meta))
     // prior pool for the fold: a replace commit drops it (the new leaf
     // IS the store); a PRE-POOL store (committed before the pool
     // existed, or a merge destination upgraded mid-life) enrolls from
@@ -163,10 +175,10 @@ object KnnGraph {
         else IndexManifest.committedOnly(
             spark.read.parquet(s"$indexDir/edges"), Some(meta.leaves))
           .select(col("vec_id")).distinct()
-          .orderBy(col("vec_id")).limit(HubCount)
+          .orderBy(col("vec_id")).limit(hubN)
           .collect().map(_.getLong(0)).toSeq
       }
-    val hubs = nextHubs(spark, indexDir, leafDir, prior)
+    val hubs = nextHubs(spark, indexDir, leafDir, prior, hubN)
     val params = meta.params + ("hubs" -> hubs.mkString(",")) ++
       (if (replace) Map("donetags" -> retiredTags(meta)) else Map.empty)
     IndexManifest.commit(indexDir, meta.copy(version = meta.version + 1,
@@ -307,22 +319,55 @@ object KnnGraph {
     * otherwise make "per-increment cost independent of corpus size"
     * false. Stores committed before the pool existed fall back to the
     * scan (their next commit enrolls them), and so does a caller asking
-    * for MORE seeds than the pool holds ([[HubCount]]) on a store with
-    * at least that many vertices — a pool of exactly HubCount entries
-    * is a prefix, not the full sorted vertex set, so serving
-    * `pooled.take(n)` there would silently cap the caller's seed count.
-    * A pool SHORTER than HubCount is by construction the store's entire
-    * vertex set and serves any n exactly.
+    * for MORE seeds than the pool holds (the store's dialed `hubs_n`,
+    * default [[DefaultHubCount]]) on a store with at least that many
+    * vertices — a pool of exactly `hubs_n` entries is a prefix, not
+    * the full sorted vertex set, so serving `pooled.take(n)` there
+    * would silently cap the caller's seed count. A pool SHORTER than
+    * `hubs_n` is by construction the store's entire vertex set (the
+    * invariant [[setHubCount]] restores at every dial change) and
+    * serves any n exactly.
     */
   private[graft] def hubIds(spark: SparkSession, indexDir: String,
       n: Int): DataFrame = {
-    val pooled = metaOf(indexDir).map(hubsParam).getOrElse(Seq.empty)
-    if (pooled.nonEmpty && (n <= pooled.size || pooled.size < HubCount)) {
+    val meta = metaOf(indexDir)
+    val hubN = hubCountOf(meta)
+    val pooled = meta.map(hubsParam).getOrElse(Seq.empty)
+    if (pooled.nonEmpty && (n <= pooled.size || pooled.size < hubN)) {
       import spark.implicits._
       pooled.take(n).toDF("vec_id")
     } else
       edges(spark, indexDir).select(col("vec_id")).distinct()
         .orderBy(col("vec_id")).limit(n)
+  }
+
+  /** Dial the store's hub-pool size — `hubs_n` rides the manifest (the
+    * `retain` treatment: the seed pool is graph search's recall/cost
+    * knob, so its size belongs to the STORE, not the binary), honored
+    * by every later commit's pool maintenance and served by [[hubIds]].
+    * Dialing UP re-enrolls the pool from the full committed scan HERE,
+    * once, offline — without it a 64-entry pool under a 128 dial would
+    * read as "the whole store" and silently cap seed counts (the
+    * [[hubIds]] invariant: a pool shorter than `hubs_n` IS the entire
+    * vertex set). Dialing DOWN truncates the pool — metadata only.
+    * Commits exclusively like any manifest publish; run it like
+    * `regroup`: offline, between crawl increments.
+    */
+  def setHubCount(spark: SparkSession, indexDir: String, n: Int): Unit = {
+    require(n >= 1, s"hubs_n must be >= 1, got $n")
+    val meta = metaOf(indexDir).getOrElse(throw new IllegalStateException(
+      s"$indexDir holds no committed k-NN graph (build first)"))
+    val pooled = hubsParam(meta)
+    val pool =
+      if (n <= pooled.size || meta.leaves.isEmpty) pooled.take(n)
+      else IndexManifest.committedOnly(
+          spark.read.parquet(s"$indexDir/edges"), Some(meta.leaves))
+        .select(col("vec_id")).distinct()
+        .orderBy(col("vec_id")).limit(n)
+        .collect().map(_.getLong(0)).toSeq
+    IndexManifest.commit(indexDir, meta.copy(version = meta.version + 1,
+      params = meta.params ++ Map(
+        "hubs_n" -> n.toString, "hubs" -> pool.mkString(","))))
   }
 
   /** Link a new batch into the committed graph — the crawl-increment
@@ -514,16 +559,18 @@ object KnnGraph {
     // committed scan, the commitLeaf rule.
     val ridden = srcDirs.flatMap(tombstones(spark, _))
       .reduceOption(_ unionByName _)
+    val hubN = hubCountOf(Some(dest))
     val prior = {
       val pooled = hubsParam(dest)
       if (pooled.nonEmpty || dest.leaves.isEmpty) pooled
       else IndexManifest.committedOnly(
           spark.read.parquet(s"$destDir/edges"), Some(dest.leaves))
         .select(col("vec_id")).distinct()
-        .orderBy(col("vec_id")).limit(HubCount)
+        .orderBy(col("vec_id")).limit(hubN)
         .collect().map(_.getLong(0)).toSeq
     }
-    val hubs = nextHubs(spark, destDir, leafDir, prior, exclude = ridden)
+    val hubs = nextHubs(spark, destDir, leafDir, prior, hubN,
+      exclude = ridden)
     IndexManifest.commit(destDir, dest.copy(version = dest.version + 1,
       leaves = dest.leaves :+ leafDir,
       tombs = dest.tombs ++ tombsMerged,

@@ -2896,6 +2896,30 @@ SELECT f.family, nd.n AS n_del_solo, na.n AS n_add_solo,
 FROM (VALUES ('ahash'), ('dedup'), ('graph'), ('vector')) f(family), nd, na
 ORDER BY family""",
 
+    // pipe15: the mixed-key fleet — dedup follows the docs table
+    // (bootstrap %3, deletes %9 ⊂ the bootstrap slice, so every
+    // deleted id was indexed), vector+graph share the vecs key
+    // (bootstrap %3, deletes %7: only %21 ids are both indexed and
+    // dead; adds are the alive-and-unindexed %7≠0 ∧ %3≠0 ids); solo ==
+    // fleet per family by construction
+    "pipe15_sync_mixed_fleet" -> """
+WITH dids AS (SELECT doc_id AS id FROM documents
+  WHERE text IS NOT NULL AND doc_id < 600),
+ vids AS (SELECT vec_id AS id FROM embeddings WHERE vec_id < 500),
+ dd AS (SELECT
+   (SELECT CAST(count(*) AS BIGINT) FROM dids WHERE id % 9 = 0) AS ndel,
+   (SELECT CAST(count(*) AS BIGINT) FROM dids WHERE id % 3 <> 0) AS nadd),
+ vv AS (SELECT
+   (SELECT CAST(count(*) AS BIGINT) FROM vids WHERE id % 21 = 0) AS ndel,
+   (SELECT CAST(count(*) AS BIGINT) FROM vids
+     WHERE id % 7 <> 0 AND id % 3 <> 0) AS nadd)
+SELECT 'dedup' AS family, dd.ndel AS n_del_solo, dd.nadd AS n_add_solo,
+  dd.ndel AS n_del_fleet, dd.nadd AS n_add_fleet, true AS census_match
+FROM dd
+UNION ALL SELECT 'graph', vv.ndel, vv.nadd, vv.ndel, vv.nadd, true FROM vv
+UNION ALL SELECT 'vector', vv.ndel, vv.nadd, vv.ndel, vv.nadd, true FROM vv
+ORDER BY family""",
+
     // sql01: the SQL read surface — TVF reads of the two-fold dedup
     // store: eligible (>=3-token) docs fold 16 band rows each, the
     // as-of lane pins the even-docs-only v1 snapshot (no tombstone
@@ -2932,6 +2956,72 @@ UNION ALL
 SELECT 'now', (SELECT count(*) FROM ids WHERE id % 4 <> 0),
   CAST(0 AS BIGINT)
 ORDER BY lane""",
+
+    // sql03: the SEARCHES from SQL — the gated rows are the planted-
+    // exact-copy relations (batch = every doc at +100000): the dedup
+    // screen matches every >=3-token doc at jaccard 1.0, the Hamming
+    // screen every doc at distance 0 (formula hashes — identity needs
+    // no machinery mirror); n_mismatch = 0 gates the SQL TVF row-
+    // identical to the Scala call in both lanes
+    "sql03_screen_tvf" -> """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents),
+ e AS (SELECT doc_id FROM t WHERE len(toks) >= 3)
+SELECT 'dedup' AS lane, doc_id + 100000 AS batch_id, doc_id AS corpus_id,
+  CAST(1.0 AS DOUBLE) AS score, CAST(0 AS BIGINT) AS n_mismatch
+FROM e
+UNION ALL
+SELECT 'hamming', doc_id + 100000, doc_id, CAST(0.0 AS DOUBLE),
+  CAST(0 AS BIGINT)
+FROM documents
+ORDER BY lane, batch_id""",
+
+    // sql04: vector + graph search from SQL — ann08's planting (top-1
+    // = the +100000 appended copy at sim 1.0) and ann20's (query =
+    // +200000 copy seeded at itself, answer = the original) through
+    // the TVF lane; n_mismatch = 0 gates SQL == Scala in both lanes
+    "sql04_topk_tvf" -> """
+SELECT 'graph' AS lane, vec_id + 200000 AS query_id, vec_id AS match_id,
+  CAST(1.0 AS DOUBLE) AS sim, CAST(0 AS BIGINT) AS n_mismatch
+FROM embeddings WHERE vec_id < 64
+UNION ALL
+SELECT 'vector', vec_id, vec_id + 100000, CAST(1.0 AS DOUBLE),
+  CAST(0 AS BIGINT)
+FROM embeddings WHERE vec_id < 64
+ORDER BY lane, query_id""",
+
+    // sql05: fleet discovery — the dedup store's lifecycle lands at
+    // v4 (two folds, one tombstone, the retention dial at 5), the
+    // Hamming store at v1 (one fold); hist_match pins the catalog to
+    // each store's graft_index_history head row
+    "sql05_stores_tvf" -> """
+SELECT 'images' AS store, 'hamming' AS family, CAST(1 AS BIGINT) AS version,
+  32 AS groups, 1 AS n_leaves, 0 AS n_tombs, 8 AS retain,
+  true AS hist_match
+UNION ALL
+SELECT 'neardup', 'dedup', CAST(4 AS BIGINT), 32, 2, 1, 5, true
+ORDER BY store""",
+
+    // sql06: time-travel SEARCH from SQL — the as-of lane answers from
+    // the even-docs-only v1 snapshot (doc 0's later tombstone invisible
+    // there), the now lane sees every eligible doc minus the tombstoned
+    // 0; n_mismatch = 0 gates each lane row-identical to the Scala
+    // At-call
+    "sql06_screen_at_tvf" -> """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents),
+ e AS (SELECT doc_id FROM t WHERE len(toks) >= 3)
+SELECT 'asof' AS lane, doc_id + 100000 AS batch_id, doc_id AS corpus_id,
+  CAST(0 AS BIGINT) AS n_mismatch
+FROM e WHERE doc_id % 2 = 0
+UNION ALL
+SELECT 'now', doc_id + 100000, doc_id, CAST(0 AS BIGINT)
+FROM e WHERE doc_id <> 0
+ORDER BY lane, batch_id""",
 
     // ann25: the filtered TIME-TRAVEL audit — at the v2 mark every
     // query matches its same-label +200000 twin at sim 1.0 (the

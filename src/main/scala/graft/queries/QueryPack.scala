@@ -448,6 +448,13 @@ object QueryPack {
     // censuses gated identical to the four individual facades, fleet
     // replay a (0,0) fixpoint everywhere
     "pipe14_sync_all_fleet" -> ((s, d) => replicaSyncAllFleet(s, d)),
+    // the MIXED-KEY fleet: one multiplexed replica (a 'docs' table and
+    // a 'vecs' table in the same store), each family keyed by its own
+    // ReplicaKey (id column + table predicate) — dedup follows docs,
+    // vector+graph share the vecs key (and its ONE scan pair); census
+    // gated identical to solo facades over dedicated replicas, replay
+    // a fixpoint
+    "pipe15_sync_mixed_fleet" -> ((s, d) => replicaSyncMixedFleet(s, d)),
 
     // ---- SQL read surface over the persisted stores ----
     // the graft_index / graft_index_at / graft_index_meta TVFs: pure-SQL
@@ -459,6 +466,27 @@ object QueryPack {
     // the Materializer store (bucket dial from the store's manifest),
     // now + as-of lanes gated row-identical to the Scala-API read
     "sql02_state_tvf" -> ((s, d) => stateTvfAudit(s, d)),
+    // the SEARCHES from SQL, not just the storage: graft_screen runs
+    // the dedup LSH screen and graft_screen_hamming the MIH Hamming
+    // screen from plain SQL (batch staged as a temp view), each gated
+    // row-identical to the Scala call (n_mismatch = 0) with the
+    // planted-exact-copy relation riding the output
+    "sql03_screen_tvf" -> ((s, d) => screenTvfAudit(s, d)),
+    // graft_topk (IVF+PQ search) and graft_graph_topk (greedy beam
+    // search over the persisted k-NN graph) from SQL — ann08's and
+    // ann20's planted theorems through the TVF lane, SQL == Scala
+    // row-identity folded into every row
+    "sql04_topk_tvf" -> ((s, d) => topkTvfAudit(s, d)),
+    // graft_stores: fleet discovery — one catalog row per store under
+    // a root path (family inferred from relation dirs, head version,
+    // dial, census, retention), cross-checked against each store's
+    // graft_index_history head row
+    "sql05_stores_tvf" -> ((s, d) => storesTvfAudit(s, d)),
+    // the TIME-TRAVEL search from SQL: graft_screen_at pins the
+    // snapshot (later folds invisible, later tombstones still match)
+    // and the now lane sees both — each lane gated row-identical to
+    // the Scala At-call
+    "sql06_screen_at_tvf" -> ((s, d) => screenAtTvfAudit(s, d)),
 
     // ---- training prep (decontaminate / split / pack / pii / quantize) ----
     "tp01_decontaminate" -> ((s, d) => TrainPrep.decontaminate(s, d)),
@@ -1284,6 +1312,92 @@ object QueryPack {
     out
   }
 
+  /** pipe15's driver-checked shape — the MIXED-KEY fleet
+    * ([[graft.streaming.Graft.syncAllIndexesKeyed]]): a deployment
+    * whose dedup index follows one replica table while its vector and
+    * graph stores follow another must still run as ONE fleet call. The
+    * fixture multiplexes a `docs` table (deletes on the %9 wave) and a
+    * `vecs` table (deletes on the %7 wave) into one state store; the
+    * fleet keys dedup on `table_name = 'docs'` and vector+graph on a
+    * SHARED `table_name = 'vecs'` ReplicaKey (one live/dead scan pair
+    * serves both — the scan-count minimality is spec-asserted against
+    * [[graft.streaming.Materializer.stateReads]]). The gated relation
+    * compares each family's fleet census against a SOLO facade run
+    * over a dedicated single-table replica with identical content —
+    * same deletes, same adds, `census_match` true — and the replayed
+    * fleet cycle must be a (0,0) fixpoint.
+    */
+  def replicaSyncMixedFleet(spark: SparkSession, d: String): DataFrame = {
+    import graft.streaming.{Graft, Materializer}
+    import graft.operators.ann.{KnnGraph, PqIndex}
+    val docs = Tables.spread(Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull && col("doc_id") < 600))
+      .cache()
+    val dIds = docs.select(col("doc_id").as("id"))
+    val emb = Tables.spread(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 500)).cache()
+    val vIds = emb.select(col("vec_id").as("id"))
+    val spec = Materializer.Spec(
+      keyCols = Seq("table_name", "record_id"), buckets = 16)
+    def rows(ids: DataFrame, table: String, deleteMod: Int): DataFrame =
+      ids.select(lit(table).as("table_name"), col("id").as("record_id"),
+          col("id").as("seq"), lit("insert").as("op"))
+        .unionByName(ids.filter(col("id") % deleteMod === 0)
+          .select(lit(table).as("table_name"), col("id").as("record_id"),
+            (col("id") + 1000000L).as("seq"), lit("delete").as("op")))
+    // the multiplexed store (the fleet's subject) + two dedicated
+    // single-table replicas (the solo lanes' ground truth)
+    val mixDir = graft.Tables.scratchDir("graft_p15_mix")
+    Materializer.applyBatch(spark, mixDir,
+      rows(dIds, "docs", 9).unionByName(rows(vIds, "vecs", 7)), spec)
+    val docDir = graft.Tables.scratchDir("graft_p15_docs")
+    Materializer.applyBatch(spark, docDir, rows(dIds, "docs", 9), spec)
+    val vecDir = graft.Tables.scratchDir("graft_p15_vecs")
+    Materializer.applyBatch(spark, vecDir, rows(vIds, "vecs", 7), spec)
+    def boot(px: String): (String, String, String) = {
+      val dd = graft.Tables.scratchDir(s"graft_p15_${px}_d")
+      val v = s"${graft.Tables.scratchDir(s"graft_p15_${px}_v")}/idx"
+      val g = s"${graft.Tables.scratchDir(s"graft_p15_${px}_g")}/graph"
+      Dedup.dedupIndexAppend(docs.filter(col("doc_id") % 3 === 0), dd,
+        "bootstrap", bid = 0L)
+      PqIndex.build(emb.filter(col("vec_id") % 3 === 0), v)
+      KnnGraph.build(emb.filter(col("vec_id") % 3 === 0), g, "bootstrap",
+        nlist = 1)
+      (dd, v, g)
+    }
+    val (sd, sv, sg) = boot("solo")
+    val (fd, fv, fg) = boot("fleet")
+    val solo = Map(
+      "dedup" -> Graft.syncDedupIndex(spark, docDir, spec,
+        "record_id", docs, sd, "cycle1", bid = 1L),
+      "vector" -> Graft.syncVectorIndex(spark, vecDir, spec,
+        "record_id", sv, emb, "cycle1"),
+      "graph" -> Graft.syncGraphIndex(spark, vecDir, spec,
+        "record_id", emb, sg, "cycle1"))
+    val docsKey = Graft.ReplicaKey("record_id", Some("table_name = 'docs'"))
+    val vecsKey = Graft.ReplicaKey("record_id", Some("table_name = 'vecs'"))
+    def fleetCycle(): Map[String, (Long, Long)] =
+      Graft.syncAllIndexesKeyed(spark, mixDir, spec, "cycle1",
+        dedup = Some((docsKey, fd, docs, 1L)),
+        vector = Some((vecsKey, fv, emb)),
+        graph = Some((vecsKey, fg, emb)))
+    val fleet = fleetCycle()
+    val replay = fleetCycle()
+    require(replay.values.forall(_ == ((0L, 0L))),
+      s"replayed mixed-key fleet cycle must be a fixpoint: $replay")
+    import spark.implicits._
+    val out = Seq("dedup", "graph", "vector").map { fam =>
+      val (sd1, sa1) = solo(fam)
+      val (fd1, fa1) = fleet(fam)
+      (fam, sd1, sa1, fd1, fa1, sd1 == fd1 && sa1 == fa1)
+    }.toDF("family", "n_del_solo", "n_add_solo", "n_del_fleet",
+      "n_add_fleet", "census_match").orderBy(col("family"))
+    docs.unpersist(); emb.unpersist()
+    out
+  }
+
   /** sql01's driver-checked shape — the SQL READ SURFACE over a
     * persisted store ([[graft.GraftExtensions]] index TVFs): an analyst
     * with no Scala must be able to read, audit, and time-travel any
@@ -1395,6 +1509,232 @@ object QueryPack {
         spark.sql(s"SELECT * FROM graft_state('$stateDir', '$keys')"),
         Materializer.currentState(spark, stateDir, spec)))
       .orderBy(col("lane"))
+  }
+
+  /** sql03's driver-checked shape — the SEARCHES from SQL: an analyst
+    * must be able to ask "what does this batch collide with" without
+    * Scala. The batch stages as a temp view (the one literal-argument
+    * shape a TVF can carry a relation through), `graft_screen` runs
+    * the full dedup LSH screen (group-pruned band scan, set verify,
+    * tombstone order) and `graft_screen_hamming` the 4×16-bit
+    * multi-index Hamming screen, and each lane folds a two-way
+    * `exceptAll` against the Scala call into `n_mismatch` — the SQL
+    * plan IS the Scala plan or the row breaks. The gated rows are the
+    * planted-exact-copy relation (batch = every doc re-arriving at
+    * +100000): dedup rows for every ≥3-token doc at jaccard 1.0,
+    * Hamming rows for every doc at distance 0 (hashes are md5-half
+    * formulas, so the oracle re-derives eligibility without mirroring
+    * any machinery).
+    */
+  def screenTvfAudit(spark: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.registerIndexTableFunctions(spark)
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val base = Tables.spread(docs)
+    val root = graft.Tables.scratchDir("graft_sql03")
+    val dDir = s"$root/neardup"
+    Dedup.dedupIndexAppend(base, dDir, "corpus")
+    val batch = base.select((col("doc_id") + 100000L).as("doc_id"),
+      col("text"))
+    batch.createOrReplaceTempView("graft_sql03_batch")
+    val dSql = spark.sql(
+      s"SELECT * FROM graft_screen('$dDir', 'graft_sql03_batch')")
+    val dApi = Dedup.screenAgainstIndex(spark, dDir, batch)
+    val dMm = dSql.exceptAll(dApi).count() + dApi.exceptAll(dSql).count()
+    val hashed = Tables.spread(docs.select(col("doc_id").as("media_id")))
+      .withColumn("gh", md5(col("media_id").cast("string")))
+      .withColumn("ahash_hi",
+        conv(substring(col("gh"), 1, 15), 16, 10).cast("long"))
+      .withColumn("ahash_lo",
+        conv(substring(col("gh"), 17, 15), 16, 10).cast("long"))
+      .drop("gh")
+    val hDir = s"$root/images"
+    Multimodal.ahashChunkIndexAppend(hashed, hDir, "corpus")
+    val hBatch = hashed.select((col("media_id") + 100000L).as("media_id"),
+      col("ahash_hi"), col("ahash_lo"))
+    hBatch.createOrReplaceTempView("graft_sql03_hbatch")
+    val hSql = spark.sql(
+      s"SELECT * FROM graft_screen_hamming('$hDir', 'graft_sql03_hbatch')")
+    val hApi = Multimodal.screenAhashHamming(spark, hDir, hBatch)
+    val hMm = hSql.exceptAll(hApi).count() + hApi.exceptAll(hSql).count()
+    dSql.filter(col("corpus_id") === col("batch_id") - 100000L &&
+        col("jaccard") === 1.0)
+      .select(lit("dedup").as("lane"), col("batch_id"), col("corpus_id"),
+        col("jaccard").as("score"), lit(dMm).as("n_mismatch"))
+      .unionByName(hSql
+        .filter(col("corpus_id") === col("batch_id") - 100000L &&
+          col("dist") === 0L)
+        .select(lit("hamming").as("lane"), col("batch_id"),
+          col("corpus_id"), col("dist").cast("double").as("score"),
+          lit(hMm).as("n_mismatch")))
+      .orderBy(col("lane"), col("batch_id"))
+  }
+
+  /** sql04's driver-checked shape — vector and graph SEARCH from SQL:
+    * `graft_topk` plans [[graft.operators.ann.PqIndex.topKIvfAgainst]]
+    * (cell-pruned codes scan, scaled-integer ADC, exact rerank) and
+    * `graft_graph_topk` plans [[graft.operators.ann.KnnGraph
+    * .searchTopK]] (greedy beam over committed edges only), each over
+    * the SAME persisted index the Scala call reads. Fixtures are the
+    * proven planted theorems — ann08's (+100000 exact copies appended,
+    * originals as queries) and ann20's (+200000 copies as queries
+    * seeded at themselves, originals the answer) — so the gated rows
+    * are derivable plantings while build → persist → probe → prune →
+    * ADC → rerank (vector) and seed → hop → beam → top-k (graph) all
+    * execute through the SQL lane; `n_mismatch` folds the two-way
+    * `exceptAll` against the Scala call into every row.
+    */
+  def topkTvfAudit(spark: SparkSession, d: String,
+      nQueries: Int = 64): DataFrame = {
+    import graft.operators.ann.KnnGraph
+    graft.GraftExtensions.registerIndexTableFunctions(spark)
+    val base = Tables.spread(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))).cache()
+    val qs = base.filter(col("vec_id") < nQueries)
+    val root = graft.Tables.scratchDir("graft_sql04")
+    val vDir = s"$root/vectors"
+    val vCopies = qs.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding"))
+    PqIndex.build(base, vDir, 4, 16, 64, 1, 16)
+    PqIndex.append(spark, vDir, vCopies)
+    val vEmb = base.unionByName(vCopies)
+    val vQueries = qs.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    vQueries.createOrReplaceTempView("graft_sql04_vq")
+    vEmb.createOrReplaceTempView("graft_sql04_vemb")
+    val vSql = spark.sql(s"SELECT * FROM graft_topk('$vDir', " +
+      "'graft_sql04_vq', 'graft_sql04_vemb', 2, 1, 4096)")
+    val vApi = PqIndex.topKIvfAgainst(spark, vDir, vQueries, vEmb,
+      nprobe = 2, k = 1, rerank = 4096)
+    val vMm = vSql.exceptAll(vApi).count() + vApi.exceptAll(vSql).count()
+    val gDir = s"$root/graph"
+    val c1 = qs.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding"))
+    val c2 = qs.select((col("vec_id") + 200000L).as("vec_id"),
+      col("embedding"))
+    val gAll = base.unionByName(c1).unionByName(c2)
+    KnnGraph.build(gAll, gDir, "corpus")
+    val gQueries = c2.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val gSeeds = c2.select(col("vec_id").as("query_id"), col("vec_id"))
+    gAll.createOrReplaceTempView("graft_sql04_gemb")
+    gQueries.createOrReplaceTempView("graft_sql04_gq")
+    gSeeds.createOrReplaceTempView("graft_sql04_gseeds")
+    val gSql = spark.sql(s"SELECT * FROM graft_graph_topk('$gDir', " +
+      "'graft_sql04_gemb', 'graft_sql04_gq', 'graft_sql04_gseeds', 2, 8, 1)")
+    val gApi = KnnGraph.searchTopK(spark, gDir, gAll, gQueries, gSeeds,
+      hops = 2, beam = 8, k = 1)
+    val gMm = gSql.exceptAll(gApi).count() + gApi.exceptAll(gSql).count()
+    gSql.filter(col("vec_id") === col("query_id") - 200000L &&
+        col("sim") === 1.0)
+      .select(lit("graph").as("lane"), col("query_id"),
+        col("vec_id").as("match_id"), col("sim"),
+        lit(gMm).as("n_mismatch"))
+      .unionByName(vSql
+        .filter(col("vec_id") === col("query_id") + 100000L &&
+          col("sim") === 1.0)
+        .select(lit("vector").as("lane"), col("query_id"),
+          col("vec_id").as("match_id"), col("sim"),
+          lit(vMm).as("n_mismatch")))
+      .orderBy(col("lane"), col("query_id"))
+  }
+
+  /** sql05's driver-checked shape — FLEET DISCOVERY: `graft_stores`
+    * catalogs every manifest-committed store under a root path (one FS
+    * listing + one manifest read each — metadata only), so an auditor
+    * enumerates a deployment without knowing what was deployed.
+    * Fixture: a dedup store through the full two-folds + tombstone +
+    * retention-dial lifecycle (sql01's formulas, plus `retain` dialed
+    * to 5 as its own commit) and a Hamming chunk store beside it. The
+    * gated relation is the catalog joined against each store's
+    * `graft_index_history` HEAD row — `hist_match` pins the catalog
+    * and the drill-down surface to the same census.
+    */
+  def storesTvfAudit(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.store.IndexManifest
+    graft.GraftExtensions.registerIndexTableFunctions(spark)
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val base = Tables.spread(docs)
+    val root = graft.Tables.scratchDir("graft_sql05")
+    val dDir = s"$root/neardup"
+    Dedup.dedupIndexAppend(base.filter(col("doc_id") % 2 === 0), dDir,
+      "f1", bid = 1L)                                          // v1
+    Dedup.dedupIndexAppend(base.filter(col("doc_id") % 2 === 1), dDir,
+      "f2", bid = 2L)                                          // v2
+    Dedup.dedupIndexDelete(spark, dDir,
+      docs.filter(col("doc_id") === 0L).select(col("doc_id")),
+      "d1", bid = 3L)                                          // v3
+    IndexManifest.setRetention(dDir, 5)                        // v4: the dial
+    val hashed = Tables.spread(docs.select(col("doc_id").as("media_id")))
+      .withColumn("gh", md5(col("media_id").cast("string")))
+      .withColumn("ahash_hi",
+        conv(substring(col("gh"), 1, 15), 16, 10).cast("long"))
+      .withColumn("ahash_lo",
+        conv(substring(col("gh"), 17, 15), 16, 10).cast("long"))
+      .drop("gh")
+    Multimodal.ahashChunkIndexAppend(hashed, s"$root/images", "corpus")
+    val cat = spark.sql(s"SELECT * FROM graft_stores('$root')")
+    val hist = Seq("images", "neardup").map { st =>
+      spark.sql(s"SELECT * FROM graft_index_history('$root/$st')")
+        .orderBy(col("version").desc).limit(1)
+        .select(lit(st).as("store"), col("version").as("h_version"),
+          col("groups").as("h_groups"), col("n_leaves").as("h_leaves"),
+          col("n_tombs").as("h_tombs"))
+    }.reduce(_.unionByName(_))
+    cat.join(hist, Seq("store"))
+      .select(col("store"), col("family"), col("version"), col("groups"),
+        col("n_leaves"), col("n_tombs"), col("retain"),
+        (col("version") === col("h_version") &&
+          col("groups") === col("h_groups") &&
+          col("n_leaves") === col("h_leaves") &&
+          col("n_tombs") === col("h_tombs")).as("hist_match"))
+      .orderBy(col("store"))
+  }
+
+  /** sql06's driver-checked shape — TIME-TRAVEL SEARCH from SQL
+    * (`graft_screen_at`): the compliance question "what did this batch
+    * collide with AS OF the nightly mark" without Scala. Fixture is
+    * sql01's store lifecycle (even docs fold at v1 = the mark, odd
+    * docs at v2, doc 0 tombstoned at v3) screened by the full
+    * +100000-copy batch: the as-of lane answers from the v1 snapshot —
+    * only even docs match, doc 0 STILL matches (its tombstone is
+    * later) — while the now lane sees every eligible doc except the
+    * tombstoned 0. Each lane folds the two-way `exceptAll` against
+    * [[graft.operators.dedup.Dedup.screenAgainstIndexAt]] /
+    * `screenAgainstIndex` into `n_mismatch`.
+    */
+  def screenAtTvfAudit(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.store.IndexManifest
+    graft.GraftExtensions.registerIndexTableFunctions(spark)
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val base = Tables.spread(docs)
+    val dir = s"${graft.Tables.scratchDir("graft_sql06")}/idx"
+    Dedup.dedupIndexAppend(base.filter(col("doc_id") % 2 === 0), dir,
+      "f1", bid = 1L)                                        // v1 = the mark
+    val mark = IndexManifest.readMeta(dir).get.version
+    Dedup.dedupIndexAppend(base.filter(col("doc_id") % 2 === 1), dir,
+      "f2", bid = 2L)                                        // v2
+    Dedup.dedupIndexDelete(spark, dir,
+      docs.filter(col("doc_id") === 0L).select(col("doc_id")),
+      "d1", bid = 3L)                                        // v3
+    val batch = base.select((col("doc_id") + 100000L).as("doc_id"),
+      col("text"))
+    batch.createOrReplaceTempView("graft_sql06_batch")
+    def lane(name: String, sqlRes: DataFrame, api: DataFrame): DataFrame = {
+      val nm = sqlRes.exceptAll(api).count() + api.exceptAll(sqlRes).count()
+      sqlRes.filter(col("corpus_id") === col("batch_id") - 100000L &&
+          col("jaccard") === 1.0)
+        .select(lit(name).as("lane"), col("batch_id"), col("corpus_id"),
+          lit(nm).as("n_mismatch"))
+    }
+    lane("asof",
+        spark.sql(s"SELECT * FROM graft_screen_at('$dir', " +
+          s"'graft_sql06_batch', $mark)"),
+        Dedup.screenAgainstIndexAt(spark, dir, batch, mark))
+      .unionByName(lane("now",
+        spark.sql(s"SELECT * FROM graft_screen('$dir', " +
+          "'graft_sql06_batch')"),
+        Dedup.screenAgainstIndex(spark, dir, batch)))
+      .orderBy(col("lane"), col("batch_id"))
   }
 
   def replicaDedupSync(spark: SparkSession, d: String): DataFrame = {

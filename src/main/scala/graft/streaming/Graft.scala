@@ -385,13 +385,30 @@ object Graft {
     * row is truncate-dead) AND in the live set — it must never be
     * tombstoned in the same cycle it lives.
     */
+  /** How a family keys into the replica: which state-store column
+    * holds its ids, plus an optional SQL predicate restricting it to a
+    * slice of the store (the multiplexed-replica case — e.g. a vector
+    * store fed by `table_name = 'vecs'` rows while the dedup index
+    * follows `table_name = 'docs'`). Predicate columns ride the same
+    * scan as the id column (projection pruning keeps the read narrow).
+    */
+  final case class ReplicaKey(idCol: String,
+      whereSql: Option[String] = None)
+
   private def liveDeadSets(spark: SparkSession, stateDir: String,
       spec: Materializer.Spec, idCol: String,
+      keyName: String): (DataFrame, DataFrame) =
+    liveDeadSets(spark, stateDir, spec, ReplicaKey(idCol), keyName)
+
+  private def liveDeadSets(spark: SparkSession, stateDir: String,
+      spec: Materializer.Spec, key: ReplicaKey,
       keyName: String): (DataFrame, DataFrame) = {
-    val alive = Materializer.currentState(spark, stateDir, spec)
-      .select(col(idCol).cast("long").as(keyName)).distinct()
-    val dead = Materializer.deletedRecords(spark, stateDir, spec)
-      .select(col(idCol).cast("long").as(keyName)).distinct()
+    def slice(df: DataFrame): DataFrame =
+      key.whereSql.fold(df)(w => df.where(expr(w)))
+    val alive = slice(Materializer.currentState(spark, stateDir, spec))
+      .select(col(key.idCol).cast("long").as(keyName)).distinct()
+    val dead = slice(Materializer.deletedRecords(spark, stateDir, spec))
+      .select(col(key.idCol).cast("long").as(keyName)).distinct()
       .join(alive, Seq(keyName), "left_anti")
     (alive, dead)
   }
@@ -653,9 +670,11 @@ object Graft {
     *    [[syncAhashIndex]]'s
     *  - `graph`:  (indexDir, embProvider) — [[syncGraphIndex]]'s
     *
-    * All families key on the SAME replica column (`idCol`) — the
-    * one-scan sharing is exactly the case where one replica table
-    * feeds every index. Returns family → (nDeleted, nAdded) for the
+    * This form keys every family on the SAME replica column (`idCol`)
+    * — the case where one replica table feeds every index. A fleet
+    * whose families key on different columns (or different replica
+    * slices) uses [[syncAllIndexesKeyed]], which shares the scan per
+    * distinct key. Returns family → (nDeleted, nAdded) for the
     * families requested.
     */
   def syncAllIndexes(spark: SparkSession, stateDir: String,
@@ -664,31 +683,71 @@ object Graft {
       dedup: Option[(String, DataFrame, Long)] = None,
       ahash: Option[(String, String, DataFrame)] = None,
       graph: Option[(String, DataFrame)] = None): Map[String, (Long, Long)] = {
+    val k = ReplicaKey(idCol)
+    syncAllIndexesKeyed(spark, stateDir, spec, tag,
+      vector = vector.map { case (dir, embP) => (k, dir, embP) },
+      dedup = dedup.map { case (dir, docP, bid) => (k, dir, docP, bid) },
+      ahash = ahash.map { case (h, c, hashP) => (k, h, c, hashP) },
+      graph = graph.map { case (dir, embP) => (k, dir, embP) })
+  }
+
+  /** [[syncAllIndexes]] generalized to MIXED replica keying: each
+    * family carries its own [[ReplicaKey]] — id column plus optional
+    * replica-slice predicate — so a deployment whose vector store keys
+    * on `vec_id` from one replica table while the dedup index keys on
+    * `doc_id` from another still runs as ONE fleet call. The one-scan
+    * contract holds per DISTINCT key: families sharing a ReplicaKey
+    * share one persisted live/dead computation (the pipe14 property),
+    * and the scan count grows with distinct keys, not families —
+    * minimal by construction (each distinct key's sets genuinely
+    * differ, and each scan stays projection-pruned to that key's
+    * columns, which a single wide shared scan would forfeit).
+    */
+  def syncAllIndexesKeyed(spark: SparkSession, stateDir: String,
+      spec: Materializer.Spec, tag: String,
+      vector: Option[(ReplicaKey, String, DataFrame)] = None,
+      dedup: Option[(ReplicaKey, String, DataFrame, Long)] = None,
+      ahash: Option[(ReplicaKey, String, String, DataFrame)] = None,
+      graph: Option[(ReplicaKey, String, DataFrame)] = None):
+      Map[String, (Long, Long)] = {
     require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid sync tag: $tag")
-    val (aliveRaw, deadRaw) =
-      liveDeadSets(spark, stateDir, spec, idCol, "rid")
-    val alive = aliveRaw
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dead = deadRaw
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    alive.count(); dead.count() // materialize the one scan up front
-    def as(key: String, df: DataFrame) = df.withColumnRenamed("rid", key)
+    val keys = (vector.map(_._1).toSeq ++ dedup.map(_._1) ++
+      ahash.map(_._1) ++ graph.map(_._1)).distinct
+    // one persisted live/dead pair per DISTINCT key — materialized up
+    // front so every family core reads the same computation
+    val sets: Map[ReplicaKey, (DataFrame, DataFrame)] = keys.map { k =>
+      val (aliveRaw, deadRaw) = liveDeadSets(spark, stateDir, spec, k, "rid")
+      val alive = aliveRaw
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dead = deadRaw
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      alive.count(); dead.count()
+      k -> (alive, dead)
+    }.toMap
+    def as(k: ReplicaKey, key: String): (DataFrame, DataFrame) = {
+      val (alive, dead) = sets(k)
+      (alive.withColumnRenamed("rid", key),
+        dead.withColumnRenamed("rid", key))
+    }
     try {
       Seq(
-        vector.map { case (dir, embP) => "vector" ->
-          syncVectorCore(spark, as("vec_id", alive), as("vec_id", dead),
-            dir, embP, tag) },
-        dedup.map { case (dir, docP, bid) => "dedup" ->
-          syncDedupCore(spark, as("doc_id", alive), as("doc_id", dead),
-            docP, dir, tag, bid) },
-        ahash.map { case (hDir, cDir, hashP) => "ahash" ->
-          syncAhashCore(spark, as("media_id", alive), as("media_id", dead),
-            hashP, hDir, cDir, tag) },
-        graph.map { case (dir, embP) => "graph" ->
-          syncGraphCore(spark, as("vec_id", alive), as("vec_id", dead),
-            embP, dir, tag) }
+        vector.map { case (k, dir, embP) =>
+          val (alive, dead) = as(k, "vec_id")
+          "vector" -> syncVectorCore(spark, alive, dead, dir, embP, tag) },
+        dedup.map { case (k, dir, docP, bid) =>
+          val (alive, dead) = as(k, "doc_id")
+          "dedup" -> syncDedupCore(spark, alive, dead, docP, dir, tag, bid) },
+        ahash.map { case (k, hDir, cDir, hashP) =>
+          val (alive, dead) = as(k, "media_id")
+          "ahash" -> syncAhashCore(spark, alive, dead, hashP, hDir, cDir,
+            tag) },
+        graph.map { case (k, dir, embP) =>
+          val (alive, dead) = as(k, "vec_id")
+          "graph" -> syncGraphCore(spark, alive, dead, embP, dir, tag) }
       ).flatten.toMap
-    } finally { alive.unpersist(); dead.unpersist(); () }
+    } finally sets.values.foreach { case (a, d) =>
+      a.unpersist(); d.unpersist()
+    }
   }
 
   /** The ONE-CALL live engine — the full equivalent of the reference's

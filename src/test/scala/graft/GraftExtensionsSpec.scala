@@ -231,4 +231,121 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(explicit == now, s"explicit-dial rows: $explicit")
   }
+
+  test("graft_state names an empty store; graft_state_at plans the SNAPSHOT's bucket dial") {
+    import spark.implicits._
+    import graft.streaming.Materializer
+    val keys = "table_name,record_id"
+    val missing =
+      java.nio.file.Files.createTempDirectory("ext_state_empty").toString
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_state('$missing', '$keys')")
+    }
+    assert(e.getMessage.contains("holds no materialized state"),
+      s"empty-store error must say so, not blame a missing dial: ${e.getMessage}")
+    // rebucket between the mark and now: the as-of read must resolve
+    // the PINNED version's dial, not the head's post-rebucket one
+    val dir = java.nio.file.Files.createTempDirectory("ext_state_rb").toString
+    val spec4 = Materializer.Spec(
+      keyCols = Seq("table_name", "record_id"), buckets = 4)
+    def chg(rows: (Long, Long, String)*) = rows
+      .map { case (id, seq, op) => ("r", id, seq, op) }
+      .toDF("table_name", "record_id", "seq", "op")
+    Materializer.applyBatch(spark, dir,
+      chg((1L to 6L).map(i => (i, i, "insert")): _*), spec4)
+    val mark = Materializer.readManifest(dir).version
+    Materializer.rebucket(spark, dir, spec4, newBuckets = 8)
+    Materializer.applyBatch(spark, dir, chg((7L, 7L, "insert")),
+      spec4.copy(buckets = 8))
+    val asof = spark.sql(
+      s"SELECT record_id FROM graft_state_at('$dir', '$keys', $mark)")
+      .collect().map(_.getLong(0)).toSet
+    assert(asof == (1L to 6L).toSet, s"as-of across rebucket: $asof")
+    val now = spark.sql(
+      s"SELECT record_id FROM graft_state('$dir', '$keys')")
+      .collect().map(_.getLong(0)).toSet
+    assert(now == (1L to 7L).toSet, s"head after rebucket: $now")
+  }
+
+  test("graft_screen_at pins the snapshot: later folds invisible, later tombstones still match") {
+    import spark.implicits._
+    import graft.operators.dedup.Dedup
+    import graft.operators.store.IndexManifest
+    val dir =
+      java.nio.file.Files.createTempDirectory("ext_screen_at").toString
+    def mk(ids: Long*) = ids
+      .map(i => (i, s"time travel screen doc $i " + ("z " * 10)))
+      .toDF("doc_id", "text")
+    Dedup.dedupIndexAppend(mk(1L, 2L, 3L), dir, "f1", bid = 1L)   // v1
+    val mark = IndexManifest.readMeta(dir).get.version
+    Dedup.dedupIndexAppend(mk(4L), dir, "f2", bid = 2L)           // v2
+    Dedup.dedupIndexDelete(spark, dir, Seq(2L).toDF("doc_id"),
+      "d1", bid = 3L)                                             // v3
+    mk(1L, 2L, 3L, 4L).select(($"doc_id" + 100L).as("doc_id"), $"text")
+      .createOrReplaceTempView("ext_screen_at_batch")
+    def hits(sqlText: String) = spark.sql(sqlText).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val asof = hits(s"SELECT batch_id, corpus_id FROM graft_screen_at(" +
+      s"'$dir', 'ext_screen_at_batch', $mark)")
+    assert(asof == Set((101L, 1L), (102L, 2L), (103L, 3L)),
+      s"as-of lane must answer from the v1 snapshot: $asof")
+    val now = hits(s"SELECT batch_id, corpus_id FROM graft_screen(" +
+      s"'$dir', 'ext_screen_at_batch')")
+    assert(now == Set((101L, 1L), (103L, 3L), (104L, 4L)),
+      s"now lane must see the fold and the tombstone: $now")
+    // beyond-window asks fail loudly, never silently re-answer
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_screen_at('$dir', " +
+        "'ext_screen_at_batch', 999)")
+    }
+    assert(e.getMessage.contains("not retained"), e.getMessage)
+  }
+
+  test("graft_screen from SQL is the Scala screen; graft_stores catalogs the root") {
+    import spark.implicits._
+    import graft.operators.dedup.Dedup
+    val root = graft.Tables.scratchDir("ext_search")
+    val dir = s"$root/neardup"
+    val docs = (1L to 6L)
+      .map(i => (i, s"graft extension screen document $i " + ("w " * 10)))
+      .toDF("doc_id", "text")
+    Dedup.dedupIndexAppend(docs, dir, "corpus")
+    val batch = docs.select(($"doc_id" + 100L).as("doc_id"), $"text")
+    batch.createOrReplaceTempView("ext_search_batch")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaSql = asSet(spark.sql(
+      s"SELECT * FROM graft_screen('$dir', 'ext_search_batch')"))
+    val viaApi = asSet(Dedup.screenAgainstIndex(spark, dir, batch))
+    assert(viaSql == viaApi && viaSql.nonEmpty,
+      s"SQL screen must equal the Scala screen: $viaSql vs $viaApi")
+    assert((1L to 6L).forall(i => viaSql.contains((i + 100L, i, 1.0))),
+      s"planted copies must collide at jaccard 1.0: $viaSql")
+    // a missing input view names itself in the error
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_screen('$dir', 'no_such_view')")
+    }
+    assert(e.getMessage.contains("no_such_view"), e.getMessage)
+    // the fleet catalog: the dedup store AND a CDC state store beside
+    // it — every persisted-store family is discoverable from one call
+    graft.streaming.Materializer.applyBatch(spark, s"$root/replica",
+      Seq(("r", 1L, 1L, "insert")).toDF("table_name", "record_id",
+        "seq", "op"),
+      graft.streaming.Materializer.Spec(
+        keyCols = Seq("table_name", "record_id"), buckets = 4))
+    val cat = spark.sql(s"SELECT * FROM graft_stores('$root')")
+      .collect().sortBy(_.getAs[String]("store"))
+    assert(cat.length == 2, s"both stores under the root: ${cat.toSeq}")
+    val r = cat.head
+    assert(r.getAs[String]("store") == "neardup" &&
+      r.getAs[String]("family") == "dedup" &&
+      r.getAs[Long]("version") == 1L && r.getAs[Int]("n_leaves") == 1 &&
+      r.getAs[Int]("n_tombs") == 0 && r.getAs[Int]("retain") == 8,
+      s"catalog row: $r")
+    val st = cat(1)
+    assert(st.getAs[String]("store") == "replica" &&
+      st.getAs[String]("family") == "state" &&
+      st.getAs[Long]("version") == 1L && st.getAs[Int]("groups") == 4 &&
+      st.getAs[Int]("retain") == 8, s"state catalog row: $st")
+  }
 }

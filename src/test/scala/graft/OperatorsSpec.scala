@@ -3220,4 +3220,98 @@ class OperatorsSpec extends AnyFunSuite {
       s"planting formulas: $fleet")
     emb.unpersist(); docs.unpersist()
   }
+
+  test("syncAllIndexesKeyed: per-family replica keys; a shared key shares ONE scan pair") {
+    import graft.operators.ann.{KnnGraph, PqIndex}
+    import graft.streaming.{Graft, Materializer}
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+      .filter($"vec_id".between(1L, 99L))
+      .select($"vec_id", $"embedding").cache()
+    val docs = (101L to 119L)
+      .map(i => (i, s"mixed fleet document $i with words " + ("y " * 20)))
+      .toDF("doc_id", "text").cache()
+    val stateDir = "file://" +
+      java.nio.file.Files.createTempDirectory("sync_mixed_state").toString
+    val spec = Materializer.Spec(
+      keyCols = Seq("table_name", "record_id"), buckets = 4)
+    def rows(table: String, ids: Seq[Long], dead: Long) = ids
+      .map(i => (table, i, i, "insert"))
+      .:+((table, dead, 1000000L, "delete"))
+      .toDF("table_name", "record_id", "seq", "op")
+    Materializer.applyBatch(spark, stateDir,
+      rows("docs", (101L to 119L), 108L)
+        .unionByName(rows("vecs", (1L to 99L), 99L)), spec)
+    val dd = graft.Tables.scratchDir("sync_mixed_d")
+    val v = s"${graft.Tables.scratchDir("sync_mixed_v")}/idx"
+    val g = s"${graft.Tables.scratchDir("sync_mixed_g")}/graph"
+    graft.operators.dedup.Dedup.dedupIndexAppend(
+      docs.filter($"doc_id" % 3 === 0), dd, "bootstrap", bid = 0L)
+    PqIndex.build(emb.filter($"vec_id" % 3 === 0), v)
+    KnnGraph.build(emb.filter($"vec_id" % 3 === 0), g, "bootstrap",
+      nlist = 1)
+    val docsKey = Graft.ReplicaKey("record_id", Some("table_name = 'docs'"))
+    val vecsKey = Graft.ReplicaKey("record_id", Some("table_name = 'vecs'"))
+    // TWO distinct keys -> TWO live/dead pairs (4 state-read plans),
+    // even with THREE families syncing (solo facades would pay 6)
+    Materializer.stateReads.set(0L)
+    val fleet = Graft.syncAllIndexesKeyed(spark, stateDir, spec, "c1",
+      dedup = Some((docsKey, dd, docs, 1L)),
+      vector = Some((vecsKey, v, emb)),
+      graph = Some((vecsKey, g, emb)))
+    assert(Materializer.stateReads.get == 4L,
+      "three families over two distinct keys must scan per KEY, not " +
+        s"per family: ${Materializer.stateReads.get}")
+    // docs: 6 indexed (102..117 step 3), 108 deleted -> (1, 19-1-5=13);
+    // vecs: 33 indexed (3..99 step 3), 99 deleted -> (1, 98-32=66)
+    assert(fleet("dedup") == ((1L, 13L)), s"docs-key census: $fleet")
+    assert(fleet("vector") == ((1L, 66L)) && fleet("graph") == ((1L, 66L)),
+      s"shared vecs-key census: $fleet")
+    // fixpoint: a replayed cycle sees every family reconciled
+    val replay = Graft.syncAllIndexesKeyed(spark, stateDir, spec, "c1",
+      dedup = Some((docsKey, dd, docs, 1L)),
+      vector = Some((vecsKey, v, emb)),
+      graph = Some((vecsKey, g, emb)))
+    assert(replay.values.forall(_ == ((0L, 0L))), s"fixpoint: $replay")
+    emb.unpersist(); docs.unpersist()
+  }
+
+  test("hub pool is a per-store dial (hubs_n): dial-up re-enrolls, hubIds serves from metadata") {
+    import graft.operators.ann.KnnGraph
+    import graft.operators.store.IndexManifest
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").cache()
+    val dir = s"${graft.Tables.scratchDir("hubs_dial")}/graph"
+    KnnGraph.build(emb.filter($"vec_id" < 300), dir, "bootstrap", nlist = 1)
+    def pool(): Seq[Long] = IndexManifest.readMeta(dir).get.params("hubs")
+      .split(",").filter(_.nonEmpty).map(_.toLong).toSeq
+    assert(pool() == (0L until 64L), s"legacy default pool: ${pool().size}")
+    // asking beyond the pool pre-dial falls back to the scan (correct,
+    // store-sized — the case the dial exists to remove)
+    assert(KnnGraph.hubIds(spark, dir, 100).as[Long].collect().sorted
+      .toSeq == (0L until 100L))
+    // dial UP: the pool re-enrolls from the committed scan AT DIAL TIME
+    KnnGraph.setHubCount(spark, dir, 128)
+    assert(pool() == (0L until 128L), s"dial-up re-enrollment: ${pool().size}")
+    // 128 seeds now serve from METADATA: no scan fallback in the plan
+    val seeds = KnnGraph.hubIds(spark, dir, 128)
+    assert(seeds.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[LocalRelation]),
+      "a store dialed to 128 must serve 128 seeds without the scan fallback")
+    assert(seeds.as[Long].collect().sorted.toSeq == (0L until 128L))
+    // later commits maintain the DIALED size
+    KnnGraph.append(spark, dir, emb,
+      emb.filter($"vec_id" >= 300 && $"vec_id" < 340), "b1")
+    assert(pool() == (0L until 128L),
+      s"commit-time maintenance must honor the dial: ${pool().size}")
+    // dial DOWN truncates — metadata only
+    KnnGraph.setHubCount(spark, dir, 16)
+    assert(pool() == (0L until 16L), s"dial-down truncation: ${pool().size}")
+    // beyond-pool asks still answer correctly via the fallback
+    assert(KnnGraph.hubIds(spark, dir, 32).as[Long].collect().sorted
+      .toSeq == (0L until 32L))
+    emb.unpersist()
+  }
 }

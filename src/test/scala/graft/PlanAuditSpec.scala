@@ -526,6 +526,58 @@ class PlanAuditSpec extends AnyFunSuite {
       s"as-of TVF must pin the v1 leaf only: $asofScan")
   }
 
+  test("sql03/sql04 search TVFs: the SQL plan carries the Scala calls' group/cell prunes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.GraftExtensions.registerIndexTableFunctions(spark)
+    // graft_screen: batch-group INSET + committed-leaf restriction — the
+    // TVF plans Dedup.screenAgainstIndex itself, so the SQL lane keeps
+    // the scan batch-sized, never corpus-sized
+    val dir = java.nio.file.Files.createTempDirectory("audit_sql03").toString
+    val corpus = (1L to 200L)
+      .map(i => (i, s"corpus document number $i with words " + ("x " * 20)))
+      .toDF("doc_id", "text")
+    graft.operators.dedup.Dedup.dedupIndexAppend(corpus, dir, "corpus")
+    Seq((9001L, "corpus document number 3 with words " + ("x " * 20)))
+      .toDF("doc_id", "text").createOrReplaceTempView("audit_sql03_batch")
+    val screened = spark.sql(
+      s"SELECT * FROM graft_screen('$dir', 'audit_sql03_batch')")
+    screened.collect()
+    val p = screened.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("bands") && l.contains("PartitionFilters"))
+      .getOrElse(fail(s"no partition-filtered bands scan in SQL screen plan:\n$p"))
+    assert(scanLine.contains("leaf#"),
+      s"SQL screen not leaf-restricted: $scanLine")
+    val inset = "bgrp#\\d+ INSET ([0-9, .]+)".r
+      .findFirstMatchIn(scanLine).map(_.group(1))
+      .getOrElse(fail(s"SQL screen not group-pruned: $scanLine"))
+    assert(inset.split(",").length <= 16,
+      s"prune list not batch-sized: $inset")
+    // graft_topk: the probed-cell prune on the codes scan, from SQL
+    val vdir = java.nio.file.Files.createTempDirectory("audit_sql04").toString
+    val emb = Tables.spread(Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))).cache()
+    graft.operators.ann.PqIndex.build(emb, vdir, ncells = 16)
+    emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .createOrReplaceTempView("audit_sql04_q")
+    emb.createOrReplaceTempView("audit_sql04_emb")
+    val searched = spark.sql(s"SELECT * FROM graft_topk('$vdir', " +
+      "'audit_sql04_q', 'audit_sql04_emb', 2, 5, 32)")
+    searched.collect()
+    val p2 = searched.queryExecution.executedPlan.toString
+    val scan2 = p2.linesIterator.find(l =>
+      l.contains("/codes") && l.contains("PartitionFilters"))
+      .getOrElse(fail(s"no partition-filtered codes scan in SQL topk plan:\n$p2"))
+    val cells = "cell#\\d+(?: IN | INSET )\\(?([^\\]]*?)\\)?[,\\]]".r
+      .findFirstMatchIn(scan2).map(_.group(1))
+      .getOrElse(fail(s"SQL topk not cell-pruned: $scan2"))
+    assert(cells.split(",").length <= 4,
+      s"prune list not probe-sized: $cells")
+    emb.unpersist()
+  }
+
   test("mm16/mm17 Hamming screen: chunk scan pruned to batch groups AND committed leaves") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
