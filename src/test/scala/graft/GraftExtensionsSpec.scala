@@ -301,6 +301,86 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not retained"), e.getMessage)
   }
 
+  test("graft_topk_at / graft_graph_topk_at / graft_screen_hamming_at pin their snapshots") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.ann.{KnnGraph, PqIndex}
+    import graft.operators.multimodal.Multimodal
+    import graft.operators.store.IndexManifest
+    val base = graft.Tables.spread(
+      graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") < 60)).cache()
+    // vector lane: copy 1001 of vec 1 committed at v1 (the mark), then
+    // tombstoned — the as-of search must still answer the copy at 1.0
+    val vDir = java.nio.file.Files.createTempDirectory("ext_topk_at").toString
+    PqIndex.build(base.unionByName(base.filter(col("vec_id") === 1L)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))), vDir)
+    val vMark = IndexManifest.readMeta(vDir).get.version
+    PqIndex.delete(spark, vDir, Seq(1001L).toDF("vec_id"))
+    base.filter(col("vec_id") === 1L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .createOrReplaceTempView("ext_topk_at_q")
+    base.unionByName(base.filter(col("vec_id") === 1L)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding")))
+      .createOrReplaceTempView("ext_topk_at_emb")
+    val vAsof = spark.sql(s"SELECT * FROM graft_topk_at('$vDir', " +
+      s"'ext_topk_at_q', 'ext_topk_at_emb', $vMark, 4, 1, 64)").collect()
+    assert(vAsof.length == 1 && vAsof.head.getAs[Long]("vec_id") == 1001L &&
+      vAsof.head.getAs[Double]("sim") == 1.0, s"as-of topk: ${vAsof.toSeq}")
+    val vNow = spark.sql(s"SELECT * FROM graft_topk('$vDir', " +
+      "'ext_topk_at_q', 'ext_topk_at_emb', 4, 1, 64)").collect()
+    assert(vNow.head.getAs[Long]("vec_id") != 1001L,
+      s"now topk must not see the tombstoned copy: ${vNow.toSeq}")
+    // graph lane: originals tombstoned after the mark — as-of answers
+    // the original, now falls to the +100 twin (both sim 1.0, asc ties)
+    val gDir = java.nio.file.Files.createTempDirectory("ext_graph_at")
+      .toString + "/graph"
+    val twins = (n: Long) => base.filter(col("vec_id") < 2L)
+      .select((col("vec_id") + n).as("vec_id"), col("embedding"))
+    val gAll = base.unionByName(twins(100L)).unionByName(twins(200L))
+    KnnGraph.build(gAll, gDir, "corpus", nlist = 1)
+    val gMark = IndexManifest.readMeta(gDir).get.version
+    KnnGraph.delete(spark, gDir, Seq(0L, 1L).toDF("vec_id"), "takedown")
+    gAll.createOrReplaceTempView("ext_graph_at_emb")
+    twins(200L).select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")).createOrReplaceTempView("ext_graph_at_q")
+    twins(200L).select(col("vec_id").as("query_id"), col("vec_id"))
+      .createOrReplaceTempView("ext_graph_at_seeds")
+    def gTop(sqlText: String) = spark.sql(sqlText).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val gAsof = gTop(s"SELECT * FROM graft_graph_topk_at('$gDir', " +
+      s"'ext_graph_at_emb', 'ext_graph_at_q', 'ext_graph_at_seeds', " +
+      s"$gMark, 2, 8, 1)")
+    assert(gAsof == Set((200L, 0L), (201L, 1L)), s"as-of graph: $gAsof")
+    val gNow = gTop(s"SELECT * FROM graft_graph_topk('$gDir', " +
+      "'ext_graph_at_emb', 'ext_graph_at_q', 'ext_graph_at_seeds', 2, 8, 1)")
+    assert(gNow == Set((200L, 100L), (201L, 101L)),
+      s"now graph must fall to the surviving twin: $gNow")
+    // Hamming lane: a hash folded after the mark is invisible as-of
+    val hDir = java.nio.file.Files.createTempDirectory("ext_ham_at").toString
+    def hashed(ids: Long*) = ids
+      .map(i => (i, i * 2654435761L % 1000000007L, i * 40503L % 999999937L))
+      .toDF("media_id", "ahash_hi", "ahash_lo")
+    Multimodal.ahashChunkIndexAppend(hashed(1L, 2L, 3L), hDir, "f1")
+    val hMark = IndexManifest.readMeta(hDir).get.version
+    Multimodal.ahashChunkIndexAppend(hashed(4L), hDir, "f2")
+    hashed(1L, 2L, 3L, 4L)
+      .select((col("media_id") + 100L).as("media_id"), col("ahash_hi"),
+        col("ahash_lo")).createOrReplaceTempView("ext_ham_at_batch")
+    def hHits(sqlText: String) = spark.sql(sqlText).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"))).toSet
+    val hAsof = hHits(s"SELECT * FROM graft_screen_hamming_at('$hDir', " +
+      s"'ext_ham_at_batch', $hMark)")
+    assert(hAsof == Set((101L, 1L), (102L, 2L), (103L, 3L)),
+      s"as-of hamming: $hAsof")
+    val hNow = hHits(s"SELECT * FROM graft_screen_hamming('$hDir', " +
+      "'ext_ham_at_batch')")
+    assert(hNow == Set((101L, 1L), (102L, 2L), (103L, 3L), (104L, 4L)),
+      s"now hamming: $hNow")
+    base.unpersist()
+  }
+
   test("graft_screen from SQL is the Scala screen; graft_stores catalogs the root") {
     import spark.implicits._
     import graft.operators.dedup.Dedup

@@ -830,6 +830,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
       "top-k lost its group-limit pushdown")
     assert(!p.contains("CartesianProduct"), "counter join-back cartesianed")
+    // ONE corpus tokenization: the counter lanes derive from the exact
+    // aggregate, and AQE reuses its gram exchange — a regression back
+    // to the occurrence-stream sketch lane (the r15 double-scan) shows
+    // up as a second parquet scan here
+    assert(p.contains("ReusedExchange"),
+      "counter lanes must reuse the gram aggregation exchange")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"txt20 must tokenize the corpus exactly once:\n$p")
   }
 
   test("pipe06: one expression-lane plan — no object round-trip, no cartesian") {
