@@ -157,6 +157,35 @@ object GraftExtensions {
     spark.createDataFrame(rows.asJava, schema).queryExecution.logical
   }
 
+  /** One row per RETAINED state-store manifest version — the CDC
+    * replica's DESCRIBE HISTORY (the [[historyPlan]] move on the
+    * Materializer store): exactly the versions `graft_state_at` can
+    * still pin, each with that snapshot's bucket dial, leaf census,
+    * truncate-watermark count, and effective retention window.
+    */
+  private def stateHistoryPlan(path: String): LogicalPlan = {
+    val spark = SparkSession.active
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val M = graft.streaming.Materializer
+    val versions = M.retainedVersions(path)
+    if (versions.isEmpty) throw new IllegalArgumentException(
+      s"graft_state_history: $path holds no materialized state (no manifest)")
+    val rows: Seq[Row] = versions.flatMap { v =>
+      M.readManifestAt(path, v).map(m =>
+        Row(v, m.nbuckets, m.leaves.size, m.truncates.size,
+          M.retentionOf(m)))
+    }
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("nbuckets", IntegerType, nullable = false),
+      StructField("n_leaves", IntegerType, nullable = false),
+      StructField("n_truncates", IntegerType, nullable = false),
+      StructField("retain", IntegerType, nullable = false)))
+    spark.createDataFrame(rows.asJava, schema).queryExecution.logical
+  }
+
   /** One row per STORE under a root path — the fleet-discovery catalog
     * (compose with [[graft_index_history]] / [[graft_index_meta]] for
     * drill-down): child directories holding a committed manifest list
@@ -420,6 +449,14 @@ object GraftExtensions {
         graft.streaming.Materializer
           .currentState(SparkSession.active, path, spec)
           .queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_state_history"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "graft_state_history"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"graft_state_history expects (path), got ${args.length}")
+        stateHistoryPlan(strArg(args, 0, "graft_state_history"))
       }),
     (FunctionIdentifier("graft_state_at"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_state_at"),

@@ -317,6 +317,67 @@ object IndexManifest {
     }
   }
 
+  /** EXPORT a retained snapshot as a STANDALONE store — the compliance
+    * clone ("ship the index exactly as the nightly mark saw it" to an
+    * audit cluster, a staging environment, or cold storage): copy every
+    * leaf and tombstone directory the pinned manifest references —
+    * relative layout preserved, so group/cell partition pruning works
+    * unchanged on the clone — plus that manifest file itself. The clone
+    * reads as a normal store whose HEAD is the snapshot (screens,
+    * searches, and further commits all work; version numbering
+    * continues from the snapshot's), and the source store is never
+    * touched. Cost is one copy of the snapshot's live bytes —
+    * retired/unreferenced leaves and other versions do not ship. Throws
+    * when `version` is not retained (the time-travel reach rule) or the
+    * destination already holds a manifest (never silently merge into an
+    * existing store).
+    */
+  def exportSnapshot(indexDir: String, version: Long,
+      destDir: String): Unit = {
+    val meta = readMetaAt(indexDir, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"manifest version $version is not retained at $indexDir — " +
+          s"export reaches the ${retentionWindow(indexDir)}-version " +
+          "grace window"))
+    val (fs, root) = WalSegments.fsFor(indexDir)
+    val (dfs, droot) = WalSegments.fsFor(destDir)
+    if (readMeta(destDir).isDefined) throw new IllegalArgumentException(
+      s"$destDir already holds a committed index manifest — export " +
+        "refuses to merge into an existing store")
+    val wanted = (meta.leaves ++ meta.tombs).map(l => s"leaf=$l").toSet
+    val conf = new org.apache.hadoop.conf.Configuration()
+    // relation dirs = every non-metadata child; leaves sit at
+    // <rel>/leaf=X (flat, e.g. tombs) or <rel>/<grp>/leaf=X (grouped)
+    val rels =
+      try fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      catch { case _: java.io.FileNotFoundException => Array.empty[String] }
+    rels.foreach { rel =>
+      def glob(pattern: String): Seq[Path] =
+        try Option(fs.globStatus(new Path(s"$indexDir/$rel/$pattern")))
+          .toSeq.flatten.filter(_.isDirectory).map(_.getPath)
+        catch { case _: java.io.IOException => Seq.empty }
+      (glob("leaf=*") ++ glob("*/leaf=*"))
+        .filter(p => wanted.contains(p.getName)).foreach { src =>
+          // re-derive the root-relative path (rel[/grp]/leaf=X)
+          val grp = src.getParent.getName
+          val relPath =
+            if (grp == rel) s"$rel/${src.getName}"
+            else s"$rel/$grp/${src.getName}"
+          val dst = new Path(droot, relPath)
+          dfs.mkdirs(dst.getParent)
+          if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, dfs, dst,
+              false, conf))
+            throw new java.io.IOException(s"could not copy $src to $dst")
+        }
+    }
+    if (!org.apache.hadoop.fs.FileUtil.copy(fs,
+        new Path(indexDir, manifestFile(version)),
+        dfs, new Path(droot, manifestFile(version)), false, conf))
+      throw new java.io.IOException(
+        s"could not copy the v$version manifest to $destDir")
+  }
+
   /** Restrict an index relation to the committed leaves (`leaf` is a
     * partition column, so this is a partition prune): None = legacy
     * store, scan everything; Some(empty) = committed-empty store, no

@@ -3023,6 +3023,39 @@ SELECT 'now', doc_id + 100000, doc_id, CAST(0 AS BIGINT)
 FROM e WHERE doc_id <> 0
 ORDER BY lane, batch_id""",
 
+    // dd24: snapshot export — the MARK clone screens as the source did
+    // at the mark (even eligible docs, doc 0's later tombstone absent
+    // from the clone), the HEAD clone as the source does now (all
+    // eligible docs minus the tombstoned 0); n_mismatch = 0 gates each
+    // clone row-identical to the corresponding source screen
+    "dd24_snapshot_export" -> """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents),
+ e AS (SELECT doc_id FROM t WHERE len(toks) >= 3)
+SELECT 'asof' AS lane, doc_id + 100000 AS batch_id, doc_id AS corpus_id,
+  CAST(0 AS BIGINT) AS n_mismatch
+FROM e WHERE doc_id % 2 = 0
+UNION ALL
+SELECT 'head', doc_id + 100000, doc_id, CAST(0 AS BIGINT)
+FROM e WHERE doc_id <> 0
+ORDER BY lane, batch_id""",
+
+    // sql07: the replica's DESCRIBE HISTORY — v1 inserts every id
+    // (default 8-version retention), v2 dials retention to 3 (rows
+    // unchanged), v3 deletes the %4 ids; each retained version pins its
+    // own as-of row count and effective window
+    "sql07_state_history" -> """
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents),
+ s AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents
+   WHERE doc_id % 4 <> 0)
+SELECT CAST(1 AS BIGINT) AS version, n.c AS n_rows, 16 AS nbuckets,
+  8 AS retain FROM n
+UNION ALL SELECT CAST(2 AS BIGINT), n.c, 16, 3 FROM n
+UNION ALL SELECT CAST(3 AS BIGINT), s.c, 16, 3 FROM s
+ORDER BY version""",
+
     // ann25: the filtered TIME-TRAVEL audit — at the v2 mark every
     // query matches its same-label +200000 twin at sim 1.0 (the
     // wrong-label +100000 decoy is pre-filtered despite the smaller

@@ -277,6 +277,11 @@ object QueryPack {
     // TIME TRAVEL on the dedup index: a screen pinned to a retained
     // manifest version sees that snapshot's leaves AND tombstones —
     // docs folded later are invisible, docs deleted later still match
+    // SNAPSHOT EXPORT: a retained version cloned as a STANDALONE store
+    // (leaves + tombs + the pinned manifest, relative layout preserved)
+    // — the clone's HEAD screen equals the source's as-of screen, and a
+    // head-version clone carries the tombstone
+    "dd24_snapshot_export" -> ((s, d) => snapshotExportAudit(s, d)),
     "dd23_time_travel"    -> ((s, d) => Dedup.timeTravelSelfRecall(s, d)),
 
     // ---- similarity search ----
@@ -487,6 +492,11 @@ object QueryPack {
     // and the now lane sees both — each lane gated row-identical to
     // the Scala At-call
     "sql06_screen_at_tvf" -> ((s, d) => screenAtTvfAudit(s, d)),
+    // graft_state_history: the replica's DESCRIBE HISTORY — one row
+    // per retained state manifest version, each joined with its own
+    // as-of row count (the dial-change and delete commits visible as
+    // distinct, pinnable versions)
+    "sql07_state_history" -> ((s, d) => stateHistoryAudit(s, d)),
 
     // ---- training prep (decontaminate / split / pack / pii / quantize) ----
     "tp01_decontaminate" -> ((s, d) => TrainPrep.decontaminate(s, d)),
@@ -1735,6 +1745,90 @@ object QueryPack {
           "'graft_sql06_batch')"),
         Dedup.screenAgainstIndex(spark, dir, batch)))
       .orderBy(col("lane"), col("batch_id"))
+  }
+
+  /** dd24's driver-checked shape — SNAPSHOT EXPORT
+    * ([[graft.operators.store.IndexManifest.exportSnapshot]]): a
+    * retained version cloned as a standalone store, the compliance
+    * "ship the index exactly as the nightly mark saw it" move. The
+    * fixture is the sql06 lifecycle (even docs v1 = the mark, odd docs
+    * v2, doc 0 tombstoned v3); the MARK clone's plain HEAD screen must
+    * equal the source's as-of screen at the mark (later fold invisible,
+    * later tombstone absent — the clone carries neither), and the HEAD
+    * clone's screen must equal the source's now screen (the tombstone
+    * SHIPPED with the clone). n_mismatch folds the two-way exceptAll;
+    * the gated rows are the planted-copy relations per lane.
+    */
+  def snapshotExportAudit(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.store.IndexManifest
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val base = Tables.spread(docs)
+    val root = graft.Tables.scratchDir("graft_dd24")
+    val dir = s"$root/idx"
+    Dedup.dedupIndexAppend(base.filter(col("doc_id") % 2 === 0), dir,
+      "f1", bid = 1L)                                        // v1 = the mark
+    val mark = IndexManifest.readMeta(dir).get.version
+    Dedup.dedupIndexAppend(base.filter(col("doc_id") % 2 === 1), dir,
+      "f2", bid = 2L)                                        // v2
+    Dedup.dedupIndexDelete(spark, dir,
+      docs.filter(col("doc_id") === 0L).select(col("doc_id")),
+      "d1", bid = 3L)                                        // v3 = head
+    val head = IndexManifest.readMeta(dir).get.version
+    IndexManifest.exportSnapshot(dir, mark, s"$root/clone_mark")
+    IndexManifest.exportSnapshot(dir, head, s"$root/clone_head")
+    val batch = base.select((col("doc_id") + 100000L).as("doc_id"),
+      col("text"))
+    def lane(name: String, cloneDir: String, ref: DataFrame): DataFrame = {
+      val c = Dedup.screenAgainstIndex(spark, cloneDir, batch)
+      val nm = c.exceptAll(ref).count() + ref.exceptAll(c).count()
+      c.filter(col("corpus_id") === col("batch_id") - 100000L &&
+          col("jaccard") === 1.0)
+        .select(lit(name).as("lane"), col("batch_id"), col("corpus_id"),
+          lit(nm).as("n_mismatch"))
+    }
+    lane("asof", s"$root/clone_mark",
+        Dedup.screenAgainstIndexAt(spark, dir, batch, mark))
+      .unionByName(lane("head", s"$root/clone_head",
+        Dedup.screenAgainstIndex(spark, dir, batch)))
+      .orderBy(col("lane"), col("batch_id"))
+  }
+
+  /** sql07's driver-checked shape — the replica's DESCRIBE HISTORY
+    * (`graft_state_history`): one row per retained state manifest
+    * version, each carrying that snapshot's bucket dial and EFFECTIVE
+    * retention, joined here with its own `graft_state_at` row count —
+    * the insert commit, the retention-dial commit (rows unchanged,
+    * retain drops 8→3), and the delete commit all visible as distinct
+    * pinnable versions.
+    */
+  def stateHistoryAudit(spark: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Materializer
+    graft.GraftExtensions.registerIndexTableFunctions(spark)
+    val ids = Tables.documents(spark, d).select(col("doc_id").as("id"))
+    val stateDir = graft.Tables.scratchDir("graft_sql07")
+    val spec = Materializer.Spec(
+      keyCols = Seq("table_name", "record_id"), buckets = 16)
+    Materializer.applyBatch(spark, stateDir,
+      ids.select(lit("records").as("table_name"), col("id").as("record_id"),
+        col("id").as("seq"), lit("insert").as("op")), spec)     // v1
+    Materializer.setRetention(stateDir, 3)                      // v2
+    Materializer.applyBatch(spark, stateDir,
+      ids.filter(col("id") % 4 === 0)
+        .select(lit("records").as("table_name"), col("id").as("record_id"),
+          (col("id") + 1000000L).as("seq"), lit("delete").as("op")),
+      spec)                                                     // v3
+    val hist = spark.sql(s"SELECT * FROM graft_state_history('$stateDir')")
+    val keys = "table_name,record_id"
+    // per-version as-of counts: one bounded row per RETAINED version
+    import spark.implicits._
+    val counts = hist.select(col("version")).collect().map(_.getLong(0))
+      .map { v =>
+        v -> spark.sql(s"SELECT count(*) AS c FROM graft_state_at(" +
+          s"'$stateDir', '$keys', $v)").collect()(0).getLong(0)
+      }.toSeq.toDF("version", "n_rows")
+    hist.join(counts, Seq("version"))
+      .select(col("version"), col("n_rows"), col("nbuckets"), col("retain"))
+      .orderBy(col("version"))
   }
 
   def replicaDedupSync(spark: SparkSession, d: String): DataFrame = {

@@ -210,6 +210,18 @@ object Materializer {
     catch { case _: java.io.IOException => None }
   }
 
+  /** The manifest versions currently on disk, ascending — what
+    * [[readManifestAt]]/[[currentStateAt]] can reach (the state store's
+    * time-travel catalog; the IndexManifest `retainedVersions` move).
+    */
+  def retainedVersions(stateDir: String,
+      conf: Configuration = WalSegments.localConf): Seq[Long] = {
+    val (fs, root) = WalSegments.fsFor(stateDir, conf)
+    try fs.listStatus(root).iterator.map(_.getPath.getName)
+      .collect { case ManifestVRe(v) => v.toLong }.toSeq.sorted
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+  }
+
   /** How many manifest versions stay on disk after a commit. This is the
     * store's READ GRACE WINDOW, for manifests and leaves alike: a reader
     * that planned its scan against any retained manifest finds every leaf

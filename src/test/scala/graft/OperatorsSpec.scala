@@ -3314,4 +3314,36 @@ class OperatorsSpec extends AnyFunSuite {
       .toSeq == (0L until 32L))
     emb.unpersist()
   }
+
+  test("snapshot export: the clone is STANDALONE; refusals are loud") {
+    import graft.operators.store.IndexManifest
+    import spark.implicits._
+    val root = graft.Tables.scratchDir("dd24_spec")
+    val dir = s"$root/idx"
+    val docs = (1L to 5L)
+      .map(i => (i, s"export spec document $i " + ("q " * 10)))
+      .toDF("doc_id", "text")
+    graft.operators.dedup.Dedup.dedupIndexAppend(docs, dir, "f1", bid = 1L)
+    val v1 = IndexManifest.readMeta(dir).get.version
+    val e1 = intercept[IllegalArgumentException] {
+      IndexManifest.exportSnapshot(dir, 999L, s"$root/noclone")
+    }
+    assert(e1.getMessage.contains("not retained"), e1.getMessage)
+    IndexManifest.exportSnapshot(dir, v1, s"$root/clone")
+    // a destination already holding a manifest refuses — never merge
+    val e2 = intercept[IllegalArgumentException] {
+      IndexManifest.exportSnapshot(dir, v1, s"$root/clone")
+    }
+    assert(e2.getMessage.contains("refuses"), e2.getMessage)
+    // the clone survives the SOURCE's destruction — truly standalone
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .delete(hp, true)
+    val batch = docs.select(($"doc_id" + 50L).as("doc_id"), $"text")
+    val hits = graft.operators.dedup.Dedup
+      .screenAgainstIndex(spark, s"$root/clone", batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == (1L to 5L).map(i => (i + 50L, i)).toSet,
+      s"clone must screen with the source gone: $hits")
+  }
 }
