@@ -357,7 +357,21 @@ object IndexManifest {
         try Option(fs.globStatus(new Path(s"$indexDir/$rel/$pattern")))
           .toSeq.flatten.filter(_.isDirectory).map(_.getPath)
         catch { case _: java.io.IOException => Seq.empty }
-      (glob("leaf=*") ++ glob("*/leaf=*"))
+      val leafDirs = glob("leaf=*") ++ glob("*/leaf=*")
+      // a child dir holding plain data FILES and no leaf layout is an
+      // out-of-leaf ARTIFACT (the PqIndex codebooks/coarse-quantizer
+      // parquet datasets, named by the manifest's params) — immutable
+      // after build, shared by every version, required by the clone's
+      // searches: copy it wholesale
+      val isArtifact = leafDirs.isEmpty &&
+        fs.listStatus(new Path(root, rel))
+          .exists(st => st.isFile && !st.getPath.getName.startsWith("."))
+      if (isArtifact) {
+        if (!org.apache.hadoop.fs.FileUtil.copy(fs, new Path(root, rel),
+            dfs, new Path(droot, rel), false, conf))
+          throw new java.io.IOException(
+            s"could not copy artifact dir $rel to $destDir")
+      } else leafDirs
         .filter(p => wanted.contains(p.getName)).foreach { src =>
           // re-derive the root-relative path (rel[/grp]/leaf=X)
           val grp = src.getParent.getName

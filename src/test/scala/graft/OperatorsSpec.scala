@@ -3345,5 +3345,29 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(hits == (1L to 5L).map(i => (i + 50L, i)).toSet,
       s"clone must screen with the source gone: $hits")
+    // a VECTOR clone carries its OUT-OF-LEAF artifacts (codebooks +
+    // coarse quantizer) — without them the clone's searches would fail
+    import graft.operators.ann.PqIndex
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 96)
+    val copies = emb.filter(col("vec_id") === 7L)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val all = emb.unionByName(copies)
+    val vdir = s"$root/vidx"
+    PqIndex.build(all, vdir)
+    IndexManifest.exportSnapshot(vdir,
+      IndexManifest.readMeta(vdir).get.version, s"$root/vclone")
+    val vp = new org.apache.hadoop.fs.Path(vdir)
+    vp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .delete(vp, true)
+    val q = emb.filter(col("vec_id") === 7L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val top = PqIndex.topKIvfAgainst(spark, s"$root/vclone", q, all,
+        nprobe = 4, k = 1, rerank = 4096)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("sim")))
+    assert(top.toSeq == Seq((7L, 1007L, 1.0)),
+      s"vector clone must search with the source gone: ${top.toSeq}")
   }
 }
