@@ -77,7 +77,15 @@ object GraftExtensions {
 
   private def intArgOr(args: Seq[Expression], i: Int, fn: String,
       default: Int): Int =
-    if (args.length > i) longArg(args, i, fn).toInt else default
+    if (args.length > i) {
+      val v = longArg(args, i, fn)
+      // a BIGINT literal outside Int range would wrap on .toInt — give
+      // it the same loud argument error every other shape gets
+      if (v < Int.MinValue || v > Int.MaxValue)
+        throw new IllegalArgumentException(
+          s"$fn: argument ${i + 1} is out of INT range: $v")
+      v.toInt
+    } else default
 
   /** A TVF argument naming the CALLER-SIDE relation (the batch to
     * screen, the queries to search with): the name of a registered

@@ -59,11 +59,18 @@ object KnnGraph {
   private val DefaultHubCount = 64
 
   /** The store's dialed pool size: `hubs_n` param, default
-    * [[DefaultHubCount]] — pre-dial manifests keep the default.
+    * [[DefaultHubCount]] — pre-dial manifests keep the default. A
+    * malformed value (manual manifest edit, cross-version corruption)
+    * throws a CONTEXTUAL error instead of a bare
+    * NumberFormatException from every later commit/search.
     */
   private def hubCountOf(meta: Option[IndexManifest.Meta]): Int =
     meta.flatMap(_.params.get("hubs_n")).map(_.trim).filter(_.nonEmpty)
-      .map(_.toInt).filter(_ >= 1).getOrElse(DefaultHubCount)
+      .map { s =>
+        s.toIntOption.getOrElse(throw new IllegalStateException(
+          s"malformed hubs_n manifest param '$s' — the hub-pool dial " +
+            "must be a positive INT; repair it with setHubCount"))
+      }.filter(_ >= 1).getOrElse(DefaultHubCount)
 
   /** The next commit's hub list: the `hubN` (store-dialed) smallest vec_ids of
     * (prior hubs ∪ the just-written leaf's vertices). The leaf read-back
@@ -360,11 +367,19 @@ object KnnGraph {
     val pooled = hubsParam(meta)
     val pool =
       if (n <= pooled.size || meta.leaves.isEmpty) pooled.take(n)
-      else IndexManifest.committedOnly(
-          spark.read.parquet(s"$indexDir/edges"), Some(meta.leaves))
-        .select(col("vec_id")).distinct()
-        .orderBy(col("vec_id")).limit(n)
-        .collect().map(_.getLong(0)).toSeq
+      else {
+        // dial-up re-enrollment must EXCLUDE tombstoned vertices (the
+        // merge/nextHubs exclude semantics): committed edge leaves
+        // retain deleted vertices until a refine drops them physically,
+        // and a dead hub would occupy a seed slot for every search
+        val scan = IndexManifest.committedOnly(
+            spark.read.parquet(s"$indexDir/edges"), Some(meta.leaves))
+          .select(col("vec_id")).distinct()
+        tombstonesSnapshot(spark, indexDir, Some(meta))
+          .fold(scan)(t => scan.join(broadcast(t), Seq("vec_id"), "left_anti"))
+          .orderBy(col("vec_id")).limit(n)
+          .collect().map(_.getLong(0)).toSeq
+      }
     IndexManifest.commit(indexDir, meta.copy(version = meta.version + 1,
       params = meta.params ++ Map(
         "hubs_n" -> n.toString, "hubs" -> pool.mkString(","))))

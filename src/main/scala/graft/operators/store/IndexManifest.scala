@@ -330,7 +330,10 @@ object IndexManifest {
     * retired/unreferenced leaves and other versions do not ship. Throws
     * when `version` is not retained (the time-travel reach rule) or the
     * destination already holds a manifest (never silently merge into an
-    * existing store).
+    * existing store); a manifest-LESS non-empty destination is a torn
+    * prior export's residue and is cleared before copying, so a crashed
+    * export is safely retryable (kill-mid-export → retry reads
+    * identical to a clean export — spec-pinned).
     */
   def exportSnapshot(indexDir: String, version: Long,
       destDir: String): Unit = {
@@ -344,6 +347,18 @@ object IndexManifest {
     if (readMeta(destDir).isDefined) throw new IllegalArgumentException(
       s"$destDir already holds a committed index manifest — export " +
         "refuses to merge into an existing store")
+    // torn-export residue: the manifest copies LAST, so an export that
+    // died mid-copy leaves a manifest-less, non-empty destination. A
+    // retry must CLEAR it first — Hadoop FileUtil.copy into an existing
+    // directory NESTS (checkDest resolves dst/leaf=X → dst/leaf=X/leaf=X),
+    // which would commit a clone with duplicated partition levels. The
+    // residue is un-committed bytes, garbage by definition (the
+    // dropResidue discipline applied to the whole clone).
+    try {
+      if (dfs.getFileStatus(droot).isDirectory &&
+          dfs.listStatus(droot).nonEmpty)
+        dfs.delete(droot, true)
+    } catch { case _: java.io.FileNotFoundException => () }
     val wanted = (meta.leaves ++ meta.tombs).map(l => s"leaf=$l").toSet
     val conf = new org.apache.hadoop.conf.Configuration()
     // relation dirs = every non-metadata child; leaves sit at

@@ -389,8 +389,10 @@ object Graft {
     * holds its ids, plus an optional SQL predicate restricting it to a
     * slice of the store (the multiplexed-replica case — e.g. a vector
     * store fed by `table_name = 'vecs'` rows while the dedup index
-    * follows `table_name = 'docs'`). Predicate columns ride the same
-    * scan as the id column (projection pruning keeps the read narrow).
+    * follows `table_name = 'docs'`). The predicate may reference KEY
+    * columns only (`spec.keyCols`) — both the live and the delete-feed
+    * scans are keyed projections, so a non-key reference is rejected
+    * loudly up front instead of failing halfway through a sync cycle.
     */
   final case class ReplicaKey(idCol: String,
       whereSql: Option[String] = None)
@@ -403,6 +405,25 @@ object Graft {
   private def liveDeadSets(spark: SparkSession, stateDir: String,
       spec: Materializer.Spec, key: ReplicaKey,
       keyName: String): (DataFrame, DataFrame) = {
+    // fail fast on a predicate that reaches beyond the KEY columns: the
+    // dead side reads Materializer.deletedRecords, which is projected
+    // down to spec.keyCols — a non-key reference would resolve on the
+    // alive side (full rows) but throw an opaque unresolved-column
+    // error from the dead side only, halfway through the cycle
+    key.whereSql.foreach { w =>
+      val keySet = spec.keyCols.map(_.toLowerCase).toSet
+      val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(w).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name
+        }
+      val bad = refs.filterNot(r => keySet.contains(r.toLowerCase))
+      require(bad.isEmpty,
+        s"ReplicaKey.whereSql may reference KEY columns only " +
+          s"(${spec.keyCols.mkString(", ")}) — both the live and the " +
+          s"delete-feed scans are keyed projections; got: " +
+          s"${bad.mkString(", ")} in '$w'")
+    }
     def slice(df: DataFrame): DataFrame =
       key.whereSql.fold(df)(w => df.where(expr(w)))
     val alive = slice(Materializer.currentState(spark, stateDir, spec))

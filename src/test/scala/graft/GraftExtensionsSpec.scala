@@ -191,6 +191,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM graft_index(concat('a', rand()), 'sets')").collect()
     }
     assert(msgs(ex2).exists(_.contains("STRING literal")))
+    // an INT dial handed a BIGINT beyond Int range errs loudly instead
+    // of wrapping to garbage (rerank=5e9 must not become a negative int)
+    docs.createOrReplaceTempView("ext_ovf_batch")
+    val ex3 = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM graft_screen('$dir', 'ext_ovf_batch', 5000000000)")
+        .collect()
+    }
+    assert(msgs(ex3).exists(_.contains("out of INT range")))
     // the history TVF is the time-travel catalog: one row per retained
     // version, each with its snapshot's census
     graft.operators.dedup.Dedup.dedupIndexAppend(

@@ -3273,6 +3273,16 @@ class OperatorsSpec extends AnyFunSuite {
       vector = Some((vecsKey, v, emb)),
       graph = Some((vecsKey, g, emb)))
     assert(replay.values.forall(_ == ((0L, 0L))), s"fixpoint: $replay")
+    // a whereSql reaching beyond the KEY columns fails fast and loud —
+    // the delete-feed scan is projected to keyCols, so a non-key
+    // predicate would otherwise throw an opaque unresolved-column
+    // error from the dead side only, halfway through the cycle
+    val eKey = intercept[IllegalArgumentException] {
+      Graft.syncAllIndexesKeyed(spark, stateDir, spec, "c2",
+        dedup = Some((Graft.ReplicaKey("record_id", Some("op = 'insert'")),
+          dd, docs, 2L)))
+    }
+    assert(eKey.getMessage.contains("KEY columns only"), eKey.getMessage)
     emb.unpersist(); docs.unpersist()
   }
 
@@ -3312,6 +3322,21 @@ class OperatorsSpec extends AnyFunSuite {
     // beyond-pool asks still answer correctly via the fallback
     assert(KnnGraph.hubIds(spark, dir, 32).as[Long].collect().sorted
       .toSeq == (0L until 32L))
+    // dial-UP re-enrollment must not seed DELETED vertices: tombstone
+    // the current smallest ids, dial up past the pool, and the new pool
+    // starts above them (the merge/nextHubs exclude semantics)
+    KnnGraph.delete(spark, dir, (0L until 10L).toDF("vec_id"), "kill10")
+    KnnGraph.setHubCount(spark, dir, 96)
+    assert(pool() == (10L until 106L),
+      s"dial-up must exclude tombstoned vertices: ${pool().take(12)}")
+    // a malformed hubs_n (manual edit / corruption) errs with CONTEXT,
+    // not a bare NumberFormatException
+    val mMeta = IndexManifest.readMeta(dir).get
+    IndexManifest.commit(dir, mMeta.copy(version = mMeta.version + 1,
+      params = mMeta.params + ("hubs_n" -> "banana")))
+    val eBad = intercept[IllegalStateException](
+      KnnGraph.hubIds(spark, dir, 8).collect())
+    assert(eBad.getMessage.contains("malformed hubs_n"), eBad.getMessage)
     emb.unpersist()
   }
 
@@ -3369,5 +3394,44 @@ class OperatorsSpec extends AnyFunSuite {
         r.getAs[Long]("vec_id"), r.getAs[Double]("sim")))
     assert(top.toSeq == Seq((7L, 1007L, 1.0)),
       s"vector clone must search with the source gone: ${top.toSeq}")
+  }
+
+  test("snapshot export: a torn export's residue clears on retry — no nested leaves") {
+    import graft.operators.store.IndexManifest
+    import spark.implicits._
+    val root = graft.Tables.scratchDir("dd24_torn")
+    val dir = s"$root/idx"
+    val docs = (1L to 5L)
+      .map(i => (i, s"torn export document $i " + ("w " * 10)))
+      .toDF("doc_id", "text")
+    graft.operators.dedup.Dedup.dedupIndexAppend(docs, dir, "f1", bid = 1L)
+    val v1 = IndexManifest.readMeta(dir).get.version
+    val clean = s"$root/clean"
+    val torn = s"$root/torn"
+    IndexManifest.exportSnapshot(dir, v1, clean)
+    IndexManifest.exportSnapshot(dir, v1, torn)
+    // simulate the crash point: every leaf copied, the manifest NOT —
+    // the manifest copies LAST, so this is exactly what a mid-export
+    // kill leaves behind
+    val fs = new org.apache.hadoop.fs.Path(torn)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.listStatus(new org.apache.hadoop.fs.Path(torn))
+      .filter(_.getPath.getName.startsWith("_idx_manifest"))
+      .foreach(st => fs.delete(st.getPath, false))
+    assert(IndexManifest.readMeta(torn).isEmpty, "torn clone has no manifest")
+    // the RETRY must clear the residue (FileUtil.copy into an existing
+    // dir nests leaf=X/leaf=X) and commit a clone identical to a clean
+    // export
+    IndexManifest.exportSnapshot(dir, v1, torn)
+    val nested = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$torn/*/leaf=*/leaf=*"))
+    assert(nested == null || nested.isEmpty,
+      s"retried export must not nest partition levels: ${nested.toSeq}")
+    val batch = docs.select(($"doc_id" + 50L).as("doc_id"), $"text")
+    def screen(at: String): Set[(Long, Long)] = graft.operators.dedup.Dedup
+      .screenAgainstIndex(spark, at, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(screen(torn) == screen(clean),
+      "retried torn export must read identical to a clean export")
   }
 }
