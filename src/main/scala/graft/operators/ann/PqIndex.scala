@@ -2,7 +2,7 @@ package graft.operators.ann
 
 import graft.Tables
 import graft.sources.cdc.WalSegments
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -129,6 +129,34 @@ object PqIndex {
 
   private def hasTag(leaves: Seq[String], tag: String): Boolean =
     leaves.exists(IndexManifest.tagOf(_) == tag)
+
+  /** Tags RETIRED from the leaf/tomb lists by replace commits
+    * ([[compact]] / [[retrain]] rewrite the store as one fresh leaf,
+    * which would otherwise erase every prior commit's tag) — kept in
+    * the manifest's `donetags` param (via [[Meta.extraParams]]) so tag
+    * idempotency survives the rewrite: a checkpoint-replayed crawl
+    * batch whose leaf was folded away by an intervening maintenance
+    * commit still no-ops instead of committing duplicate codes. The
+    * KnnGraph discipline applied to the vector store; growth is one
+    * short tag per retired commit — manifest-sized metadata.
+    */
+  private def doneTags(meta: Meta): Set[String] =
+    meta.extraParams.get("donetags").toSeq.flatMap(_.split(","))
+      .filter(_.nonEmpty).toSet
+
+  /** Has `tag` committed — as a live code/tomb leaf OR retired by a
+    * later replace commit? The idempotency check every fold uses.
+    */
+  private def isDone(meta: Meta, tag: String): Boolean =
+    hasTag(meta.codeLeaves, tag) || hasTag(meta.tombLeaves, tag) ||
+      doneTags(meta).contains(tag)
+
+  /** The `donetags` value a replace commit publishes: prior retired
+    * tags plus every code/tomb leaf tag the rewrite erases.
+    */
+  private def retiredTags(meta: Meta): String =
+    (doneTags(meta) ++ meta.codeLeaves.map(IndexManifest.tagOf) ++
+      meta.tombLeaves.map(IndexManifest.tagOf)).toSeq.sorted.mkString(",")
 
   private def randomSuffix(): String =
     java.util.UUID.randomUUID().toString.take(8)
@@ -364,7 +392,7 @@ object PqIndex {
     val meta = readMeta(indexDir)
     tag.foreach { t =>
       require(t.matches("[0-9A-Za-z_\\-]+"), s"invalid idempotency tag: $t")
-      if (hasTag(meta.codeLeaves, t)) return meta
+      if (isDone(meta, t)) return meta
     }
     sweepUnreferenced(indexDir, meta)
     val leaf = leafName(meta.version + 1, tag.getOrElse(randomSuffix()))
@@ -524,7 +552,7 @@ object PqIndex {
     val meta = readMeta(indexDir)
     tag.foreach { t =>
       require(t.matches("[0-9A-Za-z_\\-]+"), s"invalid idempotency tag: $t")
-      if (hasTag(meta.tombLeaves, t)) return meta
+      if (isDone(meta, t)) return meta
     }
     val leaf = tombLeafName(meta.version + 1, tag.getOrElse(randomSuffix()))
     dropLeafResidue(indexDir, "tombs", leaf) // torn tagged-replay residue
@@ -594,7 +622,7 @@ object PqIndex {
     val meta = readMeta(indexDir)
     tag.foreach { t =>
       require(t.matches("[0-9A-Za-z_\\-]+"), s"invalid idempotency tag: $t")
-      if (hasTag(meta.codeLeaves, t)) return meta
+      if (isDone(meta, t)) return meta
     }
     if (meta.codeLeaves.size <= 1 && meta.tombLeaves.isEmpty)
       return meta // already compact
@@ -609,8 +637,93 @@ object PqIndex {
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell", "leaf")
       .parquet(s"$indexDir/codes")
+    // a replace commit: retire every erased leaf tag into donetags so
+    // checkpoint-replayed tagged folds still no-op after the rewrite
     val next = meta.copy(version = meta.version + 1, codeLeaves = Seq(leaf),
-      tombLeaves = Seq.empty)
+      tombLeaves = Seq.empty,
+      extraParams = meta.extraParams + ("donetags" -> retiredTags(meta)))
+    writeMeta(indexDir, next)
+    next
+  }
+
+  /** RETRAIN the quantization geometry from the CURRENT live corpus —
+    * the drift-maintenance axis [[append]] deliberately lacks: every
+    * increment encodes against the build-time codebooks (correct and
+    * O(batch)), so under distribution drift (new domains entering a
+    * crawl) ADC quantization error grows and shortlist recall decays
+    * with no maintenance move to fix it — compact/merge copy codes
+    * verbatim. This is Faiss/Milvus "rebuild" expressed as one more
+    * replace commit under the SAME manifest discipline:
+    *
+    *  1. the live id set is codes ∖ tombstones (one committed-leaf
+    *     scan, ids only); raw vectors re-attach from `embProvider` by
+    *     id — codes are lossy, so retraining needs the embedding store
+    *     the sync facades already carry;
+    *  2. a fresh coarse quantizer and fresh PQ codebooks train on that
+    *     corpus (same geometry dials m/ksub/dim/ncells — the dials are
+    *     the store's contract; the CONTENT refreshes), landing in NEW
+    *     version-named artifact directories — committed artifacts are
+    *     immutable, so retained pre-retrain manifests keep resolving
+    *     their own geometry;
+    *  3. the live corpus re-encodes against the fresh geometry as ONE
+    *     new leaf, and the manifest swap publishes (new codebooks dir,
+    *     new coarse dir, the one leaf, empty tombstones) atomically —
+    *     erased leaf tags retire into `donetags`, so replayed tagged
+    *     appends/deletes still no-op (the exactly-once fold survives,
+    *     exactly as across [[compact]]).
+    *
+    * Readers keep working throughout: a search planned against any
+    * retained pre-retrain manifest still finds its leaves AND its
+    * codebooks (every `*At` lane resolves geometry from the pinned
+    * snapshot), and the exclusive manifest publish gives a retrain
+    * racing an append exactly one winner. Cost is one full pass over
+    * the live corpus (train + re-encode) — a scheduled maintenance
+    * job, never the serving or increment path. Idempotent per `tag`;
+    * a torn attempt rewrites its deterministic artifact/leaf names.
+    */
+  def retrain(spark: SparkSession, indexDir: String, embProvider: DataFrame,
+      tag: String, refineIters: Int = 1,
+      coarseRefineIters: Int = 0): Meta = {
+    require(tag.matches("[0-9A-Za-z_\\-]+"), s"invalid retrain tag: $tag")
+    val meta = readMeta(indexDir)
+    if (isDone(meta, tag)) return meta
+    require(meta.ncells > 0 && meta.coarseDir.nonEmpty,
+      s"$indexDir is a pre-IVF index — rebuild into a fresh directory " +
+        "instead of retraining")
+    sweepUnreferenced(indexDir, meta)
+    val v = meta.version + 1
+    // the live corpus: committed code ids minus tombstones, re-attached
+    // to raw vectors by id (point-lookup-shaped join against the
+    // embedding store — the topKAgainst rerank discipline, corpus-wide)
+    val liveIds = liveOnly(spark, indexDir, meta,
+      codesRaw(spark, indexDir, meta).select(col("vec_id"))).distinct()
+    val live = embProvider.join(liveIds, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    // fresh geometry in NEW version-named immutable dirs; a torn prior
+    // attempt at this version left stale files AND possibly stale
+    // memoized relations — drop both before overwriting
+    val coarseDir = f"coarse-v$v%08d"
+    val booksDir = f"codebooks-v$v%08d"
+    artifactCache.remove(s"$indexDir/$coarseDir")
+    artifactCache.remove(s"$indexDir/$booksDir")
+    Ann.coarseCentroids(live, meta.ncells, coarseRefineIters)
+      .write.mode("overwrite").parquet(s"$indexDir/$coarseDir")
+    val storedCoarse = artifact(spark, s"$indexDir/$coarseDir")
+    val trainIn =
+      if (!meta.residual) live
+      else residualsOf(live, storedCoarse)
+        .select(col("vec_id"), col("embedding"))
+    Ann.pqCodebooks(trainIn, meta.m, meta.ksub, meta.subLen, refineIters)
+      .write.mode("overwrite").parquet(s"$indexDir/$booksDir")
+    val leaf = leafName(v, tag)
+    dropLeafResidue(indexDir, "codes", leaf) // torn tagged-replay residue
+    writeCodesLeaf(spark, indexDir, live, leaf,
+      artifact(spark, s"$indexDir/$booksDir"), storedCoarse,
+      meta.subLen, meta.residual)
+    val next = meta.copy(version = v, codebooksDir = booksDir,
+      coarseDir = coarseDir, codeLeaves = Seq(leaf),
+      tombLeaves = Seq.empty,
+      extraParams = meta.extraParams + ("donetags" -> retiredTags(meta)))
     writeMeta(indexDir, next)
     next
   }
@@ -631,11 +744,13 @@ object PqIndex {
       k, rerank)
 
   /** TIME-TRAVEL flat search — [[topKAgainst]] against the exact
-    * snapshot a PAST manifest version committed (code leaves AND the
-    * tombstone set resolve from it — the dd23 device on the exhaustive
-    * ADC lane, completing the search matrix beside
-    * [[topKIvfAgainstAt]]; sound because codebooks are immutable after
-    * [[build]], so every retained version shares them). Reach is the
+    * snapshot a PAST manifest version committed: code leaves, the
+    * tombstone set AND the quantization geometry (codebook directory)
+    * all resolve from it — the dd23 device on the exhaustive ADC lane,
+    * completing the search matrix beside [[topKIvfAgainstAt]]. Pinning
+    * the geometry is what keeps as-of answers stable across a
+    * [[retrain]]: codes committed before it score against the codebooks
+    * they were encoded with, never the refreshed ones. Reach is the
     * store's dialed retained-manifest grace window; asking beyond it
     * throws instead of silently answering from a different snapshot.
     */
@@ -662,7 +777,10 @@ object PqIndex {
       s"$indexDir stores RESIDUAL codes (IVFADC): exhaustive raw-vector " +
         "ADC does not apply — search with topKIvfAgainst")
     val subLen = meta.subLen
-    val books = codebooks(spark, indexDir)
+    // geometry resolves from the SNAPSHOT meta, not the current one: a
+    // [[retrain]] swaps the codebook directory, and an as-of search must
+    // score its pinned codes against the codebooks they were encoded with
+    val books = artifact(spark, s"$indexDir/${meta.codebooksDir}")
     val tables = queries.crossJoin(broadcast(books))
       .select(col("query_id"), col("m"), col("code"),
         round(Ann.assignSim(
@@ -713,10 +831,12 @@ object PqIndex {
       embProvider, nprobe, k, rerank)
 
   /** TIME-TRAVEL search — [[topKIvfAgainst]] against the exact snapshot
-    * a PAST manifest version committed (code leaves AND the tombstone
-    * set resolve from it — the dd23 device on the vector index; sound
-    * because codebooks and the coarse quantizer are immutable after
-    * [[build]], so every retained version shares them). Reach is the
+    * a PAST manifest version committed: code leaves, the tombstone set
+    * AND the quantization geometry (codebook + coarse directories) all
+    * resolve from it — the dd23 device on the vector index. Pinned
+    * geometry keeps as-of answers stable across a [[retrain]]: codes
+    * committed before it score against the codebooks (and probe the
+    * coarse cells) they were encoded with. Reach is the
     * retained-manifest grace window; asking beyond it throws instead of
     * silently answering from a different snapshot.
     */
@@ -1361,5 +1481,121 @@ object PqIndex {
       .select(col("vec_id"), col("cand_id").as("pq_nearest"),
         round(col("sim"), 4).as("sim"))
       .orderBy(col("vec_id"))
+  }
+
+  /** ann27's driver-checked shape — DRIFT degrades the frozen-codebook
+    * shortlist, [[retrain]] restores it, and time travel still answers
+    * from the pinned pre-retrain geometry. The experiment:
+    *
+    *  - build on the base corpus, then [[append]] a DRIFTED wave from a
+    *    NEW domain ([[chimeraEmb]]: per-subspace one-hot topic atoms —
+    *    a clustered manifold the isotropic base never visits). The
+    *    frozen build-time codebooks COLLAPSE the domain's palette:
+    *    several atoms share their least-bad centroid, so candidates
+    *    that differ in a lane become ADC-indistinguishable and the
+    *    shortlist race decides on quantization noise;
+    *  - TRUE recall@1 vs brute force (the ann26 discipline): each
+    *    query keeps its partner's atoms in lanes 0–2 and shifts lane 3,
+    *    so the exact-cosine ground truth is its unique 3-of-4-lane
+    *    partner at cosine 0.75 — far above the ≈0.4 a random base
+    *    vector can reach. Pre-retrain the partner drops out of the
+    *    modest-`rerank` shortlist for a large fraction of queries
+    *    (measured 48-59% recall across the sf fixtures); post-retrain
+    *    the codebooks recover the atoms, ADC per lane is near-exact,
+    *    and recall is 92-94% — the floor sits between the two bands;
+    *  - the AS-OF lane re-runs the search at the pre-retrain version
+    *    and must reproduce the pre-retrain answer ROW-FOR-ROW (pinned
+    *    codes + pinned codebooks — the sql06/cdc28 rule on the
+    *    geometry axis), folded in as a two-way exceptAll identity.
+    *
+    * Every lane is deterministic (hash-ranked k-means seeds, hash
+    * atoms, vec_id tie-breaks), so the booleans are stable, the floor
+    * is the cross-engine contract, and the measured hit counts are
+    * spec-pinned (PqIndexSpec).
+    */
+  def retrainRecallAudit(spark: SparkSession, d: String, nQueries: Int = 64,
+      floorPct: Int = 75, rerank: Int = 4): DataFrame = {
+    val (preHits, postHits, asofMismatch) =
+      retrainRecallStats(spark, d, nQueries, rerank)
+    spark.range(1).select(
+      lit(nQueries.toLong).as("n_queries"),
+      lit(floorPct.toLong).as("floor_pct"),
+      lit(preHits * 100L < floorPct.toLong * nQueries).as("drift_degrades"),
+      lit(postHits * 100L >= floorPct.toLong * nQueries)
+        .as("retrain_restores"),
+      lit(asofMismatch == 0L).as("asof_pins_geometry"))
+  }
+
+  /** The drifted DOMAIN'S vectors: per-lane one-hot "topic atoms" —
+    * each 16-dim PQ subvector is one of 16 basis directions, picked by
+    * a hash of the id, so the wave lives on a finite per-subspace
+    * palette (the shape real embedding domains have: clustered, not
+    * isotropic — exactly what the synthetic base table is not).
+    * Build-time codebooks, trained before the domain existed, COLLAPSE
+    * the palette (several atoms share their least-bad centroid, and
+    * the quantization error is best-of-random); retrained codebooks
+    * recover the atoms almost exactly, making per-lane ADC near-exact.
+    * `shiftLane3` yields the QUERY variant: lanes 0–2 keep the id's
+    * atoms, lane 3 shifts by 8 — so each query has exactly one 3-of-4
+    * lane partner in the wave (cosine 0.75, far above the ≈0.4 max a
+    * random base vector reaches against a 4-sparse query).
+    */
+  private def chimeraEmb(id: Column, shiftLane3: Boolean): Column = {
+    val lanes = (0 until 4).map { l =>
+      val shift = if (shiftLane3 && l == 3) 8L else 0L
+      val atom = pmod(xxhash64(id, lit(l)) + lit(shift), lit(16L))
+      transform(sequence(lit(0), lit(15)),
+        p => when(p.cast("long") === atom, lit(0.5f)).otherwise(lit(0.0f)))
+    }
+    concat(lanes: _*)
+  }
+
+  /** The measured lane behind [[retrainRecallAudit]]: (pre-retrain
+    * hits, post-retrain hits, as-of row mismatches) — spec-pinnable so
+    * a quality regression shows its measured size, not just a flipped
+    * boolean.
+    */
+  private[graft] def retrainRecallStats(spark: SparkSession, d: String,
+      nQueries: Int = 64, rerank: Int = 4): (Long, Long, Long) = {
+    val base = Tables.spread(Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))).cache()
+    val indexDir = s"${graft.Tables.scratchDir("graft_ann27")}/pq"
+    val drifted = base
+      .select(col("vec_id"), chimeraEmb(col("vec_id"), false).as("embedding"))
+      .select((col("vec_id") + 400000L).as("vec_id"), col("embedding"))
+    build(base, indexDir, refineIters = 3)
+    append(spark, indexDir, drifted, Some("drift-wave"))
+    val vPre = readMeta(indexDir).version
+    val live = base.unionByName(drifted).cache()
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select((col("vec_id") + 800000L).as("query_id"),
+        chimeraEmb(col("vec_id"), true).as("q_emb"))
+    // ground truth: exact cosine top-1 over the live corpus (audit-sized
+    // |queries| × corpus — never the serving path)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val bruteTop = broadcast(queries)
+      .join(live, col("vec_id") =!= col("query_id"))
+      .withColumn("sim", Ann.cosine(col("q_emb"), col("embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("query_id"), col("vec_id").as("true_nn"))
+    def hitsOf(res: DataFrame): Long = res
+      .filter(col("rnk") === 1)
+      .join(bruteTop, Seq("query_id"))
+      .filter(col("vec_id") === col("true_nn"))
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    val pre = topKAgainst(spark, indexDir, queries, live,
+      k = 1, rerank = rerank).cache()
+    val preHits = hitsOf(pre)
+    retrain(spark, indexDir, live, "retrain-1")
+    val postHits = hitsOf(topKAgainst(spark, indexDir, queries, live,
+      k = 1, rerank = rerank))
+    val asof = topKAgainstAt(spark, indexDir, queries, live, vPre,
+      k = 1, rerank = rerank)
+    val asofMismatch =
+      asof.exceptAll(pre).count() + pre.exceptAll(asof).count()
+    pre.unpersist(); base.unpersist(); live.unpersist()
+    (preHits, postHits, asofMismatch)
   }
 }

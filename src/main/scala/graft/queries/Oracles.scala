@@ -3080,6 +3080,22 @@ ORDER BY lane, query_id""",
 SELECT CAST(64 AS BIGINT) AS n_queries, CAST(55 AS BIGINT) AS floor_pct,
   true AS floor_met""",
 
+    // ann27: the PQ drift/retrain audit — a drifted DOMAIN (per-subspace
+    // one-hot topic atoms, a clustered manifold the isotropic base
+    // never visits) must pull frozen-codebook recall@1 vs brute force
+    // BELOW the floor (the build-time codebooks collapse the domain's
+    // palette), retrain must restore it ABOVE (recovered atoms make
+    // per-lane ADC near-exact; measured ~55% vs ~98% at sf0.01), and
+    // the as-of search at the pre-retrain version must equal the
+    // pre-retrain answer row-for-row (pinned geometry; exceptAll
+    // identity folded into asof_pins_geometry). All lanes deterministic
+    // (hash-ranked k-means seeds, hash atoms, vec_id tie-breaks), so
+    // the booleans are stable; measured hit counts pinned in PqIndexSpec
+    "ann27_retrain" -> """
+SELECT CAST(64 AS BIGINT) AS n_queries, CAST(75 AS BIGINT) AS floor_pct,
+  true AS drift_degrades, true AS retrain_restores,
+  true AS asof_pins_geometry""",
+
     // ann19: NN-descent planted theorem — in the degraded k=1 graph
     // every +200000 node knows only its original; one refinement round
     // (2-hop + reverse candidates, exact verify) provably adds the

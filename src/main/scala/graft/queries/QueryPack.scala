@@ -358,6 +358,14 @@ object QueryPack {
     // insensitive to navigation quality; this row is the teeth)
     "ann26_graph_recall" -> ((s, d) => graft.operators.ann.KnnGraph
       .recallAudit(s, d)),
+    // the MISSING maintenance axis closed: planted drift (the corpus
+    // reflected through the origin) measurably degrades the
+    // frozen-codebook ADC shortlist vs brute-force ground truth;
+    // PqIndex.retrain — fresh geometry from the live corpus, committed
+    // as a replace under donetags — restores it above the floor, and
+    // the as-of lane still answers from the PINNED pre-retrain
+    // geometry (two-way exceptAll identity folded into the row)
+    "ann27_retrain" -> ((s, d) => PqIndex.retrainRecallAudit(s, d)),
 
     // ---- multimodal ----
     "mm01_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),

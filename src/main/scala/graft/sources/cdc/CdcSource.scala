@@ -93,7 +93,16 @@ object CdcSource {
   }
 }
 
-class CdcSourceProvider extends TableProvider {
+/** Registered under the `graft-cdc` short name
+  * (META-INF/services/org.apache.spark.sql.sources.DataSourceRegister),
+  * so a pure-config deployment — PySpark, SQL, spark-submit with
+  * `spark.sql.extensions=graft.GraftExtensions` — can START the stream
+  * without any Scala: `spark.readStream.format("graft-cdc")
+  * .option("path", walDir).load()`.
+  */
+class CdcSourceProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-cdc"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = CdcSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =

@@ -224,7 +224,14 @@ object JdbcCdcSource {
       s" ORDER BY $lsnCol, seq"
 }
 
-class JdbcCdcSourceProvider extends TableProvider {
+/** Registered under the `graft-cdc-jdbc` short name
+  * (META-INF/services/org.apache.spark.sql.sources.DataSourceRegister) —
+  * `spark.readStream.format("graft-cdc-jdbc")` works from pure-config
+  * (PySpark/SQL) deployments; see [[CdcSourceProvider]]'s note.
+  */
+class JdbcCdcSourceProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-cdc-jdbc"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = JdbcCdcSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =

@@ -623,4 +623,67 @@ class PqIndexSpec extends AnyFunSuite {
     assert(out.forall(r =>
       r.getLong(1) == r.getLong(0) + 100000L && r.getDouble(2) == 1.0))
   }
+
+  test("ann27: drift degrades the frozen-codebook shortlist, retrain restores it, as-of pins geometry") {
+    // TRUE recall@1 vs in-plan brute force over the drifted domain —
+    // the ann26 discipline on the vector-quantization axis. The floor
+    // (75%) sits between the two measured bands (38/64 frozen vs 60/64
+    // retrained at sf0.001; 31 vs 59 at sf0.01); the as-of identity is
+    // exact.
+    val (pre, post, asofMismatch) = PqIndex.retrainRecallStats(spark, sf)
+    info(s"frozen-codebook hits: $pre / 64, retrained: $post / 64")
+    assert(pre * 100L < 75L * 64L,
+      s"drift must pull frozen-codebook recall below the floor: $pre/64")
+    assert(post * 100L >= 75L * 64L,
+      s"retrain must restore recall above the floor: $post/64")
+    assert(asofMismatch == 0L,
+      s"as-of search must reproduce the pre-retrain answer row-for-row " +
+        s"($asofMismatch mismatched rows)")
+  }
+
+  test("retrain: geometry swaps atomically; erased tags retire into donetags; replayed folds no-op") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val base = emb
+    PqIndex.build(base, dir)
+    val wave = base.select((col("vec_id") + 400000L).as("vec_id"),
+      col("embedding"))
+    PqIndex.append(spark, dir, wave, Some("wave-1"))
+    PqIndex.delete(spark, dir,
+      spark.range(400000L, 400010L).select($"id".as("vec_id")),
+      Some("kill-1"))
+    val pre = PqIndex.readMeta(dir)
+    val post = PqIndex.retrain(spark, dir,
+      base.unionByName(wave), "rt-1")
+    // one replace commit: fresh version-named geometry, ONE leaf, empty
+    // tombstones — and the tombstoned ids dropped out physically
+    assert(post.version == pre.version + 1)
+    assert(post.codebooksDir != pre.codebooksDir &&
+      post.coarseDir != pre.coarseDir)
+    assert(post.codeLeaves.size == 1 && post.tombLeaves.isEmpty)
+    val liveIds = PqIndex.codes(spark, dir)
+      .select("vec_id").distinct().as[Long].collect().toSet
+    assert(!(400000L until 400010L).exists(liveIds.contains),
+      "tombstoned ids must not survive the retrain re-encode")
+    assert(liveIds.contains(400010L) && liveIds.exists(_ < 400000L))
+    // geometry dials are the store's contract — content refreshed only
+    assert((post.m, post.ksub, post.dim, post.ncells) ==
+      ((pre.m, pre.ksub, pre.dim, pre.ncells)))
+    // replayed tagged folds no-op although their leaves were erased:
+    // the donetags discipline (the KnnGraph rule on the vector store)
+    assert(PqIndex.append(spark, dir, wave, Some("wave-1"))
+      .version == post.version, "replayed append must no-op via donetags")
+    assert(PqIndex.delete(spark, dir,
+        spark.range(400000L, 400010L).select($"id".as("vec_id")),
+        Some("kill-1"))
+      .version == post.version, "replayed delete must no-op via donetags")
+    assert(PqIndex.retrain(spark, dir, base, "rt-1")
+      .version == post.version, "replayed retrain must no-op on its tag")
+    // appends continue against the REFRESHED geometry
+    val wave2 = base.select((col("vec_id") + 500000L).as("vec_id"),
+      col("embedding"))
+    val m2 = PqIndex.append(spark, dir, wave2, Some("wave-2"))
+    assert(m2.version == post.version + 1 &&
+      m2.codebooksDir == post.codebooksDir)
+  }
 }

@@ -1734,6 +1734,26 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(expected.contains(("todo", 5L, 0L, 0L)),
       s"insert+delete must net to zero: $expected")
   }
+
+  test("DataSourceRegister short names: format(\"graft-cdc\") starts the stream without Scala") {
+    // the pure-config front door: PySpark/SQL deployments spell the short
+    // name, never the provider class — the whole stream runs through it
+    val dir = tmpDir("shortname")
+    WalFixture.writeSegments(dir,
+      Seq(mkChange(1, 0, "insert", "user", recordId = 41)),
+      txnsPerSegment = 1)
+    runToTable(
+      spark.readStream.format("graft-cdc").option("path", dir).load(),
+      "t_shortname")
+    val rows = spark.table("t_shortname").collect()
+    assert(rows.exists(r => r.getAs[String]("msg") == "insert" &&
+      r.getAs[Map[String, String]]("record")("id") == "41"))
+    // the JDBC polling lane resolves by short name too (schema comes from
+    // the provider; no connection happens at load time)
+    val jdbc = spark.readStream.format("graft-cdc-jdbc")
+      .option("table", "graft_changes").load()
+    assert(jdbc.schema.fieldNames.contains("record_json"))
+  }
 }
 
 /** Fault injector for the ledger IO-degrade spec: creates of MARKER files
