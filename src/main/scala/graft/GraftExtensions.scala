@@ -404,6 +404,61 @@ object GraftExtensions {
           intArgOr(args, 6, "graft_graph_topk_at", 8),
           intArgOr(args, 7, "graft_graph_topk_at", 5))
           .queryExecution.logical
+      })) ++ maintenanceFunctions
+
+  /** The MAINTENANCE table functions — the compliance operator's last
+    * Scala dependency removed: the auditor who answers "what did this
+    * batch collide with as of the mark" through `graft_screen_at` can
+    * now also DIAL the retention that defines the reachable window and
+    * EXPORT the snapshot that ships to review, all from SQL:
+    *
+    * {{{
+    *   SELECT * FROM graft_set_retention('/indexes/neardup', 30)
+    *   SELECT * FROM graft_export('/indexes/neardup', 41, '/exports/mark41')
+    * }}}
+    *
+    * These are EFFECTFUL: the maintenance action runs when the
+    * statement plans (the one execution point a SQL table function
+    * has), and the returned row is the receipt — the store's (or the
+    * clone's) post-action catalog row, exactly [[graft_index_meta]]'s
+    * shape, so the effect is immediately visible through the same
+    * surface (`graft_index_history` / `graft_stores`) an auditor
+    * already reads. EXPLAINing the statement performs the action too —
+    * the documented cost of expressing a procedure as a TVF. Both
+    * actions keep their Scala contracts: the dial is a metadata-only
+    * commit honored by every later retirement
+    * ([[IndexManifest.setRetention]]), the export refuses non-retained
+    * versions and committed destinations and is torn-retry safe
+    * ([[IndexManifest.exportSnapshot]]); re-running a completed export
+    * therefore refuses loudly rather than silently merging. Compaction
+    * stays Scala-only by design: it re-encodes per store FAMILY
+    * (PqIndex/Dedup/KnnGraph each own their rewrite), not per manifest.
+    */
+  private def maintenanceFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] = Seq(
+    (FunctionIdentifier("graft_set_retention"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "graft_set_retention"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_set_retention expects (path, retain), got ${args.length}" +
+            " arguments")
+        val path = strArg(args, 0, "graft_set_retention")
+        val n = intArgOr(args, 1, "graft_set_retention", -1)
+        IndexManifest.setRetention(path, n)
+        metaPlan(path) // the receipt: the store's post-dial catalog row
+      }),
+    (FunctionIdentifier("graft_export"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_export"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_export expects (path, version, dest), got ${args.length}" +
+            " arguments")
+        val path = strArg(args, 0, "graft_export")
+        val v = longArg(args, 1, "graft_export")
+        val dest = strArg(args, 2, "graft_export")
+        IndexManifest.exportSnapshot(path, v, dest)
+        metaPlan(dest) // the receipt: the standalone clone's catalog row
       }))
 
   /** The TVF descriptions — one list serves builder-time injection and

@@ -3042,6 +3042,24 @@ SELECT 'head', doc_id + 100000, doc_id, CAST(0 AS BIGINT)
 FROM e WHERE doc_id <> 0
 ORDER BY lane, batch_id""",
 
+    // sql08: maintenance from SQL — the clone of the v1 mark screens
+    // exactly the even planted copies (n_mismatch = 0 vs the source's
+    // as-of screen); the export receipt pins (version 1, 0 tombstones);
+    // the retention dial commits v4 with retain 2, whose retirement
+    // leaves exactly versions {2,3,4} in the history TVF
+    "sql08_maintenance_tvf" -> """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents),
+ e AS (SELECT doc_id FROM t WHERE len(toks) >= 3)
+SELECT doc_id + 100000 AS batch_id, doc_id AS corpus_id,
+  CAST(0 AS BIGINT) AS n_mismatch, CAST(1 AS BIGINT) AS exp_version,
+  0 AS exp_tombs, CAST(4 AS BIGINT) AS dial_version, 2 AS retain,
+  CAST(3 AS BIGINT) AS n_hist, CAST(2 AS BIGINT) AS hist_floor
+FROM e WHERE doc_id % 2 = 0
+ORDER BY batch_id""",
+
     // sql07: the replica's DESCRIBE HISTORY — v1 inserts every id
     // (default 8-version retention), v2 dials retention to 3 (rows
     // unchanged), v3 deletes the %4 ids; each retained version pins its

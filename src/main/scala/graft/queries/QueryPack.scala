@@ -505,6 +505,11 @@ object QueryPack {
     // as-of row count (the dial-change and delete commits visible as
     // distinct, pinnable versions)
     "sql07_state_history" -> ((s, d) => stateHistoryAudit(s, d)),
+    // MAINTENANCE from SQL: graft_export clones the mark (clone screen
+    // ≡ source as-of screen, exceptAll-folded), graft_set_retention
+    // dials the window (the dial commit's retirement immediately
+    // visible through graft_index_history), receipts ride the row
+    "sql08_maintenance_tvf" -> ((s, d) => maintenanceTvfAudit(s, d)),
 
     // ---- training prep (decontaminate / split / pack / pii / quantize) ----
     "tp01_decontaminate" -> ((s, d) => TrainPrep.decontaminate(s, d)),
@@ -1799,6 +1804,72 @@ object QueryPack {
       .unionByName(lane("head", s"$root/clone_head",
         Dedup.screenAgainstIndex(spark, dir, batch)))
       .orderBy(col("lane"), col("batch_id"))
+  }
+
+  /** sql08's driver-checked shape — MAINTENANCE from SQL: the
+    * compliance operator's last Scala dependency removed. The fixture
+    * is the sql06 lifecycle (even docs v1 = the mark, odd docs v2,
+    * doc 0 tombstoned v3); then, in SQL alone:
+    *
+    *  - `graft_export(dir, mark, clone)` ships the mark as a
+    *    standalone store — the receipt row is the CLONE's catalog
+    *    (version = the mark, zero tombstones), and the clone's plain
+    *    HEAD screen (via `graft_screen` on the clone!) must equal the
+    *    source's as-of screen at the mark, exceptAll-folded into
+    *    `n_mismatch`;
+    *  - `graft_set_retention(dir, 2)` dials the window — the dial
+    *    commit (v4) retires v1 on the spot, so `graft_index_history`
+    *    immediately shows exactly versions {2,3,4}: the dial's effect
+    *    observed through the surface an auditor already reads.
+    *
+    * The export runs BEFORE the dial (v1 must still be retained to
+    * clone), and the reference screen is folded eagerly for the same
+    * reason — ordering is the compliance playbook itself: ship the
+    * snapshot, then shrink the window.
+    */
+  def maintenanceTvfAudit(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.store.IndexManifest
+    graft.GraftExtensions.registerIndexTableFunctions(spark)
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val base = Tables.spread(docs)
+    val root = graft.Tables.scratchDir("graft_sql08")
+    val dir = s"$root/idx"
+    Dedup.dedupIndexAppend(base.filter(col("doc_id") % 2 === 0), dir,
+      "f1", bid = 1L)                                        // v1 = the mark
+    val mark = IndexManifest.readMeta(dir).get.version
+    Dedup.dedupIndexAppend(base.filter(col("doc_id") % 2 === 1), dir,
+      "f2", bid = 2L)                                        // v2
+    Dedup.dedupIndexDelete(spark, dir,
+      docs.filter(col("doc_id") === 0L).select(col("doc_id")),
+      "d1", bid = 3L)                                        // v3 = head
+    val exp = spark.sql(
+      s"SELECT * FROM graft_export('$dir', $mark, '$root/clone_mark')")
+      .collect()(0)
+    val batch = base.select((col("doc_id") + 100000L).as("doc_id"),
+      col("text"))
+    batch.createOrReplaceTempView("graft_sql08_batch")
+    val cloneScreen = spark.sql(
+      s"SELECT * FROM graft_screen('$root/clone_mark', 'graft_sql08_batch')")
+    val ref = Dedup.screenAgainstIndexAt(spark, dir, batch, mark)
+    val nm = cloneScreen.exceptAll(ref).count() +
+      ref.exceptAll(cloneScreen).count()
+    val dial = spark.sql(
+      s"SELECT * FROM graft_set_retention('$dir', 2)").collect()(0)
+    val hist = spark.sql(s"SELECT * FROM graft_index_history('$dir')")
+      .agg(count(lit(1)).cast("long").as("n"),
+        min(col("version")).as("floor"))
+      .collect()(0)
+    cloneScreen.filter(col("corpus_id") === col("batch_id") - 100000L &&
+        col("jaccard") === 1.0)
+      .select(col("batch_id"), col("corpus_id"),
+        lit(nm).as("n_mismatch"),
+        lit(exp.getAs[Long]("version")).as("exp_version"),
+        lit(exp.getAs[Int]("n_tombs")).as("exp_tombs"),
+        lit(dial.getAs[Long]("version")).as("dial_version"),
+        lit(dial.getAs[Int]("retain")).as("retain"),
+        lit(hist.getAs[Long]("n")).as("n_hist"),
+        lit(hist.getAs[Long]("floor")).as("hist_floor"))
+      .orderBy(col("batch_id"))
   }
 
   /** sql07's driver-checked shape — the replica's DESCRIBE HISTORY

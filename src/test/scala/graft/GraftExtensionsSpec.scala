@@ -437,4 +437,55 @@ class GraftExtensionsSpec extends AnyFunSuite {
       st.getAs[Long]("version") == 1L && st.getAs[Int]("groups") == 4 &&
       st.getAs[Int]("retain") == 8, s"state catalog row: $st")
   }
+
+  test("maintenance TVFs: graft_set_retention dials, graft_export clones, receipts and refusals are loud") {
+    import spark.implicits._
+    import graft.operators.dedup.Dedup
+    import graft.operators.store.IndexManifest
+    val root = graft.Tables.scratchDir("ext_maint")
+    val dir = s"$root/idx"
+    val docs = (1L to 6L)
+      .map(i => (i, s"graft maintenance tvf document $i " + ("w " * 10)))
+      .toDF("doc_id", "text")
+    Dedup.dedupIndexAppend(docs.filter($"doc_id" <= 3L), dir, "f1",
+      bid = 1L)                                                 // v1
+    Dedup.dedupIndexAppend(docs.filter($"doc_id" > 3L), dir, "f2",
+      bid = 2L)                                                 // v2
+    // EXPORT v1 from SQL — the receipt is the CLONE's catalog row, and
+    // the clone is standalone (its own screen serves the v1 corpus)
+    val exp = spark.sql(
+      s"SELECT * FROM graft_export('$dir', 1, '$root/clone')").collect()(0)
+    assert(exp.getAs[Long]("version") == 1L &&
+      exp.getAs[Int]("n_leaves") == 1, s"export receipt: $exp")
+    val batch = docs.select(($"doc_id" + 100L).as("doc_id"), $"text")
+    batch.createOrReplaceTempView("ext_maint_batch")
+    val hits = spark.sql(
+      s"SELECT * FROM graft_screen('$root/clone', 'ext_maint_batch')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == (1L to 3L).map(i => (i + 100L, i)).toSet,
+      s"the v1 clone must screen exactly the v1 fold: $hits")
+    // re-running a completed export refuses loudly (never merges)
+    val eDup = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_export('$dir', 1, '$root/clone')")
+        .collect()
+    }
+    assert(eDup.getMessage.contains("refuses"), eDup.getMessage)
+    // DIAL from SQL — the receipt carries the post-dial window and the
+    // manifest agrees
+    val dial = spark.sql(
+      s"SELECT * FROM graft_set_retention('$dir', 3)").collect()(0)
+    assert(dial.getAs[Int]("retain") == 3 &&
+      dial.getAs[Long]("version") == 3L, s"dial receipt: $dial")
+    assert(IndexManifest.retentionWindow(dir) == 3)
+    // refusals keep the Scala contracts' voices
+    val eBad = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_set_retention('$dir', 0)").collect()
+    }
+    assert(eBad.getMessage.contains("retain must be >= 1"), eBad.getMessage)
+    val eVer = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_export('$dir', 99, '$root/c2')")
+        .collect()
+    }
+    assert(eVer.getMessage.contains("not retained"), eVer.getMessage)
+  }
 }
