@@ -60,7 +60,15 @@ object Bench {
       "dd13_stream_increments" -> "graft-screen-and-fold",
       "ann07_pq_stream" -> "graft-search-and-append",
       "mm10_ahash_stream" -> "graft-mm10-ahash-loop",
-      "ann24_graph_stream" -> "graft-search-and-link")
+      "ann24_graph_stream" -> "graft-search-and-link",
+      // diagnostic only (excluded from the trailer's ratio bar): txt21's
+      // folds are sub-second, so a max/median ratio is noise — but the
+      // bootstrap/fold meters let the artifact attribute the lane's
+      // historically wide min/median spread (r16: 16.7 s min / 64.4 s
+      // median on a clean implementation) to streaming-query startup:
+      // envelope − bootstrap − Σ folds = machinery, not plan cost
+      "txt21_kmv_stream" -> "graft-txt21-kmv-stream")
+    val ratioBarLoops = crawlLoops.filterNot(_._1 == "txt21_kmv_stream")
     val passMarks = scala.collection.mutable.Map[String, List[Int]]()
     for (r <- 1 to repeats) {
       // cold caches per pass: queries that pin subtrees via cache() (the
@@ -222,7 +230,7 @@ object Bench {
     // same weather the per-query min already discounts) inflates only
     // the pass it hit. Report min over passes of the within-pass ratio;
     // the pooled per-batch envelope stays in per_increment_sec above.
-    val incrRatios = crawlLoops.flatMap { case (q, qn) =>
+    val incrRatios = ratioBarLoops.flatMap { case (q, qn) =>
       val xs = graft.streaming.Graft.CrawlMetrics.snapshot(qn)
       val marks = passMarks.getOrElse(qn, Nil)
       val slices = (0 :: marks).sliding(2).collect {

@@ -521,12 +521,34 @@ object Ann {
     */
   def graphSearchTopK(graph: DataFrame, emb: DataFrame, queries: DataFrame,
       seeds: DataFrame, hops: Int = 2, beam: Int = 8, k: Int = 5,
-      exclude: Option[DataFrame] = None): DataFrame = {
+      exclude: Option[DataFrame] = None,
+      groupedBy: Option[Int] = None): DataFrame = {
     require(hops >= 1 && hops <= 4, "hops must be a small constant (1..4)")
-    val edges = graph.select(col("vec_id"), col("nbr_id"))
+    // The frontier and candidate sets are ids-only and beam-bounded
+    // (≤ |queries| · (seeds + beam·degree·hops) rows), so they ride
+    // every join as the BROADCAST side: a hop streams the edge (or
+    // embedding) relation past a hash map instead of shuffling it —
+    // the 1×-vs-10×-corpus probe measured the unhinted hops growing
+    // with corpus size through exactly those exchanges. On a PERSISTED
+    // graph (`groupedBy` = the store's group dial) the hop join also
+    // carries the `ggrp` partition column, computed frontier-side with
+    // the store's own hash: the broadcast then feeds DYNAMIC PARTITION
+    // PRUNING, so the scan reads the frontier's groups, not the store
+    // — the screens' group-INSET rule, runtime-driven, which is what
+    // keeps a hop sub-corpus at a 64Ki-group dial.
+    val edges = groupedBy match {
+      case Some(_) => graph.select(col("ggrp"), col("vec_id"), col("nbr_id"))
+      case None    => graph.select(col("vec_id"), col("nbr_id"))
+    }
+    def withGrp(ids: DataFrame): DataFrame = groupedBy match {
+      case Some(n) => ids.withColumn("ggrp",
+        pmod(xxhash64(col("vec_id")), lit(n.toLong)).cast("int"))
+      case None => ids
+    }
+    val hopKeys = groupedBy.fold(Seq("vec_id"))(_ => Seq("ggrp", "vec_id"))
     val wSim = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    def score(cands: DataFrame): DataFrame = cands
+    def score(cands: DataFrame): DataFrame = broadcast(cands)
       .join(emb, Seq("vec_id"))
       .join(broadcast(queries), Seq("query_id"))
       .withColumn("sim", cosine(col("q_emb"), col("embedding")))
@@ -534,8 +556,8 @@ object Ann {
     var visited = seeds.select(col("query_id"), col("vec_id")).distinct()
     var frontier = visited
     for (_ <- 1 to hops) {
-      val expanded = frontier
-        .join(edges, Seq("vec_id"))
+      val expanded = broadcast(withGrp(frontier))
+        .join(edges, hopKeys)
         .select(col("query_id"), col("nbr_id").as("vec_id"))
       visited = visited.unionByName(expanded).distinct()
       // greedy beam: only the best `beam` visited vertices expand next

@@ -291,9 +291,23 @@ object KnnGraph {
     */
   def searchTopK(spark: SparkSession, indexDir: String, emb: DataFrame,
       queries: DataFrame, seeds: DataFrame, hops: Int = 2, beam: Int = 8,
-      k: Int = 5): DataFrame =
-    Ann.graphSearchTopK(edges(spark, indexDir), emb, queries, seeds,
-      hops, beam, k, exclude = tombstones(spark, indexDir))
+      k: Int = 5): DataFrame = {
+    val meta = metaOf(indexDir)
+    Ann.graphSearchTopK(groupedEdges(spark, indexDir, meta), emb, queries,
+      seeds, hops, beam, k, exclude = tombstones(spark, indexDir),
+      groupedBy = meta.map(_.groups))
+  }
+
+  /** The committed edge relation WITH its `ggrp` partition column — the
+    * hop joins carry it so the frontier's groups prune the scan at
+    * runtime (dynamic partition pruning; see [[Ann.graphSearchTopK]]).
+    */
+  private def groupedEdges(spark: SparkSession, indexDir: String,
+      meta: Option[IndexManifest.Meta]): DataFrame =
+    IndexManifest.committedOnly(
+        spark.read.parquet(s"$indexDir/edges"), meta.map(_.leaves))
+      .select(col("ggrp"), col("vec_id"), col("nbr_id"), col("rank"),
+        col("mutual"))
 
   /** TIME-TRAVEL search — [[searchTopK]] against the exact snapshot a
     * PAST manifest version committed (edges AND the tombstone set — the
@@ -313,9 +327,14 @@ object KnnGraph {
           "version grace window"))
     val asOfEdges = IndexManifest.committedOnly(
         spark.read.parquet(s"$indexDir/edges"), Some(meta.leaves))
-      .select(col("vec_id"), col("nbr_id"), col("rank"), col("mutual"))
+      .select(col("ggrp"), col("vec_id"), col("nbr_id"), col("rank"),
+        col("mutual"))
+    // the group dial pins from the SNAPSHOT (a later regroup re-keys
+    // ggrp — hashing the frontier with the head's dial would prune to
+    // the wrong partitions)
     Ann.graphSearchTopK(asOfEdges, emb, queries, seeds, hops, beam, k,
-      exclude = tombstonesSnapshot(spark, indexDir, Some(meta)))
+      exclude = tombstonesSnapshot(spark, indexDir, Some(meta)),
+      groupedBy = Some(meta.groups))
   }
 
   /** Deterministic HUB seeds: the store's `n` smallest vec_ids — the
@@ -425,8 +444,10 @@ object KnnGraph {
       col("embedding").as("q_emb"))
     val seeds = queries.select(col("query_id"))
       .crossJoin(broadcast(hubIds(spark, indexDir, nSeeds)))
-    Ann.graphSearchTopK(edges(spark, indexDir), emb, queries,
-      seeds, hops, beam, k, exclude = tombstones(spark, indexDir))
+    val meta = metaOf(indexDir)
+    Ann.graphSearchTopK(groupedEdges(spark, indexDir, meta), emb, queries,
+      seeds, hops, beam, k, exclude = tombstones(spark, indexDir),
+      groupedBy = meta.map(_.groups))
   }
 
   /** [[append]]'s LINK half: ONE leaf commits the found relation's

@@ -716,11 +716,19 @@ object TextOps {
     val tmp = Tables.scratchDir("graft_txt21")
     val stateDir = s"$tmp/sketch"
     val stageDir = s"$tmp/arrivals"
-    Tables.documents(spark, d)
-      .select(col("doc_id"), col("source"), col("text"))
-      .filter(col("text").isNotNull)
-      .repartition(nBatches, col("doc_id"))
-      .write.parquet(stageDir)
+    // metered apart (bench: bootstrap_sec vs per_increment_sec vs the
+    // query envelope): the r16 driver artifact showed a 4× min/median
+    // spread on this lane with a clean implementation — the meters let
+    // the artifact itself attribute the spread to streaming-query
+    // startup (envelope minus bootstrap minus folds) instead of
+    // guessing
+    graft.streaming.Graft.CrawlMetrics.timed("graft-txt21-kmv-stream-bootstrap") {
+      Tables.documents(spark, d)
+        .select(col("doc_id"), col("source"), col("text"))
+        .filter(col("text").isNotNull)
+        .repartition(nBatches, col("doc_id"))
+        .write.parquet(stageDir)
+    }
     val schema = spark.read.parquet(stageDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stageDir)
@@ -730,20 +738,22 @@ object TextOps {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", s"$tmp/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val s = batch.sparkSession
-          val prior =
-            if (batchId == 0L)
-              s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                org.apache.spark.sql.types.StructType(Seq(
-                  org.apache.spark.sql.types.StructField("source",
-                    org.apache.spark.sql.types.StringType),
-                  org.apache.spark.sql.types.StructField("h",
-                    org.apache.spark.sql.types.LongType))))
-            else s.read.parquet(vdir(batchId))
-          // bottom-k of (state ∪ batch) — the KMV merge; overwrite makes
-          // at-least-once replay a pure recompute of the same version
-          kmvBottomK(prior.unionByName(shingleHashes(batch)).distinct(), k)
-            .write.mode("overwrite").parquet(vdir(batchId + 1))
+          graft.streaming.Graft.CrawlMetrics.timed("graft-txt21-kmv-stream") {
+            val s = batch.sparkSession
+            val prior =
+              if (batchId == 0L)
+                s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("source",
+                      org.apache.spark.sql.types.StringType),
+                    org.apache.spark.sql.types.StructField("h",
+                      org.apache.spark.sql.types.LongType))))
+              else s.read.parquet(vdir(batchId))
+            // bottom-k of (state ∪ batch) — the KMV merge; overwrite makes
+            // at-least-once replay a pure recompute of the same version
+            kmvBottomK(prior.unionByName(shingleHashes(batch)).distinct(), k)
+              .write.mode("overwrite").parquet(vdir(batchId + 1))
+          }
           ()
         }
         .start()

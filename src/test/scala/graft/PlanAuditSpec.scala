@@ -655,6 +655,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // deletes since compaction), never a shuffle of the result side
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       s"tombstone exclusion must broadcast:\n${p.take(2000)}")
+    // the hop joins carry the store's ggrp partition column with the
+    // broadcast frontier as the build side, so DYNAMIC PARTITION
+    // PRUNING restricts the edge scan to the frontier's groups — the
+    // property that keeps a hop sub-corpus at a large group dial (the
+    // 1x-vs-10x scale probe caught the unpruned hops growing with
+    // corpus size)
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"hop joins must dynamic-partition-prune the edge scan:\n${p.take(3000)}")
     corpus.unpersist(); ()
   }
 
