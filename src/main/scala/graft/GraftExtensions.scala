@@ -430,9 +430,19 @@ object GraftExtensions {
     * ([[IndexManifest.setRetention]]), the export refuses non-retained
     * versions and committed destinations and is torn-retry safe
     * ([[IndexManifest.exportSnapshot]]); re-running a completed export
-    * therefore refuses loudly rather than silently merging. Compaction
-    * stays Scala-only by design: it re-encodes per store FAMILY
-    * (PqIndex/Dedup/KnnGraph each own their rewrite), not per manifest.
+    * therefore refuses loudly rather than silently merging.
+    *
+    * `graft_compact(path, tag)` folds a store's committed leaves to one
+    * — compaction is family-specific (each family owns its rewrite), so
+    * the call infers the family from the store's relation directory
+    * exactly as [[graft_stores]] does and dispatches to that family's
+    * Scala compact (same idempotency tag contract: a replayed tag
+    * no-ops). A directory matching no family — or more than one — is a
+    * loud error naming what was found:
+    *
+    * {{{
+    *   SELECT * FROM graft_compact('/indexes/neardup', 'nightly-2026-08-17')
+    * }}}
     */
   private def maintenanceFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] = Seq(
@@ -459,6 +469,38 @@ object GraftExtensions {
         val dest = strArg(args, 2, "graft_export")
         IndexManifest.exportSnapshot(path, v, dest)
         metaPlan(dest) // the receipt: the standalone clone's catalog row
+      }),
+    (FunctionIdentifier("graft_compact"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_compact"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_compact expects (path, tag), got ${args.length} arguments")
+        val path = strArg(args, 0, "graft_compact")
+        val tag = strArg(args, 1, "graft_compact")
+        val spark = SparkSession.active
+        val (fs, root) = graft.sources.cdc.WalSegments.fsFor(path)
+        val fams = Seq("bands", "codes", "edges", "hashes", "chunks")
+          .filter(r => fs.exists(new org.apache.hadoop.fs.Path(root, r)))
+        require(fams.size == 1,
+          s"graft_compact: $path must hold exactly one store family " +
+            s"(relation dirs bands/codes/edges/hashes/chunks); found " +
+            s"${if (fams.isEmpty) "none" else fams.mkString(", ")} — use " +
+            "the family's Scala compact for anything irregular")
+        fams.head match {
+          case "bands" =>
+            graft.operators.dedup.Dedup.compactDedupIndex(spark, path, tag)
+          case "codes" =>
+            graft.operators.ann.PqIndex.compact(spark, path, Some(tag)); ()
+          case "edges" =>
+            graft.operators.ann.KnnGraph.compact(spark, path, tag)
+          case "hashes" =>
+            graft.operators.multimodal.Multimodal
+              .compactAhashIndex(spark, path, tag)
+          case "chunks" =>
+            graft.operators.multimodal.Multimodal
+              .compactAhashChunkIndex(spark, path, tag)
+        }
+        metaPlan(path) // the receipt: the store's post-compaction row
       }))
 
   /** The TVF descriptions — one list serves builder-time injection and

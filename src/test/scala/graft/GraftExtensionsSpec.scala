@@ -487,5 +487,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .collect()
     }
     assert(eVer.getMessage.contains("not retained"), eVer.getMessage)
+    // COMPACT from SQL: the family dispatches off the store's relation
+    // dir (this is a dedup store — `bands`); two committed leaves fold
+    // to one, the screen is identical, and the tag is idempotent
+    val preScreen = spark.sql(
+      s"SELECT * FROM graft_screen('$dir', 'ext_maint_batch')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val comp = spark.sql(
+      s"SELECT * FROM graft_compact('$dir', 'fold-1')").collect()(0)
+    assert(comp.getAs[Int]("n_leaves") == 1, s"compact receipt: $comp")
+    val postScreen = spark.sql(
+      s"SELECT * FROM graft_screen('$dir', 'ext_maint_batch')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(postScreen == preScreen,
+      s"compaction must be screen-identical: $postScreen vs $preScreen")
+    val vAfter = comp.getAs[Long]("version")
+    val replay = spark.sql(
+      s"SELECT * FROM graft_compact('$dir', 'fold-1')").collect()(0)
+    assert(replay.getAs[Long]("version") == vAfter,
+      "a replayed compaction tag must no-op")
+    // a directory holding no recognizable store family refuses loudly
+    val eFam = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_compact('$root', 'f')").collect()
+    }
+    assert(eFam.getMessage.contains("exactly one store family"),
+      eFam.getMessage)
   }
 }
