@@ -72,6 +72,55 @@ object GraftSession {
           " — refusing to read a partial output")
     }
 
+  /** Run INDEPENDENT Spark actions concurrently (optimization guide
+    * §2.6 — overlap independent jobs: actions are only sequential
+    * because driver code calls them sequentially, and each small job's
+    * tail leaves most executors idle; a few jobs in flight back-fill
+    * them). Callers must pass thunks with NO mutual data or store
+    * dependency — disjoint store directories, pre-materialized shared
+    * inputs (a shared `cache()` is safe: CacheManager locks per
+    * partition). Results keep thunk order. Every thunk SETTLES before
+    * the first failure propagates — cancelling mid-flight store commits
+    * would strand torn leaves for every sibling, and the manifest
+    * discipline only guarantees crash-residue cleanup per store.
+    * Parallelism is bounded (2-3 jobs in flight is plenty to fill a
+    * tail; more just contend for the scheduler).
+    */
+  private[graft] def concurrently[A](thunks: Seq[() => A],
+      maxPar: Int = 4): Seq[A] = {
+    // DEADLOCK GUARD (measured, not theoretical): the maintenance TVFs
+    // are effectful at PLAN time — the analyzer invokes them INSIDE
+    // SessionCatalog.lookupFunction, i.e. while this thread HOLDS the
+    // catalog monitor. Worker threads then can't analyze their own
+    // plans (analysis takes the same monitor) and the caller waits on
+    // their futures forever — a thread dump of the hang shows exactly
+    // this cycle. When the calling thread already holds the catalog
+    // lock, run in-thread instead: sequential under the analyzer is
+    // the price of plan-time effects, a hang is not.
+    val underCatalogLock = org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(s => Thread.holdsLock(s.sessionState.catalog))
+    if (thunks.lengthCompare(1) <= 0 || underCatalogLock) thunks.map(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(maxPar, thunks.size))
+      try {
+        val futs = thunks.map { t =>
+          pool.submit(new java.util.concurrent.Callable[A] {
+            def call(): A = t()
+          })
+        }
+        val results = futs.map(f => scala.util.Try(f.get()))
+        results.foreach {
+          case scala.util.Failure(e: java.util.concurrent.ExecutionException) =>
+            throw e.getCause
+          case scala.util.Failure(e) => throw e
+          case _ => ()
+        }
+        results.map(_.get)
+      } finally { pool.shutdown(); () }
+    }
+  }
+
   /** Confs any externally-provided session needs before touching testdata.
     * The legacy flag only matters for TIMESTAMP(NANOS) testdata vintages
     * (read as LongType behind it); current vintages ship MICROS — see

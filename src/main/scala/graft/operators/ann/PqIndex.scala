@@ -1574,12 +1574,16 @@ object PqIndex {
     // |queries| × corpus — never the serving path)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
+    // persisted: the ground truth is consumed by BOTH the pre- and the
+    // post-retrain hit counts — unpinned it re-ran the full |queries| ×
+    // corpus cosine pass twice (guide §1.2)
     val bruteTop = broadcast(queries)
       .join(live, col("vec_id") =!= col("query_id"))
       .withColumn("sim", Ann.cosine(col("q_emb"), col("embedding")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
       .select(col("query_id"), col("vec_id").as("true_nn"))
+      .cache()
     def hitsOf(res: DataFrame): Long = res
       .filter(col("rnk") === 1)
       .join(bruteTop, Seq("query_id"))
@@ -1592,10 +1596,12 @@ object PqIndex {
     val postHits = hitsOf(topKAgainst(spark, indexDir, queries, live,
       k = 1, rerank = rerank))
     val asof = topKAgainstAt(spark, indexDir, queries, live, vPre,
-      k = 1, rerank = rerank)
+      k = 1, rerank = rerank).cache()
+    // one action, each side computed once (pre is already pinned)
     val asofMismatch =
-      asof.exceptAll(pre).count() + pre.exceptAll(asof).count()
-    pre.unpersist(); base.unpersist(); live.unpersist()
+      asof.exceptAll(pre).union(pre.exceptAll(asof)).count()
+    asof.unpersist(); pre.unpersist(); bruteTop.unpersist()
+    base.unpersist(); live.unpersist()
     (preHits, postHits, asofMismatch)
   }
 }

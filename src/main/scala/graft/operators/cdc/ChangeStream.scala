@@ -423,8 +423,11 @@ object ChangeStream {
           val s = batch.sparkSession
           def side(t: String) = batch.filter(col("table_name") === t)
             .select(col("record_id"), col("seq"), col("op"), col("val_cents"))
-          Materializer.applyBatch(s, uDir, side("user"), kSpec)
-          Materializer.applyBatch(s, oDir, side("order"), kSpec)
+          // disjoint stores — overlap the two applies (guide §2.6)
+          graft.GraftSession.concurrently(Seq(
+            () => Materializer.applyBatch(s, uDir, side("user"), kSpec),
+            () => Materializer.applyBatch(s, oDir, side("order"), kSpec)),
+            maxPar = 2)
           // each store state and the affected set have 2-3 consumers in
           // this batch body — persist so the bucket leaves are read and
           // max-seq-merged ONCE per batch, not per consumer (the

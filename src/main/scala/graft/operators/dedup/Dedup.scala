@@ -122,7 +122,7 @@ object Dedup {
     shingledOf(Tables.spread(
       Tables.documents(spark, d).select(col("doc_id"), col("text"))))
 
-  private def shingledOf(docs: DataFrame): DataFrame =
+  private[graft] def shingledOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
         graft.plans.SketchCols.wordNGrams(col("text"), 3).as("sh"))
@@ -396,7 +396,24 @@ object Dedup {
     */
   def dedupIndexAppend(docs: DataFrame, indexDir: String, leaf: String,
       numHashes: Int = 64, bands: Int = 16, bid: Long = -1L,
-      groups: Int = DefaultIndexGroups): Unit = {
+      groups: Int = DefaultIndexGroups): Unit =
+    dedupIndexAppendCore(docs, None, indexDir, leaf, numHashes, bands, bid,
+      groups)
+
+  /** [[dedupIndexAppend]] over a PRE-SHINGLED frame (the crawl loop's
+    * one-shingle-pass-per-batch device, see
+    * [[screenAgainstIndexShingled]]); the caller owns its persistence.
+    */
+  private[graft] def dedupIndexAppendShingled(bsh: DataFrame,
+      indexDir: String, leaf: String, numHashes: Int = 64, bands: Int = 16,
+      bid: Long = -1L, groups: Int = DefaultIndexGroups): Unit =
+    dedupIndexAppendCore(bsh.sparkSession.emptyDataFrame, Some(bsh),
+      indexDir, leaf, numHashes, bands, bid, groups)
+
+  private def dedupIndexAppendCore(docs: DataFrame,
+      preShingled: Option[DataFrame], indexDir: String, leaf: String,
+      numHashes: Int, bands: Int, bid: Long,
+      groups: Int): Unit = {
     import graft.operators.store.IndexManifest
     require(leaf.matches("[0-9A-Za-z_\\-]+"), s"invalid leaf tag: $leaf")
     // IDEMPOTENT fold for at-least-once delivery (foreachBatch replay):
@@ -414,7 +431,9 @@ object Dedup {
           "groups; use the store's count, or regroupDedupIndex() offline")
     val leafDir = IndexManifest.leafName(meta.version + 1, leaf)
     IndexManifest.dropResidue(indexDir, Seq("sets", "bands"), leafDir)
-    val sh = shingledOf(docs).cache()
+    // a pre-shingled frame is pinned by its caller; otherwise pin the
+    // pass here for the two writes below
+    val sh = preShingled.getOrElse(shingledOf(docs).cache())
     try {
       // leaves are PARTITIONED by hash range of their lookup key — band
       // leaves by (band, bucket) hash, set leaves by doc_id hash — so a
@@ -423,26 +442,30 @@ object Dedup {
       // group first: one file per (leaf, group) instead of one per
       // (task, group) — without it every task writes every group dir and
       // the file count (hence later listings and scans) explodes
-      sh.select(col("doc_id"), col("sh"))
-        .withColumn("bid", lit(bid))
-        .withColumn("sgrp", setGroup(col("doc_id"), groups))
-        .withColumn("leaf", lit(leafDir))
-        .repartition(col("sgrp"))
-        .write.partitionBy("sgrp", "leaf")
-        .mode("append").parquet(s"$indexDir/sets")
-      sh.select(col("doc_id"),
-        posexplode(graft.plans.SketchCols.minHashBandBuckets(
-          col("shh"), numHashes, bands)))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "bucket")
-        .select(col("band"), col("bucket"), col("doc_id"))
-        .withColumn("bid", lit(bid))
-        .withColumn("bgrp", bandGroup(groups))
-        .withColumn("leaf", lit(leafDir))
-        .repartition(col("bgrp"))
-        .write.partitionBy("bgrp", "leaf")
-        .mode("append").parquet(s"$indexDir/bands")
-    } finally { sh.unpersist(); () }
+      // the two relation writes consume the same pinned shingle frame
+      // into disjoint directories — overlap them (guide §2.6; the
+      // manifest below commits both or neither, unchanged)
+      graft.GraftSession.concurrently(Seq(
+        () => sh.select(col("doc_id"), col("sh"))
+          .withColumn("bid", lit(bid))
+          .withColumn("sgrp", setGroup(col("doc_id"), groups))
+          .withColumn("leaf", lit(leafDir))
+          .repartition(col("sgrp"))
+          .write.partitionBy("sgrp", "leaf")
+          .mode("append").parquet(s"$indexDir/sets"),
+        () => sh.select(col("doc_id"),
+          posexplode(graft.plans.SketchCols.minHashBandBuckets(
+            col("shh"), numHashes, bands)))
+          .withColumnRenamed("pos", "band")
+          .withColumnRenamed("col", "bucket")
+          .select(col("band"), col("bucket"), col("doc_id"))
+          .withColumn("bid", lit(bid))
+          .withColumn("bgrp", bandGroup(groups))
+          .withColumn("leaf", lit(leafDir))
+          .repartition(col("bgrp"))
+          .write.partitionBy("bgrp", "leaf")
+          .mode("append").parquet(s"$indexDir/bands")), maxPar = 2)
+    } finally { if (preShingled.isEmpty) sh.unpersist(); () }
     IndexManifest.commit(indexDir, meta.copy(version = meta.version + 1,
       leaves = meta.leaves :+ leafDir))
     // collect leaves whose last referencing manifest retired past the
@@ -655,23 +678,26 @@ object Dedup {
       // fold the committed leaves' surviving rows into one new leaf per
       // relation. Bids are PRESERVED so retained tombstones keep ranking
       // below survivors.
-      survivors(committedOnly(
-          withBidDefault(readBidAware(spark, s"$indexDir/sets"), -1L),
-          Some(meta.leaves))
-        .select(col("doc_id"), col("sh"), col("bid"), col("sgrp")))
-        .withColumn("leaf", lit(leafDir))
-        .repartition(col("sgrp"))
-        .write.partitionBy("sgrp", "leaf")
-        .mode("append").parquet(s"$indexDir/sets")
-      survivors(committedOnly(
-          withBidDefault(readBidAware(spark, s"$indexDir/bands"), -1L),
-          Some(meta.leaves))
-        .select(col("band"), col("bucket"), col("doc_id"), col("bid"),
-          col("bgrp")))
-        .withColumn("leaf", lit(leafDir))
-        .repartition(col("bgrp"))
-        .write.partitionBy("bgrp", "leaf")
-        .mode("append").parquet(s"$indexDir/bands")
+      // the two relation folds are independent reads+writes of disjoint
+      // directories — overlap them (guide §2.6)
+      graft.GraftSession.concurrently(Seq(
+        () => survivors(committedOnly(
+            withBidDefault(readBidAware(spark, s"$indexDir/sets"), -1L),
+            Some(meta.leaves))
+          .select(col("doc_id"), col("sh"), col("bid"), col("sgrp")))
+          .withColumn("leaf", lit(leafDir))
+          .repartition(col("sgrp"))
+          .write.partitionBy("sgrp", "leaf")
+          .mode("append").parquet(s"$indexDir/sets"),
+        () => survivors(committedOnly(
+            withBidDefault(readBidAware(spark, s"$indexDir/bands"), -1L),
+            Some(meta.leaves))
+          .select(col("band"), col("bucket"), col("doc_id"), col("bid"),
+            col("bgrp")))
+          .withColumn("leaf", lit(leafDir))
+          .repartition(col("bgrp"))
+          .write.partitionBy("bgrp", "leaf")
+          .mode("append").parquet(s"$indexDir/bands")), maxPar = 2)
       // THE commit: the next manifest references only the new leaf (and
       // the retained tombstones)
       IndexManifest.commit(indexDir, meta.copy(version = meta.version + 1,
@@ -881,6 +907,20 @@ object Dedup {
     screenSnapshot(spark, indexDir, metaOf(indexDir), batch,
       numHashes, bands, threshold)
 
+  /** [[screenAgainstIndex]] over a PRE-SHINGLED batch frame (the
+    * [[shingledOf]] shape) — the crawl loop computes one pinned shingle
+    * frame per micro-batch and feeds it to the screen AND the fold, so
+    * the batch is tokenized+minhashed once per batch, not four times
+    * (3 screen consumers + the append's own pass). The caller owns the
+    * frame's persistence lifecycle.
+    */
+  private[graft] def screenAgainstIndexShingled(spark: SparkSession,
+      indexDir: String, bsh: DataFrame, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.8): DataFrame =
+    screenSnapshot(spark, indexDir, metaOf(indexDir),
+      batch = bsh.sparkSession.emptyDataFrame, numHashes, bands, threshold,
+      preShingled = Some(bsh))
+
   /** TIME-TRAVEL screen — [[screenAgainstIndex]] against the exact
     * snapshot a PAST manifest version committed (the Materializer
     * `currentStateAt` device on the dedup index): leaf lists, the group
@@ -912,7 +952,7 @@ object Dedup {
   private def screenSnapshot(spark: SparkSession, indexDir: String,
       meta: Option[graft.operators.store.IndexManifest.Meta],
       batch: DataFrame, numHashes: Int, bands: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, preShingled: Option[DataFrame] = None): DataFrame = {
     // resolve ONE manifest for the whole screen: leaf lists and the
     // group dial come from the same committed version, so the scan is a
     // consistent snapshot even while appends/compactions keep landing
@@ -920,7 +960,16 @@ object Dedup {
     // window — this plan stays executable across later commits)
     val live = meta.map(_.leaves)
     val ngroups = meta.map(_.groups).getOrElse(DefaultIndexGroups)
-    val bsh = shingledOf(batch)
+    // ONE shingle pass for the whole screen: the frame feeds the
+    // touched-group collect below, the candidate band join AND the
+    // verify-stage set attach — unpinned, the batch tokenized+minhashed
+    // three times per screen (guide §1.2). The screen already submits a
+    // job at construction (the group collect), so the persist
+    // materializes there; entries follow the coarseCentroids cache
+    // lifecycle (clearCache() collects them), and the crawl loop passes
+    // its OWN per-batch pinned frame via `preShingled` + releases it.
+    val bsh = preShingled.getOrElse(shingledOf(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     def batchBands = bsh.select(col("doc_id").as("batch_id"),
         posexplode(graft.plans.SketchCols.minHashBandBuckets(
           col("shh"), numHashes, bands)))

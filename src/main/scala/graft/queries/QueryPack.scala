@@ -1093,11 +1093,14 @@ object QueryPack {
       .select(lit("documents").as("table_name"),
         col("doc_id").as("record_id"),
         (col("doc_id") + 1000000L).as("seq"), lit("delete").as("op"))
-    Materializer.applyBatch(spark, stateDir,
-      inserts.unionByName(deletes), spec)
     val indexDir = graft.Tables.scratchDir("graft_p11_index")
-    Dedup.dedupIndexAppend(base.filter(col("doc_id") % 3 === 0),
-      indexDir, "bootstrap", bid = 0L)
+    // replica apply and partial index bootstrap touch disjoint stores —
+    // overlap them (guide §2.6)
+    graft.GraftSession.concurrently(Seq(
+      () => Materializer.applyBatch(spark, stateDir,
+        inserts.unionByName(deletes), spec),
+      () => Dedup.dedupIndexAppend(base.filter(col("doc_id") % 3 === 0),
+        indexDir, "bootstrap", bid = 0L)), maxPar = 2)
     val (nDel, nAdd) = Graft.syncDedupIndex(spark, stateDir, spec,
       "record_id", base, indexDir, tag = "cycle1", bid = 1L)
     // replayed cycle: same tag commits nothing, and the diff itself is
@@ -1143,16 +1146,20 @@ object QueryPack {
       .select(lit("media").as("table_name"),
         col("media_id").as("record_id"),
         (col("media_id") + 1000000L).as("seq"), lit("delete").as("op"))
-    Materializer.applyBatch(spark, stateDir,
-      inserts.unionByName(deletes), spec)
     val hIdx = graft.Tables.scratchDir("graft_p12_h")
     val cIdx = graft.Tables.scratchDir("graft_p12_c")
-    // partial bootstrap: only every third media indexed pre-sync
+    // partial bootstrap: only every third media indexed pre-sync. The
+    // replica apply and the two index bootstraps touch disjoint stores
+    // — overlap them (guide §2.6; the shared cached hash frame is safe
+    // under concurrent materialization)
     val boot = Multimodal.ahashOf(
       mediaIds.filter(col("media_id") % 3 === 0)).cache()
     try {
-      Multimodal.ahashIndexAppend(boot, hIdx, "bootstrap")
-      Multimodal.ahashChunkIndexAppend(boot, cIdx, "bootstrap")
+      graft.GraftSession.concurrently(Seq(
+        () => Materializer.applyBatch(spark, stateDir,
+          inserts.unionByName(deletes), spec),
+        () => Multimodal.ahashIndexAppend(boot, hIdx, "bootstrap"),
+        () => Multimodal.ahashChunkIndexAppend(boot, cIdx, "bootstrap")))
     } finally { boot.unpersist(); () }
     // the hash provider: at scale a point-lookup join against the media
     // store's derived-hash column (hashes ride the sync, never pixels)
@@ -1219,11 +1226,14 @@ object QueryPack {
       .select(lit("vectors").as("table_name"),
         col("vec_id").as("record_id"),
         (col("vec_id") + 1000000L).as("seq"), lit("delete").as("op"))
-    Materializer.applyBatch(spark, stateDir,
-      inserts.unionByName(deletes), spec)
     val gIdx = s"${graft.Tables.scratchDir("graft_p13_index")}/graph"
-    KnnGraph.build(emb.filter(col("vec_id") % 3 === 0), gIdx, "bootstrap",
-      nlist = 1)
+    // replica apply and graph bootstrap touch disjoint stores — overlap
+    // them (guide §2.6)
+    graft.GraftSession.concurrently(Seq(
+      () => Materializer.applyBatch(spark, stateDir,
+        inserts.unionByName(deletes), spec),
+      () => KnnGraph.build(emb.filter(col("vec_id") % 3 === 0), gIdx,
+        "bootstrap", nlist = 1)), maxPar = 2)
     val (nDel, nAdd) = Graft.syncGraphIndex(spark, stateDir, spec,
       "record_id", emb, gIdx, tag = "cycle1")
     // replayed cycle: same tag commits nothing, the diff is empty
@@ -1295,27 +1305,38 @@ object QueryPack {
       val h = graft.Tables.scratchDir(s"graft_p14_${px}_h")
       val c = graft.Tables.scratchDir(s"graft_p14_${px}_c")
       val g = s"${graft.Tables.scratchDir(s"graft_p14_${px}_g")}/graph"
-      PqIndex.build(emb.filter(col("vec_id") % 3 === 0), v)
-      Dedup.dedupIndexAppend(docs.filter(col("doc_id") % 3 === 0), dd,
-        "bootstrap", bid = 0L)
-      val b = hashes.filter(col("media_id") % 3 === 0)
-      Multimodal.ahashIndexAppend(b, h, "bootstrap")
-      Multimodal.ahashChunkIndexAppend(b, c, "bootstrap")
-      KnnGraph.build(emb.filter(col("vec_id") % 3 === 0), g, "bootstrap",
-        nlist = 1)
+      // the five family bootstraps are independent stores over shared
+      // cached inputs — overlap them (GraftSession.concurrently, the
+      // optimization-guide §2.6 move): serial, the matrix audit pays
+      // ten sequential build tails; overlapped, the fixture-sized jobs
+      // back-fill each other's idle cores
+      graft.GraftSession.concurrently(Seq(
+        () => { PqIndex.build(emb.filter(col("vec_id") % 3 === 0), v); () },
+        () => Dedup.dedupIndexAppend(docs.filter(col("doc_id") % 3 === 0),
+          dd, "bootstrap", bid = 0L),
+        () => Multimodal.ahashIndexAppend(
+          hashes.filter(col("media_id") % 3 === 0), h, "bootstrap"),
+        () => Multimodal.ahashChunkIndexAppend(
+          hashes.filter(col("media_id") % 3 === 0), c, "bootstrap"),
+        () => KnnGraph.build(emb.filter(col("vec_id") % 3 === 0), g,
+          "bootstrap", nlist = 1)))
       (v, dd, h, c, g)
     }
-    val (sv, sd, sh, sc, sg) = boot("solo")
-    val (fv, fd, fh, fc, fg) = boot("fleet")
-    val solo = Map(
-      "vector" -> Graft.syncVectorIndex(spark, stateDir, spec,
+    val Seq((sv, sd, sh, sc, sg), (fv, fd, fh, fc, fg)) =
+      graft.GraftSession.concurrently(Seq(() => boot("solo"),
+        () => boot("fleet")), maxPar = 2)
+    // the four SOLO facades are the fleet's ground truth — independent
+    // stores, one shared replica (concurrent readers are unlimited), so
+    // they overlap exactly like the fleet's own cores do
+    val solo = graft.GraftSession.concurrently[(String, (Long, Long))](Seq(
+      () => "vector" -> Graft.syncVectorIndex(spark, stateDir, spec,
         "record_id", sv, emb, "cycle1"),
-      "dedup" -> Graft.syncDedupIndex(spark, stateDir, spec,
+      () => "dedup" -> Graft.syncDedupIndex(spark, stateDir, spec,
         "record_id", docs, sd, "cycle1", bid = 1L),
-      "ahash" -> Graft.syncAhashIndex(spark, stateDir, spec,
+      () => "ahash" -> Graft.syncAhashIndex(spark, stateDir, spec,
         "record_id", hashes, sh, sc, "cycle1"),
-      "graph" -> Graft.syncGraphIndex(spark, stateDir, spec,
-        "record_id", emb, sg, "cycle1"))
+      () => "graph" -> Graft.syncGraphIndex(spark, stateDir, spec,
+        "record_id", emb, sg, "cycle1"))).toMap
     def fleetCycle(): Map[String, (Long, Long)] =
       Graft.syncAllIndexes(spark, stateDir, spec, "record_id", "cycle1",
         vector = Some((fv, emb)), dedup = Some((fd, docs, 1L)),
@@ -1372,33 +1393,40 @@ object QueryPack {
             (col("id") + 1000000L).as("seq"), lit("delete").as("op")))
     // the multiplexed store (the fleet's subject) + two dedicated
     // single-table replicas (the solo lanes' ground truth)
+    // three INDEPENDENT replicas (disjoint state dirs) — apply them
+    // concurrently (guide §2.6), like the store boots below
     val mixDir = graft.Tables.scratchDir("graft_p15_mix")
-    Materializer.applyBatch(spark, mixDir,
-      rows(dIds, "docs", 9).unionByName(rows(vIds, "vecs", 7)), spec)
     val docDir = graft.Tables.scratchDir("graft_p15_docs")
-    Materializer.applyBatch(spark, docDir, rows(dIds, "docs", 9), spec)
     val vecDir = graft.Tables.scratchDir("graft_p15_vecs")
-    Materializer.applyBatch(spark, vecDir, rows(vIds, "vecs", 7), spec)
+    graft.GraftSession.concurrently(Seq(
+      () => Materializer.applyBatch(spark, mixDir,
+        rows(dIds, "docs", 9).unionByName(rows(vIds, "vecs", 7)), spec),
+      () => Materializer.applyBatch(spark, docDir, rows(dIds, "docs", 9),
+        spec),
+      () => Materializer.applyBatch(spark, vecDir, rows(vIds, "vecs", 7),
+        spec)))
     def boot(px: String): (String, String, String) = {
       val dd = graft.Tables.scratchDir(s"graft_p15_${px}_d")
       val v = s"${graft.Tables.scratchDir(s"graft_p15_${px}_v")}/idx"
       val g = s"${graft.Tables.scratchDir(s"graft_p15_${px}_g")}/graph"
-      Dedup.dedupIndexAppend(docs.filter(col("doc_id") % 3 === 0), dd,
-        "bootstrap", bid = 0L)
-      PqIndex.build(emb.filter(col("vec_id") % 3 === 0), v)
-      KnnGraph.build(emb.filter(col("vec_id") % 3 === 0), g, "bootstrap",
-        nlist = 1)
+      graft.GraftSession.concurrently(Seq(
+        () => Dedup.dedupIndexAppend(docs.filter(col("doc_id") % 3 === 0),
+          dd, "bootstrap", bid = 0L),
+        () => { PqIndex.build(emb.filter(col("vec_id") % 3 === 0), v); () },
+        () => KnnGraph.build(emb.filter(col("vec_id") % 3 === 0), g,
+          "bootstrap", nlist = 1)))
       (dd, v, g)
     }
-    val (sd, sv, sg) = boot("solo")
-    val (fd, fv, fg) = boot("fleet")
-    val solo = Map(
-      "dedup" -> Graft.syncDedupIndex(spark, docDir, spec,
+    val Seq((sd, sv, sg), (fd, fv, fg)) =
+      graft.GraftSession.concurrently(Seq(() => boot("solo"),
+        () => boot("fleet")), maxPar = 2)
+    val solo = graft.GraftSession.concurrently[(String, (Long, Long))](Seq(
+      () => "dedup" -> Graft.syncDedupIndex(spark, docDir, spec,
         "record_id", docs, sd, "cycle1", bid = 1L),
-      "vector" -> Graft.syncVectorIndex(spark, vecDir, spec,
+      () => "vector" -> Graft.syncVectorIndex(spark, vecDir, spec,
         "record_id", sv, emb, "cycle1"),
-      "graph" -> Graft.syncGraphIndex(spark, vecDir, spec,
-        "record_id", emb, sg, "cycle1"))
+      () => "graph" -> Graft.syncGraphIndex(spark, vecDir, spec,
+        "record_id", emb, sg, "cycle1"))).toMap
     val docsKey = Graft.ReplicaKey("record_id", Some("table_name = 'docs'"))
     val vecsKey = Graft.ReplicaKey("record_id", Some("table_name = 'vecs'"))
     def fleetCycle(): Map[String, (Long, Long)] =
@@ -1443,6 +1471,23 @@ object QueryPack {
     * The TVFs register on the LIVE session (the extensions path wires
     * them at builder time; this is the shared-session lane).
     */
+  /** Two-way `exceptAll` row-identity census with each lane computed
+    * ONCE: both sides persist, the two directions fold into a single
+    * action, and the right side releases after the count. Unpinned,
+    * every mismatch audit executed its full search/screen subject
+    * twice per direction PLUS once more in the gated relation — three
+    * runs per lane (measured: the sql-lane audits were 3 of the 10
+    * heaviest rows; guide §1.2, don't recompute what you already
+    * have). The LEFT side stays pinned deliberately — it feeds the
+    * caller's gated output, and an identical re-built plan resolves to
+    * the same cache entry.
+    */
+  private def mismatchCount(keep: DataFrame, other: DataFrame): Long = {
+    keep.persist(); other.persist()
+    try keep.exceptAll(other).union(other.exceptAll(keep)).count()
+    finally { other.unpersist(); () }
+  }
+
   def indexTvfAudit(spark: SparkSession, d: String): DataFrame = {
     import graft.operators.store.IndexManifest
     graft.GraftExtensions.registerIndexTableFunctions(spark)
@@ -1468,10 +1513,10 @@ object QueryPack {
       IndexManifest.committedOnly(spark.read.parquet(s"$dir/$rel"), live)
     }
     def lane(name: String, at: Option[Long], pinned: Long): DataFrame = {
+      // one action per relation, each lane computed once; the pinned
+      // SQL read is re-resolved from the cache by the census row below
       val nm = Seq("sets", "bands", "tombs").map { rel =>
-        val s0 = sqlRead(rel, at)
-        val a0 = apiRead(rel, at)
-        s0.exceptAll(a0).count() + a0.exceptAll(s0).count()
+        mismatchCount(sqlRead(rel, at), apiRead(rel, at))
       }.sum
       sqlRead("sets", at).agg(countDistinct(col("doc_id")).as("n_docs"))
         .crossJoin(sqlRead("bands", at).agg(count(lit(1)).as("n_band_rows")))
@@ -1520,7 +1565,7 @@ object QueryPack {
           (col("id") + 1000000L).as("seq"), lit("delete").as("op")), spec)
     val keys = "table_name,record_id"
     def lane(name: String, sql: DataFrame, api: DataFrame): DataFrame = {
-      val nm = sql.exceptAll(api).count() + api.exceptAll(sql).count()
+      val nm = mismatchCount(sql, api)
       sql.agg(count(lit(1)).as("n_rows"))
         .select(lit(name).as("lane"), col("n_rows"),
           lit(nm).as("n_mismatch"))
@@ -1554,31 +1599,40 @@ object QueryPack {
     val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
     val base = Tables.spread(docs)
     val root = graft.Tables.scratchDir("graft_sql03")
+    // the dedup and Hamming lanes touch DISJOINT stores — build and
+    // audit them concurrently (guide §2.6), each lane computed once
+    // through the persisted mismatch census
     val dDir = s"$root/neardup"
-    Dedup.dedupIndexAppend(base, dDir, "corpus")
-    val batch = base.select((col("doc_id") + 100000L).as("doc_id"),
-      col("text"))
-    batch.createOrReplaceTempView("graft_sql03_batch")
-    val dSql = spark.sql(
-      s"SELECT * FROM graft_screen('$dDir', 'graft_sql03_batch')")
-    val dApi = Dedup.screenAgainstIndex(spark, dDir, batch)
-    val dMm = dSql.exceptAll(dApi).count() + dApi.exceptAll(dSql).count()
-    val hashed = Tables.spread(docs.select(col("doc_id").as("media_id")))
-      .withColumn("gh", md5(col("media_id").cast("string")))
-      .withColumn("ahash_hi",
-        conv(substring(col("gh"), 1, 15), 16, 10).cast("long"))
-      .withColumn("ahash_lo",
-        conv(substring(col("gh"), 17, 15), 16, 10).cast("long"))
-      .drop("gh")
     val hDir = s"$root/images"
-    Multimodal.ahashChunkIndexAppend(hashed, hDir, "corpus")
-    val hBatch = hashed.select((col("media_id") + 100000L).as("media_id"),
-      col("ahash_hi"), col("ahash_lo"))
-    hBatch.createOrReplaceTempView("graft_sql03_hbatch")
-    val hSql = spark.sql(
-      s"SELECT * FROM graft_screen_hamming('$hDir', 'graft_sql03_hbatch')")
-    val hApi = Multimodal.screenAhashHamming(spark, hDir, hBatch)
-    val hMm = hSql.exceptAll(hApi).count() + hApi.exceptAll(hSql).count()
+    def dedupLane(): (DataFrame, Long) = {
+      Dedup.dedupIndexAppend(base, dDir, "corpus")
+      val batch = base.select((col("doc_id") + 100000L).as("doc_id"),
+        col("text"))
+      batch.createOrReplaceTempView("graft_sql03_batch")
+      val dSql = spark.sql(
+        s"SELECT * FROM graft_screen('$dDir', 'graft_sql03_batch')")
+      (dSql, mismatchCount(dSql, Dedup.screenAgainstIndex(spark, dDir, batch)))
+    }
+    def hammingLane(): (DataFrame, Long) = {
+      val hashed = Tables.spread(docs.select(col("doc_id").as("media_id")))
+        .withColumn("gh", md5(col("media_id").cast("string")))
+        .withColumn("ahash_hi",
+          conv(substring(col("gh"), 1, 15), 16, 10).cast("long"))
+        .withColumn("ahash_lo",
+          conv(substring(col("gh"), 17, 15), 16, 10).cast("long"))
+        .drop("gh")
+      Multimodal.ahashChunkIndexAppend(hashed, hDir, "corpus")
+      val hBatch = hashed.select((col("media_id") + 100000L).as("media_id"),
+        col("ahash_hi"), col("ahash_lo"))
+      hBatch.createOrReplaceTempView("graft_sql03_hbatch")
+      val hSql = spark.sql(
+        s"SELECT * FROM graft_screen_hamming('$hDir', 'graft_sql03_hbatch')")
+      (hSql, mismatchCount(hSql,
+        Multimodal.screenAhashHamming(spark, hDir, hBatch)))
+    }
+    val Seq((dSql, dMm), (hSql, hMm)) =
+      graft.GraftSession.concurrently(Seq(() => dedupLane(),
+        () => hammingLane()), maxPar = 2)
     dSql.filter(col("corpus_id") === col("batch_id") - 100000L &&
         col("jaccard") === 1.0)
       .select(lit("dedup").as("lane"), col("batch_id"), col("corpus_id"),
@@ -1614,39 +1668,47 @@ object QueryPack {
       .select(col("vec_id"), col("embedding"))).cache()
     val qs = base.filter(col("vec_id") < nQueries)
     val root = graft.Tables.scratchDir("graft_sql04")
+    // the vector and graph lanes build DISJOINT stores from the shared
+    // cached corpus — run them concurrently (guide §2.6), each lane's
+    // search computed once (persisted mismatch census)
     val vDir = s"$root/vectors"
-    val vCopies = qs.select((col("vec_id") + 100000L).as("vec_id"),
-      col("embedding"))
-    PqIndex.build(base, vDir, 4, 16, 64, 1, 16)
-    PqIndex.append(spark, vDir, vCopies)
-    val vEmb = base.unionByName(vCopies)
-    val vQueries = qs.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"))
-    vQueries.createOrReplaceTempView("graft_sql04_vq")
-    vEmb.createOrReplaceTempView("graft_sql04_vemb")
-    val vSql = spark.sql(s"SELECT * FROM graft_topk('$vDir', " +
-      "'graft_sql04_vq', 'graft_sql04_vemb', 2, 1, 4096)")
-    val vApi = PqIndex.topKIvfAgainst(spark, vDir, vQueries, vEmb,
-      nprobe = 2, k = 1, rerank = 4096)
-    val vMm = vSql.exceptAll(vApi).count() + vApi.exceptAll(vSql).count()
     val gDir = s"$root/graph"
-    val c1 = qs.select((col("vec_id") + 100000L).as("vec_id"),
-      col("embedding"))
-    val c2 = qs.select((col("vec_id") + 200000L).as("vec_id"),
-      col("embedding"))
-    val gAll = base.unionByName(c1).unionByName(c2)
-    KnnGraph.build(gAll, gDir, "corpus")
-    val gQueries = c2.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"))
-    val gSeeds = c2.select(col("vec_id").as("query_id"), col("vec_id"))
-    gAll.createOrReplaceTempView("graft_sql04_gemb")
-    gQueries.createOrReplaceTempView("graft_sql04_gq")
-    gSeeds.createOrReplaceTempView("graft_sql04_gseeds")
-    val gSql = spark.sql(s"SELECT * FROM graft_graph_topk('$gDir', " +
-      "'graft_sql04_gemb', 'graft_sql04_gq', 'graft_sql04_gseeds', 2, 8, 1)")
-    val gApi = KnnGraph.searchTopK(spark, gDir, gAll, gQueries, gSeeds,
-      hops = 2, beam = 8, k = 1)
-    val gMm = gSql.exceptAll(gApi).count() + gApi.exceptAll(gSql).count()
+    def vectorLane(): (DataFrame, Long) = {
+      val vCopies = qs.select((col("vec_id") + 100000L).as("vec_id"),
+        col("embedding"))
+      PqIndex.build(base, vDir, 4, 16, 64, 1, 16)
+      PqIndex.append(spark, vDir, vCopies)
+      val vEmb = base.unionByName(vCopies)
+      val vQueries = qs.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))
+      vQueries.createOrReplaceTempView("graft_sql04_vq")
+      vEmb.createOrReplaceTempView("graft_sql04_vemb")
+      val vSql = spark.sql(s"SELECT * FROM graft_topk('$vDir', " +
+        "'graft_sql04_vq', 'graft_sql04_vemb', 2, 1, 4096)")
+      (vSql, mismatchCount(vSql, PqIndex.topKIvfAgainst(spark, vDir,
+        vQueries, vEmb, nprobe = 2, k = 1, rerank = 4096)))
+    }
+    def graphLane(): (DataFrame, Long) = {
+      val c1 = qs.select((col("vec_id") + 100000L).as("vec_id"),
+        col("embedding"))
+      val c2 = qs.select((col("vec_id") + 200000L).as("vec_id"),
+        col("embedding"))
+      val gAll = base.unionByName(c1).unionByName(c2)
+      KnnGraph.build(gAll, gDir, "corpus")
+      val gQueries = c2.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))
+      val gSeeds = c2.select(col("vec_id").as("query_id"), col("vec_id"))
+      gAll.createOrReplaceTempView("graft_sql04_gemb")
+      gQueries.createOrReplaceTempView("graft_sql04_gq")
+      gSeeds.createOrReplaceTempView("graft_sql04_gseeds")
+      val gSql = spark.sql(s"SELECT * FROM graft_graph_topk('$gDir', " +
+        "'graft_sql04_gemb', 'graft_sql04_gq', 'graft_sql04_gseeds', 2, 8, 1)")
+      (gSql, mismatchCount(gSql, KnnGraph.searchTopK(spark, gDir, gAll,
+        gQueries, gSeeds, hops = 2, beam = 8, k = 1)))
+    }
+    val Seq((vSql, vMm), (gSql, gMm)) =
+      graft.GraftSession.concurrently(Seq(() => vectorLane(),
+        () => graphLane()), maxPar = 2)
     gSql.filter(col("vec_id") === col("query_id") - 200000L &&
         col("sim") === 1.0)
       .select(lit("graph").as("lane"), col("query_id"),
@@ -1743,20 +1805,25 @@ object QueryPack {
       col("text"))
     batch.createOrReplaceTempView("graft_sql06_batch")
     def lane(name: String, sqlRes: DataFrame, api: DataFrame): DataFrame = {
-      val nm = sqlRes.exceptAll(api).count() + api.exceptAll(sqlRes).count()
+      val nm = mismatchCount(sqlRes, api) // each screen computed once
       sqlRes.filter(col("corpus_id") === col("batch_id") - 100000L &&
           col("jaccard") === 1.0)
         .select(lit(name).as("lane"), col("batch_id"), col("corpus_id"),
           lit(nm).as("n_mismatch"))
     }
-    lane("asof",
-        spark.sql(s"SELECT * FROM graft_screen_at('$dir', " +
-          s"'graft_sql06_batch', $mark)"),
-        Dedup.screenAgainstIndexAt(spark, dir, batch, mark))
-      .unionByName(lane("now",
-        spark.sql(s"SELECT * FROM graft_screen('$dir', " +
-          "'graft_sql06_batch')"),
-        Dedup.screenAgainstIndex(spark, dir, batch)))
+    // both lanes are READ-ONLY screens of the same committed store —
+    // overlap them (guide §2.6; the store's versioned builds above
+    // stay strictly serial, they are commits)
+    graft.GraftSession.concurrently(Seq(
+        () => lane("asof",
+          spark.sql(s"SELECT * FROM graft_screen_at('$dir', " +
+            s"'graft_sql06_batch', $mark)"),
+          Dedup.screenAgainstIndexAt(spark, dir, batch, mark)),
+        () => lane("now",
+          spark.sql(s"SELECT * FROM graft_screen('$dir', " +
+            "'graft_sql06_batch')"),
+          Dedup.screenAgainstIndex(spark, dir, batch))), maxPar = 2)
+      .reduce(_ unionByName _)
       .orderBy(col("lane"), col("batch_id"))
   }
 
@@ -1787,22 +1854,27 @@ object QueryPack {
       docs.filter(col("doc_id") === 0L).select(col("doc_id")),
       "d1", bid = 3L)                                        // v3 = head
     val head = IndexManifest.readMeta(dir).get.version
-    IndexManifest.exportSnapshot(dir, mark, s"$root/clone_mark")
-    IndexManifest.exportSnapshot(dir, head, s"$root/clone_head")
     val batch = base.select((col("doc_id") + 100000L).as("doc_id"),
       col("text"))
-    def lane(name: String, cloneDir: String, ref: DataFrame): DataFrame = {
+    def lane(name: String, version: Long, cloneDir: String,
+        ref: DataFrame): DataFrame = {
+      // the export (driver-side FS copy of the snapshot's leaves) rides
+      // its own lane so the two clones copy and screen concurrently
+      IndexManifest.exportSnapshot(dir, version, cloneDir)
       val c = Dedup.screenAgainstIndex(spark, cloneDir, batch)
-      val nm = c.exceptAll(ref).count() + ref.exceptAll(c).count()
+      val nm = mismatchCount(c, ref) // each screen computed once
       c.filter(col("corpus_id") === col("batch_id") - 100000L &&
           col("jaccard") === 1.0)
         .select(lit(name).as("lane"), col("batch_id"), col("corpus_id"),
           lit(nm).as("n_mismatch"))
     }
-    lane("asof", s"$root/clone_mark",
-        Dedup.screenAgainstIndexAt(spark, dir, batch, mark))
-      .unionByName(lane("head", s"$root/clone_head",
-        Dedup.screenAgainstIndex(spark, dir, batch)))
+    // disjoint clones, read-only source — overlap the lanes (guide §2.6)
+    graft.GraftSession.concurrently(Seq(
+        () => lane("asof", mark, s"$root/clone_mark",
+          Dedup.screenAgainstIndexAt(spark, dir, batch, mark)),
+        () => lane("head", head, s"$root/clone_head",
+          Dedup.screenAgainstIndex(spark, dir, batch))), maxPar = 2)
+      .reduce(_ unionByName _)
       .orderBy(col("lane"), col("batch_id"))
   }
 
@@ -1851,8 +1923,7 @@ object QueryPack {
     val cloneScreen = spark.sql(
       s"SELECT * FROM graft_screen('$root/clone_mark', 'graft_sql08_batch')")
     val ref = Dedup.screenAgainstIndexAt(spark, dir, batch, mark)
-    val nm = cloneScreen.exceptAll(ref).count() +
-      ref.exceptAll(cloneScreen).count()
+    val nm = mismatchCount(cloneScreen, ref) // each screen computed once
     val dial = spark.sql(
       s"SELECT * FROM graft_set_retention('$dir', 2)").collect()(0)
     val hist = spark.sql(s"SELECT * FROM graft_index_history('$dir')")

@@ -576,14 +576,18 @@ object Graft {
         (nDel, nAdd)
       } finally { toDelete.unpersist(); toAppend.unpersist(); () }
     }
-    val hashCounts = lane(hashIndexDir, "hashes",
-      (df, t) => Multimodal.ahashIndexAppend(df, hashIndexDir, t),
-      (df, t) => Multimodal.ahashIndexDelete(spark, hashIndexDir, df, t),
-      t => Multimodal.compactAhashIndex(spark, hashIndexDir, t))
-    lane(chunkIndexDir, "chunks",
-      (df, t) => Multimodal.ahashChunkIndexAppend(df, chunkIndexDir, t),
-      (df, t) => Multimodal.ahashChunkIndexDelete(spark, chunkIndexDir, df, t),
-      t => Multimodal.compactAhashChunkIndex(spark, chunkIndexDir, t))
+    // the two lanes reconcile DISJOINT stores from the same (alive,
+    // dead, hashProvider) inputs — overlap them (guide §2.6); the hash
+    // lane's counts are the returned census either way
+    val Seq(hashCounts, _) = graft.GraftSession.concurrently(Seq(
+      () => lane(hashIndexDir, "hashes",
+        (df, t) => Multimodal.ahashIndexAppend(df, hashIndexDir, t),
+        (df, t) => Multimodal.ahashIndexDelete(spark, hashIndexDir, df, t),
+        t => Multimodal.compactAhashIndex(spark, hashIndexDir, t)),
+      () => lane(chunkIndexDir, "chunks",
+        (df, t) => Multimodal.ahashChunkIndexAppend(df, chunkIndexDir, t),
+        (df, t) => Multimodal.ahashChunkIndexDelete(spark, chunkIndexDir, df, t),
+        t => Multimodal.compactAhashChunkIndex(spark, chunkIndexDir, t))))
     hashCounts
   }
 
@@ -750,23 +754,28 @@ object Graft {
       (alive.withColumnRenamed("rid", key),
         dead.withColumnRenamed("rid", key))
     }
-    try {
-      Seq(
-        vector.map { case (k, dir, embP) =>
-          val (alive, dead) = as(k, "vec_id")
-          "vector" -> syncVectorCore(spark, alive, dead, dir, embP, tag) },
-        dedup.map { case (k, dir, docP, bid) =>
-          val (alive, dead) = as(k, "doc_id")
-          "dedup" -> syncDedupCore(spark, alive, dead, docP, dir, tag, bid) },
-        ahash.map { case (k, hDir, cDir, hashP) =>
-          val (alive, dead) = as(k, "media_id")
-          "ahash" -> syncAhashCore(spark, alive, dead, hashP, hDir, cDir,
-            tag) },
-        graph.map { case (k, dir, embP) =>
-          val (alive, dead) = as(k, "vec_id")
-          "graph" -> syncGraphCore(spark, alive, dead, embP, dir, tag) }
-      ).flatten.toMap
-    } finally sets.values.foreach { case (a, d) =>
+    // the family cores are INDEPENDENT — disjoint store directories,
+    // shared inputs already materialized (the persisted sets above) —
+    // so they overlap (graft.GraftSession.concurrently, guide §2.6):
+    // each core is a chain of small metadata-sized jobs whose tails
+    // would otherwise serialize the whole fleet cycle
+    val cores: Seq[() => (String, (Long, Long))] = Seq(
+      vector.map { case (k, dir, embP) => () => {
+        val (alive, dead) = as(k, "vec_id")
+        "vector" -> syncVectorCore(spark, alive, dead, dir, embP, tag) } },
+      dedup.map { case (k, dir, docP, bid) => () => {
+        val (alive, dead) = as(k, "doc_id")
+        "dedup" -> syncDedupCore(spark, alive, dead, docP, dir, tag, bid) } },
+      ahash.map { case (k, hDir, cDir, hashP) => () => {
+        val (alive, dead) = as(k, "media_id")
+        "ahash" -> syncAhashCore(spark, alive, dead, hashP, hDir, cDir,
+          tag) } },
+      graph.map { case (k, dir, embP) => () => {
+        val (alive, dead) = as(k, "vec_id")
+        "graph" -> syncGraphCore(spark, alive, dead, embP, dir, tag) } }
+    ).flatten
+    try graft.GraftSession.concurrently(cores).toMap
+    finally sets.values.foreach { case (a, d) =>
       a.unpersist(); d.unpersist()
     }
   }
@@ -990,12 +999,20 @@ object Graft {
               .dedupIndexDelete(spark, indexDir, deletes, f"d$bid%06d",
                 bid = bid)
         }
-        graft.operators.dedup.Dedup
-          .screenAgainstIndex(spark, indexDir, upserts, numHashes, bands, threshold)
-          .write.mode("append").parquet(pairsDir)
-        graft.operators.dedup.Dedup
-          .dedupIndexAppend(upserts, indexDir, f"b$bid%06d", numHashes, bands,
-            bid = bid)
+        // ONE shingle pass per micro-batch feeds the screen (three
+        // consumers) and the fold (two writes) — released before the
+        // next batch, so the loop pins O(batch) state, never O(crawl)
+        val bsh = graft.operators.dedup.Dedup.shingledOf(upserts)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          graft.operators.dedup.Dedup
+            .screenAgainstIndexShingled(spark, indexDir, bsh, numHashes,
+              bands, threshold)
+            .write.mode("append").parquet(pairsDir)
+          graft.operators.dedup.Dedup
+            .dedupIndexAppendShingled(bsh, indexDir, f"b$bid%06d", numHashes,
+              bands, bid = bid)
+        } finally { bsh.unpersist(); () }
         if (compactEvery > 0 && (bid + 1) % compactEvery == 0)
           graft.operators.dedup.Dedup
             .compactDedupIndex(spark, indexDir, f"c$bid%06d")

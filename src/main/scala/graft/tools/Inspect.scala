@@ -52,6 +52,52 @@ object Inspect {
           df.queryExecution.toRdd.foreach(_ => ())
           println(df.queryExecution.executedPlan.toString)
         }
+      case "profile" :: sfDir :: names :: Nil =>
+        // job-level wall-time attribution (optimization guide §1: measure
+        // first): run the query the way Bench does (count()) under a
+        // listener that records every job's duration + callsite, then
+        // aggregate by callsite — tells WHICH action inside a multi-action
+        // query (store builds, sync cores, screens) owns the envelope
+        import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+        val starts = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Int)]()
+        val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Double, Int)]()
+        spark.sparkContext.addSparkListener(new SparkListener {
+          override def onJobStart(js: SparkListenerJobStart): Unit = {
+            val desc = Option(js.properties)
+              .flatMap(p => Option(p.getProperty("spark.job.description")))
+              .orElse(js.stageInfos.lastOption.map(_.name)) // action callsite
+              .getOrElse("?")
+            starts.put(js.jobId, (desc, js.time,
+              js.stageInfos.map(_.numTasks).sum))
+            ()
+          }
+          override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+            Option(starts.remove(je.jobId)).foreach { case (desc, t0, nt) =>
+              done.add((je.jobId, desc, (je.time - t0) / 1e3, nt)); ()
+            }
+          }
+        })
+        names.split(",").foreach { name =>
+          done.clear()
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(name)(spark, sfDir).count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(500) // listener events are async
+          import scala.jdk.CollectionConverters._
+          val js = done.asScala.toSeq
+          println(f"\n========== $name: wall=$wall%.2f s, ${js.length} jobs, " +
+            f"sum=${js.map(_._3).sum}%.2f s ==========")
+          println("-- by callsite --")
+          js.groupBy(_._2).map { case (d, xs) =>
+            (xs.map(_._3).sum, xs.length, d)
+          }.toSeq.sortBy(-_._1).take(40).foreach { case (s, n, d) =>
+            println(f"$s%8.2f s  n=$n%-4d $d")
+          }
+          println("-- slowest jobs --")
+          js.sortBy(-_._3).take(25).foreach { case (id, d, s, nt) =>
+            println(f"$s%8.2f s  job=$id%-5d tasks=$nt%-5d $d")
+          }
+        }
       case "progress" :: sfDir :: names :: Nil =>
         // micro-batch census for the streaming lanes: how many batches a
         // query's sink actually committed, with the per-batch input rows —

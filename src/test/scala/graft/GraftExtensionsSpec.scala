@@ -513,4 +513,34 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(eFam.getMessage.contains("exactly one store family"),
       eFam.getMessage)
   }
+
+  test("concurrently degrades to in-thread under the SessionCatalog lock " +
+      "(the plan-time-effect TVF deadlock)") {
+    // the maintenance TVFs act INSIDE SessionCatalog.lookupFunction —
+    // i.e. with the catalog monitor held. concurrently() must detect
+    // that and run its thunks in-thread: spawned workers would block on
+    // the same monitor the moment they analyze a plan, while this
+    // thread waits on their futures (the measured hang). Simulate the
+    // analyzer's locking discipline directly: if the guard regresses,
+    // the spawned thunk's spark.sql analysis deadlocks and the suite's
+    // timeout fails this test.
+    val catalog = spark.sessionState.catalog
+    @volatile var out: Seq[Int] = Seq.empty
+    val runner = new Thread(() => {
+      // getActiveSession is thread-local — set it as the analyzer
+      // thread would have it
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      out = catalog.synchronized {
+        graft.GraftSession.concurrently(Seq(
+          () => spark.sql("SELECT 1 AS a").collect()(0).getInt(0),
+          () => spark.sql("SELECT 2 AS a").collect()(0).getInt(0)))
+      }
+    })
+    runner.setDaemon(true)
+    runner.start()
+    runner.join(120000)
+    assert(!runner.isAlive,
+      "deadlock: concurrently spawned workers under the catalog lock")
+    assert(out == Seq(1, 2))
+  }
 }
