@@ -447,7 +447,11 @@ object Materializer {
   def applyBatch(spark: SparkSession, stateDir: String, batch: DataFrame,
       spec: Spec, conf: Configuration = WalSegments.localConf,
       token: Option[WriterToken] = None): Unit = {
-    if (batch.isEmpty) return
+    // no up-front isEmpty probe: that is one extra Spark job per
+    // micro-batch on every apply path (guide §1.2) — the affected-bucket
+    // collect below already materializes the batch once, and an empty
+    // batch simply collects zero buckets and returns before any write
+    // or manifest commit (same externally visible no-op)
     val (fs, root) = WalSegments.fsFor(stateDir, conf)
     fs.mkdirs(root)
     val manifest = readManifest(stateDir, conf)
@@ -461,6 +465,7 @@ object Materializer {
     try {
       val affected = batchLatest.select("_gbucket").distinct()
         .collect().map(_.getLong(0).toInt).sorted // ≤ spec.buckets ints: metadata
+      if (affected.isEmpty) return // empty batch: nothing to merge or commit
       val existingPaths = affected.flatMap { b =>
         manifest.leaves.get(b).map(d => s"$stateDir/$d")
       }
