@@ -212,7 +212,7 @@ object Bench {
     // zero while per_increment_sec is the recurring cost
     val bootstrap = loopStats("-bootstrap", "passes")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$meds,"median_total":$medTotal,"errors":$errs,"sf":"$sfDir","notes":{${notes}},"per_increment_sec":$perIncr,"bootstrap_sec":$bootstrap,"protocol":"per-query min of $repeats round-robin passes; medians of the same passes alongside"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$meds,"median_total":$medTotal,"errors":$errs,"sf":"$sfDir","notes":{${notes}},"per_increment_sec":$perIncr,"bootstrap_sec":$bootstrap,"protocol":"per-query min of $repeats round-robin passes; medians of the same passes alongside; the trailer's per_increment_max_over_median = min over passes of the within-pass max/median (a real corpus-size dependency reproduces in every pass; a one-off GC/scheduler spike does not)"}"""
     println(line)
     // Belt-and-braces for log-prefixing launchers: also drop the line in a file.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
@@ -242,8 +242,29 @@ object Bench {
     }.mkString("{", ",", "}")
     val errNames = results.collect { case (k, _, Some(_)) => jstr(k) }
       .mkString("[", ",", "]")
+    // Per-query seconds for the driver (r17 PERF gap: the comparator
+    // reads only the LAST ~2-3 KB of stdout, so the 4.4 KB name→sec map
+    // cannot ride the trailer without pushing its own start out of the
+    // capture window — BENCH_r14/r15 both parsed null exactly that way).
+    // Two machine-readable forms instead:
+    //  - a dedicated per_query_sec LINE right before the trailer (full
+    //    map, full precision) for any parser that scans whole lines;
+    //  - a compact ARRAY inside the trailer, aligned with the
+    //    lexicographic query-name order (the same order `queries` is
+    //    census'd in CORRECTNESS_*.json), which fits the tail window.
+    // Errors bench as -1 in both, keeping the alignment total.
+    val perQueryLine =
+      s"""{"metric":"per_query_sec","unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(perQueryLine)
+    val perQueryArr = results.map { case (_, v, _) => r3(v) }
+      .mkString("[", ",", "]")
     val summary =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","median_total":${r3(medTotal)},"n_queries":${results.length},"n_errors":${errors.size},"error_queries":$errNames,"per_increment_max_over_median":$incrRatios,"sf":"$sfDir","protocol":"per-query min of $repeats round-robin passes; per_increment_max_over_median = min over passes of the within-pass max/median (a real corpus-size dependency reproduces in every pass; a one-off GC/scheduler spike does not)","full":"first stdout line + BENCH_LOCAL.json carry per-query mins/medians/notes"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","median_total":${r3(medTotal)},"n_queries":${results.length},"n_errors":${errors.size},"error_queries":$errNames,"per_increment_max_over_median":$incrRatios,"per_query_sec_sorted":$perQueryArr,"per_query_order":"lexicographic query names; name map on the per_query_sec line + BENCH_LOCAL.json","sf":"$sfDir","protocol":"per-query min of $repeats round-robin passes; ratio = min over passes of within-pass max/median (see first line)","full":"first stdout line + BENCH_LOCAL.json carry per-query mins/medians/notes"}"""
+    // The trailer must stay the LAST stdout line and inside the capture
+    // window: shutdown-time WARNs (r17: a StateStore maintenance stack
+    // trace landed AFTER the trailer and burned ~900 B of it) are noise
+    // here — the bench is over, nothing below WARN matters.
+    spark.sparkContext.setLogLevel("ERROR")
     println(summary)
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)

@@ -72,6 +72,42 @@ object GraftSession {
           " — refusing to read a partial output")
     }
 
+  /** BOUNDED persist: pin `df` (MEMORY_AND_DISK) and enroll it in a
+    * fixed-size FIFO of session pins — when the registry exceeds its
+    * bound the OLDEST pin is released (non-blocking unpersist; an
+    * in-flight plan that still referenced it just recomputes, never
+    * misreads). This is the lifecycle for pins whose consumers the
+    * library cannot see the end of: a screen's shingle frame and a
+    * mismatch audit's kept lane both feed the CALLER's terminal
+    * action(s) — and consumers legitimately run several actions over
+    * the same returned plan (Verify counts, then collects rows for
+    * hashing), so releasing on "first action referencing the pin"
+    * would silently re-execute the lane per action, the exact
+    * recompute the pin exists to prevent. A hard bound keeps the
+    * guarantee that matters instead: a long-lived session that screens
+    * or audits forever holds O(bound) cache entries, not O(calls) —
+    * previously these pins leaked until clearCache(). The bound is
+    * sized ≫ any one query's simultaneous pins (the widest audit pins
+    * 6 lanes + 2 screen frames with 4-way overlap).
+    */
+  private val pinBound: Int =
+    sys.env.get("SPARK_GRAFT_PIN_BOUND").flatMap(_.trim.toIntOption)
+      .filter(_ >= 1).getOrElse(24)
+  private val pinQueue =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private[graft] def pinBounded(df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pinQueue.add(df)
+    while (pinQueue.size > pinBound) {
+      val old = pinQueue.poll()
+      if (old != null) {
+        try { old.unpersist(blocking = false); () }
+        catch { case _: Exception => () }
+      }
+    }
+    df
+  }
+
   /** Run INDEPENDENT Spark actions concurrently (optimization guide
     * §2.6 — overlap independent jobs: actions are only sequential
     * because driver code calls them sequentially, and each small job's
@@ -97,12 +133,29 @@ object GraftSession {
     // this cycle. When the calling thread already holds the catalog
     // lock, run in-thread instead: sequential under the analyzer is
     // the price of plan-time effects, a hang is not.
-    val underCatalogLock = org.apache.spark.sql.SparkSession.getActiveSession
-      .exists(s => Thread.holdsLock(s.sessionState.catalog))
+    // …and the guard must look past the ACTIVE session: foreachBatch
+    // hands callers a CLONED session whose catalog is a different
+    // monitor, so a caller holding the default session's catalog (or a
+    // clone's, reachable as the active one inside the batch) would
+    // otherwise bypass the check.
+    val underCatalogLock =
+      (org.apache.spark.sql.SparkSession.getActiveSession.toSeq ++
+        org.apache.spark.sql.SparkSession.getDefaultSession.toSeq)
+        .exists(s => Thread.holdsLock(s.sessionState.catalog))
     if (thunks.lengthCompare(1) <= 0 || underCatalogLock) thunks.map(_())
     else {
+      // named daemon threads: nested use (pipe14 overlaps overlapped
+      // boots) spawns several pools, and a hang thread-dump should read
+      // "graft-concurrently-…", not pool-7-thread-2; daemon so a torn
+      // run never blocks JVM exit on an orphaned worker
+      val seq = new java.util.concurrent.atomic.AtomicInteger()
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(maxPar, thunks.size))
+        math.min(maxPar, thunks.size),
+        (r: Runnable) => {
+          val t = new Thread(r, s"graft-concurrently-${seq.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        })
       try {
         val futs = thunks.map { t =>
           pool.submit(new java.util.concurrent.Callable[A] {

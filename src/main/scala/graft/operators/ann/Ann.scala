@@ -522,8 +522,12 @@ object Ann {
   def graphSearchTopK(graph: DataFrame, emb: DataFrame, queries: DataFrame,
       seeds: DataFrame, hops: Int = 2, beam: Int = 8, k: Int = 5,
       exclude: Option[DataFrame] = None,
-      groupedBy: Option[Int] = None): DataFrame = {
+      groupedBy: Option[Int] = None,
+      eagerHops: Boolean = false): DataFrame = {
     require(hops >= 1 && hops <= 4, "hops must be a small constant (1..4)")
+    if (eagerHops)
+      return graphSearchTopKEager(graph, emb, queries, seeds, hops, beam,
+        k, exclude, groupedBy)
     // The frontier and candidate sets are ids-only and beam-bounded
     // (≤ |queries| · (seeds + beam·degree·hops) rows), so they ride
     // every join as the BROADCAST side: a hop streams the edge (or
@@ -569,6 +573,123 @@ object Ann {
     val scored = score(visited)
     exclude.fold(scored)(t =>
         scored.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"),
+          "left_anti"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rnk", row_number().over(wSim))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** The ONE-HOP expansion relation of [[graphSearchTopKEager]], factored
+    * so its plan shape is spec-pinnable: a driver-side frontier (ids +
+    * their precomputed `ggrp`s) broadcast into the grouped edge relation,
+    * with the frontier's group list applied as a STATIC partition filter
+    * (`ggrp IN (…)` at plan time — the committed store is hash-range
+    * partitioned by `ggrp`, so the scan reads the frontier's groups and
+    * nothing else; the lazy path gets the same effect at runtime via
+    * dynamic partition pruning, which the eager path strictly improves
+    * on: the prune happens before the plan ever executes).
+    */
+  private[graft] def hopExpansion(edges: DataFrame,
+      frontier: DataFrame, groupedBy: Option[Int]): DataFrame = {
+    val (keyed, hopKeys) = groupedBy match {
+      case Some(n) =>
+        val withG = frontier.withColumn("ggrp",
+          pmod(xxhash64(col("vec_id")), lit(n.toLong)).cast("int"))
+        (withG, Seq("ggrp", "vec_id"))
+      case None => (frontier, Seq("vec_id"))
+    }
+    val pruned = groupedBy match {
+      case Some(_) =>
+        // the frontier is LOCAL data: its group list is computable at
+        // plan time and lands in the scan's PartitionFilters
+        val ggrps = keyed.select(col("ggrp")).distinct()
+          .collect().map(r => Int.box(r.getInt(0))).toSeq
+        edges.filter(col("ggrp").isin(ggrps: _*))
+      case None => edges
+    }
+    broadcast(keyed).join(pruned, hopKeys)
+      .select(col("query_id"), col("nbr_id").as("vec_id"))
+  }
+
+  /** [[graphSearchTopK]] with DRIVER-SIDE frontier state — the carve-out
+    * for PERSISTED graphs (guide §8: decide with small rows, and §3.3:
+    * very deep lazy loops make PLANNING the bottleneck). The lazy loop
+    * references each hop's `visited` twice (union + beam re-score), so
+    * its static plan DOUBLES per hop (ann18: 5,331 lines at hops = 2;
+    * 4-hop searches pay 4× that planning cost on every call — per
+    * micro-batch in the crawl loops). Here the frontier/visited sets —
+    * ids + sims, ≤ |queries| · (seeds + beam·degree·hops) rows, the same
+    * bound that justifies broadcasting them — are COLLECTED instead:
+    * each hop is one bounded job over a constant-size plan (broadcast
+    * frontier → statically group-pruned edge scan → embedding join →
+    * cosine), and the returned relation is a LocalRelation-rooted
+    * ranking plan whose size no longer depends on `hops` at all.
+    *
+    * Only for storage-backed edge relations: an IN-PLAN graph
+    * ([[knnGraphOf]] output) would re-run its whole construction on
+    * every hop's job — the lazy single-plan form with AQE exchange
+    * reuse is right there, measured (the r17 hop-pinning revert).
+    *
+    * Exact-equivalence argument (oracle-checked per consumer, plus the
+    * eager-vs-lazy parity spec): the hop recursion, the beam cut's
+    * (sim desc, vec_id asc) tie-break, the visited-set union semantics,
+    * cosine's evaluation (same codegen'd expression over the same
+    * stored rows — doubles round-trip the driver exactly), the
+    * tombstone anti-join and the final k-cut are all the lazy path's,
+    * only evaluated per hop instead of at the terminal action.
+    */
+  private def graphSearchTopKEager(graph: DataFrame, emb: DataFrame,
+      queries: DataFrame, seeds: DataFrame, hops: Int, beam: Int, k: Int,
+      exclude: Option[DataFrame], groupedBy: Option[Int]): DataFrame = {
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val edges = groupedBy match {
+      case Some(_) => graph.select(col("ggrp"), col("vec_id"), col("nbr_id"))
+      case None    => graph.select(col("vec_id"), col("nbr_id"))
+    }
+    def scoreCollect(cands: DataFrame): Array[(Long, Long, Double)] =
+      broadcast(cands)
+        .join(emb, Seq("vec_id"))
+        .join(broadcast(queries), Seq("query_id"))
+        .select(col("query_id").cast("long"), col("vec_id").cast("long"),
+          cosine(col("q_emb"), col("embedding")).as("sim"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def beamOf(scored: Seq[(Long, Long, Double)]): Seq[(Long, Long)] =
+      scored.groupBy(_._1).valuesIterator.flatMap { qs =>
+        // the lazy beam cut's ordering exactly — sim desc, vec_id asc —
+        // via Double.compare, which matches Spark's sort semantics on
+        // the edge values too (NaN sorts largest, -0.0 below 0.0)
+        qs.sortWith { (a, b) =>
+          val c = java.lang.Double.compare(a._3, b._3)
+          if (c != 0) c > 0 else a._2 < b._2
+        }.take(beam)
+      }.map { case (q, v, _) => (q, v) }.toSeq.sorted
+    // seeds score in one job (they are the initial visited set)
+    var scored = scoreCollect(
+      seeds.select(col("query_id"), col("vec_id")).distinct()).toSeq
+    var seen = scored.map { case (q, v, _) => (q, v) }.toSet
+    var frontier = beamOf(scored)
+    var hop = 0
+    while (hop < hops && frontier.nonEmpty) {
+      val cands = hopExpansion(edges,
+          frontier.toDF("query_id", "vec_id"), groupedBy)
+        .distinct()
+        .join(broadcast(seen.toSeq.toDF("query_id", "vec_id")),
+          Seq("query_id", "vec_id"), "left_anti")
+      val fresh = scoreCollect(cands)
+      scored = scored ++ fresh
+      seen = seen ++ fresh.map { case (q, v, _) => (q, v) }
+      frontier = beamOf(scored)
+      hop += 1
+    }
+    val wSim = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val scoredDf = scored.toDF("query_id", "vec_id", "sim")
+    exclude.fold(scoredDf)(t =>
+        scoredDf.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"),
           "left_anti"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("rnk", row_number().over(wSim))

@@ -293,9 +293,13 @@ object KnnGraph {
       queries: DataFrame, seeds: DataFrame, hops: Int = 2, beam: Int = 8,
       k: Int = 5): DataFrame = {
     val meta = metaOf(indexDir)
+    // eagerHops: the store is the storage-backed case the driver-side
+    // frontier carve-out exists for — constant-size per-hop plans with
+    // STATIC ggrp partition pruning, instead of a lazy plan that doubles
+    // per hop (see Ann.graphSearchTopKEager's scaladoc)
     Ann.graphSearchTopK(groupedEdges(spark, indexDir, meta), emb, queries,
       seeds, hops, beam, k, exclude = tombstones(spark, indexDir),
-      groupedBy = meta.map(_.groups))
+      groupedBy = meta.map(_.groups), eagerHops = true)
   }
 
   /** The committed edge relation WITH its `ggrp` partition column — the
@@ -334,7 +338,7 @@ object KnnGraph {
     // the wrong partitions)
     Ann.graphSearchTopK(asOfEdges, emb, queries, seeds, hops, beam, k,
       exclude = tombstonesSnapshot(spark, indexDir, Some(meta)),
-      groupedBy = Some(meta.groups))
+      groupedBy = Some(meta.groups), eagerHops = true)
   }
 
   /** Deterministic HUB seeds: the store's `n` smallest vec_ids — the
@@ -447,7 +451,7 @@ object KnnGraph {
     val meta = metaOf(indexDir)
     Ann.graphSearchTopK(groupedEdges(spark, indexDir, meta), emb, queries,
       seeds, hops, beam, k, exclude = tombstones(spark, indexDir),
-      groupedBy = meta.map(_.groups))
+      groupedBy = meta.map(_.groups), eagerHops = true)
   }
 
   /** [[append]]'s LINK half: ONE leaf commits the found relation's
@@ -869,12 +873,32 @@ object KnnGraph {
       .select(col("query_id"), col("vec_id").as("true_nn"))
     val seeds = queries.select(col("query_id"))
       .crossJoin(broadcast(hubIds(spark, indexDir, nSeeds)))
-    val hits = searchTopK(spark, indexDir, base, queries, seeds,
-        hops, beam, k = 1)
-      .select(col("query_id"), col("vec_id"))
-      .join(bruteTop, Seq("query_id"))
-      .filter(col("vec_id") === col("true_nn"))
-      .agg(count(lit(1))).collect()(0).getLong(0)
+    // the audit's two measurement legs — the in-plan brute-force ground
+    // truth and the graph search — are INDEPENDENT once the store is
+    // committed and `base` is pinned: overlap them (guide §2.6) instead
+    // of letting each leg's small-job tail serialize the other, and pin
+    // each so the scoring join below reads the computed rows. The graph
+    // leg CONSTRUCTS inside its thunk: searchTopK is eager (the
+    // driver-side frontier loop), so its work happens at construction.
+    val legs: Seq[() => DataFrame] = Seq(
+      () => {
+        val p = bruteTop.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count(); p
+      },
+      () => {
+        val p = searchTopK(spark, indexDir, base, queries, seeds,
+            hops, beam, k = 1)
+          .select(col("query_id"), col("vec_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count(); p
+      })
+    val Seq(bt, gt) = graft.GraftSession.concurrently(legs, maxPar = 2)
+    val hits =
+      try gt.join(bt, Seq("query_id"))
+        .filter(col("vec_id") === col("true_nn"))
+        .agg(count(lit(1))).collect()(0).getLong(0)
+      finally { bt.unpersist(); gt.unpersist(); () }
     base.unpersist()
     hits
   }

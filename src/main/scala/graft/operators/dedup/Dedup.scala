@@ -965,11 +965,13 @@ object Dedup {
     // verify-stage set attach — unpinned, the batch tokenized+minhashed
     // three times per screen (guide §1.2). The screen already submits a
     // job at construction (the group collect), so the persist
-    // materializes there; entries follow the coarseCentroids cache
-    // lifecycle (clearCache() collects them), and the crawl loop passes
-    // its OWN per-batch pinned frame via `preShingled` + releases it.
-    val bsh = preShingled.getOrElse(shingledOf(batch)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // materializes there. Lifecycle: [[graft.GraftSession.pinBounded]]
+    // — the serving path (graft_screen TVFs, screenAgainstIndex) can't
+    // see its caller's terminal action, so the pin is bounded-FIFO
+    // instead of leaked-until-clearCache; the crawl loop passes its
+    // OWN per-batch pinned frame via `preShingled` + releases it.
+    val bsh = preShingled.getOrElse(
+      graft.GraftSession.pinBounded(shingledOf(batch)))
     def batchBands = bsh.select(col("doc_id").as("batch_id"),
         posexplode(graft.plans.SketchCols.minHashBandBuckets(
           col("shh"), numHashes, bands)))

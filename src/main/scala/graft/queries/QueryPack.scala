@@ -1478,12 +1478,14 @@ object QueryPack {
     * twice per direction PLUS once more in the gated relation — three
     * runs per lane (measured: the sql-lane audits were 3 of the 10
     * heaviest rows; guide §1.2, don't recompute what you already
-    * have). The LEFT side stays pinned deliberately — it feeds the
-    * caller's gated output, and an identical re-built plan resolves to
-    * the same cache entry.
+    * have). The LEFT side stays pinned past this call deliberately —
+    * it feeds the caller's gated output, and an identical re-built
+    * plan resolves to the same cache entry — but through the bounded
+    * registry ([[graft.GraftSession.pinBounded]]), so a session that
+    * audits forever holds O(bound) pins, not one per lane per call.
     */
   private def mismatchCount(keep: DataFrame, other: DataFrame): Long = {
-    keep.persist(); other.persist()
+    graft.GraftSession.pinBounded(keep); other.persist()
     try keep.exceptAll(other).union(other.exceptAll(keep)).count()
     finally { other.unpersist(); () }
   }

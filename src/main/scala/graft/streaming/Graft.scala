@@ -1005,13 +1005,25 @@ object Graft {
         val bsh = graft.operators.dedup.Dedup.shingledOf(upserts)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          graft.operators.dedup.Dedup
+          // the screen PLAN resolves its manifest snapshot HERE, before
+          // the fold can commit — a batch must screen against the
+          // pre-fold index, never itself (construction also runs the
+          // touched-group collect, so the snapshot is pinned, and
+          // retained manifests keep their leaves on disk through the
+          // concurrent fold — the online-compaction grace rule)
+          val screened = graft.operators.dedup.Dedup
             .screenAgainstIndexShingled(spark, indexDir, bsh, numHashes,
               bands, threshold)
-            .write.mode("append").parquet(pairsDir)
-          graft.operators.dedup.Dedup
-            .dedupIndexAppendShingled(bsh, indexDir, f"b$bid%06d", numHashes,
-              bands, bid = bid)
+          // …then the two store actions are INDEPENDENT — disjoint
+          // sinks (pairs parquet vs the index's fresh leaf), shared
+          // input pinned — so they overlap (guide §2.6); the pairs sink
+          // was always at-least-once and the fold tag-idempotent, so
+          // ordering between them was never a delivery guarantee
+          graft.GraftSession.concurrently(Seq(
+            () => screened.write.mode("append").parquet(pairsDir),
+            () => graft.operators.dedup.Dedup
+              .dedupIndexAppendShingled(bsh, indexDir, f"b$bid%06d",
+                numHashes, bands, bid = bid)), maxPar = 2)
         } finally { bsh.unpersist(); () }
         if (compactEvery > 0 && (bid + 1) % compactEvery == 0)
           graft.operators.dedup.Dedup
@@ -1053,13 +1065,21 @@ object Graft {
       CrawlMetrics.timed(queryName) {
         val queries = batch.select(col("vec_id").as("query_id"),
           col("embedding").as("q_emb"))
-        graft.operators.ann.PqIndex
+        // the search PLAN resolves its manifest snapshot (and collects
+        // its probe cells) HERE, before the append can commit — a batch
+        // must search the pre-append index, never itself
+        val matches = graft.operators.ann.PqIndex
           .topKIvfAgainst(spark, indexDir, queries,
             embProvider.unionByName(batch.select(col("vec_id"), col("embedding"))),
             nprobe, k, rerank)
-          .write.mode("append").parquet(matchesDir)
-        graft.operators.ann.PqIndex
-          .append(spark, indexDir, batch, tag = Some(f"b$bid%06d"))
+        // …then the matches write and the index append are INDEPENDENT
+        // — disjoint sinks, snapshot pinned — and overlap (guide §2.6);
+        // matches were always at-least-once, the append tag-idempotent
+        graft.GraftSession.concurrently(Seq(
+          () => matches.write.mode("append").parquet(matchesDir),
+          () => graft.operators.ann.PqIndex
+            .append(spark, indexDir, batch, tag = Some(f"b$bid%06d"))),
+          maxPar = 2)
         if (compactEvery > 0 && (bid + 1) % compactEvery == 0)
           graft.operators.ann.PqIndex
             .compact(spark, indexDir, tag = Some(f"c$bid%06d"))
@@ -1124,8 +1144,18 @@ object Graft {
             nSeeds, hops, beam, k)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            found.write.mode("append").parquet(matchesDir)
-            KnnGraph.linkFound(spark, indexDir, found, f"b$bid%06d", k)
+            // the two consumers of the pinned search are INDEPENDENT —
+            // disjoint sinks (matches parquet vs the edge store), shared
+            // input pinned (CacheManager locks per partition, so a
+            // concurrent first materialization computes each partition
+            // once) — overlap them (guide §2.6); ordering was never a
+            // delivery guarantee (matches are at-least-once, the link
+            // fold is tag-idempotent, and a crash between the two was
+            // already possible in either order)
+            graft.GraftSession.concurrently(Seq(
+              () => found.write.mode("append").parquet(matchesDir),
+              () => KnnGraph.linkFound(spark, indexDir, found,
+                f"b$bid%06d", k)), maxPar = 2)
           } finally { found.unpersist(); () }
         }
         if (refineEvery > 0 && (bid + 1) % refineEvery == 0)

@@ -450,8 +450,12 @@ object Materializer {
     // no up-front isEmpty probe: that is one extra Spark job per
     // micro-batch on every apply path (guide §1.2) — the affected-bucket
     // collect below already materializes the batch once, and an empty
-    // batch simply collects zero buckets and returns before any write
-    // or manifest commit (same externally visible no-op)
+    // batch collects zero buckets and returns before any write or
+    // manifest commit. INTENDED semantic change vs the probe era: the
+    // fence and bucket-spec checks now run even for an empty batch (a
+    // fenced-out writer fails fast instead of silently no-opping — it
+    // should learn it lost the token on its next call, not on its next
+    // non-empty batch), and applying to a nonexistent dir creates it.
     val (fs, root) = WalSegments.fsFor(stateDir, conf)
     fs.mkdirs(root)
     val manifest = readManifest(stateDir, conf)

@@ -229,10 +229,15 @@ object ScaleProbe {
           .dedupIndexAppend(corpusDocs, s"$root/idx", "corpus")
         val batch = baseDocs.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
-        val secs = timed {
+        // shingle explicitly and release per iteration: the probe
+        // measures SCALING, so a pin left behind by scale k must not
+        // skew scale k+1's memory headroom (the crawl-loop lifecycle,
+        // not the serving path's bounded registry)
+        val bsh = graft.operators.dedup.Dedup.shingledOf(batch).cache()
+        val secs = try timed {
           graft.operators.dedup.Dedup
-            .screenAgainstIndex(spark, s"$root/idx", batch).count()
-        }
+            .screenAgainstIndexShingled(spark, s"$root/idx", bsh).count()
+        } finally { bsh.unpersist(); () }
         results(s"screen_$scale") = f"""{"secs":$secs%.3f}"""
       }
 

@@ -628,7 +628,8 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("ann20/ann22 persisted graph: committed-leaf prune, no cartesian, broadcast tombstone anti-join") {
     import org.apache.spark.sql.functions.col
-    import graft.operators.ann.KnnGraph
+    import graft.operators.ann.{Ann, KnnGraph}
+    import graft.operators.store.IndexManifest
     import spark.implicits._
     val corpus = Tables.spread(Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding"))).cache()
@@ -644,25 +645,52 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = searched.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"),
       s"persisted graph search must never go quadratic:\n${p.take(2000)}")
-    // edge scans restrict to the committed leaves (partition filter on
-    // the version-tagged leaf column)
-    val scanLine = p.linesIterator.find(l =>
-      l.contains("/edges") && l.contains("PartitionFilters"))
-      .getOrElse(fail(s"no partition-filtered edges scan in plan:\n$p"))
-    assert(scanLine.contains("leaf#"),
-      s"edges scan not restricted to committed leaves: $scanLine")
     // the tombstone exclusion is a BROADCAST anti-join (bounded by
     // deletes since compaction), never a shuffle of the result side
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       s"tombstone exclusion must broadcast:\n${p.take(2000)}")
-    // the hop joins carry the store's ggrp partition column with the
-    // broadcast frontier as the build side, so DYNAMIC PARTITION
-    // PRUNING restricts the edge scan to the frontier's groups — the
-    // property that keeps a hop sub-corpus at a large group dial (the
-    // 1x-vs-10x scale probe caught the unpruned hops growing with
-    // corpus size)
-    assert(p.toLowerCase.contains("dynamicpruning"),
-      s"hop joins must dynamic-partition-prune the edge scan:\n${p.take(3000)}")
+    // the search is EAGER-HOP (driver-side frontier, the carve-out for
+    // persisted stores): each hop is one bounded job whose edge scan is
+    // STATICALLY pruned to the frontier's groups — the pin below audits
+    // the per-hop building block's plan directly, replacing the r17 DPP
+    // pin (the prune moved from runtime-dynamic to plan-time-static,
+    // strictly earlier). The property guarded is unchanged: a hop reads
+    // the frontier's groups of the committed store, never the store.
+    val meta = IndexManifest.readMeta(dir).get
+    val edges = IndexManifest.committedOnly(
+        spark.read.parquet(s"$dir/edges"), Some(meta.leaves))
+      .select(col("ggrp"), col("vec_id"), col("nbr_id"))
+    val frontier = Seq((0L, 0L), (0L, 5L), (1L, 7L))
+      .toDF("query_id", "vec_id")
+    val hop = Ann.hopExpansion(edges, frontier, Some(meta.groups))
+    hop.collect()
+    val hp = hop.queryExecution.executedPlan.toString
+    assert(!hp.contains("CartesianProduct"),
+      s"hop expansion must never go quadratic:\n${hp.take(2000)}")
+    val scanLine = hp.linesIterator.find(l =>
+      l.contains("/edges") && l.contains("PartitionFilters"))
+      .getOrElse(fail(s"no partition-filtered edges scan in hop plan:\n$hp"))
+    assert(scanLine.contains("leaf#"),
+      s"edges scan not restricted to committed leaves: $scanLine")
+    val inset = "ggrp#\\d+ (?:INSET|IN) \\(?([0-9, .]+)".r
+      .findFirstMatchIn(scanLine).map(_.group(1))
+      .getOrElse(fail(s"edges scan not pruned by frontier groups: $scanLine"))
+    assert(inset.split(",").length <= 3,
+      s"prune list not frontier-sized: $inset")
+    // EQUIVALENCE gate: the eager driver-side frontier loop must return
+    // exactly the lazy single-plan search's rows (same hop recursion,
+    // same beam/tie-break/visited semantics, same final cut) — the
+    // optimization changes evaluation order only, never the answer
+    val lazySearched = Ann.graphSearchTopK(
+      IndexManifest.committedOnly(
+          spark.read.parquet(s"$dir/edges"), Some(meta.leaves))
+        .select(col("ggrp"), col("vec_id"), col("nbr_id"),
+          col("rank"), col("mutual")),
+      corpus, queries, seeds, hops = 2, beam = 4, k = 3,
+      exclude = Some(Seq(Tuple1(1L)).toDF("vec_id")),
+      groupedBy = Some(meta.groups), eagerHops = false)
+    assert(searched.collect().toSeq == lazySearched.collect().toSeq,
+      "eager-hop search must be row-identical to the lazy plan")
     corpus.unpersist(); ()
   }
 
@@ -682,18 +710,14 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = found.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"),
       s"the loop increment must never go quadratic:\n${p.take(2000)}")
-    // the query × hub-seed pairing is metadata-sized and must broadcast
-    // (a shuffle cartesian here would scale with the batch, not break,
-    // so only the plan shape catches it)
-    assert(p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("BroadcastHashJoin"),
-      s"hub seeds must broadcast:\n${p.take(2000)}")
-    // edge scans restrict to the committed leaves
-    val scanLine = p.linesIterator.find(l =>
-      l.contains("/edges") && l.contains("PartitionFilters"))
-      .getOrElse(fail(s"no partition-filtered edges scan in plan:\n$p"))
-    assert(scanLine.contains("leaf#"),
-      s"edges scan not restricted to committed leaves: $scanLine")
+    // the increment search is eager-hop: the committed-leaf prune and
+    // the frontier-group static prune of its per-hop edge scans are
+    // pinned by the hopExpansion audit in the ann20/ann22 test (shared
+    // building block); the returned relation is the LocalRelation-rooted
+    // final ranking, whose plan must stay join-light — the hub-seed
+    // pairing and the hop scans no longer appear in it by design
+    assert(found.queryExecution.analyzed.toString.contains("LocalRelation"),
+      s"eager increment search must rank from collected rows:\n${p.take(2000)}")
     corpus.unpersist(); ()
   }
 
